@@ -1,13 +1,32 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the full operator inventory (SURVEY §2 parity rows + the
+  * scale extensions), one named query per operator, each with DuckDB oracle
+  * SQL in `oracleSql` unless genuinely not SQL-portable (then the driver
+  * records a rows-only check and a ScalaTest covers semantics instead).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private val packs: Seq[QueryPack] = Seq(
+    CoreQueries, FlagshipQueries, JoinQueries, TextQueries,
+    DedupQueries, SimilarityQueries, MultimodalQueries)
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. The reference's
+    * predictor contract (per-group next-step OLS forecast) over `events`. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    FlagshipQueries.olsNextValue(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    packs.map(_.defs).reduce(_ ++ _)
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    packs.map(_.oracle).reduce(_ ++ _)
 }

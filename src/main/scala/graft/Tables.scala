@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet table loaders over a scale-factor directory (TESTDATA.md) and the
+  * one place session confs every query relies on are pinned.
+  *
+  * Confs are set at runtime (all three are runtime-settable) so queries behave
+  * identically whether run through Verify, Bench, a test suite, or the
+  * driver's own session:
+  *  - `ansi.enabled=false`: the reference tolerates malformed values by
+  *    null-ing them (e.g. Polars `strptime(strict=False)`,
+  *    reference `scripts/transform.py:47`), so casts/parses must be
+  *    null-on-failure, not error.
+  *  - UTC session TZ: timestamp→string formatting must agree with the
+  *    DuckDB oracle.
+  *  - AQE on: runtime shuffle coalescing + skew-join handling — part of the
+  *    100 TB posture.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def configure(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // events.ts is parquet TIMESTAMP(NANOS), which Spark has no native type
+    // for: read it as raw nanos and convert below (exact integer µs
+    // truncation — same value DuckDB produces for its µs timestamps).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  }
+
+  /** Load one table; column pruning + predicate pushdown reach the parquet
+    * scan because this is a plain lazy `spark.read.parquet`. */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    configure(spark)
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" &&
+        df.schema("ts").dataType == org.apache.spark.sql.types.LongType) {
+      df.withColumn("ts", org.apache.spark.sql.functions
+        .expr("timestamp_micros(ts div 1000)"))
+    } else df
+  }
+}

@@ -1,0 +1,72 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: treat image/audio/video as opaque `binary`
+  * payloads with typed metadata, and run decode / feature-extract /
+  * frame-sample as distributed per-partition operators.
+  *
+  * The actual media decode is STUBBED (this container has no image/audio
+  * libs): `decodeStub` derives deterministic fake features from the payload
+  * bytes. Everything Spark-side — schema, typed Dataset encoders, partition
+  * batching, operator signatures — is real and tested (MultimodalSpec), so
+  * swapping the stub for a real decoder (JNI/FFI per partition) changes no
+  * plumbing.
+  *
+  * 100 TB posture: payloads never leave their partition (mapPartitions, no
+  * shuffle); metadata-only queries prune the payload column out of the scan.
+  */
+object MultimodalOps {
+
+  case class MediaRow(doc_id: Long, format: String, payload: Array[Byte])
+  case class MediaFeatures(doc_id: Long, format: String, n_bytes: Long,
+      mean_byte: Double, head_hash: Long, n_frames: Int)
+
+  /** Build a media table from `documents` (the container ships no binary
+    * fixtures): payload = utf-8 bytes of the text, format assigned
+    * deterministically. */
+  def mediaTable(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      when(col("doc_id") % 3 === 0, "img")
+        .when(col("doc_id") % 3 === 1, "audio")
+        .otherwise("video").as("format"),
+      encode(col("text"), "utf-8").as("payload"))
+
+  /** Stubbed decoder: a real implementation would decode the payload here
+    * (per-partition, reusing a decoder instance). The stub derives
+    * deterministic features from raw bytes so tests pin the plumbing. */
+  def decodeStub(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition setup cost happens once (decoder init in real impl)
+      rows.map { r =>
+        val bytes = r.payload
+        val mean =
+          if (bytes.isEmpty) 0.0
+          else bytes.map(b => (b & 0xff).toLong).sum.toDouble / bytes.length
+        val head = bytes.take(8).foldLeft(0L)((acc, b) => acc * 31 + (b & 0xff))
+        MediaFeatures(r.doc_id, r.format, bytes.length.toLong, mean, head,
+          frameCount(bytes.length, 16))
+      }
+    }
+  }
+
+  /** Frame sampling: how many fixed-stride frames a payload yields. */
+  def frameCount(nBytes: Long, stride: Long): Int =
+    if (nBytes <= 0) 0 else (((nBytes - 1) / stride) + 1).toInt
+
+  /** Frame-sample operator: split the payload into `stride`-byte frames and
+    * keep every `every`-th one — array column, no shuffle. */
+  def frameSample(media: DataFrame, stride: Int, every: Int): DataFrame =
+    media.withColumn("frames",
+      expr(s"filter(transform(sequence(0, int((length(payload) - 1) / $stride)), " +
+        s"i -> substring(payload, i * $stride + 1, $stride)), " +
+        s"(f, i) -> i % $every = 0)"))
+
+  def mediaDataset(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    mediaTable(docs).as[MediaRow]
+  }
+}

@@ -1,0 +1,196 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryPack, Tables}
+import graft.functions.TextAnalysis._
+
+/** Deduplication operators for training-data pipelines (BASELINE.json north
+  * star): exact (hash-groupBy), n-gram Jaccard, MinHash+LSH banding, and
+  * SimHash — all as shuffle-friendly joins/aggregations with zero driver-side
+  * collects, and all with deterministic md5-derived hashing so the DuckDB
+  * oracle can mirror them bit-for-bit.
+  *
+  * 100 TB posture: candidate generation always goes through a key join
+  * (fingerprint / shingle / band bucket) — never an all-pairs product — so
+  * the shuffles stay proportional to data + candidate volume. Shingle and
+  * band keys are high-cardinality, which keeps skew bounded; AQE skew-join
+  * handles pathological hot shingles.
+  */
+object DedupQueries extends QueryPack {
+
+  private val K = 16 // minhash signature length
+  private val B = 4  // LSH bands (rows per band = K/B = 4)
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** Exact dedup: normalized-text fingerprint, keep min doc_id per group. */
+  private def q40(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("fp", fingerprint(col("text")))
+      .withColumn("keep_id", min("doc_id").over(Window.partitionBy("fp")))
+      .select(col("doc_id"), col("fp"),
+        (col("doc_id") =!= col("keep_id")).cast("int").as("is_dup"))
+      .orderBy("doc_id")
+
+  /** Word-5-gram Jaccard near-dup: shingle join → pairwise intersection
+    * count → |A∩B| / |A∪B|. */
+  private def q41(s: SparkSession, dir: String): DataFrame = {
+    val g = docs(s, dir)
+      .select(col("doc_id"), explode(wordNgrams(col("text"), 5)).as("gram"))
+    val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val a = g.select(col("doc_id").as("doc_a"), col("gram"))
+    val b = g.select(col("doc_id").as("doc_b"), col("gram").as("gram_b"))
+    val inter = a
+      .join(b, col("gram") === col("gram_b") && col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    val sa = sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"))
+    val sb = sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"))
+    inter.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("jaccard",
+        round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 4))
+      .filter(col("jaccard") >= 0.1)
+      .select("doc_a", "doc_b", "inter", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** MinHash + LSH: word-3-gram shingles → K min-hashes (min of md5 with K
+    * salts — the min of a hex string is a valid universal-hash min and is
+    * engine-portable) → B banded bucket keys → bucket self-join for
+    * candidates → estimated similarity = fraction of agreeing minhashes. */
+  private def q42(s: SparkSession, dir: String): DataFrame = {
+    val g = docs(s, dir)
+      .select(col("doc_id"), explode(wordNgrams(col("text"), 3)).as("gram"))
+    val aggs = (0 until K).map(k =>
+      min(md5(concat(lit(s"$k:"), col("gram")))).as(s"h$k"))
+    val sig = g.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val bandCols = (0 until B).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws("|",
+          (0 until K / B).map(j => col(s"h${(K / B) * b + j}")): _*)).as("bkey"))
+    }
+    val exploded = sig.withColumn("bk", explode(array(bandCols: _*)))
+      .select((Seq(col("doc_id"), col("bk.band").as("band"),
+        col("bk.bkey").as("bkey")) ++ (0 until K).map(k => col(s"h$k"))): _*)
+    def side(p: String) = exploded.select(
+      (Seq(col("doc_id").as(s"${p}_id"), col("band").as(s"${p}_band"),
+        col("bkey").as(s"${p}_bkey")) ++
+        (0 until K).map(k => col(s"h$k").as(s"$p$k"))): _*)
+    val sim = (0 until K).map(k =>
+      (col(s"a$k") === col(s"b$k")).cast("int")).reduce(_ + _)
+      .cast("double") / lit(K.toDouble)
+    side("a").join(side("b"),
+        col("a_band") === col("b_band") && col("a_bkey") === col("b_bkey") &&
+          col("a_id") < col("b_id"))
+      .select(col("a_id").as("doc_a"), col("b_id").as("doc_b"),
+        round(sim, 4).as("est_sim"))
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash: 64-bit signature from per-token md5 bit votes, emitted as a
+    * '0'/'1' string so the oracle is engine-portable. Distinct tokens vote
+    * ±1 per bit; sign of the per-bit sum is the signature bit. */
+  private def q43(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(split(normalizeText(col("text")), " ")))
+          .as("tok"))
+      .filter(col("tok") =!= "")
+      .withColumn("h", md5(col("tok")))
+    val contribs = (0 until 64).map { b =>
+      val p = b / 4; val j = 3 - (b % 4)
+      sum(expr(
+        s"(shiftright(locate(substr(h, ${p + 1}, 1), '0123456789abcdef') - 1, $j) & 1) * 2 - 1"))
+        .as(s"s$b")
+    }
+    val agg = toks.groupBy("doc_id").agg(contribs.head, contribs.tail: _*)
+    val bits = concat((0 until 64).map(b =>
+      when(col(s"s$b") >= 0, lit("1")).otherwise(lit("0"))): _*)
+    agg.select(col("doc_id"), bits.as("simhash_bits")).orderBy("doc_id")
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q40_dedup_exact" -> (q40 _),
+    "q41_dedup_jaccard" -> (q41 _),
+    "q42_dedup_minhash" -> (q42 _),
+    "q43_dedup_simhash" -> (q43 _))
+
+  private val normSql =
+    "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+  private def gramsSql(n: Int): String =
+    s"""toks AS (
+       |  SELECT doc_id, regexp_split_to_array($normSql, ' ') AS t
+       |  FROM documents),
+       |idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - ${n - 1})) AS i
+       |        FROM toks WHERE len(t) >= $n),
+       |grams AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+${n - 1}], ' ') AS gram
+       |          FROM idx)""".stripMargin
+
+  private val minhashSql: String = {
+    val mins = (0 until K).map(k => s"min(md5('$k:' || gram)) AS h$k")
+      .mkString(", ")
+    val hs = (0 until K).map(k => s"h$k").mkString(", ")
+    val bandRows = (0 until B).map { b =>
+      val parts = (0 until K / B).map(j => s"h${(K / B) * b + j}")
+        .mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($parts) AS bkey, $hs FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    val eqs = (0 until K).map(k => s"CAST(a.h$k = b.h$k AS INT)")
+      .mkString(" + ")
+    s"""WITH ${gramsSql(3)},
+       |sig AS (SELECT doc_id, $mins FROM grams GROUP BY doc_id),
+       |bands AS (
+       |  $bandRows),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    round(($eqs) / ${K.toDouble}, 4) AS est_sim
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, est_sim FROM cand ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  private val simhashSql: String = {
+    val sums = (0 until 64).map { b =>
+      val p = b / 4; val j = 3 - (b % 4)
+      s"sum((((strpos('0123456789abcdef', substr(h, ${p + 1}, 1)) - 1) >> $j) & 1) * 2 - 1) AS s$b"
+    }.mkString(", ")
+    val bits = (0 until 64)
+      .map(b => s"CASE WHEN s$b >= 0 THEN '1' ELSE '0' END")
+      .mkString(" || ")
+    s"""WITH raw AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array($normSql, ' ')) AS tok
+       |  FROM documents),
+       |toks AS (SELECT DISTINCT doc_id, tok FROM raw WHERE tok <> ''),
+       |hashed AS (SELECT doc_id, md5(tok) AS h FROM toks),
+       |agg AS (SELECT doc_id, $sums FROM hashed GROUP BY doc_id)
+       |SELECT doc_id, $bits AS simhash_bits FROM agg ORDER BY doc_id""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q40_dedup_exact" ->
+      s"""WITH f AS (SELECT doc_id, md5($normSql) AS fp FROM documents)
+         |SELECT doc_id, fp,
+         |  CAST(doc_id <> min(doc_id) OVER (PARTITION BY fp) AS INT) AS is_dup
+         |FROM f ORDER BY doc_id""".stripMargin,
+    "q41_dedup_jaccard" ->
+      s"""WITH ${gramsSql(5)},
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM grams a JOIN grams b
+         |    ON a.gram = b.gram AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
+         |  round(inter / (sa.sz + sb.sz - inter), 4) AS jaccard
+         |FROM pairs
+         |JOIN sizes sa ON doc_a = sa.doc_id
+         |JOIN sizes sb ON doc_b = sb.doc_id
+         |WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= 0.1
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q42_dedup_minhash" -> minhashSql,
+    "q43_dedup_simhash" -> simhashSql)
+}

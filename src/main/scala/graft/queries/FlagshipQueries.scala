@@ -1,0 +1,98 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryPack, Tables}
+
+/** The flagship query: the reference's predictor contract
+  * (`scripts/stock_predictor.py:38-102`, SURVEY.md §2 rows 38-40) re-expressed
+  * as pure distributed aggregation over the `events` table
+  * (user_id ⇢ symbol, ts ⇢ Datetime, value ⇢ Close).
+  *
+  * Per group: target = next value in time order (lead), fit OLS
+  * `target ~ value` in closed form via `regr_slope`/`regr_intercept`
+  * (standard SQL population formulas — no per-group collect, no driver
+  * loop), predict one step ahead from the last row, report in-sample MSE.
+  * Output contract mirrors the reference: one row per group with
+  * (user_id, predicted_value round 2, last_date string, mse round 4).
+  *
+  * 100 TB posture: two shuffles on `user_id` (window + aggregate) and a
+  * broadcast join of the per-group coefficients (|groups| rows — tiny) back
+  * onto the cleaned pairs for the residual pass. Nothing is collected to the
+  * driver; group count can grow unboundedly.
+  */
+object FlagshipQueries extends QueryPack {
+
+  def olsNextValue(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val clean = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("target", lead("value", 1).over(w))
+      .filter(col("target").isNotNull)
+
+    // min-rows guard per stock_predictor.py:76-77 (len >= 2)
+    val coef = clean.groupBy("user_id")
+      .agg(
+        expr("regr_slope(target, value)").as("slope"),
+        expr("regr_intercept(target, value)").as("icept"),
+        count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .drop("n")
+
+    val wLast = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val lastRow = clean
+      .withColumn("rn", row_number().over(wLast))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("value").as("last_value"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("last_date"))
+
+    val mse = clean.join(broadcast(coef), Seq("user_id"))
+      .groupBy("user_id")
+      .agg(avg(pow(col("target") - (col("icept") + col("slope") * col("value")), 2))
+        .as("mse_raw"))
+
+    coef
+      .join(broadcast(lastRow), Seq("user_id"))
+      .join(broadcast(mse), Seq("user_id"))
+      .select(
+        col("user_id"),
+        round(col("icept") + col("slope") * col("last_value"), 2)
+          .as("predicted_value"),
+        col("last_date"),
+        round(col("mse_raw"), 4).as("mse"))
+      .orderBy("user_id")
+  }
+
+  val defs: Map[String, Q] = Map("q10_flagship_ols" -> (olsNextValue _))
+
+  val oracle: Map[String, String] = Map(
+    "q10_flagship_ols" ->
+      """WITH pairs AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS target
+        |  FROM events),
+        |clean AS (SELECT * FROM pairs WHERE target IS NOT NULL),
+        |coef AS (
+        |  SELECT user_id, regr_slope(target, value) AS slope,
+        |         regr_intercept(target, value) AS icept
+        |  FROM clean GROUP BY user_id HAVING count(*) >= 2),
+        |lastrow AS (
+        |  SELECT user_id, value AS last_value,
+        |         strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_date
+        |  FROM (SELECT *, row_number() OVER (
+        |          PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |        FROM clean)
+        |  WHERE rn = 1),
+        |err AS (
+        |  SELECT cl.user_id, avg(power(cl.target - (c.icept + c.slope * cl.value), 2)) AS mse_raw
+        |  FROM clean cl JOIN coef c ON cl.user_id = c.user_id
+        |  GROUP BY cl.user_id)
+        |SELECT c.user_id, round(c.icept + c.slope * l.last_value, 2) AS predicted_value,
+        |       l.last_date, round(e.mse_raw, 4) AS mse
+        |FROM coef c
+        |JOIN lastrow l ON c.user_id = l.user_id
+        |JOIN err e ON c.user_id = e.user_id
+        |ORDER BY c.user_id""".stripMargin)
+}

@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryPack, Tables}
+import graft.functions.TextAnalysis._
+
+/** Text-analysis extension queries over `documents` (BASELINE.json north
+  * star: token counting, quality scoring, language ID, fingerprinting).
+  * All per-row expression work — no shuffle except the final ORDER BY. */
+object TextQueries extends QueryPack {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  private def q30(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars_calc"),
+      tokenCount(col("text")).as("n_tokens"),
+      round(
+        length(regexp_replace(col("text"), "\\s", "")).cast("double") /
+          greatest(tokenCount(col("text")), lit(1L)).cast("double"),
+        4).as("avg_token_len"))
+      .orderBy("doc_id")
+
+  private def q31(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      round(stopwordRatio(col("text")), 4).as("stop_ratio"),
+      round(alphaRatio(col("text")), 4).as("alpha_ratio"),
+      round(least(lit(1.0),
+        tokenCount(col("text")).cast("double") / lit(100.0)), 4)
+        .as("len_score"),
+      round(qualityScore(col("text")), 4).as("quality"))
+      .orderBy("doc_id")
+
+  private def q32(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"), col("lang"),
+      langId(col("text")).as("lang_pred"),
+      matchCount(lower(col("text")), "\\b(the|a|of|to|and|in|is|it)\\b").as("cnt_en"),
+      matchCount(lower(col("text")), "\\b(el|la|de|que|y|en|los|un)\\b").as("cnt_es"),
+      matchCount(lower(col("text")), "\\b(der|die|das|und|ist|ein|nicht)\\b").as("cnt_de"),
+      matchCount(lower(col("text")), "\\b(le|la|les|et|est|une|dans)\\b").as("cnt_fr"))
+      .orderBy("doc_id")
+
+  private def q33(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      fingerprint(col("text")).as("fp"),
+      substring(fingerprint(col("text")), 1, 8).as("fp8"))
+      .orderBy("doc_id")
+
+  val defs: Map[String, Q] = Map(
+    "q30_text_stats" -> (q30 _),
+    "q31_text_quality" -> (q31 _),
+    "q32_text_langid" -> (q32 _),
+    "q33_fingerprint" -> (q33 _))
+
+  // DuckDB regexp_replace needs the 'g' flag to match Spark's replace-all.
+  val oracle: Map[String, String] = Map(
+    "q30_text_stats" ->
+      """SELECT doc_id,
+        |  length(text) AS n_chars_calc,
+        |  len(regexp_extract_all(text, '\S+')) AS n_tokens,
+        |  round(CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) /
+        |        CAST(greatest(len(regexp_extract_all(text, '\S+')), 1) AS DOUBLE),
+        |        4) AS avg_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q31_text_quality" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|to|and|in|is|it)\b')) AS DOUBLE) AS stops,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS toks,
+        |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS alpha,
+        |    CAST(length(text) AS DOUBLE) AS chars
+        |  FROM documents)
+        |SELECT doc_id,
+        |  round(stops / greatest(toks, 1), 4) AS stop_ratio,
+        |  round(alpha / greatest(chars, 1), 4) AS alpha_ratio,
+        |  round(least(1.0, toks / 100.0), 4) AS len_score,
+        |  round(0.4 * (stops / greatest(toks, 1)) +
+        |        0.3 * (alpha / greatest(chars, 1)) +
+        |        0.3 * least(1.0, toks / 100.0), 4) AS quality
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "q32_text_langid" ->
+      """WITH c AS (
+        |  SELECT doc_id, lang,
+        |    len(regexp_extract_all(lower(text), '\b(the|a|of|to|and|in|is|it)\b')) AS cnt_en,
+        |    len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en|los|un)\b')) AS cnt_es,
+        |    len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|ein|nicht)\b')) AS cnt_de,
+        |    len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une|dans)\b')) AS cnt_fr
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  CASE WHEN cnt_en >= cnt_es AND cnt_en >= cnt_de AND cnt_en >= cnt_fr THEN 'en'
+        |       WHEN cnt_es >= cnt_de AND cnt_es >= cnt_fr THEN 'es'
+        |       WHEN cnt_de >= cnt_fr THEN 'de'
+        |       ELSE 'fr' END AS lang_pred,
+        |  cnt_en, cnt_es, cnt_de, cnt_fr
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q33_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |  substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 8) AS fp8
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}
