@@ -1,0 +1,156 @@
+package graft.pipeline
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.Ols
+
+/** The reference's four-stage pipeline (`dags/stock_pipeline_dag.py:50`:
+  * ingest >> transform >> combine >> predict) as composable
+  * `run(spark, in, out)` stage functions over directory "zones"
+  * (SURVEY.md §3). Overwrite-per-run semantics (`minio_utils.py:20-40`
+  * clear-bucket) map to `SaveMode.Overwrite`.
+  */
+object Pipeline {
+
+  /** Stage 1 — ingest (`scripts/stock_ingestor.py`). The yFinance HTTP pull
+    * is replaced by a source adapter: any DataFrame with the canonical bar
+    * schema (symbol, Datetime, Open, High, Low, Close, Volume). Writes the
+    * raw zone exactly like the reference: per-symbol JSON records with
+    * flattened "Metric_SYMBOL" names, stringified timestamps (tz-suffixed,
+    * `stock_ingestor.py:33-35`), empty frames skipped (`:25-27`). */
+  object Ingest {
+    def run(spark: SparkSession, bars: DataFrame, rawDir: String,
+        runTs: String): Seq[String] = {
+      val symbols = bars.select("symbol").distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+      symbols.flatMap { sym =>
+        val df = bars.filter(col("symbol") === sym)
+        if (df.isEmpty) None // skip-on-empty guard
+        else {
+          df.select(
+            date_format(col("Datetime"), "yyyy-MM-dd HH:mm:ssXXX")
+              .as("Datetime_"),
+            col("Open").as(s"Open_$sym"),
+            col("High").as(s"High_$sym"),
+            col("Low").as(s"Low_$sym"),
+            col("Close").as(s"Close_$sym"),
+            col("Volume").as(s"Volume_$sym"),
+            col("symbol"))
+            .coalesce(1)
+            .write.mode(SaveMode.Overwrite)
+            .json(s"$rawDir/${sym}_stock_raw_$runTs.json")
+          Some(sym)
+        }
+      }
+    }
+  }
+
+  /** Stage 2 — transform (`scripts/transform.py`): latest raw file per
+    * symbol (max modification time, path as tie-break — `:11-24`), JSON →
+    * normalize → per-symbol parquet in the processed zone. */
+  object Transform {
+    /** Driver-side listing mirroring the reference's `list_objects_v2` +
+      * argmax(LastModified); file count is O(symbols × runs) — metadata
+      * only, never data. */
+    def latestRawPerSymbol(spark: SparkSession, rawDir: String)
+        : Map[String, String] = {
+      val fs = FileSystem.get(new java.net.URI(rawDir),
+        spark.sparkContext.hadoopConfiguration)
+      val stats = Option(fs.globStatus(new Path(s"$rawDir/*_stock_raw_*")))
+        .getOrElse(Array.empty)
+      stats.toSeq
+        .map(st => (st.getPath.getName.split("_stock_raw_")(0),
+          (st.getModificationTime, st.getPath.toString)))
+        .groupBy(_._1)
+        .map { case (sym, files) => sym -> files.map(_._2).max._2 }
+    }
+
+    def run(spark: SparkSession, rawDir: String, processedDir: String)
+        : Seq[String] = {
+      val latest = latestRawPerSymbol(spark, rawDir)
+      require(latest.nonEmpty, s"no raw files found under $rawDir")
+      latest.toSeq.sortBy(_._1).map { case (sym, path) =>
+        val raw = spark.read.json(path)
+        Normalize(raw, Some(sym))
+          .write.mode(SaveMode.Overwrite)
+          .parquet(s"$processedDir/${sym}_processed")
+        sym
+      }
+    }
+  }
+
+  /** Stage 3 — combine (`scripts/combine_processed.py`, intended semantics
+    * per SURVEY §3 defect 1): UNION ALL of every per-symbol processed
+    * parquet, aligned by name with null-fill (pandas concat ≡
+    * unionByName(allowMissingColumns)); single combined output file. */
+  object Combine {
+    def run(spark: SparkSession, processedDir: String, combinedDir: String)
+        : Long = {
+      val combined = spark.read.option("mergeSchema", "true")
+        .parquet(s"$processedDir/*_processed")
+      val keep = Normalize.canonicalOrder.filter(combined.columns.contains)
+      val out = combined.select(keep.map(col): _*)
+      // reference writes ONE combined object — coalesce(1) is parity at this
+      // scale and deliberately NOT what the 100 TB extension ops do.
+      out.coalesce(1).write.mode(SaveMode.Overwrite).parquet(combinedDir)
+      spark.read.parquet(combinedDir).count()
+    }
+  }
+
+  /** Stage 4 — predict (`scripts/stock_predictor.py`): per-symbol OLS of
+    * next close on [open, high, low, volume], next-step forecast from the
+    * last row, in-sample MSE; output contract
+    * (symbol, predicted_close, last_date, mse) per §2 row 40. */
+  object Predict {
+    val features: Seq[String] = Seq("open", "high", "low", "volume")
+
+    def predictions(combined: DataFrame): DataFrame = {
+      // predictor lowercases all names then re-discovers (predictor.py:42)
+      val lower = combined.toDF(combined.columns.map(_.toLowerCase): _*)
+      val present = features.filter(lower.columns.contains)
+      val w = Window.partitionBy("symbol").orderBy("datetime")
+      val pairs = lower
+        .withColumn("target", lead("close", 1).over(w))
+        .na.drop(present :+ "target")
+      val coef = Ols.fit(pairs, "symbol", present, "target")
+      val wLast = Window.partitionBy("symbol").orderBy(desc("datetime"))
+      val last = pairs.withColumn("rn", row_number().over(wLast))
+        .filter(col("rn") === 1)
+        .select((col("symbol") +:
+          date_format(col("datetime"), "yyyy-MM-dd HH:mm:ss").as("last_date") +:
+          present.map(col)): _*)
+      val mse = pairs.join(broadcast(coef), "symbol")
+        .withColumn("resid", col("target") - Ols.predictExpr(present))
+        .groupBy("symbol")
+        .agg(avg(col("resid") * col("resid")).as("mse_raw"))
+      coef.join(broadcast(last), "symbol").join(broadcast(mse), "symbol")
+        .select(
+          col("symbol"),
+          round(Ols.predictExpr(present), 2).as("predicted_close"),
+          col("last_date"),
+          round(col("mse_raw"), 4).as("mse"))
+        .orderBy("symbol")
+    }
+
+    def run(spark: SparkSession, combinedDir: String, predictionsDir: String)
+        : DataFrame = {
+      val out = predictions(spark.read.parquet(combinedDir))
+      out.write.mode(SaveMode.Overwrite).parquet(predictionsDir)
+      spark.read.parquet(predictionsDir)
+    }
+  }
+
+  /** Full composed pipeline over a working directory; returns predictions.
+    * Each zone is readable after the run (file boundaries kept for parity —
+    * a caller wanting one fused lazy plan can compose the stage functions
+    * directly). */
+  def run(spark: SparkSession, bars: DataFrame, workDir: String,
+      runTs: String = "20260101T000000Z"): DataFrame = {
+    Ingest.run(spark, bars, s"$workDir/raw", runTs)
+    Transform.run(spark, s"$workDir/raw", s"$workDir/processed")
+    Combine.run(spark, s"$workDir/processed", s"$workDir/combined")
+    Predict.run(spark, s"$workDir/combined", s"$workDir/predictions")
+  }
+}
