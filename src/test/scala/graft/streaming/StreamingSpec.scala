@@ -1,0 +1,72 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.{SparkSuite, Tables}
+
+/** Streaming operators driven by a file stream over the real events table,
+  * checked against their batch twins on the same data. */
+class StreamingSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** events.parquet copied into a dir (file streams read directories), read
+    * as a stream with the same nanos→micros conversion Tables.load does. */
+  private lazy val streamDir: String = {
+    val dir = Files.createTempDirectory("graft_stream")
+    Files.copy(Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    dir.toString
+  }
+
+  private def eventsStream: DataFrame = {
+    Tables.configure(spark)
+    val rawSchema = spark.read.parquet(s"$sf/events.parquet").schema
+    spark.readStream.schema(rawSchema).parquet(streamDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  private def eventsBatch: DataFrame = Tables.load(spark, sf, "events")
+
+  test("hourly windowed agg with watermark matches batch result") {
+    val q = StreamingOps.hourlyAgg(eventsStream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hourly").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("hourly")
+      .orderBy("hour_start", "event_type").collect()
+    val batch = StreamingOps.hourlyAgg(eventsBatch)
+      .orderBy("hour_start", "event_type").collect()
+    assert(streamed.length == batch.length && streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
+  test("session windows produce bounded per-user sessions") {
+    val q = StreamingOps.sessions(eventsStream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sessions").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val out = spark.table("sessions")
+    assert(out.count() > 0)
+    // session invariant: end >= start, and per-user event counts add up
+    assert(out.filter(col("session_end") < col("session_start")).count() == 0)
+    val totalEvents = out.agg(sum("n_events")).head().getLong(0)
+    assert(totalEvents == eventsBatch.count())
+  }
+
+  test("mapGroupsWithState running stats converge to batch totals") {
+    val stream = eventsStream.as[StreamingOps.Event]
+    val q = StreamingOps.runningUserStats(stream)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("running").start()
+    try { q.processAllAvailable() } finally q.stop()
+    // last update per user == full batch totals
+    val last = spark.table("running")
+      .groupBy("user_id").agg(max("n").as("n"))
+    val expected = eventsBatch.groupBy("user_id").agg(count(lit(1)).as("n"))
+    assert(last.join(expected, Seq("user_id", "n"), "left_anti").count() == 0)
+    assert(last.count() == expected.count())
+  }
+}
