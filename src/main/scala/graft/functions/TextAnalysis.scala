@@ -69,15 +69,24 @@ object TextAnalysis {
   /** Content fingerprint of the normalized text (exact-dup key). */
   def fingerprint(c: Column): Column = md5(normalizeText(c))
 
-  /** Distinct word n-grams of the normalized text, for shingle-based
-    * near-dup detection. Returns array<string>; empty if fewer than n
-    * tokens. */
-  def wordNgrams(c: Column, n: Int): Column = {
-    val toks = split(normalizeText(c), " ")
+  /** Tokens of the normalized text as an array column. Materialize this in
+    * a projection BEFORE building n-grams: lambda bodies in higher-order
+    * functions re-evaluate captured expressions per element, so slicing a
+    * pre-computed array column is O(n) per doc while slicing
+    * `split(regexp_replace(...))` inline is O(n · regex). */
+  def tokensCol(c: Column): Column = split(normalizeText(c), " ")
+
+  /** Distinct word n-grams from a materialized tokens array column; empty
+    * if fewer than n tokens. */
+  def ngramsFromTokens(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       array_distinct(transform(
         sequence(lit(1), size(toks) - lit(n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n))))))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** Distinct word n-grams of the normalized text (convenience form — for
+    * hot paths project `tokensCol` first and use `ngramsFromTokens`). */
+  def wordNgrams(c: Column, n: Int): Column =
+    ngramsFromTokens(tokensCol(c), n)
 }

@@ -26,6 +26,14 @@ object DedupQueries extends QueryPack {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
+  /** (doc_id, gram) with tokens materialized before the n-gram lambda —
+    * see TextAnalysis.tokensCol for why this ordering matters. */
+  private def shingleDf(s: SparkSession, dir: String, n: Int): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), tokensCol(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(ngramsFromTokens(col("toks"), n)).as("gram"))
+
   /** Exact dedup: normalized-text fingerprint, keep min doc_id per group. */
   private def q40(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
@@ -35,17 +43,24 @@ object DedupQueries extends QueryPack {
         (col("doc_id") =!= col("keep_id")).cast("int").as("is_dup"))
       .orderBy("doc_id")
 
-  /** Word-5-gram Jaccard near-dup: shingle join → pairwise intersection
-    * count → |A∩B| / |A∪B|. */
+  /** Word-5-gram Jaccard near-dup. Pairs come from per-shingle doc-id lists
+    * (one aggregation) instead of a shingle self-join, so the shingle set is
+    * scanned once, df=1 shingles are dropped losslessly (they contribute to
+    * no pair), and a df cap (1000) bounds the worst-case pair fan-out per
+    * shingle at scale — a standard stopword-shingle guard; max df in this
+    * corpus is 4, so the cap changes nothing here. */
+  private val maxDf = 1000
   private def q41(s: SparkSession, dir: String): DataFrame = {
-    val g = docs(s, dir)
-      .select(col("doc_id"), explode(wordNgrams(col("text"), 5)).as("gram"))
+    val g = shingleDf(s, dir, 5)
     val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val a = g.select(col("doc_id").as("doc_a"), col("gram"))
-    val b = g.select(col("doc_id").as("doc_b"), col("gram").as("gram_b"))
-    val inter = a
-      .join(b, col("gram") === col("gram_b") && col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    val byGram = g.groupBy("gram")
+      .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")).between(2, maxDf))
+    val pairs = byGram.select(explode(expr(
+      "flatten(transform(ds, x -> transform(filter(ds, y -> y > x), " +
+        "y -> named_struct('doc_a', x, 'doc_b', y))))")).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+    val inter = pairs.groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
     val sa = sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"))
     val sb = sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"))
     inter.join(sa, "doc_a").join(sb, "doc_b")
@@ -56,20 +71,25 @@ object DedupQueries extends QueryPack {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** MinHash + LSH: word-3-gram shingles → K min-hashes (min of md5 with K
-    * salts — the min of a hex string is a valid universal-hash min and is
-    * engine-portable) → B banded bucket keys → bucket self-join for
-    * candidates → estimated similarity = fraction of agreeing minhashes. */
+  /** MinHash + LSH: word-3-gram shingles → ONE md5 per shingle split into
+    * two 32-bit halves (a, b) → K universal hashes h_k = (a + k·b) mod p →
+    * per-doc minima → B banded bucket keys → bucket self-join for
+    * candidates → estimated similarity = fraction of agreeing minhashes.
+    * The (a + k·b) mod p family is 2-universal, exact in int64 (operands
+    * < 2^36), and engine-portable (DuckDB parses '0x…' hex casts). */
+  private val P = 4294967291L // largest prime < 2^32
   private def q42(s: SparkSession, dir: String): DataFrame = {
-    val g = docs(s, dir)
-      .select(col("doc_id"), explode(wordNgrams(col("text"), 3)).as("gram"))
+    val g = shingleDf(s, dir, 3)
+    val hashed = g.select(col("doc_id"),
+      conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long").as("ha"),
+      conv(substring(md5(col("gram")), 9, 8), 16, 10).cast("long").as("hb"))
     val aggs = (0 until K).map(k =>
-      min(md5(concat(lit(s"$k:"), col("gram")))).as(s"h$k"))
-    val sig = g.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      min((col("ha") + lit(k.toLong) * col("hb")) % lit(P)).as(s"h$k"))
+    val sig = hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
     val bandCols = (0 until B).map { b =>
       struct(lit(b).as("band"),
-        md5(concat_ws("|",
-          (0 until K / B).map(j => col(s"h${(K / B) * b + j}")): _*)).as("bkey"))
+        concat_ws("|",
+          (0 until K / B).map(j => col(s"h${(K / B) * b + j}")): _*).as("bkey"))
     }
     val exploded = sig.withColumn("bk", explode(array(bandCols: _*)))
       .select((Seq(col("doc_id"), col("bk.band").as("band"),
@@ -131,18 +151,23 @@ object DedupQueries extends QueryPack {
        |          FROM idx)""".stripMargin
 
   private val minhashSql: String = {
-    val mins = (0 until K).map(k => s"min(md5('$k:' || gram)) AS h$k")
+    val mins = (0 until K).map(k => s"min((ha + $k * hb) % $P) AS h$k")
       .mkString(", ")
     val hs = (0 until K).map(k => s"h$k").mkString(", ")
     val bandRows = (0 until B).map { b =>
       val parts = (0 until K / B).map(j => s"h${(K / B) * b + j}")
-        .mkString(" || '|' || ")
-      s"SELECT doc_id, $b AS band, md5($parts) AS bkey, $hs FROM sig"
+        .mkString(", ")
+      s"SELECT doc_id, $b AS band, concat_ws('|', $parts) AS bkey, $hs FROM sig"
     }.mkString("\n  UNION ALL\n  ")
     val eqs = (0 until K).map(k => s"CAST(a.h$k = b.h$k AS INT)")
       .mkString(" + ")
     s"""WITH ${gramsSql(3)},
-       |sig AS (SELECT doc_id, $mins FROM grams GROUP BY doc_id),
+       |hashed AS (
+       |  SELECT doc_id,
+       |    CAST('0x' || substr(md5(gram), 1, 8) AS BIGINT) AS ha,
+       |    CAST('0x' || substr(md5(gram), 9, 8) AS BIGINT) AS hb
+       |  FROM grams),
+       |sig AS (SELECT doc_id, $mins FROM hashed GROUP BY doc_id),
        |bands AS (
        |  $bandRows),
        |cand AS (
@@ -179,9 +204,12 @@ object DedupQueries extends QueryPack {
     "q41_dedup_jaccard" ->
       s"""WITH ${gramsSql(5)},
          |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+         |keep AS (SELECT gram FROM grams GROUP BY gram
+         |         HAVING count(*) BETWEEN 2 AND $maxDf),
+         |gf AS (SELECT g.doc_id, g.gram FROM grams g JOIN keep USING (gram)),
          |pairs AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-         |  FROM grams a JOIN grams b
+         |  FROM gf a JOIN gf b
          |    ON a.gram = b.gram AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
          |SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,

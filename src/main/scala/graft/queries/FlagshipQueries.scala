@@ -31,22 +31,20 @@ object FlagshipQueries extends QueryPack {
       .withColumn("target", lead("value", 1).over(w))
       .filter(col("target").isNotNull)
 
-    // min-rows guard per stock_predictor.py:76-77 (len >= 2)
+    // One aggregation pass gets coefficients AND the last row's features:
+    // max_by keyed on (ts, event_id) replaces a second window + join.
+    // min-rows guard per stock_predictor.py:76-77 (len >= 2).
+    val ord = struct(col("ts"), col("event_id"))
     val coef = clean.groupBy("user_id")
       .agg(
         expr("regr_slope(target, value)").as("slope"),
         expr("regr_intercept(target, value)").as("icept"),
+        max_by(col("value"), ord).as("last_value"),
+        max_by(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"), ord)
+          .as("last_date"),
         count(lit(1)).as("n"))
       .filter(col("n") >= 2)
       .drop("n")
-
-    val wLast = Window.partitionBy("user_id")
-      .orderBy(col("ts").desc, col("event_id").desc)
-    val lastRow = clean
-      .withColumn("rn", row_number().over(wLast))
-      .filter(col("rn") === 1)
-      .select(col("user_id"), col("value").as("last_value"),
-        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("last_date"))
 
     val mse = clean.join(broadcast(coef), Seq("user_id"))
       .groupBy("user_id")
@@ -54,7 +52,6 @@ object FlagshipQueries extends QueryPack {
         .as("mse_raw"))
 
     coef
-      .join(broadcast(lastRow), Seq("user_id"))
       .join(broadcast(mse), Seq("user_id"))
       .select(
         col("user_id"),
