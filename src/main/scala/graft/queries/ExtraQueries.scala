@@ -1,0 +1,220 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryPack, Tables}
+import graft.functions.WeightedAvg
+
+/** Second breadth wave: as-of join, exact distinct counts, typed
+  * Aggregator, pivot, exact percentiles, statistical aggregates, date
+  * functions, and vector column stats. */
+object ExtraQueries extends QueryPack {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  private val fmt = "yyyy-MM-dd HH:mm:ss"
+
+  /** As-of join (latest click at-or-before each purchase, per user) via the
+    * union + running-last trick: tag both sides, one window over the merged
+    * time-ordered stream per user carries the last click forward. One
+    * shuffle+sort total — no range-join blowup, scales linearly. Spark has
+    * no native as-of join; DuckDB's ASOF LEFT JOIN is the oracle. */
+  private def q25(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click").select(
+      col("user_id"), col("ts"), lit(0).as("kind"),
+      lit(null).cast("long").as("p_id"),
+      col("event_id").as("c_id"), col("ts").as("c_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase").select(
+      col("user_id"), col("ts"), lit(1).as("kind"),
+      col("event_id").as("p_id"),
+      lit(null).cast("long").as("c_id"),
+      lit(null).cast("timestamp").as("c_ts"))
+    // at equal ts a click sorts before the purchase → inclusive (ts >=)
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("click_id", last(col("c_id"), ignoreNulls = true).over(w))
+      .withColumn("click_ts", last(col("c_ts"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("p_id"), col("user_id"),
+        date_format(col("ts"), fmt).as("p_ts"),
+        col("click_id"),
+        date_format(col("click_ts"), fmt).as("click_ts"))
+      .orderBy("p_id")
+  }
+
+  /** Exact distinct counts (multi-column) per group. */
+  private def q26(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+      .orderBy("l_returnflag")
+
+  /** Typed Aggregator surface: weighted average of value by the JSON k
+    * weight, per event type. */
+  private def q27(s: SparkSession, dir: String): DataFrame = {
+    val sess = s
+    import sess.implicits._
+    val ds = t(s, dir, "events")
+      .select(col("event_type"),
+        col("value"),
+        regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("long")
+          .as("k"))
+      .as[(String, Double, Long)]
+    ds.groupByKey(_._1)
+      .mapValues(e => (e._2, e._3))
+      .agg(WeightedAvg.toColumn.name("wavg_raw"))
+      .toDF("event_type", "wavg_raw")
+      .select(col("event_type"), round(col("wavg_raw"), 4).as("wavg"))
+      .orderBy("event_type")
+  }
+
+  /** Pivot: per-user event-type counts as columns (explicit value list —
+    * no extra distinct pass, deterministic column order). */
+  private def q28(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val pivoted = t(s, dir, "events")
+      .groupBy("user_id").pivot("event_type", types).agg(count(lit(1)))
+    pivoted.select(col("user_id") +:
+      types.map(v => coalesce(col(v), lit(0L)).as(v)): _*)
+      .orderBy("user_id")
+  }
+
+  /** Exact interpolated percentiles per group. */
+  private def q29(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"))
+      .orderBy("event_type")
+
+  /** Statistical aggregates: correlation/covariance/stddev/variance of
+    * value vs the JSON k weight. */
+  private def q34(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type"), col("value"),
+        regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(
+        round(corr(col("value"), col("k")), 4).as("corr_vk"),
+        round(covar_samp(col("value"), col("k")), 4).as("covar_vk"),
+        round(stddev_samp(col("value")), 4).as("sd_value"),
+        round(var_samp(col("value")), 4).as("var_value"))
+      .orderBy("event_type")
+
+  /** Date/time scalar functions over orders. */
+  private def q35(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"),
+        month(col("o_orderdate")).cast("long").as("mon"),
+        date_format(date_add(col("o_orderdate"), 30), "yyyy-MM-dd")
+          .as("plus30"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd")
+          .as("month_end"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+          .cast("long").as("days_since_epoch95"))
+      .orderBy("o_orderkey")
+
+  /** Vector column stats per label: norms and mean component via
+    * higher-order array functions (codegen, no UDF). */
+  private def q52(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("label"),
+        expr("sqrt(aggregate(transform(embedding, x -> cast(x as double)), " +
+          "cast(0.0 as double), (acc, x) -> acc + x * x))").as("norm"),
+        expr("aggregate(transform(embedding, x -> cast(x as double)), " +
+          "cast(0.0 as double), (acc, x) -> acc + x) / 64").as("mean_comp"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        round(avg("norm"), 4).as("avg_norm"),
+        round(avg("mean_comp"), 6).as("avg_mean_comp"),
+        round(min("mean_comp"), 6).as("min_mean_comp"),
+        round(max("mean_comp"), 6).as("max_mean_comp"))
+      .orderBy("label")
+
+  val defs: Map[String, Q] = Map(
+    "q25_asof_join" -> (q25 _),
+    "q26_distinct_count" -> (q26 _),
+    "q27_typed_agg" -> (q27 _),
+    "q28_pivot" -> (q28 _),
+    "q29_percentiles" -> (q29 _),
+    "q34_stats_agg" -> (q34 _),
+    "q35_date_funcs" -> (q35 _),
+    "q52_vector_stats" -> (q52 _))
+
+  private val kExpr = """CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)"""
+
+  val oracle: Map[String, String] = Map(
+    "q25_asof_join" ->
+      """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT * FROM events WHERE event_type = 'click')
+        |SELECT p.event_id AS p_id, p.user_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS p_ts,
+        |  c.event_id AS click_id,
+        |  strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p_id""".stripMargin,
+    "q26_distinct_count" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supp,
+        |  count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q27_typed_agg" ->
+      s"""SELECT event_type,
+         |  round(sum(value * $kExpr) / sum($kExpr), 4) AS wavg
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q28_pivot" ->
+      """SELECT user_id,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q29_percentiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 4) AS p50,
+        |  round(quantile_cont(value, 0.9), 4) AS p90,
+        |  round(quantile_cont(value, 0.99), 4) AS p99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q34_stats_agg" ->
+      s"""SELECT event_type,
+         |  round(corr(value, $kExpr), 4) AS corr_vk,
+         |  round(covar_samp(value, $kExpr), 4) AS covar_vk,
+         |  round(stddev_samp(value), 4) AS sd_value,
+         |  round(var_samp(value), 4) AS var_value
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q35_date_funcs" ->
+      """SELECT o_orderkey,
+        |  year(o_orderdate) AS yr,
+        |  quarter(o_orderdate) AS qtr,
+        |  month(o_orderdate) AS mon,
+        |  strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+        |  strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+        |  datediff('day', DATE '1995-01-01', o_orderdate) AS days_since_epoch95
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q52_vector_stats" ->
+      """WITH v AS (
+        |  SELECT label,
+        |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+        |         x -> x * x))) AS norm,
+        |    list_sum(CAST(embedding AS DOUBLE[])) / 64 AS mean_comp
+        |  FROM embeddings)
+        |SELECT label, count(*) AS n,
+        |  round(avg(norm), 4) AS avg_norm,
+        |  round(avg(mean_comp), 6) AS avg_mean_comp,
+        |  round(min(mean_comp), 6) AS min_mean_comp,
+        |  round(max(mean_comp), 6) AS max_mean_comp
+        |FROM v GROUP BY label ORDER BY label""".stripMargin)
+}
