@@ -30,6 +30,7 @@ object Tables {
     // for: read it as raw nanos and convert below (exact integer µs
     // truncation — same value DuckDB produces for its µs timestamps).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.expressions.CosineSimilarity.register(spark)
   }
 
   /** Load one table; column pruning + predicate pushdown reach the parquet

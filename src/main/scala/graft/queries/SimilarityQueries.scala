@@ -26,12 +26,10 @@ object SimilarityQueries extends QueryPack {
       .select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> cast(x AS double))").as("v"))
 
-  private val dot =
-    "aggregate(zip_with(v, qv, (x, y) -> x * y), cast(0.0 AS double), (acc, z) -> acc + z)"
-  private val normV =
-    "sqrt(aggregate(v, cast(0.0 AS double), (acc, x) -> acc + x * x))"
-  private val normQ =
-    "sqrt(aggregate(qv, cast(0.0 AS double), (acc, x) -> acc + x * x))"
+  /** Native codegen'd expression (graft.expressions.CosineSimilarity) —
+    * fused dot+norms loop, same accumulation order as the HOF chain and
+    * DuckDB's list_cosine_similarity, so oracle-bit-compatible. */
+  private val cosine = "cosine_sim(v, qv)"
 
   /** Brute-force cosine top-10 for query vectors vec_id < 5. */
   private def q50(s: SparkSession, dir: String): DataFrame = {
@@ -41,7 +39,7 @@ object SimilarityQueries extends QueryPack {
     val scored = e.crossJoin(broadcast(qv))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        round(expr(dot) / (expr(normV) * expr(normQ)), 4).as("cos"))
+        round(expr(cosine), 4).as("cos"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("knn_rank", row_number().over(w).cast("long"))
       .filter(col("knn_rank") <= 10)
@@ -64,7 +62,7 @@ object SimilarityQueries extends QueryPack {
     val scored = e.join(broadcast(qv), Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        round(expr(dot) / (expr(normV) * expr(normQ)), 4).as("cos"))
+        round(expr(cosine), 4).as("cos"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("knn_rank", row_number().over(w).cast("long"))
       .filter(col("knn_rank") <= 10)
