@@ -56,6 +56,30 @@ class StreamingSpec extends SparkSuite {
     assert(totalEvents == eventsBatch.count())
   }
 
+  test("Normalize runs unchanged on a streaming raw zone") {
+    // the pipeline's transform stage as a continuous job: stream the raw
+    // JSON zone, normalize, and get the same rows the batch path produces
+    val dir = Files.createTempDirectory("graft_rawstream").toString
+    val bars = Seq(
+      ("AAPL", java.sql.Timestamp.valueOf("2024-01-01 09:00:00"),
+        10.0, 11.0, 9.5, 10.5, 100L),
+      ("AAPL", java.sql.Timestamp.valueOf("2024-01-01 10:00:00"),
+        10.5, 11.5, 10.0, 11.0, 110L))
+      .toDF("symbol", "Datetime", "Open", "High", "Low", "Close", "Volume")
+    graft.pipeline.Pipeline.Ingest.run(spark, bars, dir, "20240101T000000Z")
+    val rawPath = s"$dir/AAPL_stock_raw_20240101T000000Z.json"
+    val schema = spark.read.json(rawPath).schema
+    val stream = spark.readStream.schema(schema).json(rawPath)
+    val q = graft.pipeline.Normalize(stream, Some("AAPL"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("norm_stream").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("norm_stream").orderBy("Datetime").collect()
+    val batch = graft.pipeline.Normalize(spark.read.json(rawPath),
+      Some("AAPL")).orderBy("Datetime").collect()
+    assert(streamed.toSeq == batch.toSeq && streamed.length == 2)
+  }
+
   test("mapGroupsWithState running stats converge to batch totals") {
     val stream = eventsStream.as[StreamingOps.Event]
     val q = StreamingOps.runningUserStats(stream)
