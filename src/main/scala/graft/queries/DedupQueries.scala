@@ -52,10 +52,13 @@ object DedupQueries extends QueryPack {
   private val maxDf = 1000
   private def q41(s: SparkSession, dir: String): DataFrame = {
     val g = shingleDf(s, dir, 5)
-    val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val byGram = g.groupBy("gram")
+    // single scan + single shuffle on gram: per-doc sizes are re-derived by
+    // re-exploding the per-gram doc lists instead of re-scanning documents
+    val byGramAll = g.groupBy("gram")
       .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")).between(2, maxDf))
+    val sizes = byGramAll.select(explode(col("ds")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val byGram = byGramAll.filter(size(col("ds")).between(2, maxDf))
     val pairs = byGram.select(explode(expr(
       "flatten(transform(ds, x -> transform(filter(ds, y -> y > x), " +
         "y -> named_struct('doc_a', x, 'doc_b', y))))")).as("p"))
