@@ -135,11 +135,29 @@ object DedupQueries extends QueryPack {
     agg.select(col("doc_id"), bits.as("simhash_bits")).orderBy("doc_id")
   }
 
+  /** Embedding-cosine near-dup candidates: all vector pairs above a cosine
+    * threshold, via the native cosine_sim expression. Brute-force pairs are
+    * fine at verification scale; the 100 TB path buckets by the sign-LSH
+    * signature first (SimilarityQueries.q51) and scores within buckets. */
+  private def q44(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x AS double))").as("v"))
+    val b = e.select(col("vec_id").as("vec_b"), col("v").as("qv"))
+    e.crossJoin(broadcast(b))
+      .filter(col("vec_id") < col("vec_b"))
+      .select(col("vec_id").as("vec_a"), col("vec_b"),
+        round(expr("cosine_sim(v, qv)"), 4).as("cos"))
+      .filter(col("cos") >= 0.45)
+      .orderBy("vec_a", "vec_b")
+  }
+
   val defs: Map[String, Q] = Map(
     "q40_dedup_exact" -> (q40 _),
     "q41_dedup_jaccard" -> (q41 _),
     "q42_dedup_minhash" -> (q42 _),
-    "q43_dedup_simhash" -> (q43 _))
+    "q43_dedup_simhash" -> (q43 _),
+    "q44_dedup_embedding" -> (q44 _))
 
   private val normSql =
     "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
@@ -223,5 +241,13 @@ object DedupQueries extends QueryPack {
          |WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= 0.1
          |ORDER BY doc_a, doc_b""".stripMargin,
     "q42_dedup_minhash" -> minhashSql,
-    "q43_dedup_simhash" -> simhashSql)
+    "q43_dedup_simhash" -> simhashSql,
+    "q44_dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(list_cosine_similarity(a.v, b.v), 4) AS cos
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.45
+        |ORDER BY vec_a, vec_b""".stripMargin)
 }
