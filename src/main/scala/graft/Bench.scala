@@ -13,9 +13,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JVM/codegen/session warmup so the first timed query isn't charged
-    // for one-time initialization.
+    // JVM/codegen/session/parquet-reader warmup so the first timed query
+    // isn't charged for one-time initialization.
     spark.range(1000).selectExpr("sum(id)").collect()
+    try spark.read.parquet(s"$sfDir/region.parquet").count()
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
