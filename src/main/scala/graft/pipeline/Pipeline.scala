@@ -88,8 +88,16 @@ object Pipeline {
   object Combine {
     def run(spark: SparkSession, processedDir: String, combinedDir: String)
         : Long = {
+      // explicit driver-side listing (mirrors the reference's
+      // list_objects_v2 at combine_processed.py:13-19) — also avoids the
+      // analyzer's noisy glob-path fallback logging
+      val fs = FileSystem.get(new java.net.URI(processedDir),
+        spark.sparkContext.hadoopConfiguration)
+      val dirs = Option(fs.globStatus(new Path(s"$processedDir/*_processed")))
+        .getOrElse(Array.empty).map(_.getPath.toString).sorted
+      require(dirs.nonEmpty, s"no processed outputs under $processedDir")
       val combined = spark.read.option("mergeSchema", "true")
-        .parquet(s"$processedDir/*_processed")
+        .parquet(dirs.toIndexedSeq: _*)
       val keep = Normalize.canonicalOrder.filter(combined.columns.contains)
       val out = combined.select(keep.map(col): _*)
       // reference writes ONE combined object — coalesce(1) is parity at this

@@ -49,7 +49,22 @@ def main() -> int:
             print(f"FAIL {name}: oracle SQL error: {e}")
             failures += 1
             continue
+        # ordered comparison first (queries declare ORDER BY on both sides,
+        # so raw row order should already agree — catches a driver that
+        # hashes without sorting)
+        ordered_ok = False
+        try:
+            go = got[sorted(got.columns)].reset_index(drop=True)
+            wo = want[sorted(want.columns)].reset_index(drop=True)
+            pd.testing.assert_frame_equal(go, wo, check_dtype=False,
+                                          check_exact=True)
+            ordered_ok = True
+        except Exception:  # noqa: BLE001
+            pass
         g, w = normalize(got), normalize(want)
+        if not ordered_ok:
+            print(f"WARN {name}: rows equal only after sorting "
+                  "(ordered comparison failed)")
         if list(g.columns) != list(w.columns):
             print(f"FAIL {name}: columns {list(g.columns)} != {list(w.columns)}")
             failures += 1
