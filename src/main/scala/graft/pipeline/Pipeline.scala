@@ -116,7 +116,8 @@ object Pipeline {
 
     def predictions(combined: DataFrame): DataFrame = {
       // predictor lowercases all names then re-discovers (predictor.py:42)
-      val lower = combined.toDF(combined.columns.map(_.toLowerCase): _*)
+      val lower = combined.toDF(
+        combined.columns.map(_.toLowerCase).toIndexedSeq: _*)
       val present = features.filter(lower.columns.contains)
       val w = Window.partitionBy("symbol").orderBy("datetime")
       val pairs = lower

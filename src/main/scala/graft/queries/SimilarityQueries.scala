@@ -51,7 +51,7 @@ object SimilarityQueries extends QueryPack {
   private def q51(s: SparkSession, dir: String): DataFrame = {
     val planes = Lsh.hyperplanes(8, 64)
     def sigCol(vcol: Column): Column = concat(planes.map { p =>
-      val arr = array(p.map(lit): _*)
+      val arr = array(p.map(lit).toIndexedSeq: _*)
       val d = aggregate(zip_with(vcol, arr, (x, y) => x * y), lit(0.0),
         (acc, z) => acc + z)
       when(d >= 0, lit("1")).otherwise(lit("0"))

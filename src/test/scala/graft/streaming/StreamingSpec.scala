@@ -80,6 +80,40 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.toSeq == batch.toSeq && streamed.length == 2)
   }
 
+  test("continuous transform: streaming raw zone → parquet processed zone " +
+      "with checkpoint") {
+    val dir = Files.createTempDirectory("graft_ctrans").toString
+    val bars = Seq(
+      ("GOOG", java.sql.Timestamp.valueOf("2024-01-01 09:00:00"),
+        140.0, 141.0, 139.5, 140.5, 900L),
+      ("GOOG", java.sql.Timestamp.valueOf("2024-01-01 10:00:00"),
+        140.5, 141.5, 140.0, 141.0, 910L))
+      .toDF("symbol", "Datetime", "Open", "High", "Low", "Close", "Volume")
+    graft.pipeline.Pipeline.Ingest.run(spark, bars, s"$dir/raw",
+      "20240101T000000Z")
+    val rawPath = s"$dir/raw/GOOG_stock_raw_20240101T000000Z.json"
+    val schema = spark.read.json(rawPath).schema
+    val q = graft.pipeline.Normalize(
+      spark.readStream.schema(schema).json(rawPath), Some("GOOG"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .format("parquet").start(s"$dir/processed_stream")
+    try { q.processAllAvailable() } finally q.stop()
+    val out = spark.read.parquet(s"$dir/processed_stream")
+    assert(out.count() == 2)
+    assert(out.columns.toSeq ==
+      Seq("Datetime", "Open", "High", "Low", "Close", "Volume", "symbol"))
+    // checkpoint makes re-processing exactly-once: restarting the stream
+    // over the same input adds no rows
+    val q2 = graft.pipeline.Normalize(
+      spark.readStream.schema(schema).json(rawPath), Some("GOOG"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .format("parquet").start(s"$dir/processed_stream")
+    try { q2.processAllAvailable() } finally q2.stop()
+    assert(spark.read.parquet(s"$dir/processed_stream").count() == 2)
+  }
+
   test("mapGroupsWithState running stats converge to batch totals") {
     val stream = eventsStream.as[StreamingOps.Event]
     val q = StreamingOps.runningUserStats(stream)
