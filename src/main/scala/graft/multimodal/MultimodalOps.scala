@@ -53,6 +53,30 @@ object MultimodalOps {
     }
   }
 
+  case class ResizedMedia(doc_id: Long, format: String, width: Int,
+      height: Int, payload: Array[Byte])
+
+  /** Stubbed resize: a real implementation would decode, scale to
+    * (width × height), and re-encode per partition. The stub keeps the
+    * metadata contract exact and deterministically subsamples the payload
+    * bytes to the target "pixel" budget, so downstream size accounting and
+    * partition shapes are real. */
+  def resizeStub(media: Dataset[MediaRow], width: Int, height: Int)
+      : Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    val budget = width * height
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val in = r.payload
+        val out =
+          if (in.length <= budget) in
+          else Array.tabulate(budget)(i =>
+            in((i.toLong * in.length / budget).toInt))
+        ResizedMedia(r.doc_id, r.format, width, height, out)
+      }
+    }
+  }
+
   /** Frame sampling: how many fixed-stride frames a payload yields. */
   def frameCount(nBytes: Long, stride: Long): Int =
     if (nBytes <= 0) 0 else (((nBytes - 1) / stride) + 1).toInt

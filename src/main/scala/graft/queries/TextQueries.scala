@@ -52,11 +52,41 @@ object TextQueries extends QueryPack {
       substring(fingerprint(col("text")), 1, 8).as("fp8"))
       .orderBy("doc_id")
 
+  /** Order-sensitive rolling fingerprint: Σ position·hash(token) over the
+    * token stream (exact in int64 — pos ≤ ~10⁴, hash < 2³²). Unlike the
+    * bag-insensitive md5 fingerprint (q33), token reordering changes it. */
+  private def q39(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), posexplode(tokensCol(col("text"))))
+      .filter(col("col") =!= "")
+      .select(col("doc_id"),
+        ((col("pos") + 1) *
+          conv(substring(md5(col("col")), 1, 8), 16, 10).cast("long"))
+          .as("term"))
+      .groupBy("doc_id")
+      .agg((sum("term") % lit(1000000007L)).as("rolling_fp"))
+      .orderBy("doc_id")
+
+  /** BPE-ish pre-tokenization count (GPT-2-style pattern without the RE2
+    * incompatible lookahead): contractions, letter runs, digit runs,
+    * punctuation runs. */
+  private def q45(s: SparkSession, dir: String): DataFrame = {
+    val pat = "'(s|d|m|t|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s']+"
+    docs(s, dir)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long")
+          .as("n_bpe_tokens"),
+        tokenCount(col("text")).as("n_ws_tokens"))
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, Q] = Map(
     "q30_text_stats" -> (q30 _),
     "q31_text_quality" -> (q31 _),
     "q32_text_langid" -> (q32 _),
-    "q33_fingerprint" -> (q33 _))
+    "q33_fingerprint" -> (q33 _),
+    "q39_rolling_fp" -> (q39 _),
+    "q45_bpe_tokens" -> (q45 _))
 
   // DuckDB regexp_replace needs the 'g' flag to match Spark's replace-all.
   val oracle: Map[String, String] = Map(
@@ -103,5 +133,23 @@ object TextQueries extends QueryPack {
       """SELECT doc_id,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
         |  substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 8) AS fp8
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q39_rolling_fp" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents),
+        |p AS (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS pos FROM toks),
+        |terms AS (
+        |  SELECT doc_id,
+        |    pos * CAST('0x' || substr(md5(t[pos]), 1, 8) AS BIGINT) AS term
+        |  FROM p WHERE t[pos] <> '')
+        |SELECT doc_id, CAST(sum(term) % 1000000007 AS BIGINT) AS rolling_fp
+        |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q45_bpe_tokens" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text,
+        |    '''(s|d|m|t|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s'']+')) AS n_bpe_tokens,
+        |  len(regexp_extract_all(text, '\S+')) AS n_ws_tokens
         |FROM documents ORDER BY doc_id""".stripMargin)
 }

@@ -38,6 +38,21 @@ class MultimodalSpec extends SparkSuite {
     assert(sampled == 2)
   }
 
+  test("resizeStub: payload bounded by pixel budget, metadata exact") {
+    val ds = MultimodalOps.mediaDataset(spark, docsDf)
+    val resized = MultimodalOps.resizeStub(ds, width = 4, height = 4)
+      .collect().map(r => r.doc_id -> r).toMap
+    // 40-byte payload subsampled to the 16-"pixel" budget
+    assert(resized(2L).payload.length == 16)
+    assert(resized(2L).width == 4 && resized(2L).height == 4)
+    // payload already under budget passes through unchanged
+    assert(new String(resized(1L).payload, "UTF-8") == "abc")
+    // deterministic
+    val again = MultimodalOps.resizeStub(ds, 4, 4).collect()
+      .map(r => r.doc_id -> r.payload.toSeq).toMap
+    assert(again == resized.map { case (k, v) => k -> v.payload.toSeq })
+  }
+
   test("frameCount edge cases") {
     assert(MultimodalOps.frameCount(0, 16) == 0)
     assert(MultimodalOps.frameCount(16, 16) == 1)
