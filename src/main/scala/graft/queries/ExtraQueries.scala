@@ -142,7 +142,20 @@ object ExtraQueries extends QueryPack {
         round(max("mean_comp"), 6).as("max_mean_comp"))
       .orderBy("label")
 
+  /** Correlated scalar subquery through the engine's SQL surface
+    * (GraftSql): Catalyst decorrelates it into an aggregate + outer join.
+    * The statement is byte-identical to the oracle. */
+  private val q46Sql =
+    """SELECT o_orderkey,
+      |  coalesce((SELECT count(*) FROM lineitem
+      |            WHERE l_orderkey = o_orderkey), 0) AS n_items
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  private def q46(s: SparkSession, dir: String): DataFrame =
+    graft.GraftSql.run(s, dir, q46Sql)
+
   val defs: Map[String, Q] = Map(
+    "q46_correlated_subquery" -> (q46 _),
     "q25_asof_join" -> (q25 _),
     "q26_distinct_count" -> (q26 _),
     "q27_typed_agg" -> (q27 _),
@@ -155,6 +168,7 @@ object ExtraQueries extends QueryPack {
   private val kExpr = """CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)"""
 
   val oracle: Map[String, String] = Map(
+    "q46_correlated_subquery" -> q46Sql,
     "q25_asof_join" ->
       """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
         |c AS (SELECT * FROM events WHERE event_type = 'click')
