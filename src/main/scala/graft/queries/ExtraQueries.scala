@@ -154,8 +154,39 @@ object ExtraQueries extends QueryPack {
   private def q46(s: SparkSession, dir: String): DataFrame =
     graft.GraftSql.run(s, dir, q46Sql)
 
+  /** CUBE grouping sets (all four combinations of the two keys). */
+  private def q47(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum("l_extendedprice"), 2).as("sum_price"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n_rows"), col("sum_price"))
+      .orderBy("returnflag", "linestatus")
+
+  /** Explicit window frames: running sum (rows unbounded preceding),
+    * 5-row moving average, first_value and nth_value per user in time
+    * order. Frame prefixes accumulate in one fixed order on both engines,
+    * so even the running sums hash-match. */
+  private def q48(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mov = w.rowsBetween(-4, Window.currentRow)
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        round(sum("value").over(run), 2).as("running_sum"),
+        round(avg("value").over(mov), 4).as("moving_avg5"),
+        first("value").over(run).as("first_value"),
+        nth_value(col("value"), 3).over(run).as("third_value"))
+      .orderBy("user_id", "event_id")
+  }
+
   val defs: Map[String, Q] = Map(
     "q46_correlated_subquery" -> (q46 _),
+    "q47_cube" -> (q47 _),
+    "q48_window_frames" -> (q48 _),
     "q25_asof_join" -> (q25 _),
     "q26_distinct_count" -> (q26 _),
     "q27_typed_agg" -> (q27 _),
@@ -169,6 +200,26 @@ object ExtraQueries extends QueryPack {
 
   val oracle: Map[String, String] = Map(
     "q46_correlated_subquery" -> q46Sql,
+    "q47_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  count(*) AS n_rows, round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+    "q48_window_frames" ->
+      """SELECT user_id, event_id,
+        |  round(sum(value) OVER w_run, 2) AS running_sum,
+        |  round(avg(value) OVER w_mov, 4) AS moving_avg5,
+        |  first_value(value) OVER w_run AS first_value,
+        |  nth_value(value, 3) OVER w_run AS third_value
+        |FROM events
+        |WINDOW
+        |  w_run AS (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  w_mov AS (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
     "q25_asof_join" ->
       """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
         |c AS (SELECT * FROM events WHERE event_type = 'click')
