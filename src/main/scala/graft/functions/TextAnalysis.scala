@@ -74,7 +74,7 @@ object TextAnalysis {
     * functions re-evaluate captured expressions per element, so slicing a
     * pre-computed array column is O(n) per doc while slicing
     * `split(regexp_replace(...))` inline is O(n · regex). */
-  def tokensCol(c: Column): Column = split(normalizeText(c), " ")
+  def tokensCol(c: Column): Column = split(lower(trim(c)), "\\s+")
 
   /** Distinct word n-grams from a materialized tokens array column; empty
     * if fewer than n tokens. */

@@ -56,8 +56,7 @@ object ArrayQueries extends QueryPack {
   val oracle: Map[String, String] = Map(
     "q37_wordcount" ->
       """WITH toks AS (
-        |  SELECT unnest(regexp_split_to_array(
-        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+        |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
         |  FROM documents)
         |SELECT tok, count(*) AS n FROM toks WHERE tok <> ''
         |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin,

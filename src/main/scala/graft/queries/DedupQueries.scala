@@ -119,8 +119,7 @@ object DedupQueries extends QueryPack {
   private def q43(s: SparkSession, dir: String): DataFrame = {
     val toks = docs(s, dir)
       .select(col("doc_id"),
-        explode(array_distinct(split(normalizeText(col("text")), " ")))
-          .as("tok"))
+        explode(array_distinct(tokensCol(col("text")))).as("tok"))
       .filter(col("tok") =!= "")
       .withColumn("h", md5(col("tok")))
     val contribs = (0 until 64).map { b =>
@@ -164,7 +163,7 @@ object DedupQueries extends QueryPack {
 
   private def gramsSql(n: Int): String =
     s"""toks AS (
-       |  SELECT doc_id, regexp_split_to_array($normSql, ' ') AS t
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
        |  FROM documents),
        |idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - ${n - 1})) AS i
        |        FROM toks WHERE len(t) >= $n),
@@ -208,7 +207,7 @@ object DedupQueries extends QueryPack {
       .map(b => s"CASE WHEN s$b >= 0 THEN '1' ELSE '0' END")
       .mkString(" || ")
     s"""WITH raw AS (
-       |  SELECT doc_id, unnest(regexp_split_to_array($normSql, ' ')) AS tok
+       |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
        |  FROM documents),
        |toks AS (SELECT DISTINCT doc_id, tok FROM raw WHERE tok <> ''),
        |hashed AS (SELECT doc_id, md5(tok) AS h FROM toks),

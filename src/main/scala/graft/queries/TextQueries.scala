@@ -137,7 +137,7 @@ object TextQueries extends QueryPack {
     "q39_rolling_fp" ->
       """WITH toks AS (
         |  SELECT doc_id,
-        |    regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS t
         |  FROM documents),
         |p AS (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS pos FROM toks),
         |terms AS (
