@@ -48,10 +48,59 @@ object ArrayQueries extends QueryPack {
         round(col("col"), 6).as("comp"))
       .orderBy("vec_id", "pos")
 
+  /** Equi + range (interval) join: line items shipped within 30 days of
+    * their order's date. The equi key carries the join; the range predicate
+    * filters post-match — the standard Spark shape for bounded-interval
+    * joins (no cartesian range explosion). */
+  private def q49(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders").select("o_orderkey", "o_orderdate")
+    t(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_shipdate")
+      .join(ord, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") >= col("o_orderdate") &&
+        col("l_shipdate") < date_add(col("o_orderdate"), 30))
+      .groupBy("o_orderkey")
+      .agg(count(lit(1)).as("n_fast_items"))
+      .orderBy("o_orderkey")
+  }
+
+  /** String scalar-function sweep over the engine-shared surface. */
+  private def q54(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        lpad(col("lang"), 5, "_").as("lang_pad"),
+        rpad(col("source"), 8, ".").as("src_pad"),
+        reverse(substring(col("text"), 1, 12)).as("rev12"),
+        repeat(col("lang"), 3).as("lang3"),
+        regexp_replace(substring(col("text"), 1, 20), "a", "@").as("swapped"),
+        col("text").contains("spark").cast("int").as("has_spark"),
+        locate("data", col("text")).cast("long").as("data_pos"))
+      .orderBy("doc_id")
+
+  /** Math scalar-function sweep (deterministic per-row, no aggregation). */
+  private def q55(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_discount") - 0.05).as("abs_d"),
+        ceil(col("l_quantity")).as("ceil_q"),
+        round(sqrt(col("l_extendedprice")), 6).as("sqrt_p"),
+        round(log(col("l_extendedprice")), 6).as("ln_p"),
+        round(log10(col("l_extendedprice")), 6).as("log10_p"),
+        round(exp(col("l_discount")), 6).as("exp_d"),
+        round(pow(col("l_tax"), 2), 6).as("tax_sq"),
+        signum(col("l_discount") - 0.05).cast("double").as("sign_d"),
+        (col("l_orderkey") % 7).as("mod7"))
+      .orderBy("l_orderkey", "l_linenumber")
+
   val defs: Map[String, Q] = Map(
     "q37_wordcount" -> (q37 _),
     "q38_set_ops" -> (q38 _),
-    "q53_explode_pos" -> (q53 _))
+    "q49_range_join" -> (q49 _),
+    "q53_explode_pos" -> (q53 _),
+    "q54_string_breadth" -> (q54 _),
+    "q55_math_breadth" -> (q55 _))
 
   val oracle: Map[String, String] = Map(
     "q37_wordcount" ->
@@ -76,5 +125,34 @@ object ArrayQueries extends QueryPack {
         |           FROM embeddings),
         |p AS (SELECT vec_id, v, unnest(generate_series(1, 3)) AS pos FROM e)
         |SELECT vec_id, CAST(pos AS BIGINT) AS pos, round(v[pos], 6) AS comp
-        |FROM p ORDER BY vec_id, pos""".stripMargin)
+        |FROM p ORDER BY vec_id, pos""".stripMargin,
+    "q49_range_join" ->
+      """SELECT o_orderkey, count(*) AS n_fast_items
+        |FROM lineitem JOIN orders
+        |  ON l_orderkey = o_orderkey
+        | AND l_shipdate >= o_orderdate
+        | AND l_shipdate < o_orderdate + INTERVAL 30 DAY
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+    "q54_string_breadth" ->
+      """SELECT doc_id,
+        |  lpad(lang, 5, '_') AS lang_pad,
+        |  rpad(source, 8, '.') AS src_pad,
+        |  reverse(substr(text, 1, 12)) AS rev12,
+        |  repeat(lang, 3) AS lang3,
+        |  regexp_replace(substr(text, 1, 20), 'a', '@', 'g') AS swapped,
+        |  CAST(contains(text, 'spark') AS INT) AS has_spark,
+        |  strpos(text, 'data') AS data_pos
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q55_math_breadth" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  abs(l_discount - 0.05) AS abs_d,
+        |  CAST(ceil(l_quantity) AS BIGINT) AS ceil_q,
+        |  round(sqrt(l_extendedprice), 6) AS sqrt_p,
+        |  round(ln(l_extendedprice), 6) AS ln_p,
+        |  round(log10(l_extendedprice), 6) AS log10_p,
+        |  round(exp(l_discount), 6) AS exp_d,
+        |  round(pow(l_tax, 2), 6) AS tax_sq,
+        |  CAST(sign(l_discount - 0.05) AS DOUBLE) AS sign_d,
+        |  l_orderkey % 7 AS mod7
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)
 }
