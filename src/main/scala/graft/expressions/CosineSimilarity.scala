@@ -34,10 +34,13 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null // dimension mismatch → null
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -45,20 +48,29 @@ case class CosineSimilarity(left: Expression, right: Expression)
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0.0 || nb == 0.0) null // zero vector → null, not NaN
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double dot = 0.0, na = 0.0, nb = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  double x = $a.getDouble(i);
-         |  double y = $b.getDouble(i);
-         |  dot += x * y; na += x * x; nb += y * y;
+         |int n = $a.numElements();
+         |if (n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double dot = 0.0, na = 0.0, nb = 0.0;
+         |  for (int i = 0; i < n; i++) {
+         |    double x = $a.getDouble(i);
+         |    double y = $b.getDouble(i);
+         |    dot += x * y; na += x * x; nb += y * y;
+         |  }
+         |  if (na == 0.0 || nb == 0.0) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    ${ev.value} = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
+         |  }
          |}
-         |${ev.value} = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
        """.stripMargin
     })
 

@@ -27,10 +27,20 @@ object TextAnalysis {
   def matchCount(c: Column, pattern: String): Column =
     size(regexp_extract_all(c, lit(pattern), lit(0))).cast("long")
 
-  private val enStops = "\\b(the|a|of|to|and|in|is|it)\\b"
-  private val esStops = "\\b(el|la|de|que|y|en|los|un)\\b"
-  private val deStops = "\\b(der|die|das|und|ist|ein|nicht)\\b"
-  private val frStops = "\\b(le|la|les|et|est|une|dans)\\b"
+  /** Function-word profiles per language — the single source of truth for
+    * langId and the language-count queries (q32 references these, so the
+    * heuristic can't drift from the reported counts). */
+  val languageProfiles: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|a|of|to|and|in|is|it)\\b",
+    "es" -> "\\b(el|la|de|que|y|en|los|un)\\b",
+    "de" -> "\\b(der|die|das|und|ist|ein|nicht)\\b",
+    "fr" -> "\\b(le|la|les|et|est|une|dans)\\b")
+
+  private val profileMap = languageProfiles.toMap
+  private val enStops = profileMap("en")
+  private val esStops = profileMap("es")
+  private val deStops = profileMap("de")
+  private val frStops = profileMap("fr")
 
   /** Stopword-hit ratio for a language profile (n-gram heuristic stand-in:
     * function-word unigrams are the strongest cheap signal). */

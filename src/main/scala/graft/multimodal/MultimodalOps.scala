@@ -82,12 +82,14 @@ object MultimodalOps {
     if (nBytes <= 0) 0 else (((nBytes - 1) / stride) + 1).toInt
 
   /** Frame-sample operator: split the payload into `stride`-byte frames and
-    * keep every `every`-th one — array column, no shuffle. */
+    * keep every `every`-th one — array column, no shuffle. Empty payloads
+    * yield an empty frame array (consistent with frameCount). */
   def frameSample(media: DataFrame, stride: Int, every: Int): DataFrame =
     media.withColumn("frames",
-      expr(s"filter(transform(sequence(0, int((length(payload) - 1) / $stride)), " +
+      expr(s"CASE WHEN length(payload) = 0 THEN CAST(array() AS ARRAY<BINARY>) ELSE " +
+        s"filter(transform(sequence(0, int((length(payload) - 1) / $stride)), " +
         s"i -> substring(payload, i * $stride + 1, $stride)), " +
-        s"(f, i) -> i % $every = 0)"))
+        s"(f, i) -> i % $every = 0) END"))
 
   def mediaDataset(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._

@@ -70,11 +70,16 @@ object Ols {
     val d = features.length + 1
     val xs: Seq[Column] = lit(1.0) +: features.map(f => col(f).cast("double"))
     val y = col(target).cast("double")
+    // rows with ANY null feature/target must be dropped up front: per-entry
+    // null-skipping in sum() would compute each XᵀX entry over a different
+    // row subset (silently wrong fit), and an all-null column would turn a
+    // sum NULL and crash the solve UDF.
+    val clean = df.na.drop((features :+ target).distinct)
     val prods = for (i <- 0 until d; j <- i until d)
       yield sum(xs(i) * xs(j)).as(s"xtx_${i}_$j")
     val xty = (0 until d).map(i => sum(xs(i) * y).as(s"xty_$i"))
     val aggCols = prods ++ xty
-    val agg = df.groupBy(group).agg(aggCols.head, aggCols.tail: _*)
+    val agg = clean.groupBy(group).agg(aggCols.head, aggCols.tail: _*)
 
     val solveUdf = udf { packed: Seq[Double] =>
       val a = Array.ofDim[Double](d, d)

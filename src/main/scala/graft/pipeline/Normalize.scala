@@ -44,6 +44,16 @@ object Normalize {
     }
   }
 
+  /** Columns that matched a metric but LOST the last-wins tie-break. They
+    * must be dropped before renaming: if a loser's name is already exactly
+    * canonical (e.g. "Close" losing to "Adj Close"), renaming the winner
+    * would otherwise create a duplicate column name. */
+  private def loserColumns(cols: Seq[String]): Seq[String] = {
+    val winners = renameMap(cols).keySet
+    cols.filter(c =>
+      metrics.exists(m => c.toLowerCase.contains(m)) && !winners.contains(c))
+  }
+
   /** Null-on-failure timestamp parse; accepts the reference's two observed
     * shapes: "yyyy-MM-dd HH:mm:ss±hh:mm" (defect-6 tz-suffixed) and plain
     * "yyyy-MM-dd HH:mm:ss". */
@@ -64,7 +74,8 @@ object Normalize {
       case None => df
     }
     val renames = renameMap(df.columns.toSeq)
-    val renamed = renames.foldLeft(withDt) { case (d, (orig, canon)) =>
+    val deduped = loserColumns(df.columns.toSeq).foldLeft(withDt)(_.drop(_))
+    val renamed = renames.foldLeft(deduped) { case (d, (orig, canon)) =>
       d.withColumnRenamed(orig, canon)
     }
     val typed = renamed.columns.foldLeft(renamed) { (d, c) =>

@@ -119,11 +119,24 @@ object Pipeline {
       val lower = combined.toDF(
         combined.columns.map(_.toLowerCase).toIndexedSeq: _*)
       val present = features.filter(lower.columns.contains)
+      // missing-key guard mirroring stock_predictor.py:45-46 (the reference
+      // raises on missing key columns rather than fitting garbage)
+      require(lower.columns.contains("close") &&
+        lower.columns.contains("symbol") &&
+        lower.columns.contains("datetime") && present.nonEmpty,
+        s"predict needs symbol/datetime/close and ≥1 feature; " +
+          s"got ${lower.columns.mkString(", ")}")
       val w = Window.partitionBy("symbol").orderBy("datetime")
       val pairs = lower
         .withColumn("target", lead("close", 1).over(w))
         .na.drop(present :+ "target")
-      val coef = Ols.fit(pairs, "symbol", present, "target")
+      // min-rows guard per stock_predictor.py:76-77: <2 usable pairs →
+      // symbol skipped (the ridge fallback would otherwise fabricate a fit)
+      val eligible = pairs.groupBy("symbol")
+        .agg(count(lit(1)).as("n_pairs")).filter(col("n_pairs") >= 2)
+        .select("symbol")
+      val coef = Ols.fit(pairs.join(broadcast(eligible), "symbol"),
+        "symbol", present, "target")
       val wLast = Window.partitionBy("symbol").orderBy(desc("datetime"))
       val last = pairs.withColumn("rn", row_number().over(wLast))
         .filter(col("rn") === 1)

@@ -32,8 +32,11 @@ object ExtraQueries extends QueryPack {
       col("event_id").as("p_id"),
       lit(null).cast("long").as("c_id"),
       lit(null).cast("timestamp").as("c_ts"))
-    // at equal ts a click sorts before the purchase → inclusive (ts >=)
-    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("kind"))
+    // at equal ts a click sorts before the purchase → inclusive (ts >=);
+    // c_id breaks ties between same-timestamp clicks deterministically
+    // (nulls first, so purchase rows keep sorting after their clicks)
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("kind"), col("c_id").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     clicks.unionByName(purchases)
       .withColumn("click_id", last(col("c_id"), ignoreNulls = true).over(w))
@@ -60,11 +63,15 @@ object ExtraQueries extends QueryPack {
   private def q27(s: SparkSession, dir: String): DataFrame = {
     val sess = s
     import sess.implicits._
+    // drop rows whose props carry no k (null after the cast): the typed
+    // encoder would throw on a null non-nullable Long, and the oracle's
+    // sums skip nulls anyway — filtering is the equivalent semantics
     val ds = t(s, dir, "events")
       .select(col("event_type"),
         col("value"),
         regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("long")
           .as("k"))
+      .filter(col("k").isNotNull)
       .as[(String, Double, Long)]
     ds.groupByKey(_._1)
       .mapValues(e => (e._2, e._3))
@@ -237,7 +244,7 @@ object ExtraQueries extends QueryPack {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q27_typed_agg" ->
       s"""SELECT event_type,
-         |  round(sum(value * $kExpr) / sum($kExpr), 4) AS wavg
+         |  round(coalesce(sum(value * $kExpr) / sum($kExpr), 0.0), 4) AS wavg
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q28_pivot" ->
       """SELECT user_id,

@@ -17,7 +17,11 @@ object MultimodalQueries extends QueryPack {
       length(col("payload")).cast("long").as("n_bytes"),
       md5(col("payload")).as("payload_fp"),
       greatest(lit(1L), floor(length(col("payload")) / 16.0)).as("stride16"),
-      expr("(length(payload) - 1) div 16 + 1").as("n_frames"))
+      // empty payload → 0 frames (matches MultimodalOps.frameCount and the
+      // oracle's floor division; Spark's `div` truncates toward zero, which
+      // would give 1 for length 0)
+      when(length(col("payload")) === 0, lit(0L))
+        .otherwise(expr("(length(payload) - 1) div 16 + 1")).as("n_frames"))
       .orderBy("doc_id")
   }
 

@@ -35,15 +35,15 @@ object TextQueries extends QueryPack {
       round(qualityScore(col("text")), 4).as("quality"))
       .orderBy("doc_id")
 
-  private def q32(s: SparkSession, dir: String): DataFrame =
+  private def q32(s: SparkSession, dir: String): DataFrame = {
+    val counts = languageProfiles.map { case (code, pat) =>
+      matchCount(lower(col("text")), pat).as(s"cnt_$code")
+    }
     docs(s, dir).select(
-      col("doc_id"), col("lang"),
-      langId(col("text")).as("lang_pred"),
-      matchCount(lower(col("text")), "\\b(the|a|of|to|and|in|is|it)\\b").as("cnt_en"),
-      matchCount(lower(col("text")), "\\b(el|la|de|que|y|en|los|un)\\b").as("cnt_es"),
-      matchCount(lower(col("text")), "\\b(der|die|das|und|ist|ein|nicht)\\b").as("cnt_de"),
-      matchCount(lower(col("text")), "\\b(le|la|les|et|est|une|dans)\\b").as("cnt_fr"))
+      (Seq(col("doc_id"), col("lang"), langId(col("text")).as("lang_pred"))
+        ++ counts): _*)
       .orderBy("doc_id")
+  }
 
   private def q33(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(

@@ -30,6 +30,16 @@ class CosineSimilaritySpec extends SparkSuite {
     assert(diff == 0)
   }
 
+  test("dimension mismatch and zero vectors yield null, not garbage") {
+    CosineSimilarity.register(spark)
+    val rows = Seq(
+      (Seq(1.0, 2.0), Seq(1.0)),       // mismatched dims
+      (Seq(0.0, 0.0), Seq(1.0, 2.0)))  // zero norm
+      .toDF("a", "b")
+      .select(expr("cosine_sim(a, b)").as("c")).collect()
+    assert(rows.forall(_.isNullAt(0)))
+  }
+
   test("null array input propagates null") {
     CosineSimilarity.register(spark)
     val r = Seq((Seq(1.0), Option.empty[Seq[Double]])).toDF("a", "b")

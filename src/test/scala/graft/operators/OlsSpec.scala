@@ -50,6 +50,22 @@ class OlsSpec extends SparkSuite {
     assert(math.abs(c(1) - r.getDouble(1)) < 1e-8)
   }
 
+  test("null features/target rows are dropped, not silently mixed in") {
+    val clean = (0 until 12).map { t =>
+      val a = (t * 37 % 11).toDouble
+      ("g", Option(a), Option(2.0 + 3.0 * a))
+    }
+    // nulls interleaved; an all-null group must be dropped, not crash
+    val rows = clean ++ Seq(("g", None: Option[Double], Option(5.0)),
+      ("g", Option(1.0), None: Option[Double])) ++
+      (0 until 3).map(_ => ("empty", None: Option[Double], Option(1.0)))
+    val df = rows.toDF("grp", "a", "y")
+    val fit = Ols.fit(df, "grp", Seq("a"), "y").collect()
+    assert(fit.length == 1 && fit.head.getString(0) == "g")
+    val c = fit.head.getSeq[Double](1)
+    assert(math.abs(c(0) - 2.0) < 1e-8 && math.abs(c(1) - 3.0) < 1e-8)
+  }
+
   test("predictExpr computes the dot product of coef and features") {
     val df = Seq((3.0, 4.0)).toDF("a", "b")
       .withColumn("coef", array(lit(1.0), lit(2.0), lit(0.5)))

@@ -26,6 +26,15 @@ class NormalizeSpec extends SparkSuite {
     assert(out.select("Close").head().getDouble(0) == 99.0)
   }
 
+  test("losing column already named canonically: no duplicate-column crash") {
+    // "Close" loses the tie-break to "Adj Close"; the old rename path would
+    // produce two Close columns and an AMBIGUOUS_REFERENCE error
+    val df = Seq((10.0, 99.0)).toDF("Close", "Adj Close")
+    val out = Normalize(df, Some("X"))
+    assert(out.columns.count(_ == "Close") == 1)
+    assert(out.select("Close").head().getDouble(0) == 99.0)
+  }
+
   test("datetime parse: offset-suffixed, plain, and garbage → null") {
     val df = Seq("2024-01-02 10:00:00-05:00", "2024-01-02 10:00:00", "junk")
       .toDF("Datetime_")

@@ -41,7 +41,8 @@ class PipelineSpec extends SparkSuite {
     val bars = toDf(
       mkBars("AAPL", 10, _ => 0.0) ++
         mkBars("GOOG", 9, t => if (t % 2 == 0) 0.3 else -0.3) ++
-        mkBars("MSFT", 1, _ => 0.0)) // <2 usable rows → skipped
+        mkBars("MSFT", 1, _ => 0.0) ++ // 0 usable pairs → skipped
+        mkBars("TWOB", 2, _ => 0.0))   // 1 usable pair → skipped (len>=2 guard)
     val dir = Files.createTempDirectory("graft_pipe").toString
     val out = Pipeline.run(spark, bars, dir).orderBy("symbol").collect()
 
