@@ -24,15 +24,23 @@ object TextQueries extends QueryPack {
         4).as("avg_token_len"))
       .orderBy("doc_id")
 
+  /** Engine-agnostic 4-decimal rounding: floor(x·10⁴ + 0.5)/10⁴ computes
+    * the SAME IEEE ops in Spark and DuckDB, unlike round() whose boundary
+    * behavior differs between the engines (Spark rounds the shortest
+    * decimal repr, DuckDB the scaled binary value) — a doc whose score
+    * lands exactly on .xxxx5 flips between them otherwise. */
+  private def r4(c: org.apache.spark.sql.Column) =
+    floor(c * lit(10000.0) + lit(0.5)) / lit(10000.0)
+
   private def q31(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(
       col("doc_id"),
-      round(stopwordRatio(col("text")), 4).as("stop_ratio"),
-      round(alphaRatio(col("text")), 4).as("alpha_ratio"),
-      round(least(lit(1.0),
-        tokenCount(col("text")).cast("double") / lit(100.0)), 4)
+      r4(stopwordRatio(col("text"))).as("stop_ratio"),
+      r4(alphaRatio(col("text"))).as("alpha_ratio"),
+      r4(least(lit(1.0),
+        tokenCount(col("text")).cast("double") / lit(100.0)))
         .as("len_score"),
-      round(qualityScore(col("text")), 4).as("quality"))
+      r4(qualityScore(col("text"))).as("quality"))
       .orderBy("doc_id")
 
   private def q32(s: SparkSession, dir: String): DataFrame = {
@@ -107,12 +115,12 @@ object TextQueries extends QueryPack {
         |    CAST(length(text) AS DOUBLE) AS chars
         |  FROM documents)
         |SELECT doc_id,
-        |  round(stops / greatest(toks, 1), 4) AS stop_ratio,
-        |  round(alpha / greatest(chars, 1), 4) AS alpha_ratio,
-        |  round(least(1.0, toks / 100.0), 4) AS len_score,
-        |  round(0.4 * (stops / greatest(toks, 1)) +
-        |        0.3 * (alpha / greatest(chars, 1)) +
-        |        0.3 * least(1.0, toks / 100.0), 4) AS quality
+        |  floor((stops / greatest(toks, 1)) * 10000.0 + 0.5) / 10000.0 AS stop_ratio,
+        |  floor((alpha / greatest(chars, 1)) * 10000.0 + 0.5) / 10000.0 AS alpha_ratio,
+        |  floor(least(1.0, toks / 100.0) * 10000.0 + 0.5) / 10000.0 AS len_score,
+        |  floor((0.4 * (stops / greatest(toks, 1)) +
+        |         0.3 * (alpha / greatest(chars, 1)) +
+        |         0.3 * least(1.0, toks / 100.0)) * 10000.0 + 0.5) / 10000.0 AS quality
         |FROM f ORDER BY doc_id""".stripMargin,
     "q32_text_langid" ->
       """WITH c AS (
