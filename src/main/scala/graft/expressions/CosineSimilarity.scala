@@ -54,21 +54,27 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // Locals come from ctx.freshName so two cosine_sim instances can share
+      // one generated function without duplicate declarations.
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
       s"""
-         |int n = $a.numElements();
-         |if (n != $b.numElements()) {
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  double dot = 0.0, na = 0.0, nb = 0.0;
-         |  for (int i = 0; i < n; i++) {
-         |    double x = $a.getDouble(i);
-         |    double y = $b.getDouble(i);
-         |    dot += x * y; na += x * x; nb += y * y;
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $x = $a.getDouble($i);
+         |    double $y = $b.getDouble($i);
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |  }
-         |  if (na == 0.0 || nb == 0.0) {
+         |  if ($na == 0.0 || $nb == 0.0) {
          |    ${ev.isNull} = true;
          |  } else {
-         |    ${ev.value} = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
          |  }
          |}
        """.stripMargin

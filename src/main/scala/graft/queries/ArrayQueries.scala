@@ -56,9 +56,11 @@ object ArrayQueries extends QueryPack {
     val ord = t(s, dir, "orders").select("o_orderkey", "o_orderdate")
     t(s, dir, "lineitem")
       .select("l_orderkey", "l_linenumber", "l_shipdate")
+      // timestamp + INTERVAL (not date_add, which truncates to DATE) so the
+      // range bound matches the oracle even for non-midnight order dates
       .join(ord, col("l_orderkey") === col("o_orderkey") &&
         col("l_shipdate") >= col("o_orderdate") &&
-        col("l_shipdate") < date_add(col("o_orderdate"), 30))
+        col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 30 DAYS"))
       .groupBy("o_orderkey")
       .agg(count(lit(1)).as("n_fast_items"))
       .orderBy("o_orderkey")

@@ -51,14 +51,25 @@ object DedupQueries extends QueryPack {
     * corpus is 4, so the cap changes nothing here. */
   private val maxDf = 1000
   private def q41(s: SparkSession, dir: String): DataFrame = {
-    val g = shingleDf(s, dir, 5)
-    // single scan + single shuffle on gram: per-doc sizes are re-derived by
-    // re-exploding the per-gram doc lists instead of re-scanning documents
-    val byGramAll = g.groupBy("gram")
+    val perDoc = docs(s, dir)
+      .select(col("doc_id"), tokensCol(col("text")).as("toks"))
+      .select(col("doc_id"), ngramsFromTokens(col("toks"), 5).as("grams"))
+    // per-doc distinct-gram count: a pure projection (ngramsFromTokens
+    // dedupes per doc), no shuffle
+    val sizes = perDoc
+      .select(col("doc_id"), size(col("grams")).cast("long").as("sz"))
+    val g = perDoc.select(col("doc_id"), explode(col("grams")).as("gram"))
+    // df gate BEFORE the set aggregation: the window count spills to disk
+    // (ExternalAppendOnlyUnsafeRowArray) rather than holding a per-gram
+    // in-memory list, so a pathological stopword shingle is pruned before
+    // collect_set ever buffers it — the agg buffer is bounded by maxDf.
+    // The groupBy reuses the window's hash partitioning on gram (no second
+    // shuffle).
+    val byGram = g
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("gram")))
+      .filter(col("df").between(2, maxDf))
+      .groupBy("gram")
       .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
-    val sizes = byGramAll.select(explode(col("ds")).as("doc_id"))
-      .groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val byGram = byGramAll.filter(size(col("ds")).between(2, maxDf))
     val pairs = byGram.select(explode(expr(
       "flatten(transform(ds, x -> transform(filter(ds, y -> y > x), " +
         "y -> named_struct('doc_a', x, 'doc_b', y))))")).as("p"))

@@ -63,15 +63,17 @@ object ExtraQueries extends QueryPack {
   private def q27(s: SparkSession, dir: String): DataFrame = {
     val sess = s
     import sess.implicits._
-    // drop rows whose props carry no k (null after the cast): the typed
-    // encoder would throw on a null non-nullable Long, and the oracle's
-    // sums skip nulls anyway — filtering is the equivalent semantics
+    // null k (props without the key) becomes weight 0: it adds nothing to
+    // either partial sum — same as the oracle's null-skipping sums — but
+    // keeps the GROUP, so an event_type with no k still emits wavg 0.0
+    // (WeightedAvg.finish maps zero total weight to 0.0, matching the
+    // oracle's coalesce(..., 0.0)).
     val ds = t(s, dir, "events")
       .select(col("event_type"),
         col("value"),
-        regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("long")
-          .as("k"))
-      .filter(col("k").isNotNull)
+        coalesce(
+          regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("long"),
+          lit(0L)).as("k"))
       .as[(String, Double, Long)]
     ds.groupByKey(_._1)
       .mapValues(e => (e._2, e._3))
@@ -124,8 +126,10 @@ object ExtraQueries extends QueryPack {
         year(col("o_orderdate")).cast("long").as("yr"),
         quarter(col("o_orderdate")).cast("long").as("qtr"),
         month(col("o_orderdate")).cast("long").as("mon"),
-        date_format(date_add(col("o_orderdate"), 30), "yyyy-MM-dd")
-          .as("plus30"),
+        // timestamp + INTERVAL (not date_add, which truncates time-of-day)
+        // so non-midnight timestamps agree with the oracle's + INTERVAL
+        date_format(col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+          "yyyy-MM-dd").as("plus30"),
         date_format(last_day(col("o_orderdate")), "yyyy-MM-dd")
           .as("month_end"),
         datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
