@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryPack, Tables}
+import graft.functions.Rounding.roundf
 import graft.functions.TextAnalysis.tokensCol
 
 /** Generator / lateral and set-operation breadth: explode (flatten), word
@@ -45,7 +46,7 @@ object ArrayQueries extends QueryPack {
         posexplode(slice(
           expr("transform(embedding, x -> cast(x AS double))"), 1, 3)))
       .select(col("vec_id"), (col("pos") + 1).cast("long").as("pos"),
-        round(col("col"), 6).as("comp"))
+        roundf(col("col"), 6).as("comp"))
       .orderBy("vec_id", "pos")
 
   /** Equi + range (interval) join: line items shipped within 30 days of
@@ -87,11 +88,11 @@ object ArrayQueries extends QueryPack {
         col("l_orderkey"), col("l_linenumber"),
         abs(col("l_discount") - 0.05).as("abs_d"),
         ceil(col("l_quantity")).as("ceil_q"),
-        round(sqrt(col("l_extendedprice")), 6).as("sqrt_p"),
-        round(log(col("l_extendedprice")), 6).as("ln_p"),
-        round(log10(col("l_extendedprice")), 6).as("log10_p"),
-        round(exp(col("l_discount")), 6).as("exp_d"),
-        round(pow(col("l_tax"), 2), 6).as("tax_sq"),
+        roundf(sqrt(col("l_extendedprice")), 6).as("sqrt_p"),
+        roundf(log(col("l_extendedprice")), 6).as("ln_p"),
+        roundf(log10(col("l_extendedprice")), 6).as("log10_p"),
+        roundf(exp(col("l_discount")), 6).as("exp_d"),
+        roundf(pow(col("l_tax"), 2), 6).as("tax_sq"),
         signum(col("l_discount") - 0.05).cast("double").as("sign_d"),
         (col("l_orderkey") % 7).as("mod7"))
       .orderBy("l_orderkey", "l_linenumber")
@@ -126,7 +127,7 @@ object ArrayQueries extends QueryPack {
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings),
         |p AS (SELECT vec_id, v, unnest(generate_series(1, 3)) AS pos FROM e)
-        |SELECT vec_id, CAST(pos AS BIGINT) AS pos, round(v[pos], 6) AS comp
+        |SELECT vec_id, CAST(pos AS BIGINT) AS pos, floor((v[pos]) * 1000000.0 + 0.5) / 1000000.0 AS comp
         |FROM p ORDER BY vec_id, pos""".stripMargin,
     "q49_range_join" ->
       """SELECT o_orderkey, count(*) AS n_fast_items
@@ -149,11 +150,11 @@ object ArrayQueries extends QueryPack {
       """SELECT l_orderkey, l_linenumber,
         |  abs(l_discount - 0.05) AS abs_d,
         |  CAST(ceil(l_quantity) AS BIGINT) AS ceil_q,
-        |  round(sqrt(l_extendedprice), 6) AS sqrt_p,
-        |  round(ln(l_extendedprice), 6) AS ln_p,
-        |  round(log10(l_extendedprice), 6) AS log10_p,
-        |  round(exp(l_discount), 6) AS exp_d,
-        |  round(pow(l_tax, 2), 6) AS tax_sq,
+        |  floor((sqrt(l_extendedprice)) * 1000000.0 + 0.5) / 1000000.0 AS sqrt_p,
+        |  floor((ln(l_extendedprice)) * 1000000.0 + 0.5) / 1000000.0 AS ln_p,
+        |  floor((log10(l_extendedprice)) * 1000000.0 + 0.5) / 1000000.0 AS log10_p,
+        |  floor((exp(l_discount)) * 1000000.0 + 0.5) / 1000000.0 AS exp_d,
+        |  floor((pow(l_tax, 2)) * 1000000.0 + 0.5) / 1000000.0 AS tax_sq,
         |  CAST(sign(l_discount - 0.05) AS DOUBLE) AS sign_d,
         |  l_orderkey % 7 AS mod7
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)

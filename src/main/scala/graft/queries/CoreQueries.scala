@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryPack, Tables}
+import graft.functions.Rounding.roundf
 
 /** Reference-parity dataflow operators (SURVEY.md §2.2/§2.4–§2.7) expressed
   * over the driver testdata tables.
@@ -73,15 +74,15 @@ object CoreQueries extends QueryPack {
       .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        roundf(sum("l_quantity"), 2).as("sum_qty"),
+        roundf(sum("l_extendedprice"), 2).as("sum_base_price"),
+        roundf(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
           .as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+        roundf(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
           * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
-        round(avg("l_quantity"), 4).as("avg_qty"),
-        round(avg("l_extendedprice"), 4).as("avg_price"),
-        round(avg("l_discount"), 4).as("avg_disc"),
+        roundf(avg("l_quantity"), 4).as("avg_qty"),
+        roundf(avg("l_extendedprice"), 4).as("avg_price"),
+        roundf(avg("l_discount"), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -121,7 +122,7 @@ object CoreQueries extends QueryPack {
       .withColumn("next_value", lead("value", 1).over(w))
       .na.drop(Seq("next_value"))
       .select(col("user_id"), col("event_id"),
-        round(col("next_value") - col("value"), 2).as("delta"))
+        roundf(col("next_value") - col("value"), 2).as("delta"))
       .orderBy("user_id", "event_id")
   }
 
@@ -147,7 +148,7 @@ object CoreQueries extends QueryPack {
   private def q23(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n"), roundf(sum("value"), 2).as("sum_value"))
       .select(date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
         col("event_type"), col("n"), col("sum_value"))
       .orderBy("hour_start", "event_type")
@@ -195,13 +196,13 @@ object CoreQueries extends QueryPack {
       "SELECT DISTINCT event_type FROM events ORDER BY event_type",
     "q06_groupby_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-        |  round(avg(l_quantity), 4) AS avg_qty,
-        |  round(avg(l_extendedprice), 4) AS avg_price,
-        |  round(avg(l_discount), 4) AS avg_disc,
+        |  floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0 AS sum_qty,
+        |  floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS sum_base_price,
+        |  floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS sum_disc_price,
+        |  floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 100.0 + 0.5) / 100.0 AS sum_charge,
+        |  floor((avg(l_quantity)) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
+        |  floor((avg(l_extendedprice)) * 10000.0 + 0.5) / 10000.0 AS avg_price,
+        |  floor((avg(l_discount)) * 10000.0 + 0.5) / 10000.0 AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '2001-09-01'
@@ -226,7 +227,7 @@ object CoreQueries extends QueryPack {
         |  SELECT user_id, event_id, value,
         |    lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value
         |  FROM events)
-        |SELECT user_id, event_id, round(next_value - value, 2) AS delta
+        |SELECT user_id, event_id, floor((next_value - value) * 100.0 + 0.5) / 100.0 AS delta
         |FROM w WHERE next_value IS NOT NULL
         |ORDER BY user_id, event_id""".stripMargin,
     "q21_json_extract" ->
@@ -240,7 +241,7 @@ object CoreQueries extends QueryPack {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q23_hourly_bucket" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
-        |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |  event_type, count(*) AS n, floor((sum(value)) * 100.0 + 0.5) / 100.0 AS sum_value
         |FROM events
         |GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin)
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryPack, Tables}
+import graft.functions.Rounding.roundf
 import graft.functions.TextAnalysis._
 
 /** Deduplication operators for training-data pipelines (BASELINE.json north
@@ -79,7 +80,7 @@ object DedupQueries extends QueryPack {
     val sb = sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"))
     inter.join(sa, "doc_a").join(sb, "doc_b")
       .withColumn("jaccard",
-        round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 4))
+        roundf(col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 4))
       .filter(col("jaccard") >= 0.1)
       .select("doc_a", "doc_b", "inter", "jaccard")
       .orderBy("doc_a", "doc_b")
@@ -119,7 +120,7 @@ object DedupQueries extends QueryPack {
         col("a_band") === col("b_band") && col("a_bkey") === col("b_bkey") &&
           col("a_id") < col("b_id"))
       .select(col("a_id").as("doc_a"), col("b_id").as("doc_b"),
-        round(sim, 4).as("est_sim"))
+        roundf(sim, 4).as("est_sim"))
       .distinct()
       .orderBy("doc_a", "doc_b")
   }
@@ -157,7 +158,7 @@ object DedupQueries extends QueryPack {
     e.crossJoin(broadcast(b))
       .filter(col("vec_id") < col("vec_b"))
       .select(col("vec_id").as("vec_a"), col("vec_b"),
-        round(expr("cosine_sim(v, qv)"), 4).as("cos"))
+        roundf(expr("cosine_sim(v, qv)"), 4).as("cos"))
       .filter(col("cos") >= 0.45)
       .orderBy("vec_a", "vec_b")
   }
@@ -203,7 +204,7 @@ object DedupQueries extends QueryPack {
        |  $bandRows),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |    round(($eqs) / ${K.toDouble}, 4) AS est_sim
+       |    floor((($eqs) / ${K.toDouble}) * 10000.0 + 0.5) / 10000.0 AS est_sim
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
        |SELECT doc_a, doc_b, est_sim FROM cand ORDER BY doc_a, doc_b""".stripMargin
@@ -244,11 +245,11 @@ object DedupQueries extends QueryPack {
          |    ON a.gram = b.gram AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
          |SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
-         |  round(inter / (sa.sz + sb.sz - inter), 4) AS jaccard
+         |  floor((inter / (sa.sz + sb.sz - inter)) * 10000.0 + 0.5) / 10000.0 AS jaccard
          |FROM pairs
          |JOIN sizes sa ON doc_a = sa.doc_id
          |JOIN sizes sb ON doc_b = sb.doc_id
-         |WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= 0.1
+         |WHERE floor((inter / (sa.sz + sb.sz - inter)) * 10000.0 + 0.5) / 10000.0 >= 0.1
          |ORDER BY doc_a, doc_b""".stripMargin,
     "q42_dedup_minhash" -> minhashSql,
     "q43_dedup_simhash" -> simhashSql,
@@ -256,8 +257,8 @@ object DedupQueries extends QueryPack {
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings)
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |  round(list_cosine_similarity(a.v, b.v), 4) AS cos
+        |  floor((list_cosine_similarity(a.v, b.v)) * 10000.0 + 0.5) / 10000.0 AS cos
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.45
+        |WHERE floor((list_cosine_similarity(a.v, b.v)) * 10000.0 + 0.5) / 10000.0 >= 0.45
         |ORDER BY vec_a, vec_b""".stripMargin)
 }

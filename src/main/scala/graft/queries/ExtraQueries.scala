@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryPack, Tables}
+import graft.functions.Rounding.roundf
 import graft.functions.WeightedAvg
 
 /** Second breadth wave: as-of join, exact distinct counts, typed
@@ -79,7 +80,7 @@ object ExtraQueries extends QueryPack {
       .mapValues(e => (e._2, e._3))
       .agg(WeightedAvg.toColumn.name("wavg_raw"))
       .toDF("event_type", "wavg_raw")
-      .select(col("event_type"), round(col("wavg_raw"), 4).as("wavg"))
+      .select(col("event_type"), roundf(col("wavg_raw"), 4).as("wavg"))
       .orderBy("event_type")
   }
 
@@ -99,9 +100,9 @@ object ExtraQueries extends QueryPack {
     t(s, dir, "events")
       .groupBy("event_type")
       .agg(
-        round(expr("percentile(value, 0.5)"), 4).as("p50"),
-        round(expr("percentile(value, 0.9)"), 4).as("p90"),
-        round(expr("percentile(value, 0.99)"), 4).as("p99"))
+        roundf(expr("percentile(value, 0.5)"), 4).as("p50"),
+        roundf(expr("percentile(value, 0.9)"), 4).as("p90"),
+        roundf(expr("percentile(value, 0.99)"), 4).as("p99"))
       .orderBy("event_type")
 
   /** Statistical aggregates: correlation/covariance/stddev/variance of
@@ -112,10 +113,10 @@ object ExtraQueries extends QueryPack {
         regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("long").as("k"))
       .groupBy("event_type")
       .agg(
-        round(corr(col("value"), col("k")), 4).as("corr_vk"),
-        round(covar_samp(col("value"), col("k")), 4).as("covar_vk"),
-        round(stddev_samp(col("value")), 4).as("sd_value"),
-        round(var_samp(col("value")), 4).as("var_value"))
+        roundf(corr(col("value"), col("k")), 4).as("corr_vk"),
+        roundf(covar_samp(col("value"), col("k")), 4).as("covar_vk"),
+        roundf(stddev_samp(col("value")), 4).as("sd_value"),
+        roundf(var_samp(col("value")), 4).as("var_value"))
       .orderBy("event_type")
 
   /** Date/time scalar functions over orders. */
@@ -147,10 +148,10 @@ object ExtraQueries extends QueryPack {
           "cast(0.0 as double), (acc, x) -> acc + x) / 64").as("mean_comp"))
       .groupBy("label")
       .agg(count(lit(1)).as("n"),
-        round(avg("norm"), 4).as("avg_norm"),
-        round(avg("mean_comp"), 6).as("avg_mean_comp"),
-        round(min("mean_comp"), 6).as("min_mean_comp"),
-        round(max("mean_comp"), 6).as("max_mean_comp"))
+        roundf(avg("norm"), 4).as("avg_norm"),
+        roundf(avg("mean_comp"), 6).as("avg_mean_comp"),
+        roundf(min("mean_comp"), 6).as("min_mean_comp"),
+        roundf(max("mean_comp"), 6).as("max_mean_comp"))
       .orderBy("label")
 
   /** Correlated scalar subquery through the engine's SQL surface
@@ -170,7 +171,7 @@ object ExtraQueries extends QueryPack {
     t(s, dir, "lineitem")
       .cube("l_returnflag", "l_linestatus")
       .agg(count(lit(1)).as("n_rows"),
-        round(sum("l_extendedprice"), 2).as("sum_price"))
+        roundf(sum("l_extendedprice"), 2).as("sum_price"))
       .select(
         coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
         coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
@@ -187,8 +188,8 @@ object ExtraQueries extends QueryPack {
     val mov = w.rowsBetween(-4, Window.currentRow)
     t(s, dir, "events")
       .select(col("user_id"), col("event_id"),
-        round(sum("value").over(run), 2).as("running_sum"),
-        round(avg("value").over(mov), 4).as("moving_avg5"),
+        roundf(sum("value").over(run), 2).as("running_sum"),
+        roundf(avg("value").over(mov), 4).as("moving_avg5"),
         first("value").over(run).as("first_value"),
         nth_value(col("value"), 3).over(run).as("third_value"))
       .orderBy("user_id", "event_id")
@@ -214,14 +215,14 @@ object ExtraQueries extends QueryPack {
     "q47_cube" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
         |  coalesce(l_linestatus, 'ALL') AS linestatus,
-        |  count(*) AS n_rows, round(sum(l_extendedprice), 2) AS sum_price
+        |  count(*) AS n_rows, floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS sum_price
         |FROM lineitem
         |GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin,
     "q48_window_frames" ->
       """SELECT user_id, event_id,
-        |  round(sum(value) OVER w_run, 2) AS running_sum,
-        |  round(avg(value) OVER w_mov, 4) AS moving_avg5,
+        |  floor((sum(value) OVER w_run) * 100.0 + 0.5) / 100.0 AS running_sum,
+        |  floor((avg(value) OVER w_mov) * 10000.0 + 0.5) / 10000.0 AS moving_avg5,
         |  first_value(value) OVER w_run AS first_value,
         |  nth_value(value, 3) OVER w_run AS third_value
         |FROM events
@@ -248,7 +249,7 @@ object ExtraQueries extends QueryPack {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q27_typed_agg" ->
       s"""SELECT event_type,
-         |  round(coalesce(sum(value * $kExpr) / sum($kExpr), 0.0), 4) AS wavg
+         |  floor((coalesce(sum(value * $kExpr) / sum($kExpr), 0.0)) * 10000.0 + 0.5) / 10000.0 AS wavg
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q28_pivot" ->
       """SELECT user_id,
@@ -260,16 +261,16 @@ object ExtraQueries extends QueryPack {
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q29_percentiles" ->
       """SELECT event_type,
-        |  round(quantile_cont(value, 0.5), 4) AS p50,
-        |  round(quantile_cont(value, 0.9), 4) AS p90,
-        |  round(quantile_cont(value, 0.99), 4) AS p99
+        |  floor((quantile_cont(value, 0.5)) * 10000.0 + 0.5) / 10000.0 AS p50,
+        |  floor((quantile_cont(value, 0.9)) * 10000.0 + 0.5) / 10000.0 AS p90,
+        |  floor((quantile_cont(value, 0.99)) * 10000.0 + 0.5) / 10000.0 AS p99
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q34_stats_agg" ->
       s"""SELECT event_type,
-         |  round(corr(value, $kExpr), 4) AS corr_vk,
-         |  round(covar_samp(value, $kExpr), 4) AS covar_vk,
-         |  round(stddev_samp(value), 4) AS sd_value,
-         |  round(var_samp(value), 4) AS var_value
+         |  floor((corr(value, $kExpr)) * 10000.0 + 0.5) / 10000.0 AS corr_vk,
+         |  floor((covar_samp(value, $kExpr)) * 10000.0 + 0.5) / 10000.0 AS covar_vk,
+         |  floor((stddev_samp(value)) * 10000.0 + 0.5) / 10000.0 AS sd_value,
+         |  floor((var_samp(value)) * 10000.0 + 0.5) / 10000.0 AS var_value
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q35_date_funcs" ->
       """SELECT o_orderkey,
@@ -288,9 +289,9 @@ object ExtraQueries extends QueryPack {
         |    list_sum(CAST(embedding AS DOUBLE[])) / 64 AS mean_comp
         |  FROM embeddings)
         |SELECT label, count(*) AS n,
-        |  round(avg(norm), 4) AS avg_norm,
-        |  round(avg(mean_comp), 6) AS avg_mean_comp,
-        |  round(min(mean_comp), 6) AS min_mean_comp,
-        |  round(max(mean_comp), 6) AS max_mean_comp
+        |  floor((avg(norm)) * 10000.0 + 0.5) / 10000.0 AS avg_norm,
+        |  floor((avg(mean_comp)) * 1000000.0 + 0.5) / 1000000.0 AS avg_mean_comp,
+        |  floor((min(mean_comp)) * 1000000.0 + 0.5) / 1000000.0 AS min_mean_comp,
+        |  floor((max(mean_comp)) * 1000000.0 + 0.5) / 1000000.0 AS max_mean_comp
         |FROM v GROUP BY label ORDER BY label""".stripMargin)
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryPack, Tables}
+import graft.functions.Rounding.roundf
 
 /** The flagship query: the reference's predictor contract
   * (`scripts/stock_predictor.py:38-102`, SURVEY.md §2 rows 38-40) re-expressed
@@ -55,10 +56,10 @@ object FlagshipQueries extends QueryPack {
       .join(broadcast(mse), Seq("user_id"))
       .select(
         col("user_id"),
-        round(col("icept") + col("slope") * col("last_value"), 2)
+        roundf(col("icept") + col("slope") * col("last_value"), 2)
           .as("predicted_value"),
         col("last_date"),
-        round(col("mse_raw"), 4).as("mse"))
+        roundf(col("mse_raw"), 4).as("mse"))
       .orderBy("user_id")
   }
 
@@ -86,8 +87,8 @@ object FlagshipQueries extends QueryPack {
         |  SELECT cl.user_id, avg(power(cl.target - (c.icept + c.slope * cl.value), 2)) AS mse_raw
         |  FROM clean cl JOIN coef c ON cl.user_id = c.user_id
         |  GROUP BY cl.user_id)
-        |SELECT c.user_id, round(c.icept + c.slope * l.last_value, 2) AS predicted_value,
-        |       l.last_date, round(e.mse_raw, 4) AS mse
+        |SELECT c.user_id, floor((c.icept + c.slope * l.last_value) * 100.0 + 0.5) / 100.0 AS predicted_value,
+        |       l.last_date, floor((e.mse_raw) * 10000.0 + 0.5) / 10000.0 AS mse
         |FROM coef c
         |JOIN lastrow l ON c.user_id = l.user_id
         |JOIN err e ON c.user_id = e.user_id

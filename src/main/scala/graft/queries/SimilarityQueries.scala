@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryPack, Tables}
+import graft.functions.Rounding.roundf
 import graft.operators.Lsh
 
 /** Approximate-nearest-neighbor search over the `embeddings` table
@@ -39,7 +40,7 @@ object SimilarityQueries extends QueryPack {
     val scored = e.crossJoin(broadcast(qv))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        round(expr(cosine), 4).as("cos"))
+        roundf(expr(cosine), 4).as("cos"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("knn_rank", row_number().over(w).cast("long"))
       .filter(col("knn_rank") <= 10)
@@ -62,7 +63,7 @@ object SimilarityQueries extends QueryPack {
     val scored = e.join(broadcast(qv), Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        round(expr(cosine), 4).as("cos"))
+        roundf(expr(cosine), 4).as("cos"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("knn_rank", row_number().over(w).cast("long"))
       .filter(col("knn_rank") <= 10)
@@ -81,7 +82,7 @@ object SimilarityQueries extends QueryPack {
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
         |scored AS (
-        |  SELECT q_id, vec_id, round(list_cosine_similarity(v, qv), 4) AS cos
+        |  SELECT q_id, vec_id, floor((list_cosine_similarity(v, qv)) * 10000.0 + 0.5) / 10000.0 AS cos
         |  FROM e, q WHERE vec_id <> q_id),
         |ranked AS (
         |  SELECT *, CAST(row_number() OVER (

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryPack, Tables}
+import graft.functions.Rounding.roundf
 import graft.functions.TextAnalysis._
 
 /** Text-analysis extension queries over `documents` (BASELINE.json north
@@ -18,19 +19,15 @@ object TextQueries extends QueryPack {
       col("doc_id"),
       length(col("text")).cast("long").as("n_chars_calc"),
       tokenCount(col("text")).as("n_tokens"),
-      round(
+      roundf(
         length(regexp_replace(col("text"), "\\s", "")).cast("double") /
           greatest(tokenCount(col("text")), lit(1L)).cast("double"),
         4).as("avg_token_len"))
       .orderBy("doc_id")
 
-  /** Engine-agnostic 4-decimal rounding: floor(x·10⁴ + 0.5)/10⁴ computes
-    * the SAME IEEE ops in Spark and DuckDB, unlike round() whose boundary
-    * behavior differs between the engines (Spark rounds the shortest
-    * decimal repr, DuckDB the scaled binary value) — a doc whose score
-    * lands exactly on .xxxx5 flips between them otherwise. */
-  private def r4(c: org.apache.spark.sql.Column) =
-    floor(c * lit(10000.0) + lit(0.5)) / lit(10000.0)
+  /** Engine-agnostic 4-decimal rounding — see [[graft.functions.Rounding]]
+    * for why floor-form beats round() for oracle parity. */
+  private def r4(c: org.apache.spark.sql.Column) = roundf(c, 4)
 
   private def q31(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(
@@ -102,9 +99,9 @@ object TextQueries extends QueryPack {
       """SELECT doc_id,
         |  length(text) AS n_chars_calc,
         |  len(regexp_extract_all(text, '\S+')) AS n_tokens,
-        |  round(CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) /
-        |        CAST(greatest(len(regexp_extract_all(text, '\S+')), 1) AS DOUBLE),
-        |        4) AS avg_token_len
+        |  floor((CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) /
+        |         CAST(greatest(len(regexp_extract_all(text, '\S+')), 1) AS DOUBLE))
+        |        * 10000.0 + 0.5) / 10000.0 AS avg_token_len
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q31_text_quality" ->
       """WITH f AS (
