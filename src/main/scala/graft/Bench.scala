@@ -13,11 +13,27 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JVM/codegen/session/parquet-reader warmup so the first timed query
-    // isn't charged for one-time initialization.
-    spark.range(1000).selectExpr("sum(id)").collect()
-    try spark.read.parquet(s"$sfDir/region.parquet").count()
-    catch { case _: Throwable => () }
+    // JVM/codegen/session warmup: exercise the machinery the timed queries
+    // use (hash agg, collect_set, window, shuffle join, explode, regex
+    // split, md5, parquet reader) on synthetic data so the first heavy
+    // query isn't charged for one-time JIT/codegen initialization. Every
+    // query is still measured in full afterwards.
+    locally {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val w = spark.range(200000).selectExpr(
+        "id", "cast(id % 997 as string) as k", "cast(id % 31 as double) as v")
+      w.groupBy("k").agg(count(lit(1)), sum("v"), collect_set("id")).count()
+      w.withColumn("rn",
+          row_number().over(Window.partitionBy("k").orderBy(col("v"), col("id"))))
+        .filter(col("rn") === 1).count()
+      w.join(w.groupBy("k").count(), "k").count()
+      spark.range(2000)
+        .selectExpr("explode(split(repeat('a b c d e ', 40), ' ')) as t")
+        .select(md5(col("t"))).distinct().count()
+      try spark.read.parquet(s"$sfDir/region.parquet").count()
+      catch { case _: Throwable => () }
+    }
     var failed = List.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

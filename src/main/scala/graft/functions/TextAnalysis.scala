@@ -83,7 +83,15 @@ object TextAnalysis {
     * a projection BEFORE building n-grams: lambda bodies in higher-order
     * functions re-evaluate captured expressions per element, so slicing a
     * pre-computed array column is O(n) per doc while slicing
-    * `split(regexp_replace(...))` inline is O(n · regex). */
+    * `split(regexp_replace(...))` inline is O(n · regex).
+    *
+    * Equally important: consume the n-gram expression DIRECTLY in the next
+    * projection (`explode(ngramsFromTokens(toks, n))`, `size(...)`) rather
+    * than aliasing the gram array in its own intermediate projection first.
+    * The three-projection shape (tokens → grams alias → explode) lets the
+    * optimizer merge the gram array into the generator while re-inlining
+    * the token split into the lambda — measured ~9× slower on the shingle
+    * pipelines. Two projections: tokens, then whatever consumes the grams. */
   def tokensCol(c: Column): Column = split(lower(trim(c)), "\\s+")
 
   /** Distinct word n-grams from a materialized tokens array column; empty
@@ -99,4 +107,17 @@ object TextAnalysis {
     * hot paths project `tokensCol` first and use `ngramsFromTokens`). */
   def wordNgrams(c: Column, n: Int): Column =
     ngramsFromTokens(tokensCol(c), n)
+
+  /** Distinct word n-grams as 64-bit hashes: xxhash64 over the token slice
+    * skips building a per-gram string when only gram IDENTITY matters
+    * (grouping / document frequency), not the text — measurably cheaper to
+    * generate and the shuffle carries 8-byte longs instead of gram strings.
+    * 64-bit collisions are negligible below ~10⁹ distinct grams; beyond
+    * that, widen the key to (hash, first-token) or a 128-bit hash. */
+  def hashedNgramsFromTokens(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      array_distinct(transform(
+        sequence(lit(1), size(toks) - lit(n - 1)),
+        i => xxhash64(slice(toks, i, lit(n))))))
+      .otherwise(array().cast("array<long>"))
 }

@@ -52,23 +52,37 @@ object DedupQueries extends QueryPack {
     * corpus is 4, so the cap changes nothing here. */
   private val maxDf = 1000
   private def q41(s: SparkSession, dir: String): DataFrame = {
-    val perDoc = docs(s, dir)
+    // gram text never reaches the output (only pair counts do), so grams
+    // are keyed by xxhash64 of the token slice — no per-gram string build,
+    // and the gram shuffle carries longs. The oracle groups on gram TEXT;
+    // results agree because hash-equality ≡ text-equality absent 64-bit
+    // collisions (negligible at any per-corpus shingle cardinality < 10⁹).
+    // NOTE the 2-projection shape (tokens projected, then the gram
+    // expression consumed directly): aliasing the gram ARRAY in its own
+    // intermediate projection before explode/size regresses ~9× — see
+    // TextAnalysis.tokensCol.
+    val toksDf = docs(s, dir)
       .select(col("doc_id"), tokensCol(col("text")).as("toks"))
-      .select(col("doc_id"), ngramsFromTokens(col("toks"), 5).as("grams"))
-    // per-doc distinct-gram count: a pure projection (ngramsFromTokens
+    // per-doc distinct-gram count: a pure projection (hashedNgramsFromTokens
     // dedupes per doc), no shuffle
-    val sizes = perDoc
-      .select(col("doc_id"), size(col("grams")).cast("long").as("sz"))
-    val g = perDoc.select(col("doc_id"), explode(col("grams")).as("gram"))
-    // df gate BEFORE the set aggregation: the window count spills to disk
-    // (ExternalAppendOnlyUnsafeRowArray) rather than holding a per-gram
-    // in-memory list, so a pathological stopword shingle is pruned before
-    // collect_set ever buffers it — the agg buffer is bounded by maxDf.
-    // The groupBy reuses the window's hash partitioning on gram (no second
-    // shuffle).
-    val byGram = g
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("gram")))
+    val sizes = toksDf.select(col("doc_id"),
+      size(hashedNgramsFromTokens(col("toks"), 5)).cast("long").as("sz"))
+    val g = toksDf.select(col("doc_id"),
+      explode(hashedNgramsFromTokens(col("toks"), 5)).as("gram"))
+    // df gate BEFORE the set aggregation, as a count agg + key join: the
+    // count's buffer is a single long per gram (map-side combining, never
+    // a doc list), so a pathological stopword shingle is pruned before
+    // collect_set ever buffers it — the set agg only sees grams with
+    // 2 ≤ df ≤ maxDf, bounding its buffer by maxDf. The surviving gram
+    // list is tiny relative to the stream (df=1 grams dominate), so AQE
+    // broadcasts it here; at cluster scale it degrades to a shuffle join
+    // that still only shuffles the surviving rows into the set agg.
+    // (Not a window count: near-unique grams would mean millions of
+    // one-row window partitions, whose per-key overhead dwarfs the agg.)
+    val keptGrams = g.groupBy("gram").agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, maxDf))
+      .select("gram")
+    val byGram = g.join(keptGrams, "gram")
       .groupBy("gram")
       .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
     val pairs = byGram.select(explode(expr(
