@@ -32,4 +32,19 @@ object Rounding {
     val p = pow10(n)
     s"floor(($e) * $p + 0.5) / $p"
   }
+
+  /** Exact-decimal (2-fractional-digit) columns scaled to integral
+    * hundredths in int64. Fixed-point integer SUMS are exact and
+    * order-independent, which closes the one divergence channel floor-form
+    * rounding cannot: money sums land exactly ON rounding boundaries
+    * (the inputs are decimal-grained), where a summation-order ULP
+    * difference between engines flips the rounded result. Sum the cents,
+    * divide once at the end — both engines then run identical integer
+    * adds and one identical double division. */
+  def cents(c: Column): Column =
+    floor(c * lit(100.0) + lit(0.5)).cast("long")
+
+  /** SQL-side mirror of [[cents]]. */
+  def centsSql(e: String): String =
+    s"CAST(floor(($e) * 100.0 + 0.5) AS BIGINT)"
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryPack, Tables}
-import graft.functions.Rounding.roundf
+import graft.functions.Rounding.{cents, roundf}
 
 /** Reference-parity dataflow operators (SURVEY.md §2.2/§2.4–§2.7) expressed
   * over the driver testdata tables.
@@ -68,23 +68,35 @@ object CoreQueries extends QueryPack {
     t(s, dir, "events").select("event_type").distinct().orderBy("event_type")
 
   /** §2 #24/#26/#27: hash aggregation with partial (map-side) combine —
-    * TPC-H Q1 shape. One shuffle on the two group keys. */
-  private def q06(s: SparkSession, dir: String): DataFrame =
+    * TPC-H Q1 shape. One shuffle on the two group keys.
+    *
+    * Money columns are exact hundredths, so every sum runs in fixed-point
+    * int64 (order-independent — see Rounding.cents) and converts to double
+    * once at the end; averages divide the exact sum by the count. */
+  private def q06(s: SparkSession, dir: String): DataFrame = {
+    val qty = sum(cents(col("l_quantity"))).cast("double") / 100.0
+    val price = sum(cents(col("l_extendedprice"))).cast("double") / 100.0
+    val disc = sum(cents(col("l_extendedprice")) *
+      cents(lit(1) - col("l_discount"))).cast("double") / 10000.0
+    val charge = sum(cents(col("l_extendedprice")) *
+      cents(lit(1) - col("l_discount")) *
+      cents(lit(1) + col("l_tax"))).cast("double") / 1000000.0
+    val n = count(lit(1)).cast("double")
     t(s, dir, "lineitem")
       .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        roundf(sum("l_quantity"), 2).as("sum_qty"),
-        roundf(sum("l_extendedprice"), 2).as("sum_base_price"),
-        roundf(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("sum_disc_price"),
-        roundf(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
-          * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
-        roundf(avg("l_quantity"), 4).as("avg_qty"),
-        roundf(avg("l_extendedprice"), 4).as("avg_price"),
-        roundf(avg("l_discount"), 4).as("avg_disc"),
+        roundf(qty, 2).as("sum_qty"),
+        roundf(price, 2).as("sum_base_price"),
+        roundf(disc, 2).as("sum_disc_price"),
+        roundf(charge, 2).as("sum_charge"),
+        roundf(qty / n, 4).as("avg_qty"),
+        roundf(price / n, 4).as("avg_price"),
+        roundf(sum(cents(col("l_discount"))).cast("double") / 100.0 / n, 4)
+          .as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
+  }
 
   /** §2 #3/#8/#25/#30: latest-row-per-key ("latest file wins" re-expressed as
     * a window top-1; transform.py:11-24, stock_predictor.py:26). */
@@ -148,7 +160,9 @@ object CoreQueries extends QueryPack {
   private def q23(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
-      .agg(count(lit(1)).as("n"), roundf(sum("value"), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n"),
+        roundf(sum(cents(col("value"))).cast("double") / 100.0, 2)
+          .as("sum_value"))
       .select(date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
         col("event_type"), col("n"), col("sum_value"))
       .orderBy("hour_start", "event_type")
@@ -195,17 +209,24 @@ object CoreQueries extends QueryPack {
     "q05_distinct" ->
       "SELECT DISTINCT event_type FROM events ORDER BY event_type",
     "q06_groupby_agg" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0 AS sum_qty,
-        |  floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS sum_base_price,
-        |  floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS sum_disc_price,
-        |  floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 100.0 + 0.5) / 100.0 AS sum_charge,
-        |  floor((avg(l_quantity)) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
-        |  floor((avg(l_extendedprice)) * 10000.0 + 0.5) / 10000.0 AS avg_price,
-        |  floor((avg(l_discount)) * 10000.0 + 0.5) / 10000.0 AS avg_disc,
+      """WITH c AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS qc,
+        |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS pc,
+        |    CAST(floor((1 - l_discount) * 100.0 + 0.5) AS BIGINT) AS dc,
+        |    CAST(floor((1 + l_tax) * 100.0 + 0.5) AS BIGINT) AS tc,
+        |    CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS ddc
+        |  FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01')
+        |SELECT l_returnflag, l_linestatus,
+        |  floor((CAST(sum(qc) AS DOUBLE) / 100.0) * 100.0 + 0.5) / 100.0 AS sum_qty,
+        |  floor((CAST(sum(pc) AS DOUBLE) / 100.0) * 100.0 + 0.5) / 100.0 AS sum_base_price,
+        |  floor((CAST(sum(pc * dc) AS DOUBLE) / 10000.0) * 100.0 + 0.5) / 100.0 AS sum_disc_price,
+        |  floor((CAST(sum(pc * dc * tc) AS DOUBLE) / 1000000.0) * 100.0 + 0.5) / 100.0 AS sum_charge,
+        |  floor(((CAST(sum(qc) AS DOUBLE) / 100.0) / CAST(count(*) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
+        |  floor(((CAST(sum(pc) AS DOUBLE) / 100.0) / CAST(count(*) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS avg_price,
+        |  floor(((CAST(sum(ddc) AS DOUBLE) / 100.0) / CAST(count(*) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS avg_disc,
         |  count(*) AS count_order
-        |FROM lineitem
-        |WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+        |FROM c
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q07_latest_per_key" ->
@@ -241,7 +262,8 @@ object CoreQueries extends QueryPack {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q23_hourly_bucket" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
-        |  event_type, count(*) AS n, floor((sum(value)) * 100.0 + 0.5) / 100.0 AS sum_value
+        |  event_type, count(*) AS n,
+        |  floor((CAST(sum(CAST(floor("value" * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0) * 100.0 + 0.5) / 100.0 AS sum_value
         |FROM events
         |GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin)
 }

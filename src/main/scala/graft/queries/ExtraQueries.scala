@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryPack, Tables}
-import graft.functions.Rounding.roundf
+import graft.functions.Rounding.{cents, roundf}
 import graft.functions.WeightedAvg
 
 /** Second breadth wave: as-of join, exact distinct counts, typed
@@ -171,7 +171,8 @@ object ExtraQueries extends QueryPack {
     t(s, dir, "lineitem")
       .cube("l_returnflag", "l_linestatus")
       .agg(count(lit(1)).as("n_rows"),
-        roundf(sum("l_extendedprice"), 2).as("sum_price"))
+        roundf(sum(cents(col("l_extendedprice"))).cast("double") / 100.0, 2)
+          .as("sum_price"))
       .select(
         coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
         coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
@@ -215,7 +216,7 @@ object ExtraQueries extends QueryPack {
     "q47_cube" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
         |  coalesce(l_linestatus, 'ALL') AS linestatus,
-        |  count(*) AS n_rows, floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS sum_price
+        |  count(*) AS n_rows, floor((CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0) * 100.0 + 0.5) / 100.0 AS sum_price
         |FROM lineitem
         |GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryPack, Tables}
-import graft.functions.Rounding.roundf
+import graft.functions.Rounding.{cents, roundf}
 
 /** Join / sort / limit / grouping-set breadth (SURVEY.md §7 phase C).
   *
@@ -33,7 +33,8 @@ object JoinQueries extends QueryPack {
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy("l_orderkey", "o_orderdate")
-      .agg(roundf(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+      .agg(roundf(sum(cents(col("l_extendedprice")) *
+        cents(lit(1) - col("l_discount"))).cast("double") / 10000.0, 2)
         .as("revenue"))
       .select(col("l_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
@@ -64,7 +65,8 @@ object JoinQueries extends QueryPack {
       .join(broadcast(cust), col("o_custkey") === col("c_custkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .groupBy("n_name")
-      .agg(roundf(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+      .agg(roundf(sum(cents(col("l_extendedprice")) *
+        cents(lit(1) - col("l_discount"))).cast("double") / 10000.0, 2)
         .as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
@@ -93,7 +95,8 @@ object JoinQueries extends QueryPack {
         "left_outer")
       .groupBy("c_custkey")
       .agg(count(col("o_orderkey")).as("n_orders"),
-        roundf(coalesce(sum("o_totalprice"), lit(0.0)), 2).as("total_spent"))
+        roundf(coalesce(sum(cents(col("o_totalprice"))).cast("double"),
+          lit(0.0)) / 100.0, 2).as("total_spent"))
       .orderBy("c_custkey")
 
   /** Global sort + limit (top-k by price). TakeOrderedAndProject physically —
@@ -121,7 +124,8 @@ object JoinQueries extends QueryPack {
   private def q18(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .rollup("l_returnflag", "l_linestatus")
-      .agg(count(lit(1)).as("n_rows"), roundf(sum("l_quantity"), 2).as("sum_qty"))
+      .agg(count(lit(1)).as("n_rows"), roundf(sum(cents(col("l_quantity"))).cast("double") / 100.0, 2)
+        .as("sum_qty"))
       .select(
         coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
         coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
@@ -167,7 +171,7 @@ object JoinQueries extends QueryPack {
   val oracle: Map[String, String] = Map(
     "q11_join_topk" ->
       """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
-        |  floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS revenue
+        |  floor((CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) * CAST(floor((1 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0) * 100.0 + 0.5) / 100.0 AS revenue
         |FROM customer, orders, lineitem
         |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
         |  AND l_orderkey = o_orderkey
@@ -178,7 +182,7 @@ object JoinQueries extends QueryPack {
         |LIMIT 10""".stripMargin,
     "q12_join_snowflake" ->
       """SELECT n_name,
-        |  floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS revenue
+        |  floor((CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) * CAST(floor((1 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0) * 100.0 + 0.5) / 100.0 AS revenue
         |FROM customer, orders, lineitem, supplier, nation, region
         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
         |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -199,7 +203,7 @@ object JoinQueries extends QueryPack {
         |ORDER BY c_custkey""".stripMargin,
     "q15_outer_join_agg" ->
       """SELECT c_custkey, count(o_orderkey) AS n_orders,
-        |  floor((coalesce(sum(o_totalprice), 0)) * 100.0 + 0.5) / 100.0 AS total_spent
+        |  floor((coalesce(CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE), 0.0) / 100.0) * 100.0 + 0.5) / 100.0 AS total_spent
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
     "q16_sort_limit" ->
@@ -217,7 +221,7 @@ object JoinQueries extends QueryPack {
     "q18_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
         |  coalesce(l_linestatus, 'ALL') AS linestatus,
-        |  count(*) AS n_rows, floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0 AS sum_qty
+        |  count(*) AS n_rows, floor((CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0) * 100.0 + 0.5) / 100.0 AS sum_qty
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin,

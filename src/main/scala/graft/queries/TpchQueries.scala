@@ -1,0 +1,150 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryPack, Tables}
+import graft.functions.Rounding.{cents, roundf}
+
+/** Classic multi-join analytical shapes (TPC-H Q7/Q8/Q2 style) over the
+  * testdata star schema — the join-heavy breadth the reference itself never
+  * exercises (SURVEY.md §2.3: the reference has no joins at all).
+  *
+  * 100 TB posture: `lineitem`/`orders` are the fact tables and every
+  * dimension (nation, region, supplier, customer at TPC-H proportions) is
+  * broadcast-joined, so each query is one or two fact-fact shuffles on the
+  * join keys plus a small aggregate; AQE handles the rest.
+  */
+object TpchQueries extends QueryPack {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Volume in exact 10⁻⁴ fixed-point (int64): order-independent sums —
+    * see Rounding.cents. */
+  private def vol4 = cents(col("l_extendedprice")) *
+    cents(lit(1) - col("l_discount"))
+
+  /** Q7-style volume shipping: revenue between every ordered pair of
+    * distinct (supplier nation → customer nation), per ship year. */
+  private def q57(s: SparkSession, dir: String): DataFrame = {
+    val n1 = t(s, dir, "nation")
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = t(s, dir, "nation")
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    val sup = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+    val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+    val ord = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).cast("long").as("l_year"), vol4.as("vol"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy("supp_nation", "cust_nation", "l_year")
+      .agg(roundf(sum("vol").cast("double") / 10000.0, 2).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** Q8-style market share: among orders from customers in region ASIA,
+    * the share of line-item volume supplied by NATION_2, per order year. */
+  private def q58(s: SparkSession, dir: String): DataFrame = {
+    val asiaNations = t(s, dir, "nation")
+      .join(broadcast(t(s, dir, "region")
+        .filter(col("r_name") === "ASIA").select("r_regionkey")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("c_nk"))
+    val asiaCust = t(s, dir, "customer")
+      .join(broadcast(asiaNations), col("c_nationkey") === col("c_nk"))
+      .select("c_custkey")
+    val suppNation = t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nk"), col("n_name"))),
+        col("s_nationkey") === col("s_nk"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val ord = t(s, dir, "orders")
+      .join(broadcast(asiaCust), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), vol4.as("vol"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("o_year")
+      .agg(roundf(
+        sum(when(col("supp_nation") === "NATION_2", col("vol"))
+          .otherwise(lit(0L))).cast("double") /
+          sum(col("vol")).cast("double"), 6).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  /** Q2-style min-per-group + join-back: for every part, the supplier(s)
+    * with the minimum total sale revenue for that part (ties kept, like
+    * Q2's multi-row answer per part). */
+  private def q59(s: SparkSession, dir: String): DataFrame = {
+    val ps = t(s, dir, "lineitem")
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(roundf(sum(vol4).cast("double") / 10000.0, 2).as("rev"))
+    val minRev = ps.groupBy("l_partkey")
+      .agg(min("rev").as("min_rev"))
+    ps.join(minRev, Seq("l_partkey"))
+      .filter(col("rev") === col("min_rev"))
+      .join(broadcast(t(s, dir, "supplier").select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_partkey").as("p_key"), col("l_suppkey").as("s_key"),
+        col("s_name"), col("rev"))
+      .orderBy("p_key", "s_key")
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q57_volume_shipping" -> (q57 _),
+    "q58_market_share" -> (q58 _),
+    "q59_min_cost_supplier" -> (q59 _))
+
+  val oracle: Map[String, String] = Map(
+    "q57_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  year(l_shipdate) AS l_year,
+        |  floor((CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) * CAST(floor((1 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0) * 100.0 + 0.5) / 100.0 AS revenue
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name <> n2.n_name
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q58_market_share" ->
+      """WITH asia_cust AS (
+        |  SELECT c_custkey FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA'),
+        |vols AS (
+        |  SELECT year(o_orderdate) AS o_year,
+        |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) * CAST(floor((1 - l_discount) * 100.0 + 0.5) AS BIGINT) AS vol,
+        |    n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN asia_cust ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey)
+        |SELECT o_year,
+        |  floor((CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN vol ELSE 0 END) AS DOUBLE)
+        |         / CAST(sum(vol) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS mkt_share
+        |FROM vols GROUP BY o_year ORDER BY o_year""".stripMargin,
+    "q59_min_cost_supplier" ->
+      """WITH ps AS (
+        |  SELECT l_partkey,
+        |    l_suppkey,
+        |    floor((CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) * CAST(floor((1 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0) * 100.0 + 0.5) / 100.0 AS rev
+        |  FROM lineitem GROUP BY 1, 2),
+        |m AS (SELECT l_partkey, min(rev) AS min_rev FROM ps GROUP BY 1)
+        |SELECT ps.l_partkey AS p_key, ps.l_suppkey AS s_key, s_name, rev
+        |FROM ps
+        |JOIN m ON ps.l_partkey = m.l_partkey AND ps.rev = m.min_rev
+        |JOIN supplier ON ps.l_suppkey = s_suppkey
+        |ORDER BY p_key, s_key""".stripMargin)
+}
