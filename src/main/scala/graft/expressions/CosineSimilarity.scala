@@ -94,12 +94,15 @@ object CosineSimilarity {
 }
 
 /** Build-time registration for sessions created with
-  * `.withExtensions(new GraftExtensions)`. */
+  * `.withExtensions(new GraftExtensions)`: the native cosine_sim
+  * expression and the AsofJoin planner strategy. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    e.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+  }
 }

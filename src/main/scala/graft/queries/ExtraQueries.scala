@@ -50,6 +50,27 @@ object ExtraQueries extends QueryPack {
       .orderBy("p_id")
   }
 
+  /** The SAME as-of semantics as q25, through the engine's native
+    * AsofJoin operator (graft.plans: custom LogicalPlan + Strategy +
+    * merge-scan SparkPlan) instead of the union+window composition —
+    * checked against the identical DuckDB ASOF LEFT JOIN oracle, which is
+    * the correctness proof for the custom operator at data scale. */
+  private def q61(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("p_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_uid"), col("ts").as("c_ts"),
+        col("event_id").as("c_id"))
+    graft.plans.AsofJoinOps
+      .asofLeft(purchases, clicks, "user_id", "c_uid", "ts", "c_ts", "c_id")
+      .select(col("p_id"), col("user_id"),
+        date_format(col("ts"), fmt).as("p_ts"),
+        col("c_id").as("click_id"),
+        date_format(col("c_ts"), fmt).as("click_ts"))
+      .orderBy("p_id")
+  }
+
   /** Exact distinct counts (multi-column) per group. */
   private def q26(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -201,6 +222,7 @@ object ExtraQueries extends QueryPack {
     "q47_cube" -> (q47 _),
     "q48_window_frames" -> (q48 _),
     "q25_asof_join" -> (q25 _),
+    "q61_asof_native" -> (q61 _),
     "q26_distinct_count" -> (q26 _),
     "q27_typed_agg" -> (q27 _),
     "q28_pivot" -> (q28 _),
@@ -234,6 +256,15 @@ object ExtraQueries extends QueryPack {
         |            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, event_id""".stripMargin,
     "q25_asof_join" ->
+      """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT * FROM events WHERE event_type = 'click')
+        |SELECT p.event_id AS p_id, p.user_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS p_ts,
+        |  c.event_id AS click_id,
+        |  strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p_id""".stripMargin,
+    "q61_asof_native" ->
       """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
         |c AS (SELECT * FROM events WHERE event_type = 'click')
         |SELECT p.event_id AS p_id, p.user_id,
