@@ -1,0 +1,93 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryPack, Tables}
+
+/** Event-stream operations every large-scale pipeline needs: deterministic
+  * stratified sampling and gap-based sessionization. Both are pure
+  * shuffle-friendly shapes — a hash-derived uniform for sampling (no RNG
+  * state, reproducible across engines and runs) and one window pass for
+  * sessions. */
+object EventOpsQueries extends QueryPack {
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+
+  /** Per-stratum deterministic sampling: uniform in [0,1) derived from
+    * md5(event_id) (portable across engines, stable across runs — the
+    * property `sample()`/rand() lacks), stratum rates by event_type.
+    * At 100 TB this is a pure map-side filter: no shuffle, no state. */
+  private def q62(s: SparkSession, dir: String): DataFrame = {
+    val u = conv(substring(md5(col("event_id").cast("string")), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+    val rate = when(col("event_type") === "purchase", 1.0)
+      .when(col("event_type") === "click", 0.1)
+      .when(col("event_type") === "view", 0.05)
+      .otherwise(0.2)
+    ev(s, dir)
+      .filter(u < rate)
+      .select(col("event_id"), col("event_type"), col("user_id"))
+      .orderBy("event_id")
+  }
+
+  /** Gap-based sessionization (gap > 30 min ⇒ new session): lag + running
+    * sum of session-start flags in one window pass per user, then a
+    * per-session aggregate. The batch twin of the streaming session
+    * windows in graft.streaming. */
+  private def q63(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev(s, dir)
+      .withColumn("prev_ts", lag("ts", 1).over(w))
+      .withColumn("new_sess",
+        (col("prev_ts").isNull ||
+          col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"))
+          .cast("long"))
+      .withColumn("session_idx", sum("new_sess").over(run))
+      .groupBy("user_id", "session_idx")
+      .agg(
+        date_format(min("ts"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(max("ts"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q62_stratified_sample" -> (q62 _),
+    "q63_sessionize" -> (q63 _))
+
+  val oracle: Map[String, String] = Map(
+    "q62_stratified_sample" ->
+      """SELECT event_id, event_type, user_id
+        |FROM events
+        |WHERE CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |      / 4294967296.0
+        |    < CASE event_type WHEN 'purchase' THEN 1.0
+        |                      WHEN 'click' THEN 0.1
+        |                      WHEN 'view' THEN 0.05
+        |                      ELSE 0.2 END
+        |ORDER BY event_id""".stripMargin,
+    "q63_sessionize" ->
+      """WITH l AS (
+        |  SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE AS BIGINT)
+        |      AS new_sess
+        |  FROM l),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM f)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  count(*) AS n_events
+        |FROM sess GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin)
+}

@@ -85,13 +85,40 @@ object TextQueries extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** TF-IDF top-3 terms per document: term counts per doc, document
+    * frequency per term, idf = ln(N/df), one window for the per-doc top-k.
+    * Shuffles on (doc, tok) then tok — both high-cardinality keys; the
+    * single-row doc count broadcasts. Ties inside a doc break on the term
+    * string; cross-engine ln() ULP differences cannot reorder because equal
+    * (tf, df) pairs produce identical inputs. */
+  private def q64(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs(s, dir)
+      .select(col("doc_id"), explode(tokensCol(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("tok"))
+    tf.join(dfreq, "tok")
+      .crossJoin(broadcast(n))
+      .withColumn("score", col("tf").cast("double") *
+        log(col("n_docs").cast("double") / col("df").cast("double")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("tok"),
+        roundf(col("score"), 6).as("tfidf"))
+      .orderBy("doc_id", "rnk")
+  }
+
   val defs: Map[String, Q] = Map(
     "q30_text_stats" -> (q30 _),
     "q31_text_quality" -> (q31 _),
     "q32_text_langid" -> (q32 _),
     "q33_fingerprint" -> (q33 _),
     "q39_rolling_fp" -> (q39 _),
-    "q45_bpe_tokens" -> (q45 _))
+    "q45_bpe_tokens" -> (q45 _),
+    "q64_tfidf" -> (q64 _))
 
   // DuckDB regexp_replace needs the 'g' flag to match Spark's replace-all.
   val oracle: Map[String, String] = Map(
@@ -156,5 +183,27 @@ object TextQueries extends QueryPack {
         |  len(regexp_extract_all(text,
         |    '''(s|d|m|t|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s'']+')) AS n_bpe_tokens,
         |  len(regexp_extract_all(text, '\S+')) AS n_ws_tokens
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q64_tfidf" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |toks AS (SELECT doc_id, tok FROM raw WHERE tok <> ''),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, tok,
+        |    CAST(tf.tf AS DOUBLE) *
+        |      ln(CAST(n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) AS score
+        |  FROM tf JOIN df USING (tok) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, tok, score,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, tok) AS BIGINT) AS rnk
+        |  FROM scored)
+        |SELECT doc_id, rnk, tok,
+        |  floor((score) * 1000000.0 + 0.5) / 1000000.0 AS tfidf
+        |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin)
 }
