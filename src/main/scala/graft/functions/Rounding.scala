@@ -38,13 +38,28 @@ object Rounding {
     * order-independent, which closes the one divergence channel floor-form
     * rounding cannot: money sums land exactly ON rounding boundaries
     * (the inputs are decimal-grained), where a summation-order ULP
-    * difference between engines flips the rounded result. Sum the cents,
-    * divide once at the end — both engines then run identical integer
-    * adds and one identical double division. */
+    * difference between engines flips the rounded result. Sum the cents
+    * via [[sumExact]], divide once at the end — both engines then run
+    * identical integer adds and one identical double division. */
   def cents(c: Column): Column =
     floor(c * lit(100.0) + lit(0.5)).cast("long")
 
   /** SQL-side mirror of [[cents]]. */
   def centsSql(e: String): String =
     s"CAST(floor(($e) * 100.0 + 0.5) AS BIGINT)"
+
+  /** Overflow-safe exact sum of a fixed-point int64 term, as double.
+    * Spark's sum(long) wraps silently past 2^63 (ANSI off) while DuckDB's
+    * sum(BIGINT) promotes to HUGEINT — a three-factor cents product is
+    * ~10^11 per row, so a ~10^8-row group would diverge AND be garbage.
+    * Summing through decimal(38,0) is exact to 10^38 (≳10^26 rows), and
+    * the final decimal→double conversion is round-to-nearest from the
+    * same exact integer in both engines. */
+  def sumExact(term: Column): Column =
+    sum(term.cast("decimal(38,0)")).cast("double")
+
+  /** SQL-side mirror of [[sumExact]] (DuckDB sums BIGINT as HUGEINT —
+    * already exact — so only the double conversion is spelled out). */
+  def sumExactSql(e: String): String =
+    s"CAST(sum($e) AS DOUBLE)"
 }

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
   Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, SortOrder,
@@ -83,6 +83,12 @@ case class AsofJoinExec(
   override def outputOrdering: Seq[SortOrder] =
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
 
+  /** Rows never leave their left partition, so the left child's hash
+    * partitioning survives — declaring it lets a downstream groupBy/join
+    * on the key reuse it instead of inserting another Exchange. */
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans
+      .physical.Partitioning = left.outputPartitioning
+
   override protected def doExecute(): RDD[InternalRow] = {
     // capture only serializable pieces; projections are code-generated and
     // must be instantiated inside the partition closure
@@ -100,28 +106,41 @@ case class AsofJoinExec(
       val joined = new JoinedRow
       // One buffered right row per partition: the last right row with
       // (rKey, rTime) <= the current left (lKey, lTime). Both iterators
-      // advance monotonically — O(n + m), constant memory.
-      var rRow: InternalRow = if (rIter.hasNext) rIter.next() else null
+      // advance monotonically — O(n + m), constant memory. SQL null
+      // semantics: a null key or time on either side never matches
+      // (ascending sort puts nulls first, so skipping them preserves the
+      // monotone advance).
+      var rRow: InternalRow = null
       var rKeyV = 0L; var rTimeV = 0L
       var matchRow: InternalRow = null // .copy()'d last match for current key
       var matchKey = 0L
-      def loadR(): Unit = if (rRow != null) {
-        val k = rKeyProj(rRow); rKeyV = k.getLong(0); rTimeV = k.getLong(1)
+      def advanceR(): Unit = {
+        rRow = null
+        while (rRow == null && rIter.hasNext) {
+          val cand = rIter.next()
+          val k = rKeyProj(cand)
+          if (!k.isNullAt(0) && !k.isNullAt(1)) {
+            rRow = cand; rKeyV = k.getLong(0); rTimeV = k.getLong(1)
+          }
+        }
       }
-      loadR()
+      advanceR()
       lIter.map { lRow =>
         val lk = lKeyProj(lRow)
-        val lKeyV = lk.getLong(0); val lTimeV = lk.getLong(1)
-        // advance the right side up to (lKeyV, lTimeV) inclusive
-        while (rRow != null &&
-          (rKeyV < lKeyV || (rKeyV == lKeyV && rTimeV <= lTimeV))) {
-          if (rKeyV == lKeyV) { matchRow = rRow.copy(); matchKey = lKeyV }
-          rRow = if (rIter.hasNext) rIter.next() else null
-          loadR()
+        if (lk.isNullAt(0) || lk.isNullAt(1)) {
+          resultProj(joined(lRow, nullRight)) // null key/time: no match
+        } else {
+          val lKeyV = lk.getLong(0); val lTimeV = lk.getLong(1)
+          // advance the right side up to (lKeyV, lTimeV) inclusive
+          while (rRow != null &&
+            (rKeyV < lKeyV || (rKeyV == lKeyV && rTimeV <= lTimeV))) {
+            if (rKeyV == lKeyV) { matchRow = rRow.copy(); matchKey = lKeyV }
+            advanceR()
+          }
+          val r =
+            if (matchRow != null && matchKey == lKeyV) matchRow else nullRight
+          resultProj(joined(lRow, r))
         }
-        val r =
-          if (matchRow != null && matchKey == lKeyV) matchRow else nullRight
-        resultProj(joined(lRow, r))
       }
     }
   }
@@ -159,7 +178,4 @@ object AsofJoinOps {
     if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsofJoinStrategy
-
-  /** Convenience for callers needing a Column-based key lookup. */
-  def col(df: DataFrame, n: String): Column = df(n)
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryPack, Tables}
-import graft.functions.Rounding.{cents, roundf}
+import graft.functions.Rounding.{cents, roundf, sumExact}
 
 /** Reference-parity dataflow operators (SURVEY.md §2.2/§2.4–§2.7) expressed
   * over the driver testdata tables.
@@ -71,16 +71,17 @@ object CoreQueries extends QueryPack {
     * TPC-H Q1 shape. One shuffle on the two group keys.
     *
     * Money columns are exact hundredths, so every sum runs in fixed-point
-    * int64 (order-independent — see Rounding.cents) and converts to double
-    * once at the end; averages divide the exact sum by the count. */
+    * (order-independent, overflow-safe — see Rounding.cents/sumExact) and
+    * converts to double once at the end; averages divide the exact sum by
+    * the count. */
   private def q06(s: SparkSession, dir: String): DataFrame = {
-    val qty = sum(cents(col("l_quantity"))).cast("double") / 100.0
-    val price = sum(cents(col("l_extendedprice"))).cast("double") / 100.0
-    val disc = sum(cents(col("l_extendedprice")) *
-      cents(lit(1) - col("l_discount"))).cast("double") / 10000.0
-    val charge = sum(cents(col("l_extendedprice")) *
+    val qty = sumExact(cents(col("l_quantity"))) / 100.0
+    val price = sumExact(cents(col("l_extendedprice"))) / 100.0
+    val disc = sumExact(cents(col("l_extendedprice")) *
+      cents(lit(1) - col("l_discount"))) / 10000.0
+    val charge = sumExact(cents(col("l_extendedprice")) *
       cents(lit(1) - col("l_discount")) *
-      cents(lit(1) + col("l_tax"))).cast("double") / 1000000.0
+      cents(lit(1) + col("l_tax"))) / 1000000.0
     val n = count(lit(1)).cast("double")
     t(s, dir, "lineitem")
       .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
@@ -92,7 +93,7 @@ object CoreQueries extends QueryPack {
         roundf(charge, 2).as("sum_charge"),
         roundf(qty / n, 4).as("avg_qty"),
         roundf(price / n, 4).as("avg_price"),
-        roundf(sum(cents(col("l_discount"))).cast("double") / 100.0 / n, 4)
+        roundf(sumExact(cents(col("l_discount"))) / 100.0 / n, 4)
           .as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
@@ -161,7 +162,7 @@ object CoreQueries extends QueryPack {
     t(s, dir, "events")
       .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        roundf(sum(cents(col("value"))).cast("double") / 100.0, 2)
+        roundf(sumExact(cents(col("value"))) / 100.0, 2)
           .as("sum_value"))
       .select(date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
         col("event_type"), col("n"), col("sum_value"))

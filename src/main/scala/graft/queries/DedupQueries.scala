@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryPack, Tables}
+import graft.functions.Hashing
 import graft.functions.Rounding.roundf
 import graft.functions.TextAnalysis._
 
@@ -110,8 +111,8 @@ object DedupQueries extends QueryPack {
   private def q42(s: SparkSession, dir: String): DataFrame = {
     val g = shingleDf(s, dir, 3)
     val hashed = g.select(col("doc_id"),
-      conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long").as("ha"),
-      conv(substring(md5(col("gram")), 9, 8), 16, 10).cast("long").as("hb"))
+      Hashing.md5U32(col("gram")).as("ha"),
+      Hashing.md5U32b(col("gram")).as("hb"))
     val aggs = (0 until K).map(k =>
       min((col("ha") + lit(k.toLong) * col("hb")) % lit(P)).as(s"h$k"))
     val sig = hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
@@ -210,8 +211,8 @@ object DedupQueries extends QueryPack {
     s"""WITH ${gramsSql(3)},
        |hashed AS (
        |  SELECT doc_id,
-       |    CAST('0x' || substr(md5(gram), 1, 8) AS BIGINT) AS ha,
-       |    CAST('0x' || substr(md5(gram), 9, 8) AS BIGINT) AS hb
+       |    ${Hashing.md5U32Sql("gram")} AS ha,
+       |    ${Hashing.md5U32bSql("gram")} AS hb
        |  FROM grams),
        |sig AS (SELECT doc_id, $mins FROM hashed GROUP BY doc_id),
        |bands AS (

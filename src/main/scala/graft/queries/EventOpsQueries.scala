@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryPack, Tables}
+import graft.functions.Hashing
 
 /** Event-stream operations every large-scale pipeline needs: deterministic
   * stratified sampling and gap-based sessionization. Both are pure
@@ -20,8 +21,7 @@ object EventOpsQueries extends QueryPack {
     * property `sample()`/rand() lacks), stratum rates by event_type.
     * At 100 TB this is a pure map-side filter: no shuffle, no state. */
   private def q62(s: SparkSession, dir: String): DataFrame = {
-    val u = conv(substring(md5(col("event_id").cast("string")), 1, 8), 16, 10)
-      .cast("double") / lit(4294967296.0)
+    val u = Hashing.md5Uniform(col("event_id").cast("string"))
     val rate = when(col("event_type") === "purchase", 1.0)
       .when(col("event_type") === "click", 0.1)
       .when(col("event_type") === "view", 0.05)
@@ -60,10 +60,9 @@ object EventOpsQueries extends QueryPack {
 
   val oracle: Map[String, String] = Map(
     "q62_stratified_sample" ->
-      """SELECT event_id, event_type, user_id
+      s"""SELECT event_id, event_type, user_id
         |FROM events
-        |WHERE CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT)
-        |      / 4294967296.0
+        |WHERE ${Hashing.md5UniformSql("CAST(event_id AS VARCHAR)")}
         |    < CASE event_type WHEN 'purchase' THEN 1.0
         |                      WHEN 'click' THEN 0.1
         |                      WHEN 'view' THEN 0.05

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryPack, Tables}
-import graft.functions.Rounding.{cents, roundf}
+import graft.functions.Rounding.{cents, roundf, sumExact}
 import graft.functions.WeightedAvg
 
 /** Second breadth wave: as-of join, exact distinct counts, typed
@@ -192,7 +192,7 @@ object ExtraQueries extends QueryPack {
     t(s, dir, "lineitem")
       .cube("l_returnflag", "l_linestatus")
       .agg(count(lit(1)).as("n_rows"),
-        roundf(sum(cents(col("l_extendedprice"))).cast("double") / 100.0, 2)
+        roundf(sumExact(cents(col("l_extendedprice"))) / 100.0, 2)
           .as("sum_price"))
       .select(
         coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryPack, Tables}
-import graft.functions.Rounding.{cents, roundf}
+import graft.functions.Rounding.{cents, roundf, sumExact}
 
 /** Join / sort / limit / grouping-set breadth (SURVEY.md §7 phase C).
   *
@@ -33,8 +33,8 @@ object JoinQueries extends QueryPack {
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy("l_orderkey", "o_orderdate")
-      .agg(roundf(sum(cents(col("l_extendedprice")) *
-        cents(lit(1) - col("l_discount"))).cast("double") / 10000.0, 2)
+      .agg(roundf(sumExact(cents(col("l_extendedprice")) *
+        cents(lit(1) - col("l_discount"))) / 10000.0, 2)
         .as("revenue"))
       .select(col("l_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
@@ -65,8 +65,8 @@ object JoinQueries extends QueryPack {
       .join(broadcast(cust), col("o_custkey") === col("c_custkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .groupBy("n_name")
-      .agg(roundf(sum(cents(col("l_extendedprice")) *
-        cents(lit(1) - col("l_discount"))).cast("double") / 10000.0, 2)
+      .agg(roundf(sumExact(cents(col("l_extendedprice")) *
+        cents(lit(1) - col("l_discount"))) / 10000.0, 2)
         .as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
@@ -95,7 +95,7 @@ object JoinQueries extends QueryPack {
         "left_outer")
       .groupBy("c_custkey")
       .agg(count(col("o_orderkey")).as("n_orders"),
-        roundf(coalesce(sum(cents(col("o_totalprice"))).cast("double"),
+        roundf(coalesce(sumExact(cents(col("o_totalprice"))),
           lit(0.0)) / 100.0, 2).as("total_spent"))
       .orderBy("c_custkey")
 
@@ -124,7 +124,7 @@ object JoinQueries extends QueryPack {
   private def q18(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .rollup("l_returnflag", "l_linestatus")
-      .agg(count(lit(1)).as("n_rows"), roundf(sum(cents(col("l_quantity"))).cast("double") / 100.0, 2)
+      .agg(count(lit(1)).as("n_rows"), roundf(sumExact(cents(col("l_quantity"))) / 100.0, 2)
         .as("sum_qty"))
       .select(
         coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryPack, Tables}
+import graft.functions.Hashing
 import graft.functions.Rounding.roundf
 import graft.functions.TextAnalysis._
 
@@ -65,9 +66,7 @@ object TextQueries extends QueryPack {
       .select(col("doc_id"), posexplode(tokensCol(col("text"))))
       .filter(col("col") =!= "")
       .select(col("doc_id"),
-        ((col("pos") + 1) *
-          conv(substring(md5(col("col")), 1, 8), 16, 10).cast("long"))
-          .as("term"))
+        ((col("pos") + 1) * Hashing.md5U32(col("col"))).as("term"))
       .groupBy("doc_id")
       .agg((sum("term") % lit(1000000007L)).as("rolling_fp"))
       .orderBy("doc_id")
@@ -86,11 +85,17 @@ object TextQueries extends QueryPack {
   }
 
   /** TF-IDF top-3 terms per document: term counts per doc, document
-    * frequency per term, idf = ln(N/df), one window for the per-doc top-k.
-    * Shuffles on (doc, tok) then tok — both high-cardinality keys; the
-    * single-row doc count broadcasts. Ties inside a doc break on the term
-    * string; cross-engine ln() ULP differences cannot reorder because equal
-    * (tf, df) pairs produce identical inputs. */
+    * frequency per term, one window for the per-doc top-k. Shuffles on
+    * (doc, tok) then tok — both high-cardinality keys; the single-row doc
+    * count broadcasts.
+    *
+    * The idf is the BM25-style rational form (N − df + 0.5)/(df + 0.5)
+    * WITHOUT the log: every op is exact-rounded IEEE arithmetic, so scores
+    * (and therefore ranks and rounding) are bit-identical across engines.
+    * An ln()-based idf is a one-line swap but Spark codegen uses
+    * StrictMath.log while DuckDB uses libm — off-by-one-ulp on real inputs,
+    * a latent rank/rounding flake under an exact-compare oracle. The
+    * rational form is monotone in df exactly like ln(N/df). */
   private def q64(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = docs(s, dir)
@@ -102,8 +107,10 @@ object TextQueries extends QueryPack {
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("tok"))
     tf.join(dfreq, "tok")
       .crossJoin(broadcast(n))
-      .withColumn("score", col("tf").cast("double") *
-        log(col("n_docs").cast("double") / col("df").cast("double")))
+      .withColumn("score",
+        col("tf").cast("double") *
+          (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 3)
       .select(col("doc_id"), col("rnk"), col("tok"),
@@ -167,14 +174,14 @@ object TextQueries extends QueryPack {
         |  substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 8) AS fp8
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q39_rolling_fp" ->
-      """WITH toks AS (
+      s"""WITH toks AS (
         |  SELECT doc_id,
-        |    regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |    regexp_split_to_array(lower(trim(text)), '\\s+') AS t
         |  FROM documents),
         |p AS (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS pos FROM toks),
         |terms AS (
         |  SELECT doc_id,
-        |    pos * CAST('0x' || substr(md5(t[pos]), 1, 8) AS BIGINT) AS term
+        |    pos * ${Hashing.md5U32Sql("t[pos]")} AS term
         |  FROM p WHERE t[pos] <> '')
         |SELECT doc_id, CAST(sum(term) % 1000000007 AS BIGINT) AS rolling_fp
         |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
@@ -196,7 +203,8 @@ object TextQueries extends QueryPack {
         |scored AS (
         |  SELECT doc_id, tok,
         |    CAST(tf.tf AS DOUBLE) *
-        |      ln(CAST(n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) AS score
+        |      (CAST(n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5) /
+        |      (CAST(df.df AS DOUBLE) + 0.5) AS score
         |  FROM tf JOIN df USING (tok) CROSS JOIN n),
         |ranked AS (
         |  SELECT doc_id, tok, score,

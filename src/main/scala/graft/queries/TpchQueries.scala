@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryPack, Tables}
-import graft.functions.Rounding.{cents, roundf}
+import graft.functions.Rounding.{cents, roundf, sumExact}
 
 /** Classic multi-join analytical shapes (TPC-H Q7/Q8/Q2 style) over the
   * testdata star schema — the join-heavy breadth the reference itself never
@@ -44,7 +44,7 @@ object TpchQueries extends QueryPack {
       .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
       .filter(col("supp_nation") =!= col("cust_nation"))
       .groupBy("supp_nation", "cust_nation", "l_year")
-      .agg(roundf(sum("vol").cast("double") / 10000.0, 2).as("revenue"))
+      .agg(roundf(sumExact(col("vol")) / 10000.0, 2).as("revenue"))
       .orderBy("supp_nation", "cust_nation", "l_year")
   }
 
@@ -74,9 +74,9 @@ object TpchQueries extends QueryPack {
       .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
       .groupBy("o_year")
       .agg(roundf(
-        sum(when(col("supp_nation") === "NATION_2", col("vol"))
-          .otherwise(lit(0L))).cast("double") /
-          sum(col("vol")).cast("double"), 6).as("mkt_share"))
+        sumExact(when(col("supp_nation") === "NATION_2", col("vol"))
+          .otherwise(lit(0L))) /
+          sumExact(col("vol")), 6).as("mkt_share"))
       .orderBy("o_year")
   }
 
@@ -86,7 +86,7 @@ object TpchQueries extends QueryPack {
   private def q59(s: SparkSession, dir: String): DataFrame = {
     val ps = t(s, dir, "lineitem")
       .groupBy("l_partkey", "l_suppkey")
-      .agg(roundf(sum(vol4).cast("double") / 10000.0, 2).as("rev"))
+      .agg(roundf(sumExact(vol4) / 10000.0, 2).as("rev"))
     val minRev = ps.groupBy("l_partkey")
       .agg(min("rev").as("min_rev"))
     ps.join(minRev, Seq("l_partkey"))

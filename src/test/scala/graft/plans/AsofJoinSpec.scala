@@ -62,6 +62,22 @@ class AsofJoinSpec extends SparkSuite {
     assert(out.forall { case (lid, rid) => rid.contains(lid * 10L) })
   }
 
+  test("null keys and null times never match (SQL null semantics)") {
+    val l = Seq((Some(1L), Some(10L), 100L), (None, Some(10L), 101L),
+      (Some(1L), None, 102L))
+      .toDF("k", "t", "lid")
+    val r = Seq((Some(1L), Some(5L), 1L), (Some(1L), None, 2L),
+      (None, Some(5L), 3L))
+      .toDF("rk", "rt", "rid")
+    val out = asof(l, r)
+      .select("lid", "rid").as[(Long, Option[Long])].collect().toMap
+    assert(out(100L).contains(1L)) // real match unaffected
+    assert(out(101L).isEmpty)      // null left key
+    assert(out(102L).isEmpty)      // null left time
+    // and the null-keyed/timed right rows were never candidates
+    assert(!out.values.flatten.exists(Set(2L, 3L)))
+  }
+
   test("agrees with the union+window composition on real events (sf0.001)") {
     val sf = "/root/testdata/sf0.001"
     val composed = graft.SparkEntry.queries("q25_asof_join")(spark, sf)
