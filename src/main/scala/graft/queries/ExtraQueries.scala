@@ -116,15 +116,22 @@ object ExtraQueries extends QueryPack {
       .orderBy("user_id")
   }
 
-  /** Exact interpolated percentiles per group. */
-  private def q29(s: SparkSession, dir: String): DataFrame =
+  /** Exact interpolated percentiles per group — computed over integral
+    * cents, not raw doubles: `value` is 2-decimal-grained, so raw p50
+    * midpoints land exactly ON the .xxx5 rounding boundary where the two
+    * engines' interpolation formulas can differ by an ulp and flip the
+    * floor. Integer inputs make the f=0.5 midpoint exact in both engines,
+    * and the single /100.0 at the end is the identical IEEE op. */
+  private def q29(s: SparkSession, dir: String): DataFrame = {
+    val c = "CAST(floor(value * 100.0 + 0.5) AS BIGINT)"
     t(s, dir, "events")
       .groupBy("event_type")
       .agg(
-        roundf(expr("percentile(value, 0.5)"), 4).as("p50"),
-        roundf(expr("percentile(value, 0.9)"), 4).as("p90"),
-        roundf(expr("percentile(value, 0.99)"), 4).as("p99"))
+        roundf(expr(s"percentile($c, 0.5)") / 100.0, 4).as("p50"),
+        roundf(expr(s"percentile($c, 0.9)") / 100.0, 4).as("p90"),
+        roundf(expr(s"percentile($c, 0.99)") / 100.0, 4).as("p99"))
       .orderBy("event_type")
+  }
 
   /** Statistical aggregates: correlation/covariance/stddev/variance of
     * value vs the JSON k weight. */
@@ -293,9 +300,9 @@ object ExtraQueries extends QueryPack {
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q29_percentiles" ->
       """SELECT event_type,
-        |  floor((quantile_cont(value, 0.5)) * 10000.0 + 0.5) / 10000.0 AS p50,
-        |  floor((quantile_cont(value, 0.9)) * 10000.0 + 0.5) / 10000.0 AS p90,
-        |  floor((quantile_cont(value, 0.99)) * 10000.0 + 0.5) / 10000.0 AS p99
+        |  floor((quantile_cont(CAST(floor("value" * 100.0 + 0.5) AS BIGINT), 0.5) / 100.0) * 10000.0 + 0.5) / 10000.0 AS p50,
+        |  floor((quantile_cont(CAST(floor("value" * 100.0 + 0.5) AS BIGINT), 0.9) / 100.0) * 10000.0 + 0.5) / 10000.0 AS p90,
+        |  floor((quantile_cont(CAST(floor("value" * 100.0 + 0.5) AS BIGINT), 0.99) / 100.0) * 10000.0 + 0.5) / 10000.0 AS p99
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q34_stats_agg" ->
       s"""SELECT event_type,

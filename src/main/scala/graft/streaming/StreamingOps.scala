@@ -41,6 +41,28 @@ object StreamingOps {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("session_value"))
 
+  /** Stream-stream interval join: each purchase joins the clicks of the
+    * same user within the preceding hour. Both sides carry watermarks and
+    * the join condition bounds event-time distance, so state on both sides
+    * is watermark-bounded — the requirement for an unbounded stream-stream
+    * join. (Batch inputs run the identical plan as a plain interval join.) */
+  def purchaseClickJoin(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_uid"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_uid"), col("ts").as("c_ts"),
+        col("event_id").as("c_id"))
+      .withWatermark("c_ts", "2 hours")
+    purchases.join(clicks,
+      col("p_uid") === col("c_uid") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("p_id"), col("p_uid").as("user_id"), col("p_ts"),
+        col("c_id"), col("c_ts"))
+  }
+
   /** Custom keyed state via mapGroupsWithState: running per-user count and
     * value sum across micro-batches. */
   def runningUserStats(events: Dataset[Event]): Dataset[UserStats] = {

@@ -56,6 +56,19 @@ class StreamingSpec extends SparkSuite {
     assert(totalEvents == eventsBatch.count())
   }
 
+  test("stream-stream interval join matches the batch interval join") {
+    val q = StreamingOps.purchaseClickJoin(eventsStream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ppjoin").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("ppjoin")
+      .orderBy("p_id", "c_id").collect()
+    val batch = StreamingOps.purchaseClickJoin(eventsBatch)
+      .orderBy("p_id", "c_id").collect()
+    assert(batch.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   test("Normalize runs unchanged on a streaming raw zone") {
     // the pipeline's transform stage as a continuous job: stream the raw
     // JSON zone, normalize, and get the same rows the batch path produces
