@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bin-accelerated interval (range) join.
+  *
+  * Spark plans a pure range predicate — `point >= lo AND point < hi` with
+  * no equi key — as a nested-loop join: O(|points| · |intervals|), the
+  * classic scale cliff. The standard fix (used by every engine with a
+  * native range join) is binning: quantize the domain into fixed-width
+  * bins, emit each interval once per bin it overlaps, key each point by
+  * its bin, equi-join on the bin id, and re-check the exact predicate.
+  * Work becomes O(|points| + |intervals| · bins_per_interval + matches),
+  * shuffles hash-partition on the bin id, and every Spark join strategy
+  * (broadcast, sort-merge, AQE skew handling) applies to the equi key.
+  *
+  * Correctness: a point lies in exactly one bin, and a matching interval
+  * overlaps that bin, so every true match appears exactly once — no
+  * dedup pass needed. Pick `width` near the typical interval length:
+  * shorter intervals per bin → fewer join candidates; an interval spans
+  * ceil(len/width)+1 bins at most.
+  *
+  * Columns are referenced by name; `point`, `lo`, `hi` must be numeric
+  * (cast timestamps with unix_micros first). `hi` is exclusive.
+  */
+object RangeJoin {
+  def binned(points: DataFrame, intervals: DataFrame,
+      point: String, lo: String, hi: String, width: Long): DataFrame = {
+    require(width > 0, "bin width must be positive")
+    val p = points.withColumn("__bin",
+      floor(col(point) / lit(width)).cast("long"))
+    val i = intervals.withColumn("__bin",
+      explode(sequence(
+        floor(col(lo) / lit(width)).cast("long"),
+        floor((col(hi) - lit(1)) / lit(width)).cast("long"))))
+    p.join(i, Seq("__bin"))
+      .filter(col(point) >= col(lo) && col(point) < col(hi))
+      .drop("__bin")
+  }
+}

@@ -98,10 +98,42 @@ object TpchQueries extends QueryPack {
       .orderBy("p_key", "s_key")
   }
 
+  /** Pure range join — NO equi key: line items counted into calendar-month
+    * windows derived from order dates. Runs through RangeJoin.binned
+    * (32-day bins over epoch-micros), which turns what Spark would plan as
+    * a nested-loop theta join into an equi-join on bin ids — the shape
+    * that survives 100 TB. The DuckDB oracle states the same join as a
+    * plain range predicate. */
+  private def q65(s: SparkSession, dir: String): DataFrame = {
+    val months = t(s, dir, "orders")
+      .select(date_trunc("month", col("o_orderdate")).as("month_start"))
+      .distinct()
+      .select(col("month_start"),
+        // .cast("timestamp") first: parquet may surface these as
+        // TIMESTAMP_NTZ (session-dependent inference), which unix_micros
+        // rejects; under the engine's pinned UTC session the cast is a
+        // same-instant no-op
+        unix_micros(col("month_start").cast("timestamp")).as("lo"),
+        unix_micros((col("month_start") + expr("INTERVAL 1 MONTH"))
+          .cast("timestamp")).as("hi"))
+    val li = t(s, dir, "lineitem")
+      .select(unix_micros(col("l_shipdate").cast("timestamp")).as("p"),
+        vol4.as("vol"))
+    graft.operators.RangeJoin
+      .binned(li, months, "p", "lo", "hi", 32L * 24 * 3600 * 1000000)
+      .groupBy("month_start")
+      .agg(count(lit(1)).as("n_items"),
+        roundf(sumExact(col("vol")) / 10000.0, 2).as("revenue"))
+      .select(date_format(col("month_start"), "yyyy-MM-dd").as("month_start"),
+        col("n_items"), col("revenue"))
+      .orderBy("month_start")
+  }
+
   val defs: Map[String, Q] = Map(
     "q57_volume_shipping" -> (q57 _),
     "q58_market_share" -> (q58 _),
-    "q59_min_cost_supplier" -> (q59 _))
+    "q59_min_cost_supplier" -> (q59 _),
+    "q65_range_join_binned" -> (q65 _))
 
   val oracle: Map[String, String] = Map(
     "q57_volume_shipping" ->
@@ -146,5 +178,17 @@ object TpchQueries extends QueryPack {
         |FROM ps
         |JOIN m ON ps.l_partkey = m.l_partkey AND ps.rev = m.min_rev
         |JOIN supplier ON ps.l_suppkey = s_suppkey
-        |ORDER BY p_key, s_key""".stripMargin)
+        |ORDER BY p_key, s_key""".stripMargin,
+    "q65_range_join_binned" ->
+      """WITH months AS (
+        |  SELECT DISTINCT date_trunc('month', o_orderdate) AS month_start,
+        |    date_trunc('month', o_orderdate) + INTERVAL 1 MONTH AS month_end
+        |  FROM orders)
+        |SELECT strftime(month_start, '%Y-%m-%d') AS month_start,
+        |  count(*) AS n_items,
+        |  floor((CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) * CAST(floor((1 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0) * 100.0 + 0.5) / 100.0 AS revenue
+        |FROM lineitem JOIN months
+        |  ON l_shipdate >= month_start AND l_shipdate < month_end
+        |GROUP BY months.month_start
+        |ORDER BY month_start""".stripMargin)
 }

@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+
+/** Binned range join: must equal the naive theta join exactly, across bin
+  * boundaries, interval lengths, and empty overlaps. */
+class RangeJoinSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("binned equals the naive nested-loop range join on adversarial data") {
+    // points on and around bin edges; intervals shorter, equal to, and far
+    // longer than the bin width; plus an interval matching nothing
+    val pts = Seq(0L, 9L, 10L, 11L, 19L, 20L, 21L, 99L, 100L, 101L, 250L)
+      .toDF("p")
+    val ivs = Seq(
+      (0L, 10L), (10L, 20L), (5L, 15L),   // edges + straddle
+      (0L, 101L),                          // spans many bins
+      (300L, 400L),                        // matches nothing
+      (20L, 21L))                          // single-point-wide
+      .toDF("lo", "hi")
+    val binned = RangeJoin.binned(pts, ivs, "p", "lo", "hi", width = 10L)
+      .select("p", "lo", "hi")
+    val naive = pts.join(ivs, col("p") >= col("lo") && col("p") < col("hi"))
+      .select("p", "lo", "hi")
+    assert(binned.count() > 0)
+    assert(binned.exceptAll(naive).isEmpty && naive.exceptAll(binned).isEmpty)
+  }
+
+  test("each true match appears exactly once (no bin-overlap duplicates)") {
+    val pts = (0L until 200L).toDF("p")
+    val ivs = Seq((0L, 200L)).toDF("lo", "hi") // one interval over 20+ bins
+    val out = RangeJoin.binned(pts, ivs, "p", "lo", "hi", width = 7L)
+    assert(out.count() == 200)
+    assert(out.select("p").distinct().count() == 200)
+  }
+
+  test("plan joins on the bin id, not a nested loop") {
+    val pts = (0L until 50L).toDF("p")
+    val ivs = Seq((0L, 25L), (25L, 50L)).toDF("lo", "hi")
+    val plan = RangeJoin.binned(pts, ivs, "p", "lo", "hi", width = 10L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+}
