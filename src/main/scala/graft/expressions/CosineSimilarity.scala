@@ -86,6 +86,16 @@ case class CosineSimilarity(left: Expression, right: Expression)
 }
 
 object CosineSimilarity {
+  /** Column-API form — lets callers apply the native expression to
+    * constructed columns (e.g. literal plane arrays) without a SQL-text
+    * round-trip through `expr(...)`. */
+  def sim(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(CosineSimilarity(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+  }
+
   /** Runtime registration (idempotent) so `expr("cosine_sim(a, b)")` and
     * SQL work on any session — called from Tables.configure. */
   def register(spark: SparkSession): Unit =

