@@ -46,7 +46,13 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // a failed query must be visible, not silently counted as a fast run
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    // machine-contention telemetry: a contended box (round-2's 91.8s vs a
+    // quiet 51.9s on identical code) is self-identifying when the 1-minute
+    // load average rides along with the numbers
+    val loadAvg = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val hostCpus = Runtime.getRuntime.availableProcessors
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","load_avg":$loadAvg,"host_cpus":$hostCpus}""")
     spark.stop()
   }
 }

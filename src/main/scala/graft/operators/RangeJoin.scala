@@ -30,10 +30,16 @@ object RangeJoin {
     require(width > 0, "bin width must be positive")
     val p = points.withColumn("__bin",
       floor(col(point) / lit(width)).cast("long"))
-    val i = intervals.withColumn("__bin",
-      explode(sequence(
-        floor(col(lo) / lit(width)).cast("long"),
-        floor((col(hi) - lit(1)) / lit(width)).cast("long"))))
+    // degenerate/corrupt intervals (hi <= lo) can match nothing, but
+    // sequence(start, stop) steps BACKWARD when start > stop — a row with
+    // lo >> hi would fabricate a huge descending bin array. Drop them
+    // before the explode.
+    val i = intervals
+      .filter(col(hi) > col(lo))
+      .withColumn("__bin",
+        explode(sequence(
+          floor(col(lo) / lit(width)).cast("long"),
+          floor((col(hi) - lit(1)) / lit(width)).cast("long"))))
     p.join(i, Seq("__bin"))
       .filter(col(point) >= col(lo) && col(point) < col(hi))
       .drop("__bin")

@@ -166,9 +166,32 @@ object AsofJoinOps {
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(
           s"column $n not in ${p.output.map(_.name).mkString(",")}"))
+    // The merge scan reads key/time/tie-break as raw 8-byte longs
+    // (getLong); narrower or differently-encoded types (Int, Date) would
+    // compare WRONG silently (an int is zero-extended, so negatives read as
+    // large positives). Fail fast instead.
+    def requireOrderableLong(a: Attribute, role: String): Attribute = {
+      a.dataType match {
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.TimestampType => a
+        case t => throw new IllegalArgumentException(
+          s"asofLeft $role column ${a.name} must be LongType or " +
+            s"TimestampType (8-byte long-ordered); got $t")
+      }
+    }
+    // A right side sharing exprIds with the left (un-renamed self-join)
+    // would silently mis-bind columns in the projections — require the
+    // caller to rename one side first, as with any self-join.
+    val shared = lp.outputSet.intersect(rp.outputSet)
+    require(shared.isEmpty,
+      s"asofLeft left/right sides share attributes ${shared.map(_.name).mkString(", ")}; " +
+        "rename one side's columns before joining (self-join rule)")
     val plan = AsofJoin(lp, rp,
-      attr(lp, leftKey), attr(rp, rightKey),
-      attr(lp, leftTime), attr(rp, rightTime), attr(rp, rightTieBreak))
+      requireOrderableLong(attr(lp, leftKey), "left key"),
+      requireOrderableLong(attr(rp, rightKey), "right key"),
+      requireOrderableLong(attr(lp, leftTime), "left time"),
+      requireOrderableLong(attr(rp, rightTime), "right time"),
+      requireOrderableLong(attr(rp, rightTieBreak), "right tie-break"))
     org.apache.spark.sql.GraftSqlBridge.ofRows(spark, plan)
   }
 

@@ -22,9 +22,20 @@ object ExtraQueries extends QueryPack {
     * time-ordered stream per user carries the last click forward. One
     * shuffle+sort total — no range-join blowup, scales linearly. Spark has
     * no native as-of join; DuckDB's ASOF LEFT JOIN is the oracle. */
+  /** Contractual tie rule: several clicks can share (user_id, ts), and
+    * which one an as-of join surfaces would otherwise be engine-unspecified
+    * (DuckDB's ASOF picks an arbitrary equal-timestamp row). Both the
+    * Spark queries and the oracles therefore pre-dedup the click side per
+    * (user_id, ts) keeping max(event_id) — the comparison is contractual,
+    * not corpus-luck. */
+  private def dedupClicks(ev: DataFrame): DataFrame =
+    ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("event_id"))
+
   private def q25(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
-    val clicks = ev.filter(col("event_type") === "click").select(
+    val clicks = dedupClicks(ev).select(
       col("user_id"), col("ts"), lit(0).as("kind"),
       lit(null).cast("long").as("p_id"),
       col("event_id").as("c_id"), col("ts").as("c_ts"))
@@ -59,7 +70,7 @@ object ExtraQueries extends QueryPack {
     val ev = t(s, dir, "events")
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), col("event_id").as("p_id"))
-    val clicks = ev.filter(col("event_type") === "click")
+    val clicks = dedupClicks(ev)
       .select(col("user_id").as("c_uid"), col("ts").as("c_ts"),
         col("event_id").as("c_id"))
     graft.plans.AsofJoinOps
@@ -264,7 +275,8 @@ object ExtraQueries extends QueryPack {
         |ORDER BY user_id, event_id""".stripMargin,
     "q25_asof_join" ->
       """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
-        |c AS (SELECT * FROM events WHERE event_type = 'click')
+        |c AS (SELECT user_id, ts, max(event_id) AS event_id
+        |      FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
         |SELECT p.event_id AS p_id, p.user_id,
         |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS p_ts,
         |  c.event_id AS click_id,
@@ -273,7 +285,8 @@ object ExtraQueries extends QueryPack {
         |ORDER BY p_id""".stripMargin,
     "q61_asof_native" ->
       """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
-        |c AS (SELECT * FROM events WHERE event_type = 'click')
+        |c AS (SELECT user_id, ts, max(event_id) AS event_id
+        |      FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
         |SELECT p.event_id AS p_id, p.user_id,
         |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS p_ts,
         |  c.event_id AS click_id,

@@ -21,7 +21,15 @@ object Formats {
 
   /** CSV with header, ISO timestamps, explicit nulls. One file layout
     * decision per call site: pass a pre-`repartition`ed df to control file
-    * counts. */
+    * counts.
+    *
+    * RESERVED MARKER: the null sentinel `\N` (the de-facto standard from
+    * mysqldump/Hive text tables) is reserved — a STRING cell whose entire
+    * content is the two characters backslash-N round-trips to null, because
+    * the CSV reader substitutes the marker after unquoting (quoting does
+    * not protect it). Data that may legitimately contain bare `\N` strings
+    * belongs in JSONL/parquet (lossless for all strings); FormatsSpec pins
+    * this contract. */
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite)
       .option("header", "true")

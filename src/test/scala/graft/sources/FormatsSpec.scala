@@ -35,6 +35,20 @@ class FormatsSpec extends SparkSuite {
       .as[Long].collect().toSeq == Seq(2L))
   }
 
+  test("CSV reserves the literal \\N string: it round-trips to null") {
+    import spark.implicits._
+    val dir = tmp("graft_csvres")
+    // "\\N" here is the two-character string backslash-N — exactly the
+    // reserved marker. The documented contract (Formats.writeCsv scaladoc)
+    // is that such a cell comes back NULL, not silently something else.
+    val src = Seq((1L, "\\N"), (2L, "ok")).toDF("id", "s")
+    Formats.writeCsv(src, dir)
+    val back = Formats.readCsv(spark, dir, src.schema)
+    assert(back.filter(col("s").isNull).select("id")
+      .as[Long].collect().toSeq == Seq(1L))
+    assert(back.filter(col("s") === "ok").count() == 1)
+  }
+
   test("JSONL roundtrip is lossless") {
     val dir = tmp("graft_jsonl")
     val src = events
