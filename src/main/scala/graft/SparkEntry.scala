@@ -15,7 +15,7 @@ object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
     CoreQueries, FlagshipQueries, JoinQueries, TextQueries,
     DedupQueries, SimilarityQueries, MultimodalQueries, ExtraQueries,
-    ArrayQueries, TpchQueries, EventOpsQueries)
+    ArrayQueries, TpchQueries, EventOpsQueries, QualityQueries)
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. The reference's
     * predictor contract (per-group next-step OLS forecast) over `events`. */

@@ -167,11 +167,24 @@ object Pipeline {
   /** Full composed pipeline over a working directory; returns predictions.
     * Each zone is readable after the run (file boundaries kept for parity —
     * a caller wanting one fused lazy plan can compose the stage functions
-    * directly). */
+    * directly).
+    *
+    * Between Transform and Combine sits the data-quality gate
+    * (DataQuality.enforce): each per-symbol processed output must satisfy
+    * the bar contract before Combine may union it — the reference installed
+    * great_expectations for exactly this seam and never wired it
+    * (`docker-compose.yml:32`). Pass `qualityChecks = Nil` to disable. */
   def run(spark: SparkSession, bars: DataFrame, workDir: String,
-      runTs: String = "20260101T000000Z"): DataFrame = {
+      runTs: String = "20260101T000000Z",
+      qualityChecks: Seq[DataQuality.Check] = DataQuality.barChecks)
+      : DataFrame = {
     Ingest.run(spark, bars, s"$workDir/raw", runTs)
-    Transform.run(spark, s"$workDir/raw", s"$workDir/processed")
+    val syms = Transform.run(spark, s"$workDir/raw", s"$workDir/processed")
+    if (qualityChecks.nonEmpty) syms.foreach { sym =>
+      DataQuality.enforce(
+        spark.read.parquet(s"$workDir/processed/${sym}_processed"),
+        qualityChecks, s"processed/$sym")
+    }
     Combine.run(spark, s"$workDir/processed", s"$workDir/combined")
     Predict.run(spark, s"$workDir/combined", s"$workDir/predictions")
   }

@@ -1,0 +1,73 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+import graft.pipeline.DataQuality._
+
+/** The quality gate on passing and failing fixtures: every check kind
+  * counts its violations correctly, missing columns fail rather than
+  * crash, and the enforce form throws with the offending checks named. */
+class DataQualitySpec extends SparkSuite {
+
+  private def fixture = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, Some("a"), 10.0),
+      (2L, None, 5.0),
+      (2L, Some("c"), -1.0),
+      (3L, Some("d"), 7.5)
+    ).toDF("id", "name", "score")
+  }
+
+  test("clean data passes every check") {
+    val rep = report(fixture.filter(col("id") === 1),
+      Seq(HasColumn("id"), NotNull("id"), InRange("score", 0, 100),
+        Unique("id"), RowCount(min = 1)))
+    assert(rep.filter(!col("passed")).count() == 0)
+    assert(rep.count() == 5)
+  }
+
+  test("violations are counted per check") {
+    val rep = report(fixture,
+      Seq(NotNull("name"), InRange("score", 0, 100), Unique("id"),
+        RowCount(min = 10), HasColumn("nope"), NotNull("nope")))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getBoolean(4))).toMap
+    assert(rep(("not_null", "name")) == (1L, false))
+    assert(rep(("in_range", "score")) == (1L, false)) // the -1.0
+    assert(rep(("unique", "id")) == (1L, false)) // one extra dup of id=2
+    assert(rep(("row_count", "")) == (1L, false)) // 4 rows < min 10
+    assert(rep(("has_column", "nope")) == (1L, false))
+    assert(rep(("not_null", "nope")) == (1L, false)) // missing → fails, no crash
+  }
+
+  test("one aggregation pass: row-level checks do not multiply scans") {
+    val df = fixture
+    val rep = report(df, Seq(NotNull("id"), NotNull("name"),
+      InRange("score", 0, 100), RowCount(min = 1)))
+    // all four scalar checks come back from one agg: same total everywhere
+    assert(rep.select("total").distinct().count() == 1)
+  }
+
+  test("enforce throws naming the failed checks; passes clean data") {
+    val e = intercept[IllegalArgumentException] {
+      enforce(fixture, Seq(NotNull("name"), Unique("id")), "fixture")
+    }
+    assert(e.getMessage.contains("not_null(name)"))
+    assert(e.getMessage.contains("unique(id)"))
+    enforce(fixture, Seq(NotNull("id"), RowCount(min = 1)), "fixture")
+  }
+
+  test("pipeline gate rejects a processed zone violating the bar contract") {
+    val s = spark
+    import s.implicits._
+    val bad = Seq((Option.empty[String], "2026-01-01 00:00:00+00:00", 1.0))
+      .toDF("symbol", "Datetime", "Close")
+      .withColumn("Datetime", to_timestamp(col("Datetime")))
+    val e = intercept[IllegalArgumentException] {
+      enforce(bad, barChecks, "processed/BAD")
+    }
+    assert(e.getMessage.contains("not_null(symbol)"))
+  }
+}
