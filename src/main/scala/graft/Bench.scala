@@ -31,6 +31,15 @@ object Bench {
       spark.range(2000)
         .selectExpr("explode(split(repeat('a b c d e ', 40), ' ')) as t")
         .select(md5(col("t"))).distinct().count()
+      // native LSH banding codegen (the ANN/near-dup family's hot path)
+      val planes = graft.operators.Lsh.hyperplanes(128, 64)
+      spark.range(500)
+        .selectExpr("id as vec_id",
+          "transform(sequence(1, 64), i -> cast(i * (id % 7 + 1) as double)) as v")
+        .select(col("vec_id"),
+          posexplode(graft.operators.Lsh.bandKeysCol(col("v"), planes, 32, 4)))
+        .toDF("vec_id", "band", "bkey")
+        .groupBy("band", "bkey").count().count()
       try spark.read.parquet(s"$sfDir/region.parquet").count()
       catch { case _: Throwable => () }
     }

@@ -49,21 +49,19 @@ object Lsh {
       md5Int(s"graft-lsh:$h:$j").toDouble / Int.MaxValue.toDouble
     }
 
-  /** '0'/'1' signature string of `v` against `planes`: bit h is the sign of
-    * dot(v, plane_h). Each plane is ONE array literal (not per-element
-    * codegen), and the dot runs through the native fused cosine_sim loop. */
-  def signatureCol(v: Column, planes: Array[Array[Double]]): Column =
-    concat(planes.map { p =>
-      when(CosineSimilarity.sim(v, lit(p)) >= 0, lit("1")).otherwise(lit("0"))
-    }.toSeq: _*)
-
-  /** Explodes a signature into (band, bkey) rows: band b owns signature
-    * bits [b·r, (b+1)·r). SQL-expression form so the per-band substring
-    * position can be the lambda variable. */
-  def bandsExpr(sigCol: String, bands: Int, rowsPerBand: Int): Column =
-    explode(expr(
-      s"transform(sequence(0, ${bands - 1}), b -> named_struct(" +
-        s"'band', b, 'bkey', substring($sigCol, b * $rowsPerBand + 1, $rowsPerBand)))"))
+  /** Array of band keys for `v`: element b is the `rowsPerBand`-bit string
+    * of band b's planes, computed by the fused native expression
+    * (graft.expressions.LshBandKeys — one flat-matrix loop per row; the
+    * compositional per-plane form was ~100× slower, see its scaladoc).
+    * Explode with `posexplode` so the band index rides along for free. */
+  def bandKeysCol(v: Column, planes: Array[Array[Double]],
+      bands: Int, rowsPerBand: Int): Column = {
+    require(planes.length == bands * rowsPerBand, "plane count mismatch")
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.expressions.LshBandKeys(
+        org.apache.spark.sql.GraftSqlBridge.expression(v),
+        planes, rowsPerBand))
+  }
 
   /** DuckDB CTE fragments re-deriving the SAME planes and signatures in
     * SQL, for oracle parity. Expects a prior CTE `e(vec_id, v DOUBLE[])`;

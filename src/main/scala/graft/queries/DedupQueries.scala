@@ -183,18 +183,25 @@ object DedupQueries extends QueryPack {
       .select(col("vec_id"),
         expr("transform(embedding, x -> cast(x AS double))").as("v"))
     val planes = graft.operators.Lsh.hyperplanes(NdBands * NdRows, 64)
-    val bands = e
-      .select(col("vec_id"),
-        graft.operators.Lsh.signatureCol(col("v"), planes).as("sig"))
-      .select(col("vec_id"),
-        graft.operators.Lsh.bandsExpr("sig", NdBands, NdRows).as("bk"))
-      .select(col("vec_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    // PINNED repartitions at the two work-amplification points. The inputs
+    // around them are small (N band rows in, M candidate pairs out of the
+    // join) but the work between is not — AQE's size-based coalescing sees
+    // the small exchange and would funnel the 2M-pair join + the 2M exact
+    // cosines into one task (measured 2.5× on this query). User-pinned
+    // counts (REPARTITION_BY_NUM) are exempt from coalescing.
+    val n = s.sessionState.conf.numShufflePartitions
+    val bands = e.repartition(n)
+      .select(col("vec_id"), posexplode(
+        graft.operators.Lsh.bandKeysCol(col("v"), planes, NdBands, NdRows)))
+      .toDF("vec_id", "band", "bkey")
+      .repartition(n, col("band"), col("bkey"))
     val cand = bands
       .join(bands.select(col("vec_id").as("vec_b"), col("band"), col("bkey")),
         Seq("band", "bkey"))
       .filter(col("vec_id") < col("vec_b"))
       .select(col("vec_id").as("vec_a"), col("vec_b"))
-      .distinct()
+      .repartition(n, col("vec_a"), col("vec_b"))
+      .dropDuplicates("vec_a", "vec_b")
     cand
       .join(e.select(col("vec_id").as("vec_a"), col("v")), "vec_a")
       .join(e.select(col("vec_id").as("vec_b"), col("v").as("qv")), "vec_b")

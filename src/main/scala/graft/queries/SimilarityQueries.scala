@@ -77,11 +77,13 @@ object SimilarityQueries extends QueryPack {
   private def q51(s: SparkSession, dir: String): DataFrame = {
     val planes = Lsh.hyperplanes(Bands * Rows, Dim)
     val e = emb(s, dir)
-    val sigs = e.select(col("vec_id"), col("v"),
-      Lsh.signatureCol(col("v"), planes).as("sig"))
-    val bands = sigs
-      .select(col("vec_id"), Lsh.bandsExpr("sig", Bands, Rows).as("bk"))
-      .select(col("vec_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    // pinned spread of the scan (one file → one partition otherwise): the
+    // band-key computation, the bucket join, and the exact re-scoring all
+    // inherit this parallelism — AQE won't coalesce a user-pinned count
+    val bands = e.repartition(s.sessionState.conf.numShufflePartitions)
+      .select(col("vec_id"),
+        posexplode(Lsh.bandKeysCol(col("v"), planes, Bands, Rows)))
+      .toDF("vec_id", "band", "bkey")
     val qb = bands.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("band"), col("bkey"))
     // candidate generation: equi-join on the band bucket (query side tiny →
@@ -92,7 +94,7 @@ object SimilarityQueries extends QueryPack {
     val qv = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val scored = cand
-      .join(sigs.select(col("vec_id"), col("v")), "vec_id")
+      .join(e.select(col("vec_id"), col("v")), "vec_id")
       .join(broadcast(qv), "q_id")
       .select(col("q_id"), col("vec_id"),
         roundf(expr(cosine), 4).as("cos"))
