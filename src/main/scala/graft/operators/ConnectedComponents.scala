@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Connected components by iterative min-label propagation — the missing
+  * last step of every dedup pipeline: near-dup operators emit PAIRS
+  * (q41/q42/q44), but retention decisions need CLUSTERS (keep one canonical
+  * doc per component; similarity is not transitive, so A~B, B~C clusters
+  * {A,B,C} even when A~C fails the threshold).
+  *
+  * Algorithm: every node starts as its own label (its id); each round,
+  * every node takes the min label among itself and its neighbors; stop when
+  * no label changes. Rounds needed = graph diameter, which for dup clusters
+  * is tiny (they are dense near-cliques); each round is one keyed
+  * equi-join (edges ⋈ labels on node id) + one min-aggregation — both
+  * shuffle-partitioned on node id, nothing driver-side except the
+  * converged? count. This is the standard industrial shape (GraphFrames'
+  * default CC is the same loop); for adversarial high-diameter graphs the
+  * literature's large-star/small-star variant (Kiveris et al., "Connected
+  * Components in MapReduce and Beyond") reduces rounds to O(log n) with
+  * the same per-round join/agg primitives.
+  *
+  * Iteration hygiene at scale: each round's labels are persisted and the
+  * previous round's are unpersisted, so lineage does not grow with the
+  * iteration count (re-execution of round k reads round k-1's cached
+  * labels, not the whole chain).
+  */
+object ConnectedComponents {
+
+  /** `edges`: two integral id columns (undirected; either orientation).
+    * `nodes`: one id column — declares the full vertex set, so isolated
+    * nodes come back as their own singleton components.
+    * Returns (id, component) with component = min node id reachable. */
+  def components(nodes: DataFrame, edges: DataFrame,
+      idCol: String, srcCol: String, dstCol: String,
+      maxIter: Int = 50): DataFrame = {
+    val sym = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("comp"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      // neighbor labels flow along edges; min over {self} ∪ neighbors
+      val msgs = sym.join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("comp"))
+      val next = labels.unionByName(msgs)
+        .groupBy("id").agg(min("comp").as("comp"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = next.join(labels.withColumnRenamed("comp", "prev"), "id")
+        .filter(col("comp") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    require(changed == 0,
+      s"connected components did not converge in $maxIter rounds")
+    labels
+  }
+}

@@ -52,7 +52,12 @@ object DedupQueries extends QueryPack {
     * shingle at scale — a standard stopword-shingle guard; max df in this
     * corpus is 4, so the cap changes nothing here. */
   private val maxDf = 1000
-  private def q41(s: SparkSession, dir: String): DataFrame = {
+  private def q41(s: SparkSession, dir: String): DataFrame =
+    jaccardPairs(s, dir).orderBy("doc_a", "doc_b")
+
+  /** (doc_a, doc_b, inter, jaccard) near-dup pairs — shared by q41 (the
+    * pair report) and q67 (clustering over the pair graph). */
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
     // gram text never reaches the output (only pair counts do), so grams
     // are keyed by xxhash64 of the token slice — no per-gram string build,
     // and the gram shuffle carries longs. The oracle groups on gram TEXT;
@@ -98,7 +103,23 @@ object DedupQueries extends QueryPack {
         roundf(col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 4))
       .filter(col("jaccard") >= 0.1)
       .select("doc_a", "doc_b", "inter", "jaccard")
-      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Dedup clustering: connected components over the near-dup pair graph
+    * (graft.operators.ConnectedComponents — iterative min-label
+    * propagation). Output is the retention decision itself: every document
+    * with its cluster id (min doc_id in its component) and whether it is
+    * the canonical keeper. Similarity is NOT transitive, so this is a real
+    * closure, not a group-by: A~B and B~C cluster {A,B,C} even when A~C
+    * misses the threshold. */
+  private def q67(s: SparkSession, dir: String): DataFrame = {
+    val edges = jaccardPairs(s, dir).select("doc_a", "doc_b")
+    val nodes = docs(s, dir).select("doc_id")
+    graft.operators.ConnectedComponents
+      .components(nodes, edges, "doc_id", "doc_a", "doc_b")
+      .select(col("id").as("doc_id"), col("comp").as("cluster_id"),
+        (col("id") === col("comp")).as("is_canonical"))
+      .orderBy("doc_id")
   }
 
   /** MinHash + LSH: word-3-gram shingles → ONE md5 per shingle split into
@@ -216,7 +237,8 @@ object DedupQueries extends QueryPack {
     "q41_dedup_jaccard" -> (q41 _),
     "q42_dedup_minhash" -> (q42 _),
     "q43_dedup_simhash" -> (q43 _),
-    "q44_dedup_embedding" -> (q44 _))
+    "q44_dedup_embedding" -> (q44 _),
+    "q67_dedup_clusters" -> (q67 _))
 
   private val normSql =
     "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
@@ -275,6 +297,27 @@ object DedupQueries extends QueryPack {
        |SELECT doc_id, $bits AS simhash_bits FROM agg ORDER BY doc_id""".stripMargin
   }
 
+  /** Shared CTE chain ending in `jp(doc_a, doc_b, inter, jaccard)` — the
+    * near-dup pair graph, used verbatim by q41 and q67. */
+  private val jaccardCtes: String =
+    s"""${gramsSql(5)},
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+       |keep AS (SELECT gram FROM grams GROUP BY gram
+       |         HAVING count(*) BETWEEN 2 AND $maxDf),
+       |gf AS (SELECT g.doc_id, g.gram FROM grams g JOIN keep USING (gram)),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM gf a JOIN gf b
+       |    ON a.gram = b.gram AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |jp AS (
+       |  SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
+       |    floor((inter / (sa.sz + sb.sz - inter)) * 10000.0 + 0.5) / 10000.0 AS jaccard
+       |  FROM pairs
+       |  JOIN sizes sa ON doc_a = sa.doc_id
+       |  JOIN sizes sb ON doc_b = sb.doc_id
+       |  WHERE floor((inter / (sa.sz + sb.sz - inter)) * 10000.0 + 0.5) / 10000.0 >= 0.1)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q40_dedup_exact" ->
       s"""WITH f AS (SELECT doc_id, md5($normSql) AS fp FROM documents)
@@ -282,23 +325,21 @@ object DedupQueries extends QueryPack {
          |  CAST(doc_id <> min(doc_id) OVER (PARTITION BY fp) AS INT) AS is_dup
          |FROM f ORDER BY doc_id""".stripMargin,
     "q41_dedup_jaccard" ->
-      s"""WITH ${gramsSql(5)},
-         |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
-         |keep AS (SELECT gram FROM grams GROUP BY gram
-         |         HAVING count(*) BETWEEN 2 AND $maxDf),
-         |gf AS (SELECT g.doc_id, g.gram FROM grams g JOIN keep USING (gram)),
-         |pairs AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-         |  FROM gf a JOIN gf b
-         |    ON a.gram = b.gram AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2)
-         |SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
-         |  floor((inter / (sa.sz + sb.sz - inter)) * 10000.0 + 0.5) / 10000.0 AS jaccard
-         |FROM pairs
-         |JOIN sizes sa ON doc_a = sa.doc_id
-         |JOIN sizes sb ON doc_b = sb.doc_id
-         |WHERE floor((inter / (sa.sz + sb.sz - inter)) * 10000.0 + 0.5) / 10000.0 >= 0.1
+      s"""WITH $jaccardCtes
+         |SELECT doc_a, doc_b, inter, jaccard FROM jp
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "q67_dedup_clusters" ->
+      s"""WITH RECURSIVE $jaccardCtes,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+         |          UNION ALL
+         |          SELECT doc_b AS src, doc_a AS dst FROM jp),
+         |reach(id, comp) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id)
+         |SELECT id AS doc_id, min(comp) AS cluster_id,
+         |  min(comp) = id AS is_canonical
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     "q42_dedup_minhash" -> minhashSql,
     "q43_dedup_simhash" -> simhashSql,
     "q44_dedup_embedding" ->

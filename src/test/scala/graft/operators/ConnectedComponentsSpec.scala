@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.SparkSuite
+
+/** Min-label propagation: multi-hop chains (propagation must iterate),
+  * disjoint components, isolated nodes, and non-convergence detection. */
+class ConnectedComponentsSpec extends SparkSuite {
+
+  private def comp(nodes: Seq[Long], edges: Seq[(Long, Long)],
+      maxIter: Int = 50): Map[Long, Long] = {
+    val s = spark
+    import s.implicits._
+    ConnectedComponents.components(
+      nodes.toDF("id"), edges.toDF("a", "b"), "id", "a", "b", maxIter)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("a 6-node path collapses to one component (needs several rounds)") {
+    val got = comp(0L to 5L, Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L), (1L, 0L)))
+    assert(got == (0L to 5L).map(_ -> 0L).toMap)
+  }
+
+  test("disjoint components and isolated nodes keep separate labels") {
+    // component {1,2,3} via chain, {10,11} via edge, 20 isolated
+    val got = comp(Seq(1L, 2L, 3L, 10L, 11L, 20L),
+      Seq((3L, 2L), (2L, 1L), (10L, 11L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
+  test("transitive closure: A~B, B~C clusters A with C without an A~C edge") {
+    val got = comp(Seq(7L, 8L, 9L), Seq((7L, 8L), (8L, 9L)))
+    assert(got(9L) == 7L)
+  }
+
+  test("non-convergence within maxIter fails loudly instead of truncating") {
+    val e = intercept[IllegalArgumentException] {
+      comp(0L to 5L, Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L), (1L, 0L)),
+        maxIter = 2)
+    }
+    assert(e.getMessage.contains("converge"))
+  }
+}
