@@ -36,26 +36,40 @@ object ConnectedComponents {
   def components(nodes: DataFrame, edges: DataFrame,
       idCol: String, srcCol: String, dstCol: String,
       maxIter: Int = 50): DataFrame = {
+    // persist the symmetric edge set: it is read TWICE PER ROUND (message
+    // join + the round's convergence count) and its lineage may be an
+    // arbitrarily expensive upstream pipeline (q67's is the whole
+    // shingle→jaccard candidate chain — recomputing it per round cost 4×)
     val sym = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
-    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("comp"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    var cached = nodes
+      .select(col(idCol).as("id"), col(idCol).as("comp"),
+        col(idCol).as("prev"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = cached.select("id", "comp")
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
-      // neighbor labels flow along edges; min over {self} ∪ neighbors
+      // neighbor labels flow along edges; min over {self} ∪ neighbors.
+      // The self rows are tagged so the round's OLD label rides through the
+      // same aggregation as `prev` — change detection costs no extra
+      // join/shuffle, just a filter over the (cached) round output.
       val msgs = sym.join(labels.withColumnRenamed("id", "src"), "src")
-        .select(col("dst").as("id"), col("comp"))
-      val next = labels.unionByName(msgs)
-        .groupBy("id").agg(min("comp").as("comp"))
+        .select(col("dst").as("id"), col("comp"), lit(false).as("self"))
+      val next = labels.withColumn("self", lit(true)).unionByName(msgs)
+        .groupBy("id")
+        .agg(min("comp").as("comp"),
+          min(when(col("self"), col("comp"))).as("prev"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      changed = next.join(labels.withColumnRenamed("comp", "prev"), "id")
-        .filter(col("comp") =!= col("prev")).count()
-      labels.unpersist()
-      labels = next
+      changed = next.filter(col("comp") =!= col("prev")).count()
+      cached.unpersist()
+      cached = next
+      labels = next.select("id", "comp")
       iter += 1
     }
+    sym.unpersist()
     require(changed == 0,
       s"connected components did not converge in $maxIter rounds")
     labels
