@@ -63,6 +63,21 @@ object StreamingOps {
         col("c_id"), col("c_ts"))
   }
 
+  /** Streaming dedup: one row per `fingerprint`, with state bounded by the
+    * watermark — the streaming counterpart of the exact-dedup operator
+    * (queries q40/q67 dedup a bounded corpus; an unbounded ingest stream
+    * needs the dedup keys to EXPIRE or state grows forever). Duplicates
+    * arriving within `horizon` of the original are dropped; rows older
+    * than the watermark are beyond the dedup horizon by declaration.
+    * (On a batch input this is a plain dropDuplicates.) */
+  def dedupStream(rows: DataFrame, fingerprintCol: String, tsCol: String,
+      horizon: String = "1 hour"): DataFrame = {
+    val wm = rows.withWatermark(tsCol, horizon)
+    if (rows.isStreaming)
+      wm.dropDuplicatesWithinWatermark(fingerprintCol)
+    else wm.dropDuplicates(fingerprintCol)
+  }
+
   /** Custom keyed state via mapGroupsWithState: running per-user count and
     * value sum across micro-batches. */
   def runningUserStats(events: Dataset[Event]): Dataset[UserStats] = {

@@ -127,6 +127,27 @@ class StreamingSpec extends SparkSuite {
     assert(spark.read.parquet(s"$dir/processed_stream").count() == 2)
   }
 
+  test("streaming dedup drops in-horizon duplicates, state watermark-bounded") {
+    // duplicate every event's fingerprint once (same user+type key appears
+    // many times in the corpus) — the streaming result must keep exactly
+    // one row per fingerprint, like the batch twin
+    val dedup = StreamingOps.dedupStream(
+      eventsStream.withColumn("fp",
+        concat_ws("|", col("user_id"), col("event_type"))),
+      "fp", "ts", "2 hours")
+    val q = dedup.writeStream.format("memory")
+      .queryName("dedup_stream").outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("dedup_stream")
+    val batch = StreamingOps.dedupStream(
+      eventsBatch.withColumn("fp",
+        concat_ws("|", col("user_id"), col("event_type"))),
+      "fp", "ts", "2 hours")
+    assert(streamed.count() == streamed.select("fp").distinct().count())
+    assert(streamed.select("fp").distinct().count() ==
+      batch.select("fp").distinct().count())
+  }
+
   test("mapGroupsWithState running stats converge to batch totals") {
     val stream = eventsStream.as[StreamingOps.Event]
     val q = StreamingOps.runningUserStats(stream)
