@@ -30,9 +30,15 @@ import org.apache.spark.storage.StorageLevel
 object ConnectedComponents {
 
   /** `edges`: two integral id columns (undirected; either orientation).
-    * `nodes`: one id column — declares the full vertex set, so isolated
-    * nodes come back as their own singleton components.
-    * Returns (id, component) with component = min node id reachable. */
+    * `nodes`: one id column — declares the vertex set, so isolated nodes
+    * come back as their own singleton components; edge endpoints absent
+    * from `nodes` join the vertex set implicitly (their first appearance
+    * counts as a label change, so convergence is never declared early on
+    * their account).
+    * Returns (id, component) with component = min node id reachable.
+    * The result is persisted (MEMORY_AND_DISK) — its lineage is the whole
+    * iteration chain, so callers should read it from cache and may
+    * `.unpersist()` it once consumed. */
   def components(nodes: DataFrame, edges: DataFrame,
       idCol: String, srcCol: String, dstCol: String,
       maxIter: Int = 50): DataFrame = {
@@ -63,7 +69,11 @@ object ConnectedComponents {
         .agg(min("comp").as("comp"),
           min(when(col("self"), col("comp"))).as("prev"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      changed = next.filter(col("comp") =!= col("prev")).count()
+      // null prev = a vertex seen for the first time this round (an edge
+      // endpoint not declared in `nodes`) — MUST count as changed, or the
+      // loop can declare convergence while labels are still propagating
+      changed = next
+        .filter(col("prev").isNull || col("comp") =!= col("prev")).count()
       cached.unpersist()
       cached = next
       labels = next.select("id", "comp")

@@ -63,6 +63,25 @@ object Lsh {
         planes, rowsPerBand))
   }
 
+  /** The banded-signature relation shared by the ANN and near-dup bucket
+    * joins (q51/q44): `(idCol, band, bkey)` rows, one per (vector, band).
+    * The input is spread over a PINNED partition count first: these
+    * corpora arrive as few scan partitions, and the exchanges feeding the
+    * downstream bucket joins are small enough that AQE's size-based
+    * coalescing would otherwise funnel the work-amplifying join (and the
+    * exact re-scoring behind it) into one task — user-pinned counts
+    * (REPARTITION_BY_NUM) are exempt from coalescing. */
+  def bandsDf(vectors: org.apache.spark.sql.DataFrame, idCol: String,
+      vecCol: String, bands: Int, rowsPerBand: Int, dim: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val planes = hyperplanes(bands * rowsPerBand, dim)
+    val n = vectors.sparkSession.sessionState.conf.numShufflePartitions
+    vectors.repartition(n)
+      .select(col(idCol),
+        posexplode(bandKeysCol(col(vecCol), planes, bands, rowsPerBand)))
+      .toDF(idCol, "band", "bkey")
+  }
+
   /** DuckDB CTE fragments re-deriving the SAME planes and signatures in
     * SQL, for oracle parity. Expects a prior CTE `e(vec_id, v DOUBLE[])`;
     * defines `planes(h, p)` and `sigs(vec_id, sig)`. */

@@ -30,16 +30,19 @@ object RangeJoin {
     require(width > 0, "bin width must be positive")
     val p = points.withColumn("__bin",
       floor(col(point) / lit(width)).cast("long"))
-    // degenerate/corrupt intervals (hi <= lo) can match nothing, but
-    // sequence(start, stop) steps BACKWARD when start > stop — a row with
-    // lo >> hi would fabricate a huge descending bin array. Drop them
-    // before the explode.
+    // Bin range for [lo, hi): start = floor(lo/w); stop = ceil(hi/w) - 1 —
+    // the last bin that can contain a point strictly below hi, correct for
+    // NON-INTEGRAL bounds too (floor((hi-1)/w) would drop bin 6 for
+    // hi = 6.5, w = 1, and step sequence() backwards for hi - lo < 1).
+    // With hi > lo enforced (degenerate/corrupt intervals match nothing,
+    // and sequence(start, stop) would otherwise fabricate a huge DESCENDING
+    // bin array for lo >> hi), stop >= start always holds.
     val i = intervals
       .filter(col(hi) > col(lo))
       .withColumn("__bin",
         explode(sequence(
           floor(col(lo) / lit(width)).cast("long"),
-          floor((col(hi) - lit(1)) / lit(width)).cast("long"))))
+          (ceil(col(hi) / lit(width)) - lit(1)).cast("long"))))
     p.join(i, Seq("__bin"))
       .filter(col(point) >= col(lo) && col(point) < col(hi))
       .drop("__bin")

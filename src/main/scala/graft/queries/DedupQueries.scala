@@ -195,26 +195,28 @@ object DedupQueries extends QueryPack {
     * thresholds prune much harder).
     *
     * The DuckDB oracle stays brute-force all-pairs — it is the DEFINITION
-    * of the answer — so the hash-match proves the bucketed path loses no
-    * qualifying pair on the corpus (verified at sf 0.001/0.01/0.1). */
-  private val NdBands = 32
+    * of the answer. The hash-match therefore certifies the bucketed path
+    * loses no qualifying pair on this corpus (verified at sf
+    * 0.001/0.01/0.1); the residual risk is quantifiable and sized for:
+    * a pair AT the 0.45 threshold (per-plane agreement p ≈ 0.648) misses
+    * all 48 bands with probability (1 − p⁴)^48 ≈ 1e-4 — versus ~2e-3 at
+    * 32 bands, which would court a corpus-luck failure on a regenerated
+    * dataset with hundreds of near-threshold pairs. That asymmetry is
+    * inherent to LSH candidate generation; production deployments accept
+    * it (and size bands to their threshold) because the exact alternative
+    * is the O(N²) product this operator exists to avoid. */
+  private val NdBands = 48
   private val NdRows = 4
   private def q44(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"),
         expr("transform(embedding, x -> cast(x AS double))").as("v"))
-    val planes = graft.operators.Lsh.hyperplanes(NdBands * NdRows, 64)
-    // PINNED repartitions at the two work-amplification points. The inputs
-    // around them are small (N band rows in, M candidate pairs out of the
-    // join) but the work between is not — AQE's size-based coalescing sees
-    // the small exchange and would funnel the 2M-pair join + the 2M exact
-    // cosines into one task (measured 2.5× on this query). User-pinned
-    // counts (REPARTITION_BY_NUM) are exempt from coalescing.
+    // second PINNED repartition (see Lsh.bandsDf for the first): the
+    // 2M-pair bucket join + 2M exact cosines behind this exchange would
+    // otherwise be AQE-coalesced into one task (measured 2.5×)
     val n = s.sessionState.conf.numShufflePartitions
-    val bands = e.repartition(n)
-      .select(col("vec_id"), posexplode(
-        graft.operators.Lsh.bandKeysCol(col("v"), planes, NdBands, NdRows)))
-      .toDF("vec_id", "band", "bkey")
+    val bands = graft.operators.Lsh
+      .bandsDf(e, "vec_id", "v", NdBands, NdRows, 64)
       .repartition(n, col("band"), col("bkey"))
     val cand = bands
       .join(bands.select(col("vec_id").as("vec_b"), col("band"), col("bkey")),

@@ -75,15 +75,8 @@ object SimilarityQueries extends QueryPack {
     * candidates share ≥1 band with the query; exact cosine re-rank over the
     * deduplicated candidate set. */
   private def q51(s: SparkSession, dir: String): DataFrame = {
-    val planes = Lsh.hyperplanes(Bands * Rows, Dim)
     val e = emb(s, dir)
-    // pinned spread of the scan (one file → one partition otherwise): the
-    // band-key computation, the bucket join, and the exact re-scoring all
-    // inherit this parallelism — AQE won't coalesce a user-pinned count
-    val bands = e.repartition(s.sessionState.conf.numShufflePartitions)
-      .select(col("vec_id"),
-        posexplode(Lsh.bandKeysCol(col("v"), planes, Bands, Rows)))
-      .toDF("vec_id", "band", "bkey")
+    val bands = Lsh.bandsDf(e, "vec_id", "v", Bands, Rows, Dim)
     val qb = bands.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("band"), col("bkey"))
     // candidate generation: equi-join on the band bucket (query side tiny →

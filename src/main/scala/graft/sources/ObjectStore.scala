@@ -18,9 +18,16 @@ import org.apache.spark.sql.SparkSession
 object ObjectStore {
 
   /** Hadoop configuration for an S3-compatible endpoint (MinIO, Ceph, S3).
-    * `pathStyle = true` is required for MinIO (bucket-in-path addressing);
-    * committer knobs make writes safe-ish on a store without atomic rename
-    * (the magic committer avoids the rename-based commit entirely). */
+    * `pathStyle = true` is required for MinIO (bucket-in-path addressing).
+    *
+    * NOTE committers: these fs.s3a.* keys alone do NOT change how Spark SQL
+    * commits writes — by default `df.write` still uses the rename-based
+    * FileOutputCommitter (O(data), non-atomic on object stores). Routing
+    * writes through the S3A "magic" committer additionally requires the
+    * spark-hadoop-cloud module on the classpath and the session configs in
+    * [[s3aCommitterSparkConfs]], which bind Spark's commit protocol to
+    * Hadoop's PathOutputCommitter factory (the thing that honors
+    * `fs.s3a.committer.name`). */
   def s3aConfigs(endpoint: String, accessKey: String, secretKey: String,
       pathStyle: Boolean = true, ssl: Boolean = false)
       : Map[String, String] = Map(
@@ -29,11 +36,18 @@ object ObjectStore {
     "fs.s3a.secret.key" -> secretKey,
     "fs.s3a.path.style.access" -> pathStyle.toString,
     "fs.s3a.connection.ssl.enabled" -> ssl.toString,
-    // commit protocol: directory-rename commits are O(data) and non-atomic
-    // on object stores; the magic committer writes directly to the final
-    // destination via multipart uploads
     "fs.s3a.committer.name" -> "magic",
     "fs.s3a.committer.magic.enabled" -> "true")
+
+  /** Session (NOT hadoop) configs that actually route Spark SQL writes
+    * through the path-output committer machinery; requires
+    * spark-hadoop-cloud (and its BindingParquetOutputCommitter) on the
+    * classpath — set at session build time alongside [[s3aConfigs]]. */
+  def s3aCommitterSparkConfs: Map[String, String] = Map(
+    "spark.sql.sources.commitProtocolClass" ->
+      "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol",
+    "spark.sql.parquet.output.committer.class" ->
+      "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter")
 
   /** Apply s3a configs to a live session (runtime-settable: hadoopConf is
     * read per-job). */

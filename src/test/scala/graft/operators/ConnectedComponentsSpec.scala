@@ -33,6 +33,14 @@ class ConnectedComponentsSpec extends SparkSuite {
     assert(got(9L) == 7L)
   }
 
+  test("undeclared edge endpoints propagate labels instead of faking convergence") {
+    // node 2 is absent from the vertex set but bridges 3 to 1: its
+    // first-appearance round must count as a change, or the loop would
+    // stop with 3 still labeled 3
+    val got = comp(Seq(1L, 3L), Seq((3L, 2L), (2L, 1L)))
+    assert(got(3L) == 1L && got(1L) == 1L && got(2L) == 1L)
+  }
+
   test("non-convergence within maxIter fails loudly instead of truncating") {
     val e = intercept[IllegalArgumentException] {
       comp(0L to 5L, Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L), (1L, 0L)),

@@ -27,6 +27,24 @@ class RangeJoinSpec extends SparkSuite {
     assert(binned.exceptAll(naive).isEmpty && naive.exceptAll(binned).isEmpty)
   }
 
+  test("non-integral bounds: matches in the top bin survive; sub-width " +
+      "and degenerate intervals emit no spurious bins") {
+    val pts = Seq(6.2, 5.3, 4.9, 5.0).toDF("p")
+    val ivs = Seq(
+      (5.0, 6.5),   // crosses a bin edge with fractional hi → bin 6 needed
+      (5.2, 5.4),   // shorter than a bin, inside bin 5
+      (7.0, 7.0),   // degenerate: matches nothing, must emit nothing
+      (9.0, 2.0))   // corrupt (hi < lo): must emit nothing
+      .toDF("lo", "hi")
+    val binned = RangeJoin.binned(pts, ivs, "p", "lo", "hi", width = 1L)
+      .select("p", "lo", "hi")
+    val naive = pts.join(ivs, col("p") >= col("lo") && col("p") < col("hi"))
+      .select("p", "lo", "hi")
+    assert(binned.exceptAll(naive).isEmpty && naive.exceptAll(binned).isEmpty)
+    // the fractional-hi top-bin match is present
+    assert(binned.filter(col("p") === 6.2 && col("hi") === 6.5).count() == 1)
+  }
+
   test("each true match appears exactly once (no bin-overlap duplicates)") {
     val pts = (0L until 200L).toDF("p")
     val ivs = Seq((0L, 200L)).toDF("lo", "hi") // one interval over 20+ bins
