@@ -54,11 +54,39 @@ object EventOpsQueries extends QueryPack {
       .orderBy("user_id", "session_idx")
   }
 
+  /** Skew-safe join, oracle-proven: the salted join's OUTPUT must be
+    * byte-identical to the plain inner join (salting only changes reducer
+    * placement), so the DuckDB oracle is the plain join + aggregate. The
+    * salt spreads a hot key over `salts` reducers — the manual tool for
+    * skew in aggregation-after-join or forced shuffle-hash plans, where
+    * AQE's sort-merge skew split doesn't reach. Money sums are exact
+    * fixed-point (Rounding.cents/sumExact): order-independent, so the
+    * salt's nondeterministic ADDITION ORDER cannot flip a rounded sum. */
+  private def q68(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.{cents, roundf, sumExact}
+    val events = ev(s, dir).select(col("user_id"), col("value"))
+    val dim = Tables.load(s, dir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    graft.operators.SaltedJoin(events, dim, "user_id", salts = 8)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        roundf(sumExact(cents(col("value"))) / 100.0, 2).as("sum_value"))
+      .orderBy("c_mktsegment")
+  }
+
   val defs: Map[String, Q] = Map(
     "q62_stratified_sample" -> (q62 _),
-    "q63_sessionize" -> (q63 _))
+    "q63_sessionize" -> (q63 _),
+    "q68_salted_join" -> (q68 _))
 
   val oracle: Map[String, String] = Map(
+    "q68_salted_join" -> {
+      import graft.functions.Rounding.{centsSql, roundfSql, sumExactSql}
+      s"""SELECT c_mktsegment, count(*) AS n,
+         |  ${roundfSql(sumExactSql(centsSql("value")) + " / 100.0", 2)} AS sum_value
+         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+    },
     "q62_stratified_sample" ->
       s"""SELECT event_id, event_type, user_id
         |FROM events
