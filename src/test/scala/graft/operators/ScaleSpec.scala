@@ -22,6 +22,23 @@ class ScaleSpec extends SparkSuite {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("connected components converge on 200k nodes / 50k random edges") {
+    // dense-cluster shape (what dup graphs look like): deterministic
+    // pseudo-random edges inside 4-node id blocks → tiny diameters, a few
+    // propagation rounds, distributed the whole way
+    val n = 200000L
+    val nodes = spark.range(n).toDF("id")
+    val edges = spark.range(50000L).select(
+      (col("id") * 4).as("a"),
+      (col("id") * 4 + pmod(col("id") * 2654435761L, lit(3)) + 1).as("b"))
+    val comp = ConnectedComponents.components(nodes, edges, "id", "a", "b")
+    assert(comp.count() == n)
+    // every labeled component root is the min id of its block of 4
+    val bad = comp.filter(col("comp") > col("id") ||
+      col("comp") < (col("id") - col("id") % 4)).count()
+    assert(bad == 0)
+  }
+
   test("bucketed tables co-locate the join: no shuffle exchange in plan") {
     val orders = Tables.load(spark, sf, "orders")
     val customer = Tables.load(spark, sf, "customer")
