@@ -22,6 +22,13 @@ import org.apache.spark.storage.StorageLevel
   * Components in MapReduce and Beyond") reduces rounds to O(log n) with
   * the same per-round join/agg primitives.
   *
+  * The iteration runs ONLY over edge endpoints. In a dedup workload the
+  * pair graph touches a small fraction of the corpus (most documents are
+  * unique), so the per-round shuffles are O(edges), not O(corpus) — at
+  * 100 TB the difference between propagating a few hundred million
+  * endpoint labels and re-shuffling every document id fifty times.
+  * Singletons are stitched back with one final left join.
+  *
   * Iteration hygiene at scale: each round's labels are persisted and the
   * previous round's are unpersisted, so lineage does not grow with the
   * iteration count (re-execution of round k reads round k-1's cached
@@ -32,27 +39,24 @@ object ConnectedComponents {
   /** `edges`: two integral id columns (undirected; either orientation).
     * `nodes`: one id column — declares the vertex set, so isolated nodes
     * come back as their own singleton components; edge endpoints absent
-    * from `nodes` join the vertex set implicitly (their first appearance
-    * counts as a label change, so convergence is never declared early on
-    * their account).
+    * from `nodes` join the vertex set implicitly.
     * Returns (id, component) with component = min node id reachable.
-    * The result is persisted (MEMORY_AND_DISK) — its lineage is the whole
-    * iteration chain, so callers should read it from cache and may
-    * `.unpersist()` it once consumed. */
+    * The propagated labels are persisted (MEMORY_AND_DISK) — callers
+    * should read the result from cache and may `.unpersist()` it once
+    * consumed. */
   def components(nodes: DataFrame, edges: DataFrame,
       idCol: String, srcCol: String, dstCol: String,
       maxIter: Int = 50): DataFrame = {
     // persist the symmetric edge set: it is read TWICE PER ROUND (message
-    // join + the round's convergence count) and its lineage may be an
-    // arbitrarily expensive upstream pipeline (q67's is the whole
-    // shingle→jaccard candidate chain — recomputing it per round cost 4×)
+    // join + the round's self rows) and its lineage may be an arbitrarily
+    // expensive upstream pipeline (q67's is the whole shingle→jaccard
+    // candidate chain — recomputing it per round cost 4×)
     val sym = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var cached = nodes
-      .select(col(idCol).as("id"), col(idCol).as("comp"),
-        col(idCol).as("prev"))
+    var cached = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"), col("id").as("prev"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = cached.select("id", "comp")
     var iter = 0
@@ -69,9 +73,9 @@ object ConnectedComponents {
         .agg(min("comp").as("comp"),
           min(when(col("self"), col("comp"))).as("prev"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      // null prev = a vertex seen for the first time this round (an edge
-      // endpoint not declared in `nodes`) — MUST count as changed, or the
-      // loop can declare convergence while labels are still propagating
+      // null prev would mean a vertex with no self row — impossible now
+      // that labels seed from the endpoint set itself, but kept as a
+      // change signal so a future seeding change cannot fake convergence
       changed = next
         .filter(col("prev").isNull || col("comp") =!= col("prev")).count()
       cached.unpersist()
@@ -82,6 +86,11 @@ object ConnectedComponents {
     sym.unpersist()
     require(changed == 0,
       s"connected components did not converge in $maxIter rounds")
-    labels
+    // singletons (declared nodes with no edges) never entered the loop:
+    // one left join stitches them back as their own components. Undeclared
+    // endpoints stay via the full label set.
+    nodes.select(col(idCol).as("id"))
+      .join(labels, Seq("id"), "full_outer")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
   }
 }
