@@ -69,4 +69,49 @@ object Formats {
 
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Compact a parquet directory's small files toward `targetBytes` per
+    * file — the standing maintenance task of every streaming/incremental
+    * pipeline (each micro-batch or retry leaves small files; a 100 TB
+    * table read at 10 MB a file is 10M scan tasks and an object-store
+    * listing storm). Sizing uses the FileSystem listing (metadata only,
+    * no data pass); the rewrite is one round-robin repartition to the
+    * computed file count. Returns (filesBefore, filesAfter).
+    *
+    * The rewrite goes through a temp sibling directory + rename swap: a
+    * failed compaction leaves the original data untouched (on HDFS-like
+    * stores the swap is atomic; on object stores pair this with the
+    * committer notes in [[ObjectStore]]). */
+  def compactParquet(spark: SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val dataFiles = fs.listStatus(dir).filter { st =>
+      val n = st.getPath.getName
+      st.isFile && n.endsWith(".parquet") && !n.startsWith("_")
+    }
+    val before = dataFiles.length
+    val totalBytes = dataFiles.map(_.getLen).sum
+    val targetFiles = math.max(1,
+      math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    if (targetFiles < before) {
+      val tmp = new org.apache.hadoop.fs.Path(
+        dir.getParent, s".${dir.getName}_compacting")
+      spark.read.parquet(path)
+        .repartition(targetFiles)
+        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      val old = new org.apache.hadoop.fs.Path(
+        dir.getParent, s".${dir.getName}_old")
+      require(fs.rename(dir, old), s"could not move $dir aside")
+      require(fs.rename(tmp, dir), s"could not move compacted data into $dir")
+      fs.delete(old, true)
+    }
+    val after = fs.listStatus(dir).count { st =>
+      val n = st.getPath.getName
+      st.isFile && n.endsWith(".parquet") && !n.startsWith("_")
+    }
+    (before, after)
+  }
 }

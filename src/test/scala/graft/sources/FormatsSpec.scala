@@ -57,6 +57,23 @@ class FormatsSpec extends SparkSuite {
     assert(src.exceptAll(back).isEmpty && back.exceptAll(src).isEmpty)
   }
 
+  test("compaction merges small files, preserves data, and is idempotent") {
+    val dir = tmp("graft_compact")
+    // 16 small files of real events
+    events.repartition(16).write.mode("overwrite").parquet(dir)
+    val src = spark.read.parquet(dir)
+    val rows = src.count()
+    val (before, after) =
+      Formats.compactParquet(spark, dir, targetBytes = 512L * 1024 * 1024)
+    assert(before == 16 && after == 1, s"$before -> $after")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == rows)
+    assert(back.exceptAll(events).isEmpty && events.exceptAll(back).isEmpty)
+    // already compact → no rewrite happens
+    val (b2, a2) = Formats.compactParquet(spark, dir)
+    assert(b2 == 1 && a2 == 1)
+  }
+
   test("partitioned parquet write + filtered read prunes partitions") {
     val dir = tmp("graft_part")
     Formats.writePartitioned(events, dir, "event_type")
