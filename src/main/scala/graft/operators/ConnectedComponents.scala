@@ -27,7 +27,7 @@ import org.apache.spark.storage.StorageLevel
   * unique), so the per-round shuffles are O(edges), not O(corpus) — at
   * 100 TB the difference between propagating a few hundred million
   * endpoint labels and re-shuffling every document id fifty times.
-  * Singletons are stitched back with one final left join.
+  * Singletons are stitched back with one final outer join.
   *
   * Iteration hygiene at scale: each round's labels are persisted and the
   * previous round's are unpersisted, so lineage does not grow with the
@@ -40,17 +40,18 @@ object ConnectedComponents {
     * `nodes`: one id column — declares the vertex set, so isolated nodes
     * come back as their own singleton components; edge endpoints absent
     * from `nodes` join the vertex set implicitly.
-    * Returns (id, component) with component = min node id reachable.
-    * The propagated labels are persisted (MEMORY_AND_DISK) — callers
-    * should read the result from cache and may `.unpersist()` it once
-    * consumed. */
+    * Returns (id, component) with component = min node id reachable, one
+    * row per distinct id. The result is persisted (MEMORY_AND_DISK) and
+    * already materialized — the iteration's intermediate caches are
+    * released before returning — so `.unpersist()` on the returned
+    * DataFrame releases everything once the caller is done. */
   def components(nodes: DataFrame, edges: DataFrame,
       idCol: String, srcCol: String, dstCol: String,
       maxIter: Int = 50): DataFrame = {
-    // persist the symmetric edge set: it is read TWICE PER ROUND (message
-    // join + the round's self rows) and its lineage may be an arbitrarily
-    // expensive upstream pipeline (q67's is the whole shingle→jaccard
-    // candidate chain — recomputing it per round cost 4×)
+    // persist the symmetric edge set: it seeds the labels and is read once
+    // per round, and its lineage may be an arbitrarily expensive upstream
+    // pipeline (q67's is the whole shingle→jaccard candidate chain —
+    // recomputing it per round cost 4×)
     val sym = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
@@ -86,11 +87,19 @@ object ConnectedComponents {
     sym.unpersist()
     require(changed == 0,
       s"connected components did not converge in $maxIter rounds")
-    // singletons (declared nodes with no edges) never entered the loop:
-    // one left join stitches them back as their own components. Undeclared
-    // endpoints stay via the full label set.
-    nodes.select(col(idCol).as("id"))
+    // Singletons (declared nodes with no edges) never entered the loop: a
+    // full-outer join stitches them back as their own components while
+    // keeping undeclared endpoints from the label side; distinct() keeps
+    // the one-row-per-id contract if `nodes` carries duplicates. The
+    // result is persisted and MATERIALIZED here so the final round's
+    // intermediate cache can be released — otherwise it would leak with no
+    // caller-visible handle (unpersist on a derived plan is a no-op).
+    val result = nodes.select(col(idCol).as("id")).distinct()
       .join(labels, Seq("id"), "full_outer")
       .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    cached.unpersist()
+    result
   }
 }

@@ -70,48 +70,69 @@ object Formats {
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
-  /** Compact a parquet directory's small files toward `targetBytes` per
+  /** Compact a parquet table's small files toward `targetBytes` per
     * file — the standing maintenance task of every streaming/incremental
     * pipeline (each micro-batch or retry leaves small files; a 100 TB
     * table read at 10 MB a file is 10M scan tasks and an object-store
-    * listing storm). Sizing uses the FileSystem listing (metadata only,
-    * no data pass); the rewrite is one round-robin repartition to the
-    * computed file count. Returns (filesBefore, filesAfter).
+    * listing storm). Hive-partitioned layouts are compacted per leaf
+    * partition directory (so partition pruning and values survive
+    * untouched); sizing uses FileSystem listings only (metadata, no data
+    * pass); each rewrite is one round-robin repartition to the computed
+    * file count. Returns (filesBefore, filesAfter) totals.
     *
-    * The rewrite goes through a temp sibling directory + rename swap: a
-    * failed compaction leaves the original data untouched (on HDFS-like
-    * stores the swap is atomic; on object stores pair this with the
-    * committer notes in [[ObjectStore]]). */
+    * Failure semantics, stated honestly: each leaf swaps via a temp
+    * sibling write + two renames. A crash BETWEEN the renames leaves that
+    * one leaf's data intact but parked at `.<name>_old` next to it (and
+    * the leaf path briefly absent) — recovery is renaming it back; data is
+    * never deleted until the compacted copy is in place. Rename is atomic
+    * on HDFS-like filesystems; on object stores pair this with the
+    * committer notes in [[ObjectStore]] and prefer table formats with
+    * transactional commit for concurrent readers. */
   def compactParquet(spark: SparkSession, path: String,
       targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     require(targetBytes > 0, "targetBytes must be positive")
+    import org.apache.hadoop.fs.Path
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
       spark.sparkContext.hadoopConfiguration)
-    val dir = new org.apache.hadoop.fs.Path(path)
-    val dataFiles = fs.listStatus(dir).filter { st =>
-      val n = st.getPath.getName
-      st.isFile && n.endsWith(".parquet") && !n.startsWith("_")
+
+    def dataFiles(d: Path): Array[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(d).filter { st =>
+        val n = st.getPath.getName
+        st.isFile && n.endsWith(".parquet") && !n.startsWith("_")
+      }
+    // leaf dirs actually holding parquet data: the dir itself (flat
+    // layout) or the partition leaves of a hive layout
+    def leaves(d: Path): Seq[Path] = {
+      val children = fs.listStatus(d)
+      val subdirs = children.filter(st => st.isDirectory &&
+        !st.getPath.getName.startsWith(".") &&
+        !st.getPath.getName.startsWith("_"))
+      val here = if (dataFiles(d).nonEmpty) Seq(d) else Seq.empty
+      here ++ subdirs.flatMap(st => leaves(st.getPath))
     }
-    val before = dataFiles.length
-    val totalBytes = dataFiles.map(_.getLen).sum
-    val targetFiles = math.max(1,
-      math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    if (targetFiles < before) {
-      val tmp = new org.apache.hadoop.fs.Path(
-        dir.getParent, s".${dir.getName}_compacting")
-      spark.read.parquet(path)
-        .repartition(targetFiles)
-        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-      val old = new org.apache.hadoop.fs.Path(
-        dir.getParent, s".${dir.getName}_old")
-      require(fs.rename(dir, old), s"could not move $dir aside")
-      require(fs.rename(tmp, dir), s"could not move compacted data into $dir")
-      fs.delete(old, true)
+
+    def compactLeaf(leaf: Path): (Int, Int) = {
+      val files = dataFiles(leaf)
+      val before = files.length
+      val totalBytes = files.map(_.getLen).sum
+      val targetFiles = math.max(1,
+        math.ceil(totalBytes.toDouble / targetBytes).toInt)
+      if (targetFiles < before) {
+        val tmp = new Path(leaf.getParent, s".${leaf.getName}_compacting")
+        spark.read.parquet(leaf.toString)
+          .repartition(targetFiles)
+          .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        val old = new Path(leaf.getParent, s".${leaf.getName}_old")
+        require(fs.rename(leaf, old), s"could not move $leaf aside")
+        require(fs.rename(tmp, leaf),
+          s"could not move compacted data into $leaf — original preserved at $old")
+        require(fs.delete(old, true) || !fs.exists(old),
+          s"compacted $leaf but could not delete backup $old — reclaim manually")
+      }
+      (before, dataFiles(leaf).length)
     }
-    val after = fs.listStatus(dir).count { st =>
-      val n = st.getPath.getName
-      st.isFile && n.endsWith(".parquet") && !n.startsWith("_")
-    }
-    (before, after)
+
+    val results = leaves(new Path(path)).map(compactLeaf)
+    (results.map(_._1).sum, results.map(_._2).sum)
   }
 }

@@ -41,6 +41,17 @@ class ConnectedComponentsSpec extends SparkSuite {
     assert(got(3L) == 1L && got(1L) == 1L && got(2L) == 1L)
   }
 
+  test("duplicate ids in the vertex set still yield one row per id") {
+    val got = comp(Seq(1L, 1L, 2L, 2L, 5L), Seq((1L, 2L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 5L -> 5L))
+    val s = spark
+    import s.implicits._
+    val n = ConnectedComponents.components(
+      Seq(1L, 1L, 2L).toDF("id"), Seq((1L, 2L)).toDF("a", "b"),
+      "id", "a", "b").count()
+    assert(n == 2, s"expected one row per distinct id, got $n")
+  }
+
   test("non-convergence within maxIter fails loudly instead of truncating") {
     val e = intercept[IllegalArgumentException] {
       comp(0L to 5L, Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L), (1L, 0L)),

@@ -74,6 +74,23 @@ class FormatsSpec extends SparkSuite {
     assert(b2 == 1 && a2 == 1)
   }
 
+  test("compaction recurses into hive partitions, keeping layout and data") {
+    val dir = tmp("graft_compact_part")
+    events.repartition(6).write.mode("overwrite")
+      .partitionBy("event_type").parquet(dir)
+    val nTypes = events.select("event_type").distinct().count().toInt
+    val (before, after) = Formats.compactParquet(spark, dir)
+    assert(before > nTypes, s"fixture not fragmented: $before files")
+    assert(after == nTypes, s"expected 1 file per partition, got $after")
+    val back = spark.read.parquet(dir).select(events.columns.map(col): _*)
+    assert(back.exceptAll(events).isEmpty && events.exceptAll(back).isEmpty)
+    // partition pruning still works on the compacted layout
+    val pruned = spark.read.parquet(dir)
+      .filter(col("event_type") === "purchase")
+    assert(pruned.queryExecution.executedPlan.toString
+      .contains("PartitionFilters"))
+  }
+
   test("partitioned parquet write + filtered read prunes partitions") {
     val dir = tmp("graft_part")
     Formats.writePartitioned(events, dir, "event_type")
