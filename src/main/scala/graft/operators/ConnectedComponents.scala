@@ -56,6 +56,10 @@ object ConnectedComponents {
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // materialize NOW: the seed below and round 1 both read sym, and two
+    // reads racing inside one first job can each recompute the (expensive)
+    // edge lineage before the cache is fully populated
+    sym.count()
     var cached = sym.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("comp"), col("id").as("prev"))
       .persist(StorageLevel.MEMORY_AND_DISK)
