@@ -74,12 +74,58 @@ object EventOpsQueries extends QueryPack {
       .orderBy("c_mktsegment")
   }
 
+  /** CDC merge, oracle-proven: a deterministic change batch (updates =
+    * event_id % 7, bumped value + 1 h newer version; deletes = event_id
+    * % 13, tombstones at the SAME version as the snapshot row — which
+    * exercises the delta-wins tie rule) applied to the events snapshot
+    * via operators.Merge. */
+  private def q69(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.roundf
+    val base = ev(s, dir)
+      .select("event_id", "user_id", "event_type", "value", "ts")
+    val upd = base
+      .filter(col("event_id") % 7 === 0 && col("event_id") % 13 =!= 0)
+      .withColumn("value", col("value") + 100)
+      .withColumn("ts", col("ts") + expr("INTERVAL 1 HOUR"))
+      .withColumn("_deleted", lit(false))
+    val del = base.filter(col("event_id") % 13 === 0)
+      .withColumn("_deleted", lit(true))
+    graft.operators.Merge
+      .upsert(base, upd.unionByName(del), Seq("event_id"), "ts")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        roundf(col("value"), 2).as("value"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"))
+      .orderBy("event_id")
+  }
+
   val defs: Map[String, Q] = Map(
     "q62_stratified_sample" -> (q62 _),
     "q63_sessionize" -> (q63 _),
-    "q68_salted_join" -> (q68 _))
+    "q68_salted_join" -> (q68 _),
+    "q69_cdc_merge" -> (q69 _))
 
   val oracle: Map[String, String] = Map(
+    "q69_cdc_merge" ->
+      """WITH base AS (
+        |  SELECT event_id, user_id, event_type, value, ts FROM events),
+        |tagged AS (
+        |  SELECT *, 0 AS src, false AS del FROM base
+        |  UNION ALL
+        |  SELECT event_id, user_id, event_type, value + 100 AS value,
+        |    ts + INTERVAL 1 HOUR AS ts, 1, false
+        |  FROM base WHERE event_id % 7 = 0 AND event_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT event_id, user_id, event_type, value, ts, 1, true
+        |  FROM base WHERE event_id % 13 = 0),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY event_id ORDER BY ts DESC, src DESC) AS rn
+        |  FROM tagged)
+        |SELECT event_id, user_id, event_type,
+        |  floor(value * 100.0 + 0.5) / 100.0 AS value,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts
+        |FROM ranked WHERE rn = 1 AND NOT del
+        |ORDER BY event_id""".stripMargin,
     "q68_salted_join" -> {
       import graft.functions.Rounding.{centsSql, roundfSql, sumExactSql}
       s"""SELECT c_mktsegment, count(*) AS n,
