@@ -22,10 +22,20 @@ import org.apache.spark.sql.functions._
 object Merge {
 
   /** `snapshot` and `delta` must share the schema apart from `delta`'s
-    * optional boolean `deletedCol` (absent ⇒ pure upserts). Returns the
-    * merged snapshot (without the tombstone column). */
+    * optional boolean `deletedCol` (absent ⇒ pure upserts; a NULL flag
+    * reads as not-deleted — an upsert batch unioned with
+    * allowMissingColumns must not silently delete). Returns the merged
+    * snapshot (without the tombstone column).
+    *
+    * Determinism: the winner is total-ordered by (version desc, delta-
+    * over-snapshot, `tieBreakCols`). If a single batch can carry several
+    * rows for one (key, version) — replayed/duplicated change events —
+    * pass `tieBreakCols` to make the choice deterministic; with none,
+    * each (key, version, side) must be unique or the survivor is
+    * partition-order-dependent. */
   def upsert(snapshot: DataFrame, delta: DataFrame, keyCols: Seq[String],
-      versionCol: String, deletedCol: String = "_deleted"): DataFrame = {
+      versionCol: String, deletedCol: String = "_deleted",
+      tieBreakCols: Seq[String] = Nil): DataFrame = {
     require(keyCols.nonEmpty, "at least one key column")
     val withFlag =
       if (delta.columns.contains(deletedCol)) delta
@@ -35,10 +45,11 @@ object Merge {
       .withColumn("__src", lit(0))
       .unionByName(withFlag.withColumn("__src", lit(1)))
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(versionCol).desc, col("__src").desc)
+      .orderBy(col(versionCol).desc +: col("__src").desc +:
+        tieBreakCols.map(col(_).desc): _*)
     tagged
       .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1 && !col(deletedCol))
+      .filter(col("__rn") === 1 && !coalesce(col(deletedCol), lit(false)))
       .drop("__rn", "__src", deletedCol)
   }
 }

@@ -105,8 +105,9 @@ object EventOpsQueries extends QueryPack {
     "q69_cdc_merge" -> (q69 _))
 
   val oracle: Map[String, String] = Map(
-    "q69_cdc_merge" ->
-      """WITH base AS (
+    "q69_cdc_merge" -> {
+      import graft.functions.Rounding.roundfSql
+      s"""WITH base AS (
         |  SELECT event_id, user_id, event_type, value, ts FROM events),
         |tagged AS (
         |  SELECT *, 0 AS src, false AS del FROM base
@@ -122,10 +123,11 @@ object EventOpsQueries extends QueryPack {
         |    PARTITION BY event_id ORDER BY ts DESC, src DESC) AS rn
         |  FROM tagged)
         |SELECT event_id, user_id, event_type,
-        |  floor(value * 100.0 + 0.5) / 100.0 AS value,
+        |  ${roundfSql("value", 2)} AS value,
         |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts
         |FROM ranked WHERE rn = 1 AND NOT del
-        |ORDER BY event_id""".stripMargin,
+        |ORDER BY event_id""".stripMargin
+    },
     "q68_salted_join" -> {
       import graft.functions.Rounding.{centsSql, roundfSql, sumExactSql}
       s"""SELECT c_mktsegment, count(*) AS n,

@@ -59,15 +59,20 @@ class BarTable extends Table with SupportsRead {
   override def schema(): StructType = BarTable.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new BarScanBuilder(
-      Option(options.get("url")).getOrElse(
-        throw new IllegalArgumentException(
-          "graft-bars requires an 'url' option with a {symbol} placeholder")),
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val url = Option(options.get("url")).getOrElse(
+      throw new IllegalArgumentException(
+        "graft-bars requires an 'url' option with a {symbol} placeholder"))
+    // a placeholder-free url would silently fetch ONE symbol's data under
+    // every symbol's name — catch at plan time
+    require(url.contains("{symbol}"),
+      s"graft-bars url option must contain the {symbol} placeholder: $url")
+    new BarScanBuilder(url,
       Option(options.get("symbols")).getOrElse(
         throw new IllegalArgumentException(
           "graft-bars requires a 'symbols' option (comma-separated)"))
-        .split(",").map(_.trim).filter(_.nonEmpty).sorted)
+        .split(",").map(_.trim).filter(_.nonEmpty).distinct.sorted)
+  }
 }
 
 class BarScanBuilder(url: String, symbols: Array[String])
@@ -98,6 +103,20 @@ class BarReaderFactory(url: String, fields: Array[String])
       : PartitionReader[InternalRow] = {
     val symbol = partition.asInstanceOf[BarPartition].symbol
     new PartitionReader[InternalRow] {
+      // field extractors resolved ONCE per reader — no per-row string
+      // matching in the scan's hot path
+      private val extractors: Array[HttpIngest.Bar => Any] = fields.map {
+        case "symbol" =>
+          (b: HttpIngest.Bar) => UTF8String.fromString(b.symbol)
+        case "Datetime" => // micros since epoch (Spark's timestamp repr)
+          (b: HttpIngest.Bar) => b.Datetime.getTime * 1000L +
+            (b.Datetime.getNanos / 1000L) % 1000L
+        case "Open" => (b: HttpIngest.Bar) => b.Open
+        case "High" => (b: HttpIngest.Bar) => b.High
+        case "Low" => (b: HttpIngest.Bar) => b.Low
+        case "Close" => (b: HttpIngest.Bar) => b.Close
+        case "Volume" => (b: HttpIngest.Bar) => b.Volume
+      }
       // fetched lazily on the EXECUTOR, at first next() — task retries
       // re-fetch, task parallelism spreads symbols across the cluster
       private lazy val bars: Iterator[HttpIngest.Bar] =
@@ -106,20 +125,8 @@ class BarReaderFactory(url: String, fields: Array[String])
       private var current: HttpIngest.Bar = _
       override def next(): Boolean =
         if (bars.hasNext) { current = bars.next(); true } else false
-      override def get(): InternalRow = {
-        val values = fields.map {
-          case "symbol" => UTF8String.fromString(current.symbol)
-          case "Datetime" => // micros since epoch (Spark's timestamp repr)
-            current.Datetime.getTime * 1000L +
-              (current.Datetime.getNanos / 1000L) % 1000L
-          case "Open" => current.Open
-          case "High" => current.High
-          case "Low" => current.Low
-          case "Close" => current.Close
-          case "Volume" => current.Volume
-        }
-        new GenericInternalRow(values.asInstanceOf[Array[Any]])
-      }
+      override def get(): InternalRow =
+        new GenericInternalRow(extractors.map(_(current)))
       override def close(): Unit = ()
     }
   }

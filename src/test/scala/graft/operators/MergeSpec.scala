@@ -39,6 +39,24 @@ class MergeSpec extends SparkSuite {
     assert(got.map(_.getString(1)).toSeq == Seq("c2"))
   }
 
+  test("NULL tombstone flag means upsert, not delete") {
+    // the allowMissingColumns union shape: upsert rows get _deleted = NULL
+    val delta = Seq((5L, "e", 12L, Option.empty[Boolean]),
+      (2L, "dead", 12L, Some(true)))
+      .toDF("k", "v", "ver", "_deleted")
+    val got = Merge.upsert(snapshot, delta, Seq("k"), "ver")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq(1L -> "a", 3L -> "c2", 5L -> "e"))
+  }
+
+  test("tieBreakCols make duplicate (key, version) batches deterministic") {
+    val delta = Seq((1L, "x1", 10L, false), (1L, "x2", 10L, false))
+      .toDF("k", "v", "ver", "_deleted")
+    val got = Merge.upsert(snapshot, delta, Seq("k"), "ver",
+      tieBreakCols = Seq("v")).filter($"k" === 1L).collect()
+    assert(got.map(_.getString(1)).toSeq == Seq("x2")) // max v wins
+  }
+
   test("delta without a tombstone column is a pure upsert batch") {
     val delta = Seq((1L, "a2", 99L)).toDF("k", "v", "ver")
     val got = Merge.upsert(snapshot, delta, Seq("k"), "ver")

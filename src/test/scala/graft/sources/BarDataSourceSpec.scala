@@ -53,6 +53,22 @@ class BarDataSourceSpec extends SparkSuite {
     }
   }
 
+  test("placeholder-free url fails at plan time; duplicate symbols dedupe") {
+    withServer { port =>
+      val e = intercept[IllegalArgumentException] {
+        spark.read.format("graft.sources.v2.BarSourceProvider")
+          .option("url", s"http://127.0.0.1:$port/bars/AAA")
+          .option("symbols", "AAA,BBB").load().count()
+      }
+      assert(e.getMessage.contains("{symbol}"))
+      val dup = spark.read.format("graft.sources.v2.BarSourceProvider")
+        .option("url", s"http://127.0.0.1:$port/bars/{symbol}")
+        .option("symbols", "AAA,BBB,AAA").load()
+      assert(dup.rdd.getNumPartitions == 2)
+      assert(dup.count() == 4)
+    }
+  }
+
   test("plans one input partition per symbol (distributed fetch)") {
     withServer { port =>
       val df = read(port)
