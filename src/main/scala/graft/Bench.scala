@@ -44,7 +44,10 @@ object Bench {
       catch { case _: Throwable => () }
     }
     var failed = List.empty[String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // sorted execution order: Map iteration order shifts as queries are
+    // added, which moves which query absorbs residual warmup and makes
+    // per-query numbers incomparable across rounds
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() }
       catch { case _: Throwable => failed ::= name }
@@ -52,7 +55,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     // a failed query must be visible, not silently counted as a fast run
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     // machine-contention telemetry: a contended box (round-2's 91.8s vs a
