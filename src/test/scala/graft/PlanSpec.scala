@@ -1,0 +1,49 @@
+package graft
+
+/** Physical-plan regression guards: the scale properties the engine's
+  * 100 TB posture rests on, pinned as assertions so a plan regression
+  * surfaces as a red test, not a bench mystery. Checked on sf0.001 — plan
+  * SHAPE does not depend on the scale factor (only AQE's runtime choices
+  * do, and these assertions target the static plan). */
+class PlanSpec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q01: filter and projection reach the parquet scan") {
+    val p = plan("q01_project_filter")
+    assert(p.contains("PushedFilters: [IsNotNull"), p.linesIterator
+      .find(_.contains("PushedFilters")).getOrElse("no PushedFilters line"))
+    // pruned read: the lineitem scan must not read all 16 columns
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("l_comment"), s"unpruned scan: $read")
+  }
+
+  test("q16: global sort + limit compiles to TakeOrderedAndProject") {
+    assert(plan("q16_sort_limit").contains("TakeOrderedAndProject"))
+  }
+
+  test("q11: dimension joins broadcast (no shuffle of the small side)") {
+    assert(plan("q11_join_topk").contains("BroadcastHashJoin"))
+  }
+
+  test("q65: binned range join is an equi join, never a nested loop") {
+    assert(!plan("q65_range_join_binned").contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q61: the native as-of operator plans as AsofJoinExec") {
+    assert(plan("q61_asof_native").contains("AsofJoin"))
+  }
+
+  test("q44: candidate generation is a keyed join, never a cross product") {
+    val p = plan("q44_dedup_embedding")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), "all-pairs shape crept back in")
+  }
+
+  test("q62: deterministic sampling stays a map-side filter (no shuffle)") {
+    assert(!plan("q62_stratified_sample").contains("Exchange hashpartitioning"))
+  }
+}
