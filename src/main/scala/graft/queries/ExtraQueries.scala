@@ -45,8 +45,9 @@ object ExtraQueries extends QueryPack {
       lit(null).cast("long").as("c_id"),
       lit(null).cast("timestamp").as("c_ts"))
     // at equal ts a click sorts before the purchase → inclusive (ts >=);
-    // c_id breaks ties between same-timestamp clicks deterministically
-    // (nulls first, so purchase rows keep sorting after their clicks)
+    // clicks are unique per (user_id, ts) after dedupClicks, so the c_id
+    // ordering's remaining job is keeping purchase rows (null c_id,
+    // nulls-last) after their same-timestamp clicks
     val w = Window.partitionBy("user_id")
       .orderBy(col("ts"), col("kind"), col("c_id").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
