@@ -23,15 +23,21 @@ import org.apache.spark.unsafe.types.UTF8String
   * `list_dot_product(v, p) >= 0` (and to the sign of the cosine: IEEE
   * division by a positive norm product preserves sign exactly). A vector
   * whose length differs from the planes' dimension yields null (defensive,
-  * same contract as cosine_sim's dimension check). */
-case class LshBandKeys(child: Expression, planes: Array[Array[Double]],
+  * same contract as cosine_sim's dimension check).
+  *
+  * Planes are held as immutable `Seq[Seq[Double]]`, not arrays: case-class
+  * equality on an `Array` parameter is reference identity, which would make
+  * two structurally identical instances never `semanticEquals` — defeating
+  * canonicalization, subexpression elimination, and exchange/plan reuse
+  * (e.g. both sides of the LSH self-join carry this expression). */
+case class LshBandKeys(child: Expression, planes: Seq[Seq[Double]],
     rowsPerBand: Int) extends UnaryExpression {
 
   require(planes.nonEmpty && planes.length % rowsPerBand == 0,
     s"plane count ${planes.length} not a multiple of rowsPerBand $rowsPerBand")
 
   private val numPlanes = planes.length
-  private val dim = planes(0).length
+  private val dim = planes.head.length
   private val numBands = numPlanes / rowsPerBand
 
   /** Flat row-major plane matrix — primitive, boxing-free, one reference
@@ -40,7 +46,9 @@ case class LshBandKeys(child: Expression, planes: Array[Array[Double]],
     val f = new Array[Double](numPlanes * dim)
     var h = 0
     while (h < numPlanes) {
-      System.arraycopy(planes(h), 0, f, h * dim, dim)
+      val row = planes(h)
+      var j = 0
+      while (j < dim) { f(h * dim + j) = row(j); j += 1 }
       h += 1
     }
     f

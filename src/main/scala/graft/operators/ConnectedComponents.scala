@@ -89,6 +89,10 @@ object ConnectedComponents {
       iter += 1
     }
     sym.unpersist()
+    // release the final round's cache BEFORE the convergence check throws:
+    // on the non-convergence path nothing caller-visible references it, so
+    // leaving it persisted would leak executor memory for the JVM's life
+    if (changed != 0) cached.unpersist()
     require(changed == 0,
       s"connected components did not converge in $maxIter rounds")
     // Singletons (declared nodes with no edges) never entered the loop: a

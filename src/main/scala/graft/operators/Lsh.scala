@@ -60,7 +60,7 @@ object Lsh {
     org.apache.spark.sql.GraftSqlBridge.column(
       graft.expressions.LshBandKeys(
         org.apache.spark.sql.GraftSqlBridge.expression(v),
-        planes, rowsPerBand))
+        planes.map(_.toIndexedSeq).toIndexedSeq, rowsPerBand))
   }
 
   /** The banded-signature relation shared by the ANN and near-dup bucket

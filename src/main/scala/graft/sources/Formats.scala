@@ -83,11 +83,18 @@ object Formats {
     * Failure semantics, stated honestly: each leaf swaps via a temp
     * sibling write + two renames. A crash BETWEEN the renames leaves that
     * one leaf's data intact but parked at `.<name>_old` next to it (and
-    * the leaf path briefly absent) — recovery is renaming it back; data is
-    * never deleted until the compacted copy is in place. Rename is atomic
-    * on HDFS-like filesystems; on object stores pair this with the
-    * committer notes in [[ObjectStore]] and prefer table formats with
-    * transactional commit for concurrent readers. */
+    * the leaf path briefly absent) — data is never deleted until the
+    * compacted copy is in place. The next run RECOVERS automatically
+    * during traversal: a `.<name>_old` with the leaf present is a crash
+    * after the swap (backup is redundant — deleted); with the leaf absent
+    * it is a crash between the renames (original restored by renaming it
+    * back); any `.<name>_compacting` leftover is an incomplete temp copy
+    * (deleted and rewritten). Rename is atomic on HDFS-like filesystems;
+    * on object stores pair this with the committer notes in
+    * [[ObjectStore]] and prefer table formats with transactional commit
+    * for concurrent readers. Concurrent compactors on the SAME table are
+    * not supported (recovery would treat the other's in-flight temp as a
+    * leftover). */
   def compactParquet(spark: SparkSession, path: String,
       targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     require(targetBytes > 0, "targetBytes must be positive")
@@ -100,9 +107,44 @@ object Formats {
         val n = st.getPath.getName
         st.isFile && n.endsWith(".parquet") && !n.startsWith("_")
       }
+    // recover a prior crashed run's leftovers for one leaf before they can
+    // block this run's rename-aside (see scaladoc). `_old` is handled
+    // before `_compacting`: a between-renames crash leaves both, and the
+    // original must be restored before the stale temp is dropped.
+    def recoverLeaf(leaf: Path): Unit = {
+      val old = new Path(leaf.getParent, s".${leaf.getName}_old")
+      val tmp = new Path(leaf.getParent, s".${leaf.getName}_compacting")
+      if (fs.exists(old)) {
+        if (fs.exists(leaf))
+          require(fs.delete(old, true),
+            s"could not delete stale backup $old from a prior crashed run")
+        else
+          require(fs.rename(old, leaf),
+            s"could not restore $leaf from prior run's backup $old")
+      }
+      if (fs.exists(tmp))
+        require(fs.delete(tmp, true),
+          s"could not delete stale temp $tmp from a prior crashed run")
+    }
+
+    // recover any crashed leaf among d's children (hive layout: backups
+    // sit next to the partition leaf, inside this table's own tree)
+    def recoverIn(d: Path): Unit =
+      fs.listStatus(d).map(_.getPath.getName)
+        .filter(_.startsWith("."))
+        .collect {
+          case n if n.endsWith("_old") =>
+            n.stripPrefix(".").stripSuffix("_old")
+          case n if n.endsWith("_compacting") =>
+            n.stripPrefix(".").stripSuffix("_compacting")
+        }
+        .distinct
+        .foreach(n => recoverLeaf(new Path(d, n)))
+
     // leaf dirs actually holding parquet data: the dir itself (flat
     // layout) or the partition leaves of a hive layout
     def leaves(d: Path): Seq[Path] = {
+      recoverIn(d)
       val children = fs.listStatus(d)
       val subdirs = children.filter(st => st.isDirectory &&
         !st.getPath.getName.startsWith(".") &&
@@ -132,7 +174,12 @@ object Formats {
       (before, dataFiles(leaf).length)
     }
 
-    val results = leaves(new Path(path)).map(compactLeaf)
+    // the root itself is the crashed leaf in a flat layout (its backup
+    // sits in the root's PARENT) — recover it before the tree walk, which
+    // would otherwise fail listing the absent root
+    val root = new Path(path)
+    recoverLeaf(root)
+    val results = leaves(root).map(compactLeaf)
     (results.map(_._1).sum, results.map(_._2).sum)
   }
 }

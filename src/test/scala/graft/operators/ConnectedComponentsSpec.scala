@@ -53,10 +53,15 @@ class ConnectedComponentsSpec extends SparkSuite {
   }
 
   test("non-convergence within maxIter fails loudly instead of truncating") {
+    // the failure path must also release its iteration caches: nothing
+    // caller-visible references them after the throw
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val e = intercept[IllegalArgumentException] {
       comp(0L to 5L, Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L), (1L, 0L)),
         maxIter = 2)
     }
     assert(e.getMessage.contains("converge"))
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- persistedBefore
+    assert(leaked.isEmpty, s"non-convergence leaked cached RDDs: $leaked")
   }
 }

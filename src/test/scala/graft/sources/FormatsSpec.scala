@@ -91,6 +91,48 @@ class FormatsSpec extends SparkSuite {
       .contains("PartitionFilters"))
   }
 
+  test("compaction recovers a prior run that crashed between the renames") {
+    import org.apache.hadoop.fs.Path
+    val dir = tmp("graft_compact_rec")
+    events.repartition(4).write.mode("overwrite").parquet(dir)
+    val rows = events.count()
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir),
+      spark.sparkContext.hadoopConfiguration)
+    // simulate the between-renames crash state: leaf parked at _old (leaf
+    // path absent) plus a stale half-written temp
+    val root = new Path(dir)
+    val old = new Path(root.getParent, s".${root.getName}_old")
+    val tmpP = new Path(root.getParent, s".${root.getName}_compacting")
+    assert(fs.rename(root, old))
+    fs.mkdirs(tmpP)
+    val (before, after) =
+      Formats.compactParquet(spark, dir, targetBytes = 512L * 1024 * 1024)
+    assert(before == 4 && after == 1, s"$before -> $after")
+    assert(spark.read.parquet(dir).count() == rows)
+    assert(!fs.exists(old) && !fs.exists(tmpP),
+      "recovery must consume the crashed run's leftovers")
+  }
+
+  test("compaction deletes a redundant backup when the swap completed") {
+    import org.apache.hadoop.fs.Path
+    val dir = tmp("graft_compact_rec2")
+    events.repartition(2).write.mode("overwrite")
+      .partitionBy("event_type").parquet(dir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir),
+      spark.sparkContext.hadoopConfiguration)
+    // simulate the after-swap crash state on one partition leaf: the leaf
+    // is present (compacted) and its backup was never deleted
+    val leaf = fs.listStatus(new Path(dir))
+      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      .head.getPath
+    val old = new Path(leaf.getParent, s".${leaf.getName}_old")
+    fs.mkdirs(old)
+    val rows = spark.read.parquet(dir).count()
+    Formats.compactParquet(spark, dir)
+    assert(!fs.exists(old), "redundant backup must be reclaimed")
+    assert(spark.read.parquet(dir).count() == rows)
+  }
+
   test("partitioned parquet write + filtered read prunes partitions") {
     val dir = tmp("graft_part")
     Formats.writePartitioned(events, dir, "event_type")
