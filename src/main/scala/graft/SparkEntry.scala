@@ -15,7 +15,8 @@ object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
     CoreQueries, FlagshipQueries, JoinQueries, TextQueries,
     DedupQueries, SimilarityQueries, MultimodalQueries, ExtraQueries,
-    ArrayQueries, TpchQueries, EventOpsQueries, QualityQueries)
+    ArrayQueries, TpchQueries, EventOpsQueries, QualityQueries,
+    ScaleQueries)
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. The reference's
     * predictor contract (per-group next-step OLS forecast) over `events`. */

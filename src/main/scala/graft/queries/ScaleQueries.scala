@@ -1,0 +1,168 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.functions._
+import graft.{QueryPack, Tables}
+import graft.functions.{Rounding, Scored, TopKByValue, ZOrder}
+import graft.operators.BloomPrune
+
+/** The 100 TB toolkit queries: bloom-pruned joins, bounded top-k
+  * aggregation, sketch accuracy contracts, grouping sets, and Z-order
+  * clustering keys. Each is the oracle-checked face of an operator whose
+  * purpose is to keep plans viable at three orders of magnitude more data —
+  * shrink the shuffle before it happens (q70, q71), answer with a sketch
+  * whose error is provably bounded (q72, q75), aggregate a lattice in one
+  * pass (q73), and cluster the physical layout for multi-dimensional
+  * pruning (q74). */
+object ScaleQueries extends QueryPack {
+
+  import Rounding.{cents, centsSql, roundf, roundfSql, sumExact, sumExactSql}
+
+  /** Bloom-pruned fact-dim join: events x BUILDING-segment customers. The
+    * bloom prunes non-matching fact rows BEFORE the join exchange (see
+    * [[BloomPrune]]); the exact join after it makes the result identical to
+    * the plain join, which is exactly what the oracle runs. */
+  private def q70(s: SparkSession, dir: String): DataFrame = {
+    val fact = Tables.load(s, dir, "events").select(col("user_id"), col("value"))
+    val dim = Tables.load(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"), col("c_nationkey"))
+    BloomPrune.join(fact, dim, "user_id", "c_custkey", expectedItems = 100000L)
+      .groupBy(col("c_nationkey").cast("long").as("nation"))
+      .agg(count(lit(1)).as("n"),
+        roundf(sumExact(cents(col("value"))) / 100.0, 2).as("sum_value"))
+      .orderBy("nation")
+  }
+
+  /** Bounded top-k per group (k=3 by value desc, event_id tiebreak) via the
+    * [[TopKByValue]] typed aggregate — at most k rows per group survive each
+    * map task, so the exchange never carries the full table the window-rank
+    * formulation would shuffle. The oracle IS that window formulation:
+    * same rows, radically different plan cost. */
+  private def q71(s: SparkSession, dir: String): DataFrame = {
+    val topk = udaf(new TopKByValue(3), ExpressionEncoder[Scored]())
+    Tables.load(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .groupBy("user_id")
+      .agg(topk(col("value"), col("event_id")).as("top"))
+      .select(col("user_id"), posexplode(col("top")))
+      .select(col("user_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.value").as("value"), col("col.id").as("event_id"))
+      .orderBy("user_id", "rank")
+  }
+
+  /** Sketch accuracy contract, distinct counts: the HLL++ estimate must land
+    * within 5% of the exact per-group distinct count. The oracle computes
+    * the exact count independently and asserts the contract as a literal —
+    * so a drifting sketch breaks the hash match. rsd=0.01 keeps the
+    * estimate well inside the 5% band with margin. */
+  private def q72(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id"), 0.01).as("approx"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx") - col("exact_users")) <=
+          col("exact_users") * 0.05).as("within_5pct"))
+      .orderBy("event_type")
+
+  /** Grouping-sets lattice over orders in ONE aggregation pass (the
+    * alternative — four separate group-bys unioned — scans the fact four
+    * times). Shared SQL text: Spark and DuckDB both run exactly this. */
+  private val q73Sql: String =
+    s"""SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+       |  coalesce(o_orderstatus, 'ALL') AS status,
+       |  CAST(grouping(o_orderpriority) AS BIGINT) * 2 +
+       |    CAST(grouping(o_orderstatus) AS BIGINT) AS gid,
+       |  count(*) AS n,
+       |  ${roundfSql(sumExactSql(centsSql("o_totalprice")) + " / 100.0", 2)}
+       |    AS sum_price
+       |FROM orders
+       |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+       |  (o_orderpriority), (o_orderstatus), ())
+       |ORDER BY gid, priority, status""".stripMargin
+
+  private def q73(s: SparkSession, dir: String): DataFrame =
+    graft.GraftSql.run(s, dir, q73Sql)
+
+  /** Z-order cell census: the Morton key both engines compute from
+    * identical generated bit-arithmetic (single source:
+    * [[ZOrder.interleaveSql]]) — the clustering key
+    * [[graft.sources.Formats.writeZOrdered]] sorts by, aggregated to
+    * 16-cell granularity. Checks the interleave math cross-engine; the
+    * file-level clustering effect is pinned in ZOrderSpec. */
+  private val q74Sql: String = {
+    val z = ZOrder.interleaveSql(Seq(
+      ZOrder.bucketSql("user_id", 1024),
+      ZOrder.bucketSql(centsSql("value"), 1024)), bits = 10)
+    s"""SELECT ($z >> 6) AS zcell, count(*) AS n,
+       |  ${roundfSql(sumExactSql(centsSql("value")) + " / 100.0", 2)} AS sum_value
+       |FROM events
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  private def q74(s: SparkSession, dir: String): DataFrame =
+    graft.GraftSql.run(s, dir, q74Sql)
+
+  /** Sketch accuracy contract, quantiles: approx_percentile's median
+    * estimate must fall between the exact 45th and 55th percentiles. The
+    * exact median (hash-checked payload) is computed over integer cents —
+    * like q29, raw-double interpolation can differ by an ulp between
+    * engines, integer inputs cannot. Spark `percentile` ≡ DuckDB
+    * `quantile_cont` on those integers. */
+  private def q75(s: SparkSession, dir: String): DataFrame = {
+    val c = "CAST(floor(value * 100.0 + 0.5) AS BIGINT)"
+    Tables.load(s, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        expr(s"percentile($c, 0.5)").as("exact_median"),
+        expr(s"approx_percentile($c, 0.5, 10000)").as("approx"),
+        expr(s"percentile($c, 0.45)").as("p45"),
+        expr(s"percentile($c, 0.55)").as("p55"))
+      .select(col("event_type"),
+        roundf(col("exact_median") / 100.0, 4).as("median"),
+        (col("approx") >= col("p45") && col("approx") <= col("p55"))
+          .as("within_band"))
+      .orderBy("event_type")
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q70_bloom_join" -> (q70 _),
+    "q71_topk_per_group" -> (q71 _),
+    "q72_approx_distinct" -> (q72 _),
+    "q73_grouping_sets" -> (q73 _),
+    "q74_zorder_cells" -> (q74 _),
+    "q75_approx_quantile" -> (q75 _))
+
+  val oracle: Map[String, String] = Map(
+    "q70_bloom_join" ->
+      s"""SELECT CAST(c_nationkey AS BIGINT) AS nation, count(*) AS n,
+         |  ${roundfSql(sumExactSql(centsSql("value")) + " / 100.0", 2)} AS sum_value
+         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q71_topk_per_group" ->
+      """WITH ranked AS (
+        |  SELECT user_id, value, event_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY value DESC, event_id) AS rank
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT user_id, CAST(rank AS BIGINT) AS rank, value, event_id
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY user_id, rank""".stripMargin,
+    "q72_approx_distinct" ->
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  true AS within_5pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q73_grouping_sets" -> q73Sql,
+    "q74_zorder_cells" -> q74Sql,
+    "q75_approx_quantile" ->
+      s"""SELECT event_type,
+         |  ${roundfSql(
+             "quantile_cont(CAST(floor(value * 100.0 + 0.5) AS BIGINT), 0.5)" +
+             " / 100.0", 4)} AS median,
+         |  true AS within_band
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+}

@@ -70,6 +70,30 @@ object Formats {
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Z-order-clustered parquet write: range-partition and sort by the
+    * Morton interleave of the given bucket columns, so parquet min/max
+    * row-group stats prune scans filtered on ANY of the clustered
+    * dimensions (a plain sort clusters only its leading column). The
+    * `buckets` columns must already be non-negative ints < 2^bits — derive
+    * them with [[graft.functions.ZOrder.bucket]].
+    *
+    * `numFiles` pins the output file count: range partitioning assigns
+    * contiguous z-ranges to files, and the per-partition sort keeps
+    * row groups tight within each file. The helper z column is dropped
+    * before writing — projection after a sort adds no exchange, so the
+    * clustered order reaches the writer. */
+  def writeZOrdered(df: DataFrame, path: String,
+      buckets: Seq[org.apache.spark.sql.Column], bits: Int,
+      numFiles: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    val z = graft.functions.ZOrder.interleave(buckets, bits)
+    df.withColumn("_graft_z", z)
+      .repartitionByRange(numFiles, col("_graft_z"))
+      .sortWithinPartitions("_graft_z")
+      .drop("_graft_z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** Compact a parquet table's small files toward `targetBytes` per
     * file — the standing maintenance task of every streaming/incremental
     * pipeline (each micro-batch or retry leaves small files; a 100 TB
