@@ -42,16 +42,21 @@ object ZOrder {
     parts.reduce(_ bitwiseOR _)
   }
 
-  /** SQL mirror of [[interleave]] — identical bit placement, portable
-    * operators (`>> << & |` parse the same in Spark SQL and DuckDB). */
+  /** SQL mirror of [[interleave]] — identical bit placement, expressed in
+    * pure integer `%` / comparison / `*` / `+` arithmetic rather than
+    * `>> << & |`: bitwise-operator semantics (and even parsing) have varied
+    * across DuckDB releases, while modulo/multiply/add on non-negative
+    * BIGINTs cannot. Bit `i` of non-negative x is `(x % 2^(i+1)) >= 2^i`;
+    * placing it at output position p is `* 2^p`; positions are disjoint so
+    * the OR-combine is a plain sum. */
   def interleaveSql(exprs: Seq[String], bits: Int): String = {
     checkArgs(exprs.size, bits)
     val n = exprs.size
     val parts = for {
       i <- 0 until bits
       (e, j) <- exprs.zipWithIndex
-    } yield s"(((CAST($e AS BIGINT) >> $i) & 1) << ${i * n + j})"
-    parts.mkString("(", " | ", ")")
+    } yield s"(CAST(((CAST($e AS BIGINT)) % ${1L << (i + 1)}) >= ${1L << i} AS BIGINT) * ${1L << (i * n + j)})"
+    parts.mkString("(", " + ", ")")
   }
 
   /** Portable non-negative bucketing: `((x % m) + m) % m` — identical in

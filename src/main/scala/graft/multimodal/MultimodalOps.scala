@@ -7,11 +7,12 @@ import org.apache.spark.sql.functions._
   * payloads with typed metadata, and run decode / feature-extract /
   * frame-sample as distributed per-partition operators.
   *
-  * The actual media decode is STUBBED (this container has no image/audio
-  * libs): `decodeStub` derives deterministic fake features from the payload
-  * bytes. Everything Spark-side — schema, typed Dataset encoders, partition
-  * batching, operator signatures — is real and tested (MultimodalSpec), so
-  * swapping the stub for a real decoder (JNI/FFI per partition) changes no
+  * Image container decode is REAL: [[decode]] parses PNG/GIF/JPEG headers
+  * from the payload bytes via [[ImageCodec.decodeDimensions]] (pure JVM,
+  * no native libs). Pixel-level decode and [[resizeStub]] remain stubbed
+  * seams (inflate/DCT need codec libs this container lacks); the byte
+  * stats they derive are deterministic so tests pin the plumbing, and
+  * swapping in a real pixel decoder (JNI/FFI per partition) changes no
   * plumbing.
   *
   * 100 TB posture: payloads never leave their partition (mapPartitions, no
@@ -21,7 +22,8 @@ object MultimodalOps {
 
   case class MediaRow(doc_id: Long, format: String, payload: Array[Byte])
   case class MediaFeatures(doc_id: Long, format: String, n_bytes: Long,
-      mean_byte: Double, head_hash: Long, n_frames: Int)
+      mean_byte: Double, head_hash: Long, n_frames: Int,
+      container: Option[String], width: Option[Int], height: Option[Int])
 
   /** Build a media table from `documents` (the container ships no binary
     * fixtures): payload = utf-8 bytes of the text, format assigned
@@ -34,21 +36,28 @@ object MultimodalOps {
         .otherwise("video").as("format"),
       encode(col("text"), "utf-8").as("payload"))
 
-  /** Stubbed decoder: a real implementation would decode the payload here
-    * (per-partition, reusing a decoder instance). The stub derives
-    * deterministic features from raw bytes so tests pin the plumbing. */
-  def decodeStub(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+  /** Decoder: container dimensions are parsed FOR REAL from the payload
+    * header ([[ImageCodec.decodeDimensions]] — PNG IHDR chunk walk, GIF
+    * logical screen descriptor, JPEG SOF marker walk); non-image payloads
+    * get None. The byte stats (mean/head-hash/frame count) are format-
+    * agnostic and remain the deterministic plumbing contract. Runs
+    * per-partition with no shuffle; a real pixel decoder would init once
+    * per partition here. */
+  def decode(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // per-partition setup cost happens once (decoder init in real impl)
+      // per-partition setup cost happens once (pixel-decoder init in a
+      // full implementation)
       rows.map { r =>
         val bytes = r.payload
         val mean =
           if (bytes.isEmpty) 0.0
           else bytes.map(b => (b & 0xff).toLong).sum.toDouble / bytes.length
         val head = bytes.take(8).foldLeft(0L)((acc, b) => acc * 31 + (b & 0xff))
+        val dims = ImageCodec.decodeDimensions(bytes)
         MediaFeatures(r.doc_id, r.format, bytes.length.toLong, mean, head,
-          frameCount(bytes.length, 16))
+          frameCount(bytes.length, 16),
+          dims.map(_.container), dims.map(_.width), dims.map(_.height))
       }
     }
   }
@@ -94,5 +103,27 @@ object MultimodalOps {
   def mediaDataset(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
     mediaTable(docs).as[MediaRow]
+  }
+
+  /** Deterministic image-fixture table from `documents` (the container
+    * ships no binary fixtures): each doc's text rides inside a REAL
+    * PNG/GIF/JPEG container (round-robin by doc_id) whose declared
+    * dimensions derive from doc_id — `(doc_id % 640 + 1) x
+    * (doc_id % 480 + 1)` — so [[decode]]'s header parse is independently
+    * checkable by an oracle that computes the same formulas without ever
+    * touching the bytes. Per-row encode, no shuffle. */
+  def imageTable(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].map {
+      case (id, text) =>
+        val w = (Math.floorMod(id, 640L) + 1).toInt
+        val h = (Math.floorMod(id, 480L) + 1).toInt
+        val body = Option(text).getOrElse("").getBytes("UTF-8")
+        Math.floorMod(id, 3L) match {
+          case 0L => MediaRow(id, "png", ImageCodec.encodePng(w, h, body))
+          case 1L => MediaRow(id, "gif", ImageCodec.encodeGif(w, h, body))
+          case _  => MediaRow(id, "jpeg", ImageCodec.encodeJpeg(w, h, body))
+        }
+    }
   }
 }

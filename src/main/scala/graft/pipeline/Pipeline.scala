@@ -19,7 +19,17 @@ object Pipeline {
     * schema (symbol, Datetime, Open, High, Low, Close, Volume). Writes the
     * raw zone exactly like the reference: per-symbol JSON records with
     * flattened "Metric_SYMBOL" names, stringified timestamps (tz-suffixed,
-    * `stock_ingestor.py:33-35`), empty frames skipped (`:25-27`). */
+    * `stock_ingestor.py:33-35`), empty frames skipped (`:25-27`).
+    *
+    * SCALE CAVEAT: this is the parity path — it drives a driver-side loop
+    * of O(symbols) Spark jobs (one filter+write per symbol, mirroring the
+    * reference's per-ticker loop at `stock_ingestor.py:19-43`), because
+    * the raw-zone contract requires per-symbol file NAMES with per-symbol
+    * column suffixes. At 10^4+ symbols this stage's job-launch overhead,
+    * not Spark, becomes the bottleneck; the scale path is a single
+    * `partitionBy("symbol")` job — see
+    * [[graft.sources.Formats.writePartitioned]], which Transform-equivalent
+    * readers consume directly via partition pruning. */
   object Ingest {
     def run(spark: SparkSession, bars: DataFrame, rawDir: String,
         runTs: String): Seq[String] = {
@@ -173,19 +183,36 @@ object Pipeline {
     * (DataQuality.enforce): each per-symbol processed output must satisfy
     * the bar contract before Combine may union it — the reference installed
     * great_expectations for exactly this seam and never wired it
-    * (`docker-compose.yml:32`). Pass `qualityChecks = Nil` to disable. */
+    * (`docker-compose.yml:32`). Pass `qualityChecks = Nil` to disable.
+    *
+    * Each stage runs under the [[Retry]] policy (default mirrors the
+    * reference DAG's `retries: 1, retry_delay: 5min`,
+    * `dags/stock_pipeline_dag.py:14-18`) — every stage write is an
+    * idempotent `SaveMode.Overwrite` into its own zone, so a re-attempt
+    * after a partial failure is safe. The quality gate deliberately does
+    * NOT retry: a contract violation is deterministic, not transient. */
   def run(spark: SparkSession, bars: DataFrame, workDir: String,
       runTs: String = "20260101T000000Z",
-      qualityChecks: Seq[DataQuality.Check] = DataQuality.barChecks)
+      qualityChecks: Seq[DataQuality.Check] = DataQuality.barChecks,
+      retry: Retry.Policy = Retry.Policy())
       : DataFrame = {
-    Ingest.run(spark, bars, s"$workDir/raw", runTs)
-    val syms = Transform.run(spark, s"$workDir/raw", s"$workDir/processed")
+    import Retry.withRetry
+    withRetry(retry, "ingest") {
+      Ingest.run(spark, bars, s"$workDir/raw", runTs)
+    }
+    val syms = withRetry(retry, "transform") {
+      Transform.run(spark, s"$workDir/raw", s"$workDir/processed")
+    }
     if (qualityChecks.nonEmpty) syms.foreach { sym =>
       DataQuality.enforce(
         spark.read.parquet(s"$workDir/processed/${sym}_processed"),
         qualityChecks, s"processed/$sym")
     }
-    Combine.run(spark, s"$workDir/processed", s"$workDir/combined")
-    Predict.run(spark, s"$workDir/combined", s"$workDir/predictions")
+    withRetry(retry, "combine") {
+      Combine.run(spark, s"$workDir/processed", s"$workDir/combined")
+    }
+    withRetry(retry, "predict") {
+      Predict.run(spark, s"$workDir/combined", s"$workDir/predictions")
+    }
   }
 }

@@ -5,14 +5,20 @@ import org.apache.spark.sql.functions._
 import graft.{QueryPack, Tables}
 import graft.multimodal.MultimodalOps
 
-/** Metadata-side multimodal query (the SQL-expressible part of the binary
-  * column plumbing — decode itself is the stubbed Dataset op, tested in
-  * MultimodalSpec). */
+/** Multimodal metadata + REAL image-header decode: the metadata half is
+  * the SQL-expressible binary-column plumbing; the decode half round-trips
+  * each doc through a real PNG/GIF/JPEG container
+  * ([[MultimodalOps.imageTable]]) and parses the dimensions back out of
+  * the bytes ([[graft.multimodal.ImageCodec.decodeDimensions]]). The
+  * oracle never parses bytes — it recomputes the dimensions and container
+  * byte overheads from the deterministic doc_id formulas, so a decoder
+  * that misreads a single header byte hash-mismatches. */
 object MultimodalQueries extends QueryPack {
 
   private def q60(s: SparkSession, dir: String): DataFrame = {
-    val media = MultimodalOps.mediaTable(Tables.load(s, dir, "documents"))
-    media.select(
+    val docs = Tables.load(s, dir, "documents")
+    val media = MultimodalOps.mediaTable(docs)
+    val meta = media.select(
       col("doc_id"), col("format"),
       length(col("payload")).cast("long").as("n_bytes"),
       md5(col("payload")).as("payload_fp"),
@@ -22,12 +28,24 @@ object MultimodalQueries extends QueryPack {
       // would give 1 for length 0)
       when(length(col("payload")) === 0, lit(0L))
         .otherwise(expr("(length(payload) - 1) div 16 + 1")).as("n_frames"))
-      .orderBy("doc_id")
+    val decoded = MultimodalOps.decode(MultimodalOps.imageTable(s, docs))
+      .select(
+        col("doc_id"),
+        col("container").as("img_container"),
+        col("width").as("img_width"),
+        col("height").as("img_height"),
+        col("n_bytes").as("img_bytes"))
+    meta.join(decoded, "doc_id").orderBy("doc_id")
   }
 
   val defs: Map[String, Q] = Map("q60_multimodal_meta" -> (q60 _))
 
   val oracle: Map[String, String] = Map(
+    // img_* columns: the oracle re-derives the container, dimensions, and
+    // container byte overhead (PNG 57 = sig+IHDR+chunk wrap+IEND, GIF 14,
+    // JPEG 41 fixed + 4 per COM segment of <=65533 body bytes) from
+    // doc_id/text alone — the Spark side must parse the same numbers back
+    // out of real encoded bytes.
     "q60_multimodal_meta" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'img'
@@ -36,6 +54,16 @@ object MultimodalQueries extends QueryPack {
         |  octet_length(encode(text)) AS n_bytes,
         |  md5(text) AS payload_fp,
         |  CAST(greatest(1, floor(octet_length(encode(text)) / 16.0)) AS BIGINT) AS stride16,
-        |  (octet_length(encode(text)) - 1) // 16 + 1 AS n_frames
+        |  (octet_length(encode(text)) - 1) // 16 + 1 AS n_frames,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'png'
+        |       WHEN doc_id % 3 = 1 THEN 'gif'
+        |       ELSE 'jpeg' END AS img_container,
+        |  CAST(doc_id % 640 + 1 AS INTEGER) AS img_width,
+        |  CAST(doc_id % 480 + 1 AS INTEGER) AS img_height,
+        |  octet_length(encode(text)) + CASE
+        |    WHEN doc_id % 3 = 0 THEN 57
+        |    WHEN doc_id % 3 = 1 THEN 14
+        |    ELSE 41 + 4 * CAST(ceil(octet_length(encode(text)) / 65533.0) AS BIGINT)
+        |  END AS img_bytes
         |FROM documents ORDER BY doc_id""".stripMargin)
 }

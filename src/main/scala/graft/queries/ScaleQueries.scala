@@ -69,12 +69,16 @@ object ScaleQueries extends QueryPack {
 
   /** Grouping-sets lattice over orders in ONE aggregation pass (the
     * alternative — four separate group-bys unioned — scans the fact four
-    * times). Shared SQL text: Spark and DuckDB both run exactly this. */
+    * times). Shared SQL text: Spark and DuckDB both run exactly this.
+    * `gid` is derived from grouped-column null-ness rather than
+    * `grouping()` — the source columns contain no NULLs, so the two are
+    * equivalent, and `grouping()` bit conventions have varied across
+    * DuckDB releases while `IS NULL` cannot. */
   private val q73Sql: String =
     s"""SELECT coalesce(o_orderpriority, 'ALL') AS priority,
        |  coalesce(o_orderstatus, 'ALL') AS status,
-       |  CAST(grouping(o_orderpriority) AS BIGINT) * 2 +
-       |    CAST(grouping(o_orderstatus) AS BIGINT) AS gid,
+       |  CAST(o_orderpriority IS NULL AS BIGINT) * 2 +
+       |    CAST(o_orderstatus IS NULL AS BIGINT) AS gid,
        |  count(*) AS n,
        |  ${roundfSql(sumExactSql(centsSql("o_totalprice")) + " / 100.0", 2)}
        |    AS sum_price
@@ -91,12 +95,15 @@ object ScaleQueries extends QueryPack {
     * [[ZOrder.interleaveSql]]) — the clustering key
     * [[graft.sources.Formats.writeZOrdered]] sorts by, aggregated to
     * 16-cell granularity. Checks the interleave math cross-engine; the
-    * file-level clustering effect is pinned in ZOrderSpec. */
+    * file-level clustering effect is pinned in ZOrderSpec. The `/ 64`
+    * cell truncation uses floor-division arithmetic instead of `>> 6` for
+    * the same DuckDB-version-proofing as [[ZOrder.interleaveSql]] (z is
+    * non-negative and < 2^20, so the double division is exact). */
   private val q74Sql: String = {
     val z = ZOrder.interleaveSql(Seq(
       ZOrder.bucketSql("user_id", 1024),
       ZOrder.bucketSql(centsSql("value"), 1024)), bits = 10)
-    s"""SELECT ($z >> 6) AS zcell, count(*) AS n,
+    s"""SELECT CAST(floor(($z) / 64.0) AS BIGINT) AS zcell, count(*) AS n,
        |  ${roundfSql(sumExactSql(centsSql("value")) + " / 100.0", 2)} AS sum_value
        |FROM events
        |GROUP BY 1 ORDER BY 1""".stripMargin

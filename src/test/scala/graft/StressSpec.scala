@@ -1,12 +1,20 @@
 package graft
 
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.{Scored, TopKByValue}
+import graft.operators.BloomPrune
 
 /** Scale-up sanity: the flagship's aggregation shapes must hold when the
   * input multiplies. Events are self-unioned 8× (~8M rows at sf0.1 scale
   * when the driver runs there; ~8×1k at sf0.001 here) with shifted ids so
   * group count grows too — the plan must stay the same shape (no driver
-  * collects, no broadcast of the big side) and finish. */
+  * collects, no broadcast of the big side) and finish. Plus adversarial
+  * runs of the newest scale operators: top-k under heavy key skew (with a
+  * hard shuffle-row-count bound read from the plan's own metrics) and
+  * bloom pruning with the filter sized 10× too small. */
 class StressSpec extends SparkSuite {
 
   test("flagship OLS survives an 8x self-union with 8x the groups") {
@@ -37,5 +45,64 @@ class StressSpec extends SparkSuite {
       .groupBy("orig").agg(countDistinct(round(col("slope"), 9)).as("d"))
       .agg(max("d")).head().getLong(0)
     assert(distinctSlopes == 1L)
+  }
+
+  test("skewed top-k: one group holds 50% of rows, shuffle stays bounded") {
+    import spark.implicits._
+    val n = 100000
+    val k = 3
+    val tasks = 16
+    // group 0 gets every even row (50%); the rest spread over 997 groups
+    val df = (0 until n).map { i =>
+      (if (i % 2 == 0) 0 else 1 + i % 997, (i * 31 % 9973).toDouble, i.toLong)
+    }.toDF("g", "v", "id").repartition(tasks).cache()
+    df.count() // materialize so the repartition isn't in the measured job
+    val groups = df.select("g").distinct().count()
+    // plain ShuffleExchangeExec nodes so the metric read is deterministic
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val topk = udaf(new TopKByValue(k), ExpressionEncoder[Scored]())
+      val agg = df.groupBy("g").agg(topk(col("v"), col("id")).as("top"))
+        .select(col("g"), posexplode(col("top")))
+        .select(col("g"), (col("pos") + 1).as("rank"),
+          col("col.value").as("v"), col("col.id").as("id"))
+      val got = agg.collect()
+      // correctness under skew: row-for-row equal to the window form
+      val want = df.withColumn("rank", row_number().over(
+          Window.partitionBy("g").orderBy(col("v").desc, col("id"))))
+        .filter(col("rank") <= k)
+        .select(col("g"), col("rank").cast("int").as("rank"),
+          col("v"), col("id"))
+        .collect()
+      assert(got.toSet == want.toSet)
+      // the bound that makes this operator scale: each map task emits at
+      // most k rows per group, so the exchange carries ≤ k·groups·tasks
+      // rows — the window form would shuffle all n (and all n/2 skewed
+      // rows to ONE reducer)
+      val written = agg.queryExecution.executedPlan.collect {
+        case s: ShuffleExchangeExec => s.metrics("shuffleRecordsWritten").value
+      }.sum
+      assert(written > 0, "expected a measured exchange")
+      assert(written <= k * groups * tasks,
+        s"shuffle carried $written rows > bound ${k * groups * tasks}")
+      assert(written < n / 2,
+        s"shuffle carried $written rows — skewed group was not pre-aggregated")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      df.unpersist()
+    }
+  }
+
+  test("bloom overloaded 10x past expectedItems degrades fpp, not semantics") {
+    import spark.implicits._
+    // 10k dim keys against a filter sized for 1k — fpp degrades well past
+    // its nominal 3%, but a bloom can only false-POSITIVE, so the exact
+    // join after it must still produce exactly the plain join's rows
+    val dim = (0 until 10000).map(i => (i.toLong * 3, s"d$i")).toDF("k", "name")
+    val fact = (0 until 60000).map(i => (i.toLong, i * 1.5)).toDF("fk", "x")
+    val pruned = BloomPrune.join(fact, dim, "fk", "k", expectedItems = 1000L)
+    val exact = fact.join(dim, fact("fk") === dim("k"))
+    assert(pruned.exceptAll(exact).isEmpty && exact.exceptAll(pruned).isEmpty)
+    assert(pruned.count() == 10000L) // fk ∈ {0, 3, …, 29997}: 10k matches
   }
 }

@@ -1,0 +1,101 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+import ImageCodec._
+
+/** Pins the real header parsing: hand-written spec-conformant byte
+  * sequences (not the codec's own encoder output) decode correctly, the
+  * encoder round-trips, JPEG's marker walk skips variable-length
+  * segments, and malformed/truncated inputs return None rather than
+  * throwing (decoders run on untrusted executor-side payloads). */
+class ImageCodecSpec extends AnyFunSuite {
+
+  private def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+
+  // A minimal hand-written PNG: signature + IHDR(13) for 300x77, CRC
+  // deliberately wrong — dimension parsing must not depend on trusting
+  // the CRC (real-world truncated files still yield header metadata).
+  private val handPng: Array[Byte] = bytes(
+    0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+    0, 0, 0, 13, 'I', 'H', 'D', 'R',
+    0, 0, 1, 44, // width 300 big-endian
+    0, 0, 0, 77, // height 77
+    8, 2, 0, 0, 0,
+    0xde, 0xad, 0xbe, 0xef) // bogus CRC
+
+  private val handGif: Array[Byte] = bytes(
+    'G', 'I', 'F', '8', '7', 'a',
+    0x2c, 0x01, // width 300 little-endian
+    0x4d, 0x00, // height 77
+    0x00, 0x00, 0x00)
+
+  // SOI, two APPn segments the walk must skip, SOF2 (progressive), EOI.
+  private val handJpeg: Array[Byte] = bytes(
+    0xff, 0xd8,
+    0xff, 0xe1, 0x00, 0x04, 0xab, 0xcd, // APP1, 2 payload bytes
+    0xff, 0xfe, 0x00, 0x03, 0x7a, // COM, 1 payload byte
+    0xff, 0xff, // fill byte before marker (legal padding)
+    0xff, 0xc2, 0x00, 0x0b, 8, // SOF2, 1 component
+    0x00, 0x4d, // height 77
+    0x01, 0x2c, // width 300
+    1, 1, 0x11, 0,
+    0xff, 0xd9)
+
+  test("hand-written PNG/GIF/JPEG headers parse to the same dims") {
+    for ((b, c) <- Seq((handPng, "png"), (handGif, "gif"), (handJpeg, "jpeg")))
+      assert(decodeDimensions(b).contains(ImageDims(c, 300, 77)), c)
+  }
+
+  test("encoders round-trip through the decoder, any body size") {
+    for (n <- Seq(0, 1, 15, 70000)) {
+      val body = Array.tabulate(n)(i => (i * 31 % 251).toByte)
+      assert(decodeDimensions(encodePng(640, 1, body))
+        .contains(ImageDims("png", 640, 1)))
+      assert(decodeDimensions(encodeGif(1, 480, body))
+        .contains(ImageDims("gif", 1, 480)))
+      // 70000-byte body forces two JPEG COM segments; the SOF must still
+      // be found past both
+      assert(decodeDimensions(encodeJpeg(65535, 77, body))
+        .contains(ImageDims("jpeg", 65535, 77)))
+    }
+  }
+
+  test("encoded sizes match the closed-form overheads the oracle uses") {
+    val body = Array.fill(100)(7.toByte)
+    assert(encodePng(10, 10, body).length == 100 + PngOverhead)
+    assert(encodeGif(10, 10, body).length == 100 + GifOverhead)
+    assert(encodeJpeg(10, 10, body).length == 100 + JpegFixedOverhead + 4)
+    val big = Array.fill(JpegComChunk + 1)(7.toByte)
+    assert(encodeJpeg(10, 10, big).length ==
+      big.length + JpegFixedOverhead + 8) // two COM segments
+    assert(encodeJpeg(10, 10, Array.emptyByteArray).length == JpegFixedOverhead)
+  }
+
+  test("PNG chunk walk finds IHDR even when not the first chunk") {
+    // nonstandard: a junk chunk precedes IHDR — walk, don't hardcode 16
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(handPng, 0, 8)
+    out.write(bytes(0, 0, 0, 2, 'j', 'u', 'n', 'k', 9, 9, 0, 0, 0, 0), 0, 14)
+    out.write(handPng, 8, handPng.length - 8)
+    assert(decodeDimensions(out.toByteArray).contains(ImageDims("png", 300, 77)))
+  }
+
+  test("malformed and truncated inputs return None, never throw") {
+    assert(decodeDimensions(null).isEmpty)
+    assert(decodeDimensions(Array.emptyByteArray).isEmpty)
+    assert(decodeDimensions("plain text".getBytes).isEmpty)
+    for (b <- Seq(handPng, handGif, handJpeg); cut <- Seq(2, 5, 9))
+      assert(decodeDimensions(b.take(cut)).isEmpty, s"cut=$cut")
+    // JPEG with SOS before any SOF (corrupt stream) → None
+    assert(decodeDimensions(bytes(0xff, 0xd8, 0xff, 0xda, 0, 2, 0xff, 0xd9)).isEmpty)
+    // zero dimensions are invalid in every container
+    assert(decodeDimensions(encodeGif(1, 1, Array.emptyByteArray)
+      .updated(6, 0.toByte).updated(7, 0.toByte)).isEmpty)
+  }
+
+  test("encoder rejects out-of-range dimensions") {
+    intercept[IllegalArgumentException](encodeGif(0, 10, Array.emptyByteArray))
+    intercept[IllegalArgumentException](encodeJpeg(70000, 10, Array.emptyByteArray))
+    intercept[IllegalArgumentException](encodePng(0, 10, Array.emptyByteArray))
+  }
+}

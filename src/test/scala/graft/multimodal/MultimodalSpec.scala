@@ -16,17 +16,38 @@ class MultimodalSpec extends SparkSuite {
     assert(new String(m(0).getAs[Array[Byte]](2), "UTF-8") == "hello world")
   }
 
-  test("decodeStub: features are real plumbing, deterministic values") {
+  test("decode: byte stats deterministic; non-image payloads → no dims") {
     val ds = MultimodalOps.mediaDataset(spark, docsDf)
-    val feats = MultimodalOps.decodeStub(ds).collect()
+    val feats = MultimodalOps.decode(ds).collect()
       .map(f => f.doc_id -> f).toMap
     assert(feats(1L).n_bytes == 3)
     assert(math.abs(feats(1L).mean_byte - ('a' + 'b' + 'c') / 3.0) < 1e-12)
     assert(feats(2L).n_frames == MultimodalOps.frameCount(40, 16))
-    // re-run must produce identical features (stub is pure)
-    val again = MultimodalOps.decodeStub(ds).collect()
+    // utf-8 text payloads are not image containers
+    assert(feats.values.forall(f =>
+      f.container.isEmpty && f.width.isEmpty && f.height.isEmpty))
+    // re-run must produce identical features (decode is pure)
+    val again = MultimodalOps.decode(ds).collect()
       .map(f => f.doc_id -> f).toMap
     assert(again == feats)
+  }
+
+  test("decode parses REAL container headers from imageTable fixtures") {
+    val feats = MultimodalOps
+      .decode(MultimodalOps.imageTable(spark, docsDf))
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(feats(0L).container.contains("png"))
+    assert(feats(1L).container.contains("gif"))
+    assert(feats(2L).container.contains("jpeg"))
+    for (id <- 0L to 2L) {
+      assert(feats(id).width.contains((id % 640 + 1).toInt))
+      assert(feats(id).height.contains((id % 480 + 1).toInt))
+    }
+    // byte accounting matches the closed-form container overheads
+    assert(feats(0L).n_bytes == "hello world".length + ImageCodec.PngOverhead)
+    assert(feats(1L).n_bytes == 3 + ImageCodec.GifOverhead)
+    assert(feats(2L).n_bytes ==
+      40 + ImageCodec.JpegFixedOverhead + 4) // one COM segment
   }
 
   test("frameSample splits payload into stride frames, keeps every k-th") {
