@@ -14,6 +14,23 @@ import graft.operators.Ols
   */
 object Pipeline {
 
+  /** Raw-zone file format. The reference uploads ONE object per symbol
+    * holding ONE JSON array (`json.dumps(records)`,
+    * `scripts/stock_ingestor.py:41-42`); Spark's native JSON sink writes a
+    * JSONL directory. Semantics downstream are identical — [[Transform]]
+    * reads either — so [[RawFormat.JsonLines]] (distributed write) is the
+    * default and [[RawFormat.JsonArray]] is the byte-parity option. */
+  sealed trait RawFormat
+  object RawFormat {
+    /** Spark-native JSONL part-file directory (scales with partitions). */
+    case object JsonLines extends RawFormat
+    /** Reference byte parity: one file, one JSON array of row objects.
+      * Materializes the symbol's rows on the driver — exactly the
+      * reference's `df.to_dict(orient="records")`, and bounded by the
+      * same per-symbol-per-run contract. */
+    case object JsonArray extends RawFormat
+  }
+
   /** Stage 1 — ingest (`scripts/stock_ingestor.py`). The yFinance HTTP pull
     * is replaced by a source adapter: any DataFrame with the canonical bar
     * schema (symbol, Datetime, Open, High, Low, Close, Volume). Writes the
@@ -32,14 +49,15 @@ object Pipeline {
     * readers consume directly via partition pruning. */
   object Ingest {
     def run(spark: SparkSession, bars: DataFrame, rawDir: String,
-        runTs: String): Seq[String] = {
+        runTs: String, format: RawFormat = RawFormat.JsonLines)
+        : Seq[String] = {
       val symbols = bars.select("symbol").distinct()
         .collect().map(_.getString(0)).sorted.toSeq
       symbols.flatMap { sym =>
         val df = bars.filter(col("symbol") === sym)
         if (df.isEmpty) None // skip-on-empty guard
         else {
-          df.select(
+          val projected = df.select(
             date_format(col("Datetime"), "yyyy-MM-dd HH:mm:ssXXX")
               .as("Datetime_"),
             col("Open").as(s"Open_$sym"),
@@ -48,9 +66,21 @@ object Pipeline {
             col("Close").as(s"Close_$sym"),
             col("Volume").as(s"Volume_$sym"),
             col("symbol"))
-            .coalesce(1)
-            .write.mode(SaveMode.Overwrite)
-            .json(s"$rawDir/${sym}_stock_raw_$runTs.json")
+          val target = s"$rawDir/${sym}_stock_raw_$runTs.json"
+          format match {
+            case RawFormat.JsonLines =>
+              projected.coalesce(1)
+                .write.mode(SaveMode.Overwrite).json(target)
+            case RawFormat.JsonArray =>
+              // one object, one JSON array — the reference's exact shape
+              // (stock_ingestor.py:37-42); overwrite mirrors put_object
+              val body = projected.toJSON.collect().mkString("[", ",", "]")
+              val fs = FileSystem.get(new java.net.URI(rawDir),
+                spark.sparkContext.hadoopConfiguration)
+              val out = fs.create(new Path(target), true)
+              try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              finally out.close()
+          }
           Some(sym)
         }
       }
@@ -81,8 +111,16 @@ object Pipeline {
         : Seq[String] = {
       val latest = latestRawPerSymbol(spark, rawDir)
       require(latest.nonEmpty, s"no raw files found under $rawDir")
+      val fs = FileSystem.get(new java.net.URI(rawDir),
+        spark.sparkContext.hadoopConfiguration)
       latest.toSeq.sortBy(_._1).map { case (sym, path) =>
-        val raw = spark.read.json(path)
+        // a plain FILE is the reference's single-JSON-array object
+        // (RawFormat.JsonArray) and needs multiLine parsing; a directory
+        // is Spark's own JSONL sink (RawFormat.JsonLines)
+        val raw =
+          if (fs.getFileStatus(new Path(path)).isFile)
+            spark.read.option("multiLine", "true").json(path)
+          else spark.read.json(path)
         Normalize(raw, Some(sym))
           .write.mode(SaveMode.Overwrite)
           .parquet(s"$processedDir/${sym}_processed")
@@ -194,11 +232,12 @@ object Pipeline {
   def run(spark: SparkSession, bars: DataFrame, workDir: String,
       runTs: String = "20260101T000000Z",
       qualityChecks: Seq[DataQuality.Check] = DataQuality.barChecks,
-      retry: Retry.Policy = Retry.Policy())
+      retry: Retry.Policy = Retry.Policy(),
+      rawFormat: RawFormat = RawFormat.JsonLines)
       : DataFrame = {
     import Retry.withRetry
     withRetry(retry, "ingest") {
-      Ingest.run(spark, bars, s"$workDir/raw", runTs)
+      Ingest.run(spark, bars, s"$workDir/raw", runTs, rawFormat)
     }
     val syms = withRetry(retry, "transform") {
       Transform.run(spark, s"$workDir/raw", s"$workDir/processed")

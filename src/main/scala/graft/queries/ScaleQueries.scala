@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.functions._
 import graft.{QueryPack, Tables}
 import graft.functions.{Rounding, Scored, TopKByValue, ZOrder}
-import graft.operators.BloomPrune
+import graft.operators.{BloomPrune, IntervalMerge, SequencePack, TableDiff}
 
 /** The 100 TB toolkit queries: bloom-pruned joins, bounded top-k
   * aggregation, sketch accuracy contracts, grouping sets, and Z-order
@@ -13,8 +13,10 @@ import graft.operators.BloomPrune
   * purpose is to keep plans viable at three orders of magnitude more data —
   * shrink the shuffle before it happens (q70, q71), answer with a sketch
   * whose error is provably bounded (q72, q75), aggregate a lattice in one
-  * pass (q73), and cluster the physical layout for multi-dimensional
-  * pruning (q74). */
+  * pass (q73), cluster the physical layout for multi-dimensional pruning
+  * (q74), recover a changeset from two snapshots in one keyed join (q76),
+  * pack ordered documents into budget-bounded batches (q77), and merge
+  * overlapping intervals in one shuffle (q78). */
 object ScaleQueries extends QueryPack {
 
   import Rounding.{cents, centsSql, roundf, roundfSql, sumExact, sumExactSql}
@@ -134,13 +136,67 @@ object ScaleQueries extends QueryPack {
       .orderBy("event_type")
   }
 
+  /** Snapshot diff ([[TableDiff]]): two deterministic "versions" of
+    * orders — the old one missing keys % 101, the new one missing keys
+    * % 103 and repricing keys % 97 — recovered as an added/removed/
+    * changed/unchanged changeset by one full-outer keyed join. Prices
+    * compare as integer cents so the classification is float-proof. */
+  private def q76(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders").select(
+      col("o_orderkey").as("k"),
+      cents(col("o_totalprice")).as("price_c"),
+      col("o_orderstatus").as("st"))
+    val oldSnap = o.filter(col("k") % 101 =!= 0)
+    val newSnap = o.filter(col("k") % 103 =!= 0)
+      .withColumn("price_c",
+        when(col("k") % 97 === 0, col("price_c") + 100L)
+          .otherwise(col("price_c")))
+    TableDiff.diff(oldSnap, newSnap, Seq("k"), Seq("price_c", "st"))
+      .groupBy("change")
+      .agg(count(lit(1)).as("n"),
+        min("k").as("min_key"), max("k").as("max_key"))
+      .orderBy("change")
+  }
+
+  /** Contiguous sequence packing ([[SequencePack.contiguous]]): documents
+    * per language, in doc_id order, assigned to 16 KiB-of-chars packs by
+    * running-total arithmetic — the window-expressible packing contract
+    * (the greedy first-fit variant is spec-pinned in SequencePackSpec;
+    * its boundaries depend recursively on earlier boundaries, which no
+    * window function expresses). */
+  private def q77(s: SparkSession, dir: String): DataFrame =
+    SequencePack.contiguous(
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars")),
+        "lang", "doc_id", col("n_chars"), 16384L)
+      .orderBy("lang", "doc_id")
+
+  /** Overlapping-interval merge ([[IntervalMerge]]): per-user intervals
+    * [cents(value), cents(value)+500] collapsed into maximal overlap
+    * islands — the duration-based sibling of q63's gap sessionization.
+    * Integer-cents domain keeps the overlap comparisons exact in both
+    * engines. */
+  private def q78(s: SparkSession, dir: String): DataFrame = {
+    val iv = Tables.load(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), cents(col("value")).as("s"),
+        (cents(col("value")) + 500L).as("e"))
+    IntervalMerge.merge(iv, "user_id", col("s"), col("e"))
+      .select(col("user_id"), col("island"), col("start").as("start_c"),
+        col("end").as("end_c"), col("n"))
+      .orderBy("user_id", "island")
+  }
+
   val defs: Map[String, Q] = Map(
     "q70_bloom_join" -> (q70 _),
     "q71_topk_per_group" -> (q71 _),
     "q72_approx_distinct" -> (q72 _),
     "q73_grouping_sets" -> (q73 _),
     "q74_zorder_cells" -> (q74 _),
-    "q75_approx_quantile" -> (q75 _))
+    "q75_approx_quantile" -> (q75 _),
+    "q76_table_diff" -> (q76 _),
+    "q77_pack_sequences" -> (q77 _),
+    "q78_interval_merge" -> (q78 _))
 
   val oracle: Map[String, String] = Map(
     "q70_bloom_join" ->
@@ -171,5 +227,54 @@ object ScaleQueries extends QueryPack {
              "quantile_cont(CAST(floor(value * 100.0 + 0.5) AS BIGINT), 0.5)" +
              " / 100.0", 4)} AS median,
          |  true AS within_band
-         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q76_table_diff" ->
+      s"""WITH o AS (
+         |  SELECT o_orderkey AS k, ${centsSql("o_totalprice")} AS price_c,
+         |    o_orderstatus AS st FROM orders),
+         |old AS (SELECT * FROM o WHERE k % 101 <> 0),
+         |new AS (SELECT k,
+         |    CASE WHEN k % 97 = 0 THEN price_c + 100 ELSE price_c END AS price_c,
+         |    st FROM o WHERE k % 103 <> 0),
+         |j AS (
+         |  SELECT coalesce(new.k, old.k) AS k,
+         |    CASE WHEN old.k IS NULL THEN 'added'
+         |         WHEN new.k IS NULL THEN 'removed'
+         |         WHEN old.price_c <> new.price_c OR old.st <> new.st
+         |           THEN 'changed'
+         |         ELSE 'unchanged' END AS change
+         |  FROM old FULL OUTER JOIN new ON old.k = new.k)
+         |SELECT change, count(*) AS n, min(k) AS min_key, max(k) AS max_key
+         |FROM j GROUP BY change ORDER BY change""".stripMargin,
+    "q77_pack_sequences" ->
+      """WITH c AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    CAST(sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_w
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars, cum_w,
+        |  CAST(floor((cum_w - n_chars) / 16384.0) AS BIGINT) AS pack_id
+        |FROM c ORDER BY lang, doc_id""".stripMargin,
+    "q78_interval_merge" ->
+      s"""WITH iv AS (
+         |  SELECT user_id, ${centsSql("value")} AS s,
+         |    ${centsSql("value")} + 500 AS e
+         |  FROM events WHERE value IS NOT NULL),
+         |flag AS (
+         |  SELECT user_id, s, e,
+         |    CASE WHEN s > max(e) OVER (PARTITION BY user_id ORDER BY s, e
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |      THEN 1 ELSE 0 END AS ni
+         |  FROM iv),
+         |grp AS (
+         |  SELECT user_id, s, e,
+         |    CAST(sum(ni) OVER (PARTITION BY user_id ORDER BY s, e
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS island
+         |  FROM flag)
+         |SELECT user_id, island, min(s) AS start_c, max(e) AS end_c,
+         |  count(*) AS n
+         |FROM grp GROUP BY user_id, island
+         |ORDER BY user_id, island""".stripMargin)
 }

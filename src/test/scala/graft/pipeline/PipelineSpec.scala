@@ -67,6 +67,32 @@ class PipelineSpec extends SparkSuite {
     assert(out(1).getDouble(3) > 0.0)
   }
 
+  test("JsonArray raw format: reference byte shape, identical predictions") {
+    val bars = toDf(
+      mkBars("AAPL", 10, _ => 0.0) ++
+        mkBars("GOOG", 9, t => if (t % 2 == 0) 0.3 else -0.3))
+    val dirL = Files.createTempDirectory("graft_jsonl").toString
+    val dirA = Files.createTempDirectory("graft_jsona").toString
+    val outL = Pipeline.run(spark, bars, dirL).orderBy("symbol").collect()
+    val outA = Pipeline.run(spark, bars, dirA,
+      rawFormat = Pipeline.RawFormat.JsonArray).orderBy("symbol").collect()
+    // downstream results are format-independent
+    assert(outA.toSeq == outL.toSeq)
+    // byte shape pins the reference contract (stock_ingestor.py:37-42):
+    // ONE plain file per symbol holding ONE JSON array of row objects
+    val raw = new java.io.File(s"$dirA/raw")
+      .listFiles().filter(_.getName.endsWith(".json"))
+    assert(raw.length == 2 && raw.forall(_.isFile))
+    val body = new String(Files.readAllBytes(
+      raw.find(_.getName.startsWith("AAPL")).get.toPath), "UTF-8")
+    assert(body.startsWith("[{") && body.endsWith("}]"))
+    assert(body.contains("\"Close_AAPL\":") && body.contains("\"symbol\":"))
+    // and the JSONL default remains a directory (Spark-native sink)
+    val rawL = new java.io.File(s"$dirL/raw")
+      .listFiles().filter(_.getName.endsWith(".json"))
+    assert(rawL.forall(_.isDirectory))
+  }
+
   test("latest raw file per symbol wins (incremental overwrite model)") {
     val dir = Files.createTempDirectory("graft_latest").toString
     Pipeline.Ingest.run(spark, toDf(mkBars("AAPL", 5, _ => 0.0)),
