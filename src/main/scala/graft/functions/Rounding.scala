@@ -62,4 +62,19 @@ object Rounding {
     * already exact — so only the double conversion is spelled out). */
   def sumExactSql(e: String): String =
     s"CAST(sum($e) AS DOUBLE)"
+
+  /** Fully-integer exact sum of a cents term: BIGINT out, no double
+    * anywhere. This is the terminal de-floating move for oracle columns —
+    * integer outputs cannot ulp-diverge in any engine's arithmetic (FMA
+    * contraction, sum→double cast paths) nor in any hasher's treatment of
+    * DOUBLE bits. The decimal(38,0) accumulator keeps the sum exact past
+    * int64 in Spark (sum(long) wraps silently with ANSI off). */
+  def sumCents(term: Column): Column =
+    sum(term.cast("decimal(38,0)")).cast("long")
+
+  /** SQL-side mirror of [[sumCents]] — portable to both engines: Spark and
+    * DuckDB each sum DECIMAL(38,0) exactly, and the final BIGINT cast is
+    * exact integer-to-integer. */
+  def sumCentsSql(e: String): String =
+    s"CAST(sum(CAST($e AS DECIMAL(38,0))) AS BIGINT)"
 }
