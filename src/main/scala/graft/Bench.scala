@@ -47,20 +47,27 @@ object Bench {
     // sorted execution order: Map iteration order shifts as queries are
     // added, which moves which query absorbs residual warmup and makes
     // per-query numbers incomparable across rounds.
-    // best-of-2 per query: a single pass cannot distinguish a code
-    // regression from transient machine contention (round 4's numbers
-    // swung >20x both ways on untouched code). The min of two
-    // back-to-back runs is robust to a contention spike hitting one of
-    // them; both raw readings ride along so a contended *pass* is still
-    // visible in the artifact.
+    // best-of-2 per query, INTERLEAVED (A…Z then A…Z, min per query):
+    // a single pass cannot distinguish a code regression from transient
+    // machine contention (round 4's numbers swung >20x both ways on
+    // untouched code), and back-to-back repeats of the same query share
+    // one contention window, so a multi-minute load spike poisons both
+    // samples at once (round 5). Separating a query's two samples by the
+    // full suite length (~minutes) makes the min robust to any spike
+    // shorter than a whole pass; both raw readings ride along so a
+    // contended pass is still visible in the artifact.
     val passes = 2
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to passes).map { _ =>
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val samples = (1 to passes).map { _ =>
+      ordered.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() }
         catch { case _: Throwable => if (!failed.contains(name)) failed ::= name }
         (System.nanoTime() - t0) / 1e9
       }
+    }
+    val results = ordered.zipWithIndex.map { case ((name, _), i) =>
+      val times = samples.map(_(i))
       (name, times.min, times)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
@@ -77,7 +84,16 @@ object Bench {
     val loadAvg = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val hostCpus = Runtime.getRuntime.availableProcessors
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_raw":$qsRaw,"passes":$passes,"failed":$failedJson,"sf":"$sfDir","load_avg":$loadAvg,"host_cpus":$hostCpus}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_raw":$qsRaw,"passes":$passes,"failed":$failedJson,"sf":"$sfDir","load_avg":$loadAvg,"host_cpus":$hostCpus}"""
+    println(line)
+    // the driver snapshots stdout through a tail that has truncated the
+    // per-query JSON in past rounds (losing q01–q38); the full line also
+    // lands in a file so round-over-round comparisons never depend on
+    // tail length
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")), line)
+    catch { case _: Throwable => () } // file write is best-effort telemetry
     spark.stop()
   }
 }

@@ -17,10 +17,16 @@ import org.apache.spark.storage.StorageLevel
   * equi-join (edges ⋈ labels on node id) + one min-aggregation — both
   * shuffle-partitioned on node id, nothing driver-side except the
   * converged? count. This is the standard industrial shape (GraphFrames'
-  * default CC is the same loop); for adversarial high-diameter graphs the
-  * literature's large-star/small-star variant (Kiveris et al., "Connected
-  * Components in MapReduce and Beyond") reduces rounds to O(log n) with
-  * the same per-round join/agg primitives.
+  * default CC is the same loop). Min-label's round count is the graph
+  * DIAMETER — tiny for dup clusters (dense near-cliques), but a chained
+  * near-dup corpus (crawl mirrors A~B~C~…) can produce long paths; for
+  * those the loop auto-falls-back after [[starFallbackAt]] rounds to the
+  * literature's alternating large-star/small-star algorithm (Kiveris et
+  * al., "Connected Components in MapReduce and Beyond"), which contracts
+  * every component to a star rooted at its min id in O(log n) rounds of
+  * the same join/agg primitives — each round rewires every node to its
+  * neighborhood min, so distances shrink geometrically instead of by one
+  * hop per round.
   *
   * The iteration runs ONLY over edge endpoints. In a dedup workload the
   * pair graph touches a small fraction of the corpus (most documents are
@@ -35,6 +41,29 @@ import org.apache.spark.storage.StorageLevel
   * labels, not the whole chain).
   */
 object ConnectedComponents {
+
+  /** Min-label rounds before switching to alternating-star: dup clusters
+    * converge in 2–4 rounds, so 15 propagation rounds only run in full on a
+    * genuinely high-diameter graph — exactly the shape star handles in
+    * O(log n). (No fallback when the caller's maxIter is ≤ this cap: a
+    * tight explicit budget means "fail loudly", not "try harder".) */
+  private val starFallbackAt = 15
+
+  /** Rounds the last alternating-star run took — test introspection only
+    * (the O(log n) convergence claim is asserted, not assumed). */
+  @volatile private[graft] var lastStarRounds: Int = -1
+
+  /** Re-anchor a persisted, materialized round result as a logical-plan
+    * LEAF (LogicalRDD over its cached blocks). Without this, every round's
+    * plan embeds the previous round's plan TWICE (once under the join, once
+    * under the union), so the logical tree doubles per round — by round ~15
+    * the driver spends unbounded CPU in analysis/canonicalization before a
+    * single task runs. Lineage-by-cache is not enough: persist() leaves the
+    * logical plan intact and only substitutes InMemoryRelation at planning
+    * time, after the exponential tree has already been analyzed. At 100 TB
+    * the executors never notice; the DRIVER is the component this protects. */
+  private def snap(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(df.rdd, df.schema)
 
   /** `edges`: two integral id columns (undirected; either orientation).
     * `nodes`: one id column — declares the vertex set, so isolated nodes
@@ -66,7 +95,8 @@ object ConnectedComponents {
     var labels = cached.select("id", "comp")
     var iter = 0
     var changed = 1L
-    while (changed > 0 && iter < maxIter) {
+    val propCap = math.min(maxIter, starFallbackAt)
+    while (changed > 0 && iter < propCap) {
       // neighbor labels flow along edges; min over {self} ∪ neighbors.
       // The self rows are tagged so the round's OLD label rides through the
       // same aggregation as `prev` — change detection costs no extra
@@ -85,14 +115,36 @@ object ConnectedComponents {
         .filter(col("prev").isNull || col("comp") =!= col("prev")).count()
       cached.unpersist()
       cached = next
-      labels = next.select("id", "comp")
+      // snap: next round's plan must reference THIS round as a leaf, not as
+      // a subtree, or plan size doubles per round (see [[snap]])
+      labels = snap(next).select("id", "comp")
       iter += 1
     }
-    sym.unpersist()
-    // release the final round's cache BEFORE the convergence check throws:
-    // on the non-convergence path nothing caller-visible references it, so
-    // leaving it persisted would leak executor memory for the JVM's life
-    if (changed != 0) cached.unpersist()
+    if (changed != 0 && maxIter > propCap) {
+      // high-diameter graph: min-label is pacing at one hop per round —
+      // hand the (still-cached) edge set to alternating-star, which owns
+      // its own iteration caches and returns persisted+materialized labels
+      val starLabels =
+        try alternatingStar(sym, maxIter)
+        catch { case e: Throwable =>
+          cached.unpersist(); sym.unpersist(); throw e
+        }
+      cached.unpersist()
+      cached = starLabels
+      // star labels cover the final star forest's endpoints; any endpoint
+      // whose component IS itself may have contracted away, so re-anchor on
+      // the full endpoint set (computed from the still-persisted sym)
+      labels = sym.select(col("src").as("id")).distinct()
+        .join(starLabels.select(col("id"), col("comp")), Seq("id"), "left")
+        .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+      changed = 0
+    }
+    // release the iteration caches BEFORE the convergence check throws:
+    // on the non-convergence path nothing caller-visible references them, so
+    // leaving them persisted would leak executor memory for the JVM's life.
+    // (On success sym must stay cached until the result materializes — the
+    // star path's labels re-anchor on sym's endpoint set.)
+    if (changed != 0) { sym.unpersist(); cached.unpersist() }
     require(changed == 0,
       s"connected components did not converge in $maxIter rounds")
     // Singletons (declared nodes with no edges) never entered the loop: a
@@ -107,7 +159,83 @@ object ConnectedComponents {
       .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     result.count()
+    sym.unpersist()
     cached.unpersist()
     result
+  }
+
+  /** Alternating large-star/small-star (Kiveris et al. 2014): contracts
+    * every component to a star rooted at its minimum id in O(log n) rounds.
+    * Works on the CANONICAL edge set — (u, v) with u > v, distinct, no
+    * self-loops — and returns a persisted, materialized (id, comp) frame
+    * over the final forest's endpoints.
+    *
+    * Large-star: every node u computes m = min(N(u) ∪ {u}) and rewires each
+    * LARGER neighbor v > u to m (edge (v, m)). Small-star: every node u
+    * computes m = min of its smaller neighbors and rewires them all — plus
+    * itself — to m. Both halves emit only (bigger, smaller) pairs, so
+    * canonical form is preserved without re-normalizing; both are one
+    * groupBy + one join on u, shuffle-partitioned the same way as the
+    * min-label loop. Convergence (the edge set is a fixed point) is checked
+    * exactly: same cardinality and an empty left-anti — no checksum
+    * probabilism in the correctness path. */
+  private def alternatingStar(sym: DataFrame, maxRounds: Int): DataFrame = {
+    var cache = sym.filter(col("src") =!= col("dst"))
+      .select(greatest(col("src"), col("dst")).as("u"),
+        least(col("src"), col("dst")).as("v"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var cnt = cache.count()
+    var edges = snap(cache) // leaf plan — same round-over-round rule as the
+    // min-label loop: each round must reference the last as a leaf
+    var converged = cnt == 0L
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val both = edges.union(
+        edges.select(col("v").as("u"), col("u").as("v")))
+      val lmins = both.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      // (v, m(u)) for v > u: m ≤ u < v, so the pair is already canonical
+      // and can never be a self-loop
+      val large = both.join(lmins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      val smins = large.groupBy("u").agg(min("v").as("m"))
+      // (v, m) for every smaller neighbor v of u, plus (u, m) itself;
+      // v ≥ m by minimality, v = m is the tautological self-loop
+      val next = large.join(smins, "u")
+        .select(col("v").as("n"), col("m"))
+        .union(smins.select(col("u").as("n"), col("m")))
+        .filter(col("n") =!= col("m"))
+        .select(col("n").as("u"), col("m").as("v"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val nextCnt = next.count()
+      // exact fixed-point test: next ⊆ edges ∧ |next| = |edges| ⟺ equal
+      // (both sides are distinct sets)
+      converged = nextCnt == cnt &&
+        next.join(edges, Seq("u", "v"), "left_anti").isEmpty
+      cache.unpersist()
+      cache = next
+      edges = snap(next)
+      cnt = nextCnt
+      round += 1
+    }
+    lastStarRounds = round
+    if (!converged) cache.unpersist()
+    require(converged,
+      s"connected components (alternating star) did not converge in " +
+        s"$maxRounds rounds")
+    // the fixed point is a forest of min-rooted stars: every leaf's sole
+    // neighbor is its root, every root's neighbors are all larger
+    val labels = edges
+      .select(col("u").as("id"), col("v").as("nb"))
+      .union(edges.select(col("v").as("id"), col("u").as("nb")))
+      .groupBy("id").agg(min("nb").as("mv"))
+      .select(col("id"), least(col("mv"), col("id")).as("comp"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    labels.count()
+    cache.unpersist()
+    labels
   }
 }

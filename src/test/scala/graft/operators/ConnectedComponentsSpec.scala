@@ -52,6 +52,44 @@ class ConnectedComponentsSpec extends SparkSuite {
     assert(n == 2, s"expected one row per distinct id, got $n")
   }
 
+  test("high-diameter chain falls back to alternating star in O(log n) rounds") {
+    // a 201-node path has diameter 200 — min-label would need 200 rounds,
+    // far past the 15-round fallback point; alternating large/small-star
+    // must finish the job within the default maxIter=50 budget AND in a
+    // logarithmic round count (the whole point of the fallback)
+    val s = spark
+    import s.implicits._
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    ConnectedComponents.lastStarRounds = -1
+    val result = ConnectedComponents.components(
+      (0L to 200L).toDF("id"),
+      (0L until 200L).map(i => (i + 1, i)).toDF("a", "b"), "id", "a", "b")
+    val got = result.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L to 200L).map(_ -> 0L).toMap)
+    val rounds = ConnectedComponents.lastStarRounds
+    assert(rounds > 0, "star fallback did not run for a diameter-200 graph")
+    assert(rounds <= 15, s"star took $rounds rounds on 201 nodes — not O(log n)")
+    // the result itself is persisted BY CONTRACT (caller releases it);
+    // everything else — propagation rounds, star rounds, edge caches —
+    // must already be gone
+    result.unpersist(blocking = true)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- persistedBefore
+    assert(leaked.isEmpty, s"star fallback leaked cached RDDs: $leaked")
+  }
+
+  test("star fallback keeps disjoint components and singletons separate") {
+    // two long chains + an isolated node: the star path must not merge
+    // components or drop declared singletons when it re-anchors labels
+    val chainA = (0L until 30L).map(i => (i + 1, i))
+    val chainB = (100L until 130L).map(i => (i + 1, i))
+    ConnectedComponents.lastStarRounds = -1
+    val got = comp((0L to 30L) ++ (100L to 130L) :+ 999L, chainA ++ chainB)
+    assert(ConnectedComponents.lastStarRounds > 0, "expected the star path")
+    assert((0L to 30L).forall(got(_) == 0L))
+    assert((100L to 130L).forall(got(_) == 100L))
+    assert(got(999L) == 999L)
+  }
+
   test("non-convergence within maxIter fails loudly instead of truncating") {
     // the failure path must also release its iteration caches: nothing
     // caller-visible references them after the throw
