@@ -56,6 +56,56 @@ class StreamingSpec extends SparkSuite {
     assert(totalEvents == eventsBatch.count())
   }
 
+  test("streaming session windows match the batch window-pass sessionization") {
+    // cross-FORMULATION equality, not just stream-vs-batch of one operator:
+    // session_window (streaming state machine) against q63's lag + running
+    // sum of boundary flags (pure window pass) on the same corpus. The two
+    // implementations share no code, so agreement pins the session
+    // semantics themselves. session_window's `end` is last_ts + gap by
+    // definition while q63's is max(ts), so the comparable key is
+    // (user, start, n_events).
+    val q = StreamingOps.sessions(eventsStream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sess_eq").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("sess_eq")
+      .select(col("user_id"),
+        date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val batch = graft.SparkEntry.queries("q63_sessionize")(spark, sf)
+      .select(col("user_id"), col("session_start"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(batch.nonEmpty)
+    assert(streamed == batch,
+      s"${(streamed -- batch).size} sessions only in streaming, " +
+        s"${(batch -- streamed).size} only in batch")
+  }
+
+  test("streaming hourly agg matches the batch hourly bucket query") {
+    // same cross-formulation idea: window(ts, '1 hour') under a watermark
+    // vs q23's date_trunc groupBy. Counts must be identical; the double
+    // sums may differ by summation order, so they compare within 1e-6.
+    val q = StreamingOps.hourlyAgg(eventsStream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hourly_eq").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("hourly_eq")
+      .select(date_format(col("hour_start"), "yyyy-MM-dd HH:mm:ss")
+          .as("hour_start"),
+        col("event_type"), col("n"), col("sum_value"))
+    val batch = graft.SparkEntry.queries("q23_hourly_bucket")(spark, sf)
+    assert(streamed.count() == batch.count() && batch.count() > 0)
+    val joined = streamed.alias("s")
+      .join(batch.alias("b"), Seq("hour_start", "event_type"), "full_outer")
+    assert(joined.filter(col("s.n").isNull || col("b.n").isNull ||
+      col("s.n") =!= col("b.n")).count() == 0)
+    val maxDiff = joined
+      .agg(max(abs(col("s.sum_value") - col("b.sum_value")))).head().getDouble(0)
+    assert(maxDiff < 1e-6, s"hourly sums diverged by $maxDiff")
+  }
+
   test("stream-stream interval join matches the batch interval join") {
     val q = StreamingOps.purchaseClickJoin(eventsStream)
       .writeStream.outputMode("append")
