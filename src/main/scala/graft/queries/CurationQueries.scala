@@ -1,0 +1,239 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryPack, Tables}
+import graft.functions.{HeavyHitters, Rounding, TextAnalysis}
+
+/** Training-data curation operators — the screens and statistics a corpus
+  * pipeline runs between raw crawl and tokenizer: n-gram language-model
+  * counts (q79), PII-style masking (q80), distribution census by exact
+  * quantile boundaries (q81), exact-arithmetic correlation (q82), two-pass
+  * exact heavy hitters over an unbounded vocabulary (q83), and benchmark
+  * decontamination by shingle containment (q84). Every query is a
+  * shuffle-lean shape with a DuckDB oracle; scale notes live per query. */
+object CurationQueries extends QueryPack {
+
+  import Rounding.centsSql
+
+  private val tokSql = "string_split_regex(lower(trim(text)), '\\s+')"
+
+  /** Bigram counts (the order-2 LM table): tokenize, pair each token with
+    * its successor via one window pass partitioned by doc (high
+    * cardinality — no global sort), count, keep the top 100 under a fully
+    * deterministic (n DESC, w1, w2) order. At 100 TB the explode + window
+    * is embarrassingly parallel and the groupBy is the only exchange;
+    * vocabulary-squared never materializes, only observed pairs. */
+  private def q79(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.tokensCol(col("text"))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    toks.withColumn("w2", lead("tok", 1).over(w))
+      .filter(col("w2").isNotNull)
+      .groupBy(col("tok").as("w1"), col("w2"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w1"), col("w2"))
+      .limit(100)
+  }
+
+  /** Digit-run masking over the events props payload — the PII-redaction
+    * shape (same regexp_replace plan applies to emails/phones/ids; the
+    * digit pattern is what this synthetic corpus actually contains). Pure
+    * projection: no shuffle, no state, trivially 100 TB-safe. `n_digits`
+    * counts masked characters via the length delta. */
+  private def q80(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .select(col("event_id"),
+        regexp_replace(col("props"), "[0-9]+", "#").as("masked"),
+        (length(col("props")) -
+          length(regexp_replace(col("props"), "[0-9]", "")))
+          .cast("long").as("n_digits"))
+      .orderBy("event_id")
+
+  /** Quartile census: per-group exact quantile boundaries (integer-cents
+    * domain, where Spark `percentile` ≡ DuckDB `quantile_cont` — proven by
+    * q75), broadcast back, classify, count. The scale point: quantiles of
+    * a 100 TB table per group are ONE aggregation, and the classification
+    * pass is a map-side broadcast join — no global sort, no ntile window
+    * over a single partition. */
+  private def q81(s: SparkSession, dir: String): DataFrame = {
+    val c = "CAST(floor(value * 100.0 + 0.5) AS BIGINT)"
+    val ev = Tables.load(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), expr(c).as("vc"))
+    val bounds = ev.groupBy("event_type").agg(
+      expr(s"percentile(vc, 0.25)").as("q1"),
+      expr(s"percentile(vc, 0.5)").as("q2"),
+      expr(s"percentile(vc, 0.75)").as("q3"))
+    ev.join(broadcast(bounds), "event_type")
+      .withColumn("quartile",
+        when(col("vc") <= col("q1"), 1L)
+          .when(col("vc") <= col("q2"), 2L)
+          .when(col("vc") <= col("q3"), 3L)
+          .otherwise(4L))
+      .groupBy("event_type", "quartile")
+      .agg(count(lit(1)).as("n"), min("vc").as("min_c"), max("vc").as("max_c"))
+      .orderBy("event_type", "quartile")
+  }
+
+  /** Pearson correlation per group from EXACT integer sums — the
+    * de-floating technique applied to second-order statistics: x (cents)
+    * and y (payload length) are integers, all five power sums accumulate
+    * exactly through decimal(38,0), and both engines then run the
+    * identical IEEE double formula on identical integers. Output is
+    * e6-scaled BIGINT, so no DOUBLE column ever reaches the compare. One
+    * aggregation; no second pass (contrast the naive two-pass
+    * mean-then-deviations formulation). */
+  private def q82(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .filter(col("value").isNotNull && col("props").isNotNull)
+      .select(col("event_type"),
+        expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").as("x"),
+        length(col("props")).cast("long").as("y"))
+    ev.groupBy("event_type")
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("x").cast("decimal(38,0)")).cast("double").as("sx"),
+        sum(col("y").cast("decimal(38,0)")).cast("double").as("sy"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).cast("double").as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).cast("double").as("sxx"),
+        sum((col("y") * col("y")).cast("decimal(38,0)")).cast("double").as("syy"))
+      .select(col("event_type"), col("n").cast("long").as("n_rows"),
+        expr("""CAST(floor(
+          ((n * sxy - sx * sy) /
+           (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))) * 1000000.0
+          + 0.5) AS BIGINT)""").as("corr_e6"))
+      .orderBy("event_type")
+  }
+
+  /** Two-pass EXACT heavy hitters over an unbounded vocabulary: pass 1 is
+    * the [[HeavyHitters]] Misra-Gries aggregate (bounded state: ≤128
+    * counters per task, guaranteed superset of every word above the n/64
+    * threshold since 64 < 128+1), pass 2 refines candidates to exact
+    * counts with a broadcast semi-join + count. The full groupBy of the
+    * long tail — the thing that melts at 100 TB vocabulary scale — never
+    * runs; only candidate rows reach an exchange. Oracle: the plain
+    * GROUP BY ... HAVING formulation. */
+  private def q83(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.load(s, dir, "documents")
+      .select(explode(TextAnalysis.tokensCol(col("text"))).as("tok"))
+    // three scans of the token projection (total, sketch, refine) — at
+    // real scale persist toks once; re-scanning keeps this def stateless
+    val total = toks.count()
+    val mg = udaf(new HeavyHitters(128), ExpressionEncoder[String]())
+    val cands = toks.agg(mg(col("tok")).as("cands"))
+      .select(explode(col("cands")).as("tok"))
+    toks.join(broadcast(cands), "tok")
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .filter(col("n") > lit(total) / 64.0)
+      .orderBy("tok")
+  }
+
+  /** Benchmark decontamination: flag every corpus document sharing at
+    * least one word-4-gram with the held-out set (doc_id % 97 == 0 stands
+    * in for the benchmark). Candidate generation is a keyed join on the
+    * gram — the same never-all-pairs discipline as the dedup family — and
+    * the benchmark side is explicitly broadcast (held-out sets are small
+    * by construction). At real scale the gram key would be
+    * [[TextAnalysis.hashedNgramsFromTokens]] longs; the oracle needs the
+    * string form. */
+  private def q84(s: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.tokensCol(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(TextAnalysis.ngramsFromTokens(col("toks"), 4)).as("gram"))
+    val bench = grams.filter(col("doc_id") % 97 === 0)
+      .select("gram").distinct()
+    grams.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(bench), "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared")) // grams are distinct per doc already
+      .orderBy("doc_id")
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q79_bigram_counts" -> (q79 _),
+    "q80_mask_digits" -> (q80 _),
+    "q81_quartile_census" -> (q81 _),
+    "q82_group_corr" -> (q82 _),
+    "q83_heavy_hitters" -> (q83 _),
+    "q84_decontaminate" -> (q84 _))
+
+  val oracle: Map[String, String] = Map(
+    "q79_bigram_counts" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    unnest($tokSql) AS tok,
+         |    unnest(generate_series(1, len($tokSql))) AS pos
+         |  FROM documents),
+         |bg AS (
+         |  SELECT tok AS w1,
+         |    lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+         |  FROM toks)
+         |SELECT w1, w2, count(*) AS n FROM bg WHERE w2 IS NOT NULL
+         |GROUP BY w1, w2 ORDER BY n DESC, w1, w2 LIMIT 100""".stripMargin,
+    "q80_mask_digits" ->
+      """SELECT event_id,
+        |  regexp_replace(props, '[0-9]+', '#', 'g') AS masked,
+        |  length(props) - length(regexp_replace(props, '[0-9]', '', 'g'))
+        |    AS n_digits
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q81_quartile_census" ->
+      s"""WITH ev AS (
+         |  SELECT event_type, ${centsSql("value")} AS vc
+         |  FROM events WHERE value IS NOT NULL),
+         |b AS (
+         |  SELECT event_type,
+         |    quantile_cont(vc, 0.25) AS q1,
+         |    quantile_cont(vc, 0.5) AS q2,
+         |    quantile_cont(vc, 0.75) AS q3
+         |  FROM ev GROUP BY event_type)
+         |SELECT ev.event_type,
+         |  CAST(CASE WHEN vc <= q1 THEN 1 WHEN vc <= q2 THEN 2
+         |            WHEN vc <= q3 THEN 3 ELSE 4 END AS BIGINT) AS quartile,
+         |  count(*) AS n, min(vc) AS min_c, max(vc) AS max_c
+         |FROM ev JOIN b ON ev.event_type = b.event_type
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q82_group_corr" ->
+      s"""WITH ev AS (
+         |  SELECT event_type, ${centsSql("value")} AS x,
+         |    CAST(length(props) AS BIGINT) AS y
+         |  FROM events WHERE value IS NOT NULL AND props IS NOT NULL),
+         |s AS (
+         |  SELECT event_type,
+         |    CAST(count(*) AS DOUBLE) AS n,
+         |    CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+         |    CAST(sum(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+         |    CAST(sum(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+         |    CAST(sum(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+         |    CAST(sum(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE) AS syy
+         |  FROM ev GROUP BY event_type)
+         |SELECT event_type, CAST(n AS BIGINT) AS n_rows,
+         |  CAST(floor(
+         |    ((n * sxy - sx * sy) /
+         |     (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))) * 1000000.0
+         |    + 0.5) AS BIGINT) AS corr_e6
+         |FROM s ORDER BY event_type""".stripMargin,
+    "q83_heavy_hitters" ->
+      s"""WITH toks AS (SELECT unnest($tokSql) AS tok FROM documents),
+         |tot AS (SELECT count(*) AS t FROM toks)
+         |SELECT tok, count(*) AS n
+         |FROM toks, tot GROUP BY tok, t
+         |HAVING count(*) > t / 64.0
+         |ORDER BY tok""".stripMargin,
+    "q84_decontaminate" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $tokSql AS tk FROM documents),
+         |grams AS (
+         |  SELECT DISTINCT doc_id, array_to_string(tk[i:i+3], ' ') AS gram
+         |  FROM toks, unnest(generate_series(1, len(tk) - 3)) AS t(i)
+         |  WHERE len(tk) >= 4),
+         |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0)
+         |SELECT g.doc_id, count(*) AS n_shared
+         |FROM grams g JOIN bench b ON g.gram = b.gram
+         |WHERE g.doc_id % 97 <> 0
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
+}
