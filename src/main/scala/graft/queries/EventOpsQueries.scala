@@ -98,11 +98,35 @@ object EventOpsQueries extends QueryPack {
       .orderBy("event_id")
   }
 
+  /** Rolling 1-hour per-user features — the range-frame workhorse of
+    * feature engineering (count / exact cents sum of each user's events in
+    * the trailing hour, one row per event). RANGE frames over an integer
+    * epoch key are tie-safe by definition (all peers of an equal timestamp
+    * share one frame), so the result is deterministic without an
+    * event_id tiebreak; sums accumulate through decimal(38,0) and emerge
+    * as BIGINT cents. One window pass partitioned by user — no
+    * self-join-per-row formulation, which is the O(n²) trap this operator
+    * exists to avoid. */
+  private def q85(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ep")
+      .rangeBetween(-3600L, 0L)
+    ev(s, dir)
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("ep"),
+        expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").as("vc"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("sum_1h_cents",
+        sum(col("vc").cast("decimal(38,0)")).over(w).cast("long"))
+      .select("event_id", "user_id", "ep", "n_1h", "sum_1h_cents")
+      .orderBy("event_id")
+  }
+
   val defs: Map[String, Q] = Map(
     "q62_stratified_sample" -> (q62 _),
     "q63_sessionize" -> (q63 _),
     "q68_salted_join" -> (q68 _),
-    "q69_cdc_merge" -> (q69 _))
+    "q69_cdc_merge" -> (q69 _),
+    "q85_rolling_window" -> (q85 _))
 
   val oracle: Map[String, String] = Map(
     "q69_cdc_merge" -> {
@@ -164,5 +188,21 @@ object EventOpsQueries extends QueryPack {
         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
         |  count(*) AS n_events
         |FROM sess GROUP BY user_id, session_idx
-        |ORDER BY user_id, session_idx""".stripMargin)
+        |ORDER BY user_id, session_idx""".stripMargin,
+    "q85_rolling_window" ->
+      """WITH ev AS (
+        |  -- floor, not CAST: epoch() is fractional on sub-second
+        |  -- timestamps and DuckDB's double→BIGINT cast rounds to nearest,
+        |  -- while Spark's unix_timestamp floors
+        |  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+        |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vc
+        |  FROM events)
+        |SELECT event_id, user_id, ep,
+        |  count(*) OVER w AS n_1h,
+        |  CAST(sum(CAST(vc AS DECIMAL(38,0))) OVER w AS BIGINT)
+        |    AS sum_1h_cents
+        |FROM ev
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ep
+        |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin)
 }
