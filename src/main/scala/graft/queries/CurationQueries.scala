@@ -154,13 +154,49 @@ object CurationQueries extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** Repetition filter (the Gopher-rule family): duplicate-token ratio per
+    * document, as an e4-scaled integer plus the keep/drop verdict at a 0.9
+    * threshold. Pure projection over the token array — no shuffle. Real
+    * corpora extend the same shape to duplicate lines / paragraphs /
+    * n-grams; the ratio arithmetic and verdict plumbing are identical. */
+  private def q86(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.tokensCol(col("text")).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
+      .withColumn("dup_ratio_e4", expr(
+        "CAST(floor((1.0 - CAST(n_distinct AS DOUBLE) / n_tokens) * 10000.0" +
+          " + 0.5) AS BIGINT)"))
+      .withColumn("keep", col("dup_ratio_e4") <= 9000L)
+      .orderBy("doc_id")
+
+  /** Skew report — the diagnostic that decides whether a key needs
+    * salting ([[graft.operators.SaltedJoin]]) before it melts a reducer:
+    * the 20 hottest keys with their share of total traffic (e4-scaled
+    * integer). One aggregation + a broadcast total; top-k lands in
+    * TakeOrderedAndProject, never a global sort. */
+  private def q87(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val total = ev.agg(count(lit(1)).as("total"))
+    ev.groupBy("user_id").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .select(col("user_id"), col("n"),
+        expr("CAST(floor(n * 10000.0 / total + 0.5) AS BIGINT)")
+          .as("share_e4"))
+      .orderBy(col("n").desc, col("user_id"))
+      .limit(20)
+  }
+
   val defs: Map[String, Q] = Map(
     "q79_bigram_counts" -> (q79 _),
     "q80_mask_digits" -> (q80 _),
     "q81_quartile_census" -> (q81 _),
     "q82_group_corr" -> (q82 _),
     "q83_heavy_hitters" -> (q83 _),
-    "q84_decontaminate" -> (q84 _))
+    "q84_decontaminate" -> (q84 _),
+    "q86_repetition_filter" -> (q86 _),
+    "q87_skew_report" -> (q87 _))
 
   val oracle: Map[String, String] = Map(
     "q79_bigram_counts" ->
@@ -235,5 +271,22 @@ object CurationQueries extends QueryPack {
          |SELECT g.doc_id, count(*) AS n_shared
          |FROM grams g JOIN bench b ON g.gram = b.gram
          |WHERE g.doc_id % 97 <> 0
-         |GROUP BY 1 ORDER BY 1""".stripMargin)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q86_repetition_filter" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, CAST(len($tokSql) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_distinct($tokSql)) AS BIGINT) AS n_distinct
+         |  FROM documents)
+         |SELECT doc_id, n_tokens, n_distinct,
+         |  CAST(floor((1.0 - CAST(n_distinct AS DOUBLE) / n_tokens) * 10000.0
+         |    + 0.5) AS BIGINT) AS dup_ratio_e4,
+         |  CAST(floor((1.0 - CAST(n_distinct AS DOUBLE) / n_tokens) * 10000.0
+         |    + 0.5) AS BIGINT) <= 9000 AS keep
+         |FROM t ORDER BY doc_id""".stripMargin,
+    "q87_skew_report" ->
+      """SELECT user_id, count(*) AS n,
+        |  CAST(floor(count(*) * 10000.0 /
+        |    (SELECT count(*) FROM events) + 0.5) AS BIGINT) AS share_e4
+        |FROM events GROUP BY user_id
+        |ORDER BY n DESC, user_id LIMIT 20""".stripMargin)
 }
