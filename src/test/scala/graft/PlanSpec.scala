@@ -46,4 +46,24 @@ class PlanSpec extends SparkSuite {
   test("q62: deterministic sampling stays a map-side filter (no shuffle)") {
     assert(!plan("q62_stratified_sample").contains("Exchange hashpartitioning"))
   }
+
+  test("q84: the benchmark side of decontamination broadcasts") {
+    val p = plan("q84_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), "held-out grams were shuffled")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), "all-pairs shape crept in")
+  }
+
+  test("q81: quantile boundaries broadcast back for classification") {
+    assert(plan("q81_quartile_census").contains("BroadcastHashJoin"))
+  }
+
+  test("q87: skew report top-k compiles to TakeOrderedAndProject") {
+    assert(plan("q87_skew_report").contains("TakeOrderedAndProject"))
+  }
+
+  test("q80/q86: masking and repetition stay shuffle-free projections") {
+    assert(!plan("q80_mask_digits").contains("Exchange hashpartitioning"))
+    assert(!plan("q86_repetition_filter").contains("Exchange hashpartitioning"))
+  }
 }
