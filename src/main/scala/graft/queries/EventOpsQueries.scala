@@ -121,12 +121,57 @@ object EventOpsQueries extends QueryPack {
       .orderBy("event_id")
   }
 
+  /** Ordered-funnel census (view → click → purchase): how many users ever
+    * viewed, clicked AFTER their first view, and purchased after that
+    * qualifying click. Three cascaded window minimums over ONE
+    * (user, ts, event_id) sort — each stage's "first qualifying time so
+    * far" becomes a plain column the next window conditions on — so the
+    * whole funnel costs a single shuffle+sort plus a per-user aggregate,
+    * not the per-stage self-joins of the naive formulation. Shared SQL
+    * text: Spark and DuckDB run exactly this; integer-only output. */
+  private val q88Sql: String = {
+    val w = """WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+    s"""WITH s1 AS (
+       |  SELECT user_id, ts, event_id, event_type,
+       |    min(CASE WHEN event_type = 'view' THEN ts END) OVER w AS fv
+       |  FROM events
+       |  $w),
+       |s2 AS (
+       |  SELECT user_id, ts, event_id, event_type, fv,
+       |    min(CASE WHEN event_type = 'click' AND fv IS NOT NULL
+       |             THEN ts END) OVER w AS fc
+       |  FROM s1
+       |  $w),
+       |s3 AS (
+       |  SELECT user_id, fv, fc,
+       |    min(CASE WHEN event_type = 'purchase' AND fc IS NOT NULL
+       |             THEN ts END) OVER w AS fp
+       |  FROM s2
+       |  $w),
+       |u AS (
+       |  SELECT user_id,
+       |    max(CASE WHEN fv IS NOT NULL THEN 1 ELSE 0 END) AS rv,
+       |    max(CASE WHEN fc IS NOT NULL THEN 1 ELSE 0 END) AS rc,
+       |    max(CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END) AS rp
+       |  FROM s3 GROUP BY user_id)
+       |SELECT count(*) AS users_total,
+       |  CAST(sum(rv) AS BIGINT) AS users_view,
+       |  CAST(sum(rc) AS BIGINT) AS users_view_click,
+       |  CAST(sum(rp) AS BIGINT) AS users_full_funnel
+       |FROM u""".stripMargin
+  }
+
+  private def q88(s: SparkSession, dir: String): DataFrame =
+    graft.GraftSql.run(s, dir, q88Sql)
+
   val defs: Map[String, Q] = Map(
     "q62_stratified_sample" -> (q62 _),
     "q63_sessionize" -> (q63 _),
     "q68_salted_join" -> (q68 _),
     "q69_cdc_merge" -> (q69 _),
-    "q85_rolling_window" -> (q85 _))
+    "q85_rolling_window" -> (q85 _),
+    "q88_funnel" -> (q88 _))
 
   val oracle: Map[String, String] = Map(
     "q69_cdc_merge" -> {
@@ -204,5 +249,6 @@ object EventOpsQueries extends QueryPack {
         |FROM ev
         |WINDOW w AS (PARTITION BY user_id ORDER BY ep
         |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
-        |ORDER BY event_id""".stripMargin)
+        |ORDER BY event_id""".stripMargin,
+    "q88_funnel" -> q88Sql)
 }

@@ -66,4 +66,13 @@ class PlanSpec extends SparkSuite {
     assert(!plan("q80_mask_digits").contains("Exchange hashpartitioning"))
     assert(!plan("q86_repetition_filter").contains("Exchange hashpartitioning"))
   }
+
+  test("q88: the whole funnel rides ONE hash exchange") {
+    // three cascaded windows + the per-user aggregate all share the
+    // user_id partitioning; a second hashpartitioning exchange means the
+    // cascade broke and the funnel re-shuffles per stage
+    val p = plan("q88_funnel")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 hash exchange, found $exchanges:\n$p")
+  }
 }
