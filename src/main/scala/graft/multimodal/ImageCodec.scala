@@ -47,6 +47,7 @@ object ImageCodec {
     else if (hasPngSignature(bytes)) decodePng(bytes)
     else if (hasGifSignature(bytes)) decodeGif(bytes)
     else if (hasJpegSignature(bytes)) decodeJpeg(bytes)
+    else if (hasBmpSignature(bytes)) decodeBmpDims(bytes)
     else None
 
   private def hasPngSignature(b: Array[Byte]): Boolean =
@@ -132,6 +133,119 @@ object ImageCodec {
       }
     }
     None
+  }
+
+  // ------------------------------------------------------------------ bmp
+
+  /** A decoded 24-bit bitmap: `pixels` is top-down row-major BGR,
+    * length = width × height × 3. */
+  final case class Bitmap(width: Int, height: Int, pixels: Array[Byte])
+
+  private def hasBmpSignature(b: Array[Byte]): Boolean =
+    b.length >= 2 && b(0) == 'B' && b(1) == 'M'
+
+  private def u32le(b: Array[Byte], i: Int): Long =
+    u8(b, i).toLong | (u8(b, i + 1).toLong << 8) |
+      (u8(b, i + 2).toLong << 16) | (u8(b, i + 3).toLong << 24)
+
+  private def s32le(b: Array[Byte], i: Int): Int = u32le(b, i).toInt
+
+  private def bmpStride(width: Int): Int = (width * 3 + 3) & ~3
+
+  private def decodeBmpDims(b: Array[Byte]): Option[ImageDims] =
+    if (b.length < 26) None
+    else {
+      val w = s32le(b, 18)
+      val h = math.abs(s32le(b, 22)) // negative height = top-down layout
+      if (w > 0 && h > 0) Some(ImageDims("bmp", w, h)) else None
+    }
+
+  /** FULL pixel decode — BMP (BITMAPINFOHEADER, 24-bit, uncompressed) is
+    * the one ubiquitous raster format whose pixels need no inflate/DCT, so
+    * this is a complete in-JVM decoder, not a header parse: validates
+    * magic/bpp/compression, honors the header's data offset, de-pads the
+    * 4-byte-aligned rows, and flips bottom-up storage to top-down order.
+    * Malformed input → None, never a throw (executors, untrusted bytes). */
+  def decodeBmp(b: Array[Byte]): Option[Bitmap] = {
+    if (!hasBmpSignature(b) || b.length < 54) return None
+    val dataOffset = u32le(b, 10)
+    val width = s32le(b, 18)
+    val rawHeight = s32le(b, 22)
+    val planes = u16le(b, 26)
+    val bpp = u16le(b, 28)
+    val compression = u32le(b, 30)
+    val height = math.abs(rawHeight)
+    if (width <= 0 || height <= 0 || planes != 1 || bpp != 24 ||
+      compression != 0L) return None
+    if (width.toLong * height * 3 > Int.MaxValue - 64) return None
+    val stride = bmpStride(width)
+    if (dataOffset < 54 || dataOffset + stride.toLong * height > b.length)
+      return None
+    val out = new Array[Byte](width * height * 3)
+    var y = 0
+    while (y < height) {
+      // positive height = rows stored bottom-up per the spec
+      val srcRow = if (rawHeight > 0) height - 1 - y else y
+      System.arraycopy(b, dataOffset.toInt + srcRow * stride,
+        out, y * width * 3, width * 3)
+      y += 1
+    }
+    Some(Bitmap(width, height, out))
+  }
+
+  /** 24-bit uncompressed BMP from top-down BGR pixels: 14-byte file
+    * header + 40-byte BITMAPINFOHEADER + bottom-up rows padded to 4-byte
+    * stride — readable by any image viewer, not just [[decodeBmp]]. */
+  def encodeBmp(bm: Bitmap): Array[Byte] = {
+    val Bitmap(width, height, pixels) = bm
+    require(width >= 1 && height >= 1, s"bad dims ${width}x$height")
+    require(pixels.length == width * height * 3,
+      s"pixel buffer ${pixels.length} != ${width}x${height}x3")
+    val stride = bmpStride(width)
+    val dataSize = stride * height
+    val out = new ByteArrayOutputStream(54 + dataSize)
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def u32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+    }
+    out.write('B'); out.write('M')
+    u32(54L + dataSize); u32(0L); u32(54L)
+    u32(40L); u32(width.toLong); u32(height.toLong) // positive: bottom-up
+    u16(1); u16(24); u32(0L); u32(dataSize.toLong)
+    u32(2835L); u32(2835L); u32(0L); u32(0L) // 72 dpi, default palette
+    val pad = new Array[Byte](stride - width * 3)
+    var y = height - 1
+    while (y >= 0) {
+      out.write(pixels, y * width * 3, width * 3)
+      out.write(pad, 0, pad.length)
+      y -= 1
+    }
+    out.toByteArray
+  }
+
+  /** Nearest-neighbor resample (the standard srcX = ⌊dstX·srcW/dstW⌋
+    * mapping) — O(dstW·dstH), allocation-exact, identity when dimensions
+    * are unchanged. */
+  def resizeNearest(bm: Bitmap, dstW: Int, dstH: Int): Bitmap = {
+    require(dstW >= 1 && dstH >= 1, s"bad target ${dstW}x$dstH")
+    if (dstW == bm.width && dstH == bm.height) bm
+    else {
+      val out = new Array[Byte](dstW * dstH * 3)
+      var y = 0
+      while (y < dstH) {
+        val sy = (y.toLong * bm.height / dstH).toInt
+        var x = 0
+        while (x < dstW) {
+          val sx = (x.toLong * bm.width / dstW).toInt
+          System.arraycopy(bm.pixels, (sy * bm.width + sx) * 3,
+            out, (y * dstW + x) * 3, 3)
+          x += 1
+        }
+        y += 1
+      }
+      Bitmap(dstW, dstH, out)
+    }
   }
 
   // ---------------------------------------------------------------- encode

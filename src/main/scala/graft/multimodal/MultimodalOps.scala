@@ -7,13 +7,14 @@ import org.apache.spark.sql.functions._
   * payloads with typed metadata, and run decode / feature-extract /
   * frame-sample as distributed per-partition operators.
   *
-  * Image container decode is REAL: [[decode]] parses PNG/GIF/JPEG headers
-  * from the payload bytes via [[ImageCodec.decodeDimensions]] (pure JVM,
-  * no native libs). Pixel-level decode and [[resizeStub]] remain stubbed
-  * seams (inflate/DCT need codec libs this container lacks); the byte
-  * stats they derive are deterministic so tests pin the plumbing, and
-  * swapping in a real pixel decoder (JNI/FFI per partition) changes no
-  * plumbing.
+  * Image container decode is REAL: [[decode]] parses PNG/GIF/JPEG/BMP
+  * headers from the payload bytes via [[ImageCodec.decodeDimensions]]
+  * (pure JVM, no native libs). Pixel-level work is REAL for 24-bit BMP —
+  * [[resizeBmp]] decodes, nearest-neighbor resamples, and re-encodes
+  * actual bitmaps (oracle-checked end-to-end by q89) — and stays a
+  * stubbed seam only for compressed formats ([[resizeStub]]: inflate/DCT
+  * need codec libs this container lacks; swapping a real pixel decoder
+  * in changes no plumbing).
   *
   * 100 TB posture: payloads never leave their partition (mapPartitions, no
   * shuffle); metadata-only queries prune the payload column out of the scan.
@@ -83,6 +84,56 @@ object MultimodalOps {
             in((i.toLong * in.length / budget).toInt))
         ResizedMedia(r.doc_id, r.format, width, height, out)
       }
+    }
+  }
+
+  /** REAL image resize — decode, nearest-neighbor resample, re-encode —
+    * for the one ubiquitous format whose pixels need no native codec
+    * (24-bit uncompressed BMP; see [[ImageCodec.decodeBmp]]). This is the
+    * operator [[resizeStub]] stubbed for compressed formats: same
+    * signature family, same mapPartitions shape (payloads never shuffle,
+    * decoder state initializes once per partition), but the bytes out are
+    * an actual resampled image any viewer opens. Rows whose payload is
+    * not a decodable BMP come back with width = height = 0 and their
+    * payload untouched — decode failures on untrusted data are data, not
+    * exceptions. */
+  def resizeBmp(media: Dataset[MediaRow], width: Int, height: Int)
+      : Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        ImageCodec.decodeBmp(r.payload) match {
+          case Some(bm) =>
+            val resized = ImageCodec.resizeNearest(bm, width, height)
+            ResizedMedia(r.doc_id, r.format, width, height,
+              ImageCodec.encodeBmp(resized))
+          case None =>
+            ResizedMedia(r.doc_id, r.format, 0, 0, r.payload)
+        }
+      }
+    }
+  }
+
+  /** Deterministic BMP fixture pixel: channel `c` of (x, y) in doc `id`.
+    * Closed-form, so resize results are independently checkable. */
+  def bmpPixel(id: Long, width: Int, x: Int, y: Int, c: Int): Byte =
+    ((id * 31 + (y.toLong * width + x) * 3 + c) % 251).toByte
+
+  /** Deterministic 24-bit BMP table from `documents`: dims derive from
+    * doc_id (`% 62 + 2` × `% 46 + 2`), pixels from [[bmpPixel]] — real
+    * decodable bitmaps, generated per-row with no shuffle. */
+  def bmpTable(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val w = (Math.floorMod(id, 62L) + 2).toInt
+      val h = (Math.floorMod(id, 46L) + 2).toInt
+      val px = new Array[Byte](w * h * 3)
+      var i = 0
+      while (i < px.length) {
+        px(i) = ((id * 31 + i) % 251).toByte
+        i += 1
+      }
+      MediaRow(id, "bmp", ImageCodec.encodeBmp(ImageCodec.Bitmap(w, h, px)))
     }
   }
 

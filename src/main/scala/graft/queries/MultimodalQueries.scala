@@ -38,7 +38,32 @@ object MultimodalQueries extends QueryPack {
     meta.join(decoded, "doc_id").orderBy("doc_id")
   }
 
-  val defs: Map[String, Q] = Map("q60_multimodal_meta" -> (q60 _))
+  /** REAL pixel pipeline, oracle-checked end-to-end: deterministic 24-bit
+    * BMPs ([[MultimodalOps.bmpTable]]) → full in-JVM decode →
+    * nearest-neighbor resize to 8×6 → re-encode → decode AGAIN and sum
+    * the unsigned pixel bytes. The oracle never sees an image: it replays
+    * the fixture-pixel formula through the same ⌊dst·src/target⌋ index
+    * mapping in pure SQL, so one wrong pixel anywhere in
+    * decode/resample/encode/padding/row-flip changes a doc's sum and
+    * hash-fails. Payloads stay inside their partitions for the whole
+    * chain (mapPartitions twice, no shuffle until the final orderBy). */
+  private def q89(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents").select("doc_id")
+    val resized = MultimodalOps.resizeBmp(
+      MultimodalOps.bmpTable(s, docs), width = 8, height = 6)
+    resized.map { r =>
+      val bm = graft.multimodal.ImageCodec.decodeBmp(r.payload)
+      val sum = bm.map(_.pixels.foldLeft(0L)((a, b) => a + (b & 0xff)))
+        .getOrElse(-1L)
+      (r.doc_id, r.width.toLong, r.height.toLong, sum)
+    }.toDF("doc_id", "out_w", "out_h", "pixel_sum")
+      .orderBy("doc_id")
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q60_multimodal_meta" -> (q60 _),
+    "q89_bmp_resize" -> (q89 _))
 
   val oracle: Map[String, String] = Map(
     // img_* columns: the oracle re-derives the container, dimensions, and
@@ -65,5 +90,23 @@ object MultimodalQueries extends QueryPack {
         |    WHEN doc_id % 3 = 1 THEN 14
         |    ELSE 41 + 4 * CAST(ceil(octet_length(encode(text)) / 65533.0) AS BIGINT)
         |  END AS img_bytes
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // replays bmpPixel((doc_id*31 + ((sy*sw + sx)*3 + c)) % 251) through
+    // the nearest-neighbor index mapping sy = y*sh // 6, sx = x*sw // 8 —
+    // unsigned byte values, so the SQL modulo IS the pixel value
+    "q89_bmp_resize" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 62 + 2 AS sw, doc_id % 46 + 2 AS sh
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id,
+        |    (doc_id * 31 +
+        |      (((y * sh) // 6) * sw + ((x * sw) // 8)) * 3 + c) % 251 AS v
+        |  FROM d,
+        |    unnest(generate_series(0, 5)) AS ty(y),
+        |    unnest(generate_series(0, 7)) AS tx(x),
+        |    unnest(generate_series(0, 2)) AS tc(c))
+        |SELECT doc_id, CAST(8 AS BIGINT) AS out_w, CAST(6 AS BIGINT) AS out_h,
+        |  CAST(sum(v) AS BIGINT) AS pixel_sum
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 }

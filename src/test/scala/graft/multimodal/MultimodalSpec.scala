@@ -74,6 +74,39 @@ class MultimodalSpec extends SparkSuite {
     assert(again == resized.map { case (k, v) => k -> v.payload.toSeq })
   }
 
+  test("resizeBmp: REAL decode → resample → re-encode, checked by formula") {
+    val docs = (0L until 20L).toDF("doc_id")
+    val table = MultimodalOps.bmpTable(spark, docs)
+    val out = MultimodalOps.resizeBmp(table, 8, 6).collect()
+      .map(r => r.doc_id -> r).toMap
+    assert(out.size == 20)
+    for ((id, r) <- out) {
+      assert(r.width == 8 && r.height == 6)
+      // output is itself a valid BMP of the target size
+      val bm = ImageCodec.decodeBmp(r.payload).get
+      assert(bm.width == 8 && bm.height == 6)
+      // nearest-neighbor contract, independently computed: dst (x,y,c) =
+      // fixture pixel at (⌊x·srcW/8⌋, ⌊y·srcH/6⌋, c)
+      val srcW = (Math.floorMod(id, 62L) + 2).toInt
+      val srcH = (Math.floorMod(id, 46L) + 2).toInt
+      for (y <- Seq(0, 3, 5); x <- Seq(0, 4, 7); c <- 0 until 3) {
+        val sx = (x.toLong * srcW / 8).toInt
+        val sy = (y.toLong * srcH / 6).toInt
+        assert(bm.pixels((y * 8 + x) * 3 + c) ==
+          MultimodalOps.bmpPixel(id, srcW, sx, sy, c),
+          s"doc $id pixel ($x,$y,$c)")
+      }
+    }
+  }
+
+  test("resizeBmp: undecodable payloads come back flagged, not thrown") {
+    val junk = Seq(MultimodalOps.MediaRow(7L, "bmp", "not a bmp".getBytes))
+      .toDS()
+    val r = MultimodalOps.resizeBmp(junk, 4, 4).collect().head
+    assert(r.width == 0 && r.height == 0)
+    assert(new String(r.payload) == "not a bmp")
+  }
+
   test("frameCount edge cases") {
     assert(MultimodalOps.frameCount(0, 16) == 0)
     assert(MultimodalOps.frameCount(16, 16) == 1)
