@@ -137,6 +137,56 @@ object MultimodalOps {
     }
   }
 
+  /** Deterministic WAV fixture sample `i` of doc `id`: closed-form, range
+    * ±1001 (fits s16), so audio transforms are independently checkable. */
+  def wavSample(id: Long, i: Int): Short =
+    (((id * 7 + 13L * i) % 2003) - 1001).toShort
+
+  /** Deterministic 16-bit PCM mono WAV table from `documents`:
+    * `doc_id % 500 + 50` samples at 8 kHz, waveform from [[wavSample]]. */
+  def wavTable(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val n = (Math.floorMod(id, 500L) + 50).toInt
+      val s = Array.tabulate(n)(i => wavSample(id, i))
+      MediaRow(id, "wav", WavCodec.encode(WavCodec.Wav(8000, s)))
+    }
+  }
+
+  case class AudioStats(doc_id: Long, n_samples: Long, peak: Long,
+      sum_abs: Long, ds_rate: Long, ds_sum_abs: Long)
+
+  /** REAL audio pipeline — decode PCM, integer signal stats, 2× decimate,
+    * re-encode, decode AGAIN and re-measure — the audio twin of
+    * [[resizeBmp]] (mapPartitions, payloads never shuffle). All outputs
+    * are integers (counts, peak, sums of |sample|), so the q90 oracle can
+    * replay the fixture formula exactly. Undecodable payloads yield the
+    * -1 sentinel row rather than a throw. */
+  def audioStats(media: Dataset[MediaRow]): Dataset[AudioStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        WavCodec.decode(r.payload) match {
+          case Some(w) =>
+            var peak = 0L; var sumAbs = 0L
+            for (s <- w.samples) {
+              val a = math.abs(s.toLong)
+              if (a > peak) peak = a
+              sumAbs += a
+            }
+            // decimate → bytes → decode: the re-encoded container must
+            // itself be a valid WAV, not just an in-memory array
+            val ds = WavCodec.decode(
+              WavCodec.encode(WavCodec.decimate(w, 2))).get
+            val dsSum = ds.samples.foldLeft(0L)((a, s) => a + math.abs(s.toLong))
+            AudioStats(r.doc_id, w.samples.length.toLong, peak, sumAbs,
+              ds.sampleRate.toLong, dsSum)
+          case None => AudioStats(r.doc_id, -1L, -1L, -1L, -1L, -1L)
+        }
+      }
+    }
+  }
+
   /** Frame sampling: how many fixed-stride frames a payload yields. */
   def frameCount(nBytes: Long, stride: Long): Int =
     if (nBytes <= 0) 0 else (((nBytes - 1) / stride) + 1).toInt

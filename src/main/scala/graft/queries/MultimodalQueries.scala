@@ -61,9 +61,22 @@ object MultimodalQueries extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** REAL audio pipeline, oracle-checked: deterministic PCM WAVs
+    * ([[MultimodalOps.wavTable]]) → RIFF decode → integer signal stats →
+    * 2× decimate → re-encode → decode again. Integer-only outputs; the
+    * oracle replays the waveform formula (and its every-2nd-sample
+    * decimation) in SQL. */
+  private def q90(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents").select("doc_id")
+    MultimodalOps.audioStats(MultimodalOps.wavTable(s, docs))
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, Q] = Map(
     "q60_multimodal_meta" -> (q60 _),
-    "q89_bmp_resize" -> (q89 _))
+    "q89_bmp_resize" -> (q89 _),
+    "q90_wav_stats" -> (q90 _))
 
   val oracle: Map[String, String] = Map(
     // img_* columns: the oracle re-derives the container, dimensions, and
@@ -108,5 +121,22 @@ object MultimodalQueries extends QueryPack {
         |    unnest(generate_series(0, 2)) AS tc(c))
         |SELECT doc_id, CAST(8 AS BIGINT) AS out_w, CAST(6 AS BIGINT) AS out_h,
         |  CAST(sum(v) AS BIGINT) AS pixel_sum
-        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // replays wavSample((doc_id*7 + 13*i) % 2003 - 1001) and its
+    // every-2nd-sample decimation; ds_rate is the constant 8000/2
+    "q90_wav_stats" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 500 + 50 AS n FROM documents),
+        |s AS (
+        |  SELECT doc_id, i,
+        |    abs((doc_id * 7 + 13 * i) % 2003 - 1001) AS a
+        |  FROM d, unnest(generate_series(0, n - 1)) AS t(i))
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(max(a) AS BIGINT) AS peak,
+        |  CAST(sum(a) AS BIGINT) AS sum_abs,
+        |  CAST(4000 AS BIGINT) AS ds_rate,
+        |  CAST(sum(CASE WHEN i % 2 = 0 THEN a ELSE 0 END) AS BIGINT)
+        |    AS ds_sum_abs
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 }
