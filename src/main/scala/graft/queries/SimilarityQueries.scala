@@ -139,10 +139,44 @@ object SimilarityQueries extends QueryPack {
       .orderBy("q_id", "ivf_rank")
   }
 
+  /** Int8 scalar quantization (the "SQ8" memory lever of every large ANN
+    * index: 4× smaller vectors than float32, distance-computable): per
+    * vector, scale = max|x|/127, code_i = clamp(⌊x_i/scale + 0.5⌋), with
+    * the reconstruction-error CONTRACT |x − code·scale| ≤ scale/2 checked
+    * as an output column — a drifting quantizer fails the hash, like the
+    * sketch contracts q72/q75. Pure projection over the vector column (no
+    * shuffle); codes stay integer-valued so the sums compare exactly
+    * cross-engine. The lambda reads a MATERIALIZED codes array
+    * (zip_with), not a re-derivation per element. */
+  private def q91(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("scale",
+        expr("array_max(transform(v, x -> abs(x))) / 127.0"))
+      .withColumn("codes", expr(
+        """CASE WHEN scale = 0.0 THEN transform(v, x -> 0.0)
+          |ELSE transform(v, x ->
+          |  greatest(-127.0, least(127.0, floor(x / scale + 0.5))))
+          |END""".stripMargin))
+      .select(col("vec_id"),
+        expr("CAST(size(v) AS BIGINT)").as("n_dims"),
+        expr("CAST(aggregate(codes, 0D, (a, x) -> a + x) AS BIGINT)")
+          .as("code_sum"),
+        expr("CAST(aggregate(codes, 0D, (a, x) -> a + abs(x)) AS BIGINT)")
+          .as("code_l1"),
+        expr("CAST(floor(scale * 1000000000.0 + 0.5) AS BIGINT)")
+          .as("scale_e9"),
+        expr("""CASE WHEN scale = 0.0 THEN true
+          |ELSE array_max(zip_with(v, codes, (x, q) -> abs(x - q * scale)))
+          |  <= scale * 0.5 + 1e-12 END""".stripMargin).as("within_bound"))
+      .orderBy("vec_id")
+
   val defs: Map[String, Q] = Map(
     "q50_knn_cosine" -> (q50 _),
     "q51_knn_lsh" -> (q51 _),
-    "q56_knn_ivf" -> (q56 _))
+    "q56_knn_ivf" -> (q56 _),
+    "q91_sq8_quantize" -> (q91 _))
 
   private def rnd(e: String): String =
     s"floor(($e) * 10000.0 + 0.5) / 10000.0"
@@ -216,5 +250,31 @@ object SimilarityQueries extends QueryPack {
         |  FROM assigned a JOIN probes p USING (c_id)
         |  WHERE a.vec_id <> p.q_id)
         |SELECT q_id, vec_id, cos, ivf_rank
-        |FROM ranked WHERE ivf_rank <= 10 ORDER BY q_id, ivf_rank""".stripMargin)
+        |FROM ranked WHERE ivf_rank <= 10 ORDER BY q_id, ivf_rank""".stripMargin,
+    // same scale/code/clamp arithmetic; the code is re-derived inside the
+    // error lambda (DuckDB has no two-list zip_with) but evaluates to the
+    // identical double, so the comparison is bit-equal
+    "q91_sq8_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |m AS (
+        |  SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        |  FROM e)
+        |SELECT vec_id,
+        |  CAST(len(v) AS BIGINT) AS n_dims,
+        |  CAST(CASE WHEN scale = 0.0 THEN 0 ELSE
+        |    list_sum(list_transform(v, x ->
+        |      greatest(-127.0, least(127.0, floor(x / scale + 0.5)))))
+        |    END AS BIGINT) AS code_sum,
+        |  CAST(CASE WHEN scale = 0.0 THEN 0 ELSE
+        |    list_sum(list_transform(v, x ->
+        |      abs(greatest(-127.0, least(127.0, floor(x / scale + 0.5))))))
+        |    END AS BIGINT) AS code_l1,
+        |  CAST(floor(scale * 1000000000.0 + 0.5) AS BIGINT) AS scale_e9,
+        |  CASE WHEN scale = 0.0 THEN true ELSE
+        |    list_max(list_transform(v, x ->
+        |      abs(x - greatest(-127.0, least(127.0, floor(x / scale + 0.5)))
+        |        * scale))) <= scale * 0.5 + 1e-12 END AS within_bound
+        |FROM m ORDER BY vec_id""".stripMargin)
 }
