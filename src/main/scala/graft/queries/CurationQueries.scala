@@ -188,6 +188,30 @@ object CurationQueries extends QueryPack {
       .limit(20)
   }
 
+  /** Balanced-mixture downsampling — the curriculum/mixture control of a
+    * corpus pipeline: every source is hash-sampled down toward the size
+    * of the SMALLEST source, so the output mixture is (approximately)
+    * uniform over sources regardless of how lopsided the crawl was. Rates
+    * derive from one aggregation broadcast back; the keep decision is the
+    * same deterministic md5-uniform as q62 (reproducible across engines
+    * and runs, no RNG state) — a map-side filter at any scale. Outputs
+    * report per-source before/after counts, integer-only. */
+  private def q92(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashing
+    val d = Tables.load(s, dir, "documents")
+    val counts = d.groupBy("source").agg(count(lit(1)).as("n_total"))
+    val withMin = counts.crossJoin(
+      broadcast(counts.agg(min("n_total").as("min_n"))))
+    d.join(broadcast(withMin), "source")
+      .filter(Hashing.md5Uniform(col("doc_id").cast("string")) <
+        col("min_n").cast("double") / col("n_total"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"))
+      .join(withMin, "source")
+      .select(col("source"), col("n_total"), col("min_n"), col("n_kept"))
+      .orderBy("source")
+  }
+
   val defs: Map[String, Q] = Map(
     "q79_bigram_counts" -> (q79 _),
     "q80_mask_digits" -> (q80 _),
@@ -196,7 +220,8 @@ object CurationQueries extends QueryPack {
     "q83_heavy_hitters" -> (q83 _),
     "q84_decontaminate" -> (q84 _),
     "q86_repetition_filter" -> (q86 _),
-    "q87_skew_report" -> (q87 _))
+    "q87_skew_report" -> (q87 _),
+    "q92_balance_sources" -> (q92 _))
 
   val oracle: Map[String, String] = Map(
     "q79_bigram_counts" ->
@@ -288,5 +313,21 @@ object CurationQueries extends QueryPack {
         |  CAST(floor(count(*) * 10000.0 /
         |    (SELECT count(*) FROM events) + 0.5) AS BIGINT) AS share_e4
         |FROM events GROUP BY user_id
-        |ORDER BY n DESC, user_id LIMIT 20""".stripMargin)
+        |ORDER BY n DESC, user_id LIMIT 20""".stripMargin,
+    "q92_balance_sources" -> {
+      val u = graft.functions.Hashing.md5UniformSql("CAST(doc_id AS VARCHAR)")
+      s"""WITH counts AS (
+         |  SELECT source, count(*) AS n_total FROM documents GROUP BY source),
+         |wm AS (
+         |  SELECT source, n_total, (SELECT min(n_total) FROM counts) AS min_n
+         |  FROM counts),
+         |kept AS (
+         |  SELECT d.source, count(*) AS n_kept
+         |  FROM documents d JOIN wm ON d.source = wm.source
+         |  WHERE $u < CAST(min_n AS DOUBLE) / n_total
+         |  GROUP BY d.source)
+         |SELECT source, n_total, min_n, n_kept
+         |FROM kept JOIN wm USING (source)
+         |ORDER BY source""".stripMargin
+    })
 }
