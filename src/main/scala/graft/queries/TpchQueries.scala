@@ -129,11 +129,39 @@ object TpchQueries extends QueryPack {
       .orderBy("month_start")
   }
 
+  /** Q3-style shipping priority: top-10 orders by open revenue — BUILDING
+    * segment, ordered before / shipped after the cutoff. Two broadcast
+    * dims + one fact-fact shuffle, top-k via TakeOrderedAndProject;
+    * revenue stays exact 10⁻⁴ fixed-point all the way out (BIGINT, no
+    * doubles in the compare), and the (revenue DESC, orderkey) sort is
+    * fully deterministic. */
+  private def q93(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = "1998-06-01"
+    val cust = t(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") < to_timestamp(lit(cutoff)))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") > to_timestamp(lit(cutoff)))
+      .select(col("l_orderkey"), vol4.as("vol"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_orderpriority"))
+      .agg(sum(col("vol").cast("decimal(38,0)")).cast("long")
+        .as("revenue_e4"))
+      .orderBy(col("revenue_e4").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
   val defs: Map[String, Q] = Map(
     "q57_volume_shipping" -> (q57 _),
     "q58_market_share" -> (q58 _),
     "q59_min_cost_supplier" -> (q59 _),
-    "q65_range_join_binned" -> (q65 _))
+    "q65_range_join_binned" -> (q65 _),
+    "q93_shipping_priority" -> (q93 _))
 
   val oracle: Map[String, String] = Map(
     "q57_volume_shipping" ->
@@ -148,6 +176,21 @@ object TpchQueries extends QueryPack {
         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
         |WHERE n1.n_name <> n2.n_name
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q93_shipping_priority" ->
+      """SELECT l_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority,
+        |  CAST(sum(CAST(
+        |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) *
+        |    CAST(floor((1 - l_discount) * 100.0 + 0.5) AS BIGINT)
+        |    AS DECIMAL(38,0))) AS BIGINT) AS revenue_e4
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue_e4 DESC, l_orderkey LIMIT 10""".stripMargin,
     "q58_market_share" ->
       """WITH asia_cust AS (
         |  SELECT c_custkey FROM customer
