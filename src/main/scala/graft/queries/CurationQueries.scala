@@ -212,6 +212,15 @@ object CurationQueries extends QueryPack {
       .orderBy("source")
   }
 
+  /** Whole-table profile ([[graft.operators.Profile]]): per-column rows /
+    * nulls / exact distincts for events, one aggregation job via Expand.
+    * The input-census step of every ingest. */
+  private def q94(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.profile(
+        Tables.load(s, dir, "events"),
+        Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
+      .orderBy("col_name")
+
   val defs: Map[String, Q] = Map(
     "q79_bigram_counts" -> (q79 _),
     "q80_mask_digits" -> (q80 _),
@@ -221,7 +230,8 @@ object CurationQueries extends QueryPack {
     "q84_decontaminate" -> (q84 _),
     "q86_repetition_filter" -> (q86 _),
     "q87_skew_report" -> (q87 _),
-    "q92_balance_sources" -> (q92 _))
+    "q92_balance_sources" -> (q92 _),
+    "q94_profile" -> (q94 _))
 
   val oracle: Map[String, String] = Map(
     "q79_bigram_counts" ->
@@ -329,5 +339,16 @@ object CurationQueries extends QueryPack {
          |SELECT source, n_total, min_n, n_kept
          |FROM kept JOIN wm USING (source)
          |ORDER BY source""".stripMargin
+    },
+    "q94_profile" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_nulls,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct
+           |FROM events""".stripMargin
+      Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+        .map(one).mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+          "\n) ORDER BY col_name")
     })
 }
