@@ -221,6 +221,26 @@ object CurationQueries extends QueryPack {
         Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
       .orderBy("col_name")
 
+  /** Incremental rollup ([[graft.operators.IncrementalAgg]]): events split
+    * into three deterministic "epochs" (event_id % 3), each aggregated to
+    * its own mergeable state, states merged and finalized — and the oracle
+    * recomputes the rollup directly over ALL rows, pinning
+    * merge∘state ≡ state∘union exactly (the algebra incremental pipelines
+    * stand on). */
+  private def q95(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.IncrementalAgg
+    val ev = Tables.load(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").as("vc"))
+    val epochs = (0 until 3).map(i =>
+      IncrementalAgg.state(
+        ev.filter(col("event_id") % 3 === i), Seq("event_type"), col("vc")))
+    IncrementalAgg.finalizeState(
+        IncrementalAgg.merge(epochs, Seq("event_type")), Seq("event_type"))
+      .orderBy("event_type")
+  }
+
   val defs: Map[String, Q] = Map(
     "q79_bigram_counts" -> (q79 _),
     "q80_mask_digits" -> (q80 _),
@@ -231,7 +251,8 @@ object CurationQueries extends QueryPack {
     "q86_repetition_filter" -> (q86 _),
     "q87_skew_report" -> (q87 _),
     "q92_balance_sources" -> (q92 _),
-    "q94_profile" -> (q94 _))
+    "q94_profile" -> (q94 _),
+    "q95_incremental_agg" -> (q95 _))
 
   val oracle: Map[String, String] = Map(
     "q79_bigram_counts" ->
@@ -350,5 +371,15 @@ object CurationQueries extends QueryPack {
       Seq("event_id", "ts", "user_id", "event_type", "value", "props")
         .map(one).mkString("SELECT * FROM (\n", "\nUNION ALL\n",
           "\n) ORDER BY col_name")
-    })
+    },
+    // the DIRECT rollup over all rows — if the Spark side's epoch-split,
+    // state-merge path differs anywhere, the hash breaks
+    "q95_incremental_agg" ->
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(sum(CAST(${centsSql("value")} AS DECIMAL(38,0))) AS BIGINT)
+         |    AS sum_c,
+         |  min(${centsSql("value")}) AS min_c,
+         |  max(${centsSql("value")}) AS max_c
+         |FROM events WHERE value IS NOT NULL
+         |GROUP BY event_type ORDER BY event_type""".stripMargin)
 }

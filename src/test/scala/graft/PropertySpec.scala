@@ -83,4 +83,70 @@ class PropertySpec extends SparkSuite {
       assert(got == words.size, s"text=[$text] got=$got want=${words.size}")
     }
   }
+
+  test("BMP codec round-trips any dims and pixel content (property)") {
+    import graft.multimodal.ImageCodec
+    val dims = for {
+      w <- Gen.choose(1, 37)
+      h <- Gen.choose(1, 29)
+      seed <- Gen.choose(0, 1000000)
+    } yield (w, h, seed)
+    for ((w, h, seed) <- sample(dims, 25)) {
+      val px = Array.tabulate[Byte](w * h * 3)(i => ((seed + i * 17) % 256).toByte)
+      val back = ImageCodec.decodeBmp(
+        ImageCodec.encodeBmp(ImageCodec.Bitmap(w, h, px))).get
+      assert(back.width == w && back.height == h, s"dims ${w}x$h")
+      assert(back.pixels.toSeq == px.toSeq, s"pixels ${w}x$h seed=$seed")
+    }
+  }
+
+  test("BMP resize preserves corner pixels for any scale (property)") {
+    import graft.multimodal.ImageCodec
+    val cases = for {
+      sw <- Gen.choose(2, 31); sh <- Gen.choose(2, 23)
+      dw <- Gen.choose(1, 31); dh <- Gen.choose(1, 23)
+    } yield (sw, sh, dw, dh)
+    for ((sw, sh, dw, dh) <- sample(cases, 25)) {
+      val px = Array.tabulate[Byte](sw * sh * 3)(i => (i % 251).toByte)
+      val out = ImageCodec.resizeNearest(ImageCodec.Bitmap(sw, sh, px), dw, dh)
+      assert(out.pixels.length == dw * dh * 3)
+      // nearest-neighbor maps dst (0,0) to src (0,0) for any dimensions
+      for (c <- 0 until 3)
+        assert(out.pixels(c) == px(c), s"$sw x $sh -> $dw x $dh channel $c")
+    }
+  }
+
+  test("WAV codec round-trips any sample content (property)") {
+    import graft.multimodal.WavCodec
+    val gens = for {
+      n <- Gen.choose(0, 400)
+      seed <- Gen.choose(0, 1000000)
+    } yield (n, seed)
+    for ((n, seed) <- sample(gens, 25)) {
+      val s = Array.tabulate[Short](n)(i =>
+        ((seed + i * 31) % 65536 - 32768).toShort)
+      val w = WavCodec.decode(WavCodec.encode(WavCodec.Wav(8000, s))).get
+      assert(w.samples.toSeq == s.toSeq, s"n=$n seed=$seed")
+    }
+  }
+
+  test("Misra-Gries guarantee holds for any skew profile (property)") {
+    import graft.functions.HeavyHitters
+    val gens = for {
+      hotShare <- Gen.choose(10, 60) // percent of stream on the hot item
+      tailKinds <- Gen.choose(50, 500)
+    } yield (hotShare, tailKinds)
+    for ((hotShare, tailKinds) <- sample(gens, 8)) {
+      val n = 2000
+      val items = (0 until n).map { i =>
+        if (i % 100 < hotShare) "hot" else s"t${i % tailKinds}"
+      }
+      // serial sketch (no Spark): reduce-only path with k=15 →
+      // guarantee covers freq > n/16; hot has freq ≥ 10% ≥ 200 > 125
+      val agg = new HeavyHitters(15)
+      val sketch = items.foldLeft(agg.zero)(agg.reduce)
+      assert(agg.finish(sketch).contains("hot"),
+        s"hotShare=$hotShare% tailKinds=$tailKinds lost the hot item")
+    }
+  }
 }
