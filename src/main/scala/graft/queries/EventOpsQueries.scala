@@ -165,13 +165,37 @@ object EventOpsQueries extends QueryPack {
   private def q88(s: SparkSession, dir: String): DataFrame =
     graft.GraftSql.run(s, dir, q88Sql)
 
+  /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    * each row draws key = u^(1/w) from its deterministic md5-uniform and
+    * the global top-k keys win — purchases (w=4) are 4× likelier per unit
+    * than views. The weights are restricted to powers of two so u^(1/w)
+    * is an ITERATED SQRT — IEEE sqrt is correctly rounded, so both
+    * engines compute bit-identical keys and the sample membership cannot
+    * flip on a ulp (pow()'s libm variance is exactly what this dodges).
+    * Top-k lands in TakeOrderedAndProject: map-side k-truncation, no
+    * global sort, no RNG state — reproducible at any scale. */
+  private def q96(s: SparkSession, dir: String): DataFrame = {
+    val u = Hashing.md5Uniform(col("event_id").cast("string"))
+    val key = when(col("event_type") === "purchase", sqrt(sqrt(u)))
+      .when(col("event_type") === "click", sqrt(u))
+      .otherwise(u)
+    ev(s, dir)
+      .select(col("event_id"), col("event_type"), key.as("k"))
+      .orderBy(col("k").desc, col("event_id"))
+      .limit(200)
+      .select(col("event_id"), col("event_type"),
+        expr("CAST(floor(k * 1000000000000.0 + 0.5) AS BIGINT)")
+          .as("key_e12"))
+  }
+
   val defs: Map[String, Q] = Map(
     "q62_stratified_sample" -> (q62 _),
     "q63_sessionize" -> (q63 _),
     "q68_salted_join" -> (q68 _),
     "q69_cdc_merge" -> (q69 _),
     "q85_rolling_window" -> (q85 _),
-    "q88_funnel" -> (q88 _))
+    "q88_funnel" -> (q88 _),
+    "q96_weighted_sample" -> (q96 _))
 
   val oracle: Map[String, String] = Map(
     "q69_cdc_merge" -> {
@@ -250,5 +274,18 @@ object EventOpsQueries extends QueryPack {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ep
         |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
-    "q88_funnel" -> q88Sql)
+    "q88_funnel" -> q88Sql,
+    "q96_weighted_sample" -> {
+      val u = Hashing.md5UniformSql("CAST(event_id AS VARCHAR)")
+      s"""WITH keyed AS (
+         |  SELECT event_id, event_type,
+         |    CASE WHEN event_type = 'purchase' THEN sqrt(sqrt($u))
+         |         WHEN event_type = 'click' THEN sqrt($u)
+         |         ELSE $u END AS k
+         |  FROM events)
+         |SELECT event_id, event_type,
+         |  CAST(floor(k * 1000000000000.0 + 0.5) AS BIGINT) AS key_e12
+         |FROM keyed
+         |ORDER BY k DESC, event_id LIMIT 200""".stripMargin
+    })
 }
