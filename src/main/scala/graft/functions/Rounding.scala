@@ -77,4 +77,19 @@ object Rounding {
     * exact integer-to-integer. */
   def sumCentsSql(e: String): String =
     s"CAST(sum(CAST($e AS DECIMAL(38,0))) AS BIGINT)"
+
+  /** Engine-portable exact floor division of NON-NEGATIVE int64 values with
+    * `a < 2^53`. Neither engine's native integer-division operator is used
+    * (Spark `div` vs DuckDB `//` — spelling and edge semantics differ);
+    * instead `(a - a % b) / b`: the numerator is exactly divisible by b, so
+    * the double division yields the exact integer quotient (< 2^53 ⇒
+    * representable), and the BIGINT cast is exact. Same three ops, same
+    * bits, both engines — the q73 de-floating discipline applied to
+    * division. */
+  def intDiv(a: Column, b: Column): Column =
+    ((a - (a % b)) / b).cast("long")
+
+  /** SQL-side mirror of [[intDiv]]. */
+  def intDivSql(a: String, b: String): String =
+    s"CAST((($a) - (($a) % ($b))) / ($b) AS BIGINT)"
 }

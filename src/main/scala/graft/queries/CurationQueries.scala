@@ -241,6 +241,56 @@ object CurationQueries extends QueryPack {
       .orderBy("event_type")
   }
 
+  /** LM-based document quality score — the KenLM-style corpus filter
+    * shape: build the order-2 LM (global bigram counts, q79's table),
+    * score every document by the corpus frequency of its own bigrams
+    * (occurrences kept — a repeated bigram scores each time), report the
+    * exact sum plus an e3-scaled integer mean. Log-prob scoring would put
+    * libm's `ln` (not correctly rounded, varies across builds) in the
+    * loop; the frequency score ranks documents identically for filtering
+    * purposes and stays bit-exact. Shape: the doc-bigram → LM join is
+    * keyed on the gram — at 100 TB the LM table is itself huge, so this
+    * is a shuffle join on the gram key, never a broadcast of the
+    * vocabulary; one final groupBy per doc. */
+  private def q98(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.intDiv
+    val toks = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.tokensCol(col("text"))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val bigrams = toks.withColumn("w2", lead("tok", 1).over(w))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), col("tok").as("w1"), col("w2"))
+    val lm = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("lm_n"))
+    bigrams.join(lm, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("lm_n").cast("decimal(38,0)")).cast("long").as("sum_n"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_n"),
+        intDiv(lit(1000L) * col("sum_n"), col("n_bigrams")).as("score_e3"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic stratified train/val/test split — the last step before
+    * a corpus ships to the tokenizer. Assignment is the q62/q92
+    * md5-uniform (reproducible across engines, runs, partitionings; no RNG
+    * state to checkpoint): u < 0.8 → train, < 0.9 → val, else test. The
+    * census reports per-(lang, split) counts with doc_id extremes so a
+    * single flipped assignment breaks the hash. Pure projection + one
+    * aggregation — a 100 TB corpus splits in one map pass. */
+  private def q99(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashing
+    val u = Hashing.md5Uniform(col("doc_id").cast("string"))
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test")
+          .as("split"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .orderBy("lang", "split")
+  }
+
   val defs: Map[String, Q] = Map(
     "q79_bigram_counts" -> (q79 _),
     "q80_mask_digits" -> (q80 _),
@@ -252,7 +302,9 @@ object CurationQueries extends QueryPack {
     "q87_skew_report" -> (q87 _),
     "q92_balance_sources" -> (q92 _),
     "q94_profile" -> (q94 _),
-    "q95_incremental_agg" -> (q95 _))
+    "q95_incremental_agg" -> (q95 _),
+    "q98_lm_doc_score" -> (q98 _),
+    "q99_split_assign" -> (q99 _))
 
   val oracle: Map[String, String] = Map(
     "q79_bigram_counts" ->
@@ -381,5 +433,40 @@ object CurationQueries extends QueryPack {
          |  min(${centsSql("value")}) AS min_c,
          |  max(${centsSql("value")}) AS max_c
          |FROM events WHERE value IS NOT NULL
-         |GROUP BY event_type ORDER BY event_type""".stripMargin)
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q98_lm_doc_score" -> {
+      import graft.functions.Rounding.intDivSql
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    unnest($tokSql) AS tok,
+         |    unnest(generate_series(1, len($tokSql))) AS pos
+         |  FROM documents),
+         |bg AS (
+         |  SELECT doc_id, tok AS w1,
+         |    lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+         |  FROM toks),
+         |bigrams AS (SELECT doc_id, w1, w2 FROM bg WHERE w2 IS NOT NULL),
+         |lm AS (SELECT w1, w2, count(*) AS lm_n FROM bigrams GROUP BY w1, w2),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_bigrams,
+         |    CAST(sum(CAST(lm_n AS DECIMAL(38,0))) AS BIGINT) AS sum_n
+         |  FROM bigrams JOIN lm USING (w1, w2)
+         |  GROUP BY doc_id)
+         |SELECT doc_id, n_bigrams, sum_n,
+         |  ${intDivSql("1000 * sum_n", "n_bigrams")} AS score_e3
+         |FROM agg ORDER BY doc_id""".stripMargin
+    },
+    "q99_split_assign" -> {
+      val u = graft.functions.Hashing.md5UniformSql("CAST(doc_id AS VARCHAR)")
+      s"""WITH assigned AS (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN $u < 0.8 THEN 'train'
+         |         WHEN $u < 0.9 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents)
+         |SELECT lang, split, count(*) AS n,
+         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         |FROM assigned GROUP BY lang, split
+         |ORDER BY lang, split""".stripMargin
+    })
 }

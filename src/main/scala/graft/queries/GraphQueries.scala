@@ -1,0 +1,72 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryPack, Tables}
+import graft.functions.Rounding.intDivSql
+import graft.operators.PageRank
+
+/** Graph analytics over relational edge lists — the iterative-join family
+  * ([[graft.operators.ConnectedComponents]] is the other member). The
+  * reference has no graph surface; these extend the engine to the
+  * link-analysis shapes a crawl-corpus pipeline runs (authority scoring for
+  * source weighting, dup-cluster centrality). */
+object GraphQueries extends QueryPack {
+
+  /** PageRank (3 damped rounds, pure int64 fixed-point — see [[PageRank]]
+    * for why no doubles) over the customer↔supplier co-transaction graph:
+    * node ids disambiguate the two key spaces (cust·10 / supp·10+1), the
+    * bipartite relation is symmetrized so no node is a sink. Per round:
+    * one keyed join + one groupBy — O(edges) shuffle, the plan a
+    * 1000-executor web graph needs. The oracle unrolls the same three
+    * rounds as chained CTEs; every value BIGINT end to end. */
+  private def q97(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.load(s, dir, "orders")
+      .join(Tables.load(s, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 10L).as("c"),
+        (col("l_suppkey") * 10L + 1L).as("p"))
+    PageRank.ranks(PageRank.undirected(pairs, col("c"), col("p")), iters = 3)
+      .orderBy("node")
+  }
+
+  val defs: Map[String, Q] = Map("q97_pagerank" -> (q97 _))
+
+  val oracle: Map[String, String] = Map(
+    "q97_pagerank" -> {
+      // one damped round: contributions ⌊r/outdeg⌋ along edges, exact
+      // integer sum per destination, rank' = ⌊3T/20N⌋ + ⌊17·S/20⌋
+      def round(prev: String, i: Int): String =
+        s"""c$i AS (
+           |  SELECT e.dst, ${intDivSql("r.rank", "d.outdeg")} AS c
+           |  FROM $prev r
+           |  JOIN deg d ON r.node = d.src
+           |  JOIN edges e ON e.src = d.src),
+           |s$i AS (
+           |  SELECT dst, CAST(sum(CAST(c AS DECIMAL(38,0))) AS BIGINT) AS s
+           |  FROM c$i GROUP BY dst),
+           |r$i AS (
+           |  SELECT node,
+           |    ${intDivSql("150000000000", "n")} +
+           |    ${intDivSql("17 * coalesce(s, 0)", "20")} AS rank
+           |  FROM nodes LEFT JOIN s$i ON node = dst, nn)""".stripMargin
+      s"""WITH pairs AS (
+         |  SELECT o_custkey * 10 AS c, l_suppkey * 10 + 1 AS p
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |edges AS (
+         |  SELECT c AS src, p AS dst FROM pairs
+         |  UNION
+         |  SELECT p AS src, c AS dst FROM pairs),
+         |nodes AS (
+         |  SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+         |r0 AS (
+         |  SELECT node, ${intDivSql("1000000000000", "n")} AS rank
+         |  FROM nodes, nn),
+         |${round("r0", 1)},
+         |${round("r1", 2)},
+         |${round("r2", 3)}
+         |SELECT node, rank FROM r3 ORDER BY node""".stripMargin
+    })
+}
