@@ -291,6 +291,28 @@ object CurationQueries extends QueryPack {
       .orderBy("lang", "split")
   }
 
+  /** Equi-width histogram census (20 bins over the integer-cents value
+    * domain) — the distribution profile an optimizer or a data-quality
+    * dashboard wants. Bounds come from one tiny aggregation broadcast
+    * back; the bin id is exact integer arithmetic (⌊(v−lo)·20/(hi−lo+1)⌋
+    * via [[graft.functions.Rounding.intDiv]]) rather than either engine's
+    * width_bucket (whose edge conventions differ), so the census is
+    * bit-stable. Two scans + one groupBy; the classify pass is map-side. */
+  private def q101(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.intDiv
+    val ev = Tables.load(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").as("vc"))
+    val bounds = ev.agg(min("vc").as("lo"), max("vc").as("hi"))
+    ev.crossJoin(broadcast(bounds))
+      .select(intDiv((col("vc") - col("lo")) * 20L,
+        col("hi") - col("lo") + 1L).as("bin"),
+        col("vc"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), min("vc").as("min_c"), max("vc").as("max_c"))
+      .orderBy("bin")
+  }
+
   val defs: Map[String, Q] = Map(
     "q79_bigram_counts" -> (q79 _),
     "q80_mask_digits" -> (q80 _),
@@ -304,7 +326,8 @@ object CurationQueries extends QueryPack {
     "q94_profile" -> (q94 _),
     "q95_incremental_agg" -> (q95 _),
     "q98_lm_doc_score" -> (q98 _),
-    "q99_split_assign" -> (q99 _))
+    "q99_split_assign" -> (q99 _),
+    "q101_histogram" -> (q101 _))
 
   val oracle: Map[String, String] = Map(
     "q79_bigram_counts" ->
@@ -468,5 +491,15 @@ object CurationQueries extends QueryPack {
          |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
          |FROM assigned GROUP BY lang, split
          |ORDER BY lang, split""".stripMargin
+    },
+    "q101_histogram" -> {
+      import graft.functions.Rounding.intDivSql
+      s"""WITH ev AS (
+         |  SELECT ${centsSql("value")} AS vc
+         |  FROM events WHERE value IS NOT NULL),
+         |b AS (SELECT min(vc) AS lo, max(vc) AS hi FROM ev)
+         |SELECT ${intDivSql("(vc - lo) * 20", "hi - lo + 1")} AS bin,
+         |  count(*) AS n, min(vc) AS min_c, max(vc) AS max_c
+         |FROM ev, b GROUP BY 1 ORDER BY 1""".stripMargin
     })
 }

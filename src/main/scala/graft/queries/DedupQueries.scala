@@ -234,13 +234,43 @@ object DedupQueries extends QueryPack {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** SymSpell-style fuzzy match: every pair of customer names within edit
+    * distance 1, found WITHOUT an all-pairs product. Candidate generation
+    * is a keyed self-join on the deletion neighborhood (each name plus its
+    * length single-char-deletion variants): two strings at edit distance
+    * ≤ 1 — one substitution, insertion, or deletion — always share a
+    * deletion variant, so the candidate set provably contains every true
+    * pair, and the exact `levenshtein` filter after the join discards the
+    * rest. The oracle IS the all-pairs product (fine over sf0.01's 1 500
+    * names, melted-reducer territory at corpus scale): identical rows,
+    * O(N·len) join vs O(N²) scan. Spark and DuckDB both implement classic
+    * Levenshtein, and all outputs are strings — nothing to ulp-diverge. */
+  private def q100(s: SparkSession, dir: String): DataFrame = {
+    val names = Tables.load(s, dir, "customer").select(col("c_name").as("name"))
+    // i = 0 keeps the name itself; i = 1..len deletes character i
+    val variants = names.select(col("name"), explode(expr(
+      """transform(sequence(0, length(name)), i ->
+        |  CASE WHEN i = 0 THEN name
+        |       ELSE concat(substring(name, 1, i - 1),
+        |                   substring(name, i + 1, length(name))) END)"""
+        .stripMargin)).as("key"))
+    variants.as("a")
+      .join(variants.as("b"),
+        col("a.key") === col("b.key") && col("a.name") < col("b.name"))
+      .select(col("a.name").as("a"), col("b.name").as("b"))
+      .distinct() // repeated chars / both-sided deletions duplicate a pair
+      .filter(levenshtein(col("a"), col("b")) <= 1)
+      .orderBy("a", "b")
+  }
+
   val defs: Map[String, Q] = Map(
     "q40_dedup_exact" -> (q40 _),
     "q41_dedup_jaccard" -> (q41 _),
     "q42_dedup_minhash" -> (q42 _),
     "q43_dedup_simhash" -> (q43 _),
     "q44_dedup_embedding" -> (q44 _),
-    "q67_dedup_clusters" -> (q67 _))
+    "q67_dedup_clusters" -> (q67 _),
+    "q100_fuzzy_match" -> (q100 _))
 
   private val normSql =
     "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
@@ -351,5 +381,11 @@ object DedupQueries extends QueryPack {
         |  floor((list_cosine_similarity(a.v, b.v)) * 10000.0 + 0.5) / 10000.0 AS cos
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE floor((list_cosine_similarity(a.v, b.v)) * 10000.0 + 0.5) / 10000.0 >= 0.45
-        |ORDER BY vec_a, vec_b""".stripMargin)
+        |ORDER BY vec_a, vec_b""".stripMargin,
+    // the all-pairs formulation the SymSpell join provably equals
+    "q100_fuzzy_match" ->
+      """SELECT a.c_name AS a, b.c_name AS b
+        |FROM customer a JOIN customer b
+        |  ON a.c_name < b.c_name AND levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY a, b""".stripMargin)
 }

@@ -236,6 +236,37 @@ object ExtraQueries extends QueryPack {
       .orderBy("user_id", "event_id")
   }
 
+  /** Ranking-function breadth: row_number / rank / dense_rank / ntile(4)
+    * plus an exact percent-rank substitute, in one window pass per frame.
+    * Two orderings exercised deliberately: a UNIQUE one (price cents,
+    * orderkey) where every ranking function is trivially deterministic,
+    * and a TIES-heavy one (orderstatus) where rank/dense_rank semantics
+    * must agree across engines. percent_rank itself returns a double from
+    * one division — replaced by ⌊10⁶·(rn−1)/(n−1)⌋ in exact integer
+    * arithmetic ([[graft.functions.Rounding.intDiv]]), same policy as the
+    * other de-floated outputs. Spark's ranking functions return INT where
+    * DuckDB's return BIGINT, so everything casts to long explicitly. */
+  private def q102(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.intDiv
+    val o = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_orderpriority").as("prio"), col("o_orderstatus").as("st"),
+      expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)").as("pc"))
+    val wu = Window.partitionBy("prio").orderBy(col("pc"), col("o_orderkey"))
+    val wt = Window.partitionBy("prio").orderBy(col("st"))
+    val wp = Window.partitionBy("prio")
+    o.select(col("o_orderkey"), col("prio"),
+        row_number().over(wu).cast("long").as("rn"),
+        ntile(4).over(wu).cast("long").as("quartile"),
+        rank().over(wt).cast("long").as("rnk"),
+        dense_rank().over(wt).cast("long").as("drnk"),
+        count(lit(1)).over(wp).as("n_part"))
+      .select(col("o_orderkey"), col("prio"), col("rn"), col("quartile"),
+        col("rnk"), col("drnk"),
+        intDiv(lit(1000000L) * (col("rn") - 1L), col("n_part") - 1L)
+          .as("pr_e6"))
+      .orderBy("prio", "rn")
+  }
+
   val defs: Map[String, Q] = Map(
     "q46_correlated_subquery" -> (q46 _),
     "q47_cube" -> (q47 _),
@@ -248,7 +279,8 @@ object ExtraQueries extends QueryPack {
     "q29_percentiles" -> (q29 _),
     "q34_stats_agg" -> (q34 _),
     "q35_date_funcs" -> (q35 _),
-    "q52_vector_stats" -> (q52 _))
+    "q52_vector_stats" -> (q52 _),
+    "q102_rank_breadth" -> (q102 _))
 
   private val kExpr = """CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)"""
 
@@ -346,5 +378,27 @@ object ExtraQueries extends QueryPack {
         |  floor((avg(mean_comp)) * 1000000.0 + 0.5) / 1000000.0 AS avg_mean_comp,
         |  floor((min(mean_comp)) * 1000000.0 + 0.5) / 1000000.0 AS min_mean_comp,
         |  floor((max(mean_comp)) * 1000000.0 + 0.5) / 1000000.0 AS max_mean_comp
-        |FROM v GROUP BY label ORDER BY label""".stripMargin)
+        |FROM v GROUP BY label ORDER BY label""".stripMargin,
+    "q102_rank_breadth" -> {
+      import graft.functions.Rounding.intDivSql
+      s"""WITH o AS (
+         |  SELECT o_orderkey, o_orderpriority AS prio, o_orderstatus AS st,
+         |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS pc
+         |  FROM orders),
+         |r AS (
+         |  SELECT o_orderkey, prio,
+         |    row_number() OVER wu AS rn,
+         |    CAST(ntile(4) OVER wu AS BIGINT) AS quartile,
+         |    rank() OVER wt AS rnk,
+         |    dense_rank() OVER wt AS drnk,
+         |    count(*) OVER wp AS n_part
+         |  FROM o
+         |  WINDOW
+         |    wu AS (PARTITION BY prio ORDER BY pc, o_orderkey),
+         |    wt AS (PARTITION BY prio ORDER BY st),
+         |    wp AS (PARTITION BY prio))
+         |SELECT o_orderkey, prio, rn, quartile, rnk, drnk,
+         |  ${intDivSql("1000000 * (rn - 1)", "n_part - 1")} AS pr_e6
+         |FROM r ORDER BY prio, rn""".stripMargin
+    })
 }
