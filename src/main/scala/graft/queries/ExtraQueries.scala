@@ -267,6 +267,71 @@ object ExtraQueries extends QueryPack {
       .orderBy("prio", "rn")
   }
 
+  /** Third/fourth moment statistics (population skewness and excess
+    * kurtosis) per group — NOT via the engines' skewness()/kurtosis()
+    * builtins, whose definitions disagree (Spark computes population
+    * moments, DuckDB bias-corrected sample moments). Instead: one
+    * aggregation of exact integer power sums (Σx..Σx⁴ through
+    * decimal(38,0) on the Spark side, HUGEINT-exact in DuckDB — x⁴ at
+    * ~10²⁰ overflows int64, so the cast comes BEFORE the multiply), then
+    * one shared double formula on identical integers, e6-floored. x^1.5
+    * is spelled m2·√m2 — sqrt is IEEE-correctly-rounded where pow() is
+    * libm-dependent. The q82 exact-sums discipline at order 4. */
+  private def q103(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").as("x"))
+    val xd = col("x").cast("decimal(38,0)")
+    ev.groupBy("event_type")
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(xd).cast("double").as("s1"),
+        sum(xd * col("x")).cast("double").as("s2"),
+        sum(xd * col("x") * col("x")).cast("double").as("s3"),
+        sum(xd * col("x") * col("x") * col("x")).cast("double").as("s4"))
+      .select(col("event_type"), col("n").cast("long").as("n_rows"),
+        expr(momentExprSql).as("skew_e6"),
+        expr(kurtExprSql).as("kurt_e6"))
+      .orderBy("event_type")
+  }
+
+  // shared formula text — the same character-for-character expression
+  // compiles in both engines, so the double op sequence cannot diverge
+  private val m2Sql = "(s2 / n - (s1 / n) * (s1 / n))"
+  private val m3Sql =
+    "(s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))"
+  private val m4Sql =
+    "(s4 / n - 4 * (s1 / n) * (s3 / n) + 6 * (s1 / n) * (s1 / n) * (s2 / n)" +
+      " - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))"
+  private val momentExprSql =
+    s"CAST(floor(($m3Sql / ($m2Sql * sqrt($m2Sql))) * 1000000.0 + 0.5) AS BIGINT)"
+  private val kurtExprSql =
+    s"CAST(floor(($m4Sql / ($m2Sql * $m2Sql) - 3.0) * 1000000.0 + 0.5) AS BIGINT)"
+
+  /** Conditional-aggregation breadth — FILTER clauses, CASE-sums,
+    * count_if, bool_and/bool_or — as ONE SQL text both engines run
+    * verbatim ([[graft.GraftSql]], the q73 shared-text pattern), so the
+    * check pins dialect compatibility of the conditional forms
+    * themselves. Integer/boolean outputs only. */
+  private val q104Sql: String =
+    """SELECT event_type,
+      |  count(*) AS n,
+      |  count(*) FILTER (WHERE value IS NULL) AS n_null,
+      |  CAST(count_if(CAST(floor(value * 100.0 + 0.5) AS BIGINT) > 5000)
+      |    AS BIGINT) AS n_gt50,
+      |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_case,
+      |  min(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+      |    FILTER (WHERE value IS NOT NULL) AS min_c_nn,
+      |  bool_and(length(event_type) > 0) AS all_typed,
+      |  bool_or(value IS NULL) AS any_null
+      |FROM events
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  private def q104(s: SparkSession, dir: String): DataFrame =
+    graft.GraftSql.run(s, dir, q104Sql)
+
   val defs: Map[String, Q] = Map(
     "q46_correlated_subquery" -> (q46 _),
     "q47_cube" -> (q47 _),
@@ -280,7 +345,9 @@ object ExtraQueries extends QueryPack {
     "q34_stats_agg" -> (q34 _),
     "q35_date_funcs" -> (q35 _),
     "q52_vector_stats" -> (q52 _),
-    "q102_rank_breadth" -> (q102 _))
+    "q102_rank_breadth" -> (q102 _),
+    "q103_moments" -> (q103 _),
+    "q104_cond_agg" -> (q104 _))
 
   private val kExpr = """CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)"""
 
@@ -400,5 +467,25 @@ object ExtraQueries extends QueryPack {
          |SELECT o_orderkey, prio, rn, quartile, rnk, drnk,
          |  ${intDivSql("1000000 * (rn - 1)", "n_part - 1")} AS pr_e6
          |FROM r ORDER BY prio, rn""".stripMargin
-    })
+    },
+    "q103_moments" ->
+      // HUGEINT keeps x^4 (~10^20) exact where BIGINT would overflow;
+      // the final DOUBLE casts round the same exact integers both sides
+      s"""WITH ev AS (
+         |  SELECT event_type,
+         |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS x
+         |  FROM events WHERE value IS NOT NULL),
+         |s AS (
+         |  SELECT event_type,
+         |    CAST(count(*) AS DOUBLE) AS n,
+         |    CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS s1,
+         |    CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS s2,
+         |    CAST(sum(CAST(x AS HUGEINT) * x * x) AS DOUBLE) AS s3,
+         |    CAST(sum(CAST(x AS HUGEINT) * x * x * x) AS DOUBLE) AS s4
+         |  FROM ev GROUP BY event_type)
+         |SELECT event_type, CAST(n AS BIGINT) AS n_rows,
+         |  $momentExprSql AS skew_e6,
+         |  $kurtExprSql AS kurt_e6
+         |FROM s ORDER BY event_type""".stripMargin,
+    "q104_cond_agg" -> q104Sql)
 }

@@ -75,4 +75,25 @@ class PlanSpec extends SparkSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(exchanges == 1, s"expected 1 hash exchange, found $exchanges:\n$p")
   }
+
+  test("q97: every PageRank round is keyed joins, never a cross product") {
+    val p = plan("q97_pagerank")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "an N x N shape crept into the rank iteration")
+  }
+
+  test("q100: fuzzy-match candidates come from a keyed equi-join") {
+    val p = plan("q100_fuzzy_match")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "the all-pairs product the SymSpell join exists to avoid is back")
+  }
+
+  test("q101: histogram bounds broadcast back for classification") {
+    val p = plan("q101_histogram")
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"), // 1-row bounds crossJoin
+      "bounds were shuffled instead of broadcast")
+  }
 }
