@@ -70,6 +70,17 @@ object Formats {
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** ORC: the other columnar format a lakehouse inherits (Hive-era tables,
+    * Trino/Presto pipelines). Same scale properties as parquet — splittable
+    * stripes, min/max stripe stats, predicate pushdown and column pruning
+    * reach the scan (FormatsSpec asserts both) — so migrating an ORC
+    * estate onto this engine needs no conversion pass. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Z-order-clustered parquet write: range-partition and sort by the
     * Morton interleave of the given bucket columns, so parquet min/max
     * row-group stats prune scans filtered on ANY of the clustered

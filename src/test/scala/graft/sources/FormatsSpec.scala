@@ -24,6 +24,25 @@ class FormatsSpec extends SparkSuite {
     assert(src.exceptAll(back).isEmpty && back.exceptAll(src).isEmpty)
   }
 
+  test("ORC roundtrip is lossless and the scan gets pushdown + pruning") {
+    val dir = tmp("graft_orc")
+    val src = events
+    Formats.writeOrc(src, dir)
+    val back = Formats.readOrc(spark, dir)
+    assert(back.schema == src.schema)
+    assert(src.exceptAll(back).isEmpty && back.exceptAll(src).isEmpty)
+    // same scale contract as parquet: filter reaches the ORC scan and
+    // untouched columns never leave it
+    val q = Formats.readOrc(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "value")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(event_type)"),
+      s"no ORC pushdown:\n$plan")
+    val read = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("user_id"), s"unpruned ORC scan: $read")
+  }
+
   test("CSV roundtrip preserves nulls via the explicit null marker") {
     import spark.implicits._
     val dir = tmp("graft_csvnull")

@@ -211,4 +211,45 @@ class StreamingSpec extends SparkSuite {
     assert(last.join(expected, Seq("user_id", "n"), "left_anti").count() == 0)
     assert(last.count() == expected.count())
   }
+
+  test("foreachBatch incremental CDC upsert equals the one-shot batch merge") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Merge
+    // change stream: (k, v, version, _deleted); three chunks arriving as
+    // separate micro-batches, with a later version superseding an earlier
+    // one and a tombstone deleting a key
+    val chunks = Seq(
+      Seq((1L, "a", 1L, false), (2L, "b", 1L, false), (3L, "c", 1L, false)),
+      Seq((2L, "b2", 2L, false), (4L, "d", 2L, false)),
+      Seq((3L, "c", 3L, true), (5L, "e", 3L, false)))
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long, Boolean)]
+    val changes = mem.toDF().toDF("k", "v", "version", "_deleted")
+    // incremental: each micro-batch merges into the running snapshot —
+    // the foreachBatch pattern a streaming lakehouse upsert uses
+    var snapshot = Seq.empty[(Long, String, Long)]
+      .toDF("k", "v", "version")
+    val q = changes.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        snapshot = Merge.upsert(snapshot, batch, Seq("k"), "version")
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+          .toSeq.toDF("k", "v", "version") // materialize per batch
+        ()
+      }.start()
+    try {
+      chunks.foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+    } finally q.stop()
+    // one-shot: all changes merged at once
+    val all = chunks.flatten.toDF("k", "v", "version", "_deleted")
+    val oneShot = Merge.upsert(
+      Seq.empty[(Long, String, Long)].toDF("k", "v", "version"),
+      all, Seq("k"), "version")
+    val got = snapshot.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val want = oneShot.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == want)
+    assert(got == Set((1L, "a", 1L), (2L, "b2", 2L), (4L, "d", 2L),
+      (5L, "e", 3L)))
+  }
 }
