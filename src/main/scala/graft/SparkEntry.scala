@@ -16,7 +16,7 @@ object SparkEntry {
     CoreQueries, FlagshipQueries, JoinQueries, TextQueries,
     DedupQueries, SimilarityQueries, MultimodalQueries, ExtraQueries,
     ArrayQueries, TpchQueries, EventOpsQueries, QualityQueries,
-    ScaleQueries, CurationQueries, GraphQueries)
+    ScaleQueries, CurationQueries, GraphQueries, TemporalQueries)
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. The reference's
     * predictor contract (per-group next-step OLS forecast) over `events`. */

@@ -96,4 +96,31 @@ class PlanSpec extends SparkSuite {
       p.contains("BroadcastNestedLoopJoin"), // 1-row bounds crossJoin
       "bounds were shuffled instead of broadcast")
   }
+
+  test("q106: unpivot is a generator expansion, zero exchanges before sort") {
+    val p = plan("q106_unpivot")
+    // the only exchange allowed is the final presentation orderBy's range
+    // partitioning — the melt itself must not shuffle
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1, s"unpivot shuffled: $exchanges exchanges\n$p")
+  }
+
+  test("q108: triangle closure is keyed joins, never a cross product") {
+    // q108 itself returns an eagerly-computed count row, so inspect the
+    // lazy stage plans it is built from
+    val (_, _, arcs) = queries.TemporalQueries.q108Stages(spark, sf)
+    val p = queries.TemporalQueries.q108Closure(arcs)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), "triangle join degenerated")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), "no equi join in triangle closure")
+  }
+
+  test("q109: point-in-time lookup is an equi join on user_id") {
+    val p = plan("q109_scd2_pit")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "interval predicate planned as a nested loop instead of " +
+        "equi-join + filter")
+  }
 }
