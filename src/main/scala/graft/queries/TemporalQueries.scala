@@ -232,12 +232,132 @@ object TemporalQueries extends QueryPack {
       .orderBy("event_id")
   }
 
+  /** Cumulative distinct count — running number of distinct event_types
+    * each user has touched, after every event. Exact and portable without
+    * any engine `count(DISTINCT) OVER` support: flag the first occurrence
+    * of each (user, type) with one row_number window, then running-sum the
+    * flags. Two partition-local window passes, zero joins. */
+  private def q110(s: SparkSession, dir: String): DataFrame = {
+    val wFirst = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts"), col("event_id"))
+    val wRun = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev(s, dir)
+      .withColumn("first_flag",
+        (row_number().over(wFirst) === 1).cast("long"))
+      .withColumn("cum_types", sum("first_flag").over(wRun))
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+        col("cum_types"))
+      .orderBy("event_id")
+  }
+
+  /** OHLC bar resampling — the reference's literal domain (stock bars,
+    * reference `scripts/stock_predictor.py:54-64` works on Open/High/Low/
+    * Close columns) rebuilt from tick-level events: per (event_type,
+    * hour), open = first value, close = last value, high/low = extremes,
+    * plus count and exact volume. First/last are picked by row_number
+    * flags (portable — engines disagree on first_value/arg_min tie
+    * semantics), then one aggregation; high/low/sums are plain agg
+    * functions. One shuffle on the bar key. */
+  private def q111(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+      .withColumn("bar", date_format(date_trunc("hour", col("ts")),
+        "yyyy-MM-dd HH:00").as("bar"))
+      .withColumn("cents", Rounding.cents(col("value")))
+    val wAsc = Window.partitionBy("event_type", "bar")
+      .orderBy(col("ts"), col("event_id"))
+    val wDesc = Window.partitionBy("event_type", "bar")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    e.withColumn("rn_a", row_number().over(wAsc))
+      .withColumn("rn_d", row_number().over(wDesc))
+      .groupBy("event_type", "bar")
+      .agg(
+        max(when(col("rn_a") === 1, col("cents"))).as("open_cents"),
+        max("cents").as("high_cents"),
+        min("cents").as("low_cents"),
+        max(when(col("rn_d") === 1, col("cents"))).as("close_cents"),
+        count(lit(1)).as("n_ticks"),
+        Rounding.sumCents(col("cents")).as("sum_cents"))
+      .orderBy("event_type", "bar")
+  }
+
+  /** Time-weighted average price (TWAP) per (event_type, day), emitted as
+    * an exact integer ratio — numerator Σ value_cents·duration_sec and
+    * denominator Σ duration_sec — because the division is the only
+    * non-exact step, so it is left to the consumer. Durations come from
+    * lead() within the day; the day's last observation carries to
+    * midnight. Everything is integer µs arithmetic truncated to whole
+    * seconds by the same `div` in both engines. */
+  private def q112(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+      .withColumn("day", to_date(col("ts")))
+      .withColumn("cents", Rounding.cents(col("value")))
+      .withColumn("us", unix_micros(col("ts")))
+    val w = Window.partitionBy("event_type", "day")
+      .orderBy(col("us"), col("event_id"))
+    e.withColumn("next_us",
+        coalesce(lead("us", 1).over(w),
+          unix_micros(date_add(col("day"), 1).cast("timestamp"))))
+      .withColumn("dur_sec", expr("(next_us - us) div 1000000"))
+      .groupBy("event_type", "day")
+      .agg(
+        Rounding.sumCents(col("cents") * col("dur_sec"))
+          .as("twap_num_centsec"),
+        Rounding.sumCents(col("dur_sec")).as("twap_den_sec"),
+        count(lit(1)).as("n_obs"))
+      .select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("twap_num_centsec"), col("twap_den_sec"), col("n_obs"))
+      .orderBy("event_type", "day")
+  }
+
+  /** Bounded BFS reachability: min hop-distance (≤ 3) from seed parts
+    * over the same co-order graph as q108. The frontier loop is the
+    * standard distributed shape — each round joins the CURRENT distance
+    * table (small) against the symmetrized edge list (keyed equi-join)
+    * and takes a min — never a transitive-closure blowup; the DuckDB twin
+    * is a recursive CTE with the same ≤3 bound and a distinct-union guard.
+    * Three rounds, each one join + one aggregate. */
+  private def q113(s: SparkSession, dir: String): DataFrame = {
+    val (edges0, _, _) = q108Stages(s, dir)
+    val edges = edges0.persist()
+    try {
+      val sym = edges.select(col("u"), col("v"))
+        .unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+      var dist = sym.select(col("u").as("pt")).distinct()
+        .filter(col("pt") % 100 === 0)
+        .withColumn("dist", lit(0L))
+        .persist()
+      try {
+        for (_ <- 1 to 3) {
+          val hop = dist.join(sym, col("pt") === col("u"))
+            .select(col("v").as("pt"), (col("dist") + 1L).as("dist"))
+          val nxt = dist.unionAll(hop)
+            .groupBy("pt").agg(min("dist").as("dist"))
+            .persist()
+          nxt.count() // materialize before dropping the parent cache
+          dist.unpersist()
+          dist = nxt
+        }
+        // localCheckpoint cuts the lineage so the returned frame survives
+        // the finally-block unpersists without recomputing the rounds —
+        // and without collecting the (output-sized) result to the driver
+        dist.orderBy("pt").localCheckpoint(true)
+      } finally dist.unpersist()
+    } finally edges.unpersist()
+  }
+
   val defs: Map[String, Q] = Map(
     "q105_gapfill_ffill" -> (q105 _),
     "q106_unpivot" -> (q106 _),
     "q107_mad_outliers" -> (q107 _),
     "q108_triangles" -> (q108 _),
-    "q109_scd2_pit" -> (q109 _))
+    "q109_scd2_pit" -> (q109 _),
+    "q110_cum_distinct" -> (q110 _),
+    "q111_ohlc_bars" -> (q111 _),
+    "q112_twap" -> (q112 _),
+    "q113_bfs_reach" -> (q113 _))
 
   private val centsV = Rounding.centsSql("value")
 
@@ -339,6 +459,84 @@ object TemporalQueries extends QueryPack {
         |SELECT n_nodes, (SELECT count(*) FROM edges) AS n_edges,
         |  n_triangles
         |FROM nodes, tri""".stripMargin,
+    "q110_cum_distinct" ->
+      """WITH f AS (
+        |  SELECT event_id, user_id, ts,
+        |    CAST(row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) = 1 AS BIGINT) AS first_flag
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+        |  CAST(sum(first_flag) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_types
+        |FROM f ORDER BY event_id""".stripMargin,
+    "q111_ohlc_bars" -> {
+      s"""WITH e AS (
+        |  SELECT event_type,
+        |    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS bar,
+        |    ts, event_id, $centsV AS cents
+        |  FROM events),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY event_type, bar
+        |      ORDER BY ts, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY event_type, bar
+        |      ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM e)
+        |SELECT event_type, bar,
+        |  CAST(max(CASE WHEN rn_a = 1 THEN cents END) AS BIGINT)
+        |    AS open_cents,
+        |  CAST(max(cents) AS BIGINT) AS high_cents,
+        |  CAST(min(cents) AS BIGINT) AS low_cents,
+        |  CAST(max(CASE WHEN rn_d = 1 THEN cents END) AS BIGINT)
+        |    AS close_cents,
+        |  count(*) AS n_ticks,
+        |  ${Rounding.sumCentsSql("cents")} AS sum_cents
+        |FROM r GROUP BY event_type, bar ORDER BY event_type, bar""".stripMargin
+    },
+    "q112_twap" -> {
+      s"""WITH e AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, event_id,
+        |    $centsV AS cents, epoch_us(ts) AS us
+        |  FROM events),
+        |d AS (
+        |  SELECT *,
+        |    coalesce(
+        |      lead(us) OVER (PARTITION BY event_type, day
+        |        ORDER BY us, event_id),
+        |      epoch_us(CAST(day + INTERVAL 1 DAY AS TIMESTAMP))) AS next_us
+        |  FROM e),
+        |w AS (
+        |  SELECT event_type, day, cents,
+        |    (next_us - us) // 1000000 AS dur_sec
+        |  FROM d)
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+        |  ${Rounding.sumCentsSql("cents * dur_sec")} AS twap_num_centsec,
+        |  ${Rounding.sumCentsSql("dur_sec")} AS twap_den_sec,
+        |  count(*) AS n_obs
+        |FROM w GROUP BY event_type, day ORDER BY event_type, day""".stripMargin
+    },
+    "q113_bfs_reach" ->
+      """WITH RECURSIVE op AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS pt FROM lineitem
+        |  WHERE year(l_shipdate) = 1995),
+        |capped AS (
+        |  SELECT o FROM op GROUP BY o HAVING count(*) <= 40),
+        |pairs AS (SELECT op.o, op.pt FROM op JOIN capped USING (o)),
+        |edges AS (
+        |  SELECT DISTINCT a.pt AS u, b.pt AS v
+        |  FROM pairs a JOIN pairs b ON a.o = b.o AND a.pt < b.pt),
+        |sym AS (
+        |  SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+        |walk(pt, dist) AS (
+        |  SELECT DISTINCT u, CAST(0 AS BIGINT) FROM sym WHERE u % 100 = 0
+        |  UNION
+        |  SELECT s.v, w.dist + 1 FROM walk w JOIN sym s ON s.u = w.pt
+        |  WHERE w.dist < 3)
+        |SELECT pt, min(dist) AS dist FROM walk
+        |GROUP BY pt ORDER BY pt""".stripMargin,
     "q109_scd2_pit" ->
       s"""WITH dim AS (
         |  SELECT user_id, ts AS valid_from, $centsV AS state_cents,
