@@ -235,33 +235,37 @@ object DedupQueries extends QueryPack {
   }
 
   /** SymSpell-style fuzzy match: every pair of customer names within edit
-    * distance 1, found WITHOUT an all-pairs product. Candidate generation
-    * is a keyed self-join on the deletion neighborhood (each name plus its
-    * length single-char-deletion variants): two strings at edit distance
-    * ≤ 1 — one substitution, insertion, or deletion — always share a
-    * deletion variant, so the candidate set provably contains every true
-    * pair, and the exact `levenshtein` filter after the join discards the
-    * rest. The oracle IS the all-pairs product (fine over sf0.01's 1 500
-    * names, melted-reducer territory at corpus scale): identical rows,
-    * O(N·len) join vs O(N²) scan. Spark and DuckDB both implement classic
-    * Levenshtein, and all outputs are strings — nothing to ulp-diverge. */
-  private def q100(s: SparkSession, dir: String): DataFrame = {
-    val names = Tables.load(s, dir, "customer").select(col("c_name").as("name"))
-    // i = 0 keeps the name itself; i = 1..len deletes character i
-    val variants = names.select(col("name"), explode(expr(
-      """transform(sequence(0, length(name)), i ->
-        |  CASE WHEN i = 0 THEN name
-        |       ELSE concat(substring(name, 1, i - 1),
-        |                   substring(name, i + 1, length(name))) END)"""
-        .stripMargin)).as("key"))
-    variants.as("a")
-      .join(variants.as("b"),
-        col("a.key") === col("b.key") && col("a.name") < col("b.name"))
-      .select(col("a.name").as("a"), col("b.name").as("b"))
-      .distinct() // repeated chars / both-sided deletions duplicate a pair
-      .filter(levenshtein(col("a"), col("b")) <= 1)
+    * distance 1, found WITHOUT an all-pairs product — and without a single
+    * Levenshtein call. Candidate generation is a keyed self-join on the
+    * POSITION-TAGGED deletion neighborhood (each name at pos 0, plus its
+    * single-char-deletion variants tagged with the deleted index), and a
+    * three-clause integer filter decides edit distance ≤ 1 EXACTLY:
+    *
+    *  - same variant, SAME deletion position j > 0 — both strings equal
+    *    after removing index j, so they differ at most at j: one
+    *    substitution (distance 0 is excluded by `a < b`);
+    *  - one side at pos 0 (the intact name) — the other's deletion equals
+    *    it verbatim: one insertion/deletion.
+    *
+    * Every distance-1 pair is caught (a substitution pair shares the
+    * variant at the substituted index; an indel pair joins intact-vs-
+    * deleted), and nothing farther survives (equal remainders at the same
+    * index force equality elsewhere). Distance-2 bucket-mates like
+    * "abc"/"cab" — which share bare variant "ab" at DIFFERENT positions
+    * and previously forced a post-join `levenshtein` pass over ~1M
+    * candidates (the round-6 bench's single slowest step at 8 s, run
+    * inside one AQE-coalesced task) — now die on an integer compare.
+    * The oracle IS the all-pairs `levenshtein` product (fine over
+    * sf0.01's 1 500 names, melted-reducer territory at corpus scale):
+    * identical rows, O(N·len) join vs O(N²) scan, all outputs strings —
+    * nothing to ulp-diverge. Mechanics + exactness proof:
+    * [[graft.operators.FuzzyMatch]] (equivalence to brute-force
+    * levenshtein ≤ 1 pinned in FuzzyMatchSpec on adversarial fixtures). */
+  private def q100(s: SparkSession, dir: String): DataFrame =
+    graft.operators.FuzzyMatch.editDistance1Pairs(
+        Tables.load(s, dir, "customer").select(col("c_name").as("name")),
+        "name")
       .orderBy("a", "b")
-  }
 
   val defs: Map[String, Q] = Map(
     "q40_dedup_exact" -> (q40 _),
