@@ -16,7 +16,8 @@ object SparkEntry {
     CoreQueries, FlagshipQueries, JoinQueries, TextQueries,
     DedupQueries, SimilarityQueries, MultimodalQueries, ExtraQueries,
     ArrayQueries, TpchQueries, EventOpsQueries, QualityQueries,
-    ScaleQueries, CurationQueries, GraphQueries, TemporalQueries)
+    ScaleQueries, CurationQueries, GraphQueries, TemporalQueries,
+    CorpusStatsQueries)
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. The reference's
     * predictor contract (per-group next-step OLS forecast) over `events`. */

@@ -47,4 +47,39 @@ object RangeJoin {
       .filter(col(point) >= col(lo) && col(point) < col(hi))
       .drop("__bin")
   }
+
+  /** Interval-interval OVERLAP join, binned — the two-sided sibling of
+    * [[binned]]: all (left, right) row pairs whose half-open intervals
+    * `[lLo, lHi)` and `[rLo, rHi)` intersect, with no equi key to carry the
+    * join (Spark would otherwise plan a nested-loop product).
+    *
+    * Both sides explode to the bins their interval covers and equi-join on
+    * the bin id. A pair can share several bins; instead of a dedup
+    * exchange, the match is COUNTED exactly once — in the first bin both
+    * intervals occupy, `floor(max(lLo, rLo) / width)`: that bin exists for
+    * every true overlap (the larger lower bound lies inside both
+    * intervals), and the filter rejects the pair in every other shared
+    * bin. Work is O(rows · bins_per_interval + matches), one shuffle keyed
+    * on the bin id, every join strategy and AQE skew split applicable —
+    * the q49/q65 binning argument, applied to interval pairs.
+    *
+    * Column names must be disjoint across `left` and `right` (rename
+    * first); intervals with `hi <= lo` are degenerate and match nothing. */
+  def overlapBinned(left: DataFrame, right: DataFrame,
+      lLo: String, lHi: String, rLo: String, rHi: String,
+      width: Long): DataFrame = {
+    require(width > 0, "bin width must be positive")
+    def binned(df: DataFrame, lo: String, hi: String): DataFrame = df
+      .filter(col(hi) > col(lo))
+      .withColumn("__bin",
+        explode(sequence(
+          floor(col(lo) / lit(width)).cast("long"),
+          (ceil(col(hi) / lit(width)) - lit(1)).cast("long"))))
+    binned(left, lLo, lHi)
+      .join(binned(right, rLo, rHi), Seq("__bin"))
+      .filter(col(lLo) < col(rHi) && col(rLo) < col(lHi) &&
+        col("__bin") ===
+          floor(greatest(col(lLo), col(rLo)) / lit(width)).cast("long"))
+      .drop("__bin")
+  }
 }

@@ -1,0 +1,203 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryPack, Tables}
+import graft.functions.{Rounding, TextAnalysis}
+import graft.operators.RangeJoin
+
+/** Corpus indexing and robust-statistics operators: an inverted index with
+  * a document-frequency gate (q114), exact integer-scaled character-entropy
+  * quality scoring (q115), percentile winsorization (q116), and a keyless
+  * interval-overlap join (q117). All outputs are BIGINT / strings — the
+  * q73/q74 de-floating discipline — except where a construct is already
+  * hash-proven elsewhere (q75's integer-percentile interpolation). */
+object CorpusStatsQueries extends QueryPack {
+
+  import Rounding.{cents, centsSql, sumCents, sumCentsSql}
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+
+  /** Inverted index over word trigrams with a document-frequency gate:
+    * gram → (df, comma-joined sorted posting list). The df gate runs
+    * FIRST as its own map-side-combinable count aggregation, and only
+    * gate-passing grams reach the posting-list `collect_set` — so the set
+    * buffer is bounded by the df cap (20), never by a stopword gram's
+    * full corpus frequency. That ordering — count, filter, THEN collect —
+    * is the q41/q83 two-pass discipline; a single-pass
+    * `collect_set + size() HAVING` would buffer every posting of every
+    * stop-gram before discarding it. Posting lists sort numerically
+    * before the string join (sort_array on longs, then cast — not a
+    * lexicographic sort of "10" < "2"). */
+  private def q114(s: SparkSession, dir: String): DataFrame = {
+    val grams = docs(s, dir)
+      .select(col("doc_id"), TextAnalysis.tokensCol(col("text")).as("t"))
+      .select(col("doc_id"),
+        explode(TextAnalysis.ngramsFromTokens(col("t"), 3)).as("gram"))
+    val gate = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, 20))
+    grams.join(gate, "gram")
+      .groupBy("gram")
+      .agg(min("df").as("df"),
+        array_join(
+          transform(sort_array(collect_set(col("doc_id"))),
+            d => d.cast("string")),
+          ",").as("postings"))
+      .orderBy("gram")
+  }
+
+  /** Character-entropy quality score, exact to the bit: the classic
+    * low-entropy screen (boilerplate, repeated-char spam) emitted as an
+    * INTEGER numerator instead of a float score. With counts c_i over
+    * characters and n = Σc_i, Shannon entropy in nats is
+    * H = ln(n) − (Σ c_i·ln(c_i))/n; this emits
+    * `entropy_num_e6 = round(n·ln(n)·10⁶) − Σ round(c_i·ln(c_i)·10⁶)`
+    * (so H ≈ entropy_num_e6 / (n·10⁶)). Each log term is rounded to the
+    * integer grid BEFORE the sum, so the cross-row summation — the one
+    * step whose float ordering an engine cannot pin — is exact integer
+    * addition; the only remaining divergence channel is a single ln() ulp
+    * landing exactly on a .5 grid boundary (the q55 transcendental
+    * argument, ~1e-12 per term). One explode + two aggregations,
+    * embarrassingly parallel. */
+  private def q115(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, length(text)), i -> substring(text, i, 1))"))
+        .as("ch"))
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n"),
+        sum(floor((col("c").cast("double") * log(col("c").cast("double")))
+          * lit(1000000.0) + lit(0.5)).cast("long")).as("sum_term"))
+      .select(col("doc_id"), col("n").as("n_chars_total"),
+        (floor((col("n").cast("double") * log(col("n").cast("double")))
+          * lit(1000000.0) + lit(0.5)).cast("long") - col("sum_term"))
+          .as("entropy_num_e6"))
+      .orderBy("doc_id")
+
+  /** Percentile winsorization: per event_type, values clamped to the exact
+    * [p05, p95] band, with the clamp boundaries computed on integer cents
+    * (Spark `percentile` ≡ DuckDB `quantile_cont` there — the q75/q81
+    * proven construct) and the clamped value re-landed on the integer grid
+    * via the shared floor-form round. The bounds table is O(types) and
+    * broadcast; the classification pass is map-side — the same
+    * one-aggregation-plus-broadcast shape as q81, never a global sort. */
+  private def q116(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).filter(col("value").isNotNull)
+      .select(col("event_type"), cents(col("value")).as("vc"))
+    val bounds = e.groupBy("event_type").agg(
+      expr("percentile(vc, 0.05)").as("lo"),
+      expr("percentile(vc, 0.95)").as("hi"))
+    e.join(broadcast(bounds), "event_type")
+      .withColumn("cl",
+        when(col("vc") < col("lo"), floor(col("lo") + lit(0.5)).cast("long"))
+          .when(col("vc") > col("hi"), floor(col("hi") + lit(0.5)).cast("long"))
+          .otherwise(col("vc")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum((col("vc") < col("lo")).cast("long")).as("n_lo"),
+        sum((col("vc") > col("hi")).cast("long")).as("n_hi"),
+        sumCents(col("cl")).as("sum_winsorized_cents"))
+      .orderBy("event_type")
+  }
+
+  /** Keyless interval-overlap join ([[RangeJoin.overlapBinned]]): each
+    * user's click-price band [min_click_cents, +500) against every user's
+    * purchase-price band [min_purchase_cents, +800), paired wherever the
+    * bands intersect — no equi key exists, the nested-loop product Spark
+    * would otherwise plan is replaced by a bin-keyed equi-join, and each
+    * true pair is counted exactly once (in the first shared bin) without a
+    * dedup exchange. The oracle runs the naive overlap product. Output is
+    * aggregated per click-side user so result size is O(users). */
+  private def q117(s: SparkSession, dir: String): DataFrame = {
+    def band(t: String, w: Int, user: String, lo: String, hi: String) =
+      ev(s, dir)
+        .filter(col("event_type") === t && col("value").isNotNull)
+        .groupBy(col("user_id").as(user))
+        .agg(min(cents(col("value"))).as(lo))
+        .withColumn(hi, col(lo) + lit(w.toLong))
+    val clicks = band("click", 500, "u", "l_lo", "l_hi")
+    val buys = band("purchase", 800, "v", "r_lo", "r_hi")
+    RangeJoin.overlapBinned(clicks, buys, "l_lo", "l_hi", "r_lo", "r_hi", 512L)
+      .groupBy("u")
+      .agg(count(lit(1)).as("n_overlap"), min("v").as("min_v"),
+        max("v").as("max_v"))
+      .orderBy("u")
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q114_inverted_index" -> (q114 _),
+    "q115_char_entropy" -> (q115 _),
+    "q116_winsorize" -> (q116 _),
+    "q117_interval_overlap" -> (q117 _))
+
+  val oracle: Map[String, String] = Map(
+    "q114_inverted_index" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+        |        FROM toks WHERE len(t) >= 3),
+        |grams AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS gram
+        |          FROM idx),
+        |gate AS (SELECT gram, count(*) AS df FROM grams
+        |         GROUP BY gram HAVING count(*) BETWEEN 2 AND 20)
+        |SELECT gram, df,
+        |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+        |FROM grams JOIN gate USING (gram)
+        |GROUP BY gram, df ORDER BY gram""".stripMargin,
+    "q115_char_entropy" ->
+      """WITH chars AS (
+        |  SELECT doc_id, substr(text, CAST(i AS INT), 1) AS ch
+        |  FROM documents, unnest(generate_series(1, length(text))) AS g(i)
+        |  WHERE length(text) > 0),
+        |counts AS (
+        |  SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch),
+        |terms AS (
+        |  SELECT doc_id,
+        |    CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(sum(CAST(floor((CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+        |      * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_term
+        |  FROM counts GROUP BY doc_id)
+        |SELECT doc_id, n AS n_chars_total,
+        |  CAST(floor((CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE)))
+        |    * 1000000.0 + 0.5) AS BIGINT) - sum_term AS entropy_num_e6
+        |FROM terms ORDER BY doc_id""".stripMargin,
+    "q116_winsorize" ->
+      s"""WITH e AS (
+         |  SELECT event_type, ${centsSql("value")} AS vc
+         |  FROM events WHERE value IS NOT NULL),
+         |b AS (
+         |  SELECT event_type, quantile_cont(vc, 0.05) AS lo,
+         |    quantile_cont(vc, 0.95) AS hi
+         |  FROM e GROUP BY event_type),
+         |cl AS (
+         |  SELECT e.event_type, vc, lo, hi,
+         |    CASE WHEN vc < lo THEN CAST(floor(lo + 0.5) AS BIGINT)
+         |         WHEN vc > hi THEN CAST(floor(hi + 0.5) AS BIGINT)
+         |         ELSE vc END AS c
+         |  FROM e JOIN b USING (event_type))
+         |SELECT event_type, count(*) AS n,
+         |  CAST(sum(CAST(vc < lo AS BIGINT)) AS BIGINT) AS n_lo,
+         |  CAST(sum(CAST(vc > hi AS BIGINT)) AS BIGINT) AS n_hi,
+         |  ${sumCentsSql("c")} AS sum_winsorized_cents
+         |FROM cl GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q117_interval_overlap" ->
+      s"""WITH clicks AS (
+         |  SELECT user_id AS u, min(${centsSql("value")}) AS l_lo,
+         |    min(${centsSql("value")}) + 500 AS l_hi
+         |  FROM events WHERE event_type = 'click' AND value IS NOT NULL
+         |  GROUP BY user_id),
+         |buys AS (
+         |  SELECT user_id AS v, min(${centsSql("value")}) AS r_lo,
+         |    min(${centsSql("value")}) + 800 AS r_hi
+         |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+         |  GROUP BY user_id)
+         |SELECT u, count(*) AS n_overlap, min(v) AS min_v, max(v) AS max_v
+         |FROM clicks JOIN buys ON l_lo < r_hi AND r_lo < l_hi
+         |GROUP BY u ORDER BY u""".stripMargin)
+}

@@ -60,4 +60,46 @@ class RangeJoinSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("overlapBinned equals the naive overlap product, exactly once per " +
+      "pair, across widths") {
+    // deterministic pseudo-random intervals: lengths from sub-width to
+    // many-bin, touching endpoints (half-open: [a,b) ∩ [b,c) = ∅),
+    // nested, disjoint, and identical intervals on both sides
+    val left = (0L until 60L)
+      .map(i => (i, (i * 37) % 199, (i * 37) % 199 + 1 + (i * 13) % 50))
+      .toDF("lid", "l_lo", "l_hi")
+    val right = (0L until 60L)
+      .map(j => (j, (j * 53) % 211, (j * 53) % 211 + 1 + (j * 7) % 80))
+      .toDF("rid", "r_lo", "r_hi")
+    val naive = left.crossJoin(right)
+      .filter(col("l_lo") < col("r_hi") && col("r_lo") < col("l_hi"))
+      .select("lid", "rid")
+    for (w <- Seq(1L, 8L, 64L, 1024L)) {
+      val out = RangeJoin.overlapBinned(
+        left, right, "l_lo", "l_hi", "r_lo", "r_hi", w).select("lid", "rid")
+      assert(out.exceptAll(naive).isEmpty && naive.exceptAll(out).isEmpty,
+        s"width $w diverged from the naive overlap product")
+    }
+  }
+
+  test("overlapBinned: touching and degenerate intervals match nothing") {
+    val left = Seq((1L, 0L, 10L), (2L, 5L, 5L)).toDF("lid", "l_lo", "l_hi")
+    val right = Seq((1L, 10L, 20L), (2L, 4L, 6L)).toDF("rid", "r_lo", "r_hi")
+    val out = RangeJoin.overlapBinned(
+      left, right, "l_lo", "l_hi", "r_lo", "r_hi", 4L).select("lid", "rid")
+    // [0,10) vs [10,20) touch but do not overlap; [5,5) is degenerate
+    assert(out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((1L, 2L)))
+  }
+
+  test("overlapBinned plan joins on the bin id, not a nested loop") {
+    val left = (0L until 20L).map(i => (i, i, i + 5)).toDF("lid", "l_lo", "l_hi")
+    val right = (0L until 20L).map(j => (j, j, j + 3)).toDF("rid", "r_lo", "r_hi")
+    val plan = RangeJoin.overlapBinned(
+        left, right, "l_lo", "l_hi", "r_lo", "r_hi", 4L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
 }
