@@ -172,11 +172,38 @@ object SimilarityQueries extends QueryPack {
           |  <= scale * 0.5 + 1e-12 END""".stripMargin).as("within_bound"))
       .orderBy("vec_id")
 
+  /** Deterministic fixed-point k-means over the embedding corpus
+    * ([[graft.operators.KMeans]]): k=8 seeds by md5 hash order, 2 Lloyd
+    * rounds in exact int64 arithmetic, every centroid component and
+    * assignment bit-identical across engines and partitionings. Output is
+    * the per-cluster summary (members, Σ|centroid|, inertia) — all BIGINT.
+    * The oracle unrolls the same rounds as chained CTEs over the exploded
+    * (vid, pos, xq) form; the Spark side never explodes — assignment is a
+    * bounded broadcast of ≤k centroid rows with a codegen'd
+    * zip_with/aggregate distance, and the centroid update is one exchange
+    * of 64 column-wise sums. */
+  private def q118(s: SparkSession, dir: String): DataFrame = {
+    val emb = graft.Tables.load(s, dir, "embeddings")
+    val (cents, asg) = graft.operators.KMeans.fit(
+      emb, "vec_id", "embedding", dim = Dim, k = 8, iters = 2)
+    val members = asg.groupBy("cid")
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("dist").cast("decimal(38,0)")).cast("long").as("inertia_q"))
+    val centStats = cents.select(col("cid"),
+      expr("aggregate(transform(cq, x -> abs(x)), 0L, (a, x) -> a + x)")
+        .as("sum_abs_centroid_q"))
+    members.join(centStats, "cid")
+      .select(col("cid"), col("n_members"), col("sum_abs_centroid_q"),
+        col("inertia_q"))
+      .orderBy("cid")
+  }
+
   val defs: Map[String, Q] = Map(
     "q50_knn_cosine" -> (q50 _),
     "q51_knn_lsh" -> (q51 _),
     "q56_knn_ivf" -> (q56 _),
-    "q91_sq8_quantize" -> (q91 _))
+    "q91_sq8_quantize" -> (q91 _),
+    "q118_kmeans" -> (q118 _))
 
   private def rnd(e: String): String =
     s"floor(($e) * 10000.0 + 0.5) / 10000.0"
@@ -276,5 +303,18 @@ object SimilarityQueries extends QueryPack {
         |    list_max(list_transform(v, x ->
         |      abs(x - greatest(-127.0, least(127.0, floor(x / scale + 0.5)))
         |        * scale))) <= scale * 0.5 + 1e-12 END AS within_bound
-        |FROM m ORDER BY vec_id""".stripMargin)
+        |FROM m ORDER BY vec_id""".stripMargin,
+    "q118_kmeans" ->
+      s"""WITH ${graft.operators.KMeans.oracleSqlCtes(
+             "embeddings", "vec_id", "embedding", Dim, 8, 2)},
+         |members AS (
+         |  SELECT cid, count(*) AS n_members, CAST(sum(d) AS BIGINT)
+         |    AS inertia_q
+         |  FROM afinal GROUP BY cid),
+         |cstats AS (
+         |  SELECT cid, CAST(sum(abs(cq)) AS BIGINT) AS sum_abs_centroid_q
+         |  FROM c2 GROUP BY cid)
+         |SELECT cid, n_members, sum_abs_centroid_q, inertia_q
+         |FROM members JOIN cstats USING (cid)
+         |ORDER BY cid""".stripMargin)
 }
