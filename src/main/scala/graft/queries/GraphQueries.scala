@@ -30,7 +30,38 @@ object GraphQueries extends QueryPack {
       .orderBy("node")
   }
 
-  val defs: Map[String, Q] = Map("q97_pagerank" -> (q97 _))
+  /** Degree assortativity of the part co-order graph (does a hub co-occur
+    * with hubs?) — Pearson correlation over the (deg(u), deg(v)) pairs of
+    * every DIRECTED edge (both orientations, the standard undirected
+    * convention, which also makes sx = sy and sxx = syy so one pass of
+    * three exact power sums suffices). The q82 de-floating discipline:
+    * degrees are integers, the sums accumulate exactly through
+    * decimal(38,0), and both engines run one identical double formula on
+    * identical integers — output is e6-scaled BIGINT. Graph build is
+    * shared with q108/q113 ([[TemporalQueries.q108Stages]]). */
+  private def q119(s: SparkSession, dir: String): DataFrame = {
+    val (edges, deg, _) = TemporalQueries.q108Stages(s, dir, checkpoint = true)
+    val sym = edges.select(col("u"), col("v"))
+      .unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+    sym
+      .join(deg.select(col("n").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("deg").as("dv")), "v")
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("du").cast("decimal(38,0)")).cast("double").as("sx"),
+        sum((col("du") * col("dv")).cast("decimal(38,0)")).cast("double")
+          .as("sxy"),
+        sum((col("du") * col("du")).cast("decimal(38,0)")).cast("double")
+          .as("sxx"))
+      .select(
+        expr("CAST(n / 2 AS BIGINT)").as("n_edges"),
+        expr("""CAST(floor(((n * sxy - sx * sx) / (n * sxx - sx * sx))
+          * 1000000.0 + 0.5) AS BIGINT)""").as("assortativity_e6"))
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q97_pagerank" -> (q97 _),
+    "q119_assortativity" -> (q119 _))
 
   val oracle: Map[String, String] = Map(
     "q97_pagerank" -> {
@@ -68,5 +99,33 @@ object GraphQueries extends QueryPack {
          |${round("r1", 2)},
          |${round("r2", 3)}
          |SELECT node, rank FROM r3 ORDER BY node""".stripMargin
-    })
+    },
+    "q119_assortativity" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS pt FROM lineitem
+        |  WHERE year(l_shipdate) = 1995),
+        |capped AS (
+        |  SELECT o FROM op GROUP BY o HAVING count(*) <= 40),
+        |pairs AS (SELECT op.o, op.pt FROM op JOIN capped USING (o)),
+        |edges AS (
+        |  SELECT DISTINCT a.pt AS u, b.pt AS v
+        |  FROM pairs a JOIN pairs b ON a.o = b.o AND a.pt < b.pt),
+        |deg AS (
+        |  SELECT nd, count(*) AS deg FROM (
+        |    SELECT u AS nd FROM edges UNION ALL SELECT v FROM edges)
+        |  GROUP BY nd),
+        |sym AS (SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v
+        |        FROM edges),
+        |sums AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(du.deg AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(du.deg * dv.deg AS DECIMAL(38,0))) AS DOUBLE)
+        |      AS sxy,
+        |    CAST(sum(CAST(du.deg * du.deg AS DECIMAL(38,0))) AS DOUBLE)
+        |      AS sxx
+        |  FROM sym JOIN deg du ON du.nd = sym.u JOIN deg dv ON dv.nd = sym.v)
+        |SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+        |  CAST(floor(((n * sxy - sx * sx) / (n * sxx - sx * sx))
+        |    * 1000000.0 + 0.5) AS BIGINT) AS assortativity_e6
+        |FROM sums""".stripMargin)
 }

@@ -347,6 +347,32 @@ object TemporalQueries extends QueryPack {
     dist.orderBy("pt")
   }
 
+  /** Daily returns as exact integer ratios — the reference domain's
+    * `pct_change()`: per (event_type, day), close = the day's last value
+    * (row_number flag, the q111 convention), and the day-over-day return is
+    * emitted as numerator (close − prev_close) over denominator
+    * (prev_close), both integer cents — the q112-TWAP move of leaving the
+    * one non-exact division to the consumer. First day per type keeps NULL
+    * ratio parts. Two window passes, one shuffle on event_type. */
+  private def q120(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+      .withColumn("day", to_date(col("ts")))
+      .withColumn("cents", Rounding.cents(col("value")))
+    val wDay = Window.partitionBy("event_type", "day")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val close = e.withColumn("rn", row_number().over(wDay))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("day"), col("cents").as("close_cents"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    close.withColumn("prev", lag("close_cents", 1).over(w))
+      .select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("close_cents"),
+        (col("close_cents") - col("prev")).as("ret_num_cents"),
+        col("prev").as("ret_den_cents"))
+      .orderBy("event_type", "day")
+  }
+
   val defs: Map[String, Q] = Map(
     "q105_gapfill_ffill" -> (q105 _),
     "q106_unpivot" -> (q106 _),
@@ -356,7 +382,8 @@ object TemporalQueries extends QueryPack {
     "q110_cum_distinct" -> (q110 _),
     "q111_ohlc_bars" -> (q111 _),
     "q112_twap" -> (q112 _),
-    "q113_bfs_reach" -> (q113 _))
+    "q113_bfs_reach" -> (q113 _),
+    "q120_daily_returns" -> (q120 _))
 
   private val centsV = Rounding.centsSql("value")
 
@@ -550,5 +577,20 @@ object TemporalQueries extends QueryPack {
         |FROM probe p LEFT JOIN dim d
         |  ON p.user_id = d.user_id AND d.valid_from <= p.ts
         |  AND (d.valid_to IS NULL OR p.ts < d.valid_to)
-        |ORDER BY p.event_id""".stripMargin)
+        |ORDER BY p.event_id""".stripMargin,
+    "q120_daily_returns" ->
+      s"""WITH closes0 AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, $centsV AS cents,
+        |    row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events),
+        |closes AS (
+        |  SELECT event_type, day, cents AS close_cents
+        |  FROM closes0 WHERE rn = 1)
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, close_cents,
+        |  close_cents - lag(close_cents) OVER (PARTITION BY event_type
+        |    ORDER BY day) AS ret_num_cents,
+        |  lag(close_cents) OVER (PARTITION BY event_type ORDER BY day)
+        |    AS ret_den_cents
+        |FROM closes ORDER BY event_type, day""".stripMargin)
 }
