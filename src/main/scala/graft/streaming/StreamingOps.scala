@@ -78,6 +78,34 @@ object StreamingOps {
     else wm.dropDuplicates(fingerprintCol)
   }
 
+  /** OHLC bar aggregation — the streaming twin of q111 (the reference's
+    * stock-bar domain on an unbounded tick stream): per (event_type,
+    * tumbling bar), open/close are picked by `min_by`/`max_by` on the
+    * (ts, event_id) order — DECLARATIVE aggregates, because the batch
+    * formulation's row_number flags need a finished partition and cannot
+    * run over unbounded input. High/low/count are plain aggs; values are
+    * integer cents (the engine-shared floor-form round); state is one
+    * bar row per open window, expired by the watermark. On a batch input
+    * the identical plan computes the same bars (equality pinned in
+    * StreamingSpec, including against the batch row_number formulation). */
+  def ohlcBars(events: DataFrame, width: String = "1 hour"): DataFrame =
+    events.filter(col("value").isNotNull)
+      .withColumn("cents",
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(
+        min_by(col("cents"), struct(col("ts"), col("event_id")))
+          .as("open_cents"),
+        max("cents").as("high_cents"),
+        min("cents").as("low_cents"),
+        max_by(col("cents"), struct(col("ts"), col("event_id")))
+          .as("close_cents"),
+        count(lit(1)).as("n_ticks"))
+      .select(col("window.start").as("bar_start"), col("event_type"),
+        col("open_cents"), col("high_cents"), col("low_cents"),
+        col("close_cents"), col("n_ticks"))
+
   /** Custom keyed state via mapGroupsWithState: running per-user count and
     * value sum across micro-batches. */
   def runningUserStats(events: Dataset[Event]): Dataset[UserStats] = {

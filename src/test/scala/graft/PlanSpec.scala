@@ -105,6 +105,19 @@ class PlanSpec extends SparkSuite {
     assert(exchanges <= 1, s"unpivot shuffled: $exchanges exchanges\n$p")
   }
 
+  test("q117: interval-overlap join runs on the bin key, not a nested loop") {
+    val p = plan("q117_interval_overlap")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "the keyless overlap join degenerated to a product")
+  }
+
+  test("q119: assortativity is keyed joins over the edge list") {
+    val p = plan("q119_assortativity")
+    assert(!p.contains("CartesianProduct"),
+      "degree join degenerated to a product")
+  }
+
   test("q108: triangle closure is keyed joins, never a cross product") {
     // q108 itself returns an eagerly-computed count row, so inspect the
     // lazy stage plans it is built from

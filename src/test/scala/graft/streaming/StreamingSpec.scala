@@ -106,6 +106,42 @@ class StreamingSpec extends SparkSuite {
     assert(maxDiff < 1e-6, s"hourly sums diverged by $maxDiff")
   }
 
+  test("streaming OHLC bars match batch, and batch matches the " +
+      "row_number formulation") {
+    val q = StreamingOps.ohlcBars(eventsStream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("ohlc").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("ohlc")
+      .orderBy("bar_start", "event_type").collect()
+    val batch = StreamingOps.ohlcBars(eventsBatch)
+      .orderBy("bar_start", "event_type").collect()
+    assert(streamed.length == batch.length && streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq)
+    // cross-formulation: min_by/max_by (streamable) ≡ row_number flags
+    // (the q111 batch shape) on the same null-filtered input
+    import org.apache.spark.sql.expressions.Window
+    val e = eventsBatch.filter(col("value").isNotNull)
+      .withColumn("cents", floor(col("value") * 100.0 + 0.5).cast("long"))
+      .withColumn("bar_start", date_trunc("hour", col("ts")))
+    val wAsc = Window.partitionBy("event_type", "bar_start")
+      .orderBy(col("ts"), col("event_id"))
+    val wDesc = Window.partitionBy("event_type", "bar_start")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val viaFlags = e
+      .withColumn("rn_a", row_number().over(wAsc))
+      .withColumn("rn_d", row_number().over(wDesc))
+      .groupBy("bar_start", "event_type")
+      .agg(max(when(col("rn_a") === 1, col("cents"))).as("open_cents"),
+        max("cents").as("high_cents"), min("cents").as("low_cents"),
+        max(when(col("rn_d") === 1, col("cents"))).as("close_cents"),
+        count(lit(1)).as("n_ticks"))
+      .select("bar_start", "event_type", "open_cents", "high_cents",
+        "low_cents", "close_cents", "n_ticks")
+      .orderBy("bar_start", "event_type").collect()
+    assert(batch.toSeq == viaFlags.toSeq)
+  }
+
   test("stream-stream interval join matches the batch interval join") {
     val q = StreamingOps.purchaseClickJoin(eventsStream)
       .writeStream.outputMode("append")
