@@ -129,11 +129,39 @@ object CorpusStatsQueries extends QueryPack {
       .orderBy("u")
   }
 
+  /** Context-window chunking with overlap — the preprocessing step that
+    * turns long documents into training-window-sized pieces: chunks of
+    * `Size` chars every `Stride` chars (so consecutive chunks overlap by
+    * Size − Stride), the last chunk clamped at the text end, short docs
+    * kept whole. Pure generator expansion (sequence + substring — one
+    * explode, no shuffle before the presentation sort); chunk text rides
+    * as an md5 fingerprint so the oracle compares content without hashing
+    * megabytes of repeated substrings. Chunk-count arithmetic is the
+    * portable ceil-division on doubles (exact: len < 2^53). */
+  private def q121(s: SparkSession, dir: String): DataFrame = {
+    val (size, stride) = (200, 150)
+    docs(s, dir)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+      .select(col("doc_id"), col("text"), col("len"), explode(expr(
+        s"""sequence(0, CASE WHEN len <= $size THEN 0
+           |  ELSE CAST(ceil(CAST(len - $size AS DOUBLE) / $stride) AS INT)
+           |  END)""".stripMargin)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        (col("chunk_id") * stride + 1).cast("long").as("start_pos"),
+        length(expr(s"substring(text, chunk_id * $stride + 1, $size)"))
+          .cast("long").as("chunk_len"),
+        md5(expr(s"substring(text, chunk_id * $stride + 1, $size)"))
+          .as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   val defs: Map[String, Q] = Map(
     "q114_inverted_index" -> (q114 _),
     "q115_char_entropy" -> (q115 _),
     "q116_winsorize" -> (q116 _),
-    "q117_interval_overlap" -> (q117 _))
+    "q117_interval_overlap" -> (q117 _),
+    "q121_chunk_overlap" -> (q121 _))
 
   val oracle: Map[String, String] = Map(
     "q114_inverted_index" ->
@@ -199,5 +227,22 @@ object CorpusStatsQueries extends QueryPack {
          |  GROUP BY user_id)
          |SELECT u, count(*) AS n_overlap, min(v) AS min_v, max(v) AS max_v
          |FROM clicks JOIN buys ON l_lo < r_hi AND r_lo < l_hi
-         |GROUP BY u ORDER BY u""".stripMargin)
+         |GROUP BY u ORDER BY u""".stripMargin,
+    "q121_chunk_overlap" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, length(text) AS len FROM documents
+        |  WHERE length(text) > 0),
+        |c AS (
+        |  SELECT doc_id, text, len,
+        |    unnest(generate_series(0, CASE WHEN len <= 200 THEN 0
+        |      ELSE CAST(ceil(CAST(len - 200 AS DOUBLE) / 150) AS INT)
+        |      END)) AS chunk_id
+        |  FROM d)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  CAST(chunk_id * 150 + 1 AS BIGINT) AS start_pos,
+        |  CAST(length(substr(text, CAST(chunk_id * 150 + 1 AS INT), 200))
+        |    AS BIGINT) AS chunk_len,
+        |  md5(substr(text, CAST(chunk_id * 150 + 1 AS INT), 200))
+        |    AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin)
 }
