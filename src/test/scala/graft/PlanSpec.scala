@@ -105,6 +105,12 @@ class PlanSpec extends SparkSuite {
     assert(exchanges <= 1, s"unpivot shuffled: $exchanges exchanges\n$p")
   }
 
+  test("q121: chunking is a generator expansion, zero exchanges before sort") {
+    val p = plan("q121_chunk_overlap")
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1, s"chunking shuffled: $exchanges exchanges\n$p")
+  }
+
   test("q117: interval-overlap join runs on the bin key, not a nested loop") {
     val p = plan("q117_interval_overlap")
     assert(!p.contains("BroadcastNestedLoopJoin") &&

@@ -149,4 +149,66 @@ class PropertySpec extends SparkSuite {
         s"hotShare=$hotShare% tailKinds=$tailKinds lost the hot item")
     }
   }
+
+  test("FuzzyMatch equals brute-force levenshtein<=1 on random strings " +
+      "(property)") {
+    import graft.operators.FuzzyMatch
+    // tiny alphabet maximizes collisions/near-misses per corpus
+    val word = Gen.choose(0, 5).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    for (i <- 0 until 4) {
+      val names = sample(Gen.listOfN(40, word), 1)(0)
+        .distinct.filter(_ => true)
+      val viaOp = FuzzyMatch
+        .editDistance1Pairs(names.toDF("name"), "name")
+        .as[(String, String)].collect().toSet
+      def lev(a: String, b: String): Int = {
+        val d = Array.tabulate(a.length + 1)(identity)
+        for (j <- 1 to b.length) {
+          var prev = d(0); d(0) = j
+          for (k <- 1 to a.length) {
+            val t = d(k)
+            d(k) = math.min(math.min(d(k) + 1, d(k - 1) + 1),
+              prev + (if (a(k - 1) == b(j - 1)) 0 else 1))
+            prev = t
+          }
+        }
+        d(a.length)
+      }
+      val brute = (for {
+        a <- names; b <- names if a < b && lev(a, b) <= 1
+      } yield (a, b)).toSet
+      assert(viaOp === brute, s"round $i diverged")
+    }
+  }
+
+  test("overlapBinned equals the naive overlap product on random " +
+      "intervals (property)") {
+    import graft.operators.RangeJoin
+    val iv = for {
+      lo <- Gen.choose(-50L, 150L)
+      len <- Gen.choose(0L, 40L) // includes degenerate zero-length
+    } yield (lo, lo + len)
+    for (i <- 0 until 3) {
+      val ls = sample(Gen.listOfN(30, iv), 1)(0).zipWithIndex
+        .map { case ((lo, hi), id) => (id.toLong, lo, hi) }
+      val rs = sample(Gen.listOfN(30, iv).map(_.map(p =>
+        (p._1 + 7, p._2 + 7))), 1)(0).zipWithIndex
+        .map { case ((lo, hi), id) => (id.toLong, lo, hi) }
+      val left = ls.toDF("lid", "l_lo", "l_hi")
+      val right = rs.toDF("rid", "r_lo", "r_hi")
+      // the naive side must also exclude degenerate [x, x) intervals: the
+      // bare predicate l_lo < r_hi && r_lo < l_hi wrongly matches an EMPTY
+      // interval against any interval strictly containing its point — the
+      // operator's hi > lo filter is the documented semantics
+      val naive = left.filter(col("l_hi") > col("l_lo"))
+        .crossJoin(right.filter(col("r_hi") > col("r_lo")))
+        .filter(col("l_lo") < col("r_hi") && col("r_lo") < col("l_hi"))
+        .select("lid", "rid")
+      val out = RangeJoin.overlapBinned(
+        left, right, "l_lo", "l_hi", "r_lo", "r_hi", 16L).select("lid", "rid")
+      assert(out.exceptAll(naive).isEmpty && naive.exceptAll(out).isEmpty,
+        s"round $i diverged (negative-domain intervals included)")
+    }
+  }
 }
