@@ -31,6 +31,13 @@ object Tables {
     // truncation — same value DuckDB produces for its µs timestamps).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     graft.expressions.CosineSimilarity.register(spark)
+    // runtime twin of GraftExtensions' injectOptimizerRule, for sessions
+    // not built via GraftSession (same pattern as AsofJoin.ensureStrategy)
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.ApproxDistinctRewrite()))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          graft.plans.ApproxDistinctRewrite()
   }
 
   /** Load one table; column pruning + predicate pushdown reach the parquet

@@ -114,5 +114,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
     e.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+    e.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite())
   }
 }
