@@ -373,6 +373,92 @@ object TemporalQueries extends QueryPack {
       .orderBy("event_type", "day")
   }
 
+  /** Truncated EWMA with dyadic weights — the exponential smoothing a
+    * float implementation cannot make reproducible (α-powers accumulate
+    * rounding that depends on history length), made EXACT: the last 8
+    * observations weighted 128, 64, …, 1 (halving = α = 0.5), emitted as
+    * an integer numerator/denominator pair. One SQL text runs on BOTH
+    * engines (`lag` + a named WINDOW clause are engine-shared syntax), so
+    * the arithmetic cannot drift apart; missing/NULL lags contribute
+    * nothing to either sum. One window pass, no joins. */
+  private val q122Sql: String = {
+    def term(i: Int): String = {
+      val w = 128 >> i
+      s"""CASE WHEN lag(cents, $i) OVER w IS NOT NULL
+         |THEN $w * lag(cents, $i) OVER w ELSE 0 END""".stripMargin
+        .replace("\n", " ")
+    }
+    def den(i: Int): String = {
+      val w = 128 >> i
+      s"CASE WHEN lag(cents, $i) OVER w IS NOT NULL THEN $w ELSE 0 END"
+    }
+    s"""SELECT event_id,
+       |  CAST(${(0 to 7).map(term).mkString(" + ")} AS BIGINT) AS ewma_num,
+       |  CAST(${(0 to 7).map(den).mkString(" + ")} AS BIGINT) AS ewma_den
+       |FROM (SELECT event_id, event_type, ts,
+       |        CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+       |      FROM events)
+       |WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+       |ORDER BY event_id""".stripMargin
+  }
+
+  private def q122(s: SparkSession, dir: String): DataFrame =
+    graft.GraftSql.run(s, dir, q122Sql)
+
+  /** Seasonal-baseline anomaly counts: per (event_type, hour-of-day), how
+    * many events exceed 2× that slot's own mean — the time-of-day
+    * seasonality screen. The mean never materializes as a float: the flag
+    * compares integer cross-products (cents·n > 2·sum), so both engines
+    * decide every row identically. Baseline table is O(types × 24) and
+    * broadcast back (the q81/q116 shape). */
+  private def q123(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).filter(col("value").isNotNull)
+      .select(col("event_type"), hour(col("ts")).cast("long").as("hod"),
+        Rounding.cents(col("value")).as("vc"))
+    val base = e.groupBy("event_type", "hod")
+      .agg(count(lit(1)).as("bn"), Rounding.sumCents(col("vc")).as("bs"))
+    e.join(broadcast(base), Seq("event_type", "hod"))
+      .groupBy("event_type", "hod")
+      .agg(min("bn").as("n"),
+        sum((col("vc") * col("bn") > col("bs") * 2).cast("long"))
+          .as("n_above"))
+      .orderBy("event_type", "hod")
+  }
+
+  /** Forward as-of match: each click resolves to the user's NEXT priced
+    * purchase (ts ≥ click ts; same-instant purchases count; ties break on
+    * event_id) — the mirror image of q25/q61's backward as-of, built as
+    * one interleaved window pass: purchases sort before clicks at equal
+    * ts (kind flag), and a single `first(…, ignoreNulls) OVER (CURRENT ROW
+    * … UNBOUNDED FOLLOWING)` per column carries the next purchase back.
+    * The (eid, cents) pair rides ONE struct through the window so both
+    * fields always come from the same purchase row. No join at all on the
+    * engine side; the oracle runs the naive future-join + row_number. */
+  private def q124(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        lit(1).as("kind"), lit(null).cast("long").as("p_eid"),
+        lit(null).cast("long").as("p_cents"))
+    val buys = e.filter(col("event_type") === "purchase" &&
+        col("value").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        lit(0).as("kind"), col("event_id").as("p_eid"),
+        Rounding.cents(col("value")).as("p_cents"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("kind"), col("event_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    clicks.unionByName(buys)
+      .withColumn("np",
+        first(when(col("kind") === 0,
+          struct(col("p_eid"), col("p_cents"))), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("event_id"), col("user_id"),
+        col("np.p_eid").as("next_purchase_eid"),
+        col("np.p_cents").as("next_purchase_cents"))
+      .orderBy("event_id")
+  }
+
   val defs: Map[String, Q] = Map(
     "q105_gapfill_ffill" -> (q105 _),
     "q106_unpivot" -> (q106 _),
@@ -383,7 +469,10 @@ object TemporalQueries extends QueryPack {
     "q111_ohlc_bars" -> (q111 _),
     "q112_twap" -> (q112 _),
     "q113_bfs_reach" -> (q113 _),
-    "q120_daily_returns" -> (q120 _))
+    "q120_daily_returns" -> (q120 _),
+    "q122_ewma_dyadic" -> (q122 _),
+    "q123_seasonal_baseline" -> (q123 _),
+    "q124_forward_asof" -> (q124 _))
 
   private val centsV = Rounding.centsSql("value")
 
@@ -592,5 +681,39 @@ object TemporalQueries extends QueryPack {
         |    ORDER BY day) AS ret_num_cents,
         |  lag(close_cents) OVER (PARTITION BY event_type ORDER BY day)
         |    AS ret_den_cents
-        |FROM closes ORDER BY event_type, day""".stripMargin)
+        |FROM closes ORDER BY event_type, day""".stripMargin,
+    "q122_ewma_dyadic" -> q122Sql,
+    "q123_seasonal_baseline" ->
+      s"""WITH e AS (
+         |  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+         |    $centsV AS vc
+         |  FROM events WHERE value IS NOT NULL),
+         |b AS (
+         |  SELECT event_type, hod, count(*) AS bn,
+         |    ${Rounding.sumCentsSql("vc")} AS bs
+         |  FROM e GROUP BY event_type, hod)
+         |SELECT e.event_type, e.hod, min(bn) AS n,
+         |  CAST(sum(CAST(e.vc * bn > bs * 2 AS BIGINT)) AS BIGINT)
+         |    AS n_above
+         |FROM e JOIN b USING (event_type, hod)
+         |GROUP BY e.event_type, e.hod
+         |ORDER BY e.event_type, e.hod""".stripMargin,
+    "q124_forward_asof" ->
+      s"""WITH clicks AS (
+         |  SELECT event_id, user_id, ts FROM events
+         |  WHERE event_type = 'click'),
+         |buys AS (
+         |  SELECT event_id, user_id, ts, $centsV AS cents FROM events
+         |  WHERE event_type = 'purchase' AND value IS NOT NULL),
+         |nxt AS (
+         |  SELECT c.event_id, p.event_id AS np_eid, p.cents,
+         |    row_number() OVER (PARTITION BY c.event_id
+         |      ORDER BY p.ts, p.event_id) AS rn
+         |  FROM clicks c JOIN buys p
+         |    ON c.user_id = p.user_id AND p.ts >= c.ts)
+         |SELECT c.event_id, c.user_id,
+         |  n.np_eid AS next_purchase_eid, n.cents AS next_purchase_cents
+         |FROM clicks c LEFT JOIN nxt n
+         |  ON c.event_id = n.event_id AND n.rn = 1
+         |ORDER BY c.event_id""".stripMargin)
 }
