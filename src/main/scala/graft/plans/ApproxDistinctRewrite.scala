@@ -36,8 +36,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * RewriteDistinctAggregates), so the `isDistinct` flag is still visible
   * here.
   */
-case class ApproxDistinctRewrite(dummy: Boolean = true)
-    extends Rule[LogicalPlan] {
+case class ApproxDistinctRewrite() extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val enabled = conf

@@ -55,8 +55,12 @@ object GraphQueries extends QueryPack {
           .as("sxx"))
       .select(
         expr("CAST(n / 2 AS BIGINT)").as("n_edges"),
-        expr("""CAST(floor(((n * sxy - sx * sx) / (n * sxx - sx * sx))
-          * 1000000.0 + 0.5) AS BIGINT)""").as("assortativity_e6"))
+        // degree-regular graph ⇒ zero variance ⇒ assortativity undefined:
+        // emit NULL explicitly — Spark's non-ANSI cast would turn the NaN
+        // into silent garbage while DuckDB's cast hard-errors
+        expr("""CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+          ELSE CAST(floor(((n * sxy - sx * sx) / (n * sxx - sx * sx))
+          * 1000000.0 + 0.5) AS BIGINT) END""").as("assortativity_e6"))
   }
 
   val defs: Map[String, Q] = Map(
@@ -125,7 +129,8 @@ object GraphQueries extends QueryPack {
         |      AS sxx
         |  FROM sym JOIN deg du ON du.nd = sym.u JOIN deg dv ON dv.nd = sym.v)
         |SELECT CAST(n / 2 AS BIGINT) AS n_edges,
-        |  CAST(floor(((n * sxy - sx * sx) / (n * sxx - sx * sx))
-        |    * 1000000.0 + 0.5) AS BIGINT) AS assortativity_e6
+        |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+        |    ELSE CAST(floor(((n * sxy - sx * sx) / (n * sxx - sx * sx))
+        |      * 1000000.0 + 0.5) AS BIGINT) END AS assortativity_e6
         |FROM sums""".stripMargin)
 }

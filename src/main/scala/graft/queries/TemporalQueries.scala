@@ -396,7 +396,7 @@ object TemporalQueries extends QueryPack {
        |  CAST(${(0 to 7).map(term).mkString(" + ")} AS BIGINT) AS ewma_num,
        |  CAST(${(0 to 7).map(den).mkString(" + ")} AS BIGINT) AS ewma_den
        |FROM (SELECT event_id, event_type, ts,
-       |        CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+       |        ${Rounding.centsSql("value")} AS cents
        |      FROM events)
        |WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
        |ORDER BY event_id""".stripMargin
@@ -428,36 +428,41 @@ object TemporalQueries extends QueryPack {
   /** Forward as-of match: each click resolves to the user's NEXT priced
     * purchase (ts ≥ click ts; same-instant purchases count; ties break on
     * event_id) — the mirror image of q25/q61's backward as-of, built as
-    * one interleaved window pass: purchases sort before clicks at equal
-    * ts (kind flag), and a single `first(…, ignoreNulls) OVER (CURRENT ROW
-    * … UNBOUNDED FOLLOWING)` per column carries the next purchase back.
-    * The (eid, cents) pair rides ONE struct through the window so both
-    * fields always come from the same purchase row. No join at all on the
-    * engine side; the oracle runs the naive future-join + row_number. */
-  private def q124(s: SparkSession, dir: String): DataFrame = {
-    val e = ev(s, dir)
+    * one interleaved window pass: clicks sort BEFORE purchases at equal
+    * ts (kind 0 < 1 — the click's forward frame starts at itself, so a
+    * same-instant purchase must sort after it to be visible; the inverted
+    * flag order silently dropped same-ts matches, caught by review
+    * simulation, pinned in ForwardAsofSpec), and a single
+    * `first(…, ignoreNulls) OVER (CURRENT ROW … UNBOUNDED FOLLOWING)`
+    * carries the next purchase back. The (eid, cents) pair rides ONE
+    * struct through the window so both fields always come from the same
+    * purchase row. No join at all on the engine side; the oracle runs the
+    * naive future-join + row_number. */
+  private[graft] def forwardAsof(e: DataFrame): DataFrame = {
     val clicks = e.filter(col("event_type") === "click")
       .select(col("event_id"), col("user_id"), col("ts"),
-        lit(1).as("kind"), lit(null).cast("long").as("p_eid"),
+        lit(0).as("kind"), lit(null).cast("long").as("p_eid"),
         lit(null).cast("long").as("p_cents"))
     val buys = e.filter(col("event_type") === "purchase" &&
         col("value").isNotNull)
       .select(col("event_id"), col("user_id"), col("ts"),
-        lit(0).as("kind"), col("event_id").as("p_eid"),
+        lit(1).as("kind"), col("event_id").as("p_eid"),
         Rounding.cents(col("value")).as("p_cents"))
     val w = Window.partitionBy("user_id")
       .orderBy(col("ts"), col("kind"), col("event_id"))
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     clicks.unionByName(buys)
       .withColumn("np",
-        first(when(col("kind") === 0,
+        first(when(col("kind") === 1,
           struct(col("p_eid"), col("p_cents"))), ignoreNulls = true).over(w))
-      .filter(col("kind") === 1)
+      .filter(col("kind") === 0)
       .select(col("event_id"), col("user_id"),
         col("np.p_eid").as("next_purchase_eid"),
         col("np.p_cents").as("next_purchase_cents"))
-      .orderBy("event_id")
   }
+
+  private def q124(s: SparkSession, dir: String): DataFrame =
+    forwardAsof(ev(s, dir)).orderBy("event_id")
 
   val defs: Map[String, Q] = Map(
     "q105_gapfill_ffill" -> (q105 _),

@@ -90,8 +90,7 @@ object StreamingOps {
     * StreamingSpec, including against the batch row_number formulation). */
   def ohlcBars(events: DataFrame, width: String = "1 hour"): DataFrame =
     events.filter(col("value").isNotNull)
-      .withColumn("cents",
-        floor(col("value") * lit(100.0) + lit(0.5)).cast("long"))
+      .withColumn("cents", graft.functions.Rounding.cents(col("value")))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), width), col("event_type"))
       .agg(

@@ -157,8 +157,7 @@ class PropertySpec extends SparkSuite {
     val word = Gen.choose(0, 5).flatMap(n =>
       Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
     for (i <- 0 until 4) {
-      val names = sample(Gen.listOfN(40, word), 1)(0)
-        .distinct.filter(_ => true)
+      val names = sample(Gen.listOfN(40, word), 1)(0).distinct
       val viaOp = FuzzyMatch
         .editDistance1Pairs(names.toDF("name"), "name")
         .as[(String, String)].collect().toSet
