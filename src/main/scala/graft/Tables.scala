@@ -33,11 +33,13 @@ object Tables {
     graft.expressions.CosineSimilarity.register(spark)
     // runtime twin of GraftExtensions' injectOptimizerRule, for sessions
     // not built via GraftSession (same pattern as AsofJoin.ensureStrategy)
-    if (!spark.experimental.extraOptimizations
-        .contains(graft.plans.ApproxDistinctRewrite()))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+
-          graft.plans.ApproxDistinctRewrite()
+    val rules = Seq(graft.plans.ApproxDistinctRewrite(),
+      graft.plans.MaterializedAgg.Rewrite())
+    rules.foreach { r =>
+      if (!spark.experimental.extraOptimizations.contains(r))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ r
+    }
   }
 
   /** Load one table; column pruning + predicate pushdown reach the parquet

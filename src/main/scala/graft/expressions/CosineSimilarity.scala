@@ -115,5 +115,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
     e.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
     e.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite())
+    e.injectOptimizerRule(_ => graft.plans.MaterializedAgg.Rewrite())
   }
 }
