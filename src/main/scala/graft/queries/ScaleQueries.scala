@@ -223,8 +223,56 @@ object ScaleQueries extends QueryPack {
       .orderBy("user_id", "island")
   }
 
+  /** Materialized-view acceleration, oracle-proven: derive an integral
+    * base table (events → cents) in a temp dir, build + register the
+    * (event_type, user_id) aggregate view, and run a COARSER group-by
+    * (event_type only) that [[graft.plans.MaterializedAgg.Rewrite]]
+    * answers from the view by re-aggregating partials. The optimized plan
+    * is forced WHILE the registration is live (then dropped, so no global
+    * state leaks into other queries), and the scan-substitution is
+    * asserted right here — a silently-not-rewritten plan would still
+    * match the oracle, which checks only that the rewrite changed
+    * NOTHING about the answer. The oracle aggregates the raw events
+    * directly: view partials re-aggregated ≡ one-pass aggregation,
+    * exactly (integer sums). */
+  private def q125(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mv_q125")
+    val base = s"$tmp/events_cents.parquet"
+    Tables.load(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("user_id"),
+        cents(col("value")).as("cents_v"))
+      .write.mode("overwrite").parquet(base)
+    graft.plans.MaterializedAgg.create(s, base,
+      keys = Seq("event_type", "user_id"), sumCols = Seq("cents_v"),
+      mvPath = s"$tmp/mv.parquet")
+    val out = s.read.parquet(base)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cents_v").as("sum_cents"))
+      .orderBy("event_type")
+    try {
+      // force the optimized plan while the view is registered; QueryExecution
+      // caches it, so the later action reuses the rewritten plan. The
+      // logical relation's toString omits file paths, so assert on the
+      // relation's actual root paths.
+      val scansMv = out.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources
+                .HadoopFsRelation =>
+              fs.location.rootPaths.exists(_.toString.contains("mv.parquet"))
+            case _ => false
+          }
+      }.exists(identity)
+      require(scansMv, "materialized-view rewrite did not fire: " +
+        out.queryExecution.optimizedPlan.toString)
+    } finally graft.plans.MaterializedAgg.drop(base)
+    out
+  }
+
   val defs: Map[String, Q] = Map(
     "q70_bloom_join" -> (q70 _),
+    "q125_mv_rewrite" -> (q125 _),
     "q71_topk_per_group" -> (q71 _),
     "q72_approx_distinct" -> (q72 _),
     "q73_grouping_sets" -> (q73 _),
@@ -235,6 +283,11 @@ object ScaleQueries extends QueryPack {
     "q78_interval_merge" -> (q78 _))
 
   val oracle: Map[String, String] = Map(
+    "q125_mv_rewrite" ->
+      s"""SELECT event_type, count(*) AS n,
+         |  ${sumCentsSql(centsSql("value"))} AS sum_cents
+         |FROM events WHERE value IS NOT NULL
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q70_bloom_join" ->
       s"""SELECT CAST(c_nationkey AS BIGINT) AS nation, count(*) AS n,
          |  ${roundfSql(sumExactSql(centsSql("value")) + " / 100.0", 2)} AS sum_value
