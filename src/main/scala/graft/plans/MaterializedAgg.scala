@@ -57,8 +57,17 @@ object MaterializedAgg {
 
   private val registry = TrieMap.empty[String, MvDef]
 
-  private def norm(p: String): String =
-    new Path(p).toUri.getPath.stripSuffix("/")
+  /** Canonical registry key: scheme + authority + path. Stripping to the
+    * bare path would collide `s3a://bucketA/data` with `file:/data` (or two
+    * buckets sharing a prefix) and serve one table's view for the other's
+    * query; schemeless registrations and Hadoop's `file:/…` root-path
+    * rendering must still meet, so an absent scheme defaults to `file`. */
+  private def norm(p: String): String = {
+    val uri = new Path(p).toUri
+    val scheme = Option(uri.getScheme).getOrElse("file")
+    val auth = Option(uri.getAuthority).getOrElse("")
+    s"$scheme://$auth${uri.getPath.stripSuffix("/")}"
+  }
 
   /** Build (overwrite) the view parquet from the CURRENT base table state
     * and register it for rewriting: one row per distinct key combination,
@@ -92,14 +101,14 @@ object MaterializedAgg {
   /** The rewrite rule (registered alongside [[ApproxDistinctRewrite]]). */
   case class Rewrite() extends Rule[LogicalPlan] {
 
-    private def baseOf(plan: LogicalPlan): Option[(String, MvDef)] =
+    private def baseOf(plan: LogicalPlan): Option[MvDef] =
       plan match {
         case lr: LogicalRelation => lr.relation match {
-          case fs: HadoopFsRelation =>
-            fs.location.rootPaths.headOption.flatMap { p =>
-              val key = norm(p.toString)
-              lookup(key).map(key -> _)
-            }
+          // single-root relations only: a multi-path scan (read.parquet(a, b))
+          // that merely CONTAINS the registered base must not be answered
+          // from the base's view — the other paths' rows would vanish
+          case fs: HadoopFsRelation if fs.location.rootPaths.size == 1 =>
+            lookup(norm(fs.location.rootPaths.head.toString))
           case _ => None
         }
         case Project(projList, child)
@@ -115,9 +124,23 @@ object MaterializedAgg {
     }
 
     override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+      // groupExprs must be non-empty: a GLOBAL count(*) over an empty base
+      // must return 0, but the rewritten Sum of partial counts over the
+      // (zero-row) view would return NULL — grouped aggregates cannot hit
+      // this (a group only exists where base rows exist, so the partials
+      // a group re-aggregates are never empty)
       case agg @ Aggregate(groupExprs, aggExprs, child, hint)
-          if baseOf(child).isDefined =>
-        val (_, mv) = baseOf(child).get
+          if groupExprs.nonEmpty =>
+        baseOf(child) match {
+          case None => agg
+          case Some(mv) => rewriteOrKeep(agg, groupExprs, aggExprs, hint, mv)
+        }
+    }
+
+    private def rewriteOrKeep(agg: Aggregate, groupExprs: Seq[Expression],
+        aggExprs: Seq[NamedExpression],
+        hint: Option[org.apache.spark.sql.catalyst.plans.logical.AggregateHint],
+        mv: MvDef): LogicalPlan = {
         val groupNames = groupExprs.map {
           case a: AttributeReference => Some(a.name)
           case _ => None

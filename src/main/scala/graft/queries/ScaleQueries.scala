@@ -234,9 +234,19 @@ object ScaleQueries extends QueryPack {
     * match the oracle, which checks only that the rewrite changed
     * NOTHING about the answer. The oracle aggregates the raw events
     * directly: view partials re-aggregated ≡ one-pass aggregation,
-    * exactly (integer sums). */
+    * exactly (integer sums). One asymmetry inherited from the rewrite's
+    * scope, not a new one: the Spark side sums int64 (wraps past 2^63
+    * with ANSI off — exactly like the UNREWRITTEN base query would),
+    * while the oracle sums through HUGEINT; per-type cents totals reach
+    * ~2e8 at sf0.1, ten orders of magnitude below the boundary. */
   private def q125(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_mv_q125")
+    // fixed per-sfDir work dir (not a fresh createTempDirectory per call):
+    // bench/verify invoke a query several times, and each call rebuilds
+    // base + view idempotently in place instead of accumulating /tmp dirs
+    val tmp = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      s"graft_mv_q125_${Integer.toHexString(dir.hashCode)}")
+    java.nio.file.Files.createDirectories(tmp)
     val base = s"$tmp/events_cents.parquet"
     Tables.load(s, dir, "events")
       .filter(col("value").isNotNull)

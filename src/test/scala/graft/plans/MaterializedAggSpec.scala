@@ -81,6 +81,29 @@ class MaterializedAggSpec extends SparkSuite {
     }
   }
 
+  test("global (ungrouped) aggregates stay on the base table") {
+    // a global count over an empty base must return 0; Sum of partial
+    // counts over a zero-row view would return NULL — so ungrouped
+    // aggregates are out of scope entirely
+    withMv {
+      val q = spark.read.parquet(basePath).agg(count(lit(1)).as("n"))
+      assert(!scansMv(q))
+      assert(q.head().getLong(0) == 20000L)
+    }
+  }
+
+  test("multi-path scans are never answered from one base's view") {
+    val other = basePath.replace("base.parquet", "other.parquet")
+    Seq(("t9", 1L, 5L, 0.0)).toDF("typ", "hod", "amount", "noise")
+      .write.mode("overwrite").parquet(other)
+    withMv {
+      val q = spark.read.parquet(basePath, other)
+        .groupBy("typ").agg(count(lit(1)).as("n"))
+      assert(!scansMv(q), "rows from the second path would silently vanish")
+      assert(q.agg(sum("n")).head().getLong(0) == 20001L)
+    }
+  }
+
   test("float sum columns are refused at create time") {
     val e = intercept[IllegalArgumentException] {
       MaterializedAgg.create(spark, basePath,
