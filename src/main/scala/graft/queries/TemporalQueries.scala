@@ -464,6 +464,39 @@ object TemporalQueries extends QueryPack {
   private def q124(s: SparkSession, dir: String): DataFrame =
     forwardAsof(ev(s, dir)).orderBy("event_id")
 
+  /** Rolling correlation over a 50-row frame — q82's exact-power-sum
+    * de-floating applied to WINDOWED second-order statistics: all six
+    * sums (n, Σx, Σy, Σxy, Σx², Σy²) are integer window sums over the
+    * same frame, and both engines then run one identical double formula
+    * per row. Frames shorter than 10 rows and zero-variance frames emit
+    * NULL (the q119 guard — Spark would cast the NaN silently, DuckDB
+    * would error). x = value cents, y = payload length: the rolling
+    * price-vs-payload co-movement screen. One window pass, no joins. */
+  private def q126(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+      .filter(col("value").isNotNull && col("props").isNotNull)
+      .select(col("event_id"), col("event_type"), col("ts"),
+        Rounding.cents(col("value")).as("x"),
+        length(col("props")).cast("long").as("y"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-49, Window.currentRow)
+    e.select(col("event_id"),
+        count(lit(1)).over(w).cast("double").as("n"),
+        sum("x").over(w).cast("double").as("sx"),
+        sum("y").over(w).cast("double").as("sy"),
+        sum(col("x") * col("y")).over(w).cast("double").as("sxy"),
+        sum(col("x") * col("x")).over(w).cast("double").as("sxx"),
+        sum(col("y") * col("y")).over(w).cast("double").as("syy"))
+      .select(col("event_id"), col("n").cast("long").as("n_frame"),
+        expr("""CASE WHEN n < 10 OR n * sxx - sx * sx = 0
+            OR n * syy - sy * sy = 0 THEN NULL
+          ELSE CAST(floor(((n * sxy - sx * sy) /
+            (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)))
+            * 1000000.0 + 0.5) AS BIGINT) END""").as("roll_corr_e6"))
+      .orderBy("event_id")
+  }
+
   val defs: Map[String, Q] = Map(
     "q105_gapfill_ffill" -> (q105 _),
     "q106_unpivot" -> (q106 _),
@@ -477,7 +510,8 @@ object TemporalQueries extends QueryPack {
     "q120_daily_returns" -> (q120 _),
     "q122_ewma_dyadic" -> (q122 _),
     "q123_seasonal_baseline" -> (q123 _),
-    "q124_forward_asof" -> (q124 _))
+    "q124_forward_asof" -> (q124 _),
+    "q126_rolling_corr" -> (q126 _))
 
   private val centsV = Rounding.centsSql("value")
 
@@ -720,5 +754,28 @@ object TemporalQueries extends QueryPack {
          |  n.np_eid AS next_purchase_eid, n.cents AS next_purchase_cents
          |FROM clicks c LEFT JOIN nxt n
          |  ON c.event_id = n.event_id AND n.rn = 1
-         |ORDER BY c.event_id""".stripMargin)
+         |ORDER BY c.event_id""".stripMargin,
+    "q126_rolling_corr" ->
+      s"""WITH e AS (
+         |  SELECT event_id, event_type, ts, $centsV AS x,
+         |    CAST(length(props) AS BIGINT) AS y
+         |  FROM events WHERE value IS NOT NULL AND props IS NOT NULL),
+         |s AS (
+         |  SELECT event_id,
+         |    CAST(count(*) OVER w AS DOUBLE) AS n,
+         |    CAST(sum(x) OVER w AS DOUBLE) AS sx,
+         |    CAST(sum(y) OVER w AS DOUBLE) AS sy,
+         |    CAST(sum(x * y) OVER w AS DOUBLE) AS sxy,
+         |    CAST(sum(x * x) OVER w AS DOUBLE) AS sxx,
+         |    CAST(sum(y * y) OVER w AS DOUBLE) AS syy
+         |  FROM e
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+         |    ROWS BETWEEN 49 PRECEDING AND CURRENT ROW))
+         |SELECT event_id, CAST(n AS BIGINT) AS n_frame,
+         |  CASE WHEN n < 10 OR n * sxx - sx * sx = 0
+         |      OR n * syy - sy * sy = 0 THEN NULL
+         |    ELSE CAST(floor(((n * sxy - sx * sy) /
+         |      (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)))
+         |      * 1000000.0 + 0.5) AS BIGINT) END AS roll_corr_e6
+         |FROM s ORDER BY event_id""".stripMargin)
 }
