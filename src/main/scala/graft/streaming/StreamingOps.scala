@@ -105,6 +105,52 @@ object StreamingOps {
         col("open_cents"), col("high_cents"), col("low_cents"),
         col("close_cents"), col("n_ticks"))
 
+  case class Burst(user_id: Long, burst_end_us: Long, n_in_window: Int)
+
+  /** Complex-event detection via flatMapGroupsWithState: emit an alert
+    * whenever a user's `n`-th purchase lands within `windowUs` of the
+    * (n−1)-back one — the sliding-count burst pattern (fraud velocity
+    * checks, crawler rate flags). State per user is the last n−1 purchase
+    * timestamps — BOUNDED by construction, not by watermark, so an
+    * unbounded stream holds O(users · n) state.
+    *
+    * Rows are sorted by (ts, event_id) INSIDE the group function: a batch
+    * input delivers the whole group as one unordered iterator, and a
+    * streaming input delivers each micro-batch's slice unordered — sorting
+    * per invocation makes the batch twin deterministic and keeps
+    * micro-batch boundaries from reordering within a batch. (Cross-batch
+    * late data is the caller's watermark contract, as with every stateful
+    * op here.) Alerts per event, not per window: each qualifying purchase
+    * emits exactly one row, so the output is idempotent under re-grouping
+    * — equality with the batch window-frame formulation is pinned in
+    * StreamingSpec. */
+  def burstDetect(events: Dataset[Event], n: Int = 3,
+      windowUs: Long = 10L * 60 * 1000 * 1000): Dataset[Burst] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(_.event_type == "purchase")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[Long], Burst](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[Event], state: GroupState[List[Long]]) =>
+          // full microsecond precision: Timestamp.getTime truncates to ms
+          def usOf(t: java.sql.Timestamp): Long =
+            (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+          var recent = state.getOption.getOrElse(Nil) // ascending, ≤ n-1
+          val alerts = scala.collection.mutable.ListBuffer.empty[Burst]
+          batch.toSeq.sortBy(e => (usOf(e.ts), e.event_id)).foreach { e =>
+            val us = usOf(e.ts)
+            if (recent.length >= n - 1 && us - recent(recent.length - (n - 1))
+                <= windowUs)
+              alerts += Burst(user, us, n)
+            recent = (recent :+ us).takeRight(n - 1)
+          }
+          state.update(recent)
+          alerts.iterator
+      }
+  }
+
   /** Custom keyed state via mapGroupsWithState: running per-user count and
     * value sum across micro-batches. */
   def runningUserStats(events: Dataset[Event]): Dataset[UserStats] = {

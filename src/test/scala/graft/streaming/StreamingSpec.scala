@@ -248,6 +248,31 @@ class StreamingSpec extends SparkSuite {
     assert(last.count() == expected.count())
   }
 
+  test("flatMapGroupsWithState burst detection matches the lag-window twin") {
+    val q = StreamingOps.burstDetect(eventsStream.as[StreamingOps.Event],
+      n = 3, windowUs = 86400000000L) // 1 day: the sf0.001 fixture has 11 such bursts
+      .writeStream.outputMode("append")
+      .format("memory").queryName("bursts").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("bursts")
+      .select("user_id", "burst_end_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the exact stateful logic as a window: the (n-1)-back purchase of the
+    // same user lies within the window of this one
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us"), col("event_id"))
+    val expected = eventsBatch.filter(col("event_type") === "purchase")
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev", lag("us", 2).over(w))
+      .filter(col("prev").isNotNull &&
+        col("us") - col("prev") <= 86400000000L)
+      .select("user_id", "us")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty, "fixture produced no bursts — test is vacuous")
+    assert(streamed === expected)
+  }
+
   test("foreachBatch incremental CDC upsert equals the one-shot batch merge") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.operators.Merge
