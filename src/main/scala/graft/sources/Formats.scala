@@ -70,6 +70,51 @@ object Formats {
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Fixed-width text — the mainframe/legacy-export interchange format
+    * (COBOL copybooks, bank/exchange EOD files). `widths` maps each column
+    * (in order) to its byte width; values are space-padded right on write
+    * and trimmed on read, with an all-spaces field reading back as null.
+    * Everything is plain `text` source + substring/trim column arithmetic:
+    * one projection each way, splittable line files, no custom reader —
+    * Catalyst prunes and pushes down around it like any projection.
+    *
+    * Write refuses values wider than their field (silent truncation
+    * corrupts data; loud failure at write time is the only safe contract —
+    * enforced per row via an ANSI-independent guard column). Non-string
+    * columns cast via their canonical string forms, so longs and
+    * fixed-point decimals round-trip exactly; floats/timestamps should be
+    * pre-formatted by the caller (width is a byte contract, and float
+    * shortest-decimal forms vary in length). */
+  def writeFixedWidth(df: DataFrame, path: String,
+      widths: Seq[(String, Int)]): Unit = {
+    import org.apache.spark.sql.functions._
+    require(widths.map(_._1).toSet == df.columns.toSet,
+      s"widths must cover exactly the frame's columns: " +
+        s"${widths.map(_._1)} vs ${df.columns.toSeq}")
+    val line = concat(widths.map { case (c, w) =>
+      val s = coalesce(col(c).cast("string"), lit(""))
+      // overflow guard: raise_error is lazy inside when(), so valid rows
+      // never evaluate it
+      when(length(s) > w,
+        raise_error(concat(lit(s"fixed-width overflow in '$c' (w=$w): "),
+          s)))
+        .otherwise(rpad(s, w, " "))
+    }: _*)
+    df.select(line.as("value")).write.mode(SaveMode.Overwrite).text(path)
+  }
+
+  def readFixedWidth(spark: SparkSession, path: String,
+      widths: Seq[(String, Int)], schema: StructType): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val offsets = widths.scanLeft(1) { case (off, (_, w)) => off + w }
+    val cols = widths.zip(offsets).map { case ((c, w), off) =>
+      val raw = trim(substring(col("value"), off, w))
+      when(raw === "", lit(null)).otherwise(raw)
+        .cast(schema(c).dataType).as(c)
+    }
+    spark.read.text(path).select(cols: _*)
+  }
+
   /** ORC: the other columnar format a lakehouse inherits (Hive-era tables,
     * Trino/Presto pipelines). Same scale properties as parquet — splittable
     * stripes, min/max stripe stats, predicate pushdown and column pruning

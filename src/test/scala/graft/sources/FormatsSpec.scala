@@ -68,6 +68,38 @@ class FormatsSpec extends SparkSuite {
     assert(back.filter(col("s") === "ok").count() == 1)
   }
 
+  test("fixed-width roundtrip is lossless for longs and strings, with " +
+      "null fields") {
+    import org.apache.spark.sql.functions._
+    val dir = tmp("graft_fw")
+    val src = Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        // exercise the null path: a sparse nullable long column
+        when(col("event_id") % 7 === 0, col("user_id")).as("sparse"))
+    val widths = Seq("event_id" -> 10, "user_id" -> 8,
+      "event_type" -> 12, "sparse" -> 8)
+    Formats.writeFixedWidth(src, dir, widths)
+    val back = Formats.readFixedWidth(spark, dir, widths, src.schema)
+    assert(back.schema == src.schema)
+    assert(src.exceptAll(back).isEmpty && back.exceptAll(src).isEmpty)
+    // the file really is fixed-width: every line has the same length
+    val lens = spark.read.text(dir).select(length(col("value")))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    assert(lens == Seq(widths.map(_._2).sum))
+  }
+
+  test("fixed-width write fails loudly on field overflow") {
+    import org.apache.spark.sql.functions._
+    val dir = tmp("graft_fw_ovf")
+    val src = Tables.load(spark, sf, "events").select(col("event_type"))
+    val e = intercept[Exception] {
+      Formats.writeFixedWidth(src, dir, Seq("event_type" -> 2))
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("fixed-width overflow")))
+  }
+
   test("JSONL roundtrip is lossless") {
     val dir = tmp("graft_jsonl")
     val src = events
