@@ -481,13 +481,18 @@ object TemporalQueries extends QueryPack {
     val w = Window.partitionBy("event_type")
       .orderBy(col("ts"), col("event_id"))
       .rowsBetween(-49, Window.currentRow)
+    // window sums accumulate through decimal(38,0) like q82's grouped
+    // sums: Spark's sum(long) wraps past 2^63 with ANSI off while DuckDB
+    // promotes to HUGEINT — the one asymmetry that could split the engines
+    def exactSum(c: org.apache.spark.sql.Column) =
+      sum(c.cast("decimal(38,0)")).over(w).cast("double")
     e.select(col("event_id"),
         count(lit(1)).over(w).cast("double").as("n"),
-        sum("x").over(w).cast("double").as("sx"),
-        sum("y").over(w).cast("double").as("sy"),
-        sum(col("x") * col("y")).over(w).cast("double").as("sxy"),
-        sum(col("x") * col("x")).over(w).cast("double").as("sxx"),
-        sum(col("y") * col("y")).over(w).cast("double").as("syy"))
+        exactSum(col("x")).as("sx"),
+        exactSum(col("y")).as("sy"),
+        exactSum(col("x") * col("y")).as("sxy"),
+        exactSum(col("x") * col("x")).as("sxx"),
+        exactSum(col("y") * col("y")).as("syy"))
       .select(col("event_id"), col("n").cast("long").as("n_frame"),
         expr("""CASE WHEN n < 10 OR n * sxx - sx * sx = 0
             OR n * syy - sy * sy = 0 THEN NULL

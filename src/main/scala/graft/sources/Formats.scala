@@ -72,33 +72,43 @@ object Formats {
 
   /** Fixed-width text — the mainframe/legacy-export interchange format
     * (COBOL copybooks, bank/exchange EOD files). `widths` maps each column
-    * (in order) to its byte width; values are space-padded right on write
-    * and trimmed on read, with an all-spaces field reading back as null.
-    * Everything is plain `text` source + substring/trim column arithmetic:
-    * one projection each way, splittable line files, no custom reader —
-    * Catalyst prunes and pushes down around it like any projection.
+    * (in order) to its CHARACTER width (byte width only for ASCII data —
+    * multibyte payloads need a byte-level contract this text-source
+    * implementation does not claim); values are space-padded right on
+    * write and trimmed on read, with an all-spaces field reading back as
+    * null. Everything is plain `text` source + substring/trim column
+    * arithmetic: one projection each way, splittable line files, no
+    * custom reader — Catalyst prunes and pushes down around it like any
+    * projection.
     *
-    * Write refuses values wider than their field (silent truncation
-    * corrupts data; loud failure at write time is the only safe contract —
-    * enforced per row via an ANSI-independent guard column). Non-string
-    * columns cast via their canonical string forms, so longs and
-    * fixed-point decimals round-trip exactly; floats/timestamps should be
-    * pre-formatted by the caller (width is a byte contract, and float
-    * shortest-decimal forms vary in length). */
+    * Write refuses, per row and loudly (ANSI-independent guard column —
+    * silent corruption is the one unacceptable outcome), every value the
+    * format cannot round-trip:
+    *  - wider than its field (truncation),
+    *  - containing CR/LF (would split the physical record),
+    *  - carrying leading/trailing spaces or empty-but-non-null (the
+    *    read-side trim/null convention would silently alter them).
+    * Non-string columns cast via their canonical string forms, so longs
+    * and fixed-point decimals round-trip exactly; floats/timestamps
+    * should be pre-formatted by the caller (shortest-decimal forms vary
+    * in length). */
   def writeFixedWidth(df: DataFrame, path: String,
       widths: Seq[(String, Int)]): Unit = {
     import org.apache.spark.sql.functions._
-    require(widths.map(_._1).toSet == df.columns.toSet,
-      s"widths must cover exactly the frame's columns: " +
+    require(widths.map(_._1).toSet == df.columns.toSet &&
+        widths.size == df.columns.length,
+      s"widths must cover exactly the frame's columns, once each: " +
         s"${widths.map(_._1)} vs ${df.columns.toSeq}")
     val line = concat(widths.map { case (c, w) =>
-      val s = coalesce(col(c).cast("string"), lit(""))
-      // overflow guard: raise_error is lazy inside when(), so valid rows
-      // never evaluate it
-      when(length(s) > w,
-        raise_error(concat(lit(s"fixed-width overflow in '$c' (w=$w): "),
-          s)))
-        .otherwise(rpad(s, w, " "))
+      val s = col(c).cast("string")
+      val bad = (length(s) > w) || s.rlike("[\\r\\n]") ||
+        (s =!= trim(s)) || (s === "")
+      // raise_error is lazy inside when(), so valid rows never evaluate it
+      when(s.isNotNull && bad,
+        raise_error(concat(
+          lit(s"fixed-width unrepresentable value in '$c' (w=$w): <"),
+          s, lit(">"))))
+        .otherwise(rpad(coalesce(s, lit("")), w, " "))
     }: _*)
     df.select(line.as("value")).write.mode(SaveMode.Overwrite).text(path)
   }

@@ -126,6 +126,10 @@ object StreamingOps {
     * StreamingSpec. */
   def burstDetect(events: Dataset[Event], n: Int = 3,
       windowUs: Long = 10L * 60 * 1000 * 1000): Dataset[Burst] = {
+    // n = 1 would mean "alert on every purchase" — express that as a
+    // filter, not a state machine (and n - 1 = 0 state entries would
+    // index an empty list below)
+    require(n >= 2 && windowUs > 0, "need n >= 2 and a positive window")
     import events.sparkSession.implicits._
     events
       .filter(_.event_type == "purchase")
@@ -134,9 +138,12 @@ object StreamingOps {
         org.apache.spark.sql.streaming.OutputMode.Append,
         org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
         (user: Long, batch: Iterator[Event], state: GroupState[List[Long]]) =>
-          // full microsecond precision: Timestamp.getTime truncates to ms
+          // full microsecond precision, matching unix_micros: getTime is
+          // ms (floor the SECONDS part — plain / truncates toward zero
+          // and would misorder pre-epoch timestamps), nanos carry the
+          // sub-second part
           def usOf(t: java.sql.Timestamp): Long =
-            (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+            Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
           var recent = state.getOption.getOrElse(Nil) // ascending, ≤ n-1
           val alerts = scala.collection.mutable.ListBuffer.empty[Burst]
           batch.toSeq.sortBy(e => (usOf(e.ts), e.event_id)).foreach { e =>

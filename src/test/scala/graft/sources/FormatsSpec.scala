@@ -97,7 +97,27 @@ class FormatsSpec extends SparkSuite {
     }
     def msgs(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
-    assert(msgs(e).exists(m => m != null && m.contains("fixed-width overflow")))
+    assert(msgs(e).exists(m =>
+      m != null && m.contains("fixed-width unrepresentable")))
+  }
+
+  test("fixed-width write refuses every non-round-trippable value") {
+    import spark.implicits._
+    // embedded newline (splits the record), leading/trailing spaces and
+    // empty-non-null (the read-side trim/null convention would silently
+    // alter them)
+    for (bad <- Seq("a\nb", "a\rb", " x", "x ", "")) {
+      val dir = tmp("graft_fw_bad")
+      val e = intercept[Exception] {
+        Formats.writeFixedWidth(Seq(bad).toDF("c"), dir, Seq("c" -> 8))
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+      assert(msgs(e).exists(m =>
+        m != null && m.contains("fixed-width unrepresentable")),
+        s"value ${bad.replace("\n", "\\n").replace("\r", "\\r")} " +
+          "was not rejected")
+    }
   }
 
   test("JSONL roundtrip is lossless") {
