@@ -188,6 +188,27 @@ object EventOpsQueries extends QueryPack {
           .as("key_e12"))
   }
 
+  /** Weekly cohort retention: users bucketed by first-active week, counted
+    * at each later week they return. The triangle every growth/engagement
+    * dashboard is built from — and, for a training pipeline, the shape
+    * that audits contributor churn in a crawl corpus. One distinct over
+    * (user, week) then a window-min per user (no self-join with a
+    * first-seen table — the window reuses the same user_id shuffle the
+    * distinct already paid for), then one aggregate on (cohort, offset).
+    * Both engines truncate weeks to Monday midnight, so the day-diff is an
+    * exact multiple of 7 and the integer offset is division-safe. */
+  private def q127(s: SparkSession, dir: String): DataFrame = {
+    val wk = ev(s, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .distinct()
+    val w0 = min("wk").over(Window.partitionBy("user_id"))
+    wk.withColumn("w0", w0)
+      .groupBy(date_format(col("w0"), "yyyy-MM-dd").as("cohort_week"),
+        (datediff(col("wk"), col("w0")) / 7).cast("long").as("week_offset"))
+      .agg(count(lit(1)).as("users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   val defs: Map[String, Q] = Map(
     "q62_stratified_sample" -> (q62 _),
     "q63_sessionize" -> (q63 _),
@@ -195,7 +216,8 @@ object EventOpsQueries extends QueryPack {
     "q69_cdc_merge" -> (q69 _),
     "q85_rolling_window" -> (q85 _),
     "q88_funnel" -> (q88 _),
-    "q96_weighted_sample" -> (q96 _))
+    "q96_weighted_sample" -> (q96 _),
+    "q127_cohort_retention" -> (q127 _))
 
   val oracle: Map[String, String] = Map(
     "q69_cdc_merge" -> {
@@ -287,5 +309,17 @@ object EventOpsQueries extends QueryPack {
          |  CAST(floor(k * 1000000000000.0 + 0.5) AS BIGINT) AS key_e12
          |FROM keyed
          |ORDER BY k DESC, event_id LIMIT 200""".stripMargin
-    })
+    },
+    "q127_cohort_retention" ->
+      """WITH wk AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, wk,
+        |    min(wk) OVER (PARTITION BY user_id) AS w0
+        |  FROM wk)
+        |SELECT strftime(w0, '%Y-%m-%d') AS cohort_week,
+        |  CAST(date_diff('day', w0, wk) / 7 AS BIGINT) AS week_offset,
+        |  count(*) AS users
+        |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryPack, Tables}
 import graft.functions.Hashing
@@ -118,6 +118,50 @@ object TextQueries extends QueryPack {
       .orderBy("doc_id", "rnk")
   }
 
+  /** BM25 relevance for a fixed 3-term query (the retrieval scorer a
+    * training-data curation pipeline uses for quality-by-query filtering;
+    * cf. q64's TF-IDF and q114's inverted index). Okapi parameters
+    * k1=1.2, b=0.75; idf uses the same log-free rational form as q64 —
+    * (N − df + 0.5)/(df + 0.5) — so every op is plain IEEE arithmetic
+    * with a cross-engine bit-identical result.
+    *
+    * Per-term scores are pivoted to columns via conditional max and added
+    * in a FIXED textual order (s1+s2+s3): a `sum()` over the term rows
+    * would accumulate in partial-aggregation order, which Spark does not
+    * pin and DuckDB orders differently — the one float-sum channel this
+    * query shape must close. Shuffles on (doc_id, tok) then doc_id; the
+    * one-row corpus stats broadcast. At 100 TB the term filter prunes the
+    * explode to |query terms| rows per doc before any exchange. */
+  private def q129(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("hash", "join", "spark")
+    val toks = docs(s, dir)
+      .select(col("doc_id"), explode(tokensCol(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum("dl").cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+    val tf = toks.filter(col("tok").isin(terms: _*))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val idf = (col("n_docs").cast("double") - col("df").cast("double") +
+      lit(0.5)) / (col("df").cast("double") + lit(0.5))
+    val denom = col("tf").cast("double") +
+      (lit(1.2) * (lit(0.25) + ((lit(0.75) * col("dl").cast("double")) /
+        col("avgdl"))))
+    val score = (idf * (col("tf").cast("double") * lit(2.2))) / denom
+    val scored = tf.join(dfreq, "tok").join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("tok"), score.as("score"))
+    def termCol(t: String): Column =
+      coalesce(max(when(col("tok") === t, col("score"))), lit(0.0))
+    scored.groupBy("doc_id")
+      .agg(termCol(terms(0)).as("s1"), termCol(terms(1)).as("s2"),
+        termCol(terms(2)).as("s3"))
+      .select(col("doc_id"),
+        roundf(col("s1") + col("s2") + col("s3"), 6).as("bm25"))
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, Q] = Map(
     "q30_text_stats" -> (q30 _),
     "q31_text_quality" -> (q31 _),
@@ -125,7 +169,8 @@ object TextQueries extends QueryPack {
     "q33_fingerprint" -> (q33 _),
     "q39_rolling_fp" -> (q39 _),
     "q45_bpe_tokens" -> (q45 _),
-    "q64_tfidf" -> (q64 _))
+    "q64_tfidf" -> (q64 _),
+    "q129_bm25" -> (q129 _))
 
   // DuckDB regexp_replace needs the 'g' flag to match Spark's replace-all.
   val oracle: Map[String, String] = Map(
@@ -213,5 +258,39 @@ object TextQueries extends QueryPack {
         |  FROM scored)
         |SELECT doc_id, rnk, tok,
         |  floor((score) * 1000000.0 + 0.5) / 1000000.0 AS tfidf
-        |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin)
+        |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    // Identical arithmetic structure to the Spark side (idf rational form,
+    // fixed-order s1+s2+s3 sum) — see q129's scaladoc.
+    "q129_bm25" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |toks AS (SELECT doc_id, tok FROM raw WHERE tok <> ''),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs,
+        |  CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+        |  FROM dl),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+        |  WHERE tok IN ('hash', 'join', 'spark') GROUP BY 1, 2),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.tok,
+        |    (((CAST(n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5) /
+        |       (CAST(df.df AS DOUBLE) + 0.5)) *
+        |     (CAST(tf.tf AS DOUBLE) * 2.2)) /
+        |    (CAST(tf.tf AS DOUBLE) +
+        |     (1.2 * (0.25 + ((0.75 * CAST(dl.dl AS DOUBLE)) / avgdl))))
+        |      AS score
+        |  FROM tf JOIN df USING (tok) JOIN dl USING (doc_id)
+        |  CROSS JOIN stats),
+        |p AS (
+        |  SELECT doc_id,
+        |    coalesce(max(CASE WHEN tok = 'hash' THEN score END), 0.0) AS s1,
+        |    coalesce(max(CASE WHEN tok = 'join' THEN score END), 0.0) AS s2,
+        |    coalesce(max(CASE WHEN tok = 'spark' THEN score END), 0.0) AS s3
+        |  FROM scored GROUP BY doc_id)
+        |SELECT doc_id,
+        |  floor((s1 + s2 + s3) * 1000000.0 + 0.5) / 1000000.0 AS bm25
+        |FROM p ORDER BY doc_id""".stripMargin)
 }

@@ -156,12 +156,41 @@ object TpchQueries extends QueryPack {
       .limit(10)
   }
 
+  /** Market-basket pair mining: parts co-purchased in the same order at
+    * least twice across the corpus (the candidate-generation step of
+    * frequent-itemset mining, and the co-occurrence statistic behind
+    * item-item recommenders). The self-join is keyed on the basket id —
+    * never an all-pairs product — and a basket-size cap (≤ 8 distinct
+    * parts) bounds per-basket fan-out at C(8,2)=28 pair rows, the same
+    * df-cap discipline as q41's shingle join: a single pathological
+    * mega-basket cannot quadratically explode one reducer. The support
+    * threshold (≥ 2) prunes the output before the final sort. */
+  private def q128(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val items = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val capped = items
+      .withColumn("bsize",
+        count(lit(1)).over(Window.partitionBy("l_orderkey")))
+      .filter(col("bsize") <= 8)
+      .select("l_orderkey", "l_partkey")
+    val a = capped.select(col("l_orderkey"), col("l_partkey").as("p1"))
+    val b = capped.select(col("l_orderkey"), col("l_partkey").as("p2"))
+    a.join(b, "l_orderkey")
+      .filter(col("p1") < col("p2"))
+      .groupBy("p1", "p2")
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= 2)
+      .orderBy("p1", "p2")
+  }
+
   val defs: Map[String, Q] = Map(
     "q57_volume_shipping" -> (q57 _),
     "q58_market_share" -> (q58 _),
     "q59_min_cost_supplier" -> (q59 _),
     "q65_range_join_binned" -> (q65 _),
-    "q93_shipping_priority" -> (q93 _))
+    "q93_shipping_priority" -> (q93 _),
+    "q128_cooccur" -> (q128 _))
 
   val oracle: Map[String, String] = Map(
     "q57_volume_shipping" ->
@@ -233,5 +262,18 @@ object TpchQueries extends QueryPack {
         |FROM lineitem JOIN months
         |  ON l_shipdate >= month_start AND l_shipdate < month_end
         |GROUP BY months.month_start
-        |ORDER BY month_start""".stripMargin)
+        |ORDER BY month_start""".stripMargin,
+    "q128_cooccur" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |capped AS (
+        |  SELECT l_orderkey, l_partkey FROM (
+        |    SELECT *, count(*) OVER (PARTITION BY l_orderkey) AS bsize
+        |    FROM items)
+        |  WHERE bsize <= 8)
+        |SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n_orders
+        |FROM capped a JOIN capped b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY 1, 2""".stripMargin)
 }
