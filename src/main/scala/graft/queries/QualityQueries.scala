@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import graft.{QueryPack, Tables}
 import graft.pipeline.DataQuality
 import graft.pipeline.DataQuality._
@@ -23,7 +24,49 @@ object QualityQueries extends QueryPack {
         Unique("doc_id"),
         RowCount(min = 1)))
 
-  val defs: Map[String, Q] = Map("q66_quality_report" -> (q66 _))
+  /** Referential-integrity audit: orphan-foreign-key census over every FK
+    * edge of the star schema (the lakehouse constraint check a warehouse
+    * would enforce with DDL — here it's a query, because 100 TB fact
+    * tables don't get FK indexes). Each edge is ONE left-anti join keyed
+    * on the FK — dims broadcast, facts never shuffle for the small-parent
+    * edges — and the per-edge one-row aggregates union into the report.
+    * A NULL FK never matches, so it counts as an orphan in both engines
+    * (anti-join and NOT EXISTS agree on that semantics). The synthetic
+    * tables are fully consistent (all-zero orphan counts), so the
+    * orphan-counting path itself — real orphans and NULL FKs — is pinned
+    * by QualitySpec on a violated fixture. */
+  def fkEdge(name: String, child: DataFrame, ck: String,
+             parent: DataFrame, pk: String): DataFrame = {
+    val n = child.agg(count(lit(1)).as("n_child"))
+    val o = child.join(parent.select(col(pk)), child(ck) === col(pk),
+        "left_anti")
+      .agg(count(lit(1)).as("n_orphan"))
+    n.crossJoin(o).select(lit(name).as("fk_edge"),
+      col("n_child"), col("n_orphan"))
+  }
+
+  private def q130(s: SparkSession, dir: String): DataFrame = {
+    val t = (n: String) => Tables.load(s, dir, n)
+    Seq(
+      fkEdge("customer.c_nationkey->nation", t("customer"), "c_nationkey",
+        t("nation"), "n_nationkey"),
+      fkEdge("events.user_id->customer", t("events"), "user_id",
+        t("customer"), "c_custkey"),
+      fkEdge("lineitem.l_orderkey->orders", t("lineitem"), "l_orderkey",
+        t("orders"), "o_orderkey"),
+      fkEdge("lineitem.l_partkey->part", t("lineitem"), "l_partkey",
+        t("part"), "p_partkey"),
+      fkEdge("lineitem.l_suppkey->supplier", t("lineitem"), "l_suppkey",
+        t("supplier"), "s_suppkey"),
+      fkEdge("orders.o_custkey->customer", t("orders"), "o_custkey",
+        t("customer"), "c_custkey"))
+      .reduce(_ unionByName _)
+      .orderBy("fk_edge")
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q66_quality_report" -> (q66 _),
+    "q130_ref_integrity" -> (q130 _))
 
   // one SELECT per check, mirrored shapes; 'license' is a deliberately
   // missing column so the missing-column path is oracle-checked too
@@ -77,5 +120,38 @@ object QualityQueries extends QueryPack {
         |    CAST(count(*) AS BIGINT),
         |    count(*) >= 1
         |  FROM d)
-        |SELECT * FROM rep ORDER BY "check", col""".stripMargin)
+        |SELECT * FROM rep ORDER BY "check", col""".stripMargin,
+    "q130_ref_integrity" ->
+      """SELECT * FROM (
+        |  SELECT 'customer.c_nationkey->nation' AS fk_edge,
+        |    (SELECT count(*) FROM customer) AS n_child,
+        |    (SELECT count(*) FROM customer c WHERE NOT EXISTS
+        |      (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+        |      AS n_orphan
+        |  UNION ALL
+        |  SELECT 'events.user_id->customer',
+        |    (SELECT count(*) FROM events),
+        |    (SELECT count(*) FROM events e WHERE NOT EXISTS
+        |      (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id))
+        |  UNION ALL
+        |  SELECT 'lineitem.l_orderkey->orders',
+        |    (SELECT count(*) FROM lineitem),
+        |    (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |  UNION ALL
+        |  SELECT 'lineitem.l_partkey->part',
+        |    (SELECT count(*) FROM lineitem),
+        |    (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |      (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+        |  UNION ALL
+        |  SELECT 'lineitem.l_suppkey->supplier',
+        |    (SELECT count(*) FROM lineitem),
+        |    (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |      (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+        |  UNION ALL
+        |  SELECT 'orders.o_custkey->customer',
+        |    (SELECT count(*) FROM orders),
+        |    (SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |) ORDER BY fk_edge""".stripMargin)
 }

@@ -70,4 +70,20 @@ class DataQualitySpec extends SparkSuite {
     }
     assert(e.getMessage.contains("not_null(symbol)"))
   }
+
+  // The star-schema tables q130 audits are fully consistent, so the
+  // violated path — real orphans AND a NULL FK — is pinned here.
+  test("fkEdge counts real orphans and NULL foreign keys") {
+    val s = spark
+    import s.implicits._
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq(Some(1L), Some(1L), Some(9L), None)
+      .toDF("fk")
+    val row = graft.queries.QualityQueries
+      .fkEdge("child.fk->parent", child, "fk", parent, "pk")
+      .collect()(0)
+    assert(row.getString(0) == "child.fk->parent")
+    assert(row.getLong(1) == 4L) // all child rows counted
+    assert(row.getLong(2) == 2L) // the unmatched 9L AND the NULL fk
+  }
 }
