@@ -159,26 +159,29 @@ object TpchQueries extends QueryPack {
   /** Market-basket pair mining: parts co-purchased in the same order at
     * least twice across the corpus (the candidate-generation step of
     * frequent-itemset mining, and the co-occurrence statistic behind
-    * item-item recommenders). The self-join is keyed on the basket id —
-    * never an all-pairs product — and a basket-size cap (≤ 8 distinct
-    * parts) bounds per-basket fan-out at C(8,2)=28 pair rows, the same
-    * df-cap discipline as q41's shingle join: a single pathological
-    * mega-basket cannot quadratically explode one reducer. The support
-    * threshold (≥ 2) prunes the output before the final sort. */
+    * item-item recommenders). ONE scan: each basket's distinct items
+    * collect to a sorted array (buffer O(basket), not O(basket²)), a
+    * basket-size cap (≤ 8 distinct parts) bounds pair fan-out at
+    * C(8,2)=28 — the same df-cap discipline as q41's shingle join, so a
+    * pathological mega-basket cannot quadratically explode a reducer —
+    * and ordered pairs expand via codegen'd array lambdas (p1 < p2 by
+    * construction from the sorted array). No self-join: the keyed
+    * self-join formulation scans the fact twice and pays two window
+    * passes; this shape is groupBy → explode → groupBy, two exchanges
+    * total before the presentation sort. The support threshold (≥ 2)
+    * prunes the output before that sort. */
   private def q128(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val items = Tables.load(s, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val capped = items
-      .withColumn("bsize",
-        count(lit(1)).over(Window.partitionBy("l_orderkey")))
-      .filter(col("bsize") <= 8)
-      .select("l_orderkey", "l_partkey")
-    val a = capped.select(col("l_orderkey"), col("l_partkey").as("p1"))
-    val b = capped.select(col("l_orderkey"), col("l_partkey").as("p2"))
-    a.join(b, "l_orderkey")
-      .filter(col("p1") < col("p2"))
-      .groupBy("p1", "p2")
+    val baskets = Tables.load(s, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+      .filter(size(col("parts")) <= 8)
+    val pairs = flatten(transform(col("parts"), (x, i) =>
+      transform(
+        slice(col("parts"), i + lit(2), size(col("parts"))),
+        y => struct(x.as("p1"), y.as("p2")))))
+    baskets
+      .select(explode(pairs).as("pr"))
+      .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
       .agg(count(lit(1)).as("n_orders"))
       .filter(col("n_orders") >= 2)
       .orderBy("p1", "p2")
