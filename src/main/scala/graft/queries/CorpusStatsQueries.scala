@@ -65,9 +65,10 @@ object CorpusStatsQueries extends QueryPack {
   private def q115(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .filter(length(col("text")) > 0)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, length(text)), i -> substring(text, i, 1))"))
-        .as("ch"))
+      // split('') emits the char array in one O(len) pass; the
+      // substring-per-index lambda it replaces is O(len²) per document
+      // (each UTF8String substring seeks from the string head)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
       .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
       .groupBy("doc_id")
       .agg(sum("c").as("n"),
