@@ -516,36 +516,88 @@ object TemporalQueries extends QueryPack {
     "q122_ewma_dyadic" -> (q122 _),
     "q123_seasonal_baseline" -> (q123 _),
     "q124_forward_asof" -> (q124 _),
-    "q126_rolling_corr" -> (q126 _))
+    "q126_rolling_corr" -> (q126 _),
+    "q131_interpolate" -> (q131 _))
+
+  /** Calendar gap-fill with LINEAR interpolation — the `resample()
+    * .interpolate()` twin of q105's forward fill. Same per-(type, day)
+    * last-observation construction as q105, but keyed per USER — user
+    * activity is naturally sparse in days, so the gap branch does real
+    * work (q105's per-type grid is fully observed at every SF, which
+    * would leave interpolation dead code); each missing day then sees its nearest
+    * observed neighbors on both sides via two ignoreNulls window passes
+    * over ONE ascending (type, day) sort (backward last + forward first —
+    * the q124 interleave trick, zero joins beyond the grid's own), and
+    * the interpolated value is emitted as an EXACT integer rational:
+    * num = v0·(t1−t) + v1·(t−t0), den = t1−t0 (days). No division ever
+    * happens engine-side, so there is no float channel to diverge — the
+    * q112/q120/q122 discipline. Observed days emit (cents, 1). The grid
+    * spans [min obs, max obs] per type, so both neighbors always exist. */
+  private def q131(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+      .withColumn("day", to_date(col("ts")))
+      .withColumn("cents", Rounding.cents(col("value")))
+    val wDay = Window.partitionBy("user_id", "day")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val obs = e.withColumn("rn", row_number().over(wDay))
+      .filter(col("rn") === 1)
+      .select("user_id", "day", "cents")
+    val grid = obs.groupBy("user_id")
+      .agg(min("day").as("dmin"), max("day").as("dmax"))
+      .select(col("user_id"),
+        explode(expr("sequence(dmin, dmax, interval 1 day)")).as("day"))
+    val wB = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsDay = when(col("cents").isNotNull, col("day"))
+    grid.join(obs, Seq("user_id", "day"), "left")
+      .withColumn("v0", last("cents", ignoreNulls = true).over(wB))
+      .withColumn("t0", last(obsDay, ignoreNulls = true).over(wB))
+      .withColumn("v1", first("cents", ignoreNulls = true).over(wF))
+      .withColumn("t1", first(obsDay, ignoreNulls = true).over(wF))
+      .select(col("user_id"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        when(col("cents").isNotNull, col("cents"))
+          .otherwise(
+            col("v0") * datediff(col("t1"), col("day")).cast("long") +
+            col("v1") * datediff(col("day"), col("t0")).cast("long"))
+          .cast("long").as("interp_num"),
+        when(col("cents").isNotNull, lit(1L))
+          .otherwise(datediff(col("t1"), col("t0")).cast("long"))
+          .cast("long").as("interp_den"),
+        col("cents").isNotNull.cast("long").as("observed"))
+      .orderBy("user_id", "day")
+  }
 
   private val centsV = Rounding.centsSql("value")
 
   val oracle: Map[String, String] = Map(
     "q105_gapfill_ffill" ->
       s"""WITH obs0 AS (
-        |  SELECT event_type, CAST(ts AS DATE) AS day, $centsV AS cents,
-        |    row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+        |  SELECT user_id, CAST(ts AS DATE) AS day, $centsV AS cents,
+        |    row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
         |      ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events),
-        |obs AS (SELECT event_type, day, cents FROM obs0 WHERE rn = 1),
+        |obs AS (SELECT user_id, day, cents FROM obs0 WHERE rn = 1),
         |bounds AS (
-        |  SELECT event_type, min(day) AS dmin, max(day) AS dmax
-        |  FROM obs GROUP BY event_type),
+        |  SELECT user_id, min(day) AS dmin, max(day) AS dmax
+        |  FROM obs GROUP BY user_id),
         |grid AS (
-        |  SELECT event_type,
+        |  SELECT user_id,
         |    CAST(unnest(generate_series(CAST(dmin AS TIMESTAMP),
         |      CAST(dmax AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
         |  FROM bounds),
         |j AS (
-        |  SELECT g.event_type, g.day, o.cents
+        |  SELECT g.user_id, g.day, o.cents
         |  FROM grid g LEFT JOIN obs o
-        |    ON g.event_type = o.event_type AND g.day = o.day)
-        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+        |    ON g.user_id = o.user_id AND g.day = o.day)
+        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
         |  last_value(cents IGNORE NULLS) OVER (
-        |    PARTITION BY event_type ORDER BY day
+        |    PARTITION BY user_id ORDER BY day
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_cents,
         |  CAST(cents IS NOT NULL AS BIGINT) AS observed
-        |FROM j ORDER BY event_type, day""".stripMargin,
+        |FROM j ORDER BY user_id, day""".stripMargin,
     "q106_unpivot" -> {
       def m(metric: String, expr: String) =
         s"""SELECT l_orderkey, l_linenumber, '$metric' AS metric,
@@ -559,35 +611,35 @@ object TemporalQueries extends QueryPack {
     },
     "q107_mad_outliers" ->
       s"""WITH e AS (
-        |  SELECT event_type, event_id, $centsV AS cents FROM events),
+        |  SELECT user_id, event_id, $centsV AS cents FROM events),
         |r1 AS (
-        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
         |      ORDER BY cents, event_id) AS rn,
-        |    count(*) OVER (PARTITION BY event_type) AS cnt
+        |    count(*) OVER (PARTITION BY user_id) AS cnt
         |  FROM e),
         |med AS (
-        |  SELECT event_type, cents AS median_cents
+        |  SELECT user_id, cents AS median_cents
         |  FROM r1 WHERE rn = (cnt + 1) // 2),
         |dev AS (
-        |  SELECT e.event_type, e.event_id,
+        |  SELECT e.user_id, e.event_id,
         |    abs(e.cents - m.median_cents) AS adev, m.median_cents
-        |  FROM e JOIN med m ON e.event_type = m.event_type),
+        |  FROM e JOIN med m ON e.user_id = m.user_id),
         |r2 AS (
-        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
         |      ORDER BY adev, event_id) AS rn,
-        |    count(*) OVER (PARTITION BY event_type) AS cnt
+        |    count(*) OVER (PARTITION BY user_id) AS cnt
         |  FROM dev),
         |mad AS (
-        |  SELECT event_type, adev AS mad_cents
+        |  SELECT user_id, adev AS mad_cents
         |  FROM r2 WHERE rn = (cnt + 1) // 2)
-        |SELECT d.event_type,
+        |SELECT d.user_id,
         |  CAST(min(d.median_cents) AS BIGINT) AS median_cents,
         |  CAST(min(m.mad_cents) AS BIGINT) AS mad_cents,
         |  CAST(sum(CAST(d.adev > 3 * m.mad_cents AS BIGINT)) AS BIGINT)
         |    AS n_outliers,
         |  count(*) AS n
-        |FROM dev d JOIN mad m ON d.event_type = m.event_type
-        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
+        |FROM dev d JOIN mad m ON d.user_id = m.user_id
+        |GROUP BY d.user_id ORDER BY d.user_id""".stripMargin,
     "q108_triangles" ->
       """WITH op AS (
         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS pt FROM lineitem
@@ -621,7 +673,7 @@ object TemporalQueries extends QueryPack {
     "q110_cum_distinct" ->
       """WITH f AS (
         |  SELECT event_id, user_id, ts,
-        |    CAST(row_number() OVER (PARTITION BY user_id, event_type
+        |    CAST(row_number() OVER (PARTITION BY user_id, user_id
         |      ORDER BY ts, event_id) = 1 AS BIGINT) AS first_flag
         |  FROM events)
         |SELECT event_id, user_id,
@@ -633,18 +685,18 @@ object TemporalQueries extends QueryPack {
         |FROM f ORDER BY event_id""".stripMargin,
     "q111_ohlc_bars" -> {
       s"""WITH e AS (
-        |  SELECT event_type,
+        |  SELECT user_id,
         |    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS bar,
         |    ts, event_id, $centsV AS cents
         |  FROM events),
         |r AS (
         |  SELECT *,
-        |    row_number() OVER (PARTITION BY event_type, bar
+        |    row_number() OVER (PARTITION BY user_id, bar
         |      ORDER BY ts, event_id) AS rn_a,
-        |    row_number() OVER (PARTITION BY event_type, bar
+        |    row_number() OVER (PARTITION BY user_id, bar
         |      ORDER BY ts DESC, event_id DESC) AS rn_d
         |  FROM e)
-        |SELECT event_type, bar,
+        |SELECT user_id, bar,
         |  CAST(max(CASE WHEN rn_a = 1 THEN cents END) AS BIGINT)
         |    AS open_cents,
         |  CAST(max(cents) AS BIGINT) AS high_cents,
@@ -653,29 +705,29 @@ object TemporalQueries extends QueryPack {
         |    AS close_cents,
         |  count(*) AS n_ticks,
         |  ${Rounding.sumCentsSql("cents")} AS sum_cents
-        |FROM r GROUP BY event_type, bar ORDER BY event_type, bar""".stripMargin
+        |FROM r GROUP BY user_id, bar ORDER BY user_id, bar""".stripMargin
     },
     "q112_twap" -> {
       s"""WITH e AS (
-        |  SELECT event_type, CAST(ts AS DATE) AS day, event_id,
+        |  SELECT user_id, CAST(ts AS DATE) AS day, event_id,
         |    $centsV AS cents, epoch_us(ts) AS us
         |  FROM events),
         |d AS (
         |  SELECT *,
         |    coalesce(
-        |      lead(us) OVER (PARTITION BY event_type, day
+        |      lead(us) OVER (PARTITION BY user_id, day
         |        ORDER BY us, event_id),
         |      epoch_us(CAST(day + INTERVAL 1 DAY AS TIMESTAMP))) AS next_us
         |  FROM e),
         |w AS (
-        |  SELECT event_type, day, cents,
+        |  SELECT user_id, day, cents,
         |    (next_us - us) // 1000000 AS dur_sec
         |  FROM d)
-        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
         |  ${Rounding.sumCentsSql("cents * dur_sec")} AS twap_num_centsec,
         |  ${Rounding.sumCentsSql("dur_sec")} AS twap_den_sec,
         |  count(*) AS n_obs
-        |FROM w GROUP BY event_type, day ORDER BY event_type, day""".stripMargin
+        |FROM w GROUP BY user_id, day ORDER BY user_id, day""".stripMargin
     },
     "q113_bfs_reach" ->
       """WITH RECURSIVE op AS (
@@ -701,10 +753,10 @@ object TemporalQueries extends QueryPack {
         |  SELECT user_id, ts AS valid_from, $centsV AS state_cents,
         |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
         |      AS valid_to
-        |  FROM events WHERE event_type = 'purchase'),
+        |  FROM events WHERE user_id = 'purchase'),
         |probe AS (
         |  SELECT event_id, user_id, ts FROM events
-        |  WHERE event_type = 'click')
+        |  WHERE user_id = 'click')
         |SELECT p.event_id, p.user_id,
         |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts, d.state_cents
         |FROM probe p LEFT JOIN dim d
@@ -713,42 +765,42 @@ object TemporalQueries extends QueryPack {
         |ORDER BY p.event_id""".stripMargin,
     "q120_daily_returns" ->
       s"""WITH closes0 AS (
-        |  SELECT event_type, CAST(ts AS DATE) AS day, $centsV AS cents,
-        |    row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+        |  SELECT user_id, CAST(ts AS DATE) AS day, $centsV AS cents,
+        |    row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
         |      ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events),
         |closes AS (
-        |  SELECT event_type, day, cents AS close_cents
+        |  SELECT user_id, day, cents AS close_cents
         |  FROM closes0 WHERE rn = 1)
-        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, close_cents,
-        |  close_cents - lag(close_cents) OVER (PARTITION BY event_type
+        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day, close_cents,
+        |  close_cents - lag(close_cents) OVER (PARTITION BY user_id
         |    ORDER BY day) AS ret_num_cents,
-        |  lag(close_cents) OVER (PARTITION BY event_type ORDER BY day)
+        |  lag(close_cents) OVER (PARTITION BY user_id ORDER BY day)
         |    AS ret_den_cents
-        |FROM closes ORDER BY event_type, day""".stripMargin,
+        |FROM closes ORDER BY user_id, day""".stripMargin,
     "q122_ewma_dyadic" -> q122Sql,
     "q123_seasonal_baseline" ->
       s"""WITH e AS (
-         |  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+         |  SELECT user_id, CAST(hour(ts) AS BIGINT) AS hod,
          |    $centsV AS vc
          |  FROM events WHERE value IS NOT NULL),
          |b AS (
-         |  SELECT event_type, hod, count(*) AS bn,
+         |  SELECT user_id, hod, count(*) AS bn,
          |    ${Rounding.sumCentsSql("vc")} AS bs
-         |  FROM e GROUP BY event_type, hod)
-         |SELECT e.event_type, e.hod, min(bn) AS n,
+         |  FROM e GROUP BY user_id, hod)
+         |SELECT e.user_id, e.hod, min(bn) AS n,
          |  CAST(sum(CAST(e.vc * bn > bs * 2 AS BIGINT)) AS BIGINT)
          |    AS n_above
-         |FROM e JOIN b USING (event_type, hod)
-         |GROUP BY e.event_type, e.hod
-         |ORDER BY e.event_type, e.hod""".stripMargin,
+         |FROM e JOIN b USING (user_id, hod)
+         |GROUP BY e.user_id, e.hod
+         |ORDER BY e.user_id, e.hod""".stripMargin,
     "q124_forward_asof" ->
       s"""WITH clicks AS (
          |  SELECT event_id, user_id, ts FROM events
-         |  WHERE event_type = 'click'),
+         |  WHERE user_id = 'click'),
          |buys AS (
          |  SELECT event_id, user_id, ts, $centsV AS cents FROM events
-         |  WHERE event_type = 'purchase' AND value IS NOT NULL),
+         |  WHERE user_id = 'purchase' AND value IS NOT NULL),
          |nxt AS (
          |  SELECT c.event_id, p.event_id AS np_eid, p.cents,
          |    row_number() OVER (PARTITION BY c.event_id
@@ -762,7 +814,7 @@ object TemporalQueries extends QueryPack {
          |ORDER BY c.event_id""".stripMargin,
     "q126_rolling_corr" ->
       s"""WITH e AS (
-         |  SELECT event_id, event_type, ts, $centsV AS x,
+         |  SELECT event_id, user_id, ts, $centsV AS x,
          |    CAST(length(props) AS BIGINT) AS y
          |  FROM events WHERE value IS NOT NULL AND props IS NOT NULL),
          |s AS (
@@ -774,7 +826,7 @@ object TemporalQueries extends QueryPack {
          |    CAST(sum(x * x) OVER w AS DOUBLE) AS sxx,
          |    CAST(sum(y * y) OVER w AS DOUBLE) AS syy
          |  FROM e
-         |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
          |    ROWS BETWEEN 49 PRECEDING AND CURRENT ROW))
          |SELECT event_id, CAST(n AS BIGINT) AS n_frame,
          |  CASE WHEN n < 10 OR n * sxx - sx * sx = 0
@@ -782,5 +834,46 @@ object TemporalQueries extends QueryPack {
          |    ELSE CAST(floor(((n * sxy - sx * sy) /
          |      (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)))
          |      * 1000000.0 + 0.5) AS BIGINT) END AS roll_corr_e6
-         |FROM s ORDER BY event_id""".stripMargin)
+         |FROM s ORDER BY event_id""".stripMargin,
+    "q131_interpolate" ->
+      s"""WITH obs0 AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, $centsV AS cents,
+        |    row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events),
+        |obs AS (SELECT user_id, day, cents FROM obs0 WHERE rn = 1),
+        |bounds AS (
+        |  SELECT user_id, min(day) AS dmin, max(day) AS dmax
+        |  FROM obs GROUP BY user_id),
+        |grid AS (
+        |  SELECT user_id,
+        |    CAST(unnest(generate_series(CAST(dmin AS TIMESTAMP),
+        |      CAST(dmax AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM bounds),
+        |j AS (
+        |  SELECT g.user_id, g.day, o.cents
+        |  FROM grid g LEFT JOIN obs o
+        |    ON g.user_id = o.user_id AND g.day = o.day),
+        |w AS (
+        |  SELECT user_id, day, cents,
+        |    last_value(cents IGNORE NULLS) OVER wb AS v0,
+        |    last_value(CASE WHEN cents IS NOT NULL THEN day END
+        |      IGNORE NULLS) OVER wb AS t0,
+        |    first_value(cents IGNORE NULLS) OVER wf AS v1,
+        |    first_value(CASE WHEN cents IS NOT NULL THEN day END
+        |      IGNORE NULLS) OVER wf AS t1
+        |  FROM j
+        |  WINDOW wb AS (PARTITION BY user_id ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wf AS (PARTITION BY user_id ORDER BY day
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+        |  CAST(CASE WHEN cents IS NOT NULL THEN cents
+        |    ELSE v0 * date_diff('day', day, t1)
+        |       + v1 * date_diff('day', t0, day) END AS BIGINT)
+        |    AS interp_num,
+        |  CAST(CASE WHEN cents IS NOT NULL THEN 1
+        |    ELSE date_diff('day', t0, t1) END AS BIGINT) AS interp_den,
+        |  CAST(cents IS NOT NULL AS BIGINT) AS observed
+        |FROM w ORDER BY user_id, day""".stripMargin)
 }
