@@ -327,7 +327,33 @@ object CurationQueries extends QueryPack {
     "q95_incremental_agg" -> (q95 _),
     "q98_lm_doc_score" -> (q98 _),
     "q99_split_assign" -> (q99 _),
-    "q101_histogram" -> (q101 _))
+    "q101_histogram" -> (q101 _),
+    "q132_token_budget" -> (q132 _))
+
+  /** Token-budget curation: each source's documents, ranked best-first
+    * (longest, doc_id tiebreak — stand-in for a quality score), greedily
+    * fill a fixed 800-token budget; the kept set is the ranked prefix
+    * whose running token sum stays inside the budget. This is the
+    * final assembly step of a training-data mixture — "give me the best
+    * N tokens per source" — and it is ONE window pass per source
+    * (running sum over the ranked order), not an iterative driver loop:
+    * the budget predicate on the cumulative sum IS the greedy
+    * algorithm. Integer token counts, integer sums — nothing to
+    * diverge. At 100 TB the window is per-source (keyed shuffle);
+    * a skewed mega-source pays one partition's sort, and the budget
+    * makes the KEPT set tiny regardless of input size. */
+  private def q132(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(col("n_tokens").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .filter(col("cum_tokens") <= 800L)
+      .select("source", "doc_id", "n_tokens", "cum_tokens")
+      .orderBy("source", "doc_id")
+  }
 
   val oracle: Map[String, String] = Map(
     "q79_bigram_counts" ->
@@ -501,5 +527,21 @@ object CurationQueries extends QueryPack {
          |SELECT ${intDivSql("(vc - lo) * 20", "hi - lo + 1")} AS bin,
          |  count(*) AS n, min(vc) AS min_c, max(vc) AS max_c
          |FROM ev, b GROUP BY 1 ORDER BY 1""".stripMargin
-    })
+    },
+    "q132_token_budget" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, sum(n_tokens) OVER (
+        |    PARTITION BY source ORDER BY n_tokens DESC, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS cum_tokens
+        |  FROM d)
+        |SELECT source, doc_id, n_tokens, CAST(cum_tokens AS BIGINT)
+        |  AS cum_tokens
+        |FROM c WHERE cum_tokens <= 800
+        |ORDER BY source, doc_id""".stripMargin)
 }

@@ -217,7 +217,34 @@ object EventOpsQueries extends QueryPack {
     "q85_rolling_window" -> (q85 _),
     "q88_funnel" -> (q88 _),
     "q96_weighted_sample" -> (q96 _),
-    "q127_cohort_retention" -> (q127 _))
+    "q127_cohort_retention" -> (q127 _),
+    "q133_rolling_dau" -> (q133 _))
+
+  /** Rolling 7-day distinct active users per day — the windowed-distinct
+    * aggregate `count(DISTINCT) OVER (RANGE 7 days)` that no engine
+    * computes incrementally (distinct doesn't decompose over sliding
+    * frames). The scalable EXACT shape: distinct (user, day) first
+    * (collapses the raw stream), then each activity day fans out to the
+    * ≤ 7 window days it is visible in — a BOUNDED explode, factor =
+    * window length, nothing like the raw row count — and one distinct
+    * count per day. At 100 TB the approximate path swaps the final
+    * aggregate for per-day HLL sketch merges (q72's machinery); the
+    * fan-out shape is identical. Day D counts users active in [D−6, D];
+    * the grid is clamped to the observed day range. */
+  private def q133(s: SparkSession, dir: String): DataFrame = {
+    val ud = ev(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val bounds = ud.agg(max("d").as("dmax"))
+    ud.crossJoin(broadcast(bounds))
+      .select(col("user_id"), explode(expr(
+        "sequence(d, least(date_add(d, 6), dmax), interval 1 day)"))
+        .as("day"))
+      .groupBy("day")
+      .agg(countDistinct(col("user_id")).as("dau_7d"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("dau_7d"))
+      .orderBy("day")
+  }
 
   val oracle: Map[String, String] = Map(
     "q69_cdc_merge" -> {
@@ -321,5 +348,18 @@ object EventOpsQueries extends QueryPack {
         |SELECT strftime(w0, '%Y-%m-%d') AS cohort_week,
         |  CAST(date_diff('day', w0, wk) / 7 AS BIGINT) AS week_offset,
         |  count(*) AS users
-        |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q133_rolling_dau" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |b AS (SELECT max(d) AS dmax FROM ud),
+        |x AS (
+        |  SELECT user_id,
+        |    CAST(unnest(generate_series(CAST(d AS TIMESTAMP),
+        |      CAST(least(d + 6, dmax) AS TIMESTAMP), INTERVAL 1 DAY))
+        |      AS DATE) AS day
+        |  FROM ud CROSS JOIN b)
+        |SELECT strftime(day, '%Y-%m-%d') AS day,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS dau_7d
+        |FROM x GROUP BY day ORDER BY day""".stripMargin)
 }
