@@ -27,39 +27,66 @@ object QualityQueries extends QueryPack {
   /** Referential-integrity audit: orphan-foreign-key census over every FK
     * edge of the star schema (the lakehouse constraint check a warehouse
     * would enforce with DDL — here it's a query, because 100 TB fact
-    * tables don't get FK indexes). Each edge is ONE left-anti join keyed
-    * on the FK — dims broadcast, facts never shuffle for the small-parent
-    * edges — and the per-edge one-row aggregates union into the report.
-    * A NULL FK never matches, so it counts as an orphan in both engines
-    * (anti-join and NOT EXISTS agree on that semantics). The synthetic
-    * tables are fully consistent (all-zero orphan counts), so the
-    * orphan-counting path itself — real orphans and NULL FKs — is pinned
-    * by QualitySpec on a violated fixture. */
-  def fkEdge(name: String, child: DataFrame, ck: String,
-             parent: DataFrame, pk: String): DataFrame = {
-    val n = child.agg(count(lit(1)).as("n_child"))
-    val o = child.join(parent.select(col(pk)), child(ck) === col(pk),
-        "left_anti")
-      .agg(count(lit(1)).as("n_orphan"))
-    n.crossJoin(o).select(lit(name).as("fk_edge"),
-      col("n_child"), col("n_orphan"))
+    * tables don't get FK indexes). Edges GROUP BY CHILD table so each
+    * child scans once no matter how many parents it references (see
+    * [[fkAudit]]); a NULL FK never joins, so it counts as an orphan in
+    * both engines (left-join-null and NOT EXISTS agree on that
+    * semantics). The synthetic tables are fully consistent (all-zero
+    * orphan counts), so the orphan-counting path itself — real orphans
+    * and NULL FKs — is pinned by DataQualitySpec on a violated fixture. */
+  /** All of one child table's FK edges audited in a SINGLE scan: the
+    * child chains one left join per parent (parents are PK-side, so row
+    * count is preserved — uniqueness is the schema invariant this audit
+    * presumes for parents while checking children), orphan counts fall
+    * out as null-parent-key sums in ONE aggregation, and `stack` unpivots
+    * the 1-row aggregate into per-edge report rows without re-running the
+    * plan per edge (a per-edge anti-join formulation scans the child once
+    * PER EDGE — 3× for lineitem). Parents broadcast: even a 1.5 B-row
+    * orders key column is the small side next to a 100 TB lineitem. */
+  def fkAudit(child: DataFrame,
+              edges: Seq[(String, String, DataFrame, String)]): DataFrame = {
+    val joined = edges.zipWithIndex.foldLeft(child) {
+      case (df, ((_, ck, parent, pk), i)) =>
+        df.join(broadcast(parent.select(col(pk).as(s"__pk$i"))),
+          df(ck) === col(s"__pk$i"), "left")
+    }
+    val aggs = count(lit(1)).as("n_child") +:
+      edges.indices.map(i =>
+        sum(col(s"__pk$i").isNull.cast("long")).as(s"__o$i"))
+    val stackArgs = edges.zipWithIndex
+      .map { case ((name, _, _, _), i) => s"'$name', __o$i" }
+      .mkString(", ")
+    joined.agg(aggs.head, aggs.tail: _*)
+      .select(
+        expr(s"stack(${edges.size}, $stackArgs) AS (fk_edge, n_orphan)"),
+        col("n_child"))
+      .select("fk_edge", "n_child", "n_orphan")
   }
+
+  /** One FK edge — the single-edge face of [[fkAudit]]. */
+  def fkEdge(name: String, child: DataFrame, ck: String,
+             parent: DataFrame, pk: String): DataFrame =
+    fkAudit(child, Seq((name, ck, parent, pk)))
 
   private def q130(s: SparkSession, dir: String): DataFrame = {
     val t = (n: String) => Tables.load(s, dir, n)
     Seq(
-      fkEdge("customer.c_nationkey->nation", t("customer"), "c_nationkey",
-        t("nation"), "n_nationkey"),
-      fkEdge("events.user_id->customer", t("events"), "user_id",
-        t("customer"), "c_custkey"),
-      fkEdge("lineitem.l_orderkey->orders", t("lineitem"), "l_orderkey",
-        t("orders"), "o_orderkey"),
-      fkEdge("lineitem.l_partkey->part", t("lineitem"), "l_partkey",
-        t("part"), "p_partkey"),
-      fkEdge("lineitem.l_suppkey->supplier", t("lineitem"), "l_suppkey",
-        t("supplier"), "s_suppkey"),
-      fkEdge("orders.o_custkey->customer", t("orders"), "o_custkey",
-        t("customer"), "c_custkey"))
+      fkAudit(t("customer"), Seq(
+        ("customer.c_nationkey->nation", "c_nationkey",
+          t("nation"), "n_nationkey"))),
+      fkAudit(t("events"), Seq(
+        ("events.user_id->customer", "user_id",
+          t("customer"), "c_custkey"))),
+      fkAudit(t("lineitem"), Seq(
+        ("lineitem.l_orderkey->orders", "l_orderkey",
+          t("orders"), "o_orderkey"),
+        ("lineitem.l_partkey->part", "l_partkey",
+          t("part"), "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "l_suppkey",
+          t("supplier"), "s_suppkey"))),
+      fkAudit(t("orders"), Seq(
+        ("orders.o_custkey->customer", "o_custkey",
+          t("customer"), "c_custkey"))))
       .reduce(_ unionByName _)
       .orderBy("fk_edge")
   }

@@ -86,4 +86,23 @@ class DataQualitySpec extends SparkSuite {
     assert(row.getLong(1) == 4L) // all child rows counted
     assert(row.getLong(2) == 2L) // the unmatched 9L AND the NULL fk
   }
+
+  test("fkAudit audits several edges of one child in a single pass") {
+    val s = spark
+    import s.implicits._
+    val pa = Seq(1L, 2L).toDF("pa")
+    val pb = Seq(10L, 20L, 30L).toDF("pb")
+    val child = Seq(
+      (Some(1L), Some(10L)),
+      (Some(2L), Some(99L)), // orphan on edge b only
+      (Option.empty[Long], Some(30L)) // NULL fk → orphan on edge a only
+    ).toDF("fa", "fb")
+    val rows = graft.queries.QualityQueries
+      .fkAudit(child, Seq(
+        ("c.fa->pa", "fa", pa, "pa"),
+        ("c.fb->pb", "fb", pb, "pb")))
+      .orderBy("fk_edge").collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq == Seq(("c.fa->pa", 3L, 1L), ("c.fb->pb", 3L, 1L)))
+  }
 }
