@@ -41,6 +41,22 @@ object StreamingOps {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("session_value"))
 
+  /** Sliding 7-day / 1-day-slide approximate distinct users — the
+    * streaming face of q133's rolling DAU. Exact distinct cannot stream
+    * over sliding frames (distinct doesn't decompose, and per-window
+    * exact state would hold every user id seven times); HLL++ state is
+    * O(sketch) per window and merges incrementally, which is precisely
+    * the q133 scaladoc's documented 100 TB path. Windows align to UTC
+    * midnights (epoch-aligned daily slide), so window.end − 1 day IS the
+    * batch query's day key; StreamingSpec pins the ≤5% agreement against
+    * the exact batch twin. */
+  def rollingDau(events: DataFrame, rsd: Double = 0.01): DataFrame =
+    events
+      .withWatermark("ts", "8 days")
+      .groupBy(window(col("ts"), "7 days", "1 day"))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("approx_dau"))
+      .select(col("window.end").as("win_end"), col("approx_dau"))
+
   /** Stream-stream interval join: each purchase joins the clicks of the
     * same user within the preceding hour. Both sides carry watermarks and
     * the join condition bounds event-time distance, so state on both sides

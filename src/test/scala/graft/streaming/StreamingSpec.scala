@@ -142,6 +142,27 @@ class StreamingSpec extends SparkSuite {
     assert(batch.toSeq == viaFlags.toSeq)
   }
 
+  test("streaming 7-day rolling DAU tracks the exact batch twin within 5%") {
+    val q = StreamingOps.rollingDau(eventsStream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("dau_eq").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("dau_eq")
+      .select(date_format(expr("win_end - interval 1 day"), "yyyy-MM-dd")
+          .as("day"),
+        col("approx_dau"))
+    val batch = graft.SparkEntry.queries("q133_rolling_dau")(spark, sf)
+    val j = batch.alias("b").join(streamed.alias("s"), "day")
+    // every batch day has a streamed window (streaming also emits windows
+    // past the batch grid's dmax clamp — those have no exact twin)
+    assert(j.count() == batch.count() && batch.count() >= 20)
+    val worst = j.select(
+        (abs(col("approx_dau") - col("dau_7d")).cast("double") /
+          col("dau_7d").cast("double")).as("rel"))
+      .agg(max("rel")).head().getDouble(0)
+    assert(worst <= 0.05, s"approx DAU diverged by $worst relative")
+  }
+
   test("stream-stream interval join matches the batch interval join") {
     val q = StreamingOps.purchaseClickJoin(eventsStream)
       .writeStream.outputMode("append")
