@@ -63,9 +63,45 @@ object GraphQueries extends QueryPack {
           * 1000000.0 + 0.5) AS BIGINT) END""").as("assortativity_e6"))
   }
 
+  /** Bounded-round k-core peel (k=3, 4 rounds) over the part co-order
+    * graph: each round drops every node whose CURRENT degree is below k,
+    * then every edge that lost an endpoint — the standard iterative
+    * density filter (dup-cluster cores, spam-farm detection). Per round:
+    * one degree aggregation + two keyed semi-join filters, O(edges)
+    * shuffle, with the surviving edge set localCheckpoint'ed so round
+    * r+1 replans against a materialized table instead of r nested
+    * subtrees (the q108Stages discipline). The ROUND COUNT is part of
+    * the operator contract (like q97's 3 PageRank rounds): both engines
+    * peel exactly 4 rounds, so the census matches even if the peel has
+    * not reached its fixpoint. Census rows are all-BIGINT. */
+  private def q134(s: SparkSession, dir: String): DataFrame = {
+    val k = 3
+    val rounds = 4
+    val (edges0, _, _) = TemporalQueries.q108Stages(s, dir, checkpoint = true)
+    var edges = edges0
+    val stats = Seq.newBuilder[(Long, Long, Long)]
+    for (r <- 1 to rounds) {
+      val deg = edges.select(col("u").as("n"))
+        .unionAll(edges.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select("n")
+      val next = edges
+        .join(keep.select(col("n").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("n").as("v")), Seq("v"), "left_semi")
+        .select("u", "v")
+        .localCheckpoint(true)
+      stats += ((r.toLong, keep.count(), next.count()))
+      edges = next
+    }
+    val spark = s
+    import spark.implicits._
+    stats.result().toDF("round", "n_nodes", "n_edges")
+  }
+
   val defs: Map[String, Q] = Map(
     "q97_pagerank" -> (q97 _),
-    "q119_assortativity" -> (q119 _))
+    "q119_assortativity" -> (q119 _),
+    "q134_kcore" -> (q134 _))
 
   val oracle: Map[String, String] = Map(
     "q97_pagerank" -> {
@@ -132,5 +168,38 @@ object GraphQueries extends QueryPack {
         |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
         |    ELSE CAST(floor(((n * sxy - sx * sx) / (n * sxx - sx * sx))
         |      * 1000000.0 + 0.5) AS BIGINT) END AS assortativity_e6
-        |FROM sums""".stripMargin)
+        |FROM sums""".stripMargin,
+    "q134_kcore" -> {
+      // same edge build as q108/q119; one peel round per chained CTE
+      val peel = (1 to 4).map { r =>
+        val prev = if (r == 1) "edges" else s"e${r - 1}"
+        s"""d$r AS MATERIALIZED (
+           |  SELECT n, count(*) AS deg FROM (
+           |    SELECT u AS n FROM $prev UNION ALL SELECT v FROM $prev)
+           |  GROUP BY n),
+           |k$r AS MATERIALIZED (SELECT n FROM d$r WHERE deg >= 3),
+           |e$r AS MATERIALIZED (
+           |  SELECT u, v FROM $prev
+           |  WHERE u IN (SELECT n FROM k$r)
+           |    AND v IN (SELECT n FROM k$r))""".stripMargin
+      }.mkString(",\n")
+      val census = (1 to 4).map { r =>
+        s"""SELECT CAST($r AS BIGINT) AS round,
+           |  (SELECT count(*) FROM k$r) AS n_nodes,
+           |  (SELECT count(*) FROM e$r) AS n_edges""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH op AS (
+         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS pt FROM lineitem
+         |  WHERE year(l_shipdate) = 1995),
+         |capped AS (
+         |  SELECT o FROM op GROUP BY o HAVING count(*) <= 40),
+         |pairs AS (SELECT op.o, op.pt FROM op JOIN capped USING (o)),
+         |edges AS MATERIALIZED (
+         |  SELECT DISTINCT a.pt AS u, b.pt AS v
+         |  FROM pairs a JOIN pairs b ON a.o = b.o AND a.pt < b.pt),
+         |$peel
+         |SELECT * FROM (
+         |$census
+         |) ORDER BY round""".stripMargin
+    })
 }

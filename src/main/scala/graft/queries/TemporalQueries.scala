@@ -526,13 +526,13 @@ object TemporalQueries extends QueryPack {
     * work (q105's per-type grid is fully observed at every SF, which
     * would leave interpolation dead code); each missing day then sees its nearest
     * observed neighbors on both sides via two ignoreNulls window passes
-    * over ONE ascending (type, day) sort (backward last + forward first —
+    * over ONE ascending (user, day) sort (backward last + forward first —
     * the q124 interleave trick, zero joins beyond the grid's own), and
     * the interpolated value is emitted as an EXACT integer rational:
     * num = v0·(t1−t) + v1·(t−t0), den = t1−t0 (days). No division ever
     * happens engine-side, so there is no float channel to diverge — the
     * q112/q120/q122 discipline. Observed days emit (cents, 1). The grid
-    * spans [min obs, max obs] per type, so both neighbors always exist. */
+    * spans [min obs, max obs] per user, so both neighbors always exist. */
   private def q131(s: SparkSession, dir: String): DataFrame = {
     val e = ev(s, dir)
       .withColumn("day", to_date(col("ts")))
