@@ -517,7 +517,41 @@ object TemporalQueries extends QueryPack {
     "q123_seasonal_baseline" -> (q123 _),
     "q124_forward_asof" -> (q124 _),
     "q126_rolling_corr" -> (q126 _),
-    "q131_interpolate" -> (q131 _))
+    "q131_interpolate" -> (q131 _),
+    "q135_cusum" -> (q135 _))
+
+  /** CUSUM change-point detection per event_type — the drift monitor a
+    * pipeline puts on its daily volume/value series. The cumulative sum
+    * of deviations-from-mean is kept EXACTLY integer by scaling through
+    * the day count: cusum_k = Σ_{d≤k} (T_d·D − S) where T_d is the day's
+    * cents total, D the day count and S the series total — the mean
+    * never materializes as a float, the series provably returns to zero
+    * at d=D, and the peak |cusum| day is the candidate change point.
+    * One daily aggregate, a broadcast per-type (D, S) row, one running
+    * window, one argmax window — two keyed shuffles end to end. */
+  private def q135(s: SparkSession, dir: String): DataFrame = {
+    val daily = ev(s, dir)
+      .filter(col("value").isNotNull) // engines order NULL |cusum| differently
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(Rounding.sumCents(Rounding.cents(col("value"))).as("t"))
+    val totals = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("dcount"),
+        Rounding.sumCents(col("t")).as("stotal"))
+    val wRun = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPeak = Window.partitionBy("event_type")
+      .orderBy(abs(col("cusum")).desc, col("day"))
+    daily.join(broadcast(totals), "event_type")
+      .withColumn("cusum",
+        sum((col("t") * col("dcount") - col("stotal"))
+          .cast("decimal(38,0)")).over(wRun).cast("long"))
+      .withColumn("rn", row_number().over(wPeak))
+      .filter(col("rn") === 1)
+      .select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("peak_day"),
+        col("cusum").as("peak_cusum"), col("dcount").as("n_days"))
+      .orderBy("event_type")
+  }
 
   /** Calendar gap-fill with LINEAR interpolation — the `resample()
     * .interpolate()` twin of q105's forward fill. Same per-(type, day)
@@ -875,5 +909,29 @@ object TemporalQueries extends QueryPack {
         |  CAST(CASE WHEN cents IS NOT NULL THEN 1
         |    ELSE date_diff('day', t0, t1) END AS BIGINT) AS interp_den,
         |  CAST(cents IS NOT NULL AS BIGINT) AS observed
-        |FROM w ORDER BY user_id, day""".stripMargin)
+        |FROM w ORDER BY user_id, day""".stripMargin,
+    "q135_cusum" ->
+      s"""WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    ${Rounding.sumCentsSql(Rounding.centsSql("value"))} AS t
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT event_type, count(*) AS dcount,
+        |    ${Rounding.sumCentsSql("t")} AS stotal
+        |  FROM daily GROUP BY 1),
+        |c AS (
+        |  SELECT d.event_type, d.day, tot.dcount,
+        |    CAST(sum(CAST(d.t * tot.dcount - tot.stotal
+        |      AS DECIMAL(38,0))) OVER (
+        |      PARTITION BY d.event_type ORDER BY d.day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cusum
+        |  FROM daily d JOIN tot USING (event_type)),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |      ORDER BY abs(cusum) DESC, day) AS rn
+        |  FROM c)
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS peak_day,
+        |  cusum AS peak_cusum, dcount AS n_days
+        |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin)
 }
