@@ -609,29 +609,29 @@ object TemporalQueries extends QueryPack {
   val oracle: Map[String, String] = Map(
     "q105_gapfill_ffill" ->
       s"""WITH obs0 AS (
-        |  SELECT user_id, CAST(ts AS DATE) AS day, $centsV AS cents,
-        |    row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+        |  SELECT event_type, CAST(ts AS DATE) AS day, $centsV AS cents,
+        |    row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
         |      ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events),
-        |obs AS (SELECT user_id, day, cents FROM obs0 WHERE rn = 1),
+        |obs AS (SELECT event_type, day, cents FROM obs0 WHERE rn = 1),
         |bounds AS (
-        |  SELECT user_id, min(day) AS dmin, max(day) AS dmax
-        |  FROM obs GROUP BY user_id),
+        |  SELECT event_type, min(day) AS dmin, max(day) AS dmax
+        |  FROM obs GROUP BY event_type),
         |grid AS (
-        |  SELECT user_id,
+        |  SELECT event_type,
         |    CAST(unnest(generate_series(CAST(dmin AS TIMESTAMP),
         |      CAST(dmax AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
         |  FROM bounds),
         |j AS (
-        |  SELECT g.user_id, g.day, o.cents
+        |  SELECT g.event_type, g.day, o.cents
         |  FROM grid g LEFT JOIN obs o
-        |    ON g.user_id = o.user_id AND g.day = o.day)
-        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+        |    ON g.event_type = o.event_type AND g.day = o.day)
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
         |  last_value(cents IGNORE NULLS) OVER (
-        |    PARTITION BY user_id ORDER BY day
+        |    PARTITION BY event_type ORDER BY day
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_cents,
         |  CAST(cents IS NOT NULL AS BIGINT) AS observed
-        |FROM j ORDER BY user_id, day""".stripMargin,
+        |FROM j ORDER BY event_type, day""".stripMargin,
     "q106_unpivot" -> {
       def m(metric: String, expr: String) =
         s"""SELECT l_orderkey, l_linenumber, '$metric' AS metric,
@@ -645,35 +645,35 @@ object TemporalQueries extends QueryPack {
     },
     "q107_mad_outliers" ->
       s"""WITH e AS (
-        |  SELECT user_id, event_id, $centsV AS cents FROM events),
+        |  SELECT event_type, event_id, $centsV AS cents FROM events),
         |r1 AS (
-        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
         |      ORDER BY cents, event_id) AS rn,
-        |    count(*) OVER (PARTITION BY user_id) AS cnt
+        |    count(*) OVER (PARTITION BY event_type) AS cnt
         |  FROM e),
         |med AS (
-        |  SELECT user_id, cents AS median_cents
+        |  SELECT event_type, cents AS median_cents
         |  FROM r1 WHERE rn = (cnt + 1) // 2),
         |dev AS (
-        |  SELECT e.user_id, e.event_id,
+        |  SELECT e.event_type, e.event_id,
         |    abs(e.cents - m.median_cents) AS adev, m.median_cents
-        |  FROM e JOIN med m ON e.user_id = m.user_id),
+        |  FROM e JOIN med m ON e.event_type = m.event_type),
         |r2 AS (
-        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
         |      ORDER BY adev, event_id) AS rn,
-        |    count(*) OVER (PARTITION BY user_id) AS cnt
+        |    count(*) OVER (PARTITION BY event_type) AS cnt
         |  FROM dev),
         |mad AS (
-        |  SELECT user_id, adev AS mad_cents
+        |  SELECT event_type, adev AS mad_cents
         |  FROM r2 WHERE rn = (cnt + 1) // 2)
-        |SELECT d.user_id,
+        |SELECT d.event_type,
         |  CAST(min(d.median_cents) AS BIGINT) AS median_cents,
         |  CAST(min(m.mad_cents) AS BIGINT) AS mad_cents,
         |  CAST(sum(CAST(d.adev > 3 * m.mad_cents AS BIGINT)) AS BIGINT)
         |    AS n_outliers,
         |  count(*) AS n
-        |FROM dev d JOIN mad m ON d.user_id = m.user_id
-        |GROUP BY d.user_id ORDER BY d.user_id""".stripMargin,
+        |FROM dev d JOIN mad m ON d.event_type = m.event_type
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
     "q108_triangles" ->
       """WITH op AS (
         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS pt FROM lineitem
@@ -707,7 +707,7 @@ object TemporalQueries extends QueryPack {
     "q110_cum_distinct" ->
       """WITH f AS (
         |  SELECT event_id, user_id, ts,
-        |    CAST(row_number() OVER (PARTITION BY user_id, user_id
+        |    CAST(row_number() OVER (PARTITION BY user_id, event_type
         |      ORDER BY ts, event_id) = 1 AS BIGINT) AS first_flag
         |  FROM events)
         |SELECT event_id, user_id,
@@ -719,18 +719,18 @@ object TemporalQueries extends QueryPack {
         |FROM f ORDER BY event_id""".stripMargin,
     "q111_ohlc_bars" -> {
       s"""WITH e AS (
-        |  SELECT user_id,
+        |  SELECT event_type,
         |    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS bar,
         |    ts, event_id, $centsV AS cents
         |  FROM events),
         |r AS (
         |  SELECT *,
-        |    row_number() OVER (PARTITION BY user_id, bar
+        |    row_number() OVER (PARTITION BY event_type, bar
         |      ORDER BY ts, event_id) AS rn_a,
-        |    row_number() OVER (PARTITION BY user_id, bar
+        |    row_number() OVER (PARTITION BY event_type, bar
         |      ORDER BY ts DESC, event_id DESC) AS rn_d
         |  FROM e)
-        |SELECT user_id, bar,
+        |SELECT event_type, bar,
         |  CAST(max(CASE WHEN rn_a = 1 THEN cents END) AS BIGINT)
         |    AS open_cents,
         |  CAST(max(cents) AS BIGINT) AS high_cents,
@@ -739,29 +739,29 @@ object TemporalQueries extends QueryPack {
         |    AS close_cents,
         |  count(*) AS n_ticks,
         |  ${Rounding.sumCentsSql("cents")} AS sum_cents
-        |FROM r GROUP BY user_id, bar ORDER BY user_id, bar""".stripMargin
+        |FROM r GROUP BY event_type, bar ORDER BY event_type, bar""".stripMargin
     },
     "q112_twap" -> {
       s"""WITH e AS (
-        |  SELECT user_id, CAST(ts AS DATE) AS day, event_id,
+        |  SELECT event_type, CAST(ts AS DATE) AS day, event_id,
         |    $centsV AS cents, epoch_us(ts) AS us
         |  FROM events),
         |d AS (
         |  SELECT *,
         |    coalesce(
-        |      lead(us) OVER (PARTITION BY user_id, day
+        |      lead(us) OVER (PARTITION BY event_type, day
         |        ORDER BY us, event_id),
         |      epoch_us(CAST(day + INTERVAL 1 DAY AS TIMESTAMP))) AS next_us
         |  FROM e),
         |w AS (
-        |  SELECT user_id, day, cents,
+        |  SELECT event_type, day, cents,
         |    (next_us - us) // 1000000 AS dur_sec
         |  FROM d)
-        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
         |  ${Rounding.sumCentsSql("cents * dur_sec")} AS twap_num_centsec,
         |  ${Rounding.sumCentsSql("dur_sec")} AS twap_den_sec,
         |  count(*) AS n_obs
-        |FROM w GROUP BY user_id, day ORDER BY user_id, day""".stripMargin
+        |FROM w GROUP BY event_type, day ORDER BY event_type, day""".stripMargin
     },
     "q113_bfs_reach" ->
       """WITH RECURSIVE op AS (
@@ -787,10 +787,10 @@ object TemporalQueries extends QueryPack {
         |  SELECT user_id, ts AS valid_from, $centsV AS state_cents,
         |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
         |      AS valid_to
-        |  FROM events WHERE user_id = 'purchase'),
+        |  FROM events WHERE event_type = 'purchase'),
         |probe AS (
         |  SELECT event_id, user_id, ts FROM events
-        |  WHERE user_id = 'click')
+        |  WHERE event_type = 'click')
         |SELECT p.event_id, p.user_id,
         |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts, d.state_cents
         |FROM probe p LEFT JOIN dim d
@@ -799,42 +799,42 @@ object TemporalQueries extends QueryPack {
         |ORDER BY p.event_id""".stripMargin,
     "q120_daily_returns" ->
       s"""WITH closes0 AS (
-        |  SELECT user_id, CAST(ts AS DATE) AS day, $centsV AS cents,
-        |    row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+        |  SELECT event_type, CAST(ts AS DATE) AS day, $centsV AS cents,
+        |    row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
         |      ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events),
         |closes AS (
-        |  SELECT user_id, day, cents AS close_cents
+        |  SELECT event_type, day, cents AS close_cents
         |  FROM closes0 WHERE rn = 1)
-        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day, close_cents,
-        |  close_cents - lag(close_cents) OVER (PARTITION BY user_id
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, close_cents,
+        |  close_cents - lag(close_cents) OVER (PARTITION BY event_type
         |    ORDER BY day) AS ret_num_cents,
-        |  lag(close_cents) OVER (PARTITION BY user_id ORDER BY day)
+        |  lag(close_cents) OVER (PARTITION BY event_type ORDER BY day)
         |    AS ret_den_cents
-        |FROM closes ORDER BY user_id, day""".stripMargin,
+        |FROM closes ORDER BY event_type, day""".stripMargin,
     "q122_ewma_dyadic" -> q122Sql,
     "q123_seasonal_baseline" ->
       s"""WITH e AS (
-         |  SELECT user_id, CAST(hour(ts) AS BIGINT) AS hod,
+         |  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
          |    $centsV AS vc
          |  FROM events WHERE value IS NOT NULL),
          |b AS (
-         |  SELECT user_id, hod, count(*) AS bn,
+         |  SELECT event_type, hod, count(*) AS bn,
          |    ${Rounding.sumCentsSql("vc")} AS bs
-         |  FROM e GROUP BY user_id, hod)
-         |SELECT e.user_id, e.hod, min(bn) AS n,
+         |  FROM e GROUP BY event_type, hod)
+         |SELECT e.event_type, e.hod, min(bn) AS n,
          |  CAST(sum(CAST(e.vc * bn > bs * 2 AS BIGINT)) AS BIGINT)
          |    AS n_above
-         |FROM e JOIN b USING (user_id, hod)
-         |GROUP BY e.user_id, e.hod
-         |ORDER BY e.user_id, e.hod""".stripMargin,
+         |FROM e JOIN b USING (event_type, hod)
+         |GROUP BY e.event_type, e.hod
+         |ORDER BY e.event_type, e.hod""".stripMargin,
     "q124_forward_asof" ->
       s"""WITH clicks AS (
          |  SELECT event_id, user_id, ts FROM events
-         |  WHERE user_id = 'click'),
+         |  WHERE event_type = 'click'),
          |buys AS (
          |  SELECT event_id, user_id, ts, $centsV AS cents FROM events
-         |  WHERE user_id = 'purchase' AND value IS NOT NULL),
+         |  WHERE event_type = 'purchase' AND value IS NOT NULL),
          |nxt AS (
          |  SELECT c.event_id, p.event_id AS np_eid, p.cents,
          |    row_number() OVER (PARTITION BY c.event_id
@@ -848,7 +848,7 @@ object TemporalQueries extends QueryPack {
          |ORDER BY c.event_id""".stripMargin,
     "q126_rolling_corr" ->
       s"""WITH e AS (
-         |  SELECT event_id, user_id, ts, $centsV AS x,
+         |  SELECT event_id, event_type, ts, $centsV AS x,
          |    CAST(length(props) AS BIGINT) AS y
          |  FROM events WHERE value IS NOT NULL AND props IS NOT NULL),
          |s AS (
@@ -860,7 +860,7 @@ object TemporalQueries extends QueryPack {
          |    CAST(sum(x * x) OVER w AS DOUBLE) AS sxx,
          |    CAST(sum(y * y) OVER w AS DOUBLE) AS syy
          |  FROM e
-         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
          |    ROWS BETWEEN 49 PRECEDING AND CURRENT ROW))
          |SELECT event_id, CAST(n AS BIGINT) AS n_frame,
          |  CASE WHEN n < 10 OR n * sxx - sx * sx = 0
