@@ -218,7 +218,27 @@ object EventOpsQueries extends QueryPack {
     "q88_funnel" -> (q88 _),
     "q96_weighted_sample" -> (q96 _),
     "q127_cohort_retention" -> (q127 _),
-    "q133_rolling_dau" -> (q133 _))
+    "q133_rolling_dau" -> (q133 _),
+    "q137_transitions" -> (q137 _))
+
+  /** Event-type transition counts (the first-order Markov statistics of
+    * user behavior — the input to next-action models and funnel-drop
+    * diagnostics): each user's event stream in (ts, event_id) order
+    * yields (previous type → current type) pairs via one lag window,
+    * then one count per ordered pair. Two keyed shuffles (user, then
+    * pair); the output is O(types²) regardless of input size. Stream
+    * starts (no previous event) are counted against the synthetic
+    * '_start' state so rows entering the system are visible too. */
+  private def q137(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    ev(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("from_type",
+        coalesce(lag("event_type", 1).over(w), lit("_start")))
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("from_type", "to_type")
+  }
 
   /** Rolling 7-day distinct active users per day — the windowed-distinct
     * aggregate `count(DISTINCT) OVER (RANGE 7 days)` that no engine
@@ -361,5 +381,13 @@ object EventOpsQueries extends QueryPack {
         |  FROM ud CROSS JOIN b)
         |SELECT strftime(day, '%Y-%m-%d') AS day,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS dau_7d
-        |FROM x GROUP BY day ORDER BY day""".stripMargin)
+        |FROM x GROUP BY day ORDER BY day""".stripMargin,
+    "q137_transitions" ->
+      """WITH l AS (
+        |  SELECT coalesce(lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id), '_start') AS from_type,
+        |    event_type AS to_type
+        |  FROM events)
+        |SELECT from_type, to_type, count(*) AS n
+        |FROM l GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 }

@@ -91,9 +91,31 @@ object QualityQueries extends QueryPack {
       .orderBy("fk_edge")
   }
 
+  /** k-anonymity census (k=5) over the quasi-identifier triple
+    * (nation, market segment, $1000 account-balance bucket) — the
+    * data-release audit a curation pipeline runs before publishing user-
+    * derived tables: any QI group smaller than k re-identifies its
+    * members and must be suppressed or generalized. One hash aggregation
+    * on the QI columns; the balance bucket is floor(cents/100000) with
+    * the cents grid making the double division boundary-safe (error
+    * ~1e-13 against a 1e-5 grid step). Integer-only output. */
+  private def q136(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.cents
+    Tables.load(s, dir, "customer")
+      .select(col("c_nationkey").cast("long").as("nation"),
+        col("c_mktsegment").as("segment"),
+        floor(cents(col("c_acctbal")).cast("double") / lit(100000.0))
+          .cast("long").as("bal_bucket"))
+      .groupBy("nation", "segment", "bal_bucket")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("anonymous", (col("n") >= 5).cast("long"))
+      .orderBy("nation", "segment", "bal_bucket")
+  }
+
   val defs: Map[String, Q] = Map(
     "q66_quality_report" -> (q66 _),
-    "q130_ref_integrity" -> (q130 _))
+    "q130_ref_integrity" -> (q130 _),
+    "q136_k_anonymity" -> (q136 _))
 
   // one SELECT per check, mirrored shapes; 'license' is a deliberately
   // missing column so the missing-column path is oracle-checked too
@@ -180,5 +202,15 @@ object QualityQueries extends QueryPack {
         |    (SELECT count(*) FROM orders),
         |    (SELECT count(*) FROM orders o WHERE NOT EXISTS
         |      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
-        |) ORDER BY fk_edge""".stripMargin)
+        |) ORDER BY fk_edge""".stripMargin,
+    "q136_k_anonymity" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nation,
+        |  c_mktsegment AS segment,
+        |  CAST(floor(CAST(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)
+        |    AS DOUBLE) / 100000.0) AS BIGINT) AS bal_bucket,
+        |  count(*) AS n,
+        |  CAST(count(*) >= 5 AS BIGINT) AS anonymous
+        |FROM customer
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin)
 }
