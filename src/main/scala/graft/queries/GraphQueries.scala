@@ -84,7 +84,11 @@ object GraphQueries extends QueryPack {
       val deg = edges.select(col("u").as("n"))
         .unionAll(edges.select(col("v").as("n")))
         .groupBy("n").agg(count(lit(1)).as("deg"))
+      // eager-checkpoint the survivor set: keep feeds BOTH semi-joins
+      // and its own count — without this the degree aggregation re-runs
+      // three times per round
       val keep = deg.filter(col("deg") >= k).select("n")
+        .localCheckpoint(true)
       val next = edges
         .join(keep.select(col("n").as("u")), Seq("u"), "left_semi")
         .join(keep.select(col("n").as("v")), Seq("v"), "left_semi")

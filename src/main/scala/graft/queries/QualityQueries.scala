@@ -24,16 +24,6 @@ object QualityQueries extends QueryPack {
         Unique("doc_id"),
         RowCount(min = 1)))
 
-  /** Referential-integrity audit: orphan-foreign-key census over every FK
-    * edge of the star schema (the lakehouse constraint check a warehouse
-    * would enforce with DDL — here it's a query, because 100 TB fact
-    * tables don't get FK indexes). Edges GROUP BY CHILD table so each
-    * child scans once no matter how many parents it references (see
-    * [[fkAudit]]); a NULL FK never joins, so it counts as an orphan in
-    * both engines (left-join-null and NOT EXISTS agree on that
-    * semantics). The synthetic tables are fully consistent (all-zero
-    * orphan counts), so the orphan-counting path itself — real orphans
-    * and NULL FKs — is pinned by DataQualitySpec on a violated fixture. */
   /** All of one child table's FK edges audited in a SINGLE scan: the
     * child chains one left join per parent (parents are PK-side, so row
     * count is preserved — uniqueness is the schema invariant this audit
@@ -68,6 +58,16 @@ object QualityQueries extends QueryPack {
              parent: DataFrame, pk: String): DataFrame =
     fkAudit(child, Seq((name, ck, parent, pk)))
 
+  /** Referential-integrity audit: orphan-foreign-key census over every FK
+    * edge of the star schema (the lakehouse constraint check a warehouse
+    * would enforce with DDL — here it's a query, because 100 TB fact
+    * tables don't get FK indexes). Edges GROUP BY CHILD table so each
+    * child scans once no matter how many parents it references (see
+    * [[fkAudit]]); a NULL FK never joins, so it counts as an orphan in
+    * both engines (left-join-null and NOT EXISTS agree on that
+    * semantics). The synthetic tables are fully consistent (all-zero
+    * orphan counts), so the orphan-counting path itself — real orphans
+    * and NULL FKs — is pinned by DataQualitySpec on a violated fixture. */
   private def q130(s: SparkSession, dir: String): DataFrame = {
     val t = (n: String) => Tables.load(s, dir, n)
     Seq(

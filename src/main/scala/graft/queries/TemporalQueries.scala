@@ -543,8 +543,14 @@ object TemporalQueries extends QueryPack {
       .orderBy(abs(col("cusum")).desc, col("day"))
     daily.join(broadcast(totals), "event_type")
       .withColumn("cusum",
-        sum((col("t") * col("dcount") - col("stotal"))
-          .cast("decimal(38,0)")).over(wRun).cast("long"))
+        // factors go to decimal BEFORE the multiply: a t·dcount int64
+        // product overflows at ~1e19 — Spark would wrap silently (ANSI
+        // off) while DuckDB aborts; widths chosen so both engines'
+        // result types stay inside DECIMAL(38,0)
+        sum(col("t").cast("decimal(24,0)") *
+            col("dcount").cast("decimal(8,0)") -
+            col("stotal").cast("decimal(31,0)"))
+          .over(wRun).cast("long"))
       .withColumn("rn", row_number().over(wPeak))
       .filter(col("rn") === 1)
       .select(col("event_type"),
@@ -569,6 +575,8 @@ object TemporalQueries extends QueryPack {
     * spans [min obs, max obs] per user, so both neighbors always exist. */
   private def q131(s: SparkSession, dir: String): DataFrame = {
     val e = ev(s, dir)
+      .filter(col("value").isNotNull) // a NULL-cents first/last obs would
+      // void the 'both neighbors exist' rational contract
       .withColumn("day", to_date(col("ts")))
       .withColumn("cents", Rounding.cents(col("value")))
     val wDay = Window.partitionBy("user_id", "day")
@@ -874,7 +882,7 @@ object TemporalQueries extends QueryPack {
         |  SELECT user_id, CAST(ts AS DATE) AS day, $centsV AS cents,
         |    row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
         |      ORDER BY ts DESC, event_id DESC) AS rn
-        |  FROM events),
+        |  FROM events WHERE value IS NOT NULL),
         |obs AS (SELECT user_id, day, cents FROM obs0 WHERE rn = 1),
         |bounds AS (
         |  SELECT user_id, min(day) AS dmin, max(day) AS dmax
@@ -921,8 +929,9 @@ object TemporalQueries extends QueryPack {
         |  FROM daily GROUP BY 1),
         |c AS (
         |  SELECT d.event_type, d.day, tot.dcount,
-        |    CAST(sum(CAST(d.t * tot.dcount - tot.stotal
-        |      AS DECIMAL(38,0))) OVER (
+        |    CAST(sum(CAST(d.t AS DECIMAL(24,0))
+        |        * CAST(tot.dcount AS DECIMAL(8,0))
+        |        - CAST(tot.stotal AS DECIMAL(31,0))) OVER (
         |      PARTITION BY d.event_type ORDER BY d.day
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |      AS BIGINT) AS cusum
