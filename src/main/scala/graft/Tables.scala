@@ -31,6 +31,7 @@ object Tables {
     // truncation — same value DuckDB produces for its µs timestamps).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     graft.expressions.CosineSimilarity.register(spark)
+    graft.expressions.Gcd.register(spark)
     // runtime twin of GraftExtensions' injectOptimizerRule, for sessions
     // not built via GraftSession (same pattern as AsofJoin.ensureStrategy)
     val rules = Seq(graft.plans.ApproxDistinctRewrite(),

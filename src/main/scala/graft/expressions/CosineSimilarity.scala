@@ -113,6 +113,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("int_gcd"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[Gcd].getName, "int_gcd"),
+      (exprs: Seq[Expression]) => Gcd(exprs(0), exprs(1))))
     e.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
     e.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite())
     e.injectOptimizerRule(_ => graft.plans.MaterializedAgg.Rewrite())

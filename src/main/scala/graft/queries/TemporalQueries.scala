@@ -598,17 +598,27 @@ object TemporalQueries extends QueryPack {
       .withColumn("t0", last(obsDay, ignoreNulls = true).over(wB))
       .withColumn("v1", first("cents", ignoreNulls = true).over(wF))
       .withColumn("t1", first(obsDay, ignoreNulls = true).over(wF))
-      .select(col("user_id"),
-        date_format(col("day"), "yyyy-MM-dd").as("day"),
+      .select(col("user_id"), col("day"),
         when(col("cents").isNotNull, col("cents"))
           .otherwise(
             col("v0") * datediff(col("t1"), col("day")).cast("long") +
             col("v1") * datediff(col("day"), col("t0")).cast("long"))
-          .cast("long").as("interp_num"),
+          .cast("long").as("num0"),
         when(col("cents").isNotNull, lit(1L))
           .otherwise(datediff(col("t1"), col("t0")).cast("long"))
-          .cast("long").as("interp_den"),
+          .cast("long").as("den0"),
         col("cents").isNotNull.cast("long").as("observed"))
+      // canonical reduced rational via the native int_gcd expression:
+      // (3,6) and (1,2) are the same number but different bytes — the
+      // gcd division (exact: g divides both legs; den0 ≥ 1 so g ≥ 1)
+      // makes equal values byte-equal, which downstream dedup/compare
+      // and the hash-based oracle both want
+      .withColumn("g", graft.expressions.Gcd.gcd(col("num0"), col("den0")))
+      .select(col("user_id"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        expr("num0 div g").as("interp_num"),
+        expr("den0 div g").as("interp_den"),
+        col("observed"))
       .orderBy("user_id", "day")
   }
 
@@ -908,16 +918,22 @@ object TemporalQueries extends QueryPack {
         |  WINDOW wb AS (PARTITION BY user_id ORDER BY day
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
         |    wf AS (PARTITION BY user_id ORDER BY day
-        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+        |r AS (
+        |  SELECT user_id, day,
+        |    CAST(CASE WHEN cents IS NOT NULL THEN cents
+        |      ELSE v0 * date_diff('day', day, t1)
+        |         + v1 * date_diff('day', t0, day) END AS BIGINT) AS num0,
+        |    CAST(CASE WHEN cents IS NOT NULL THEN 1
+        |      ELSE date_diff('day', t0, t1) END AS BIGINT) AS den0,
+        |    CAST(cents IS NOT NULL AS BIGINT) AS observed
+        |  FROM w),
+        |g AS (SELECT *, gcd(num0, den0) AS g FROM r)
         |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
-        |  CAST(CASE WHEN cents IS NOT NULL THEN cents
-        |    ELSE v0 * date_diff('day', day, t1)
-        |       + v1 * date_diff('day', t0, day) END AS BIGINT)
-        |    AS interp_num,
-        |  CAST(CASE WHEN cents IS NOT NULL THEN 1
-        |    ELSE date_diff('day', t0, t1) END AS BIGINT) AS interp_den,
-        |  CAST(cents IS NOT NULL AS BIGINT) AS observed
-        |FROM w ORDER BY user_id, day""".stripMargin,
+        |  CAST(num0 // g AS BIGINT) AS interp_num,
+        |  CAST(den0 // g AS BIGINT) AS interp_den,
+        |  observed
+        |FROM g ORDER BY user_id, day""".stripMargin,
     "q135_cusum" ->
       s"""WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day,
