@@ -157,12 +157,49 @@ object CorpusStatsQueries extends QueryPack {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** Cross-source vocabulary overlap — the corpus-mixture diagnostic
+    * ("how lexically similar are my sources?") that steers source
+    * weighting and dedup effort. Per source, the top-50 terms by
+    * frequency (count desc, term asc — total order, engine-agnostic);
+    * then every source pair's common-term count via ONE self-join on the
+    * term of a 20×50-row table. The pair grid is built from the tiny
+    * per-source size table (cross join of O(sources) rows) and
+    * left-joined so zero-overlap pairs still report. Jaccard is left to
+    * the consumer as the exact pair (n_common, n_a + n_b − n_common) —
+    * integers only, the q112 discipline. At 100 TB only the term-count
+    * aggregation touches the data; everything after is O(sources²). */
+  private def q138(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs(s, dir)
+      .select(col("source"),
+        explode(TextAnalysis.tokensCol(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("c").desc, col("tok"))
+    val top = tf.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 50).select("source", "tok")
+    val sizes = top.groupBy("source").agg(count(lit(1)).as("n"))
+    val common = top.select(col("source").as("src1"), col("tok"))
+      .join(top.select(col("source").as("src2"), col("tok")), "tok")
+      .filter(col("src1") < col("src2"))
+      .groupBy("src1", "src2").agg(count(lit(1)).as("n_common"))
+    sizes.select(col("source").as("src1"), col("n").as("n_a"))
+      .crossJoin(sizes.select(col("source").as("src2"), col("n").as("n_b")))
+      .filter(col("src1") < col("src2"))
+      .join(common, Seq("src1", "src2"), "left")
+      .select(col("src1"), col("src2"), col("n_a"), col("n_b"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"))
+      .orderBy("src1", "src2")
+  }
+
   val defs: Map[String, Q] = Map(
     "q114_inverted_index" -> (q114 _),
     "q115_char_entropy" -> (q115 _),
     "q116_winsorize" -> (q116 _),
     "q117_interval_overlap" -> (q117 _),
-    "q121_chunk_overlap" -> (q121 _))
+    "q121_chunk_overlap" -> (q121 _),
+    "q138_vocab_overlap" -> (q138 _))
 
   val oracle: Map[String, String] = Map(
     "q114_inverted_index" ->
@@ -245,5 +282,30 @@ object CorpusStatsQueries extends QueryPack {
         |    AS BIGINT) AS chunk_len,
         |  md5(substr(text, CAST(chunk_id * 150 + 1 AS INT), 200))
         |    AS chunk_md5
-        |FROM c ORDER BY doc_id, chunk_id""".stripMargin)
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "q138_vocab_overlap" ->
+      """WITH raw AS (
+        |  SELECT source,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT source, tok, count(*) AS c FROM raw
+        |       WHERE tok <> '' GROUP BY 1, 2),
+        |top AS (
+        |  SELECT source, tok FROM (
+        |    SELECT source, tok, row_number() OVER (PARTITION BY source
+        |      ORDER BY c DESC, tok) AS rn
+        |    FROM tf)
+        |  WHERE rn <= 50),
+        |sizes AS (SELECT source, count(*) AS n FROM top GROUP BY 1),
+        |common AS (
+        |  SELECT a.source AS src1, b.source AS src2, count(*) AS n_common
+        |  FROM top a JOIN top b ON a.tok = b.tok AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT sa.source AS src1, sb.source AS src2,
+        |  sa.n AS n_a, sb.n AS n_b,
+        |  coalesce(n_common, 0) AS n_common
+        |FROM sizes sa JOIN sizes sb ON sa.source < sb.source
+        |LEFT JOIN common ON common.src1 = sa.source
+        |  AND common.src2 = sb.source
+        |ORDER BY src1, src2""".stripMargin)
 }
