@@ -142,4 +142,35 @@ class PlanSpec extends SparkSuite {
       "interval predicate planned as a nested loop instead of " +
         "equi-join + filter")
   }
+
+  test("q128: pair mining is one scan with array expansion, no self-join") {
+    val p = plan("q128_cooccur")
+    assert(!p.contains("Join"), "pair generation regressed to a self-join")
+    // exactly one data scan: the basket array expands in-place
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1, p)
+  }
+
+  test("q130: the three lineitem FK edges share a single scan") {
+    val p = plan("q130_ref_integrity")
+    val lineitemScans = p.linesIterator
+      .count(l => l.contains("Scan parquet") && l.contains("lineitem"))
+    assert(lineitemScans == 1,
+      s"lineitem scanned $lineitemScans times — edges not grouped by child")
+    assert(p.contains("BroadcastHashJoin"), "parents must broadcast")
+  }
+
+  test("q133: rolling DAU explode is bounded, aggregation stays keyed") {
+    val p = plan("q133_rolling_dau")
+    assert(p.contains("Generate"), "day fan-out should be a generator")
+    // the 1-row dmax bound rides a broadcast (BNLJ over one row is fine);
+    // a CartesianProduct would mean the fact side got cross-joined
+    assert(!p.contains("CartesianProduct"),
+      "the dmax bound must broadcast, not cross-join the fact")
+  }
+
+  test("q132: token-budget fill is one window pass, no iterative driver loop") {
+    val p = plan("q132_token_budget")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1, p)
+  }
 }
