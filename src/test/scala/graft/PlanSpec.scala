@@ -173,4 +173,21 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
     assert(p.linesIterator.count(_.contains("Scan parquet")) == 1, p)
   }
+
+  /** The blanket guard behind all the per-query assertions above: NO
+    * declared query may plan a CartesianProduct — the one physical
+    * operator that cannot survive a 100× scale-up under any parameter.
+    * (Bounded crossJoins of 1-row/centroid frames plan as
+    * BroadcastNestedLoopJoin over a broadcast side, which is fine and
+    * not flagged here.) Eagerly-evaluated queries (iterative operators
+    * that return a collected census) execute on sf0.001 in milliseconds;
+    * everything else only plans. */
+  test("no declared query plans a CartesianProduct") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val p = fn(spark, sf).queryExecution.executedPlan.toString
+        if (p.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
 }
