@@ -328,7 +328,35 @@ object CurationQueries extends QueryPack {
     "q98_lm_doc_score" -> (q98 _),
     "q99_split_assign" -> (q99 _),
     "q101_histogram" -> (q101 _),
-    "q132_token_budget" -> (q132 _))
+    "q132_token_budget" -> (q132 _),
+    "q139_temperature_mix" -> (q139 _))
+
+  /** Temperature-weighted source mixing (τ = 0.5): each source's sampling
+    * weight is |tokens|^τ, which up-weights small sources relative to
+    * proportional sampling — the standard recipe for balancing a
+    * multi-source/multilingual training mixture. The float channel is
+    * closed the q96 way: τ = 0.5 makes the weight an IEEE sqrt
+    * (correctly rounded, bit-identical everywhere), each weight lands on
+    * an integer 1e-6 grid BEFORE the cross-source sum, and the final
+    * allocation of the 10 000-document budget is a portable integer
+    * floor division — no engine ever sums raw doubles. One aggregation
+    * over the corpus; everything after is O(sources) on the driver-free
+    * broadcast path. */
+  private def q139(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.intDiv
+    val t = Tables.load(s, dir, "documents")
+      .groupBy("source")
+      .agg(sum(TextAnalysis.tokenCount(col("text"))).as("n_tokens"))
+    val w = t.withColumn("w_e6",
+      floor(sqrt(col("n_tokens").cast("double")) * lit(1000000.0) +
+        lit(0.5)).cast("long"))
+    val tot = w.agg(sum(col("w_e6").cast("decimal(38,0)")).cast("long")
+      .as("sw"))
+    w.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tokens"), col("w_e6"),
+        intDiv(lit(10000L) * col("w_e6"), col("sw")).as("alloc_docs"))
+      .orderBy("source")
+  }
 
   /** Token-budget curation: each source's documents, ranked best-first
     * (longest, doc_id tiebreak — stand-in for a quality score), greedily
@@ -543,5 +571,25 @@ object CurationQueries extends QueryPack {
         |SELECT source, doc_id, n_tokens, CAST(cum_tokens AS BIGINT)
         |  AS cum_tokens
         |FROM c WHERE cum_tokens <= 800
-        |ORDER BY source, doc_id""".stripMargin)
+        |ORDER BY source, doc_id""".stripMargin,
+    "q139_temperature_mix" -> {
+      import graft.functions.Rounding.intDivSql
+      s"""WITH t AS (
+        |  SELECT source,
+        |    CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |w AS (
+        |  SELECT source, n_tokens,
+        |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0 + 0.5)
+        |      AS BIGINT) AS w_e6
+        |  FROM t),
+        |tot AS (
+        |  SELECT CAST(sum(CAST(w_e6 AS DECIMAL(38,0))) AS BIGINT) AS sw
+        |  FROM w)
+        |SELECT source, n_tokens, w_e6,
+        |  ${intDivSql("10000 * w_e6", "sw")} AS alloc_docs
+        |FROM w CROSS JOIN tot
+        |ORDER BY source""".stripMargin
+    })
 }
