@@ -158,7 +158,11 @@ object TextQueries extends QueryPack {
       .agg(termCol(terms(0)).as("s1"), termCol(terms(1)).as("s2"),
         termCol(terms(2)).as("s3"))
       .select(col("doc_id"),
-        roundf(col("s1") + col("s2") + col("s3"), 6).as("bm25"))
+        // e6-scaled BIGINT, not a rounded double: integer outputs are
+        // immune to any engine's FMA/cast/hash treatment of floats (the
+        // q73/q74 driver-environment lesson)
+        floor((col("s1") + col("s2") + col("s3")) * lit(1000000.0) +
+          lit(0.5)).cast("long").as("bm25_e6"))
       .orderBy("doc_id")
   }
 
@@ -291,6 +295,7 @@ object TextQueries extends QueryPack {
         |    coalesce(max(CASE WHEN tok = 'spark' THEN score END), 0.0) AS s3
         |  FROM scored GROUP BY doc_id)
         |SELECT doc_id,
-        |  floor((s1 + s2 + s3) * 1000000.0 + 0.5) / 1000000.0 AS bm25
+        |  CAST(floor((s1 + s2 + s3) * 1000000.0 + 0.5) AS BIGINT)
+        |    AS bm25_e6
         |FROM p ORDER BY doc_id""".stripMargin)
 }
