@@ -232,6 +232,26 @@ class StreamingSpec extends SparkSuite {
       .format("parquet").start(s"$dir/processed_stream")
     try { q2.processAllAvailable() } finally q2.stop()
     assert(spark.read.parquet(s"$dir/processed_stream").count() == 2)
+    // ...and data arriving AFTER a restart lands exactly once: the
+    // checkpointed file-source offset skips the old file, picks up only
+    // the new one, and the old rows are not re-emitted
+    val bars2 = Seq(
+      ("GOOG", java.sql.Timestamp.valueOf("2024-01-02 09:00:00"),
+        141.0, 142.0, 140.5, 141.5, 920L))
+      .toDF("symbol", "Datetime", "Open", "High", "Low", "Close", "Volume")
+    graft.pipeline.Pipeline.Ingest.run(spark, bars2, s"$dir/raw",
+      "20240102T000000Z")
+    val glob = s"$dir/raw/GOOG_stock_raw_*.json"
+    val q3 = graft.pipeline.Normalize(
+      spark.readStream.schema(schema).json(glob), Some("GOOG"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .format("parquet").start(s"$dir/processed_stream")
+    try { q3.processAllAvailable() } finally q3.stop()
+    val finalOut = spark.read.parquet(s"$dir/processed_stream")
+    assert(finalOut.count() == 3, "restart must add ONLY the new file's row")
+    assert(finalOut.filter(col("Datetime") ===
+      java.sql.Timestamp.valueOf("2024-01-02 09:00:00")).count() == 1)
   }
 
   test("streaming dedup drops in-horizon duplicates, state watermark-bounded") {
