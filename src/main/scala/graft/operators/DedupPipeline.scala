@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.Rounding.roundf
+import graft.functions.TextAnalysis.{fingerprint, hashedNgramsFromTokens,
+  tokensCol}
+
+/** The user-facing dedup API: the composed "give me the deduplicated
+  * corpus" entry points a library consumer calls, built from the same
+  * oracle-checked stages the q40/q41/q67 queries expose individually
+  * (fingerprint → shingle-Jaccard candidates → connected components →
+  * canonical-keeper selection).
+  *
+  * Everything is a keyed join or aggregation — candidate generation goes
+  * through the per-shingle document lists (df-capped fan-out), never an
+  * all-pairs product, and clustering is [[ConnectedComponents]] with its
+  * per-round cache hygiene. See DedupQueries' scaladoc for the 100 TB
+  * posture of each stage.
+  */
+object DedupPipeline {
+
+  /** Exact dedup: one row per distinct text fingerprint, keeping the
+    * row with the minimum id (deterministic). One hash aggregation +
+    * one semi-join shaped filter via the keeper id list. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keepers = df
+      .select(col(idCol), fingerprint(col(textCol)).as("__fp"))
+      .groupBy("__fp").agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    df.join(keepers, Seq(idCol), "left_semi")
+  }
+
+  /** Near-dup candidate pairs by word n-gram Jaccard: (id_a, id_b,
+    * inter, jaccard) with id_a < id_b, jaccard ≥ minJaccard. Shingles
+    * shuffle as xxhash64 longs; a document-frequency gate (2 ≤ df ≤
+    * maxDf) runs as a count aggregation BEFORE any posting list is
+    * buffered, so a stopword shingle cannot blow up a reducer. */
+  def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, minJaccard: Double = 0.1,
+      maxDf: Long = 1000): DataFrame = {
+    val toksDf = df.select(col(idCol).as("__id"),
+      tokensCol(col(textCol)).as("__toks"))
+    val sizes = toksDf.select(col("__id"),
+      size(hashedNgramsFromTokens(col("__toks"), n)).cast("long").as("sz"))
+    val g = toksDf.select(col("__id"),
+      explode(hashedNgramsFromTokens(col("__toks"), n)).as("gram"))
+    val keptGrams = g.groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, maxDf))
+      .select("gram")
+    val byGram = g.join(keptGrams, "gram")
+      .groupBy("gram")
+      .agg(sort_array(collect_set(col("__id"))).as("ds"))
+    val pairs = byGram.select(explode(expr(
+      "flatten(transform(ds, x -> transform(filter(ds, y -> y > x), " +
+        "y -> named_struct('id_a', x, 'id_b', y))))")).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+    val inter = pairs.groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    val sa = sizes.select(col("__id").as("id_a"), col("sz").as("sz_a"))
+    val sb = sizes.select(col("__id").as("id_b"), col("sz").as("sz_b"))
+    inter.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("jaccard",
+        roundf(col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "inter", "jaccard")
+  }
+
+  /** Near-dedup: cluster the ≥-threshold pair graph with connected
+    * components (similarity is not transitive — A~B~C clusters all three
+    * even when A~C misses), keep each cluster's min-id row. Returns the
+    * deduplicated corpus with the original schema. */
+  def near(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, threshold: Double = 0.5,
+      maxDf: Long = 1000): DataFrame = {
+    val edges = nearDupPairs(df, idCol, textCol, n, threshold, maxDf)
+      .select("id_a", "id_b")
+    val nodes = df.select(col(idCol))
+    val comp = ConnectedComponents
+      .components(nodes, edges, idCol, "id_a", "id_b")
+    // keeper ids are tiny — materialize them eagerly so the components
+    // cache (and the whole candidate-pair lineage behind it) can be
+    // released before the caller ever evaluates the result
+    val keepers = comp.filter(col("id") === col("comp"))
+      .select(col("id").as(idCol))
+      .localCheckpoint(true)
+    comp.unpersist()
+    df.join(keepers, Seq(idCol), "left_semi")
+  }
+}

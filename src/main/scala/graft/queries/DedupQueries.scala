@@ -56,54 +56,20 @@ object DedupQueries extends QueryPack {
     jaccardPairs(s, dir).orderBy("doc_a", "doc_b")
 
   /** (doc_a, doc_b, inter, jaccard) near-dup pairs — shared by q41 (the
-    * pair report) and q67 (clustering over the pair graph). */
-  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    // gram text never reaches the output (only pair counts do), so grams
-    // are keyed by xxhash64 of the token slice — no per-gram string build,
-    // and the gram shuffle carries longs. The oracle groups on gram TEXT;
-    // results agree because hash-equality ≡ text-equality absent 64-bit
-    // collisions (negligible at any per-corpus shingle cardinality < 10⁹).
-    // NOTE the 2-projection shape (tokens projected, then the gram
-    // expression consumed directly): aliasing the gram ARRAY in its own
-    // intermediate projection before explode/size regresses ~9× — see
-    // TextAnalysis.tokensCol.
-    val toksDf = docs(s, dir)
-      .select(col("doc_id"), tokensCol(col("text")).as("toks"))
-    // per-doc distinct-gram count: a pure projection (hashedNgramsFromTokens
-    // dedupes per doc), no shuffle
-    val sizes = toksDf.select(col("doc_id"),
-      size(hashedNgramsFromTokens(col("toks"), 5)).cast("long").as("sz"))
-    val g = toksDf.select(col("doc_id"),
-      explode(hashedNgramsFromTokens(col("toks"), 5)).as("gram"))
-    // df gate BEFORE the set aggregation, as a count agg + key join: the
-    // count's buffer is a single long per gram (map-side combining, never
-    // a doc list), so a pathological stopword shingle is pruned before
-    // collect_set ever buffers it — the set agg only sees grams with
-    // 2 ≤ df ≤ maxDf, bounding its buffer by maxDf. The surviving gram
-    // list is tiny relative to the stream (df=1 grams dominate), so AQE
-    // broadcasts it here; at cluster scale it degrades to a shuffle join
-    // that still only shuffles the surviving rows into the set agg.
-    // (Not a window count: near-unique grams would mean millions of
-    // one-row window partitions, whose per-key overhead dwarfs the agg.)
-    val keptGrams = g.groupBy("gram").agg(count(lit(1)).as("df"))
-      .filter(col("df").between(2, maxDf))
-      .select("gram")
-    val byGram = g.join(keptGrams, "gram")
-      .groupBy("gram")
-      .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
-    val pairs = byGram.select(explode(expr(
-      "flatten(transform(ds, x -> transform(filter(ds, y -> y > x), " +
-        "y -> named_struct('doc_a', x, 'doc_b', y))))")).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
-    val inter = pairs.groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    val sa = sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"))
-    val sb = sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"))
-    inter.join(sa, "doc_a").join(sb, "doc_b")
-      .withColumn("jaccard",
-        roundf(col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 4))
-      .filter(col("jaccard") >= 0.1)
-      .select("doc_a", "doc_b", "inter", "jaccard")
-  }
+    * pair report), q67 (clustering over the pair graph), and the
+    * user-facing [[graft.operators.DedupPipeline]] API, whose
+    * `nearDupPairs` now carries the implementation (grams shuffled as
+    * xxhash64 longs, df gate before any posting buffer, pair expansion
+    * from sorted per-gram lists — see its scaladoc for the full 100 TB
+    * rationale). The oracle groups on gram TEXT; results agree because
+    * hash-equality ≡ text-equality absent 64-bit collisions (negligible
+    * at any per-corpus shingle cardinality < 10⁹). */
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
+    graft.operators.DedupPipeline
+      .nearDupPairs(docs(s, dir), "doc_id", "text", n = 5,
+        minJaccard = 0.1, maxDf = maxDf)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        col("inter"), col("jaccard"))
 
   /** Dedup clustering: connected components over the near-dup pair graph
     * (graft.operators.ConnectedComponents — iterative min-label

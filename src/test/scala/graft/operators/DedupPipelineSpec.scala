@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+
+/** The composed dedup API on a corpus with known duplicate structure:
+  * exact keeps one row per fingerprint (min id), near clusters
+  * non-transitively similar docs and keeps each cluster's min id, and
+  * both preserve the input schema. */
+class DedupPipelineSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog tonight", "a"),
+    (2L, "the quick brown fox jumps over the lazy dog tonight", "b"), // = 1
+    (3L, "the quick brown fox jumps over the lazy cat tonight", "c"), // ~ 1
+    (4L, "completely different text about spark shuffles and joins", "d"),
+    (5L, "unrelated snippet mentioning parquet files and row groups", "e")
+  ).toDF("doc_id", "text", "meta")
+
+  test("exact keeps the min-id row per fingerprint, schema intact") {
+    val out = DedupPipeline.exact(corpus, "doc_id", "text")
+    assert(out.columns.toSeq == Seq("doc_id", "text", "meta"))
+    val ids = out.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 3L, 4L, 5L)) // 2 is the exact dup of 1
+  }
+
+  test("near clusters A~B~C transitively and keeps min ids") {
+    // docs 1,2 identical; 3 shares 9 of 10 tokens with both → same
+    // cluster at a 0.3 threshold; 4 and 5 survive untouched
+    val out = DedupPipeline.near(corpus, "doc_id", "text",
+      n = 3, threshold = 0.3)
+    val ids = out.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 4L, 5L))
+    assert(out.columns.toSeq == Seq("doc_id", "text", "meta"))
+  }
+
+  test("nearDupPairs reports symmetric-free ordered pairs with jaccard") {
+    val pairs = DedupPipeline
+      .nearDupPairs(corpus, "doc_id", "text", n = 3, minJaccard = 0.1)
+      .collect()
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+    val keys = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(keys.contains((1L, 2L)) && keys.contains((1L, 3L)) &&
+      keys.contains((2L, 3L)))
+    // 4 and 5 never pair with the fox cluster or each other
+    assert(!keys.exists { case (a, b) => a >= 4L || b >= 4L })
+  }
+}
