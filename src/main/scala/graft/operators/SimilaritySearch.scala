@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.expressions.CosineSimilarity
+import graft.functions.Rounding.roundf
+
+/** The user-facing ANN API: "top-k most similar corpus vectors for each
+  * query vector", with the candidate-generation strategy as a parameter —
+  * the composed form of the q50/q51/q56 oracle-checked queries.
+  *
+  * All strategies share the exact cosine re-rank (native codegen'd
+  * [[CosineSimilarity]], 4-decimal grid ordering with id tiebreak — the
+  * cross-engine-deterministic ranking rule); they differ only in which
+  * (query, candidate) pairs reach it:
+  *
+  *  - [[Brute]]: every pair. Exact; the query set must be small enough to
+  *    broadcast (it is the ONLY thing broadcast — the corpus never moves).
+  *  - [[BandLsh]]: sign-LSH band buckets; candidates share ≥ 1 band with
+  *    the query. The corpus-side band table shuffles on (band, bucket) —
+  *    the 100 TB path when queries are bounded but the corpus is not.
+  *  - [[IvfProbe]]: bounded deterministic centroids ([[Ivf]]); each
+  *    vector lives in its nearest cell, queries probe their nprobe
+  *    nearest cells. The centroid table is capped regardless of corpus
+  *    size, so both assignment passes are broadcast joins.
+  *
+  * Recall characteristics and parameter guidance live in the
+  * SimilarityQueries scaladoc; SimilaritySpec pins recall ≥ 0.8 for the
+  * approximate strategies on the test corpus.
+  */
+object SimilaritySearch {
+
+  sealed trait Method
+  case object Brute extends Method
+  /** bands × rowsPerBand sign bits; dim must match the vector length. */
+  final case class BandLsh(bands: Int = 32, rowsPerBand: Int = 4,
+      dim: Int = 64) extends Method
+  /** Hash-rate centroid sampling (1-in-rate, hard cap), nprobe cells. */
+  final case class IvfProbe(rate: Int = 31, cap: Int = 4096,
+      nprobe: Int = 6) extends Method
+
+  /** Top-k per query: (qIdCol, idCol, cos, rank), rank 1-based by
+    * (cos desc, id). Self-matches (same id value) are excluded, matching
+    * the q50/q51/q56 convention of querying a corpus that may contain
+    * the query vectors themselves. */
+  def topK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, qIdCol: String, k: Int = 10,
+      method: Method = Brute): DataFrame = {
+    val e = corpus.select(col(idCol), col(vecCol).as("__v"))
+    val qv = queries.select(col(qIdCol).as("__qid"), col(vecCol).as("__qv"))
+    val cand: DataFrame = method match {
+      case Brute =>
+        e.crossJoin(broadcast(qv))
+      case BandLsh(bands, rowsPerBand, dim) =>
+        val cb = Lsh.bandsDf(e, idCol, "__v", bands, rowsPerBand, dim)
+        val qb = Lsh.bandsDf(
+          qv.select(col("__qid"), col("__qv")), "__qid", "__qv",
+          bands, rowsPerBand, dim)
+        cb.join(broadcast(qb), Seq("band", "bkey"))
+          .select(col(idCol), col("__qid")).distinct()
+          .join(e, idCol)
+          .join(broadcast(qv), "__qid")
+      case IvfProbe(rate, cap, nprobe) =>
+        val cent = Ivf.selectCentroids(
+          e.select(col(idCol), col("__v").as("v")), idCol, "v", rate, cap)
+        val wAssign = Window.partitionBy(idCol)
+          .orderBy(col("__ccos").desc, col("c_id"))
+        val assigned = e.crossJoin(broadcast(cent))
+          .select(col(idCol), col("__v"), col("c_id"),
+            roundf(CosineSimilarity.sim(col("__v"), col("cv")), 4)
+              .as("__ccos"))
+          .withColumn("__rn", row_number().over(wAssign))
+          .filter(col("__rn") === 1)
+          .select(col(idCol), col("__v"), col("c_id"))
+        val wProbe = Window.partitionBy("__qid")
+          .orderBy(col("__qcos").desc, col("c_id"))
+        val probes = qv.crossJoin(broadcast(cent))
+          .select(col("__qid"), col("__qv"), col("c_id"),
+            roundf(CosineSimilarity.sim(col("__qv"), col("cv")), 4)
+              .as("__qcos"))
+          .withColumn("__rn", row_number().over(wProbe))
+          .filter(col("__rn") <= nprobe)
+          .select(col("__qid"), col("__qv"), col("c_id"))
+        assigned.join(broadcast(probes), Seq("c_id"))
+          .select(col(idCol), col("__v"), col("__qid"), col("__qv"))
+    }
+    val w = Window.partitionBy("__qid")
+      .orderBy(col("cos").desc, col(idCol))
+    cand
+      .filter(col(idCol) =!= col("__qid"))
+      .select(col("__qid"), col(idCol),
+        roundf(CosineSimilarity.sim(col("__v"), col("__qv")), 4).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("__qid").as(qIdCol), col(idCol), col("cos"), col("rank"))
+      .orderBy(qIdCol, "rank")
+  }
+}
