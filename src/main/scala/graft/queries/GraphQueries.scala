@@ -102,10 +102,53 @@ object GraphQueries extends QueryPack {
     stats.result().toDF("round", "n_nodes", "n_edges")
   }
 
+  /** Local clustering coefficient (how clique-like is each node's
+    * neighborhood — the per-node refinement of q108's global triangle
+    * count): coefficient(v) = 2·T_v / (deg(v)·(deg(v)−1)), emitted as the
+    * exact integer rational (2·T_v, deg·(deg−1)) — no division
+    * engine-side. Triangle credit comes from the SAME degree-ordered
+    * arc-intersect join as q108, but the intersection ELEMENTS explode —
+    * that materializes exactly the triangle list (O(#triangles) rows,
+    * the metric's own size), never the wedge set — and each triangle
+    * credits its three corners via one unpivot. Nodes of degree < 2
+    * (coefficient undefined) are excluded. Top 100 by (coefficient,
+    * node) keeps the output bounded; the rational compare is exact via
+    * cross-multiplication-free sorting on the e6-scaled integer ratio —
+    * num·1e6 div den is a portable integer. */
+  private def q140(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.intDiv
+    val (_, deg, arcs0) = TemporalQueries.q108Stages(s, dir,
+      checkpoint = true)
+    val arcs = arcs0.localCheckpoint(true)
+    val adj = arcs.groupBy("a")
+      .agg(sort_array(collect_list("b")).as("nbrs"))
+    val tris = arcs
+      .join(adj.select(col("a").as("ja"), col("nbrs").as("na")),
+        col("a") === col("ja"))
+      .join(adj.select(col("a").as("jb"), col("nbrs").as("nb")),
+        col("b") === col("jb"))
+      .select(col("a"), col("b"),
+        explode(array_intersect(col("na"), col("nb"))).as("c"))
+    val credit = tris.select(col("a").as("n"))
+      .unionAll(tris.select(col("b").as("n")))
+      .unionAll(tris.select(col("c").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("t"))
+    deg.filter(col("deg") >= 2)
+      .join(credit, Seq("n"), "left")
+      .select(col("n").as("node"),
+        (coalesce(col("t"), lit(0L)) * 2L).as("coeff_num"),
+        (col("deg") * (col("deg") - 1L)).as("coeff_den"))
+      .withColumn("coeff_e6",
+        intDiv(col("coeff_num") * lit(1000000L), col("coeff_den")))
+      .orderBy(col("coeff_e6").desc, col("node"))
+      .limit(100)
+  }
+
   val defs: Map[String, Q] = Map(
     "q97_pagerank" -> (q97 _),
     "q119_assortativity" -> (q119 _),
-    "q134_kcore" -> (q134 _))
+    "q134_kcore" -> (q134 _),
+    "q140_clustering_coeff" -> (q140 _))
 
   val oracle: Map[String, String] = Map(
     "q97_pagerank" -> {
@@ -205,5 +248,45 @@ object GraphQueries extends QueryPack {
          |SELECT * FROM (
          |$census
          |) ORDER BY round""".stripMargin
-    })
+    },
+    "q140_clustering_coeff" ->
+      s"""WITH op AS (
+         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS pt FROM lineitem
+         |  WHERE year(l_shipdate) = 1995),
+         |capped AS (
+         |  SELECT o FROM op GROUP BY o HAVING count(*) <= 40),
+         |pairs AS (SELECT op.o, op.pt FROM op JOIN capped USING (o)),
+         |edges AS MATERIALIZED (
+         |  SELECT DISTINCT a.pt AS u, b.pt AS v
+         |  FROM pairs a JOIN pairs b ON a.o = b.o AND a.pt < b.pt),
+         |deg AS MATERIALIZED (
+         |  SELECT n, count(*) AS deg FROM (
+         |    SELECT u AS n FROM edges UNION ALL SELECT v FROM edges)
+         |  GROUP BY n),
+         |arcs AS MATERIALIZED (
+         |  SELECT
+         |    CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+         |      THEN e.u ELSE e.v END AS a,
+         |    CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+         |      THEN e.v ELSE e.u END AS b
+         |  FROM edges e
+         |  JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v),
+         |tris AS MATERIALIZED (
+         |  SELECT ab.a AS a, ab.b AS b, ac.b AS c
+         |  FROM arcs ab
+         |  JOIN arcs ac ON ac.a = ab.a
+         |  JOIN arcs bc ON bc.a = ab.b AND bc.b = ac.b),
+         |credit AS (
+         |  SELECT n, count(*) AS t FROM (
+         |    SELECT a AS n FROM tris UNION ALL SELECT b FROM tris
+         |    UNION ALL SELECT c FROM tris)
+         |  GROUP BY n)
+         |SELECT n AS node,
+         |  CAST(coalesce(t, 0) * 2 AS BIGINT) AS coeff_num,
+         |  CAST(deg * (deg - 1) AS BIGINT) AS coeff_den,
+         |  ${intDivSql("CAST(coalesce(t, 0) * 2 AS BIGINT) * 1000000",
+               "CAST(deg * (deg - 1) AS BIGINT)")} AS coeff_e6
+         |FROM deg LEFT JOIN credit USING (n)
+         |WHERE deg >= 2
+         |ORDER BY coeff_e6 DESC, node LIMIT 100""".stripMargin)
 }
