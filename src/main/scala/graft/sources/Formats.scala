@@ -1,5 +1,6 @@
 package graft.sources
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.types.StructType
 
@@ -57,6 +58,42 @@ object Formats {
       .option("timestampFormat", tsFmt)
       .schema(schema)
       .json(path)
+
+  /** Sharded JSONL export with a row-count index — the delivery format of
+    * a training-data drop: every shard holds at most `rowsPerShard` rows
+    * (the `maxRecordsPerFile` writer option enforces the bound inside
+    * each task; the repartition sizes tasks so shards also stay NEAR the
+    * bound, not just under it), and `_index.json` records each shard's
+    * row count so a consumer can plan reads without scanning. The index
+    * is built from one count aggregation over `input_file_name()` —
+    * O(shards) rows to the driver, never data. Returns (shard → rows). */
+  def writeShardedJsonl(df: DataFrame, path: String,
+      rowsPerShard: Int): Map[String, Long] = {
+    require(rowsPerShard > 0, "rowsPerShard must be positive")
+    val total = df.count()
+    val shards = math.max(1, math.ceil(total.toDouble / rowsPerShard).toInt)
+    df.repartition(shards)
+      .write.mode(SaveMode.Overwrite)
+      .option("timestampFormat", tsFmt)
+      .option("maxRecordsPerFile", rowsPerShard.toLong)
+      .json(path)
+    val spark = df.sparkSession
+    import org.apache.spark.sql.functions.{count => cnt, element_at, input_file_name, lit, split => ssplit}
+    val index = spark.read.schema(df.schema).json(path)
+      .groupBy(element_at(ssplit(input_file_name(), "/"), -1).as("shard"))
+      .agg(cnt(lit(1)).as("rows"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    val fsys = FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+    val out = fsys.create(new Path(path, "_index.json"), true)
+    val json = index.toSeq.sortBy(_._1)
+      .map { case (s, n) => s"""  "$s": $n""" }
+      .mkString("{\n", ",\n", "\n}\n")
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+    index
+  }
 
   /** Hive-partitioned parquet: the 100 TB layout primitive. A filter on the
     * partition column prunes directories at planning time (PartitionFilters

@@ -217,4 +217,25 @@ class FormatsSpec extends SparkSuite {
     val expected = events.filter(col("event_type") === "purchase")
     assert(filtered.count() == expected.count() && expected.count() > 0)
   }
+
+  test("sharded JSONL export bounds rows per shard and indexes counts") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_shards").toString + "/out"
+    val df = spark.range(1050).select(col("id"),
+      concat(lit("doc_"), col("id")).as("name"))
+    val index = Formats.writeShardedJsonl(df, dir, rowsPerShard = 100)
+    // bound holds for EVERY shard, and the index matches reality
+    assert(index.nonEmpty && index.values.forall(n => n > 0 && n <= 100),
+      s"shard over bound: $index")
+    assert(index.values.sum == 1050)
+    val back = spark.read.schema(df.schema).json(dir)
+    assert(back.count() == 1050)
+    assert(back.select("id").as[Long].collect().sorted.toSeq ==
+      (0L until 1050L))
+    // the index file itself lists every shard
+    val idxText = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_index.json")), "UTF-8")
+    assert(index.keys.forall(idxText.contains), "index file incomplete")
+  }
 }
