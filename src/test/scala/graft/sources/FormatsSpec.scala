@@ -218,6 +218,32 @@ class FormatsSpec extends SparkSuite {
     assert(filtered.count() == expected.count() && expected.count() > 0)
   }
 
+  test("quarantine read splits corrupt JSONL lines from clean rows") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_quar").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "mixed.jsonl"),
+      Seq(
+        """{"id": 1, "name": "ok"}""",
+        """{"id": 2, "name": "also ok"}""",
+        """{"id": oops not json""",
+        """{"id": 3, "name": "fine"}""",
+        """garbage line"""
+      ).mkString("\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType)))
+    val (clean, quarantine, release) =
+      Formats.readJsonlQuarantine(spark, dir, schema)
+    try {
+      assert(clean.count() == 3)
+      assert(clean.columns.toSeq == Seq("id", "name"))
+      val bad = quarantine.collect().map(_.getString(0)).toSet
+      assert(bad.size == 2)
+      assert(bad.exists(_.contains("oops")) &&
+        bad.exists(_.contains("garbage")))
+    } finally release()
+  }
+
   test("sharded JSONL export bounds rows per shard and indexes counts") {
     import spark.implicits._
     val dir = java.nio.file.Files
