@@ -112,10 +112,46 @@ object QualityQueries extends QueryPack {
       .orderBy("nation", "segment", "bal_bucket")
   }
 
+  /** Benford first-significant-digit census over order totals — the
+    * classic forensic-accounting screen (organically-grown monetary data
+    * follows log10(1+1/d); fabricated or truncated feeds don't). Emitted
+    * as exact integer observed counts next to the e6-scaled EXPECTED
+    * counts computed from a fixed table of integer-scaled Benford
+    * shares — the shares are literals (floor(log10(1+1/d)·1e6) computed
+    * once, offline), so no transcendental is evaluated in either engine
+    * and the comparison column is pure integer arithmetic. One
+    * aggregation; first digit falls out of the cents' decimal string. */
+  private def q141(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.{cents, intDiv}
+    // floor(log10(1 + 1/d) * 1e6) for d = 1..9 — fixed offline constants
+    val benfordE6 = Seq(301029L, 176091L, 124938L, 96910L, 79181L,
+      66946L, 57991L, 51152L, 45757L)
+    val expectedE6 = benfordE6.zipWithIndex
+      .map { case (p, i) => (i + 1L, p) }
+      .foldLeft(lit(0L)) { case (acc, (d, p)) =>
+        when(col("digit") === d, lit(p)).otherwise(acc) }
+    Tables.load(s, dir, "orders")
+      .select(cents(col("o_totalprice")).as("vc"))
+      .filter(col("vc") > 0)
+      .select(substring(col("vc").cast("string"), 1, 1).cast("long")
+        .as("digit"))
+      .groupBy("digit")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share_e6_expected", expectedE6)
+      .withColumn("n_total", sum("n").over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(1))))
+      .withColumn("n_expected",
+        intDiv(col("n_total") * col("share_e6_expected"), lit(1000000L)))
+      .select("digit", "n", "n_expected", "share_e6_expected")
+      .orderBy("digit")
+  }
+
   val defs: Map[String, Q] = Map(
     "q66_quality_report" -> (q66 _),
     "q130_ref_integrity" -> (q130 _),
-    "q136_k_anonymity" -> (q136 _))
+    "q136_k_anonymity" -> (q136 _),
+    "q141_benford" -> (q141 _))
 
   // one SELECT per check, mirrored shapes; 'license' is a deliberately
   // missing column so the missing-column path is oracle-checked too
@@ -212,5 +248,28 @@ object QualityQueries extends QueryPack {
         |  CAST(count(*) >= 5 AS BIGINT) AS anonymous
         |FROM customer
         |GROUP BY 1, 2, 3
-        |ORDER BY 1, 2, 3""".stripMargin)
+        |ORDER BY 1, 2, 3""".stripMargin,
+    "q141_benford" -> {
+      import graft.functions.Rounding.{centsSql, intDivSql}
+      s"""WITH v AS (
+        |  SELECT ${centsSql("o_totalprice")} AS vc FROM orders),
+        |d AS (
+        |  SELECT CAST(substr(CAST(vc AS VARCHAR), 1, 1) AS BIGINT)
+        |    AS digit
+        |  FROM v WHERE vc > 0),
+        |c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+        |e AS (
+        |  SELECT * FROM (VALUES
+        |    (CAST(1 AS BIGINT), CAST(301029 AS BIGINT)), (2, 176091),
+        |    (3, 124938), (4, 96910), (5, 79181), (6, 66946),
+        |    (7, 57991), (8, 51152), (9, 45757))
+        |    AS t(digit, share_e6_expected)),
+        |tot AS (SELECT sum(n) AS n_total FROM c)
+        |SELECT c.digit, c.n,
+        |  ${intDivSql("n_total * share_e6_expected", "1000000")}
+        |    AS n_expected,
+        |  share_e6_expected
+        |FROM c JOIN e USING (digit) CROSS JOIN tot
+        |ORDER BY digit""".stripMargin
+    })
 }
