@@ -219,7 +219,34 @@ object EventOpsQueries extends QueryPack {
     "q96_weighted_sample" -> (q96 _),
     "q127_cohort_retention" -> (q127 _),
     "q133_rolling_dau" -> (q133 _),
-    "q137_transitions" -> (q137 _))
+    "q137_transitions" -> (q137 _),
+    "q142_interarrival" -> (q142 _))
+
+  /** Inter-arrival gap percentiles per event type — the arrival-process
+    * health metric (SLO dashboards, burst/starvation detection; the
+    * distributional complement of q85's rolling counts). One lag window
+    * per type over (ts, event_id) order gives integer-second gaps, then
+    * p50/p95 via `percentile` on BIGINTs ≡ DuckDB `quantile_cont`: both
+    * engines interpolate (1−f)·a + f·b at pos p·(n−1) over the same
+    * integers with the same IEEE ops — the q81/q116-proven construct —
+    * and the floor-form e1 scaling re-lands the result on an integer.
+    * Min/max/n ride along as plain integers. */
+  private def q142(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+    ev(s, dir)
+      .select(col("event_type"), col("ts"), col("event_id"),
+        unix_timestamp(col("ts")).as("ep"))
+      .withColumn("gap", col("ep") - lag("ep", 1).over(w))
+      .filter(col("gap").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        min("gap").as("min_s"), max("gap").as("max_s"),
+        floor(expr("percentile(gap, 0.5)") * lit(10.0) + lit(0.5))
+          .cast("long").as("p50_e1"),
+        floor(expr("percentile(gap, 0.95)") * lit(10.0) + lit(0.5))
+          .cast("long").as("p95_e1"))
+      .orderBy("event_type")
+  }
 
   /** Event-type transition counts (the first-order Markov statistics of
     * user behavior — the input to next-action models and funnel-drop
@@ -389,5 +416,23 @@ object EventOpsQueries extends QueryPack {
         |    event_type AS to_type
         |  FROM events)
         |SELECT from_type, to_type, count(*) AS n
-        |FROM l GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |FROM l GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q142_interarrival" ->
+      """WITH e AS (
+        |  SELECT event_type, ts, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ep
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type,
+        |    ep - lag(ep) OVER (PARTITION BY event_type
+        |      ORDER BY ts, event_id) AS gap
+        |  FROM e)
+        |SELECT event_type, count(*) AS n_gaps,
+        |  min(gap) AS min_s, max(gap) AS max_s,
+        |  CAST(floor(quantile_cont(gap, 0.5) * 10.0 + 0.5) AS BIGINT)
+        |    AS p50_e1,
+        |  CAST(floor(quantile_cont(gap, 0.95) * 10.0 + 0.5) AS BIGINT)
+        |    AS p95_e1
+        |FROM g WHERE gap IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
 }
