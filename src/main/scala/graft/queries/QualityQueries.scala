@@ -126,10 +126,9 @@ object QualityQueries extends QueryPack {
     // floor(log10(1 + 1/d) * 1e6) for d = 1..9 — fixed offline constants
     val benfordE6 = Seq(301029L, 176091L, 124938L, 96910L, 79181L,
       66946L, 57991L, 51152L, 45757L)
-    val expectedE6 = benfordE6.zipWithIndex
-      .map { case (p, i) => (i + 1L, p) }
-      .foldLeft(lit(0L)) { case (acc, (d, p)) =>
-        when(col("digit") === d, lit(p)).otherwise(acc) }
+    // element_at is 1-based, exactly the digit's index into the table
+    val expectedE6 = element_at(
+      array(benfordE6.map(lit): _*), col("digit").cast("int"))
     Tables.load(s, dir, "orders")
       .select(cents(col("o_totalprice")).as("vc"))
       .filter(col("vc") > 0)

@@ -1,11 +1,9 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryPack, Tables}
 import graft.expressions.CosineSimilarity
-import graft.functions.Rounding.roundf
 import graft.operators.{Ivf, Lsh}
 
 /** Approximate-nearest-neighbor search over the `embeddings` table
@@ -51,50 +49,31 @@ object SimilarityQueries extends QueryPack {
       .select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> cast(x AS double))").as("v"))
 
-  /** Native codegen'd expression (graft.expressions.CosineSimilarity) —
-    * fused dot+norms loop, same accumulation order as the HOF chain and
-    * DuckDB's list_cosine_similarity, so oracle-bit-compatible. */
-  private val cosine = "cosine_sim(v, qv)"
-
-  /** Brute-force cosine top-10 for query vectors vec_id < 5. */
+  /** Brute-force cosine top-10 for query vectors vec_id < 5 — thin
+    * face of [[graft.operators.SimilaritySearch]] (Brute), which owns
+    * the implementation; SimilaritySearchSpec pins the equivalence. */
   private def q50(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val qv = e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
-    val scored = e.crossJoin(broadcast(qv))
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"),
-        roundf(expr(cosine), 4).as("cos"))
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("knn_rank", row_number().over(w).cast("long"))
-      .filter(col("knn_rank") <= 10)
-      .orderBy("q_id", "knn_rank")
+      .select(col("vec_id").as("q_id"), col("v"))
+    graft.operators.SimilaritySearch
+      .topK(e, qv, "vec_id", "v", "q_id", 10,
+        graft.operators.SimilaritySearch.Brute)
+      .withColumnRenamed("rank", "knn_rank")
   }
 
-  /** Multi-band sign-LSH ANN: 128-bit signatures, 32 bands × 4 bits;
-    * candidates share ≥1 band with the query; exact cosine re-rank over the
-    * deduplicated candidate set. */
+  /** Multi-band sign-LSH ANN (32 bands × 4 bits) — thin face of
+    * [[graft.operators.SimilaritySearch]] (BandLsh). Candidates share
+    * ≥ 1 band bucket with the query; exact cosine re-rank. Recall vs
+    * q50 asserted ≥ 0.8 in SimilaritySpec. */
   private def q51(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    val bands = Lsh.bandsDf(e, "vec_id", "v", Bands, Rows, Dim)
-    val qb = bands.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("q_id"), col("band"), col("bkey"))
-    // candidate generation: equi-join on the band bucket (query side tiny →
-    // broadcast), then dedup pairs that collide in several bands
-    val cand = bands.join(broadcast(qb), Seq("band", "bkey"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .select("q_id", "vec_id").distinct()
     val qv = e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
-    val scored = cand
-      .join(e.select(col("vec_id"), col("v")), "vec_id")
-      .join(broadcast(qv), "q_id")
-      .select(col("q_id"), col("vec_id"),
-        roundf(expr(cosine), 4).as("cos"))
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("knn_rank", row_number().over(w).cast("long"))
-      .filter(col("knn_rank") <= 10)
-      .orderBy("q_id", "knn_rank")
+      .select(col("vec_id").as("q_id"), col("v"))
+    graft.operators.SimilaritySearch
+      .topK(e, qv, "vec_id", "v", "q_id", 10,
+        graft.operators.SimilaritySearch.BandLsh(Bands, Rows, Dim))
+      .withColumnRenamed("rank", "knn_rank")
   }
 
   /** IVF-style ANN: bounded deterministic coarse quantizer (Ivf.scala),
@@ -108,35 +87,12 @@ object SimilarityQueries extends QueryPack {
     * size. */
   private def q56(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    val cent = Ivf.selectCentroids(e, "vec_id", "v", CentRate, CentCap)
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(col("ccos").desc, col("c_id"))
-    val assigned = e.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("v"), col("c_id"),
-        roundf(CosineSimilarity.sim(col("v"), col("cv")), 4).as("ccos"))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("c_id"))
     val qv = e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
-    val wProbe = Window.partitionBy("q_id")
-      .orderBy(col("qcos").desc, col("c_id"))
-    val probes = qv.crossJoin(broadcast(cent))
-      .select(col("q_id"), col("qv"), col("c_id"),
-        roundf(CosineSimilarity.sim(col("qv"), col("cv")), 4).as("qcos"))
-      .withColumn("rn", row_number().over(wProbe))
-      .filter(col("rn") <= NProbe)
-      .select(col("q_id"), col("qv"), col("c_id"))
-    val wTop = Window.partitionBy("q_id")
-      .orderBy(col("cos").desc, col("vec_id"))
-    assigned.join(broadcast(probes), Seq("c_id"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"),
-        roundf(expr(cosine), 4).as("cos"))
-      .withColumn("ivf_rank", row_number().over(wTop).cast("long"))
-      .filter(col("ivf_rank") <= 10)
-      .select(col("q_id"), col("vec_id"), col("cos"), col("ivf_rank"))
-      .orderBy("q_id", "ivf_rank")
+      .select(col("vec_id").as("q_id"), col("v"))
+    graft.operators.SimilaritySearch
+      .topK(e, qv, "vec_id", "v", "q_id", 10,
+        graft.operators.SimilaritySearch.IvfProbe(CentRate, CentCap, NProbe))
+      .withColumnRenamed("rank", "ivf_rank")
   }
 
   /** Int8 scalar quantization (the "SQ8" memory lever of every large ANN
