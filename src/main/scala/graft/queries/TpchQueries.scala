@@ -187,13 +187,42 @@ object TpchQueries extends QueryPack {
       .orderBy("p1", "p2")
   }
 
+  /** Order-to-ship latency census per ship month — the fulfillment-SLA
+    * dashboard (TPC-H Q12's domain, adapted to the synthetic schema's
+    * one date pair): transit time o_orderdate→l_shipdate per item, with
+    * the slow-fulfillment flag at > 90 days. One fact-fact equi-join on
+    * the order key (both sides shuffle — correct at 100 TB; nothing
+    * here is broadcastable) and one aggregation; the mean is left to
+    * the consumer as the exact integer pair (sum_latency_days,
+    * n_items) — the q112 discipline — and the sum accumulates through
+    * decimal(38,0) so a 100 TB month cannot wrap int64. */
+  private def q143(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(t(s, dir, "orders").select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(
+        date_format(date_trunc("month", col("l_shipdate")), "yyyy-MM-dd")
+          .as("ship_month"),
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("long")
+          .as("latency_days"))
+      .groupBy("ship_month")
+      .agg(count(lit(1)).as("n_items"),
+        sum((col("latency_days") > 90).cast("long")).cast("long")
+          .as("n_slow"),
+        sum(col("latency_days").cast("decimal(38,0)")).cast("long")
+          .as("sum_latency_days"),
+        max("latency_days").as("max_latency_days"))
+      .orderBy("ship_month")
+
   val defs: Map[String, Q] = Map(
     "q57_volume_shipping" -> (q57 _),
     "q58_market_share" -> (q58 _),
     "q59_min_cost_supplier" -> (q59 _),
     "q65_range_join_binned" -> (q65 _),
     "q93_shipping_priority" -> (q93 _),
-    "q128_cooccur" -> (q128 _))
+    "q128_cooccur" -> (q128 _),
+    "q143_shipping_latency" -> (q143 _))
 
   val oracle: Map[String, String] = Map(
     "q57_volume_shipping" ->
@@ -278,5 +307,17 @@ object TpchQueries extends QueryPack {
         |FROM capped a JOIN capped b
         |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         |GROUP BY 1, 2 HAVING count(*) >= 2
-        |ORDER BY 1, 2""".stripMargin)
+        |ORDER BY 1, 2""".stripMargin,
+    "q143_shipping_latency" ->
+      """SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m-%d')
+        |    AS ship_month,
+        |  count(*) AS n_items,
+        |  CAST(sum(CAST(date_diff('day', o_orderdate, l_shipdate) > 90
+        |    AS BIGINT)) AS BIGINT) AS n_slow,
+        |  CAST(sum(CAST(date_diff('day', o_orderdate, l_shipdate)
+        |    AS DECIMAL(38,0))) AS BIGINT) AS sum_latency_days,
+        |  CAST(max(date_diff('day', o_orderdate, l_shipdate))
+        |    AS BIGINT) AS max_latency_days
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
 }
