@@ -15,14 +15,11 @@ import org.apache.spark.sql.types.{DataType, LongType}
   *
   * Semantics match DuckDB's `gcd`: the result is the non-negative gcd of
   * the absolute values; gcd(0, x) = |x| and gcd(0, 0) = 0. Nulls
-  * propagate via `BinaryExpression`'s default null-safety. Long.MinValue
-  * has no representable absolute value — its magnitude is handled
-  * correctly because the Euclid loop works on negatives' remainders
-  * before any negation (the JVM `%` is dividend-signed, so the loop is
-  * run on |a|,|b| obtained AFTER the loop would be safe — instead we
-  * negate up front and note that |Long.MinValue| overflows back to
-  * itself; the loop still terminates with the mathematically-correct
-  * magnitude because -2^63 % k and 2^63 % k agree mod k).
+  * propagate via `BinaryExpression`'s default null-safety. The one
+  * unrepresentable case — a true gcd magnitude of 2^63 (both inputs
+  * multiples of Long.MinValue) — throws ArithmeticException, mirroring
+  * DuckDB's out-of-range error, instead of returning a negative "gcd"
+  * that would silently flip signs in a rational reduction.
   */
 case class Gcd(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -40,7 +37,10 @@ case class Gcd(left: Expression, right: Expression)
     var a = math.abs(l.asInstanceOf[Long])
     var b = math.abs(r.asInstanceOf[Long])
     while (b != 0L) { val t = a % b; a = b; b = t }
-    math.abs(a)
+    val g = math.abs(a)
+    if (g < 0L) // |gcd| = 2^63: unrepresentable in int64
+      throw new ArithmeticException("int_gcd out of range: |gcd| = 2^63")
+    g
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -52,6 +52,10 @@ case class Gcd(left: Expression, right: Expression)
          |long $b = java.lang.Math.abs($r);
          |while ($b != 0L) { long $t = $a % $b; $a = $b; $b = $t; }
          |${ev.value} = java.lang.Math.abs($a);
+         |if (${ev.value} < 0L) {
+         |  throw new ArithmeticException(
+         |    "int_gcd out of range: |gcd| = 2^63");
+         |}
        """.stripMargin
     })
 

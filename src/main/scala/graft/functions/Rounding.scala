@@ -92,4 +92,23 @@ object Rounding {
   /** SQL-side mirror of [[intDiv]]. */
   def intDivSql(a: String, b: String): String =
     s"CAST((($a) - (($a) % ($b))) / ($b) AS BIGINT)"
+
+  /** [[intDiv]] without the 2^53 ceiling: the same exactly-divisible-
+    * numerator construction run in DECIMAL(38,0) arithmetic, where mod,
+    * subtraction, and the exact-multiple division carry no rounding in
+    * either engine at any int64 magnitude. Use when the dividend can
+    * exceed 2^53 (q139's token-scaled products); costs a decimal op
+    * chain instead of three double ops. */
+  def intDivExact(a: Column, b: Column): Column = {
+    val ad = a.cast("decimal(38,0)")
+    val bd = b.cast("decimal(38,0)")
+    ((ad - (ad % bd)) / bd).cast("long")
+  }
+
+  /** SQL-side mirror of [[intDivExact]]. */
+  def intDivExactSql(a: String, b: String): String =
+    s"""CAST((CAST($a AS DECIMAL(38,0)) -
+       | (CAST($a AS DECIMAL(38,0)) % CAST($b AS DECIMAL(38,0)))) /
+       | CAST($b AS DECIMAL(38,0)) AS BIGINT)""".stripMargin
+      .replace("\n", "")
 }

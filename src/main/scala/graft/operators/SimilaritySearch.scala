@@ -41,12 +41,17 @@ object SimilaritySearch {
       nprobe: Int = 6) extends Method
 
   /** Top-k per query: (qIdCol, idCol, cos, rank), rank 1-based by
-    * (cos desc, id). Self-matches (same id value) are excluded, matching
-    * the q50/q51/q56 convention of querying a corpus that may contain
-    * the query vectors themselves. */
+    * (cos desc, id).
+    *
+    * `excludeSelf = true` (the default) drops corpus rows whose id
+    * EQUALS the query id — correct when the queries are drawn from the
+    * corpus itself (the q50/q51/q56 convention). Pass `false` when the
+    * query id space is unrelated to the corpus id space: with the
+    * default, an external query whose id happens to collide with a
+    * corpus id would silently lose that corpus vector from its top-k. */
   def topK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, qIdCol: String, k: Int = 10,
-      method: Method = Brute): DataFrame = {
+      method: Method = Brute, excludeSelf: Boolean = true): DataFrame = {
     val e = corpus.select(col(idCol), col(vecCol).as("__v"))
     val qv = queries.select(col(qIdCol).as("__qid"), col(vecCol).as("__qv"))
     val cand: DataFrame = method match {
@@ -87,8 +92,9 @@ object SimilaritySearch {
     }
     val w = Window.partitionBy("__qid")
       .orderBy(col("cos").desc, col(idCol))
-    cand
-      .filter(col(idCol) =!= col("__qid"))
+    val paired =
+      if (excludeSelf) cand.filter(col(idCol) =!= col("__qid")) else cand
+    paired
       .select(col("__qid"), col(idCol),
         roundf(CosineSimilarity.sim(col("__v"), col("__qv")), 4).as("cos"))
       .withColumn("rank", row_number().over(w).cast("long"))

@@ -338,12 +338,14 @@ object CurationQueries extends QueryPack {
     * closed the q96 way: τ = 0.5 makes the weight an IEEE sqrt
     * (correctly rounded, bit-identical everywhere), each weight lands on
     * an integer 1e-6 grid BEFORE the cross-source sum, and the final
-    * allocation of the 10 000-document budget is a portable integer
-    * floor division — no engine ever sums raw doubles. One aggregation
+    * allocation of the 10 000-document budget is a portable EXACT
+    * decimal integer division (intDivExact — no 2^53 double ceiling,
+    * so token-scaled products cannot ulp-diverge) — no engine ever
+    * sums raw doubles. One aggregation
     * over the corpus; everything after is O(sources) on the driver-free
     * broadcast path. */
   private def q139(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.Rounding.intDiv
+    import graft.functions.Rounding.intDivExact
     val t = Tables.load(s, dir, "documents")
       .groupBy("source")
       .agg(sum(TextAnalysis.tokenCount(col("text"))).as("n_tokens"))
@@ -354,7 +356,7 @@ object CurationQueries extends QueryPack {
       .as("sw"))
     w.crossJoin(broadcast(tot))
       .select(col("source"), col("n_tokens"), col("w_e6"),
-        intDiv(lit(10000L) * col("w_e6"), col("sw")).as("alloc_docs"))
+        intDivExact(lit(10000L) * col("w_e6"), col("sw")).as("alloc_docs"))
       .orderBy("source")
   }
 
@@ -573,7 +575,7 @@ object CurationQueries extends QueryPack {
         |FROM c WHERE cum_tokens <= 800
         |ORDER BY source, doc_id""".stripMargin,
     "q139_temperature_mix" -> {
-      import graft.functions.Rounding.intDivSql
+      import graft.functions.Rounding.intDivExactSql
       s"""WITH t AS (
         |  SELECT source,
         |    CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)
@@ -588,7 +590,7 @@ object CurationQueries extends QueryPack {
         |  SELECT CAST(sum(CAST(w_e6 AS DECIMAL(38,0))) AS BIGINT) AS sw
         |  FROM w)
         |SELECT source, n_tokens, w_e6,
-        |  ${intDivSql("10000 * w_e6", "sw")} AS alloc_docs
+        |  ${intDivExactSql("10000 * w_e6", "sw")} AS alloc_docs
         |FROM w CROSS JOIN tot
         |ORDER BY source""".stripMargin
     })

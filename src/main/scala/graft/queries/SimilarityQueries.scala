@@ -3,7 +3,6 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryPack, Tables}
-import graft.expressions.CosineSimilarity
 import graft.operators.{Ivf, Lsh}
 
 /** Approximate-nearest-neighbor search over the `embeddings` table

@@ -92,9 +92,14 @@ object Formats {
     * (the `maxRecordsPerFile` writer option enforces the bound inside
     * each task; the repartition sizes tasks so shards also stay NEAR the
     * bound, not just under it), and `_index.json` records each shard's
-    * row count so a consumer can plan reads without scanning. The index
-    * is built from one count aggregation over `input_file_name()` —
-    * O(shards) rows to the driver, never data. Returns (shard → rows). */
+    * row count so a consumer can plan reads without scanning.
+    *
+    * Cost: the sizing `count()` runs the input lineage once before the
+    * write — pass a cached/checkpointed frame when the lineage is
+    * expensive. The index pass re-reads the OUTPUT as plain text (JSONL
+    * ⇒ one row per line, so line counts ARE row counts — no JSON
+    * parsing), grouped by `input_file_name()`: O(shards) rows reach the
+    * driver. Returns (shard → rows). */
   def writeShardedJsonl(df: DataFrame, path: String,
       rowsPerShard: Int): Map[String, Long] = {
     require(rowsPerShard > 0, "rowsPerShard must be positive")
@@ -107,7 +112,7 @@ object Formats {
       .json(path)
     val spark = df.sparkSession
     import org.apache.spark.sql.functions.{count => cnt, element_at, input_file_name, lit, split => ssplit}
-    val index = spark.read.schema(df.schema).json(path)
+    val index = spark.read.text(path)
       .groupBy(element_at(ssplit(input_file_name(), "/"), -1).as("shard"))
       .agg(cnt(lit(1)).as("rows"))
       .collect()

@@ -34,17 +34,20 @@ object Incremental {
     FileSystem.get(new java.net.URI(dir),
       spark.sparkContext.hadoopConfiguration)
 
-  /** Data files under `dataDir` (non-hidden, non-zero-length marker
-    * files kept out by the underscore/dot convention Spark itself uses). */
+  /** Ingest units under `dataDir`: non-hidden plain files AND non-hidden
+    * DIRECTORIES — a Spark-written batch is a directory of part files
+    * (the normal upstream output shape), and it must be tracked as one
+    * unit, not invisibly skipped. Hidden/marker names (underscore/dot,
+    * Spark's own convention) are excluded either way. */
   private def listData(spark: SparkSession, dataDir: String): Seq[String] = {
     val f = fs(spark, dataDir)
     val p = new Path(dataDir)
     if (!f.exists(p)) Seq.empty
     else f.listStatus(p).toSeq
-      .filter(st => st.isFile && {
+      .filter { st =>
         val n = st.getPath.getName
         !n.startsWith("_") && !n.startsWith(".")
-      })
+      }
       .map(_.getPath.toString)
   }
 

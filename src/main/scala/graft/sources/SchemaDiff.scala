@@ -22,38 +22,54 @@ object SchemaDiff {
   /** Type changed in place — breaking unless an implicit widening. */
   final case class Retyped(path: String, was: DataType, now: DataType)
       extends Change
+  /** Nullability changed in place (field nullable / array containsNull).
+    * false→true breaks readers that assumed no nulls; true→false only
+    * restricts writers. */
+  final case class Renulled(path: String, wasNullable: Boolean,
+      nowNullable: Boolean) extends Change
 
-  /** All changes old → new, sorted by path. */
+  /** All changes old → new, sorted by path. Nullability is diffed the
+    * same way everywhere — on fields AND on array element containsNull —
+    * so the verdict never depends on whether an element type happens to
+    * be a struct or a primitive. */
   def diff(oldSchema: StructType, newSchema: StructType): Seq[Change] = {
+    def diffType(path: String, a: DataType, b: DataType): Seq[Change] =
+      (a, b) match {
+        case (x: StructType, y: StructType) => walk(path + ".", x, y)
+        case (ArrayType(x, cnA), ArrayType(y, cnB)) =>
+          (if (cnA != cnB) Seq(Renulled(path + "[]", cnA, cnB))
+           else Seq.empty) ++ diffType(path + "[]", x, y)
+        case (x, y) if x != y => Seq(Retyped(path, x, y))
+        case _ => Seq.empty
+      }
     def walk(prefix: String, o: StructType, n: StructType): Seq[Change] = {
-      val oldF = o.fields.map(f => f.name -> f.dataType).toMap
-      val newF = n.fields.map(f => f.name -> f.dataType).toMap
+      val newF = n.fields.map(f => f.name -> f).toMap
+      val oldF = o.fields.map(f => f.name -> f).toMap
       val dropped = o.fields.filterNot(f => newF.contains(f.name))
         .map(f => Dropped(prefix + f.name, f.dataType)).toSeq
       val added = n.fields.filterNot(f => oldF.contains(f.name))
         .map(f => Added(prefix + f.name, f.dataType)).toSeq
       val common = o.fields.filter(f => newF.contains(f.name)).toSeq
       val changed = common.flatMap { f =>
-        (f.dataType, newF(f.name)) match {
-          case (a: StructType, b: StructType) =>
-            walk(prefix + f.name + ".", a, b)
-          case (ArrayType(a: StructType, _), ArrayType(b: StructType, _)) =>
-            walk(prefix + f.name + "[].", a, b)
-          case (a, b) if a != b =>
-            Seq(Retyped(prefix + f.name, a, b))
-          case _ => Seq.empty
-        }
+        val g = newF(f.name)
+        (if (f.nullable != g.nullable)
+           Seq(Renulled(prefix + f.name, f.nullable, g.nullable))
+         else Seq.empty) ++
+          diffType(prefix + f.name, f.dataType, g.dataType)
       }
       dropped ++ added ++ changed
     }
     walk("", oldSchema, newSchema).sortBy(_.path)
   }
 
-  /** Additive-only evolution (no drops, no retypes) is the safe kind:
-    * every existing reader keeps working, new columns null-fill. */
+  /** Reader-safe evolution: adds null-fill, and nullable→required only
+    * restricts writers — every existing reader keeps working. Drops,
+    * retypes, and required→nullable (readers may assume no nulls) are
+    * breaking. */
   def isCompatible(oldSchema: StructType, newSchema: StructType): Boolean =
     diff(oldSchema, newSchema).forall {
       case _: Added => true
+      case Renulled(_, true, false) => true
       case _ => false
     }
 }

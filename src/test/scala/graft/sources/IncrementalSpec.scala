@@ -48,6 +48,23 @@ class IncrementalSpec extends SparkSuite {
     assert(again.select("id").as[Long].head() == 7L)
   }
 
+  test("a Spark-written directory batch is one ingest unit") {
+    val data = Files.createTempDirectory("graft_inc_d4").toString
+    val man = Files.createTempDirectory("graft_inc_m4").toString + "/manifest"
+    // upstream writes a batch the way df.write.parquet does: a DIRECTORY
+    val s = spark
+    import s.implicits._
+    Seq(11L, 12L).toDF("id").write.parquet(s"$data/batch_001")
+    val Some((df1, files1)) = Incremental.readNew(spark, data, man)
+    assert(files1 == Seq(s"file:$data/batch_001") ||
+      files1.exists(_.endsWith("batch_001")))
+    assert(df1.select("id").as[Long].collect().sorted.toSeq == Seq(11L, 12L))
+    Incremental.commit(spark, man, files1)
+    Seq(13L).toDF("id").write.parquet(s"$data/batch_002")
+    val Some((df2, _)) = Incremental.readNew(spark, data, man)
+    assert(df2.select("id").as[Long].collect().toSeq == Seq(13L))
+  }
+
   test("duplicate committed names collapse; hidden files are ignored") {
     val data = Files.createTempDirectory("graft_inc_d3").toString
     val man = Files.createTempDirectory("graft_inc_m3").toString + "/manifest"

@@ -48,4 +48,21 @@ class SchemaDiffSpec extends AnyFunSuite {
     assert(isCompatible(v1, v2))
     assert(!isCompatible(v2, v1)) // reversing it is a drop
   }
+
+  test("nullability changes are reported uniformly and judged by direction") {
+    // field nullable flip
+    val req = StructType(Seq(StructField("id", LongType, nullable = false)))
+    val opt = StructType(Seq(StructField("id", LongType, nullable = true)))
+    assert(diff(opt, req) == Seq(Renulled("id", true, false)))
+    assert(isCompatible(opt, req)) // tightening only restricts writers
+    assert(!isCompatible(req, opt)) // loosening breaks readers
+    // array containsNull flip over a STRUCT element — the case a
+    // type-equality diff silently swallows
+    val sa = StructType(Seq(StructField("tags", ArrayType(
+      StructType(Seq(StructField("k", StringType))), containsNull = true))))
+    val sb = StructType(Seq(StructField("tags", ArrayType(
+      StructType(Seq(StructField("k", StringType))), containsNull = false))))
+    assert(diff(sa, sb) == Seq(Renulled("tags[]", true, false)))
+    assert(!isCompatible(sb, sa))
+  }
 }
