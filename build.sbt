@@ -10,6 +10,12 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// All suites share one SparkSession (SparkSuite.session) and several
+// suites open temporary session-config windows (adaptive off, broadcast
+// off) around plan assertions; concurrent suites would race those windows
+// against other suites' plan checks — run-to-run flaky. Suites must run
+// sequentially; parallelism lives inside Spark (local[4]), not ScalaTest.
+Test / parallelExecution := false
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
