@@ -170,22 +170,13 @@ object TpchQueries extends QueryPack {
     * passes; this shape is groupBy → explode → groupBy, two exchanges
     * total before the presentation sort. The support threshold (≥ 2)
     * prunes the output before that sort. */
-  private def q128(s: SparkSession, dir: String): DataFrame = {
-    val baskets = Tables.load(s, dir, "lineitem")
-      .groupBy("l_orderkey")
-      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
-      .filter(size(col("parts")) <= 8)
-    val pairs = flatten(transform(col("parts"), (x, i) =>
-      transform(
-        slice(col("parts"), i + lit(2), size(col("parts"))),
-        y => struct(x.as("p1"), y.as("p2")))))
-    baskets
-      .select(explode(pairs).as("pr"))
-      .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
-      .agg(count(lit(1)).as("n_orders"))
-      .filter(col("n_orders") >= 2)
+  private def q128(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CoOccur
+      .pairs(Tables.load(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+        maxBasket = 8, minSupport = 2)
+      .select(col("item_a").as("p1"), col("item_b").as("p2"),
+        col("n_baskets").as("n_orders"))
       .orderBy("p1", "p2")
-  }
 
   /** Order-to-ship latency census per ship month — the fulfillment-SLA
     * dashboard (TPC-H Q12's domain, adapted to the synthetic schema's
