@@ -93,22 +93,35 @@ object Rounding {
   def intDivSql(a: String, b: String): String =
     s"CAST((($a) - (($a) % ($b))) / ($b) AS BIGINT)"
 
-  /** [[intDiv]] without the 2^53 ceiling: the same exactly-divisible-
-    * numerator construction run in DECIMAL(38,0) arithmetic, where mod,
-    * subtraction, and the exact-multiple division carry no rounding in
-    * either engine at any int64 magnitude. Use when the dividend can
-    * exceed 2^53 (q139's token-scaled products); costs a decimal op
-    * chain instead of three double ops. */
+  /** [[intDiv]] without the 2^53 ceiling, Spark side: the same exactly-
+    * divisible-numerator construction run in DECIMAL(38,0) arithmetic —
+    * mod, subtraction, and the exact-multiple division (an integer
+    * quotient, exactly representable at the result scale) carry no
+    * rounding in Spark at any int64 magnitude. Use when the dividend can
+    * exceed 2^53 (q139's token-scaled products, q144's e12-scaled
+    * averages); costs a decimal op chain instead of three double ops.
+    * Truncates toward zero (both operands' `%` is dividend-signed).
+    * CALLER WIDENS PRODUCTS: `a` is cast to decimal only after it is
+    * computed, so a long·long product that overflows int64 must be
+    * widened by the caller (`x.cast("decimal(38,0)") * y`) before the
+    * call — this helper cannot un-wrap a wrapped input. */
   def intDivExact(a: Column, b: Column): Column = {
     val ad = a.cast("decimal(38,0)")
     val bd = b.cast("decimal(38,0)")
     ((ad - (ad % bd)) / bd).cast("long")
   }
 
-  /** SQL-side mirror of [[intDivExact]]. */
+  /** SQL-side mirror of [[intDivExact]] — NOT the same construction,
+    * deliberately: DuckDB evaluates DECIMAL `/` through DOUBLE (verified
+    * on v1.0.0: `(2^53+1)·7 / 7` via the decimal chain returns
+    * 9007199254740994), so the decimal mirror would silently re-open the
+    * 2^53 ceiling on the oracle side. DuckDB's HUGEINT `//` is exact
+    * 128-bit integer division and truncates toward zero exactly like the
+    * Spark construction (verified: `-7 // 2 = -3`, dividend-signed).
+    * As on the Spark side, the caller widens `$a` itself (e.g.
+    * `CAST(x AS HUGEINT) * y`) if the product can overflow BIGINT —
+    * though DuckDB errors loudly on int64 overflow rather than
+    * wrapping, so an unwidened oracle fails fast instead of diverging. */
   def intDivExactSql(a: String, b: String): String =
-    s"""CAST((CAST($a AS DECIMAL(38,0)) -
-       | (CAST($a AS DECIMAL(38,0)) % CAST($b AS DECIMAL(38,0)))) /
-       | CAST($b AS DECIMAL(38,0)) AS BIGINT)""".stripMargin
-      .replace("\n", "")
+    s"CAST(CAST($a AS HUGEINT) // CAST($b AS HUGEINT) AS BIGINT)"
 }

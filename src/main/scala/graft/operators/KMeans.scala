@@ -74,14 +74,24 @@ object KMeans {
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
       val assigned = assign(vq, cents)
+      // decimal(38,0) accumulator: with 1e6-scale quantization a cluster's
+      // component sum passes 2^53 around ~1e9 members and 2^63 around
+      // ~1e12 — plain sum(long) would wrap silently (ANSI off) while the
+      // oracle's HUGEINT sum stays exact, breaking bit-reproducibility at
+      // exactly the scale this operator claims; decimal sums are exact to
+      // 10^38 in Spark and mirror DuckDB's HUGEINT
       val sums = (0 until dim).map(i =>
-        sum(element_at(col("vq"), i + 1)).as(s"__s$i"))
+        sum(element_at(col("vq"), i + 1).cast("decimal(38,0)"))
+          .as(s"__s$i"))
       val centroid = array((0 until dim).map { i =>
         val s = col(s"__s$i")
-        // truncated-toward-zero exact division: s % n is dividend-signed in
-        // both engines, (s - s % n) is exactly divisible, and |s| < 2^53
-        // keeps the double division exact
-        ((s - (s % col("__n"))) / col("__n")).cast("long")
+        val n = col("__n").cast("decimal(38,0)")
+        // truncated-toward-zero exact division at any magnitude: % is
+        // dividend-signed on decimals in both engines, (s - s % n) is an
+        // exact multiple, and Spark's decimal division of an exact
+        // multiple is exact (the intDivExact construction; the oracle
+        // mirrors it with HUGEINT `//`, which truncates identically)
+        ((s - (s % n)) / n).cast("long")
       }: _*)
       cents = assigned.join(vq, "vid")
         .groupBy("cid")

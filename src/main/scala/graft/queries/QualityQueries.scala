@@ -122,7 +122,7 @@ object QualityQueries extends QueryPack {
     * and the comparison column is pure integer arithmetic. One
     * aggregation; first digit falls out of the cents' decimal string. */
   private def q141(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.Rounding.{cents, intDiv}
+    import graft.functions.Rounding.{cents, intDivExact}
     // floor(log10(1 + 1/d) * 1e6) for d = 1..9 — fixed offline constants
     val benfordE6 = Seq(301029L, 176091L, 124938L, 96910L, 79181L,
       66946L, 57991L, 51152L, 45757L)
@@ -140,17 +140,57 @@ object QualityQueries extends QueryPack {
       .withColumn("n_total", sum("n").over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(lit(1))))
+      // n_total · share_e6 exceeds 2^53 once orders reaches ~3e10 rows:
+      // widen the product to decimal BEFORE multiplying (long·long wraps
+      // silently) and divide on the exact decimal/HUGEINT path
       .withColumn("n_expected",
-        intDiv(col("n_total") * col("share_e6_expected"), lit(1000000L)))
+        intDivExact(
+          col("n_total").cast("decimal(19,0)") * col("share_e6_expected"),
+          lit(1000000L)))
       .select("digit", "n", "n_expected", "share_e6_expected")
       .orderBy("digit")
+  }
+
+  /** Per-priority e10-scaled exact average order price, plus the signed
+    * e10-scaled deviation from the global average — the continuous
+    * oracle-side proof of [[graft.functions.Rounding.intDivExact]] beyond
+    * the 2^53 double ceiling. The dividends are REAL here, not synthetic:
+    * sum_cents·1e10 ≈ 4.5e20 at sf0.01 already exceeds 2^63, and the
+    * deviation numerator (sum_cents·n_tot − tot_cents·n)·1e10 is signed,
+    * so every row exercises decimal-chain division (Spark) against
+    * HUGEINT `//` (DuckDB) including truncation-toward-zero on negative
+    * dividends. All outputs integral: quotients ≤ ~1.5e17 fit BIGINT,
+    * sum_cents fits BIGINT to ≳10^9 orders per priority. One aggregation
+    * plus a 5-row window — the global total never leaves the executors. */
+  private def q144(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Rounding.{cents, intDivExact}
+    val e10 = lit(10000000000L)
+    val w = Window.partitionBy(lit(1))
+    Tables.load(s, dir, "orders")
+      .select(col("o_orderpriority").as("priority"),
+        cents(col("o_totalprice")).as("vc"))
+      .groupBy("priority")
+      .agg(count(lit(1)).as("n"),
+        sum(col("vc").cast("decimal(38,0)")).as("sum_d"))
+      .withColumn("n_tot", sum("n").over(w))
+      .withColumn("tot_d", sum("sum_d").over(w))
+      .withColumn("avg_e10", intDivExact(col("sum_d") * e10, col("n")))
+      .withColumn("dev_e10", intDivExact(
+        (col("sum_d") * col("n_tot") - col("tot_d") * col("n")) * e10,
+        col("n") * col("n_tot")))
+      .select(col("priority"), col("n"),
+        col("sum_d").cast("long").as("sum_cents"),
+        col("avg_e10"), col("dev_e10"))
+      .orderBy("priority")
   }
 
   val defs: Map[String, Q] = Map(
     "q66_quality_report" -> (q66 _),
     "q130_ref_integrity" -> (q130 _),
     "q136_k_anonymity" -> (q136 _),
-    "q141_benford" -> (q141 _))
+    "q141_benford" -> (q141 _),
+    "q144_avg_e10_exact" -> (q144 _))
 
   // one SELECT per check, mirrored shapes; 'license' is a deliberately
   // missing column so the missing-column path is oracle-checked too
@@ -249,7 +289,7 @@ object QualityQueries extends QueryPack {
         |GROUP BY 1, 2, 3
         |ORDER BY 1, 2, 3""".stripMargin,
     "q141_benford" -> {
-      import graft.functions.Rounding.{centsSql, intDivSql}
+      import graft.functions.Rounding.{centsSql, intDivExactSql}
       s"""WITH v AS (
         |  SELECT ${centsSql("o_totalprice")} AS vc FROM orders),
         |d AS (
@@ -265,10 +305,31 @@ object QualityQueries extends QueryPack {
         |    AS t(digit, share_e6_expected)),
         |tot AS (SELECT sum(n) AS n_total FROM c)
         |SELECT c.digit, c.n,
-        |  ${intDivSql("n_total * share_e6_expected", "1000000")}
+        |  ${intDivExactSql("n_total * share_e6_expected", "1000000")}
         |    AS n_expected,
         |  share_e6_expected
         |FROM c JOIN e USING (digit) CROSS JOIN tot
         |ORDER BY digit""".stripMargin
+    },
+    "q144_avg_e10_exact" -> {
+      import graft.functions.Rounding.{centsSql, intDivExactSql}
+      // sum(BIGINT) is already HUGEINT in DuckDB; the e10 products are
+      // widened explicitly so no factor multiplies at BIGINT width
+      s"""WITH c AS (
+        |  SELECT o_orderpriority AS priority,
+        |    ${centsSql("o_totalprice")} AS vc FROM orders),
+        |g AS (
+        |  SELECT priority, count(*) AS n, sum(vc) AS sum_c
+        |  FROM c GROUP BY 1),
+        |t AS (SELECT sum(n) AS n_tot, sum(sum_c) AS tot_c FROM g)
+        |SELECT priority, n, CAST(sum_c AS BIGINT) AS sum_cents,
+        |  ${intDivExactSql(
+             "CAST(sum_c AS HUGEINT) * 10000000000", "n")} AS avg_e10,
+        |  ${intDivExactSql(
+             "(CAST(sum_c AS HUGEINT) * n_tot - CAST(tot_c AS HUGEINT) * n)" +
+               " * 10000000000",
+             "CAST(n AS HUGEINT) * n_tot")} AS dev_e10
+        |FROM g CROSS JOIN t
+        |ORDER BY priority""".stripMargin
     })
 }

@@ -239,7 +239,15 @@ object ScaleQueries extends QueryPack {
     * with ANSI off — exactly like the UNREWRITTEN base query would),
     * while the oracle sums through HUGEINT; per-type cents totals reach
     * ~2e8 at sf0.1, ten orders of magnitude below the boundary. */
-  private def q125(s: SparkSession, dir: String): DataFrame = {
+  private def q125(s: SparkSession, dir: String): DataFrame =
+    // the body mutates process-global state (the MaterializedAgg registry)
+    // and a fixed per-sfDir work dir: two concurrent invocations (the
+    // multi-threaded partition-independence verify pass, verify racing
+    // bench) could interleave create/drop so one thread's drop lands
+    // before the other forces optimizedPlan, failing require(scansMv)
+    // spuriously — so the whole create→force→drop window is serialized
+    // on the registry object itself
+    graft.plans.MaterializedAgg.synchronized {
     // fixed per-sfDir work dir (not a fresh createTempDirectory per call):
     // bench/verify invoke a query several times, and each call rebuilds
     // base + view idempotently in place instead of accumulating /tmp dirs
