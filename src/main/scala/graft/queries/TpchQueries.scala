@@ -206,8 +206,75 @@ object TpchQueries extends QueryPack {
         max("latency_days").as("max_latency_days"))
       .orderBy("ship_month")
 
+  /** TPC-H Q5 (local supplier volume): revenue from orders where the
+    * customer and the line's supplier sit in the SAME nation of one
+    * region, per nation, one order-date year. The canonical 6-table
+    * join-planning benchmark: lineitem⋈orders is the one fact-fact
+    * shuffle; supplier/customer key-columns and nation/region broadcast
+    * (at TPC-H proportions — see the pack scaladoc); the same-nation
+    * predicate is applied as soon as both nation keys exist so mismatched
+    * rows never reach the aggregate. Revenue is the exact e4 fixed-point
+    * BIGINT (q93 discipline — integer outputs cannot ulp-diverge). */
+  private def q145(s: SparkSession, dir: String): DataFrame = {
+    val asiaNationKeys = t(s, dir, "nation")
+      .join(broadcast(t(s, dir, "region")
+        .filter(col("r_name") === "ASIA").select("r_regionkey")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+      .select("o_orderkey", "o_custkey")
+    val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+    val sup = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), vol4.as("vol"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .filter(col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(asiaNationKeys),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(sum(col("vol").cast("decimal(38,0)")).cast("long")
+        .as("revenue_e4"))
+      .orderBy(col("revenue_e4").desc, col("nation"))
+  }
+
+  /** TPC-H Q10 (returned-item reporting): the top-20 customers by revenue
+    * lost to returns in one quarter. One fact-fact shuffle
+    * (lineitem⋈orders, both pre-filtered so the exchange carries only the
+    * quarter's returned rows), customer/nation broadcast, then a top-k —
+    * at 100 TB the ORDER BY+LIMIT is a TakeOrderedAndProject: each task
+    * keeps 20 rows, no global sort. Ties broken by c_custkey so the row
+    * set is deterministic; acctbal emitted as exact cents. */
+  private def q146(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= to_timestamp(lit("1997-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1997-04-01")))
+      .select("o_orderkey", "o_custkey")
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"),
+        cents(col("c_acctbal")).as("acctbal_cents"), col("c_nationkey"))
+    val nat = t(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_name").as("nation"))
+    t(s, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), vol4.as("vol"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "acctbal_cents", "nation")
+      .agg(sum(col("vol").cast("decimal(38,0)")).cast("long")
+        .as("revenue_e4"))
+      .orderBy(col("revenue_e4").desc, col("c_custkey"))
+      .limit(20)
+  }
+
   val defs: Map[String, Q] = Map(
     "q57_volume_shipping" -> (q57 _),
+    "q145_local_supplier_volume" -> (q145 _),
+    "q146_returned_items" -> (q146 _),
     "q58_market_share" -> (q58 _),
     "q59_min_cost_supplier" -> (q59 _),
     "q65_range_join_binned" -> (q65 _),
@@ -216,6 +283,41 @@ object TpchQueries extends QueryPack {
     "q143_shipping_latency" -> (q143 _))
 
   val oracle: Map[String, String] = Map(
+    "q145_local_supplier_volume" ->
+      """SELECT n_name AS nation,
+        |  CAST(sum(CAST(
+        |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) *
+        |    CAST(floor((1 - l_discount) * 100.0 + 0.5) AS BIGINT)
+        |    AS DECIMAL(38,0))) AS BIGINT) AS revenue_e4
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE c_nationkey = s_nationkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1997-01-01'
+        |GROUP BY 1
+        |ORDER BY revenue_e4 DESC, nation""".stripMargin,
+    "q146_returned_items" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS acctbal_cents,
+        |  n_name AS nation,
+        |  CAST(sum(CAST(
+        |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) *
+        |    CAST(floor((1 - l_discount) * 100.0 + 0.5) AS BIGINT)
+        |    AS DECIMAL(38,0))) AS BIGINT) AS revenue_e4
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1997-04-01'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue_e4 DESC, c_custkey LIMIT 20""".stripMargin,
     "q57_volume_shipping" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |  year(l_shipdate) AS l_year,
