@@ -313,7 +313,32 @@ object CurationQueries extends QueryPack {
       .orderBy("bin")
   }
 
+  /** Per-source document cap — the common-crawl per-domain cap (no single
+    * domain may contribute more than N documents to the corpus), made
+    * deterministic: within each source, docs rank by md5(doc_id) — an
+    * engine-portable uniform order, decorrelated from ingest order and
+    * from every content column — and rank > cap is dropped. Emitted as
+    * the full census (doc_id, source, rank, kept flag) so the oracle
+    * proves the RANKING, not just the survivor set. One shuffle: the
+    * window partitions by source and sorts md5 strings within; ties are
+    * impossible (md5 of distinct ids). At 100 TB a hot domain never
+    * floods a reducer beyond its own row count, and the kept set is
+    * reproducible run-to-run regardless of partitioning. */
+  private def q148(s: SparkSession, dir: String): DataFrame = {
+    val cap = 15
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("rank",
+        row_number().over(
+          Window.partitionBy("source").orderBy("h")).cast("long"))
+      .select(col("doc_id"), col("source"), col("rank"),
+        (col("rank") <= cap).cast("long").as("kept"))
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q148_domain_cap" -> (q148 _),
     "q79_bigram_counts" -> (q79 _),
     "q80_mask_digits" -> (q80 _),
     "q81_quartile_census" -> (q81 _),
@@ -386,6 +411,15 @@ object CurationQueries extends QueryPack {
   }
 
   val oracle: Map[String, String] = Map(
+    "q148_domain_cap" ->
+      """SELECT doc_id, source,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR))) AS BIGINT) AS rank,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR))) <= 15 AS BIGINT) AS kept
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q79_bigram_counts" ->
       s"""WITH toks AS (
          |  SELECT doc_id,

@@ -233,8 +233,42 @@ object DedupQueries extends QueryPack {
         "name")
       .orderBy("a", "b")
 
+  /** Exact duplicated-span census per source — the C4/RefinedWeb
+    * "remove any line repeated elsewhere in the corpus" statistic, over
+    * 8-word spans (this corpus has no newlines, so fixed-width token
+    * windows stand in for lines). For each source: how many distinct
+    * spans its documents contain, and how many of those also occur in at
+    * least one OTHER document — the fraction a span-level exact dedup
+    * pass would rewrite. ONE shuffle: spans hash to xxhash64 longs
+    * (q41's discipline — 8-word strings never cross the exchange), corpus
+    * df comes from an unordered window over the span key (no join-back;
+    * the window's partition IS the dedup key), and the per-source rollup
+    * rides the second, 20-row exchange. The dup ratio is e6 fixed-point
+    * on the intDivExact path: n_dup·1e6 passes 2^53 once a source holds
+    * ~9e9 duplicated spans — real at the 100 TB posture. */
+  private def q147(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.intDivExact
+    val spans = docs(s, dir)
+      .select(col("doc_id"), col("source"),
+        tokensCol(col("text")).as("toks"))
+      .select(col("doc_id"), col("source"),
+        explode(ngramsFromTokens(col("toks"), 8)).as("gram"))
+      .select(col("source"), xxhash64(col("gram")).as("g"))
+    spans
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_spans"),
+        sum((col("df") > 1).cast("long")).cast("long").as("n_dup_spans"))
+      .withColumn("dup_ratio_e6",
+        intDivExact(
+          col("n_dup_spans").cast("decimal(19,0)") * lit(1000000L),
+          col("n_spans")))
+      .orderBy("source")
+  }
+
   val defs: Map[String, Q] = Map(
     "q40_dedup_exact" -> (q40 _),
+    "q147_span_dedup_census" -> (q147 _),
     "q41_dedup_jaccard" -> (q41 _),
     "q42_dedup_minhash" -> (q42 _),
     "q43_dedup_simhash" -> (q43 _),
@@ -321,6 +355,31 @@ object DedupQueries extends QueryPack {
        |  WHERE floor((inter / (sa.sz + sb.sz - inter)) * 10000.0 + 0.5) / 10000.0 >= 0.1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // span identity stated on the gram STRINGS (the engine shuffles
+    // xxhash64 keys — invisible to the result, as in q41)
+    "q147_span_dedup_census" -> {
+      import graft.functions.Rounding.intDivExactSql
+      s"""WITH toks AS (
+         |  SELECT doc_id, source,
+         |    regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+         |  FROM documents),
+         |idx AS (
+         |  SELECT doc_id, source, t,
+         |    unnest(generate_series(1, len(t) - 7)) AS i
+         |  FROM toks WHERE len(t) >= 8),
+         |spans AS (
+         |  SELECT DISTINCT doc_id, source,
+         |    array_to_string(t[i:i+7], ' ') AS gram
+         |  FROM idx),
+         |df AS (SELECT gram, count(*) AS df FROM spans GROUP BY 1)
+         |SELECT source, count(*) AS n_spans,
+         |  CAST(sum(CAST(s.df > 1 AS BIGINT)) AS BIGINT) AS n_dup_spans,
+         |  ${intDivExactSql(
+              "CAST(sum(CAST(s.df > 1 AS BIGINT)) AS HUGEINT) * 1000000",
+              "count(*)")} AS dup_ratio_e6
+         |FROM spans JOIN df s USING (gram)
+         |GROUP BY source ORDER BY source""".stripMargin
+    },
     "q40_dedup_exact" ->
       s"""WITH f AS (SELECT doc_id, md5($normSql) AS fp FROM documents)
          |SELECT doc_id, fp,
