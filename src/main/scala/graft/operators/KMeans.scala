@@ -131,10 +131,14 @@ object KMeans {
          |    FROM e JOIN $c c USING (pos) GROUP BY e.vid, c.cid)
          |  WHERE rn = 1)""".stripMargin
     def centroidCte(r: Int): String =
+      // HUGEINT // : 128-bit exact, truncates toward zero exactly like
+      // the Spark side's decimal (s - s % n) / n — NOT the old
+      // (sum - sum % n) / n form, whose DOUBLE division re-opens the
+      // 2^53 ceiling in DuckDB (see Rounding.intDivExactSql)
       s"""c$r AS (
          |  SELECT a.cid, e.pos,
-         |    CAST((sum(e.xq) - (sum(e.xq) % count(*))) / count(*) AS BIGINT)
-         |      AS cq
+         |    CAST(CAST(sum(e.xq) AS HUGEINT) // CAST(count(*) AS HUGEINT)
+         |      AS BIGINT) AS cq
          |  FROM a$r a JOIN e USING (vid) GROUP BY a.cid, e.pos)""".stripMargin
     val rounds = (1 to iters).flatMap { r =>
       Seq(assignCte(r, s"c${r - 1}"), centroidCte(r))
