@@ -120,42 +120,45 @@ object KMeans {
     * Unrolled per round — the q97-PageRank oracle pattern: an oracle may
     * scan k× for clarity, the engine side must not. */
   def oracleSqlCtes(table: String, idCol: String, vecCol: String,
-      dim: Int, k: Int, iters: Int, scale: String = "1000000.0"): String = {
+      dim: Int, k: Int, iters: Int, scale: String = "1000000.0",
+      prefix: String = ""): String = {
+    val p = prefix
     val seedHash = Hashing.md5U32Sql("CAST(vid AS VARCHAR)")
     def assignCte(r: Int, c: String): String =
-      s"""a$r AS (
+      s"""${p}a$r AS (
          |  SELECT vid, cid, d FROM (
          |    SELECT e.vid, c.cid, sum((e.xq - c.cq) * (e.xq - c.cq)) AS d,
          |      row_number() OVER (PARTITION BY e.vid
          |        ORDER BY sum((e.xq - c.cq) * (e.xq - c.cq)), c.cid) AS rn
-         |    FROM e JOIN $c c USING (pos) GROUP BY e.vid, c.cid)
+         |    FROM ${p}e e JOIN $c c USING (pos) GROUP BY e.vid, c.cid)
          |  WHERE rn = 1)""".stripMargin
     def centroidCte(r: Int): String =
       // HUGEINT // : 128-bit exact, truncates toward zero exactly like
       // the Spark side's decimal (s - s % n) / n — NOT the old
       // (sum - sum % n) / n form, whose DOUBLE division re-opens the
       // 2^53 ceiling in DuckDB (see Rounding.intDivExactSql)
-      s"""c$r AS (
+      s"""${p}c$r AS (
          |  SELECT a.cid, e.pos,
          |    CAST(CAST(sum(e.xq) AS HUGEINT) // CAST(count(*) AS HUGEINT)
          |      AS BIGINT) AS cq
-         |  FROM a$r a JOIN e USING (vid) GROUP BY a.cid, e.pos)""".stripMargin
+         |  FROM ${p}a$r a JOIN ${p}e e USING (vid)
+         |  GROUP BY a.cid, e.pos)""".stripMargin
     val rounds = (1 to iters).flatMap { r =>
-      Seq(assignCte(r, s"c${r - 1}"), centroidCte(r))
+      Seq(assignCte(r, s"${p}c${r - 1}"), centroidCte(r))
     }
     val parts = Seq(
-      s"""e AS (
+      s"""${p}e AS (
          |  SELECT CAST($idCol AS BIGINT) AS vid, i AS pos,
          |    CAST(floor(CAST($vecCol[CAST(i AS INT)] AS DOUBLE) * $scale + 0.5)
          |      AS BIGINT) AS xq
          |  FROM $table, unnest(generate_series(1, $dim)) AS g(i))""".stripMargin,
-      s"""c0 AS (
-         |  SELECT vid AS cid, pos, xq AS cq FROM e WHERE vid IN (
-         |    SELECT vid FROM (SELECT DISTINCT vid FROM e) s
+      s"""${p}c0 AS (
+         |  SELECT vid AS cid, pos, xq AS cq FROM ${p}e WHERE vid IN (
+         |    SELECT vid FROM (SELECT DISTINCT vid FROM ${p}e) s
          |    ORDER BY $seedHash, vid LIMIT $k))""".stripMargin) ++
       rounds :+
-      assignCte(iters + 1, s"c$iters")
-        .replaceFirst(s"a${iters + 1} AS", "afinal AS")
+      assignCte(iters + 1, s"${p}c$iters")
+        .replaceFirst(s"${p}a${iters + 1} AS", s"${p}afinal AS")
     parts.mkString(",\n")
   }
 }

@@ -153,12 +153,47 @@ object SimilarityQueries extends QueryPack {
       .orderBy("cid")
   }
 
+  /** Product quantization (PQ): the codebook compression behind
+    * billion-scale ANN indexes (IVF-PQ). The 64-dim embedding splits
+    * into 4 contiguous 16-dim subspaces; each subspace trains its OWN
+    * deterministic fixed-point k-means codebook (k=8, 2 Lloyd rounds —
+    * [[graft.operators.KMeans]], so every code and error is
+    * bit-reproducible), and a vector's PQ code is its 4 nearest-centroid
+    * ids — 64 floats compressed to 4 small ints. Emitted per vector with
+    * the exact integer quantization error (sum of the 4 subspace sq
+    * distances, quantized units), the contract a recall model budgets
+    * against. Scale: each subspace fit is the q118 shape (broadcast
+    * centroids, one exchange per round over k·16 longs); the final code
+    * table assembles via 3 equi-joins on vid — at 100 TB each join
+    * co-partitions on the SAME key, so AQE plans one shuffle stage per
+    * side, and nothing driver-side ever sees a vector. */
+  private def q149(s: SparkSession, dir: String): DataFrame = {
+    val emb = graft.Tables.load(s, dir, "embeddings")
+    val m = 4
+    val sub = Dim / m
+    val parts = (0 until m).map { j =>
+      val sv = emb.select(col("vec_id"),
+        slice(col("embedding"), j * sub + 1, sub).as("sv"))
+      val (_, asg) = graft.operators.KMeans.fit(
+        sv, "vec_id", "sv", dim = sub, k = 8, iters = 2)
+      asg.select(col("vid"), col("cid").as(s"code_$j"),
+        col("dist").as(s"__d$j"))
+    }
+    parts.reduce(_.join(_, "vid"))
+      .select(col("vid").as("vec_id"),
+        col("code_0"), col("code_1"), col("code_2"), col("code_3"),
+        (col("__d0") + col("__d1") + col("__d2") + col("__d3"))
+          .as("qerr_q"))
+      .orderBy("vec_id")
+  }
+
   val defs: Map[String, Q] = Map(
     "q50_knn_cosine" -> (q50 _),
     "q51_knn_lsh" -> (q51 _),
     "q56_knn_ivf" -> (q56 _),
     "q91_sq8_quantize" -> (q91 _),
-    "q118_kmeans" -> (q118 _))
+    "q118_kmeans" -> (q118 _),
+    "q149_pq_codes" -> (q149 _))
 
   private def rnd(e: String): String =
     s"floor(($e) * 10000.0 + 0.5) / 10000.0"
@@ -271,5 +306,27 @@ object SimilarityQueries extends QueryPack {
          |  FROM c2 GROUP BY cid)
          |SELECT cid, n_members, sum_abs_centroid_q, inertia_q
          |FROM members JOIN cstats USING (cid)
-         |ORDER BY cid""".stripMargin)
+         |ORDER BY cid""".stripMargin,
+    // four independent codebooks = four prefixed KMeans CTE sets over
+    // sliced subvectors; the code row joins their final assignments
+    "q149_pq_codes" -> {
+      val m = 4
+      val sub = Dim / m
+      val ctes = (0 until m).map { j =>
+        graft.operators.KMeans.oracleSqlCtes(
+          "embeddings", "vec_id",
+          s"embedding[${j * sub + 1}:${j * sub + sub}]",
+          sub, 8, 2, prefix = s"p${j}_")
+      }.mkString(",\n")
+      s"""WITH $ctes
+         |SELECT p0.vid AS vec_id,
+         |  p0.cid AS code_0, p1.cid AS code_1,
+         |  p2.cid AS code_2, p3.cid AS code_3,
+         |  CAST(p0.d + p1.d + p2.d + p3.d AS BIGINT) AS qerr_q
+         |FROM p0_afinal p0
+         |JOIN p1_afinal p1 USING (vid)
+         |JOIN p2_afinal p2 USING (vid)
+         |JOIN p3_afinal p3 USING (vid)
+         |ORDER BY vec_id""".stripMargin
+    })
 }
