@@ -39,6 +39,20 @@ object SimilaritySearch {
   /** Hash-rate centroid sampling (1-in-rate, hard cap), nprobe cells. */
   final case class IvfProbe(rate: Int = 31, cap: Int = 4096,
       nprobe: Int = 6) extends Method
+  /** Product-quantization ADC scan: m per-subspace codebooks (k
+    * centroids each, deterministic fixed-point [[KMeans]]) compress each
+    * corpus vector to m small code ids; every (query, vector) pair is
+    * then scored with m integer TABLE LOOKUPS (the query's precomputed
+    * per-centroid distance tables ride along as broadcast maps) instead
+    * of a dim-wide dot product, and only the `shortlist` best pairs per
+    * query reach the exact re-rank. The asymmetric-distance scan of
+    * IVF-PQ: the corpus is read as codes (m ints, not dim floats — the
+    * compression that makes a 100 TB corpus scannable), nothing big is
+    * ever broadcast, and the ADC ordering is exact integer arithmetic so
+    * the shortlist is deterministic. Recall depends on codebook fit;
+    * raise `shortlist` (or m) to trade scan cost for recall. */
+  final case class PqAdc(m: Int = 8, kCodes: Int = 16, iters: Int = 2,
+      shortlist: Int = 128, dim: Int = 64) extends Method
 
   /** Top-k per query: (qIdCol, idCol, cos, rank), rank 1-based by
     * (cos desc, id).
@@ -88,6 +102,46 @@ object SimilaritySearch {
           .filter(col("__rn") <= nprobe)
           .select(col("__qid"), col("__qv"), col("c_id"))
         assigned.join(broadcast(probes), Seq("c_id"))
+          .select(col(idCol), col("__v"), col("__qid"), col("__qv"))
+      case PqAdc(m, kc, iters, shortlist, dim) =>
+        require(dim % m == 0, s"dim $dim must split into $m subspaces")
+        val sub = dim / m
+        val fits = (0 until m).map { j =>
+          val sv = e.select(col(idCol),
+            slice(col("__v"), j * sub + 1, sub).as("sv"))
+          KMeans.fit(sv, idCol, "sv", sub, kc, iters)
+        }
+        // corpus as codes: vid + m small ints — the compressed scan set
+        val codes = fits.zipWithIndex.map { case ((_, asg), j) =>
+          asg.select(col("vid"), col("cid").as(s"__c$j"))
+        }.reduce(_.join(_, "vid"))
+        // per-query distance tables: for each subspace, cid -> exact
+        // integer sq distance from the query's quantized subvector
+        val dts = fits.zipWithIndex.map { case ((cents, _), j) =>
+          qv.select(col("__qid"),
+              KMeans.quantize(slice(col("__qv"), j * sub + 1, sub),
+                1000000.0).as("__qq"))
+            .crossJoin(broadcast(cents))
+            .select(col("__qid"), col("cid"),
+              KMeans.sqDist(col("__qq"), col("cq")).as("d"))
+            .groupBy("__qid")
+            .agg(map_from_entries(
+              collect_list(struct(col("cid"), col("d"))))
+              .as(s"__dt$j"))
+        }
+        val qTables = dts.reduce(_.join(_, "__qid"))
+        val adc = (0 until m).map(j =>
+          element_at(col(s"__dt$j"), col(s"__c$j")))
+          .reduce(_ + _)
+        val wAdc = Window.partitionBy("__qid")
+          .orderBy(col("__adc"), col("vid"))
+        codes.crossJoin(broadcast(qTables))
+          .select(col("vid"), col("__qid"), adc.as("__adc"))
+          .withColumn("__rn", row_number().over(wAdc))
+          .filter(col("__rn") <= shortlist)
+          .select(col("vid").as(idCol), col("__qid"))
+          .join(e, idCol)
+          .join(broadcast(qv), "__qid")
           .select(col(idCol), col("__v"), col("__qid"), col("__qv"))
     }
     val w = Window.partitionBy("__qid")

@@ -42,6 +42,28 @@ class SimilaritySearchSpec extends SparkSuite {
       s"recall ${hits.size.toDouble / exact.size}")
   }
 
+  test("PqAdc recall >= 0.8 of brute on the fixture corpus") {
+    val exact = asSet(SimilaritySearch.topK(emb, queries, "vec_id", "v",
+      "q_id", 10, SimilaritySearch.Brute))
+    // shortlist 128 of 500: the ADC scan must rank true neighbors into
+    // the top quarter from 4 code lookups alone — a real discrimination
+    // bar, not a covers-everything shortlist
+    val approx = asSet(SimilaritySearch.topK(emb, queries, "vec_id", "v",
+      "q_id", 10, SimilaritySearch.PqAdc()))
+    val hits = exact.map(t => (t._1, t._2))
+      .intersect(approx.map(t => (t._1, t._2)))
+    assert(hits.size.toDouble / exact.size >= 0.8,
+      s"recall ${hits.size.toDouble / exact.size}")
+  }
+
+  test("PqAdc is deterministic run-to-run (integer ADC, fixed seeds)") {
+    val a = SimilaritySearch.topK(emb, queries, "vec_id", "v",
+      "q_id", 5, SimilaritySearch.PqAdc()).collect().toSeq
+    val b = SimilaritySearch.topK(emb, queries, "vec_id", "v",
+      "q_id", 5, SimilaritySearch.PqAdc()).collect().toSeq
+    assert(a == b)
+  }
+
   test("IvfProbe recall >= 0.8 of brute on the fixture corpus") {
     val exact = asSet(SimilaritySearch.topK(emb, queries, "vec_id", "v",
       "q_id", 10, SimilaritySearch.Brute))
