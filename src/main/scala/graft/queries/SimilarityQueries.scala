@@ -187,13 +187,51 @@ object SimilarityQueries extends QueryPack {
       .orderBy("vec_id")
   }
 
+  /** SemDeDup (Abbas et al. 2023) + prototypicality ranking — the
+    * cluster-scoped semantic curation pass: cluster the corpus with the
+    * deterministic fixed-point k-means, then (a) inside each cluster drop
+    * every vector that has an EARLIER-id near-twin at rounded cosine
+    * ≥ 0.45 (semantic dedup: candidate pairs are confined to a cluster,
+    * never the corpus — the shape that makes embedding dedup feasible at
+    * 100 TB, where k grows with N so per-cluster membership stays
+    * bounded), and (b) rank every vector by its exact integer distance
+    * to its centroid (D4-style prototypicality: rank 1 = most central;
+    * tail ranks = outliers a pruning pass would cut first). Ties break
+    * on vid; every output column is integral. */
+  private def q150(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Rounding.roundf
+    val e = emb(s, dir)
+    val (_, asg) = graft.operators.KMeans.fit(
+      Tables.load(s, dir, "embeddings"),
+      "vec_id", "embedding", dim = Dim, k = 8, iters = 2)
+    val m = asg.select(col("vid"), col("cid"), col("dist"))
+      .join(e.select(col("vec_id").as("vid"), col("v")), "vid")
+    val drops = m.as("x").join(m.as("y"),
+        col("x.cid") === col("y.cid") && col("x.vid") < col("y.vid"))
+      .select(col("y.vid").as("vid"),
+        roundf(graft.expressions.CosineSimilarity.sim(
+          col("x.v"), col("y.v")), 4).as("cos"))
+      .filter(col("cos") >= 0.45)
+      .select("vid").distinct()
+      .withColumn("is_dropped", lit(1L))
+    m.withColumn("proto_rank",
+        row_number().over(
+          Window.partitionBy("cid").orderBy("dist", "vid")).cast("long"))
+      .join(drops, Seq("vid"), "left")
+      .select(col("vid").as("vec_id"), col("cid"), col("proto_rank"),
+        coalesce(col("is_dropped"), lit(0L)).as("is_dropped"))
+      .orderBy("vec_id")
+  }
+
   val defs: Map[String, Q] = Map(
     "q50_knn_cosine" -> (q50 _),
     "q51_knn_lsh" -> (q51 _),
     "q56_knn_ivf" -> (q56 _),
     "q91_sq8_quantize" -> (q91 _),
     "q118_kmeans" -> (q118 _),
-    "q149_pq_codes" -> (q149 _))
+    "q149_pq_codes" -> (q149 _),
+    "q150_semdedup" -> (q150 _))
 
   private def rnd(e: String): String =
     s"floor(($e) * 10000.0 + 0.5) / 10000.0"
@@ -328,5 +366,24 @@ object SimilarityQueries extends QueryPack {
          |JOIN p2_afinal p2 USING (vid)
          |JOIN p3_afinal p3 USING (vid)
          |ORDER BY vec_id""".stripMargin
-    })
+    },
+    "q150_semdedup" ->
+      s"""WITH ${graft.operators.KMeans.oracleSqlCtes(
+             "embeddings", "vec_id", "embedding", Dim, 8, 2)},
+         |vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |       FROM embeddings),
+         |m AS (
+         |  SELECT a.vid, a.cid, a.d, vv.v
+         |  FROM afinal a JOIN vv ON vv.vec_id = a.vid),
+         |drops AS (
+         |  SELECT DISTINCT y.vid FROM m x JOIN m y
+         |    ON x.cid = y.cid AND x.vid < y.vid
+         |  WHERE ${rnd("list_cosine_similarity(x.v, y.v)")} >= 0.45)
+         |SELECT m.vid AS vec_id, m.cid,
+         |  CAST(row_number() OVER (PARTITION BY m.cid
+         |    ORDER BY m.d, m.vid) AS BIGINT) AS proto_rank,
+         |  CAST(CASE WHEN dr.vid IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         |    AS is_dropped
+         |FROM m LEFT JOIN drops dr ON m.vid = dr.vid
+         |ORDER BY vec_id""".stripMargin)
 }
