@@ -266,9 +266,44 @@ object DedupQueries extends QueryPack {
       .orderBy("source")
   }
 
+  /** Incremental (cross-batch) dedup — the nightly-crawl case: a NEW
+    * batch (doc_id ≥ 250 stands in for it) screens against the EXISTING
+    * corpus without re-deduping old-vs-old. Exact: fingerprint left-semi
+    * join against the old fingerprint set (a keyed join — at 100 TB the
+    * old set shuffles by fingerprint, it is never broadcast). Near:
+    * the shared shingle→Jaccard candidate machinery, FILTERED to pairs
+    * that straddle the boundary — old×old and new×new candidate work is
+    * pruned before the pair aggregation by construction of the id split
+    * (old ids < cut ≤ new ids, and pairs emit as a < b). Emits every new
+    * doc with both verdicts; this corpus has no exact text twins, so
+    * exact_dup doubles as a false-positive probe on the fingerprint
+    * join. */
+  private def q151(s: SparkSession, dir: String): DataFrame = {
+    val cut = 250
+    val d = docs(s, dir)
+    val fp = d.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+    val exact = fp.filter(col("doc_id") >= cut)
+      .join(fp.filter(col("doc_id") < cut).select(col("fp")),
+        Seq("fp"), "left_semi")
+      .select(col("doc_id")).withColumn("exact_dup", lit(1L))
+    val near = jaccardPairs(s, dir)
+      .filter(col("doc_a") < cut && col("doc_b") >= cut &&
+        col("jaccard") >= 0.3)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("near_dup", lit(1L))
+    d.filter(col("doc_id") >= cut).select("doc_id")
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("exact_dup"), lit(0L)).as("exact_dup"),
+        coalesce(col("near_dup"), lit(0L)).as("near_dup"))
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, Q] = Map(
     "q40_dedup_exact" -> (q40 _),
     "q147_span_dedup_census" -> (q147 _),
+    "q151_incremental_dedup" -> (q151 _),
     "q41_dedup_jaccard" -> (q41 _),
     "q42_dedup_minhash" -> (q42 _),
     "q43_dedup_simhash" -> (q43 _),
@@ -385,6 +420,26 @@ object DedupQueries extends QueryPack {
          |SELECT doc_id, fp,
          |  CAST(doc_id <> min(doc_id) OVER (PARTITION BY fp) AS INT) AS is_dup
          |FROM f ORDER BY doc_id""".stripMargin,
+    "q151_incremental_dedup" ->
+      s"""WITH $jaccardCtes,
+         |f AS (SELECT doc_id, md5($normSql) AS fp FROM documents),
+         |ex AS (
+         |  SELECT DISTINCT n.doc_id FROM f n
+         |  WHERE n.doc_id >= 250 AND EXISTS (
+         |    SELECT 1 FROM f o WHERE o.doc_id < 250 AND o.fp = n.fp)),
+         |nr AS (
+         |  SELECT DISTINCT doc_b AS doc_id FROM jp
+         |  WHERE doc_a < 250 AND doc_b >= 250 AND jaccard >= 0.3)
+         |SELECT d.doc_id,
+         |  CAST(CASE WHEN ex.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         |    AS exact_dup,
+         |  CAST(CASE WHEN nr.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         |    AS near_dup
+         |FROM documents d
+         |LEFT JOIN ex ON d.doc_id = ex.doc_id
+         |LEFT JOIN nr ON d.doc_id = nr.doc_id
+         |WHERE d.doc_id >= 250
+         |ORDER BY d.doc_id""".stripMargin,
     "q41_dedup_jaccard" ->
       s"""WITH $jaccardCtes
          |SELECT doc_a, doc_b, inter, jaccard FROM jp
