@@ -332,7 +332,37 @@ object ExtraQueries extends QueryPack {
   private def q104(s: SparkSession, dir: String): DataFrame =
     graft.GraftSql.run(s, dir, q104Sql)
 
+  /** Value-window breadth: first_value / last_value / nth_value with
+    * IGNORE NULLS over the full partition frame — the per-entity
+    * "opening, closing, and third non-null reading" report, one row per
+    * user. The null-skipping forms are genuinely exercised (events.value
+    * has planted nulls), the frame is explicit full-partition (default
+    * last_value frames end at CURRENT ROW — a classic silent-wrong-answer
+    * trap in both engines), ordering is (ts, event_id)-deterministic, and
+    * values ride the exact cents grid. One shuffle on user_id serves all
+    * four window columns plus the row_number that collapses to one row
+    * per user. */
+  private def q152(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.cents
+    val wf = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wo = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        cents(col("value")).as("vc"))
+      .select(col("user_id"),
+        row_number().over(wo).as("rn"),
+        expr("first_value(vc) IGNORE NULLS").over(wf).as("first_vc"),
+        expr("last_value(vc) IGNORE NULLS").over(wf).as("last_vc"),
+        expr("nth_value(vc, 3) IGNORE NULLS").over(wf).as("third_vc"),
+        count(lit(1)).over(wf).as("n_events"))
+      .filter(col("rn") === 1)
+      .drop("rn")
+      .orderBy("user_id")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q152_value_windows" -> (q152 _),
     "q46_correlated_subquery" -> (q46 _),
     "q47_cube" -> (q47 _),
     "q48_window_frames" -> (q48 _),
@@ -352,6 +382,23 @@ object ExtraQueries extends QueryPack {
   private val kExpr = """CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)"""
 
   val oracle: Map[String, String] = Map(
+    "q152_value_windows" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vc
+        |  FROM events)
+        |SELECT user_id, first_vc, last_vc, third_vc, n_events FROM (
+        |  SELECT user_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn,
+        |    first_value(vc IGNORE NULLS) OVER w AS first_vc,
+        |    last_value(vc IGNORE NULLS) OVER w AS last_vc,
+        |    nth_value(vc, 3 IGNORE NULLS) OVER w AS third_vc,
+        |    count(*) OVER w AS n_events
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "q46_correlated_subquery" -> q46Sql,
     "q47_cube" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
