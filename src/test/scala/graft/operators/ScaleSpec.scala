@@ -75,6 +75,39 @@ class ScaleSpec extends SparkSuite {
       s"expected 1 file read, got ${scan.metrics("numFiles").value}")
   }
 
+  test("dynamic partition pruning: dim-side filter prunes fact partitions " +
+      "at runtime") {
+    // the 100 TB join pattern: a fact partitioned on the join key, a tiny
+    // filtered dim — DPP turns the dim filter into a runtime partition
+    // filter on the fact scan, so only matching partitions are read even
+    // though the fact-side predicate never appears in the query text
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    spark.range(10000)
+      .select(col("id"), (col("id") % 10).as("pk"))
+      .write.mode("overwrite").partitionBy("pk").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    val dim = spark.range(10)
+      .select(col("id").as("dk"), (col("id") % 5).as("attr"))
+    val q = fact.join(dim.filter(col("attr") === 0),
+      col("pk") === col("dk"))
+    assert(q.count() == 2000) // dk in {0, 5} -> 2 of 10 partitions
+    // AQE wraps the join; the materialized fact scan lives in the final
+    // adaptive plan, not the pre-execution wrapper's leaves
+    val plan = q.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scan = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.metadata.get("PartitionFilters")
+            .exists(_.contains("dynamicpruning")) => s
+    }.headOption.getOrElse(
+      fail(s"no DPP partition filter on the fact scan:\n$plan"))
+    assert(scan.metrics("numFiles").value <= 4L, // 2 partitions' files
+      s"DPP did not prune: ${scan.metrics("numFiles").value} files read")
+  }
+
   test("approximate distinct (HLL) within 5% of exact") {
     val events = Tables.load(spark, sf, "events")
     val r = events.agg(
