@@ -43,6 +43,27 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("stream-static join matches the batch join row-for-row") {
+    // the enrichment shape: an unbounded stream joined to a bounded
+    // dimension — the static side is planned per micro-batch (broadcast
+    // here), no state store involved, append mode legal because the
+    // static side never changes
+    val dim = eventsBatch.select(col("user_id")).distinct()
+      .filter(col("user_id") % 3 === 0)
+      .withColumn("segment",
+        concat(lit("seg"), (col("user_id") % 7).cast("string")))
+    val joined = eventsStream.join(broadcast(dim), Seq("user_id"))
+      .select("event_id", "user_id", "segment")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ss_join").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("ss_join").orderBy("event_id").collect()
+    val batch = eventsBatch.join(dim, Seq("user_id"))
+      .select("event_id", "user_id", "segment")
+      .orderBy("event_id").collect()
+    assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
+  }
+
   test("session windows produce bounded per-user sessions") {
     val q = StreamingOps.sessions(eventsStream)
       .writeStream.outputMode("complete")
