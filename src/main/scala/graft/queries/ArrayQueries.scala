@@ -101,9 +101,29 @@ object ArrayQueries extends QueryPack {
         (col("l_orderkey") % 7).as("mod7"))
       .orderBy("l_orderkey", "l_linenumber")
 
+  /** Set operations with BAG (ALL) semantics — the multiset algebra
+    * DISTINCT set ops silently destroy: INTERSECT ALL keeps each
+    * (user, type) row min(multiplicity-in-a, multiplicity-in-b) times,
+    * EXCEPT ALL subtracts multiplicities. The halves split on
+    * event_id parity so both sides are large with heavy overlap and
+    * real duplicate counts. Spark plans both as aggregate+join on the
+    * row value (count-and-min / count-and-subtract), one shuffle each —
+    * no sort, no product. */
+  private def q153(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select("event_id", "user_id", "event_type")
+    val a = ev.filter(col("event_id") % 2 === 0)
+      .select("user_id", "event_type")
+    val b = ev.filter(col("event_id") % 2 === 1)
+      .select("user_id", "event_type")
+    a.intersectAll(b).withColumn("op", lit("both"))
+      .unionByName(a.exceptAll(b).withColumn("op", lit("even_surplus")))
+      .orderBy("op", "user_id", "event_type")
+  }
+
   val defs: Map[String, Q] = Map(
     "q37_wordcount" -> (q37 _),
     "q38_set_ops" -> (q38 _),
+    "q153_bag_set_ops" -> (q153 _),
     "q49_range_join" -> (q49 _),
     "q53_explode_pos" -> (q53 _),
     "q54_string_breadth" -> (q54 _),
@@ -116,6 +136,17 @@ object ArrayQueries extends QueryPack {
         |  FROM documents)
         |SELECT tok, count(*) AS n FROM toks WHERE tok <> ''
         |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin,
+    "q153_bag_set_ops" ->
+      """WITH a AS (SELECT user_id, event_type FROM events
+        |           WHERE event_id % 2 = 0),
+        |b AS (SELECT user_id, event_type FROM events
+        |      WHERE event_id % 2 = 1)
+        |SELECT user_id, event_type, 'both' AS op
+        |FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+        |UNION ALL
+        |SELECT user_id, event_type, 'even_surplus' AS op
+        |FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+        |ORDER BY op, user_id, event_type""".stripMargin,
     "q38_set_ops" ->
       """SELECT user_id, 'both' AS relation FROM (
         |  SELECT user_id FROM events WHERE event_type = 'purchase'
