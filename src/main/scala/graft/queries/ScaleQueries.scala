@@ -288,9 +288,45 @@ object ScaleQueries extends QueryPack {
     out
   }
 
+  /** Count-min sketch as PURE relational algebra, bit-portable across
+    * engines: d=4 rows of w=256 counters, bucket = md5-derived hash of
+    * (depth, key) — so unlike an opaque binary sketch blob, every counter
+    * and every estimate is reproducible in DuckDB and the oracle checks
+    * the SKETCH, not a hand-waved contract boolean. Built from the
+    * per-key count table (not the raw stream — same counters, far fewer
+    * rows into the sketch aggregation), estimates are min over the key's
+    * d counters, and the CMS one-sided-error invariant (est ≥ exact,
+    * always) plus the exact integer overcount per key are emitted as
+    * data-derived columns. Counter sums ride decimal(38,0): at 100 TB a
+    * single bucket absorbs ~N/w events. */
+  private def q154(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashing
+    val d = 4
+    val w = 256
+    val counts = Tables.load(s, dir, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+    val keyed = counts
+      .select(col("user_id"), col("n"),
+        explode(array((0 until d).map(lit): _*)).as("depth"))
+      .withColumn("bucket",
+        pmod(Hashing.md5U32(concat(lit("cms"),
+          col("depth").cast("string"), lit(":"),
+          col("user_id").cast("string"))), lit(w.toLong)))
+    val sketch = keyed.groupBy("depth", "bucket")
+      .agg(sum(col("n").cast("decimal(38,0)")).cast("long").as("c"))
+    keyed.join(sketch, Seq("depth", "bucket"))
+      .groupBy("user_id", "n")
+      .agg(min("c").as("cms_est"))
+      .select(col("user_id"), col("n").as("exact_n"), col("cms_est"),
+        (col("cms_est") >= col("n")).cast("long").as("overcount_ok"),
+        (col("cms_est") - col("n")).as("overcount"))
+      .orderBy("user_id")
+  }
+
   val defs: Map[String, Q] = Map(
     "q70_bloom_join" -> (q70 _),
     "q125_mv_rewrite" -> (q125 _),
+    "q154_count_min" -> (q154 _),
     "q71_topk_per_group" -> (q71 _),
     "q72_approx_distinct" -> (q72 _),
     "q73_grouping_sets" -> (q73 _),
@@ -301,6 +337,25 @@ object ScaleQueries extends QueryPack {
     "q78_interval_merge" -> (q78 _))
 
   val oracle: Map[String, String] = Map(
+    "q154_count_min" -> {
+      import graft.functions.Hashing
+      val h = Hashing.md5U32Sql(
+        "'cms' || CAST(d.depth AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)")
+      s"""WITH counts AS (
+         |  SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+         |keyed AS (
+         |  SELECT user_id, n, d.depth, $h % 256 AS bucket
+         |  FROM counts,
+         |    (SELECT unnest(generate_series(0, 3)) AS depth) d),
+         |sketch AS (
+         |  SELECT depth, bucket, sum(n) AS c FROM keyed GROUP BY 1, 2)
+         |SELECT k.user_id, k.n AS exact_n,
+         |  CAST(min(s.c) AS BIGINT) AS cms_est,
+         |  CAST(min(s.c) >= k.n AS BIGINT) AS overcount_ok,
+         |  CAST(min(s.c) - k.n AS BIGINT) AS overcount
+         |FROM keyed k JOIN sketch s USING (depth, bucket)
+         |GROUP BY 1, 2 ORDER BY user_id""".stripMargin
+    },
     "q125_mv_rewrite" ->
       s"""SELECT event_type, count(*) AS n,
          |  ${sumCentsSql(centsSql("value"))} AS sum_cents
