@@ -300,10 +300,40 @@ object DedupQueries extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** Train/val/test split-leakage census: after the q99 deterministic
+    * split assignment, how many NEAR-DUP pairs straddle split
+    * boundaries? A near-twin of a training doc sitting in the eval split
+    * silently inflates eval scores — this is the audit that catches it
+    * before a training run does. Pairs come from the shared Jaccard
+    * machinery (≥ 0.3); each pair's two splits canonicalize via
+    * least/greatest so 'train→val' and 'val→train' are one bucket;
+    * same-split buckets ride along with is_leak = 0 as the baseline the
+    * leak counts are read against. */
+  private def q156(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashing
+    val u = Hashing.md5Uniform(col("doc_id").cast("string"))
+    val splits = docs(s, dir).select(col("doc_id"),
+      when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test")
+        .as("split"))
+    jaccardPairs(s, dir).filter(col("jaccard") >= 0.3)
+      .join(splits.select(col("doc_id").as("doc_a"),
+        col("split").as("sa")), "doc_a")
+      .join(splits.select(col("doc_id").as("doc_b"),
+        col("split").as("sb")), "doc_b")
+      .select(least(col("sa"), col("sb")).as("split_lo"),
+        greatest(col("sa"), col("sb")).as("split_hi"))
+      .groupBy("split_lo", "split_hi")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("is_leak",
+        (col("split_lo") =!= col("split_hi")).cast("long"))
+      .orderBy("split_lo", "split_hi")
+  }
+
   val defs: Map[String, Q] = Map(
     "q40_dedup_exact" -> (q40 _),
     "q147_span_dedup_census" -> (q147 _),
     "q151_incremental_dedup" -> (q151 _),
+    "q156_split_leakage" -> (q156 _),
     "q41_dedup_jaccard" -> (q41 _),
     "q42_dedup_minhash" -> (q42 _),
     "q43_dedup_simhash" -> (q43 _),
@@ -420,6 +450,26 @@ object DedupQueries extends QueryPack {
          |SELECT doc_id, fp,
          |  CAST(doc_id <> min(doc_id) OVER (PARTITION BY fp) AS INT) AS is_dup
          |FROM f ORDER BY doc_id""".stripMargin,
+    "q156_split_leakage" -> {
+      val u = graft.functions.Hashing.md5UniformSql("CAST(doc_id AS VARCHAR)")
+      s"""WITH $jaccardCtes,
+         |sp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN $u < 0.8 THEN 'train'
+         |         WHEN $u < 0.9 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents)
+         |SELECT least(a.split, b.split) AS split_lo,
+         |  greatest(a.split, b.split) AS split_hi,
+         |  count(*) AS n_pairs,
+         |  CAST(least(a.split, b.split) <> greatest(a.split, b.split)
+         |    AS BIGINT) AS is_leak
+         |FROM jp
+         |JOIN sp a ON jp.doc_a = a.doc_id
+         |JOIN sp b ON jp.doc_b = b.doc_id
+         |WHERE jaccard >= 0.3
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
     "q151_incremental_dedup" ->
       s"""WITH $jaccardCtes,
          |f AS (SELECT doc_id, md5($normSql) AS fp FROM documents),

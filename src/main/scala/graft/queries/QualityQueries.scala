@@ -185,16 +185,71 @@ object QualityQueries extends QueryPack {
       .orderBy("priority")
   }
 
+  /** Right-to-be-forgotten cascade audit: given a deletion request set
+    * (customers with negative balances stand in for it), the exact purge
+    * impact across the FK cascade — customer → orders → lineitem —
+    * BEFORE any delete runs. One pass per table: the deletion flag rides
+    * a left join against the PK side (row-count preserving; the request
+    * set broadcast — even a 10⁸-row request list is the small side next
+    * to a 100 TB fact) and the depth-2 cascade reuses the flagged orders
+    * keys. The three (table, rows, purged) rows are the audit a
+    * compliance pipeline logs per request batch. */
+  private def q155(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(s, dir, "customer")
+    val del = cust.filter(col("c_acctbal") < 0)
+      .select(col("c_custkey").as("__dk"))
+    val c = cust.agg(count(lit(1)).as("n_rows"),
+        sum((col("c_acctbal") < 0).cast("long")).cast("long")
+          .as("n_purged"))
+      .select(lit("customer").as("tbl"), col("n_rows"), col("n_purged"))
+    val ordFlag = Tables.load(s, dir, "orders")
+      .join(broadcast(del.withColumn("__del", lit(1L))),
+        col("o_custkey") === col("__dk"), "left")
+      .select(col("o_orderkey"), coalesce(col("__del"), lit(0L)).as("__del"))
+    val o = ordFlag.agg(count(lit(1)).as("n_rows"),
+        sum("__del").cast("long").as("n_purged"))
+      .select(lit("orders").as("tbl"), col("n_rows"), col("n_purged"))
+    val l = Tables.load(s, dir, "lineitem")
+      .join(ordFlag, col("l_orderkey") === col("o_orderkey"), "left")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(coalesce(col("__del"), lit(0L))).cast("long").as("n_purged"))
+      .select(lit("lineitem").as("tbl"), col("n_rows"), col("n_purged"))
+    c.unionByName(o).unionByName(l).orderBy("tbl")
+  }
+
   val defs: Map[String, Q] = Map(
     "q66_quality_report" -> (q66 _),
     "q130_ref_integrity" -> (q130 _),
     "q136_k_anonymity" -> (q136 _),
     "q141_benford" -> (q141 _),
-    "q144_avg_e10_exact" -> (q144 _))
+    "q144_avg_e10_exact" -> (q144 _),
+    "q155_forget_cascade" -> (q155 _))
 
   // one SELECT per check, mirrored shapes; 'license' is a deliberately
   // missing column so the missing-column path is oracle-checked too
   val oracle: Map[String, String] = Map(
+    "q155_forget_cascade" ->
+      """WITH del AS (
+        |  SELECT c_custkey FROM customer WHERE c_acctbal < 0),
+        |del_orders AS (
+        |  SELECT o_orderkey FROM orders
+        |  WHERE o_custkey IN (SELECT c_custkey FROM del))
+        |SELECT 'customer' AS tbl, count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_purged
+        |FROM customer
+        |UNION ALL
+        |SELECT 'orders', count(*),
+        |  CAST(sum(CASE WHEN o_custkey IN (SELECT c_custkey FROM del)
+        |    THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'lineitem', count(*),
+        |  CAST(sum(CASE WHEN l_orderkey IN
+        |      (SELECT o_orderkey FROM del_orders)
+        |    THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM lineitem
+        |ORDER BY tbl""".stripMargin,
     "q66_quality_report" ->
       """WITH d AS (SELECT * FROM documents),
         |rep AS (
