@@ -106,10 +106,19 @@ object SimilaritySearch {
       case PqAdc(m, kc, iters, shortlist, dim) =>
         require(dim % m == 0, s"dim $dim must split into $m subspaces")
         val sub = dim / m
-        val fits = (0 until m).map { j =>
-          val sv = e.select(col(idCol),
-            slice(col("__v"), j * sub + 1, sub).as("sv"))
-          KMeans.fit(sv, idCol, "sv", sub, kc, iters)
+        // independent per-subspace fits train on concurrent driver
+        // threads (each is deterministic, so the composed index is too)
+        val fits = {
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.duration.Duration
+          import scala.concurrent.ExecutionContext.Implicits.global
+          Await.result(Future.sequence((0 until m).toList.map { j =>
+            Future {
+              val sv = e.select(col(idCol),
+                slice(col("__v"), j * sub + 1, sub).as("sv"))
+              KMeans.fit(sv, idCol, "sv", sub, kc, iters)
+            }
+          }), Duration.Inf)
         }
         // corpus as codes: vid + m small ints — the compressed scan set
         val codes = fits.zipWithIndex.map { case ((_, asg), j) =>

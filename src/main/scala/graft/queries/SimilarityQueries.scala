@@ -171,14 +171,22 @@ object SimilarityQueries extends QueryPack {
     val emb = graft.Tables.load(s, dir, "embeddings")
     val m = 4
     val sub = Dim / m
-    val parts = (0 until m).map { j =>
-      val sv = emb.select(col("vec_id"),
-        slice(col("embedding"), j * sub + 1, sub).as("sv"))
-      val (_, asg) = graft.operators.KMeans.fit(
-        sv, "vec_id", "sv", dim = sub, k = 8, iters = 2)
-      asg.select(col("vid"), col("cid").as(s"code_$j"),
-        col("dist").as(s"__d$j"))
-    }
+    // the m fits are independent — train them on concurrent driver
+    // threads so their (tiny, overhead-dominated) job chains overlap;
+    // each fit is deterministic, so the composed result is too
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val parts = Await.result(Future.sequence((0 until m).toList.map { j =>
+      Future {
+        val sv = emb.select(col("vec_id"),
+          slice(col("embedding"), j * sub + 1, sub).as("sv"))
+        val (_, asg) = graft.operators.KMeans.fit(
+          sv, "vec_id", "sv", dim = sub, k = 8, iters = 2)
+        asg.select(col("vid"), col("cid").as(s"code_$j"),
+          col("dist").as(s"__d$j"))
+      }
+    }), Duration.Inf)
     parts.reduce(_.join(_, "vid"))
       .select(col("vid").as("vec_id"),
         col("code_0"), col("code_1"), col("code_2"), col("code_3"),
