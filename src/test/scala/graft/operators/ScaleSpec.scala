@@ -10,6 +10,22 @@ class ScaleSpec extends SparkSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
+  /** collect() that descends into AQE query stages — QueryStageExec and
+    * AdaptiveSparkPlanExec are leaf-like nodes whose materialized plans
+    * plain collect() never visits. */
+  private def deepCollect[T](p: org.apache.spark.sql.execution.SparkPlan)(
+      pf: PartialFunction[org.apache.spark.sql.execution.SparkPlan, T])
+      : Seq[T] = {
+    val here = p.collect(pf)
+    val nested = p.collect {
+      case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        qs.plan
+      case a: org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanExec => a.executedPlan
+    }
+    here ++ nested.flatMap(deepCollect(_)(pf))
+  }
+
   test("SaltedJoin returns exactly the rows of the plain inner join") {
     val events = Tables.load(spark, sf, "events")
     val dim = Seq((0L, "grp0"), (1L, "grp1"), (2L, "grp2"), (7L, "grp7"))
@@ -84,28 +100,60 @@ class ScaleSpec extends SparkSuite {
     val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
     spark.range(10000)
       .select(col("id"), (col("id") % 10).as("pk"))
+      .repartition(col("pk")) // one file per partition directory
       .write.mode("overwrite").partitionBy("pk").parquet(dir)
     val fact = spark.read.parquet(dir)
     val dim = spark.range(10)
       .select(col("id").as("dk"), (col("id") % 5).as("attr"))
     val q = fact.join(dim.filter(col("attr") === 0),
       col("pk") === col("dk"))
-    assert(q.count() == 2000) // dk in {0, 5} -> 2 of 10 partitions
-    // AQE wraps the join; the materialized fact scan lives in the final
-    // adaptive plan, not the pre-execution wrapper's leaves
-    val plan = q.queryExecution.executedPlan match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        a.executedPlan
-      case p => p
-    }
-    val scan = plan.collect {
+    // collect(), not count(): count() builds a separate QueryExecution,
+    // and the plan+metrics inspected below must be the EXECUTED one
+    assert(q.collect().length == 2000) // dk in {0, 5} -> 2 of 10 parts
+    val plan = q.queryExecution.executedPlan
+    val scan = deepCollect(plan) {
       case s: org.apache.spark.sql.execution.FileSourceScanExec
           if s.metadata.get("PartitionFilters")
             .exists(_.contains("dynamicpruning")) => s
     }.headOption.getOrElse(
       fail(s"no DPP partition filter on the fact scan:\n$plan"))
-    assert(scan.metrics("numFiles").value <= 4L, // 2 partitions' files
+    assert(scan.metrics("numFiles").value == 2L, // 2 of 10 partitions
       s"DPP did not prune: ${scan.metrics("numFiles").value} files read")
+  }
+
+  test("AQE skew join splits the hot key's partition at runtime") {
+    // the runtime complement to SaltedJoin: no query rewrite, AQE detects
+    // the oversized partition from map output stats and fans it out
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val prev = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // key 0 carries ~300k rows; keys 0..99 get one straggler each
+      val fact = spark.range(300000)
+        .select(when(col("id") < 299900, lit(0L))
+          .otherwise(col("id") % 100).as("k"), col("id").as("payload"))
+      val dim = spark.range(100).select(col("id").as("k"),
+        concat(lit("d"), col("id").cast("string")).as("attr"))
+      // plain join result — a downstream aggregate on the join key would
+      // make AQE SKIP the split (it preserves required distributions
+      // unless forceOptimizeSkewedJoin); collect() executes q's OWN
+      // QueryExecution (count() would build another)
+      val q = fact.join(dim, "k")
+      assert(q.collect().length == 300000)
+      val plan = q.queryExecution.executedPlan
+      val skewed = deepCollect(plan) {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+            if j.isSkewJoin => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+            if j.isSkewJoin => j
+      }
+      assert(skewed.nonEmpty, s"no skew-split join in final plan:\n$plan")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
   test("approximate distinct (HLL) within 5% of exact") {
