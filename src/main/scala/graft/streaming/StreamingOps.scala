@@ -61,8 +61,13 @@ object StreamingOps {
     * same user within the preceding hour. Both sides carry watermarks and
     * the join condition bounds event-time distance, so state on both sides
     * is watermark-bounded — the requirement for an unbounded stream-stream
-    * join. (Batch inputs run the identical plan as a plain interval join.) */
-  def purchaseClickJoin(events: DataFrame): DataFrame = {
+    * join. (Batch inputs run the identical plan as a plain interval join.)
+    * `joinType = "left_outer"` additionally emits each clickless purchase
+    * ONCE, null-padded, when the watermark proves no matching click can
+    * still arrive — the streaming form of "purchases without attribution",
+    * impossible to state correctly without watermark-driven state expiry. */
+  def purchaseClickJoin(events: DataFrame,
+      joinType: String = "inner"): DataFrame = {
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_uid"), col("ts").as("p_ts"),
         col("event_id").as("p_id"))
@@ -74,7 +79,8 @@ object StreamingOps {
     purchases.join(clicks,
       col("p_uid") === col("c_uid") &&
         col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
-        col("c_ts") <= col("p_ts"))
+        col("c_ts") <= col("p_ts"),
+      joinType)
       .select(col("p_id"), col("p_uid").as("user_id"), col("p_ts"),
         col("c_id"), col("c_ts"))
   }

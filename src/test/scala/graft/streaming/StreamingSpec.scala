@@ -43,6 +43,41 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("stream-stream LEFT OUTER join null-pads clickless purchases " +
+      "after watermark expiry") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String, java.sql.Timestamp)]
+    val df = mem.toDF.toDF("event_id", "user_id", "event_type", "ts")
+    val q = StreamingOps.purchaseClickJoin(df, "left_outer")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ppleft").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      mem.addData(
+        (1L, 7L, "click", t("2024-01-01 10:00:00")),
+        (2L, 7L, "purchase", t("2024-01-01 10:30:00")), // matched
+        (3L, 8L, "purchase", t("2024-01-01 10:30:00"))) // no click ever
+      q.processAllAvailable()
+      // push both watermarks far past the join window so user 8's
+      // purchase state provably cannot match anymore, then give the
+      // engine one more batch to flush the eviction-time outer result
+      mem.addData(
+        (98L, 999L, "purchase", t("2024-01-02 12:00:00")),
+        (99L, 999L, "click", t("2024-01-02 12:00:00")))
+      q.processAllAvailable()
+      mem.addData((97L, 998L, "click", t("2024-01-03 12:00:00")),
+        (96L, 998L, "purchase", t("2024-01-03 12:00:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("ppleft").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(3)) -1L else r.getLong(3)))
+      .toSet
+    assert(rows.contains((2L, 1L)), s"matched pair missing: $rows")
+    assert(rows.contains((3L, -1L)),
+      s"null-padded clickless purchase missing: $rows")
+  }
+
   test("stream-static join matches the batch join row-for-row") {
     // the enrichment shape: an unbounded stream joined to a bounded
     // dimension — the static side is planned per micro-batch (broadcast
