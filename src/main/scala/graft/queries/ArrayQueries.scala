@@ -120,10 +120,30 @@ object ArrayQueries extends QueryPack {
       .orderBy("op", "user_id", "event_type")
   }
 
+  /** Higher-order array-function breadth: transform / filter / aggregate
+    * / forall / exists as codegen'd lambdas over per-document token-length
+    * arrays — the zero-shuffle, zero-UDF way to run per-row collection
+    * logic (the mapInPandas/UDF trap this engine avoids everywhere). All
+    * outputs integral; DuckDB mirrors each lambda with list_transform /
+    * list_filter / list_aggregate. */
+  private def q157(s: SparkSession, dir: String): DataFrame = {
+    val arr = transform(tokensCol(col("text")), t => length(t).cast("long"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), arr.as("lens"))
+      .select(col("doc_id"),
+        size(col("lens")).cast("long").as("n_toks"),
+        size(filter(col("lens"), x => x >= 5)).cast("long").as("n_long"),
+        aggregate(col("lens"), lit(0L), (a, x) => a + x * x).as("sum_sq"),
+        forall(col("lens"), x => x < 20).cast("long").as("all_short"),
+        exists(col("lens"), x => x === 1).cast("long").as("any_one"))
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, Q] = Map(
     "q37_wordcount" -> (q37 _),
     "q38_set_ops" -> (q38 _),
     "q153_bag_set_ops" -> (q153 _),
+    "q157_hof_breadth" -> (q157 _),
     "q49_range_join" -> (q49 _),
     "q53_explode_pos" -> (q53 _),
     "q54_string_breadth" -> (q54 _),
@@ -136,6 +156,23 @@ object ArrayQueries extends QueryPack {
         |  FROM documents)
         |SELECT tok, count(*) AS n FROM toks WHERE tok <> ''
         |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin,
+    "q157_hof_breadth" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_transform(
+        |      regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      x -> CAST(length(x) AS BIGINT)) AS lens
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(lens) AS BIGINT) AS n_toks,
+        |  CAST(len(list_filter(lens, x -> x >= 5)) AS BIGINT) AS n_long,
+        |  CAST(list_aggregate(list_transform(lens, x -> x * x), 'sum')
+        |    AS BIGINT) AS sum_sq,
+        |  CAST(len(list_filter(lens, x -> x >= 20)) = 0 AS BIGINT)
+        |    AS all_short,
+        |  CAST(len(list_filter(lens, x -> x = 1)) > 0 AS BIGINT)
+        |    AS any_one
+        |FROM d ORDER BY doc_id""".stripMargin,
     "q153_bag_set_ops" ->
       """WITH a AS (SELECT user_id, event_type FROM events
         |           WHERE event_id % 2 = 0),
