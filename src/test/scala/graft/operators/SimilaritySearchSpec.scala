@@ -64,6 +64,21 @@ class SimilaritySearchSpec extends SparkSuite {
     assert(a == b)
   }
 
+  test("IvfPq recall >= 0.6 of brute on the fixture corpus") {
+    val exact = asSet(SimilaritySearch.topK(emb, queries, "vec_id", "v",
+      "q_id", 10, SimilaritySearch.Brute))
+    // recall compounds two approximations (probed cells × ADC ranking)
+    // on deliberately structureless synthetic vectors — the honest bar
+    // is lower than either stage alone; clustered real embeddings are
+    // the regime this index exists for
+    val approx = asSet(SimilaritySearch.topK(emb, queries, "vec_id", "v",
+      "q_id", 10, SimilaritySearch.IvfPq()))
+    val hits = exact.map(t => (t._1, t._2))
+      .intersect(approx.map(t => (t._1, t._2)))
+    assert(hits.size.toDouble / exact.size >= 0.6,
+      s"recall ${hits.size.toDouble / exact.size}")
+  }
+
   test("IvfProbe recall >= 0.8 of brute on the fixture corpus") {
     val exact = asSet(SimilaritySearch.topK(emb, queries, "vec_id", "v",
       "q_id", 10, SimilaritySearch.Brute))
