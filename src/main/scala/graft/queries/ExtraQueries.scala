@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryPack, Tables}
@@ -361,8 +361,44 @@ object ExtraQueries extends QueryPack {
       .orderBy("user_id")
   }
 
+  /** percentile_cont WITHOUT floats: the exact linear-interpolated p50 /
+    * p90 per event type, emitted on an e2-of-cents integer grid. The
+    * standard definition pos = (n-1)·p/100 splits into integer rank and
+    * integer hundredths-fraction; the interpolated value
+    * v_lo·(100-frac) + v_hi·frac is then pure int64 arithmetic — no
+    * engine's percentile/quantile built-in is in the loop on EITHER
+    * side, so there is no interpolation-rounding channel to diverge
+    * through (the q107 exact-median discipline extended to arbitrary
+    * p). Ties need no ordering tiebreak: equal ranks hold equal values.
+    * One shuffle (the per-type sort window); the rank filter collapses
+    * to ≤ 4 rows per type before the aggregate. */
+  private def q158(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.cents
+    val w = Window.partitionBy("event_type").orderBy("vc")
+    val wp = Window.partitionBy("event_type")
+    def pick(p: Int, rn: Column, n: Column, vc: Column): Column = {
+      val idx = (n - 1) * p                  // position scaled by 100
+      val loRn = (idx - idx % 100) / 100 + 1 // integer rank, 1-based
+      val frac = idx % 100                   // hundredths remainder
+      val hiRn = loRn + (frac > 0).cast("long")
+      max(when(rn === loRn, vc)) * (lit(100) - max(frac)) +
+        max(when(rn === hiRn, vc)) * max(frac)
+    }
+    t(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), cents(col("value")).as("vc"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wp))
+      .groupBy("event_type")
+      .agg(max("n").as("n"),
+        pick(50, col("rn"), col("n"), col("vc")).as("p50_e4"),
+        pick(90, col("rn"), col("n"), col("vc")).as("p90_e4"))
+      .orderBy("event_type")
+  }
+
   val defs: Map[String, Q] = Map(
     "q152_value_windows" -> (q152 _),
+    "q158_exact_percentiles" -> (q158 _),
     "q46_correlated_subquery" -> (q46 _),
     "q47_cube" -> (q47 _),
     "q48_window_frames" -> (q48 _),
@@ -382,6 +418,31 @@ object ExtraQueries extends QueryPack {
   private val kExpr = """CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)"""
 
   val oracle: Map[String, String] = Map(
+    "q158_exact_percentiles" -> {
+      def pSql(p: Int): String = {
+        val idx = s"((n - 1) * $p)"
+        val lo = s"(CAST(($idx - ($idx % 100)) / 100 AS BIGINT) + 1)"
+        val fr = s"($idx % 100)"
+        val hi = s"($lo + CAST($fr > 0 AS BIGINT))"
+        s"""CAST(max(CASE WHEN rn = $lo THEN vc END) * (100 - max($fr)) +
+           | max(CASE WHEN rn = $hi THEN vc END) * max($fr) AS BIGINT)"""
+          .stripMargin.replace("\n", "")
+      }
+      s"""WITH e AS (
+         |  SELECT event_type, CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+         |    AS vc
+         |  FROM events WHERE value IS NOT NULL),
+         |r AS (
+         |  SELECT event_type, vc,
+         |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY vc)
+         |      AS BIGINT) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS n
+         |  FROM e)
+         |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+         |  ${pSql(50)} AS p50_e4,
+         |  ${pSql(90)} AS p90_e4
+         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
+    },
     "q152_value_windows" ->
       """WITH e AS (
         |  SELECT user_id, ts, event_id,
