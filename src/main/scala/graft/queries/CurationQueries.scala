@@ -337,8 +337,38 @@ object CurationQueries extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** Boilerplate-prefix detector: per source, the most common leading
+    * 5-token prefix and the exact share of documents that start with it —
+    * how crawl pipelines spot template headers ("subscribe to our
+    * newsletter …") that repeat across a domain and should be stripped
+    * before training. Two aggregations on (source, prefix) then source;
+    * the share rides the exact-division grid (n·1e6 passes 2^53 once a
+    * source holds ~9e9 template docs — the 100 TB posture again). Tie on
+    * count breaks lexicographically on the prefix. */
+  private def q159(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.intDivExact
+    val pref = Tables.load(s, dir, "documents")
+      .select(col("source"),
+        concat_ws(" ", slice(TextAnalysis.tokensCol(col("text")), 1, 5))
+          .as("prefix"))
+    val counts = pref.groupBy("source", "prefix")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("n").desc, col("prefix"))
+    counts
+      .withColumn("n_docs", sum("n").over(Window.partitionBy("source")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("source"), col("prefix").as("top_prefix"), col("n"),
+        col("n_docs"),
+        intDivExact(col("n").cast("decimal(19,0)") * lit(1000000L),
+          col("n_docs")).as("share_e6"))
+      .orderBy("source")
+  }
+
   val defs: Map[String, Q] = Map(
     "q148_domain_cap" -> (q148 _),
+    "q159_boilerplate_prefix" -> (q159 _),
     "q79_bigram_counts" -> (q79 _),
     "q80_mask_digits" -> (q80 _),
     "q81_quartile_census" -> (q81 _),
@@ -411,6 +441,25 @@ object CurationQueries extends QueryPack {
   }
 
   val oracle: Map[String, String] = Map(
+    "q159_boilerplate_prefix" -> {
+      import graft.functions.Rounding.intDivExactSql
+      s"""WITH p AS (
+         |  SELECT source, array_to_string(
+         |    (regexp_split_to_array(lower(trim(text)), '\\s+'))[1:5], ' ')
+         |    AS prefix
+         |  FROM documents),
+         |c AS (SELECT source, prefix, count(*) AS n FROM p GROUP BY 1, 2),
+         |t AS (
+         |  SELECT source, prefix AS top_prefix, n,
+         |    sum(n) OVER (PARTITION BY source) AS n_docs,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY n DESC, prefix) AS rn
+         |  FROM c)
+         |SELECT source, top_prefix, n, CAST(n_docs AS BIGINT) AS n_docs,
+         |  ${intDivExactSql("CAST(n AS HUGEINT) * 1000000", "n_docs")}
+         |    AS share_e6
+         |FROM t WHERE rn = 1 ORDER BY source""".stripMargin
+    },
     "q148_domain_cap" ->
       """SELECT doc_id, source,
         |  CAST(row_number() OVER (
