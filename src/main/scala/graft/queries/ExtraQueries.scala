@@ -396,9 +396,25 @@ object ExtraQueries extends QueryPack {
       .orderBy("event_type")
   }
 
+  /** Multiple COUNT(DISTINCT …) over different columns in one aggregation
+    * — the shape Catalyst plans through an Expand (each input row fans
+    * out once per distinct column, tagged by a grouping id) so ONE
+    * shuffle serves all the distinct sets instead of one scan + join per
+    * count. The plain count rides along unexpanded. */
+  private def q160(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .groupBy("event_type")
+      .agg(countDistinct("user_id").as("n_users"),
+        countDistinct("day").as("n_days"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
   val defs: Map[String, Q] = Map(
     "q152_value_windows" -> (q152 _),
     "q158_exact_percentiles" -> (q158 _),
+    "q160_multi_distinct" -> (q160 _),
     "q46_correlated_subquery" -> (q46 _),
     "q47_cube" -> (q47 _),
     "q48_window_frames" -> (q48 _),
@@ -418,6 +434,13 @@ object ExtraQueries extends QueryPack {
   private val kExpr = """CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)"""
 
   val oracle: Map[String, String] = Map(
+    "q160_multi_distinct" ->
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(count(DISTINCT strftime(ts, '%Y-%m-%d')) AS BIGINT)
+        |    AS n_days,
+        |  count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q158_exact_percentiles" -> {
       def pSql(p: Int): String = {
         val idx = s"((n - 1) * $p)"
