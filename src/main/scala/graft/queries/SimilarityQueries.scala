@@ -167,26 +167,34 @@ object SimilarityQueries extends QueryPack {
     * table assembles via 3 equi-joins on vid — at 100 TB each join
     * co-partitions on the SAME key, so AQE plans one shuffle stage per
     * side, and nothing driver-side ever sees a vector. */
-  private def q149(s: SparkSession, dir: String): DataFrame = {
+  /** The q149/q161 codebooks: m per-subspace deterministic k-means fits
+    * (k=8, 2 rounds), trained on concurrent driver threads so the
+    * (tiny, overhead-dominated) job chains overlap; each fit is
+    * deterministic, so the composed result is too. */
+  private def pqFits(s: SparkSession, dir: String, m: Int, sub: Int)
+      : List[(DataFrame, DataFrame)] = {
     val emb = graft.Tables.load(s, dir, "embeddings")
-    val m = 4
-    val sub = Dim / m
-    // the m fits are independent — train them on concurrent driver
-    // threads so their (tiny, overhead-dominated) job chains overlap;
-    // each fit is deterministic, so the composed result is too
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    val parts = Await.result(Future.sequence((0 until m).toList.map { j =>
+    Await.result(Future.sequence((0 until m).toList.map { j =>
       Future {
         val sv = emb.select(col("vec_id"),
           slice(col("embedding"), j * sub + 1, sub).as("sv"))
-        val (_, asg) = graft.operators.KMeans.fit(
+        graft.operators.KMeans.fit(
           sv, "vec_id", "sv", dim = sub, k = 8, iters = 2)
-        asg.select(col("vid"), col("cid").as(s"code_$j"),
-          col("dist").as(s"__d$j"))
       }
     }), Duration.Inf)
+  }
+
+  private def q149(s: SparkSession, dir: String): DataFrame = {
+    val m = 4
+    val sub = Dim / m
+    val parts = pqFits(s, dir, m, sub).zipWithIndex.map {
+      case ((_, asg), j) =>
+        asg.select(col("vid"), col("cid").as(s"code_$j"),
+          col("dist").as(s"__d$j"))
+    }
     parts.reduce(_.join(_, "vid"))
       .select(col("vid").as("vec_id"),
         col("code_0"), col("code_1"), col("code_2"), col("code_3"),
@@ -232,6 +240,47 @@ object SimilarityQueries extends QueryPack {
       .orderBy("vec_id")
   }
 
+  /** The PQ asymmetric-distance SCAN itself, oracle-checked end to end
+    * (the SimilaritySearch.PqAdc strategy is recall-spec-pinned; this is
+    * its exact arithmetic): each query's per-subspace distance tables to
+    * the q149 codebooks, every corpus vector scored as four integer
+    * table lookups, top-10 per query by (adc, vid), self excluded.
+    * Everything — codebooks, codes, tables, scores, ranking — is exact
+    * int64, so DuckDB reproduces the full scan bit-for-bit. */
+  private def q161(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = 4
+    val sub = Dim / m
+    val fits = pqFits(s, dir, m, sub)
+    val codes = fits.zipWithIndex.map { case ((_, asg), j) =>
+      asg.select(col("vid"), col("cid").as(s"__c$j"))
+    }.reduce(_.join(_, "vid"))
+    val emb = graft.Tables.load(s, dir, "embeddings")
+    val dts = fits.zipWithIndex.map { case ((cents, _), j) =>
+      emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"),
+          graft.operators.KMeans.quantize(
+            slice(col("embedding"), j * sub + 1, sub), 1000000.0)
+            .as("__qq"))
+        .crossJoin(broadcast(cents))
+        .select(col("q_id"), col("cid"),
+          graft.operators.KMeans.sqDist(col("__qq"), col("cq")).as("d"))
+        .groupBy("q_id")
+        .agg(map_from_entries(
+          collect_list(struct(col("cid"), col("d")))).as(s"__dt$j"))
+    }
+    val qTables = dts.reduce(_.join(_, "q_id"))
+    val adc = (0 until m).map(j =>
+      element_at(col(s"__dt$j"), col(s"__c$j"))).reduce(_ + _)
+    val w = Window.partitionBy("q_id").orderBy(col("adc"), col("vec_id"))
+    codes.crossJoin(broadcast(qTables))
+      .select(col("q_id"), col("vid").as("vec_id"), adc.as("adc"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("adc_rank", row_number().over(w).cast("long"))
+      .filter(col("adc_rank") <= 10)
+      .orderBy("q_id", "adc_rank")
+  }
+
   val defs: Map[String, Q] = Map(
     "q50_knn_cosine" -> (q50 _),
     "q51_knn_lsh" -> (q51 _),
@@ -239,7 +288,8 @@ object SimilarityQueries extends QueryPack {
     "q91_sq8_quantize" -> (q91 _),
     "q118_kmeans" -> (q118 _),
     "q149_pq_codes" -> (q149 _),
-    "q150_semdedup" -> (q150 _))
+    "q150_semdedup" -> (q150 _),
+    "q161_adc_scan" -> (q161 _))
 
   private def rnd(e: String): String =
     s"floor(($e) * 10000.0 + 0.5) / 10000.0"
@@ -374,6 +424,50 @@ object SimilarityQueries extends QueryPack {
          |JOIN p2_afinal p2 USING (vid)
          |JOIN p3_afinal p3 USING (vid)
          |ORDER BY vec_id""".stripMargin
+    },
+    "q161_adc_scan" -> {
+      val m = 4
+      val sub = Dim / m
+      val ctes = (0 until m).map { j =>
+        graft.operators.KMeans.oracleSqlCtes(
+          "embeddings", "vec_id",
+          s"embedding[${j * sub + 1}:${j * sub + sub}]",
+          sub, 8, 2, prefix = s"p${j}_")
+      }.mkString(",\n")
+      val dtCtes = (0 until m).map { j =>
+        s"""dt$j AS (
+           |  SELECT e.vid AS q_id, c.cid,
+           |    sum((e.xq - c.cq) * (e.xq - c.cq)) AS d
+           |  FROM p${j}_e e JOIN p${j}_c2 c USING (pos)
+           |  WHERE e.vid < 5 GROUP BY 1, 2)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $ctes,
+         |$dtCtes,
+         |codes AS (
+         |  SELECT p0.vid, p0.cid AS c0, p1.cid AS c1,
+         |    p2.cid AS c2, p3.cid AS c3
+         |  FROM p0_afinal p0
+         |  JOIN p1_afinal p1 USING (vid)
+         |  JOIN p2_afinal p2 USING (vid)
+         |  JOIN p3_afinal p3 USING (vid)),
+         |scored AS (
+         |  SELECT d0.q_id, codes.vid AS vec_id,
+         |    CAST(d0.d + d1.d + d2.d + d3.d AS BIGINT) AS adc
+         |  FROM codes
+         |  JOIN dt0 d0 ON d0.cid = codes.c0
+         |  JOIN dt1 d1 ON d1.q_id = d0.q_id AND d1.cid = codes.c1
+         |  JOIN dt2 d2 ON d2.q_id = d0.q_id AND d2.cid = codes.c2
+         |  JOIN dt3 d3 ON d3.q_id = d0.q_id AND d3.cid = codes.c3
+         |  WHERE codes.vid <> d0.q_id)
+         |SELECT q_id, vec_id, adc,
+         |  adc_rank
+         |FROM (
+         |  SELECT q_id, vec_id, adc,
+         |    CAST(row_number() OVER (PARTITION BY q_id
+         |      ORDER BY adc, vec_id) AS BIGINT) AS adc_rank
+         |  FROM scored)
+         |WHERE adc_rank <= 10
+         |ORDER BY q_id, adc_rank""".stripMargin
     },
     "q150_semdedup" ->
       s"""WITH ${graft.operators.KMeans.oracleSqlCtes(
