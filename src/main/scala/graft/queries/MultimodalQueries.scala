@@ -73,10 +73,69 @@ object MultimodalQueries extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** Image near-dup by perceptual average-hash — the visual-dedup pass a
+    * multimodal corpus runs where text dedup runs fingerprints: decode
+    * the REAL fixture BMPs, resize to the canonical 8×8 thumbnail
+    * (the same real resample path q89 proves), hash each image as 64
+    * brighter-than-mean bits (split hi/lo so no 1<<63 sign edge exists
+    * in either engine), and pair images at Hamming distance ≤ 3.
+    * Candidates come from 16-bit BAND equality — by pigeonhole, hamming
+    * ≤ 3 over 4 bands forces at least one exact band match, so the
+    * banded equi-join provably loses no pair while never forming the
+    * all-pairs product (the q42 LSH argument, applied to pixels). The
+    * oracle replays pixel formula → thumbnail mapping → bits → popcount
+    * entirely in SQL: every pair is bit-exact evidence that decode,
+    * resample, and hash agree with the closed form. */
+  private def q162(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents").select("doc_id")
+    val hashes = MultimodalOps.resizeBmp(
+      MultimodalOps.bmpTable(s, docs), width = 8, height = 8)
+      .map { r =>
+        val bm = graft.multimodal.ImageCodec.decodeBmp(r.payload).get
+        val inten = bm.pixels.grouped(3)
+          .map(g => g.map(b => (b & 0xff).toLong).sum).toArray
+        val tot = inten.sum
+        var lo = 0L; var hi = 0L
+        var i = 0
+        while (i < 64) {
+          if (64L * inten(i) > tot) {
+            if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+          }
+          i += 1
+        }
+        (r.doc_id, lo, hi)
+      }.toDF("doc_id", "lo", "hi")
+    val bands = hashes.select(col("doc_id"), col("lo"), col("hi"),
+      explode(array(
+        struct(lit(0).as("bi"),
+          col("lo").bitwiseAND(lit(0xFFFFL)).as("bv")),
+        struct(lit(1).as("bi"),
+          shiftright(col("lo"), 16).bitwiseAND(lit(0xFFFFL)).as("bv")),
+        struct(lit(2).as("bi"),
+          col("hi").bitwiseAND(lit(0xFFFFL)).as("bv")),
+        struct(lit(3).as("bi"),
+          shiftright(col("hi"), 16).bitwiseAND(lit(0xFFFFL)).as("bv"))))
+        .as("band"))
+      .select(col("doc_id"), col("lo"), col("hi"),
+        col("band.bi").as("bi"), col("band.bv").as("bv"))
+    bands.as("a").join(bands.as("b"),
+        col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (bit_count(col("a.lo").bitwiseXOR(col("b.lo"))) +
+          bit_count(col("a.hi").bitwiseXOR(col("b.hi"))))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
   val defs: Map[String, Q] = Map(
     "q60_multimodal_meta" -> (q60 _),
     "q89_bmp_resize" -> (q89 _),
-    "q90_wav_stats" -> (q90 _))
+    "q90_wav_stats" -> (q90 _),
+    "q162_image_ahash_pairs" -> (q162 _))
 
   val oracle: Map[String, String] = Map(
     // img_* columns: the oracle re-derives the container, dimensions, and
@@ -107,6 +166,36 @@ object MultimodalQueries extends QueryPack {
     // replays bmpPixel((doc_id*31 + ((sy*sw + sx)*3 + c)) % 251) through
     // the nearest-neighbor index mapping sy = y*sh // 6, sx = x*sw // 8 —
     // unsigned byte values, so the SQL modulo IS the pixel value
+    "q162_image_ahash_pairs" ->
+      """WITH g AS (
+        |  SELECT doc_id, doc_id % 62 + 2 AS sw, doc_id % 46 + 2 AS sh,
+        |    y.y, x.x
+        |  FROM documents,
+        |    (SELECT unnest(generate_series(0, 7)) AS y) y,
+        |    (SELECT unnest(generate_series(0, 7)) AS x) x),
+        |inten AS (
+        |  SELECT doc_id, y, x,
+        |    CAST((doc_id*31 + ((y*sh)//8*sw + (x*sw)//8)*3 + 0) % 251
+        |       + (doc_id*31 + ((y*sh)//8*sw + (x*sw)//8)*3 + 1) % 251
+        |       + (doc_id*31 + ((y*sh)//8*sw + (x*sw)//8)*3 + 2) % 251
+        |      AS BIGINT) AS v
+        |  FROM g),
+        |tot AS (SELECT doc_id, sum(v) AS t FROM inten GROUP BY 1),
+        |h AS (
+        |  SELECT i.doc_id,
+        |    CAST(sum(CASE WHEN y*8+x < 32 AND 64*v > t
+        |      THEN (CAST(1 AS BIGINT) << CAST(y*8+x AS INTEGER))
+        |      ELSE 0 END) AS BIGINT) AS lo,
+        |    CAST(sum(CASE WHEN y*8+x >= 32 AND 64*v > t
+        |      THEN (CAST(1 AS BIGINT) << CAST(y*8+x-32 AS INTEGER))
+        |      ELSE 0 END) AS BIGINT) AS hi
+        |  FROM inten i JOIN tot USING (doc_id) GROUP BY 1)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+        |    AS BIGINT) AS hamming
+        |FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q89_bmp_resize" ->
       """WITH d AS (
         |  SELECT doc_id, doc_id % 62 + 2 AS sw, doc_id % 46 + 2 AS sh
