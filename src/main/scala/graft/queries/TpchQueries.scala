@@ -271,6 +271,226 @@ object TpchQueries extends QueryPack {
       .limit(20)
   }
 
+  /** TPC-H Q4 (order-priority checking): orders placed in one quarter with
+    * at least one line shipped more than 30 days after ordering, counted
+    * per priority (the schema has no commitdate/receiptdate pair, so "late"
+    * is ship-lag > 30d — same EXISTS shape, same join planning problem).
+    * The EXISTS is a LEFT SEMI join keyed on the order key with the lag
+    * predicate as a join-side condition: the fact side is never widened,
+    * each order is emitted at most once regardless of how many lines are
+    * late, and both sides shuffle once on the key (no correlated per-row
+    * subquery execution survives into the physical plan). Counts are
+    * BIGINT — nothing can ulp-diverge. */
+  private def q163(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= to_timestamp(lit("1997-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1997-04-01")))
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val li = t(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
+    ord.join(li,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAY"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q12 (shipping modes / critical priority): per line class
+    * (l_returnflag stands in for the schema's missing l_shipmode), how
+    * many 1997-shipped lines belong to critical-priority orders vs not.
+    * One fact-fact equi-join — the ship-year filter prunes the lineitem
+    * side before the exchange — then a single conditional aggregation
+    * (the FILTER/CASE shape) with pure integer outputs. */
+  private def q164(s: SparkSession, dir: String): DataFrame = {
+    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+      .select("l_orderkey", "l_returnflag")
+      .join(t(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(sum(hi.cast("long")).cast("long").as("n_high"),
+        sum((!hi).cast("long")).cast("long").as("n_low"))
+      .orderBy("l_returnflag")
+  }
+
+  /** TPC-H Q14 (promotion effect): per 1997 ship-month, revenue from
+    * PROMO-type parts vs all revenue, and the promo share in exact ppm.
+    * part is broadcast (2k rows; at TPC-H proportions parts : lineitems
+    * stays 1:30, and a 100 TB run flips this join to shuffle only if the
+    * planner's stats say so). The share is exact integer arithmetic end
+    * to end: both revenues are e4 fixed-point BIGINTs and the ppm ratio
+    * goes through [[graft.functions.Rounding.intDivExact]] with the
+    * product widened to decimal — no double division on either engine. */
+  private def q165(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.intDivExact
+    val promo = (col("p_type") === "PROMO").cast("long")
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+      .select(col("l_partkey"),
+        date_format(date_trunc("month", col("l_shipdate")), "yyyy-MM-dd")
+          .as("ship_month"),
+        vol4.as("vol"))
+      .join(broadcast(t(s, dir, "part").select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("ship_month")
+      .agg(sum((col("vol") * promo).cast("decimal(38,0)")).cast("long")
+          .as("promo_rev_e4"),
+        sum(col("vol").cast("decimal(38,0)")).cast("long")
+          .as("total_rev_e4"))
+      .withColumn("promo_share_e6",
+        intDivExact(
+          col("promo_rev_e4").cast("decimal(38,0)") * lit(1000000L),
+          col("total_rev_e4")))
+      .orderBy("ship_month")
+  }
+
+  /** TPC-H Q16 (parts/supplier relationship): how many distinct suppliers
+    * ship each (brand, size) slice of the non-PROMO catalog, excluding
+    * suppliers with negative account balance (the "customer complaints"
+    * stand-in — the schema has no s_comment). The part-supplier relation
+    * is recovered from lineitem (no partsupp table): DISTINCT first, so
+    * the count-distinct aggregates a pre-deduplicated key set; the
+    * excluded-supplier set arrives as a broadcast LEFT ANTI join (the
+    * NOT IN subquery shape, null-safe by construction since keys are
+    * non-null). */
+  private def q166(s: SparkSession, dir: String): DataFrame = {
+    val rel = t(s, dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    val badSupp = t(s, dir, "supplier")
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+    rel.join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .join(broadcast(t(s, dir, "part")
+          .filter(col("p_type") =!= "PROMO")
+          .select("p_partkey", "p_brand", "p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+  }
+
+  /** TPC-H Q18 (large-volume customers): orders whose total quantity
+    * exceeds 150, with their customer. The HAVING-subquery shape planned
+    * the scalable way: aggregate lineitem by order key FIRST (the filter
+    * kills ~99% of orders before any join), then join the surviving keys
+    * to orders and broadcast customer. Quantities are whole numbers
+    * stored as double — cast to long BEFORE summing so the aggregate is
+    * pure int64 (decimal-accumulated against 100 TB wrap). */
+  private def q167(s: SparkSession, dir: String): DataFrame = {
+    val big = t(s, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast("long").cast("decimal(38,0)"))
+        .cast("long").as("total_qty"))
+      .filter(col("total_qty") > 150L)
+    big.join(t(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "customer").select("c_custkey", "c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+      .limit(50)
+  }
+
+  /** TPC-H Q19 (discounted revenue, disjunctive predicates): revenue from
+    * three OR-ed (brand × size-range × quantity-range) branches — the
+    * classic test that a disjunction straddling both join sides still
+    * plans as ONE equi-join on the part key with the OR evaluated as a
+    * post-join filter (not a nested-loop). part broadcasts; the filter
+    * never reaches the driver. Single-row exact-integer output. */
+  private def q168(s: SparkSession, dir: String): DataFrame = {
+    val qty = col("l_quantity").cast("long")
+    val branch =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+        qty.between(1L, 11L)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+        qty.between(10L, 20L)) ||
+      (col("p_brand") === "Brand#5" && col("p_size").between(1, 35) &&
+        qty.between(20L, 30L))
+    t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity"), vol4.as("vol"))
+      .join(broadcast(t(s, dir, "part")
+          .select("p_partkey", "p_brand", "p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .filter(branch)
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("vol").cast("decimal(38,0)")).cast("long")
+          .as("revenue_e4"))
+  }
+
+  /** TPC-H Q21 (suppliers who kept orders waiting): in multi-supplier
+    * orders, the supplier who was the SOLE last to ship, counted per
+    * supplier (top 20). Q21's EXISTS/NOT-EXISTS pair over other lines of
+    * the same order is re-expressed as one window pass over the
+    * per-(order, supplier) ship maxima — order max, supplier count, and
+    * how many suppliers share the max — so the whole query is one
+    * aggregation plus one window on the SAME order-key partitioning
+    * (a single exchange, reused by Catalyst) instead of two correlated
+    * fact self-joins. */
+  private def q169(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ls = t(s, dir, "lineitem")
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(max("l_shipdate").as("sup_last"))
+    val w = Window.partitionBy("l_orderkey")
+    val flagged = ls
+      .withColumn("ord_last", max("sup_last").over(w))
+      .withColumn("n_supp", count(lit(1)).over(w))
+      .withColumn("n_at_max",
+        sum((col("sup_last") === col("ord_last")).cast("long")).over(w))
+      .filter(col("n_supp") > 1L && col("n_at_max") === 1L &&
+        col("sup_last") === col("ord_last"))
+    flagged.groupBy("l_suppkey")
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(t(s, dir, "supplier").select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select("s_name", "numwait")
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
+  /** TPC-H Q22 (global sales opportunity): DORMANT customers — no order
+    * since 2000-01-01 (the synthetic order stream touches nearly every
+    * customer at least once over six years, so Q22's literal "never
+    * ordered" is empty; the dormancy-window variant preserves the shape
+    * with a non-trivial answer) — holding an above-average positive
+    * balance, per nation. The scalar AVG subquery is a 1-row aggregate
+    * broadcast into a cross join; the NOT EXISTS is a LEFT ANTI join on
+    * the customer key with the date filter pushed below the exchange.
+    * The above-average comparison is exact cross-multiplication —
+    * cents·n > sum_cents in decimal — so no average is ever materialized
+    * as a double on either engine. */
+  private def q170(s: SparkSession, dir: String): DataFrame = {
+    val custC = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"),
+        cents(col("c_acctbal")).as("bal_cents"))
+    val stats = custC.filter(col("bal_cents") > 0L)
+      .agg(sum(col("bal_cents").cast("decimal(38,0)")).cast("long")
+          .as("sum_cents"),
+        count(lit(1)).as("n_pos"))
+    custC
+      .join(t(s, dir, "orders")
+          .filter(col("o_orderdate") >= to_timestamp(lit("2000-01-01")))
+          .select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .crossJoin(broadcast(stats))
+      .filter(col("bal_cents").cast("decimal(38,0)") * col("n_pos") >
+        col("sum_cents").cast("decimal(38,0)"))
+      .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name").as("nation"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("nation")
+      .agg(count(lit(1)).as("n_custs"),
+        sum(col("bal_cents").cast("decimal(38,0)")).cast("long")
+          .as("total_cents"))
+      .orderBy("nation")
+  }
+
   val defs: Map[String, Q] = Map(
     "q57_volume_shipping" -> (q57 _),
     "q145_local_supplier_volume" -> (q145 _),
@@ -280,7 +500,15 @@ object TpchQueries extends QueryPack {
     "q65_range_join_binned" -> (q65 _),
     "q93_shipping_priority" -> (q93 _),
     "q128_cooccur" -> (q128 _),
-    "q143_shipping_latency" -> (q143 _))
+    "q143_shipping_latency" -> (q143 _),
+    "q163_order_priority" -> (q163 _),
+    "q164_class_priority" -> (q164 _),
+    "q165_promo_share" -> (q165 _),
+    "q166_supplier_census" -> (q166 _),
+    "q167_big_orders" -> (q167 _),
+    "q168_disjunctive_join" -> (q168 _),
+    "q169_last_to_ship" -> (q169 _),
+    "q170_dormant_balances" -> (q170 _))
 
   val oracle: Map[String, String] = Map(
     "q145_local_supplier_volume" ->
@@ -412,5 +640,125 @@ object TpchQueries extends QueryPack {
         |  CAST(max(date_diff('day', o_orderdate, l_shipdate))
         |    AS BIGINT) AS max_latency_days
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q163_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1997-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q164_class_priority" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS n_low
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q165_promo_share" ->
+      s"""WITH v AS (
+        |  SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m-%d')
+        |      AS ship_month,
+        |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) *
+        |    CAST(floor((1 - l_discount) * 100.0 + 0.5) AS BIGINT) AS vol,
+        |    CASE WHEN p_type = 'PROMO' THEN 1 ELSE 0 END AS promo
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate <  TIMESTAMP '1998-01-01'),
+        |agg AS (
+        |  SELECT ship_month,
+        |    CAST(sum(CAST(vol * promo AS DECIMAL(38,0))) AS BIGINT)
+        |      AS promo_rev_e4,
+        |    CAST(sum(CAST(vol AS DECIMAL(38,0))) AS BIGINT) AS total_rev_e4
+        |  FROM v GROUP BY 1)
+        |SELECT ship_month, promo_rev_e4, total_rev_e4,
+        |  ${graft.functions.Rounding.intDivExactSql(
+             "CAST(promo_rev_e4 AS HUGEINT) * 1000000", "total_rev_e4")}
+        |    AS promo_share_e6
+        |FROM agg ORDER BY ship_month""".stripMargin,
+    "q166_supplier_census" ->
+      """WITH rel AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |ok AS (
+        |  SELECT l_partkey, l_suppkey FROM rel
+        |  WHERE l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0))
+        |SELECT p_brand, p_size,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM ok JOIN part ON l_partkey = p_partkey
+        |WHERE p_type <> 'PROMO'
+        |GROUP BY 1, 2
+        |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin,
+    "q167_big_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(38,0)))
+        |      AS BIGINT) AS total_qty
+        |  FROM lineitem GROUP BY 1
+        |  HAVING CAST(sum(CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(38,0)))
+        |      AS BIGINT) > 150)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, total_qty
+        |FROM big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_qty DESC, o_orderkey LIMIT 50""".stripMargin,
+    "q168_disjunctive_join" ->
+      """SELECT count(*) AS n_items,
+        |  CAST(sum(CAST(vol AS DECIMAL(38,0))) AS BIGINT) AS revenue_e4
+        |FROM (
+        |  SELECT
+        |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) *
+        |    CAST(floor((1 - l_discount) * 100.0 + 0.5) AS BIGINT) AS vol,
+        |    CAST(l_quantity AS BIGINT) AS qty, p_brand, p_size
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey) t
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        |       AND qty BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+        |       AND qty BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#5' AND p_size BETWEEN 1 AND 35
+        |       AND qty BETWEEN 20 AND 30)""".stripMargin,
+    "q169_last_to_ship" ->
+      """WITH ls AS (
+        |  SELECT l_orderkey, l_suppkey, max(l_shipdate) AS sup_last
+        |  FROM lineitem GROUP BY 1, 2),
+        |fl AS (
+        |  SELECT l_orderkey, l_suppkey, sup_last,
+        |    max(sup_last) OVER (PARTITION BY l_orderkey) AS ord_last,
+        |    count(*) OVER (PARTITION BY l_orderkey) AS n_supp
+        |  FROM ls),
+        |fl2 AS (
+        |  SELECT *,
+        |    CAST(sum(CASE WHEN sup_last = ord_last THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY l_orderkey) AS BIGINT) AS n_at_max
+        |  FROM fl)
+        |SELECT s_name, count(*) AS numwait
+        |FROM fl2 JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE n_supp > 1 AND n_at_max = 1 AND sup_last = ord_last
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+    "q170_dormant_balances" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS bal_cents
+        |  FROM customer),
+        |stats AS (
+        |  SELECT CAST(sum(CAST(bal_cents AS DECIMAL(38,0))) AS BIGINT)
+        |      AS sum_cents,
+        |    count(*) AS n_pos
+        |  FROM cust WHERE bal_cents > 0)
+        |SELECT n_name AS nation, count(*) AS n_custs,
+        |  CAST(sum(CAST(bal_cents AS DECIMAL(38,0))) AS BIGINT)
+        |    AS total_cents
+        |FROM cust
+        |CROSS JOIN stats
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE CAST(bal_cents AS HUGEINT) * n_pos > CAST(sum_cents AS HUGEINT)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
         |GROUP BY 1 ORDER BY 1""".stripMargin)
 }
