@@ -193,7 +193,33 @@ object CorpusStatsQueries extends QueryPack {
       .orderBy("src1", "src2")
   }
 
+  /** Distinct-4-gram compression ratio per document — the deduplication-
+    * within-document quality signal (a near-1 ratio means novel prose; a
+    * low ratio means boilerplate/repetition — the complement of q86's
+    * Gopher dup-token rule, at 4-gram granularity). ZERO shuffle beyond
+    * the presentation sort: the gram set is built and deduplicated
+    * per-row with codegen'd array lambdas (transform + array_distinct on
+    * a bounded-length token array), never exploded — at 100 TB this is a
+    * pure map stage, where the explode-and-groupBy formulation would
+    * shuffle every gram of every document. The ratio is exact ppm via
+    * [[Rounding.intDivExact]]. */
+  private def q172(s: SparkSession, dir: String): DataFrame = {
+    import Rounding.intDivExact
+    docs(s, dir)
+      .select(col("doc_id"), TextAnalysis.tokensCol(col("text")).as("t"))
+      .filter(size(col("t")) >= 4)
+      .select(col("doc_id"),
+        (size(col("t")) - 3).cast("long").as("n_grams"),
+        size(TextAnalysis.ngramsFromTokens(col("t"), 4)).cast("long")
+          .as("n_distinct"))
+      .withColumn("dedup_ratio_e6",
+        intDivExact(col("n_distinct").cast("decimal(38,0)") * lit(1000000L),
+          col("n_grams")))
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q172_ngram_novelty" -> (q172 _),
     "q114_inverted_index" -> (q114 _),
     "q115_char_entropy" -> (q115 _),
     "q116_winsorize" -> (q116 _),
@@ -202,6 +228,26 @@ object CorpusStatsQueries extends QueryPack {
     "q138_vocab_overlap" -> (q138 _))
 
   val oracle: Map[String, String] = Map(
+    "q172_ngram_novelty" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, CAST(len(t) - 3 AS BIGINT) AS n_grams, t,
+        |    unnest(generate_series(1, len(t) - 3)) AS i
+        |  FROM toks WHERE len(t) >= 4),
+        |grams AS (
+        |  SELECT doc_id, n_grams, array_to_string(t[i:i+3], ' ') AS gram
+        |  FROM g),
+        |a AS (
+        |  SELECT doc_id, n_grams,
+        |    CAST(count(DISTINCT gram) AS BIGINT) AS n_distinct
+        |  FROM grams GROUP BY 1, 2)
+        |SELECT doc_id, n_grams, n_distinct,
+        |  ${Rounding.intDivExactSql(
+             "CAST(n_distinct AS HUGEINT) * 1000000", "n_grams")}
+        |    AS dedup_ratio_e6
+        |FROM a ORDER BY doc_id""".stripMargin,
     "q114_inverted_index" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t

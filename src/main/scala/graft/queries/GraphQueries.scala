@@ -148,7 +148,46 @@ object GraphQueries extends QueryPack {
     "q97_pagerank" -> (q97 _),
     "q119_assortativity" -> (q119 _),
     "q134_kcore" -> (q134 _),
-    "q140_clustering_coeff" -> (q140 _))
+    "q140_clustering_coeff" -> (q140 _),
+    "q173_link_prediction" -> (q173 _))
+
+  /** Link prediction over the part co-order graph: for non-adjacent node
+    * pairs, the common-neighbor count and exact-ppm Jaccard of their
+    * neighborhoods (the two classical unsupervised link-prediction
+    * scores), top 100. Wedges are enumerated THROUGH their center — one
+    * self-join of the (center, spoke) relation keyed on the center — and
+    * a center-degree cap (≤ 30) bounds per-center fan-out at C(30,2),
+    * the same df-cap discipline as q41's shingle join: a hub node cannot
+    * quadratically explode a reducer, at the documented cost of missing
+    * wedges through hubs (at real scale the cap is the recall/cost knob).
+    * Existing edges leave via a LEFT ANTI join on the canonical (u < v)
+    * edge list; degrees join back keyed, never broadcast (the degree
+    * table scales with the node count). */
+  private def q173(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.intDivExact
+    val (edges, deg, _) = TemporalQueries.q108Stages(s, dir, checkpoint = true)
+    val sym = edges.select(col("u"), col("v"))
+      .unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+    val centers = deg.filter(col("deg") <= 30).select(col("n").as("c"))
+    val spokes = sym.select(col("v").as("c"), col("u").as("x"))
+      .join(centers, "c")
+    val wedges = spokes.as("l")
+      .join(spokes.withColumnRenamed("x", "y").as("r"), "c")
+      .filter(col("x") < col("y"))
+    val cn = wedges.groupBy("x", "y").agg(count(lit(1)).as("cn"))
+    val cand = cn.join(edges.select(col("u").as("x"), col("v").as("y")),
+      Seq("x", "y"), "left_anti")
+    cand
+      .join(deg.select(col("n").as("x"), col("deg").as("dx")), "x")
+      .join(deg.select(col("n").as("y"), col("deg").as("dy")), "y")
+      .withColumn("jaccard_e6",
+        intDivExact(col("cn").cast("decimal(38,0)") * lit(1000000L),
+          col("dx") + col("dy") - col("cn")))
+      .select(col("x").as("u"), col("y").as("v"), col("cn"),
+        col("dx").as("deg_u"), col("dy").as("deg_v"), col("jaccard_e6"))
+      .orderBy(col("cn").desc, col("u"), col("v"))
+      .limit(100)
+  }
 
   val oracle: Map[String, String] = Map(
     "q97_pagerank" -> {
@@ -288,5 +327,42 @@ object GraphQueries extends QueryPack {
                "CAST(deg * (deg - 1) AS BIGINT)")} AS coeff_e6
          |FROM deg LEFT JOIN credit USING (n)
          |WHERE deg >= 2
-         |ORDER BY coeff_e6 DESC, node LIMIT 100""".stripMargin)
+         |ORDER BY coeff_e6 DESC, node LIMIT 100""".stripMargin,
+    "q173_link_prediction" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS pt FROM lineitem
+        |  WHERE year(l_shipdate) = 1995),
+        |capped AS (SELECT o FROM op GROUP BY o HAVING count(*) <= 40),
+        |pairs AS (SELECT op.o, op.pt FROM op JOIN capped USING (o)),
+        |edges AS MATERIALIZED (
+        |  SELECT DISTINCT a.pt AS u, b.pt AS v
+        |  FROM pairs a JOIN pairs b ON a.o = b.o AND a.pt < b.pt),
+        |deg AS MATERIALIZED (
+        |  SELECT n, count(*) AS deg FROM (
+        |    SELECT u AS n FROM edges UNION ALL SELECT v FROM edges)
+        |  GROUP BY n),
+        |sym AS (
+        |  SELECT u, v FROM edges
+        |  UNION ALL SELECT v AS u, u AS v FROM edges),
+        |spokes AS (
+        |  SELECT s.v AS c, s.u AS x FROM sym s
+        |  JOIN deg d ON d.n = s.v WHERE d.deg <= 30),
+        |wedges AS (
+        |  SELECT l.x AS x, r.x AS y FROM spokes l
+        |  JOIN spokes r ON l.c = r.c AND l.x < r.x),
+        |cn AS (
+        |  SELECT x, y, CAST(count(*) AS BIGINT) AS cn
+        |  FROM wedges GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT cn.* FROM cn
+        |  WHERE NOT EXISTS (SELECT 1 FROM edges e
+        |                    WHERE e.u = cn.x AND e.v = cn.y))
+        |SELECT cand.x AS u, cand.y AS v, cn,
+        |  CAST(du.deg AS BIGINT) AS deg_u, CAST(dv.deg AS BIGINT) AS deg_v,
+        |  CAST(CAST(cn AS HUGEINT) * 1000000 //
+        |    CAST(du.deg + dv.deg - cn AS HUGEINT) AS BIGINT) AS jaccard_e6
+        |FROM cand
+        |JOIN deg du ON du.n = cand.x
+        |JOIN deg dv ON dv.n = cand.y
+        |ORDER BY cn DESC, u, v LIMIT 100""".stripMargin)
 }

@@ -502,7 +502,47 @@ object TemporalQueries extends QueryPack {
       .orderBy("event_id")
   }
 
+  /** Lag-1 autocorrelation per user over the value series — the
+    * serial-dependence diagnostic a feature pipeline runs before trusting
+    * i.i.d. assumptions (and the ACF(1) input to order selection). One
+    * window pass pairs each observation with its successor in
+    * (ts, event_id) order — the lead() shape of SURVEY §2 row 29 — then
+    * one aggregation computes the Pearson power sums over the pairs.
+    * The q126 de-floating discipline: sums accumulate exactly through
+    * decimal(38,0) (DuckDB mirrors via HUGEINT), get cast to double
+    * ONCE, and both engines evaluate one identical correlation formula
+    * on identical integers; the raw Σx·x₊₁ is also emitted as exact
+    * BIGINT. Scale: the window and the groupBy share the user_id
+    * partitioning, so Catalyst plans a single exchange. */
+  private def q171(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = ev(s, dir).filter(col("value").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        Rounding.cents(col("value")).as("x"))
+      .withColumn("x1", lead(col("x"), 1).over(w))
+      .filter(col("x1").isNotNull)
+    def ds(c: org.apache.spark.sql.Column) =
+      sum(c.cast("decimal(38,0)")).cast("double")
+    pairs.groupBy("user_id")
+      .agg(count(lit(1)).cast("double").as("n"),
+        ds(col("x")).as("sx"), ds(col("x1")).as("sy"),
+        ds(col("x") * col("x1")).as("sxy"),
+        ds(col("x") * col("x")).as("sxx"),
+        ds(col("x1") * col("x1")).as("syy"),
+        sum((col("x") * col("x1")).cast("decimal(38,0)")).cast("long")
+          .as("sxy_c2"))
+      .select(col("user_id"), col("n").cast("long").as("n_pairs"),
+        col("sxy_c2"),
+        expr("""CASE WHEN n < 3 OR n * sxx - sx * sx = 0
+            OR n * syy - sy * sy = 0 THEN NULL
+          ELSE CAST(floor(((n * sxy - sx * sy) /
+            (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)))
+            * 1000000.0 + 0.5) AS BIGINT) END""").as("autocorr_e6"))
+      .orderBy("user_id")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q171_autocorr" -> (q171 _),
     "q105_gapfill_ffill" -> (q105 _),
     "q106_unpivot" -> (q106 _),
     "q107_mad_outliers" -> (q107 _),
@@ -864,6 +904,31 @@ object TemporalQueries extends QueryPack {
          |FROM clicks c LEFT JOIN nxt n
          |  ON c.event_id = n.event_id AND n.rn = 1
          |ORDER BY c.event_id""".stripMargin,
+    "q171_autocorr" ->
+      s"""WITH e AS (
+         |  SELECT user_id, ts, event_id, $centsV AS x
+         |  FROM events WHERE value IS NOT NULL),
+         |p AS (
+         |  SELECT user_id, x,
+         |    lead(x) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS x1
+         |  FROM e),
+         |a AS (
+         |  SELECT user_id,
+         |    CAST(count(*) AS DOUBLE) AS n,
+         |    CAST(sum(x) AS DOUBLE) AS sx,
+         |    CAST(sum(x1) AS DOUBLE) AS sy,
+         |    CAST(sum(x * x1) AS DOUBLE) AS sxy,
+         |    CAST(sum(x * x) AS DOUBLE) AS sxx,
+         |    CAST(sum(x1 * x1) AS DOUBLE) AS syy,
+         |    CAST(sum(CAST(x * x1 AS DECIMAL(38,0))) AS BIGINT) AS sxy_c2
+         |  FROM p WHERE x1 IS NOT NULL GROUP BY 1)
+         |SELECT user_id, CAST(n AS BIGINT) AS n_pairs, sxy_c2,
+         |  CASE WHEN n < 3 OR n * sxx - sx * sx = 0
+         |      OR n * syy - sy * sy = 0 THEN NULL
+         |    ELSE CAST(floor(((n * sxy - sx * sy) /
+         |      (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)))
+         |      * 1000000.0 + 0.5) AS BIGINT) END AS autocorr_e6
+         |FROM a ORDER BY user_id""".stripMargin,
     "q126_rolling_corr" ->
       s"""WITH e AS (
          |  SELECT event_id, event_type, ts, $centsV AS x,
