@@ -431,10 +431,17 @@ object TpchQueries extends QueryPack {
     * how many suppliers share the max — so the whole query is one
     * aggregation plus one window on the SAME order-key partitioning
     * (a single exchange, reused by Catalyst) instead of two correlated
-    * fact self-joins. */
+    * fact self-joins. The explicit repartition on the order key alone
+    * makes the sharing real: HashPartitioning(l_orderkey) satisfies the
+    * groupBy's (l_orderkey, l_suppkey) clustering (subset rule) AND the
+    * window's l_orderkey partitioning, where the groupBy's own exchange
+    * would hash on both keys and force a second shuffle for the window
+    * (PlanSpec pins the single-exchange shape). */
   private def q169(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ls = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+      .repartition(col("l_orderkey"))
       .groupBy("l_orderkey", "l_suppkey")
       .agg(max("l_shipdate").as("sup_last"))
     val w = Window.partitionBy("l_orderkey")

@@ -174,6 +174,49 @@ class PlanSpec extends SparkSuite {
     assert(p.linesIterator.count(_.contains("Scan parquet")) == 1, p)
   }
 
+  test("q163: the EXISTS compiles to a semi join, not a correlated probe") {
+    val p = plan("q163_order_priority")
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "the lag predicate must ride the equi semi join as a condition")
+  }
+
+  test("q168: disjunctive predicates stay one broadcast equi join") {
+    val p = plan("q168_disjunctive_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "the OR straddling both sides must not degrade the join to a BNLJ")
+  }
+
+  test("q169: aggregation and window share ONE order-key exchange") {
+    // the per-(order, supplier) aggregate and the three order-key windows
+    // must all ride the explicit l_orderkey repartition (subset rule);
+    // the only other exchange is the final per-supplier count — a second
+    // l_orderkey exchange means the sharing broke
+    val p = plan("q169_last_to_ship")
+    val onOrderKey =
+      "Exchange hashpartitioning\\(l_orderkey".r.findAllIn(p).size
+    val total = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(onOrderKey == 1 && total == 2,
+      s"expected 1 order-key + 1 supplier exchange, got $total total:\n$p")
+  }
+
+  test("q167: top-k big orders compiles to TakeOrderedAndProject") {
+    assert(plan("q167_big_orders").contains("TakeOrderedAndProject"))
+  }
+
+  test("q170: dormant-customer probe is an anti join with broadcast stats") {
+    val p = plan("q170_dormant_balances")
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("q172: per-doc gram novelty is shuffle-free (no explode, no agg)") {
+    val p = plan("q172_ngram_novelty")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Generate"), "grams must stay array lambdas, not explode")
+  }
+
   /** The blanket guard behind all the per-query assertions above: NO
     * declared query may plan a CartesianProduct — the one physical
     * operator that cannot survive a 100× scale-up under any parameter.
