@@ -130,7 +130,9 @@ object DedupQueries extends QueryPack {
   /** SimHash: 64-bit signature from per-token md5 bit votes, emitted as a
     * '0'/'1' string so the oracle is engine-portable. Distinct tokens vote
     * ±1 per bit; sign of the per-bit sum is the signature bit. */
-  private def q43(s: SparkSession, dir: String): DataFrame = {
+  /** Per-doc 64-bit SimHash as a bit string — shared by q43 (signatures)
+    * and q176 (pair mining). */
+  private def simhashBits(s: SparkSession, dir: String): DataFrame = {
     val toks = docs(s, dir)
       .select(col("doc_id"),
         explode(array_distinct(tokensCol(col("text")))).as("tok"))
@@ -145,7 +147,45 @@ object DedupQueries extends QueryPack {
     val agg = toks.groupBy("doc_id").agg(contribs.head, contribs.tail: _*)
     val bits = concat((0 until 64).map(b =>
       when(col(s"s$b") >= 0, lit("1")).otherwise(lit("0"))): _*)
-    agg.select(col("doc_id"), bits.as("simhash_bits")).orderBy("doc_id")
+    agg.select(col("doc_id"), bits.as("simhash_bits"))
+  }
+
+  private def q43(s: SparkSession, dir: String): DataFrame =
+    simhashBits(s, dir).orderBy("doc_id")
+
+  /** SimHash near-dup PAIRS at Hamming distance ≤ 3, with candidates from
+    * 4-band banding — and unlike MinHash banding this recall is EXACT,
+    * not probabilistic: ≤ 3 differing bits can touch at most 3 of the 4
+    * disjoint 16-bit bands (pigeonhole), so every qualifying pair shares
+    * at least one full band and survives the bucket join. The oracle runs
+    * the brute-force all-pairs Hamming scan the banded join provably
+    * equals (the q100 SymSpell discipline). Engine side: one bucket
+    * equi-join on (band, chunk) — never an all-pairs product — then the
+    * 64-term exact Hamming rescore on candidates only; DISTINCT collapses
+    * pairs that agree on several bands. */
+  private def q176(s: SparkSession, dir: String): DataFrame = {
+    val sh = simhashBits(s, dir)
+    val bands = sh.select(col("doc_id"), col("simhash_bits"),
+      explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+        substring(col("simhash_bits"), b * 16 + 1, 16).as("chunk"))): _*))
+        .as("bd"))
+      .select(col("doc_id"), col("simhash_bits"),
+        col("bd.band").as("band"), col("bd.chunk").as("chunk"))
+    val cand = bands.as("a")
+      .join(bands.withColumnRenamed("doc_id", "doc_b")
+          .withColumnRenamed("simhash_bits", "sb").as("b"),
+        Seq("band", "chunk"))
+      .filter(col("doc_id") < col("doc_b"))
+      .select(col("doc_id").as("doc_a"), col("doc_b"),
+        col("simhash_bits").as("sa"), col("sb"))
+      .distinct()
+    val ham = (0 until 64).map(i =>
+      when(substring(col("sa"), i + 1, 1) =!= substring(col("sb"), i + 1, 1),
+        lit(1L)).otherwise(lit(0L))).reduce(_ + _)
+    cand.withColumn("hamming", ham)
+      .filter(col("hamming") <= 3L)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
   }
 
   /** Embedding-cosine near-dup: vector pairs above a cosine threshold,
@@ -337,6 +377,7 @@ object DedupQueries extends QueryPack {
     "q41_dedup_jaccard" -> (q41 _),
     "q42_dedup_minhash" -> (q42 _),
     "q43_dedup_simhash" -> (q43 _),
+    "q176_simhash_pairs" -> (q176 _),
     "q44_dedup_embedding" -> (q44 _),
     "q67_dedup_clusters" -> (q67 _),
     "q100_fuzzy_match" -> (q100 _))
@@ -381,7 +422,9 @@ object DedupQueries extends QueryPack {
        |SELECT doc_a, doc_b, est_sim FROM cand ORDER BY doc_a, doc_b""".stripMargin
   }
 
-  private val simhashSql: String = {
+  /** Shared CTE chain ending in `sh(doc_id, simhash_bits)` — the oracle
+    * twin of [[simhashBits]], used by both q43 and q176. */
+  private val simhashCtes: String = {
     val sums = (0 until 64).map { b =>
       val p = b / 4; val j = 3 - (b % 4)
       s"sum((((strpos('0123456789abcdef', substr(h, ${p + 1}, 1)) - 1) >> $j) & 1) * 2 - 1) AS s$b"
@@ -389,13 +432,31 @@ object DedupQueries extends QueryPack {
     val bits = (0 until 64)
       .map(b => s"CASE WHEN s$b >= 0 THEN '1' ELSE '0' END")
       .mkString(" || ")
-    s"""WITH raw AS (
+    s"""raw AS (
        |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
        |  FROM documents),
        |toks AS (SELECT DISTINCT doc_id, tok FROM raw WHERE tok <> ''),
        |hashed AS (SELECT doc_id, md5(tok) AS h FROM toks),
-       |agg AS (SELECT doc_id, $sums FROM hashed GROUP BY doc_id)
-       |SELECT doc_id, $bits AS simhash_bits FROM agg ORDER BY doc_id""".stripMargin
+       |agg AS (SELECT doc_id, $sums FROM hashed GROUP BY doc_id),
+       |sh AS (SELECT doc_id, $bits AS simhash_bits FROM agg)""".stripMargin
+  }
+
+  private val simhashSql: String =
+    s"""WITH $simhashCtes
+       |SELECT doc_id, simhash_bits FROM sh ORDER BY doc_id""".stripMargin
+
+  /** Brute-force all-pairs Hamming scan the q176 banded join provably
+    * equals (pigeonhole over 4 disjoint bands at distance ≤ 3). */
+  private val simhashPairsSql: String = {
+    val ham = (0 until 64).map(i =>
+      s"CASE WHEN substr(a.simhash_bits, ${i + 1}, 1) <> substr(b.simhash_bits, ${i + 1}, 1) THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $simhashCtes
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST($ham AS BIGINT) AS hamming
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE $ham <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
   /** Shared CTE chain ending in `jp(doc_a, doc_b, inter, jaccard)` — the
@@ -508,6 +569,7 @@ object DedupQueries extends QueryPack {
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     "q42_dedup_minhash" -> minhashSql,
     "q43_dedup_simhash" -> simhashSql,
+    "q176_simhash_pairs" -> simhashPairsSql,
     "q44_dedup_embedding" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings)

@@ -411,7 +411,44 @@ object ExtraQueries extends QueryPack {
         count(lit(1)).as("n_events"))
       .orderBy("event_type")
 
+  /** Year-over-year spend-decile migration matrix: each customer's 1996
+    * spend decile vs their 1997 decile, counted — the churn/upsell
+    * dashboard, and the engine's showcase for EXACT global ranking at
+    * scale. A partition-less `ntile(10) OVER (ORDER BY spend)` puts the
+    * whole year in ONE task on every SQL engine; here each year's decile
+    * comes from [[graft.operators.GlobalRank]] (range-repartitioned
+    * two-pass rank, every partition bounded) and
+    * [[graft.operators.GlobalRank.bucketOf]], which reproduces the
+    * NTILE bucket function as pure integer arithmetic — the oracle runs
+    * DuckDB's own ntile() and must agree bucket-for-bucket (the q61/q25
+    * discipline: the scalable formulation provably equals the builtin).
+    * Spend is exact integer cents; (spend DESC, custkey) is a total
+    * order, so every rank and bucket is deterministic. */
+  private def q174(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.{cents => c, sumCents}
+    import graft.operators.GlobalRank
+    val spend = Tables.load(s, dir, "orders")
+      .filter(year(col("o_orderdate")).isin(1996, 1997))
+      .groupBy(col("o_custkey").as("custkey"),
+        year(col("o_orderdate")).as("yr"))
+      .agg(sumCents(c(col("o_totalprice"))).as("spend_cents"))
+    def deciles(y: Int): DataFrame = {
+      val one = spend.filter(col("yr") === y)
+      val ranked = GlobalRank.withRank(one, "rnk",
+        col("spend_cents").desc, col("custkey").asc)
+      val n = ranked.agg(count(lit(1)).as("n"))
+      ranked.crossJoin(broadcast(n))
+        .select(col("custkey"),
+          GlobalRank.bucketOf(col("rnk"), col("n"), 10).as(s"decile_$y"))
+    }
+    deciles(1996).join(deciles(1997), "custkey")
+      .groupBy("decile_1996", "decile_1997")
+      .agg(count(lit(1)).as("n_custs"))
+      .orderBy("decile_1996", "decile_1997")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q174_decile_migration" -> (q174 _),
     "q152_value_windows" -> (q152 _),
     "q158_exact_percentiles" -> (q158 _),
     "q160_multi_distinct" -> (q160 _),
@@ -434,6 +471,24 @@ object ExtraQueries extends QueryPack {
   private val kExpr = """CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)"""
 
   val oracle: Map[String, String] = Map(
+    "q174_decile_migration" ->
+      s"""WITH spend AS (
+        |  SELECT o_custkey AS custkey, year(o_orderdate) AS yr,
+        |    ${graft.functions.Rounding.sumCentsSql(
+             graft.functions.Rounding.centsSql("o_totalprice"))} AS spend_cents
+        |  FROM orders WHERE year(o_orderdate) IN (1996, 1997)
+        |  GROUP BY 1, 2),
+        |d96 AS (
+        |  SELECT custkey, CAST(ntile(10) OVER
+        |    (ORDER BY spend_cents DESC, custkey) AS BIGINT) AS decile_1996
+        |  FROM spend WHERE yr = 1996),
+        |d97 AS (
+        |  SELECT custkey, CAST(ntile(10) OVER
+        |    (ORDER BY spend_cents DESC, custkey) AS BIGINT) AS decile_1997
+        |  FROM spend WHERE yr = 1997)
+        |SELECT decile_1996, decile_1997, count(*) AS n_custs
+        |FROM d96 JOIN d97 USING (custkey)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q160_multi_distinct" ->
       """SELECT event_type,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,

@@ -498,7 +498,48 @@ object TpchQueries extends QueryPack {
       .orderBy("nation")
   }
 
+  /** Nation revenue share within its region (the ratio-to-report window
+    * shape): per nation, total line-item revenue, its exact-ppm share of
+    * the region total, and its revenue rank in the region. The fact scan
+    * aggregates FIRST (one shuffle on the nation key — 25 groups); the
+    * region-partitioned window then runs over a dimension-sized table,
+    * so unlike a partition-less ntile this window is bounded by the
+    * nation count at any data scale. Shares are exact integer ppm via
+    * [[graft.functions.Rounding.intDivExact]] — region totals of e4
+    * fixed-point can exceed 2^53 at 100 TB, hence the decimal/HUGEINT
+    * division chain rather than the three-double-op form. */
+  private def q175(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Rounding.intDivExact
+    val supGeo = t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"),
+        col("r_name").as("region"))
+    val natRev = t(s, dir, "lineitem")
+      .select(col("l_suppkey"), vol4.as("vol"))
+      .join(broadcast(supGeo), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("region", "nation")
+      .agg(sum(col("vol").cast("decimal(38,0)")).cast("long")
+        .as("revenue_e4"))
+    val w = Window.partitionBy("region")
+    natRev
+      .withColumn("region_total_e4",
+        sum(col("revenue_e4").cast("decimal(38,0)")).over(w).cast("long"))
+      .withColumn("share_ppm",
+        intDivExact(
+          col("revenue_e4").cast("decimal(38,0)") * lit(1000000L),
+          col("region_total_e4")))
+      .withColumn("rank_in_region",
+        rank().over(Window.partitionBy("region")
+          .orderBy(col("revenue_e4").desc, col("nation"))).cast("long"))
+      .select("region", "nation", "revenue_e4", "region_total_e4",
+        "share_ppm", "rank_in_region")
+      .orderBy("region", "rank_in_region")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q175_region_share" -> (q175 _),
     "q57_volume_shipping" -> (q57 _),
     "q145_local_supplier_volume" -> (q145 _),
     "q146_returned_items" -> (q146 _),
@@ -648,6 +689,32 @@ object TpchQueries extends QueryPack {
         |    AS BIGINT) AS max_latency_days
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q175_region_share" ->
+      """WITH geo AS (
+        |  SELECT s_suppkey, n_name AS nation, r_name AS region
+        |  FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey),
+        |nat AS (
+        |  SELECT region, nation,
+        |    CAST(sum(CAST(
+        |      CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) *
+        |      CAST(floor((1 - l_discount) * 100.0 + 0.5) AS BIGINT)
+        |      AS DECIMAL(38,0))) AS BIGINT) AS revenue_e4
+        |  FROM lineitem JOIN geo ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2),
+        |win AS (
+        |  SELECT region, nation, revenue_e4,
+        |    CAST(sum(CAST(revenue_e4 AS DECIMAL(38,0)))
+        |      OVER (PARTITION BY region) AS BIGINT) AS region_total_e4,
+        |    CAST(rank() OVER (PARTITION BY region
+        |      ORDER BY revenue_e4 DESC, nation) AS BIGINT) AS rank_in_region
+        |  FROM nat)
+        |SELECT region, nation, revenue_e4, region_total_e4,
+        |  CAST(CAST(revenue_e4 AS HUGEINT) * 1000000 //
+        |    CAST(region_total_e4 AS HUGEINT) AS BIGINT) AS share_ppm,
+        |  rank_in_region
+        |FROM win ORDER BY region, rank_in_region""".stripMargin,
     "q163_order_priority" ->
       """SELECT o_orderpriority, count(*) AS n_orders
         |FROM orders

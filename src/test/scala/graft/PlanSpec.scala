@@ -217,6 +217,13 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Generate"), "grams must stay array lambdas, not explode")
   }
 
+  test("q176: simhash pair candidates ride a keyed band join") {
+    val p = plan("q176_simhash_pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "the banded bucket join degraded to an all-pairs product")
+  }
+
   /** The blanket guard behind all the per-query assertions above: NO
     * declared query may plan a CartesianProduct — the one physical
     * operator that cannot survive a 100× scale-up under any parameter.
