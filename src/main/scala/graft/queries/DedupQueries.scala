@@ -153,6 +153,33 @@ object DedupQueries extends QueryPack {
   private def q43(s: SparkSession, dir: String): DataFrame =
     simhashBits(s, dir).orderBy("doc_id")
 
+  /** Sorted-neighborhood dedup (the Hernández–Stolfo merge/purge method):
+    * docs sorted by normalized text, ADJACENT pairs sharing a 32-char
+    * normalized prefix reported as near-dup suspects. The method's whole
+    * point is that one global sort replaces any pairwise comparison — and
+    * the engine's point is that the sort needs no single-task window:
+    * [[graft.operators.GlobalRank]] assigns the global position
+    * (range-partitioned two-pass), and "adjacent" is a self-equi-join on
+    * rank = rank+1. The oracle states the same thing with lead() over a
+    * global ORDER BY — fine at sf0.01, single-partition death at 100 TB,
+    * which is exactly the twin relationship q174 pins for ntile. */
+  private def q177(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextAnalysis.normalizeText
+    val d = docs(s, dir)
+      .select(col("doc_id"), normalizeText(col("text")).as("norm"))
+    val ranked = graft.operators.GlobalRank
+      .withRank(d, "rnk", col("norm"), col("doc_id"))
+    val a = ranked.select(col("rnk"), col("doc_id").as("doc_a"),
+      col("norm").as("na"))
+    val b = ranked.select((col("rnk") - 1L).as("rnk"),
+      col("doc_id").as("doc_b"), col("norm").as("nb"))
+    a.join(b, "rnk")
+      .filter(substring(col("na"), 1, 32) === substring(col("nb"), 1, 32))
+      .select(col("doc_a"), col("doc_b"),
+        substring(col("na"), 1, 32).as("shared_prefix"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** SimHash near-dup PAIRS at Hamming distance ≤ 3, with candidates from
     * 4-band banding — and unlike MinHash banding this recall is EXACT,
     * not probabilistic: ≤ 3 differing bits can touch at most 3 of the 4
@@ -378,6 +405,7 @@ object DedupQueries extends QueryPack {
     "q42_dedup_minhash" -> (q42 _),
     "q43_dedup_simhash" -> (q43 _),
     "q176_simhash_pairs" -> (q176 _),
+    "q177_sorted_neighbors" -> (q177 _),
     "q44_dedup_embedding" -> (q44 _),
     "q67_dedup_clusters" -> (q67 _),
     "q100_fuzzy_match" -> (q100 _))
@@ -570,6 +598,17 @@ object DedupQueries extends QueryPack {
     "q42_dedup_minhash" -> minhashSql,
     "q43_dedup_simhash" -> simhashSql,
     "q176_simhash_pairs" -> simhashPairsSql,
+    "q177_sorted_neighbors" ->
+      s"""WITH d AS (SELECT doc_id, $normSql AS norm FROM documents),
+         |o AS (
+         |  SELECT doc_id, norm,
+         |    lead(doc_id) OVER (ORDER BY norm, doc_id) AS doc_b,
+         |    lead(norm) OVER (ORDER BY norm, doc_id) AS nb
+         |  FROM d)
+         |SELECT doc_id AS doc_a, doc_b, substr(norm, 1, 32) AS shared_prefix
+         |FROM o
+         |WHERE doc_b IS NOT NULL AND substr(norm, 1, 32) = substr(nb, 1, 32)
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "q44_dedup_embedding" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings)

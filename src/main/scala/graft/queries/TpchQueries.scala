@@ -538,7 +538,73 @@ object TpchQueries extends QueryPack {
       .orderBy("region", "rank_in_region")
   }
 
+  /** Pareto frontier (skyline) of the part catalog minimizing
+    * (retail price, size): parts no other part beats on both axes. The
+    * textbook NOT-EXISTS dominance test is O(n²); the engine's
+    * formulation is the sort-scan identity — a part is dominated iff the
+    * MIN size among strictly-cheaper parts is ≤ its size, or a same-price
+    * part is strictly smaller — so one per-price aggregate, one
+    * [[graft.operators.PrefixScan]] running-min over price order (no
+    * single-task window), one rank-shift join to make the inclusive scan
+    * exclusive, and one broadcast join back decide every part. Price is
+    * exact integer cents; the oracle runs the quadratic NOT EXISTS the
+    * scan provably equals. */
+  private def q178(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{GlobalRank, PrefixScan}
+    val pts = t(s, dir, "part")
+      .select(col("p_partkey"), cents(col("p_retailprice")).as("price_c"),
+        col("p_size").cast("long").as("size"))
+    val perPrice = pts.groupBy("price_c").agg(min("size").as("min_at_price"))
+    val scanned = GlobalRank.withRank(
+      PrefixScan.runningMin(perPrice, "min_at_price", "min_upto",
+        col("price_c")),
+      "rnk", col("price_c"))
+    // the scan is inclusive; "strictly cheaper" = previous rank's value
+    val prev = scanned.select((col("rnk") + 1L).as("rnk"),
+      col("min_upto").as("prev_min"))
+    val excl = scanned.select(col("rnk"), col("price_c"), col("min_at_price"))
+      .join(prev, Seq("rnk"), "left")
+      .select(col("price_c"), col("min_at_price"),
+        coalesce(col("prev_min"), lit(Long.MaxValue)).as("min_cheaper"))
+    pts.join(broadcast(excl), "price_c")
+      .filter(col("min_cheaper") > col("size") &&
+        col("min_at_price") >= col("size"))
+      .select("p_partkey", "price_c", "size")
+      .orderBy("price_c", "p_partkey")
+  }
+
+  /** Global running revenue over the full order history in
+    * (o_orderdate, o_orderkey) order — cumulative cents and the exact-ppm
+    * share-to-date of all-time revenue, per order. The row-level
+    * cumulative is [[graft.operators.PrefixScan.runningSum]] (two-pass
+    * distributed fold) where `sum() OVER (ORDER BY …)` with no PARTITION
+    * BY would drag the entire fact through one task; the all-time total
+    * is a 1-row broadcast. Pure integer arithmetic end to end (int64
+    * holds cumulative cents to ~10^17 orders' worth; the ppm product is
+    * widened through decimal/HUGEINT). */
+  private def q179(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.PrefixScan
+    import graft.functions.Rounding.intDivExact
+    val ord = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"),
+        cents(col("o_totalprice")).as("price_cents"))
+    val cum = PrefixScan.runningSum(ord, "price_cents", "cum_cents",
+      col("o_orderdate"), col("o_orderkey"))
+    val total = cum.agg(
+      sum(col("price_cents").cast("decimal(38,0)")).cast("long")
+        .as("total_cents"))
+    cum.crossJoin(broadcast(total))
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("price_cents"), col("cum_cents"),
+        intDivExact(col("cum_cents").cast("decimal(38,0)") * lit(1000000L),
+          col("total_cents")).as("cum_ppm"))
+      .orderBy("o_orderdate", "o_orderkey")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q178_skyline" -> (q178 _),
+    "q179_running_revenue" -> (q179 _),
     "q175_region_share" -> (q175 _),
     "q57_volume_shipping" -> (q57 _),
     "q145_local_supplier_volume" -> (q145 _),
@@ -689,6 +755,37 @@ object TpchQueries extends QueryPack {
         |    AS BIGINT) AS max_latency_days
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q178_skyline" ->
+      """WITH pts AS (
+        |  SELECT p_partkey,
+        |    CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT) AS price_c,
+        |    CAST(p_size AS BIGINT) AS size
+        |  FROM part)
+        |SELECT p_partkey, price_c, size FROM pts a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM pts b
+        |  WHERE b.price_c <= a.price_c AND b.size <= a.size
+        |    AND (b.price_c < a.price_c OR b.size < a.size))
+        |ORDER BY price_c, p_partkey""".stripMargin,
+    "q179_running_revenue" ->
+      """WITH ord AS (
+        |  SELECT o_orderkey, o_orderdate,
+        |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents
+        |  FROM orders),
+        |cum AS (
+        |  SELECT o_orderkey, o_orderdate, price_cents,
+        |    CAST(sum(price_cents) OVER (ORDER BY o_orderdate, o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_cents
+        |  FROM ord),
+        |tot AS (SELECT CAST(sum(price_cents) AS BIGINT) AS total_cents
+        |        FROM ord)
+        |SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |  price_cents, cum_cents,
+        |  CAST(CAST(cum_cents AS HUGEINT) * 1000000 //
+        |    CAST(total_cents AS HUGEINT) AS BIGINT) AS cum_ppm
+        |FROM cum CROSS JOIN tot
+        |ORDER BY o_orderdate, o_orderkey""".stripMargin,
     "q175_region_share" ->
       """WITH geo AS (
         |  SELECT s_suppkey, n_name AS nation, r_name AS region
