@@ -191,26 +191,53 @@ object DedupQueries extends QueryPack {
     * 64-term exact Hamming rescore on candidates only; DISTINCT collapses
     * pairs that agree on several bands. */
   private def q176(s: SparkSession, dir: String): DataFrame = {
-    val sh = simhashBits(s, dir)
-    val bands = sh.select(col("doc_id"), col("simhash_bits"),
-      explode(array((0 until 4).map(b => struct(lit(b).as("band"),
-        substring(col("simhash_bits"), b * 16 + 1, 16).as("chunk"))): _*))
-        .as("bd"))
-      .select(col("doc_id"), col("simhash_bits"),
-        col("bd.band").as("band"), col("bd.chunk").as("chunk"))
-    val cand = bands.as("a")
-      .join(bands.withColumnRenamed("doc_id", "doc_b")
-          .withColumnRenamed("simhash_bits", "sb").as("b"),
-        Seq("band", "chunk"))
-      .filter(col("doc_id") < col("doc_b"))
-      .select(col("doc_id").as("doc_a"), col("doc_b"),
-        col("simhash_bits").as("sa"), col("sb"))
+    // Dedup-before-LSH: exact-duplicate docs share a signature, and big
+    // template clusters would quadratically inflate every band bucket
+    // they touch (measured at sf0.1: banding raw docs yields 1.9M
+    // candidates with a 1473-doc hot bucket; banding the 3.9k UNIQUE
+    // signatures yields 450k with a 589 cap). So the join runs on
+    // distinct signatures, and doc pairs are recovered afterwards by two
+    // keyed sig→doc joins (inter-sig) plus one same-sig self-join whose
+    // fan-out is the Hamming-0 part of the ANSWER itself. Everything is
+    // two packed int64s per signature: band keys by shift/mask, the
+    // rescore two XOR+POPCNT ops — no strings past the signature stage.
+    val sh = simhashBits(s, dir).localCheckpoint(true)
+    val packed = sh.select(col("doc_id"),
+      conv(substring(col("simhash_bits"), 1, 32), 2, 10).cast("long")
+        .as("hi"),
+      conv(substring(col("simhash_bits"), 33, 32), 2, 10).cast("long")
+        .as("lo"))
+    val uniq = packed.select("hi", "lo").distinct()
+    def chunk(b: Int) = {
+      val src = if (b < 2) col("hi") else col("lo")
+      shiftright(src, if (b % 2 == 0) 16 else 0).bitwiseAND(lit(0xFFFFL))
+    }
+    val bands = uniq.select(col("hi"), col("lo"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"), chunk(b).as("ck"))): _*)).as("bd"))
+      .select(col("hi"), col("lo"),
+        col("bd.band").as("band"), col("bd.ck").as("ck"))
+    val sigPairs = bands.as("a")
+      .join(bands.toDF("hi_b", "lo_b", "band", "ck").as("b"), Seq("band", "ck"))
+      .filter(col("hi") < col("hi_b") ||
+        (col("hi") === col("hi_b") && col("lo") < col("lo_b")))
+      .select("hi", "lo", "hi_b", "lo_b")
       .distinct()
-    val ham = (0 until 64).map(i =>
-      when(substring(col("sa"), i + 1, 1) =!= substring(col("sb"), i + 1, 1),
-        lit(1L)).otherwise(lit(0L))).reduce(_ + _)
-    cand.withColumn("hamming", ham)
+      .withColumn("hamming",
+        (expr("bit_count(hi ^ hi_b)") + expr("bit_count(lo ^ lo_b)"))
+          .cast("long"))
       .filter(col("hamming") <= 3L)
+    val inter = sigPairs
+      .join(packed.toDF("da", "hi", "lo"), Seq("hi", "lo"))
+      .join(packed.toDF("db", "hi_b", "lo_b"), Seq("hi_b", "lo_b"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
+    val intra = packed.as("a")
+      .join(packed.toDF("db", "hi", "lo").as("b"), Seq("hi", "lo"))
+      .filter(col("doc_id") < col("db"))
+      .select(col("doc_id").as("doc_a"), col("db").as("doc_b"),
+        lit(0L).as("hamming"))
+    inter.unionAll(intra)
       .select("doc_a", "doc_b", "hamming")
       .orderBy("doc_a", "doc_b")
   }
