@@ -209,7 +209,50 @@ object EventOpsQueries extends QueryPack {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** Click→purchase conversion survival census (the discrete-time
+    * Kaplan–Meier table a growth team reads): for each day-offset d in
+    * 0..14, how many first-click users were still unconverted entering
+    * day d (at risk — never-converters stay at risk through the horizon)
+    * and how many converted exactly on day d, plus the exact-ppm discrete
+    * hazard. Two bounded keyed aggregations (first click, first purchase
+    * at-or-after it), one tiny delay histogram (≤ horizon+2 rows), and
+    * the day grid joins THAT — the fact table never meets the grid, so
+    * the query's post-aggregation cost is O(horizon²) regardless of data
+    * scale. All counts integer; hazard via
+    * [[graft.functions.Rounding.intDivExact]]. */
+  private def q182(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.intDivExact
+    val e = ev(s, dir)
+    val fc = e.filter(col("event_type") === "click")
+      .groupBy("user_id").agg(min("ts").as("fc"))
+    val fp = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"))
+      .join(fc, "user_id")
+      .filter(col("ts") >= col("fc"))
+      .groupBy("user_id").agg(min("ts").as("fp"))
+    val delays = fc.join(fp, Seq("user_id"), "left")
+      .select(coalesce(datediff(to_date(col("fp")), to_date(col("fc")))
+        .cast("long"), lit(-1L)).as("delay"))
+    val hist = delays.groupBy("delay").agg(count(lit(1)).as("n"))
+    val grid = s.range(0, 15).select(col("id").as("day"))
+    grid.crossJoin(broadcast(hist))
+      .groupBy("day")
+      .agg(
+        sum(when(col("delay") === col("day"), col("n")).otherwise(0L))
+          .cast("long").as("n_converted"),
+        sum(when(col("delay") >= col("day") || col("delay") === -1L,
+          col("n")).otherwise(0L)).cast("long").as("n_at_risk"))
+      .withColumn("hazard_ppm",
+        when(col("n_at_risk") > 0L,
+          intDivExact(
+            col("n_converted").cast("decimal(38,0)") * lit(1000000L),
+            col("n_at_risk"))))
+      .select("day", "n_at_risk", "n_converted", "hazard_ppm")
+      .orderBy("day")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q182_conversion_survival" -> (q182 _),
     "q62_stratified_sample" -> (q62 _),
     "q63_sessionize" -> (q63 _),
     "q68_salted_join" -> (q68 _),
@@ -294,6 +337,35 @@ object EventOpsQueries extends QueryPack {
   }
 
   val oracle: Map[String, String] = Map(
+    "q182_conversion_survival" ->
+      """WITH fc AS (
+        |  SELECT user_id, min(ts) AS fc FROM events
+        |  WHERE event_type = 'click' GROUP BY 1),
+        |fp AS (
+        |  SELECT e.user_id, min(e.ts) AS fp
+        |  FROM events e JOIN fc ON e.user_id = fc.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= fc.fc
+        |  GROUP BY 1),
+        |delays AS (
+        |  SELECT coalesce(CAST(date_diff('day', CAST(fc.fc AS DATE),
+        |    CAST(fp.fp AS DATE)) AS BIGINT), -1) AS delay
+        |  FROM fc LEFT JOIN fp ON fc.user_id = fp.user_id),
+        |hist AS (SELECT delay, count(*) AS n FROM delays GROUP BY 1),
+        |grid AS (SELECT unnest(generate_series(0, 14)) AS day)
+        |SELECT CAST(day AS BIGINT) AS day,
+        |  CAST(sum(CASE WHEN delay >= day OR delay = -1 THEN n ELSE 0 END)
+        |    AS BIGINT) AS n_at_risk,
+        |  CAST(sum(CASE WHEN delay = day THEN n ELSE 0 END) AS BIGINT)
+        |    AS n_converted,
+        |  CASE WHEN sum(CASE WHEN delay >= day OR delay = -1 THEN n
+        |      ELSE 0 END) > 0 THEN
+        |    CAST(CAST(sum(CASE WHEN delay = day THEN n ELSE 0 END)
+        |        AS HUGEINT) * 1000000 //
+        |      CAST(sum(CASE WHEN delay >= day OR delay = -1 THEN n
+        |        ELSE 0 END) AS HUGEINT) AS BIGINT)
+        |  END AS hazard_ppm
+        |FROM grid CROSS JOIN hist
+        |GROUP BY day ORDER BY day""".stripMargin,
     "q69_cdc_merge" -> {
       import graft.functions.Rounding.roundfSql
       s"""WITH base AS (

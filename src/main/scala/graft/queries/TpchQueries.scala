@@ -602,7 +602,54 @@ object TpchQueries extends QueryPack {
       .orderBy("o_orderdate", "o_orderkey")
   }
 
+  /** TPC-H Q6 (forecasting revenue change): one filtered scan, one global
+    * aggregate — the benchmark's pushdown probe. The date and quantity
+    * predicates reach the parquet scan as PushedFilters (PlanSpec pins
+    * it); the discount band compares EXACT integer cents on both engines
+    * (a raw double BETWEEN on 0.05/0.07 would hinge on each engine's
+    * literal-to-double parse at the boundary). Revenue is
+    * Σ price·discount in e4 fixed-point BIGINT. */
+  private def q180(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1998-01-01")) &&
+        col("l_quantity") < 24)
+      .filter(cents(col("l_discount")).between(5L, 7L))
+      .agg(count(lit(1)).as("n_items"),
+        sum((cents(col("l_extendedprice")) * cents(col("l_discount")))
+          .cast("decimal(38,0)")).cast("long").as("revenue_e4"))
+
+  /** TPC-H Q11 (important stock identification): parts whose revenue from
+    * NATION_3's suppliers exceeds 0.1% of that nation's total — the
+    * scalar-subquery-threshold shape. The per-part aggregate runs first
+    * (one shuffle on the part key); the nation total is a 1-row broadcast
+    * and the threshold compare is exact cross-multiplication
+    * (value·1000 > total in decimal/HUGEINT), so no fraction is ever a
+    * float. */
+  private def q181(s: SparkSession, dir: String): DataFrame = {
+    val natSupp = t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")
+          .filter(col("n_name") === "NATION_3").select("n_nationkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val pv = t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"), vol4.as("vol"))
+      .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("l_partkey")
+      .agg(sum(col("vol").cast("decimal(38,0)")).cast("long")
+        .as("value_e4"))
+    val tot = pv.agg(sum(col("value_e4").cast("decimal(38,0)")).cast("long")
+      .as("total_e4"))
+    pv.crossJoin(broadcast(tot))
+      .filter(col("value_e4").cast("decimal(38,0)") * lit(1000L) >
+        col("total_e4").cast("decimal(38,0)"))
+      .select("l_partkey", "value_e4")
+      .orderBy(col("value_e4").desc, col("l_partkey"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q180_filtered_revenue" -> (q180 _),
+    "q181_important_stock" -> (q181 _),
     "q178_skyline" -> (q178 _),
     "q179_running_revenue" -> (q179 _),
     "q175_region_share" -> (q175 _),
@@ -755,6 +802,37 @@ object TpchQueries extends QueryPack {
         |    AS BIGINT) AS max_latency_days
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q180_filtered_revenue" ->
+      """SELECT count(*) AS n_items,
+        |  CAST(sum(CAST(
+        |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) *
+        |    CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)
+        |    AS DECIMAL(38,0))) AS BIGINT) AS revenue_e4
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01'
+        |  AND l_quantity < 24
+        |  AND CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)
+        |      BETWEEN 5 AND 7""".stripMargin,
+    "q181_important_stock" ->
+      """WITH nat_supp AS (
+        |  SELECT s_suppkey FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_3'),
+        |pv AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(
+        |      CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) *
+        |      CAST(floor((1 - l_discount) * 100.0 + 0.5) AS BIGINT)
+        |      AS DECIMAL(38,0))) AS BIGINT) AS value_e4
+        |  FROM lineitem JOIN nat_supp ON l_suppkey = s_suppkey
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(sum(CAST(value_e4 AS DECIMAL(38,0))) AS BIGINT)
+        |          AS total_e4 FROM pv)
+        |SELECT l_partkey, value_e4
+        |FROM pv CROSS JOIN tot
+        |WHERE CAST(value_e4 AS HUGEINT) * 1000 > CAST(total_e4 AS HUGEINT)
+        |ORDER BY value_e4 DESC, l_partkey""".stripMargin,
     "q178_skyline" ->
       """WITH pts AS (
         |  SELECT p_partkey,

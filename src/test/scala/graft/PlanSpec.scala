@@ -217,6 +217,14 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Generate"), "grams must stay array lambdas, not explode")
   }
 
+  test("q180: Q6's date and quantity predicates reach the parquet scan") {
+    val p = plan("q180_filtered_revenue")
+    val pushed = p.linesIterator.find(_.contains("PushedFilters"))
+      .getOrElse("no PushedFilters line")
+    assert(pushed.contains("l_shipdate") && pushed.contains("l_quantity"),
+      pushed)
+  }
+
   test("q176: simhash pair candidates ride a keyed band join") {
     val p = plan("q176_simhash_pairs")
     assert(!p.contains("BroadcastNestedLoopJoin") &&
