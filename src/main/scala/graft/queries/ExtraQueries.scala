@@ -447,7 +447,39 @@ object ExtraQueries extends QueryPack {
       .orderBy("decile_1996", "decile_1997")
   }
 
+  /** Exact weighted median of event value per type (weight = payload
+    * size): the smallest value whose cumulative weight reaches half the
+    * total — the deterministic lower-median rule, all integer (cents ×
+    * int64 weights through decimal accumulators, the half test an exact
+    * cross-multiplication). Shape: one (type, value) pre-aggregation
+    * collapses duplicate values BEFORE the windows, so the running-weight
+    * window runs over per-type DISTINCT values (bounded by the value
+    * grid, not the row count); the engines' own weighted-percentile
+    * builtins disagree on interpolation, hence the explicit rule (the
+    * q103 skewness lesson). */
+  private def q183(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "events")
+      .filter(col("value").isNotNull && col("props").isNotNull)
+      .select(col("event_type"), cents(col("value")).as("v"),
+        length(col("props")).cast("long").as("w"))
+    val pv = e.groupBy("event_type", "v")
+      .agg(sum(col("w").cast("decimal(38,0)")).cast("long").as("w"))
+    val wRun = Window.partitionBy("event_type").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("event_type")
+    pv.withColumn("cumw",
+        sum(col("w").cast("decimal(38,0)")).over(wRun).cast("long"))
+      .withColumn("tw",
+        sum(col("w").cast("decimal(38,0)")).over(wAll).cast("long"))
+      .filter(col("cumw").cast("decimal(38,0)") * lit(2L) >=
+        col("tw").cast("decimal(38,0)"))
+      .groupBy("event_type")
+      .agg(min("v").as("median_cents"), max("tw").as("total_weight"))
+      .orderBy("event_type")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q183_weighted_median" -> (q183 _),
     "q174_decile_migration" -> (q174 _),
     "q152_value_windows" -> (q152 _),
     "q158_exact_percentiles" -> (q158 _),
@@ -471,6 +503,27 @@ object ExtraQueries extends QueryPack {
   private val kExpr = """CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)"""
 
   val oracle: Map[String, String] = Map(
+    "q183_weighted_median" ->
+      s"""WITH e AS (
+        |  SELECT event_type,
+        |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v,
+        |    CAST(length(props) AS BIGINT) AS w
+        |  FROM events WHERE value IS NOT NULL AND props IS NOT NULL),
+        |pv AS (
+        |  SELECT event_type, v,
+        |    CAST(sum(CAST(w AS DECIMAL(38,0))) AS BIGINT) AS w
+        |  FROM e GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_type, v,
+        |    CAST(sum(CAST(w AS DECIMAL(38,0))) OVER (PARTITION BY event_type
+        |      ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cumw,
+        |    CAST(sum(CAST(w AS DECIMAL(38,0))) OVER (PARTITION BY event_type)
+        |      AS BIGINT) AS tw
+        |  FROM pv)
+        |SELECT event_type, min(v) AS median_cents, max(tw) AS total_weight
+        |FROM c WHERE CAST(cumw AS HUGEINT) * 2 >= CAST(tw AS HUGEINT)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q174_decile_migration" ->
       s"""WITH spend AS (
         |  SELECT o_custkey AS custkey, year(o_orderdate) AS yr,

@@ -162,6 +162,39 @@ class StreamingSpec extends SparkSuite {
     assert(maxDiff < 1e-6, s"hourly sums diverged by $maxDiff")
   }
 
+  test("hourly agg is provider-portable: RocksDB state store ≡ default") {
+    // the operational 100 TB posture: HDFS-backed in-memory state dies at
+    // large key cardinality, RocksDB spills — the ENGINE's contract is
+    // that results are provider-independent, pinned here by running the
+    // same watermarked agg under both providers
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state" +
+        ".RocksDBStateStoreProvider")
+    val rocksRows =
+      try {
+        val q = StreamingOps.hourlyAgg(eventsStream)
+          .writeStream.outputMode("complete")
+          .format("memory").queryName("hourly_rocks").start()
+        try q.processAllAvailable() finally q.stop()
+        assert(Option(q.lastProgress).map(_.json).getOrElse("")
+          .contains("rocksdb"), "RocksDB provider did not engage")
+        spark.table("hourly_rocks")
+          .select("hour_start", "event_type", "n").collect().toSet
+      } finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    val q2 = StreamingOps.hourlyAgg(eventsStream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hourly_default").start()
+    try q2.processAllAvailable() finally q2.stop()
+    val defaultRows = spark.table("hourly_default")
+      .select("hour_start", "event_type", "n").collect().toSet
+    assert(rocksRows.nonEmpty && rocksRows == defaultRows)
+  }
+
   test("streaming OHLC bars match batch, and batch matches the " +
       "row_number formulation") {
     val q = StreamingOps.ohlcBars(eventsStream)
