@@ -323,7 +323,78 @@ object ScaleQueries extends QueryPack {
       .orderBy("user_id")
   }
 
+  /** Join-cardinality estimation from count-min sketches — the optimizer-
+    * support statistic behind join reordering: |R ⋈ S on k| is estimated
+    * as the minimum over depths of the CMS inner product
+    * Σ_b sketch_R[d,b]·sketch_S[d,b], which provably upper-bounds the
+    * true size (AMS/CM inner-product guarantee — every colliding key
+    * pair only ADDS mass). Emitted next to the exact join size computed
+    * from the true per-key counts, plus the machine-checkable
+    * `overcount_ok` invariant. Same md5 bucket family as q154, both
+    * sides sketched with ONE pass each over pre-aggregated per-key
+    * counts (the sketch tables are d·w = 1024 rows regardless of data
+    * scale, so the dot product is a bounded join at 100 TB). */
+  private def q184(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashing
+    val d = 4
+    val w = 256
+    def counts(t: String, key: String) =
+      Tables.load(s, dir, t).groupBy(col(key).as("k"))
+        .agg(count(lit(1)).as("n"))
+    def sketch(c: org.apache.spark.sql.DataFrame) = c
+      .select(col("k"), col("n"),
+        explode(array((0 until d).map(lit): _*)).as("depth"))
+      .withColumn("bucket",
+        pmod(Hashing.md5U32(concat(lit("jce"), col("depth").cast("string"),
+          lit(":"), col("k").cast("string"))), lit(w.toLong)))
+      .groupBy("depth", "bucket")
+      .agg(sum(col("n").cast("decimal(38,0)")).cast("long").as("c"))
+    val ca = counts("events", "user_id")
+    val cb = counts("orders", "o_custkey")
+    val est = sketch(ca).toDF("depth", "bucket", "csa")
+      .join(sketch(cb).toDF("depth", "bucket", "csb"), Seq("depth", "bucket"))
+      .groupBy("depth")
+      .agg(sum(col("csa").cast("decimal(38,0)") * col("csb")).cast("long")
+        .as("e"))
+      .agg(min("e").as("cms_est"))
+    val tru = ca.join(cb.withColumnRenamed("n", "nb"), "k")
+      .agg(sum(col("n").cast("decimal(38,0)") * col("nb")).cast("long")
+        .as("true_size"))
+    tru.crossJoin(broadcast(est))
+      .select(col("true_size"), col("cms_est"),
+        (col("cms_est") - col("true_size")).as("overcount"),
+        (col("cms_est") >= col("true_size")).cast("long")
+          .as("overcount_ok"))
+  }
+
+  /** Equi-depth range boundaries (16 buckets) of the order-price
+    * distribution — the statistic `repartitionByRange` and range-join
+    * planning need. Boundary i is the EXACT value at global rank
+    * ⌈i·n/16⌉ in (cents, orderkey) order, computed by
+    * [[graft.operators.GlobalRank]] (two-pass distributed rank — no
+    * single-task window) + one broadcast 16-row grid join; the oracle
+    * computes the same ranks with row_number() over a global ORDER BY.
+    * Pure integers: the ceiling is (i·n + 15) div 16 via the portable
+    * intDiv construction. */
+  private def q185(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.intDiv
+    import graft.operators.GlobalRank
+    val ord = Tables.load(s, dir, "orders")
+      .select(cents(col("o_totalprice")).as("v"), col("o_orderkey"))
+    val ranked = GlobalRank.withRank(ord, "rnk", col("v"), col("o_orderkey"))
+    val n = ranked.agg(count(lit(1)).as("n"))
+    val grid = s.range(1, 17).select(col("id").as("bucket"))
+      .crossJoin(broadcast(n))
+      .select(col("bucket"),
+        intDiv(col("bucket") * col("n") + lit(15L), lit(16L)).as("rnk"))
+    ranked.join(broadcast(grid), "rnk")
+      .select(col("bucket"), col("v").as("boundary_cents"))
+      .orderBy("bucket")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q184_join_cardinality" -> (q184 _),
+    "q185_equidepth_bounds" -> (q185 _),
     "q70_bloom_join" -> (q70 _),
     "q125_mv_rewrite" -> (q125 _),
     "q154_count_min" -> (q154 _),
@@ -337,6 +408,51 @@ object ScaleQueries extends QueryPack {
     "q78_interval_merge" -> (q78 _))
 
   val oracle: Map[String, String] = Map(
+    "q184_join_cardinality" -> {
+      import graft.functions.Hashing
+      def keyed(src: String, h: String) =
+        s"""SELECT k, n, d.depth, $h % 256 AS bucket
+           |  FROM $src, (SELECT unnest(generate_series(0, 3)) AS depth) d"""
+          .stripMargin
+      val h = Hashing.md5U32Sql(
+        "'jce' || CAST(d.depth AS VARCHAR) || ':' || CAST(k AS VARCHAR)")
+      s"""WITH ca AS (SELECT user_id AS k, count(*) AS n FROM events
+         |            GROUP BY 1),
+         |cb AS (SELECT o_custkey AS k, count(*) AS n FROM orders
+         |       GROUP BY 1),
+         |ka AS (${keyed("ca", h)}),
+         |kb AS (${keyed("cb", h)}),
+         |sa AS (SELECT depth, bucket, sum(n) AS c FROM ka GROUP BY 1, 2),
+         |sb AS (SELECT depth, bucket, sum(n) AS c FROM kb GROUP BY 1, 2),
+         |est AS (
+         |  SELECT depth,
+         |    CAST(sum(CAST(sa.c AS HUGEINT) * sb.c) AS BIGINT) AS e
+         |  FROM sa JOIN sb USING (depth, bucket) GROUP BY 1),
+         |mn AS (SELECT CAST(min(e) AS BIGINT) AS cms_est FROM est),
+         |tru AS (
+         |  SELECT CAST(sum(CAST(ca.n AS HUGEINT) * cb.n) AS BIGINT)
+         |    AS true_size
+         |  FROM ca JOIN cb USING (k))
+         |SELECT true_size, cms_est,
+         |  cms_est - true_size AS overcount,
+         |  CAST(cms_est >= true_size AS BIGINT) AS overcount_ok
+         |FROM tru CROSS JOIN mn""".stripMargin
+    },
+    "q185_equidepth_bounds" ->
+      s"""WITH ord AS (
+         |  SELECT ${centsSql("o_totalprice")} AS v, o_orderkey FROM orders),
+         |ranked AS (
+         |  SELECT v, row_number() OVER (ORDER BY v, o_orderkey) AS rnk
+         |  FROM ord),
+         |nn AS (SELECT count(*) AS n FROM ord),
+         |grid AS (
+         |  SELECT bucket,
+         |    ${graft.functions.Rounding.intDivSql(
+               "bucket * n + 15", "16")} AS rnk
+         |  FROM (SELECT unnest(generate_series(1, 16)) AS bucket) g, nn)
+         |SELECT CAST(bucket AS BIGINT) AS bucket, v AS boundary_cents
+         |FROM ranked JOIN grid USING (rnk)
+         |ORDER BY bucket""".stripMargin,
     "q154_count_min" -> {
       import graft.functions.Hashing
       val h = Hashing.md5U32Sql(
