@@ -218,7 +218,60 @@ object CorpusStatsQueries extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** Dyadic (power-of-2) document-length histogram per source — the
+    * log-scale size profile a curation run reads before choosing chunking
+    * and packing parameters. The bucket function is one generated CASE
+    * chain over [2^b, 2^(b+1)) ranges — pure integer compares, the SAME
+    * construction rendered into both engines (no log(): float log at an
+    * exact power-of-2 boundary is an off-by-one-ulp coin flip). */
+  private def q186(s: SparkSession, dir: String): DataFrame = {
+    val nc = col("n_chars")
+    val bucket = (0 until 20).foldLeft(when(nc < 1L, lit(-1L))) {
+      (acc, b) => acc.when(
+        nc >= (1L << b) && nc < (1L << (b + 1)), lit(b.toLong))
+    }.otherwise(lit(20L))
+    docs(s, dir)
+      .groupBy(col("source"), bucket.as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast("decimal(38,0)")).cast("long")
+          .as("sum_chars"))
+      .orderBy("source", "bucket")
+  }
+
+  /** Gini coefficient of document length per source — the inequality
+    * statistic behind "is this source dominated by a few huge docs?".
+    * Exact closed form over the per-source ascending sort:
+    * G_e6 = ⌊(2·Σ i·xᵢ − (n+1)·Σx)·10⁶ / (n·Σx)⌋ with i the 1-based
+    * rank — every term an exact integer (decimal-accumulated sums,
+    * HUGEINT/decimal cross-products), so both engines land on the same
+    * BIGINT. One row_number window + one aggregation, both on the same
+    * source partitioning. */
+  private def q187(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import Rounding.intDivExact
+    val w = Window.partitionBy("source")
+      .orderBy(col("n_chars"), col("doc_id"))
+    val ranked = docs(s, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("i", row_number().over(w).cast("long"))
+    ranked.groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_chars").cast("decimal(38,0)")).cast("long").as("sx"),
+        sum((col("i") * col("n_chars")).cast("decimal(38,0)")).cast("long")
+          .as("six"))
+      .withColumn("gini_e6",
+        intDivExact(
+          (col("six").cast("decimal(38,0)") * 2 -
+            col("sx").cast("decimal(38,0)") * (col("n") + 1)) *
+            lit(1000000L),
+          col("n").cast("decimal(38,0)") * col("sx")))
+      .select("source", "n", "sx", "gini_e6")
+      .orderBy("source")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q186_dyadic_histogram" -> (q186 _),
+    "q187_length_gini" -> (q187 _),
     "q172_ngram_novelty" -> (q172 _),
     "q114_inverted_index" -> (q114 _),
     "q115_char_entropy" -> (q115 _),
@@ -228,6 +281,34 @@ object CorpusStatsQueries extends QueryPack {
     "q138_vocab_overlap" -> (q138 _))
 
   val oracle: Map[String, String] = Map(
+    "q186_dyadic_histogram" -> {
+      val cases = (0 until 20).map(b =>
+        s"WHEN n_chars >= ${1L << b} AND n_chars < ${1L << (b + 1)} THEN $b")
+        .mkString("\n|    ")
+      s"""SELECT source,
+        |  CAST(CASE WHEN n_chars < 1 THEN -1
+        |    $cases
+        |    ELSE 20 END AS BIGINT) AS bucket,
+        |  count(*) AS n_docs,
+        |  CAST(sum(CAST(n_chars AS DECIMAL(38,0))) AS BIGINT) AS sum_chars
+        |FROM documents
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+    "q187_length_gini" ->
+      """WITH ranked AS (
+        |  SELECT source, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) AS BIGINT) AS i
+        |  FROM documents),
+        |a AS (
+        |  SELECT source, count(*) AS n,
+        |    CAST(sum(CAST(n_chars AS DECIMAL(38,0))) AS BIGINT) AS sx,
+        |    CAST(sum(CAST(i * n_chars AS DECIMAL(38,0))) AS BIGINT) AS six
+        |  FROM ranked GROUP BY 1)
+        |SELECT source, n, sx,
+        |  CAST((CAST(six AS HUGEINT) * 2 - CAST(sx AS HUGEINT) * (n + 1))
+        |    * 1000000 // (CAST(n AS HUGEINT) * sx) AS BIGINT) AS gini_e6
+        |FROM a ORDER BY source""".stripMargin,
     "q172_ngram_novelty" ->
       s"""WITH toks AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
