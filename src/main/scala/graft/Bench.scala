@@ -70,13 +70,19 @@ object Bench {
       val times = samples.map(_(i))
       (name, times.min, times)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // a failed query must be visible, not silently counted as a fast run:
+    // its per-query entry is null (error-fast wall times would understate
+    // it) and it contributes nothing to the total, so the total stays
+    // comparable across rounds as the set of passing queries
+    val qs = results.map { case (k, v, _) =>
+      val cell = if (failed.contains(k)) "null" else v.toString
+      s"\"" + k + "\":" + cell
+    }.mkString("{", ",", "}")
     val qsRaw = results.map { case (k, _, ts) =>
       s"\"" + k + "\":" + ts.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    // a failed query must be visible, not silently counted as a fast run
+    val total =
+      results.collect { case (k, v, _) if !failed.contains(k) => v }.sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     // machine-contention telemetry: a contended box (round-2's 91.8s vs a
     // quiet 51.9s on identical code) is self-identifying when the 1-minute
@@ -84,7 +90,8 @@ object Bench {
     val loadAvg = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val hostCpus = Runtime.getRuntime.availableProcessors
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_raw":$qsRaw,"passes":$passes,"failed":$failedJson,"sf":"$sfDir","load_avg":$loadAvg,"host_cpus":$hostCpus}"""
+    val ok = failed.isEmpty
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","ok":$ok,"queries":$qs,"queries_raw":$qsRaw,"passes":$passes,"failed":$failedJson,"sf":"$sfDir","load_avg":$loadAvg,"host_cpus":$hostCpus}"""
     println(line)
     // the driver snapshots stdout through a tail that has truncated the
     // per-query JSON in past rounds (losing q01–q38); the full line also
@@ -95,5 +102,8 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")), line)
     catch { case _: Throwable => () } // file write is best-effort telemetry
     spark.stop()
+    // a bench with failed queries must not read as a clean success to the
+    // harness (round 7's rc=0 masked two real regressions)
+    if (!ok) sys.exit(1)
   }
 }

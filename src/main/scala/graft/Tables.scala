@@ -44,14 +44,31 @@ object Tables {
   }
 
   /** Load one table; column pruning + predicate pushdown reach the parquet
-    * scan because this is a plain lazy `spark.read.parquet`. */
+    * scan because this is a plain lazy `spark.read.parquet`.
+    *
+    * events.ts normalization: the generator has shipped the column as
+    * parquet TIMESTAMP(NANOS) (read as raw Long via nanosAsLong) and as
+    * TIMESTAMP(MICROS) without isAdjustedToUTC (read as TIMESTAMP_NTZ).
+    * Both are normalized to session-TZ TimestampType here so every
+    * downstream operator sees ONE stable type across data drops; under
+    * the pinned UTC session the NTZ→TZ conversion is value-identity. */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     configure(spark)
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" &&
-        df.schema("ts").dataType == org.apache.spark.sql.types.LongType) {
+    if (name == "events") normalizeTs(df) else df
+  }
+
+  /** Normalize an events-shaped frame's `ts` to session-TZ TimestampType,
+    * whatever physical type the generator shipped (raw nanos Long or
+    * TIMESTAMP_NTZ). Public so streaming readers over the same files can
+    * apply the identical rule. */
+  def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case org.apache.spark.sql.types.LongType =>
       df.withColumn("ts", org.apache.spark.sql.functions
         .expr("timestamp_micros(ts div 1000)"))
-    } else df
+    case org.apache.spark.sql.types.TimestampNTZType =>
+      df.withColumn("ts", org.apache.spark.sql.functions
+        .col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    case _ => df
   }
 }

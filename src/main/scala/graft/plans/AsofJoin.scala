@@ -173,10 +173,11 @@ object AsofJoinOps {
     def requireOrderableLong(a: Attribute, role: String): Attribute = {
       a.dataType match {
         case org.apache.spark.sql.types.LongType |
-             org.apache.spark.sql.types.TimestampType => a
+             org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType => a
         case t => throw new IllegalArgumentException(
-          s"asofLeft $role column ${a.name} must be LongType or " +
-            s"TimestampType (8-byte long-ordered); got $t")
+          s"asofLeft $role column ${a.name} must be LongType, " +
+            s"TimestampType or TimestampNTZType (8-byte long-ordered); got $t")
       }
     }
     // A right side sharing exprIds with the left (un-renamed self-join)

@@ -13,7 +13,7 @@ class StreamingSpec extends SparkSuite {
   private val sf = "/root/testdata/sf0.001"
 
   /** events.parquet copied into a dir (file streams read directories), read
-    * as a stream with the same nanos→micros conversion Tables.load does. */
+    * as a stream with the same ts normalization Tables.load does. */
   private lazy val streamDir: String = {
     val dir = Files.createTempDirectory("graft_stream")
     Files.copy(Paths.get(s"$sf/events.parquet"),
@@ -24,8 +24,8 @@ class StreamingSpec extends SparkSuite {
   private def eventsStream: DataFrame = {
     Tables.configure(spark)
     val rawSchema = spark.read.parquet(s"$sf/events.parquet").schema
-    spark.readStream.schema(rawSchema).parquet(streamDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    Tables.normalizeTs(
+      spark.readStream.schema(rawSchema).parquet(streamDir))
   }
 
   private def eventsBatch: DataFrame = Tables.load(spark, sf, "events")
