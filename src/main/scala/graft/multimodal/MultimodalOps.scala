@@ -187,6 +187,41 @@ object MultimodalOps {
     }
   }
 
+  case class SilenceStats(doc_id: Long, n_samples: Long, n_silent: Long,
+      n_runs: Long, longest_run: Long)
+
+  /** Silence-segment detection over REAL decoded PCM — the
+    * voice-activity-style segmentation a speech-data pipeline runs before
+    * chunking audio for training (drop silence, split on pauses). A
+    * sample is silent iff |amplitude| < threshold; consecutive silent
+    * samples form one run. The run-length scan is a single O(n) pass over
+    * each doc's decoded samples inside mapPartitions — payloads never
+    * shuffle, state is three counters — the imperative twin of the SQL
+    * gaps-and-islands formulation the oracle replays. Undecodable
+    * payloads yield the -1 sentinel row. */
+  def silenceStats(media: Dataset[MediaRow], threshold: Int)
+      : Dataset[SilenceStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        WavCodec.decode(r.payload) match {
+          case Some(w) =>
+            var nSil = 0L; var runs = 0L; var longest = 0L; var cur = 0L
+            for (s <- w.samples) {
+              if (math.abs(s.toInt) < threshold) {
+                cur += 1; nSil += 1
+                if (cur == 1L) runs += 1
+                if (cur > longest) longest = cur
+              } else cur = 0L
+            }
+            SilenceStats(r.doc_id, w.samples.length.toLong, nSil, runs,
+              longest)
+          case None => SilenceStats(r.doc_id, -1L, -1L, -1L, -1L)
+        }
+      }
+    }
+  }
+
   /** Frame sampling: how many fixed-stride frames a payload yields. */
   def frameCount(nBytes: Long, stride: Long): Int =
     if (nBytes <= 0) 0 else (((nBytes - 1) / stride) + 1).toInt

@@ -251,8 +251,62 @@ object EventOpsQueries extends QueryPack {
       .orderBy("day")
   }
 
+  /** Gaps-and-islands consecutive-day streak census per user — the
+    * engagement statistic behind "longest run of daily activity" (and, for
+    * a crawl corpus, contributor-continuity auditing). The classic
+    * dayNumber − row_number() grouping key: consecutive days share one
+    * group, any gap starts a new one — computed in a single window pass
+    * over the DISTINCT (user, day) table (which collapses the raw stream
+    * first, so the window sorts O(users·days), not O(events)), then two
+    * cheap aggregations on the same user partitioning. Day numbers are
+    * exact integer day-diffs from a fixed epoch, so the island key is pure
+    * integer arithmetic in both engines. */
+  private def q188(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("dn")
+    val days = ev(s, dir)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+          .cast("long").as("dn"))
+      .distinct()
+    days.withColumn("grp", col("dn") - row_number().over(w))
+      .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+      .groupBy("user_id")
+      .agg(sum("len").cast("long").as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max("len").cast("long").as("longest_streak"))
+      .orderBy("user_id")
+  }
+
+  /** Bitmap-index construction over daily activity: each user's calendar
+    * month as ONE 64-bit mask (bit d set ⇔ active on day-number d), built
+    * by a `bit_or` aggregate — the bitmap-index build step of a columnar
+    * engine, and the O(1)-per-row set representation that makes segment
+    * membership queries (AND/OR of masks) free downstream. One distinct +
+    * one aggregation; the mask IS the compressed posting list, so the
+    * shuffle carries 8 bytes per (user, month-window), not a day list.
+    * Day numbers are clamp-checked into [0, 62] so the shift is always
+    * defined; popcount/min/max ride along as plain integers. */
+  private def q189(s: SparkSession, dir: String): DataFrame = {
+    val days = ev(s, dir)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+          .cast("long").as("dn"))
+      .distinct()
+      .filter(col("dn").between(0, 62))
+    days.groupBy("user_id")
+      .agg(
+        expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(dn AS INT)))")
+          .as("days_mask"),
+        count(lit(1)).as("n_active_days"),
+        min("dn").as("first_dn"), max("dn").as("last_dn"))
+      .withColumn("mask_popcount", bit_count(col("days_mask")).cast("long"))
+      .orderBy("user_id")
+  }
+
   val defs: Map[String, Q] = Map(
     "q182_conversion_survival" -> (q182 _),
+    "q188_streaks" -> (q188 _),
+    "q189_activity_bitmask" -> (q189 _),
     "q62_stratified_sample" -> (q62 _),
     "q63_sessionize" -> (q63 _),
     "q68_salted_join" -> (q68 _),
@@ -337,6 +391,36 @@ object EventOpsQueries extends QueryPack {
   }
 
   val oracle: Map[String, String] = Map(
+    "q188_streaks" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS dn
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, dn,
+        |    dn - row_number() OVER (PARTITION BY user_id ORDER BY dn) AS grp
+        |  FROM days),
+        |runs AS (
+        |  SELECT user_id, grp, count(*) AS len FROM r GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+        |  count(*) AS n_streaks, CAST(max(len) AS BIGINT) AS longest_streak
+        |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q189_activity_bitmask" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS dn
+        |  FROM events),
+        |d AS (SELECT * FROM days WHERE dn BETWEEN 0 AND 62)
+        |SELECT user_id,
+        |  CAST(bit_or(CAST(1 AS BIGINT) << CAST(dn AS INTEGER)) AS BIGINT)
+        |    AS days_mask,
+        |  count(*) AS n_active_days,
+        |  min(dn) AS first_dn, max(dn) AS last_dn,
+        |  CAST(bit_count(bit_or(CAST(1 AS BIGINT) << CAST(dn AS INTEGER)))
+        |    AS BIGINT) AS mask_popcount
+        |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q182_conversion_survival" ->
       """WITH fc AS (
         |  SELECT user_id, min(ts) AS fc FROM events

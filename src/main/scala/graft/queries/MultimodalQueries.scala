@@ -131,11 +131,27 @@ object MultimodalQueries extends QueryPack {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Silence-run segmentation over the REAL audio path
+    * ([[MultimodalOps.silenceStats]]): decode each fixture WAV, scan for
+    * runs of |sample| < 200, report per-doc silent-sample count, run
+    * count and longest run. The oracle replays the waveform formula
+    * through the SQL gaps-and-islands construction (index −
+    * row_number() island keys over the silent samples) — so the Spark
+    * side's imperative one-pass scan and the declarative formulation
+    * must agree run-for-run on every doc. */
+  private def q191(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents").select("doc_id")
+    MultimodalOps.silenceStats(MultimodalOps.wavTable(s, docs), 200)
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, Q] = Map(
     "q60_multimodal_meta" -> (q60 _),
     "q89_bmp_resize" -> (q89 _),
     "q90_wav_stats" -> (q90 _),
-    "q162_image_ahash_pairs" -> (q162 _))
+    "q162_image_ahash_pairs" -> (q162 _),
+    "q191_wav_silence" -> (q191 _))
 
   val oracle: Map[String, String] = Map(
     // img_* columns: the oracle re-derives the container, dimensions, and
@@ -211,6 +227,31 @@ object MultimodalQueries extends QueryPack {
         |SELECT doc_id, CAST(8 AS BIGINT) AS out_w, CAST(6 AS BIGINT) AS out_h,
         |  CAST(sum(v) AS BIGINT) AS pixel_sum
         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // replays the wavSample formula through SQL gaps-and-islands: silent
+    // sample indices minus their per-doc row_number form island keys;
+    // docs with zero silent samples still report via the LEFT JOIN
+    "q191_wav_silence" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 500 + 50 AS n FROM documents),
+        |s AS (
+        |  SELECT doc_id, i,
+        |    abs((doc_id * 7 + 13 * i) % 2003 - 1001) AS a
+        |  FROM d, unnest(generate_series(0, n - 1)) AS t(i)),
+        |sil AS (
+        |  SELECT doc_id, i,
+        |    i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+        |  FROM s WHERE a < 200),
+        |runs AS (
+        |  SELECT doc_id, grp, count(*) AS len FROM sil GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(len) AS BIGINT) AS n_silent,
+        |    count(*) AS n_runs, CAST(max(len) AS BIGINT) AS longest_run
+        |  FROM runs GROUP BY 1)
+        |SELECT d.doc_id, CAST(d.n AS BIGINT) AS n_samples,
+        |  coalesce(n_silent, 0) AS n_silent,
+        |  coalesce(n_runs, 0) AS n_runs,
+        |  coalesce(longest_run, 0) AS longest_run
+        |FROM d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
     // replays wavSample((doc_id*7 + 13*i) % 2003 - 1001) and its
     // every-2nd-sample decimation; ds_rate is the constant 8000/2
     "q90_wav_stats" ->

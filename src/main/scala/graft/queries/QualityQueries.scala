@@ -217,17 +217,48 @@ object QualityQueries extends QueryPack {
     c.unionByName(o).unionByName(l).orderBy("tbl")
   }
 
+  /** l-diversity census — k-anonymity's (q136) necessary complement: a QI
+    * group can be large (k-anonymous) yet still leak if every member
+    * shares one sensitive value, so each (order status, priority, month)
+    * group is audited for the DIVERSITY of its customer population, not
+    * just its size. `l` here is distinct-customer count per group
+    * (distinct l-diversity); groups with l < 3 would let an attacker who
+    * locates a target's group narrow them to <3 candidates. One
+    * two-phase aggregation (distinct on QI+sensitive collapses first, so
+    * the distinct count is a plain count — the exact-distinct shape that
+    * map-side combines); integer-only output. */
+  private def q190(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .select(col("o_orderstatus").as("status"),
+        col("o_orderpriority").as("priority"),
+        month(col("o_orderdate")).cast("long").as("mon"),
+        col("o_custkey"))
+      .groupBy("status", "priority", "mon")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("o_custkey")).as("l_distinct"))
+      .withColumn("diverse", (col("l_distinct") >= 3).cast("long"))
+      .orderBy("status", "priority", "mon")
+
   val defs: Map[String, Q] = Map(
     "q66_quality_report" -> (q66 _),
     "q130_ref_integrity" -> (q130 _),
     "q136_k_anonymity" -> (q136 _),
     "q141_benford" -> (q141 _),
     "q144_avg_e10_exact" -> (q144 _),
-    "q155_forget_cascade" -> (q155 _))
+    "q155_forget_cascade" -> (q155 _),
+    "q190_l_diversity" -> (q190 _))
 
   // one SELECT per check, mirrored shapes; 'license' is a deliberately
   // missing column so the missing-column path is oracle-checked too
   val oracle: Map[String, String] = Map(
+    "q190_l_diversity" ->
+      """SELECT o_orderstatus AS status, o_orderpriority AS priority,
+        |  CAST(month(o_orderdate) AS BIGINT) AS mon,
+        |  count(*) AS n_rows,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS l_distinct,
+        |  CAST(count(DISTINCT o_custkey) >= 3 AS BIGINT) AS diverse
+        |FROM orders
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "q155_forget_cascade" ->
       """WITH del AS (
         |  SELECT c_custkey FROM customer WHERE c_acctbal < 0),
