@@ -112,4 +112,30 @@ class MultimodalSpec extends SparkSuite {
     assert(MultimodalOps.frameCount(16, 16) == 1)
     assert(MultimodalOps.frameCount(17, 16) == 2)
   }
+
+  test("silenceStats: run boundaries, all/none silent, threshold exclusive") {
+    def wav(s: Short*) =
+      MultimodalOps.MediaRow(1L, "wav",
+        WavCodec.encode(WavCodec.Wav(8000, s.toArray)))
+    def stats(t: Int, s: Short*) =
+      MultimodalOps.silenceStats(Seq(wav(s: _*)).toDS(), t).collect().head
+    // runs split on a loud sample; |x| < t is strict (boundary is loud)
+    val r = stats(100, 0, 50, -99, 500, 10, 100, -100, 5)
+    assert(r.n_samples == 8 && r.n_silent == 5 &&
+      r.n_runs == 3 && r.longest_run == 3)
+    // all silent: one run spanning the doc
+    val all = stats(2000, 1, -1, 0)
+    assert(all.n_silent == 3 && all.n_runs == 1 && all.longest_run == 3)
+    // none silent (threshold 0 can never match |x| < 0)
+    val none = stats(0, 0, 1, -1)
+    assert(none.n_silent == 0 && none.n_runs == 0 && none.longest_run == 0)
+  }
+
+  test("silenceStats: undecodable payloads yield sentinel rows, not throws") {
+    val junk = Seq(MultimodalOps.MediaRow(9L, "wav", "not a wav".getBytes))
+      .toDS()
+    val r = MultimodalOps.silenceStats(junk, 100).collect().head
+    assert(r.doc_id == 9L && r.n_samples == -1L && r.n_silent == -1L &&
+      r.n_runs == -1L && r.longest_run == -1L)
+  }
 }
