@@ -260,13 +260,18 @@ object EventOpsQueries extends QueryPack {
     * first, so the window sorts O(users·days), not O(events)), then two
     * cheap aggregations on the same user partitioning. Day numbers are
     * exact integer day-diffs from a fixed epoch, so the island key is pure
-    * integer arithmetic in both engines. */
+    * integer arithmetic in both engines. The explicit user_id repartition
+    * BEFORE the distinct puts the whole query on one exchange: a
+    * user_id-hash partitioning satisfies the distinct's (user, day)
+    * clustering (subset rule), the window's, and both groupBys' — without
+    * it the plan pays a (user, day) exchange AND a user exchange. */
   private def q188(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("dn")
     val days = ev(s, dir)
       .select(col("user_id"),
         datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
           .cast("long").as("dn"))
+      .repartition(col("user_id"))
       .distinct()
     days.withColumn("grp", col("dn") - row_number().over(w))
       .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
@@ -287,10 +292,13 @@ object EventOpsQueries extends QueryPack {
     * Day numbers are clamp-checked into [0, 62] so the shift is always
     * defined; popcount/min/max ride along as plain integers. */
   private def q189(s: SparkSession, dir: String): DataFrame = {
+    // q188's one-exchange discipline: user_id partitioning serves the
+    // distinct (subset rule) and the mask aggregation alike
     val days = ev(s, dir)
       .select(col("user_id"),
         datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
           .cast("long").as("dn"))
+      .repartition(col("user_id"))
       .distinct()
       .filter(col("dn").between(0, 62))
     days.groupBy("user_id")
