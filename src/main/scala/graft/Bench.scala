@@ -40,10 +40,22 @@ object Bench {
           posexplode(graft.operators.Lsh.bandKeysCol(col("v"), planes, 32, 4)))
         .toDF("vec_id", "band", "bkey")
         .groupBy("band", "bkey").count().count()
+      // fixed-point KMeans loop (q118/q149/q150/q161's hot machinery):
+      // first execution pays codegen of the 16-column decimal(38,0) sum
+      // aggregate + broadcast-assign crossJoin — several hundred ms of
+      // one-time JIT that otherwise lands on pass 1 of the first PQ
+      // query and shows up as a 1.5×+ inter-pass spread (round 8's
+      // q149 2.80/4.25 raw readings)
+      locally {
+        val vecs = spark.range(200).selectExpr("id as vid",
+          "transform(sequence(1, 16), i -> cast((id * i) % 13 as double) / 7.0) as v")
+        val (_, asg) = graft.operators.KMeans.fit(
+          vecs, "vid", "v", dim = 16, k = 4, iters = 2)
+        asg.count()
+      }
       try spark.read.parquet(s"$sfDir/region.parquet").count()
       catch { case _: Throwable => () }
     }
-    var failed = List.empty[String]
     // sorted execution order: Map iteration order shifts as queries are
     // added, which moves which query absorbs residual warmup and makes
     // per-query numbers incomparable across rounds.
@@ -57,33 +69,48 @@ object Bench {
     // shorter than a whole pass; both raw readings ride along so a
     // contended pass is still visible in the artifact.
     val passes = 2
+    // SPARK_GRAFT_ONLY=q113_bfs_reach,q149_pq_codes — iterate on a subset
+    // without paying for the full suite; unset (driver runs) = all queries
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    val samples = (1 to passes).map { _ =>
-      ordered.map { case (name, fn) =>
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    // failures tracked per (query, pass), not globally: a query that
+    // throws in only one pass (transient contention, round-8 advice) keeps
+    // the min of its clean samples and still counts toward the total —
+    // only an every-pass failure nulls it out of the comparison.
+    val samples: Seq[Seq[Option[Double]]] = (1 to passes).map { _ =>
+      ordered.map { case (_, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() }
-        catch { case _: Throwable => if (!failed.contains(name)) failed ::= name }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case _: Throwable => None }
       }
     }
     val results = ordered.zipWithIndex.map { case ((name, _), i) =>
       val times = samples.map(_(i))
-      (name, times.min, times)
+      (name, times.flatten, times)
     }
-    // a failed query must be visible, not silently counted as a fast run:
-    // its per-query entry is null (error-fast wall times would understate
-    // it) and it contributes nothing to the total, so the total stays
-    // comparable across rounds as the set of passing queries
-    val qs = results.map { case (k, v, _) =>
-      val cell = if (failed.contains(k)) "null" else v.toString
+    val failed = results.collect { case (k, good, _) if good.isEmpty => k }
+    val flaky = results.collect {
+      case (k, good, all) if good.nonEmpty && good.size < all.size => k }
+    def r6(d: Double): String = BigDecimal(d)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toString
+    // an every-pass-failed query must be visible, not silently counted as
+    // a fast run: its per-query entry is null (error-fast wall times would
+    // understate it) and it contributes nothing to the total, so the total
+    // stays comparable across rounds as the set of passing queries
+    val qs = results.map { case (k, good, _) =>
+      val cell = if (good.isEmpty) "null" else r6(good.min)
       s"\"" + k + "\":" + cell
     }.mkString("{", ",", "}")
     val qsRaw = results.map { case (k, _, ts) =>
-      s"\"" + k + "\":" + ts.mkString("[", ",", "]")
+      s"\"" + k + "\":" +
+        ts.map(_.map(r6).getOrElse("null")).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val total =
-      results.collect { case (k, v, _) if !failed.contains(k) => v }.sum
-    val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.collect {
+      case (_, good, _) if good.nonEmpty => good.min }.sum
+    def names(xs: Seq[String]): String =
+      xs.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     // machine-contention telemetry: a contended box (round-2's 91.8s vs a
     // quiet 51.9s on identical code) is self-identifying when the 1-minute
     // load average rides along with the numbers
@@ -91,16 +118,37 @@ object Bench {
       .getOperatingSystemMXBean.getSystemLoadAverage
     val hostCpus = Runtime.getRuntime.availableProcessors
     val ok = failed.isEmpty
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","ok":$ok,"queries":$qs,"queries_raw":$qsRaw,"passes":$passes,"failed":$failedJson,"sf":"$sfDir","load_avg":$loadAvg,"host_cpus":$hostCpus}"""
-    println(line)
-    // the driver snapshots stdout through a tail that has truncated the
-    // per-query JSON in past rounds (losing q01–q38); the full line also
-    // lands in a file so round-over-round comparisons never depend on
-    // tail length
+    val head = s""""metric":"total","value":$total,"unit":"sec","ok":$ok,"passes":$passes,"failed":${names(failed)},"flaky":${names(flaky)},"sf":"$sfDir","load_avg":$loadAvg,"host_cpus":$hostCpus"""
+    // stdout carries the line WITHOUT queries_raw: the driver snapshots
+    // stdout through a tail that has truncated the per-query JSON in past
+    // rounds (r8's artifact lost q01–q38 and parsed as null) — the
+    // summary-first ~5 KB line fits the capture, and the full raw-pass
+    // detail lands in BENCH_FULL.json so round-over-round comparisons
+    // never depend on tail length
+    println(s"""{$head,"queries":$qs}""")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")), line)
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")),
+      s"""{$head,"queries":$qs,"queries_raw":$qsRaw}""")
     catch { case _: Throwable => () } // file write is best-effort telemetry
+    // plan-shape snapshot (round artifact): PlanAudit over every declared
+    // query — compiled shapes only, no execution — so a plan regression
+    // (new shuffle, lost broadcast, a cartesian) diffs round-over-round
+    // even when wall-times move for data reasons. Best-effort: a plans
+    // failure must not fail the bench.
+    try {
+      val plans = ordered.map { case (name, fn) =>
+        val cell =
+          try {
+            val a = graft.operators.PlanAudit.of(fn(spark, sfDir))
+            s"""{"shuffles":${a.shuffles},"broadcasts":${a.broadcasts},"scans":${a.scans},"cartesians":${a.cartesians},"nested_loop_joins":${a.nestedLoopJoins},"codegen_spans":${a.codegenSpans},"nodes":${a.nodes}}"""
+          } catch { case _: Throwable => "null" }
+        s"\"" + name + "\":" + cell
+      }.mkString("{", ",", "}")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(
+          sys.env.getOrElse("SPARK_GRAFT_PLANS_OUT", "PLANS.json")), plans)
+    } catch { case _: Throwable => () }
     spark.stop()
     // a bench with failed queries must not read as a clean success to the
     // harness (round 7's rc=0 masked two real regressions)

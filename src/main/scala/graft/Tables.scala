@@ -61,8 +61,18 @@ object Tables {
   /** Normalize an events-shaped frame's `ts` to session-TZ TimestampType,
     * whatever physical type the generator shipped (raw nanos Long or
     * TIMESTAMP_NTZ). Public so streaming readers over the same files can
-    * apply the identical rule. */
-  def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    * apply the identical rule.
+    *
+    * The NTZ→TimestampType cast below is value-identity ONLY when the
+    * session TZ is UTC, so this method pins the session confs itself
+    * (configure is idempotent) — a caller that skips [[load]] cannot get
+    * a silent wall-clock shift. */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    configure(df.sparkSession)
+    normalizeTs0(df)
+  }
+
+  private def normalizeTs0(df: DataFrame): DataFrame = df.schema("ts").dataType match {
     case org.apache.spark.sql.types.LongType =>
       df.withColumn("ts", org.apache.spark.sql.functions
         .expr("timestamp_micros(ts div 1000)"))

@@ -187,11 +187,24 @@ object AsofJoinOps {
     require(shared.isEmpty,
       s"asofLeft left/right sides share attributes ${shared.map(_.name).mkString(", ")}; " +
         "rename one side's columns before joining (self-join rule)")
-    val plan = AsofJoin(lp, rp,
-      requireOrderableLong(attr(lp, leftKey), "left key"),
-      requireOrderableLong(attr(rp, rightKey), "right key"),
-      requireOrderableLong(attr(lp, leftTime), "left time"),
-      requireOrderableLong(attr(rp, rightTime), "right time"),
+    val lKey = requireOrderableLong(attr(lp, leftKey), "left key")
+    val rKey = requireOrderableLong(attr(rp, rightKey), "right key")
+    val lTime = requireOrderableLong(attr(lp, leftTime), "left time")
+    val rTime = requireOrderableLong(attr(rp, rightTime), "right time")
+    // The per-column check above admits each 8-byte type independently,
+    // but the raw-long comparison is only meaningful when BOTH sides use
+    // the same encoding: TimestampType holds UTC epoch micros while
+    // TimestampNTZType holds wall-clock micros, so a mixed pair compares
+    // different epochs and silently mis-matches in any non-UTC session.
+    // Require each compared pair to share one exact type.
+    def requireSameType(l: Attribute, r: Attribute, role: String): Unit =
+      require(l.dataType == r.dataType,
+        s"asofLeft $role columns must share one type (raw 8-byte " +
+          s"comparison): left ${l.name}: ${l.dataType} vs " +
+          s"right ${r.name}: ${r.dataType}")
+    requireSameType(lKey, rKey, "key")
+    requireSameType(lTime, rTime, "time")
+    val plan = AsofJoin(lp, rp, lKey, rKey, lTime, rTime,
       requireOrderableLong(attr(rp, rightTieBreak), "right tie-break"))
     org.apache.spark.sql.GraftSqlBridge.ofRows(spark, plan)
   }

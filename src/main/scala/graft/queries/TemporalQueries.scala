@@ -328,6 +328,38 @@ object TemporalQueries extends QueryPack {
     * over two cached tables — not i accumulated rounds for Catalyst to
     * re-optimize (measured: per-round time grew 0.9→1.5→2.2 s under
     * persist(), flat ~0.3 s under checkpoint; see [[q108Stages]]). */
+  /** Diagnostic companion to [[q113]] (round-8 advice): the graph-volume
+    * numbers that separate a DATA drift (edge/seed/frontier growth after a
+    * testdata regen) from a PLAN or BOX drift when q113's wall time moves —
+    * one row per BFS round with the edge count and the frontier size it
+    * joined. Pinned at sf0.001 by GraphStatsSpec; run at any SF when a
+    * bench number needs explaining. (Round-9 baseline, sf0.1 regen'd data:
+    * 25 715 edges / 17 019 nodes / 181 seeds — see ANALYSIS_r09_q113.md.) */
+  private[graft] def q113Stats(s: SparkSession, dir: String): DataFrame = {
+    val (edges, _, _) = q108Stages(s, dir, checkpoint = true)
+    val nEdges = edges.count()
+    val sym = edges.select(col("u"), col("v"))
+      .unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(true)
+    var dist = sym.select(col("u").as("pt")).distinct()
+      .filter(col("pt") % 100 === 0)
+      .withColumn("dist", lit(0L))
+      .localCheckpoint(true)
+    val rows = Seq.newBuilder[(Int, Long, Long)]
+    rows += ((0, nEdges, dist.count()))
+    for (r <- 1 to 3) {
+      val hop = dist.join(sym, col("pt") === col("u"))
+        .select(col("v").as("pt"), (col("dist") + 1L).as("dist"))
+      dist = dist.unionAll(hop)
+        .groupBy("pt").agg(min("dist").as("dist"))
+        .localCheckpoint(true)
+      rows += ((r, nEdges, dist.count()))
+    }
+    val spark = s
+    import spark.implicits._
+    rows.result().toDF("round", "n_edges", "n_reached").orderBy("round")
+  }
+
   private def q113(s: SparkSession, dir: String): DataFrame = {
     val (edges, _, _) = q108Stages(s, dir, checkpoint = true)
     val sym = edges.select(col("u"), col("v"))

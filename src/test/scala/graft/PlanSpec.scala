@@ -241,10 +241,15 @@ class PlanSpec extends SparkSuite {
     * that return a collected census) execute on sf0.001 in milliseconds;
     * everything else only plans. */
   test("no declared query plans a CartesianProduct") {
+    // PlanAudit.of, not plan-string grep: the typed walk also unwraps AQE
+    // wrappers and descends into subquery plans, where a string match on
+    // the top-level tree can miss a product (and is what PLANS.json — the
+    // per-round plan-shape artifact Bench emits — counts, so the CI gate
+    // and the artifact can never disagree).
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
-        val p = fn(spark, sf).queryExecution.executedPlan.toString
-        if (p.contains("CartesianProduct")) Some(name) else None
+        if (operators.PlanAudit.of(fn(spark, sf)).cartesians > 0) Some(name)
+        else None
     }
     assert(offenders.isEmpty, s"cartesian products in: $offenders")
   }
