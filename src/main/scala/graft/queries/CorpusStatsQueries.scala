@@ -184,13 +184,48 @@ object CorpusStatsQueries extends QueryPack {
       .join(top.select(col("source").as("src2"), col("tok")), "tok")
       .filter(col("src1") < col("src2"))
       .groupBy("src1", "src2").agg(count(lit(1)).as("n_common"))
+    // sizes is one row per source (bounded, tiny) — hint it so the
+    // product is a broadcast NLJ even under a conservative planner
     sizes.select(col("source").as("src1"), col("n").as("n_a"))
-      .crossJoin(sizes.select(col("source").as("src2"), col("n").as("n_b")))
+      .crossJoin(broadcast(
+        sizes.select(col("source").as("src2"), col("n").as("n_b"))))
       .filter(col("src1") < col("src2"))
       .join(common, Seq("src1", "src2"), "left")
       .select(col("src1"), col("src2"), col("n_a"), col("n_b"),
         coalesce(col("n_common"), lit(0L)).as("n_common"))
       .orderBy("src1", "src2")
+  }
+
+  /** Per-source vocabulary census — type-token ratio and hapax-legomenon
+    * share, the vocabulary-growth diagnostics (Heaps'-law inputs) a corpus
+    * mixer reads next to q138's overlap matrix: a source whose hapax share
+    * collapses is template-generated; one whose type-token ratio spikes is
+    * noise/OCR damage. Two keyed shuffles — (source, tok) term counts,
+    * then the ~20-row source rollup — tokens never leave the first
+    * exchange as anything wider than the pair; ratios are exact e6
+    * fixed-point on the [[Rounding.intDivExact]] path (hapax·1e6 clears
+    * 2^53 only past ~9e9 singleton terms per source — real at 100 TB,
+    * handled by the decimal widening). */
+  private def q195(s: SparkSession, dir: String): DataFrame = {
+    import Rounding.intDivExact
+    val tf = docs(s, dir)
+      .select(col("source"),
+        explode(TextAnalysis.tokensCol(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+    tf.groupBy("source")
+      .agg(sum("c").cast("long").as("n_tokens"),
+        count(lit(1)).as("vocab_size"),
+        sum((col("c") === 1).cast("long")).cast("long").as("hapax"))
+      .withColumn("type_token_e6",
+        intDivExact(
+          col("vocab_size").cast("decimal(19,0)") * lit(1000000L),
+          col("n_tokens")))
+      .withColumn("hapax_share_e6",
+        intDivExact(
+          col("hapax").cast("decimal(19,0)") * lit(1000000L),
+          col("vocab_size")))
+      .orderBy("source")
   }
 
   /** Distinct-4-gram compression ratio per document — the deduplication-
@@ -278,9 +313,31 @@ object CorpusStatsQueries extends QueryPack {
     "q116_winsorize" -> (q116 _),
     "q117_interval_overlap" -> (q117 _),
     "q121_chunk_overlap" -> (q121 _),
-    "q138_vocab_overlap" -> (q138 _))
+    "q138_vocab_overlap" -> (q138 _),
+    "q195_vocab_census" -> (q195 _))
 
   val oracle: Map[String, String] = Map(
+    "q195_vocab_census" -> {
+      import Rounding.intDivExactSql
+      s"""WITH raw AS (
+        |  SELECT source,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT source, tok, count(*) AS c FROM raw
+        |  WHERE tok <> '' GROUP BY 1, 2)
+        |SELECT source,
+        |  CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  count(*) AS vocab_size,
+        |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+        |  ${intDivExactSql(
+             "CAST(count(*) AS HUGEINT) * 1000000", "sum(c)")}
+        |    AS type_token_e6,
+        |  ${intDivExactSql(
+             "CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS HUGEINT) " +
+               "* 1000000", "count(*)")}
+        |    AS hapax_share_e6
+        |FROM tf GROUP BY source ORDER BY source""".stripMargin
+    },
     "q186_dyadic_histogram" -> {
       val cases = (0 until 20).map(b =>
         s"WHEN n_chars >= ${1L << b} AND n_chars < ${1L << (b + 1)} THEN $b")

@@ -360,6 +360,57 @@ object DedupQueries extends QueryPack {
       .orderBy("source")
   }
 
+  /** Cross-document long-substring overlap (RefinedWeb/C4-style ≥k-token
+    * shared span detection) WITHOUT a suffix array: positional 8-token
+    * shingles meet on their hash (a keyed equi-join — candidate fan-out is
+    * bounded by the df ≤ 100 gate, q41's discipline), and a run of
+    * consecutive matching shingles along one (doc_a, doc_b, pa−pb)
+    * diagonal IS a shared substring: r consecutive width-8 shingles ⇔ one
+    * r+7-token overlap, so run-length grouping (gaps-and-islands:
+    * pa − row_number per diagonal) recovers every maximal shared span
+    * exactly — no pair enumerates more than its true matching positions,
+    * and nothing ever compares document texts directly. Shingle identity
+    * crosses the shuffle as an xxhash64 long (8 bytes, not an 8-word
+    * string); the oracle states the same algebra on the gram strings. Scale
+    * posture: shuffles are keyed on gram hash then (doc_a, doc_b, diag) —
+    * both fine-grained keys that spread under a 1000-executor shuffle; the
+    * df gate caps per-shingle join fan-out the way boilerplate headers
+    * would otherwise explode it at 100 TB. Reported per pair: the longest
+    * overlap ≥ 12 tokens and how many distinct maximal runs clear that
+    * bar. */
+  private def q192(s: SparkSession, dir: String): DataFrame = {
+    val K = 8         // shingle width (tokens)
+    val MaxDf = 100   // corpus-frequency gate on shingle occurrences
+    val MinOverlap = 12L // report runs spanning at least this many tokens
+    val sh = docs(s, dir)
+      .select(col("doc_id"), tokensCol(col("text")).as("toks"))
+      .filter(size(col("toks")) >= K)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(1), size(col("toks")) - lit(K - 1)),
+          i => xxhash64(slice(col("toks"), i, lit(K))))))
+      .toDF("doc_id", "pos", "g")
+    val keep = sh.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxDf).select("g")
+    val gf = sh.join(keep, "g")
+    val m = gf.select(col("doc_id").as("doc_a"), col("pos").as("pa"),
+        col("g"))
+      .join(gf.select(col("doc_id").as("doc_b"), col("pos").as("pb"),
+        col("g")), "g")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("pa"),
+        (col("pa") - col("pb")).as("diag"))
+    val w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    val runs = m.withColumn("isl", col("pa") - row_number().over(w))
+      .groupBy("doc_a", "doc_b", "diag", "isl")
+      .agg((count(lit(1)) + lit(K - 1L)).as("overlap_tokens"))
+    runs.filter(col("overlap_tokens") >= MinOverlap)
+      .groupBy("doc_a", "doc_b")
+      .agg(max("overlap_tokens").as("max_overlap_tokens"),
+        count(lit(1)).as("n_overlaps"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Incremental (cross-batch) dedup — the nightly-crawl case: a NEW
     * batch (doc_id ≥ 250 stands in for it) screens against the EXISTING
     * corpus without re-deduping old-vs-old. Exact: fingerprint left-semi
@@ -427,6 +478,7 @@ object DedupQueries extends QueryPack {
     "q40_dedup_exact" -> (q40 _),
     "q147_span_dedup_census" -> (q147 _),
     "q151_incremental_dedup" -> (q151 _),
+    "q192_substring_overlap" -> (q192 _),
     "q156_split_leakage" -> (q156 _),
     "q41_dedup_jaccard" -> (q41 _),
     "q42_dedup_minhash" -> (q42 _),
@@ -536,6 +588,41 @@ object DedupQueries extends QueryPack {
        |  WHERE floor((inter / (sa.sz + sb.sz - inter)) * 10000.0 + 0.5) / 10000.0 >= 0.1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // positional-shingle run detection stated on the gram STRINGS (the
+    // engine's xxhash64 keys never surface); DuckDB's 1-based positions
+    // shift pa, pb, diag and isl by constants, which run-length grouping
+    // is invariant to
+    "q192_substring_overlap" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |idx AS (
+        |  SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+        |  FROM toks WHERE len(t) >= 8),
+        |sh AS (
+        |  SELECT doc_id, i AS pos, array_to_string(t[i:i+7], ' ') AS g
+        |  FROM idx),
+        |keep AS (SELECT g FROM sh GROUP BY g HAVING count(*) <= 100),
+        |gf AS (SELECT s.doc_id, s.pos, s.g FROM sh s JOIN keep USING (g)),
+        |m AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa,
+        |    a.pos - b.pos AS diag
+        |  FROM gf a JOIN gf b ON a.g = b.g AND a.doc_id < b.doc_id),
+        |mi AS (
+        |  SELECT doc_a, doc_b, diag, pa,
+        |    pa - row_number()
+        |      OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS isl
+        |  FROM m),
+        |runs AS (
+        |  SELECT doc_a, doc_b, diag, isl,
+        |    count(*) + 7 AS overlap_tokens
+        |  FROM mi GROUP BY 1, 2, 3, 4)
+        |SELECT doc_a, doc_b,
+        |  CAST(max(overlap_tokens) AS BIGINT) AS max_overlap_tokens,
+        |  count(*) AS n_overlaps
+        |FROM runs WHERE overlap_tokens >= 12
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // span identity stated on the gram STRINGS (the engine shuffles
     // xxhash64 keys — invisible to the result, as in q41)
     "q147_span_dedup_census" -> {

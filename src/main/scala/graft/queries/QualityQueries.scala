@@ -239,8 +239,38 @@ object QualityQueries extends QueryPack {
       .withColumn("diverse", (col("l_distinct") >= 3).cast("long"))
       .orderBy("status", "priority", "mon")
 
+  /** Encoding-damage census per source — the UTF-8 hygiene gate
+    * ([[graft.functions.EncodingDamage]]: stray control characters,
+    * U+FFFD decoder tombstones, Latin-1-decoded-UTF-8 mojibake bigrams)
+    * run as one map-side regex-count pass + one 20-row rollup. The Spark
+    * side and the DuckDB oracle execute the IDENTICAL pattern text
+    * (common Java-regex/RE2 syntax, interpolated from one constant), so
+    * the check proves the pattern semantics, not just the plumbing; this
+    * synthetic corpus is clean ASCII, so every count is a pinned zero
+    * here and EncodingDamageSpec drives the damaged-fixture paths. At
+    * 100 TB: a pure projection over the scan (regexp_count is a codegen'd
+    * expression) feeding a tiny keyed aggregate — no shuffle carries
+    * document text. */
+  private def q193(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.EncodingDamage._
+    Tables.load(s, dir, "documents")
+      .select(col("source"),
+        ctrlCount(col("text")).cast("long").as("ctrl"),
+        replacementCount(col("text")).cast("long").as("repl"),
+        mojibakeCount(col("text")).cast("long").as("moji"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("ctrl").as("n_ctrl_chars"),
+        sum("repl").as("n_replacement_chars"),
+        sum("moji").as("n_mojibake_seqs"),
+        sum(((col("ctrl") + col("repl") + col("moji")) > 0).cast("long"))
+          .as("n_damaged_docs"))
+      .orderBy("source")
+  }
+
   val defs: Map[String, Q] = Map(
     "q66_quality_report" -> (q66 _),
+    "q193_encoding_damage" -> (q193 _),
     "q130_ref_integrity" -> (q130 _),
     "q136_k_anonymity" -> (q136 _),
     "q141_benford" -> (q141 _),
@@ -251,6 +281,22 @@ object QualityQueries extends QueryPack {
   // one SELECT per check, mirrored shapes; 'license' is a deliberately
   // missing column so the missing-column path is oracle-checked too
   val oracle: Map[String, String] = Map(
+    "q193_encoding_damage" -> {
+      import graft.functions.EncodingDamage._
+      s"""WITH per AS (
+         |  SELECT source,
+         |    len(regexp_extract_all(text, '$CtrlPattern')) AS ctrl,
+         |    len(regexp_extract_all(text, '$ReplacementPattern')) AS repl,
+         |    len(regexp_extract_all(text, '$MojibakePattern')) AS moji
+         |  FROM documents)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(ctrl) AS BIGINT) AS n_ctrl_chars,
+         |  CAST(sum(repl) AS BIGINT) AS n_replacement_chars,
+         |  CAST(sum(moji) AS BIGINT) AS n_mojibake_seqs,
+         |  CAST(sum(CASE WHEN ctrl + repl + moji > 0 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_damaged_docs
+         |FROM per GROUP BY source ORDER BY source""".stripMargin
+    },
     "q190_l_diversity" ->
       """SELECT o_orderstatus AS status, o_orderpriority AS priority,
         |  CAST(month(o_orderdate) AS BIGINT) AS mon,

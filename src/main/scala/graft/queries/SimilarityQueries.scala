@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryPack, Tables}
 import graft.operators.{Ivf, Lsh}
@@ -281,8 +281,56 @@ object SimilarityQueries extends QueryPack {
       .orderBy("q_id", "adc_rank")
   }
 
+  /** Hybrid retrieval via reciprocal-rank fusion — the standard two-arm
+    * RAG retrieval stack as ONE query: the lexical arm ranks documents by
+    * the q129 BM25 score (shared scoring core, [[TextQueries.bm25e6]]);
+    * the vector arm ranks by 4-decimal-rounded cosine against a fixed
+    * query embedding (vec_id 0, the q50 machinery); each arm keeps its
+    * top-100; fusion is RRF with the standard k=60, made engine-exact as
+    * integer division (1e6 div (60 + rank) per present arm — no float
+    * reciprocals to ulp-diverge). Absent-arm ranks surface as 0 so the
+    * output is audit-friendly. Scale shape: each arm ends in an
+    * orderBy+limit — a bounded TakeOrdered heap, NOT a global-sort
+    * window (the rank window then runs over ≤ 100 rows by construction);
+    * the fusion join is a keyed full-outer on doc_id over two ≤ 100-row
+    * tables. At 100 TB only the arms' scans grow; the fusion stays
+    * constant-size. */
+  private def q194(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Rounding.roundf
+    val K = 100
+    def top(df: DataFrame, score: Column, rankName: String): DataFrame =
+      df.orderBy(score.desc, col("doc_id")).limit(K)
+        .withColumn(rankName,
+          row_number().over(Window.orderBy(score.desc, col("doc_id")))
+            .cast("long"))
+        .select(col("doc_id"), col(rankName))
+    val lex = top(
+      TextQueries.bm25e6(s, dir).filter(col("bm25_e6") > 0),
+      col("bm25_e6"), "rank_lex")
+    val e = emb(s, dir)
+    val qv = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val vec = top(
+      e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id").as("doc_id"),
+          roundf(graft.expressions.CosineSimilarity.sim(
+            col("v"), col("qv")), 4).as("cos")),
+      col("cos"), "rank_vec")
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("rank_lex"), lit(0L)).as("rank_lex"),
+        coalesce(col("rank_vec"), lit(0L)).as("rank_vec"),
+        (coalesce(expr("1000000L div (60L + rank_lex)"), lit(0L)) +
+          coalesce(expr("1000000L div (60L + rank_vec)"), lit(0L)))
+          .as("rrf_e6"))
+      .orderBy(col("rrf_e6").desc, col("doc_id"))
+      .limit(50)
+  }
+
   val defs: Map[String, Q] = Map(
     "q50_knn_cosine" -> (q50 _),
+    "q194_hybrid_rrf" -> (q194 _),
     "q51_knn_lsh" -> (q51 _),
     "q56_knn_ivf" -> (q56 _),
     "q91_sq8_quantize" -> (q91 _),
@@ -295,6 +343,36 @@ object SimilarityQueries extends QueryPack {
     s"floor(($e) * 10000.0 + 0.5) / 10000.0"
 
   val oracle: Map[String, String] = Map(
+    // same two arms, same integer-division RRF; QUALIFY is the oracle's
+    // spelling of the engine side's bounded TakeOrdered top-100
+    "q194_hybrid_rrf" ->
+      s"""WITH ${TextQueries.bm25Ctes},
+        |lex AS (
+        |  SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY bm25_e6 DESC, doc_id)
+        |      AS BIGINT) AS rank_lex
+        |  FROM bm25 WHERE bm25_e6 > 0
+        |  QUALIFY rank_lex <= 100),
+        |e AS (SELECT vec_id,
+        |  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |qv AS (SELECT v AS qvec FROM e WHERE vec_id = 0),
+        |vec0 AS (
+        |  SELECT e.vec_id AS doc_id,
+        |    ${rnd("list_cosine_similarity(e.v, qv.qvec)")} AS cos
+        |  FROM e, qv WHERE e.vec_id <> 0),
+        |vec AS (
+        |  SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY cos DESC, doc_id)
+        |      AS BIGINT) AS rank_vec
+        |  FROM vec0 QUALIFY rank_vec <= 100)
+        |SELECT doc_id,
+        |  coalesce(rank_lex, 0) AS rank_lex,
+        |  coalesce(rank_vec, 0) AS rank_vec,
+        |  CAST(coalesce(1000000 // (60 + rank_lex), 0) +
+        |       coalesce(1000000 // (60 + rank_vec), 0) AS BIGINT)
+        |    AS rrf_e6
+        |FROM lex FULL OUTER JOIN vec USING (doc_id)
+        |ORDER BY rrf_e6 DESC, doc_id LIMIT 50""".stripMargin,
     "q50_knn_cosine" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),

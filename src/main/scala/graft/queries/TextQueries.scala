@@ -132,7 +132,13 @@ object TextQueries extends QueryPack {
     * query shape must close. Shuffles on (doc_id, tok) then doc_id; the
     * one-row corpus stats broadcast. At 100 TB the term filter prunes the
     * explode to |query terms| rows per doc before any exchange. */
-  private def q129(s: SparkSession, dir: String): DataFrame = {
+  private def q129(s: SparkSession, dir: String): DataFrame =
+    bm25e6(s, dir).orderBy("doc_id")
+
+  /** The q129 scoring core as a reusable arm — (doc_id, bm25_e6) for the
+    * fixed 3-term query, unordered; q194's hybrid fusion ranks it against
+    * the vector arm. */
+  private[queries] def bm25e6(s: SparkSession, dir: String): DataFrame = {
     val terms = Seq("hash", "join", "spark")
     val toks = docs(s, dir)
       .select(col("doc_id"), explode(tokensCol(col("text"))).as("tok"))
@@ -163,7 +169,6 @@ object TextQueries extends QueryPack {
         // q73/q74 driver-environment lesson)
         floor((col("s1") + col("s2") + col("s3")) * lit(1000000.0) +
           lit(0.5)).cast("long").as("bm25_e6"))
-      .orderBy("doc_id")
   }
 
   val defs: Map[String, Q] = Map(
@@ -266,36 +271,46 @@ object TextQueries extends QueryPack {
     // Identical arithmetic structure to the Spark side (idf rational form,
     // fixed-order s1+s2+s3 sum) — see q129's scaladoc.
     "q129_bm25" ->
-      """WITH raw AS (
-        |  SELECT doc_id,
-        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
-        |  FROM documents),
-        |toks AS (SELECT doc_id, tok FROM raw WHERE tok <> ''),
-        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
-        |stats AS (SELECT count(*) AS n_docs,
-        |  CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
-        |  FROM dl),
-        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
-        |  WHERE tok IN ('hash', 'join', 'spark') GROUP BY 1, 2),
-        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
-        |scored AS (
-        |  SELECT tf.doc_id, tf.tok,
-        |    (((CAST(n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5) /
-        |       (CAST(df.df AS DOUBLE) + 0.5)) *
-        |     (CAST(tf.tf AS DOUBLE) * 2.2)) /
-        |    (CAST(tf.tf AS DOUBLE) +
-        |     (1.2 * (0.25 + ((0.75 * CAST(dl.dl AS DOUBLE)) / avgdl))))
-        |      AS score
-        |  FROM tf JOIN df USING (tok) JOIN dl USING (doc_id)
-        |  CROSS JOIN stats),
-        |p AS (
-        |  SELECT doc_id,
-        |    coalesce(max(CASE WHEN tok = 'hash' THEN score END), 0.0) AS s1,
-        |    coalesce(max(CASE WHEN tok = 'join' THEN score END), 0.0) AS s2,
-        |    coalesce(max(CASE WHEN tok = 'spark' THEN score END), 0.0) AS s3
-        |  FROM scored GROUP BY doc_id)
-        |SELECT doc_id,
-        |  CAST(floor((s1 + s2 + s3) * 1000000.0 + 0.5) AS BIGINT)
-        |    AS bm25_e6
-        |FROM p ORDER BY doc_id""".stripMargin)
+      s"""WITH $bm25Ctes
+        |SELECT doc_id, bm25_e6 FROM bm25 ORDER BY doc_id""".stripMargin)
+
+  /** Oracle CTE chain ending in `bm25(doc_id, bm25_e6)` — the DuckDB twin
+    * of [[bm25e6]], shared by q129 and q194's lexical fusion arm (no
+    * leading WITH). A `def`, not a `val`: the `oracle` map above
+    * interpolates it during object init, and a later-declared val would
+    * still be null at that point. */
+  private[queries] def bm25Ctes: String =
+    """raw AS (
+      |  SELECT doc_id,
+      |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+      |  FROM documents),
+      |toks AS (SELECT doc_id, tok FROM raw WHERE tok <> ''),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+      |stats AS (SELECT count(*) AS n_docs,
+      |  CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+      |  FROM dl),
+      |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+      |  WHERE tok IN ('hash', 'join', 'spark') GROUP BY 1, 2),
+      |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.tok,
+      |    (((CAST(n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5) /
+      |       (CAST(df.df AS DOUBLE) + 0.5)) *
+      |     (CAST(tf.tf AS DOUBLE) * 2.2)) /
+      |    (CAST(tf.tf AS DOUBLE) +
+      |     (1.2 * (0.25 + ((0.75 * CAST(dl.dl AS DOUBLE)) / avgdl))))
+      |      AS score
+      |  FROM tf JOIN df USING (tok) JOIN dl USING (doc_id)
+      |  CROSS JOIN stats),
+      |p AS (
+      |  SELECT doc_id,
+      |    coalesce(max(CASE WHEN tok = 'hash' THEN score END), 0.0) AS s1,
+      |    coalesce(max(CASE WHEN tok = 'join' THEN score END), 0.0) AS s2,
+      |    coalesce(max(CASE WHEN tok = 'spark' THEN score END), 0.0) AS s3
+      |  FROM scored GROUP BY doc_id),
+      |bm25 AS (
+      |  SELECT doc_id,
+      |    CAST(floor((s1 + s2 + s3) * 1000000.0 + 0.5) AS BIGINT)
+      |      AS bm25_e6
+      |  FROM p)""".stripMargin
 }
