@@ -366,7 +366,34 @@ object CurationQueries extends QueryPack {
       .orderBy("source")
   }
 
+  /** CCNet-style per-source quality terciles — the calibration move that
+    * makes a quality gate FAIR across sources: a global threshold would
+    * keep whole high-scoring sources and drop whole low-scoring ones,
+    * so CCNet buckets each source's documents into head/middle/tail by
+    * quality WITHIN the source and lets the mixer choose per-bucket
+    * rates. Score is the q31 composite (stopword/alpha/length), rounded
+    * to the e4 grid BEFORE ranking (cross-engine float safety: a raw
+    * double orderBy could ulp-flip a rank; the grid + doc_id tie-break
+    * cannot); ntile(3) over (score desc, doc_id) within each source;
+    * the census emits per-(source, bucket) counts and score bounds. One
+    * window shuffle on source, one 60-row rollup — the per-source
+    * partition is exactly the key a 1000-executor window spreads on. */
+  private def q196(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        floor(TextAnalysis.qualityScore(col("text")) * lit(10000.0) +
+          lit(0.5)).cast("long").as("q_e4"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("q_e4").desc, col("doc_id"))
+    scored.withColumn("bucket", ntile(3).over(w).cast("long"))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min("q_e4").as("min_q_e4"), max("q_e4").as("max_q_e4"))
+      .orderBy("source", "bucket")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q196_ccnet_buckets" -> (q196 _),
     "q148_domain_cap" -> (q148 _),
     "q159_boilerplate_prefix" -> (q159 _),
     "q79_bigram_counts" -> (q79 _),
@@ -441,6 +468,31 @@ object CurationQueries extends QueryPack {
   }
 
   val oracle: Map[String, String] = Map(
+    // same q31 composite-quality arithmetic (proven engine-identical by
+    // q31's own oracle), same e4 grid + doc_id tie-break, same ntile
+    "q196_ccnet_buckets" ->
+      """WITH f AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|to|and|in|is|it)\b')) AS DOUBLE) AS stops,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS toks,
+        |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS alpha,
+        |    CAST(length(text) AS DOUBLE) AS chars
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, source,
+        |    CAST(floor((0.4 * (stops / greatest(toks, 1)) +
+        |                0.3 * (alpha / greatest(chars, 1)) +
+        |                0.3 * least(1.0, toks / 100.0)) * 10000.0 + 0.5)
+        |      AS BIGINT) AS q_e4
+        |  FROM f),
+        |b AS (
+        |  SELECT source, q_e4,
+        |    CAST(ntile(3) OVER (PARTITION BY source
+        |      ORDER BY q_e4 DESC, doc_id) AS BIGINT) AS bucket
+        |  FROM q)
+        |SELECT source, bucket, count(*) AS n_docs,
+        |  min(q_e4) AS min_q_e4, max(q_e4) AS max_q_e4
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q159_boilerplate_prefix" -> {
       import graft.functions.Rounding.intDivExactSql
       s"""WITH p AS (

@@ -411,6 +411,46 @@ object DedupQueries extends QueryPack {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** MinHash-LSH calibration audit — per q42 candidate pair, the
+    * ESTIMATED similarity (fraction of agreeing minhashes) next to the
+    * EXACT 3-gram Jaccard over the same shingle space, plus the signed
+    * error, all on the e4 integer grid. This is the audit a team runs
+    * before trusting banding parameters at scale: the error distribution
+    * says whether K=16 signatures are enough for the corpus' similarity
+    * regime, and a systematic bias says the band/row split is wrong —
+    * measured on the candidates the index itself emits, so the audit
+    * costs one bounded pass, never an all-pairs scan. Exact-side shape:
+    * the intersection join expands candidate pairs against per-doc gram
+    * sets keyed on (doc id, xxhash64(gram)) — gram text never crosses
+    * the exchange (q41's discipline), and fan-out is bounded by the LSH
+    * candidate count × document shingle count. */
+  private def q197(s: SparkSession, dir: String): DataFrame = {
+    val cand = q42(s, dir)
+    val g = shingleDf(s, dir, 3)
+      .select(col("doc_id"), xxhash64(col("gram")).as("g"))
+    val sz = g.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = cand.select("doc_a", "doc_b")
+      .join(g.select(col("doc_id").as("doc_a"), col("g")), "doc_a")
+      .join(g.select(col("doc_id").as("doc_b"), col("g")),
+        Seq("doc_b", "g"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    cand
+      .join(sz.select(col("doc_id").as("doc_a"), col("sz").as("sa")),
+        "doc_a")
+      .join(sz.select(col("doc_id").as("doc_b"), col("sz").as("sb")),
+        "doc_b")
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .withColumn("i", coalesce(col("inter"), lit(0L)))
+      .select(col("doc_a"), col("doc_b"),
+        floor(col("est_sim") * lit(10000.0) + lit(0.5)).cast("long")
+          .as("est_e4"),
+        floor((col("i").cast("double") /
+          (col("sa") + col("sb") - col("i")).cast("double")) *
+          lit(10000.0) + lit(0.5)).cast("long").as("jacc_e4"))
+      .withColumn("err_e4", col("est_e4") - col("jacc_e4"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Incremental (cross-batch) dedup — the nightly-crawl case: a NEW
     * batch (doc_id ≥ 250 stands in for it) screens against the EXISTING
     * corpus without re-deduping old-vs-old. Exact: fingerprint left-semi
@@ -479,6 +519,7 @@ object DedupQueries extends QueryPack {
     "q147_span_dedup_census" -> (q147 _),
     "q151_incremental_dedup" -> (q151 _),
     "q192_substring_overlap" -> (q192 _),
+    "q197_lsh_calibration" -> (q197 _),
     "q156_split_leakage" -> (q156 _),
     "q41_dedup_jaccard" -> (q41 _),
     "q42_dedup_minhash" -> (q42 _),
@@ -501,7 +542,10 @@ object DedupQueries extends QueryPack {
        |grams AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+${n - 1}], ' ') AS gram
        |          FROM idx)""".stripMargin
 
-  private val minhashSql: String = {
+  /** Oracle CTE chain ending in `cand(doc_a, doc_b, est_sim)` — the
+    * MinHash+LSH candidate pairs, shared by q42 and q197's calibration
+    * audit (no leading WITH; a def for object-init-order safety). */
+  private def minhashCtes: String = {
     val mins = (0 until K).map(k => s"min((ha + $k * hb) % $P) AS h$k")
       .mkString(", ")
     val hs = (0 until K).map(k => s"h$k").mkString(", ")
@@ -512,7 +556,7 @@ object DedupQueries extends QueryPack {
     }.mkString("\n  UNION ALL\n  ")
     val eqs = (0 until K).map(k => s"CAST(a.h$k = b.h$k AS INT)")
       .mkString(" + ")
-    s"""WITH ${gramsSql(3)},
+    s"""${gramsSql(3)},
        |hashed AS (
        |  SELECT doc_id,
        |    ${Hashing.md5U32Sql("gram")} AS ha,
@@ -525,9 +569,12 @@ object DedupQueries extends QueryPack {
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |    floor((($eqs) / ${K.toDouble}) * 10000.0 + 0.5) / 10000.0 AS est_sim
        |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
-       |SELECT doc_a, doc_b, est_sim FROM cand ORDER BY doc_a, doc_b""".stripMargin
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
   }
+
+  private def minhashSql: String =
+    s"""WITH $minhashCtes
+       |SELECT doc_a, doc_b, est_sim FROM cand ORDER BY doc_a, doc_b""".stripMargin
 
   /** Shared CTE chain ending in `sh(doc_id, simhash_bits)` — the oracle
     * twin of [[simhashBits]], used by both q43 and q176. */
@@ -710,6 +757,31 @@ object DedupQueries extends QueryPack {
          |  min(comp) = id AS is_canonical
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     "q42_dedup_minhash" -> minhashSql,
+    // candidates + exact Jaccard stated on gram TEXT; the engine keys the
+    // same sets on xxhash64 (invisible to the result, as in q41)
+    "q197_lsh_calibration" ->
+      s"""WITH $minhashCtes,
+        |sz AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+        |i AS (
+        |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+        |  FROM cand c
+        |  JOIN grams ga ON ga.doc_id = c.doc_a
+        |  JOIN grams gb ON gb.doc_id = c.doc_b AND gb.gram = ga.gram
+        |  GROUP BY 1, 2)
+        |SELECT c.doc_a, c.doc_b,
+        |  CAST(floor(c.est_sim * 10000.0 + 0.5) AS BIGINT) AS est_e4,
+        |  CAST(floor((CAST(coalesce(i.inter, 0) AS DOUBLE) /
+        |    (sa.sz + sb.sz - coalesce(i.inter, 0))) * 10000.0 + 0.5)
+        |    AS BIGINT) AS jacc_e4,
+        |  CAST(floor(c.est_sim * 10000.0 + 0.5) -
+        |    floor((CAST(coalesce(i.inter, 0) AS DOUBLE) /
+        |      (sa.sz + sb.sz - coalesce(i.inter, 0))) * 10000.0 + 0.5)
+        |    AS BIGINT) AS err_e4
+        |FROM cand c
+        |JOIN sz sa ON c.doc_a = sa.doc_id
+        |JOIN sz sb ON c.doc_b = sb.doc_id
+        |LEFT JOIN i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+        |ORDER BY c.doc_a, c.doc_b""".stripMargin,
     "q43_dedup_simhash" -> simhashSql,
     "q176_simhash_pairs" -> simhashPairsSql,
     "q177_sorted_neighbors" ->
