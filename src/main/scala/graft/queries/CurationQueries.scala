@@ -392,8 +392,60 @@ object CurationQueries extends QueryPack {
       .orderBy("source", "bucket")
   }
 
+  /** Quality-gate threshold sweep — the tuning table read before setting
+    * any keep/drop cutoff: for each source and each candidate threshold
+    * on the e4 quality grid (0, 1000, …, 10000), how many documents
+    * survive and what share that is (exact e6). One scan: the 11-row
+    * threshold grid broadcasts into a crossJoin (bounded — the q50/q118
+    * scalar-table pattern), the census is one keyed aggregation on
+    * (source, threshold). Read next to q196: the buckets say WHERE the
+    * mass sits, the sweep says what each cutoff would DO. */
+  private def q199(s: SparkSession, dir: String): DataFrame = {
+    import Rounding.intDivExact
+    val scored = Tables.load(s, dir, "documents")
+      .select(col("source"),
+        floor(TextAnalysis.qualityScore(col("text")) * lit(10000.0) +
+          lit(0.5)).cast("long").as("q_e4"))
+    val grid = s.range(0, 11).select((col("id") * 1000L).as("thresh_e4"))
+    scored.crossJoin(broadcast(grid))
+      .groupBy("source", "thresh_e4")
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("q_e4") >= col("thresh_e4")).cast("long")).cast("long")
+          .as("n_kept"))
+      .withColumn("keep_share_e6",
+        intDivExact(
+          col("n_kept").cast("decimal(19,0)") * lit(1000000L),
+          col("n_docs")))
+      .orderBy("source", "thresh_e4")
+  }
+
+  /** Deterministic corpus shuffle + shard assignment — the training-order
+    * stage between curation and the sharded writer: every document gets a
+    * pseudorandom but REPRODUCIBLE position (md5(doc_id) uniform key,
+    * doc_id tie-break — a total order) and a shard id (64 docs per
+    * shard), so any two runs — and any reader resuming mid-epoch —
+    * agree on example order exactly. Position comes from
+    * [[graft.operators.GlobalRank]] (range-repartition + broadcast
+    * prefix offsets), NEVER `row_number() OVER (ORDER BY …)` whose
+    * single-partition window is dead at corpus scale; the oracle states
+    * the same order with the window form it can afford at oracle scale. */
+  private def q200(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.intDiv
+    val keyed = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.Hashing.md5Uniform(col("doc_id").cast("string"))
+          .as("u"))
+    graft.operators.GlobalRank
+      .withRank(keyed, "pos", col("u").asc, col("doc_id").asc)
+      .select(col("doc_id"), col("pos"),
+        intDiv(col("pos") - lit(1L), lit(64L)).as("shard"))
+      .orderBy("pos")
+  }
+
   val defs: Map[String, Q] = Map(
     "q196_ccnet_buckets" -> (q196 _),
+    "q199_quality_sweep" -> (q199 _),
+    "q200_corpus_shuffle" -> (q200 _),
     "q148_domain_cap" -> (q148 _),
     "q159_boilerplate_prefix" -> (q159 _),
     "q79_bigram_counts" -> (q79 _),
@@ -467,24 +519,30 @@ object CurationQueries extends QueryPack {
       .orderBy("source", "doc_id")
   }
 
+  /** Oracle CTE chain ending in `q(doc_id, source, q_e4)` — the q31
+    * composite quality on the e4 grid (proven engine-identical by q31's
+    * own oracle), shared by q196 and q199 (no leading WITH; a def for
+    * object-init-order safety). */
+  private def qualityCtes: String =
+    """f AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|to|and|in|is|it)\b')) AS DOUBLE) AS stops,
+      |    CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS toks,
+      |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS alpha,
+      |    CAST(length(text) AS DOUBLE) AS chars
+      |  FROM documents),
+      |q AS (
+      |  SELECT doc_id, source,
+      |    CAST(floor((0.4 * (stops / greatest(toks, 1)) +
+      |                0.3 * (alpha / greatest(chars, 1)) +
+      |                0.3 * least(1.0, toks / 100.0)) * 10000.0 + 0.5)
+      |      AS BIGINT) AS q_e4
+      |  FROM f)""".stripMargin
+
   val oracle: Map[String, String] = Map(
-    // same q31 composite-quality arithmetic (proven engine-identical by
-    // q31's own oracle), same e4 grid + doc_id tie-break, same ntile
+    // same quality arithmetic, same e4 grid + doc_id tie-break, same ntile
     "q196_ccnet_buckets" ->
-      """WITH f AS (
-        |  SELECT doc_id, source,
-        |    CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|to|and|in|is|it)\b')) AS DOUBLE) AS stops,
-        |    CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS toks,
-        |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS alpha,
-        |    CAST(length(text) AS DOUBLE) AS chars
-        |  FROM documents),
-        |q AS (
-        |  SELECT doc_id, source,
-        |    CAST(floor((0.4 * (stops / greatest(toks, 1)) +
-        |                0.3 * (alpha / greatest(chars, 1)) +
-        |                0.3 * least(1.0, toks / 100.0)) * 10000.0 + 0.5)
-        |      AS BIGINT) AS q_e4
-        |  FROM f),
+      s"""WITH $qualityCtes,
         |b AS (
         |  SELECT source, q_e4,
         |    CAST(ntile(3) OVER (PARTITION BY source
@@ -493,6 +551,33 @@ object CurationQueries extends QueryPack {
         |SELECT source, bucket, count(*) AS n_docs,
         |  min(q_e4) AS min_q_e4, max(q_e4) AS max_q_e4
         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q200_corpus_shuffle" -> {
+      val u = graft.functions.Hashing
+        .md5UniformSql("CAST(doc_id AS VARCHAR)")
+      s"""WITH k AS (SELECT doc_id, $u AS u FROM documents),
+        |r AS (
+        |  SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY u, doc_id) AS BIGINT) AS pos
+        |  FROM k)
+        |SELECT doc_id, pos,
+        |  CAST((pos - 1) // 64 AS BIGINT) AS shard
+        |FROM r ORDER BY pos""".stripMargin
+    },
+    "q199_quality_sweep" -> {
+      import Rounding.intDivExactSql
+      s"""WITH $qualityCtes,
+        |g AS (SELECT CAST(unnest(generate_series(0, 10)) * 1000 AS BIGINT)
+        |        AS thresh_e4)
+        |SELECT source, thresh_e4, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN q_e4 >= thresh_e4 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_kept,
+        |  ${intDivExactSql(
+           "CAST(sum(CASE WHEN q_e4 >= thresh_e4 THEN 1 ELSE 0 END) " +
+             "AS HUGEINT) * 1000000", "count(*)")}
+        |    AS keep_share_e6
+        |FROM q CROSS JOIN g
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
     "q159_boilerplate_prefix" -> {
       import graft.functions.Rounding.intDivExactSql
       s"""WITH p AS (

@@ -485,6 +485,36 @@ object DedupQueries extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** Leakage-FREE split assignment — the constructive fix for what q156
+    * audits: assign train/val/test by hashing the near-dup CLUSTER id
+    * (q67's connected components), not the document id, so an entire
+    * near-dup family lands in one split BY CONSTRUCTION and the q156
+    * straddle census over the same pair graph returns zero leak rows —
+    * which is exactly what this query emits and the oracle proves
+    * (same schema as q156 for direct comparison; only (x, x) buckets can
+    * appear). This is sklearn's GroupShuffleSplit generalized to groups
+    * the data itself discovers. Cost beyond q67: one hash projection and
+    * the q156-shaped census joins — all keyed on doc/cluster ids. */
+  private def q198(s: SparkSession, dir: String): DataFrame = {
+    val cl = q67(s, dir).select(col("doc_id"), col("cluster_id"))
+    val u = Hashing.md5Uniform(col("cluster_id").cast("string"))
+    val sp = cl.select(col("doc_id"),
+      when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test")
+        .as("split"))
+    jaccardPairs(s, dir)
+      .join(sp.select(col("doc_id").as("doc_a"), col("split").as("sa")),
+        "doc_a")
+      .join(sp.select(col("doc_id").as("doc_b"), col("split").as("sb")),
+        "doc_b")
+      .select(least(col("sa"), col("sb")).as("split_lo"),
+        greatest(col("sa"), col("sb")).as("split_hi"))
+      .groupBy("split_lo", "split_hi")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("is_leak",
+        (col("split_lo") =!= col("split_hi")).cast("long"))
+      .orderBy("split_lo", "split_hi")
+  }
+
   /** Train/val/test split-leakage census: after the q99 deterministic
     * split assignment, how many NEAR-DUP pairs straddle split
     * boundaries? A near-twin of a training doc sitting in the eval split
@@ -520,6 +550,7 @@ object DedupQueries extends QueryPack {
     "q151_incremental_dedup" -> (q151 _),
     "q192_substring_overlap" -> (q192 _),
     "q197_lsh_calibration" -> (q197 _),
+    "q198_groupwise_split" -> (q198 _),
     "q156_split_leakage" -> (q156 _),
     "q41_dedup_jaccard" -> (q41 _),
     "q42_dedup_minhash" -> (q42 _),
@@ -718,6 +749,38 @@ object DedupQueries extends QueryPack {
          |JOIN sp a ON jp.doc_a = a.doc_id
          |JOIN sp b ON jp.doc_b = b.doc_id
          |WHERE jaccard >= 0.3
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+    // q67's recursive-CC clusters, split by CLUSTER hash, then the q156
+    // census over the same jp edge set — only same-split buckets can
+    // exist, and the hash-match proves it
+    "q198_groupwise_split" -> {
+      val u = graft.functions.Hashing
+        .md5UniformSql("CAST(cluster_id AS VARCHAR)")
+      s"""WITH RECURSIVE $jaccardCtes,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+         |          UNION ALL
+         |          SELECT doc_b AS src, doc_a AS dst FROM jp),
+         |reach(id, comp) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+         |cl AS (SELECT id AS doc_id, min(comp) AS cluster_id
+         |       FROM reach GROUP BY id),
+         |sp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN $u < 0.8 THEN 'train'
+         |         WHEN $u < 0.9 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM cl)
+         |SELECT least(a.split, b.split) AS split_lo,
+         |  greatest(a.split, b.split) AS split_hi,
+         |  count(*) AS n_pairs,
+         |  CAST(least(a.split, b.split) <> greatest(a.split, b.split)
+         |    AS BIGINT) AS is_leak
+         |FROM jp
+         |JOIN sp a ON jp.doc_a = a.doc_id
+         |JOIN sp b ON jp.doc_b = b.doc_id
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     },
     "q151_incremental_dedup" ->
