@@ -144,8 +144,44 @@ object GraphQueries extends QueryPack {
       .limit(100)
   }
 
+  /** Synchronous label-propagation communities (3 rounds) over the
+    * co-order graph — the community-detection face of the iterative-join
+    * family (q67's CC answers "connected at all?", this answers "densely
+    * connected with WHOM?"): every node starts as its own label; each
+    * round it adopts the most frequent label among its NEIGHBORS,
+    * ties to the smallest label — the argmax is one
+    * `min(struct(-count, label))` so the whole update is two keyed
+    * exchanges per round (edge⋈label on the neighbor id, then the
+    * per-node mode), O(edges) like q97's PageRank rounds, with the same
+    * per-round localCheckpoint lineage truncation. Synchronous + min
+    * tie-break makes the fixed-round result a pure function of the
+    * graph, so the oracle can state the identical three rounds as
+    * chained CTEs (QUALIFY row_number = the same argmax). */
+  private def q201(s: SparkSession, dir: String): DataFrame = {
+    val (edges, _, _) = TemporalQueries.q108Stages(s, dir,
+      checkpoint = true)
+    val sym = edges.select(col("u"), col("v"))
+      .unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(true)
+    var labels = sym.select(col("u").as("n")).distinct()
+      .withColumn("lbl", col("n"))
+      .localCheckpoint(true)
+    for (_ <- 1 to 3) {
+      val cnt = sym
+        .join(labels.select(col("n").as("v"), col("lbl")), "v")
+        .groupBy("u", "lbl").agg(count(lit(1)).as("c"))
+      labels = cnt.groupBy("u")
+        .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l"))).as("m"))
+        .select(col("u").as("n"), col("m.l").as("lbl"))
+        .localCheckpoint(true)
+    }
+    labels.select(col("n").as("node"), col("lbl").as("community"))
+      .orderBy("node")
+  }
+
   val defs: Map[String, Q] = Map(
     "q97_pagerank" -> (q97 _),
+    "q201_label_prop" -> (q201 _),
     "q119_assortativity" -> (q119 _),
     "q134_kcore" -> (q134 _),
     "q140_clustering_coeff" -> (q140 _),
@@ -190,6 +226,36 @@ object GraphQueries extends QueryPack {
   }
 
   val oracle: Map[String, String] = Map(
+    "q201_label_prop" -> {
+      // three unrolled synchronous rounds; the QUALIFY argmax
+      // (c DESC, lbl ASC) is the engine side's min(struct(-c, lbl))
+      val rounds = (1 to 3).map { r =>
+        s"""c$r AS (
+           |  SELECT s.u, l.lbl, count(*) AS c
+           |  FROM sym s JOIN l${r - 1} l ON l.n = s.v
+           |  GROUP BY 1, 2),
+           |l$r AS (
+           |  SELECT u AS n, lbl FROM c$r
+           |  QUALIFY row_number()
+           |    OVER (PARTITION BY u ORDER BY c DESC, lbl) = 1)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH op AS (
+         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS pt FROM lineitem
+         |  WHERE year(l_shipdate) = 1995),
+         |capped AS (
+         |  SELECT o FROM op GROUP BY o HAVING count(*) <= 40),
+         |pairs AS (SELECT op.o, op.pt FROM op JOIN capped USING (o)),
+         |edges AS (
+         |  SELECT DISTINCT a.pt AS u, b.pt AS v
+         |  FROM pairs a JOIN pairs b ON a.o = b.o AND a.pt < b.pt),
+         |sym AS (
+         |  SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+         |l0 AS (SELECT DISTINCT u AS n, u AS lbl FROM sym),
+         |$rounds
+         |SELECT n AS node, CAST(lbl AS BIGINT) AS community
+         |FROM l3 ORDER BY node""".stripMargin
+    },
     "q97_pagerank" -> {
       // one damped round: contributions ⌊r/outdeg⌋ along edges, exact
       // integer sum per destination, rank' = ⌊3T/20N⌋ + ⌊17·S/20⌋

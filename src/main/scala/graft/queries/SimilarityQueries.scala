@@ -328,9 +328,41 @@ object SimilarityQueries extends QueryPack {
       .limit(50)
   }
 
+  /** Embedding pre-flight audit — the degenerate-vector census run
+    * before building ANY of the ANN indexes in this file: all-zero
+    * vectors (cosine undefined — they silently score 0 or NaN into every
+    * ranking), non-finite components (one NaN poisons a whole distance
+    * computation), and exact byte-duplicate vectors (inflate every
+    * neighborhood and make recall metrics lie). One pass: per-vector
+    * flags are codegen'd array lambdas (forall/exists — no explode), the
+    * duplicate flag is a count over a window PARTITIONED BY the vector
+    * itself (exact array equality, one shuffle on the vector hash), and
+    * the census rolls up per label. Flags, not drops: the downstream
+    * decision (zero-fill? drop? dedup?) belongs to the caller. */
+  private def q202(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("embedding")
+    Tables.load(s, dir, "embeddings")
+      .withColumn("dup_c", count(lit(1)).over(w))
+      .select(col("label").cast("long").as("label"),
+        forall(col("embedding"), x => x === lit(0.0f)).cast("long")
+          .as("zero_norm"),
+        exists(col("embedding"), x =>
+          isnan(x) || abs(x.cast("double")) === lit(Double.PositiveInfinity))
+          .cast("long").as("nonfinite"),
+        (col("dup_c") > 1).cast("long").as("dup"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum("zero_norm").as("n_zero_norm"),
+        sum("nonfinite").as("n_nonfinite"),
+        sum("dup").as("n_dup_vecs"))
+      .orderBy("label")
+  }
+
   val defs: Map[String, Q] = Map(
     "q50_knn_cosine" -> (q50 _),
     "q194_hybrid_rrf" -> (q194 _),
+    "q202_embedding_audit" -> (q202 _),
     "q51_knn_lsh" -> (q51 _),
     "q56_knn_ivf" -> (q56 _),
     "q91_sq8_quantize" -> (q91 _),
@@ -343,6 +375,21 @@ object SimilarityQueries extends QueryPack {
     s"floor(($e) * 10000.0 + 0.5) / 10000.0"
 
   val oracle: Map[String, String] = Map(
+    "q202_embedding_audit" ->
+      """WITH per AS (
+        |  SELECT CAST(label AS BIGINT) AS label,
+        |    CAST(len(list_filter(embedding, x -> x <> 0)) = 0 AS BIGINT)
+        |      AS zero_norm,
+        |    CAST(len(list_filter(embedding,
+        |      x -> isnan(x) OR isinf(x))) > 0 AS BIGINT) AS nonfinite,
+        |    CAST(count(*) OVER (PARTITION BY embedding) > 1 AS BIGINT)
+        |      AS dup
+        |  FROM embeddings)
+        |SELECT label, count(*) AS n_vecs,
+        |  CAST(sum(zero_norm) AS BIGINT) AS n_zero_norm,
+        |  CAST(sum(nonfinite) AS BIGINT) AS n_nonfinite,
+        |  CAST(sum(dup) AS BIGINT) AS n_dup_vecs
+        |FROM per GROUP BY label ORDER BY label""".stripMargin,
     // same two arms, same integer-division RRF; QUALIFY is the oracle's
     // spelling of the engine side's bounded TakeOrdered top-100
     "q194_hybrid_rrf" ->
