@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryPack, Tables}
-import graft.functions.Rounding.{cents, roundf, sumExact}
+import graft.functions.Rounding.{cents, roundf, sumCents, sumExact}
 
 /** Classic multi-join analytical shapes (TPC-H Q7/Q8/Q2 style) over the
   * testdata star schema — the join-heavy breadth the reference itself never
@@ -647,7 +647,128 @@ object TpchQueries extends QueryPack {
       .orderBy(col("value_e4").desc, col("l_partkey"))
   }
 
+  /** Q9-style product-type profit: for 'red' parts, per supplier nation
+    * and order year, profit = line revenue − (unit retail cost × qty) —
+    * the schema has no partsupp, so p_retailprice stands in for
+    * ps_supplycost (same join/agg shape, different cost column). Both
+    * profit terms live on the SAME 10⁻⁴ fixed-point grid (cents × cents),
+    * so the subtraction and the exact decimal sum never touch a float
+    * until the final display division. Shape: lineitem⋈orders is the one
+    * fact-fact shuffle (order key); part/supplier/nation broadcast. */
+  private def q203(s: SparkSession, dir: String): DataFrame = {
+    val parts = t(s, dir, "part")
+      .filter(col("p_name").contains("red"))
+      .select(col("p_partkey"), cents(col("p_retailprice")).as("cost_c"))
+    val sup = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+    val nat = t(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_name").as("nation"))
+    val ord = t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        vol4.as("vol"), cents(col("l_quantity")).as("qty_c"))
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("nation"), col("o_year"),
+        (col("vol") - col("cost_c") * col("qty_c")).as("profit4"))
+      .groupBy("nation", "o_year")
+      .agg(roundf(sumExact(col("profit4")) / 10000.0, 2).as("profit"))
+      .orderBy("nation", "o_year")
+  }
+
+  /** Q13-style customer order-count distribution: orders per customer
+    * (non-urgent only, standing in for Q13's comment exclusion), ZEROS
+    * INCLUDED via the left join from customer — the distribution's most
+    * telling bucket is the customers with no orders at all — then the
+    * histogram of those counts. Two aggregations, one fact shuffle on
+    * the customer key. */
+  private def q204(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select("o_custkey")
+    t(s, dir, "customer").select(col("c_custkey"))
+      .join(ord, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_custkey")).as("c_count"))
+      .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** Q15-style top supplier: max total revenue over 1995-Q1 shipments,
+    * ties kept (Q15's VIEW + max subquery, as a self-agg + broadcast
+    * scalar compare). Revenue stays an exact 10⁻⁴ int64 through the max
+    * and the equality — the float appears only in the display column, so
+    * the winner set cannot ulp-flip. */
+  private def q205(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= "1995-01-01" &&
+        col("l_shipdate") < "1995-04-01")
+      .groupBy(col("l_suppkey"))
+      .agg(sumCents(vol4).as("rev4"))
+    val mx = rev.agg(max("rev4").as("mx"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("rev4") === col("mx"))
+      .join(broadcast(t(s, dir, "supplier").select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        roundf(col("rev4").cast("double") / 10000.0, 2)
+          .as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** Q17-style small-quantity-order revenue: among Brand#17 parts, the
+    * yearly revenue locked in orders below 20% of the part's average
+    * quantity. The 0.2·avg comparison is DE-FLOATED by cross-multiplying
+    * to integers — qty·n·10 < 2·Σqty (all exact cents/counts) — because
+    * the float form puts rows exactly ON the threshold at the mercy of
+    * each engine's division rounding. One extra keyed join against the
+    * per-part stats; the part filter broadcasts. */
+  private def q206(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_partkey"), cents(col("l_quantity")).as("qc"),
+        cents(col("l_extendedprice")).as("pc"))
+      .join(broadcast(t(s, dir, "part")
+        .filter(col("p_brand") === "Brand#17").select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+    val stats = li.groupBy(col("l_partkey").as("pk"))
+      .agg(sumCents(col("qc")).as("sq"), count(lit(1)).as("n"))
+    li.join(stats, col("l_partkey") === col("pk"))
+      .filter(col("qc") * col("n") * lit(10L) < col("sq") * lit(2L))
+      .agg(roundf(sumExact(col("pc")) / 100.0 / 7.0, 2).as("avg_yearly"))
+  }
+
+  /** Q20-style dominant suppliers (the schema has no partsupp, so
+    * "excess stock" becomes its observable twin): suppliers who shipped
+    * MORE THAN HALF of a part's total 1995 volume, with the count of
+    * parts they dominate. The majority test is the exact integer
+    * 2·Σqty(part,supp) > Σqty(part); both aggregates shuffle on the part
+    * key and join back on it — co-partitioned, one exchange each. */
+  private def q207(s: SparkSession, dir: String): DataFrame = {
+    val li95 = t(s, dir, "lineitem")
+      .filter(year(col("l_shipdate")) === 1995)
+      .select(col("l_partkey"), col("l_suppkey"),
+        cents(col("l_quantity")).as("qc"))
+    val ps = li95.groupBy("l_partkey", "l_suppkey")
+      .agg(sumCents(col("qc")).as("sq_ps"))
+    val p = li95.groupBy("l_partkey").agg(sumCents(col("qc")).as("sq_p"))
+    ps.join(p, "l_partkey")
+      .filter(col("sq_ps") * lit(2L) > col("sq_p"))
+      .groupBy("l_suppkey").agg(count(lit(1)).as("n_dominated_parts"))
+      .join(broadcast(t(s, dir, "supplier").select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_dominated_parts"))
+      .orderBy("s_suppkey")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q203_product_profit" -> (q203 _),
+    "q204_order_count_dist" -> (q204 _),
+    "q205_top_supplier" -> (q205 _),
+    "q206_small_qty_revenue" -> (q206 _),
+    "q207_dominant_supplier" -> (q207 _),
     "q180_filtered_revenue" -> (q180 _),
     "q181_important_stock" -> (q181 _),
     "q178_skyline" -> (q178 _),
@@ -671,7 +792,87 @@ object TpchQueries extends QueryPack {
     "q169_last_to_ship" -> (q169 _),
     "q170_dormant_balances" -> (q170 _))
 
+  /** `vol4`'s oracle spelling (10⁻⁴ fixed-point line volume). */
+  private def volSql: String =
+    "CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) * " +
+      "CAST(floor((1 - l_discount) * 100.0 + 0.5) AS BIGINT)"
+
   val oracle: Map[String, String] = Map(
+    "q203_product_profit" ->
+      s"""SELECT n.n_name AS nation,
+        |  CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  floor((CAST(sum(CAST($volSql
+        |    - CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT) *
+        |      CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)
+        |    AS DECIMAL(38,0))) AS DOUBLE) / 10000.0) * 100.0 + 0.5) / 100.0
+        |    AS profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n ON s_nationkey = n.n_nationkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q204_order_count_dist" ->
+      """WITH oc AS (
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority <> '1-URGENT'),
+        |c AS (
+        |  SELECT c_custkey, count(o_custkey) AS c_count
+        |  FROM customer LEFT JOIN oc ON c_custkey = o_custkey
+        |  GROUP BY 1)
+        |SELECT c_count, count(*) AS custdist
+        |FROM c GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q205_top_supplier" -> {
+      import graft.functions.Rounding.sumCentsSql
+      s"""WITH rev AS (
+        |  SELECT l_suppkey, ${sumCentsSql(volSql)} AS rev4
+        |  FROM lineitem
+        |  WHERE l_shipdate >= '1995-01-01' AND l_shipdate < '1995-04-01'
+        |  GROUP BY 1),
+        |mx AS (SELECT max(rev4) AS mx FROM rev)
+        |SELECT r.l_suppkey AS s_suppkey, s.s_name,
+        |  floor((CAST(r.rev4 AS DOUBLE) / 10000.0) * 100.0 + 0.5) / 100.0
+        |    AS total_revenue
+        |FROM rev r CROSS JOIN mx
+        |JOIN supplier s ON r.l_suppkey = s.s_suppkey
+        |WHERE r.rev4 = mx.mx
+        |ORDER BY s_suppkey""".stripMargin
+    },
+    "q206_small_qty_revenue" -> {
+      import graft.functions.Rounding.sumCentsSql
+      s"""WITH li AS (
+        |  SELECT l_partkey,
+        |    CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS qc,
+        |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS pc
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#17'),
+        |st AS (
+        |  SELECT l_partkey AS pk, ${sumCentsSql("qc")} AS sq,
+        |    count(*) AS n
+        |  FROM li GROUP BY 1)
+        |SELECT floor((CAST(sum(pc) AS DOUBLE) / 100.0 / 7.0) * 100.0 + 0.5)
+        |  / 100.0 AS avg_yearly
+        |FROM li JOIN st ON li.l_partkey = st.pk
+        |WHERE qc * n * 10 < sq * 2""".stripMargin
+    },
+    "q207_dominant_supplier" -> {
+      import graft.functions.Rounding.sumCentsSql
+      s"""WITH li AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS qc
+        |  FROM lineitem WHERE year(l_shipdate) = 1995),
+        |ps AS (
+        |  SELECT l_partkey, l_suppkey, ${sumCentsSql("qc")} AS sq_ps
+        |  FROM li GROUP BY 1, 2),
+        |p AS (
+        |  SELECT l_partkey, ${sumCentsSql("qc")} AS sq_p
+        |  FROM li GROUP BY 1)
+        |SELECT ps.l_suppkey AS s_suppkey, s.s_name,
+        |  count(*) AS n_dominated_parts
+        |FROM ps JOIN p ON ps.l_partkey = p.l_partkey
+        |JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+        |WHERE ps.sq_ps * 2 > p.sq_p
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+    },
     "q145_local_supplier_volume" ->
       """SELECT n_name AS nation,
         |  CAST(sum(CAST(
