@@ -228,6 +228,49 @@ object CorpusStatsQueries extends QueryPack {
       .orderBy("source")
   }
 
+  /** Collocation mining — top-50 adjacent token pairs by pointwise
+    * mutual information, LOG-FREE: PMI's log is monotone, so ranking by
+    * the raw association ratio n_ab·N / (n_a·n_b) orders identically,
+    * and that ratio is an exact e6 integer on the intDivExact path — no
+    * transcendental for engines to disagree on. The n_ab ≥ 5 support
+    * gate is the standard collocation floor (and bounds the ranked set).
+    * Shape: bigram and unigram counts are two keyed aggregations; the
+    * unigram joins are KEYED on the token (at 100 TB the vocabulary is
+    * not broadcastable — only the 1-row total is); top-50 is a bounded
+    * TakeOrdered on the total order (ratio, pair). */
+  private def q209(s: SparkSession, dir: String): DataFrame = {
+    import Rounding.intDivExact
+    val toks = docs(s, dir)
+      .select(TextAnalysis.tokensCol(col("text")).as("t"))
+    val pairs = toks.filter(size(col("t")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), size(col("t")) - 1),
+        i => struct(element_at(col("t"), i).as("tok_a"),
+          element_at(col("t"), i + 1).as("tok_b")))).as("p"))
+      .select(col("p.tok_a"), col("p.tok_b"))
+    val bi = pairs.groupBy("tok_a", "tok_b")
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 5)
+    val uni = docs(s, dir)
+      .select(explode(TextAnalysis.tokensCol(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val tot = uni.agg(sum("c").cast("long").as("n_total"))
+    bi.join(uni.select(col("tok").as("tok_a"), col("c").as("n_a")),
+        "tok_a")
+      .join(uni.select(col("tok").as("tok_b"), col("c").as("n_b")),
+        "tok_b")
+      .crossJoin(broadcast(tot))
+      .withColumn("pmi_e6",
+        intDivExact(
+          col("n_ab").cast("decimal(38,0)") * col("n_total") *
+            lit(1000000L),
+          col("n_a").cast("decimal(38,0)") * col("n_b")))
+      .select(col("tok_a"), col("tok_b"), col("n_ab"), col("pmi_e6"))
+      .orderBy(col("pmi_e6").desc, col("tok_a"), col("tok_b"))
+      .limit(50)
+  }
+
   /** Distinct-4-gram compression ratio per document — the deduplication-
     * within-document quality signal (a near-1 ratio means novel prose; a
     * low ratio means boilerplate/repetition — the complement of q86's
@@ -314,9 +357,37 @@ object CorpusStatsQueries extends QueryPack {
     "q117_interval_overlap" -> (q117 _),
     "q121_chunk_overlap" -> (q121 _),
     "q138_vocab_overlap" -> (q138 _),
-    "q195_vocab_census" -> (q195 _))
+    "q195_vocab_census" -> (q195 _),
+    "q209_collocations" -> (q209 _))
 
   val oracle: Map[String, String] = Map(
+    "q209_collocations" -> {
+      import Rounding.intDivExactSql
+      s"""WITH toks AS (
+        |  SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+        |  FROM documents),
+        |p AS (
+        |  SELECT t[i] AS tok_a, t[i + 1] AS tok_b
+        |  FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
+        |  WHERE len(t) >= 2),
+        |bi AS (
+        |  SELECT tok_a, tok_b, count(*) AS n_ab FROM p
+        |  GROUP BY 1, 2 HAVING count(*) >= 5),
+        |uni AS (
+        |  SELECT tok, count(*) AS c
+        |  FROM (SELECT unnest(t) AS tok FROM toks)
+        |  WHERE tok <> '' GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM uni)
+        |SELECT bi.tok_a, bi.tok_b, bi.n_ab,
+        |  ${intDivExactSql(
+           "CAST(bi.n_ab AS HUGEINT) * n_total * 1000000",
+           "CAST(ua.c AS HUGEINT) * ub.c")} AS pmi_e6
+        |FROM bi
+        |JOIN uni ua ON bi.tok_a = ua.tok
+        |JOIN uni ub ON bi.tok_b = ub.tok
+        |CROSS JOIN tot
+        |ORDER BY pmi_e6 DESC, tok_a, tok_b LIMIT 50""".stripMargin
+    },
     "q195_vocab_census" -> {
       import Rounding.intDivExactSql
       s"""WITH raw AS (

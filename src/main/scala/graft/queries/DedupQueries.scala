@@ -493,15 +493,22 @@ object DedupQueries extends QueryPack {
     * which is exactly what this query emits and the oracle proves
     * (same schema as q156 for direct comparison; only (x, x) buckets can
     * appear). This is sklearn's GroupShuffleSplit generalized to groups
-    * the data itself discovers. Cost beyond q67: one hash projection and
-    * the q156-shaped census joins — all keyed on doc/cluster ids. */
+    * the data itself discovers. The pair graph is mined ONCE and
+    * materialized (eager localCheckpoint): the CC closure and the census
+    * both read the same cached edge table — recomputing the shingle
+    * pipeline per consumer measured 1.5× the whole query's cost. */
   private def q198(s: SparkSession, dir: String): DataFrame = {
-    val cl = q67(s, dir).select(col("doc_id"), col("cluster_id"))
+    val edges = jaccardPairs(s, dir).select("doc_a", "doc_b")
+      .localCheckpoint(true)
+    val cl = graft.operators.ConnectedComponents
+      .components(docs(s, dir).select("doc_id"), edges,
+        "doc_id", "doc_a", "doc_b")
+      .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
     val u = Hashing.md5Uniform(col("cluster_id").cast("string"))
     val sp = cl.select(col("doc_id"),
       when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test")
         .as("split"))
-    jaccardPairs(s, dir)
+    edges
       .join(sp.select(col("doc_id").as("doc_a"), col("split").as("sa")),
         "doc_a")
       .join(sp.select(col("doc_id").as("doc_b"), col("split").as("sb")),

@@ -311,7 +311,37 @@ object EventOpsQueries extends QueryPack {
       .orderBy("user_id")
   }
 
+  /** Watermark-delay calibration — the batch census that answers the ONE
+    * question every Structured Streaming job in streaming/StreamingOps
+    * must answer before choosing `withWatermark`: how out-of-order is
+    * this stream actually? Arrival order is event_id (the generator's
+    * ingestion sequence); per type, an event's lateness is the running
+    * max event-time over everything that arrived before it minus its own
+    * event-time (exact integer µs — a late event has lateness > 0).
+    * Emitted per type: volume, late share, the max, and exceedance
+    * counts at the 1-minute and 5-minute candidate delays — pick the
+    * watermark as the smallest candidate whose exceedance you can afford
+    * to drop. One window shuffle on event_type + a 5-row rollup. */
+  private def q208(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev(s, dir)
+      .select(col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("late_us", max("us").over(w) - col("us"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum((col("late_us") > 0L).cast("long")).cast("long").as("n_late"),
+        max("late_us").as("max_late_us"),
+        sum((col("late_us") > 60000000L).cast("long")).cast("long")
+          .as("n_late_1m"),
+        sum((col("late_us") > 300000000L).cast("long")).cast("long")
+          .as("n_late_5m"))
+      .orderBy("event_type")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q208_lateness_calibration" -> (q208 _),
     "q182_conversion_survival" -> (q182 _),
     "q188_streaks" -> (q188 _),
     "q189_activity_bitmask" -> (q189 _),
@@ -399,6 +429,24 @@ object EventOpsQueries extends QueryPack {
   }
 
   val oracle: Map[String, String] = Map(
+    "q208_lateness_calibration" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id, epoch_us(ts) AS us FROM events),
+        |l AS (
+        |  SELECT event_type,
+        |    max(us) OVER (PARTITION BY event_type ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - us
+        |      AS late_us
+        |  FROM e)
+        |SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_late,
+        |  CAST(max(late_us) AS BIGINT) AS max_late_us,
+        |  CAST(sum(CASE WHEN late_us > 60000000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_late_1m,
+        |  CAST(sum(CASE WHEN late_us > 300000000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_late_5m
+        |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q188_streaks" ->
       """WITH days AS (
         |  SELECT DISTINCT user_id,
