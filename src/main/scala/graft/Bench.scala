@@ -52,6 +52,15 @@ object Bench {
         val (_, asg) = graft.operators.KMeans.fit(
           vecs, "vid", "v", dim = 16, k = 4, iters = 2)
         asg.count()
+        // the dim=64 shape is a DIFFERENT codegen unit (the centroid agg
+        // has one decimal(38,0) sum column per dimension, so its generated
+        // class is dim-specific): unwarmed, the first 64-dim consumer ate
+        // the JIT — q118's round-9 pass-1 read 17.2s vs 2.1s on pass 2
+        val vecs64 = spark.range(100).selectExpr("id as vid",
+          "transform(sequence(1, 64), i -> cast((id * i) % 13 as double) / 7.0) as v")
+        val (_, asg64) = graft.operators.KMeans.fit(
+          vecs64, "vid", "v", dim = 64, k = 4, iters = 1)
+        asg64.count()
       }
       try spark.read.parquet(s"$sfDir/region.parquet").count()
       catch { case _: Throwable => () }
@@ -79,15 +88,32 @@ object Bench {
     // throws in only one pass (transient contention, round-8 advice) keeps
     // the min of its clean samples and still counts toward the total —
     // only an every-pass failure nulls it out of the comparison.
-    val samples: Seq[Seq[Option[Double]]] = (1 to passes).map { _ =>
-      ordered.map { case (_, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-        catch { case _: Throwable => None }
-      }
+    def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Option[Double] = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+      catch { case _: Throwable => None }
     }
+    val samples: Seq[Seq[Option[Double]]] = (1 to passes).map { _ =>
+      ordered.map { case (_, fn) => timeOne(fn) }
+    }
+    // adaptive re-sampling (round-9 advice): when a query's two interleaved
+    // passes disagree by >1.5×, min-of-2 is a lottery — q59/q105 carried
+    // ≥3× spreads for two rounds straight, making round-over-round deltas
+    // noise. A third targeted pass (queries run in suite order, so the
+    // extra pass is itself separated from both earlier samples) tightens
+    // the min without re-running the whole suite.
+    val spreadThreshold = 1.5
+    val needThird: Set[Int] = ordered.indices.filter { i =>
+      val good = samples.map(_(i)).flatten
+      good.size >= 2 && good.max / good.min > spreadThreshold
+    }.toSet
+    val third: Map[Int, Option[Double]] =
+      ordered.zipWithIndex.collect {
+        case ((_, fn), i) if needThird(i) => i -> timeOne(fn)
+      }.toMap
     val results = ordered.zipWithIndex.map { case ((name, _), i) =>
-      val times = samples.map(_(i))
+      val times = samples.map(_(i)) ++ third.get(i).toSeq
       (name, times.flatten, times)
     }
     val failed = results.collect { case (k, good, _) if good.isEmpty => k }
@@ -118,7 +144,11 @@ object Bench {
       .getOperatingSystemMXBean.getSystemLoadAverage
     val hostCpus = Runtime.getRuntime.availableProcessors
     val ok = failed.isEmpty
-    val head = s""""metric":"total","value":$total,"unit":"sec","ok":$ok,"passes":$passes,"failed":${names(failed)},"flaky":${names(flaky)},"sf":"$sfDir","load_avg":$loadAvg,"host_cpus":$hostCpus"""
+    // subset runs are tagged ("only":[...]) so a SPARK_GRAFT_ONLY artifact
+    // can never masquerade as a full-suite round snapshot (round-9 advice:
+    // a 2-query PLANS.json was committed as if it covered all 207)
+    val onlyTag = only.map(o => s""","only":${names(o.toSeq)}""").getOrElse("")
+    val head = s""""metric":"total","value":$total,"unit":"sec","ok":$ok,"passes":$passes,"failed":${names(failed)},"flaky":${names(flaky)},"sf":"$sfDir","load_avg":$loadAvg,"host_cpus":$hostCpus$onlyTag"""
     // stdout carries the line WITHOUT queries_raw: the driver snapshots
     // stdout through a tail that has truncated the per-query JSON in past
     // rounds (r8's artifact lost q01–q38 and parsed as null) — the
@@ -126,16 +156,25 @@ object Bench {
     // detail lands in BENCH_FULL.json so round-over-round comparisons
     // never depend on tail length
     println(s"""{$head,"queries":$qs}""")
+    // subset runs write *_SUBSET artifacts by default so an iteration loop
+    // can never clobber the committed full-suite BENCH_FULL/PLANS snapshots
+    // (explicit SPARK_GRAFT_BENCH_OUT/PLANS_OUT still override)
+    val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (only.isDefined) "BENCH_SUBSET.json" else "BENCH_FULL.json")
+    val plansOut = sys.env.getOrElse("SPARK_GRAFT_PLANS_OUT",
+      if (only.isDefined) "PLANS_SUBSET.json" else "PLANS.json")
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")),
+      java.nio.file.Paths.get(benchOut),
       s"""{$head,"queries":$qs,"queries_raw":$qsRaw}""")
     catch { case _: Throwable => () } // file write is best-effort telemetry
     // plan-shape snapshot (round artifact): PlanAudit over every declared
-    // query — compiled shapes only, no execution — so a plan regression
-    // (new shuffle, lost broadcast, a cartesian) diffs round-over-round
-    // even when wall-times move for data reasons. Best-effort: a plans
-    // failure must not fail the bench.
+    // query, so a plan regression (new shuffle, lost broadcast, a
+    // cartesian) diffs round-over-round even when wall-times move for data
+    // reasons. Mostly construction-only, but NOT free of execution: the
+    // q108Stages consumers (q108/q113/q198/q201) run their eager
+    // localCheckpoint(true) stages again while their DataFrames are built,
+    // so the audit adds real wall-clock AFTER all timing — never inside
+    // it. Best-effort: a plans failure must not fail the bench.
     try {
       val plans = ordered.map { case (name, fn) =>
         val cell =
@@ -146,8 +185,7 @@ object Bench {
         s"\"" + name + "\":" + cell
       }.mkString("{", ",", "}")
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(
-          sys.env.getOrElse("SPARK_GRAFT_PLANS_OUT", "PLANS.json")), plans)
+        java.nio.file.Paths.get(plansOut), plans)
     } catch { case _: Throwable => () }
     spark.stop()
     // a bench with failed queries must not read as a clean success to the

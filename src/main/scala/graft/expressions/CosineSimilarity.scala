@@ -97,10 +97,19 @@ object CosineSimilarity {
   }
 
   /** Runtime registration (idempotent) so `expr("cosine_sim(a, b)")` and
-    * SQL work on any session — called from Tables.configure. */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
+    * SQL work on any session — called from Tables.configure. Guarded on
+    * functionExists: createOrReplaceTempFunction emits a
+    * SimpleFunctionRegistry "replaced a previously registered function"
+    * WARN on every repeat call, and configure runs per table load — the
+    * unguarded flood pushed the bench JSON line out of the driver's tail
+    * capture in round 9 (BENCH_r09.json parsed:null). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim")))
+      reg.createOrReplaceTempFunction(
+        "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
+  }
 }
 
 /** Build-time registration for sessions created with

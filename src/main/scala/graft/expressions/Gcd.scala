@@ -74,8 +74,14 @@ object Gcd {
   }
 
   /** Runtime registration (idempotent) so `expr("int_gcd(a, b)")` works
-    * on any session — called from Tables.configure. */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "int_gcd", exprs => Gcd(exprs(0), exprs(1)), "scala_udf")
+    * on any session — called from Tables.configure. Guarded on
+    * functionExists so repeat calls don't emit the SimpleFunctionRegistry
+    * "replaced" WARN (see CosineSimilarity.register). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("int_gcd")))
+      reg.createOrReplaceTempFunction(
+        "int_gcd", exprs => Gcd(exprs(0), exprs(1)), "scala_udf")
+  }
 }

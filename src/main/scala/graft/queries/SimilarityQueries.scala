@@ -335,14 +335,23 @@ object SimilarityQueries extends QueryPack {
     * computation), and exact byte-duplicate vectors (inflate every
     * neighborhood and make recall metrics lie). One pass: per-vector
     * flags are codegen'd array lambdas (forall/exists — no explode), the
-    * duplicate flag is a count over a window PARTITIONED BY the vector
-    * itself (exact array equality, one shuffle on the vector hash), and
-    * the census rolls up per label. Flags, not drops: the downstream
-    * decision (zero-fill? drop? dedup?) belongs to the caller. */
+    * duplicate flag is a count over a window partitioned by the vector,
+    * and the census rolls up per label. Flags, not drops: the downstream
+    * decision (zero-fill? drop? dedup?) belongs to the caller.
+    *
+    * 100 TB shuffle-key shape (round-9 advice): the exchange is an
+    * explicit repartition on `xxhash64(embedding)` — an 8-byte
+    * near-uniform key — NOT the raw float payload. The window then
+    * partitions by (hash, embedding) for exact array equality, and since
+    * HashPartitioning(eh) satisfies ClusteredDistribution(eh, embedding)
+    * (partition exprs ⊆ cluster exprs) Catalyst adds no second exchange:
+    * one shuffle, hash-only key, byte-exact dup semantics. */
   private def q202(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("embedding")
+    val w = Window.partitionBy("eh", "embedding")
     Tables.load(s, dir, "embeddings")
+      .withColumn("eh", xxhash64(col("embedding")))
+      .repartition(col("eh"))
       .withColumn("dup_c", count(lit(1)).over(w))
       .select(col("label").cast("long").as("label"),
         forall(col("embedding"), x => x === lit(0.0f)).cast("long")
@@ -413,10 +422,13 @@ object SimilarityQueries extends QueryPack {
         |      AS BIGINT) AS rank_vec
         |  FROM vec0 QUALIFY rank_vec <= 100)
         |SELECT doc_id,
-        |  coalesce(rank_lex, 0) AS rank_lex,
-        |  coalesce(rank_vec, 0) AS rank_vec,
-        |  CAST(coalesce(1000000 // (60 + rank_lex), 0) +
-        |       coalesce(1000000 // (60 + rank_vec), 0) AS BIGINT)
+        |  coalesce(lex.rank_lex, 0) AS rank_lex,
+        |  coalesce(vec.rank_vec, 0) AS rank_vec,
+        |  -- base columns qualified (lex./vec.) so the output aliases of
+        |  -- this SELECT can never shadow them: an absent arm must
+        |  -- contribute 0 to the fusion, not 1e6/60 (round-9 advice)
+        |  CAST(coalesce(1000000 // (60 + lex.rank_lex), 0) +
+        |       coalesce(1000000 // (60 + vec.rank_vec), 0) AS BIGINT)
         |    AS rrf_e6
         |FROM lex FULL OUTER JOIN vec USING (doc_id)
         |ORDER BY rrf_e6 DESC, doc_id LIMIT 50""".stripMargin,

@@ -76,6 +76,20 @@ class PlanSpec extends SparkSuite {
     assert(exchanges == 1, s"expected 1 hash exchange, found $exchanges:\n$p")
   }
 
+  test("q202: the dup-census shuffle keys on the 8-byte embedding hash") {
+    // the window's exchange must partition on xxhash64(embedding) — an
+    // 8-byte near-uniform key — never the raw float payload: at 100 TB a
+    // 64-float shuffle key is pure overhead in every exchange row and
+    // hot-key comparison (round-9 advice). The (eh, embedding) window
+    // spec rides the eh-only exchange via ClusteredDistribution subsumption.
+    val p = plan("q202_embedding_audit")
+    val keyed = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(keyed.exists(_.contains("eh#")), s"no eh-keyed exchange:\n$p")
+    assert(!keyed.exists(_.contains("embedding#")),
+      s"raw embedding array back in a shuffle key:\n${keyed.mkString("\n")}")
+  }
+
   test("q97: every PageRank round is keyed joins, never a cross product") {
     val p = plan("q97_pagerank")
     assert(!p.contains("CartesianProduct") &&
