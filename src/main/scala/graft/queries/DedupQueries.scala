@@ -127,6 +127,73 @@ object DedupQueries extends QueryPack {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Paragraph-granular cross-document near-dup — the standard curation
+    * gap between q147 (EXACT span census) and q41/q42 (whole-doc
+    * near-dup): two documents that share one heavily-edited template
+    * paragraph but differ elsewhere miss every doc-level threshold, yet
+    * the paragraph itself is the thing a curation pass should collapse.
+    * The unit becomes (doc_id, para_idx) — this corpus has no newlines,
+    * so fixed-width [[W]]-token blocks stand in for paragraphs (the q147
+    * convention) — and the whole q42 MinHash+LSH machinery reuses
+    * verbatim with the compound unit key: word-3-gram shingles WITHIN a
+    * block, K=16 universal hashes, B=4 banded bucket keys, bucket
+    * equi-join restricted to pairs from DIFFERENT documents
+    * (a.doc_id < b.doc_id — intra-doc repetition is q86's business).
+    *
+    * Fan-out stays bounded by the same argument as q42: candidates only
+    * ever come from a keyed (band, bkey) join whose key cardinality
+    * grows with the corpus, never an all-pairs product, and paragraph
+    * units are STRICTLY finer than docs (≈ size/W units each, shingle
+    * sets ≤ W — band keys over 4 minhashes of ≤ 22 shingles), so bucket
+    * populations are no worse than doc-level banding on the same data.
+    * If exact-duplicate template paragraphs ever dominate a corpus, the
+    * q176 refinement (band DISTINCT signatures, rejoin units after)
+    * applies verbatim — at this corpus's dup rate the direct join is the
+    * cheaper plan. */
+  private val W = 24 // paragraph width in tokens (the q147 line stand-in)
+  private def q211(s: SparkSession, dir: String): DataFrame = {
+    val units = docs(s, dir)
+      .select(col("doc_id"), tokensCol(col("text")).as("toks"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, cast((size(toks)-1) div $W as int)), " +
+          s"p -> slice(toks, p*$W+1, $W))")))
+      .toDF("doc_id", "para_idx", "ptoks")
+      .select(col("doc_id"), col("para_idx").cast("long").as("para_idx"),
+        col("ptoks"))
+    val hashed = units
+      .select(col("doc_id"), col("para_idx"),
+        explode(ngramsFromTokens(col("ptoks"), 3)).as("gram"))
+      .select(col("doc_id"), col("para_idx"),
+        Hashing.md5U32(col("gram")).as("ha"),
+        Hashing.md5U32b(col("gram")).as("hb"))
+    val aggs = (0 until K).map(k =>
+      min((col("ha") + lit(k.toLong) * col("hb")) % lit(P)).as(s"h$k"))
+    val sig = hashed.groupBy("doc_id", "para_idx").agg(aggs.head, aggs.tail: _*)
+    val bandCols = (0 until B).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("|",
+          (0 until K / B).map(j => col(s"h${(K / B) * b + j}")): _*).as("bkey"))
+    }
+    val exploded = sig.withColumn("bk", explode(array(bandCols: _*)))
+      .select((Seq(col("doc_id"), col("para_idx"), col("bk.band").as("band"),
+        col("bk.bkey").as("bkey")) ++ (0 until K).map(k => col(s"h$k"))): _*)
+    def side(p: String) = exploded.select(
+      (Seq(col("doc_id").as(s"${p}_id"), col("para_idx").as(s"${p}_para"),
+        col("band").as(s"${p}_band"), col("bkey").as(s"${p}_bkey")) ++
+        (0 until K).map(k => col(s"h$k").as(s"$p$k"))): _*)
+    val sim = (0 until K).map(k =>
+      (col(s"a$k") === col(s"b$k")).cast("int")).reduce(_ + _)
+      .cast("double") / lit(K.toDouble)
+    side("a").join(side("b"),
+        col("a_band") === col("b_band") && col("a_bkey") === col("b_bkey") &&
+          col("a_id") < col("b_id"))
+      .select(col("a_id").as("doc_a"), col("a_para").as("para_a"),
+        col("b_id").as("doc_b"), col("b_para").as("para_b"),
+        roundf(sim, 4).as("est_sim"))
+      .distinct()
+      .orderBy("doc_a", "para_a", "doc_b", "para_b")
+  }
+
   /** SimHash: 64-bit signature from per-token md5 bit votes, emitted as a
     * '0'/'1' string so the oracle is engine-portable. Distinct tokens vote
     * ±1 per bit; sign of the per-bit sum is the signature bit. */
@@ -561,6 +628,7 @@ object DedupQueries extends QueryPack {
     "q156_split_leakage" -> (q156 _),
     "q41_dedup_jaccard" -> (q41 _),
     "q42_dedup_minhash" -> (q42 _),
+    "q211_para_near_dup" -> (q211 _),
     "q43_dedup_simhash" -> (q43 _),
     "q176_simhash_pairs" -> (q176 _),
     "q177_sorted_neighbors" -> (q177 _),
@@ -613,6 +681,54 @@ object DedupQueries extends QueryPack {
   private def minhashSql: String =
     s"""WITH $minhashCtes
        |SELECT doc_a, doc_b, est_sim FROM cand ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q211's oracle: the [[minhashCtes]] chain re-stated over
+    * (doc_id, para_idx) units — fixed W-token blocks sliced from the
+    * token array — ending in the cross-document candidate join. A def
+    * for object-init-order safety. */
+  private def paraMinhashSql: String = {
+    val mins = (0 until K).map(k => s"min((ha + $k * hb) % $P) AS h$k")
+      .mkString(", ")
+    val hs = (0 until K).map(k => s"h$k").mkString(", ")
+    val bandRows = (0 until B).map { b =>
+      val parts = (0 until K / B).map(j => s"h${(K / B) * b + j}")
+        .mkString(", ")
+      s"SELECT doc_id, para_idx, $b AS band, concat_ws('|', $parts) AS bkey, $hs FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    val eqs = (0 until K).map(k => s"CAST(a.h$k = b.h$k AS INT)")
+      .mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+       |  FROM documents),
+       |paras AS (
+       |  SELECT doc_id, CAST(p AS BIGINT) AS para_idx,
+       |    t[CAST(p*$W+1 AS INT):CAST(p*$W+$W AS INT)] AS pt
+       |  FROM toks, unnest(generate_series(0, (len(t)-1)//$W)) AS g(p)),
+       |idx AS (SELECT doc_id, para_idx, pt,
+       |          unnest(generate_series(1, len(pt) - 2)) AS i
+       |        FROM paras WHERE len(pt) >= 3),
+       |grams AS (SELECT DISTINCT doc_id, para_idx,
+       |    array_to_string(pt[CAST(i AS INT):CAST(i+2 AS INT)], ' ') AS gram
+       |  FROM idx),
+       |hashed AS (
+       |  SELECT doc_id, para_idx,
+       |    ${Hashing.md5U32Sql("gram")} AS ha,
+       |    ${Hashing.md5U32bSql("gram")} AS hb
+       |  FROM grams),
+       |sig AS (SELECT doc_id, para_idx, $mins FROM hashed
+       |        GROUP BY doc_id, para_idx),
+       |bands AS (
+       |  $bandRows),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, a.para_idx AS para_a,
+       |    b.doc_id AS doc_b, b.para_idx AS para_b,
+       |    floor((($eqs) / ${K.toDouble}) * 10000.0 + 0.5) / 10000.0
+       |      AS est_sim
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+       |SELECT doc_a, para_a, doc_b, para_b, est_sim FROM cand
+       |ORDER BY doc_a, para_a, doc_b, para_b""".stripMargin
+  }
 
   /** Shared CTE chain ending in `sh(doc_id, simhash_bits)` — the oracle
     * twin of [[simhashBits]], used by both q43 and q176. */
@@ -827,6 +943,7 @@ object DedupQueries extends QueryPack {
          |  min(comp) = id AS is_canonical
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     "q42_dedup_minhash" -> minhashSql,
+    "q211_para_near_dup" -> paraMinhashSql,
     // candidates + exact Jaccard stated on gram TEXT; the engine keys the
     // same sets on xxhash64 (invisible to the result, as in q41)
     "q197_lsh_calibration" ->

@@ -48,6 +48,51 @@ object TpchQueries extends QueryPack {
       .orderBy("supp_nation", "cust_nation", "l_year")
   }
 
+  /** Canonical TPC-H Q7 (volume shipping between TWO nations), the
+    * symmetric-disjunction twin q57 generalizes away: revenue shipped
+    * between NATION_15 and NATION_19 in either direction, split by ship
+    * year over 1995–1996. Q7's selling point is the filter shape — the
+    * spec's `(n1=A AND n2=B) OR (n1=B AND n2=A)` disjunction straddles
+    * two join inputs, so stated literally it blocks all pushdown. Here it
+    * is decomposed the way a cluster plan must: each side prunes
+    * independently with `n_name IN (A, B)` (pushed into the dimension
+    * scans, shrinking supplier AND customer ~2/25 BEFORE the fact joins),
+    * and the cross-side constraint collapses to `supp_nation <>
+    * cust_nation` — exactly the residual the disjunction implies once
+    * both sides are restricted to {A, B}. The only non-broadcast shuffle
+    * is the lineitem×orders fact-fact join, with both fact sides
+    * pre-reduced (lineitem by the pushed shipdate range + broadcast
+    * supplier semi-filter, orders by the broadcast two-nation customer
+    * filter). */
+  private def q210(s: SparkSession, dir: String): DataFrame = {
+    val two = Seq("NATION_15", "NATION_19")
+    val nat = t(s, dir, "nation").filter(col("n_name").isin(two: _*))
+    val sup = t(s, dir, "supplier")
+      .join(broadcast(nat.select(col("n_nationkey").as("s_nk"),
+        col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("s_nk"))
+      .select("s_suppkey", "supp_nation")
+    val cust = t(s, dir, "customer")
+      .join(broadcast(nat.select(col("n_nationkey").as("c_nk"),
+        col("n_name").as("cust_nation"))),
+        col("c_nationkey") === col("c_nk"))
+      .select("c_custkey", "cust_nation")
+    val ord = t(s, dir, "orders")
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "cust_nation")
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).cast("long").as("l_year"), vol4.as("vol"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy("supp_nation", "cust_nation", "l_year")
+      .agg(roundf(sumExact(col("vol")) / 10000.0, 2).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
   /** Q8-style market share: among orders from customers in region ASIA,
     * the share of line-item volume supplied by NATION_2, per order year. */
   private def q58(s: SparkSession, dir: String): DataFrame = {
@@ -775,6 +820,7 @@ object TpchQueries extends QueryPack {
     "q179_running_revenue" -> (q179 _),
     "q175_region_share" -> (q175 _),
     "q57_volume_shipping" -> (q57 _),
+    "q210_two_nation_shipping" -> (q210 _),
     "q145_local_supplier_volume" -> (q145 _),
     "q146_returned_items" -> (q146 _),
     "q58_market_share" -> (q58 _),
@@ -919,6 +965,25 @@ object TpchQueries extends QueryPack {
         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
         |WHERE n1.n_name <> n2.n_name
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // the oracle states Q7's filter in the spec's literal disjunctive
+    // form — proving the engine's per-side IN + <> decomposition is
+    // equivalent, not just faster
+    "q210_two_nation_shipping" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  year(l_shipdate) AS l_year,
+        |  floor((CAST(sum($volSql) AS DOUBLE) / 10000.0) * 100.0 + 0.5)
+        |    / 100.0 AS revenue
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE ((n1.n_name = 'NATION_15' AND n2.n_name = 'NATION_19')
+        |    OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_15'))
+        |  AND l_shipdate >= TIMESTAMP '1995-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "q93_shipping_priority" ->
       """SELECT l_orderkey,
