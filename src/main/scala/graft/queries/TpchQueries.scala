@@ -127,14 +127,29 @@ object TpchQueries extends QueryPack {
 
   /** Q2-style min-per-group + join-back: for every part, the supplier(s)
     * with the minimum total sale revenue for that part (ties kept, like
-    * Q2's multi-row answer per part). */
+    * Q2's multi-row answer per part).
+    *
+    * ONE lineitem pass, ONE hash exchange (was: three lineitem scans +
+    * four exchanges through a min-per-group join-back). The explicit
+    * `repartition(l_partkey)` is the load-bearing move: HashPartitioning
+    * on a PREFIX of the grouping keys satisfies the aggregate's
+    * ClusteredDistribution(l_partkey, l_suppkey) AND the min window's
+    * ClusteredDistribution(l_partkey), so the per-(part, supplier)
+    * rollup, the per-part minimum, and the tie filter all ride that one
+    * exchange with no join-back. The trade is forgoing map-side combine
+    * on the first shuffle — a good trade here because lineitem carries
+    * only ~1–4 rows per (partkey, suppkey), so partial aggregation
+    * barely shrinks the exchange while the join-back costs two more
+    * full exchanges and two re-scans. */
   private def q59(s: SparkSession, dir: String): DataFrame = {
-    val ps = t(s, dir, "lineitem")
+    import org.apache.spark.sql.expressions.Window
+    t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"), vol4.as("vol"))
+      .repartition(col("l_partkey"))
       .groupBy("l_partkey", "l_suppkey")
-      .agg(roundf(sumExact(vol4) / 10000.0, 2).as("rev"))
-    val minRev = ps.groupBy("l_partkey")
-      .agg(min("rev").as("min_rev"))
-    ps.join(minRev, Seq("l_partkey"))
+      .agg(roundf(sumExact(col("vol")) / 10000.0, 2).as("rev"))
+      .withColumn("min_rev",
+        min("rev").over(Window.partitionBy("l_partkey")))
       .filter(col("rev") === col("min_rev"))
       .join(broadcast(t(s, dir, "supplier").select("s_suppkey", "s_name")),
         col("l_suppkey") === col("s_suppkey"))

@@ -76,6 +76,26 @@ class PlanSpec extends SparkSuite {
     assert(exchanges == 1, s"expected 1 hash exchange, found $exchanges:\n$p")
   }
 
+  test("q59: agg, per-part min, and tie filter ride ONE hash exchange") {
+    // the repartition(l_partkey) prefix-partitioning must satisfy both
+    // the (l_partkey, l_suppkey) aggregate and the l_partkey window —
+    // a second hashpartitioning exchange means the join-back shape (3
+    // lineitem scans, 4 exchanges) crept back
+    val p = plan("q59_min_cost_supplier")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 hash exchange, found $exchanges:\n$p")
+  }
+
+  test("q210: two-nation Q7 plans broadcast dims and a pushed date range") {
+    val p = plan("q210_two_nation_shipping")
+    assert(p.contains("BroadcastHashJoin"), "dimension side was shuffled")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), "non-equi shape crept in")
+    // the shipdate range must reach the lineitem scan, not a post-filter
+    assert(p.linesIterator.exists(l => l.contains("PushedFilters") &&
+      l.contains("l_shipdate")), "shipdate range not pushed to the scan")
+  }
+
   test("q202: the dup-census shuffle keys on the 8-byte embedding hash") {
     // the window's exchange must partition on xxhash64(embedding) — an
     // 8-byte near-uniform key — never the raw float payload: at 100 TB a
