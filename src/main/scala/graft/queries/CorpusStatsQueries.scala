@@ -347,7 +347,70 @@ object CorpusStatsQueries extends QueryPack {
       .orderBy("source")
   }
 
+  /** Positional phrase query — the retrieval operation q114's inverted
+    * index can't answer (its postings carry no positions): find every
+    * document containing the exact 3-token phrase "slow hash batch" and
+    * count its occurrences. The engine never scans text for a substring:
+    * it builds positional postings (doc_id, pos) for ONLY the three query
+    * terms — the filter lands before any exchange, so the shuffled volume
+    * is the query terms' posting lists, not the corpus — then intersects
+    * them with two equi-joins keyed on (doc_id, pos − offset), the
+    * standard phrase-query merge every positional index runs. At 100 TB
+    * the join keys are (doc, position) pairs — maximal cardinality, no
+    * skew — and a stopword-heavy phrase degrades to the biggest posting
+    * list, exactly the positional-index contract. Output: doc, match
+    * count, first match position (integer argmin via min on pos). */
+  private def q213(s: SparkSession, dir: String): DataFrame = {
+    val phrase = Seq("slow", "hash", "batch")
+    val toks = docs(s, dir)
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.tokensCol(col("text"))).as(Seq("pos", "tok")))
+      .filter(col("tok").isin(phrase: _*))
+    def posting(term: String, offset: Int) =
+      toks.filter(col("tok") === term)
+        .select(col("doc_id"), (col("pos") - offset).as("anchor"))
+    phrase.zipWithIndex
+      .map { case (term, i) => posting(term, i) }
+      .reduce(_.join(_, Seq("doc_id", "anchor")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matches"),
+        min("anchor").cast("long").as("first_pos"))
+      .orderBy("doc_id")
+  }
+
+  /** Zipf rank-frequency profile at dyadic ranks — the corpus-health
+    * audit behind every "is this crawl natural language?" check: rank
+    * the vocabulary by exact global frequency and read off the term
+    * frequency at ranks 1, 2, 4, …, 2^k, plus the local Zipf signal
+    * `c(r)/c(2r)` as an exact e6 ratio (for a pure Zipf law with
+    * exponent s the ratio is 2^s at every dyadic rank — a flat ratio
+    * column ⇒ power-law tail; logs never enter, the q209 de-log move).
+    * The global rank comes from [[graft.operators.GlobalRank]] — a
+    * range-partitioned two-pass, NOT a `row_number() OVER (ORDER BY)`
+    * single-task window, so the profile survives a 10^9-term vocabulary;
+    * the dyadic filter keeps ~log₂(V) rows, and the c(2r) lookup is a
+    * self-join of that log-sized frame. */
+  private def q214(s: SparkSession, dir: String): DataFrame = {
+    import Rounding.intDivExact
+    val uni = docs(s, dir)
+      .select(explode(TextAnalysis.tokensCol(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+    val dyadic = graft.operators.GlobalRank
+      .withRank(uni, "rank", col("freq").desc, col("tok"))
+      .filter(expr("(rank & (rank - 1)) = 0"))
+    val half = dyadic.select(col("rank").as("rank2"), col("freq").as("freq2"))
+    dyadic.join(half, col("rank") * 2 === col("rank2"), "left")
+      .select(col("rank"), col("tok"), col("freq"),
+        coalesce(
+          intDivExact(col("freq").cast("decimal(19,0)") * lit(1000000L),
+            col("freq2")),
+          lit(0L)).as("zipf_ratio_e6"))
+      .orderBy("rank")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q213_phrase_query" -> (q213 _),
+    "q214_zipf_profile" -> (q214 _),
     "q186_dyadic_histogram" -> (q186 _),
     "q187_length_gini" -> (q187 _),
     "q172_ngram_novelty" -> (q172 _),
@@ -361,6 +424,40 @@ object CorpusStatsQueries extends QueryPack {
     "q209_collocations" -> (q209 _))
 
   val oracle: Map[String, String] = Map(
+    // deliberately NOT the posting-intersection form: the oracle scans
+    // every position directly, so it independently re-derives what the
+    // engine's filtered-postings merge must equal
+    "q213_phrase_query" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, i
+        |  FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)
+        |  WHERE t[CAST(i AS INT)] = 'slow'
+        |    AND t[CAST(i + 1 AS INT)] = 'hash'
+        |    AND t[CAST(i + 2 AS INT)] = 'batch')
+        |SELECT doc_id, count(*) AS n_matches,
+        |  CAST(min(i) - 1 AS BIGINT) AS first_pos
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the oracle's row_number() OVER (ORDER BY) is the single-task form
+    // GlobalRank exists to replace — same total order, same ranks
+    "q214_zipf_profile" ->
+      """WITH uni AS (
+        |  SELECT tok, count(*) AS freq
+        |  FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)),
+        |          '\s+')) AS tok FROM documents)
+        |  GROUP BY tok),
+        |r AS (SELECT tok, freq,
+        |    CAST(row_number() OVER (ORDER BY freq DESC, tok) AS BIGINT)
+        |      AS rank
+        |  FROM uni),
+        |d AS (SELECT * FROM r WHERE (rank & (rank - 1)) = 0)
+        |SELECT a.rank, a.tok, a.freq,
+        |  coalesce(CAST(CAST(a.freq AS HUGEINT) * 1000000 // b.freq
+        |    AS BIGINT), 0) AS zipf_ratio_e6
+        |FROM d a LEFT JOIN d b ON b.rank = a.rank * 2
+        |ORDER BY a.rank""".stripMargin,
     "q209_collocations" -> {
       import Rounding.intDivExactSql
       s"""WITH toks AS (

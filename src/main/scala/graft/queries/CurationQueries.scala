@@ -442,7 +442,60 @@ object CurationQueries extends QueryPack {
       .orderBy("pos")
   }
 
+  /** DSIR-style importance resampling (data selection via importance
+    * weights against a target domain — here the `lang = 'en'` slice),
+    * re-expressed on the engine's exact-integer grid the way q209 de-logs
+    * PMI: a token's importance ratio is its target-relative frequency
+    * over its corpus-relative frequency, `r_e6 = 1e6·ct·C div (cc·T)`,
+    * a document's weight is the MEAN ratio over its token instances
+    * (rank-equivalent to the arithmetic-mean form of the likelihood
+    * ratio; no floats, no logs — every weight lands on the integer 1e-6
+    * grid), and selection is deterministic hash-threshold acceptance
+    * with probability weight/wmax: keep iff
+    * `md5u32(doc_id)·wmax < weight_e6·2^32` — the q148/q92 coin, so the
+    * sample is reproducible and the oracle matches bit-for-bit.
+    *
+    * Scale shape: one groupBy(tok) builds the ratio table (vocab-sized,
+    * stays distributed — joined back to token instances BY KEY, never
+    * collected), the two scalar frames (corpus totals, max weight) are
+    * one-row broadcasts, and the only other exchange is the
+    * groupBy(doc_id) rollup. Overflow discipline: the ratio divides
+    * HUGEINT/decimal(38,0) products (ct·C·1e6 ≤ 10^37 for corpora to
+    * ~10^14 tokens), and the acceptance compare stays in int64 because
+    * md5u32 < 2^32 and wmax = 1e6·C/T·(max mean ratio share) < 2^31
+    * whenever the target holds ≥ 0.05% of the corpus — thinner targets
+    * would widen the compare to decimal, loudly, not silently. */
+  private def q212(s: SparkSession, dir: String): DataFrame = {
+    import Rounding.intDivExact
+    import graft.functions.Hashing
+    val toks = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(TextAnalysis.tokensCol(col("text"))).as("tok"))
+    val tc = toks.groupBy("tok")
+      .agg(sum((col("lang") === "en").cast("long")).as("ct"),
+        count(lit(1)).as("cc"))
+    val tot = tc.agg(sum("ct").as("t"), sum("cc").as("c"))
+    val r = tc.crossJoin(broadcast(tot))
+      .select(col("tok"),
+        intDivExact(
+          col("ct").cast("decimal(14,0)") * col("c").cast("decimal(14,0)")
+            * lit(1000000L).cast("decimal(7,0)"),
+          col("cc").cast("decimal(14,0)") * col("t").cast("decimal(14,0)"))
+          .as("r_e6"))
+    val dw = toks.join(r, "tok")
+      .groupBy("doc_id")
+      .agg(intDivExact(sum(col("r_e6").cast("decimal(19,0)")),
+        count(lit(1))).as("weight_e6"))
+    val mw = dw.agg(max("weight_e6").as("wmax"))
+    dw.crossJoin(broadcast(mw))
+      .select(col("doc_id"), col("weight_e6"),
+        (Hashing.md5U32(col("doc_id").cast("string")) * col("wmax") <
+          col("weight_e6") * lit(4294967296L)).cast("long").as("kept"))
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q212_dsir_resample" -> (q212 _),
     "q196_ccnet_buckets" -> (q196 _),
     "q199_quality_sweep" -> (q199 _),
     "q200_corpus_shuffle" -> (q200 _),
@@ -540,6 +593,29 @@ object CurationQueries extends QueryPack {
       |  FROM f)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // same exact-integer ratio grid, same HUGEINT//-mirrored divisions,
+    // same md5 acceptance coin
+    "q212_dsir_resample" -> {
+      import Rounding.intDivExactSql
+      s"""WITH toks AS (
+        |  SELECT doc_id, lang, unnest($tokSql) AS tok FROM documents),
+        |tc AS (SELECT tok, count(*) FILTER (WHERE lang = 'en') AS ct,
+        |         count(*) AS cc
+        |       FROM toks GROUP BY tok),
+        |tot AS (SELECT sum(ct) AS t, sum(cc) AS c FROM tc),
+        |r AS (SELECT tok,
+        |    ${intDivExactSql("CAST(ct AS HUGEINT) * 1000000 * c",
+             "CAST(cc AS HUGEINT) * t")} AS r_e6
+        |  FROM tc, tot),
+        |dw AS (SELECT doc_id,
+        |    ${intDivExactSql("sum(r_e6)", "count(*)")} AS weight_e6
+        |  FROM toks JOIN r USING (tok) GROUP BY doc_id),
+        |mw AS (SELECT max(weight_e6) AS wmax FROM dw)
+        |SELECT doc_id, weight_e6,
+        |  CAST(${graft.functions.Hashing.md5U32Sql("CAST(doc_id AS VARCHAR)")}
+        |    * wmax < weight_e6 * 4294967296 AS BIGINT) AS kept
+        |FROM dw, mw ORDER BY doc_id""".stripMargin
+    },
     // same quality arithmetic, same e4 grid + doc_id tie-break, same ntile
     "q196_ccnet_buckets" ->
       s"""WITH $qualityCtes,

@@ -157,7 +157,10 @@ object GraphQueries extends QueryPack {
     * tie-break makes the fixed-round result a pure function of the
     * graph, so the oracle can state the identical three rounds as
     * chained CTEs (QUALIFY row_number = the same argmax). */
-  private def q201(s: SparkSession, dir: String): DataFrame = {
+  /** The 3-round synchronous label table (n, lbl) — shared by q201 (the
+    * community report) and q215 (the modularity audit of those same
+    * communities). */
+  private def lpLabels(s: SparkSession, dir: String): DataFrame = {
     val (edges, _, _) = TemporalQueries.q108Stages(s, dir,
       checkpoint = true)
     val sym = edges.select(col("u"), col("v"))
@@ -175,13 +178,61 @@ object GraphQueries extends QueryPack {
         .select(col("u").as("n"), col("m.l").as("lbl"))
         .localCheckpoint(true)
     }
-    labels.select(col("n").as("node"), col("lbl").as("community"))
+    labels
+  }
+
+  private def q201(s: SparkSession, dir: String): DataFrame =
+    lpLabels(s, dir)
+      .select(col("n").as("node"), col("lbl").as("community"))
       .orderBy("node")
+
+  /** Newman modularity audit of the q201 communities — the "did
+    * community detection find anything?" number, per community and in
+    * EXACT arithmetic: a community's modularity term is
+    * `L_c/m − (D_c/2m)²` (L_c intra-community edges, D_c degree mass,
+    * m total edges), emitted as the e6 fixed-point of the common-
+    * denominator form `(4·m·L_c − D_c²)·1e6 div (4·m²)` — one signed
+    * exact integer division per community ([[graft.functions.Rounding
+    * .intDivExact]]'s decimal chain; HUGEINT `//` mirrors it, both
+    * truncate dividend-signed), so Σ(q_term_e6) IS the corpus
+    * modularity to within one ulp-free truncation per community.
+    * Scale shape: two keyed label joins classify every edge once
+    * (O(edges)), the degree mass is a keyed join + groupBy, and the
+    * only scalar (m) rides a one-row broadcast — the q170 cross-
+    * multiply discipline, no driver-side arithmetic. */
+  private def q215(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.intDivExact
+    val (edges, deg, _) = TemporalQueries.q108Stages(s, dir,
+      checkpoint = true)
+    val lbl = lpLabels(s, dir)
+    val mDf = edges.agg(count(lit(1)).as("m"))
+    val intra = edges
+      .join(lbl.select(col("n").as("u"), col("lbl").as("cu")), "u")
+      .join(lbl.select(col("n").as("v"), col("lbl").as("cv")), "v")
+      .filter(col("cu") === col("cv"))
+      .groupBy(col("cu").as("community"))
+      .agg(count(lit(1)).as("l_intra"))
+    val md = col("m").cast("decimal(14,0)")
+    lbl.join(deg, "n")
+      .groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum("deg").as("d_sum"))
+      .join(intra, Seq("community"), "left")
+      .withColumn("l_intra", coalesce(col("l_intra"), lit(0L)))
+      .crossJoin(broadcast(mDf))
+      .select(col("community"), col("n_nodes"), col("l_intra"),
+        col("d_sum"),
+        intDivExact(
+          (md * col("l_intra").cast("decimal(14,0)") * lit(4L) -
+            col("d_sum").cast("decimal(14,0)") *
+              col("d_sum").cast("decimal(14,0)")) * lit(1000000L),
+          md * md * lit(4L)).as("q_term_e6"))
+      .orderBy("community")
   }
 
   val defs: Map[String, Q] = Map(
     "q97_pagerank" -> (q97 _),
     "q201_label_prop" -> (q201 _),
+    "q215_modularity" -> (q215 _),
     "q119_assortativity" -> (q119 _),
     "q134_kcore" -> (q134 _),
     "q140_clustering_coeff" -> (q140 _),
@@ -225,37 +276,70 @@ object GraphQueries extends QueryPack {
       .limit(100)
   }
 
+  /** Shared label-prop oracle chain (no leading WITH; ends at
+    * `l3(n, lbl)` over `edges`/`sym`) — used by q201 and q215. Three
+    * unrolled synchronous rounds; the QUALIFY argmax (c DESC, lbl ASC)
+    * is the engine side's min(struct(-c, lbl)). A def for
+    * object-init-order safety. */
+  private def lpOracleCtes: String = {
+    val rounds = (1 to 3).map { r =>
+      s"""c$r AS (
+         |  SELECT s.u, l.lbl, count(*) AS c
+         |  FROM sym s JOIN l${r - 1} l ON l.n = s.v
+         |  GROUP BY 1, 2),
+         |l$r AS (
+         |  SELECT u AS n, lbl FROM c$r
+         |  QUALIFY row_number()
+         |    OVER (PARTITION BY u ORDER BY c DESC, lbl) = 1)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""op AS (
+       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS pt FROM lineitem
+       |  WHERE year(l_shipdate) = 1995),
+       |capped AS (
+       |  SELECT o FROM op GROUP BY o HAVING count(*) <= 40),
+       |pairs AS (SELECT op.o, op.pt FROM op JOIN capped USING (o)),
+       |edges AS (
+       |  SELECT DISTINCT a.pt AS u, b.pt AS v
+       |  FROM pairs a JOIN pairs b ON a.o = b.o AND a.pt < b.pt),
+       |sym AS (
+       |  SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+       |l0 AS (SELECT DISTINCT u AS n, u AS lbl FROM sym),
+       |$rounds""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
-    "q201_label_prop" -> {
-      // three unrolled synchronous rounds; the QUALIFY argmax
-      // (c DESC, lbl ASC) is the engine side's min(struct(-c, lbl))
-      val rounds = (1 to 3).map { r =>
-        s"""c$r AS (
-           |  SELECT s.u, l.lbl, count(*) AS c
-           |  FROM sym s JOIN l${r - 1} l ON l.n = s.v
-           |  GROUP BY 1, 2),
-           |l$r AS (
-           |  SELECT u AS n, lbl FROM c$r
-           |  QUALIFY row_number()
-           |    OVER (PARTITION BY u ORDER BY c DESC, lbl) = 1)"""
-          .stripMargin
-      }.mkString(",\n")
-      s"""WITH op AS (
-         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS pt FROM lineitem
-         |  WHERE year(l_shipdate) = 1995),
-         |capped AS (
-         |  SELECT o FROM op GROUP BY o HAVING count(*) <= 40),
-         |pairs AS (SELECT op.o, op.pt FROM op JOIN capped USING (o)),
-         |edges AS (
-         |  SELECT DISTINCT a.pt AS u, b.pt AS v
-         |  FROM pairs a JOIN pairs b ON a.o = b.o AND a.pt < b.pt),
-         |sym AS (
-         |  SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
-         |l0 AS (SELECT DISTINCT u AS n, u AS lbl FROM sym),
-         |$rounds
+    "q201_label_prop" ->
+      s"""WITH $lpOracleCtes
          |SELECT n AS node, CAST(lbl AS BIGINT) AS community
-         |FROM l3 ORDER BY node""".stripMargin
-    },
+         |FROM l3 ORDER BY node""".stripMargin,
+    // same l3 labels, same canonical edge set; the modularity term's
+    // HUGEINT // mirrors the engine's decimal intDivExact (both
+    // truncate dividend-signed — negative terms agree)
+    "q215_modularity" ->
+      s"""WITH $lpOracleCtes,
+         |deg AS (
+         |  SELECT n, count(*) AS deg FROM (
+         |    SELECT u AS n FROM edges UNION ALL SELECT v AS n FROM edges)
+         |  GROUP BY n),
+         |mm AS (SELECT count(*) AS m FROM edges),
+         |intra AS (
+         |  SELECT la.lbl AS community, count(*) AS l_intra
+         |  FROM edges e
+         |  JOIN l3 la ON la.n = e.u
+         |  JOIN l3 lb ON lb.n = e.v
+         |  WHERE la.lbl = lb.lbl GROUP BY 1),
+         |ds AS (
+         |  SELECT l.lbl AS community, count(*) AS n_nodes,
+         |    CAST(sum(d.deg) AS BIGINT) AS d_sum
+         |  FROM l3 l JOIN deg d ON d.n = l.n GROUP BY 1)
+         |SELECT CAST(ds.community AS BIGINT) AS community, n_nodes,
+         |  coalesce(l_intra, 0) AS l_intra, d_sum,
+         |  CAST((CAST(4 AS HUGEINT) * m * coalesce(l_intra, 0)
+         |      - CAST(d_sum AS HUGEINT) * d_sum) * 1000000
+         |    // (CAST(4 AS HUGEINT) * m * m) AS BIGINT) AS q_term_e6
+         |FROM ds LEFT JOIN intra USING (community), mm
+         |ORDER BY community""".stripMargin,
     "q97_pagerank" -> {
       // one damped round: contributions ⌊r/outdeg⌋ along edges, exact
       // integer sum per destination, rank' = ⌊3T/20N⌋ + ⌊17·S/20⌋
