@@ -494,7 +494,74 @@ object CurationQueries extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** Exact stratified k-fold assignment (k = 5): every stratum (source)
+    * is cut into folds of size ⌈n/k⌉/⌊n/k⌋ EXACTLY — the cross-
+    * validation contract q99's hash-proportion split deliberately does
+    * not make (hash splits converge to the ratio; folds must be exact).
+    * Per-stratum positions come scale-safely: ONE GlobalRank over the
+    * total order (source, md5-coin, doc_id) — never a per-stratum
+    * row_number window, whose hot partition IS the largest stratum at
+    * 100 TB — then rank-in-stratum = global rank − Σ(earlier strata
+    * sizes), where the offsets frame has #strata rows (its unpartitioned
+    * running-sum window is bounded by construction — the q147 20-row
+    * exchange argument) and broadcasts back. fold = (rank_in_stratum − 1)
+    * mod k: deterministic, md5-shuffled within stratum, exactly
+    * balanced. The oracle states the per-stratum row_number form the
+    * engine provably equals. */
+  private def q216(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashing
+    val k = 5
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        Hashing.md5U32(col("doc_id").cast("string")).as("u"))
+    val ranked = graft.operators.GlobalRank
+      .withRank(d, "grank", col("source"), col("u"), col("doc_id"))
+    val offsets = ranked.groupBy("source").agg(count(lit(1)).as("n"))
+      .withColumn("off",
+        coalesce(sum("n").over(Window.orderBy("source")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("source", "off")
+    ranked.join(broadcast(offsets), "source")
+      .select(col("doc_id"), col("source"),
+        ((col("grank") - col("off") - 1) % k).cast("long").as("fold"))
+      .orderBy("doc_id")
+  }
+
+  /** Graded benchmark-contamination scoring — q84's decontamination gate
+    * reports WHO overlaps (inner join, hit counts); real eval hygiene
+    * reports HOW MUCH, for every candidate document including the clean
+    * ones: contamination = |doc's distinct 4-grams ∩ benchmark grams| /
+    * |doc's distinct 4-grams| on the exact e6 grid, plus the standard
+    * ≥10% flag (the n-gram-overlap contamination rule of GPT-3-era eval
+    * cards, de-floated). Same broadcast-benchmark shape as q84 — the
+    * held-out gram set stays a broadcast semi-side, candidates stream
+    * past it with a LEFT join so zero-hit docs keep their denominator —
+    * one groupBy(doc_id) exchange, division via the decimal intDivExact
+    * chain. */
+  private def q218(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.intDivExact
+    val grams = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.tokensCol(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(TextAnalysis.ngramsFromTokens(col("toks"), 4)).as("gram"))
+    val bench = grams.filter(col("doc_id") % 97 === 0)
+      .select("gram").distinct().withColumn("hit", lit(1L))
+    grams.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(bench), Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_shared"))
+      .withColumn("contamination_e6",
+        intDivExact(col("n_shared").cast("decimal(19,0)") * lit(1000000L),
+          col("n_grams")))
+      .withColumn("flagged",
+        (col("contamination_e6") >= 100000L).cast("long"))
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q218_contamination_score" -> (q218 _),
+    "q216_exact_kfold" -> (q216 _),
     "q212_dsir_resample" -> (q212 _),
     "q196_ccnet_buckets" -> (q196 _),
     "q199_quality_sweep" -> (q199 _),
@@ -593,6 +660,21 @@ object CurationQueries extends QueryPack {
       |  FROM f)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // the single-task per-stratum row_number form GlobalRank + the
+    // stratum-offset join provably equals (same total order per stratum)
+    "q216_exact_kfold" ->
+      s"""WITH u AS (
+        |  SELECT doc_id, source,
+        |    ${graft.functions.Hashing.md5U32Sql("CAST(doc_id AS VARCHAR)")}
+        |      AS u
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY u, doc_id) AS BIGINT) AS rs
+        |  FROM u)
+        |SELECT doc_id, source, CAST((rs - 1) % 5 AS BIGINT) AS fold
+        |FROM r ORDER BY doc_id""".stripMargin,
     // same exact-integer ratio grid, same HUGEINT//-mirrored divisions,
     // same md5 acceptance coin
     "q212_dsir_resample" -> {
@@ -743,6 +825,28 @@ object CurationQueries extends QueryPack {
          |FROM toks, tot GROUP BY tok, t
          |HAVING count(*) > t / 64.0
          |ORDER BY tok""".stripMargin,
+    "q218_contamination_score" -> {
+      import Rounding.intDivExactSql
+      s"""WITH toks AS (
+         |  SELECT doc_id, $tokSql AS tk FROM documents),
+         |grams AS (
+         |  SELECT DISTINCT doc_id, array_to_string(tk[i:i+3], ' ') AS gram
+         |  FROM toks, unnest(generate_series(1, len(tk) - 3)) AS t(i)
+         |  WHERE len(tk) >= 4),
+         |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+         |sc AS (
+         |  SELECT g.doc_id, count(*) AS n_grams,
+         |    CAST(count(b.gram) AS BIGINT) AS n_shared
+         |  FROM grams g LEFT JOIN bench b ON g.gram = b.gram
+         |  WHERE g.doc_id % 97 <> 0
+         |  GROUP BY 1)
+         |SELECT doc_id, n_grams, n_shared,
+         |  ${intDivExactSql("CAST(n_shared AS HUGEINT) * 1000000",
+            "n_grams")} AS contamination_e6,
+         |  CAST(${intDivExactSql("CAST(n_shared AS HUGEINT) * 1000000",
+            "n_grams")} >= 100000 AS BIGINT) AS flagged
+         |FROM sc ORDER BY doc_id""".stripMargin
+    },
     "q84_decontaminate" ->
       s"""WITH toks AS (
          |  SELECT doc_id, $tokSql AS tk FROM documents),

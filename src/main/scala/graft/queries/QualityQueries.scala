@@ -268,7 +268,42 @@ object QualityQueries extends QueryPack {
       .orderBy("source")
   }
 
+  /** Batch-over-batch source/language mix drift — the monitoring query a
+    * continuously-ingesting corpus runs between consecutive snapshots to
+    * catch a crawler or filter silently changing the mixture (a language
+    * collapsing, a source flooding). Batches here are the deterministic
+    * doc_id parity split (standing in for consecutive crawl drops — the
+    * q151 incremental convention); for every (source, lang) cell the
+    * report carries both batch counts, both within-source shares on the
+    * exact e6 grid (CASE-guarded against an empty batch — no silent
+    * division nulls), and the absolute share drift. ONE aggregation pass
+    * builds the cells; the per-source batch totals join back keyed on
+    * source (a #sources-row frame — broadcast); nothing driver-side. The
+    * per-source Σ drift_e6 over langs is 2·e6·total-variation distance —
+    * readable straight off the result. */
+  private def q217(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.intDivExact
+    val cells = Tables.load(s, dir, "documents")
+      .groupBy("source", "lang")
+      .agg(sum((col("doc_id") % 2 === 0).cast("long")).as("n_a"),
+        sum((col("doc_id") % 2 === 1).cast("long")).as("n_b"))
+    val tots = cells.groupBy("source")
+      .agg(sum("n_a").as("ta"), sum("n_b").as("tb"))
+    def share(n: String, t: String) =
+      when(col(t) === 0, lit(0L))
+        .otherwise(intDivExact(
+          col(n).cast("decimal(19,0)") * lit(1000000L), col(t)))
+    cells.join(broadcast(tots), "source")
+      .select(col("source"), col("lang"), col("n_a"), col("n_b"),
+        share("n_a", "ta").as("share_a_e6"),
+        share("n_b", "tb").as("share_b_e6"))
+      .withColumn("drift_e6",
+        abs(col("share_a_e6") - col("share_b_e6")))
+      .orderBy("source", "lang")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q217_mix_drift" -> (q217 _),
     "q66_quality_report" -> (q66 _),
     "q193_encoding_damage" -> (q193 _),
     "q130_ref_integrity" -> (q130 _),
@@ -281,6 +316,27 @@ object QualityQueries extends QueryPack {
   // one SELECT per check, mirrored shapes; 'license' is a deliberately
   // missing column so the missing-column path is oracle-checked too
   val oracle: Map[String, String] = Map(
+    "q217_mix_drift" -> {
+      import graft.functions.Rounding.intDivExactSql
+      def share(n: String, t: String) =
+        s"CASE WHEN $t = 0 THEN 0 ELSE ${intDivExactSql(
+          s"CAST($n AS HUGEINT) * 1000000", t)} END"
+      s"""WITH cells AS (
+         |  SELECT source, lang,
+         |    count(*) FILTER (WHERE doc_id % 2 = 0) AS n_a,
+         |    count(*) FILTER (WHERE doc_id % 2 = 1) AS n_b
+         |  FROM documents GROUP BY 1, 2),
+         |tots AS (
+         |  SELECT source, CAST(sum(n_a) AS BIGINT) AS ta,
+         |    CAST(sum(n_b) AS BIGINT) AS tb
+         |  FROM cells GROUP BY 1)
+         |SELECT source, lang, n_a, n_b,
+         |  ${share("n_a", "ta")} AS share_a_e6,
+         |  ${share("n_b", "tb")} AS share_b_e6,
+         |  abs(${share("n_a", "ta")} - ${share("n_b", "tb")}) AS drift_e6
+         |FROM cells JOIN tots USING (source)
+         |ORDER BY source, lang""".stripMargin
+    },
     "q193_encoding_damage" -> {
       import graft.functions.EncodingDamage._
       s"""WITH per AS (
