@@ -349,7 +349,7 @@ object CorpusStatsQueries extends QueryPack {
 
   /** Positional phrase query — the retrieval operation q114's inverted
     * index can't answer (its postings carry no positions): find every
-    * document containing the exact 3-token phrase "slow hash batch" and
+    * document containing the exact 3-token phrase "query big part" and
     * count its occurrences. The engine never scans text for a substring:
     * it builds positional postings (doc_id, pos) for ONLY the three query
     * terms — the filter lands before any exchange, so the shuffled volume
@@ -361,7 +361,7 @@ object CorpusStatsQueries extends QueryPack {
     * list, exactly the positional-index contract. Output: doc, match
     * count, first match position (integer argmin via min on pos). */
   private def q213(s: SparkSession, dir: String): DataFrame = {
-    val phrase = Seq("slow", "hash", "batch")
+    val phrase = Seq("query", "big", "part")
     val toks = docs(s, dir)
       .select(col("doc_id"),
         posexplode(TextAnalysis.tokensCol(col("text"))).as(Seq("pos", "tok")))
@@ -434,9 +434,9 @@ object CorpusStatsQueries extends QueryPack {
         |m AS (
         |  SELECT doc_id, i
         |  FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)
-        |  WHERE t[CAST(i AS INT)] = 'slow'
-        |    AND t[CAST(i + 1 AS INT)] = 'hash'
-        |    AND t[CAST(i + 2 AS INT)] = 'batch')
+        |  WHERE t[CAST(i AS INT)] = 'query'
+        |    AND t[CAST(i + 1 AS INT)] = 'big'
+        |    AND t[CAST(i + 2 AS INT)] = 'part')
         |SELECT doc_id, count(*) AS n_matches,
         |  CAST(min(i) - 1 AS BIGINT) AS first_pos
         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
