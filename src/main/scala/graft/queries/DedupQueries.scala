@@ -194,6 +194,44 @@ object DedupQueries extends QueryPack {
       .orderBy("doc_a", "para_a", "doc_b", "para_b")
   }
 
+  /** Dedup funnel — the retention waterfall every corpus team reports
+    * after a dedup pass: per source, how many documents (and tokens)
+    * survive each stage of raw → exact-dup removal → near-dup removal.
+    * Stage semantics compose the engine's own operators, not ad-hoc
+    * re-derivations: exact_dup is q40's fingerprint non-keeper (min
+    * doc_id per normalized-text md5 keeps), near_dup is "not an exact
+    * dup, but non-canonical in its q67 connected-component cluster"
+    * (cluster over the q41 Jaccard pair graph — similarity closure, not
+    * a group-by), kept is neither. The token column makes it a BUDGET
+    * report: tokens_kept/tokens_total is the dedup dividend. One window
+    * on the fingerprint, the O(edges) CC machinery, then a single
+    * per-source rollup — every stage already argued scale-safe where it
+    * lives. */
+  private def q219(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("source"),
+      size(tokensCol(col("text"))).cast("long").as("n_toks"),
+      fingerprint(col("text")).as("fp"))
+    val exact = d
+      .withColumn("keep_id", min("doc_id").over(Window.partitionBy("fp")))
+      .select(col("doc_id"), (col("doc_id") =!= col("keep_id")).as("is_ex"))
+    val cl = graft.operators.ConnectedComponents
+      .components(docs(s, dir).select("doc_id"),
+        jaccardPairs(s, dir).select("doc_a", "doc_b"),
+        "doc_id", "doc_a", "doc_b")
+      .select(col("id").as("doc_id"), (col("id") =!= col("comp")).as("nc"))
+    val kept = !col("is_ex") && !col("nc")
+    d.join(exact, "doc_id").join(cl, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("is_ex").cast("long")).as("n_exact_dup"),
+        sum((!col("is_ex") && col("nc")).cast("long")).as("n_near_dup"),
+        sum(kept.cast("long")).as("n_kept"),
+        sum("n_toks").as("tokens_total"),
+        sum(when(kept, col("n_toks")).otherwise(lit(0L)))
+          .as("tokens_kept"))
+      .orderBy("source")
+  }
+
   /** SimHash: 64-bit signature from per-token md5 bit votes, emitted as a
     * '0'/'1' string so the oracle is engine-portable. Distinct tokens vote
     * ±1 per bit; sign of the per-bit sum is the signature bit. */
@@ -629,6 +667,7 @@ object DedupQueries extends QueryPack {
     "q41_dedup_jaccard" -> (q41 _),
     "q42_dedup_minhash" -> (q42 _),
     "q211_para_near_dup" -> (q211 _),
+    "q219_dedup_funnel" -> (q219 _),
     "q43_dedup_simhash" -> (q43 _),
     "q176_simhash_pairs" -> (q176 _),
     "q177_sorted_neighbors" -> (q177 _),
@@ -944,6 +983,40 @@ object DedupQueries extends QueryPack {
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     "q42_dedup_minhash" -> minhashSql,
     "q211_para_near_dup" -> paraMinhashSql,
+    // q40's fingerprint window + q67's recursive-CC clusters + per-source
+    // token budget, composed on the same jp edge set
+    "q219_dedup_funnel" ->
+      s"""WITH RECURSIVE $jaccardCtes,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+         |          UNION ALL
+         |          SELECT doc_b AS src, doc_a AS dst FROM jp),
+         |reach(id, comp) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+         |cl AS (SELECT id AS doc_id, min(comp) <> id AS nc
+         |       FROM reach GROUP BY id),
+         |f AS (
+         |  SELECT doc_id, source,
+         |    len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+         |      AS n_toks,
+         |    md5($normSql) AS fp
+         |  FROM documents),
+         |ex AS (
+         |  SELECT doc_id,
+         |    doc_id <> min(doc_id) OVER (PARTITION BY fp) AS is_ex
+         |  FROM f)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CAST(is_ex AS INT)) AS BIGINT) AS n_exact_dup,
+         |  CAST(sum(CAST(NOT is_ex AND nc AS INT)) AS BIGINT)
+         |    AS n_near_dup,
+         |  CAST(sum(CAST(NOT is_ex AND NOT nc AS INT)) AS BIGINT)
+         |    AS n_kept,
+         |  CAST(sum(n_toks) AS BIGINT) AS tokens_total,
+         |  CAST(sum(CASE WHEN NOT is_ex AND NOT nc THEN n_toks ELSE 0 END)
+         |    AS BIGINT) AS tokens_kept
+         |FROM f JOIN ex USING (doc_id) JOIN cl USING (doc_id)
+         |GROUP BY source ORDER BY source""".stripMargin,
     // candidates + exact Jaccard stated on gram TEXT; the engine keys the
     // same sets on xxhash64 (invisible to the result, as in q41)
     "q197_lsh_calibration" ->

@@ -302,7 +302,63 @@ object QualityQueries extends QueryPack {
       .orderBy("source", "lang")
   }
 
+  /** t-closeness census (Li et al. 2007) — the third leg of the privacy
+    * audit trio: a QI group can be k-anonymous (q136) and l-diverse
+    * (q190) yet still leak if its SENSITIVE DISTRIBUTION differs sharply
+    * from the corpus's. For the ordered sensitive attribute (order value
+    * in $50k buckets), t is the normalized Earth-Mover's Distance
+    * between the group's bucket distribution and the global one — for an
+    * ordered domain EMD has the closed form
+    * `Σ_i |cumG(i)/n_g − cumAll(i)/N| / (m−1)`, which this emits in
+    * EXACT integer arithmetic: one common-denominator form
+    * `1e6·Σ|cumG·N − cumAll·n_g| div (n_g·N·(m−1))` per group (decimal
+    * chain ⇄ HUGEINT, m=1 CASE-guarded). Shapes: the global bucket
+    * histogram and the (N, m) scalars are broadcast-sized; the dense
+    * group×bucket lattice is QI-groups × m rows; the cumulative window
+    * partitions per QI group over exactly m rows — bounded by the bucket
+    * domain, never by data volume. */
+  private def q221(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Rounding.intDivExact
+    val o = Tables.load(s, dir, "orders")
+      .select(col("o_orderstatus").as("status"),
+        col("o_orderpriority").as("priority"),
+        month(col("o_orderdate")).cast("long").as("mon"),
+        floor(col("o_totalprice") / 50000.0).cast("long").as("bucket"))
+    val cell = o.groupBy("status", "priority", "mon", "bucket")
+      .agg(count(lit(1)).as("n"))
+    val g = o.groupBy("status", "priority", "mon")
+      .agg(count(lit(1)).as("n_g"))
+    val b = o.groupBy("bucket").agg(count(lit(1)).as("n_b"))
+    val gl = b.agg(sum("n_b").cast("long").as("nn"),
+      count(lit(1)).as("m"))
+    val w = Window.partitionBy("status", "priority", "mon")
+      .orderBy("bucket")
+    def d14(c: org.apache.spark.sql.Column) = c.cast("decimal(14,0)")
+    val dense = g.crossJoin(broadcast(b))
+      .join(cell, Seq("status", "priority", "mon", "bucket"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .crossJoin(broadcast(gl))
+      .withColumn("cg", sum("n").over(w))
+      .withColumn("ca", sum("n_b").over(w))
+      .withColumn("diff",
+        abs(d14(col("cg")) * d14(col("nn")) -
+          d14(col("ca")) * d14(col("n_g"))))
+    dense.groupBy("status", "priority", "mon", "n_g", "nn", "m")
+      .agg(sum("diff").as("sd"))
+      .select(col("status"), col("priority"), col("mon"),
+        col("n_g").as("n_rows"),
+        when(col("m") === 1, lit(0L))
+          .otherwise(intDivExact(
+            col("sd") * lit(1000000L),
+            d14(col("n_g")) * d14(col("nn")) *
+              d14(col("m") - 1))).as("t_closeness_e6"))
+      .withColumn("tight", (col("t_closeness_e6") <= 200000L).cast("long"))
+      .orderBy("status", "priority", "mon")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q221_t_closeness" -> (q221 _),
     "q217_mix_drift" -> (q217 _),
     "q66_quality_report" -> (q66 _),
     "q193_encoding_damage" -> (q193 _),
@@ -316,6 +372,50 @@ object QualityQueries extends QueryPack {
   // one SELECT per check, mirrored shapes; 'license' is a deliberately
   // missing column so the missing-column path is oracle-checked too
   val oracle: Map[String, String] = Map(
+    // same dense lattice, same cumulative-diff EMD closed form, HUGEINT
+    // products mirror the engine's decimal chain
+    "q221_t_closeness" -> {
+      import graft.functions.Rounding.intDivExactSql
+      s"""WITH o AS (
+         |  SELECT o_orderstatus AS status, o_orderpriority AS priority,
+         |    CAST(month(o_orderdate) AS BIGINT) AS mon,
+         |    CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket
+         |  FROM orders),
+         |cell AS (SELECT status, priority, mon, bucket, count(*) AS n
+         |         FROM o GROUP BY 1, 2, 3, 4),
+         |g AS (SELECT status, priority, mon, count(*) AS n_g
+         |      FROM o GROUP BY 1, 2, 3),
+         |b AS (SELECT bucket, count(*) AS n_b FROM o GROUP BY 1),
+         |gl AS (SELECT CAST(sum(n_b) AS BIGINT) AS nn, count(*) AS m
+         |       FROM b),
+         |dense AS (
+         |  SELECT g.status, g.priority, g.mon, g.n_g, b.bucket, b.n_b,
+         |    coalesce(cell.n, 0) AS n
+         |  FROM g CROSS JOIN b
+         |  LEFT JOIN cell USING (status, priority, mon, bucket)),
+         |cum AS (
+         |  SELECT status, priority, mon, n_g,
+         |    sum(n) OVER w AS cg, sum(n_b) OVER w AS ca
+         |  FROM dense
+         |  WINDOW w AS (PARTITION BY status, priority, mon
+         |    ORDER BY bucket)),
+         |agg AS (
+         |  SELECT status, priority, mon, n_g,
+         |    sum(abs(CAST(cg AS HUGEINT) * nn
+         |      - CAST(ca AS HUGEINT) * n_g)) AS sd
+         |  FROM cum, gl GROUP BY 1, 2, 3, 4)
+         |SELECT status, priority, mon, n_g AS n_rows,
+         |  CASE WHEN m = 1 THEN 0 ELSE
+         |    ${intDivExactSql("sd * 1000000",
+              "CAST(n_g AS HUGEINT) * nn * (m - 1)")} END
+         |    AS t_closeness_e6,
+         |  CAST(CASE WHEN m = 1 THEN 0 ELSE
+         |    ${intDivExactSql("sd * 1000000",
+              "CAST(n_g AS HUGEINT) * nn * (m - 1)")} END <= 200000
+         |    AS BIGINT) AS tight
+         |FROM agg, gl
+         |ORDER BY status, priority, mon""".stripMargin
+    },
     "q217_mix_drift" -> {
       import graft.functions.Rounding.intDivExactSql
       def share(n: String, t: String) =

@@ -328,6 +328,52 @@ object SimilarityQueries extends QueryPack {
       .limit(50)
   }
 
+  /** Matryoshka prefix-dimension retrieval audit — the "can we truncate
+    * the embeddings?" measurement behind MRL-style dimension cuts: take
+    * the query's (vec_id 0) exact top-20 by FULL 64-dim cosine, and for
+    * each hit report where it would rank if retrieval used only the
+    * FIRST 16 dimensions — displacement ≈ 0 means the prefix preserves
+    * this query's neighborhood and the index can store 4× fewer floats.
+    * Exact and scale-shaped: both cosines land on the e4 grid
+    * (deterministic ties on vec_id), the full-dim top-20 is a bounded
+    * TakeOrdered heap (the q194 arm shape), and the prefix rank is NOT a
+    * corpus-wide window — it's `1 + |{better under (cos_p16, id)}|`,
+    * counted by streaming the corpus past the BROADCAST 20-row candidate
+    * table (a bounded nested-loop product, the q50 crossJoin family) into
+    * one 20-group aggregate. */
+  private def q220(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Rounding.roundf
+    val e = emb(s, dir)
+    val qv = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val scored = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"),
+        roundf(graft.expressions.CosineSimilarity.sim(
+          col("v"), col("qv")), 4).as("cos_full"),
+        roundf(graft.expressions.CosineSimilarity.sim(
+          slice(col("v"), 1, 16), slice(col("qv"), 1, 16)), 4)
+          .as("cos_p16"))
+    val top = scored.orderBy(col("cos_full").desc, col("vec_id")).limit(20)
+      .withColumn("rank_full",
+        row_number().over(
+          Window.orderBy(col("cos_full").desc, col("vec_id")))
+          .cast("long"))
+    val cand = top.select(col("vec_id").as("cand_id"),
+      col("cos_p16").as("cand_cp"))
+    val pref = scored.crossJoin(broadcast(cand))
+      .groupBy("cand_id")
+      .agg((sum((col("cos_p16") > col("cand_cp") ||
+        (col("cos_p16") === col("cand_cp") &&
+          col("vec_id") < col("cand_id"))).cast("long")) + 1L)
+        .as("rank_p16"))
+    top.join(pref, col("vec_id") === col("cand_id"))
+      .select(col("vec_id").as("doc_id"), col("cos_full"), col("cos_p16"),
+        col("rank_full"), col("rank_p16"),
+        (col("rank_p16") - col("rank_full")).as("displacement"))
+      .orderBy("rank_full")
+  }
+
   /** Embedding pre-flight audit — the degenerate-vector census run
     * before building ANY of the ANN indexes in this file: all-zero
     * vectors (cosine undefined — they silently score 0 or NaN into every
@@ -372,6 +418,7 @@ object SimilarityQueries extends QueryPack {
     "q50_knn_cosine" -> (q50 _),
     "q194_hybrid_rrf" -> (q194 _),
     "q202_embedding_audit" -> (q202 _),
+    "q220_matryoshka_audit" -> (q220 _),
     "q51_knn_lsh" -> (q51 _),
     "q56_knn_ivf" -> (q56 _),
     "q91_sq8_quantize" -> (q91 _),
@@ -384,6 +431,34 @@ object SimilarityQueries extends QueryPack {
     s"floor(($e) * 10000.0 + 0.5) / 10000.0"
 
   val oracle: Map[String, String] = Map(
+    // the prefix rank is restated as the corpus-wide better-count the
+    // engine's broadcast aggregate equals; the self row never counts
+    // (s.vec_id < t.vec_id is false at equality with itself)
+    "q220_matryoshka_audit" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |s AS (
+        |  SELECT vec_id,
+        |    ${rnd("list_cosine_similarity(v, qv)")} AS cf,
+        |    ${rnd("list_cosine_similarity(v[1:16], qv[1:16])")} AS cp
+        |  FROM e, q WHERE vec_id <> 0),
+        |t AS (
+        |  SELECT vec_id, cf, cp,
+        |    CAST(row_number() OVER (ORDER BY cf DESC, vec_id) AS BIGINT)
+        |      AS rank_full
+        |  FROM s QUALIFY rank_full <= 20),
+        |r AS (
+        |  SELECT t.vec_id,
+        |    CAST(1 + count(*) FILTER (WHERE s.cp > t.cp
+        |      OR (s.cp = t.cp AND s.vec_id < t.vec_id)) AS BIGINT)
+        |      AS rank_p16
+        |  FROM t, s GROUP BY t.vec_id)
+        |SELECT t.vec_id AS doc_id, t.cf AS cos_full, t.cp AS cos_p16,
+        |  t.rank_full, r.rank_p16,
+        |  r.rank_p16 - t.rank_full AS displacement
+        |FROM t JOIN r USING (vec_id)
+        |ORDER BY t.rank_full""".stripMargin,
     "q202_embedding_audit" ->
       """WITH per AS (
         |  SELECT CAST(label AS BIGINT) AS label,
