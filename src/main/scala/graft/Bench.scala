@@ -61,6 +61,15 @@ object Bench {
         val (_, asg64) = graft.operators.KMeans.fit(
           vecs64, "vid", "v", dim = 64, k = 4, iters = 1)
         asg64.count()
+        // the iterative-CC machinery is another dim-independent codegen
+        // family of its own (label joins + min-agg rounds + the star
+        // fallback checks): unwarmed, the alphabetically-first consumer
+        // absorbs it — q219's round-10 pass 1 read 19.0s vs 4.1s pass 2
+        val nodes = spark.range(64).selectExpr("id as n")
+        val cedges = spark.range(63)
+          .selectExpr("id as a", "id + 1 as b")
+        graft.operators.ConnectedComponents
+          .components(nodes, cedges, "n", "a", "b").count()
       }
       try spark.read.parquet(s"$sfDir/region.parquet").count()
       catch { case _: Throwable => () }
