@@ -663,7 +663,7 @@ object CurationQueries extends QueryPack {
     // the single-task per-stratum row_number form GlobalRank + the
     // stratum-offset join provably equals (same total order per stratum)
     "q216_exact_kfold" ->
-      s"""WITH u AS (
+      s"""WITH h AS (
         |  SELECT doc_id, source,
         |    ${graft.functions.Hashing.md5U32Sql("CAST(doc_id AS VARCHAR)")}
         |      AS u
@@ -672,7 +672,7 @@ object CurationQueries extends QueryPack {
         |  SELECT doc_id, source,
         |    CAST(row_number() OVER (PARTITION BY source
         |      ORDER BY u, doc_id) AS BIGINT) AS rs
-        |  FROM u)
+        |  FROM h)
         |SELECT doc_id, source, CAST((rs - 1) % 5 AS BIGINT) AS fold
         |FROM r ORDER BY doc_id""".stripMargin,
     // same exact-integer ratio grid, same HUGEINT//-mirrored divisions,

@@ -340,7 +340,57 @@ object EventOpsQueries extends QueryPack {
       .orderBy("event_type")
   }
 
+  /** Timed conversion funnel — q88 checks step ORDER (view before click
+    * before purchase, anywhere in the user's history); real funnel
+    * analytics bound each hop with a conversion WINDOW: a view converts
+    * only if a click follows within 1 hour, and the funnel completes
+    * only if a purchase follows THAT CLICK within another hour. Both
+    * hops resolve in ONE user-keyed exchange via the q88/q124 cascade:
+    * the first unbounded-following window carries each row's
+    * next-purchase time backwards, the second picks each row's earliest
+    * following click AS A STRUCT (c_us, that click's next-purchase) —
+    * min over the struct is the argmin on click time carrying its
+    * purchase payload, so the chained constraint never needs a
+    * self-join. Null next-purchase rides as a Long.MaxValue sentinel so
+    * struct min stays total and the second hop simply fails. Rates per
+    * view-hour on the exact e6 grid. Timestamps compare as unix_micros
+    * under the pinned UTC session; (us, event_id) makes the stream
+    * order total. */
+  private def q222(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.intDivExact
+    val hourUs = 3600000000L
+    val e = ev(s, dir).select(col("event_id"), col("user_id"),
+      col("event_type"), col("ts"), unix_micros(col("ts")).as("us"))
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      .rowsBetween(1, Window.unboundedFollowing)
+    val withNext = e
+      .withColumn("np_us",
+        min(when(col("event_type") === "purchase", col("us"))).over(w))
+      .withColumn("nc",
+        min(when(col("event_type") === "click",
+          struct(col("us").as("c_us"),
+            coalesce(col("np_us"), lit(Long.MaxValue)).as("p_us"))))
+          .over(w))
+    val clicked = col("nc").isNotNull &&
+      col("nc.c_us") - col("us") <= hourUs
+    val full = clicked && col("nc.p_us") - col("nc.c_us") <= hourUs
+    withNext.filter(col("event_type") === "view")
+      .select(hour(col("ts")).cast("long").as("hr"),
+        clicked.cast("long").as("c"), full.cast("long").as("f"))
+      .groupBy("hr")
+      .agg(count(lit(1)).as("n_views"), sum("c").as("n_clicked_1h"),
+        sum("f").as("n_full_funnel"))
+      .withColumn("click_rate_e6",
+        intDivExact(col("n_clicked_1h").cast("decimal(19,0)")
+          * lit(1000000L), col("n_views")))
+      .withColumn("full_rate_e6",
+        intDivExact(col("n_full_funnel").cast("decimal(19,0)")
+          * lit(1000000L), col("n_views")))
+      .orderBy("hr")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q222_timed_funnel" -> (q222 _),
     "q208_lateness_calibration" -> (q208 _),
     "q182_conversion_survival" -> (q182 _),
     "q188_streaks" -> (q188 _),
@@ -429,6 +479,46 @@ object EventOpsQueries extends QueryPack {
   }
 
   val oracle: Map[String, String] = Map(
+    // identical chained windows (DuckDB min over a named STRUCT is the
+    // same lexicographic argmin); sentinel keeps the second hop total
+    "q222_timed_funnel" -> {
+      import graft.functions.Rounding.intDivExactSql
+      s"""WITH e AS (
+         |  SELECT event_id, user_id, event_type, ts, epoch_us(ts) AS us
+         |  FROM events),
+         |w1 AS (
+         |  SELECT *, min(CASE WHEN event_type = 'purchase' THEN us END)
+         |      OVER (PARTITION BY user_id ORDER BY us, event_id
+         |        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+         |      AS np_us
+         |  FROM e),
+         |w2 AS (
+         |  SELECT *, min(CASE WHEN event_type = 'click' THEN
+         |        {'c_us': us,
+         |         'p_us': coalesce(np_us, 9223372036854775807)} END)
+         |      OVER (PARTITION BY user_id ORDER BY us, event_id
+         |        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+         |      AS nc
+         |  FROM w1),
+         |v AS (
+         |  SELECT CAST(hour(ts) AS BIGINT) AS hr,
+         |    CAST(nc IS NOT NULL
+         |      AND nc.c_us - us <= 3600000000 AS INT) AS c,
+         |    CAST(nc IS NOT NULL AND nc.c_us - us <= 3600000000
+         |      AND nc.p_us - nc.c_us <= 3600000000 AS INT) AS f
+         |  FROM w2 WHERE event_type = 'view'),
+         |agg AS (
+         |  SELECT hr, count(*) AS n_views,
+         |    CAST(sum(c) AS BIGINT) AS n_clicked_1h,
+         |    CAST(sum(f) AS BIGINT) AS n_full_funnel
+         |  FROM v GROUP BY hr)
+         |SELECT hr, n_views, n_clicked_1h, n_full_funnel,
+         |  ${intDivExactSql("CAST(n_clicked_1h AS HUGEINT) * 1000000",
+            "n_views")} AS click_rate_e6,
+         |  ${intDivExactSql("CAST(n_full_funnel AS HUGEINT) * 1000000",
+            "n_views")} AS full_rate_e6
+         |FROM agg ORDER BY hr""".stripMargin
+    },
     "q208_lateness_calibration" ->
       """WITH e AS (
         |  SELECT event_type, event_id, epoch_us(ts) AS us FROM events),
