@@ -374,6 +374,51 @@ object SimilarityQueries extends QueryPack {
       .orderBy("rank_full")
   }
 
+  /** Mutual nearest neighbors over LSH candidates — the bitext/parallel-
+    * corpus mining shape (two vectors are a mined pair iff each is the
+    * OTHER's best match; one-directional best-match lists are full of
+    * hubs, mutuality is the classic filter). Deliberately NOT the
+    * [[graft.operators.SimilaritySearch.topK]] path: that broadcasts the
+    * query side, which is right for few-queries retrieval and wrong when
+    * every corpus vector is a query — here candidates come from the
+    * SYMMETRIC band-bucket self-join (the q42 discipline: one keyed
+    * join, fan-out bounded by bucket populations), each candidate pair
+    * is scored once (a < b), the per-vector argmax is a
+    * `min(struct(−cos, id))` over the two-direction union (one keyed
+    * exchange, no window), and mutuality is a keyed self-join of the
+    * best-match table. "Best" means best among LSH candidates — exactly
+    * what a production miner computes; isolated vectors sharing no
+    * bucket are absent by construction on both engines. */
+  private def q223(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.roundf
+    val e = emb(s, dir)
+    val bands = graft.operators.Lsh
+      .bandsDf(e, "vec_id", "v", Bands, Rows, Dim)
+    val pairs = bands.select(col("vec_id").as("a"), col("band"), col("bkey"))
+      .join(bands.select(col("vec_id").as("b"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val scored = pairs
+      .join(e.select(col("vec_id").as("a"), col("v").as("va")), "a")
+      .join(e.select(col("vec_id").as("b"), col("v").as("vb")), "b")
+      .select(col("a"), col("b"),
+        roundf(graft.expressions.CosineSimilarity.sim(
+          col("va"), col("vb")), 4).as("cos"))
+    val directed = scored
+      .select(col("a").as("q"), col("b").as("n"), col("cos"))
+      .unionAll(scored.select(col("b").as("q"), col("a").as("n"), col("cos")))
+    val best = directed.groupBy("q")
+      .agg(min(struct((-col("cos")).as("nc"), col("n").as("nn"))).as("m"))
+      .select(col("q"), col("m.nn").as("n"), (-col("m.nc")).as("cos"))
+    best.as("x").join(best.as("y"),
+        col("x.q") === col("y.n") && col("x.n") === col("y.q") &&
+          col("x.q") < col("x.n"))
+      .select(col("x.q").as("vec_a"), col("x.n").as("vec_b"),
+        col("x.cos").as("cos"))
+      .orderBy("vec_a")
+  }
+
   /** Embedding pre-flight audit — the degenerate-vector census run
     * before building ANY of the ANN indexes in this file: all-zero
     * vectors (cosine undefined — they silently score 0 or NaN into every
@@ -419,6 +464,7 @@ object SimilarityQueries extends QueryPack {
     "q194_hybrid_rrf" -> (q194 _),
     "q202_embedding_audit" -> (q202 _),
     "q220_matryoshka_audit" -> (q220 _),
+    "q223_mutual_knn" -> (q223 _),
     "q51_knn_lsh" -> (q51 _),
     "q56_knn_ivf" -> (q56 _),
     "q91_sq8_quantize" -> (q91 _),
@@ -431,6 +477,37 @@ object SimilarityQueries extends QueryPack {
     s"floor(($e) * 10000.0 + 0.5) / 10000.0"
 
   val oracle: Map[String, String] = Map(
+    // same md5-seeded planes/bands as q51's oracle, same (cos DESC, id)
+    // argmax stated as QUALIFY row_number = the engine's min(struct) —
+    // mutuality is the same keyed self-join
+    "q223_mutual_knn" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |${Lsh.signatureSqlCtes(Bands * Rows, Dim)},
+        |${Lsh.bandsSqlCte(Bands, Rows)},
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS a, b.vec_id AS b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bkey = b.bkey
+        |      AND a.vec_id < b.vec_id),
+        |scored AS (
+        |  SELECT c.a, c.b,
+        |    ${rnd("list_cosine_similarity(ea.v, eb.v)")} AS cos
+        |  FROM cand c
+        |  JOIN e ea ON c.a = ea.vec_id
+        |  JOIN e eb ON c.b = eb.vec_id),
+        |directed AS (
+        |  SELECT a AS q, b AS n, cos FROM scored
+        |  UNION ALL
+        |  SELECT b AS q, a AS n, cos FROM scored),
+        |best AS (
+        |  SELECT q, n, cos FROM directed
+        |  QUALIFY row_number()
+        |    OVER (PARTITION BY q ORDER BY cos DESC, n) = 1)
+        |SELECT x.q AS vec_a, x.n AS vec_b, x.cos AS cos
+        |FROM best x JOIN best y
+        |  ON x.q = y.n AND x.n = y.q AND x.q < x.n
+        |ORDER BY vec_a""".stripMargin,
     // the prefix rank is restated as the corpus-wide better-count the
     // engine's broadcast aggregate equals; the self row never counts
     // (s.vec_id < t.vec_id is false at equality with itself)
