@@ -408,9 +408,43 @@ object CorpusStatsQueries extends QueryPack {
       .orderBy("rank")
   }
 
+  /** Vocabulary novelty between ingest batches — q217 watches the
+    * source/lang MIX drift; this watches the CONTENT drift: per source,
+    * how much of the newer batch's vocabulary was never seen in the
+    * older batch (batches = the deterministic doc_id parity split, the
+    * q151/q217 stand-in for consecutive crawl drops). High novelty ⇒ the
+    * source changed register/domain (or its crawler broke); near-zero ⇒
+    * the new batch is rehashed old content and dedup pressure is coming.
+    * ONE shuffle: the (source, token) membership flags collapse in a
+    * single groupBy with bool-max flags (map-side combinable), and the
+    * per-source rollup rides the usual ~#sources exchange; the e6 rate
+    * is the exact decimal division, CASE-guarded for a batch-empty
+    * source. */
+  private def q224(s: SparkSession, dir: String): DataFrame = {
+    import Rounding.intDivExact
+    val flags = docs(s, dir)
+      .select(col("source"), (col("doc_id") % 2 === 0).as("a"),
+        explode(TextAnalysis.tokensCol(col("text"))).as("tok"))
+      .groupBy("source", "tok")
+      .agg(max(col("a").cast("int")).as("has_a"),
+        max((!col("a")).cast("int")).as("has_b"))
+    flags.groupBy("source")
+      .agg(sum("has_a").cast("long").as("n_vocab_a"),
+        sum("has_b").cast("long").as("n_vocab_b"),
+        sum(((col("has_b") === 1) && (col("has_a") === 0)).cast("long"))
+          .as("n_new"))
+      .withColumn("novelty_e6",
+        when(col("n_vocab_b") === 0, lit(0L))
+          .otherwise(intDivExact(
+            col("n_new").cast("decimal(19,0)") * lit(1000000L),
+            col("n_vocab_b"))))
+      .orderBy("source")
+  }
+
   val defs: Map[String, Q] = Map(
     "q213_phrase_query" -> (q213 _),
     "q214_zipf_profile" -> (q214 _),
+    "q224_vocab_novelty" -> (q224 _),
     "q186_dyadic_histogram" -> (q186 _),
     "q187_length_gini" -> (q187 _),
     "q172_ngram_novelty" -> (q172 _),
@@ -440,6 +474,31 @@ object CorpusStatsQueries extends QueryPack {
         |SELECT doc_id, count(*) AS n_matches,
         |  CAST(min(i) - 1 AS BIGINT) AS first_pos
         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q224_vocab_novelty" -> {
+      import Rounding.intDivExactSql
+      s"""WITH flags AS (
+        |  SELECT source, tok,
+        |    max(CAST(doc_id % 2 = 0 AS INT)) AS has_a,
+        |    max(CAST(doc_id % 2 = 1 AS INT)) AS has_b
+        |  FROM (
+        |    SELECT doc_id, source,
+        |      unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+        |        AS tok
+        |    FROM documents)
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT source,
+        |    CAST(sum(has_a) AS BIGINT) AS n_vocab_a,
+        |    CAST(sum(has_b) AS BIGINT) AS n_vocab_b,
+        |    CAST(sum(CASE WHEN has_b = 1 AND has_a = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_new
+        |  FROM flags GROUP BY 1)
+        |SELECT source, n_vocab_a, n_vocab_b, n_new,
+        |  CASE WHEN n_vocab_b = 0 THEN 0 ELSE
+        |    ${intDivExactSql("CAST(n_new AS HUGEINT) * 1000000",
+           "n_vocab_b")} END AS novelty_e6
+        |FROM r ORDER BY source""".stripMargin
+    },
     // the oracle's row_number() OVER (ORDER BY) is the single-task form
     // GlobalRank exists to replace — same total order, same ranks
     "q214_zipf_profile" ->

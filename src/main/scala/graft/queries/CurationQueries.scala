@@ -559,7 +559,35 @@ object CurationQueries extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** Simpson concentration of the source mixture, per language — the
+    * scalar the q92/q139 balancing passes exist to move: λ is the exact
+    * probability that two random documents of a language come from the
+    * SAME source (Σ nᵢ(nᵢ−1) / N(N−1), the unbiased finite-population
+    * form), on the integer e6 grid — λ→1/#sources means balanced, λ→1
+    * means one source owns the language. No floats anywhere: the
+    * numerator and denominator are exact integer products and one
+    * decimal division per language (CASE-guarded at N ≤ 1). One
+    * aggregation per (lang, source), then a ~#langs rollup. */
+  private def q225(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.intDivExact
+    def d14(c: org.apache.spark.sql.Column) = c.cast("decimal(14,0)")
+    Tables.load(s, dir, "documents")
+      .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sources"),
+        sum("n").cast("long").as("n_docs"),
+        sum(d14(col("n")) * d14(col("n") - 1)).as("pairs_same"))
+      .select(col("lang"), col("n_sources"), col("n_docs"),
+        when(col("n_docs") <= 1, lit(0L))
+          .otherwise(intDivExact(
+            col("pairs_same") * lit(1000000L),
+            d14(col("n_docs")) * d14(col("n_docs") - 1)))
+          .as("simpson_e6"))
+      .orderBy("lang")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q225_source_concentration" -> (q225 _),
     "q218_contamination_score" -> (q218 _),
     "q216_exact_kfold" -> (q216 _),
     "q212_dsir_resample" -> (q212 _),
@@ -825,6 +853,23 @@ object CurationQueries extends QueryPack {
          |FROM toks, tot GROUP BY tok, t
          |HAVING count(*) > t / 64.0
          |ORDER BY tok""".stripMargin,
+    "q225_source_concentration" -> {
+      import Rounding.intDivExactSql
+      s"""WITH c AS (
+         |  SELECT lang, source, count(*) AS n
+         |  FROM documents GROUP BY 1, 2),
+         |r AS (
+         |  SELECT lang, count(*) AS n_sources,
+         |    CAST(sum(n) AS BIGINT) AS n_docs,
+         |    CAST(sum(CAST(n AS HUGEINT) * (n - 1)) AS HUGEINT)
+         |      AS pairs_same
+         |  FROM c GROUP BY 1)
+         |SELECT lang, n_sources, n_docs,
+         |  CASE WHEN n_docs <= 1 THEN 0 ELSE
+         |    ${intDivExactSql("pairs_same * 1000000",
+            "CAST(n_docs AS HUGEINT) * (n_docs - 1)")} END AS simpson_e6
+         |FROM r ORDER BY lang""".stripMargin
+    },
     "q218_contamination_score" -> {
       import Rounding.intDivExactSql
       s"""WITH toks AS (
