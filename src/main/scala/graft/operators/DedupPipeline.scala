@@ -31,14 +31,18 @@ object DedupPipeline {
     df.join(keepers, Seq(idCol), "left_semi")
   }
 
-  /** Near-dup candidate pairs by word n-gram Jaccard: (id_a, id_b,
-    * inter, jaccard) with id_a < id_b, jaccard ≥ minJaccard. Shingles
-    * shuffle as xxhash64 longs; a document-frequency gate (2 ≤ df ≤
-    * maxDf) runs as a count aggregation BEFORE any posting list is
-    * buffered, so a stopword shingle cannot blow up a reducer. */
-  def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 5, minJaccard: Double = 0.1,
-      maxDf: Long = 1000): DataFrame = {
+  /** Shared pair-mining core: (id_a, id_b, inter, sz_a, sz_b) with
+    * id_a < id_b — the n-gram intersection count plus both documents'
+    * full distinct-shingle counts. Shingles shuffle as xxhash64 longs;
+    * a document-frequency gate (2 ≤ df ≤ maxDf) runs as a count
+    * aggregation BEFORE any posting list is buffered, so a stopword
+    * shingle cannot blow up a reducer. df = 1 shingles contribute to no
+    * pair (dropping them is lossless); df > maxDf shingles UNDERCOUNT
+    * `inter` for the pairs they span — the standard bounded-fan-out
+    * trade every LSH-free pair miner makes. Sizes are ungated, so the
+    * similarity denominators below always see the full shingle sets. */
+  private def interPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, maxDf: Long): DataFrame = {
     val toksDf = df.select(col(idCol).as("__id"),
       tokensCol(col(textCol)).as("__toks"))
     val sizes = toksDf.select(col("__id"),
@@ -59,11 +63,40 @@ object DedupPipeline {
     val sa = sizes.select(col("__id").as("id_a"), col("sz").as("sz_a"))
     val sb = sizes.select(col("__id").as("id_b"), col("sz").as("sz_b"))
     inter.join(sa, "id_a").join(sb, "id_b")
+  }
+
+  /** Near-dup candidate pairs by word n-gram Jaccard: (id_a, id_b,
+    * inter, jaccard) with id_a < id_b, jaccard ≥ minJaccard. See
+    * [[interPairs]] for the df-gate / fan-out discipline. */
+  def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, minJaccard: Double = 0.1,
+      maxDf: Long = 1000): DataFrame =
+    interPairs(df, idCol, textCol, n, maxDf)
       .withColumn("jaccard",
         roundf(col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 4))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "inter", "jaccard")
-  }
+
+  /** Containment near-dup pairs — the asymmetric-size complement of
+    * [[nearDupPairs]]. Jaccard is blind to one document swallowing a
+    * much smaller one: a 30-shingle doc fully embedded in a 300-shingle
+    * doc scores J = 30/300 = 0.1 and slips under every Jaccard
+    * threshold, yet for corpus curation it IS a duplicate (quote
+    * farms, boilerplate-wrapped reposts, doc-in-doc concatenations).
+    * Broder's containment C(A→B) = |A∩B| / |A| catches exactly this;
+    * we emit BOTH directions (cont_a = inter/|A|, cont_b = inter/|B|)
+    * and keep a pair when either direction clears minContainment —
+    * max(cont_a, cont_b) is the overlap coefficient. Same keyed
+    * posting-list mining as Jaccard (no all-pairs product, df-gated
+    * fan-out), so the 100 TB posture is unchanged. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, minContainment: Double = 0.5,
+      maxDf: Long = 1000): DataFrame =
+    interPairs(df, idCol, textCol, n, maxDf)
+      .withColumn("cont_a", roundf(col("inter") / col("sz_a"), 4))
+      .withColumn("cont_b", roundf(col("inter") / col("sz_b"), 4))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= minContainment)
+      .select("id_a", "id_b", "inter", "sz_a", "sz_b", "cont_a", "cont_b")
 
   /** Near-dedup: cluster the ≥-threshold pair graph with connected
     * components (similarity is not transitive — A~B~C clusters all three

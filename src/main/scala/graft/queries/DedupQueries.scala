@@ -656,8 +656,28 @@ object DedupQueries extends QueryPack {
       .orderBy("split_lo", "split_hi")
   }
 
+  /** Containment near-dup pairs (doc-in-doc detection) — thin face of
+    * [[graft.operators.DedupPipeline.containmentPairs]], which owns the
+    * implementation and the rationale: Jaccard misses a small document
+    * swallowed by a much larger one (J = |small|/|big| under any
+    * threshold), Broder containment inter/|side| catches it. Emits both
+    * directions; a pair survives when the overlap coefficient
+    * max(cont_a, cont_b) ≥ 0.5. Same keyed posting-list mining as q41 —
+    * no all-pairs product, df-gated fan-out — so the 100 TB posture is
+    * q41's. Oracle mirrors on gram text (hash ≡ text equality absent
+    * 64-bit collisions, the q41 argument). */
+  private def q226(s: SparkSession, dir: String): DataFrame =
+    graft.operators.DedupPipeline
+      .containmentPairs(docs(s, dir), "doc_id", "text", n = 5,
+        minContainment = 0.5, maxDf = maxDf)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        col("inter"), col("sz_a"), col("sz_b"),
+        col("cont_a"), col("cont_b"))
+      .orderBy("doc_a", "doc_b")
+
   val defs: Map[String, Q] = Map(
     "q40_dedup_exact" -> (q40 _),
+    "q226_containment" -> (q226 _),
     "q147_span_dedup_census" -> (q147 _),
     "q151_incremental_dedup" -> (q151 _),
     "q192_substring_overlap" -> (q192 _),
@@ -828,6 +848,30 @@ object DedupQueries extends QueryPack {
        |  WHERE floor((inter / (sa.sz + sb.sz - inter)) * 10000.0 + 0.5) / 10000.0 >= 0.1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q41's gram mining restated with per-side denominators; sizes stay
+    // ungated (full distinct-shingle counts) exactly like the engine
+    "q226_containment" ->
+      s"""WITH ${gramsSql(5)},
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+         |keep AS (SELECT gram FROM grams GROUP BY gram
+         |         HAVING count(*) BETWEEN 2 AND $maxDf),
+         |gf AS (SELECT g.doc_id, g.gram FROM grams g JOIN keep USING (gram)),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM gf a JOIN gf b
+         |    ON a.gram = b.gram AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
+         |    sa.sz AS sz_a, sb.sz AS sz_b,
+         |    floor((inter / sa.sz) * 10000.0 + 0.5) / 10000.0 AS cont_a,
+         |    floor((inter / sb.sz) * 10000.0 + 0.5) / 10000.0 AS cont_b
+         |  FROM pairs
+         |  JOIN sizes sa ON doc_a = sa.doc_id
+         |  JOIN sizes sb ON doc_b = sb.doc_id)
+         |SELECT * FROM scored
+         |WHERE greatest(cont_a, cont_b) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
     // positional-shingle run detection stated on the gram STRINGS (the
     // engine's xxhash64 keys never surface); DuckDB's 1-based positions
     // shift pa, pb, diag and isl by constants, which run-length grouping

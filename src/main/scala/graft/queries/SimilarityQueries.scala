@@ -459,8 +459,49 @@ object SimilarityQueries extends QueryPack {
       .orderBy("label")
   }
 
+  /** Hard-negative mining over LSH candidates — the contrastive-training
+    * data shape (triplet/InfoNCE losses need, per anchor, the most
+    * similar vectors that are NOT the anchor's class; random negatives
+    * are too easy and teach nothing). For each probe anchor (vec_id <
+    * 10), candidates come from the q51 band-bucket join — one keyed
+    * equi-join, never a scan per anchor — are label-filtered to
+    * cross-class only, exact-cosine re-ranked, and the top 5 hardest
+    * kept. 100 TB posture: the anchor side of the bucket join is a
+    * bounded probe set, fan-out per bucket is the band population (the
+    * q42/q51 discipline), and the rank window partitions per-anchor over
+    * only that anchor's LSH candidates — no global sort, no broadcast of
+    * anything O(N). */
+  private def q227(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Rounding.roundf
+    val e = emb(s, dir)
+    val bands = graft.operators.Lsh
+      .bandsDf(e, "vec_id", "v", Bands, Rows, Dim)
+    val cand = bands.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q"), col("band"), col("bkey"))
+      .join(bands.select(col("vec_id").as("c"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .filter(col("q") =!= col("c"))
+      .select("q", "c").distinct()
+    val scored = cand
+      .join(e.select(col("vec_id").as("q"), col("label").as("ql"),
+        col("v").as("qv")), "q")
+      .join(e.select(col("vec_id").as("c"), col("label").as("cl"),
+        col("v").as("cv")), "c")
+      .filter(col("ql") =!= col("cl"))
+      .select(col("q").as("q_id"), col("c").as("neg_id"),
+        col("cl").cast("long").as("neg_label"),
+        roundf(graft.expressions.CosineSimilarity.sim(
+          col("qv"), col("cv")), 4).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("neg_id"))
+    scored.withColumn("neg_rank", row_number().over(w).cast("long"))
+      .filter(col("neg_rank") <= 5)
+      .orderBy("q_id", "neg_rank")
+  }
+
   val defs: Map[String, Q] = Map(
     "q50_knn_cosine" -> (q50 _),
+    "q227_hard_negatives" -> (q227 _),
     "q194_hybrid_rrf" -> (q194 _),
     "q202_embedding_audit" -> (q202 _),
     "q220_matryoshka_audit" -> (q220 _),
@@ -477,6 +518,32 @@ object SimilarityQueries extends QueryPack {
     s"floor(($e) * 10000.0 + 0.5) / 10000.0"
 
   val oracle: Map[String, String] = Map(
+    // q223's band CTEs with an anchor-side probe filter; the engine's
+    // per-anchor row_number window is the same QUALIFY rank
+    "q227_hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |${Lsh.signatureSqlCtes(Bands * Rows, Dim)},
+        |${Lsh.bandsSqlCte(Bands, Rows)},
+        |cand AS (
+        |  SELECT DISTINCT q.vec_id AS q, c.vec_id AS c
+        |  FROM bands q JOIN bands c
+        |    ON q.band = c.band AND q.bkey = c.bkey
+        |      AND q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        |scored AS (
+        |  SELECT cd.q AS q_id, cd.c AS neg_id, ec.label AS neg_label,
+        |    ${rnd("list_cosine_similarity(eq.v, ec.v)")} AS cos
+        |  FROM cand cd
+        |  JOIN e eq ON cd.q = eq.vec_id
+        |  JOIN e ec ON cd.c = ec.vec_id
+        |  WHERE eq.label <> ec.label)
+        |SELECT q_id, neg_id, neg_label, cos,
+        |  CAST(row_number() OVER (PARTITION BY q_id
+        |    ORDER BY cos DESC, neg_id) AS BIGINT) AS neg_rank
+        |FROM scored
+        |QUALIFY neg_rank <= 5
+        |ORDER BY q_id, neg_rank""".stripMargin,
     // same md5-seeded planes/bands as q51's oracle, same (cos DESC, id)
     // argmax stated as QUALIFY row_number = the engine's min(struct) —
     // mutuality is the same keyed self-join

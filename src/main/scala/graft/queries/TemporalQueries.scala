@@ -573,8 +573,60 @@ object TemporalQueries extends QueryPack {
       .orderBy("user_id")
   }
 
+  /** Theil–Sen robust trend per user — the median of all pairwise
+    * day-close slopes, the estimator OLS regulars reach for when a
+    * series has outliers (one fat-fingered spike moves an OLS slope
+    * arbitrarily; Theil–Sen shrugs off up to ~29% contamination). Kept
+    * exactly integral until the very end: each day's close is integer
+    * cents (q120's row_number pick, deterministic ts/event_id
+    * tie-break), each pairwise slope is the exact rational
+    * (c_b − c_a) / (day_b − day_a), and both engines order pairs by the
+    * IDENTICAL double num/den (exact ints ≤ 2^53 in, same one IEEE
+    * division) with (di_a, di_b) tie-breaks, then pick the lower-median
+    * row by position — so the reported slope is a specific PAIR's exact
+    * rational, not an averaged float. 100 TB posture: the per-user pair
+    * fan-out is O(days²) where days is CALENDAR-bounded (30 here; any
+    * deployment bounds its window), so the keyed self-join's per-key
+    * cost is a constant — the shuffle is two exchanges on user_id, and
+    * no window ever spans more than one user's pairs. */
+  private def q228(s: SparkSession, dir: String): DataFrame = {
+    val epoch = to_date(lit("2024-01-01"))
+    val wDay = Window.partitionBy("user_id", "day")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val daily = ev(s, dir)
+      .filter(col("value").isNotNull) // NULL cents would inject NULL
+      // slopes, whose sort position differs between engines (q131 guard)
+      .withColumn("day", to_date(col("ts")))
+      .withColumn("cents", Rounding.cents(col("value")))
+      .withColumn("rn", row_number().over(wDay))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), datediff(col("day"), epoch).as("di"),
+        col("cents"))
+    val pairs = daily.as("a").join(daily.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.di") < col("b.di"))
+      .select(col("a.user_id").as("user_id"),
+        col("a.di").as("di_a"), col("b.di").as("di_b"),
+        (col("b.cents") - col("a.cents")).as("num_cents"),
+        (col("b.di") - col("a.di")).cast("long").as("den_days"))
+      .withColumn("slope", col("num_cents").cast("double") / col("den_days"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("slope"), col("di_a"), col("di_b"))
+    val cnt = Window.partitionBy("user_id")
+    pairs
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n_pairs", count(lit(1)).over(cnt))
+      .filter(col("rn") === Rounding.intDiv(col("n_pairs") + 1, lit(2)))
+      .select(col("user_id"), col("n_pairs"),
+        col("num_cents").as("slope_num_cents"),
+        col("den_days").as("slope_den_days"),
+        floor(lit(1000000.0) * col("num_cents") / col("den_days") +
+          lit(0.5)).cast("long").as("slope_e6"))
+      .orderBy("user_id")
+  }
+
   val defs: Map[String, Q] = Map(
     "q171_autocorr" -> (q171 _),
+    "q228_theilsen" -> (q228 _),
     "q105_gapfill_ffill" -> (q105 _),
     "q106_unpivot" -> (q106 _),
     "q107_mad_outliers" -> (q107 _),
@@ -697,6 +749,39 @@ object TemporalQueries extends QueryPack {
   private val centsV = Rounding.centsSql("value")
 
   val oracle: Map[String, String] = Map(
+    // same exact-rational pair slopes; DuckDB's row_number/QUALIFY is the
+    // engine's window, date_diff mirrors datediff(day, epoch)
+    "q228_theilsen" ->
+      s"""WITH daily AS (
+        |  SELECT user_id,
+        |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS di,
+        |    $centsV AS cents
+        |  FROM events
+        |  WHERE value IS NOT NULL
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY user_id, CAST(ts AS DATE)
+        |    ORDER BY ts DESC, event_id DESC) = 1),
+        |pairs AS (
+        |  SELECT a.user_id AS user_id, a.di AS di_a, b.di AS di_b,
+        |    b.cents - a.cents AS num_cents,
+        |    CAST(b.di - a.di AS BIGINT) AS den_days,
+        |    CAST(b.cents - a.cents AS DOUBLE) / CAST(b.di - a.di AS BIGINT)
+        |      AS slope
+        |  FROM daily a JOIN daily b
+        |    ON a.user_id = b.user_id AND a.di < b.di),
+        |ranked AS (
+        |  SELECT *,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY slope, di_a, di_b) AS BIGINT) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n_pairs
+        |  FROM pairs)
+        |SELECT user_id, n_pairs, num_cents AS slope_num_cents,
+        |  den_days AS slope_den_days,
+        |  CAST(floor(1000000.0 * num_cents / den_days + 0.5) AS BIGINT)
+        |    AS slope_e6
+        |FROM ranked
+        |WHERE rn = ${Rounding.intDivSql("n_pairs + 1", "2")}
+        |ORDER BY user_id""".stripMargin,
     "q105_gapfill_ffill" ->
       s"""WITH obs0 AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day, $centsV AS cents,

@@ -35,6 +35,36 @@ class DedupPipelineSpec extends SparkSuite {
     assert(out.columns.toSeq == Seq("doc_id", "text", "meta"))
   }
 
+  test("containmentPairs catches a small doc swallowed by a big one " +
+      "that Jaccard misses") {
+    // doc 11 = a 6-token snippet verbatim inside doc 10's 24 tokens:
+    // 4 trigram shingles of 11's 4 all appear in 10's 22 → cont_small =
+    // 1.0, while jaccard = 4/22 ≈ 0.18 — under a 0.3 Jaccard threshold
+    // the pair is invisible, containment at 0.5 flags it.
+    val host = "alpha beta gamma delta epsilon zeta " +
+      "one two three four five six seven eight " +
+      "nine ten eleven twelve thirteen fourteen fifteen sixteen " +
+      "seventeen eighteen"
+    val df = Seq(
+      (10L, host),
+      (11L, "one two three four five six"),
+      (12L, "totally unrelated words about nothing shared here")
+    ).toDF("doc_id", "text")
+    val jacc = DedupPipeline
+      .nearDupPairs(df, "doc_id", "text", n = 3, minJaccard = 0.3)
+      .collect()
+    assert(jacc.isEmpty) // Jaccard at 0.3 sees nothing
+    val cont = DedupPipeline
+      .containmentPairs(df, "doc_id", "text", n = 3, minContainment = 0.5)
+      .collect()
+    assert(cont.length == 1)
+    val r = cont.head
+    assert(r.getLong(0) == 10L && r.getLong(1) == 11L)
+    // the small side is fully contained; the big side is not
+    assert(r.getAs[Double]("cont_b") == 1.0)
+    assert(r.getAs[Double]("cont_a") < 0.5)
+  }
+
   test("nearDupPairs reports symmetric-free ordered pairs with jaccard") {
     val pairs = DedupPipeline
       .nearDupPairs(corpus, "doc_id", "text", n = 3, minJaccard = 0.1)
