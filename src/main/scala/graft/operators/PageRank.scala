@@ -67,6 +67,56 @@ object PageRank {
     ranks
   }
 
+  /** Personalized PageRank: same fixed-point damped rounds as [[ranks]],
+    * but ALL teleport mass returns to the seed set instead of spreading
+    * uniformly — the classic "relevance to this cohort" random walk
+    * (recommendation candidates, trust propagation, local community
+    * scoring). Initial mass ⌊T/|S|⌋ sits on the seeds; per round a node
+    * keeps ⌊17·S_in/20⌋ of its inbound mass and seeds additionally
+    * receive ⌊3T/(20·|S|)⌋. Non-seed nodes never receive teleport mass,
+    * so rank decays with random-walk distance from the cohort — after k
+    * rounds a node unreachable in ≤ k hops holds exactly 0. Same
+    * per-round plan as [[ranks]]: one keyed join + one groupBy,
+    * O(edges) shuffle; the seed table joins keyed (never broadcast
+    * assumed — Catalyst/AQE picks broadcast when it is actually small).
+    * Integer exactness argument identical to [[ranks]]. */
+  def personalizedRanks(edges: DataFrame, seeds: DataFrame,
+      iters: Int): DataFrame = {
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct()
+    // keep only seeds that exist in the graph — a phantom seed would
+    // swallow initial mass that can never move
+    val s = seeds.select(col("node")).distinct()
+      .join(nodes, Seq("node"), "left_semi")
+    val nSeeds = s.count() // tiny action, |S| needed as a literal
+    require(nSeeds > 0, "personalizedRanks: no seed is present in the graph")
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val seedBase = (3L * TotalMass / 20L) / nSeeds
+    val r0: Long = TotalMass / nSeeds
+
+    val seedFlag = s.withColumn("is_seed", lit(1L))
+    var ranks = nodes.join(seedFlag, Seq("node"), "left")
+      .select(col("node"),
+        (coalesce(col("is_seed"), lit(0L)) * lit(r0)).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(ranks, edges("src") === ranks("node"))
+        .join(outdeg, "src")
+        .select(col("dst"), intDiv(col("rank"), col("outdeg")).as("c"))
+      val sums = contrib.groupBy("dst")
+        .agg(sum(col("c").cast("decimal(38,0)")).cast("long").as("s"))
+      ranks = nodes
+        .join(sums, nodes("node") === sums("dst"), "left")
+        .join(seedFlag, Seq("node"), "left")
+        .select(col("node"),
+          (coalesce(col("is_seed"), lit(0L)) * lit(seedBase) +
+            intDiv(lit(17L) * coalesce(col("s"), lit(0L)), lit(20L)))
+            .as("rank"))
+    }
+    ranks
+  }
+
   /** Convenience: symmetric (both-direction) edge list from a pair column
     * set — turns a bipartite relation into a sink-free graph. */
   def undirected(pairs: DataFrame, a: Column, b: Column): DataFrame = {

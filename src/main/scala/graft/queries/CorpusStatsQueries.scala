@@ -441,7 +441,46 @@ object CorpusStatsQueries extends QueryPack {
       .orderBy("source")
   }
 
+  /** Tokenizer-fertility census per (lang, source) — the pre-training
+    * cost model's first input: how many subword tokens a corpus slice
+    * will cost per whitespace word (fertility) and how many characters
+    * each subword token covers (compression). High fertility on a slice
+    * means the tokenizer underserves that language — the standard reason
+    * multilingual mixes over- or under-count their token budgets. Uses
+    * q45's BPE-ish pre-tokenizer regex verbatim; everything stays
+    * integral: counts sum through decimal(38,0) and the e4 ratios are
+    * round-half-up EXACT rational division ((2·10⁴·a + b) div 2b via
+    * intDivExact/HUGEINT) — no double ever materializes, so the census
+    * cannot ulp-diverge at any corpus size. One map pass + one 100-group
+    * aggregation; nothing shuffles but the partial aggregates. */
+  private def q230(s: SparkSession, dir: String): DataFrame = {
+    import Rounding.intDivExact
+    // q45's GPT-2-style pre-tokenizer classes (TextQueries.q45)
+    val pat = "'(s|d|m|t|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s']+"
+    def e4(num: org.apache.spark.sql.Column,
+        den: org.apache.spark.sql.Column) =
+      intDivExact(num.cast("decimal(38,0)") * lit(20000L) + den,
+        lit(2L) * den)
+    docs(s, dir)
+      .select(col("lang"), col("source"),
+        size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long")
+          .as("bpe"),
+        TextAnalysis.tokenCount(col("text")).as("ws"),
+        length(col("text")).cast("long").as("chars"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("bpe").cast("decimal(38,0)")).cast("long").as("n_bpe"),
+        sum(col("ws").cast("decimal(38,0)")).cast("long").as("n_ws"),
+        sum(col("chars").cast("decimal(38,0)")).cast("long").as("n_chars"))
+      .select(col("lang"), col("source"), col("n_docs"),
+        col("n_bpe"), col("n_ws"), col("n_chars"),
+        e4(col("n_bpe"), col("n_ws")).as("fertility_e4"),
+        e4(col("n_chars"), col("n_bpe")).as("chars_per_tok_e4"))
+      .orderBy("lang", "source")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q230_token_fertility" -> (q230 _),
     "q213_phrase_query" -> (q213 _),
     "q214_zipf_profile" -> (q214 _),
     "q224_vocab_novelty" -> (q224 _),
@@ -457,7 +496,32 @@ object CorpusStatsQueries extends QueryPack {
     "q195_vocab_census" -> (q195 _),
     "q209_collocations" -> (q209 _))
 
+  private val fertE4 = (num: String, den: String) =>
+    Rounding.intDivExactSql(s"CAST($num AS HUGEINT) * 20000 + $den",
+      s"2 * $den")
+
   val oracle: Map[String, String] = Map(
+    // q45's regex (DuckDB spelling with doubled quotes), HUGEINT exact
+    // rational rounding mirrors intDivExact
+    "q230_token_fertility" ->
+      s"""WITH per AS (
+        |  SELECT lang, source,
+        |    CAST(len(regexp_extract_all(text,
+        |      '''(s|d|m|t|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s'']+'))
+        |      AS BIGINT) AS bpe,
+        |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS ws,
+        |    CAST(length(text) AS BIGINT) AS chars
+        |  FROM documents),
+        |agg AS (
+        |  SELECT lang, source, count(*) AS n_docs,
+        |    CAST(sum(bpe) AS BIGINT) AS n_bpe,
+        |    CAST(sum(ws) AS BIGINT) AS n_ws,
+        |    CAST(sum(chars) AS BIGINT) AS n_chars
+        |  FROM per GROUP BY 1, 2)
+        |SELECT lang, source, n_docs, n_bpe, n_ws, n_chars,
+        |  ${fertE4("n_bpe", "n_ws")} AS fertility_e4,
+        |  ${fertE4("n_chars", "n_bpe")} AS chars_per_tok_e4
+        |FROM agg ORDER BY lang, source""".stripMargin,
     // deliberately NOT the posting-intersection form: the oracle scans
     // every position directly, so it independently re-derives what the
     // engine's filtered-postings merge must equal

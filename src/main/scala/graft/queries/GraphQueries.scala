@@ -30,6 +30,31 @@ object GraphQueries extends QueryPack {
       .orderBy("node")
   }
 
+  /** Personalized PageRank from a seed supplier cohort (s_suppkey ≤ 20)
+    * over the same customer↔supplier co-transaction graph as q97 —
+    * "which nodes are closest to this cohort under a damped random
+    * walk", the recommendation/trust-propagation shape. All teleport
+    * mass returns to the seeds ([[PageRank.personalizedRanks]] owns the
+    * int64 fixed-point exactness argument), so rank decays with walk
+    * distance and any node unreachable in ≤ 3 hops holds exactly 0 —
+    * those rows are filtered, which keeps the output the cohort's
+    * actual neighborhood. Same O(edges)-per-round plan as q97. */
+  private def q231(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.load(s, dir, "orders")
+      .join(Tables.load(s, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 10L).as("c"),
+        (col("l_suppkey") * 10L + 1L).as("p"))
+    val seeds = Tables.load(s, dir, "supplier")
+      .filter(col("s_suppkey") <= 20L)
+      .select((col("s_suppkey") * 10L + 1L).as("node"))
+    PageRank
+      .personalizedRanks(PageRank.undirected(pairs, col("c"), col("p")),
+        seeds, iters = 3)
+      .filter(col("rank") > 0L)
+      .orderBy("node")
+  }
+
   /** Degree assortativity of the part co-order graph (does a hub co-occur
     * with hubs?) — Pearson correlation over the (deg(u), deg(v)) pairs of
     * every DIRECTED edge (both orientations, the standard undirected
@@ -231,6 +256,7 @@ object GraphQueries extends QueryPack {
 
   val defs: Map[String, Q] = Map(
     "q97_pagerank" -> (q97 _),
+    "q231_ppr" -> (q231 _),
     "q201_label_prop" -> (q201 _),
     "q215_modularity" -> (q215 _),
     "q119_assortativity" -> (q119 _),
@@ -340,6 +366,52 @@ object GraphQueries extends QueryPack {
          |    // (CAST(4 AS HUGEINT) * m * m) AS BIGINT) AS q_term_e6
          |FROM ds LEFT JOIN intra USING (community), mm
          |ORDER BY community""".stripMargin,
+    "q231_ppr" -> {
+      // q97's unrolled rounds with teleport mass CASE-gated to the seed
+      // set: rank' = [is_seed]·⌊3T/(20·|S|)⌋ + ⌊17·S_in/20⌋
+      def round(prev: String, i: Int): String =
+        s"""c$i AS (
+           |  SELECT e.dst, ${intDivSql("r.rank", "d.outdeg")} AS c
+           |  FROM $prev r
+           |  JOIN deg d ON r.node = d.src
+           |  JOIN edges e ON e.src = d.src),
+           |s$i AS (
+           |  SELECT dst, CAST(sum(CAST(c AS DECIMAL(38,0))) AS BIGINT) AS s
+           |  FROM c$i GROUP BY dst),
+           |r$i AS (
+           |  SELECT n0.node,
+           |    CASE WHEN sg.node IS NOT NULL
+           |      THEN ${intDivSql("150000000000", "ns.n")} ELSE 0 END +
+           |    ${intDivSql(s"17 * coalesce(s$i.s, 0)", "20")} AS rank
+           |  FROM nodes n0
+           |  LEFT JOIN s$i ON n0.node = s$i.dst
+           |  LEFT JOIN sg ON n0.node = sg.node, ns)""".stripMargin
+      s"""WITH pairs AS (
+         |  SELECT o_custkey * 10 AS c, l_suppkey * 10 + 1 AS p
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |edges AS (
+         |  SELECT c AS src, p AS dst FROM pairs
+         |  UNION
+         |  SELECT p AS src, c AS dst FROM pairs),
+         |nodes AS (
+         |  SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+         |seeds AS (
+         |  SELECT s_suppkey * 10 + 1 AS node FROM supplier
+         |  WHERE s_suppkey <= 20),
+         |sg AS (SELECT DISTINCT s.node FROM seeds s
+         |       JOIN nodes n ON s.node = n.node),
+         |ns AS (SELECT count(*) AS n FROM sg),
+         |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+         |r0 AS (
+         |  SELECT n0.node,
+         |    CASE WHEN sg.node IS NOT NULL
+         |      THEN ${intDivSql("1000000000000", "ns.n")} ELSE 0 END AS rank
+         |  FROM nodes n0 LEFT JOIN sg ON n0.node = sg.node, ns),
+         |${round("r0", 1)},
+         |${round("r1", 2)},
+         |${round("r2", 3)}
+         |SELECT node, rank FROM r3 WHERE rank > 0 ORDER BY node""".stripMargin
+    },
     "q97_pagerank" -> {
       // one damped round: contributions ⌊r/outdeg⌋ along edges, exact
       // integer sum per destination, rank' = ⌊3T/20N⌋ + ⌊17·S/20⌋

@@ -499,9 +499,58 @@ object SimilarityQueries extends QueryPack {
       .orderBy("q_id", "neg_rank")
   }
 
+  /** Embedding-quality AUC probe — one-vs-rest, per label: does cosine
+    * similarity to the label's anchor vector (its min vec_id) separate
+    * that label from the rest of the corpus? This is the
+    * retrieval-quality monitor run before trusting an embedding column
+    * for SemDeDup/clustering/search: AUC ≈ 0.5 means the embeddings
+    * carry no class signal. Computed as the exact Mann-Whitney rank-sum
+    * — but NEVER through a corpus-wide rank window: scores land on the
+    * e4 rounding grid, so the census groups to (anchor, score) histogram
+    * cells first (≤ 20001 per anchor REGARDLESS of corpus size) and the
+    * ordered window walks cells, not rows. 2U = Σ_cells np·(2·cum_nn +
+    * nn) stays integral — ties get their exact average rank with no
+    * halves materializing. The only non-integer step is the final
+    * auc_e6 division (operands < 2^53 up to ~10^6 vectors/label; past
+    * that, swap the final op for intDivExact — the integer inputs
+    * already support it). The anchor table is 10 rows → broadcast
+    * product, the q50 crossJoin family. */
+  private def q229(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Rounding.roundf
+    val e = emb(s, dir)
+    val anchors = e.groupBy(col("label").cast("long").as("albl"))
+      .agg(min("vec_id").as("anchor_id"))
+    val av = anchors.join(
+      e.select(col("vec_id").as("anchor_id"), col("v").as("avec")),
+      "anchor_id")
+    val scored = e.crossJoin(broadcast(av))
+      .filter(col("vec_id") =!= col("anchor_id"))
+      .select(col("albl"), col("anchor_id"),
+        roundf(graft.expressions.CosineSimilarity.sim(
+          col("v"), col("avec")), 4).as("score"),
+        (col("label").cast("long") === col("albl")).cast("long").as("pos"))
+    val hist = scored.groupBy("albl", "anchor_id", "score")
+      .agg(sum("pos").as("np"), sum(lit(1L) - col("pos")).as("nn"))
+    val w = Window.partitionBy("albl").orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hist.withColumn("cum_nn", coalesce(sum("nn").over(w), lit(0L)))
+      .groupBy("albl", "anchor_id")
+      .agg(sum("np").as("npos"), sum("nn").as("nneg"),
+        sum(col("np") * (lit(2L) * col("cum_nn") + col("nn"))).as("two_u"))
+      .select(col("albl").as("label"), col("anchor_id"),
+        col("npos"), col("nneg"), col("two_u"),
+        when(col("npos") > 0L && col("nneg") > 0L,
+          floor(lit(1000000.0) * col("two_u") /
+            (lit(2.0) * col("npos") * col("nneg")) + lit(0.5)).cast("long"))
+          .as("auc_e6"))
+      .orderBy("label")
+  }
+
   val defs: Map[String, Q] = Map(
     "q50_knn_cosine" -> (q50 _),
     "q227_hard_negatives" -> (q227 _),
+    "q229_anchor_auc" -> (q229 _),
     "q194_hybrid_rrf" -> (q194 _),
     "q202_embedding_audit" -> (q202 _),
     "q220_matryoshka_audit" -> (q220 _),
@@ -518,6 +567,43 @@ object SimilarityQueries extends QueryPack {
     s"floor(($e) * 10000.0 + 0.5) / 10000.0"
 
   val oracle: Map[String, String] = Map(
+    // same histogram-cell rank-sum; DuckDB's framed window sum is the
+    // engine's cum_nn, all counts integral until the one final division
+    "q229_anchor_auc" ->
+      s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |anchors AS (
+        |  SELECT label AS albl, min(vec_id) AS anchor_id
+        |  FROM e GROUP BY 1),
+        |av AS (
+        |  SELECT a.albl, a.anchor_id, e.v AS avec
+        |  FROM anchors a JOIN e ON a.anchor_id = e.vec_id),
+        |scored AS (
+        |  SELECT av.albl, av.anchor_id,
+        |    ${rnd("list_cosine_similarity(e.v, av.avec)")} AS score,
+        |    CASE WHEN e.label = av.albl THEN 1 ELSE 0 END AS pos
+        |  FROM e CROSS JOIN av
+        |  WHERE e.vec_id <> av.anchor_id),
+        |hist AS (
+        |  SELECT albl, anchor_id, score,
+        |    CAST(sum(pos) AS BIGINT) AS np,
+        |    CAST(sum(1 - pos) AS BIGINT) AS nn
+        |  FROM scored GROUP BY 1, 2, 3),
+        |cum AS (
+        |  SELECT *, coalesce(sum(nn) OVER (PARTITION BY albl ORDER BY score
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_nn
+        |  FROM hist)
+        |SELECT albl AS label, anchor_id,
+        |  CAST(sum(np) AS BIGINT) AS npos,
+        |  CAST(sum(nn) AS BIGINT) AS nneg,
+        |  CAST(sum(np * (2 * cum_nn + nn)) AS BIGINT) AS two_u,
+        |  CASE WHEN sum(np) > 0 AND sum(nn) > 0 THEN
+        |    CAST(floor(1000000.0 * sum(np * (2 * cum_nn + nn)) /
+        |      (2.0 * sum(np) * sum(nn)) + 0.5) AS BIGINT)
+        |  ELSE NULL END AS auc_e6
+        |FROM cum GROUP BY albl, anchor_id
+        |ORDER BY label""".stripMargin,
     // q223's band CTEs with an anchor-side probe filter; the engine's
     // per-anchor row_number window is the same QUALIFY rank
     "q227_hard_negatives" ->

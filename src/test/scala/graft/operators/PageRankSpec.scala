@@ -61,6 +61,50 @@ class PageRankSpec extends SparkSuite {
     assert(got.values.sum < PageRank.TotalMass) // leak is expected
   }
 
+  private def ppr(edges: Seq[(Long, Long)], seeds: Seq[Long],
+      iters: Int = 3): Map[Long, Long] = {
+    val s = spark
+    import s.implicits._
+    PageRank.personalizedRanks(edges.toDF("src", "dst"),
+        seeds.toDF("node"), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("personalized: seed hub dominates, leaves tie, off-component is 0") {
+    // star hubbed at the seed plus a far pair the walk can never reach:
+    // teleport keeps returning mass to 0, each leaf holds an identical
+    // share of one bounce, and 8-9 never see any mass at all
+    val g = star ++ Seq((18L, 19L), (19L, 18L))
+    val got = ppr(g, Seq(0L), iters = 3)
+    val leaves = (1L to 8L).map(got)
+    assert(leaves.distinct.size == 1) // identical integers
+    assert(got(0L) > leaves.head) // the cohort center outranks neighbors
+    assert(got(18L) == 0L && got(19L) == 0L) // unreachable ⇒ exactly zero
+  }
+
+  test("personalized: phantom seeds are dropped, in-graph seeds split " +
+      "teleport mass; uniform seed set over all nodes ≈ global behavior") {
+    val cyc = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    // phantom node 99 is not in the graph — |S| must be 4, not 5,
+    // which on a regular graph reproduces the uniform global ranks
+    val got = ppr(cyc, Seq(0L, 1L, 2L, 3L, 99L))
+    assert(got.values.toSeq.distinct.size == 1)
+    assert(math.abs(got(0L) - PageRank.TotalMass / 4) <= 20)
+    assert(!got.contains(99L))
+  }
+
+  test("personalized: bit-identical under different input partitionings") {
+    val s = spark
+    import s.implicits._
+    val e = star.toDF("src", "dst")
+    val one = PageRank.personalizedRanks(e.repartition(1),
+      Seq(1L).toDF("node"), 3).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val seven = PageRank.personalizedRanks(e.repartition(7),
+      Seq(1L).toDF("node"), 3).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(one == seven)
+  }
+
   test("undirected() symmetrizes and dedups parallel edges") {
     val s = spark
     import s.implicits._
