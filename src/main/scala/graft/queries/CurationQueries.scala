@@ -586,7 +586,50 @@ object CurationQueries extends QueryPack {
       .orderBy("lang")
   }
 
+  /** Cross-source quantile normalization — the batch-effect correction
+    * every multi-source score column needs before a single global
+    * threshold makes sense (each crawl/source scores on its own scale;
+    * a 0.7 from source A ≠ a 0.7 from source B). Each document's value
+    * (n_chars here — the method is score-agnostic) maps to the GLOBAL
+    * value at its within-source midpoint quantile: r-th of n_s in its
+    * source → global position ⌈(2r−1)·N / (2·n_s)⌉. All positions are
+    * exact integers (ceil as (a+b−1) div b through intDivExact/HUGEINT
+    * — products widen past int64 at corpus scale, so the decimal chain
+    * is load-bearing, not pedantry). Within-source ranks are per-source
+    * windows (high-cardinality partitions); the GLOBAL rank is
+    * [[graft.operators.GlobalRank]] — range-repartition + broadcast
+    * prefix offsets, never a 1-task window — and the final lookup is a
+    * keyed equi-join on position. */
+  private def q234(s: SparkSession, dir: String): DataFrame = {
+    import Rounding.intDivExact
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        length(col("text")).cast("long").as("n_chars"))
+    val wSrc = Window.partitionBy("source")
+      .orderBy(col("n_chars"), col("doc_id"))
+    val ranked = d
+      .withColumn("src_rank", row_number().over(wSrc).cast("long"))
+      .withColumn("n_src",
+        count(lit(1)).over(Window.partitionBy("source")))
+    val globalRanked = graft.operators.GlobalRank
+      .withRank(d.select(col("n_chars").as("g_chars"),
+        col("doc_id").as("g_doc")), "g_pos",
+        col("g_chars"), col("g_doc"))
+      .select(col("g_pos"), col("g_chars"))
+    val nTotal = d.groupBy().agg(count(lit(1)).as("n_total"))
+    ranked.crossJoin(broadcast(nTotal))
+      .withColumn("pos", intDivExact(
+        (lit(2L) * col("src_rank") - lit(1L)).cast("decimal(38,0)") *
+          col("n_total") + lit(2L) * col("n_src") - lit(1L),
+        lit(2L) * col("n_src")))
+      .join(globalRanked, col("pos") === col("g_pos"))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("src_rank"), col("pos"), col("g_chars").as("norm_chars"))
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q234_quantile_norm" -> (q234 _),
     "q225_source_concentration" -> (q225 _),
     "q218_contamination_score" -> (q218 _),
     "q216_exact_kfold" -> (q216 _),
@@ -688,6 +731,39 @@ object CurationQueries extends QueryPack {
       |  FROM f)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // the global rank is a plain row_number here (DuckDB is single-node;
+    // the engine's GlobalRank assigns the identical total order), ceil
+    // as (a+b-1)//b through HUGEINT mirrors intDivExact
+    "q234_quantile_norm" -> {
+      import Rounding.intDivExactSql
+      val pos = intDivExactSql(
+        "CAST(2 * r.src_rank - 1 AS HUGEINT) * nt.n_total" +
+          " + 2 * r.n_src - 1",
+        "2 * r.n_src")
+      s"""WITH d AS (
+        |  SELECT doc_id, source, CAST(length(text) AS BIGINT) AS n_chars
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) AS BIGINT) AS src_rank,
+        |    count(*) OVER (PARTITION BY source) AS n_src
+        |  FROM d),
+        |g AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY n_chars, doc_id)
+        |      AS BIGINT) AS g_pos,
+        |    n_chars AS g_chars
+        |  FROM d),
+        |nt AS (SELECT count(*) AS n_total FROM d),
+        |posd AS (
+        |  SELECT r.doc_id, r.source, r.n_chars, r.src_rank,
+        |    $pos AS pos
+        |  FROM ranked r, nt)
+        |SELECT p.doc_id, p.source, p.n_chars, p.src_rank, p.pos,
+        |  g.g_chars AS norm_chars
+        |FROM posd p JOIN g ON p.pos = g.g_pos
+        |ORDER BY p.doc_id""".stripMargin
+    },
     // the single-task per-stratum row_number form GlobalRank + the
     // stratum-offset join provably equals (same total order per stratum)
     "q216_exact_kfold" ->

@@ -389,7 +389,61 @@ object EventOpsQueries extends QueryPack {
       .orderBy("hr")
   }
 
+  /** U-shaped (position-based) multi-touch attribution — the marketing
+    * shape q25/q61's last-click cannot express: every purchase splits
+    * exactly 1,000,000 micro-credits across ALL its prior touches
+    * (clicks/views, strictly before, ≤ 7 days back): 40% to the first
+    * touch, 40% to the last, 20% split over the middles. A single
+    * touch takes everything, two touches split 50/50, and a purchase
+    * with no touch window credits a synthetic 'direct' channel — so
+    * Σcredit ≡ 10⁶ · n_purchases EXACTLY, an invariant the hash check
+    * enforces. Division is [[Rounding.intDiv]] with the remainder
+    * pinned to the first middle touch (deterministic by construction,
+    * same rule both engines). Shape: one user-keyed join bounded by
+    * the 7-day window (per-user fan-out is activity² within a week —
+    * the q49 range-join family, never a global product), then two
+    * per-purchase windows and a 3-group rollup. */
+  private def q233(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.intDiv
+    val e = ev(s, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"),
+        col("ts").as("p_ts"))
+    val touches = e.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("event_id").as("t_id"),
+        col("event_type").as("touch_type"), col("ts").as("t_ts"))
+    val joined = purchases.join(touches, Seq("user_id"))
+      .filter(col("t_ts") < col("p_ts") &&
+        col("t_ts") >= col("p_ts") - expr("INTERVAL 7 DAYS"))
+    val w = Window.partitionBy("p_id").orderBy(col("t_ts"), col("t_id"))
+    val wc = Window.partitionBy("p_id")
+    val share = intDiv(lit(200000L), col("k") - lit(2L))
+    val leftover = lit(200000L) - share * (col("k") - lit(2L))
+    val credit = when(col("k") === 1L, lit(1000000L))
+      .when(col("k") === 2L, lit(500000L))
+      .otherwise(when(col("rn") === 1L || col("rn") === col("k"),
+        lit(400000L))
+        .otherwise(share +
+          when(col("rn") === 2L, leftover).otherwise(lit(0L))))
+    val touched = joined
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("k", count(lit(1)).over(wc))
+      .select(col("p_id"), col("touch_type"), credit.as("credit"))
+    val direct = purchases
+      .join(touched.select("p_id").distinct(), Seq("p_id"), "left_anti")
+      .select(col("p_id"), lit("direct").as("touch_type"),
+        lit(1000000L).as("credit"))
+    touched.unionByName(direct)
+      .groupBy("touch_type")
+      .agg(count(lit(1)).as("n_credits"),
+        countDistinct(col("p_id")).as("n_purchases"),
+        sum(col("credit").cast("decimal(38,0)")).cast("long")
+          .as("credit_e6"))
+      .orderBy("touch_type")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q233_attribution" -> (q233 _),
     "q222_timed_funnel" -> (q222 _),
     "q208_lateness_calibration" -> (q208 _),
     "q182_conversion_survival" -> (q182 _),
@@ -479,6 +533,48 @@ object EventOpsQueries extends QueryPack {
   }
 
   val oracle: Map[String, String] = Map(
+    // same U-shape credit table; NOT EXISTS is the engine's left-anti,
+    // the remainder lands on rn = 2 identically
+    "q233_attribution" -> {
+      import graft.functions.Rounding.intDivSql
+      val share = intDivSql("200000", "k - 2")
+      s"""WITH purchases AS (
+        |  SELECT user_id, event_id AS p_id, ts AS p_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |touches AS (
+        |  SELECT user_id, event_id AS t_id, event_type AS touch_type,
+        |    ts AS t_ts
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |joined AS (
+        |  SELECT p.p_id, t.touch_type, t.t_ts, t.t_id
+        |  FROM purchases p JOIN touches t ON p.user_id = t.user_id
+        |  WHERE t.t_ts < p.p_ts AND t.t_ts >= p.p_ts - INTERVAL 7 DAY),
+        |pos AS (
+        |  SELECT p_id, touch_type,
+        |    CAST(row_number() OVER (PARTITION BY p_id
+        |      ORDER BY t_ts, t_id) AS BIGINT) AS rn,
+        |    count(*) OVER (PARTITION BY p_id) AS k
+        |  FROM joined),
+        |cred AS (
+        |  SELECT p_id, touch_type,
+        |    CASE WHEN k = 1 THEN 1000000
+        |         WHEN k = 2 THEN 500000
+        |         WHEN rn = 1 OR rn = k THEN 400000
+        |         ELSE $share + CASE WHEN rn = 2
+        |           THEN 200000 - $share * (k - 2) ELSE 0 END
+        |    END AS credit
+        |  FROM pos),
+        |direct AS (
+        |  SELECT p.p_id, 'direct' AS touch_type, 1000000 AS credit
+        |  FROM purchases p
+        |  WHERE NOT EXISTS (SELECT 1 FROM cred c WHERE c.p_id = p.p_id)),
+        |allc AS (
+        |  SELECT * FROM cred UNION ALL SELECT * FROM direct)
+        |SELECT touch_type, count(*) AS n_credits,
+        |  CAST(count(DISTINCT p_id) AS BIGINT) AS n_purchases,
+        |  CAST(sum(credit) AS BIGINT) AS credit_e6
+        |FROM allc GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     // identical chained windows (DuckDB min over a named STRUCT is the
     // same lexicographic argmin); sentinel keeps the second hop total
     "q222_timed_funnel" -> {

@@ -547,10 +547,43 @@ object SimilarityQueries extends QueryPack {
       .orderBy("label")
   }
 
+  /** ANN recall@10 audit — the acceptance gate every approximate index
+    * must pass before it replaces the exact path in production: per
+    * query, |LSH top-10 ∩ brute top-10| / 10 as an exact e4 ratio. The
+    * SimilaritySpec assertion (recall ≥ 0.8) pins this in CI; the query
+    * form makes it an oracle-checked, per-query OBSERVABLE so a recall
+    * regression shows up in the data, not just a test. Runs both arms
+    * through [[graft.operators.SimilaritySearch.topK]] (the brute arm
+    * broadcasts only the 5-query probe set; the LSH arm is the q51
+    * keyed band join) and diffs them with one left join + one 5-group
+    * aggregate — audit cost is the cost of the two arms themselves. */
+  private def q232(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.SimilaritySearch
+    val e = emb(s, dir)
+    val qv = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v"))
+    val brute = SimilaritySearch
+      .topK(e, qv, "vec_id", "v", "q_id", 10, SimilaritySearch.Brute)
+      .select(col("q_id"), col("vec_id"))
+    val lsh = SimilaritySearch
+      .topK(e, qv, "vec_id", "v", "q_id", 10,
+        SimilaritySearch.BandLsh(Bands, Rows, Dim))
+      .select(col("q_id"), col("vec_id"), lit(1L).as("in_lsh"))
+    brute.join(lsh, Seq("q_id", "vec_id"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("n_brute"),
+        coalesce(sum("in_lsh"), lit(0L)).as("n_common"))
+      .withColumn("recall_e4",
+        floor(lit(10000.0) * col("n_common") / col("n_brute") + lit(0.5))
+          .cast("long"))
+      .orderBy("q_id")
+  }
+
   val defs: Map[String, Q] = Map(
     "q50_knn_cosine" -> (q50 _),
     "q227_hard_negatives" -> (q227 _),
     "q229_anchor_auc" -> (q229 _),
+    "q232_ann_recall" -> (q232 _),
     "q194_hybrid_rrf" -> (q194 _),
     "q202_embedding_audit" -> (q202 _),
     "q220_matryoshka_audit" -> (q220 _),
@@ -567,6 +600,45 @@ object SimilarityQueries extends QueryPack {
     s"floor(($e) * 10000.0 + 0.5) / 10000.0"
 
   val oracle: Map[String, String] = Map(
+    // q50's brute chain and q51's LSH chain side by side (CTEs renamed
+    // apart), diffed with the same left join + per-query aggregate
+    "q232_ann_recall" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+        |sb AS (
+        |  SELECT q_id, vec_id, ${rnd("list_cosine_similarity(v, qv)")} AS cos
+        |  FROM e, q WHERE vec_id <> q_id),
+        |brute AS (
+        |  SELECT q_id, vec_id FROM sb
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY q_id ORDER BY cos DESC, vec_id) <= 10),
+        |${Lsh.signatureSqlCtes(Bands * Rows, Dim)},
+        |${Lsh.bandsSqlCte(Bands, Rows)},
+        |qb AS (SELECT vec_id AS q_id, band, bkey FROM bands
+        |       WHERE vec_id < 5),
+        |cand AS (
+        |  SELECT DISTINCT qb.q_id, bands.vec_id
+        |  FROM bands JOIN qb ON bands.band = qb.band AND bands.bkey = qb.bkey
+        |  WHERE bands.vec_id <> qb.q_id),
+        |sl AS (
+        |  SELECT c.q_id, c.vec_id,
+        |    ${rnd("list_cosine_similarity(ev.v, qv2.v)")} AS cos
+        |  FROM cand c
+        |  JOIN e ev ON c.vec_id = ev.vec_id
+        |  JOIN e qv2 ON c.q_id = qv2.vec_id),
+        |lsh AS (
+        |  SELECT q_id, vec_id, 1 AS in_lsh FROM sl
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY q_id ORDER BY cos DESC, vec_id) <= 10)
+        |SELECT b.q_id, count(*) AS n_brute,
+        |  CAST(coalesce(sum(l.in_lsh), 0) AS BIGINT) AS n_common,
+        |  CAST(floor(10000.0 * CAST(coalesce(sum(l.in_lsh), 0) AS BIGINT)
+        |    / count(*) + 0.5) AS BIGINT) AS recall_e4
+        |FROM brute b LEFT JOIN lsh l
+        |  ON b.q_id = l.q_id AND b.vec_id = l.vec_id
+        |GROUP BY b.q_id
+        |ORDER BY b.q_id""".stripMargin,
     // same histogram-cell rank-sum; DuckDB's framed window sum is the
     // engine's cum_nn, all counts integral until the one final division
     "q229_anchor_auc" ->
