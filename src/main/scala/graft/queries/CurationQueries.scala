@@ -628,8 +628,77 @@ object CurationQueries extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** Exact-k deterministic sample per source — the eval-set/inspection
+    * draw q62's RATE sampling cannot promise (a rate gives you
+    * Binomial(n, p) rows; an eval set wants exactly k). Every doc gets
+    * the md5-derived uniform (stable across runs, partitionings, and
+    * engines — no RNG state), and each source keeps its k = 10 smallest
+    * (u, doc_id) — equivalent to a seeded uniform draw without
+    * replacement. One window per source; partitions are per-source and
+    * the kept prefix is k rows, so no buffer exceeds k — at 100 TB this
+    * is the per-group TakeOrdered shape, not a global sort. */
+  private def q235(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashing
+    val u = Hashing.md5Uniform(col("doc_id").cast("string"))
+    val w = Window.partitionBy("source").orderBy(col("u"), col("doc_id"))
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"), u.as("u"))
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= 10)
+      .select(col("doc_id"), col("source"), col("sample_rank"))
+      .orderBy("source", "sample_rank")
+  }
+
+  /** Two-sample Kolmogorov–Smirnov drift statistic between two sources'
+    * length distributions — the distribution-shift gate a pipeline runs
+    * when a crawl source changes upstream (new boilerplate, different
+    * truncation → the length CDF moves first). Exactly integral the
+    * whole way: D = max|F_a − F_b| over the merged support is
+    * max|cum_a·n_b − cum_b·n_a| / (n_a·n_b), computed on counts — no
+    * float CDF ever materializes, and the argmax value rides along via
+    * the min-struct trick (max gap, ties to the smallest length). The
+    * ordered walk runs over DISTINCT length values — support-bounded
+    * (≲ thousands), NOT corpus-bounded, the q229 histogram-cell
+    * discipline — and the final e6 division is exact rational
+    * (intDivExact/HUGEINT: cum·n products pass int64 at corpus scale).
+    * ks_e6 ≥ ~50000 on this pair says the two sources need separate
+    * curation thresholds. */
+  private def q236(s: SparkSession, dir: String): DataFrame = {
+    import Rounding.intDivExact
+    val d = Tables.load(s, dir, "documents")
+      .filter(col("source").isin("src0", "src1"))
+      .select(col("source"), length(col("text")).cast("long").as("len"))
+    val cells = d.groupBy("len")
+      .agg(sum(when(col("source") === "src0", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("source") === "src1", 1L).otherwise(0L)).as("cb"))
+    val w = Window.orderBy("len")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = d.groupBy()
+      .agg(sum(when(col("source") === "src0", 1L).otherwise(0L)).as("na"),
+        sum(when(col("source") === "src1", 1L).otherwise(0L)).as("nb"))
+    cells
+      .withColumn("cum_a", sum("ca").over(w))
+      .withColumn("cum_b", sum("cb").over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("na"), col("nb"), col("len"),
+        abs(col("cum_a") * col("nb") - col("cum_b") * col("na"))
+          .as("gap_num"))
+      .groupBy("na", "nb")
+      .agg(max(col("gap_num")).as("max_gap_num"),
+        min(struct((-col("gap_num")).as("ng"), col("len").as("l")))
+          .as("am"))
+      .select(col("na").as("n_a"), col("nb").as("n_b"),
+        col("max_gap_num"), col("am.l").as("len_at_max"),
+        intDivExact(
+          col("max_gap_num").cast("decimal(38,0)") * lit(2000000L) +
+            col("na") * col("nb"),
+          lit(2L) * col("na") * col("nb")).as("ks_e6"))
+  }
+
   val defs: Map[String, Q] = Map(
     "q234_quantile_norm" -> (q234 _),
+    "q235_source_sample" -> (q235 _),
+    "q236_ks_drift" -> (q236 _),
     "q225_source_concentration" -> (q225 _),
     "q218_contamination_score" -> (q218 _),
     "q216_exact_kfold" -> (q216 _),
@@ -731,6 +800,62 @@ object CurationQueries extends QueryPack {
       |  FROM f)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // same md5 uniform, same (u, doc_id) order — the draw is a shared
+    // deterministic function, not a mirrored RNG
+    "q235_source_sample" -> {
+      val u = graft.functions.Hashing.md5UniformSql("CAST(doc_id AS VARCHAR)")
+      s"""SELECT doc_id, source, sample_rank FROM (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY u, doc_id) AS BIGINT) AS sample_rank
+        |  FROM (SELECT doc_id, source, $u AS u FROM documents))
+        |WHERE sample_rank <= 10
+        |ORDER BY source, sample_rank""".stripMargin
+    },
+    // same integer gap walk; DuckDB's framed running sums and the
+    // min-struct argmax mirror the engine exactly
+    "q236_ks_drift" -> {
+      import Rounding.intDivExactSql
+      val ks = intDivExactSql(
+        "CAST(max_gap_num AS HUGEINT) * 2000000 + na * nb",
+        "2 * na * nb")
+      s"""WITH d AS (
+        |  SELECT source, CAST(length(text) AS BIGINT) AS len
+        |  FROM documents WHERE source IN ('src0', 'src1')),
+        |cells AS (
+        |  SELECT len,
+        |    CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS cb
+        |  FROM d GROUP BY len),
+        |tot AS (
+        |  SELECT CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS na,
+        |    CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nb
+        |  FROM d),
+        |cum AS (
+        |  SELECT len,
+        |    sum(ca) OVER (ORDER BY len
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+        |    sum(cb) OVER (ORDER BY len
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b
+        |  FROM cells),
+        |gaps AS (
+        |  SELECT na, nb, len,
+        |    abs(cum_a * nb - cum_b * na) AS gap_num
+        |  FROM cum, tot),
+        |agg AS (
+        |  SELECT na, nb,
+        |    CAST(max(gap_num) AS BIGINT) AS max_gap_num,
+        |    min(struct_pack(ng := -gap_num, l := len)) AS am
+        |  FROM gaps GROUP BY na, nb)
+        |SELECT na AS n_a, nb AS n_b, max_gap_num,
+        |  am.l AS len_at_max,
+        |  $ks AS ks_e6
+        |FROM agg""".stripMargin
+    },
     // the global rank is a plain row_number here (DuckDB is single-node;
     // the engine's GlobalRank assigns the identical total order), ceil
     // as (a+b-1)//b through HUGEINT mirrors intDivExact
