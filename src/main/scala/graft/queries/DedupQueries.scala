@@ -675,9 +675,35 @@ object DedupQueries extends QueryPack {
         col("cont_a"), col("cont_b"))
       .orderBy("doc_a", "doc_b")
 
+  /** Cross-source duplication flow — the "who copies from whom" matrix a
+    * multi-source corpus needs before per-source token budgets mean
+    * anything: near-dup pairs (shared Jaccard machinery, ≥ 0.3) rolled
+    * up by their two documents' SOURCES, canonicalized least/greatest so
+    * A→B and B→A are one cell (q156's split-leakage shape pointed at
+    * provenance instead of splits). Same-source cells ride along with
+    * is_cross = 0 as the within-source baseline the cross counts are
+    * read against; a hot cross cell means one source is a mirror/scrape
+    * of another and its budget is an illusion. */
+  private def q239(s: SparkSession, dir: String): DataFrame = {
+    val srcs = docs(s, dir).select(col("doc_id"), col("source"))
+    jaccardPairs(s, dir).filter(col("jaccard") >= 0.3)
+      .join(srcs.select(col("doc_id").as("doc_a"),
+        col("source").as("sa")), "doc_a")
+      .join(srcs.select(col("doc_id").as("doc_b"),
+        col("source").as("sb")), "doc_b")
+      .select(least(col("sa"), col("sb")).as("src_lo"),
+        greatest(col("sa"), col("sb")).as("src_hi"))
+      .groupBy("src_lo", "src_hi")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("is_cross",
+        (col("src_lo") =!= col("src_hi")).cast("long"))
+      .orderBy("src_lo", "src_hi")
+  }
+
   val defs: Map[String, Q] = Map(
     "q40_dedup_exact" -> (q40 _),
     "q226_containment" -> (q226 _),
+    "q239_dup_flow" -> (q239 _),
     "q147_span_dedup_census" -> (q147 _),
     "q151_incremental_dedup" -> (q151 _),
     "q192_substring_overlap" -> (q192 _),
@@ -937,6 +963,20 @@ object DedupQueries extends QueryPack {
          |SELECT doc_id, fp,
          |  CAST(doc_id <> min(doc_id) OVER (PARTITION BY fp) AS INT) AS is_dup
          |FROM f ORDER BY doc_id""".stripMargin,
+    // q156's census shape pointed at provenance: same jp edges, cells
+    // keyed by the two docs' sources
+    "q239_dup_flow" ->
+      s"""WITH $jaccardCtes
+         |SELECT least(a.source, b.source) AS src_lo,
+         |  greatest(a.source, b.source) AS src_hi,
+         |  count(*) AS n_pairs,
+         |  CAST(least(a.source, b.source) <> greatest(a.source, b.source)
+         |    AS BIGINT) AS is_cross
+         |FROM jp
+         |JOIN documents a ON jp.doc_a = a.doc_id
+         |JOIN documents b ON jp.doc_b = b.doc_id
+         |WHERE jaccard >= 0.3
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q156_split_leakage" -> {
       val u = graft.functions.Hashing.md5UniformSql("CAST(doc_id AS VARCHAR)")
       s"""WITH $jaccardCtes,

@@ -392,7 +392,41 @@ object ScaleQueries extends QueryPack {
       .orderBy("bucket")
   }
 
+  /** Size-balanced training shards via snake (boustrophedon) round-robin
+    * — the shard planner q200's fixed-width chunking is not: when shard
+    * TOKEN budgets must come out even (so no data-parallel rank starves
+    * mid-epoch), docs are laid out by size descending and dealt
+    * 0,1,…,B−1 then B−1,…,1,0 — the classic near-LPT assignment that
+    * needs no sequential greedy state, just a rank: shard =
+    * offset if ⌊rank/B⌋ even else B−1−offset. The global size order
+    * comes from [[graft.operators.GlobalRank]] (range-repartition +
+    * prefix offsets — no 1-task window), the dealing is a pure integer
+    * map, and the audit rollup is one B-group aggregate. The per-shard
+    * token sums landing within ~1 max-doc of each other IS the check
+    * the output hash pins. */
+  private def q237(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.intDiv
+    import graft.functions.TextAnalysis
+    import graft.operators.GlobalRank
+    val b = 8L
+    val toks = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("toks"))
+    val ranked = GlobalRank
+      .withRank(toks, "rnk", col("toks").desc, col("doc_id").asc)
+    val r0 = col("rnk") - lit(1L)
+    val off = r0 % lit(b)
+    val shard = when(intDiv(r0, lit(b)) % lit(2L) === 0L, off)
+      .otherwise(lit(b - 1L) - off)
+    ranked.withColumn("shard", shard)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks").cast("decimal(38,0)")).cast("long").as("tok_sum"),
+        min("toks").as("min_toks"), max("toks").as("max_toks"))
+      .orderBy("shard")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q237_balanced_shards" -> (q237 _),
     "q184_join_cardinality" -> (q184 _),
     "q185_equidepth_bounds" -> (q185 _),
     "q70_bloom_join" -> (q70 _),
@@ -408,6 +442,27 @@ object ScaleQueries extends QueryPack {
     "q78_interval_merge" -> (q78 _))
 
   val oracle: Map[String, String] = Map(
+    // same snake deal over the same (toks DESC, doc_id) total order —
+    // DuckDB's row_number is the engine's GlobalRank
+    "q237_balanced_shards" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS toks
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT doc_id, toks,
+        |    CAST(row_number() OVER (ORDER BY toks DESC, doc_id)
+        |      AS BIGINT) - 1 AS r0
+        |  FROM toks),
+        |dealt AS (
+        |  SELECT toks,
+        |    CASE WHEN (r0 // 8) % 2 = 0 THEN r0 % 8
+        |         ELSE 7 - (r0 % 8) END AS shard
+        |  FROM ranked)
+        |SELECT shard, count(*) AS n_docs,
+        |  CAST(sum(toks) AS BIGINT) AS tok_sum,
+        |  min(toks) AS min_toks, max(toks) AS max_toks
+        |FROM dealt GROUP BY shard ORDER BY shard""".stripMargin,
     "q184_join_cardinality" -> {
       import graft.functions.Hashing
       def keyed(src: String, h: String) =

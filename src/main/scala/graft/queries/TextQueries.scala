@@ -51,6 +51,31 @@ object TextQueries extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** Language-ID confusion matrix — q32 emits the per-doc verdicts; this
+    * is the rollup an operator actually reads before trusting the
+    * classifier for routing/filtering: per (declared, predicted) cell,
+    * the count and its share of the declared language (diagonal share =
+    * per-language recall). The corpus' zh docs land visibly in the en
+    * column — the stopword heuristic has no zh class and its tie-break
+    * defaults to en — which is exactly the blind spot a confusion census
+    * exists to surface. Shares are exact e4 rationals
+    * ((2·10⁴·n + tot) div 2·tot through intDivExact — no doubles).
+    * Shape: one 25-cell aggregate + a per-language total join. */
+  private def q238(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.intDivExact
+    val cell = docs(s, dir)
+      .select(col("lang"), langId(col("text")).as("lang_pred"))
+      .groupBy("lang", "lang_pred")
+      .agg(count(lit(1)).as("n"))
+    val tot = cell.groupBy("lang").agg(sum("n").as("lang_total"))
+    cell.join(tot, "lang")
+      .withColumn("share_e4",
+        intDivExact(col("n").cast("decimal(38,0)") * lit(20000L) +
+          col("lang_total"), lit(2L) * col("lang_total")))
+      .select("lang", "lang_pred", "n", "lang_total", "share_e4")
+      .orderBy("lang", "lang_pred")
+  }
+
   private def q33(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(
       col("doc_id"),
@@ -175,6 +200,7 @@ object TextQueries extends QueryPack {
     "q30_text_stats" -> (q30 _),
     "q31_text_quality" -> (q31 _),
     "q32_text_langid" -> (q32 _),
+    "q238_lang_confusion" -> (q238 _),
     "q33_fingerprint" -> (q33 _),
     "q39_rolling_fp" -> (q39 _),
     "q45_bpe_tokens" -> (q45 _),
@@ -183,6 +209,36 @@ object TextQueries extends QueryPack {
 
   // DuckDB regexp_replace needs the 'g' flag to match Spark's replace-all.
   val oracle: Map[String, String] = Map(
+    // q32's CASE verdicts rolled to cells; HUGEINT exact e4 shares
+    "q238_lang_confusion" -> {
+      import graft.functions.Rounding.intDivExactSql
+      val share = intDivExactSql(
+        "CAST(n AS HUGEINT) * 20000 + lang_total", "2 * lang_total")
+      s"""WITH c AS (
+        |  SELECT lang,
+        |    len(regexp_extract_all(lower(text), '\\b(the|a|of|to|and|in|is|it)\\b')) AS cnt_en,
+        |    len(regexp_extract_all(lower(text), '\\b(el|la|de|que|y|en|los|un)\\b')) AS cnt_es,
+        |    len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|ein|nicht)\\b')) AS cnt_de,
+        |    len(regexp_extract_all(lower(text), '\\b(le|la|les|et|est|une|dans)\\b')) AS cnt_fr
+        |  FROM documents),
+        |v AS (
+        |  SELECT lang,
+        |    CASE WHEN cnt_en >= cnt_es AND cnt_en >= cnt_de AND cnt_en >= cnt_fr THEN 'en'
+        |         WHEN cnt_es >= cnt_de AND cnt_es >= cnt_fr THEN 'es'
+        |         WHEN cnt_de >= cnt_fr THEN 'de'
+        |         ELSE 'fr' END AS lang_pred
+        |  FROM c),
+        |cell AS (
+        |  SELECT lang, lang_pred, count(*) AS n
+        |  FROM v GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT lang, CAST(sum(n) AS BIGINT) AS lang_total
+        |  FROM cell GROUP BY lang)
+        |SELECT cell.lang, lang_pred, n, lang_total,
+        |  $share AS share_e4
+        |FROM cell JOIN tot ON cell.lang = tot.lang
+        |ORDER BY cell.lang, lang_pred""".stripMargin
+    },
     "q30_text_stats" ->
       """SELECT doc_id,
         |  length(text) AS n_chars_calc,
