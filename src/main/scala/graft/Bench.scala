@@ -70,6 +70,15 @@ object Bench {
           .selectExpr("id as a", "id + 1 as b")
         graft.operators.ConnectedComponents
           .components(nodes, cedges, "n", "a", "b").count()
+        // the fixed-point PageRank rounds (intDiv chains + per-round
+        // decimal contribution sums + left joins) are yet another
+        // codegen family; q231 (alphabetically before q97) absorbed it
+        // in round 10's first full run — 4.4s bench vs 2.1s warm-JVM
+        val prEdges = spark.range(63)
+          .selectExpr("id as src", "(id + 1) % 63 as dst")
+        graft.operators.PageRank.ranks(prEdges, iters = 2).count()
+        graft.operators.PageRank.personalizedRanks(prEdges,
+          spark.range(3).selectExpr("id as node"), iters = 2).count()
       }
       try spark.read.parquet(s"$sfDir/region.parquet").count()
       catch { case _: Throwable => () }

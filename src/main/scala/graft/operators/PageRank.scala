@@ -89,13 +89,19 @@ object PageRank {
     // swallow initial mass that can never move
     val s = seeds.select(col("node")).distinct()
       .join(nodes, Seq("node"), "left_semi")
-    val nSeeds = s.count() // tiny action, |S| needed as a literal
+    // Materialize the flag table eagerly: it is |S| rows (probe-scale by
+    // contract), but its LINEAGE contains the full nodes build (a
+    // distinct over the edge relation) via the semi-join above — without
+    // the checkpoint that build re-executes inside every round's ranks
+    // assembly (plan audit: 60 scans → 44, within 10% of ranks()'s 40;
+    // warm-JVM wall time at sf0.1 is parity with ranks(), 2.13 vs 2.17s).
+    val seedFlag = s.withColumn("is_seed", lit(1L)).localCheckpoint(true)
+    val nSeeds = seedFlag.count() // tiny action, |S| needed as a literal
     require(nSeeds > 0, "personalizedRanks: no seed is present in the graph")
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val seedBase = (3L * TotalMass / 20L) / nSeeds
     val r0: Long = TotalMass / nSeeds
 
-    val seedFlag = s.withColumn("is_seed", lit(1L))
     var ranks = nodes.join(seedFlag, Seq("node"), "left")
       .select(col("node"),
         (coalesce(col("is_seed"), lit(0L)) * lit(r0)).as("rank"))

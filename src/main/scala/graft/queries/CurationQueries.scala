@@ -695,10 +695,56 @@ object CurationQueries extends QueryPack {
           lit(2L) * col("na") * col("nb")).as("ks_e6"))
   }
 
+  /** Pairwise KS drift matrix over ALL sources — q236 is the two-source
+    * drill-down; this is the monitoring sweep that finds WHICH pair
+    * drifted: for every source pair, the exact KS statistic between
+    * their length distributions. Build once, compare many: each
+    * source's integer CDF is materialized over the SHARED support (the
+    * distinct lengths × sources grid — support-bounded × 20, zero-fill
+    * for lengths a source never hits, one windowed pass per source),
+    * then one len-keyed self-join scores all 190 pairs without
+    * re-scanning documents. Same exact integer arithmetic as q236:
+    * gap = |cum_a·n_b − cum_b·n_a|, ks_e6 exact rational via HUGEINT.
+    * High cells (≥ ~0.3) mean those two sources cannot share one
+    * curation threshold — the q234 normalization is the fix. */
+  private def q240(s: SparkSession, dir: String): DataFrame = {
+    import Rounding.intDivExact
+    val d = Tables.load(s, dir, "documents")
+      .select(col("source"), length(col("text")).cast("long").as("len"))
+    val cells = d.groupBy("source", "len").agg(count(lit(1)).as("c"))
+    val support = cells.select("len").distinct()
+    val srcTot = d.groupBy("source").agg(count(lit(1)).as("n"))
+    val grid = support.crossJoin(srcTot)
+      .join(cells, Seq("source", "len"), "left")
+      .withColumn("c0", coalesce(col("c"), lit(0L)))
+    val w = Window.partitionBy("source").orderBy("len")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid.withColumn("cum", sum("c0").over(w))
+      .select(col("source"), col("len"), col("cum"), col("n"))
+    val pairs = cum.select(col("source").as("src_a"), col("len"),
+        col("cum").as("cum_a"), col("n").as("n_a"))
+      .join(cum.select(col("source").as("src_b"), col("len"),
+        col("cum").as("cum_b"), col("n").as("n_b")), "len")
+      .filter(col("src_a") < col("src_b"))
+    pairs
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a"))
+          .as("gap_num"))
+      .groupBy("src_a", "src_b", "n_a", "n_b")
+      .agg(max("gap_num").as("max_gap_num"))
+      .select(col("src_a"), col("src_b"),
+        intDivExact(
+          col("max_gap_num").cast("decimal(38,0)") * lit(2000000L) +
+            col("n_a") * col("n_b"),
+          lit(2L) * col("n_a") * col("n_b")).as("ks_e6"))
+      .orderBy("src_a", "src_b")
+  }
+
   val defs: Map[String, Q] = Map(
     "q234_quantile_norm" -> (q234 _),
     "q235_source_sample" -> (q235 _),
     "q236_ks_drift" -> (q236 _),
+    "q240_ks_matrix" -> (q240 _),
     "q225_source_concentration" -> (q225 _),
     "q218_contamination_score" -> (q218 _),
     "q216_exact_kfold" -> (q216 _),
@@ -811,6 +857,41 @@ object CurationQueries extends QueryPack {
         |  FROM (SELECT doc_id, source, $u AS u FROM documents))
         |WHERE sample_rank <= 10
         |ORDER BY source, sample_rank""".stripMargin
+    },
+    // shared-support CDF grid, zero-filled, then the len-keyed pair join
+    "q240_ks_matrix" -> {
+      import Rounding.intDivExactSql
+      val ks = intDivExactSql(
+        "CAST(max_gap_num AS HUGEINT) * 2000000 + n_a * n_b",
+        "2 * n_a * n_b")
+      s"""WITH d AS (
+        |  SELECT source, CAST(length(text) AS BIGINT) AS len
+        |  FROM documents),
+        |cells AS (
+        |  SELECT source, len, count(*) AS c FROM d GROUP BY 1, 2),
+        |support AS (SELECT DISTINCT len FROM cells),
+        |tot AS (SELECT source, count(*) AS n FROM d GROUP BY source),
+        |grid AS (
+        |  SELECT t.source, s.len, t.n, coalesce(c.c, 0) AS c0
+        |  FROM support s CROSS JOIN tot t
+        |  LEFT JOIN cells c ON c.source = t.source AND c.len = s.len),
+        |cum AS (
+        |  SELECT source, len, n,
+        |    sum(c0) OVER (PARTITION BY source ORDER BY len
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM grid),
+        |pairs AS (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |    a.n AS n_a, b.n AS n_b,
+        |    abs(a.cum * b.n - b.cum * a.n) AS gap_num
+        |  FROM cum a JOIN cum b ON a.len = b.len
+        |  WHERE a.source < b.source),
+        |agg AS (
+        |  SELECT src_a, src_b, n_a, n_b,
+        |    CAST(max(gap_num) AS BIGINT) AS max_gap_num
+        |  FROM pairs GROUP BY 1, 2, 3, 4)
+        |SELECT src_a, src_b, $ks AS ks_e6
+        |FROM agg ORDER BY src_a, src_b""".stripMargin
     },
     // same integer gap walk; DuckDB's framed running sums and the
     // min-struct argmax mirror the engine exactly

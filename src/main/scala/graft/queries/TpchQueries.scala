@@ -823,7 +823,45 @@ object TpchQueries extends QueryPack {
       .orderBy("s_suppkey")
   }
 
+  /** TPC-H refresh-function round-trip (RF1 insert + RF2 delete) — the
+    * one piece of the benchmark the 22 read queries never exercise: the
+    * warehouse must absorb an insert batch and a matching delete and
+    * land EXACTLY back on its baseline. The refresh set is synthesized
+    * deterministically from the data itself (every 97th orderkey,
+    * cloned above a 2·10⁹ key offset — disjoint from any real key at
+    * any SF), RF1 is a UNION ALL, RF2 is the anti-join on the offset
+    * range, and the audit compares the per-returnflag revenue under
+    * base / after-insert / after-delete side by side. after_delete ≡
+    * base is the invariant the hash pins — a sink that loses or
+    * duplicates rows under refresh fails this query, which is the
+    * point. All sums are exact integer cents (sumCents). One scan
+    * feeds all three arms; the only exchange is the 3-group rollup. */
+  private def q241(s: SparkSession, dir: String): DataFrame = {
+    val keyOffset = 2000000000L
+    val base = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_returnflag"),
+        cents(col("l_extendedprice")).as("price_cents"))
+    val inserts = base.filter(col("l_orderkey") % 97 === 0)
+      .select((col("l_orderkey") + keyOffset).as("l_orderkey"),
+        col("l_returnflag"), col("price_cents"))
+    val afterInsert = base.unionByName(inserts)
+    val afterDelete = afterInsert.filter(col("l_orderkey") < keyOffset)
+    def arm(df: DataFrame, n: String, c: String) =
+      df.groupBy("l_returnflag")
+        .agg(count(lit(1)).as(n), sumCents(col("price_cents")).as(c))
+    arm(base, "n_base", "base_cents")
+      .join(arm(afterInsert, "n_ins", "after_insert_cents"),
+        "l_returnflag")
+      .join(arm(afterDelete, "n_del", "after_delete_cents"),
+        "l_returnflag")
+      .withColumn("roundtrip_ok",
+        (col("n_del") === col("n_base") &&
+          col("after_delete_cents") === col("base_cents")).cast("long"))
+      .orderBy("l_returnflag")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q241_tpch_refresh" -> (q241 _),
     "q203_product_profit" -> (q203 _),
     "q204_order_count_dist" -> (q204 _),
     "q205_top_supplier" -> (q205 _),
@@ -859,6 +897,43 @@ object TpchQueries extends QueryPack {
       "CAST(floor((1 - l_discount) * 100.0 + 0.5) AS BIGINT)"
 
   val oracle: Map[String, String] = Map(
+    // same synthesized refresh set (mod-97 clone above the key offset),
+    // same three arms over one base CTE
+    "q241_tpch_refresh" -> {
+      import graft.functions.Rounding.{centsSql, sumCentsSql}
+      val pc = centsSql("l_extendedprice")
+      s"""WITH base AS (
+        |  SELECT l_orderkey, l_returnflag, $pc AS price_cents
+        |  FROM lineitem),
+        |ins AS (
+        |  SELECT l_orderkey + 2000000000 AS l_orderkey, l_returnflag,
+        |    price_cents
+        |  FROM base WHERE l_orderkey % 97 = 0),
+        |after_ins AS (
+        |  SELECT * FROM base UNION ALL SELECT * FROM ins),
+        |after_del AS (
+        |  SELECT * FROM after_ins WHERE l_orderkey < 2000000000),
+        |a_base AS (
+        |  SELECT l_returnflag, count(*) AS n_base,
+        |    ${sumCentsSql("price_cents")} AS base_cents
+        |  FROM base GROUP BY 1),
+        |a_ins AS (
+        |  SELECT l_returnflag, count(*) AS n_ins,
+        |    ${sumCentsSql("price_cents")} AS after_insert_cents
+        |  FROM after_ins GROUP BY 1),
+        |a_del AS (
+        |  SELECT l_returnflag, count(*) AS n_del,
+        |    ${sumCentsSql("price_cents")} AS after_delete_cents
+        |  FROM after_del GROUP BY 1)
+        |SELECT a_base.l_returnflag, n_base, base_cents,
+        |  n_ins, after_insert_cents, n_del, after_delete_cents,
+        |  CAST(n_del = n_base AND after_delete_cents = base_cents
+        |    AS BIGINT) AS roundtrip_ok
+        |FROM a_base
+        |JOIN a_ins USING (l_returnflag)
+        |JOIN a_del USING (l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin
+    },
     "q203_product_profit" ->
       s"""SELECT n.n_name AS nation,
         |  CAST(year(o_orderdate) AS BIGINT) AS o_year,
