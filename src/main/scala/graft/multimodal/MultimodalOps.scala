@@ -187,6 +187,38 @@ object MultimodalOps {
     }
   }
 
+  case class AutocorrStats(doc_id: Long, n_samples: Long, energy: Long,
+      r_lag: Long)
+
+  /** Lag-L raw autocorrelation over REAL decoded PCM — the periodicity
+    * primitive under every pitch detector and voiced/unvoiced splitter:
+    * energy R(0) = Σ s_i² and R(L) = Σ_{i+L<n} s_i·s_{i+L}, both EXACT
+    * int64 (s16 products ≤ 2³⁰, fixture docs are ≤ 549 samples; even
+    * hour-long 48 kHz audio stays < 2⁵⁸). Same mapPartitions discipline
+    * as [[audioStats]] — payloads never shuffle, per-row state is two
+    * accumulators. Undecodable payloads yield the -1 sentinel row. */
+  def autocorrStats(media: Dataset[MediaRow], lag: Int)
+      : Dataset[AutocorrStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        WavCodec.decode(r.payload) match {
+          case Some(w) =>
+            val s = w.samples
+            var en = 0L; var rl = 0L; var i = 0
+            while (i < s.length) {
+              val v = s(i).toLong
+              en += v * v
+              if (i + lag < s.length) rl += v * s(i + lag).toLong
+              i += 1
+            }
+            AutocorrStats(r.doc_id, s.length.toLong, en, rl)
+          case None => AutocorrStats(r.doc_id, -1L, -1L, -1L)
+        }
+      }
+    }
+  }
+
   case class SilenceStats(doc_id: Long, n_samples: Long, n_silent: Long,
       n_runs: Long, longest_run: Long)
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryPack, Tables}
-import graft.functions.Hashing
+import graft.functions.{Hashing, Rounding}
 
 /** Event-stream operations every large-scale pipeline needs: deterministic
   * stratified sampling and gap-based sessionization. Both are pure
@@ -442,8 +442,61 @@ object EventOpsQueries extends QueryPack {
       .orderBy("touch_type")
   }
 
+  /** Identity stitching (entity resolution) — the user-data dedup shape
+    * every privacy/training pipeline runs before per-user anything:
+    * users sharing a linking key merge into one identity cluster via
+    * connected components over the bipartite share graph. The key is
+    * the composite fingerprint k·10⁸ + cents(value) — the (attribute,
+    * amount) coincidence that plays the role a device id / email hash /
+    * payment token plays in production (the raw `k` alone is useless
+    * here: every k is shared by ~60 users, i.e. ALL hub keys). The
+    * load-bearing guard is the HUB-KEY GATE: a key shared by many users
+    * (the "admin@example.com" / NAT-IP problem) would both explode the
+    * pair fan-out AND glue the graph into one meaningless blob, so only
+    * keys shared by 2–3 distinct users link (df-gate before any posting
+    * list is buffered — the q41 two-pass discipline; singleton keys
+    * link nothing and are dropped losslessly). Clustering is
+    * [[graft.operators.ConnectedComponents]] (O(edges)/round); output
+    * is the per-user identity assignment with the min-id canonical
+    * flag, the q67 contract on users instead of documents.
+    *
+    * Scale observation the output itself teaches: at sf0.01 the graph
+    * stitches 150 users into 105 identities; at sf0.1 the same
+    * single-shared-key evidence over-merges 1500 users into 3 blobs —
+    * the textbook transitive-closure hazard of weak pairwise evidence.
+    * The production hardening (require ≥ 2 shared keys per PAIR before
+    * an edge exists) is one aggregation away on the `pairs` relation;
+    * it is deliberately NOT applied here because at the oracle's gate
+    * SF it leaves zero edges — the census keeps the weak-evidence form
+    * so both regimes stay visible. */
+  private def q244(s: SparkSession, dir: String): DataFrame = {
+    val uk = ev(s, dir)
+      .select(col("user_id"),
+        (regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("long") *
+          lit(100000000L) + Rounding.cents(col("value"))).as("k"))
+      .filter(col("k").isNotNull)
+      .distinct()
+    val rare = uk.groupBy("k").agg(count(lit(1)).as("nu"))
+      .filter(col("nu").between(2, 3))
+      .select("k")
+    val pairs = uk.join(rare, "k")
+      .groupBy("k")
+      .agg(sort_array(collect_set(col("user_id"))).as("us"))
+      .select(explode(expr(
+        "flatten(transform(us, x -> transform(filter(us, y -> y > x), " +
+          "y -> named_struct('a', x, 'b', y))))")).as("p"))
+      .select(col("p.a"), col("p.b")).distinct()
+    val nodes = ev(s, dir).select(col("user_id")).distinct()
+    graft.operators.ConnectedComponents
+      .components(nodes, pairs, "user_id", "a", "b")
+      .select(col("id").as("user_id"), col("comp").as("identity_id"),
+        (col("id") === col("comp")).as("is_canonical"))
+      .orderBy("user_id")
+  }
+
   val defs: Map[String, Q] = Map(
     "q233_attribution" -> (q233 _),
+    "q244_identity_stitch" -> (q244 _),
     "q222_timed_funnel" -> (q222 _),
     "q208_lateness_calibration" -> (q208 _),
     "q182_conversion_survival" -> (q182 _),
@@ -533,6 +586,34 @@ object EventOpsQueries extends QueryPack {
   }
 
   val oracle: Map[String, String] = Map(
+    // same 2–3-user key gate, same sorted pair expansion, q67's
+    // recursive min-label closure on users
+    "q244_identity_stitch" ->
+      s"""WITH RECURSIVE uk AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)
+        |      * 100000000 + ${Rounding.centsSql("value")} AS k
+        |  FROM events
+        |  WHERE regexp_extract(props, '"k": ([0-9]+)', 1) <> ''),
+        |rare AS (
+        |  SELECT k FROM uk GROUP BY k
+        |  HAVING count(*) BETWEEN 2 AND 3),
+        |kept AS (SELECT uk.user_id, uk.k FROM uk JOIN rare USING (k)),
+        |pairs AS (
+        |  SELECT DISTINCT a.user_id AS a, b.user_id AS b
+        |  FROM kept a JOIN kept b
+        |    ON a.k = b.k AND a.user_id < b.user_id),
+        |edges AS (SELECT a AS src, b AS dst FROM pairs
+        |          UNION ALL
+        |          SELECT b AS src, a AS dst FROM pairs),
+        |nodes AS (SELECT DISTINCT user_id FROM events),
+        |reach(id, comp) AS (
+        |  SELECT user_id, user_id FROM nodes
+        |  UNION
+        |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id)
+        |SELECT id AS user_id, min(comp) AS identity_id,
+        |  min(comp) = id AS is_canonical
+        |FROM reach GROUP BY id ORDER BY user_id""".stripMargin,
     // same U-shape credit table; NOT EXISTS is the engine's left-anti,
     // the remainder lands on rn = 2 identically
     "q233_attribution" -> {

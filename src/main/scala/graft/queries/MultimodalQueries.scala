@@ -146,7 +146,23 @@ object MultimodalQueries extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** Lag-4 autocorrelation over the REAL audio path
+    * ([[MultimodalOps.autocorrStats]]): decode each fixture WAV, compute
+    * exact-integer signal energy and the lag-4 correlation sum — the
+    * periodicity feature a speech pipeline extracts per clip before any
+    * learned model sees it. The oracle replays the closed-form waveform
+    * (and its shifted twin) through generate_series in SQL, so the
+    * decoded bytes must reproduce the formula sample-for-sample at both
+    * alignments. */
+  private def q242(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents").select("doc_id")
+    MultimodalOps.autocorrStats(MultimodalOps.wavTable(s, docs), 4)
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q242_audio_autocorr" -> (q242 _),
     "q60_multimodal_meta" -> (q60 _),
     "q89_bmp_resize" -> (q89 _),
     "q90_wav_stats" -> (q90 _),
@@ -154,6 +170,25 @@ object MultimodalQueries extends QueryPack {
     "q191_wav_silence" -> (q191 _))
 
   val oracle: Map[String, String] = Map(
+    // replays wavSample(id, i) = (id*7 + 13i) % 2003 - 1001 at both
+    // alignments; the guard zeroes terms past the end exactly like the
+    // engine's i + lag < n bound
+    "q242_audio_autocorr" ->
+      """WITH d AS (SELECT doc_id, doc_id % 500 + 50 AS n FROM documents),
+        |idx AS (
+        |  SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM d),
+        |s AS (
+        |  SELECT doc_id, n, i,
+        |    (doc_id * 7 + 13 * i) % 2003 - 1001 AS v,
+        |    CASE WHEN i + 4 < n
+        |      THEN (doc_id * 7 + 13 * (i + 4)) % 2003 - 1001
+        |      ELSE 0 END AS v4
+        |  FROM idx)
+        |SELECT doc_id,
+        |  CAST(max(n) AS BIGINT) AS n_samples,
+        |  CAST(sum(v * v) AS BIGINT) AS energy,
+        |  CAST(sum(v * v4) AS BIGINT) AS r_lag
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // img_* columns: the oracle re-derives the container, dimensions, and
     // container byte overhead (PNG 57 = sig+IHDR+chunk wrap+IEND, GIF 14,
     // JPEG 41 fixed + 4 per COM segment of <=65533 body bytes) from

@@ -860,8 +860,40 @@ object TpchQueries extends QueryPack {
       .orderBy("l_returnflag")
   }
 
+  /** Bounded-depth hierarchy (BOM-style) rollup WITHOUT recursion — the
+    * parts-explosion shape TPC-H itself never exercises, solved the way
+    * a 100 TB job must: each node EMITS its ⌈3⌉ ancestor keys (parent
+    * p div 2, grandparent p div 4, great-grandparent p div 8 over the
+    * synthesized binary-heap tree) as an explode, and ONE groupBy rolls
+    * up every subtree-within-3-levels — no iterative join, no recursive
+    * CTE, no driver loop, because bounded depth turns recursion into a
+    * constant-width key explosion (the ancestor-path trick hierarchical
+    * aggregation uses at scale). The oracle states the same rollup as
+    * three UNION ALL projections. All money exact integer cents. */
+  private def q243(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.intDiv
+    val p = Tables.load(s, dir, "part")
+      .select(col("p_partkey").cast("long").as("pk"),
+        cents(col("p_retailprice")).as("price_cents"))
+    val rollup = p
+      .select(col("price_cents"), explode(array(
+        intDiv(col("pk"), lit(2L)), intDiv(col("pk"), lit(4L)),
+        intDiv(col("pk"), lit(8L)))).as("anc"))
+      .filter(col("anc") >= 1L)
+      .groupBy("anc")
+      .agg(count(lit(1)).as("n_desc"),
+        sumCents(col("price_cents")).as("desc_cents"))
+    p.join(rollup, col("pk") === col("anc"), "left")
+      .select(col("pk").as("p_partkey"),
+        col("price_cents").as("own_cents"),
+        coalesce(col("n_desc"), lit(0L)).as("n_desc"),
+        coalesce(col("desc_cents"), lit(0L)).as("desc_cents"))
+      .orderBy("p_partkey")
+  }
+
   val defs: Map[String, Q] = Map(
     "q241_tpch_refresh" -> (q241 _),
+    "q243_bom_rollup" -> (q243 _),
     "q203_product_profit" -> (q203 _),
     "q204_order_count_dist" -> (q204 _),
     "q205_top_supplier" -> (q205 _),
@@ -897,6 +929,30 @@ object TpchQueries extends QueryPack {
       "CAST(floor((1 - l_discount) * 100.0 + 0.5) AS BIGINT)"
 
   val oracle: Map[String, String] = Map(
+    // the ancestor explosion restated as three UNION ALL projections;
+    // DuckDB // is the engine's intDiv on these positive keys
+    "q243_bom_rollup" -> {
+      import graft.functions.Rounding.{centsSql, sumCentsSql}
+      s"""WITH p AS (
+        |  SELECT CAST(p_partkey AS BIGINT) AS pk,
+        |    ${centsSql("p_retailprice")} AS price_cents
+        |  FROM part),
+        |contrib AS (
+        |  SELECT anc, price_cents FROM (
+        |    SELECT pk // 2 AS anc, price_cents FROM p
+        |    UNION ALL SELECT pk // 4, price_cents FROM p
+        |    UNION ALL SELECT pk // 8, price_cents FROM p)
+        |  WHERE anc >= 1),
+        |r AS (
+        |  SELECT anc, count(*) AS n_desc,
+        |    ${sumCentsSql("price_cents")} AS desc_cents
+        |  FROM contrib GROUP BY anc)
+        |SELECT pk AS p_partkey, price_cents AS own_cents,
+        |  coalesce(n_desc, 0) AS n_desc,
+        |  coalesce(desc_cents, 0) AS desc_cents
+        |FROM p LEFT JOIN r ON pk = anc
+        |ORDER BY p_partkey""".stripMargin
+    },
     // same synthesized refresh set (mod-97 clone above the key offset),
     // same three arms over one base CTE
     "q241_tpch_refresh" -> {
