@@ -469,7 +469,9 @@ object EventOpsQueries extends QueryPack {
     * it is deliberately NOT applied here because at the oracle's gate
     * SF it leaves zero edges — the census keeps the weak-evidence form
     * so both regimes stay visible. */
-  private def q244(s: SparkSession, dir: String): DataFrame = {
+  /** (user_id, identity_id) cluster assignment — q244's machinery,
+    * shared with q247's survivorship pass. */
+  private def identityClusters(s: SparkSession, dir: String): DataFrame = {
     val uk = ev(s, dir)
       .select(col("user_id"),
         (regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("long") *
@@ -489,14 +491,104 @@ object EventOpsQueries extends QueryPack {
     val nodes = ev(s, dir).select(col("user_id")).distinct()
     graft.operators.ConnectedComponents
       .components(nodes, pairs, "user_id", "a", "b")
-      .select(col("id").as("user_id"), col("comp").as("identity_id"),
-        (col("id") === col("comp")).as("is_canonical"))
+      .select(col("id").as("user_id"), col("comp").as("identity_id"))
+  }
+
+  private def q244(s: SparkSession, dir: String): DataFrame =
+    identityClusters(s, dir)
+      .withColumn("is_canonical", col("user_id") === col("identity_id"))
       .orderBy("user_id")
+
+  /** Per-session ML feature table — the feature-engineering artifact a
+    * churn/intent model trains on: q63's gap-sessionization frame
+    * (30-min gap, same deterministic (ts, event_id) order) rolled into
+    * one row per session with exact-integer features only — event
+    * count, µs duration (unix_micros ↔ epoch_us, the q85 floor
+    * discipline), distinct-type count, per-type pivot counts, and the
+    * cents value total through decimal(38,0). One window pass + one
+    * aggregate, both keyed by user — no new exchange shapes beyond
+    * q63's. */
+  private def q245(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def typed(t: String) =
+      sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$t")
+    ev(s, dir)
+      .withColumn("prev_ts", lag("ts", 1).over(w))
+      .withColumn("new_sess",
+        (col("prev_ts").isNull ||
+          col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"))
+          .cast("long"))
+      .withColumn("session_idx", sum("new_sess").over(run))
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("cents", Rounding.cents(col("value")))
+      .groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n_events"),
+        (max("us") - min("us")).as("duration_us"),
+        countDistinct("event_type").as("n_types"),
+        typed("click"), typed("view"), typed("purchase"),
+        typed("error"), typed("signup"),
+        sum(col("cents").cast("decimal(38,0)")).cast("long")
+          .as("value_cents"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  /** Burst census — the batch, oracle-checked twin of the streaming
+    * [[graft.streaming.StreamingOps.burstDetect]] (which a ScalaTest
+    * covers but no independent engine can replay): an event COMPLETES a
+    * burst when it and its two predecessors fall within 10 seconds
+    * (ts − lag(ts, 2) ≤ 10 s — same n = 3 / window contract as the
+    * streaming op). Per user: total events, burst completions, and the
+    * tightest 3-event span in µs (exact integers; min over a lag
+    * difference). One window pass + one aggregate per user. */
+  private def q246(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    ev(s, dir)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("span_us", col("us") - lag("us", 2).over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("span_us") <= 10000000L, 1L).otherwise(0L))
+          .as("n_bursts"),
+        min("span_us").as("min_span_us"))
+      .orderBy("user_id")
+  }
+
+  /** Survivorship (golden record) — the step AFTER q244's identity
+    * stitching that every master-data pipeline runs: collapse each
+    * identity cluster to ONE record, each field by its own survivorship
+    * rule — earliest first-seen, latest last-seen, exact cents lifetime
+    * value, and the dominant event type by the deterministic
+    * (max count, lexicographic) argmax (min-struct trick — no window).
+    * Cluster assignment is shared with q244 (identityClusters); the
+    * rollup is events joined to the assignment BY KEY and aggregated
+    * per identity — two exchanges, both on user-scale keys. */
+  private def q247(s: SparkSession, dir: String): DataFrame = {
+    val cl = identityClusters(s, dir)
+    val e = ev(s, dir).join(cl, "user_id")
+      .withColumn("cents", Rounding.cents(col("value")))
+    val base = e.groupBy("identity_id")
+      .agg(countDistinct("user_id").as("n_users"),
+        count(lit(1)).as("n_events"),
+        date_format(min("ts"), "yyyy-MM-dd HH:mm:ss").as("first_seen"),
+        date_format(max("ts"), "yyyy-MM-dd HH:mm:ss").as("last_seen"),
+        sum(col("cents").cast("decimal(38,0)")).cast("long")
+          .as("lifetime_cents"))
+    val dom = e.groupBy("identity_id", "event_type")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("identity_id")
+      .agg(min(struct((-col("n")).as("nn"), col("event_type").as("t")))
+        .as("m"))
+      .select(col("identity_id"), col("m.t").as("dominant_type"))
+    base.join(dom, "identity_id").orderBy("identity_id")
   }
 
   val defs: Map[String, Q] = Map(
     "q233_attribution" -> (q233 _),
     "q244_identity_stitch" -> (q244 _),
+    "q245_session_features" -> (q245 _),
+    "q246_burst_census" -> (q246 _),
+    "q247_golden_record" -> (q247 _),
     "q222_timed_funnel" -> (q222 _),
     "q208_lateness_calibration" -> (q208 _),
     "q182_conversion_survival" -> (q182 _),
@@ -585,35 +677,119 @@ object EventOpsQueries extends QueryPack {
       .orderBy("day")
   }
 
+  /** Oracle CTE chain ending in `reach(id, comp)` — q244's linking-key
+    * graph + recursive min-label closure, shared with q247 (no leading
+    * WITH RECURSIVE; a def for object-init-order safety). */
+  private def identityCtes: String =
+    s"""uk AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)
+      |      * 100000000 + ${Rounding.centsSql("value")} AS k
+      |  FROM events
+      |  WHERE regexp_extract(props, '"k": ([0-9]+)', 1) <> ''),
+      |rare AS (
+      |  SELECT k FROM uk GROUP BY k
+      |  HAVING count(*) BETWEEN 2 AND 3),
+      |kept AS (SELECT uk.user_id, uk.k FROM uk JOIN rare USING (k)),
+      |pairs AS (
+      |  SELECT DISTINCT a.user_id AS a, b.user_id AS b
+      |  FROM kept a JOIN kept b
+      |    ON a.k = b.k AND a.user_id < b.user_id),
+      |edges AS (SELECT a AS src, b AS dst FROM pairs
+      |          UNION ALL
+      |          SELECT b AS src, a AS dst FROM pairs),
+      |nodes AS (SELECT DISTINCT user_id FROM events),
+      |reach(id, comp) AS (
+      |  SELECT user_id, user_id FROM nodes
+      |  UNION
+      |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     // same 2–3-user key gate, same sorted pair expansion, q67's
     // recursive min-label closure on users
     "q244_identity_stitch" ->
-      s"""WITH RECURSIVE uk AS (
-        |  SELECT DISTINCT user_id,
-        |    CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)
-        |      * 100000000 + ${Rounding.centsSql("value")} AS k
-        |  FROM events
-        |  WHERE regexp_extract(props, '"k": ([0-9]+)', 1) <> ''),
-        |rare AS (
-        |  SELECT k FROM uk GROUP BY k
-        |  HAVING count(*) BETWEEN 2 AND 3),
-        |kept AS (SELECT uk.user_id, uk.k FROM uk JOIN rare USING (k)),
-        |pairs AS (
-        |  SELECT DISTINCT a.user_id AS a, b.user_id AS b
-        |  FROM kept a JOIN kept b
-        |    ON a.k = b.k AND a.user_id < b.user_id),
-        |edges AS (SELECT a AS src, b AS dst FROM pairs
-        |          UNION ALL
-        |          SELECT b AS src, a AS dst FROM pairs),
-        |nodes AS (SELECT DISTINCT user_id FROM events),
-        |reach(id, comp) AS (
-        |  SELECT user_id, user_id FROM nodes
-        |  UNION
-        |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id)
+      s"""WITH RECURSIVE $identityCtes
         |SELECT id AS user_id, min(comp) AS identity_id,
         |  min(comp) = id AS is_canonical
         |FROM reach GROUP BY id ORDER BY user_id""".stripMargin,
+    // q63's session frame, features restated column by column
+    "q245_session_features" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, ts, epoch_us(ts) AS us,
+        |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+        |    lag(ts) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |f AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |      OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END
+        |    AS new_sess
+        |  FROM e),
+        |g AS (
+        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS session_idx
+        |  FROM f)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |  count(*) AS n_events,
+        |  CAST(max(us) - min(us) AS BIGINT) AS duration_us,
+        |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_click,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_view,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_purchase,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_error,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_signup,
+        |  CAST(sum(cents) AS BIGINT) AS value_cents
+        |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the NULL span of a user's first two events falls out of both the
+    // CASE (no THEN branch) and min() identically
+    "q246_burst_census" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts), 2) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS us2
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN us - us2 <= 10000000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_bursts,
+        |  CAST(min(us - us2) AS BIGINT) AS min_span_us
+        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // the shared closure + per-identity survivorship rules; dominant
+    // type is the same min-struct argmax
+    "q247_golden_record" ->
+      s"""WITH RECURSIVE $identityCtes,
+        |cl AS (
+        |  SELECT id AS user_id, min(comp) AS identity_id
+        |  FROM reach GROUP BY id),
+        |e AS (
+        |  SELECT cl.identity_id, ev.user_id, ev.event_type, ev.ts,
+        |    CAST(floor(ev.value * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM events ev JOIN cl ON ev.user_id = cl.user_id),
+        |base AS (
+        |  SELECT identity_id,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |    count(*) AS n_events,
+        |    strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_seen,
+        |    strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_seen,
+        |    CAST(sum(cents) AS BIGINT) AS lifetime_cents
+        |  FROM e GROUP BY 1),
+        |tc AS (
+        |  SELECT identity_id, event_type, count(*) AS n
+        |  FROM e GROUP BY 1, 2),
+        |dom AS (
+        |  SELECT identity_id,
+        |    min(struct_pack(nn := -n, t := event_type)) AS m
+        |  FROM tc GROUP BY 1)
+        |SELECT base.identity_id, n_users, n_events, first_seen, last_seen,
+        |  lifetime_cents, m.t AS dominant_type
+        |FROM base JOIN dom ON base.identity_id = dom.identity_id
+        |ORDER BY base.identity_id""".stripMargin,
     // same U-shape credit table; NOT EXISTS is the engine's left-anti,
     // the remainder lands on rn = 2 identically
     "q233_attribution" -> {
