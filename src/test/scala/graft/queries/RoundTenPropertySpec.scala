@@ -65,6 +65,83 @@ class RoundTenPropertySpec extends SparkSuite {
     assert(nodes === lp, s"modularity covers $nodes nodes, label-prop $lp")
   }
 
+  test("q233: attribution conserves exactly 10^6 micro-credits per " +
+    "purchase across all channels including direct") {
+    val a = q("q233_attribution")
+    val credits = a.agg(sum("credit_e6")).head.getLong(0)
+    val purchases = graft.Tables.load(spark, sf, "events")
+      .filter(col("event_type") === "purchase").count()
+    assert(credits === 1000000L * purchases,
+      s"credits $credits != 1e6 * $purchases")
+  }
+
+  test("q229: AUC stays on [0, 1e6] and each anchor scores the rest of " +
+    "the corpus exactly once") {
+    val rows = q("q229_anchor_auc").collect()
+    assert(rows.nonEmpty)
+    val n = graft.Tables.load(spark, sf, "embeddings").count()
+    rows.foreach { r =>
+      val auc = r.getAs[Long]("auc_e6")
+      assert(auc >= 0L && auc <= 1000000L, s"auc out of range: $r")
+      assert(r.getAs[Long]("npos") + r.getAs[Long]("nneg") === n - 1,
+        s"anchor does not score corpus minus itself: $r")
+    }
+  }
+
+  test("q236/q240: KS statistics agree between the drill-down and the " +
+    "matrix, and stay on [0, 1e6]") {
+    val drill = q("q236_ks_drift").collect()
+    assert(drill.length === 1)
+    val ks36 = drill.head.getAs[Long]("ks_e6")
+    val matrix = q("q240_ks_matrix").collect()
+    matrix.foreach { r =>
+      val v = r.getAs[Long]("ks_e6")
+      assert(v >= 0L && v <= 1000000L, s"ks out of range: $r")
+    }
+    val cell = matrix.find(r => r.getAs[String]("src_a") == "src0" &&
+      r.getAs[String]("src_b") == "src1").get
+    assert(cell.getAs[Long]("ks_e6") === ks36,
+      s"matrix cell ${cell.getAs[Long]("ks_e6")} != drill-down $ks36")
+  }
+
+  test("q237: snake dealing covers the corpus and balances shard token " +
+    "sums to within one max-document") {
+    val sh = q("q237_balanced_shards").collect()
+    assert(sh.length === 8)
+    val docs = graft.Tables.load(spark, sf, "documents")
+    assert(sh.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    val sums = sh.map(_.getAs[Long]("tok_sum"))
+    val maxDoc = sh.map(_.getAs[Long]("max_toks")).max
+    assert(sums.max - sums.min <= maxDoc,
+      s"imbalance ${sums.max - sums.min} > max doc $maxDoc")
+  }
+
+  test("q226: containment pairs bound inter by the smaller shingle set " +
+    "and at least one direction clears the threshold") {
+    val c = q("q226_containment")
+    val bad = c.filter(col("inter") > least(col("sz_a"), col("sz_b")) ||
+      greatest(col("cont_a"), col("cont_b")) < 0.5 ||
+      col("cont_a") > 1.0 || col("cont_b") > 1.0)
+    assert(bad.count() === 0, bad.collect().take(5).mkString(", "))
+  }
+
+  test("q247: golden records partition the stitched user base") {
+    val g = q("q247_golden_record")
+    val users = g.agg(sum("n_users")).head.getLong(0)
+    val distinctUsers = graft.Tables.load(spark, sf, "events")
+      .select("user_id").distinct().count()
+    assert(users === distinctUsers,
+      s"golden records cover $users users of $distinctUsers")
+    assert(g.filter(col("first_seen") > col("last_seen")).count() === 0)
+  }
+
+  test("q246: a burst completion needs at least three events") {
+    val b = q("q246_burst_census")
+    val bad = b.filter(col("n_bursts") >
+      greatest(col("n_events") - 2L, lit(0L)))
+    assert(bad.count() === 0, bad.collect().take(5).mkString(", "))
+  }
+
   test("q220: displacement is consistent with both rank columns") {
     val rows = q("q220_matryoshka_audit").collect()
     assert(rows.length === 20)
