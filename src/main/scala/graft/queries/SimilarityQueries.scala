@@ -515,8 +515,12 @@ object SimilarityQueries extends QueryPack {
     * that, swap the final op for intDivExact — the integer inputs
     * already support it). The anchor table is 10 rows → broadcast
     * product, the q50 crossJoin family. */
-  private def q229(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** (albl, anchor_id, score, np, nn) histogram cells — the shared
+    * base of q229's AUC and q248's Youden threshold: each label's
+    * anchor (min vec_id) scores the rest of the corpus, grouped to
+    * e4-grid cells so downstream windows walk ≤ 20001 rows per anchor
+    * regardless of corpus size. */
+  private def anchorHist(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.Rounding.roundf
     val e = emb(s, dir)
     val anchors = e.groupBy(col("label").cast("long").as("albl"))
@@ -524,14 +528,19 @@ object SimilarityQueries extends QueryPack {
     val av = anchors.join(
       e.select(col("vec_id").as("anchor_id"), col("v").as("avec")),
       "anchor_id")
-    val scored = e.crossJoin(broadcast(av))
+    e.crossJoin(broadcast(av))
       .filter(col("vec_id") =!= col("anchor_id"))
       .select(col("albl"), col("anchor_id"),
         roundf(graft.expressions.CosineSimilarity.sim(
           col("v"), col("avec")), 4).as("score"),
         (col("label").cast("long") === col("albl")).cast("long").as("pos"))
-    val hist = scored.groupBy("albl", "anchor_id", "score")
+      .groupBy("albl", "anchor_id", "score")
       .agg(sum("pos").as("np"), sum(lit(1L) - col("pos")).as("nn"))
+  }
+
+  private def q229(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = anchorHist(s, dir)
     val w = Window.partitionBy("albl").orderBy("score")
       .rowsBetween(Window.unboundedPreceding, -1)
     hist.withColumn("cum_nn", coalesce(sum("nn").over(w), lit(0L)))
@@ -579,10 +588,49 @@ object SimilarityQueries extends QueryPack {
       .orderBy("q_id")
   }
 
+  /** Youden-J optimal threshold per anchor — the operating point q229's
+    * AUC does not give you: AUC says the score CAN separate, Youden
+    * says WHERE to cut (classify same-label iff score ≥ t, t chosen to
+    * maximize TPR − FPR). Over the same e4 histogram cells as q229:
+    * pos/neg mass at-or-above each observed cell comes from the framed
+    * below-window complements, the maximized objective is the exact
+    * integer cross-product form J_num = pos_above·nneg − neg_above·npos
+    * (common denominator npos·nneg — no ratio floats), argmax breaks
+    * ties toward the SMALLEST threshold (min-struct on (−J_num,
+    * score)), and j_e6 is the exact rational division. The census walk
+    * stays support-bounded per anchor. */
+  private def q248(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Rounding.intDivExact
+    val hist = anchorHist(s, dir)
+    val w = Window.partitionBy("albl").orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = Window.partitionBy("albl")
+    val cells = hist
+      .withColumn("cum_np", coalesce(sum("np").over(w), lit(0L)))
+      .withColumn("cum_nn", coalesce(sum("nn").over(w), lit(0L)))
+      .withColumn("npos", sum("np").over(tot))
+      .withColumn("nneg", sum("nn").over(tot))
+      .withColumn("j_num",
+        (col("npos") - col("cum_np")) * col("nneg") -
+          (col("nneg") - col("cum_nn")) * col("npos"))
+    cells.groupBy("albl", "anchor_id", "npos", "nneg")
+      .agg(min(struct((-col("j_num")).as("nj"), col("score").as("t")))
+        .as("m"))
+      .select(col("albl").as("label"), col("anchor_id"),
+        col("m.t").as("threshold"),
+        intDivExact(
+          (-col("m.nj")).cast("decimal(38,0)") * lit(2000000L) +
+            col("npos") * col("nneg"),
+          lit(2L) * col("npos") * col("nneg")).as("j_e6"))
+      .orderBy("label")
+  }
+
   val defs: Map[String, Q] = Map(
     "q50_knn_cosine" -> (q50 _),
     "q227_hard_negatives" -> (q227 _),
     "q229_anchor_auc" -> (q229 _),
+    "q248_youden_threshold" -> (q248 _),
     "q232_ann_recall" -> (q232 _),
     "q194_hybrid_rrf" -> (q194 _),
     "q202_embedding_audit" -> (q202 _),
@@ -639,6 +687,56 @@ object SimilarityQueries extends QueryPack {
         |  ON b.q_id = l.q_id AND b.vec_id = l.vec_id
         |GROUP BY b.q_id
         |ORDER BY b.q_id""".stripMargin,
+    // q229's cells + the integer cross-product Youden objective; the
+    // min-struct argmax ties toward the smallest threshold identically
+    "q248_youden_threshold" ->
+      s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |anchors AS (
+        |  SELECT label AS albl, min(vec_id) AS anchor_id
+        |  FROM e GROUP BY 1),
+        |av AS (
+        |  SELECT a.albl, a.anchor_id, e.v AS avec
+        |  FROM anchors a JOIN e ON a.anchor_id = e.vec_id),
+        |scored AS (
+        |  SELECT av.albl, av.anchor_id,
+        |    ${rnd("list_cosine_similarity(e.v, av.avec)")} AS score,
+        |    CASE WHEN e.label = av.albl THEN 1 ELSE 0 END AS pos
+        |  FROM e CROSS JOIN av
+        |  WHERE e.vec_id <> av.anchor_id),
+        |hist AS (
+        |  SELECT albl, anchor_id, score,
+        |    CAST(sum(pos) AS BIGINT) AS np,
+        |    CAST(sum(1 - pos) AS BIGINT) AS nn
+        |  FROM scored GROUP BY 1, 2, 3),
+        |cells AS (
+        |  SELECT albl, anchor_id, score,
+        |    coalesce(sum(np) OVER (PARTITION BY albl ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_np,
+        |    coalesce(sum(nn) OVER (PARTITION BY albl ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_nn,
+        |    sum(np) OVER (PARTITION BY albl) AS npos,
+        |    sum(nn) OVER (PARTITION BY albl) AS nneg
+        |  FROM hist),
+        |jn AS (
+        |  SELECT albl, anchor_id,
+        |    CAST(npos AS BIGINT) AS npos, CAST(nneg AS BIGINT) AS nneg,
+        |    score,
+        |    CAST((npos - cum_np) * nneg - (nneg - cum_nn) * npos
+        |      AS BIGINT) AS j_num
+        |  FROM cells),
+        |agg AS (
+        |  SELECT albl, anchor_id, npos, nneg,
+        |    min(struct_pack(nj := -j_num, t := score)) AS m
+        |  FROM jn GROUP BY 1, 2, 3, 4)
+        |SELECT albl AS label, anchor_id, m.t AS threshold,
+        |  ${graft.functions.Rounding.intDivExactSql(
+             "CAST(-(m.nj) AS HUGEINT) * 2000000 + npos * nneg",
+             "2 * npos * nneg")} AS j_e6
+        |FROM agg ORDER BY label""".stripMargin,
     // same histogram-cell rank-sum; DuckDB's framed window sum is the
     // engine's cum_nn, all counts integral until the one final division
     "q229_anchor_auc" ->

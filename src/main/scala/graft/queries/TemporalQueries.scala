@@ -624,9 +624,51 @@ object TemporalQueries extends QueryPack {
       .orderBy("user_id")
   }
 
+  /** SAX-style motif mining over daily close moves — the time-series
+    * pattern census (which shapes recur? is there a pump-and-dump
+    * UUUD signature?): per event_type, each day's close move becomes a
+    * symbol (U/D/F vs the previous close, exact integer cents compare
+    * — no float discretization boundary), consecutive symbols form
+    * 4-gram motifs via three lead() taps (the `||` concat propagates
+    * NULL identically in both engines, so tail windows shorter than 4
+    * drop out of both), and the top 3 motifs per type survive a
+    * deterministic (n DESC, motif) rank. Everything rides the q120
+    * daily-close machinery; the only exchanges are the per-(type, day)
+    * close pick and the 5-type rollup. */
+  private def q249(s: SparkSession, dir: String): DataFrame = {
+    val wDay = Window.partitionBy("event_type", "day")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val close = ev(s, dir)
+      .withColumn("day", to_date(col("ts")))
+      .withColumn("cents", Rounding.cents(col("value")))
+      .withColumn("rn", row_number().over(wDay))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("day"), col("cents"))
+    val sym = close
+      .withColumn("prev", lag("cents", 1).over(w))
+      .withColumn("s", when(col("prev").isNull, lit(null).cast("string"))
+        .when(col("cents") > col("prev"), lit("U"))
+        .when(col("cents") < col("prev"), lit("D"))
+        .otherwise(lit("F")))
+      .filter(col("s").isNotNull)
+    val motifs = sym
+      .withColumn("motif", concat_ws("", col("s"),
+        lead("s", 1).over(w), lead("s", 2).over(w), lead("s", 3).over(w)))
+      .filter(length(col("motif")) === 4)
+      .groupBy("event_type", "motif")
+      .agg(count(lit(1)).as("n"))
+    val r = Window.partitionBy("event_type")
+      .orderBy(col("n").desc, col("motif"))
+    motifs.withColumn("motif_rank", row_number().over(r).cast("long"))
+      .filter(col("motif_rank") <= 3)
+      .orderBy("event_type", "motif_rank")
+  }
+
   val defs: Map[String, Q] = Map(
     "q171_autocorr" -> (q171 _),
     "q228_theilsen" -> (q228 _),
+    "q249_sax_motifs" -> (q249 _),
     "q105_gapfill_ffill" -> (q105 _),
     "q106_unpivot" -> (q106 _),
     "q107_mad_outliers" -> (q107 _),
@@ -749,6 +791,39 @@ object TemporalQueries extends QueryPack {
   private val centsV = Rounding.centsSql("value")
 
   val oracle: Map[String, String] = Map(
+    // same symbolization and lead taps; concat_ws skips NULLs in both
+    // engines so the length-4 gate is the shared tail guard
+    "q249_sax_motifs" ->
+      s"""WITH close AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, $centsV AS cents
+        |  FROM events
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY event_type, CAST(ts AS DATE)
+        |    ORDER BY ts DESC, event_id DESC) = 1),
+        |sym AS (
+        |  SELECT event_type, day,
+        |    CASE WHEN prev IS NULL THEN NULL
+        |         WHEN cents > prev THEN 'U'
+        |         WHEN cents < prev THEN 'D'
+        |         ELSE 'F' END AS s
+        |  FROM (SELECT *, lag(cents) OVER (PARTITION BY event_type
+        |          ORDER BY day) AS prev
+        |        FROM close)),
+        |f AS (SELECT * FROM sym WHERE s IS NOT NULL),
+        |m AS (
+        |  SELECT event_type,
+        |    concat_ws('', s, lead(s, 1) OVER w, lead(s, 2) OVER w,
+        |      lead(s, 3) OVER w) AS motif
+        |  FROM f WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |c AS (
+        |  SELECT event_type, motif, count(*) AS n
+        |  FROM m WHERE length(motif) = 4 GROUP BY 1, 2)
+        |SELECT event_type, motif, n,
+        |  CAST(row_number() OVER (PARTITION BY event_type
+        |    ORDER BY n DESC, motif) AS BIGINT) AS motif_rank
+        |FROM c
+        |QUALIFY motif_rank <= 3
+        |ORDER BY event_type, motif_rank""".stripMargin,
     // same exact-rational pair slopes; DuckDB's row_number/QUALIFY is the
     // engine's window, date_diff mirrors datediff(day, epoch)
     "q228_theilsen" ->
