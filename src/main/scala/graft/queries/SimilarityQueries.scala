@@ -626,11 +626,44 @@ object SimilarityQueries extends QueryPack {
       .orderBy("label")
   }
 
+  /** MRR of the LSH arm against brute ground truth — the rank-sensitive
+    * complement of q232's recall@10 (recall says the gold made the list,
+    * MRR says how FAR DOWN): gold = each query's brute top-1, score =
+    * the reciprocal of its rank in the LSH arm's full candidate
+    * ranking, 0 when the candidate set misses it entirely. Kept exact
+    * by the floor-before-mean convention: rr_e6 = ⌊10⁶/rank⌋ per query
+    * ([[graft.functions.Rounding.intDiv]]), mrr_e6 = ⌊Σrr/n⌋ — both
+    * engines run the same two integer divisions, no double ever
+    * averages. The LSH ranking is re-ranked over ALL LSH candidates
+    * (k = corpus bound) so a gold at rank 11 scores 90909, not 0. */
+  private def q250(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.intDiv
+    import graft.operators.SimilaritySearch
+    val e = emb(s, dir)
+    val qv = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v"))
+    val gold = SimilaritySearch
+      .topK(e, qv, "vec_id", "v", "q_id", 1, SimilaritySearch.Brute)
+      .select(col("q_id"), col("vec_id"))
+    val lshRank = SimilaritySearch
+      .topK(e, qv, "vec_id", "v", "q_id", Int.MaxValue,
+        SimilaritySearch.BandLsh(Bands, Rows, Dim))
+      .select(col("q_id"), col("vec_id"), col("rank"))
+    gold.join(lshRank, Seq("q_id", "vec_id"), "left")
+      .select(col("q_id"),
+        coalesce(intDiv(lit(1000000L), col("rank")), lit(0L)).as("rr_e6"))
+      .groupBy()
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("rr_e6") > 0L, 1L).otherwise(0L)).as("n_found"),
+        intDiv(sum("rr_e6"), count(lit(1))).as("mrr_e6"))
+  }
+
   val defs: Map[String, Q] = Map(
     "q50_knn_cosine" -> (q50 _),
     "q227_hard_negatives" -> (q227 _),
     "q229_anchor_auc" -> (q229 _),
     "q248_youden_threshold" -> (q248 _),
+    "q250_lsh_mrr" -> (q250 _),
     "q232_ann_recall" -> (q232 _),
     "q194_hybrid_rrf" -> (q194 _),
     "q202_embedding_audit" -> (q202 _),
@@ -687,6 +720,50 @@ object SimilarityQueries extends QueryPack {
         |  ON b.q_id = l.q_id AND b.vec_id = l.vec_id
         |GROUP BY b.q_id
         |ORDER BY b.q_id""".stripMargin,
+    // q232's two chains with the brute arm cut to top-1 gold and the
+    // LSH arm left unbounded; the same floor-before-mean divisions
+    "q250_lsh_mrr" -> {
+      import graft.functions.Rounding.intDivSql
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+        |sb AS (
+        |  SELECT q_id, vec_id, ${rnd("list_cosine_similarity(v, qv)")} AS cos
+        |  FROM e, q WHERE vec_id <> q_id),
+        |gold AS (
+        |  SELECT q_id, vec_id FROM sb
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY q_id ORDER BY cos DESC, vec_id) = 1),
+        |${Lsh.signatureSqlCtes(Bands * Rows, Dim)},
+        |${Lsh.bandsSqlCte(Bands, Rows)},
+        |qb AS (SELECT vec_id AS q_id, band, bkey FROM bands
+        |       WHERE vec_id < 5),
+        |cand AS (
+        |  SELECT DISTINCT qb.q_id, bands.vec_id
+        |  FROM bands JOIN qb ON bands.band = qb.band AND bands.bkey = qb.bkey
+        |  WHERE bands.vec_id <> qb.q_id),
+        |sl AS (
+        |  SELECT c.q_id, c.vec_id,
+        |    ${rnd("list_cosine_similarity(ev.v, qv2.v)")} AS cos
+        |  FROM cand c
+        |  JOIN e ev ON c.vec_id = ev.vec_id
+        |  JOIN e qv2 ON c.q_id = qv2.vec_id),
+        |lr AS (
+        |  SELECT q_id, vec_id,
+        |    CAST(row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+        |  FROM sl),
+        |j AS (
+        |  SELECT g.q_id,
+        |    coalesce(${intDivSql("1000000", "lr.rank")}, 0) AS rr
+        |  FROM gold g LEFT JOIN lr
+        |    ON g.q_id = lr.q_id AND g.vec_id = lr.vec_id)
+        |SELECT count(*) AS n_queries,
+        |  CAST(sum(CASE WHEN rr > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_found,
+        |  ${intDivSql("sum(rr)", "count(*)")} AS mrr_e6
+        |FROM j""".stripMargin
+    },
     // q229's cells + the integer cross-product Youden objective; the
     // min-struct argmax ties toward the smallest threshold identically
     "q248_youden_threshold" ->

@@ -665,10 +665,42 @@ object TemporalQueries extends QueryPack {
       .orderBy("event_type", "motif_rank")
   }
 
+  /** Date-dimension build + activity rollup — the warehouse staple every
+    * star schema starts with: the calendar over the data's own [min,
+    * max] day span (sequence explode — O(span), data-size-independent),
+    * conformed day features (weekday 0=Mon via the Spark weekday ≡
+    * DuckDB isodow−1 identity — dayofweek's 1=Sunday convention differs
+    * between engines and is avoided), and the per-day activity facts
+    * LEFT-joined so calendar gaps surface as explicit zero rows (the
+    * q105 gap-fill contract, rolled up instead of carried forward). */
+  private def q251(s: SparkSession, dir: String): DataFrame = {
+    val days = ev(s, dir)
+      .select(to_date(col("ts")).as("d"))
+      .groupBy().agg(min("d").as("lo"), max("d").as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+    val daily = ev(s, dir)
+      .withColumn("day", to_date(col("ts")))
+      .withColumn("cents", Rounding.cents(col("value")))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("cents").cast("decimal(38,0)")).cast("long")
+          .as("value_cents"))
+    days.join(daily, Seq("day"), "left")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        expr("weekday(day)").cast("long").as("wd"),
+        (expr("weekday(day)") >= 5).cast("long").as("is_weekend"),
+        month(col("day")).cast("long").as("month"),
+        quarter(col("day")).cast("long").as("quarter"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("value_cents"), lit(0L)).as("value_cents"))
+      .orderBy("day")
+  }
+
   val defs: Map[String, Q] = Map(
     "q171_autocorr" -> (q171 _),
     "q228_theilsen" -> (q228 _),
     "q249_sax_motifs" -> (q249 _),
+    "q251_date_dim" -> (q251 _),
     "q105_gapfill_ffill" -> (q105 _),
     "q106_unpivot" -> (q106 _),
     "q107_mad_outliers" -> (q107 _),
@@ -791,6 +823,28 @@ object TemporalQueries extends QueryPack {
   private val centsV = Rounding.centsSql("value")
 
   val oracle: Map[String, String] = Map(
+    // calendar from the data's own span; isodow−1 is Spark's weekday
+    "q251_date_dim" ->
+      s"""WITH b AS (
+        |  SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi
+        |  FROM events),
+        |days AS (
+        |  SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+        |    CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM b),
+        |daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
+        |    CAST(sum($centsV) AS BIGINT) AS value_cents
+        |  FROM events GROUP BY 1)
+        |SELECT strftime(d.day, '%Y-%m-%d') AS day,
+        |  CAST(isodow(d.day) - 1 AS BIGINT) AS wd,
+        |  CAST(isodow(d.day) >= 6 AS BIGINT) AS is_weekend,
+        |  CAST(month(d.day) AS BIGINT) AS month,
+        |  CAST(quarter(d.day) AS BIGINT) AS quarter,
+        |  coalesce(n_events, 0) AS n_events,
+        |  coalesce(value_cents, 0) AS value_cents
+        |FROM days d LEFT JOIN daily ON d.day = daily.day
+        |ORDER BY day""".stripMargin,
     // same symbolization and lead taps; concat_ws skips NULLs in both
     // engines so the length-4 gate is the shared tail guard
     "q249_sax_motifs" ->
