@@ -583,9 +583,43 @@ object EventOpsQueries extends QueryPack {
     base.join(dom, "identity_id").orderBy("identity_id")
   }
 
+  /** Capped running balance (Lindley recursion) — the stateful-looking
+    * scan that is secretly windowable: B_t = max(0, B_{t−1} + d_t)
+    * looks like it needs a per-row fold ([[graft.operators.PrefixScan]]
+    * territory), but Lindley's identity B_t = S_t − min(0, min_{k≤t}
+    * S_k) rewrites it as a plain running sum + running min — two framed
+    * window passes per user, fully parallel, no mapPartitions. (The
+    * queueing-theory waiting-time recursion; the same identity powers
+    * "inventory can't go negative" and "drawdown-reset P&L" ledgers.)
+    * Deltas: purchases credit cents, errors debit cents. Per user the
+    * output is the ledger summary — move count, final balance, peak
+    * balance, and how much debit the floor absorbed (exact integers
+    * all the way). */
+  private def q252(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val delta = when(col("event_type") === "purchase",
+        Rounding.cents(col("value")))
+      .when(col("event_type") === "error", -Rounding.cents(col("value")))
+      .otherwise(lit(0L))
+    ev(s, dir)
+      .withColumn("d", delta)
+      .withColumn("s_run", sum("d").over(run))
+      .withColumn("m_run", least(min("s_run").over(run), lit(0L)))
+      .withColumn("bal", col("s_run") - col("m_run"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_moves"),
+        max(struct(col("ts"), col("event_id"), col("bal"))).getField("bal")
+          .as("final_balance"),
+        max("bal").as("peak_balance"),
+        (-min("m_run")).as("floor_absorbed"))
+      .orderBy("user_id")
+  }
+
   val defs: Map[String, Q] = Map(
     "q233_attribution" -> (q233 _),
     "q244_identity_stitch" -> (q244 _),
+    "q252_capped_balance" -> (q252 _),
     "q245_session_features" -> (q245 _),
     "q246_burst_census" -> (q246 _),
     "q247_golden_record" -> (q247 _),
@@ -712,6 +746,34 @@ object EventOpsQueries extends QueryPack {
         |SELECT id AS user_id, min(comp) AS identity_id,
         |  min(comp) = id AS is_canonical
         |FROM reach GROUP BY id ORDER BY user_id""".stripMargin,
+    // the same Lindley rewrite (running sum then running min), final
+    // balance via the lexicographic struct max, all integer
+    "q252_capped_balance" ->
+      s"""WITH e AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN event_type = 'purchase' THEN ${Rounding.centsSql("value")}
+        |         WHEN event_type = 'error' THEN -${Rounding.centsSql("value")}
+        |         ELSE 0 END AS d
+        |  FROM events),
+        |r1 AS (
+        |  SELECT user_id, event_id, ts, d,
+        |    sum(d) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_run
+        |  FROM e),
+        |r2 AS (
+        |  SELECT *, least(min(s_run) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS m_run
+        |  FROM r1),
+        |b AS (
+        |  SELECT user_id, ts, event_id, s_run - m_run AS bal, m_run
+        |  FROM r2)
+        |SELECT user_id, count(*) AS n_moves,
+        |  CAST((max(struct_pack(ts := ts, event_id := event_id,
+        |    bal := bal))).bal AS BIGINT) AS final_balance,
+        |  CAST(max(bal) AS BIGINT) AS peak_balance,
+        |  CAST(-min(m_run) AS BIGINT) AS floor_absorbed
+        |FROM b GROUP BY user_id ORDER BY user_id""".stripMargin,
     // q63's session frame, features restated column by column
     "q245_session_features" ->
       """WITH e AS (

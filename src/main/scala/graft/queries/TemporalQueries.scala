@@ -696,11 +696,43 @@ object TemporalQueries extends QueryPack {
       .orderBy("day")
   }
 
+  /** 3σ daily-volume anomaly alerts, square-root-free — the monitoring
+    * rule every ingestion pipeline wants ("page me when today's volume
+    * leaves the trailing band") made EXACT: |x − μ| > 3σ over the
+    * trailing 7 observed days is algebraically (w·x − S)² > 9·(w·Q −
+    * S²) after multiplying through by w² — counts, their squares, and
+    * two framed window sums, no mean, no variance, no sqrt ever
+    * materializes (the q135/q171 de-floating discipline applied to the
+    * classic z-test; squares ride decimal(38,0)/HUGEINT so 10⁹-row
+    * days cannot wrap). Windows partition per type; a day needs ≥ 3
+    * trailing observations to alert. */
+  private def q253(s: SparkSession, dir: String): DataFrame = {
+    val daily = ev(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val w7 = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-7, -1)
+    val dev = (col("w") * col("x") - col("s")).cast("decimal(38,0)")
+    val rhs = (col("w").cast("decimal(38,0)") * col("q") -
+      col("s").cast("decimal(38,0)") * col("s")) * lit(9)
+    daily
+      .withColumn("w", count(lit(1)).over(w7))
+      .withColumn("s", coalesce(sum("x").over(w7), lit(0L)))
+      .withColumn("q", coalesce(sum(col("x") * col("x")).over(w7), lit(0L)))
+      .select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("x").as("n_events"), col("w").as("w_days"),
+        col("s").as("s_w"), col("q").as("q_w"),
+        (col("w") >= 3L && dev * dev > rhs).cast("long").as("is_alert"))
+      .orderBy("event_type", "day")
+  }
+
   val defs: Map[String, Q] = Map(
     "q171_autocorr" -> (q171 _),
     "q228_theilsen" -> (q228 _),
     "q249_sax_motifs" -> (q249 _),
     "q251_date_dim" -> (q251 _),
+    "q253_volume_alerts" -> (q253 _),
     "q105_gapfill_ffill" -> (q105 _),
     "q106_unpivot" -> (q106 _),
     "q107_mad_outliers" -> (q107 _),
@@ -823,6 +855,28 @@ object TemporalQueries extends QueryPack {
   private val centsV = Rounding.centsSql("value")
 
   val oracle: Map[String, String] = Map(
+    // the same multiplied-through z-test; HUGEINT squares mirror the
+    // engine's decimal(38,0)
+    "q253_volume_alerts" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT event_type, day, x,
+        |    count(*) OVER w AS w,
+        |    coalesce(sum(x) OVER w, 0) AS s,
+        |    coalesce(sum(x * x) OVER w, 0) AS q
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+        |  x AS n_events, w AS w_days,
+        |  CAST(s AS BIGINT) AS s_w, CAST(q AS BIGINT) AS q_w,
+        |  CAST(w >= 3 AND
+        |    CAST(w * x - s AS HUGEINT) * CAST(w * x - s AS HUGEINT) >
+        |    9 * (CAST(w AS HUGEINT) * q - CAST(s AS HUGEINT) * s)
+        |    AS BIGINT) AS is_alert
+        |FROM t ORDER BY event_type, day""".stripMargin,
     // calendar from the data's own span; isodow−1 is Spark's weekday
     "q251_date_dim" ->
       s"""WITH b AS (
