@@ -740,11 +740,49 @@ object CurationQueries extends QueryPack {
       .orderBy("src_a", "src_b")
   }
 
+  /** Proportional token-budget apportionment with largest-remainder
+    * (Hamilton) rounding — the exact answer to "give each source its
+    * fair share of a 1,000,000-token budget": naive floor(B·t/T) per
+    * source under-allocates by up to #sources−1 tokens, naive rounding
+    * can overshoot; Hamilton hands each source its floor quota and the
+    * leftover one-by-one to the largest remainders (r = B·t mod T,
+    * integer!), so Σalloc ≡ B EXACTLY — the invariant the hash pins.
+    * Tie-break on (remainder DESC, source): fully deterministic. The
+    * window ranks #sources rows (bounded); products ride
+    * decimal/HUGEINT so petabyte token counts cannot wrap. */
+  private def q254(s: SparkSession, dir: String): DataFrame = {
+    import Rounding.intDivExact
+    val budget = 1000000L
+    val toks = Tables.load(s, dir, "documents")
+      .select(col("source"), TextAnalysis.tokenCount(col("text")).as("t"))
+      .groupBy("source")
+      .agg(sum(col("t").cast("decimal(38,0)")).cast("long").as("tokens"))
+    val tot = toks.groupBy().agg(sum(col("tokens").cast("decimal(38,0)"))
+      .cast("long").as("total"))
+    val based = toks.crossJoin(broadcast(tot))
+      .withColumn("floor_alloc", intDivExact(
+        col("tokens").cast("decimal(38,0)") * lit(budget), col("total")))
+      .withColumn("rem", (col("tokens").cast("decimal(38,0)") *
+        lit(budget) % col("total").cast("decimal(38,0)")).cast("long"))
+    val leftover = Window.partitionBy(lit(1))
+    val rk = Window.partitionBy(lit(1))
+      .orderBy(col("rem").desc, col("source"))
+    based
+      .withColumn("short",
+        lit(budget) - sum("floor_alloc").over(leftover))
+      .withColumn("rk", row_number().over(rk).cast("long"))
+      .select(col("source"), col("tokens"),
+        (col("floor_alloc") +
+          when(col("rk") <= col("short"), 1L).otherwise(0L)).as("alloc"))
+      .orderBy("source")
+  }
+
   val defs: Map[String, Q] = Map(
     "q234_quantile_norm" -> (q234 _),
     "q235_source_sample" -> (q235 _),
     "q236_ks_drift" -> (q236 _),
     "q240_ks_matrix" -> (q240 _),
+    "q254_hamilton_alloc" -> (q254 _),
     "q225_source_concentration" -> (q225 _),
     "q218_contamination_score" -> (q218 _),
     "q216_exact_kfold" -> (q216 _),
@@ -857,6 +895,33 @@ object CurationQueries extends QueryPack {
         |  FROM (SELECT doc_id, source, $u AS u FROM documents))
         |WHERE sample_rank <= 10
         |ORDER BY source, sample_rank""".stripMargin
+    },
+    // same floor quotas + largest-remainder top-up; HUGEINT mirrors the
+    // decimal(38,0) products
+    "q254_hamilton_alloc" -> {
+      import Rounding.intDivExactSql
+      val fa = intDivExactSql("CAST(tokens AS HUGEINT) * 1000000", "total")
+      s"""WITH toks AS (
+        |  SELECT source,
+        |    CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)
+        |      AS tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS total FROM toks),
+        |based AS (
+        |  SELECT source, tokens,
+        |    $fa AS floor_alloc,
+        |    CAST(CAST(tokens AS HUGEINT) * 1000000 % total AS BIGINT)
+        |      AS rem
+        |  FROM toks, tot),
+        |r AS (
+        |  SELECT *, sum(floor_alloc) OVER () AS fa,
+        |    CAST(row_number() OVER (ORDER BY rem DESC, source)
+        |      AS BIGINT) AS rk
+        |  FROM based)
+        |SELECT source, tokens,
+        |  CAST(floor_alloc + CASE WHEN rk <= 1000000 - fa
+        |    THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM r ORDER BY source""".stripMargin
     },
     // shared-support CDF grid, zero-filled, then the len-keyed pair join
     "q240_ks_matrix" -> {
