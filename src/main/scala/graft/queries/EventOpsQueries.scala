@@ -616,10 +616,96 @@ object EventOpsQueries extends QueryPack {
       .orderBy("user_id")
   }
 
+  /** Stationary distribution of the event-type Markov chain — "where
+    * does a user's journey settle": q137's transition counts become a
+    * row-stochastic matrix (kept RATIONAL — c_ij/r_i never materializes
+    * as a float) and the power iteration runs in the q97 int64
+    * fixed-point discipline: total mass T = 10¹², each round
+    * π'_j = Σ_i ⌊π_i·c_ij / r_i⌋ with the product widened through
+    * decimal(38,0) (π·c ≈ 10¹⁸ brushes int64). Four unrolled rounds —
+    * the 5-state chain mixes fast, and the oracle replays the identical
+    * rounds as chained CTEs, so both engines drop the identical
+    * rounding mass. Per round: one keyed join + one groupBy, O(edges)
+    * — the PageRank plan on a 25-edge graph, same shape at any state
+    * count. */
+  private def q255(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.intDivExact
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val trans = ev(s, dir)
+      .withColumn("nxt", lead("event_type", 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("event_type").as("src"), col("nxt").as("dst"))
+      .agg(count(lit(1)).as("c"))
+    val rows = trans.groupBy("src").agg(sum("c").as("r"))
+    val e = trans.join(rows, "src")
+    val states = e.select(col("src").as("state"))
+      .union(e.select(col("dst"))).distinct()
+    val total = 1000000000000L
+    val n = states.count() // tiny action: the state count as a literal
+    var pi = states.withColumn("mass", lit(total / n))
+    for (_ <- 1 to 4) {
+      val contrib = e.join(pi, e("src") === pi("state"))
+        .select(col("dst"), intDivExact(
+          col("mass").cast("decimal(38,0)") * col("c"), col("r")).as("m"))
+        .groupBy("dst")
+        .agg(sum(col("m").cast("decimal(38,0)")).cast("long").as("mass"))
+      pi = states.join(contrib, states("state") === contrib("dst"), "left")
+        .select(col("state"), coalesce(col("mass"), lit(0L)).as("mass"))
+    }
+    pi.select(col("state").as("event_type"), col("mass"))
+      .orderBy("event_type")
+  }
+
+  /** Two-proportion A/B significance test, square-root-free and
+    * float-free — the experimentation-platform readout: users split
+    * into deterministic variants by the md5 coin (reproducible — the
+    * q62 discipline), the metric is user-level "power buyer" conversion (≥ 15
+    * purchases — the raw any-purchase rate saturates at 100% on this
+    * corpus and would test nothing), and
+    * the pooled z-test at α = 0.05 uses z = 1.96 = 49/25 EXACTLY, so
+    * z² = 2401/625 and the whole test is one integer inequality:
+    * 625·(x_a·n_b − x_b·n_a)²·N > 2401·n_a·n_b·X·(N−X) (X = x_a+x_b,
+    * N = n_a+n_b) — the q253 multiply-through trick applied to the
+    * two-sample test, products widened through decimal(38,0)/HUGEINT
+    * (exact to ~5·10⁸ users per variant; beyond that, split the
+    * inequality or go 128-bit offline). Winner is the sign of the
+    * cross difference, only when significant. */
+  private def q256(s: SparkSession, dir: String): DataFrame = {
+    val perUser = ev(s, dir)
+      .select(col("user_id"),
+        (col("event_type") === "purchase").cast("long").as("p"))
+      .groupBy("user_id")
+      .agg((sum("p") >= 15L).cast("long").as("converted"))
+      .withColumn("variant",
+        when(Hashing.md5U32(col("user_id").cast("string")) % 2L === 0L,
+          "A").otherwise("B"))
+    val agg = perUser.groupBy("variant")
+      .agg(count(lit(1)).as("n"), sum("converted").as("x"))
+    val a = agg.filter(col("variant") === "A")
+      .select(col("n").as("n_a"), col("x").as("x_a"))
+    val b = agg.filter(col("variant") === "B")
+      .select(col("n").as("n_b"), col("x").as("x_b"))
+    val d = (col("x_a").cast("decimal(38,0)") * col("n_b") -
+      col("x_b").cast("decimal(38,0)") * col("n_a"))
+    val bigN = (col("n_a") + col("n_b")).cast("decimal(38,0)")
+    val bigX = (col("x_a") + col("x_b")).cast("decimal(38,0)")
+    val lhs = lit(625L) * d * d * bigN
+    val rhs = lit(2401L) * col("n_a").cast("decimal(38,0)") * col("n_b") *
+      bigX * (bigN - bigX)
+    a.crossJoin(b)
+      .select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+        (lhs > rhs).cast("long").as("significant"),
+        when(lhs > rhs && d > 0, "A")
+          .when(lhs > rhs && d < 0, "B")
+          .otherwise("none").as("winner"))
+  }
+
   val defs: Map[String, Q] = Map(
     "q233_attribution" -> (q233 _),
     "q244_identity_stitch" -> (q244 _),
     "q252_capped_balance" -> (q252 _),
+    "q255_markov_stationary" -> (q255 _),
+    "q256_ab_significance" -> (q256 _),
     "q245_session_features" -> (q245 _),
     "q246_burst_census" -> (q246 _),
     "q247_golden_record" -> (q247 _),
@@ -746,6 +832,79 @@ object EventOpsQueries extends QueryPack {
         |SELECT id AS user_id, min(comp) AS identity_id,
         |  min(comp) = id AS is_canonical
         |FROM reach GROUP BY id ORDER BY user_id""".stripMargin,
+    // same md5 coin, same exact-rational z², HUGEINT products
+    "q256_ab_significance" -> {
+      val coin = graft.functions.Hashing
+        .md5U32Sql("CAST(user_id AS VARCHAR)")
+      s"""WITH pu AS (
+        |  SELECT user_id,
+        |    CASE WHEN sum(CASE WHEN event_type = 'purchase'
+        |      THEN 1 ELSE 0 END) >= 15 THEN 1 ELSE 0 END AS converted,
+        |    CASE WHEN $coin % 2 = 0 THEN 'A' ELSE 'B' END AS variant
+        |  FROM events GROUP BY user_id),
+        |agg AS (
+        |  SELECT variant, count(*) AS n,
+        |    CAST(sum(converted) AS BIGINT) AS x
+        |  FROM pu GROUP BY variant),
+        |ab AS (
+        |  SELECT a.n AS n_a, a.x AS x_a, b.n AS n_b, b.x AS x_b
+        |  FROM (SELECT n, x FROM agg WHERE variant = 'A') a,
+        |       (SELECT n, x FROM agg WHERE variant = 'B') b),
+        |t AS (
+        |  SELECT *,
+        |    CAST(x_a AS HUGEINT) * n_b - CAST(x_b AS HUGEINT) * n_a AS d,
+        |    CAST(n_a + n_b AS HUGEINT) AS nn,
+        |    CAST(x_a + x_b AS HUGEINT) AS xx
+        |  FROM ab)
+        |SELECT n_a, x_a, n_b, x_b,
+        |  CAST(625 * d * d * nn >
+        |    2401 * CAST(n_a AS HUGEINT) * n_b * xx * (nn - xx)
+        |    AS BIGINT) AS significant,
+        |  CASE WHEN 625 * d * d * nn >
+        |      2401 * CAST(n_a AS HUGEINT) * n_b * xx * (nn - xx)
+        |    THEN CASE WHEN d > 0 THEN 'A' WHEN d < 0 THEN 'B'
+        |      ELSE 'none' END
+        |    ELSE 'none' END AS winner
+        |FROM t""".stripMargin
+    },
+    // q97-style unrolled rounds over the transition matrix; HUGEINT
+    // products mirror the engine's decimal widening
+    "q255_markov_stationary" -> {
+      import graft.functions.Rounding.{intDivSql, intDivExactSql}
+      def round(prev: String, i: Int): String = {
+        val m = intDivExactSql("CAST(p.mass AS HUGEINT) * ew.c", "ew.r")
+        s"""c$i AS (
+           |  SELECT ew.dst, $m AS m
+           |  FROM $prev p JOIN ew ON p.state = ew.src),
+           |s$i AS (
+           |  SELECT dst, CAST(sum(m) AS BIGINT) AS mass
+           |  FROM c$i GROUP BY dst),
+           |p$i AS (
+           |  SELECT st.state, coalesce(s$i.mass, 0) AS mass
+           |  FROM states st LEFT JOIN s$i ON st.state = s$i.dst)""".stripMargin
+      }
+      s"""WITH tr AS (
+        |  SELECT event_type AS src,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS dst
+        |  FROM events),
+        |e AS (
+        |  SELECT src, dst, count(*) AS c
+        |  FROM tr WHERE dst IS NOT NULL GROUP BY 1, 2),
+        |rs AS (SELECT src, CAST(sum(c) AS BIGINT) AS r FROM e GROUP BY src),
+        |ew AS (SELECT e.src, e.dst, e.c, rs.r FROM e JOIN rs USING (src)),
+        |states AS (SELECT src AS state FROM ew UNION SELECT dst FROM ew),
+        |ns AS (SELECT count(*) AS n FROM states),
+        |p0 AS (
+        |  SELECT state, ${intDivSql("1000000000000", "ns.n")} AS mass
+        |  FROM states, ns),
+        |${round("p0", 1)},
+        |${round("p1", 2)},
+        |${round("p2", 3)},
+        |${round("p3", 4)}
+        |SELECT state AS event_type, mass FROM p4
+        |ORDER BY event_type""".stripMargin
+    },
     // the same Lindley rewrite (running sum then running min), final
     // balance via the lexicographic struct max, all integer
     "q252_capped_balance" ->
