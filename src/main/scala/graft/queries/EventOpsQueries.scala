@@ -700,12 +700,76 @@ object EventOpsQueries extends QueryPack {
           .otherwise("none").as("winner"))
   }
 
+  /** RFM segmentation census — the classic CRM cube: every user scored
+    * 1–5 on Recency (last activity, newest best), Frequency (purchase
+    * count) and Monetary (purchase cents), rolled up per RFM cell. The
+    * quintile scores come from [[graft.operators.GlobalRank]] +
+    * `bucketOf` — three exact global NTILEs with NO single-task window
+    * (the q174 decile discipline; bucketOf ≡ ntile is spec-proven, so
+    * the oracle may say `ntile(5)` while the engine range-partitions).
+    * Scores flip to 6 − bucket so 5 = best, the convention every RFM
+    * writeup uses; cells are r·100 + f·10 + m. All integers. */
+  private def q257(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.GlobalRank
+    val perUser = ev(s, dir)
+      .withColumn("cents", Rounding.cents(col("value")))
+      .groupBy("user_id")
+      .agg(max(unix_micros(col("ts"))).as("last_us"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("freq"),
+        sum(when(col("event_type") === "purchase", col("cents"))
+          .otherwise(0L).cast("decimal(38,0)")).cast("long").as("monetary"))
+    def score(metric: String, outCol: String): DataFrame = {
+      val ranked = GlobalRank.withRank(
+        perUser.select(col("user_id"), col(metric)),
+        "rnk", col(metric).desc, col("user_id").asc)
+      val n = ranked.agg(count(lit(1)).as("n"))
+      ranked.crossJoin(broadcast(n))
+        .select(col("user_id"),
+          (lit(6L) - GlobalRank.bucketOf(col("rnk"), col("n"), 5))
+            .as(outCol))
+    }
+    perUser
+      .join(score("last_us", "r"), "user_id")
+      .join(score("freq", "f"), "user_id")
+      .join(score("monetary", "m"), "user_id")
+      .groupBy((col("r") * 100L + col("f") * 10L + col("m"))
+        .as("rfm_cell"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("freq").cast("decimal(38,0)")).cast("long")
+          .as("freq_total"),
+        sum(col("monetary").cast("decimal(38,0)")).cast("long")
+          .as("monetary_cents"))
+      .orderBy("rfm_cell")
+  }
+
+  /** Rapid-repeat purchase detector — the double-charge/fraud screen:
+    * for each user, purchases landing within one hour of the previous
+    * purchase, reported as (first, repeat) event pairs with the exact
+    * µs gap. One lag window per user over purchases only — the q63
+    * frame restricted to one event type; at any scale the partition is
+    * a user's own purchase history. */
+  private def q258(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    ev(s, dir).filter(col("event_type") === "purchase")
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag("us", 1).over(w))
+      .withColumn("prev_id", lag("event_id", 1).over(w))
+      .filter(col("us") - col("prev_us") <= 3600000000L)
+      .select(col("user_id"), col("prev_id").as("first_event"),
+        col("event_id").as("repeat_event"),
+        (col("us") - col("prev_us")).as("gap_us"))
+      .orderBy("user_id", "repeat_event")
+  }
+
   val defs: Map[String, Q] = Map(
     "q233_attribution" -> (q233 _),
     "q244_identity_stitch" -> (q244 _),
     "q252_capped_balance" -> (q252 _),
     "q255_markov_stationary" -> (q255 _),
     "q256_ab_significance" -> (q256 _),
+    "q257_rfm_census" -> (q257 _),
+    "q258_rapid_repeat" -> (q258 _),
     "q245_session_features" -> (q245 _),
     "q246_burst_census" -> (q246 _),
     "q247_golden_record" -> (q247 _),
@@ -832,6 +896,45 @@ object EventOpsQueries extends QueryPack {
         |SELECT id AS user_id, min(comp) AS identity_id,
         |  min(comp) = id AS is_canonical
         |FROM reach GROUP BY id ORDER BY user_id""".stripMargin,
+    // ntile(5) IS the engine's bucketOf (GlobalRankSpec-proven), same
+    // (metric DESC, user_id) total orders
+    "q257_rfm_census" ->
+      s"""WITH pu AS (
+        |  SELECT user_id, max(epoch_us(ts)) AS last_us,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS freq,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN ${Rounding.centsSql("value")} ELSE 0 END) AS BIGINT)
+        |      AS monetary
+        |  FROM events GROUP BY user_id),
+        |s AS (
+        |  SELECT user_id, freq, monetary,
+        |    6 - ntile(5) OVER (ORDER BY last_us DESC, user_id) AS r,
+        |    6 - ntile(5) OVER (ORDER BY freq DESC, user_id) AS f,
+        |    6 - ntile(5) OVER (ORDER BY monetary DESC, user_id) AS m
+        |  FROM pu)
+        |SELECT CAST(r * 100 + f * 10 + m AS BIGINT) AS rfm_cell,
+        |  count(*) AS n_users,
+        |  CAST(sum(freq) AS BIGINT) AS freq_total,
+        |  CAST(sum(monetary) AS BIGINT) AS monetary_cents
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same per-user purchase lag
+    "q258_rapid_repeat" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id, ts, epoch_us(ts) AS us
+        |  FROM events WHERE event_type = 'purchase'),
+        |l AS (
+        |  SELECT user_id, event_id, us,
+        |    lag(us) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_us,
+        |    lag(event_id) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_id
+        |  FROM p)
+        |SELECT user_id, prev_id AS first_event, event_id AS repeat_event,
+        |  CAST(us - prev_us AS BIGINT) AS gap_us
+        |FROM l
+        |WHERE us - prev_us <= 3600000000
+        |ORDER BY user_id, repeat_event""".stripMargin,
     // same md5 coin, same exact-rational z², HUGEINT products
     "q256_ab_significance" -> {
       val coin = graft.functions.Hashing
