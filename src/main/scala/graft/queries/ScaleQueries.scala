@@ -425,8 +425,52 @@ object ScaleQueries extends QueryPack {
       .orderBy("shard")
   }
 
+  /** Three-way replica reconciliation — the cross-system ledger audit
+    * q76's two-snapshot diff cannot express: three replicas of the same
+    * fact table (A = truth; B deterministically DROPS every
+    * key ≡ 0 mod 1000; C deterministically CORRUPTS quantity on every
+    * key ≡ 0 mod 997 — synthetic faults, so the expected verdict
+    * distribution is itself checkable) are full-outer-joined twice on
+    * the key and every row classified: all_agree, majority (2-of-3 on
+    * value, which replica dissents), present-in-fewer-than-3. One
+    * census row per verdict class. The joins are key-partitioned
+    * shuffles; the verdict is a pure projection — the 100 TB plan is
+    * two exchanges, no window, no skew risk beyond the key itself. */
+  private def q259(s: SparkSession, dir: String): DataFrame = {
+    // this corpus's lineitem repeats (orderkey, linenumber) — the ledger
+    // reconciles the AGGREGATED grain, which also makes the key unique
+    // (a full-outer join over duplicate keys silently cross-products)
+    val base = Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_orderkey").cast("long").as("ok"),
+        col("l_linenumber").cast("long").as("ln"))
+      .agg(sum(col("l_quantity").cast("decimal(38,0)")).cast("long")
+        .as("q"))
+      .select(concat_ws("|", col("ok"), col("ln")).as("k"),
+        col("ok"), col("q"))
+    val a = base.select(col("k"), col("q").as("qa"))
+    val b = base.filter(col("ok") % 1000L =!= 0L)
+      .select(col("k"), col("q").as("qb"))
+    val c = base.select(col("k"),
+      when(col("ok") % 997L === 0L, col("q") + 1L).otherwise(col("q"))
+        .as("qc"))
+    val j = a.join(b, Seq("k"), "full_outer")
+      .join(c, Seq("k"), "full_outer")
+    val verdict = when(col("qa").isNull || col("qb").isNull ||
+        col("qc").isNull, "missing_replica")
+      .when(col("qa") === col("qb") && col("qb") === col("qc"),
+        "all_agree")
+      .when(col("qa") === col("qb"), "c_dissents")
+      .when(col("qa") === col("qc"), "b_dissents")
+      .when(col("qb") === col("qc"), "a_dissents")
+      .otherwise("no_majority")
+    j.groupBy(verdict.as("verdict"))
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy("verdict")
+  }
+
   val defs: Map[String, Q] = Map(
     "q237_balanced_shards" -> (q237 _),
+    "q259_three_way_reconcile" -> (q259 _),
     "q184_join_cardinality" -> (q184 _),
     "q185_equidepth_bounds" -> (q185 _),
     "q70_bloom_join" -> (q70 _),
@@ -442,6 +486,32 @@ object ScaleQueries extends QueryPack {
     "q78_interval_merge" -> (q78 _))
 
   val oracle: Map[String, String] = Map(
+    // same synthetic faults, same double full-outer + verdict CASE
+    "q259_three_way_reconcile" ->
+      """WITH base AS (
+        |  SELECT concat_ws('|', l_orderkey, l_linenumber) AS k,
+        |    CAST(l_orderkey AS BIGINT) AS ok,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+        |  FROM lineitem GROUP BY 1, 2),
+        |a AS (SELECT k, q AS qa FROM base),
+        |b AS (SELECT k, q AS qb FROM base WHERE ok % 1000 <> 0),
+        |c AS (SELECT k,
+        |    CASE WHEN ok % 997 = 0 THEN q + 1 ELSE q END AS qc
+        |  FROM base),
+        |j AS (
+        |  SELECT coalesce(a.k, b.k, c.k) AS k, qa, qb, qc
+        |  FROM a FULL OUTER JOIN b ON a.k = b.k
+        |  FULL OUTER JOIN c ON coalesce(a.k, b.k) = c.k)
+        |SELECT CASE
+        |    WHEN qa IS NULL OR qb IS NULL OR qc IS NULL
+        |      THEN 'missing_replica'
+        |    WHEN qa = qb AND qb = qc THEN 'all_agree'
+        |    WHEN qa = qb THEN 'c_dissents'
+        |    WHEN qa = qc THEN 'b_dissents'
+        |    WHEN qb = qc THEN 'a_dissents'
+        |    ELSE 'no_majority' END AS verdict,
+        |  count(*) AS n_rows
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     // same snake deal over the same (toks DESC, doc_id) total order —
     // DuckDB's row_number is the engine's GlobalRank
     "q237_balanced_shards" ->

@@ -891,9 +891,49 @@ object TpchQueries extends QueryPack {
       .orderBy("p_partkey")
   }
 
+  /** Surrogate-key gap audit — the warehouse key-space health check
+    * (sequence exhaustion, failed-batch holes, CDC drops), solved
+    * WITHOUT the global `lag(k) OVER (ORDER BY k)` window every SQL
+    * formulation reaches for (one task holding every key): a gap START
+    * is k+1 where k exists and k+1 doesn't (one anti-join), a gap END
+    * is k−1 where k exists and k−1 doesn't (another), and the i-th
+    * start pairs with the i-th end under two [[graft.operators
+    * .GlobalRank]] passes over the BOUNDARY sets — which are #gaps
+    * rows, not #keys rows. The output histogram (gap length → count)
+    * equals the window formulation's exactly; TPC-H's deliberately
+    * sparse orderkey space (8 of every 32) makes the expected shape
+    * obvious: gaps of 23-ish dominate. */
+  private def q260(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.GlobalRank
+    // this generator's orderkeys are contiguous, so the audited space is
+    // the FINALIZED-order slice (status 'F', ~1/3 of keys): its holes are
+    // the open/pending orders — the real "why is this key missing" shape
+    val keys = Tables.load(s, dir, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey").cast("long").as("k")).distinct()
+    val bounds = keys.groupBy()
+      .agg(min("k").as("lo"), max("k").as("hi"))
+    val starts = keys.select((col("k") + 1L).as("k"))
+      .join(keys, Seq("k"), "left_anti")
+      .crossJoin(broadcast(bounds)).filter(col("k") < col("hi"))
+      .select(col("k").as("gap_start"))
+    val ends = keys.select((col("k") - 1L).as("k"))
+      .join(keys, Seq("k"), "left_anti")
+      .crossJoin(broadcast(bounds)).filter(col("k") > col("lo"))
+      .select(col("k").as("gap_end"))
+    val rs = GlobalRank.withRank(starts, "i", col("gap_start").asc)
+    val re = GlobalRank.withRank(ends, "i", col("gap_end").asc)
+    rs.join(re, "i")
+      .select((col("gap_end") - col("gap_start") + 1L).as("gap_len"))
+      .groupBy("gap_len")
+      .agg(count(lit(1)).as("n_gaps"))
+      .orderBy("gap_len")
+  }
+
   val defs: Map[String, Q] = Map(
     "q241_tpch_refresh" -> (q241 _),
     "q243_bom_rollup" -> (q243 _),
+    "q260_key_gap_audit" -> (q260 _),
     "q203_product_profit" -> (q203 _),
     "q204_order_count_dist" -> (q204 _),
     "q205_top_supplier" -> (q205 _),
@@ -929,6 +969,15 @@ object TpchQueries extends QueryPack {
       "CAST(floor((1 - l_discount) * 100.0 + 0.5) AS BIGINT)"
 
   val oracle: Map[String, String] = Map(
+    // the boundary-pairing histogram equals the single-window lag form
+    "q260_key_gap_audit" ->
+      """WITH ks AS (
+        |  SELECT DISTINCT CAST(o_orderkey AS BIGINT) AS k FROM orders
+        |  WHERE o_orderstatus = 'F'),
+        |l AS (SELECT k, lag(k) OVER (ORDER BY k) AS pk FROM ks)
+        |SELECT CAST(k - pk - 1 AS BIGINT) AS gap_len, count(*) AS n_gaps
+        |FROM l WHERE k - pk > 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the ancestor explosion restated as three UNION ALL projections;
     // DuckDB // is the engine's intDiv on these positive keys
     "q243_bom_rollup" -> {
