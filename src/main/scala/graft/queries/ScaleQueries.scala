@@ -468,9 +468,102 @@ object ScaleQueries extends QueryPack {
       .orderBy("verdict")
   }
 
+  /** Spatial distance self-join via grid cells — the proximity query
+    * (points within radius r of each other) solved the way a spatial
+    * engine does at scale, with NO all-pairs product: synthetic integer
+    * coordinates (md5-derived micro-units — exact, engine-portable, no
+    * float geometry anywhere), each point homed to an r-sized cell, the
+    * LEFT side exploded to its 3×3 cell neighborhood, one equi-join on
+    * cell id, then the exact integer predicate dx² + dy² ≤ r². Each
+    * true pair is found EXACTLY once (the right point's home cell
+    * appears at most once in the left point's neighborhood), so no
+    * distinct is needed; a < b halves the symmetry. The oracle is the
+    * brute-force quadratic filter — proving the pruned join loses
+    * nothing. At 100 TB the cell id is the shuffle key and fan-out per
+    * cell is density-bounded (the q42 bucket argument, in 2-D). */
+  private def q261(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashing
+    val r = 5000L
+    val pts = Tables.load(s, dir, "customer")
+      .select(col("c_custkey").cast("long").as("id"))
+      .withColumn("x",
+        Hashing.md5U32(concat(col("id").cast("string"), lit(":x")))
+          % lit(1000000L))
+      .withColumn("y",
+        Hashing.md5U32(concat(col("id").cast("string"), lit(":y")))
+          % lit(1000000L))
+    import graft.functions.Rounding.intDiv
+    val homed = pts
+      .withColumn("cx", intDiv(col("x"), lit(r)))
+      .withColumn("cy", intDiv(col("y"), lit(r)))
+    val probe = homed.select(col("id").as("a"), col("x").as("xa"),
+        col("y").as("ya"),
+        explode(array((for { dx <- -1 to 1; dy <- -1 to 1 } yield
+          struct((col("cx") + dx).as("cx"), (col("cy") + dy).as("cy"))): _*))
+          .as("nb"))
+      .select(col("a"), col("xa"), col("ya"),
+        col("nb.cx").as("cx"), col("nb.cy").as("cy"))
+    probe.join(homed.select(col("id").as("b"), col("x").as("xb"),
+        col("y").as("yb"), col("cx"), col("cy")), Seq("cx", "cy"))
+      .filter(col("a") < col("b"))
+      .withColumn("d2",
+        (col("xa") - col("xb")) * (col("xa") - col("xb")) +
+          (col("ya") - col("yb")) * (col("ya") - col("yb")))
+      .filter(col("d2") <= r * r)
+      .select(col("a"), col("b"), col("d2"))
+      .orderBy("a", "b")
+  }
+
+  /** Bounded-radius spatial nearest neighbor — "closest depot within
+    * 10 km", the other half of the spatial toolkit q261 opens: each
+    * point's nearest OTHER point among those within distance 2r, found
+    * through the 5×5 cell ring (COMPLETE by floor arithmetic:
+    * |Δx| ≤ 2r ⟹ home cells differ by ≤ 2, so every candidate within
+    * the metric bound is in the ring — the pruning provably loses no
+    * one), exact integer d², argmin per point via the min-struct trick
+    * (ties to the smaller id, no window). Points with no neighbor
+    * within 2r are absent on both engines by construction. Same
+    * cell-keyed shuffle shape as q261 with a 25-cell explode. */
+  private def q262(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashing
+    import graft.functions.Rounding.intDiv
+    val r = 5000L
+    val pts = Tables.load(s, dir, "customer")
+      .select(col("c_custkey").cast("long").as("id"))
+      .withColumn("x",
+        Hashing.md5U32(concat(col("id").cast("string"), lit(":x")))
+          % lit(1000000L))
+      .withColumn("y",
+        Hashing.md5U32(concat(col("id").cast("string"), lit(":y")))
+          % lit(1000000L))
+      .withColumn("cx", intDiv(col("x"), lit(r)))
+      .withColumn("cy", intDiv(col("y"), lit(r)))
+    val probe = pts.select(col("id").as("a"), col("x").as("xa"),
+        col("y").as("ya"),
+        explode(array((for { dx <- -2 to 2; dy <- -2 to 2 } yield
+          struct((col("cx") + dx).as("cx"), (col("cy") + dy).as("cy"))): _*))
+          .as("nb"))
+      .select(col("a"), col("xa"), col("ya"),
+        col("nb.cx").as("cx"), col("nb.cy").as("cy"))
+    probe.join(pts.select(col("id").as("b"), col("x").as("xb"),
+        col("y").as("yb"), col("cx"), col("cy")), Seq("cx", "cy"))
+      .filter(col("a") =!= col("b"))
+      .withColumn("d2",
+        (col("xa") - col("xb")) * (col("xa") - col("xb")) +
+          (col("ya") - col("yb")) * (col("ya") - col("yb")))
+      .filter(col("d2") <= lit(4L * r * r))
+      .groupBy("a")
+      .agg(min(struct(col("d2"), col("b"))).as("m"))
+      .select(col("a").as("id"), col("m.b").as("nn_id"),
+        col("m.d2").as("d2"))
+      .orderBy("id")
+  }
+
   val defs: Map[String, Q] = Map(
     "q237_balanced_shards" -> (q237 _),
     "q259_three_way_reconcile" -> (q259 _),
+    "q261_spatial_join" -> (q261 _),
+    "q262_spatial_nn" -> (q262 _),
     "q184_join_cardinality" -> (q184 _),
     "q185_equidepth_bounds" -> (q185 _),
     "q70_bloom_join" -> (q70 _),
@@ -486,6 +579,47 @@ object ScaleQueries extends QueryPack {
     "q78_interval_merge" -> (q78 _))
 
   val oracle: Map[String, String] = Map(
+    // brute-force bounded-radius argmin; the ring-pruned engine must
+    // find the identical neighbor
+    "q262_spatial_nn" -> {
+      val xe = graft.functions.Hashing
+        .md5U32Sql("CAST(c_custkey AS VARCHAR) || ':x'")
+      val ye = graft.functions.Hashing
+        .md5U32Sql("CAST(c_custkey AS VARCHAR) || ':y'")
+      s"""WITH pts AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS id,
+        |    $xe % 1000000 AS x, $ye % 1000000 AS y
+        |  FROM customer),
+        |cand AS (
+        |  SELECT a.id AS a, b.id AS b,
+        |    (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+        |  FROM pts a JOIN pts b ON a.id <> b.id
+        |  WHERE (a.x - b.x) * (a.x - b.x) +
+        |    (a.y - b.y) * (a.y - b.y) <= 100000000)
+        |SELECT a AS id,
+        |  (min(struct_pack(d2 := d2, b := b))).b AS nn_id,
+        |  CAST((min(struct_pack(d2 := d2, b := b))).d2 AS BIGINT) AS d2
+        |FROM cand GROUP BY a ORDER BY id""".stripMargin
+    },
+    // the brute-force quadratic ground truth — the cell-pruned join must
+    // lose no pair
+    "q261_spatial_join" -> {
+      val xe = graft.functions.Hashing
+        .md5U32Sql("CAST(c_custkey AS VARCHAR) || ':x'")
+      val ye = graft.functions.Hashing
+        .md5U32Sql("CAST(c_custkey AS VARCHAR) || ':y'")
+      s"""WITH pts AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS id,
+        |    $xe % 1000000 AS x, $ye % 1000000 AS y
+        |  FROM customer)
+        |SELECT a.id AS a, b.id AS b,
+        |  CAST((a.x - b.x) * (a.x - b.x) +
+        |    (a.y - b.y) * (a.y - b.y) AS BIGINT) AS d2
+        |FROM pts a JOIN pts b ON a.id < b.id
+        |WHERE (a.x - b.x) * (a.x - b.x) +
+        |  (a.y - b.y) * (a.y - b.y) <= 25000000
+        |ORDER BY a, b""".stripMargin
+    },
     // same synthetic faults, same double full-outer + verdict CASE
     "q259_three_way_reconcile" ->
       """WITH base AS (
