@@ -481,10 +481,15 @@ object ScaleQueries extends QueryPack {
     * brute-force quadratic filter — proving the pruned join loses
     * nothing. At 100 TB the cell id is the shuffle key and fan-out per
     * cell is density-bounded (the q42 bucket argument, in 2-D). */
-  private def q261(s: SparkSession, dir: String): DataFrame = {
+  private val SpatialR = 5000L
+
+  /** (id, x, y, cx, cy): the md5-derived integer point set over customer
+    * keys, homed to r-sized cells — shared by q261/q262/q263. */
+  private def spatialPts(s: SparkSession, dir: String,
+      r: Long = SpatialR): DataFrame = {
     import graft.functions.Hashing
-    val r = 5000L
-    val pts = Tables.load(s, dir, "customer")
+    import graft.functions.Rounding.intDiv
+    Tables.load(s, dir, "customer")
       .select(col("c_custkey").cast("long").as("id"))
       .withColumn("x",
         Hashing.md5U32(concat(col("id").cast("string"), lit(":x")))
@@ -492,10 +497,15 @@ object ScaleQueries extends QueryPack {
       .withColumn("y",
         Hashing.md5U32(concat(col("id").cast("string"), lit(":y")))
           % lit(1000000L))
-    import graft.functions.Rounding.intDiv
-    val homed = pts
       .withColumn("cx", intDiv(col("x"), lit(r)))
       .withColumn("cy", intDiv(col("y"), lit(r)))
+  }
+
+  /** (a, b, d2) with a < b: all point pairs within r, via the 3×3 cell
+    * ring join — q261's machinery, shared with q263's DBSCAN. */
+  private def spatialPairs(s: SparkSession, dir: String,
+      r: Long = SpatialR): DataFrame = {
+    val homed = spatialPts(s, dir, r)
     val probe = homed.select(col("id").as("a"), col("x").as("xa"),
         col("y").as("ya"),
         explode(array((for { dx <- -1 to 1; dy <- -1 to 1 } yield
@@ -511,8 +521,10 @@ object ScaleQueries extends QueryPack {
           (col("ya") - col("yb")) * (col("ya") - col("yb")))
       .filter(col("d2") <= r * r)
       .select(col("a"), col("b"), col("d2"))
-      .orderBy("a", "b")
   }
+
+  private def q261(s: SparkSession, dir: String): DataFrame =
+    spatialPairs(s, dir).orderBy("a", "b")
 
   /** Bounded-radius spatial nearest neighbor — "closest depot within
     * 10 km", the other half of the spatial toolkit q261 opens: each
@@ -525,19 +537,8 @@ object ScaleQueries extends QueryPack {
     * within 2r are absent on both engines by construction. Same
     * cell-keyed shuffle shape as q261 with a 25-cell explode. */
   private def q262(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.Hashing
-    import graft.functions.Rounding.intDiv
-    val r = 5000L
-    val pts = Tables.load(s, dir, "customer")
-      .select(col("c_custkey").cast("long").as("id"))
-      .withColumn("x",
-        Hashing.md5U32(concat(col("id").cast("string"), lit(":x")))
-          % lit(1000000L))
-      .withColumn("y",
-        Hashing.md5U32(concat(col("id").cast("string"), lit(":y")))
-          % lit(1000000L))
-      .withColumn("cx", intDiv(col("x"), lit(r)))
-      .withColumn("cy", intDiv(col("y"), lit(r)))
+    val r = SpatialR
+    val pts = spatialPts(s, dir)
     val probe = pts.select(col("id").as("a"), col("x").as("xa"),
         col("y").as("ya"),
         explode(array((for { dx <- -2 to 2; dy <- -2 to 2 } yield
@@ -559,11 +560,64 @@ object ScaleQueries extends QueryPack {
       .orderBy("id")
   }
 
+  /** DBSCAN over the spatial point set — the density-based clustering
+    * KMeans can't do (arbitrary-shape clusters, explicit noise): a
+    * point is CORE with ≥ 3 neighbors within r (degree census over
+    * q261's cell-pruned pairs), clusters are connected components of
+    * the core-core adjacency ([[graft.operators.ConnectedComponents]]
+    * — O(edges)/round), BORDER points are non-core within r of a core
+    * (assigned their min core-neighbor's cluster — deterministic; the
+    * textbook's "first discovered" tie is order-dependent and
+    * deliberately replaced), everything else is NOISE at cluster −1.
+    * Every stage is a keyed join/aggregate over density-bounded cell
+    * candidates — DBSCAN's classic index-accelerated form, which is
+    * exactly what survives 100 TB. */
+  private def q263(s: SparkSession, dir: String): DataFrame = {
+    // DENSITY-ADAPTIVE eps (the k-dist heuristic): at a fixed radius
+    // the regime flips with scale factor — all-noise at sf0.01, one
+    // percolated blob at sf0.1 (whose transitive closure also blows up
+    // the oracle's recursion). eps targets E[neighbors] = 2:
+    // r = ⌊√(2A/(πn))⌋ with A = 10¹² — n comes from one tiny count
+    // action, and both engines' sqrt is IEEE correctly-rounded on the
+    // identical double, so the radius is bit-agreed.
+    val n = Tables.load(s, dir, "customer").count()
+    val r = math.floor(math.sqrt(636619772367.5814 / n)).toLong
+    val pairs = spatialPairs(s, dir, r = r)
+    val sym = pairs.select(col("a").as("p"), col("b").as("q_"))
+      .unionAll(pairs.select(col("b").as("p"), col("a").as("q_")))
+    val deg = sym.groupBy("p").agg(count(lit(1)).as("deg"))
+    val core = deg.filter(col("deg") >= 3L).select(col("p").as("id"))
+    val coreEdges = pairs
+      .join(core.select(col("id").as("a")), "a")
+      .join(core.select(col("id").as("b")), "b")
+      .select("a", "b")
+    val comp = graft.operators.ConnectedComponents
+      .components(core.select(col("id")), coreEdges, "id", "a", "b")
+      .select(col("id").as("cid"), col("comp").as("cluster_id"))
+    val coreLab = core.join(comp, core("id") === comp("cid"))
+      .select(col("id"), col("cluster_id"), lit("core").as("role"))
+    val border = sym
+      .join(core.select(col("id").as("q_")), "q_") // neighbor is core
+      .join(core.select(col("id").as("p")), Seq("p"), "left_anti") // p not
+      .join(comp, col("q_") === comp("cid"))
+      .groupBy(col("p").as("id"))
+      .agg(min("cluster_id").as("cluster_id"))
+      .withColumn("role", lit("border"))
+    val noise = spatialPts(s, dir).select("id")
+      .join(coreLab.select("id").unionAll(border.select("id")),
+        Seq("id"), "left_anti")
+      .select(col("id"), lit(-1L).as("cluster_id"),
+        lit("noise").as("role"))
+    coreLab.unionByName(border).unionByName(noise)
+      .orderBy("id")
+  }
+
   val defs: Map[String, Q] = Map(
     "q237_balanced_shards" -> (q237 _),
     "q259_three_way_reconcile" -> (q259 _),
     "q261_spatial_join" -> (q261 _),
     "q262_spatial_nn" -> (q262 _),
+    "q263_dbscan" -> (q263 _),
     "q184_join_cardinality" -> (q184 _),
     "q185_equidepth_bounds" -> (q185 _),
     "q70_bloom_join" -> (q70 _),
@@ -579,6 +633,62 @@ object ScaleQueries extends QueryPack {
     "q78_interval_merge" -> (q78 _))
 
   val oracle: Map[String, String] = Map(
+    // brute pairs + recursive min-label closure over core adjacency,
+    // same deterministic min-cluster border rule
+    "q263_dbscan" -> {
+      val xe = graft.functions.Hashing
+        .md5U32Sql("CAST(c_custkey AS VARCHAR) || ':x'")
+      val ye = graft.functions.Hashing
+        .md5U32Sql("CAST(c_custkey AS VARCHAR) || ':y'")
+      s"""WITH RECURSIVE pts AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS id,
+        |    $xe % 1000000 AS x, $ye % 1000000 AS y
+        |  FROM customer),
+        |eps AS (
+        |  SELECT CAST(floor(sqrt(636619772367.5814 / count(*)))
+        |    AS BIGINT) AS r
+        |  FROM customer),
+        |pairs AS (
+        |  SELECT a.id AS a, b.id AS b
+        |  FROM pts a JOIN pts b ON a.id < b.id, eps
+        |  WHERE (a.x - b.x) * (a.x - b.x) +
+        |    (a.y - b.y) * (a.y - b.y) <= r * r),
+        |sym AS (SELECT a AS p, b AS q FROM pairs
+        |        UNION ALL SELECT b, a FROM pairs),
+        |deg AS (SELECT p, count(*) AS deg FROM sym GROUP BY p),
+        |core AS (SELECT p AS id FROM deg WHERE deg >= 3),
+        |ce AS (
+        |  SELECT pairs.a, pairs.b FROM pairs
+        |  JOIN core ca ON pairs.a = ca.id
+        |  JOIN core cb ON pairs.b = cb.id),
+        |edges AS (SELECT a AS src, b AS dst FROM ce
+        |          UNION ALL SELECT b, a FROM ce),
+        |reach(id, comp) AS (
+        |  SELECT id, id FROM core
+        |  UNION
+        |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+        |cmp AS (SELECT id AS cid, min(comp) AS cluster_id
+        |        FROM reach GROUP BY id),
+        |corelab AS (
+        |  SELECT core.id, cluster_id, 'core' AS role
+        |  FROM core JOIN cmp ON core.id = cmp.cid),
+        |border AS (
+        |  SELECT s.p AS id, min(c.cluster_id) AS cluster_id,
+        |    'border' AS role
+        |  FROM sym s
+        |  JOIN core cq ON s.q = cq.id
+        |  JOIN cmp c ON s.q = c.cid
+        |  WHERE s.p NOT IN (SELECT id FROM core)
+        |  GROUP BY s.p),
+        |labeled AS (
+        |  SELECT * FROM corelab UNION ALL SELECT * FROM border),
+        |noise AS (
+        |  SELECT id, -1 AS cluster_id, 'noise' AS role FROM pts
+        |  WHERE id NOT IN (SELECT id FROM labeled))
+        |SELECT id, CAST(cluster_id AS BIGINT) AS cluster_id, role
+        |FROM (SELECT * FROM labeled UNION ALL SELECT * FROM noise)
+        |ORDER BY id""".stripMargin
+    },
     // brute-force bounded-radius argmin; the ring-pruned engine must
     // find the identical neighbor
     "q262_spatial_nn" -> {
