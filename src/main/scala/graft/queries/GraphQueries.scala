@@ -60,6 +60,44 @@ object GraphQueries extends QueryPack {
       .orderBy("node")
   }
 
+  /** Weighted single-source shortest paths (4 Bellman–Ford relaxation
+    * rounds) — the min-plus sibling of q113's hop-count BFS: edges are
+    * the q97 customer↔supplier relation WEIGHTED by the pair's best
+    * observed order→ship latency in integer days (min over their
+    * lineitems — an exact date_diff, no floats), and each round relaxes
+    * dist' = min(dist, min_src(dist_src + w)) as one keyed join + one
+    * min-aggregate over only the REACHED frontier (unreached nodes
+    * never materialize — no ∞ sentinel rows, the table grows with the
+    * reachable set). Fixed 4 rounds ⇒ both engines drop identical
+    * not-yet-relaxed tails; the oracle unrolls the same rounds. At
+    * 100 TB each round is the O(edges) PageRank exchange with a min
+    * instead of a sum — same semiring swap that gives reachability,
+    * widest-path, etc. */
+  private def q264(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val o = Tables.load(s, dir, "orders")
+    val pairW = o.join(li, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 10L).as("c"),
+        (col("l_suppkey") * 10L + 1L).as("p"),
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("long")
+          .as("w"))
+      .filter(col("w") >= 0L)
+      .groupBy("c", "p").agg(min("w").as("w"))
+    val edges = pairW.select(col("c").as("src"), col("p").as("dst"),
+        col("w"))
+      .unionAll(pairW.select(col("p").as("src"), col("c").as("dst"),
+        col("w")))
+    var dist = edges.sparkSession
+      .range(1).select(lit(11L).as("node"), lit(0L).as("d"))
+    for (_ <- 1 to 4) {
+      val relaxed = edges.join(dist, edges("src") === dist("node"))
+        .select(col("dst").as("node"), (col("d") + col("w")).as("d"))
+      dist = dist.unionAll(relaxed)
+        .groupBy("node").agg(min("d").as("d"))
+    }
+    dist.orderBy("node")
+  }
+
   /** Degree assortativity of the part co-order graph (does a hub co-occur
     * with hubs?) — Pearson correlation over the (deg(u), deg(v)) pairs of
     * every DIRECTED edge (both orientations, the standard undirected
@@ -262,6 +300,7 @@ object GraphQueries extends QueryPack {
   val defs: Map[String, Q] = Map(
     "q97_pagerank" -> (q97 _),
     "q231_ppr" -> (q231 _),
+    "q264_sssp" -> (q264 _),
     "q201_label_prop" -> (q201 _),
     "q215_modularity" -> (q215 _),
     "q119_assortativity" -> (q119 _),
@@ -371,6 +410,34 @@ object GraphQueries extends QueryPack {
          |    // (CAST(4 AS HUGEINT) * m * m) AS BIGINT) AS q_term_e6
          |FROM ds LEFT JOIN intra USING (community), mm
          |ORDER BY community""".stripMargin,
+    "q264_sssp" -> {
+      // the same min-plus rounds unrolled; frontier-only dist tables
+      def round(prev: String, i: Int): String =
+        s"""r$i AS (
+           |  SELECT node, CAST(min(d) AS BIGINT) AS d FROM (
+           |    SELECT node, d FROM $prev
+           |    UNION ALL
+           |    SELECT e.dst AS node, p.d + e.w AS d
+           |    FROM $prev p JOIN edges e ON e.src = p.node)
+           |  GROUP BY node)""".stripMargin
+      s"""WITH pw AS (
+         |  SELECT o_custkey * 10 AS c, l_suppkey * 10 + 1 AS p,
+         |    CAST(min(date_diff('day', o_orderdate, l_shipdate))
+         |      AS BIGINT) AS w
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |  WHERE date_diff('day', o_orderdate, l_shipdate) >= 0
+         |  GROUP BY 1, 2),
+         |edges AS (
+         |  SELECT c AS src, p AS dst, w FROM pw
+         |  UNION ALL
+         |  SELECT p AS src, c AS dst, w FROM pw),
+         |r0 AS (SELECT CAST(11 AS BIGINT) AS node, CAST(0 AS BIGINT) AS d),
+         |${round("r0", 1)},
+         |${round("r1", 2)},
+         |${round("r2", 3)},
+         |${round("r3", 4)}
+         |SELECT node, d FROM r4 ORDER BY node""".stripMargin
+    },
     "q231_ppr" -> {
       // q97's unrolled rounds with teleport mass CASE-gated to the seed
       // set: rank' = [is_seed]·⌊3T/(20·|S|)⌋ + ⌊17·S_in/20⌋
