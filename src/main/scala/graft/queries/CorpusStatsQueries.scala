@@ -479,8 +479,63 @@ object CorpusStatsQueries extends QueryPack {
       .orderBy("lang", "source")
   }
 
+  /** Sparse TF-IDF cosine pairs — the inverted-index similarity join
+    * (the text twin of q50's dense cosine: no embeddings, just the
+    * index): integer weights w = tf · idf_e4 (the q64 rational idf —
+    * no log, both engines bit-agree), dot products and norms
+    * accumulate EXACTLY through decimal(38,0)/HUGEINT over the
+    * df-gated vocabulary (2 ≤ df ≤ 100 — the stopword gate IS the
+    * fan-out bound: a token contributes at most C(100,2) pairs), and
+    * only the final cosine runs in doubles — identical casts of
+    * identical integers, correctly-rounded sqrt, same three IEEE ops.
+    * Top-100 pairs under a fully deterministic (cos DESC, a, b)
+    * order. */
+  private def q266(s: SparkSession, dir: String): DataFrame = {
+    // terms are word TRIGRAMS: this corpus's ~30-word vocabulary makes
+    // every unigram a stopword (df ≫ the gate at sf0.1 → empty result);
+    // trigram df sits in the 2–100 band at every SF. ngramsFromTokens
+    // dedups within a doc, so tf is BINARY — this is the idf-weighted
+    // SET cosine (the shingle-set similarity BM25 folks call binary-tf),
+    // and the oracle's DISTINCT mirrors it
+    val tf = docs(s, dir)
+      .select(col("doc_id"), TextAnalysis.tokensCol(col("text")).as("t"))
+      .select(col("doc_id"),
+        explode(TextAnalysis.ngramsFromTokens(col("t"), 3)).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfGate = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, 100))
+    val nd = docs(s, dir).groupBy().agg(count(lit(1)).as("nd"))
+    val w = tf.join(dfGate, "tok").crossJoin(broadcast(nd))
+      .withColumn("idf_e4",
+        floor(lit(10000.0) * (col("nd") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5)) + lit(0.5)).cast("long"))
+      .select(col("doc_id"), col("tok"),
+        (col("tf") * col("idf_e4")).as("w"))
+    val norms = w.groupBy("doc_id")
+      .agg(sum((col("w") * col("w")).cast("decimal(38,0)"))
+        .cast("double").as("n2"))
+    val dots = w.as("a")
+      .join(w.as("b"), col("a.tok") === col("b.tok") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(sum((col("a.w") * col("b.w")).cast("decimal(38,0)"))
+        .cast("double").as("dot"))
+    dots
+      .join(norms.select(col("doc_id").as("doc_a"), col("n2").as("na")),
+        "doc_a")
+      .join(norms.select(col("doc_id").as("doc_b"), col("n2").as("nb")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        floor(lit(1000000.0) * col("dot") /
+          (sqrt(col("na")) * sqrt(col("nb"))) + lit(0.5)).cast("long")
+          .as("cos_e6"))
+      .orderBy(col("cos_e6").desc, col("doc_a"), col("doc_b"))
+      .limit(100)
+  }
+
   val defs: Map[String, Q] = Map(
     "q230_token_fertility" -> (q230 _),
+    "q266_sparse_cosine" -> (q266 _),
     "q213_phrase_query" -> (q213 _),
     "q214_zipf_profile" -> (q214 _),
     "q224_vocab_novelty" -> (q224 _),
@@ -501,6 +556,47 @@ object CorpusStatsQueries extends QueryPack {
       s"2 * $den")
 
   val oracle: Map[String, String] = Map(
+    // same integer weights, HUGEINT sums, identical final double ops
+    "q266_sparse_cosine" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |idx AS (
+        |  SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+        |  FROM toks WHERE len(t) >= 3),
+        |inst AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS tok
+        |  FROM idx),
+        |tf AS (
+        |  SELECT doc_id, tok, count(*) AS tf FROM inst GROUP BY 1, 2),
+        |dfg AS (
+        |  SELECT tok, count(*) AS df FROM tf GROUP BY tok
+        |  HAVING count(*) BETWEEN 2 AND 100),
+        |nd AS (SELECT count(*) AS nd FROM documents),
+        |w AS (
+        |  SELECT doc_id, tf.tok,
+        |    tf * CAST(floor(10000.0 * (nd - df + 0.5) / (df + 0.5) + 0.5)
+        |      AS BIGINT) AS w
+        |  FROM tf JOIN dfg ON tf.tok = dfg.tok, nd),
+        |norms AS (
+        |  SELECT doc_id, CAST(sum(CAST(w AS HUGEINT) * w) AS DOUBLE)
+        |    AS n2
+        |  FROM w GROUP BY doc_id),
+        |dots AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(sum(CAST(a.w AS HUGEINT) * b.w) AS DOUBLE) AS dot
+        |  FROM w a JOIN w b
+        |    ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  CAST(floor(1000000.0 * dot / (sqrt(na.n2) * sqrt(nb.n2)) + 0.5)
+        |    AS BIGINT) AS cos_e6
+        |FROM dots
+        |JOIN norms na ON dots.doc_a = na.doc_id
+        |JOIN norms nb ON dots.doc_b = nb.doc_id
+        |ORDER BY cos_e6 DESC, doc_a, doc_b
+        |LIMIT 100""".stripMargin,
     // q45's regex (DuckDB spelling with doubled quotes), HUGEINT exact
     // rational rounding mirrors intDivExact
     "q230_token_fertility" ->

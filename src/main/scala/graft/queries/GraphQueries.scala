@@ -98,6 +98,44 @@ object GraphQueries extends QueryPack {
     dist.orderBy("node")
   }
 
+  /** Widest (bottleneck) paths from the same seed — q264's loop with the
+    * semiring swapped: capacity = the pair's co-transaction count, a
+    * path's width = its MINIMUM edge capacity, and each round keeps the
+    * MAXIMUM width per node: width' = max(width, max_src(min(width_src,
+    * w))). The capacity-routing question ("how much traffic could this
+    * partner relationship carry end-to-end") — identical O(edges)
+    * per-round plan, which is the point: (min,+) → shortest, (max,min)
+    * → widest, (max,×-on-[0,1]) → most-reliable all ride the same
+    * exchange, so proving two of them proves the machinery. Integer
+    * capacities end to end. */
+  private def q265(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val o = Tables.load(s, dir, "orders")
+    val pairW = o.join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy((col("o_custkey") * 10L).as("c"),
+        (col("l_suppkey") * 10L + 1L).as("p"))
+      .agg(count(lit(1)).as("w"))
+    val edges = pairW.select(col("c").as("src"), col("p").as("dst"),
+        col("w"))
+      .unionAll(pairW.select(col("p").as("src"), col("c").as("dst"),
+        col("w")))
+    var width = edges.sparkSession
+      .range(1).select(lit(11L).as("node"),
+        lit(Long.MaxValue).as("wd"))
+    for (_ <- 1 to 4) {
+      val relaxed = edges.join(width, edges("src") === width("node"))
+        .select(col("dst").as("node"), least(col("wd"), col("w")).as("wd"))
+      width = width.unionAll(relaxed)
+        .groupBy("node").agg(max("wd").as("wd"))
+    }
+    // the source's conventional width is ∞ (the Long.MaxValue seed the
+    // first min() absorbs) — drop that row so no sentinel leaves the
+    // engine; every emitted width is a real bottleneck capacity
+    width.filter(col("node") =!= 11L)
+      .select(col("node"), col("wd").as("width"))
+      .orderBy("node")
+  }
+
   /** Degree assortativity of the part co-order graph (does a hub co-occur
     * with hubs?) — Pearson correlation over the (deg(u), deg(v)) pairs of
     * every DIRECTED edge (both orientations, the standard undirected
@@ -301,6 +339,7 @@ object GraphQueries extends QueryPack {
     "q97_pagerank" -> (q97 _),
     "q231_ppr" -> (q231 _),
     "q264_sssp" -> (q264 _),
+    "q265_widest_path" -> (q265 _),
     "q201_label_prop" -> (q201 _),
     "q215_modularity" -> (q215 _),
     "q119_assortativity" -> (q119 _),
@@ -410,6 +449,34 @@ object GraphQueries extends QueryPack {
          |    // (CAST(4 AS HUGEINT) * m * m) AS BIGINT) AS q_term_e6
          |FROM ds LEFT JOIN intra USING (community), mm
          |ORDER BY community""".stripMargin,
+    "q265_widest_path" -> {
+      // the same (max,min) rounds; 9223372036854775807 is the seed ∞
+      def round(prev: String, i: Int): String =
+        s"""r$i AS (
+           |  SELECT node, CAST(max(wd) AS BIGINT) AS wd FROM (
+           |    SELECT node, wd FROM $prev
+           |    UNION ALL
+           |    SELECT e.dst AS node, least(p.wd, e.w) AS wd
+           |    FROM $prev p JOIN edges e ON e.src = p.node)
+           |  GROUP BY node)""".stripMargin
+      s"""WITH pw AS (
+         |  SELECT o_custkey * 10 AS c, l_suppkey * 10 + 1 AS p,
+         |    count(*) AS w
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |  GROUP BY 1, 2),
+         |edges AS (
+         |  SELECT c AS src, p AS dst, w FROM pw
+         |  UNION ALL
+         |  SELECT p AS src, c AS dst, w FROM pw),
+         |r0 AS (SELECT CAST(11 AS BIGINT) AS node,
+         |       CAST(9223372036854775807 AS BIGINT) AS wd),
+         |${round("r0", 1)},
+         |${round("r1", 2)},
+         |${round("r2", 3)},
+         |${round("r3", 4)}
+         |SELECT node, wd AS width FROM r4
+         |WHERE node <> 11 ORDER BY node""".stripMargin
+    },
     "q264_sssp" -> {
       // the same min-plus rounds unrolled; frontier-only dist tables
       def round(prev: String, i: Int): String =
