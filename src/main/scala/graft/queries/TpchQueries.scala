@@ -930,10 +930,54 @@ object TpchQueries extends QueryPack {
       .orderBy("gap_len")
   }
 
+  /** Item-item recommendations by co-occurrence lift — the classical
+    * collaborative-filtering table built on q128's basket pairs: lift =
+    * P(i,j)/(P(i)·P(j)) = co·N/(n_i·n_j), kept exact as the e6
+    * rational ((2·10⁶·co·N + n_i·n_j) div 2·n_i·n_j through
+    * decimal/HUGEINT — co·N products pass int64 at warehouse scale),
+    * symmetrized so every item recommends, top-3 per item under the
+    * deterministic (lift DESC, rec) order. Lift > 1e6 means genuinely
+    * associated, not just popular — the reason rec systems rank by lift
+    * and not raw co-counts. Denominators use UNCAPPED per-item order
+    * counts; the pair counts inherit q128's mega-basket cap (the
+    * CoOccur contract). The rank window partitions per item over ≤ its
+    * co-item count — basket-bounded. */
+  private def q267(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Rounding.intDivExact
+    val li = Tables.load(s, dir, "lineitem")
+    val pairs = graft.operators.CoOccur
+      .pairs(li, "l_orderkey", "l_partkey", maxBasket = 8, minSupport = 2)
+    val itemN = li.select(col("l_orderkey"), col("l_partkey")).distinct()
+      .groupBy(col("l_partkey").as("item"))
+      .agg(count(lit(1)).as("n_ord"))
+    val tot = li.select("l_orderkey").distinct()
+      .groupBy().agg(count(lit(1)).as("n_total"))
+    val sym = pairs.select(col("item_a").as("i"), col("item_b").as("j"),
+        col("n_baskets").as("co"))
+      .unionAll(pairs.select(col("item_b").as("i"),
+        col("item_a").as("j"), col("n_baskets").as("co")))
+    val scored = sym
+      .join(itemN.select(col("item").as("i"), col("n_ord").as("ni")), "i")
+      .join(itemN.select(col("item").as("j"), col("n_ord").as("nj")), "j")
+      .crossJoin(broadcast(tot))
+      .withColumn("lift_e6", intDivExact(
+        col("co").cast("decimal(38,0)") * col("n_total") * lit(2000000L) +
+          col("ni") * col("nj"),
+        lit(2L) * col("ni") * col("nj")))
+    val w = Window.partitionBy("i").orderBy(col("lift_e6").desc, col("j"))
+    scored.withColumn("rec_rank", row_number().over(w).cast("long"))
+      .filter(col("rec_rank") <= 3)
+      .select(col("i").cast("long").as("item"), col("rec_rank"),
+        col("j").cast("long").as("rec"), col("lift_e6"))
+      .orderBy("item", "rec_rank")
+  }
+
   val defs: Map[String, Q] = Map(
     "q241_tpch_refresh" -> (q241 _),
     "q243_bom_rollup" -> (q243 _),
     "q260_key_gap_audit" -> (q260 _),
+    "q267_item_recs" -> (q267 _),
     "q203_product_profit" -> (q203 _),
     "q204_order_count_dist" -> (q204 _),
     "q205_top_supplier" -> (q205 _),
@@ -969,6 +1013,45 @@ object TpchQueries extends QueryPack {
       "CAST(floor((1 - l_discount) * 100.0 + 0.5) AS BIGINT)"
 
   val oracle: Map[String, String] = Map(
+    // q128's capped pairs symmetrized + the exact rational lift;
+    // HUGEINT mirrors the decimal widening
+    "q267_item_recs" -> {
+      import graft.functions.Rounding.intDivExactSql
+      val lift = intDivExactSql(
+        "CAST(co AS HUGEINT) * n_total * 2000000 + ni.n_ord * nj.n_ord",
+        "2 * ni.n_ord * nj.n_ord")
+      s"""WITH items AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |capped AS (
+        |  SELECT l_orderkey, l_partkey FROM (
+        |    SELECT *, count(*) OVER (PARTITION BY l_orderkey) AS bsize
+        |    FROM items)
+        |  WHERE bsize <= 8),
+        |pr AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS co
+        |  FROM capped a JOIN capped b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sym AS (SELECT p1 AS i, p2 AS j, co FROM pr
+        |        UNION ALL SELECT p2, p1, co FROM pr),
+        |n_i AS (
+        |  SELECT l_partkey AS item, count(*) AS n_ord
+        |  FROM items GROUP BY 1),
+        |tot AS (SELECT count(DISTINCT l_orderkey) AS n_total
+        |        FROM lineitem),
+        |sc AS (
+        |  SELECT i, j, $lift AS lift_e6
+        |  FROM sym
+        |  JOIN n_i ni ON sym.i = ni.item
+        |  JOIN n_i nj ON sym.j = nj.item, tot)
+        |SELECT CAST(i AS BIGINT) AS item,
+        |  CAST(row_number() OVER (PARTITION BY i
+        |    ORDER BY lift_e6 DESC, j) AS BIGINT) AS rec_rank,
+        |  CAST(j AS BIGINT) AS rec, lift_e6
+        |FROM sc
+        |QUALIFY rec_rank <= 3
+        |ORDER BY item, rec_rank""".stripMargin
+    },
     // the boundary-pairing histogram equals the single-window lag form
     "q260_key_gap_audit" ->
       """WITH ks AS (
