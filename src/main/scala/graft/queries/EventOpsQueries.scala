@@ -700,6 +700,43 @@ object EventOpsQueries extends QueryPack {
           .otherwise("none").as("winner"))
   }
 
+  /** Difference-in-differences — the causal-inference workhorse for
+    * "did the thing we changed on Jan 16 move spend?": cohorts from the
+    * md5 coin (q256's split), periods from the cutover date, the
+    * estimand (Δtreat − Δcontrol on mean cents per event) computed as
+    * four exact-rational cell means rounded to the e4 grid
+    * (intDivExact round-half-up) and differenced as INTEGERS — the
+    * rounding happens once per cell, not once per arithmetic step, so
+    * both engines difference identical integers. On this corpus the
+    * coin is independent of time, so did_e4 ≈ 0 is the correct
+    * answer — the null calibration every DiD pipeline should run
+    * before anyone believes its nonzero results. */
+  private def q269(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.intDivExact
+    val cut = to_date(lit("2024-01-16"))
+    def cell(v: String, p: String) =
+      max(when(col("variant") === v && col("period") === p,
+        col("mean_e4"))).as(s"${v}_$p")
+    ev(s, dir)
+      .withColumn("variant",
+        when(Hashing.md5U32(col("user_id").cast("string")) % 2L === 0L,
+          "treat").otherwise("control"))
+      .withColumn("period",
+        when(to_date(col("ts")) < cut, "pre").otherwise("post"))
+      .withColumn("cents", Rounding.cents(col("value")))
+      .groupBy("variant", "period")
+      .agg(count(lit(1)).as("n"), Rounding.sumCents(col("cents")).as("t"))
+      .withColumn("mean_e4", intDivExact(
+        col("t").cast("decimal(38,0)") * lit(20000L) + col("n"),
+        lit(2L) * col("n")))
+      .groupBy()
+      .agg(cell("treat", "pre"), cell("treat", "post"),
+        cell("control", "pre"), cell("control", "post"))
+      .withColumn("did_e4",
+        (col("treat_post") - col("treat_pre")) -
+          (col("control_post") - col("control_pre")))
+  }
+
   /** RFM segmentation census — the classic CRM cube: every user scored
     * 1–5 on Recency (last activity, newest best), Frequency (purchase
     * count) and Monetary (purchase cents), rolled up per RFM cell. The
@@ -770,6 +807,7 @@ object EventOpsQueries extends QueryPack {
     "q256_ab_significance" -> (q256 _),
     "q257_rfm_census" -> (q257 _),
     "q258_rapid_repeat" -> (q258 _),
+    "q269_diff_in_diff" -> (q269 _),
     "q245_session_features" -> (q245 _),
     "q246_burst_census" -> (q246 _),
     "q247_golden_record" -> (q247 _),
@@ -896,6 +934,38 @@ object EventOpsQueries extends QueryPack {
         |SELECT id AS user_id, min(comp) AS identity_id,
         |  min(comp) = id AS is_canonical
         |FROM reach GROUP BY id ORDER BY user_id""".stripMargin,
+    // same md5 cohorts, same e4 cell means, same integer differencing
+    "q269_diff_in_diff" -> {
+      import graft.functions.Rounding.intDivExactSql
+      val coin = graft.functions.Hashing
+        .md5U32Sql("CAST(user_id AS VARCHAR)")
+      val mean = intDivExactSql("CAST(t AS HUGEINT) * 20000 + n", "2 * n")
+      s"""WITH cells AS (
+        |  SELECT
+        |    CASE WHEN $coin % 2 = 0 THEN 'treat' ELSE 'control' END
+        |      AS variant,
+        |    CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+        |      THEN 'pre' ELSE 'post' END AS period,
+        |    count(*) AS n,
+        |    ${Rounding.sumCentsSql(Rounding.centsSql("value"))} AS t
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT variant, period, $mean AS mean_e4 FROM cells),
+        |p AS (
+        |  SELECT
+        |    max(CASE WHEN variant = 'treat' AND period = 'pre'
+        |      THEN mean_e4 END) AS treat_pre,
+        |    max(CASE WHEN variant = 'treat' AND period = 'post'
+        |      THEN mean_e4 END) AS treat_post,
+        |    max(CASE WHEN variant = 'control' AND period = 'pre'
+        |      THEN mean_e4 END) AS control_pre,
+        |    max(CASE WHEN variant = 'control' AND period = 'post'
+        |      THEN mean_e4 END) AS control_post
+        |  FROM m)
+        |SELECT treat_pre, treat_post, control_pre, control_post,
+        |  (treat_post - treat_pre) - (control_post - control_pre)
+        |    AS did_e4
+        |FROM p""".stripMargin
+    },
     // ntile(5) IS the engine's bucketOf (GlobalRankSpec-proven), same
     // (metric DESC, user_id) total orders
     "q257_rfm_census" ->

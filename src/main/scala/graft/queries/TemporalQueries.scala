@@ -727,12 +727,44 @@ object TemporalQueries extends QueryPack {
       .orderBy("event_type", "day")
   }
 
+  /** Seasonal-naive forecast backtest — the baseline every forecasting
+    * system must beat, evaluated the way a backtest harness does:
+    * forecast(day) = actual(day − 7) (same weekday last week), scored
+    * over every day with both sides present. The error metric stays on
+    * the exact integer grid: per-day APE_e4 = ⌊10⁴·|a − f| / a⌋
+    * ([[Rounding.intDiv]] — daily cents totals are positive), MAPE =
+    * ⌊ΣAPE / n⌋ — floor-before-mean, the q250 convention, so no double
+    * ever averages. One lag-7 window per type + one rollup. A MAPE_e4
+    * near 10⁴ (100%) says the series has no weekly seasonality to
+    * exploit — itself the finding on this synthetic corpus. */
+  private def q268(s: SparkSession, dir: String): DataFrame = {
+    import Rounding.{intDiv, intDivExact}
+    val daily = ev(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(Rounding.sumCents(Rounding.cents(col("value"))).as("a"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    daily
+      .withColumn("f", lag("a", 7).over(w))
+      .filter(col("f").isNotNull && col("a") > 0L)
+      // the error product widens through decimal: 10⁴ × a petabyte-day's
+      // cents total passes 2^53, so the three-double-op intDiv would drift
+      .withColumn("ape_e4", intDivExact(
+        abs(col("a") - col("f")).cast("decimal(38,0)") * lit(10000L),
+        col("a")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        intDiv(sum("ape_e4"), count(lit(1))).as("mape_e4"),
+        max("ape_e4").as("max_ape_e4"))
+      .orderBy("event_type")
+  }
+
   val defs: Map[String, Q] = Map(
     "q171_autocorr" -> (q171 _),
     "q228_theilsen" -> (q228 _),
     "q249_sax_motifs" -> (q249 _),
     "q251_date_dim" -> (q251 _),
     "q253_volume_alerts" -> (q253 _),
+    "q268_backtest_mape" -> (q268 _),
     "q105_gapfill_ffill" -> (q105 _),
     "q106_unpivot" -> (q106 _),
     "q107_mad_outliers" -> (q107 _),
@@ -855,6 +887,26 @@ object TemporalQueries extends QueryPack {
   private val centsV = Rounding.centsSql("value")
 
   val oracle: Map[String, String] = Map(
+    // same lag-7 naive forecast, HUGEINT APE, floor-before-mean MAPE
+    "q268_backtest_mape" -> {
+      import Rounding.{intDivSql, intDivExactSql}
+      val ape = intDivExactSql("CAST(abs(a - f) AS HUGEINT) * 10000", "a")
+      s"""WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    ${Rounding.sumCentsSql(Rounding.centsSql("value"))} AS a
+        |  FROM events GROUP BY 1, 2),
+        |l AS (
+        |  SELECT event_type, day, a,
+        |    lag(a, 7) OVER (PARTITION BY event_type ORDER BY day) AS f
+        |  FROM daily),
+        |e AS (
+        |  SELECT event_type, $ape AS ape_e4
+        |  FROM l WHERE f IS NOT NULL AND a > 0)
+        |SELECT event_type, count(*) AS n_days,
+        |  ${intDivSql("sum(ape_e4)", "count(*)")} AS mape_e4,
+        |  CAST(max(ape_e4) AS BIGINT) AS max_ape_e4
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
+    },
     // the same multiplied-through z-test; HUGEINT squares mirror the
     // engine's decimal(38,0)
     "q253_volume_alerts" ->
