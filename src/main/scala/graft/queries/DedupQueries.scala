@@ -700,10 +700,72 @@ object DedupQueries extends QueryPack {
       .orderBy("src_lo", "src_hi")
   }
 
+  /** LSH band-count tuning sweep — the index-sizing decision q197's
+    * single-config calibration can't make: the SAME 16-minhash
+    * signature banded three ways (2×8, 4×4, 8×2 — the s-curve knob:
+    * more bands = higher recall = more candidates), each config scored
+    * against the exact 3-gram-Jaccard ≥ 0.5 truth set for candidate
+    * volume, recall and precision (exact e4, floor-division). One
+    * signature build feeds all three arms; truth is the q41 posting
+    * machinery at n = 3. The output IS the tuning table an operator
+    * reads to pick B for a recall target — and it demonstrates the
+    * monotone recall/candidate trade the banding theory predicts. */
+  private def q270(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.intDiv
+    val g = shingleDf(s, dir, 3)
+    val hashed = g.select(col("doc_id"),
+      Hashing.md5U32(col("gram")).as("ha"),
+      Hashing.md5U32b(col("gram")).as("hb"))
+    val aggs = (0 until K).map(k =>
+      min((col("ha") + lit(k.toLong) * col("hb")) % lit(P)).as(s"h$k"))
+    val sig = hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val truth = graft.operators.DedupPipeline
+      .nearDupPairs(docs(s, dir), "doc_id", "text", n = 3,
+        minJaccard = 0.5, maxDf = maxDf)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        lit(1L).as("is_true"))
+    val truthN = truth.groupBy().agg(count(lit(1)).as("n_truth"))
+    def arm(nb: Int): DataFrame = {
+      val rpb = K / nb
+      val bandCols = (0 until nb).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws("|", (0 until rpb).map(j =>
+            col(s"h${rpb * b + j}")): _*).as("bkey"))
+      }
+      val exploded = sig
+        .withColumn("bk", explode(array(bandCols: _*)))
+        .select(col("doc_id"), col("bk.band").as("band"),
+          col("bk.bkey").as("bkey"))
+      val cand = exploded.as("a")
+        .join(exploded.as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      cand.join(truth, Seq("doc_a", "doc_b"), "left")
+        .groupBy()
+        .agg(count(lit(1)).as("n_cand"),
+          coalesce(sum("is_true"), lit(0L)).as("n_hit"))
+        .select(lit(nb.toLong).as("bands"), lit(rpb.toLong)
+          .as("rows_per_band"), col("n_cand"), col("n_hit"))
+    }
+    arm(2).unionByName(arm(4)).unionByName(arm(8))
+      .crossJoin(broadcast(truthN))
+      .select(col("bands"), col("rows_per_band"), col("n_cand"),
+        col("n_truth"), col("n_hit"),
+        intDiv(lit(10000L) * col("n_hit"), col("n_truth")).as("recall_e4"),
+        when(col("n_cand") > 0L,
+          intDiv(lit(10000L) * col("n_hit"), col("n_cand")))
+          .otherwise(lit(0L)).as("precision_e4"))
+      .orderBy("bands")
+  }
+
   val defs: Map[String, Q] = Map(
     "q40_dedup_exact" -> (q40 _),
     "q226_containment" -> (q226 _),
     "q239_dup_flow" -> (q239 _),
+    "q270_lsh_tuning" -> (q270 _),
     "q147_span_dedup_census" -> (q147 _),
     "q151_incremental_dedup" -> (q151 _),
     "q192_substring_overlap" -> (q192 _),
@@ -874,6 +936,82 @@ object DedupQueries extends QueryPack {
        |  WHERE floor((inter / (sa.sz + sb.sz - inter)) * 10000.0 + 0.5) / 10000.0 >= 0.1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // one shared signature chain, three band splits, the q41 n=3 truth
+    // set at >= 0.5, identical floor divisions
+    "q270_lsh_tuning" -> {
+      import graft.functions.Rounding.intDivSql
+      val mins = (0 until K).map(k =>
+        s"min((ha + $k * hb) % $P) AS h$k").mkString(", ")
+      def bandsFor(nb: Int): String = {
+        val rpb = K / nb
+        (0 until nb).map { b =>
+          val parts = (0 until rpb).map(j => s"h${rpb * b + j}")
+            .mkString(", ")
+          s"SELECT doc_id, $b AS band, concat_ws('|', $parts) AS bkey FROM sig"
+        }.mkString("\n  UNION ALL\n  ")
+      }
+      def armFor(nb: Int): String = {
+        val rpb = K / nb
+        s"""SELECT $nb AS bands, $rpb AS rows_per_band,
+           |  count(*) AS n_cand,
+           |  CAST(coalesce(sum(t.one), 0) AS BIGINT) AS n_hit
+           |FROM cand_$nb c
+           |LEFT JOIN th t ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b"""
+          .stripMargin
+      }
+      def candFor(nb: Int): String =
+        s"""bands_$nb AS (
+           |  ${bandsFor(nb)}),
+           |cand_$nb AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands_$nb a JOIN bands_$nb b
+           |    ON a.band = b.band AND a.bkey = b.bkey
+           |      AND a.doc_id < b.doc_id)""".stripMargin
+      val jacc =
+        "floor((inter / (sa.sz + sb.sz - inter)) * 10000.0 + 0.5) / 10000.0"
+      s"""WITH ${gramsSql(3)},
+         |hashed AS (
+         |  SELECT doc_id,
+         |    ${Hashing.md5U32Sql("gram")} AS ha,
+         |    ${Hashing.md5U32bSql("gram")} AS hb
+         |  FROM grams),
+         |sig AS (SELECT doc_id, $mins FROM hashed GROUP BY doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM grams
+         |          GROUP BY doc_id),
+         |keep AS (SELECT gram FROM grams GROUP BY gram
+         |         HAVING count(*) BETWEEN 2 AND $maxDf),
+         |gf AS (SELECT g.doc_id, g.gram FROM grams g
+         |       JOIN keep USING (gram)),
+         |tp AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM gf a JOIN gf b
+         |    ON a.gram = b.gram AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |th AS (
+         |  SELECT doc_a, doc_b, 1 AS one
+         |  FROM tp
+         |  JOIN sizes sa ON doc_a = sa.doc_id
+         |  JOIN sizes sb ON doc_b = sb.doc_id
+         |  WHERE $jacc >= 0.5),
+         |tn AS (SELECT count(*) AS n_truth FROM th),
+         |${candFor(2)},
+         |${candFor(4)},
+         |${candFor(8)},
+         |arms AS (
+         |  ${armFor(2)}
+         |  UNION ALL
+         |  ${armFor(4)}
+         |  UNION ALL
+         |  ${armFor(8)})
+         |SELECT CAST(bands AS BIGINT) AS bands,
+         |  CAST(rows_per_band AS BIGINT) AS rows_per_band,
+         |  n_cand, n_truth, n_hit,
+         |  ${intDivSql("10000 * n_hit", "n_truth")} AS recall_e4,
+         |  CASE WHEN n_cand > 0
+         |    THEN ${intDivSql("10000 * n_hit", "n_cand")}
+         |    ELSE 0 END AS precision_e4
+         |FROM arms, tn ORDER BY bands""".stripMargin
+    },
     // q41's gram mining restated with per-side denominators; sizes stay
     // ungated (full distinct-shingle counts) exactly like the engine
     "q226_containment" ->
