@@ -973,11 +973,83 @@ object TpchQueries extends QueryPack {
       .orderBy("item", "rec_rank")
   }
 
+  /** Order-backlog time series — the fulfillment ops curve ("how many
+    * orders are open right now, and is it growing?"): per month, orders
+    * PLACED (by o_orderdate) and orders COMPLETED (the month of their
+    * LAST lineitem shipment — an order is open until its final line
+    * ships), with the running backlog = cum(placed) − cum(completed).
+    * The month series is calendar-bounded (~80 rows), so the one
+    * ordered window is support-bounded, not data-bounded (the q236
+    * discipline); everything upstream is keyed aggregation. The
+    * books-balance invariant the hash pins: the final backlog equals
+    * EXACTLY the count of orders with no lineitems at all (257 at
+    * sf0.01 — forever-open orders, the data-quality finding this curve
+    * surfaces; with complete line data it would end at 0). */
+  private def q271(s: SparkSession, dir: String): DataFrame = {
+    val placed = Tables.load(s, dir, "orders")
+      .groupBy(date_format(date_trunc("month", col("o_orderdate")),
+        "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_placed"))
+    val completed = Tables.load(s, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(max("l_shipdate").as("done"))
+      .groupBy(date_format(date_trunc("month", col("done")), "yyyy-MM")
+        .as("month"))
+      .agg(count(lit(1)).as("n_completed"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("month")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, org.apache.spark.sql.expressions.Window
+        .currentRow)
+    placed.join(completed, Seq("month"), "full_outer")
+      .select(col("month"),
+        coalesce(col("n_placed"), lit(0L)).as("n_placed"),
+        coalesce(col("n_completed"), lit(0L)).as("n_completed"))
+      .withColumn("backlog",
+        sum(col("n_placed") - col("n_completed")).over(w))
+      .orderBy("month")
+  }
+
+  /** ABC (Pareto) inventory classification — parts ranked by revenue,
+    * class A until 80% of cumulative revenue, B until 95%, C after: the
+    * classic "20% of parts carry 80% of value" cut, computed with NO
+    * single-task window: the revenue order is [[graft.operators
+    * .GlobalRank]] and the cumulative sums are [[graft.operators
+    * .PrefixScan.runningSum]] (range-repartition + broadcast prefix
+    * seeds), classes fall out of exact integer comparisons
+    * 100·cum ≤ 80·total (no percentage float ever exists). Output is
+    * the three-row class census — the hash pins both boundaries. */
+  private def q272(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{GlobalRank, PrefixScan}
+    val rev = Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_partkey").cast("long").as("part"))
+      .agg(sumCents(vol4).as("rev4"))
+    val ranked = GlobalRank.withRank(rev, "rnk",
+      col("rev4").desc, col("part").asc)
+    val cum = PrefixScan.runningSum(ranked, "rev4", "cum4",
+      col("rnk").asc)
+    val tot = rev.groupBy()
+      .agg(sum(col("rev4").cast("decimal(38,0)")).cast("long").as("tot4"))
+    cum.crossJoin(broadcast(tot))
+      .withColumn("abc_class",
+        when(col("cum4").cast("decimal(38,0)") * 100L <=
+          col("tot4").cast("decimal(38,0)") * 80L, "A")
+          .when(col("cum4").cast("decimal(38,0)") * 100L <=
+            col("tot4").cast("decimal(38,0)") * 95L, "B")
+          .otherwise("C"))
+      .groupBy("abc_class")
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("rev4").cast("decimal(38,0)")).cast("long")
+          .as("class_rev4"))
+      .orderBy("abc_class")
+  }
+
   val defs: Map[String, Q] = Map(
     "q241_tpch_refresh" -> (q241 _),
     "q243_bom_rollup" -> (q243 _),
     "q260_key_gap_audit" -> (q260 _),
     "q267_item_recs" -> (q267 _),
+    "q271_open_backlog" -> (q271 _),
+    "q272_abc_classes" -> (q272 _),
     "q203_product_profit" -> (q203 _),
     "q204_order_count_dist" -> (q204 _),
     "q205_top_supplier" -> (q205 _),
@@ -1013,6 +1085,56 @@ object TpchQueries extends QueryPack {
       "CAST(floor((1 - l_discount) * 100.0 + 0.5) AS BIGINT)"
 
   val oracle: Map[String, String] = Map(
+    // same placed/completed month rollups, one bounded ordered window
+    "q271_open_backlog" ->
+      """WITH placed AS (
+        |  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m')
+        |      AS month,
+        |    count(*) AS n_placed
+        |  FROM orders GROUP BY 1),
+        |done AS (
+        |  SELECT l_orderkey, max(l_shipdate) AS done
+        |  FROM lineitem GROUP BY 1),
+        |completed AS (
+        |  SELECT strftime(date_trunc('month', done), '%Y-%m') AS month,
+        |    count(*) AS n_completed
+        |  FROM done GROUP BY 1),
+        |j AS (
+        |  SELECT coalesce(p.month, c.month) AS month,
+        |    coalesce(n_placed, 0) AS n_placed,
+        |    coalesce(n_completed, 0) AS n_completed
+        |  FROM placed p FULL OUTER JOIN completed c ON p.month = c.month)
+        |SELECT month, n_placed, n_completed,
+        |  CAST(sum(n_placed - n_completed) OVER (ORDER BY month
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS backlog
+        |FROM j ORDER BY month""".stripMargin,
+    // row_number + framed running sum are the engine's GlobalRank +
+    // PrefixScan; identical integer class cuts
+    "q272_abc_classes" ->
+      s"""WITH rev AS (
+        |  SELECT CAST(l_partkey AS BIGINT) AS part,
+        |    ${graft.functions.Rounding.sumCentsSql(volSql)} AS rev4
+        |  FROM lineitem GROUP BY 1),
+        |ranked AS (
+        |  SELECT part, rev4,
+        |    CAST(row_number() OVER (ORDER BY rev4 DESC, part)
+        |      AS BIGINT) AS rnk
+        |  FROM rev),
+        |cum AS (
+        |  SELECT *, sum(rev4) OVER (ORDER BY rnk
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum4
+        |  FROM ranked),
+        |tot AS (SELECT CAST(sum(rev4) AS BIGINT) AS tot4 FROM rev)
+        |SELECT CASE
+        |    WHEN CAST(cum4 AS HUGEINT) * 100 <=
+        |      CAST(tot4 AS HUGEINT) * 80 THEN 'A'
+        |    WHEN CAST(cum4 AS HUGEINT) * 100 <=
+        |      CAST(tot4 AS HUGEINT) * 95 THEN 'B'
+        |    ELSE 'C' END AS abc_class,
+        |  count(*) AS n_parts,
+        |  CAST(sum(rev4) AS BIGINT) AS class_rev4
+        |FROM cum, tot GROUP BY 1 ORDER BY 1""".stripMargin,
     // q128's capped pairs symmetrized + the exact rational lift;
     // HUGEINT mirrors the decimal widening
     "q267_item_recs" -> {
@@ -1148,7 +1270,7 @@ object TpchQueries extends QueryPack {
     "q205_top_supplier" -> {
       import graft.functions.Rounding.sumCentsSql
       s"""WITH rev AS (
-        |  SELECT l_suppkey, ${sumCentsSql(volSql)} AS rev4
+        |  SELECT l_suppkey, ${graft.functions.Rounding.sumCentsSql(volSql)} AS rev4
         |  FROM lineitem
         |  WHERE l_shipdate >= '1995-01-01' AND l_shipdate < '1995-04-01'
         |  GROUP BY 1),
