@@ -777,12 +777,53 @@ object CurationQueries extends QueryPack {
       .orderBy("source")
   }
 
+  /** 1-D Wasserstein (earth-mover) distance between two sources' length
+    * distributions — the INTEGRAL drift metric to q236's KS maximum: a
+    * small-but-everywhere shift moves W₁ while barely moving KS, so
+    * monitors run both. In one dimension W₁ = ∫|F_a − F_b| dx, which
+    * over the support cells is EXACTLY Σ |cum_a·n_b − cum_b·n_a| ·
+    * (next_len − len) / (n_a·n_b) — integer numerator through
+    * decimal(38,0) (the q236 gap scaled by each cell's width), one
+    * exact rational division at the end (units: characters, e4 grid).
+    * Same support-bounded ordered walk as q236. */
+  private def q274(s: SparkSession, dir: String): DataFrame = {
+    import Rounding.intDivExact
+    val d = Tables.load(s, dir, "documents")
+      .filter(col("source").isin("src0", "src1"))
+      .select(col("source"), length(col("text")).cast("long").as("len"))
+    val cells = d.groupBy("len")
+      .agg(sum(when(col("source") === "src0", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("source") === "src1", 1L).otherwise(0L)).as("cb"))
+    val tot = d.groupBy()
+      .agg(sum(when(col("source") === "src0", 1L).otherwise(0L)).as("na"),
+        sum(when(col("source") === "src1", 1L).otherwise(0L)).as("nb"))
+    val run = Window.orderBy("len")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nxt = Window.orderBy("len")
+    cells
+      .withColumn("cum_a", sum("ca").over(run))
+      .withColumn("cum_b", sum("cb").over(run))
+      .withColumn("next_len", lead("len", 1).over(nxt))
+      .filter(col("next_len").isNotNull)
+      .crossJoin(broadcast(tot))
+      .groupBy("na", "nb")
+      .agg(sum((abs(col("cum_a") * col("nb") - col("cum_b") * col("na")) *
+        (col("next_len") - col("len"))).cast("decimal(38,0)"))
+        .cast("long").as("w1_num"))
+      .select(col("na").as("n_a"), col("nb").as("n_b"), col("w1_num"),
+        intDivExact(
+          col("w1_num").cast("decimal(38,0)") * lit(20000L) +
+            col("na") * col("nb"),
+          lit(2L) * col("na") * col("nb")).as("w1_e4"))
+  }
+
   val defs: Map[String, Q] = Map(
     "q234_quantile_norm" -> (q234 _),
     "q235_source_sample" -> (q235 _),
     "q236_ks_drift" -> (q236 _),
     "q240_ks_matrix" -> (q240 _),
     "q254_hamilton_alloc" -> (q254 _),
+    "q274_wasserstein" -> (q274 _),
     "q225_source_concentration" -> (q225 _),
     "q218_contamination_score" -> (q218 _),
     "q216_exact_kfold" -> (q216 _),
@@ -957,6 +998,46 @@ object CurationQueries extends QueryPack {
         |  FROM pairs GROUP BY 1, 2, 3, 4)
         |SELECT src_a, src_b, $ks AS ks_e6
         |FROM agg ORDER BY src_a, src_b""".stripMargin
+    },
+    // q236's gap walk with cell widths, HUGEINT numerator, one exact
+    // rational division
+    "q274_wasserstein" -> {
+      import Rounding.intDivExactSql
+      val w1 = intDivExactSql(
+        "CAST(w1_num AS HUGEINT) * 20000 + na * nb", "2 * na * nb")
+      s"""WITH d AS (
+        |  SELECT source, CAST(length(text) AS BIGINT) AS len
+        |  FROM documents WHERE source IN ('src0', 'src1')),
+        |cells AS (
+        |  SELECT len,
+        |    CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS cb
+        |  FROM d GROUP BY len),
+        |tot AS (
+        |  SELECT CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS na,
+        |    CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nb
+        |  FROM d),
+        |cum AS (
+        |  SELECT len,
+        |    sum(ca) OVER (ORDER BY len
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+        |    sum(cb) OVER (ORDER BY len
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b,
+        |    lead(len) OVER (ORDER BY len) AS next_len
+        |  FROM cells),
+        |agg AS (
+        |  SELECT na, nb,
+        |    CAST(sum(abs(cum_a * nb - cum_b * na) * (next_len - len))
+        |      AS BIGINT) AS w1_num
+        |  FROM cum, tot
+        |  WHERE next_len IS NOT NULL
+        |  GROUP BY na, nb)
+        |SELECT na AS n_a, nb AS n_b, w1_num, $w1 AS w1_e4
+        |FROM agg""".stripMargin
     },
     // same integer gap walk; DuckDB's framed running sums and the
     // min-struct argmax mirror the engine exactly

@@ -761,11 +761,58 @@ object DedupQueries extends QueryPack {
       .orderBy("bands")
   }
 
+  /** Winnowing (MOSS) fingerprint pairs — the position-aware dedup
+    * scheme MinHash is not: each doc keeps, from every window of 4
+    * consecutive 3-gram hashes, the window's MINIMUM hash (ties to the
+    * earlier position — the original winnowing rule), which guarantees
+    * any shared run of ≥ 6 tokens contributes at least one shared
+    * minimizer — the detection floor plagiarism checkers rely on.
+    * Selection is one framed sliding-min window per doc (position
+    * order, rows [-3, 0]); pairs come from the distinct-minimizer
+    * posting lists with the q41 df gate, scored by shared-minimizer
+    * count (≥ 2). Hashes are md5-derived 32-bit so the oracle replays
+    * them bit-for-bit on gram TEXT. */
+  private def q273(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("doc_id"), tokensCol(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+    val grams = toks.select(col("doc_id"),
+        posexplode(expr(
+          "transform(sequence(1, size(t) - 2), " +
+            "i -> concat_ws(' ', slice(t, i, 3)))")))
+      .select(col("doc_id"), col("pos"),
+        Hashing.md5U32(col("col")).as("h"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(-3, 0)
+    // argmin with earlier-position tie-break: min over the window of
+    // (h, pos) struct — lexicographic, position breaks hash ties
+    val sel = grams
+      .withColumn("m", min(struct(col("h"), col("pos"))).over(w))
+      .filter(col("pos") >= 3) // only complete windows select
+      .select(col("doc_id"), col("m.h").as("mz"))
+      .distinct()
+    val gate = sel.groupBy("mz").agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, maxDf))
+      .select("mz")
+    val pairs = sel.join(gate, "mz")
+      .groupBy("mz")
+      .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+      .select(explode(expr(
+        "flatten(transform(ds, x -> transform(filter(ds, y -> y > x), " +
+          "y -> named_struct('a', x, 'b', y))))")).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+    pairs.groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2L)
+      .orderBy("doc_a", "doc_b")
+  }
+
   val defs: Map[String, Q] = Map(
     "q40_dedup_exact" -> (q40 _),
     "q226_containment" -> (q226 _),
     "q239_dup_flow" -> (q239 _),
     "q270_lsh_tuning" -> (q270 _),
+    "q273_winnowing" -> (q273 _),
     "q147_span_dedup_census" -> (q147 _),
     "q151_incremental_dedup" -> (q151 _),
     "q192_substring_overlap" -> (q192 _),
@@ -785,6 +832,20 @@ object DedupQueries extends QueryPack {
 
   private val normSql =
     "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+  /** Positional n-gram HASHES CTE chain ending in
+    * `pgrams(doc_id, pos, h)` — q273's winnowing input (1-based pos). */
+  private def gramsSqlPositional(n: Int): String =
+    s"""toks AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+       |  FROM documents),
+       |idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - ${n - 1})) AS i
+       |        FROM toks WHERE len(t) >= $n),
+       |pgrams AS (
+       |  SELECT doc_id, i AS pos,
+       |    ${graft.functions.Hashing
+            .md5U32Sql(s"array_to_string(t[i:i+${n - 1}], ' ')")} AS h
+       |  FROM idx)""".stripMargin
 
   private def gramsSql(n: Int): String =
     s"""toks AS (
@@ -936,6 +997,31 @@ object DedupQueries extends QueryPack {
        |  WHERE floor((inter / (sa.sz + sb.sz - inter)) * 10000.0 + 0.5) / 10000.0 >= 0.1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // same sliding-min selection on gram text (1-based positions shift
+    // the complete-window gate to i >= 4; tie-break order is invariant
+    // to the shift), same df gate and posting pairs
+    "q273_winnowing" ->
+      s"""WITH ${gramsSqlPositional(3)},
+         |selw AS (
+         |  SELECT doc_id, pos,
+         |    min(struct_pack(h := h, pos := pos)) OVER (
+         |      PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS m
+         |  FROM pgrams),
+         |sel AS (
+         |  SELECT DISTINCT doc_id, (m).h AS mz FROM selw WHERE pos >= 4),
+         |gate AS (
+         |  SELECT mz FROM sel GROUP BY mz
+         |  HAVING count(*) BETWEEN 2 AND $maxDf),
+         |kept AS (SELECT sel.doc_id, sel.mz FROM sel JOIN gate USING (mz)),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM kept a JOIN kept b
+         |    ON a.mz = b.mz AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, count(*) AS n_shared
+         |FROM pairs GROUP BY 1, 2
+         |HAVING count(*) >= 2
+         |ORDER BY 1, 2""".stripMargin,
     // one shared signature chain, three band splits, the q41 n=3 truth
     // set at >= 0.5, identical floor divisions
     "q270_lsh_tuning" -> {
