@@ -188,11 +188,14 @@ object Bench {
     // plan-shape snapshot (round artifact): PlanAudit over every declared
     // query, so a plan regression (new shuffle, lost broadcast, a
     // cartesian) diffs round-over-round even when wall-times move for data
-    // reasons. Mostly construction-only, but NOT free of execution: the
-    // q108Stages consumers (q108/q113/q198/q201) run their eager
-    // localCheckpoint(true) stages again while their DataFrames are built,
-    // so the audit adds real wall-clock AFTER all timing — never inside
-    // it. Best-effort: a plans failure must not fail the bench.
+    // reasons. Mostly construction-only, but NOT free of execution: any
+    // query whose construction runs eager actions re-runs them while its
+    // DataFrame is built — the q108Stages consumers (q108/q113/q198/q201,
+    // localCheckpoint stages), the GlobalRank/PrefixScan consumers
+    // (q174/q200/q234/q237/q257/q260/q272 and friends — checkpoint +
+    // count passes), the seed/count actions in q231/q255/q263, and the
+    // CC-driven q244/q247. All of that lands AFTER all timing — never
+    // inside it. Best-effort: a plans failure must not fail the bench.
     try {
       val plans = ordered.map { case (name, fn) =>
         val cell =

@@ -700,6 +700,38 @@ object EventOpsQueries extends QueryPack {
           .otherwise("none").as("winner"))
   }
 
+  /** Session counts before/after identity stitching — the census that
+    * quantifies WHY entity resolution matters downstream: the same
+    * 30-minute gap sessionization (q63's frame) run at the raw-user
+    * grain and again at q244's stitched-identity grain. Two raw users
+    * who are one person get their interleaved activity merged, so
+    * identity-grain sessions can only be ≤ raw sessions — the delta is
+    * the sessionization error an unstitched pipeline ships. Both arms
+    * are one window pass + one global rollup; the stitch join is
+    * user-keyed. */
+  private def q275(s: SparkSession, dir: String): DataFrame = {
+    def arm(df: DataFrame, key: String, grain: String): DataFrame = {
+      val w = Window.partitionBy(key).orderBy(col("ts"), col("event_id"))
+      df.withColumn("prev_ts", lag("ts", 1).over(w))
+        .withColumn("new_sess",
+          (col("prev_ts").isNull ||
+            col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"))
+            .cast("long"))
+        .groupBy()
+        .agg(sum("new_sess").as("n_sessions"),
+          count(lit(1)).as("n_events"))
+        .select(lit(grain).as("grain"), col("n_sessions"),
+          col("n_events"))
+    }
+    val e = ev(s, dir).select(col("user_id"), col("ts"), col("event_id"))
+    val raw = arm(e, "user_id", "raw_user")
+    val stitched = arm(
+      e.join(identityClusters(s, dir), "user_id")
+        .select(col("identity_id"), col("ts"), col("event_id")),
+      "identity_id", "stitched_identity")
+    raw.unionByName(stitched).orderBy("grain")
+  }
+
   /** Difference-in-differences — the causal-inference workhorse for
     * "did the thing we changed on Jan 16 move spend?": cohorts from the
     * md5 coin (q256's split), periods from the cutover date, the
@@ -808,6 +840,7 @@ object EventOpsQueries extends QueryPack {
     "q257_rfm_census" -> (q257 _),
     "q258_rapid_repeat" -> (q258 _),
     "q269_diff_in_diff" -> (q269 _),
+    "q275_stitched_sessions" -> (q275 _),
     "q245_session_features" -> (q245 _),
     "q246_burst_census" -> (q246 _),
     "q247_golden_record" -> (q247 _),
@@ -934,6 +967,36 @@ object EventOpsQueries extends QueryPack {
         |SELECT id AS user_id, min(comp) AS identity_id,
         |  min(comp) = id AS is_canonical
         |FROM reach GROUP BY id ORDER BY user_id""".stripMargin,
+    // the shared identity closure + the same two session arms
+    "q275_stitched_sessions" ->
+      s"""WITH RECURSIVE $identityCtes,
+        |cl AS (
+        |  SELECT id AS user_id, min(comp) AS identity_id
+        |  FROM reach GROUP BY id),
+        |raw_l AS (
+        |  SELECT CASE WHEN prev_ts IS NULL
+        |      OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END
+        |    AS new_sess
+        |  FROM (SELECT ts, lag(ts) OVER (PARTITION BY user_id
+        |          ORDER BY ts, event_id) AS prev_ts
+        |        FROM events)),
+        |st_l AS (
+        |  SELECT CASE WHEN prev_ts IS NULL
+        |      OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END
+        |    AS new_sess
+        |  FROM (SELECT e.ts, lag(e.ts) OVER (PARTITION BY cl.identity_id
+        |          ORDER BY e.ts, e.event_id) AS prev_ts
+        |        FROM events e JOIN cl ON e.user_id = cl.user_id))
+        |SELECT 'raw_user' AS grain,
+        |  CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+        |  count(*) AS n_events
+        |FROM raw_l
+        |UNION ALL
+        |SELECT 'stitched_identity' AS grain,
+        |  CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+        |  count(*) AS n_events
+        |FROM st_l
+        |ORDER BY grain""".stripMargin,
     // same md5 cohorts, same e4 cell means, same integer differencing
     "q269_diff_in_diff" -> {
       import graft.functions.Rounding.intDivExactSql
