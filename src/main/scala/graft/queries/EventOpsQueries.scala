@@ -700,6 +700,40 @@ object EventOpsQueries extends QueryPack {
           .otherwise("none").as("winner"))
   }
 
+  /** Churn hazard life table — the Kaplan–Meier INPUT table (risk-set
+    * size, churn events, exact hazard per day), which is the honest
+    * stopping point for an exact-arithmetic engine: the KM survival
+    * curve itself is a cumulative PRODUCT of rationals, whose float
+    * evaluation is order-dependent and whose exact form overflows —
+    * every KM consumer actually starts from this table anyway. A user
+    * "enters" on their first event day and "churns" on their last; on
+    * each calendar day d: n_at_risk = users with first ≤ d ≤ last,
+    * n_churned = users with last = d, hazard_e6 = ⌊10⁶·d_churn/n⌋
+    * exact. The day grid is calendar-bounded, the user-day expansion
+    * is a sequence explode per user (span-bounded), and the rollup is
+    * one day-keyed aggregation. */
+  private def q276(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.intDiv
+    val span = ev(s, dir)
+      .groupBy("user_id")
+      .agg(to_date(min("ts")).as("first_day"),
+        to_date(max("ts")).as("last_day"))
+    val atRisk = span
+      .select(col("user_id"), col("last_day"),
+        explode(expr("sequence(first_day, last_day, interval 1 day)"))
+          .as("day"))
+    atRisk
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_at_risk"),
+        sum((col("day") === col("last_day")).cast("long"))
+          .as("n_churned"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_at_risk"), col("n_churned"),
+        intDiv(lit(1000000L) * col("n_churned"), col("n_at_risk"))
+          .as("hazard_e6"))
+      .orderBy("day")
+  }
+
   /** Session counts before/after identity stitching — the census that
     * quantifies WHY entity resolution matters downstream: the same
     * 30-minute gap sessionization (q63's frame) run at the raw-user
@@ -841,6 +875,7 @@ object EventOpsQueries extends QueryPack {
     "q258_rapid_repeat" -> (q258 _),
     "q269_diff_in_diff" -> (q269 _),
     "q275_stitched_sessions" -> (q275 _),
+    "q276_hazard_table" -> (q276 _),
     "q245_session_features" -> (q245 _),
     "q246_burst_census" -> (q246 _),
     "q247_golden_record" -> (q247 _),
@@ -967,6 +1002,29 @@ object EventOpsQueries extends QueryPack {
         |SELECT id AS user_id, min(comp) AS identity_id,
         |  min(comp) = id AS is_canonical
         |FROM reach GROUP BY id ORDER BY user_id""".stripMargin,
+    // same span expansion (generate_series is sequence), same exact
+    // hazard division
+    "q276_hazard_table" -> {
+      import graft.functions.Rounding.intDivSql
+      s"""WITH span AS (
+        |  SELECT user_id, CAST(min(ts) AS DATE) AS first_day,
+        |    CAST(max(ts) AS DATE) AS last_day
+        |  FROM events GROUP BY user_id),
+        |ar AS (
+        |  SELECT user_id, last_day,
+        |    CAST(unnest(generate_series(CAST(first_day AS TIMESTAMP),
+        |      CAST(last_day AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE)
+        |      AS day
+        |  FROM span),
+        |g AS (
+        |  SELECT day, count(*) AS n_at_risk,
+        |    CAST(sum(CASE WHEN day = last_day THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_churned
+        |  FROM ar GROUP BY day)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, n_at_risk, n_churned,
+        |  ${intDivSql("1000000 * n_churned", "n_at_risk")} AS hazard_e6
+        |FROM g ORDER BY day""".stripMargin
+    },
     // the shared identity closure + the same two session arms
     "q275_stitched_sessions" ->
       s"""WITH RECURSIVE $identityCtes,

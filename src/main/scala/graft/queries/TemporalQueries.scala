@@ -727,6 +727,46 @@ object TemporalQueries extends QueryPack {
       .orderBy("event_type", "day")
   }
 
+  /** Weekday-seasonality strength as exact η² — one-way ANOVA ("what
+    * fraction of daily-revenue variance does the weekday explain"),
+    * kept EXACTLY integral by the lcm trick: η² = SSB/SST is invariant
+    * under scaling both by n·L, and with L = 2520 = lcm(1..9) every
+    * per-weekday day-count n_g (4–5 in a month window) divides L, so
+    * n·L·SSB = n·Σ_g T_g²·(L div n_g) − L·T² and n·L·SST = n·L·Q −
+    * L·T² are exact integers (decimal(38,0)/HUGEINT — T² alone passes
+    * int64) and the single e6 division at the end is the exact
+    * rational. (For multi-year windows where n_g outgrows L, swap to
+    * per-term rounded rationals — the q229 grid trick; the month
+    * window keeps the pure-integer form.) The q82/q119 power-sum
+    * discipline applied to variance DECOMPOSITION. */
+  private def q277(s: SparkSession, dir: String): DataFrame = {
+    import Rounding.{intDiv, intDivExact}
+    val daily = ev(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(Rounding.sumCents(Rounding.cents(col("value"))).as("x"))
+      .withColumn("wd", expr("weekday(day)").cast("long"))
+    val grp = daily.groupBy("event_type", "wd")
+      .agg(count(lit(1)).as("n_g"),
+        sum(col("x").cast("decimal(38,0)")).as("t_g"))
+      .withColumn("term",
+        col("t_g") * col("t_g") * intDiv(lit(2520L), col("n_g")))
+      .groupBy("event_type")
+      .agg(sum("term").as("ssb_part"))
+    val tot = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(38,0)")).as("t"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("q"))
+    grp.join(tot, "event_type")
+      .withColumn("ssb", col("n") * col("ssb_part") -
+        lit(2520L) * col("t") * col("t"))
+      .withColumn("sst", col("n") * lit(2520L) * col("q") -
+        lit(2520L) * col("t") * col("t"))
+      .select(col("event_type"), col("n").as("n_days"),
+        intDivExact(col("ssb") * lit(2000000L) + col("sst"),
+          lit(2L) * col("sst")).as("eta2_e6"))
+      .orderBy("event_type")
+  }
+
   /** Seasonal-naive forecast backtest — the baseline every forecasting
     * system must beat, evaluated the way a backtest harness does:
     * forecast(day) = actual(day − 7) (same weekday last week), scored
@@ -765,6 +805,7 @@ object TemporalQueries extends QueryPack {
     "q251_date_dim" -> (q251 _),
     "q253_volume_alerts" -> (q253 _),
     "q268_backtest_mape" -> (q268 _),
+    "q277_weekday_eta2" -> (q277 _),
     "q105_gapfill_ffill" -> (q105 _),
     "q106_unpivot" -> (q106 _),
     "q107_mad_outliers" -> (q107 _),
@@ -887,6 +928,41 @@ object TemporalQueries extends QueryPack {
   private val centsV = Rounding.centsSql("value")
 
   val oracle: Map[String, String] = Map(
+    // same lcm-scaled integer ANOVA; HUGEINT mirrors the decimal chain
+    "q277_weekday_eta2" -> {
+      import Rounding.intDivExactSql
+      val eta = intDivExactSql(
+        "ssb * 2000000 + sst", "2 * sst")
+      s"""WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    ${Rounding.sumCentsSql(Rounding.centsSql("value"))} AS x
+        |  FROM events GROUP BY 1, 2),
+        |wdd AS (
+        |  SELECT event_type, CAST(isodow(day) - 1 AS BIGINT) AS wd, x
+        |  FROM daily),
+        |grp AS (
+        |  SELECT event_type,
+        |    CAST(sum(CAST(t_g AS HUGEINT) * t_g * (2520 // n_g))
+        |      AS HUGEINT) AS ssb_part
+        |  FROM (SELECT event_type, wd, count(*) AS n_g,
+        |          CAST(sum(x) AS BIGINT) AS t_g
+        |        FROM wdd GROUP BY 1, 2)
+        |  GROUP BY event_type),
+        |tot AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS t,
+        |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS q
+        |  FROM wdd GROUP BY event_type),
+        |s AS (
+        |  SELECT grp.event_type, tot.n,
+        |    tot.n * grp.ssb_part
+        |      - 2520 * CAST(tot.t AS HUGEINT) * tot.t AS ssb,
+        |    tot.n * 2520 * tot.q
+        |      - 2520 * CAST(tot.t AS HUGEINT) * tot.t AS sst
+        |  FROM grp JOIN tot ON grp.event_type = tot.event_type)
+        |SELECT event_type, n AS n_days, $eta AS eta2_e6
+        |FROM s ORDER BY event_type""".stripMargin
+    },
     // same lag-7 naive forecast, HUGEINT APE, floor-before-mean MAPE
     "q268_backtest_mape" -> {
       import Rounding.{intDivSql, intDivExactSql}
