@@ -142,6 +142,71 @@ class RoundTenPropertySpec extends SparkSuite {
     assert(bad.count() === 0, bad.collect().take(5).mkString(", "))
   }
 
+  test("q270: banding recall and candidate volume are monotone in the " +
+    "band count — the s-curve the sweep exists to show") {
+    val rows = q("q270_lsh_tuning").orderBy("bands").collect()
+    assert(rows.map(_.getAs[Long]("bands")).toSeq == Seq(2L, 4L, 8L))
+    val recalls = rows.map(_.getAs[Long]("recall_e4"))
+    val cands = rows.map(_.getAs[Long]("n_cand"))
+    assert(recalls(0) <= recalls(1) && recalls(1) <= recalls(2),
+      s"recall not monotone: ${recalls.toSeq}")
+    assert(cands(0) <= cands(1) && cands(1) <= cands(2),
+      s"candidates not monotone: ${cands.toSeq}")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_hit") <= r.getAs[Long]("n_truth"))
+      assert(r.getAs[Long]("n_hit") <= r.getAs[Long]("n_cand"))
+    }
+  }
+
+  test("q275: stitching can only merge sessions, never create them") {
+    val rows = q("q275_stitched_sessions").collect()
+      .map(r => r.getAs[String]("grain") -> r.getAs[Long]("n_sessions"))
+      .toMap
+    assert(rows("stitched_identity") <= rows("raw_user"),
+      s"stitched ${rows("stitched_identity")} > raw ${rows("raw_user")}")
+  }
+
+  test("q276: risk sets shrink only through churn, hazards stay on " +
+    "[0, 1e6], and total churn equals the user base") {
+    val rows = q("q276_hazard_table").orderBy("day").collect()
+    val users = graft.Tables.load(spark, sf, "events")
+      .select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_churned")).sum === users)
+    rows.foreach { r =>
+      val h = r.getAs[Long]("hazard_e6")
+      assert(h >= 0L && h <= 1000000L, s"hazard out of range: $r")
+      assert(r.getAs[Long]("n_churned") <= r.getAs[Long]("n_at_risk"))
+    }
+  }
+
+  test("q277: eta-squared is a variance FRACTION — [0, 1e6] for every " +
+    "type") {
+    q("q277_weekday_eta2").collect().foreach { r =>
+      val e = r.getAs[Long]("eta2_e6")
+      assert(e >= 0L && e <= 1000000L, s"eta2 out of range: $r")
+    }
+  }
+
+  test("q272: ABC classes partition all parts and A carries the most " +
+    "revenue") {
+    val rows = q("q272_abc_classes").orderBy("abc_class").collect()
+    assert(rows.map(_.getAs[String]("abc_class")).toSeq ==
+      Seq("A", "B", "C"))
+    val revs = rows.map(_.getAs[Long]("class_rev4"))
+    assert(revs(0) >= revs(1) && revs(1) >= revs(2),
+      s"class revenue not decreasing: ${revs.toSeq}")
+    val parts = graft.Tables.load(spark, sf, "lineitem")
+      .select("l_partkey").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_parts")).sum === parts)
+  }
+
+  test("q254: Hamilton apportionment conserves the budget exactly") {
+    val allocs = q("q254_hamilton_alloc").collect()
+      .map(_.getAs[Long]("alloc"))
+    assert(allocs.sum === 1000000L, s"sum = ${allocs.sum}")
+    assert(allocs.forall(_ >= 0L))
+  }
+
   test("q220: displacement is consistent with both rank columns") {
     val rows = q("q220_matryoshka_audit").collect()
     assert(rows.length === 20)
