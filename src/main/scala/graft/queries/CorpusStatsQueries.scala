@@ -533,9 +533,38 @@ object CorpusStatsQueries extends QueryPack {
       .limit(100)
   }
 
+  /** Source-exclusive vocabulary share — the content-diversity question
+    * behind every "is this source worth its tokens" decision: per
+    * source, how many of its distinct trigrams appear in NO other
+    * source? A source whose vocabulary is ~all shared adds volume, not
+    * coverage (and is a deduplication suspect — cf. q239's dup-flow
+    * matrix). One (gram → distinct source set) aggregation sized by the
+    * per-gram SOURCE count (≤ 20, never the posting list), then a
+    * per-source rollup; the exclusive share is the exact e4 rational. */
+  private def q278(s: SparkSession, dir: String): DataFrame = {
+    import Rounding.intDivExact
+    val g = docs(s, dir)
+      .select(col("source"), TextAnalysis.tokensCol(col("text")).as("t"))
+      .select(col("source"),
+        explode(TextAnalysis.ngramsFromTokens(col("t"), 3)).as("gram"))
+      .distinct()
+    val spread = g.groupBy("gram")
+      .agg(countDistinct("source").as("n_sources"))
+    g.join(spread, "gram")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_grams"),
+        sum((col("n_sources") === 1L).cast("long")).as("n_exclusive"))
+      .withColumn("exclusive_e4", intDivExact(
+        col("n_exclusive").cast("decimal(38,0)") * lit(20000L) +
+          col("n_grams"),
+        lit(2L) * col("n_grams")))
+      .orderBy("source")
+  }
+
   val defs: Map[String, Q] = Map(
     "q230_token_fertility" -> (q230 _),
     "q266_sparse_cosine" -> (q266 _),
+    "q278_exclusive_vocab" -> (q278 _),
     "q213_phrase_query" -> (q213 _),
     "q214_zipf_profile" -> (q214 _),
     "q224_vocab_novelty" -> (q224 _),
@@ -556,6 +585,33 @@ object CorpusStatsQueries extends QueryPack {
       s"2 * $den")
 
   val oracle: Map[String, String] = Map(
+    // same distinct (source, gram) relation, same e4 rational share
+    "q278_exclusive_vocab" -> {
+      import Rounding.intDivExactSql
+      val share = intDivExactSql(
+        "CAST(n_exclusive AS HUGEINT) * 20000 + n_grams", "2 * n_grams")
+      s"""WITH toks AS (
+        |  SELECT source,
+        |    regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+        |  FROM documents),
+        |idx AS (
+        |  SELECT source, t, unnest(generate_series(1, len(t) - 2)) AS i
+        |  FROM toks WHERE len(t) >= 3),
+        |g AS (
+        |  SELECT DISTINCT source, array_to_string(t[i:i+2], ' ') AS gram
+        |  FROM idx),
+        |spread AS (
+        |  SELECT gram, count(DISTINCT source) AS n_sources
+        |  FROM g GROUP BY gram),
+        |agg AS (
+        |  SELECT g.source, count(*) AS n_grams,
+        |    CAST(sum(CASE WHEN n_sources = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_exclusive
+        |  FROM g JOIN spread ON g.gram = spread.gram
+        |  GROUP BY g.source)
+        |SELECT source, n_grams, n_exclusive, $share AS exclusive_e4
+        |FROM agg ORDER BY source""".stripMargin
+    },
     // same integer weights, HUGEINT sums, identical final double ops
     "q266_sparse_cosine" ->
       """WITH toks AS (

@@ -700,6 +700,39 @@ object EventOpsQueries extends QueryPack {
           .otherwise("none").as("winner"))
   }
 
+  /** Active-time coverage per user — "what fraction of the observation
+    * window was this user actually active": each event claims a
+    * 5-minute activity interval [ts, ts + 5 min], overlapping claims
+    * union through [[graft.operators.IntervalMerge]] (the q78
+    * gaps-and-islands machinery, per-user partitions), and coverage is
+    * the exact µs ratio of merged activity to the corpus-wide window —
+    * double-counting-free by construction, which a naive
+    * n_events × 5 min estimate is not. All integer µs; the global
+    * window is a broadcast 1-row aggregate. */
+  private def q279(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.intDivExact
+    import graft.operators.IntervalMerge
+    val iv = ev(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("s_us"),
+        (unix_micros(col("ts")) + lit(300000000L)).as("e_us"))
+    val merged = IntervalMerge
+      .merge(iv, "user_id", col("s_us"), col("e_us"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_islands"),
+        sum((col("end") - col("start")).cast("decimal(38,0)"))
+          .cast("long").as("active_us"))
+    val win = ev(s, dir).groupBy()
+      .agg((max(unix_micros(col("ts"))) + lit(300000000L) -
+        min(unix_micros(col("ts")))).as("window_us"))
+    merged.crossJoin(broadcast(win))
+      .withColumn("coverage_e4", intDivExact(
+        col("active_us").cast("decimal(38,0)") * lit(20000L) +
+          col("window_us"),
+        lit(2L) * col("window_us")))
+      .select("user_id", "n_islands", "active_us", "coverage_e4")
+      .orderBy("user_id")
+  }
+
   /** Churn hazard life table — the Kaplan–Meier INPUT table (risk-set
     * size, churn events, exact hazard per day), which is the honest
     * stopping point for an exact-arithmetic engine: the KM survival
@@ -876,6 +909,7 @@ object EventOpsQueries extends QueryPack {
     "q269_diff_in_diff" -> (q269 _),
     "q275_stitched_sessions" -> (q275 _),
     "q276_hazard_table" -> (q276 _),
+    "q279_active_coverage" -> (q279 _),
     "q245_session_features" -> (q245 _),
     "q246_burst_census" -> (q246 _),
     "q247_golden_record" -> (q247 _),
@@ -1002,6 +1036,42 @@ object EventOpsQueries extends QueryPack {
         |SELECT id AS user_id, min(comp) AS identity_id,
         |  min(comp) = id AS is_canonical
         |FROM reach GROUP BY id ORDER BY user_id""".stripMargin,
+    // the same gaps-and-islands union (empty-frame max is NULL → first
+    // row opens island 0 in both engines), same exact e4 ratio
+    "q279_active_coverage" -> {
+      import graft.functions.Rounding.intDivExactSql
+      val cov = intDivExactSql(
+        "CAST(active_us AS HUGEINT) * 20000 + window_us", "2 * window_us")
+      s"""WITH iv AS (
+        |  SELECT user_id, epoch_us(ts) AS s_us,
+        |    epoch_us(ts) + 300000000 AS e_us
+        |  FROM events),
+        |fl AS (
+        |  SELECT user_id, s_us, e_us,
+        |    CASE WHEN s_us > max(e_us) OVER (PARTITION BY user_id
+        |      ORDER BY s_us, e_us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      THEN 1 ELSE 0 END AS new_island
+        |  FROM iv),
+        |isl AS (
+        |  SELECT *, sum(new_island) OVER (PARTITION BY user_id
+        |    ORDER BY s_us, e_us
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM fl),
+        |m AS (
+        |  SELECT user_id, island, min(s_us) AS st, max(e_us) AS en
+        |  FROM isl GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT user_id, count(*) AS n_islands,
+        |    CAST(sum(en - st) AS BIGINT) AS active_us
+        |  FROM m GROUP BY 1),
+        |win AS (
+        |  SELECT max(epoch_us(ts)) + 300000000 - min(epoch_us(ts))
+        |    AS window_us
+        |  FROM events)
+        |SELECT user_id, n_islands, active_us, $cov AS coverage_e4
+        |FROM agg, win ORDER BY user_id""".stripMargin
+    },
     // same span expansion (generate_series is sequence), same exact
     // hazard division
     "q276_hazard_table" -> {
