@@ -137,6 +137,40 @@ object SimilarityQueries extends QueryPack {
     * bounded broadcast of ≤k centroid rows with a codegen'd
     * zip_with/aggregate distance, and the centroid update is one exchange
     * of 64 column-wise sums. */
+  /** Cluster purity of the deterministic KMeans against the label
+    * column — the external-validation census ("do the clusters mean
+    * anything"): per cluster, its member count, majority label
+    * (min-struct argmax, ties to the smaller label) and purity as the
+    * exact e4 rational. Rides q118's bit-reproducible fixed-point
+    * Lloyd's, so the oracle can replay the identical assignment and the
+    * purity is a hash-checked fact, not a float estimate. Purity ≈ 1/k
+    * (what these uncorrelated synthetic embeddings show) is the honest
+    * null reading — the same census on clustered real embeddings is
+    * the go/no-go for using cluster ids as weak labels. */
+  private def q280(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.intDivExact
+    val emb = graft.Tables.load(s, dir, "embeddings")
+    val (_, asg) = graft.operators.KMeans.fit(
+      emb, "vec_id", "embedding", dim = Dim, k = 8, iters = 2)
+    val cells = asg
+      .join(emb.select(col("vec_id"),
+        col("label").cast("long").as("label")),
+        asg("vid") === col("vec_id"))
+      .groupBy("cid", "label").agg(count(lit(1)).as("n"))
+    val tot = cells.groupBy("cid").agg(sum("n").as("n_members"))
+    val maj = cells.groupBy("cid")
+      .agg(min(struct((-col("n")).as("nn"), col("label").as("l")))
+        .as("m"))
+    tot.join(maj, "cid")
+      .select(col("cid"), col("n_members"),
+        col("m.l").as("majority_label"), (-col("m.nn")).as("n_majority"),
+        intDivExact(
+          (-col("m.nn")).cast("decimal(38,0)") * lit(20000L) +
+            col("n_members"),
+          lit(2L) * col("n_members")).as("purity_e4"))
+      .orderBy("cid")
+  }
+
   private def q118(s: SparkSession, dir: String): DataFrame = {
     val emb = graft.Tables.load(s, dir, "embeddings")
     val (cents, asg) = graft.operators.KMeans.fit(
@@ -673,6 +707,7 @@ object SimilarityQueries extends QueryPack {
     "q56_knn_ivf" -> (q56 _),
     "q91_sq8_quantize" -> (q91 _),
     "q118_kmeans" -> (q118 _),
+    "q280_cluster_purity" -> (q280 _),
     "q149_pq_codes" -> (q149 _),
     "q150_semdedup" -> (q150 _),
     "q161_adc_scan" -> (q161 _))
@@ -1079,6 +1114,30 @@ object SimilarityQueries extends QueryPack {
         |      abs(x - greatest(-127.0, least(127.0, floor(x / scale + 0.5)))
         |        * scale))) <= scale * 0.5 + 1e-12 END AS within_bound
         |FROM m ORDER BY vec_id""".stripMargin,
+    // q118's replayed Lloyd assignment + the label join and min-struct
+    // majority; purity is the exact e4 rational
+    "q280_cluster_purity" -> {
+      import graft.functions.Rounding.intDivExactSql
+      s"""WITH ${graft.operators.KMeans.oracleSqlCtes(
+             "embeddings", "vec_id", "embedding", Dim, 8, 2)},
+         |cells AS (
+         |  SELECT a.cid, CAST(e.label AS BIGINT) AS label, count(*) AS n
+         |  FROM afinal a JOIN embeddings e ON a.vid = e.vec_id
+         |  GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT cid, CAST(sum(n) AS BIGINT) AS n_members
+         |  FROM cells GROUP BY cid),
+         |maj AS (
+         |  SELECT cid, min(struct_pack(nn := -n, l := label)) AS m
+         |  FROM cells GROUP BY cid)
+         |SELECT tot.cid, n_members, (m).l AS majority_label,
+         |  CAST(-((m).nn) AS BIGINT) AS n_majority
+         |  , ${intDivExactSql(
+               "CAST(-((m).nn) AS HUGEINT) * 20000 + n_members",
+               "2 * n_members")} AS purity_e4
+         |FROM tot JOIN maj ON tot.cid = maj.cid
+         |ORDER BY tot.cid""".stripMargin
+    },
     "q118_kmeans" ->
       s"""WITH ${graft.operators.KMeans.oracleSqlCtes(
              "embeddings", "vec_id", "embedding", Dim, 8, 2)},
