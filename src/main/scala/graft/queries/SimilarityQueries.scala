@@ -692,12 +692,57 @@ object SimilarityQueries extends QueryPack {
         intDiv(sum("rr_e6"), count(lit(1))).as("mrr_e6"))
   }
 
+  /** nDCG@10 of the LSH arm against graded brute relevance — the
+    * rank-quality metric that weights the top of the list (completes
+    * the eval kit: recall@10 = q232 set overlap, MRR = q250 first-gold
+    * position, nDCG = whole-list graded order). The log2 discounts —
+    * the one transcendental in the formula — are a FIXED 10-entry
+    * integer table (⌊10⁶/log2(i+1)⌉, embedded identically in both
+    * engines as literals), so the computation is: grade = 11 − brute
+    * rank for the brute top-10, DCG = Σ grade·D(lsh_rank) over hits at
+    * LSH rank ≤ 10, nDCG_e4 = the exact rational against the constant
+    * ideal 29 966 114. No runtime log, no float — the q64 de-log
+    * discipline applied to ranking evaluation. */
+  private def q281(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.intDivExact
+    import graft.operators.SimilaritySearch
+    val disc = Seq(1000000L, 630930L, 500000L, 430677L, 386853L,
+      356207L, 333333L, 315465L, 301030L, 289065L)
+    val idcg = 29966114L
+    val e = emb(s, dir)
+    val qv = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v"))
+    val brute = SimilaritySearch
+      .topK(e, qv, "vec_id", "v", "q_id", 10, SimilaritySearch.Brute)
+      .select(col("q_id"), col("vec_id"),
+        (lit(11L) - col("rank")).as("grade"))
+    val lsh = SimilaritySearch
+      .topK(e, qv, "vec_id", "v", "q_id", 10,
+        SimilaritySearch.BandLsh(Bands, Rows, Dim))
+      .select(col("q_id"), col("vec_id"), col("rank").as("lsh_rank"))
+    val sess = s
+    import sess.implicits._
+    val dtab = disc.zipWithIndex
+      .map { case (d, i) => (i + 1L, d) }
+      .toDF("lsh_rank", "d")
+    brute.join(lsh, Seq("q_id", "vec_id"))
+      .join(broadcast(dtab), "lsh_rank")
+      .groupBy("q_id")
+      .agg(sum(col("grade") * col("d")).as("dcg"))
+      .select(col("q_id"), col("dcg"),
+        intDivExact(
+          col("dcg").cast("decimal(38,0)") * lit(20000L) + lit(idcg),
+          lit(2L * idcg)).as("ndcg_e4"))
+      .orderBy("q_id")
+  }
+
   val defs: Map[String, Q] = Map(
     "q50_knn_cosine" -> (q50 _),
     "q227_hard_negatives" -> (q227 _),
     "q229_anchor_auc" -> (q229 _),
     "q248_youden_threshold" -> (q248 _),
     "q250_lsh_mrr" -> (q250 _),
+    "q281_lsh_ndcg" -> (q281 _),
     "q232_ann_recall" -> (q232 _),
     "q194_hybrid_rrf" -> (q194 _),
     "q202_embedding_audit" -> (q202 _),
@@ -755,6 +800,60 @@ object SimilarityQueries extends QueryPack {
         |  ON b.q_id = l.q_id AND b.vec_id = l.vec_id
         |GROUP BY b.q_id
         |ORDER BY b.q_id""".stripMargin,
+    // the same literal discount table (VALUES), same graded join
+    "q281_lsh_ndcg" -> {
+      import graft.functions.Rounding.intDivExactSql
+      val vals = Seq(1000000L, 630930L, 500000L, 430677L, 386853L,
+        356207L, 333333L, 315465L, 301030L, 289065L)
+        .zipWithIndex.map { case (d, i) => s"(${i + 1}, $d)" }
+        .mkString(", ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+        |sb AS (
+        |  SELECT q_id, vec_id, ${rnd("list_cosine_similarity(v, qv)")} AS cos
+        |  FROM e, q WHERE vec_id <> q_id),
+        |brute AS (
+        |  SELECT q_id, vec_id,
+        |    11 - row_number() OVER (
+        |      PARTITION BY q_id ORDER BY cos DESC, vec_id) AS grade
+        |  FROM sb
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY q_id ORDER BY cos DESC, vec_id) <= 10),
+        |${Lsh.signatureSqlCtes(Bands * Rows, Dim)},
+        |${Lsh.bandsSqlCte(Bands, Rows)},
+        |qb AS (SELECT vec_id AS q_id, band, bkey FROM bands
+        |       WHERE vec_id < 5),
+        |cand AS (
+        |  SELECT DISTINCT qb.q_id, bands.vec_id
+        |  FROM bands JOIN qb ON bands.band = qb.band AND bands.bkey = qb.bkey
+        |  WHERE bands.vec_id <> qb.q_id),
+        |sl AS (
+        |  SELECT c.q_id, c.vec_id,
+        |    ${rnd("list_cosine_similarity(ev.v, qv2.v)")} AS cos
+        |  FROM cand c
+        |  JOIN e ev ON c.vec_id = ev.vec_id
+        |  JOIN e qv2 ON c.q_id = qv2.vec_id),
+        |lsh AS (
+        |  SELECT q_id, vec_id,
+        |    CAST(row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos DESC, vec_id) AS BIGINT) AS lsh_rank
+        |  FROM sl
+        |  QUALIFY lsh_rank <= 10),
+        |dtab AS (
+        |  SELECT * FROM (VALUES $vals) AS t(lsh_rank, d)),
+        |agg AS (
+        |  SELECT b.q_id, CAST(sum(b.grade * dtab.d) AS BIGINT) AS dcg
+        |  FROM brute b
+        |  JOIN lsh l ON b.q_id = l.q_id AND b.vec_id = l.vec_id
+        |  JOIN dtab ON l.lsh_rank = dtab.lsh_rank
+        |  GROUP BY b.q_id)
+        |SELECT q_id, dcg,
+        |  ${intDivExactSql(
+             "CAST(dcg AS HUGEINT) * 20000 + 29966114", "2 * 29966114")}
+        |    AS ndcg_e4
+        |FROM agg ORDER BY q_id""".stripMargin
+    },
     // q232's two chains with the brute arm cut to top-1 gold and the
     // LSH arm left unbounded; the same floor-before-mean divisions
     "q250_lsh_mrr" -> {
