@@ -973,6 +973,65 @@ object TpchQueries extends QueryPack {
       .orderBy("item", "rec_rank")
   }
 
+  /** Revenue bridge (price/volume/mix waterfall) 1996 → 1997 — the
+    * FP&A decomposition of WHY revenue moved: per part with sales in
+    * both years, volume effect = (Q₂−Q₁)·(R₁/Q₁) and price effect =
+    * R₂ − Q₂·(R₁/Q₁) (the standard prior-price basis — they sum to
+    * that part's ΔR EXACTLY before rounding); parts sold only in one
+    * year land whole in the new/lost buckets. Each part's effects are
+    * exact rationals rounded ONCE to integer cents (intDivExact), so
+    * the bridge identity R₂ − R₁ = new − lost + volume + price +
+    * residual holds EXACTLY with residual ≡ 0: both effects share the
+    * ONE rounded basis Q₂·R₁/Q₁, which cancels in their sum — the
+    * rounding moves the volume/price SPLIT by ≤ 1 cent per part but
+    * never the bridge total, so the residual column is a pinned-zero
+    * invariant (most BI tools silently absorb a nonzero one). One fact
+    * scan per year arm, one part-keyed full outer join, one global
+    * rollup. */
+  private def q282(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.intDivExact
+    def year(y: Int, qc: String, rc: String): DataFrame =
+      Tables.load(s, dir, "orders")
+        .filter(expr(s"year(o_orderdate) = $y"))
+        .join(Tables.load(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_partkey").cast("long").as("part"))
+        .agg(sum(col("l_quantity").cast("long").cast("decimal(38,0)"))
+          .cast("long").as(qc),
+          sumCents(cents(col("l_extendedprice"))).as(rc))
+    val j = year(1996, "q1", "r1")
+      .join(year(1997, "q2", "r2"), Seq("part"), "full_outer")
+    val basis = intDivExact( // Q₂·R₁/Q₁ rounded once, reused by both
+      col("q2").cast("decimal(38,0)") * col("r1") * lit(2L) + col("q1"),
+      lit(2L) * col("q1"))
+    val classified = j.select(col("part"),
+      coalesce(col("q1"), lit(0L)).as("q1"),
+      coalesce(col("r1"), lit(0L)).as("r1"),
+      coalesce(col("q2"), lit(0L)).as("q2"),
+      coalesce(col("r2"), lit(0L)).as("r2"),
+      (col("q1").isNull).as("is_new"), (col("q2").isNull).as("is_lost"))
+    classified
+      .withColumn("basis",
+        when(col("is_new") || col("is_lost"), lit(0L)).otherwise(basis))
+      .groupBy()
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("r1").cast("decimal(38,0)")).cast("long").as("rev1"),
+        sum(col("r2").cast("decimal(38,0)")).cast("long").as("rev2"),
+        sum(when(col("is_new"), col("r2")).otherwise(0L)
+          .cast("decimal(38,0)")).cast("long").as("new_rev"),
+        sum(when(col("is_lost"), col("r1")).otherwise(0L)
+          .cast("decimal(38,0)")).cast("long").as("lost_rev"),
+        sum(when(!col("is_new") && !col("is_lost"),
+          col("basis") - col("r1")).otherwise(0L)
+          .cast("decimal(38,0)")).cast("long").as("volume_effect"),
+        sum(when(!col("is_new") && !col("is_lost"),
+          col("r2") - col("basis")).otherwise(0L)
+          .cast("decimal(38,0)")).cast("long").as("price_effect"))
+      .withColumn("residual",
+        col("rev2") - col("rev1") - col("new_rev") + col("lost_rev") -
+          col("volume_effect") - col("price_effect"))
+  }
+
   /** Order-backlog time series — the fulfillment ops curve ("how many
     * orders are open right now, and is it growing?"): per month, orders
     * PLACED (by o_orderdate) and orders COMPLETED (the month of their
@@ -1050,6 +1109,7 @@ object TpchQueries extends QueryPack {
     "q267_item_recs" -> (q267 _),
     "q271_open_backlog" -> (q271 _),
     "q272_abc_classes" -> (q272 _),
+    "q282_revenue_bridge" -> (q282 _),
     "q203_product_profit" -> (q203 _),
     "q204_order_count_dist" -> (q204 _),
     "q205_top_supplier" -> (q205 _),
@@ -1085,6 +1145,48 @@ object TpchQueries extends QueryPack {
       "CAST(floor((1 - l_discount) * 100.0 + 0.5) AS BIGINT)"
 
   val oracle: Map[String, String] = Map(
+    // same shared rounded basis, same bucket CASEs, residual stated as
+    // the bridge identity
+    "q282_revenue_bridge" -> {
+      import graft.functions.Rounding.{centsSql, sumCentsSql,
+        intDivExactSql}
+      def yr(y: Int, q: String, r: String) =
+        s"""SELECT CAST(l_partkey AS BIGINT) AS part,
+           |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS $q,
+           |  ${sumCentsSql(centsSql("l_extendedprice"))} AS $r
+           |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           |WHERE year(o_orderdate) = $y GROUP BY 1""".stripMargin
+      val basis = intDivExactSql(
+        "CAST(q2 AS HUGEINT) * r1 * 2 + q1", "2 * q1")
+      s"""WITH y1 AS (${yr(1996, "q1", "r1")}),
+        |y2 AS (${yr(1997, "q2", "r2")}),
+        |j AS (
+        |  SELECT coalesce(y1.part, y2.part) AS part,
+        |    coalesce(q1, 0) AS q1, coalesce(r1, 0) AS r1,
+        |    coalesce(q2, 0) AS q2, coalesce(r2, 0) AS r2,
+        |    y1.part IS NULL AS is_new, y2.part IS NULL AS is_lost
+        |  FROM y1 FULL OUTER JOIN y2 ON y1.part = y2.part),
+        |b AS (
+        |  SELECT *, CASE WHEN is_new OR is_lost THEN 0
+        |    ELSE $basis END AS basis
+        |  FROM j),
+        |agg AS (
+        |  SELECT count(*) AS n_parts,
+        |    CAST(sum(r1) AS BIGINT) AS rev1,
+        |    CAST(sum(r2) AS BIGINT) AS rev2,
+        |    CAST(sum(CASE WHEN is_new THEN r2 ELSE 0 END) AS BIGINT)
+        |      AS new_rev,
+        |    CAST(sum(CASE WHEN is_lost THEN r1 ELSE 0 END) AS BIGINT)
+        |      AS lost_rev,
+        |    CAST(sum(CASE WHEN NOT is_new AND NOT is_lost
+        |      THEN basis - r1 ELSE 0 END) AS BIGINT) AS volume_effect,
+        |    CAST(sum(CASE WHEN NOT is_new AND NOT is_lost
+        |      THEN r2 - basis ELSE 0 END) AS BIGINT) AS price_effect
+        |  FROM b)
+        |SELECT *, rev2 - rev1 - new_rev + lost_rev - volume_effect
+        |  - price_effect AS residual
+        |FROM agg""".stripMargin
+    },
     // same placed/completed month rollups, one bounded ordered window
     "q271_open_backlog" ->
       """WITH placed AS (
