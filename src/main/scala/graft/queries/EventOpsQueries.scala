@@ -700,6 +700,64 @@ object EventOpsQueries extends QueryPack {
           .otherwise("none").as("winner"))
   }
 
+  /** Distribution-free mean-value confidence band per event type —
+    * Hoeffding's inequality instead of a bootstrap (no resampling RNG
+    * to make portable, no normality assumption): with n observations
+    * bounded on a range R, |mean − µ| ≤ R·√(ln(2/δ)/(2n)) with
+    * probability 1 − δ. At δ = 0.05 the √-argument constant ln(40)/2 =
+    * 1.8444397270569681 is a shared literal; R = max − min is exact
+    * cents; n is exact; one correctly-rounded sqrt and one multiply
+    * per GROUP (not per row) are the only float ops, identical in both
+    * engines. Emitted: the exact mean as a (sum, n) integer pair (the
+    * q112 discipline) plus the integer half-width — the honest
+    * "don't trust day-one dashboards" band. */
+  private def q283(s: SparkSession, dir: String): DataFrame = {
+    val c = 1.8444397270569681 // ln(2/0.05) / 2
+    ev(s, dir)
+      .withColumn("cents", Rounding.cents(col("value")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        Rounding.sumCents(col("cents")).as("sum_cents"),
+        (max("cents") - min("cents")).as("range_cents"))
+      .withColumn("half_width_cents",
+        floor(col("range_cents") *
+          sqrt(lit(c) / col("n")) + lit(0.5)).cast("long"))
+      .orderBy("event_type")
+  }
+
+  /** Conversion rate by session ENTRY type — the landing-page question
+    * ("sessions that start with X convert how often?"): q63's gap
+    * sessions, each labeled by its first event's type (deterministic
+    * (ts, event_id) order) and whether it contains a purchase, rolled
+    * up per entry type with the exact e4 rate. The product-analytics
+    * complement of q88's step funnel: same machinery, the grouping key
+    * is where the journey BEGAN. */
+  private def q284(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.intDivExact
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev(s, dir)
+      .withColumn("prev_ts", lag("ts", 1).over(w))
+      .withColumn("new_sess",
+        (col("prev_ts").isNull ||
+          col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"))
+          .cast("long"))
+      .withColumn("session_idx", sum("new_sess").over(run))
+      .groupBy("user_id", "session_idx")
+      .agg(min(struct(col("ts"), col("event_id"),
+        col("event_type").as("et"))).getField("et").as("entry_type"),
+        max((col("event_type") === "purchase").cast("long"))
+          .as("converted"))
+      .groupBy("entry_type")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum("converted").as("n_converted"))
+      .withColumn("conv_e4", intDivExact(
+        col("n_converted").cast("decimal(38,0)") * lit(20000L) +
+          col("n_sessions"),
+        lit(2L) * col("n_sessions")))
+      .orderBy("entry_type")
+  }
+
   /** Active-time coverage per user — "what fraction of the observation
     * window was this user actually active": each event claims a
     * 5-minute activity interval [ts, ts + 5 min], overlapping claims
@@ -910,6 +968,8 @@ object EventOpsQueries extends QueryPack {
     "q275_stitched_sessions" -> (q275 _),
     "q276_hazard_table" -> (q276 _),
     "q279_active_coverage" -> (q279 _),
+    "q283_hoeffding_ci" -> (q283 _),
+    "q284_entry_conversion" -> (q284 _),
     "q245_session_features" -> (q245 _),
     "q246_burst_census" -> (q246 _),
     "q247_golden_record" -> (q247 _),
@@ -1036,6 +1096,53 @@ object EventOpsQueries extends QueryPack {
         |SELECT id AS user_id, min(comp) AS identity_id,
         |  min(comp) = id AS is_canonical
         |FROM reach GROUP BY id ORDER BY user_id""".stripMargin,
+    // same shared ln(40)/2 literal, one sqrt per group
+    "q283_hoeffding_ci" ->
+      s"""SELECT event_type, count(*) AS n,
+        |  ${Rounding.sumCentsSql(Rounding.centsSql("value"))} AS sum_cents,
+        |  CAST(max(${Rounding.centsSql("value")}) -
+        |    min(${Rounding.centsSql("value")}) AS BIGINT) AS range_cents,
+        |  CAST(floor((max(${Rounding.centsSql("value")}) -
+        |      min(${Rounding.centsSql("value")})) *
+        |    sqrt(1.8444397270569681 / count(*)) + 0.5) AS BIGINT)
+        |    AS half_width_cents
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q63's frame + the min-struct entry pick, exact e4 rate
+    "q284_entry_conversion" -> {
+      import graft.functions.Rounding.intDivExactSql
+      val rate = intDivExactSql(
+        "CAST(n_converted AS HUGEINT) * 20000 + n_sessions",
+        "2 * n_sessions")
+      s"""WITH e AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |    lag(ts) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |f AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |      OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END
+        |    AS new_sess
+        |  FROM e),
+        |g AS (
+        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS session_idx
+        |  FROM f),
+        |sess AS (
+        |  SELECT user_id, session_idx,
+        |    (min(struct_pack(ts := ts, event_id := event_id,
+        |      et := event_type))).et AS entry_type,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS converted
+        |  FROM g GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT entry_type, count(*) AS n_sessions,
+        |    CAST(sum(converted) AS BIGINT) AS n_converted
+        |  FROM sess GROUP BY entry_type)
+        |SELECT entry_type, n_sessions, n_converted, $rate AS conv_e4
+        |FROM agg ORDER BY entry_type""".stripMargin
+    },
     // the same gaps-and-islands union (empty-frame max is NULL → first
     // row opens island 0 in both engines), same exact e4 ratio
     "q279_active_coverage" -> {
