@@ -973,6 +973,42 @@ object TpchQueries extends QueryPack {
       .orderBy("item", "rec_rank")
   }
 
+  /** Top-10 brand leaderboard churn 1996 → 1997 — the "trending list"
+    * diff every dashboard ships (what entered, what exited, who moved):
+    * per year, brands ranked by exact revenue cents under the
+    * deterministic (rev DESC, brand) order (the rank window partitions
+    * per year over the BRAND-cardinality aggregate — bounded, never the
+    * fact table), the two top-10 lists full-outer join on brand, and
+    * each row carries its status and absolute rank displacement. The
+    * q282 bridge says how much money moved; this says which NAMES moved
+    * — the pair is the whole executive page. */
+  private def q285(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def top(y: Int, rc: String): DataFrame = {
+      val w = Window.orderBy(col("rev4").desc, col("p_brand"))
+      Tables.load(s, dir, "orders")
+        .filter(expr(s"year(o_orderdate) = $y"))
+        .join(Tables.load(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.load(s, dir, "part"),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(sumCents(vol4).as("rev4"))
+        .withColumn(rc, row_number().over(w).cast("long"))
+        .filter(col(rc) <= 10)
+        .select(col("p_brand").as("brand"), col(rc))
+    }
+    top(1996, "rank_1996")
+      .join(top(1997, "rank_1997"), Seq("brand"), "full_outer")
+      .select(col("brand"), col("rank_1996"), col("rank_1997"),
+        when(col("rank_1996").isNull, "entered")
+          .when(col("rank_1997").isNull, "exited")
+          .otherwise("stayed").as("status"),
+        coalesce(abs(col("rank_1997") - col("rank_1996")), lit(-1L))
+          .as("displacement"))
+      .orderBy("brand")
+  }
+
   /** Revenue bridge (price/volume/mix waterfall) 1996 → 1997 — the
     * FP&A decomposition of WHY revenue moved: per part with sales in
     * both years, volume effect = (Q₂−Q₁)·(R₁/Q₁) and price effect =
@@ -1110,6 +1146,7 @@ object TpchQueries extends QueryPack {
     "q271_open_backlog" -> (q271 _),
     "q272_abc_classes" -> (q272 _),
     "q282_revenue_bridge" -> (q282 _),
+    "q285_leaderboard_churn" -> (q285 _),
     "q203_product_profit" -> (q203 _),
     "q204_order_count_dist" -> (q204 _),
     "q205_top_supplier" -> (q205 _),
@@ -1145,6 +1182,31 @@ object TpchQueries extends QueryPack {
       "CAST(floor((1 - l_discount) * 100.0 + 0.5) AS BIGINT)"
 
   val oracle: Map[String, String] = Map(
+    // same per-year top-10 lists, same status/displacement projection
+    "q285_leaderboard_churn" -> {
+      import graft.functions.Rounding.{centsSql, sumCentsSql}
+      def top(y: Int, rc: String) =
+        s"""SELECT brand, CAST(row_number() OVER (
+           |    ORDER BY rev4 DESC, brand) AS BIGINT) AS $rc
+           |FROM (
+           |  SELECT p_brand AS brand,
+           |    ${sumCentsSql(volSql)} AS rev4
+           |  FROM orders
+           |  JOIN lineitem ON o_orderkey = l_orderkey
+           |  JOIN part ON l_partkey = p_partkey
+           |  WHERE year(o_orderdate) = $y GROUP BY 1)
+           |QUALIFY $rc <= 10""".stripMargin
+      s"""WITH t96 AS (${top(1996, "rank_1996")}),
+        |t97 AS (${top(1997, "rank_1997")})
+        |SELECT coalesce(a.brand, b.brand) AS brand,
+        |  rank_1996, rank_1997,
+        |  CASE WHEN rank_1996 IS NULL THEN 'entered'
+        |       WHEN rank_1997 IS NULL THEN 'exited'
+        |       ELSE 'stayed' END AS status,
+        |  coalesce(abs(rank_1997 - rank_1996), -1) AS displacement
+        |FROM t96 a FULL OUTER JOIN t97 b ON a.brand = b.brand
+        |ORDER BY brand""".stripMargin
+    },
     // same shared rounded basis, same bucket CASEs, residual stated as
     // the bridge identity
     "q282_revenue_bridge" -> {
