@@ -137,6 +137,49 @@ object SimilarityQueries extends QueryPack {
     * bounded broadcast of ≤k centroid rows with a codegen'd
     * zip_with/aggregate distance, and the centroid update is one exchange
     * of 64 column-wise sums. */
+  /** Per-label embedding ALIGNMENT (mean intra-label cosine) WITHOUT
+    * enumerating pairs — the contrastive-representation health metric
+    * (Wang & Isola's "alignment") computed by the sum-vector identity:
+    * over unit vectors, Σ_{a<b} cos(a,b) = (‖Σv̂‖² − Σ‖v̂‖²)/2, so the
+    * all-pairs mean needs only per-dimension SUMS — O(n·d), one
+    * aggregation, where the naive form is an O(n²) self-join. This is
+    * THE trick that makes the metric computable over a billion
+    * embeddings. Exactness: each vector normalizes once (in-order
+    * array fold + one correctly-rounded sqrt — deterministic), lands
+    * on the integer e6 grid, and everything after is exact integer
+    * sums/squares through decimal/HUGEINT; align_e6 ≈ mean cosine ·10⁶
+    * (±2e-6 quantization, identical both engines; truncation toward
+    * zero on the one division). Alignment near 0 on these uncorrelated
+    * synthetic labels is the correct null reading. */
+  private def q286(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.intDivExact
+    val e = graft.Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      .withColumn("nrm", sqrt(expr(
+        "aggregate(transform(v, x -> x * x), 0D, (a, x) -> a + x)")))
+      .filter(col("nrm") > 0)
+      .withColumn("vh", expr(
+        "transform(v, x -> CAST(floor(x * 1000000.0 / nrm + 0.5) AS BIGINT))"))
+    val s2 = e.select(col("label"), posexplode(col("vh")))
+      .groupBy("label", "pos").agg(sum("col").as("sd"))
+      .groupBy("label")
+      .agg(sum(col("sd").cast("decimal(38,0)") * col("sd")).as("s2"))
+    val qn = e.select(col("label"),
+        expr("aggregate(transform(vh, x -> x * x), 0L, (a, x) -> a + x)")
+          .as("qq"))
+      .groupBy("label")
+      .agg(sum(col("qq").cast("decimal(38,0)")).as("q"),
+        count(lit(1)).as("n"))
+    qn.join(s2, "label")
+      .filter(col("n") >= 2L)
+      .select(col("label"), col("n").as("n_vecs"),
+        intDivExact(col("s2") - col("q"),
+          col("n") * (col("n") - lit(1L)) * lit(1000000L))
+          .as("align_e6"))
+      .orderBy("label")
+  }
+
   /** Cluster purity of the deterministic KMeans against the label
     * column — the external-validation census ("do the clusters mean
     * anything"): per cluster, its member count, majority label
@@ -753,6 +796,7 @@ object SimilarityQueries extends QueryPack {
     "q91_sq8_quantize" -> (q91 _),
     "q118_kmeans" -> (q118 _),
     "q280_cluster_purity" -> (q280 _),
+    "q286_alignment" -> (q286 _),
     "q149_pq_codes" -> (q149 _),
     "q150_semdedup" -> (q150 _),
     "q161_adc_scan" -> (q161 _))
@@ -1213,6 +1257,45 @@ object SimilarityQueries extends QueryPack {
         |      abs(x - greatest(-127.0, least(127.0, floor(x / scale + 0.5)))
         |        * scale))) <= scale * 0.5 + 1e-12 END AS within_bound
         |FROM m ORDER BY vec_id""".stripMargin,
+    // the same sum-vector identity; in-order list folds, the shared e6
+    // grid, HUGEINT squares
+    "q286_alignment" -> {
+      import graft.functions.Rounding.intDivExactSql
+      val align = intDivExactSql(
+        "s2 - q", "n * (n - 1) * 1000000")
+      s"""WITH e0 AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |e1 AS (
+        |  SELECT *, sqrt(list_aggregate(
+        |    list_transform(v, x -> x * x), 'sum')) AS nrm
+        |  FROM e0),
+        |e AS (
+        |  SELECT label,
+        |    list_transform(v, x ->
+        |      CAST(floor(x * 1000000.0 / nrm + 0.5) AS BIGINT)) AS vh
+        |  FROM e1 WHERE nrm > 0),
+        |pd AS (
+        |  SELECT label, i AS pos, vh[i] AS x
+        |  FROM e, (SELECT unnest(generate_series(1, 64)) AS i)),
+        |s2t AS (
+        |  SELECT label,
+        |    CAST(sum(CAST(sd AS HUGEINT) * sd) AS HUGEINT) AS s2
+        |  FROM (SELECT label, pos, CAST(sum(x) AS BIGINT) AS sd
+        |        FROM pd GROUP BY 1, 2)
+        |  GROUP BY label),
+        |qn AS (
+        |  SELECT label,
+        |    CAST(sum(list_aggregate(
+        |      list_transform(vh, x -> x * x), 'sum')) AS HUGEINT) AS q,
+        |    count(*) AS n
+        |  FROM e GROUP BY label)
+        |SELECT qn.label, n AS n_vecs, $align AS align_e6
+        |FROM qn JOIN s2t ON qn.label = s2t.label
+        |WHERE n >= 2
+        |ORDER BY qn.label""".stripMargin
+    },
     // q118's replayed Lloyd assignment + the label join and min-struct
     // majority; purity is the exact e4 rational
     "q280_cluster_purity" -> {
