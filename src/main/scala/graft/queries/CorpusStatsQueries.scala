@@ -561,10 +561,47 @@ object CorpusStatsQueries extends QueryPack {
       .orderBy("source")
   }
 
+  /** Vocabulary growth curve (Heaps'-law input) — "how fast does new
+    * vocabulary arrive as the corpus grows", the curve that says when
+    * more data stops buying new coverage (and the empirical basis for
+    * the q224 novelty monitor's thresholds): at ten document-count
+    * checkpoints, the cumulative token volume and cumulative DISTINCT
+    * trigram vocabulary. The scalable trick: cumulative-distinct needs
+    * no per-checkpoint rescan — each gram's FIRST document id is one
+    * aggregation, and a gram counts toward every checkpoint past its
+    * first sighting (a broadcast 10-row checkpoint join). Exact
+    * integers throughout. */
+  private def q287(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.intDiv
+    val d = docs(s, dir)
+    val bounds = d.groupBy().agg(max("doc_id").as("mx"))
+    val cps = bounds.select(explode(expr(
+        "transform(sequence(1, 10), k -> k * (mx + 1) div 10)"))
+        .as("cp_docs"))
+    val grams = d
+      .select(col("doc_id"), TextAnalysis.tokensCol(col("text")).as("t"))
+      .select(col("doc_id"),
+        explode(TextAnalysis.hashedNgramsFromTokens(col("t"), 3))
+          .as("g"))
+    val firsts = grams.groupBy("g").agg(min("doc_id").as("first_doc"))
+    val vocab = firsts.crossJoin(broadcast(cps))
+      .filter(col("first_doc") < col("cp_docs"))
+      .groupBy("cp_docs").agg(count(lit(1)).as("cum_vocab"))
+    val toks = d
+      .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("tc"))
+      .crossJoin(broadcast(cps))
+      .filter(col("doc_id") < col("cp_docs"))
+      .groupBy("cp_docs")
+      .agg(sum(col("tc").cast("decimal(38,0)")).cast("long")
+        .as("cum_tokens"))
+    toks.join(vocab, "cp_docs").orderBy("cp_docs")
+  }
+
   val defs: Map[String, Q] = Map(
     "q230_token_fertility" -> (q230 _),
     "q266_sparse_cosine" -> (q266 _),
     "q278_exclusive_vocab" -> (q278 _),
+    "q287_heaps_curve" -> (q287 _),
     "q213_phrase_query" -> (q213 _),
     "q214_zipf_profile" -> (q214 _),
     "q224_vocab_novelty" -> (q224 _),
@@ -585,6 +622,38 @@ object CorpusStatsQueries extends QueryPack {
       s"2 * $den")
 
   val oracle: Map[String, String] = Map(
+    // first-sighting aggregation on gram TEXT (hash ≡ text, the q41
+    // argument), same ten checkpoints
+    "q287_heaps_curve" ->
+      """WITH b AS (SELECT max(doc_id) AS mx FROM documents),
+        |cps AS (
+        |  SELECT unnest(generate_series(1, 10)) * (mx + 1) // 10
+        |    AS cp_docs
+        |  FROM b),
+        |toks0 AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |idx AS (
+        |  SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+        |  FROM toks0 WHERE len(t) >= 3),
+        |g AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS gr
+        |  FROM idx),
+        |firsts AS (SELECT gr, min(doc_id) AS first_doc FROM g GROUP BY gr),
+        |vocab AS (
+        |  SELECT cp_docs, count(*) AS cum_vocab
+        |  FROM firsts, cps WHERE first_doc < cp_docs GROUP BY 1),
+        |tk AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS tc
+        |  FROM documents),
+        |tt AS (
+        |  SELECT cp_docs, CAST(sum(tc) AS BIGINT) AS cum_tokens
+        |  FROM tk, cps WHERE doc_id < cp_docs GROUP BY 1)
+        |SELECT tt.cp_docs, cum_tokens, cum_vocab
+        |FROM tt JOIN vocab USING (cp_docs)
+        |ORDER BY cp_docs""".stripMargin,
     // same distinct (source, gram) relation, same e4 rational share
     "q278_exclusive_vocab" -> {
       import Rounding.intDivExactSql
