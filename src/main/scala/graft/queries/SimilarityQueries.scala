@@ -180,6 +180,48 @@ object SimilarityQueries extends QueryPack {
       .orderBy("label")
   }
 
+  /** Effective dimensionality of the embedding space — the
+    * participation ratio PR = (tr M)² / tr(M²) of the uncentered
+    * second-moment matrix, the "how many of the 64 dimensions are
+    * actually in use" diagnostic (anisotropy/collapse detector:
+    * PR ≈ d is healthy, PR ≪ d means the encoder collapsed). Computed
+    * WITHOUT eigendecomposition: both traces are polynomial in the
+    * Gram-matrix entries M_ij = Σ v̂_i·v̂_j, which build as one
+    * (i, j)-keyed aggregation over the d² per-vector products —
+    * map-side combine makes the shuffle d² cells regardless of corpus
+    * size (the distributed Gram pattern). Exactness: the q286 e6 unit
+    * grid, then pure integer sums/squares through decimal/HUGEINT and
+    * one exact rational at the end (pr_e4 = PR·10⁴; operands approach
+    * decimal38 at ~10⁶ vectors — rescale the grid past that). PR ≈ 64
+    * on these isotropic synthetic embeddings is the null reading. */
+  private def q288(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.intDivExact
+    val e = graft.Tables.load(s, dir, "embeddings")
+      .select(expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      .withColumn("nrm", sqrt(expr(
+        "aggregate(transform(v, x -> x * x), 0D, (a, x) -> a + x)")))
+      .filter(col("nrm") > 0)
+      .withColumn("vh", expr(
+        "transform(v, x -> CAST(floor(x * 1000000.0 / nrm + 0.5) AS BIGINT))"))
+    val cells = e
+      .select(posexplode(col("vh")).as(Seq("i", "xi")), col("vh"))
+      .select(col("i"), posexplode(col("vh")).as(Seq("j", "xj")),
+        col("xi"))
+      .groupBy("i", "j")
+      .agg(sum((col("xi") * col("xj")).cast("decimal(38,0)")).as("m"))
+    val n = e.groupBy().agg(count(lit(1)).as("n_vecs"))
+    cells
+      .groupBy()
+      .agg(sum(when(col("i") === col("j"), col("m")).otherwise(lit(0)
+        .cast("decimal(38,0)"))).as("tr_m"),
+        sum(col("m") * col("m")).as("tr_m2"))
+      .crossJoin(broadcast(n))
+      .select(col("n_vecs"),
+        intDivExact(
+          col("tr_m") * col("tr_m") * lit(20000L) + col("tr_m2"),
+          lit(2L) * col("tr_m2")).as("pr_e4"))
+  }
+
   /** Cluster purity of the deterministic KMeans against the label
     * column — the external-validation census ("do the clusters mean
     * anything"): per cluster, its member count, majority label
@@ -797,6 +839,7 @@ object SimilarityQueries extends QueryPack {
     "q118_kmeans" -> (q118 _),
     "q280_cluster_purity" -> (q280 _),
     "q286_alignment" -> (q286 _),
+    "q288_effective_dim" -> (q288 _),
     "q149_pq_codes" -> (q149 _),
     "q150_semdedup" -> (q150 _),
     "q161_adc_scan" -> (q161 _))
@@ -1257,6 +1300,38 @@ object SimilarityQueries extends QueryPack {
         |      abs(x - greatest(-127.0, least(127.0, floor(x / scale + 0.5)))
         |        * scale))) <= scale * 0.5 + 1e-12 END AS within_bound
         |FROM m ORDER BY vec_id""".stripMargin,
+    // the same Gram cells from the same e6 grid; HUGEINT traces
+    "q288_effective_dim" -> {
+      import graft.functions.Rounding.intDivExactSql
+      s"""WITH e0 AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |e1 AS (
+        |  SELECT *, sqrt(list_aggregate(
+        |    list_transform(v, x -> x * x), 'sum')) AS nrm
+        |  FROM e0),
+        |e AS (
+        |  SELECT list_transform(v, x ->
+        |    CAST(floor(x * 1000000.0 / nrm + 0.5) AS BIGINT)) AS vh
+        |  FROM e1 WHERE nrm > 0),
+        |cells AS (
+        |  SELECT i, j,
+        |    CAST(sum(CAST(vh[i] AS HUGEINT) * vh[j]) AS HUGEINT) AS m
+        |  FROM e,
+        |    (SELECT unnest(generate_series(1, 64)) AS i),
+        |    (SELECT unnest(generate_series(1, 64)) AS j)
+        |  GROUP BY 1, 2),
+        |t AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN i = j THEN m ELSE 0 END) AS HUGEINT)
+        |      AS tr_m,
+        |    CAST(sum(m * m) AS HUGEINT) AS tr_m2
+        |  FROM cells),
+        |nn AS (SELECT count(*) AS n_vecs FROM e)
+        |SELECT n_vecs,
+        |  ${intDivExactSql("tr_m * tr_m * 20000 + tr_m2", "2 * tr_m2")}
+        |    AS pr_e4
+        |FROM t, nn""".stripMargin
+    },
     // the same sum-vector identity; in-order list folds, the shared e6
     // grid, HUGEINT squares
     "q286_alignment" -> {
