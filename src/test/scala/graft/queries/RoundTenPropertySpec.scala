@@ -207,6 +207,47 @@ class RoundTenPropertySpec extends SparkSuite {
     assert(allocs.forall(_ >= 0L))
   }
 
+  test("q287: vocabulary growth is monotone and ends at the full corpus") {
+    val rows = q("q287_heaps_curve").orderBy("cp_docs").collect()
+    assert(rows.length === 10)
+    val vocab = rows.map(_.getAs[Long]("cum_vocab"))
+    val toks = rows.map(_.getAs[Long]("cum_tokens"))
+    assert(vocab.zip(vocab.tail).forall { case (a, b) => a <= b })
+    assert(toks.zip(toks.tail).forall { case (a, b) => a < b })
+  }
+
+  test("q288: participation ratio lands on [1, dim] in e4 units") {
+    val pr = q("q288_effective_dim").head.getAs[Long]("pr_e4")
+    assert(pr >= 10000L && pr <= 640000L, s"pr_e4 = $pr")
+  }
+
+  test("q286: alignment is a mean cosine — on [-1e6, 1e6] per label") {
+    q("q286_alignment").collect().foreach { r =>
+      val a = r.getAs[Long]("align_e6")
+      assert(a >= -1000000L && a <= 1000000L, s"alignment out of range: $r")
+    }
+  }
+
+  test("q282: the revenue bridge balances to the exact cent") {
+    val r = q("q282_revenue_bridge").head
+    assert(r.getAs[Long]("residual") === 0L)
+    assert(r.getAs[Long]("rev2") - r.getAs[Long]("rev1") ===
+      r.getAs[Long]("new_rev") - r.getAs[Long]("lost_rev") +
+        r.getAs[Long]("volume_effect") + r.getAs[Long]("price_effect"))
+  }
+
+  test("q271: the final backlog is exactly the lineitem-less orders") {
+    val last = q("q271_open_backlog").orderBy(col("month").desc)
+      .head.getAs[Long]("backlog")
+    val orders = graft.Tables.load(spark, sf, "orders")
+      .select("o_orderkey")
+    val withLines = graft.Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey").as("o_orderkey")).distinct()
+    val orphans = orders.join(withLines, Seq("o_orderkey"), "left_anti")
+      .count()
+    assert(last === orphans, s"backlog $last != orphan orders $orphans")
+  }
+
   test("q220: displacement is consistent with both rank columns") {
     val rows = q("q220_matryoshka_audit").collect()
     assert(rows.length === 20)
