@@ -63,9 +63,67 @@ object FlagshipQueries extends QueryPack {
       .orderBy("user_id")
   }
 
-  val defs: Map[String, Q] = Map("q10_flagship_ols" -> (olsNextValue _))
+  /** Split-conformal band for the flagship forecast — the calibrated
+    * uncertainty the reference's predictor never ships (its MSE is a
+    * training-set average, not a guarantee): the 90th percentile of
+    * each user's absolute in-sample residuals IS the half-width h such
+    * that, under exchangeability, the next observation lands in
+    * prediction ± h with ~90% coverage — distribution-free, no
+    * normality assumed (the q283 philosophy applied to a model).
+    * Residuals round to integer cents BEFORE the percentile (floor
+    * form), so the quantile interpolates the q142-proven construct
+    * (Spark `percentile` ≡ DuckDB `quantile_cont` on BIGINTs), and the
+    * e1 scaling re-lands it on an integer. Same one-pass regr_* fit as
+    * q10; the residual pass is the q10 MSE join reused. */
+  private def q289(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val clean = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("target", lead("value", 1).over(w))
+      .filter(col("target").isNotNull)
+    val coef = clean.groupBy("user_id")
+      .agg(expr("regr_slope(target, value)").as("slope"),
+        expr("regr_intercept(target, value)").as("icept"),
+        count(lit(1)).as("n"))
+      .filter(col("n") >= 2).drop("n")
+    clean.join(broadcast(coef), Seq("user_id"))
+      .withColumn("rc",
+        floor(abs(col("target") -
+          (col("icept") + col("slope") * col("value"))) * lit(100.0) +
+          lit(0.5)).cast("long"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_obs"),
+        floor(expr("percentile(rc, 0.9)") * lit(10.0) + lit(0.5))
+          .cast("long").as("band_cents_e1"))
+      .orderBy("user_id")
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q10_flagship_ols" -> (olsNextValue _),
+    "q289_conformal_band" -> (q289 _))
 
   val oracle: Map[String, String] = Map(
+    // same regr_* fit, same cents-rounded residuals, quantile_cont ≡
+    // percentile on BIGINTs (q142's construct), same e1 landing
+    "q289_conformal_band" ->
+      """WITH clean AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    lead(value) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS target
+        |  FROM events QUALIFY target IS NOT NULL),
+        |coef AS (
+        |  SELECT user_id, regr_slope(target, value) AS slope,
+        |    regr_intercept(target, value) AS icept
+        |  FROM clean GROUP BY user_id HAVING count(*) >= 2),
+        |r AS (
+        |  SELECT c.user_id,
+        |    CAST(floor(abs(target - (icept + slope * value)) * 100.0
+        |      + 0.5) AS BIGINT) AS rc
+        |  FROM clean c JOIN coef ON c.user_id = coef.user_id)
+        |SELECT user_id, count(*) AS n_obs,
+        |  CAST(floor(quantile_cont(rc, 0.9) * 10.0 + 0.5) AS BIGINT)
+        |    AS band_cents_e1
+        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q10_flagship_ols" ->
       """WITH pairs AS (
         |  SELECT user_id, ts, event_id, value,
