@@ -700,6 +700,46 @@ object EventOpsQueries extends QueryPack {
           .otherwise("none").as("winner"))
   }
 
+  /** Experiment power table (minimum-detectable-effect planner) — the
+    * question asked BEFORE q256's test is run: at the observed
+    * power-buyer base rate, how many users per arm does each target
+    * absolute lift need at α = 0.05 / power 0.8? The two-proportion
+    * approximation n = 2·(z₀.₉₇₅ + z₀.₈)²·p(1−p)/δ² with the constant
+    * (1.96…+0.84…)² = 7.848879809747528 as a shared literal; p(1−p)
+    * enters as the exact integer x(n−x)/n², δ as the exact rational
+    * d/100, so both engines run the identical few double ops and one
+    * ceil. Emitted per candidate MDE (1–5 points) with the available
+    * per-arm size and the feasibility verdict — the go/no-go table an
+    * experimentation platform renders. */
+  private def q290(s: SparkSession, dir: String): DataFrame = {
+    val k2x2 = 15.697759619495056 // 2 · (z_{0.975} + z_{0.8})²
+    val base = ev(s, dir)
+      .select(col("user_id"),
+        (col("event_type") === "purchase").cast("long").as("p"))
+      .groupBy("user_id")
+      .agg((sum("p") >= 15L).cast("long").as("converted"))
+      .groupBy()
+      .agg(count(lit(1)).as("n"), sum("converted").as("x"))
+    val sess = s
+    import sess.implicits._
+    val mdes = Seq(1L, 2L, 3L, 4L, 5L).toDF("mde_pct")
+    base.crossJoin(broadcast(mdes))
+      .select(col("mde_pct"), col("n").as("n_users"), col("x")
+        .as("n_converted"),
+        ceil(lit(k2x2) *
+          (col("x") * (col("n") - col("x"))).cast("double") *
+          lit(10000.0) /
+          (col("n").cast("double") * col("n") * col("mde_pct") *
+            col("mde_pct")))
+          .cast("long").as("required_per_arm"))
+      .withColumn("available_per_arm",
+        graft.functions.Rounding.intDiv(col("n_users"), lit(2L)))
+      .withColumn("feasible",
+        (col("available_per_arm") >= col("required_per_arm"))
+          .cast("long"))
+      .orderBy("mde_pct")
+  }
+
   /** Distribution-free mean-value confidence band per event type —
     * Hoeffding's inequality instead of a bootstrap (no resampling RNG
     * to make portable, no normality assumption): with n observations
@@ -970,6 +1010,7 @@ object EventOpsQueries extends QueryPack {
     "q279_active_coverage" -> (q279 _),
     "q283_hoeffding_ci" -> (q283 _),
     "q284_entry_conversion" -> (q284 _),
+    "q290_power_table" -> (q290 _),
     "q245_session_features" -> (q245 _),
     "q246_burst_census" -> (q246 _),
     "q247_golden_record" -> (q247 _),
@@ -1096,6 +1137,31 @@ object EventOpsQueries extends QueryPack {
         |SELECT id AS user_id, min(comp) AS identity_id,
         |  min(comp) = id AS is_canonical
         |FROM reach GROUP BY id ORDER BY user_id""".stripMargin,
+    // same shared 2(z_a+z_b)^2 literal, identical double ops + ceil
+    "q290_power_table" -> {
+      import graft.functions.Rounding.intDivSql
+      s"""WITH pu AS (
+        |  SELECT user_id,
+        |    CASE WHEN sum(CASE WHEN event_type = 'purchase'
+        |      THEN 1 ELSE 0 END) >= 15 THEN 1 ELSE 0 END AS converted
+        |  FROM events GROUP BY user_id),
+        |base AS (
+        |  SELECT count(*) AS n, CAST(sum(converted) AS BIGINT) AS x
+        |  FROM pu),
+        |mdes AS (SELECT unnest(generate_series(1, 5)) AS mde_pct)
+        |SELECT CAST(mde_pct AS BIGINT) AS mde_pct,
+        |  n AS n_users, x AS n_converted,
+        |  CAST(ceil(15.697759619495056 *
+        |    CAST(x * (n - x) AS DOUBLE) * 10000.0 /
+        |    (CAST(n AS DOUBLE) * n * mde_pct * mde_pct)) AS BIGINT)
+        |    AS required_per_arm,
+        |  ${intDivSql("n", "2")} AS available_per_arm,
+        |  CAST(${intDivSql("n", "2")} >= CAST(ceil(15.697759619495056 *
+        |    CAST(x * (n - x) AS DOUBLE) * 10000.0 /
+        |    (CAST(n AS DOUBLE) * n * mde_pct * mde_pct)) AS BIGINT)
+        |    AS BIGINT) AS feasible
+        |FROM base, mdes ORDER BY mde_pct""".stripMargin
+    },
     // same shared ln(40)/2 literal, one sqrt per group
     "q283_hoeffding_ci" ->
       s"""SELECT event_type, count(*) AS n,
