@@ -700,6 +700,37 @@ object EventOpsQueries extends QueryPack {
           .otherwise("none").as("winner"))
   }
 
+  /** LTV tenure curve — revenue by user AGE rather than by calendar
+    * (the cohort-normalized view that makes acquisition vintages
+    * comparable): each purchase lands in its user's tenure week
+    * (⌊days-since-first-event / 7⌋, exact integer), and per tenure week
+    * the census reports active purchasers, exact cents revenue, and
+    * ARPU on the e2 grid (round-half-up exact rational). The
+    * first-event join is user-keyed; weeks are span-bounded. The
+    * DECLINING curve tail is the churn signal finance reads off this
+    * exact table. */
+  private def q291(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.{intDiv, intDivExact}
+    val first = ev(s, dir).groupBy("user_id")
+      .agg(to_date(min("ts")).as("first_day"))
+    ev(s, dir)
+      .filter(col("event_type") === "purchase")
+      .join(first, "user_id")
+      .withColumn("tenure_week",
+        intDiv(datediff(to_date(col("ts")), col("first_day"))
+          .cast("long"), lit(7L)))
+      .withColumn("cents", Rounding.cents(col("value")))
+      .groupBy("tenure_week")
+      .agg(countDistinct("user_id").as("n_purchasers"),
+        count(lit(1)).as("n_purchases"),
+        Rounding.sumCents(col("cents")).as("revenue_cents"))
+      .withColumn("arpu_cents_e2", intDivExact(
+        col("revenue_cents").cast("decimal(38,0)") * lit(200L) +
+          col("n_purchasers"),
+        lit(2L) * col("n_purchasers")))
+      .orderBy("tenure_week")
+  }
+
   /** Experiment power table (minimum-detectable-effect planner) — the
     * question asked BEFORE q256's test is run: at the observed
     * power-buyer base rate, how many users per arm does each target
@@ -1011,6 +1042,7 @@ object EventOpsQueries extends QueryPack {
     "q283_hoeffding_ci" -> (q283 _),
     "q284_entry_conversion" -> (q284 _),
     "q290_power_table" -> (q290 _),
+    "q291_ltv_curve" -> (q291 _),
     "q245_session_features" -> (q245 _),
     "q246_burst_census" -> (q246 _),
     "q247_golden_record" -> (q247 _),
@@ -1137,6 +1169,32 @@ object EventOpsQueries extends QueryPack {
         |SELECT id AS user_id, min(comp) AS identity_id,
         |  min(comp) = id AS is_canonical
         |FROM reach GROUP BY id ORDER BY user_id""".stripMargin,
+    // same tenure bucketing, HUGEINT-exact ARPU
+    "q291_ltv_curve" -> {
+      import graft.functions.Rounding.{intDivSql, intDivExactSql}
+      val wk = intDivSql(
+        "date_diff('day', first_day, CAST(e.ts AS DATE))", "7")
+      val arpu = intDivExactSql(
+        "CAST(revenue_cents AS HUGEINT) * 200 + n_purchasers",
+        "2 * n_purchasers")
+      s"""WITH first AS (
+        |  SELECT user_id, CAST(min(ts) AS DATE) AS first_day
+        |  FROM events GROUP BY user_id),
+        |p AS (
+        |  SELECT $wk AS tenure_week, e.user_id,
+        |    ${Rounding.centsSql("e.value")} AS cents
+        |  FROM events e JOIN first USING (user_id)
+        |  WHERE e.event_type = 'purchase'),
+        |agg AS (
+        |  SELECT tenure_week,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_purchasers,
+        |    count(*) AS n_purchases,
+        |    ${Rounding.sumCentsSql("cents")} AS revenue_cents
+        |  FROM p GROUP BY tenure_week)
+        |SELECT tenure_week, n_purchasers, n_purchases, revenue_cents,
+        |  $arpu AS arpu_cents_e2
+        |FROM agg ORDER BY tenure_week""".stripMargin
+    },
     // same shared 2(z_a+z_b)^2 literal, identical double ops + ceil
     "q290_power_table" -> {
       import graft.functions.Rounding.intDivSql
