@@ -973,6 +973,61 @@ object TpchQueries extends QueryPack {
       .orderBy("item", "rec_rank")
   }
 
+  /** Supplier-concentration HHI per part — the sole-source-risk screen
+    * procurement runs (Herfindahl–Hirschman index over each part's
+    * supplier quantity shares: 10⁶ = one supplier owns the part, 10⁶/k
+    * = k equal suppliers): HHI = Σ_s (q_s/Q)² stays the exact rational
+    * (Σq_s²·10⁶ then one rounded division — no share float per
+    * supplier), computed in two keyed aggregations. Emitted per part
+    * with the supplier count; the (n_suppliers = 1, hhi = 10⁶) rows
+    * ARE the sole-source risk register. */
+  private def q292(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.intDivExact
+    val bySupp = Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_partkey").cast("long").as("part"),
+        col("l_suppkey").cast("long").as("supp"))
+      .agg(sum(col("l_quantity").cast("long").cast("decimal(38,0)"))
+        .cast("long").as("qs"))
+    bySupp.groupBy("part")
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("qs").cast("decimal(38,0)")).cast("long").as("q_total"),
+        sum(col("qs").cast("decimal(38,0)") * col("qs")).as("sq"))
+      .select(col("part").as("p_partkey"), col("n_suppliers"),
+        intDivExact(
+          col("sq") * lit(2000000L) +
+            col("q_total").cast("decimal(38,0)") * col("q_total"),
+          lit(2L) * col("q_total").cast("decimal(38,0)") * col("q_total"))
+          .as("hhi_e6"))
+      .orderBy("p_partkey")
+  }
+
+  /** Open-order aging — the work-in-progress buckets next to q271's
+    * backlog COUNT: every order with no lineitem at all (the forever-
+    * open set q271 surfaces) or whose latest ship date trails the
+    * corpus horizon... here, simpler and sharper: orders with NO
+    * lineitems, aged from their order date to the corpus' max ship
+    * date, bucketed by years-open. The census finance reads as "how
+    * stale is the stuck work"; exact integer day arithmetic, one
+    * anti-join + one broadcast horizon. */
+  private def q293(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.intDiv
+    val horizon = Tables.load(s, dir, "lineitem")
+      .groupBy().agg(max("l_shipdate").as("hz"))
+    val open = Tables.load(s, dir, "orders")
+      .join(Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey")).distinct(),
+        Seq("o_orderkey"), "left_anti")
+    open.crossJoin(broadcast(horizon))
+      .withColumn("age_days",
+        datediff(col("hz"), col("o_orderdate")).cast("long"))
+      .withColumn("years_open", intDiv(col("age_days"), lit(365L)))
+      .groupBy("years_open")
+      .agg(count(lit(1)).as("n_orders"),
+        min("age_days").as("min_age_days"),
+        max("age_days").as("max_age_days"))
+      .orderBy("years_open")
+  }
+
   /** Top-10 brand leaderboard churn 1996 → 1997 — the "trending list"
     * diff every dashboard ships (what entered, what exited, who moved):
     * per year, brands ranked by exact revenue cents under the
@@ -1147,6 +1202,8 @@ object TpchQueries extends QueryPack {
     "q272_abc_classes" -> (q272 _),
     "q282_revenue_bridge" -> (q282 _),
     "q285_leaderboard_churn" -> (q285 _),
+    "q292_supplier_hhi" -> (q292 _),
+    "q293_backlog_aging" -> (q293 _),
     "q203_product_profit" -> (q203 _),
     "q204_order_count_dist" -> (q204 _),
     "q205_top_supplier" -> (q205 _),
@@ -1182,6 +1239,44 @@ object TpchQueries extends QueryPack {
       "CAST(floor((1 - l_discount) * 100.0 + 0.5) AS BIGINT)"
 
   val oracle: Map[String, String] = Map(
+    // same two keyed aggregations, HUGEINT squares, one exact division
+    "q292_supplier_hhi" -> {
+      import graft.functions.Rounding.intDivExactSql
+      val hhi = intDivExactSql(
+        "sq * 2000000 + CAST(q_total AS HUGEINT) * q_total",
+        "2 * CAST(q_total AS HUGEINT) * q_total")
+      s"""WITH bs AS (
+        |  SELECT CAST(l_partkey AS BIGINT) AS part,
+        |    CAST(l_suppkey AS BIGINT) AS supp,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qs
+        |  FROM lineitem GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT part, count(*) AS n_suppliers,
+        |    CAST(sum(qs) AS BIGINT) AS q_total,
+        |    CAST(sum(CAST(qs AS HUGEINT) * qs) AS HUGEINT) AS sq
+        |  FROM bs GROUP BY part)
+        |SELECT part AS p_partkey, n_suppliers, $hhi AS hhi_e6
+        |FROM agg ORDER BY p_partkey""".stripMargin
+    },
+    // same anti-join open set, same integer aging
+    "q293_backlog_aging" -> {
+      import graft.functions.Rounding.intDivSql
+      s"""WITH hz AS (SELECT max(l_shipdate) AS hz FROM lineitem),
+        |open_o AS (
+        |  SELECT o.o_orderkey, o.o_orderdate
+        |  FROM orders o
+        |  WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey)),
+        |aged AS (
+        |  SELECT CAST(date_diff('day', o_orderdate, hz) AS BIGINT)
+        |    AS age_days
+        |  FROM open_o, hz)
+        |SELECT ${intDivSql("age_days", "365")} AS years_open,
+        |  count(*) AS n_orders,
+        |  min(age_days) AS min_age_days,
+        |  max(age_days) AS max_age_days
+        |FROM aged GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     // same per-year top-10 lists, same status/displacement projection
     "q285_leaderboard_churn" -> {
       import graft.functions.Rounding.{centsSql, sumCentsSql}
