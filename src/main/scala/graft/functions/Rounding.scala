@@ -111,6 +111,20 @@ object Rounding {
     ((ad - (ad % bd)) / bd).cast("long")
   }
 
+  /** Loud-failure guard for exactness contracts that would otherwise
+    * degrade SILENTLY: with ANSI off, Spark turns decimal(38,0) overflow
+    * into NULL rather than an error, so a metric whose operands outgrow
+    * precision 38 (q286/q288 near ~10⁶-10⁷ vectors) would simply vanish
+    * from the output instead of failing. Wrapping the final metric keeps
+    * the value bit-identical when present and raises with a diagnostic
+    * message the moment the documented bound is crossed — an explicit
+    * failure a 100 TB run can alert on, not a quietly-missing row.
+    * `raise_error` is lazy inside the untaken branch, so in-contract rows
+    * never evaluate it; oracle parity is unaffected (the guard never
+    * fires at oracle SFs, by the documented bound). */
+  def requireNotNull(c: Column, msg: String): Column =
+    when(c.isNotNull, c).otherwise(raise_error(lit(msg)))
+
   /** SQL-side mirror of [[intDivExact]] — NOT the same construction,
     * deliberately: DuckDB evaluates DECIMAL `/` through DOUBLE (verified
     * on v1.0.0: `(2^53+1)·7 / 7` via the decimal chain returns

@@ -42,14 +42,15 @@ object DedupPipeline {
     * trade every LSH-free pair miner makes. Sizes are ungated, so the
     * similarity denominators below always see the full shingle sets. */
   private def interPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int, maxDf: Long): DataFrame = {
+      n: Int, maxDf: Long, gatedCounts: Boolean = false): DataFrame = {
     val toksDf = df.select(col(idCol).as("__id"),
       tokensCol(col(textCol)).as("__toks"))
     val sizes = toksDf.select(col("__id"),
       size(hashedNgramsFromTokens(col("__toks"), n)).cast("long").as("sz"))
     val g = toksDf.select(col("__id"),
       explode(hashedNgramsFromTokens(col("__toks"), n)).as("gram"))
-    val keptGrams = g.groupBy("gram").agg(count(lit(1)).as("df"))
+    val dfCounts = g.groupBy("gram").agg(count(lit(1)).as("df"))
+    val keptGrams = dfCounts
       .filter(col("df").between(2, maxDf))
       .select("gram")
     val byGram = g.join(keptGrams, "gram")
@@ -62,7 +63,29 @@ object DedupPipeline {
     val inter = pairs.groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
     val sa = sizes.select(col("__id").as("id_a"), col("sz").as("sz_a"))
     val sb = sizes.select(col("__id").as("id_b"), col("sz").as("sz_b"))
-    inter.join(sa, "id_a").join(sb, "id_b")
+    val base = inter.join(sa, "id_a").join(sb, "id_b")
+    if (!gatedCounts) base
+    else {
+      // undercount DETECTOR (round-10 advice): per doc, how many of its
+      // distinct grams fell to the df > maxDf gate. For any pair, the
+      // gated grams doc A and doc B could still share is at most
+      // min(gated_a, gated_b), so true inter ≤ inter + least(gated_a,
+      // gated_b) — callers bound the recall loss per pair instead of
+      // trusting the gate blindly. Same g relation, one more count
+      // aggregation + two user-scale joins; df = 1 grams are NOT gated
+      // (they provably intersect nothing).
+      val hiPerDoc = g
+        .join(dfCounts.filter(col("df") > maxDf).select("gram"), "gram")
+        .groupBy("__id").agg(count(lit(1)).as("hi"))
+      val ha = hiPerDoc.select(col("__id").as("id_a"),
+        col("hi").as("gated_a"))
+      val hb = hiPerDoc.select(col("__id").as("id_b"),
+        col("hi").as("gated_b"))
+      base.join(ha, Seq("id_a"), "left")
+        .join(hb, Seq("id_b"), "left")
+        .withColumn("gated_a", coalesce(col("gated_a"), lit(0L)))
+        .withColumn("gated_b", coalesce(col("gated_b"), lit(0L)))
+    }
   }
 
   /** Near-dup candidate pairs by word n-gram Jaccard: (id_a, id_b,
@@ -88,15 +111,32 @@ object DedupPipeline {
     * and keep a pair when either direction clears minContainment —
     * max(cont_a, cont_b) is the overlap coefficient. Same keyed
     * posting-list mining as Jaccard (no all-pairs product, df-gated
-    * fan-out), so the 100 TB posture is unchanged. */
+    * fan-out), so the 100 TB posture is unchanged.
+    *
+    * '''`maxDf` is a RECALL knob here, more than anywhere else.''' The
+    * df gate drops grams shared by more than `maxDf` documents before
+    * any posting list is buffered; `inter` is undercounted by exactly
+    * the gated grams a pair shares, while `sz_a`/`sz_b` stay ungated.
+    * Containment's motivating case — boilerplate-wrapped reposts,
+    * doc-in-doc concatenations — is built FROM high-df boilerplate, so
+    * it is the case the gate bites hardest: a pair can sit below
+    * `minContainment` purely because its shared grams were popular.
+    * Two mitigations ship with the operator: (1) raise `maxDf` — cost
+    * grows linearly in the per-gram fan-out bound; (2) read the
+    * `gated_a`/`gated_b` columns, each the count of that document's
+    * grams dropped by the gate: true inter ≤ inter + least(gated_a,
+    * gated_b), so `(inter + least(gated_a, gated_b)) / sz_a` is a sound
+    * upper bound on true cont_a — a pair whose BOUND clears the
+    * threshold is exactly one to re-mine at higher maxDf. */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 5, minContainment: Double = 0.5,
       maxDf: Long = 1000): DataFrame =
-    interPairs(df, idCol, textCol, n, maxDf)
+    interPairs(df, idCol, textCol, n, maxDf, gatedCounts = true)
       .withColumn("cont_a", roundf(col("inter") / col("sz_a"), 4))
       .withColumn("cont_b", roundf(col("inter") / col("sz_b"), 4))
       .filter(greatest(col("cont_a"), col("cont_b")) >= minContainment)
-      .select("id_a", "id_b", "inter", "sz_a", "sz_b", "cont_a", "cont_b")
+      .select("id_a", "id_b", "inter", "sz_a", "sz_b",
+        "gated_a", "gated_b", "cont_a", "cont_b")
 
   /** Near-dedup: cluster the ≥-threshold pair graph with connected
     * components (similarity is not transitive — A~B~C clusters all three

@@ -665,13 +665,17 @@ object DedupQueries extends QueryPack {
     * max(cont_a, cont_b) ≥ 0.5. Same keyed posting-list mining as q41 —
     * no all-pairs product, df-gated fan-out — so the 100 TB posture is
     * q41's. Oracle mirrors on gram text (hash ≡ text equality absent
-    * 64-bit collisions, the q41 argument). */
+    * 64-bit collisions, the q41 argument). gated_a/gated_b (round-10
+    * advice) are each side's count of df-gated-out grams — per pair,
+    * true inter ≤ inter + least(gated_a, gated_b), the sound recall
+    * bound for the boilerplate-heavy pairs the gate undercounts most. */
   private def q226(s: SparkSession, dir: String): DataFrame =
     graft.operators.DedupPipeline
       .containmentPairs(docs(s, dir), "doc_id", "text", n = 5,
         minContainment = 0.5, maxDf = maxDf)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
         col("inter"), col("sz_a"), col("sz_b"),
+        col("gated_a"), col("gated_b"),
         col("cont_a"), col("cont_b"))
       .orderBy("doc_a", "doc_b")
 
@@ -1105,6 +1109,10 @@ object DedupQueries extends QueryPack {
          |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
          |keep AS (SELECT gram FROM grams GROUP BY gram
          |         HAVING count(*) BETWEEN 2 AND $maxDf),
+         |hi AS (SELECT gram FROM grams GROUP BY gram
+         |       HAVING count(*) > $maxDf),
+         |hic AS (SELECT g.doc_id, count(*) AS hi
+         |        FROM grams g JOIN hi USING (gram) GROUP BY g.doc_id),
          |gf AS (SELECT g.doc_id, g.gram FROM grams g JOIN keep USING (gram)),
          |pairs AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
@@ -1114,11 +1122,15 @@ object DedupQueries extends QueryPack {
          |scored AS (
          |  SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
          |    sa.sz AS sz_a, sb.sz AS sz_b,
+         |    CAST(COALESCE(ga.hi, 0) AS BIGINT) AS gated_a,
+         |    CAST(COALESCE(gb.hi, 0) AS BIGINT) AS gated_b,
          |    floor((inter / sa.sz) * 10000.0 + 0.5) / 10000.0 AS cont_a,
          |    floor((inter / sb.sz) * 10000.0 + 0.5) / 10000.0 AS cont_b
          |  FROM pairs
          |  JOIN sizes sa ON doc_a = sa.doc_id
-         |  JOIN sizes sb ON doc_b = sb.doc_id)
+         |  JOIN sizes sb ON doc_b = sb.doc_id
+         |  LEFT JOIN hic ga ON doc_a = ga.doc_id
+         |  LEFT JOIN hic gb ON doc_b = gb.doc_id)
          |SELECT * FROM scored
          |WHERE greatest(cont_a, cont_b) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,

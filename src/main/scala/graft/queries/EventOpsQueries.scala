@@ -470,8 +470,33 @@ object EventOpsQueries extends QueryPack {
     * SF it leaves zero edges — the census keeps the weak-evidence form
     * so both regimes stay visible. */
   /** (user_id, identity_id) cluster assignment — q244's machinery,
-    * shared with q247's survivorship pass. */
+    * shared with q247's survivorship pass and q275's stitched sessions.
+    *
+    * Memoized per (session, dir) behind an eager localCheckpoint, the
+    * cross-query analogue of q263's pairs materialization
+    * ([[ScaleQueries]]): the CC run costs ~2s of label-join rounds at
+    * sf0.1 and feeds THREE standalone queries, so rebuilding it per
+    * consumer triples the cost for bit-identical output (the build is
+    * deterministic — sorted collect_set, min-label CC). The checkpoint
+    * holds one row per user (user-scale, not event-scale), so pinning
+    * it for the session's life is bounded by the same argument as the
+    * q108Stages graph stages. Weak session key: a stopped SparkSession
+    * must not be pinned by the memo. Each query still stands alone for
+    * the oracle — a cold call builds everything. */
+  private val identityMemo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, (String, DataFrame)]())
+
   private def identityClusters(s: SparkSession, dir: String): DataFrame = {
+    val hit = identityMemo.get(s)
+    if (hit != null && hit._1 == dir) hit._2
+    else {
+      val built = identityClustersBuild(s, dir).localCheckpoint(true)
+      identityMemo.put(s, (dir, built))
+      built
+    }
+  }
+
+  private def identityClustersBuild(s: SparkSession, dir: String): DataFrame = {
     val uk = ev(s, dir)
       .select(col("user_id"),
         (regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("long") *
@@ -896,6 +921,61 @@ object EventOpsQueries extends QueryPack {
       .orderBy("day")
   }
 
+  /** Kaplan–Meier survival curve over q276's churn life table — the
+    * user-facing deliverable the hazard table feeds (round-10 verdict
+    * task 7), exact where "exact" is definable for a cumulative product
+    * of rationals: the curve is computed on a FIXED-POINT e12 grid,
+    * S₀ = 10¹², S_d = ⌊S_{d−1}·(n_d − d_d)/n_d⌋ in arbitrary-precision
+    * integers, floor once per day. Each floor loses < 1 unit at e-12,
+    * so after D days the reported km_e12 sits within [true·10¹² − D,
+    * true·10¹²] — a PROVEN tolerance of D·10⁻¹² (documented contract,
+    * the HLL-≤5% house pattern), while the recurrence itself is
+    * bit-identical in any engine with exact integer division (DuckDB
+    * replays it as a recursive CTE over HUGEINT — the curve is
+    * hash-checked, not eyeballed). No engine libm is ever on the hash
+    * path.
+    *
+    * The float alternative a 100 TB engine would reach for —
+    * exp(Σ ln(1 − h)) as a windowed running sum, the log-space identity
+    * from the verdict — rides along as the in-engine cross-check:
+    * log_ok pins |exp-path − exact-path| ≤ 10⁻⁶ (absolute, at S-scale
+    * 1.0), validating the log-space path against the exact one on every
+    * run. Scale: the per-day fold is driver-side over the CALENDAR-
+    * bounded life table (≤ ~4k rows/decade — the [[
+    * graft.operators.PrefixScan]] partition-totals contract; the fold
+    * is floor-per-step and therefore non-associative, so it cannot seed
+    * a two-pass scan), and everything feeding it is the q276 keyed
+    * aggregation. */
+  private def q294(s: SparkSession, dir: String): DataFrame = {
+    val lt = ev(s, dir)
+      .groupBy("user_id")
+      .agg(to_date(min("ts")).as("first_day"),
+        to_date(max("ts")).as("last_day"))
+      .select(col("user_id"), col("last_day"),
+        explode(expr("sequence(first_day, last_day, interval 1 day)"))
+          .as("day"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n"),
+        sum((col("day") === col("last_day")).cast("long")).as("d"))
+    val days = lt
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n"), col("d"))
+      .orderBy("day")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    var km = BigInt("1000000000000")
+    var lnSum = 0.0
+    val out = days.map { case (day, n, d) =>
+      km = km * BigInt(n - d) / BigInt(n) // exact; / truncates like //
+      lnSum += math.log((n - d).toDouble / n.toDouble)
+      val logPath = math.rint(math.exp(lnSum) * 1e12).toLong
+      (day, n, d, km.toLong, (km.toLong - logPath).abs <= 1000000L)
+    }
+    import s.implicits._
+    out.toSeq.toDF("day", "n_at_risk", "n_churned", "km_e12", "log_ok")
+      .orderBy("day")
+  }
+
   /** Session counts before/after identity stitching — the census that
     * quantifies WHY entity resolution matters downstream: the same
     * 30-minute gap sessionization (q63's frame) run at the raw-user
@@ -1038,6 +1118,7 @@ object EventOpsQueries extends QueryPack {
     "q269_diff_in_diff" -> (q269 _),
     "q275_stitched_sessions" -> (q275 _),
     "q276_hazard_table" -> (q276 _),
+    "q294_km_curve" -> (q294 _),
     "q279_active_coverage" -> (q279 _),
     "q283_hoeffding_ci" -> (q283 _),
     "q284_entry_conversion" -> (q284 _),
@@ -1305,6 +1386,38 @@ object EventOpsQueries extends QueryPack {
     },
     // same span expansion (generate_series is sequence), same exact
     // hazard division
+    // the same life table, then the e12 fixed-point KM recurrence as a
+    // recursive CTE: HUGEINT // replays BigInt / exactly (both truncate
+    // toward zero; operands nonnegative, products ≤ 10¹²·n < HUGEINT)
+    "q294_km_curve" ->
+      """WITH RECURSIVE span AS (
+        |  SELECT user_id, CAST(min(ts) AS DATE) AS first_day,
+        |    CAST(max(ts) AS DATE) AS last_day
+        |  FROM events GROUP BY user_id),
+        |ar AS (
+        |  SELECT user_id, last_day,
+        |    CAST(unnest(generate_series(CAST(first_day AS TIMESTAMP),
+        |      CAST(last_day AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE)
+        |      AS day
+        |  FROM span),
+        |lt AS (
+        |  SELECT day, count(*) AS n,
+        |    CAST(sum(CASE WHEN day = last_day THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d
+        |  FROM ar GROUP BY day),
+        |ord AS (
+        |  SELECT day, n, d, row_number() OVER (ORDER BY day) AS rn
+        |  FROM lt),
+        |km AS (
+        |  SELECT rn, day, n, d,
+        |    (CAST(1000000000000 AS HUGEINT) * (n - d)) // n AS s
+        |  FROM ord WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.rn, o.day, o.n, o.d, (km.s * (o.n - o.d)) // o.n
+        |  FROM km JOIN ord o ON o.rn = km.rn + 1)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, n AS n_at_risk,
+        |  d AS n_churned, CAST(s AS BIGINT) AS km_e12, true AS log_ok
+        |FROM km ORDER BY day""".stripMargin,
     "q276_hazard_table" -> {
       import graft.functions.Rounding.intDivSql
       s"""WITH span AS (

@@ -174,8 +174,14 @@ object SimilarityQueries extends QueryPack {
     qn.join(s2, "label")
       .filter(col("n") >= 2L)
       .select(col("label"), col("n").as("n_vecs"),
-        intDivExact(col("s2") - col("q"),
-          col("n") * (col("n") - lit(1L)) * lit(1000000L))
+        // overflow guard (round-10 advice): the s2/q decimal(38,0) sums
+        // overflow to silent NULL (ANSI off) past ~10⁷ vectors/label —
+        // surface that as an explicit failure, not a vanished metric
+        graft.functions.Rounding.requireNotNull(
+          intDivExact(col("s2") - col("q"),
+            col("n") * (col("n") - lit(1L)) * lit(1000000L)),
+          "q286 align_e6 overflowed decimal(38,0) -- rescale the e6 " +
+            "unit grid (documented bound ~10^7 vectors per label)")
           .as("align_e6"))
       .orderBy("label")
   }
@@ -217,9 +223,15 @@ object SimilarityQueries extends QueryPack {
         sum(col("m") * col("m")).as("tr_m2"))
       .crossJoin(broadcast(n))
       .select(col("n_vecs"),
-        intDivExact(
-          col("tr_m") * col("tr_m") * lit(20000L) + col("tr_m2"),
-          lit(2L) * col("tr_m2")).as("pr_e4"))
+        // overflow guard (round-10 advice): (tr M)² approaches decimal38
+        // near ~10⁶ vectors and would NULL out silently with ANSI off —
+        // fail loudly at the documented bound instead
+        graft.functions.Rounding.requireNotNull(
+          intDivExact(
+            col("tr_m") * col("tr_m") * lit(20000L) + col("tr_m2"),
+            lit(2L) * col("tr_m2")),
+          "q288 pr_e4 overflowed decimal(38,0) -- rescale the e6 unit " +
+            "grid (documented bound ~10^6 vectors)").as("pr_e4"))
   }
 
   /** Cluster purity of the deterministic KMeans against the label

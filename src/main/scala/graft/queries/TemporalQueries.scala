@@ -748,8 +748,22 @@ object TemporalQueries extends QueryPack {
     val grp = daily.groupBy("event_type", "wd")
       .agg(count(lit(1)).as("n_g"),
         sum(col("x").cast("decimal(38,0)")).as("t_g"))
+      // divisibility GUARD (round-10 advice): intDiv silently floors once
+      // n_g stops dividing 2520 (event spans past ~2 months ⇒ n_g > 9),
+      // turning the documented exactness contract into an unflagged
+      // approximation (SSB biased low relative to SST). Both engines floor
+      // identically so the oracle would still match — which is exactly why
+      // the degradation needs a loud in-engine failure rather than a
+      // correctness gate to catch it. raise_error is lazy in the untaken
+      // branch; at oracle SFs every n_g is 4–5 and the value is unchanged.
       .withColumn("term",
-        col("t_g") * col("t_g") * intDiv(lit(2520L), col("n_g")))
+        when(lit(2520L) % col("n_g") === 0L,
+          col("t_g") * col("t_g") * intDiv(lit(2520L), col("n_g")))
+          .otherwise(raise_error(concat(
+            lit("q277 exact eta-squared requires n_g | 2520 " +
+              "(window <= ~2 months); got n_g="),
+            col("n_g").cast("string"),
+            lit(" -- switch to the per-term rounded-rational form")))))
       .groupBy("event_type")
       .agg(sum("term").as("ssb_part"))
     val tot = daily.groupBy("event_type")

@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.PlanAudit
+
+/** Plan-shape GATE for the suite's most expensive queries (round-10
+  * verdict task 5): PLANS.json makes plan regressions diffable, but
+  * nothing FAILED when a broadcast silently degraded to a sort-merge
+  * join or a rewrite introduced a cartesian — the artifact records the
+  * regression, this spec rejects it. Each pin is the static pre-AQE
+  * shuffle count ([[PlanAudit.of]]) measured at sf0.001 via
+  * [[PlanPinTool]], +2 slack so a stats-driven join-strategy wobble
+  * doesn't flap the suite while a real lost broadcast (typically +2
+  * shuffles per join side) still trips it. Cartesians pin at exactly
+  * zero — no slack, no legitimate reason for one to appear in these
+  * query shapes at any scale. */
+object PlanGateSpec {
+  private val slack = 2L
+  /** query → measured static shuffle count at sf0.001 (PlanPinTool). */
+  val measured: Map[String, Long] = Map(
+    "q263_dbscan" -> 12L,
+    "q275_stitched_sessions" -> 4L,
+    "q247_golden_record" -> 5L,
+    "q244_identity_stitch" -> 1L,
+    "q266_sparse_cosine" -> 19L,
+    "q270_lsh_tuning" -> 25L,
+    "q219_dedup_funnel" -> 3L,
+    "q215_modularity" -> 10L,
+    "q67_dedup_clusters" -> 1L,
+    "q198_groupwise_split" -> 2L,
+    "q265_widest_path" -> 53L,
+    "q264_sssp" -> 53L,
+    "q273_winnowing" -> 6L,
+    "q259_three_way_reconcile" -> 9L,
+    "q134_kcore" -> 0L,
+    "q201_label_prop" -> 1L,
+    "q223_mutual_knn" -> 17L,
+    "q100_fuzzy_match" -> 2L,
+    "q118_kmeans" -> 4L,
+    "q280_cluster_purity" -> 7L)
+  def maxShuffles(name: String): Long = measured(name) + slack
+}
+
+class PlanGateSpec extends SparkSuite {
+  private val sf = "/root/testdata/sf0.001"
+
+  for ((name, pinned) <- PlanGateSpec.measured.toSeq.sortBy(_._1)) {
+    test(s"$name plan: zero cartesians, shuffles <= pinned ${pinned} + 2") {
+      val a = PlanAudit.of(SparkEntry.queries(name)(spark, sf))
+      assert(a.cartesians == 0,
+        s"$name grew a cartesian product — cannot survive scale: $a")
+      assert(a.shuffles <= PlanGateSpec.maxShuffles(name),
+        s"$name shuffles ${a.shuffles} > pinned $pinned+2 — a broadcast " +
+          s"likely degraded to a shuffle join (re-measure with " +
+          s"PlanPinTool if the new shape is intentional): $a")
+    }
+  }
+}

@@ -65,6 +65,31 @@ class DedupPipelineSpec extends SparkSuite {
     assert(r.getAs[Double]("cont_a") < 0.5)
   }
 
+  test("containmentPairs reports df-gated gram counts as a recall bound") {
+    // boiler appears in ALL THREE docs → its 3 trigrams have df = 3 > 2
+    // and fall to the gate; the A/B-only middle (2 junction + 3 shared
+    // trigrams, df = 2) is kept. So pair (10,11) must report inter = 5
+    // with gated_a = gated_b = 3 — the advertised bound true_inter ≤
+    // inter + least(gated_a, gated_b) = 8 covers the real value 8.
+    // (12, x) pairs share ONLY gated grams → no kept gram, no pair.
+    val boiler = "common header words appear here"
+    val shared = "quick brown fox jumps tonight"
+    val df = Seq(
+      (10L, s"$boiler $shared redpanda one"),
+      (11L, s"$boiler $shared bluejay two"),
+      (12L, s"$boiler totally different tail text")
+    ).toDF("doc_id", "text")
+    val cont = DedupPipeline
+      .containmentPairs(df, "doc_id", "text", n = 3,
+        minContainment = 0.4, maxDf = 2)
+      .collect()
+    assert(cont.length == 1)
+    val r = cont.head
+    assert(r.getLong(0) == 10L && r.getLong(1) == 11L)
+    assert(r.getAs[Long]("inter") == 5L)
+    assert(r.getAs[Long]("gated_a") == 3L && r.getAs[Long]("gated_b") == 3L)
+  }
+
   test("nearDupPairs reports symmetric-free ordered pairs with jaccard") {
     val pairs = DedupPipeline
       .nearDupPairs(corpus, "doc_id", "text", n = 3, minJaccard = 0.1)
