@@ -180,6 +180,99 @@ object StreamingOps {
       }
   }
 
+  case class VecEntry(id: Long, v: Seq[Double])
+  case class NearDupPair(band: Int, id_a: Long, id_b: Long, cos_e6: Long)
+
+  /** Streaming near-dup over embeddings, keyed on LSH band keys — the
+    * continuous-ingest counterpart of the batch banded near-dup (q44)
+    * for a corpus that never stops arriving: a 100 TB/day crawl cannot
+    * re-run batch LSH nightly over everything ever seen, it needs each
+    * arriving vector screened against the standing index.
+    *
+    * Composition, per the q246/burstDetect pattern: the STATELESS front
+    * end is the exact batch banding machinery ([[graft.operators.Lsh
+    * .bandKeysCol]] — same md5-seeded hyperplanes, so stream and batch
+    * agree bit-for-bit on bucket membership), exploded to one row per
+    * (vector, band). The STATEFUL core is flatMapGroupsWithState keyed
+    * by (band, bkey): state is the bucket's standing members; each new
+    * vector emits a pair against every standing member whose exact
+    * cosine (same left-fold order as the native cosine_sim expression —
+    * bit-identical doubles) clears `minCosE6`, then joins the bucket.
+    *
+    * Pair-set semantics are ARRIVAL-ORDER-FREE: an unordered pair
+    * {a, b} sharing a bucket is emitted exactly once per shared band —
+    * when its second member arrives — regardless of how micro-batches
+    * split the input (within a batch, members are processed in id order
+    * for determinism). So any streaming schedule produces the same
+    * multiset of (band, id_a, id_b, cos_e6) rows as the one-batch run,
+    * which in turn equals the declarative batch bucket-join — the
+    * equality StreamingSpec pins. Cross-band duplicates of the same id
+    * pair are the caller's distinct(), exactly as in batch LSH.
+    *
+    * State is bounded per bucket by `maxPerBucket` (the df-gate
+    * argument from the shingle miners: a degenerate bucket — the
+    * all-zeros region every near-duplicate boilerplate vector hashes
+    * into — would otherwise grow state AND fan-out without bound; once
+    * capped, later arrivals still screen against the standing members
+    * but stop enlarging the bucket). Production would also expire
+    * members by event-time; the cap is the load-bearing bound. */
+  def nearDupStream(vectors: DataFrame, idCol: String, vecCol: String,
+      dim: Int, bands: Int = 32, rowsPerBand: Int = 4,
+      minCosE6: Long = 900000L, maxPerBucket: Int = 1000)
+      : Dataset[NearDupPair] = {
+    import vectors.sparkSession.implicits._
+    val planes = graft.operators.Lsh.hyperplanes(bands * rowsPerBand, dim)
+    val banded = vectors
+      .select(col(idCol).cast("long").as("id"),
+        expr(s"transform($vecCol, x -> cast(x AS double))").as("v"))
+      .select(col("id"), col("v"),
+        posexplode(graft.operators.Lsh
+          .bandKeysCol(col("v"), planes, bands, rowsPerBand)))
+      .toDF("id", "v", "band", "bkey")
+      .as[(Long, Seq[Double], Int, String)]
+    // same fused left-fold as expressions.CosineSimilarity.nullSafeEval —
+    // identical op order on identical doubles ⇒ identical result, so the
+    // stateful path and the declarative batch twin cannot ulp-diverge
+    def cosE6(a: Seq[Double], b: Seq[Double]): Option[Long] = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val x = a(i); val y = b(i)
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      if (na == 0.0 || nb == 0.0) None
+      else Some(math.floor(
+        dot / (math.sqrt(na) * math.sqrt(nb)) * 1e6 + 0.5).toLong)
+    }
+    banded
+      .groupByKey(r => (r._3, r._4))
+      .flatMapGroupsWithState[List[VecEntry], NearDupPair](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (key: (Int, String), batch: Iterator[(Long, Seq[Double], Int, String)],
+            state: GroupState[List[VecEntry]]) =>
+          var seen = state.getOption.getOrElse(Nil)
+          val out = scala.collection.mutable.ListBuffer.empty[NearDupPair]
+          batch.toSeq.sortBy(_._1).foreach { case (id, v, band, _) =>
+            // replay guard: a re-delivered id must not pair with itself
+            // or double-enter the bucket (at-least-once sources)
+            if (!seen.exists(_.id == id)) {
+              seen.foreach { e =>
+                cosE6(e.v, v).foreach { c =>
+                  if (c >= minCosE6)
+                    out += NearDupPair(band,
+                      math.min(e.id, id), math.max(e.id, id), c)
+                }
+              }
+              if (seen.length < maxPerBucket) seen = seen :+ VecEntry(id, v)
+            }
+          }
+          state.update(seen)
+          out.iterator
+      }
+  }
+
   /** Custom keyed state via mapGroupsWithState: running per-user count and
     * value sum across micro-batches. */
   def runningUserStats(events: Dataset[Event]): Dataset[UserStats] = {

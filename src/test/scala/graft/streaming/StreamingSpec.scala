@@ -403,6 +403,75 @@ class StreamingSpec extends SparkSuite {
     assert(streamed === expected)
   }
 
+  test("streaming LSH near-dup equals the declarative batch bucket join, " +
+      "and is invariant to micro-batch boundaries") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Lsh
+    import graft.expressions.CosineSimilarity
+    val dim = 8; val bands = 8; val rpb = 4; val minCosE6 = 990000L
+    // 4 families of 10 near-identical vectors (cos ≳ 0.999 within a
+    // family): family direction from sin(family), ±1% per-id jitter.
+    // Cross-family cosines land well under the threshold, so the expected
+    // pair set is intra-family — but the test never assumes that; it only
+    // pins stream ≡ batch-stateful ≡ declarative-join.
+    def vec(id: Long): Seq[Double] = {
+      val f = id % 4
+      (0 until dim).map(j =>
+        math.sin(f * 13.0 + j * 7.0) + 0.01 * math.sin(id * 31.0 + j))
+    }
+    val ids = (0L until 40L)
+    val vecsDf = ids.map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Int, Long, Long, Long)] =
+      df.collect().map(r => (r.getInt(0), r.getLong(1),
+        r.getLong(2), r.getLong(3))).toSet
+
+    // arm 1: the stateful operator on a plain batch input
+    val batchStateful = pairSet(StreamingOps.nearDupStream(
+      vecsDf, "vec_id", "embedding", dim, bands, rpb, minCosE6).toDF())
+
+    // arm 2: the declarative batch bucket join over the SAME banding
+    val asD = vecsDf.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x AS double))").as("v"))
+    val bdf = Lsh.bandsDf(asD, "vec_id", "v", bands, rpb, dim)
+    val twin = pairSet(bdf.as("a").join(bdf.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.band").as("band"), col("a.vec_id").as("id_a"),
+        col("b.vec_id").as("id_b"))
+      .join(asD.select(col("vec_id").as("id_a"), col("v").as("va")), "id_a")
+      .join(asD.select(col("vec_id").as("id_b"), col("v").as("vb")), "id_b")
+      .withColumn("cos_e6",
+        floor(CosineSimilarity.sim(col("va"), col("vb")) * lit(1e6) +
+          lit(0.5)).cast("long"))
+      .filter(col("cos_e6") >= minCosE6)
+      .select("band", "id_a", "id_b", "cos_e6"))
+    assert(twin.nonEmpty, "fixture produced no near-dup pairs — vacuous")
+    assert(batchStateful == twin,
+      s"${(batchStateful -- twin).size} only stateful, " +
+        s"${(twin -- batchStateful).size} only declarative")
+
+    // arm 3: a genuine stream, split across three micro-batches in an
+    // order that interleaves families and puts later ids first
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val stream = mem.toDF().toDF("vec_id", "embedding")
+    val q = StreamingOps.nearDupStream(
+      stream, "vec_id", "embedding", dim, bands, rpb, minCosE6)
+      .toDF().writeStream.outputMode("append")
+      .format("memory").queryName("neardup").start()
+    val shuffled = ids.sortBy(i => (i * 2654435761L) % 97)
+    try {
+      shuffled.grouped(14).foreach { chunk =>
+        mem.addData(chunk.map(i => (i, vec(i))): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = pairSet(spark.table("neardup"))
+    assert(streamed == twin,
+      s"${(streamed -- twin).size} only streamed, " +
+        s"${(twin -- streamed).size} only batch")
+  }
+
   test("foreachBatch incremental CDC upsert equals the one-shot batch merge") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.operators.Merge
