@@ -848,7 +848,61 @@ object CurationQueries extends QueryPack {
     "q99_split_assign" -> (q99 _),
     "q101_histogram" -> (q101 _),
     "q132_token_budget" -> (q132 _),
-    "q139_temperature_mix" -> (q139 _))
+    "q139_temperature_mix" -> (q139 _),
+    "q297_waterfill_budget" -> (q297 _))
+
+  /** Max-min fair (water-filling) token-budget allocation across
+    * sources — the OTHER standard mixture recipe next to q139's
+    * temperature sampling: given a global token budget B (here ⌊total/2⌋),
+    * find the level L such that Σ min(nᵢ, L) = B; sources below L keep
+    * everything (saturated), sources above are capped at the common
+    * level — no source can gain without a smaller one losing, the
+    * max-min optimum. Exact and closed-form: sort sources by
+    * (n_tokens, source), prefix-sum P, and the pivot i* is the smallest
+    * rank where P_{i−1} + nᵢ·(N−i+1) ≥ B (capping everyone from i at nᵢ
+    * already overshoots); L = ⌊(B − P_{i*−1})/(N−i*+1)⌋ with the
+    * remainder distributed one token each to the LARGEST (N−i*+1)-tail
+    * sources in sort order — Σ alloc = B exactly, provably (the floor
+    * loses rmd < N−i*+1 tokens, each +1 stays ≤ nⱼ because rmd > 0
+    * forces L < n_{i*}). Every float is absent; every window is over
+    * the per-source table (bounded by the source dimension — the
+    * q216/q236 bounded-window argument). */
+  private def q297(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.intDivExact
+    val t = Tables.load(s, dir, "documents")
+      .groupBy("source")
+      .agg(sum(TextAnalysis.tokenCount(col("text"))).as("n_tokens"))
+    val ord = Window.orderBy(col("n_tokens"), col("source"))
+    val ranked = t
+      .withColumn("rn", row_number().over(ord).cast("long"))
+      .withColumn("pfx", sum("n_tokens").over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = t.agg(count(lit(1)).as("ns"), sum("n_tokens").as("ttl"))
+    val wr = ranked.crossJoin(broadcast(tot))
+      .withColumn("budget", intDivExact(col("ttl"), lit(2L)))
+      .withColumn("base", col("pfx") - col("n_tokens"))
+      .withColumn("rem_src", col("ns") - col("rn") + lit(1L))
+    val istar = wr
+      .filter(col("base") +
+        col("n_tokens").cast("decimal(38,0)") * col("rem_src") >=
+        col("budget"))
+      .agg(min(struct(col("rn"), col("base"), col("rem_src"))).as("m"))
+      .select(col("m.rn").as("i_star"), col("m.base").as("b0"),
+        col("m.rem_src").as("r0"))
+    wr.crossJoin(broadcast(istar))
+      .withColumn("level", intDivExact(col("budget") - col("b0"), col("r0")))
+      .withColumn("rmd",
+        col("budget") - col("b0") - col("level") * col("r0"))
+      .withColumn("alloc_tokens",
+        when(col("rn") < col("i_star"), col("n_tokens"))
+          .otherwise(col("level") +
+            when(col("rn") > col("ns") - col("rmd"), lit(1L))
+              .otherwise(lit(0L))))
+      .select(col("source"), col("n_tokens"), col("alloc_tokens"),
+        (col("rn") < col("i_star")).cast("long").as("saturated"),
+        col("level"))
+      .orderBy("source")
+  }
 
   /** Temperature-weighted source mixing (τ = 0.5): each source's sampling
     * weight is |tokens|^τ, which up-weights small sources relative to
@@ -1466,5 +1520,45 @@ object CurationQueries extends QueryPack {
         |  ${intDivExactSql("10000 * w_e6", "sw")} AS alloc_docs
         |FROM w CROSS JOIN tot
         |ORDER BY source""".stripMargin
-    })
+    },
+    // same sort, prefix sums, pivot rank and floor-level remainder rule;
+    // all BIGINT // (positive operands ⇒ floor = truncate, both engines)
+    "q297_waterfill_budget" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |r AS (
+        |  SELECT source, n_tokens,
+        |    row_number() OVER (ORDER BY n_tokens, source) AS rn,
+        |    sum(n_tokens) OVER (ORDER BY n_tokens, source
+        |      ROWS UNBOUNDED PRECEDING) AS pfx
+        |  FROM t),
+        |tot AS (SELECT count(*) AS ns, CAST(sum(n_tokens) AS BIGINT) AS ttl
+        |        FROM t),
+        |wr AS (
+        |  SELECT r.*, ns, ttl, ttl // 2 AS budget,
+        |    pfx - n_tokens AS base, ns - rn + 1 AS rem_src
+        |  FROM r, tot),
+        |istar AS (
+        |  SELECT min(rn) AS i_star FROM wr
+        |  WHERE base + CAST(n_tokens AS HUGEINT) * rem_src >= budget),
+        |sel AS (
+        |  SELECT wr.base AS b0, wr.rem_src AS r0 FROM wr, istar
+        |  WHERE wr.rn = istar.i_star),
+        |lv AS (
+        |  SELECT i_star, b0, r0, (SELECT budget FROM wr LIMIT 1) AS budget
+        |  FROM istar, sel),
+        |fin AS (
+        |  SELECT i_star, b0, r0, (budget - b0) // r0 AS level,
+        |    budget - b0 - ((budget - b0) // r0) * r0 AS rmd
+        |  FROM lv)
+        |SELECT source, n_tokens,
+        |  CAST(CASE WHEN rn < i_star THEN n_tokens
+        |    ELSE level + CASE WHEN rn > ns - rmd THEN 1 ELSE 0 END
+        |  END AS BIGINT) AS alloc_tokens,
+        |  CAST(rn < i_star AS BIGINT) AS saturated,
+        |  CAST(level AS BIGINT) AS level
+        |FROM wr, fin ORDER BY source""".stripMargin)
 }

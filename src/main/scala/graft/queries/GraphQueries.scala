@@ -335,7 +335,52 @@ object GraphQueries extends QueryPack {
       .orderBy("community")
   }
 
+  /** Hub-removal robustness census — the network-resilience probe a
+    * graph pipeline runs before trusting hub-mediated structure ("does
+    * connectivity survive losing the top hubs, or is it an illusion of
+    * ten nodes?"): connected components of the q108 co-order part graph
+    * BEFORE and AFTER deleting the 10 highest-degree nodes (ties to the
+    * smaller id — deterministic). Per arm: node/edge counts, component
+    * count, the largest component and its exact e4 share of surviving
+    * nodes. Percolation theory says scale-free-ish graphs shatter under
+    * targeted hub removal — the before/after delta IS the measurement.
+    * Scale: the shared [[TemporalQueries.q108Stages]] edge build
+    * (checkpointed), [[graft.operators.ConnectedComponents]] per arm
+    * (O(edges)/round), and a 10-row broadcast anti-join for the
+    * deletion — no new exchange shapes. */
+  private def q299(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.intDivExact
+    val (edges, deg, _) = TemporalQueries.q108Stages(s, dir,
+      checkpoint = true)
+    val hubs = deg.orderBy(col("deg").desc, col("n"))
+      .limit(10).select(col("n").as("hub"))
+      .localCheckpoint(true)
+    def arm(name: String, nodes: DataFrame, es: DataFrame): DataFrame = {
+      val comp = graft.operators.ConnectedComponents
+        .components(nodes, es, "n", "u", "v")
+      val sizes = comp.groupBy("comp").agg(count(lit(1)).as("cnt"))
+      val ec = es.agg(count(lit(1)).as("n_edges"))
+      sizes.agg(count(lit(1)).as("n_components"),
+          sum("cnt").as("n_nodes"), max("cnt").as("largest_size"))
+        .crossJoin(broadcast(ec))
+        .select(lit(name).as("arm"), col("n_nodes"), col("n_edges"),
+          col("n_components"), col("largest_size"),
+          intDivExact(
+            col("largest_size").cast("decimal(38,0)") * lit(20000L) +
+              col("n_nodes"),
+            lit(2L) * col("n_nodes")).as("largest_share_e4"))
+    }
+    val nodes = deg.select("n")
+    val full = arm("full", nodes, edges)
+    val dehubbed = arm("dehubbed",
+      nodes.join(hubs, col("n") === col("hub"), "left_anti"),
+      edges.join(hubs, col("u") === col("hub"), "left_anti")
+        .join(hubs, col("v") === col("hub"), "left_anti"))
+    full.unionByName(dehubbed).orderBy("arm")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q299_hub_robustness" -> (q299 _),
     "q97_pagerank" -> (q97 _),
     "q231_ppr" -> (q231 _),
     "q264_sssp" -> (q264 _),
@@ -418,6 +463,66 @@ object GraphQueries extends QueryPack {
   }
 
   val oracle: Map[String, String] = Map(
+    // the q108 edge build, the top-10 hub cut, and TWO recursive
+    // min-label closures (full / dehubbed); exact HUGEINT e4 shares
+    "q299_hub_robustness" -> {
+      import graft.functions.Rounding.intDivExactSql
+      val share = intDivExactSql(
+        "CAST(largest_size AS HUGEINT) * 20000 + n_nodes", "2 * n_nodes")
+      s"""WITH RECURSIVE op AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS pt FROM lineitem
+        |  WHERE year(l_shipdate) = 1995),
+        |capped AS (SELECT o FROM op GROUP BY o HAVING count(*) <= 40),
+        |pairs AS (SELECT op.o, op.pt FROM op JOIN capped USING (o)),
+        |edges AS (
+        |  SELECT DISTINCT a.pt AS u, b.pt AS v
+        |  FROM pairs a JOIN pairs b ON a.o = b.o AND a.pt < b.pt),
+        |deg AS (
+        |  SELECT n, count(*) AS deg FROM (
+        |    SELECT u AS n FROM edges UNION ALL SELECT v FROM edges)
+        |  GROUP BY n),
+        |hubs AS (SELECT n FROM deg ORDER BY deg DESC, n LIMIT 10),
+        |nodes AS (SELECT n FROM deg),
+        |e2 AS (
+        |  SELECT u, v FROM edges
+        |  WHERE u NOT IN (SELECT n FROM hubs)
+        |    AND v NOT IN (SELECT n FROM hubs)),
+        |n2 AS (SELECT n FROM nodes WHERE n NOT IN (SELECT n FROM hubs)),
+        |symf AS (SELECT u AS src, v AS dst FROM edges
+        |         UNION ALL SELECT v, u FROM edges),
+        |symd AS (SELECT u AS src, v AS dst FROM e2
+        |         UNION ALL SELECT v, u FROM e2),
+        |reachf(id, comp) AS (
+        |  SELECT n, n FROM nodes
+        |  UNION
+        |  SELECT e.dst, r.comp FROM reachf r JOIN symf e ON e.src = r.id),
+        |reachd(id, comp) AS (
+        |  SELECT n, n FROM n2
+        |  UNION
+        |  SELECT e.dst, r.comp FROM reachd r JOIN symd e ON e.src = r.id),
+        |szf AS (SELECT min_comp, count(*) AS cnt FROM (
+        |    SELECT id, min(comp) AS min_comp FROM reachf GROUP BY id)
+        |  GROUP BY min_comp),
+        |szd AS (SELECT min_comp, count(*) AS cnt FROM (
+        |    SELECT id, min(comp) AS min_comp FROM reachd GROUP BY id)
+        |  GROUP BY min_comp),
+        |af AS (
+        |  SELECT 'full' AS arm, CAST(sum(cnt) AS BIGINT) AS n_nodes,
+        |    (SELECT count(*) FROM edges) AS n_edges,
+        |    count(*) AS n_components,
+        |    CAST(max(cnt) AS BIGINT) AS largest_size
+        |  FROM szf),
+        |ad AS (
+        |  SELECT 'dehubbed' AS arm, CAST(sum(cnt) AS BIGINT) AS n_nodes,
+        |    (SELECT count(*) FROM e2) AS n_edges,
+        |    count(*) AS n_components,
+        |    CAST(max(cnt) AS BIGINT) AS largest_size
+        |  FROM szd),
+        |arms AS (SELECT * FROM af UNION ALL SELECT * FROM ad)
+        |SELECT arm, n_nodes, n_edges, n_components, largest_size,
+        |  $share AS largest_share_e4
+        |FROM arms ORDER BY arm""".stripMargin
+    },
     "q201_label_prop" ->
       s"""WITH $lpOracleCtes
          |SELECT n AS node, CAST(lbl AS BIGINT) AS community

@@ -196,7 +196,82 @@ object TextQueries extends QueryPack {
           lit(0.5)).cast("long").as("bm25_e6"))
   }
 
+  /** Flesch–Kincaid readability grade per document, on the exact integer
+    * grid — the classic curation signal for audience targeting / quality
+    * stratification, de-floated: words are whitespace tokens (the q30
+    * convention), sentences are terminal-punctuation runs + 1 (degenerate
+    * 1 on this punctuation-free corpus — an honest property of the data,
+    * like the other null readings), syllables are vowel-group runs
+    * `[aeiouy]+` (the standard heuristic, same regex both engines). The
+    * grade 0.39·W/S + 11.8·Syl/W − 15.59 becomes ONE exact rational on
+    * the e3 grid: (390·W² + 11800·Syl·S − 15590·W·S)/(W·S) via
+    * intDivExact — truncated toward zero rather than half-up because the
+    * numerator can be NEGATIVE (both engines' division is
+    * dividend-signed, so truncation is bit-agreed; a +0.5 trick is not).
+    * Pure per-row expression work, zero shuffles before the ORDER BY. */
+  private def q295(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.intDivExact
+    docs(s, dir)
+      .select(col("doc_id"),
+        greatest(tokenCount(col("text")), lit(1L)).as("w"),
+        (regexp_count(col("text"), lit("[.!?]+")) + lit(1))
+          .cast("long").as("st"),
+        regexp_count(lower(col("text")), lit("[aeiouy]+"))
+          .cast("long").as("sy"))
+      .select(col("doc_id"), col("w").as("n_words"),
+        col("st").as("n_sentences"), col("sy").as("n_syllables"),
+        intDivExact(
+          lit(390L) * col("w").cast("decimal(38,0)") * col("w") +
+            lit(11800L) * col("sy").cast("decimal(38,0)") * col("st") -
+            lit(15590L) * col("w").cast("decimal(38,0)") * col("st"),
+          col("w").cast("decimal(38,0)") * col("st")).as("fk_e3"))
+      .orderBy("doc_id")
+  }
+
+  /** Blocklist phrase census — the dictionary-filter stage every corpus
+    * pipeline runs (banned phrases, boilerplate markers, license
+    * strings), in the shape that survives 100 TB: positional word
+    * bigrams (duplicates KEPT — unlike the shingle miners, occurrence
+    * counts are the deliverable) equi-joined against a BROADCAST phrase
+    * dimension, never a per-phrase LIKE scan (p phrases × n docs regex
+    * passes) — one corpus pass total, phrases pruned at the join. Zero-
+    * hit phrases survive via the left join from the dimension (a silent
+    * drop would read as "clean corpus" when the phrase was simply
+    * mistyped). doc_share_e4 is the exact e4 rational of hit docs over
+    * the corpus. */
+  private def q296(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.intDivExact
+    val spark = s
+    import spark.implicits._
+    val phrases = Seq("fast slow", "key agg", "slow scan",
+      "spark window", "table table", "value part").toDF("phrase")
+    val grams = docs(s, dir)
+      .select(col("doc_id"), tokensCol(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t) - 1), " +
+          "i -> concat_ws(' ', slice(t, i, 2)))")).as("gram"))
+    val hits = grams
+      .join(broadcast(phrases), col("gram") === col("phrase"))
+      .groupBy("phrase")
+      .agg(countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_hits"))
+    val n = docs(s, dir).agg(count(lit(1)).as("nd"))
+    phrases.join(hits, Seq("phrase"), "left")
+      .crossJoin(broadcast(n))
+      .select(col("phrase"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        intDivExact(
+          coalesce(col("n_docs"), lit(0L)).cast("decimal(38,0)") *
+            lit(20000L) + col("nd"),
+          lit(2L) * col("nd")).as("doc_share_e4"))
+      .orderBy("phrase")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q295_readability" -> (q295 _),
+    "q296_blocklist" -> (q296 _),
     "q30_text_stats" -> (q30 _),
     "q31_text_quality" -> (q31 _),
     "q32_text_langid" -> (q32 _),
@@ -209,6 +284,51 @@ object TextQueries extends QueryPack {
 
   // DuckDB regexp_replace needs the 'g' flag to match Spark's replace-all.
   val oracle: Map[String, String] = Map(
+    // same W/S/Syl regex counts, same single-rational FK through HUGEINT
+    // (// truncates toward zero, dividend-signed — matches intDivExact)
+    "q295_readability" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    greatest(len(regexp_extract_all(text, '\S+')), 1) AS w,
+        |    len(regexp_extract_all(text, '[.!?]+')) + 1 AS st,
+        |    len(regexp_extract_all(lower(text), '[aeiouy]+')) AS sy
+        |  FROM documents)
+        |SELECT doc_id, CAST(w AS BIGINT) AS n_words,
+        |  CAST(st AS BIGINT) AS n_sentences,
+        |  CAST(sy AS BIGINT) AS n_syllables,
+        |  CAST((390 * CAST(w AS HUGEINT) * w
+        |      + 11800 * CAST(sy AS HUGEINT) * st
+        |      - 15590 * CAST(w AS HUGEINT) * st)
+        |    // (CAST(w AS HUGEINT) * st) AS BIGINT) AS fk_e3
+        |FROM f ORDER BY doc_id""".stripMargin,
+    // positional bigrams (duplicates kept), same literal phrase list,
+    // left join keeps zero-hit phrases, exact e4 doc share
+    "q296_blocklist" -> {
+      import graft.functions.Rounding.intDivExactSql
+      val share = intDivExactSql(
+        "CAST(COALESCE(n_docs, 0) AS HUGEINT) * 20000 + nd", "2 * nd")
+      s"""WITH toks AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, array_to_string(t[i:i+1], ' ') AS gram
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        |        FROM toks WHERE len(t) >= 2)),
+        |bl AS (SELECT unnest(['fast slow', 'key agg', 'slow scan',
+        |  'spark window', 'table table', 'value part']) AS phrase),
+        |hit AS (
+        |  SELECT phrase, count(DISTINCT doc_id) AS n_docs,
+        |    count(*) AS n_hits
+        |  FROM g JOIN bl ON gram = phrase GROUP BY phrase),
+        |n AS (SELECT count(*) AS nd FROM documents)
+        |SELECT bl.phrase,
+        |  CAST(COALESCE(n_docs, 0) AS BIGINT) AS n_docs,
+        |  CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+        |  $share AS doc_share_e4
+        |FROM bl LEFT JOIN hit USING (phrase) CROSS JOIN n
+        |ORDER BY bl.phrase""".stripMargin
+    },
     // q32's CASE verdicts rolled to cells; HUGEINT exact e4 shares
     "q238_lang_confusion" -> {
       import graft.functions.Rounding.intDivExactSql

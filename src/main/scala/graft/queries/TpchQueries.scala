@@ -1193,7 +1193,60 @@ object TpchQueries extends QueryPack {
       .orderBy("abc_class")
   }
 
+  /** One-level decision stump (best Gini split) — the ML-primitive
+    * census a feature-engineering pipeline runs to rank a candidate
+    * feature before any training: for every threshold t on l_quantity,
+    * the weighted Gini impurity of splitting `is returned` (l_returnflag
+    * = 'R') at q ≤ t, with the argmin flagged. The impurity collapses to
+    * ONE exact rational: weighted Gini = 2·(r_L(n_L−r_L)·n_R +
+    * r_R(n_R−r_R)·n_L) / (n_L·n_R·N), emitted on the e9 grid through
+    * decimal(38,0)/HUGEINT (operands pass decimal38 up to ~10¹⁰ rows —
+    * past that, rescale the grid; the [[graft.functions.Rounding
+    * .requireNotNull]] guard turns the overflow into a loud failure).
+    * Candidate thresholds come from ONE groupBy over the ≤50 distinct
+    * quantities; the cumulative (n_L, r_L) pass is a window over that
+    * bounded table (the q216 bounded-window argument); the best split is
+    * a (gini, t) min-struct — deterministic ties to the smaller t. */
+  private def q298(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.{intDivExact, requireNotNull}
+    import org.apache.spark.sql.expressions.Window
+    val byQ = Tables.load(s, dir, "lineitem")
+      .select(col("l_quantity").cast("long").as("q"),
+        (col("l_returnflag") === "R").cast("long").as("r"))
+      .groupBy("q")
+      .agg(count(lit(1)).as("n"), sum("r").as("rr"))
+    val w = Window.orderBy("q")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = byQ.agg(sum("n").as("nt"), sum("rr").as("rt"))
+    val cum = byQ
+      .withColumn("nl", sum("n").over(w))
+      .withColumn("rl", sum("rr").over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("nr", col("nt") - col("nl"))
+      .withColumn("rr2", col("rt") - col("rl"))
+      .filter(col("nr") > 0L) // the max-q "split" keeps everything left
+      .withColumn("gini_e9", requireNotNull(
+        intDivExact(
+          lit(2000000000L) *
+            (col("rl").cast("decimal(38,0)") * (col("nl") - col("rl")) *
+              col("nr") +
+              col("rr2").cast("decimal(38,0)") * (col("nr") - col("rr2")) *
+                col("nl")),
+          col("nl").cast("decimal(38,0)") * col("nr") * col("nt")),
+        "q298 gini_e9 overflowed decimal(38,0) -- rescale the e9 grid " +
+          "(documented bound ~10^10 rows)"))
+    val best = cum.agg(min(struct(col("gini_e9"), col("q"))).as("m"))
+      .select(col("m.q").as("best_q"))
+    cum.crossJoin(broadcast(best))
+      .select(col("q").as("threshold"), col("nl").as("n_left"),
+        col("rl").as("r_left"), col("nr").as("n_right"),
+        col("rr2").as("r_right"), col("gini_e9"),
+        (col("q") === col("best_q")).cast("long").as("is_best"))
+      .orderBy("threshold")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q298_gini_stump" -> (q298 _),
     "q241_tpch_refresh" -> (q241 _),
     "q243_bom_rollup" -> (q243 _),
     "q260_key_gap_audit" -> (q260 _),
@@ -1239,6 +1292,37 @@ object TpchQueries extends QueryPack {
       "CAST(floor((1 - l_discount) * 100.0 + 0.5) AS BIGINT)"
 
   val oracle: Map[String, String] = Map(
+    // same bounded-threshold cumulative pass, the identical one-rational
+    // Gini through HUGEINT, ties to the smaller threshold
+    "q298_gini_stump" ->
+      """WITH b AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS q,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS r
+        |  FROM lineitem),
+        |g AS (SELECT q, count(*) AS n, CAST(sum(r) AS BIGINT) AS rr
+        |      FROM b GROUP BY q),
+        |c AS (
+        |  SELECT q,
+        |    sum(n) OVER (ORDER BY q ROWS UNBOUNDED PRECEDING) AS nl,
+        |    sum(rr) OVER (ORDER BY q ROWS UNBOUNDED PRECEDING) AS rl
+        |  FROM g),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+        |               CAST(sum(rr) AS BIGINT) AS rt FROM g),
+        |s AS (
+        |  SELECT q, nl, rl, nt - nl AS nr, rt - rl AS rr2, nt
+        |  FROM c, tot WHERE nt - nl > 0),
+        |sc AS (
+        |  SELECT q, nl, rl, nr, rr2,
+        |    CAST((2000000000 * (CAST(rl AS HUGEINT) * (nl - rl) * nr
+        |        + CAST(rr2 AS HUGEINT) * (nr - rr2) * nl))
+        |      // (CAST(nl AS HUGEINT) * nr * nt) AS BIGINT) AS gini_e9
+        |  FROM s),
+        |best AS (SELECT q AS best_q FROM sc ORDER BY gini_e9, q LIMIT 1)
+        |SELECT q AS threshold, CAST(nl AS BIGINT) AS n_left,
+        |  CAST(rl AS BIGINT) AS r_left, CAST(nr AS BIGINT) AS n_right,
+        |  CAST(rr2 AS BIGINT) AS r_right, gini_e9,
+        |  CAST(q = best_q AS BIGINT) AS is_best
+        |FROM sc, best ORDER BY threshold""".stripMargin,
     // same two keyed aggregations, HUGEINT squares, one exact division
     "q292_supplier_hhi" -> {
       import graft.functions.Rounding.intDivExactSql
