@@ -597,7 +597,59 @@ object CorpusStatsQueries extends QueryPack {
     toks.join(vocab, "cp_docs").orderBy("cp_docs")
   }
 
+  /** Pairwise total-variation distance between per-source unigram
+    * distributions — the drift matrix for CATEGORICAL distributions
+    * (token usage), complementing q240's pairwise-KS on numeric drift.
+    * TVD = ½Σ|pᵢ − qᵢ| is chosen over KL/JS precisely because it needs
+    * NO logarithm: over the common vocabulary, ½Σ|n_a·T_b − n_b·T_a| /
+    * (T_a·T_b) is one exact integer rational per pair, emitted half-up
+    * on the e6 grid through decimal(38,0)/HUGEINT — no engine libm
+    * anywhere (the q64 rational-idf discipline applied to divergence).
+    * The vocabulary is gated to the global top-200 tokens (count desc,
+    * token asc — deterministic), the fixed-vocab form a production
+    * drift monitor uses: per-source counts and totals are RESTRICTED to
+    * that vocab so every distribution sums to 1 over the same support,
+    * missing tokens contribute their full mass via the vocab × source
+    * cross join (200·|sources| rows — bounded), and the pair join is
+    * vocab-keyed with |sources|² fan-out on 200-row postings. TVD = 0 ⇔
+    * identical usage; 1 ⇔ disjoint. */
+  private def q302(s: SparkSession, dir: String): DataFrame = {
+    import Rounding.intDivExact
+    val toks = docs(s, dir)
+      .select(col("source"),
+        explode(TextAnalysis.tokensCol(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(200).select("tok")
+    val counts = toks.join(vocab, "tok")
+      .groupBy("source", "tok").agg(count(lit(1)).as("n"))
+    val grid = docs(s, dir).select("source").distinct()
+      .crossJoin(vocab)
+      .join(counts, Seq("source", "tok"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    val tot = grid.groupBy("source").agg(sum("n").as("t"))
+    val cells = grid.join(tot, "source")
+    val pairs = cells.select(col("tok"), col("source").as("src_a"),
+        col("n").as("na"), col("t").as("ta"))
+      .join(cells.select(col("tok"), col("source").as("src_b"),
+        col("n").as("nb"), col("t").as("tb")), "tok")
+      .filter(col("src_a") < col("src_b"))
+    pairs.groupBy("src_a", "src_b")
+      .agg(first("ta").as("ta"), first("tb").as("tb"),
+        sum(abs(col("na").cast("decimal(38,0)") * col("tb") -
+          col("nb").cast("decimal(38,0)") * col("ta"))).as("num"))
+      .select(col("src_a"), col("src_b"),
+        col("ta").as("tokens_a"), col("tb").as("tokens_b"),
+        intDivExact(
+          col("num") * lit(1000000L) + col("ta").cast("decimal(38,0)") *
+            col("tb"),
+          lit(2L) * col("ta").cast("decimal(38,0)") * col("tb"))
+          .as("tvd_e6"))
+      .orderBy("src_a", "src_b")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q302_source_tvd" -> (q302 _),
     "q230_token_fertility" -> (q230 _),
     "q266_sparse_cosine" -> (q266 _),
     "q278_exclusive_vocab" -> (q278 _),
@@ -622,6 +674,43 @@ object CorpusStatsQueries extends QueryPack {
       s"2 * $den")
 
   val oracle: Map[String, String] = Map(
+    // same top-200 vocab gate, same cross-join zero-fill, same one
+    // exact rational per pair half-up on the e6 grid
+    "q302_source_tvd" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT source, tok FROM toks WHERE tok <> ''),
+        |vocab AS (SELECT tok FROM (
+        |  SELECT tok, count(*) AS c FROM tf GROUP BY tok
+        |  ORDER BY c DESC, tok LIMIT 200)),
+        |counts AS (
+        |  SELECT source, tok, count(*) AS n
+        |  FROM tf JOIN vocab USING (tok) GROUP BY 1, 2),
+        |srcs AS (SELECT DISTINCT source FROM documents),
+        |grid AS (
+        |  SELECT s.source, v.tok, COALESCE(c.n, 0) AS n
+        |  FROM srcs s CROSS JOIN vocab v
+        |  LEFT JOIN counts c ON c.source = s.source AND c.tok = v.tok),
+        |tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS t
+        |        FROM grid GROUP BY source),
+        |cells AS (SELECT g.source, g.tok, g.n, t.t
+        |          FROM grid g JOIN tot t USING (source)),
+        |p AS (
+        |  SELECT a.tok, a.source AS src_a, b.source AS src_b,
+        |    a.n AS na, a.t AS ta, b.n AS nb, b.t AS tb
+        |  FROM cells a JOIN cells b
+        |    ON a.tok = b.tok AND a.source < b.source),
+        |agg AS (
+        |  SELECT src_a, src_b, min(ta) AS ta, min(tb) AS tb,
+        |    sum(abs(CAST(na AS HUGEINT) * tb - CAST(nb AS HUGEINT) * ta))
+        |      AS num
+        |  FROM p GROUP BY 1, 2)
+        |SELECT src_a, src_b, ta AS tokens_a, tb AS tokens_b,
+        |  CAST((num * 1000000 + CAST(ta AS HUGEINT) * tb)
+        |    // (2 * CAST(ta AS HUGEINT) * tb) AS BIGINT) AS tvd_e6
+        |FROM agg ORDER BY src_a, src_b""".stripMargin,
     // first-sighting aggregation on gram TEXT (hash ≡ text, the q41
     // argument), same ten checkpoints
     "q287_heaps_curve" ->

@@ -357,7 +357,54 @@ object QualityQueries extends QueryPack {
       .orderBy("status", "priority", "mon")
   }
 
+  /** χ² independence of event_type × weekday, with Cramér's V — the
+    * contingency audit a pipeline runs before treating two categoricals
+    * as independent (stratified sampling, per-type seasonal baselines
+    * both silently assume it). Every cell emits observed, the expected
+    * count on a truncated e3 grid (⌊10³·R·C/N⌋), and its χ² term on a
+    * per-term-FLOORED e6 grid (⌊10⁶·O²·N/(R·C)⌋ — the q250
+    * floor-before-sum convention: summing exact rationals with
+    * different denominators would need their product as a common
+    * denominator, so each term floors once and both engines sum
+    * identical integers). χ²_e6 = Σterm − 10⁶·N rides every row, as
+    * does V² = χ²/(N·min(r−1,c−1)) on the e6 grid — V² ≈ 0 on this
+    * synthetic corpus is the correct null reading. One cell aggregate +
+    * two margin joins, all bounded by the category cross product. */
+  private def q301(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.intDivExact
+    val cells = Tables.load(s, dir, "events")
+      .select(col("event_type"),
+        expr("weekday(to_date(ts))").cast("long").as("wd"))
+      .groupBy("event_type", "wd")
+      .agg(count(lit(1)).as("obs"))
+    val rowM = cells.groupBy("event_type").agg(sum("obs").as("rt"))
+    val colM = cells.groupBy("wd").agg(sum("obs").as("ct"))
+    val n = cells.agg(sum("obs").as("nt"),
+      (countDistinct("event_type") - lit(1L)).as("dr"),
+      (countDistinct("wd") - lit(1L)).as("dc"))
+    val termed = cells
+      .join(rowM, "event_type").join(colM, "wd")
+      .crossJoin(broadcast(n))
+      .withColumn("exp_e3", intDivExact(
+        lit(1000L) * col("rt").cast("decimal(38,0)") * col("ct"),
+        col("nt")))
+      .withColumn("term_e6", intDivExact(
+        lit(1000000L) * col("obs").cast("decimal(38,0)") * col("obs") *
+          col("nt"),
+        col("rt").cast("decimal(38,0)") * col("ct")))
+    val chi = termed.agg(
+      (sum(col("term_e6").cast("decimal(38,0)")).cast("long") -
+        lit(1000000L) * first("nt")).as("chi2_e6"),
+      (first("nt") * least(first("dr"), first("dc"))).as("vden"))
+    termed.crossJoin(broadcast(chi))
+      .select(col("event_type"), col("wd"), col("obs"),
+        col("exp_e3"), col("term_e6"), col("chi2_e6"),
+        intDivExact(col("chi2_e6"), col("vden")).as("v2_e6"))
+      .orderBy("event_type", "wd")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q301_chi2_independence" -> (q301 _),
     "q221_t_closeness" -> (q221 _),
     "q217_mix_drift" -> (q217 _),
     "q66_quality_report" -> (q66 _),
@@ -372,6 +419,37 @@ object QualityQueries extends QueryPack {
   // one SELECT per check, mirrored shapes; 'license' is a deliberately
   // missing column so the missing-column path is oracle-checked too
   val oracle: Map[String, String] = Map(
+    // same floor-per-term e6 grid through HUGEINT; Spark weekday() ≡
+    // DuckDB isodow − 1 (Monday-0), the q277/q251 convention
+    "q301_chi2_independence" ->
+      """WITH cells AS (
+        |  SELECT event_type,
+        |    CAST(isodow(CAST(ts AS DATE)) - 1 AS BIGINT) AS wd,
+        |    count(*) AS obs
+        |  FROM events GROUP BY 1, 2),
+        |rm AS (SELECT event_type, CAST(sum(obs) AS BIGINT) AS rt
+        |       FROM cells GROUP BY 1),
+        |cm AS (SELECT wd, CAST(sum(obs) AS BIGINT) AS ct
+        |       FROM cells GROUP BY 1),
+        |nn AS (SELECT CAST(sum(obs) AS BIGINT) AS nt,
+        |    count(DISTINCT event_type) - 1 AS dr,
+        |    count(DISTINCT wd) - 1 AS dc
+        |  FROM cells),
+        |t AS (
+        |  SELECT cells.event_type, cells.wd, CAST(obs AS BIGINT) AS obs,
+        |    CAST((1000 * CAST(rt AS HUGEINT) * ct) // nt AS BIGINT)
+        |      AS exp_e3,
+        |    CAST((1000000 * CAST(obs AS HUGEINT) * obs * nt)
+        |      // (CAST(rt AS HUGEINT) * ct) AS BIGINT) AS term_e6
+        |  FROM cells JOIN rm USING (event_type) JOIN cm USING (wd), nn),
+        |chi AS (
+        |  SELECT CAST(sum(CAST(term_e6 AS HUGEINT)) - 1000000 *
+        |      (SELECT nt FROM nn) AS BIGINT) AS chi2_e6,
+        |    (SELECT nt * least(dr, dc) FROM nn) AS vden
+        |  FROM t)
+        |SELECT event_type, wd, obs, exp_e3, term_e6, chi2_e6,
+        |  CAST(CAST(chi2_e6 AS HUGEINT) // vden AS BIGINT) AS v2_e6
+        |FROM t, chi ORDER BY event_type, wd""".stripMargin,
     // same dense lattice, same cumulative-diff EMD closed form, HUGEINT
     // products mirror the engine's decimal chain
     "q221_t_closeness" -> {

@@ -618,7 +618,41 @@ object ScaleQueries extends QueryPack {
       .orderBy("id")
   }
 
+  /** Zone-map (data-skipping) pruning audit — the min/max-index
+    * effectiveness census behind every lakehouse scan planner: with
+    * day-partitioned chunks standing in for files, a per-chunk
+    * (min, max) zone map admits a chunk for the predicate
+    * `cents ∈ [10000, 20000]` iff the ranges overlap; the audit emits,
+    * per chunk, the zone bounds, the admit verdict, the EXACT matching
+    * row count, and the false-positive flag (admitted but zero matches)
+    * — the quantity that tells an operator whether the data needs
+    * re-clustering (q74's Z-order exists precisely to shrink it; on
+    * this value-uniform corpus every chunk is admitted and none
+    * false-positives, the honest worst case for skipping). One
+    * aggregation over the corpus; NULL values are excluded before the
+    * zone bounds, matching parquet row-group stats semantics. */
+  private def q304(s: SparkSession, dir: String): DataFrame = {
+    val lo = 10000L; val hi = 20000L
+    Tables.load(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(to_date(col("ts")).as("chunk_day"),
+        graft.functions.Rounding.cents(col("value")).as("cents"))
+      .groupBy("chunk_day")
+      .agg(count(lit(1)).as("n_rows"),
+        min("cents").as("vmin_cents"), max("cents").as("vmax_cents"),
+        sum(col("cents").between(lo, hi).cast("long")).as("n_match"))
+      .withColumn("admitted",
+        (col("vmin_cents") <= hi && col("vmax_cents") >= lo).cast("long"))
+      .withColumn("false_positive",
+        (col("admitted") === 1L && col("n_match") === 0L).cast("long"))
+      .select(date_format(col("chunk_day"), "yyyy-MM-dd").as("chunk_day"),
+        col("n_rows"), col("vmin_cents"), col("vmax_cents"),
+        col("admitted"), col("n_match"), col("false_positive"))
+      .orderBy("chunk_day")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q304_zonemap_audit" -> (q304 _),
     "q237_balanced_shards" -> (q237 _),
     "q259_three_way_reconcile" -> (q259 _),
     "q261_spatial_join" -> (q261 _),
@@ -639,6 +673,26 @@ object ScaleQueries extends QueryPack {
     "q78_interval_merge" -> (q78 _))
 
   val oracle: Map[String, String] = Map(
+    // same day chunks, cents zone bounds, overlap test and exact match
+    // counts
+    "q304_zonemap_audit" -> {
+      val c = graft.functions.Rounding.centsSql("value")
+      s"""WITH e AS (
+        |  SELECT CAST(ts AS DATE) AS chunk_day, $c AS cents
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT strftime(chunk_day, '%Y-%m-%d') AS chunk_day,
+        |  count(*) AS n_rows,
+        |  CAST(min(cents) AS BIGINT) AS vmin_cents,
+        |  CAST(max(cents) AS BIGINT) AS vmax_cents,
+        |  CAST(min(cents) <= 20000 AND max(cents) >= 10000 AS BIGINT)
+        |    AS admitted,
+        |  CAST(sum(CASE WHEN cents BETWEEN 10000 AND 20000
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+        |  CAST((min(cents) <= 20000 AND max(cents) >= 10000) AND
+        |    sum(CASE WHEN cents BETWEEN 10000 AND 20000 THEN 1 ELSE 0 END)
+        |      = 0 AS BIGINT) AS false_positive
+        |FROM e GROUP BY 1 ORDER BY chunk_day""".stripMargin
+    },
     // brute pairs + recursive min-label closure over core adjacency,
     // same deterministic min-cluster border rule
     "q263_dbscan" -> {

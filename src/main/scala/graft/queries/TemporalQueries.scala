@@ -812,7 +812,99 @@ object TemporalQueries extends QueryPack {
       .orderBy("event_type")
   }
 
+  /** Spearman rank correlation between daily volume and daily revenue,
+    * per event_type — the monotone-association check (does more traffic
+    * mean more money, without assuming linearity) that Pearson's r gets
+    * wrong on heavy-tailed revenue. De-floated to the last possible op:
+    * tie-averaged ranks ride the DOUBLED-rank integer grid (2·avgrank =
+    * 2·rank + ties − 1 — always an integer, no .5 ever), all five power
+    * sums accumulate exactly in decimal(38,0), and ρ's one float step —
+    * num/√(vx·vy) — runs on identical exact integers in both engines:
+    * decimal→double is round-to-nearest of the same integer, sqrt is
+    * IEEE correctly-rounded, so the e6 floor lands on the same bit
+    * pattern everywhere (the q263 sqrt argument). Windows partition per
+    * type; one aggregation after. Degenerate variance (constant series)
+    * → NULL, explicitly. */
+  private def q300(s: SparkSession, dir: String): DataFrame = {
+    val daily = ev(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"),
+        Rounding.sumCents(Rounding.cents(col("value"))).as("y"))
+    def r2(c: String): org.apache.spark.sql.Column =
+      lit(2L) * rank().over(
+        Window.partitionBy("event_type").orderBy(col(c))) +
+        count(lit(1)).over(Window.partitionBy("event_type", c)) - lit(1L)
+    val ranked = daily
+      .withColumn("rx", r2("x").cast("decimal(38,0)"))
+      .withColumn("ry", r2("y").cast("decimal(38,0)"))
+    ranked.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum("rx").as("sx"), sum("ry").as("sy"),
+        sum(col("rx") * col("rx")).as("sxx"),
+        sum(col("ry") * col("ry")).as("syy"),
+        sum(col("rx") * col("ry")).as("sxy"))
+      .withColumn("num", col("n_days") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("vx", col("n_days") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("vy", col("n_days") * col("syy") - col("sy") * col("sy"))
+      .select(col("event_type"), col("n_days"),
+        when(col("vx") > 0 && col("vy") > 0,
+          floor(col("num").cast("double") /
+            (sqrt(col("vx").cast("double")) *
+              sqrt(col("vy").cast("double"))) * lit(1000000.0) + lit(0.5))
+            .cast("long"))
+          .otherwise(lit(null).cast("long")).as("rho_e6"))
+      .orderBy("event_type")
+  }
+
+  /** Wald–Wolfowitz runs test on the daily-revenue up/down sequence, per
+    * event_type — "is the series random, or does it trend/oscillate":
+    * too FEW runs of consecutive ups/downs means momentum, too many
+    * means mean-reversion. Kept exact end-to-end: moves are the sign of
+    * the day-over-day cents delta (zeros dropped, the standard
+    * convention), the run count is a boundary-flag sum, and the squared
+    * z-statistic collapses to ONE exact rational — z² = ((R−1)n −
+    * 2n₁n₂)²·(n−1) / (2n₁n₂(2n₁n₂−n)) — emitted half-up on the e6 grid
+    * through decimal(38,0)/HUGEINT. The σ²≤0 degenerate regimes (all
+    * one direction, or 2n₁n₂ ≤ n) are explicit NULLs in both engines.
+    * Two window passes per type + one rollup. */
+  private def q303(s: SparkSession, dir: String): DataFrame = {
+    import Rounding.intDivExact
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val daily = ev(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(Rounding.sumCents(Rounding.cents(col("value"))).as("t"))
+    val moves = daily
+      .withColumn("mv", signum(col("t") - lag("t", 1).over(w)).cast("long"))
+      .filter(col("mv") =!= 0L)
+      .withColumn("brk",
+        (lag("mv", 1).over(w).isNull ||
+          col("mv") =!= lag("mv", 1).over(w)).cast("long"))
+    moves.groupBy("event_type")
+      .agg(count(lit(1)).as("n_moves"),
+        sum(when(col("mv") === 1L, 1L).otherwise(0L)).as("n_up"),
+        sum(when(col("mv") === -1L, 1L).otherwise(0L)).as("n_down"),
+        sum("brk").as("n_runs"))
+      .withColumn("a",
+        (col("n_runs") - lit(1L)).cast("decimal(38,0)") * col("n_moves") -
+          lit(2L) * col("n_up").cast("decimal(38,0)") * col("n_down"))
+      .withColumn("den",
+        lit(2L) * col("n_up").cast("decimal(38,0)") * col("n_down") *
+          (lit(2L) * col("n_up").cast("decimal(38,0)") * col("n_down") -
+            col("n_moves")))
+      .select(col("event_type"), col("n_moves"), col("n_up"),
+        col("n_down"), col("n_runs"),
+        when(col("den") > 0,
+          intDivExact(
+            col("a") * col("a") * (col("n_moves") - lit(1L)) *
+              lit(2000000L) + col("den"),
+            lit(2L) * col("den")))
+          .otherwise(lit(null).cast("long")).as("z2_e6"))
+      .orderBy("event_type")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q300_spearman" -> (q300 _),
+    "q303_runs_test" -> (q303 _),
     "q171_autocorr" -> (q171 _),
     "q228_theilsen" -> (q228 _),
     "q249_sax_motifs" -> (q249 _),
@@ -942,6 +1034,82 @@ object TemporalQueries extends QueryPack {
   private val centsV = Rounding.centsSql("value")
 
   val oracle: Map[String, String] = Map(
+    // same doubled-rank grid (2·rank + ties − 1), HUGEINT power sums,
+    // identical double arithmetic on the exact integers at the end
+    "q300_spearman" -> {
+      val cents = Rounding.centsSql("value")
+      s"""WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS x,
+        |    ${Rounding.sumCentsSql(cents)} AS y
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type,
+        |    CAST(2 * rank() OVER (PARTITION BY event_type ORDER BY x)
+        |      + count(*) OVER (PARTITION BY event_type, x) - 1
+        |      AS HUGEINT) AS rx,
+        |    CAST(2 * rank() OVER (PARTITION BY event_type ORDER BY y)
+        |      + count(*) OVER (PARTITION BY event_type, y) - 1
+        |      AS HUGEINT) AS ry
+        |  FROM d),
+        |p AS (
+        |  SELECT event_type, count(*) AS n_days,
+        |    sum(rx) AS sx, sum(ry) AS sy, sum(rx * rx) AS sxx,
+        |    sum(ry * ry) AS syy, sum(rx * ry) AS sxy
+        |  FROM r GROUP BY event_type),
+        |v AS (
+        |  SELECT event_type, n_days,
+        |    n_days * sxy - sx * sy AS num,
+        |    n_days * sxx - sx * sx AS vx,
+        |    n_days * syy - sy * sy AS vy
+        |  FROM p)
+        |SELECT event_type, n_days,
+        |  CASE WHEN vx > 0 AND vy > 0 THEN
+        |    CAST(floor(CAST(num AS DOUBLE) /
+        |      (sqrt(CAST(vx AS DOUBLE)) * sqrt(CAST(vy AS DOUBLE)))
+        |      * 1000000.0 + 0.5) AS BIGINT)
+        |  ELSE NULL END AS rho_e6
+        |FROM v ORDER BY event_type""".stripMargin
+    },
+    // same sign-of-delta moves, boundary-flag run count, one exact
+    // rational z² half-up on the e6 grid
+    "q303_runs_test" -> {
+      val cents = Rounding.centsSql("value")
+      s"""WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    ${Rounding.sumCentsSql(cents)} AS t
+        |  FROM events GROUP BY 1, 2),
+        |m0 AS (
+        |  SELECT event_type, day,
+        |    sign(t - lag(t) OVER (PARTITION BY event_type ORDER BY day))
+        |      AS mv
+        |  FROM d),
+        |m AS (SELECT * FROM m0 WHERE mv IS NOT NULL AND mv <> 0),
+        |b AS (
+        |  SELECT event_type, mv,
+        |    CASE WHEN lag(mv) OVER (PARTITION BY event_type ORDER BY day)
+        |      IS DISTINCT FROM mv THEN 1 ELSE 0 END AS brk
+        |  FROM m),
+        |agg AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(CASE WHEN mv = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_up,
+        |    CAST(sum(CASE WHEN mv = -1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_down,
+        |    CAST(sum(brk) AS BIGINT) AS n_runs
+        |  FROM b GROUP BY event_type),
+        |z AS (
+        |  SELECT event_type, n, n_up, n_down, n_runs,
+        |    CAST(n_runs - 1 AS HUGEINT) * n
+        |      - 2 * CAST(n_up AS HUGEINT) * n_down AS a,
+        |    2 * CAST(n_up AS HUGEINT) * n_down *
+        |      (2 * CAST(n_up AS HUGEINT) * n_down - n) AS den
+        |  FROM agg)
+        |SELECT event_type, n AS n_moves, n_up, n_down, n_runs,
+        |  CASE WHEN den > 0 THEN
+        |    CAST((a * a * (n - 1) * 2000000 + den) // (2 * den) AS BIGINT)
+        |  ELSE NULL END AS z2_e6
+        |FROM z ORDER BY event_type""".stripMargin
+    },
     // same lcm-scaled integer ANOVA; HUGEINT mirrors the decimal chain
     "q277_weekday_eta2" -> {
       import Rounding.intDivExactSql
