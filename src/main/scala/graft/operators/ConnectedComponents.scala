@@ -74,9 +74,18 @@ object ConnectedComponents {
     * already materialized — the iteration's intermediate caches are
     * released before returning — so `.unpersist()` on the returned
     * DataFrame releases everything once the caller is done. */
+  /** `starFirst = true` skips the min-label propagation phase and goes
+    * straight to alternating-star. Labels are IDENTICAL either way (both
+    * converge to min-id components — the choice is pure cost); use it
+    * when the caller KNOWS the graph is high-diameter (a giant sparse
+    * component, e.g. the q108 co-order graph), where the 15 propagation
+    * rounds are guaranteed wasted work before the fallback fires anyway
+    * — q299 measured 31.7s → ~11s from exactly this. The default stays
+    * propagation-first: dup clusters converge in 2–4 cheap rounds and
+    * never pay star's per-round exact fixed-point check. */
   def components(nodes: DataFrame, edges: DataFrame,
       idCol: String, srcCol: String, dstCol: String,
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50, starFirst: Boolean = false): DataFrame = {
     // persist the symmetric edge set: it seeds the labels and is read once
     // per round, and its lineage may be an arbitrarily expensive upstream
     // pipeline (q67's is the whole shingle→jaccard candidate chain —
@@ -95,7 +104,7 @@ object ConnectedComponents {
     var labels = cached.select("id", "comp")
     var iter = 0
     var changed = 1L
-    val propCap = math.min(maxIter, starFallbackAt)
+    val propCap = if (starFirst) 0 else math.min(maxIter, starFallbackAt)
     while (changed > 0 && iter < propCap) {
       // neighbor labels flow along edges; min over {self} ∪ neighbors.
       // The self rows are tagged so the round's OLD label rides through the

@@ -976,6 +976,88 @@ object EventOpsQueries extends QueryPack {
       .orderBy("day")
   }
 
+  /** Log-rank test between two user cohorts' churn survival — the
+    * standard "did the treatment change retention" read over q276's
+    * life-table machinery (and the inferential companion to q294's KM
+    * curves): cohorts from the q256 md5 coin, and on each day the
+    * observed-minus-expected cohort-A churn (O−E = (d_A·n − d·n_A)/n)
+    * and the hypergeometric variance term d·n_A·n_B·(n−d)/(n²(n−1)),
+    * each an exact rational FLOORED ONCE onto the e6 grid (the q301
+    * floor-before-sum convention — summing exact rationals with
+    * per-day denominators has no common grid), then z² =
+    * (Σoe)²/(10⁶·Σv) half-up on the e4 grid through decimal/HUGEINT.
+    * On the coin split z² ≈ 0 is the correct null calibration — the
+    * same discipline as q269's DiD. Single-day-grid aggregation; one
+    * rollup row. */
+  private def q307(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.intDivExact
+    val lt = ev(s, dir)
+      .groupBy("user_id")
+      .agg(to_date(min("ts")).as("first_day"),
+        to_date(max("ts")).as("last_day"))
+      .withColumn("grp",
+        when(Hashing.md5U32(col("user_id").cast("string")) % 2L === 0L,
+          "A").otherwise("B"))
+      .select(col("grp"), col("last_day"),
+        explode(expr("sequence(first_day, last_day, interval 1 day)"))
+          .as("day"))
+      .groupBy("day")
+      .agg(sum(when(col("grp") === "A", 1L).otherwise(0L)).as("na"),
+        sum(when(col("grp") === "B", 1L).otherwise(0L)).as("nb"),
+        sum(when(col("grp") === "A" && col("day") === col("last_day"), 1L)
+          .otherwise(0L)).as("da"),
+        sum(when(col("grp") === "B" && col("day") === col("last_day"), 1L)
+          .otherwise(0L)).as("db"))
+      .withColumn("n", col("na") + col("nb"))
+      .withColumn("d", col("da") + col("db"))
+      .filter(col("n") >= 2L && col("na") > 0L && col("nb") > 0L)
+      .withColumn("oe_e6", intDivExact(
+        lit(1000000L) * (col("da").cast("decimal(38,0)") * col("n") -
+          col("d").cast("decimal(38,0)") * col("na")),
+        col("n")))
+      .withColumn("v_e6", intDivExact(
+        lit(1000000L) * col("d").cast("decimal(38,0)") * col("na") *
+          col("nb") * (col("n") - col("d")),
+        col("n").cast("decimal(38,0)") * col("n") * (col("n") - lit(1L))))
+    lt.agg(count(lit(1)).as("n_days_used"),
+        sum(col("oe_e6").cast("decimal(38,0)")).cast("long").as("oe_sum_e6"),
+        sum(col("v_e6").cast("decimal(38,0)")).cast("long").as("var_sum_e6"))
+      .select(col("n_days_used"), col("oe_sum_e6"), col("var_sum_e6"),
+        when(col("var_sum_e6") > 0L, intDivExact(
+          col("oe_sum_e6").cast("decimal(38,0)") * col("oe_sum_e6") *
+            lit(20000L) + lit(1000000L) * col("var_sum_e6"),
+          lit(2000000L) * col("var_sum_e6")))
+          .otherwise(lit(null).cast("long")).as("z2_e4"))
+  }
+
+  /** Top-10 behavioral path trigrams — the lightweight sequence-pattern
+    * census ("what do users actually DO, three steps at a time") that
+    * complements q137's first-order Markov transitions with one more
+    * order of memory: per user, consecutive event-type triples in
+    * (ts, event_id) order (two lag windows, one pass), counted globally,
+    * ranked deterministically (count desc, path asc). The ranking
+    * window runs over the ≤|types|³ distinct paths — bounded by the
+    * type alphabet, not the corpus (the q216 bounded-window argument).
+    * row_number, not rank: the output contract is exactly ten rows. */
+  private def q308(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val paths = ev(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("p1", lag("event_type", 1).over(w))
+      .withColumn("p2", lag("event_type", 2).over(w))
+      .filter(col("p2").isNotNull)
+      .select(concat_ws(">", col("p2"), col("p1"), col("event_type"))
+        .as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+    paths
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("n").desc, col("path"))).cast("long"))
+      .filter(col("rnk") <= 10)
+      .select("rnk", "path", "n")
+      .orderBy("rnk")
+  }
+
   /** Session counts before/after identity stitching — the census that
     * quantifies WHY entity resolution matters downstream: the same
     * 30-minute gap sessionization (q63's frame) run at the raw-user
@@ -1119,6 +1201,8 @@ object EventOpsQueries extends QueryPack {
     "q275_stitched_sessions" -> (q275 _),
     "q276_hazard_table" -> (q276 _),
     "q294_km_curve" -> (q294 _),
+    "q307_logrank" -> (q307 _),
+    "q308_path_trigrams" -> (q308 _),
     "q279_active_coverage" -> (q279 _),
     "q283_hoeffding_ci" -> (q283 _),
     "q284_entry_conversion" -> (q284 _),
@@ -1386,6 +1470,73 @@ object EventOpsQueries extends QueryPack {
     },
     // same span expansion (generate_series is sequence), same exact
     // hazard division
+    // same coin, same day grid, same floor-per-term e6 O−E and variance
+    // terms, same half-up e4 z² through HUGEINT
+    "q307_logrank" -> {
+      val coin = graft.functions.Hashing
+        .md5U32Sql("CAST(user_id AS VARCHAR)")
+      s"""WITH span AS (
+        |  SELECT user_id, CAST(min(ts) AS DATE) AS first_day,
+        |    CAST(max(ts) AS DATE) AS last_day,
+        |    CASE WHEN $coin % 2 = 0 THEN 'A' ELSE 'B' END AS grp
+        |  FROM events GROUP BY user_id),
+        |ar AS (
+        |  SELECT grp, last_day,
+        |    CAST(unnest(generate_series(CAST(first_day AS TIMESTAMP),
+        |      CAST(last_day AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE)
+        |      AS day
+        |  FROM span),
+        |lt AS (
+        |  SELECT day,
+        |    CAST(sum(CASE WHEN grp = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS na,
+        |    CAST(sum(CASE WHEN grp = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nb,
+        |    CAST(sum(CASE WHEN grp = 'A' AND day = last_day
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS da,
+        |    CAST(sum(CASE WHEN grp = 'B' AND day = last_day
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS db
+        |  FROM ar GROUP BY day),
+        |t AS (
+        |  SELECT na + nb AS n, da + db AS d, na, nb, da, db FROM lt
+        |  WHERE na + nb >= 2 AND na > 0 AND nb > 0),
+        |terms AS (
+        |  SELECT
+        |    CAST((1000000 * (CAST(da AS HUGEINT) * n
+        |      - CAST(d AS HUGEINT) * na)) // n AS BIGINT) AS oe_e6,
+        |    CAST((1000000 * CAST(d AS HUGEINT) * na * nb * (n - d))
+        |      // (CAST(n AS HUGEINT) * n * (n - 1)) AS BIGINT) AS v_e6
+        |  FROM t),
+        |agg AS (
+        |  SELECT count(*) AS n_days_used,
+        |    CAST(sum(CAST(oe_e6 AS HUGEINT)) AS BIGINT) AS oe_sum_e6,
+        |    CAST(sum(CAST(v_e6 AS HUGEINT)) AS BIGINT) AS var_sum_e6
+        |  FROM terms)
+        |SELECT n_days_used, oe_sum_e6, var_sum_e6,
+        |  CASE WHEN var_sum_e6 > 0 THEN
+        |    CAST((CAST(oe_sum_e6 AS HUGEINT) * oe_sum_e6 * 20000
+        |      + 1000000 * CAST(var_sum_e6 AS HUGEINT))
+        |      // (2000000 * CAST(var_sum_e6 AS HUGEINT)) AS BIGINT)
+        |  ELSE NULL END AS z2_e4
+        |FROM agg""".stripMargin
+    },
+    // same two-lag path build, same (count desc, path asc) row_number
+    "q308_path_trigrams" ->
+      """WITH p AS (
+        |  SELECT user_id,
+        |    lag(event_type, 2) OVER w AS p2,
+        |    lag(event_type, 1) OVER w AS p1,
+        |    event_type
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |paths AS (
+        |  SELECT p2 || '>' || p1 || '>' || event_type AS path, count(*) AS n
+        |  FROM p WHERE p2 IS NOT NULL GROUP BY 1),
+        |r AS (
+        |  SELECT path, n, CAST(row_number() OVER (ORDER BY n DESC, path)
+        |    AS BIGINT) AS rnk
+        |  FROM paths)
+        |SELECT rnk, path, n FROM r WHERE rnk <= 10 ORDER BY rnk""".stripMargin,
     // the same life table, then the e12 fixed-point KM recurrence as a
     // recursive CTE: HUGEINT // replays BigInt / exactly (both truncate
     // toward zero; operands nonnegative, products ≤ 10¹²·n < HUGEINT)

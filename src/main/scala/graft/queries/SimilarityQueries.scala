@@ -833,7 +833,88 @@ object SimilarityQueries extends QueryPack {
       .orderBy("q_id")
   }
 
+  /** Cosine calibration (reliability) curve — "is cosine similarity
+    * calibrated as a same-label predictor": LSH candidate pairs (q223's
+    * bucket join — never all-pairs) scored with the exact e6 cosine,
+    * binned into ten [-1, 1) deciles, and per bin the pair count, the
+    * same-label count, and the exact e4 empirical same-label rate. A
+    * monotone curve says cosine thresholds transfer to precision
+    * targets; a flat one (this synthetic corpus' null reading) says
+    * they don't. Complements q229's AUC (ranking quality) with the
+    * PROBABILITY-calibration view a threshold-picking operator actually
+    * needs. Binning is integer floor division on the e6 grid — no float
+    * boundary can disagree between engines. */
+  private def q305(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.{intDiv, intDivExact}
+    val e = emb(s, dir)
+    val bands = graft.operators.Lsh
+      .bandsDf(e, "vec_id", "v", Bands, Rows, Dim)
+    val pairs = bands.select(col("vec_id").as("a"), col("band"), col("bkey"))
+      .join(bands.select(col("vec_id").as("b"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    pairs
+      .join(e.select(col("vec_id").as("a"), col("label").as("la"),
+        col("v").as("va")), "a")
+      .join(e.select(col("vec_id").as("b"), col("label").as("lb"),
+        col("v").as("vb")), "b")
+      .select(
+        floor(graft.expressions.CosineSimilarity.sim(col("va"), col("vb"))
+          * lit(1000000.0) + lit(0.5)).cast("long").as("cos_e6"),
+        (col("la") === col("lb")).cast("long").as("same"))
+      .withColumn("bin",
+        least(lit(9L), intDiv(col("cos_e6") + lit(1000000L), lit(200000L))))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_pairs"), sum("same").as("n_same"))
+      .withColumn("same_rate_e4", intDivExact(
+        col("n_same").cast("decimal(38,0)") * lit(20000L) + col("n_pairs"),
+        lit(2L) * col("n_pairs")))
+      .orderBy("bin")
+  }
+
+  /** Label-noise candidates via k-NN neighborhood vote — the
+    * confident-learning-style audit a labeled corpus runs before
+    * training: for every vector, its 5 nearest neighbors (exact cosine,
+    * deterministic e6-grid/id tie-break) vote on the label; a vector
+    * whose own label loses the vote (n_same ≤ 2 of 5) is a suspect —
+    * either mislabeled or sitting on a class boundary. Zero-norm
+    * vectors are excluded up front (cosine undefined — the q202
+    * pre-flight contract). The brute candidate set is the
+    * oracle-checkable core; at 100 TB the identical vote runs over the
+    * LSH/IVF candidate arm (q51/q56) — only the neighbor-generation
+    * stage swaps. On these uncorrelated synthetic embeddings ~90% of
+    * vectors are suspects — the honest null reading (random labels
+    * cannot win random neighborhoods), and exactly why the census must
+    * be read against a base rate. */
+  private def q306(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(s, dir)
+      .filter(expr("aggregate(transform(v, x -> x * x), 0D, (a, x) -> a + x)")
+        > 0.0)
+    // queries broadcast (the SimilaritySearch.Brute shape): a BNLJ, not
+    // a CartesianProduct — the corpus side streams, never materializes
+    val scored = e.select(col("vec_id").as("c"), col("label").as("cl"),
+        col("v").as("cv"))
+      .crossJoin(broadcast(e.select(col("vec_id").as("q"),
+        col("label").as("ql"), col("v").as("qv"))))
+      .filter(col("q") =!= col("c"))
+      .select(col("q"), col("ql"), col("c"), col("cl"),
+        floor(graft.expressions.CosineSimilarity.sim(col("qv"), col("cv"))
+          * lit(1000000.0) + lit(0.5)).cast("long").as("cos_e6"))
+    val w = Window.partitionBy("q")
+      .orderBy(col("cos_e6").desc, col("c"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .groupBy(col("q").as("vec_id"), col("ql").as("label"))
+      .agg(sum((col("cl") === col("ql")).cast("long")).as("n_same5"))
+      .withColumn("is_suspect", (col("n_same5") <= 2L).cast("long"))
+      .orderBy("vec_id")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q305_cos_calibration" -> (q305 _),
+    "q306_label_noise" -> (q306 _),
     "q50_knn_cosine" -> (q50 _),
     "q227_hard_negatives" -> (q227 _),
     "q229_anchor_auc" -> (q229 _),
@@ -860,6 +941,56 @@ object SimilarityQueries extends QueryPack {
     s"floor(($e) * 10000.0 + 0.5) / 10000.0"
 
   val oracle: Map[String, String] = Map(
+    // same md5-seeded planes/buckets, same e6 cosine grid and integer
+    // decile binning, exact e4 rates
+    "q305_cos_calibration" ->
+      s"""WITH e AS (SELECT vec_id, label,
+        |  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |${Lsh.signatureSqlCtes(Bands * Rows, Dim)},
+        |${Lsh.bandsSqlCte(Bands, Rows)},
+        |p AS (
+        |  SELECT DISTINCT a.vec_id AS a, b.vec_id AS b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
+        |sc AS (
+        |  SELECT CAST(floor(list_cosine_similarity(ea.v, eb.v) * 1000000.0
+        |      + 0.5) AS BIGINT) AS cos_e6,
+        |    CASE WHEN ea.label = eb.label THEN 1 ELSE 0 END AS same
+        |  FROM p JOIN e ea ON p.a = ea.vec_id
+        |         JOIN e eb ON p.b = eb.vec_id),
+        |b AS (
+        |  SELECT least(9, CAST(((cos_e6 + 1000000) -
+        |      ((cos_e6 + 1000000) % 200000)) / 200000 AS BIGINT)) AS bin,
+        |    count(*) AS n_pairs, CAST(sum(same) AS BIGINT) AS n_same
+        |  FROM sc GROUP BY 1)
+        |SELECT bin, n_pairs, n_same,
+        |  CAST((CAST(n_same AS HUGEINT) * 20000 + n_pairs)
+        |    // (2 * n_pairs) AS BIGINT) AS same_rate_e4
+        |FROM b ORDER BY bin""".stripMargin,
+    // brute 5-NN on the same e6 grid / id tie-break, neighborhood label
+    // vote, suspects at n_same5 <= 2
+    "q306_label_noise" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings
+        |  WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+        |    CAST(embedding AS DOUBLE[])) > 0),
+        |sc AS (
+        |  SELECT q.vec_id AS q, q.label AS ql, c.label AS cl,
+        |    CAST(floor(list_cosine_similarity(q.v, c.v) * 1000000.0 + 0.5)
+        |      AS BIGINT) AS cos_e6,
+        |    c.vec_id AS c
+        |  FROM e q JOIN e c ON q.vec_id <> c.vec_id),
+        |top5 AS (
+        |  SELECT q, ql, cl FROM sc
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY q ORDER BY cos_e6 DESC, c) <= 5)
+        |SELECT q AS vec_id, ql AS label,
+        |  CAST(sum(CASE WHEN cl = ql THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_same5,
+        |  CAST(sum(CASE WHEN cl = ql THEN 1 ELSE 0 END) <= 2 AS BIGINT)
+        |    AS is_suspect
+        |FROM top5 GROUP BY q, ql ORDER BY vec_id""".stripMargin,
     // q50's brute chain and q51's LSH chain side by side (CTEs renamed
     // apart), diffed with the same left join + per-query aggregate
     "q232_ann_recall" ->

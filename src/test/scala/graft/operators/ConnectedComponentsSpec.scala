@@ -90,6 +90,22 @@ class ConnectedComponentsSpec extends SparkSuite {
     assert(got(999L) == 999L)
   }
 
+  test("starFirst produces identical labels to the propagation path") {
+    val s = spark
+    import s.implicits._
+    // chain (high diameter) + dense pair + singleton — every regime
+    val nodes = (0L to 9L) ++ Seq(20L, 21L, 30L)
+    val edges = Seq((9L, 8L), (8L, 7L), (7L, 6L), (6L, 5L), (5L, 4L),
+      (4L, 3L), (3L, 2L), (2L, 1L), (1L, 0L), (20L, 21L))
+    def run(sf: Boolean) = ConnectedComponents.components(
+      nodes.toDF("id"), edges.toDF("a", "b"), "id", "a", "b",
+      starFirst = sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaStar = run(true)
+    assert(viaStar == run(false))
+    assert(viaStar(9L) == 0L && viaStar(21L) == 20L && viaStar(30L) == 30L)
+  }
+
   test("non-convergence within maxIter fails loudly instead of truncating") {
     // the failure path must also release its iteration caches: nothing
     // caller-visible references them after the throw
