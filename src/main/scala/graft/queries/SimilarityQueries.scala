@@ -912,9 +912,55 @@ object SimilarityQueries extends QueryPack {
       .orderBy("vec_id")
   }
 
+  /** Johnson–Lindenstrauss projection audit — "can 16 random dimensions
+    * stand in for 64": every vector projects onto 16 md5-seeded
+    * hyperplanes (the [[graft.operators.Lsh]] plane family, so both
+    * engines re-derive identical planes), and for every pair in the
+    * deterministic audit sample (vec_id < 100 — an audit runs on a
+    * sample by design; the estimator, not the pair set, is what scales)
+    * the squared distance in the projected space, scaled by the
+    * unbiased 3/k factor (plane components are uniform[-1,1) ⇒
+    * variance 1/3), is compared to the original: ratio_e4 ≈ 10⁴ means
+    * the sketch preserves geometry. Float channels are closed by FIXED
+    * EVALUATION ORDER: both d² forms expand into the same textual
+    * arithmetic in both engines (three index-order dot products;
+    * sixteen squared differences summed left-to-right as columns, never
+    * a float sum() aggregate), so every double is bit-identical and the
+    * e6/e4 floors agree. */
+  private def q310(s: SparkSession, dir: String): DataFrame = {
+    val k = 16
+    val planes = graft.operators.Lsh.hyperplanes(k, Dim)
+    val e = emb(s, dir).filter(col("vec_id") < 100)
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val projCols = (0 until k).map { h =>
+      dot(col("v"), array(planes(h).map(lit).toIndexedSeq: _*)).as(s"p$h")
+    }
+    val proj = e.select(col("vec_id") +: col("v") +: projCols: _*)
+    def side(tag: String) = proj.select(
+      col("vec_id").as(tag) +: col("v").as(s"v$tag") +:
+        (0 until k).map(h => col(s"p$h").as(s"p$h$tag")): _*)
+    val d2p = (0 until k).map(h =>
+        (col(s"p${h}a") - col(s"p${h}b")) * (col(s"p${h}a") - col(s"p${h}b")))
+      .reduce(_ + _)
+    val d2o = dot(col("va"), col("va")) -
+      lit(2.0) * dot(col("va"), col("vb")) + dot(col("vb"), col("vb"))
+    side("a").crossJoin(broadcast(side("b")))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        floor(d2o * lit(1000000.0) + lit(0.5)).cast("long").as("d2_orig_e6"),
+        floor(d2p * lit(1000000.0) + lit(0.5)).cast("long").as("d2_proj_e6"),
+        when(d2o > 0.0,
+          floor(lit(10000.0) * lit(3.0) * d2p / (lit(k.toDouble) * d2o) +
+            lit(0.5)).cast("long"))
+          .otherwise(lit(null).cast("long")).as("ratio_e4"))
+      .orderBy("a", "b")
+  }
+
   val defs: Map[String, Q] = Map(
     "q305_cos_calibration" -> (q305 _),
     "q306_label_noise" -> (q306 _),
+    "q310_jl_audit" -> (q310 _),
     "q50_knn_cosine" -> (q50 _),
     "q227_hard_negatives" -> (q227 _),
     "q229_anchor_auc" -> (q229 _),
@@ -941,8 +987,40 @@ object SimilarityQueries extends QueryPack {
     s"floor(($e) * 10000.0 + 0.5) / 10000.0"
 
   val oracle: Map[String, String] = Map(
-    // same md5-seeded planes/buckets, same e6 cosine grid and integer
-    // decile binning, exact e4 rates
+    // same md5-seeded planes, same fixed-textual-order d² forms (three
+    // index-order dot products / sixteen left-assoc squared diffs), so
+    // every double matches bit-for-bit before the floors
+    "q310_jl_audit" -> {
+      val pPivot = (0 until 16)
+        .map(h => s"max(CASE WHEN h = $h THEN d END) AS p$h")
+        .mkString(", ")
+      val d2pSql = (0 until 16)
+        .map(h => s"(pa.p$h - pb.p$h) * (pa.p$h - pb.p$h)")
+        .mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id < 100),
+        |${Lsh.signatureSqlCtes(16, Dim)},
+        |pr AS (
+        |  SELECT vec_id, h, list_dot_product(v, p) AS d FROM e, planes),
+        |pv AS (SELECT vec_id, $pPivot FROM pr GROUP BY vec_id),
+        |pairs AS (
+        |  SELECT ea.vec_id AS a, eb.vec_id AS b,
+        |    list_dot_product(ea.v, ea.v)
+        |      - 2.0 * list_dot_product(ea.v, eb.v)
+        |      + list_dot_product(eb.v, eb.v) AS d2o
+        |  FROM e ea JOIN e eb ON ea.vec_id < eb.vec_id),
+        |j AS (
+        |  SELECT p.a, p.b, d2o, $d2pSql AS d2p
+        |  FROM pairs p JOIN pv pa ON p.a = pa.vec_id
+        |  JOIN pv pb ON p.b = pb.vec_id)
+        |SELECT a, b,
+        |  CAST(floor(d2o * 1000000.0 + 0.5) AS BIGINT) AS d2_orig_e6,
+        |  CAST(floor(d2p * 1000000.0 + 0.5) AS BIGINT) AS d2_proj_e6,
+        |  CASE WHEN d2o > 0.0 THEN
+        |    CAST(floor(10000.0 * 3.0 * d2p / (16.0 * d2o) + 0.5) AS BIGINT)
+        |  ELSE NULL END AS ratio_e4
+        |FROM j ORDER BY a, b""".stripMargin
+    },
     "q305_cos_calibration" ->
       s"""WITH e AS (SELECT vec_id, label,
         |  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
