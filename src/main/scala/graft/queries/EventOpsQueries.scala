@@ -1058,6 +1058,73 @@ object EventOpsQueries extends QueryPack {
       .orderBy("rnk")
   }
 
+  /** State dwell-time census — how long users LINGER in each event type
+    * (time-in-state, the duration complement of q137's transition
+    * counts): per user, each event's dwell is the exact µs gap to the
+    * user's next event (terminal events have no successor and are
+    * excluded — a dwell needs an exit); rolled up per type into count,
+    * total µs, exact half-up mean, and exact max. One window pass + one
+    * aggregate — q63's exchange shape. */
+  private def q313(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.intDivExact
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    ev(s, dir)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("dwell_us", lead("us", 1).over(w) - col("us"))
+      .filter(col("dwell_us").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_dwells"),
+        sum(col("dwell_us").cast("decimal(38,0)")).cast("long")
+          .as("total_us"),
+        max("dwell_us").as("max_us"))
+      .withColumn("mean_us", intDivExact(
+        col("total_us").cast("decimal(38,0)") * lit(2L) + col("n_dwells"),
+        lit(2L) * col("n_dwells")))
+      .select("event_type", "n_dwells", "total_us", "mean_us", "max_us")
+      .orderBy("event_type")
+  }
+
+  /** Median-of-means robust mean — the estimator a 100 TB pipeline uses
+    * when a handful of corrupted rows could drag the plain mean (MoM's
+    * breakdown point is ~1/2 per bucket): per event_type, rows land in
+    * 16 deterministic md5 buckets, each bucket's mean cents floors
+    * half-up onto the e2 grid (exact rational — so the 16 values are
+    * exact integers), and the estimate is their LOWER MEDIAN (the q183
+    * deterministic convention; no interpolation, no floats). The exact
+    * overall mean_e2 rides along — |mom − mean| is the robustness
+    * premium paid, ≈ 0 on this clean corpus (the honest null), and the
+    * alarm when they diverge on a dirty one. Bucket count is fixed at
+    * 16 regardless of scale — the rollup is O(types·16). */
+  private def q314(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.{cents, intDivExact}
+    val base = ev(s, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        (Hashing.md5U32(col("event_id").cast("string")) % 16L).as("bkt"),
+        cents(col("value")).as("c"))
+    val perB = base.groupBy("event_type", "bkt")
+      .agg(count(lit(1)).as("n"),
+        sum(col("c").cast("decimal(38,0)")).as("s"))
+      .withColumn("bmean_e2", intDivExact(
+        col("s") * lit(200L) + col("n"), lit(2L) * col("n")))
+    val mom = perB.groupBy("event_type")
+      .agg(count(lit(1)).as("n_buckets"),
+        expr("sort_array(collect_list(bmean_e2))").as("ms"))
+      .select(col("event_type"), col("n_buckets"),
+        expr("ms[cast((size(ms) - 1) / 2 as int)]").as("mom_e2"))
+    val exact = base.groupBy("event_type")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("c").cast("decimal(38,0)")).as("st"))
+      .withColumn("mean_e2", intDivExact(
+        col("st") * lit(200L) + col("n_rows"), lit(2L) * col("n_rows")))
+      .select("event_type", "n_rows", "mean_e2")
+    mom.join(exact, "event_type")
+      .withColumn("abs_gap_e2", abs(col("mom_e2") - col("mean_e2")))
+      .select("event_type", "n_rows", "n_buckets", "mom_e2", "mean_e2",
+        "abs_gap_e2")
+      .orderBy("event_type")
+  }
+
   /** Session counts before/after identity stitching — the census that
     * quantifies WHY entity resolution matters downstream: the same
     * 30-minute gap sessionization (q63's frame) run at the raw-user
@@ -1203,6 +1270,8 @@ object EventOpsQueries extends QueryPack {
     "q294_km_curve" -> (q294 _),
     "q307_logrank" -> (q307 _),
     "q308_path_trigrams" -> (q308 _),
+    "q313_state_dwell" -> (q313 _),
+    "q314_median_of_means" -> (q314 _),
     "q279_active_coverage" -> (q279 _),
     "q283_hoeffding_ci" -> (q283 _),
     "q284_entry_conversion" -> (q284 _),
@@ -1470,6 +1539,51 @@ object EventOpsQueries extends QueryPack {
     },
     // same span expansion (generate_series is sequence), same exact
     // hazard division
+    // same lead-gap dwell, HUGEINT totals, half-up exact mean
+    "q313_state_dwell" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) - epoch_us(ts) AS dwell_us
+        |  FROM events QUALIFY dwell_us IS NOT NULL)
+        |SELECT event_type, count(*) AS n_dwells,
+        |  CAST(sum(CAST(dwell_us AS HUGEINT)) AS BIGINT) AS total_us,
+        |  CAST((CAST(sum(CAST(dwell_us AS HUGEINT)) AS HUGEINT) * 2
+        |    + count(*)) // (2 * count(*)) AS BIGINT) AS mean_us,
+        |  CAST(max(dwell_us) AS BIGINT) AS max_us
+        |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // same 16 md5 buckets, exact e2 bucket means, lower-median pick,
+    // exact overall mean
+    "q314_median_of_means" -> {
+      val coin = graft.functions.Hashing
+        .md5U32Sql("CAST(event_id AS VARCHAR)")
+      val c = graft.functions.Rounding.centsSql("value")
+      s"""WITH b AS (
+        |  SELECT event_type, $coin % 16 AS bkt, $c AS c
+        |  FROM events WHERE value IS NOT NULL),
+        |pb AS (
+        |  SELECT event_type, bkt, count(*) AS n,
+        |    sum(CAST(c AS HUGEINT)) AS s
+        |  FROM b GROUP BY 1, 2),
+        |bm AS (
+        |  SELECT event_type,
+        |    CAST((s * 200 + n) // (2 * n) AS BIGINT) AS bmean_e2
+        |  FROM pb),
+        |mom AS (
+        |  SELECT event_type, count(*) AS n_buckets,
+        |    (list_sort(list(bmean_e2)))[
+        |      CAST((count(*) - 1) // 2 AS INTEGER) + 1] AS mom_e2
+        |  FROM bm GROUP BY event_type),
+        |ex AS (
+        |  SELECT event_type, count(*) AS n_rows,
+        |    CAST((sum(CAST(c AS HUGEINT)) * 200 + count(*))
+        |      // (2 * count(*)) AS BIGINT) AS mean_e2
+        |  FROM b GROUP BY event_type)
+        |SELECT mom.event_type, n_rows, n_buckets, mom_e2, mean_e2,
+        |  abs(mom_e2 - mean_e2) AS abs_gap_e2
+        |FROM mom JOIN ex ON mom.event_type = ex.event_type
+        |ORDER BY mom.event_type""".stripMargin
+    },
     // same coin, same day grid, same floor-per-term e6 O−E and variance
     // terms, same half-up e4 z² through HUGEINT
     "q307_logrank" -> {

@@ -1245,8 +1245,56 @@ object TpchQueries extends QueryPack {
       .orderBy("threshold")
   }
 
+  /** Contribution analysis ("why did the metric move"): the 1996→1997
+    * revenue delta decomposed BY CUSTOMER NATION — the first question
+    * every BI review asks of a moved total, answered exactly: per
+    * nation, both years' e4 fixed-point revenue, the signed delta, its
+    * signed e4 share of the NET change (truncated toward zero —
+    * dividend-signed in both engines; shares can exceed ±10⁴ when
+    * nations move in opposite directions, which is exactly the
+    * offsetting-moves insight the decomposition exists to surface), and
+    * the rank by |delta| (ties to nation name). Σdelta ≡ net by
+    * construction — the decomposition is complete, not sampled.
+    * full_outer keeps nations present in only one year. The ranking
+    * window is over the 25-nation dimension — bounded. */
+  private def q312(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.intDivExact
+    import org.apache.spark.sql.expressions.Window
+    def yr(y: Int, out: String): DataFrame =
+      Tables.load(s, dir, "orders")
+        .filter(expr(s"year(o_orderdate) = $y"))
+        .join(Tables.load(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.load(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables.load(s, dir, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"))
+        .agg(sumCents(vol4).as(out))
+    val j = yr(1996, "rev96_4").join(yr(1997, "rev97_4"),
+        Seq("nation"), "full_outer")
+      .select(col("nation"),
+        coalesce(col("rev96_4"), lit(0L)).as("rev96_4"),
+        coalesce(col("rev97_4"), lit(0L)).as("rev97_4"))
+      .withColumn("delta_4", col("rev97_4") - col("rev96_4"))
+    val net = j.agg(
+      sum(col("delta_4").cast("decimal(38,0)")).cast("long").as("net_4"))
+    j.crossJoin(broadcast(net))
+      .withColumn("contrib_e4",
+        when(col("net_4") =!= 0L, intDivExact(
+          col("delta_4").cast("decimal(38,0)") * lit(10000L),
+          col("net_4"))).otherwise(lit(null).cast("long")))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(abs(col("delta_4")).desc, col("nation")))
+        .cast("long"))
+      .select("rnk", "nation", "rev96_4", "rev97_4", "delta_4",
+        "contrib_e4")
+      .orderBy("rnk")
+  }
+
   val defs: Map[String, Q] = Map(
     "q298_gini_stump" -> (q298 _),
+    "q312_top_movers" -> (q312 _),
     "q241_tpch_refresh" -> (q241 _),
     "q243_bom_rollup" -> (q243 _),
     "q260_key_gap_audit" -> (q260 _),
@@ -1292,6 +1340,38 @@ object TpchQueries extends QueryPack {
       "CAST(floor((1 - l_discount) * 100.0 + 0.5) AS BIGINT)"
 
   val oracle: Map[String, String] = Map(
+    // same joins, same e4 revenue basis, same signed truncating share
+    // and |delta| ranking
+    "q312_top_movers" -> {
+      val vol = s"${graft.functions.Rounding.centsSql("l_extendedprice")} * " +
+        s"${graft.functions.Rounding.centsSql("1 - l_discount")}"
+      s"""WITH y AS (
+        |  SELECT n_name AS nation, year(o_orderdate) AS yy,
+        |    CAST(sum(CAST($vol AS DECIMAL(38,0))) AS BIGINT) AS rev4
+        |  FROM orders
+        |  JOIN lineitem ON o_orderkey = l_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE year(o_orderdate) IN (1996, 1997)
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT COALESCE(a.nation, b.nation) AS nation,
+        |    COALESCE(a.rev4, 0) AS rev96_4, COALESCE(b.rev4, 0) AS rev97_4
+        |  FROM (SELECT nation, rev4 FROM y WHERE yy = 1996) a
+        |  FULL OUTER JOIN (SELECT nation, rev4 FROM y WHERE yy = 1997) b
+        |    ON a.nation = b.nation),
+        |d AS (SELECT nation, rev96_4, rev97_4,
+        |        rev97_4 - rev96_4 AS delta_4 FROM p),
+        |net AS (SELECT CAST(sum(CAST(delta_4 AS HUGEINT)) AS BIGINT)
+        |          AS net_4 FROM d)
+        |SELECT CAST(row_number() OVER (ORDER BY abs(delta_4) DESC, nation)
+        |    AS BIGINT) AS rnk,
+        |  nation, rev96_4, rev97_4, delta_4,
+        |  CASE WHEN net_4 <> 0 THEN
+        |    CAST(CAST(delta_4 AS HUGEINT) * 10000 // net_4 AS BIGINT)
+        |  ELSE NULL END AS contrib_e4
+        |FROM d, net ORDER BY rnk""".stripMargin
+    },
     // same bounded-threshold cumulative pass, the identical one-rational
     // Gini through HUGEINT, ties to the smaller threshold
     "q298_gini_stump" ->
