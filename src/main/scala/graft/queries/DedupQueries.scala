@@ -64,12 +64,60 @@ object DedupQueries extends QueryPack {
     * rationale). The oracle groups on gram TEXT; results agree because
     * hash-equality ≡ text-equality absent 64-bit collisions (negligible
     * at any per-corpus shingle cardinality < 10⁹). */
-  private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
-    graft.operators.DedupPipeline
-      .nearDupPairs(docs(s, dir), "doc_id", "text", n = 5,
-        minJaccard = 0.1, maxDf = maxDf)
-      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
-        col("inter"), col("jaccard"))
+  /** Memoized per (session, dir) behind an eager localCheckpoint — the
+    * identityClusters pattern (EventOpsQueries) applied to this file's
+    * hottest shared stage: SEVEN standalone queries (q41/q67/q151/q156/
+    * q198/q219/q239) each rebuilt the full shingle→df-gate→pair-mining
+    * chain (~1-2s each at sf0.1) for a bit-identical pair table. The
+    * table is pair-fan-out-bounded by the df gate (checkpoint-safe by
+    * the q108Stages argument); the build is deterministic (sorted
+    * collect_set expansion), so every consumer — and the oracle — sees
+    * identical rows. Weak session key; cold call builds everything. */
+  private val jaccardMemo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, (String, DataFrame)]())
+
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val hit = jaccardMemo.get(s)
+    if (hit != null && hit._1 == dir) hit._2
+    else {
+      val built = graft.operators.DedupPipeline
+        .nearDupPairs(docs(s, dir), "doc_id", "text", n = 5,
+          minJaccard = 0.1, maxDf = maxDf)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+          col("inter"), col("jaccard"))
+        .localCheckpoint(true)
+      jaccardMemo.put(s, (dir, built))
+      built
+    }
+  }
+
+  /** (doc_id, comp) cluster assignment over the q41 pair graph — the CC
+    * closure q67/q198/q219 all need, memoized per (session, dir) behind
+    * an eager localCheckpoint (the jaccardPairs/identityClusters
+    * pattern one stage further down the funnel: three standalone
+    * queries each re-ran the O(edges)-per-round closure for
+    * bit-identical labels). One row per document — corpus-bounded; the
+    * CC result's own iteration cache is released once the checkpoint
+    * materializes. */
+  private val clusterMemo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, (String, DataFrame)]())
+
+  private def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val hit = clusterMemo.get(s)
+    if (hit != null && hit._1 == dir) hit._2
+    else {
+      val cc = graft.operators.ConnectedComponents
+        .components(docs(s, dir).select("doc_id"),
+          jaccardPairs(s, dir).select("doc_a", "doc_b"),
+          "doc_id", "doc_a", "doc_b")
+      val built = cc
+        .select(col("id").as("doc_id"), col("comp"))
+        .localCheckpoint(true)
+      cc.unpersist()
+      clusterMemo.put(s, (dir, built))
+      built
+    }
+  }
 
   /** Dedup clustering: connected components over the near-dup pair graph
     * (graft.operators.ConnectedComponents — iterative min-label
@@ -77,16 +125,12 @@ object DedupQueries extends QueryPack {
     * with its cluster id (min doc_id in its component) and whether it is
     * the canonical keeper. Similarity is NOT transitive, so this is a real
     * closure, not a group-by: A~B and B~C cluster {A,B,C} even when A~C
-    * misses the threshold. */
-  private def q67(s: SparkSession, dir: String): DataFrame = {
-    val edges = jaccardPairs(s, dir).select("doc_a", "doc_b")
-    val nodes = docs(s, dir).select("doc_id")
-    graft.operators.ConnectedComponents
-      .components(nodes, edges, "doc_id", "doc_a", "doc_b")
-      .select(col("id").as("doc_id"), col("comp").as("cluster_id"),
-        (col("id") === col("comp")).as("is_canonical"))
+    * misses the threshold. Closure shared via [[dedupClusters]]. */
+  private def q67(s: SparkSession, dir: String): DataFrame =
+    dedupClusters(s, dir)
+      .select(col("doc_id"), col("comp").as("cluster_id"),
+        (col("doc_id") === col("comp")).as("is_canonical"))
       .orderBy("doc_id")
-  }
 
   /** MinHash + LSH: word-3-gram shingles → ONE md5 per shingle split into
     * two 32-bit halves (a, b) → K universal hashes h_k = (a + k·b) mod p →
@@ -214,11 +258,8 @@ object DedupQueries extends QueryPack {
     val exact = d
       .withColumn("keep_id", min("doc_id").over(Window.partitionBy("fp")))
       .select(col("doc_id"), (col("doc_id") =!= col("keep_id")).as("is_ex"))
-    val cl = graft.operators.ConnectedComponents
-      .components(docs(s, dir).select("doc_id"),
-        jaccardPairs(s, dir).select("doc_a", "doc_b"),
-        "doc_id", "doc_a", "doc_b")
-      .select(col("id").as("doc_id"), (col("id") =!= col("comp")).as("nc"))
+    val cl = dedupClusters(s, dir)
+      .select(col("doc_id"), (col("doc_id") =!= col("comp")).as("nc"))
     val kept = !col("is_ex") && !col("nc")
     d.join(exact, "doc_id").join(cl, "doc_id")
       .groupBy("source")
@@ -598,17 +639,14 @@ object DedupQueries extends QueryPack {
     * which is exactly what this query emits and the oracle proves
     * (same schema as q156 for direct comparison; only (x, x) buckets can
     * appear). This is sklearn's GroupShuffleSplit generalized to groups
-    * the data itself discovers. The pair graph is mined ONCE and
-    * materialized (eager localCheckpoint): the CC closure and the census
-    * both read the same cached edge table — recomputing the shingle
-    * pipeline per consumer measured 1.5× the whole query's cost. */
+    * the data itself discovers. Both the pair graph ([[jaccardPairs]])
+    * and the CC closure ([[dedupClusters]]) come from the shared
+    * per-(session, dir) checkpointed memos — the census and the split
+    * assignment read cached tables, never re-mine the shingle chain. */
   private def q198(s: SparkSession, dir: String): DataFrame = {
     val edges = jaccardPairs(s, dir).select("doc_a", "doc_b")
-      .localCheckpoint(true)
-    val cl = graft.operators.ConnectedComponents
-      .components(docs(s, dir).select("doc_id"), edges,
-        "doc_id", "doc_a", "doc_b")
-      .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+    val cl = dedupClusters(s, dir)
+      .select(col("doc_id"), col("comp").as("cluster_id"))
     val u = Hashing.md5Uniform(col("cluster_id").cast("string"))
     val sp = cl.select(col("doc_id"),
       when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test")

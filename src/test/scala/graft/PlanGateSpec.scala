@@ -36,7 +36,11 @@ object PlanGateSpec {
     "q223_mutual_knn" -> 17L,
     "q100_fuzzy_match" -> 2L,
     "q118_kmeans" -> 4L,
-    "q280_cluster_purity" -> 7L)
+    "q280_cluster_purity" -> 7L,
+    "q299_hub_robustness" -> 6L,
+    "q309_landmark_centrality" -> 2L,
+    "q306_label_noise" -> 2L,
+    "q310_jl_audit" -> 1L)
   def maxShuffles(name: String): Long = measured(name) + slack
 }
 
