@@ -89,14 +89,21 @@ object Bench {
             "flatten(transform(us, x -> transform(filter(us, y -> y > x), " +
               "y -> named_struct('a', x, 'b', y))))")).as("p"))
           .select(col("p.a"), col("p.b")).distinct()
-        graft.operators.ConnectedComponents
+        // components() returns a persisted frame whose release is the
+        // caller's contract — unpersist both warmup results so they
+        // don't pin executor storage for the whole suite
+        val warmCc = graft.operators.ConnectedComponents
           .components(uk.select(col("user_id")).distinct(), pairs,
-            "user_id", "a", "b").count()
+            "user_id", "a", "b")
+        warmCc.count()
+        warmCc.unpersist()
         val nodes = spark.range(64).selectExpr("id as n")
         val cedges = spark.range(63)
           .selectExpr("id as a", "id + 1 as b")
-        graft.operators.ConnectedComponents
-          .components(nodes, cedges, "n", "a", "b").count()
+        val warmChain = graft.operators.ConnectedComponents
+          .components(nodes, cedges, "n", "a", "b")
+        warmChain.count()
+        warmChain.unpersist()
         // the fixed-point PageRank rounds (intDiv chains + per-round
         // decimal contribution sums + left joins) are yet another
         // codegen family; q231 (alphabetically before q97) absorbed it

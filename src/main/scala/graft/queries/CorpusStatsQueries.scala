@@ -640,11 +640,13 @@ object CorpusStatsQueries extends QueryPack {
           col("nb").cast("decimal(38,0)") * col("ta"))).as("num"))
       .select(col("src_a"), col("src_b"),
         col("ta").as("tokens_a"), col("tb").as("tokens_b"),
-        intDivExact(
+        // empty-support guard: a source with zero top-vocab tokens has
+        // no distribution — agreed NULL, not Spark-NULL/DuckDB-error
+        when(col("ta") > 0L && col("tb") > 0L, intDivExact(
           col("num") * lit(1000000L) + col("ta").cast("decimal(38,0)") *
             col("tb"),
-          lit(2L) * col("ta").cast("decimal(38,0)") * col("tb"))
-          .as("tvd_e6"))
+          lit(2L) * col("ta").cast("decimal(38,0)") * col("tb")))
+          .otherwise(lit(null).cast("long")).as("tvd_e6"))
       .orderBy("src_a", "src_b")
   }
 
@@ -708,8 +710,10 @@ object CorpusStatsQueries extends QueryPack {
         |      AS num
         |  FROM p GROUP BY 1, 2)
         |SELECT src_a, src_b, ta AS tokens_a, tb AS tokens_b,
-        |  CAST((num * 1000000 + CAST(ta AS HUGEINT) * tb)
-        |    // (2 * CAST(ta AS HUGEINT) * tb) AS BIGINT) AS tvd_e6
+        |  CASE WHEN ta > 0 AND tb > 0 THEN
+        |    CAST((num * 1000000 + CAST(ta AS HUGEINT) * tb)
+        |      // (2 * CAST(ta AS HUGEINT) * tb) AS BIGINT)
+        |  ELSE NULL END AS tvd_e6
         |FROM agg ORDER BY src_a, src_b""".stripMargin,
     // first-sighting aggregation on gram TEXT (hash ≡ text, the q41
     // argument), same ten checkpoints

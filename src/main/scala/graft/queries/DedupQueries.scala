@@ -64,32 +64,26 @@ object DedupQueries extends QueryPack {
     * rationale). The oracle groups on gram TEXT; results agree because
     * hash-equality ≡ text-equality absent 64-bit collisions (negligible
     * at any per-corpus shingle cardinality < 10⁹). */
-  /** Memoized per (session, dir) behind an eager localCheckpoint — the
-    * identityClusters pattern (EventOpsQueries) applied to this file's
-    * hottest shared stage: SEVEN standalone queries (q41/q67/q151/q156/
+  /** Memoized per (session, dir) via [[graft.operators.SessionDirMemo]]
+    * (single slot, eager localCheckpoint — see its scaladoc for the
+    * retention argument): SEVEN standalone queries (q41/q67/q151/q156/
     * q198/q219/q239) each rebuilt the full shingle→df-gate→pair-mining
     * chain (~1-2s each at sf0.1) for a bit-identical pair table. The
     * table is pair-fan-out-bounded by the df gate (checkpoint-safe by
     * the q108Stages argument); the build is deterministic (sorted
     * collect_set expansion), so every consumer — and the oracle — sees
-    * identical rows. Weak session key; cold call builds everything. */
-  private val jaccardMemo = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession, (String, DataFrame)]())
+    * identical rows whether the slot hits or a cold call builds. */
+  private val jaccardMemo = new graft.operators.SessionDirMemo
 
-  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val hit = jaccardMemo.get(s)
-    if (hit != null && hit._1 == dir) hit._2
-    else {
-      val built = graft.operators.DedupPipeline
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
+    jaccardMemo.get(s, dir) {
+      graft.operators.DedupPipeline
         .nearDupPairs(docs(s, dir), "doc_id", "text", n = 5,
           minJaccard = 0.1, maxDf = maxDf)
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
           col("inter"), col("jaccard"))
         .localCheckpoint(true)
-      jaccardMemo.put(s, (dir, built))
-      built
     }
-  }
 
   /** (doc_id, comp) cluster assignment over the q41 pair graph — the CC
     * closure q67/q198/q219 all need, memoized per (session, dir) behind
@@ -99,25 +93,22 @@ object DedupQueries extends QueryPack {
     * bit-identical labels). One row per document — corpus-bounded; the
     * CC result's own iteration cache is released once the checkpoint
     * materializes. */
-  private val clusterMemo = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession, (String, DataFrame)]())
+  private val clusterMemo = new graft.operators.SessionDirMemo
 
-  private def dedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val hit = clusterMemo.get(s)
-    if (hit != null && hit._1 == dir) hit._2
-    else {
+  private def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    clusterMemo.get(s, dir) {
       val cc = graft.operators.ConnectedComponents
         .components(docs(s, dir).select("doc_id"),
           jaccardPairs(s, dir).select("doc_a", "doc_b"),
           "doc_id", "doc_a", "doc_b")
-      val built = cc
-        .select(col("id").as("doc_id"), col("comp"))
+      // the memo checkpoints the projection; release the CC result's own
+      // persisted cache once the checkpoint has materialized — returning
+      // it un-released would pin a second copy for the session's life
+      val projected = cc.select(col("id").as("doc_id"), col("comp"))
         .localCheckpoint(true)
       cc.unpersist()
-      clusterMemo.put(s, (dir, built))
-      built
+      projected
     }
-  }
 
   /** Dedup clustering: connected components over the near-dup pair graph
     * (graft.operators.ConnectedComponents — iterative min-label

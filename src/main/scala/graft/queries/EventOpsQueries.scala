@@ -472,29 +472,23 @@ object EventOpsQueries extends QueryPack {
   /** (user_id, identity_id) cluster assignment — q244's machinery,
     * shared with q247's survivorship pass and q275's stitched sessions.
     *
-    * Memoized per (session, dir) behind an eager localCheckpoint, the
+    * Memoized per (session, dir) via [[graft.operators.SessionDirMemo]]
+    * (single slot, eager localCheckpoint — see its scaladoc for why the
+    * slot, not a weak map, is the honest retention bound), the
     * cross-query analogue of q263's pairs materialization
     * ([[ScaleQueries]]): the CC run costs ~2s of label-join rounds at
     * sf0.1 and feeds THREE standalone queries, so rebuilding it per
     * consumer triples the cost for bit-identical output (the build is
     * deterministic — sorted collect_set, min-label CC). The checkpoint
-    * holds one row per user (user-scale, not event-scale), so pinning
-    * it for the session's life is bounded by the same argument as the
-    * q108Stages graph stages. Weak session key: a stopped SparkSession
-    * must not be pinned by the memo. Each query still stands alone for
-    * the oracle — a cold call builds everything. */
-  private val identityMemo = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession, (String, DataFrame)]())
+    * holds one row per user (user-scale, not event-scale). Each query
+    * still stands alone for the oracle — a cold call builds
+    * everything. */
+  private val identityMemo = new graft.operators.SessionDirMemo
 
-  private def identityClusters(s: SparkSession, dir: String): DataFrame = {
-    val hit = identityMemo.get(s)
-    if (hit != null && hit._1 == dir) hit._2
-    else {
-      val built = identityClustersBuild(s, dir).localCheckpoint(true)
-      identityMemo.put(s, (dir, built))
-      built
+  private def identityClusters(s: SparkSession, dir: String): DataFrame =
+    identityMemo.get(s, dir) {
+      identityClustersBuild(s, dir).localCheckpoint(true)
     }
-  }
 
   private def identityClustersBuild(s: SparkSession, dir: String): DataFrame = {
     val uk = ev(s, dir)

@@ -399,7 +399,10 @@ object QualityQueries extends QueryPack {
     termed.crossJoin(broadcast(chi))
       .select(col("event_type"), col("wd"), col("obs"),
         col("exp_e3"), col("term_e6"), col("chi2_e6"),
-        intDivExact(col("chi2_e6"), col("vden")).as("v2_e6"))
+        // dof guard: a single-category corpus makes min(dr,dc) = 0 —
+        // agreed NULL in both engines rather than Spark-NULL/DuckDB-error
+        when(col("vden") > 0L, intDivExact(col("chi2_e6"), col("vden")))
+          .otherwise(lit(null).cast("long")).as("v2_e6"))
       .orderBy("event_type", "wd")
   }
 
@@ -448,7 +451,9 @@ object QualityQueries extends QueryPack {
         |    (SELECT nt * least(dr, dc) FROM nn) AS vden
         |  FROM t)
         |SELECT event_type, wd, obs, exp_e3, term_e6, chi2_e6,
-        |  CAST(CAST(chi2_e6 AS HUGEINT) // vden AS BIGINT) AS v2_e6
+        |  CASE WHEN vden > 0 THEN
+        |    CAST(CAST(chi2_e6 AS HUGEINT) // vden AS BIGINT)
+        |  ELSE NULL END AS v2_e6
         |FROM t, chi ORDER BY event_type, wd""".stripMargin,
     // same dense lattice, same cumulative-diff EMD closed form, HUGEINT
     // products mirror the engine's decimal chain

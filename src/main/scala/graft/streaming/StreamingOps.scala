@@ -209,13 +209,20 @@ object StreamingOps {
     * equality StreamingSpec pins. Cross-band duplicates of the same id
     * pair are the caller's distinct(), exactly as in batch LSH.
     *
-    * State is bounded per bucket by `maxPerBucket` (the df-gate
-    * argument from the shingle miners: a degenerate bucket — the
-    * all-zeros region every near-duplicate boilerplate vector hashes
-    * into — would otherwise grow state AND fan-out without bound; once
-    * capped, later arrivals still screen against the standing members
-    * but stop enlarging the bucket). Production would also expire
-    * members by event-time; the cap is the load-bearing bound. */
+    * State is bounded per bucket by `maxPerBucket` — the df-gate
+    * argument from the shingle miners, applied with the df-gate's exact
+    * semantics: once a bucket is full, later arrivals are DROPPED from
+    * that bucket entirely (no pairs, no state change), just as a
+    * past-cap shingle stops generating candidates. The softer
+    * alternative — screen new arrivals against the capped membership
+    * without recording them — would silently break the exactly-once
+    * pair contract under at-least-once delivery (a redelivered
+    * unrecorded id would re-emit its pairs), so the recall loss is
+    * taken loudly at the cap instead. A degenerate bucket (the
+    * all-zeros region every boilerplate vector hashes into) is exactly
+    * where both state AND fan-out must stop growing. Production would
+    * also expire members by event-time; the cap is the load-bearing
+    * bound. */
   def nearDupStream(vectors: DataFrame, idCol: String, vecCol: String,
       dim: Int, bands: Int = 32, rowsPerBand: Int = 4,
       minCosE6: Long = 900000L, maxPerBucket: Int = 1000)
@@ -256,8 +263,11 @@ object StreamingOps {
           val out = scala.collection.mutable.ListBuffer.empty[NearDupPair]
           batch.toSeq.sortBy(_._1).foreach { case (id, v, band, _) =>
             // replay guard: a re-delivered id must not pair with itself
-            // or double-enter the bucket (at-least-once sources)
-            if (!seen.exists(_.id == id)) {
+            // or double-enter the bucket (at-least-once sources). A FULL
+            // bucket drops the arrival entirely (see the cap contract in
+            // the scaladoc) — pairing without recording would re-emit on
+            // redelivery.
+            if (seen.length < maxPerBucket && !seen.exists(_.id == id)) {
               seen.foreach { e =>
                 cosE6(e.v, v).foreach { c =>
                   if (c >= minCosE6)
@@ -265,7 +275,7 @@ object StreamingOps {
                       math.min(e.id, id), math.max(e.id, id), c)
                 }
               }
-              if (seen.length < maxPerBucket) seen = seen :+ VecEntry(id, v)
+              seen = seen :+ VecEntry(id, v)
             }
           }
           state.update(seen)

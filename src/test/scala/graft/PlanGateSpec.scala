@@ -47,6 +47,32 @@ object PlanGateSpec {
 class PlanGateSpec extends SparkSuite {
   private val sf = "/root/testdata/sf0.001"
 
+  // The memoized queries (q67/q198/q219/q244/q247/q275 …) audit as
+  // post-checkpoint STUB plans — the expensive chains behind them are
+  // invisible to the per-query pins above. Gate the raw BUILDERS
+  // directly so a lost broadcast or new cartesian inside the shared
+  // shingle→pair chain still fails the suite. (nearDupPairs is pure-lazy,
+  // so its full logical chain is auditable; pins measured like the rest.)
+  test("memoized-stage builder: nearDupPairs chain keeps its shape") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val a = operators.PlanAudit.of(operators.DedupPipeline
+      .nearDupPairs(docs, "doc_id", "text", n = 5, minJaccard = 0.1,
+        maxDf = 1000))
+    assert(a.cartesians == 0, s"cartesian in the pair-mining chain: $a")
+    assert(a.shuffles <= 3L + 2L,
+      s"nearDupPairs shuffles ${a.shuffles} > pinned 3+2: $a")
+  }
+
+  test("memoized-stage builder: containmentPairs chain keeps its shape") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val a = operators.PlanAudit.of(operators.DedupPipeline
+      .containmentPairs(docs, "doc_id", "text", n = 5,
+        minContainment = 0.5, maxDf = 1000))
+    assert(a.cartesians == 0, s"cartesian in the containment chain: $a")
+    assert(a.shuffles <= 7L + 2L,
+      s"containmentPairs shuffles ${a.shuffles} > pinned 7+2: $a")
+  }
+
   for ((name, pinned) <- PlanGateSpec.measured.toSeq.sortBy(_._1)) {
     test(s"$name plan: zero cartesians, shuffles <= pinned ${pinned} + 2") {
       val a = PlanAudit.of(SparkEntry.queries(name)(spark, sf))
