@@ -719,6 +719,77 @@ object EventOpsQueries extends QueryPack {
           .otherwise("none").as("winner"))
   }
 
+  /** Group-sequential A/B monitoring table — the "peek every day
+    * without lying to yourself" ledger an experimentation platform
+    * renders: per calendar day k of K, the cumulative per-arm converter
+    * counts (a user converts on the day of their 15th purchase — the
+    * q256 criterion made temporal), the two-proportion z² on the e6
+    * grid, and whether the running statistic crosses an
+    * O'Brien–Fleming-SHAPED boundary z²_k ≥ C²·K/k (early looks need
+    * overwhelming evidence, the final look needs C alone; C = 2.24 ⇒
+    * C² = 3136/625 exactly, so the crossing test is the pure-integer
+    * cross-multiplication 625·d²·N·k ≥ 3136·K·n_a·n_b·X·(N−X) — the
+    * q256 discipline with the spending shape folded into the
+    * rationals; no sqrt, no float, no alpha table). Denominators are
+    * the full enrolled arms (every user is in from day one on this
+    * corpus). Degenerate days (no converters yet, or everyone
+    * converted) carry NULL z² and crossed = 0. On the null coin split
+    * the table never crosses — the calibration read. Day grid and
+    * running sums are calendar-bounded windows. */
+  private def q315(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.intDivExact
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val convDay = ev(s, dir)
+      .filter(col("event_type") === "purchase")
+      .withColumn("k", count(lit(1)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("k") === 15L)
+      .select(col("user_id"), to_date(col("ts")).as("conv_day"))
+    val arm = when(
+      Hashing.md5U32(col("user_id").cast("string")) % 2L === 0L, "A")
+      .otherwise("B")
+    val armSizes = ev(s, dir).select(col("user_id")).distinct()
+      .select(col("user_id"), arm.as("g"))
+      .groupBy()
+      .agg(sum(when(col("g") === "A", 1L).otherwise(0L)).as("na"),
+        sum(when(col("g") === "B", 1L).otherwise(0L)).as("nb"))
+    val daily = convDay
+      .select(col("conv_day"), arm.as("g"))
+      .groupBy("conv_day")
+      .agg(sum(when(col("g") === "A", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("g") === "B", 1L).otherwise(0L)).as("cb"))
+    val grid = ev(s, dir).select(to_date(col("ts")).as("day")).distinct()
+    val wd = Window.orderBy("day") // calendar-bounded
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid
+      .join(daily, grid("day") === daily("conv_day"), "left")
+      .select(col("day"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+      .withColumn("xa", sum("ca").over(wd))
+      .withColumn("xb", sum("cb").over(wd))
+      .withColumn("k", row_number().over(Window.orderBy("day")).cast("long"))
+      .crossJoin(broadcast(armSizes))
+    val kk = cum.agg(max("k").as("kt"))
+    val d = (col("xa").cast("decimal(38,0)") * col("nb") -
+      col("xb").cast("decimal(38,0)") * col("na"))
+    val bigN = (col("na") + col("nb")).cast("decimal(38,0)")
+    val bigX = (col("xa") + col("xb")).cast("decimal(38,0)")
+    val den = col("na").cast("decimal(38,0)") * col("nb") * bigX *
+      (bigN - bigX)
+    cum.crossJoin(broadcast(kk))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("k"), col("kt").as("k_total"),
+        col("xa"), col("xb"), col("na"), col("nb"),
+        when(bigX > 0 && bigX < bigN,
+          intDivExact(lit(1000000L) * d * d * bigN, den)).otherwise(
+          lit(null).cast("long")).as("z2_e6"),
+        when(bigX > 0 && bigX < bigN,
+          (lit(625L) * d * d * bigN * col("k") >=
+            lit(3136L) * col("kt") * den).cast("long"))
+          .otherwise(lit(0L)).as("crossed"))
+      .orderBy("day")
+  }
+
   /** LTV tenure curve — revenue by user AGE rather than by calendar
     * (the cohort-normalized view that makes acquisition vintages
     * comparable): each purchase lands in its user's tenure week
@@ -1266,6 +1337,7 @@ object EventOpsQueries extends QueryPack {
     "q308_path_trigrams" -> (q308 _),
     "q313_state_dwell" -> (q313 _),
     "q314_median_of_means" -> (q314 _),
+    "q315_sequential_ab" -> (q315 _),
     "q279_active_coverage" -> (q279 _),
     "q283_hoeffding_ci" -> (q283 _),
     "q284_entry_conversion" -> (q284 _),
@@ -1533,6 +1605,63 @@ object EventOpsQueries extends QueryPack {
     },
     // same span expansion (generate_series is sequence), same exact
     // hazard division
+    // same 15th-purchase conversion days, cumulative window, and the
+    // identical pure-integer z²/boundary cross-multiplications
+    "q315_sequential_ab" -> {
+      val coin = graft.functions.Hashing
+        .md5U32Sql("CAST(user_id AS VARCHAR)")
+      s"""WITH p AS (
+        |  SELECT user_id, ts,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS k
+        |  FROM events WHERE event_type = 'purchase'),
+        |conv AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS conv_day
+        |  FROM p WHERE k = 15),
+        |arms AS (
+        |  SELECT CAST(sum(CASE WHEN g = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS na,
+        |    CAST(sum(CASE WHEN g = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nb
+        |  FROM (SELECT DISTINCT user_id,
+        |    CASE WHEN $coin % 2 = 0 THEN 'A' ELSE 'B' END AS g
+        |    FROM events)),
+        |daily AS (
+        |  SELECT conv_day,
+        |    CAST(sum(CASE WHEN $coin % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN $coin % 2 = 0 THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS cb
+        |  FROM conv GROUP BY conv_day),
+        |grid AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+        |cum AS (
+        |  SELECT day,
+        |    CAST(sum(COALESCE(ca, 0)) OVER (ORDER BY day
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS xa,
+        |    CAST(sum(COALESCE(cb, 0)) OVER (ORDER BY day
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS xb,
+        |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS k
+        |  FROM grid LEFT JOIN daily ON grid.day = daily.conv_day),
+        |kt AS (SELECT max(k) AS k_total FROM cum),
+        |z AS (
+        |  SELECT day, k, k_total, xa, xb, na, nb,
+        |    CAST(xa AS HUGEINT) * nb - CAST(xb AS HUGEINT) * na AS d,
+        |    CAST(na + nb AS HUGEINT) AS bn,
+        |    CAST(xa + xb AS HUGEINT) AS bx,
+        |    CAST(na AS HUGEINT) * nb AS nanb
+        |  FROM cum, arms, kt)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, k, k_total, xa, xb,
+        |  na, nb,
+        |  CASE WHEN bx > 0 AND bx < bn THEN
+        |    CAST((1000000 * d * d * bn)
+        |      // (nanb * bx * (bn - bx)) AS BIGINT)
+        |  ELSE NULL END AS z2_e6,
+        |  CASE WHEN bx > 0 AND bx < bn THEN
+        |    CAST(625 * d * d * bn * k >=
+        |      3136 * k_total * nanb * bx * (bn - bx) AS BIGINT)
+        |  ELSE 0 END AS crossed
+        |FROM z ORDER BY day""".stripMargin
+    },
     // same lead-gap dwell, HUGEINT totals, half-up exact mean
     "q313_state_dwell" ->
       """WITH d AS (
