@@ -849,7 +849,46 @@ object CurationQueries extends QueryPack {
     "q101_histogram" -> (q101 _),
     "q132_token_budget" -> (q132 _),
     "q139_temperature_mix" -> (q139 _),
-    "q297_waterfill_budget" -> (q297 _))
+    "q297_waterfill_budget" -> (q297 _),
+    "q319_compression_ratio" -> (q319 _))
+
+  /** Deflate compression-ratio quality signal — the Gopher/CCNet-family
+    * heuristic no regex can fake: highly repetitive or templated text
+    * compresses far below natural prose, so the per-doc
+    * deflate(bytes)/bytes ratio is a one-number redundancy detector
+    * (low ratio → boilerplate/spam candidate, very high → binary junk
+    * mislabeled as text). Computed in `mapPartitions` — the engine's
+    * binary-codec altitude (the multimodal rule): one java.util.zip
+    * Deflater per PARTITION, reset per row, level 6; output length is
+    * deterministic for a fixed zlib implementation, so runs are stable
+    * within an environment, and the source census rolls up exact
+    * integer byte totals. No DuckDB oracle (no SQL zlib) — the driver
+    * records the rows-only check; value-level pins live in
+    * CurationPipelineSpec (repetitive ≪ prose, bounds). */
+  private def q319(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        val buf = new Array[Byte](1 << 16)
+        val d = new java.util.zip.Deflater(6)
+        it.map { case (id, src, text) =>
+          val in = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          d.reset()
+          d.setInput(in)
+          d.finish()
+          var n = 0L
+          while (!d.finished()) n += d.deflate(buf)
+          // half-up e4 ratio in pure long math (orig > 0: docs non-empty)
+          val orig = in.length.toLong
+          (id, src, orig, n, (n * 20000L + orig) / (2L * orig))
+        }
+      }
+      .toDF("doc_id", "source", "orig_bytes", "deflate_bytes", "ratio_e4")
+      .orderBy("doc_id")
+  }
 
   /** Max-min fair (water-filling) token-budget allocation across
     * sources — the OTHER standard mixture recipe next to q139's

@@ -123,6 +123,40 @@ object DedupQueries extends QueryPack {
         (col("doc_id") === col("comp")).as("is_canonical"))
       .orderBy("doc_id")
 
+  /** Cluster-transitivity audit — how much of each near-dup cluster is
+    * held together by TRANSITIVE glue rather than direct evidence:
+    * similarity is not transitive, so a CC cluster of n members rests
+    * on as few as n−1 of its C(n,2) possible pairs; per cluster (size
+    * ≥ 2) this census reports members, possible pairs, DIRECTLY mined
+    * pairs (the ≥ 0.1 Jaccard edges), the exact e4 direct-evidence
+    * share, and the weakest/strongest direct link. A low share on a big
+    * cluster is the chain-merge smell (crawl mirrors A~B~C~…) that
+    * precedes an over-merge incident — the q244 scale observation,
+    * quantified per cluster. Reads both shared memos; one join + two
+    * aggregations. */
+  private def q316(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.{intDiv, intDivExact}
+    val cl = dedupClusters(s, dir)
+    val sizes = cl.groupBy("comp").agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") >= 2L)
+    val intra = jaccardPairs(s, dir)
+      .join(cl.select(col("doc_id").as("doc_a"), col("comp")), "doc_a")
+      .groupBy("comp")
+      .agg(count(lit(1)).as("n_direct"),
+        min("jaccard").as("min_jaccard"), max("jaccard").as("max_jaccard"))
+    sizes.join(intra, "comp") // every ≥2 cluster has ≥1 mined edge
+      .withColumn("n_possible",
+        intDiv(col("n_members") * (col("n_members") - 1L), lit(2L)))
+      .select(col("comp").as("cluster_id"), col("n_members"),
+        col("n_possible"), col("n_direct"),
+        intDivExact(
+          col("n_direct").cast("decimal(38,0)") * lit(20000L) +
+            col("n_possible"),
+          lit(2L) * col("n_possible")).as("direct_share_e4"),
+        col("min_jaccard"), col("max_jaccard"))
+      .orderBy("cluster_id")
+  }
+
   /** MinHash + LSH: word-3-gram shingles → ONE md5 per shingle split into
     * two 32-bit halves (a, b) → K universal hashes h_k = (a + k·b) mod p →
     * per-doc minima → B banded bucket keys → bucket self-join for
@@ -853,6 +887,7 @@ object DedupQueries extends QueryPack {
     "q198_groupwise_split" -> (q198 _),
     "q156_split_leakage" -> (q156 _),
     "q41_dedup_jaccard" -> (q41 _),
+    "q316_cluster_transitivity" -> (q316 _),
     "q42_dedup_minhash" -> (q42 _),
     "q211_para_near_dup" -> (q211 _),
     "q219_dedup_funnel" -> (q219 _),
@@ -1330,6 +1365,35 @@ object DedupQueries extends QueryPack {
          |SELECT id AS doc_id, min(comp) AS cluster_id,
          |  min(comp) = id AS is_canonical
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    // same closure, rolled into per-cluster direct-evidence shares
+    "q316_cluster_transitivity" -> {
+      import graft.functions.Rounding.{intDivSql, intDivExactSql}
+      val poss = intDivSql("n_members * (n_members - 1)", "2")
+      val share = intDivExactSql(
+        "CAST(n_direct AS HUGEINT) * 20000 + n_possible", "2 * n_possible")
+      s"""WITH RECURSIVE $jaccardCtes,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+         |          UNION ALL
+         |          SELECT doc_b AS src, doc_a AS dst FROM jp),
+         |reach(id, comp) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+         |cl AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id),
+         |sz AS (SELECT comp, count(*) AS n_members FROM cl GROUP BY comp
+         |       HAVING count(*) >= 2),
+         |intra AS (
+         |  SELECT cl.comp, count(*) AS n_direct,
+         |    min(jaccard) AS min_jaccard, max(jaccard) AS max_jaccard
+         |  FROM jp JOIN cl ON jp.doc_a = cl.id GROUP BY cl.comp),
+         |j AS (
+         |  SELECT sz.comp AS cluster_id, n_members, $poss AS n_possible,
+         |    n_direct, min_jaccard, max_jaccard
+         |  FROM sz JOIN intra ON sz.comp = intra.comp)
+         |SELECT cluster_id, n_members, n_possible, n_direct,
+         |  $share AS direct_share_e4, min_jaccard, max_jaccard
+         |FROM j ORDER BY cluster_id""".stripMargin
+    },
     "q42_dedup_minhash" -> minhashSql,
     "q211_para_near_dup" -> paraMinhashSql,
     // q40's fingerprint window + q67's recursive-CC clusters + per-source

@@ -969,10 +969,51 @@ object SimilarityQueries extends QueryPack {
       .orderBy("a", "b")
   }
 
+  /** Label-centroid cosine matrix — "which labels point the same way in
+    * embedding space": every component quantizes once onto the e6
+    * integer grid, per-label per-dimension SUMS accumulate exactly in
+    * decimal (the mean's 1/n cancels in cosine, so centroids never
+    * materialize as floats), the pairwise dot and both norms are exact
+    * integers, and the single cosine per label pair runs the one
+    * fixed-order double chain on identical operands (the q300 sqrt
+    * argument). The semantic companion to q302's lexical TVD matrix;
+    * ≈ 0 everywhere on these isotropic synthetic labels is the null
+    * reading. One exchange of label×dim cells; the pair join fans out
+    * over |labels|² cells — dimension-bounded, corpus-free. */
+  private def q317(s: SparkSession, dir: String): DataFrame = {
+    val cells = emb(s, dir)
+      .select(col("label").cast("long").as("label"),
+        posexplode(expr(
+          "transform(v, x -> cast(floor(x * 1000000.0 + 0.5) as bigint))")))
+      .toDF("label", "pos", "qv")
+      .groupBy("label", "pos")
+      .agg(sum(col("qv").cast("decimal(38,0)")).as("sn"))
+    val norms = cells.groupBy("label")
+      .agg(sum(col("sn") * col("sn")).as("q2"))
+    val dots = cells.select(col("label").as("la"), col("pos"),
+        col("sn").as("sa"))
+      .join(cells.select(col("label").as("lb"), col("pos"),
+        col("sn").as("sb")), "pos")
+      .filter(col("la") < col("lb"))
+      .groupBy("la", "lb")
+      .agg(sum(col("sa") * col("sb")).as("dot"))
+    dots
+      .join(norms.select(col("label").as("la"), col("q2").as("qa")), "la")
+      .join(norms.select(col("label").as("lb"), col("q2").as("qb")), "lb")
+      .select(col("la"), col("lb"),
+        when(col("qa") > 0 && col("qb") > 0,
+          floor(col("dot").cast("double") /
+            (sqrt(col("qa").cast("double")) * sqrt(col("qb").cast("double")))
+            * lit(1000000.0) + lit(0.5)).cast("long"))
+          .otherwise(lit(null).cast("long")).as("centroid_cos_e6"))
+      .orderBy("la", "lb")
+  }
+
   val defs: Map[String, Q] = Map(
     "q305_cos_calibration" -> (q305 _),
     "q306_label_noise" -> (q306 _),
     "q310_jl_audit" -> (q310 _),
+    "q317_label_centroids" -> (q317 _),
     "q50_knn_cosine" -> (q50 _),
     "q227_hard_negatives" -> (q227 _),
     "q229_anchor_auc" -> (q229 _),
@@ -999,6 +1040,36 @@ object SimilarityQueries extends QueryPack {
     s"floor(($e) * 10000.0 + 0.5) / 10000.0"
 
   val oracle: Map[String, String] = Map(
+    // same e6 quantization, HUGEINT cell sums, one identical double
+    // chain per label pair
+    "q317_label_centroids" ->
+      """WITH ql AS (
+        |  SELECT CAST(label AS BIGINT) AS label,
+        |    CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |px AS (SELECT label, v, unnest(generate_series(1, len(v))) AS pos
+        |       FROM ql),
+        |q AS (SELECT label, pos,
+        |    CAST(floor(v[pos] * 1000000.0 + 0.5) AS BIGINT) AS qv
+        |  FROM px),
+        |cells AS (SELECT label, pos, sum(CAST(qv AS HUGEINT)) AS sn
+        |          FROM q GROUP BY 1, 2),
+        |norms AS (SELECT label, sum(sn * sn) AS q2 FROM cells GROUP BY 1),
+        |dots AS (
+        |  SELECT a.label AS la, b.label AS lb, sum(a.sn * b.sn) AS dot
+        |  FROM cells a JOIN cells b
+        |    ON a.pos = b.pos AND a.label < b.label
+        |  GROUP BY 1, 2)
+        |SELECT la, lb,
+        |  CASE WHEN qa.q2 > 0 AND qb.q2 > 0 THEN
+        |    CAST(floor(CAST(dot AS DOUBLE) /
+        |      (sqrt(CAST(qa.q2 AS DOUBLE)) * sqrt(CAST(qb.q2 AS DOUBLE)))
+        |      * 1000000.0 + 0.5) AS BIGINT)
+        |  ELSE NULL END AS centroid_cos_e6
+        |FROM dots
+        |JOIN norms qa ON la = qa.label
+        |JOIN norms qb ON lb = qb.label
+        |ORDER BY la, lb""".stripMargin,
     // same md5-seeded planes, same fixed-textual-order d² forms (three
     // index-order dot products / sixteen left-assoc squared diffs), so
     // every double matches bit-for-bit before the floors

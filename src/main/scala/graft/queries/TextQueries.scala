@@ -269,9 +269,35 @@ object TextQueries extends QueryPack {
       .orderBy("phrase")
   }
 
+  /** Tokenizer coverage audit — "does the pre-tokenizer consume every
+    * character it should": remove every q45 BPE-ish piece from the text
+    * (one replace-all pass; matched spans vanish) and measure what
+    * survives. A lossless tokenizer leaves ONLY inter-token whitespace;
+    * any surviving non-whitespace character is tokenizer DAMAGE — text
+    * the downstream model simply never sees (the silent-data-loss bug
+    * class tokenizer migrations keep reintroducing). Emits per doc the
+    * exact consumed/residual char counts and the fully_covered verdict.
+    * Pure per-row regex work, both engines running the identical
+    * pattern with replace-all semantics (the q45 parity argument). */
+  private def q318(s: SparkSession, dir: String): DataFrame = {
+    val pat = "'(s|d|m|t|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s']+"
+    docs(s, dir)
+      .withColumn("residual", regexp_replace(col("text"), pat, ""))
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        (length(col("text")) - length(col("residual"))).cast("long")
+          .as("covered_chars"),
+        length(regexp_replace(col("residual"), "\\s", "")).cast("long")
+          .as("damaged_chars"))
+      .withColumn("fully_covered",
+        (col("damaged_chars") === 0L).cast("long"))
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, Q] = Map(
     "q295_readability" -> (q295 _),
     "q296_blocklist" -> (q296 _),
+    "q318_tokenizer_coverage" -> (q318 _),
     "q30_text_stats" -> (q30 _),
     "q31_text_quality" -> (q31 _),
     "q32_text_langid" -> (q32 _),
@@ -284,6 +310,21 @@ object TextQueries extends QueryPack {
 
   // DuckDB regexp_replace needs the 'g' flag to match Spark's replace-all.
   val oracle: Map[String, String] = Map(
+    // same piece pattern, replace-all residual, whitespace-only verdict
+    "q318_tokenizer_coverage" ->
+      """WITH r AS (
+        |  SELECT doc_id, length(text) AS n_chars,
+        |    regexp_replace(text,
+        |      '''(s|d|m|t|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s'']+',
+        |      '', 'g') AS residual
+        |  FROM documents)
+        |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |  CAST(n_chars - length(residual) AS BIGINT) AS covered_chars,
+        |  CAST(length(regexp_replace(residual, '\s', '', 'g')) AS BIGINT)
+        |    AS damaged_chars,
+        |  CAST(length(regexp_replace(residual, '\s', '', 'g')) = 0
+        |    AS BIGINT) AS fully_covered
+        |FROM r ORDER BY doc_id""".stripMargin,
     // same W/S/Syl regex counts, same single-rational FK through HUGEINT
     // (// truncates toward zero, dividend-signed — matches intDivExact)
     "q295_readability" ->

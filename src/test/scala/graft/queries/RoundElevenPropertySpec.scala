@@ -140,6 +140,29 @@ class RoundElevenPropertySpec extends SparkSuite {
     assert(bad.count() == 0)
   }
 
+  test("q319 compression ratios are sane and low on this low-entropy corpus") {
+    val r = q("q319_compression_ratio")
+    assert(r.count() ==
+      graft.Tables.load(spark, sf, "documents").count())
+    // word-soup documents drawn from a tiny vocabulary MUST compress
+    // well below 1:1 once past deflate's fixed header/dictionary
+    // overhead (sub-100-byte docs legitimately sit at or slightly above
+    // 1:1 — that overhead regime is itself part of the signal); broken
+    // plumbing would show as non-positive or wildly inflated ratios
+    val bad = r.filter(col("ratio_e4") <= 0L || col("ratio_e4") > 13000L ||
+      col("orig_bytes") <= 0L ||
+      (col("orig_bytes") >= 200L && col("ratio_e4") >= 10000L))
+    assert(bad.count() == 0, bad.collect().take(5).mkString(", "))
+  }
+
+  test("q316 direct-evidence shares are consistent with cluster sizes") {
+    val t = q("q316_cluster_transitivity")
+    val bad = t.filter(col("n_direct") > col("n_possible") ||
+      col("n_direct") < col("n_members") - 1 || // spanning needs ≥ n−1 edges
+      col("direct_share_e4") > 10000L)
+    assert(bad.count() == 0, bad.collect().take(5).mkString(", "))
+  }
+
   test("q313 dwell totals dominate their max and mean") {
     q("q313_state_dwell").collect().foreach { r =>
       assert(r.getAs[Long]("total_us") >= r.getAs[Long]("max_us"), s"$r")
