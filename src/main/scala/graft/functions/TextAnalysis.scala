@@ -114,6 +114,19 @@ object TextAnalysis {
     * generate and the shuffle carries 8-byte longs instead of gram strings.
     * 64-bit collisions are negligible below ~10⁹ distinct grams; beyond
     * that, widen the key to (hash, first-token) or a 128-bit hash. */
+  /** The BPE-ish pre-tokenization piece pattern (GPT-2-style without the
+    * RE2-incompatible lookahead): contractions, letter runs, digit runs,
+    * punctuation runs. ONE definition — q45 (piece counts), q230
+    * (fertility), and q318 (coverage audit) all claim to measure the
+    * SAME tokenizer, so they must share its pattern or silently drift. */
+  val bpePiecePattern: String =
+    "'(s|d|m|t|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s']+"
+
+  /** DuckDB single-quoted literal form of [[bpePiecePattern]] (embedded
+    * quotes doubled; the regex itself is identical). */
+  val bpePiecePatternSql: String =
+    "'''(s|d|m|t|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s'']+'"
+
   def hashedNgramsFromTokens(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       array_distinct(transform(

@@ -456,7 +456,7 @@ object CorpusStatsQueries extends QueryPack {
   private def q230(s: SparkSession, dir: String): DataFrame = {
     import Rounding.intDivExact
     // q45's GPT-2-style pre-tokenizer classes (TextQueries.q45)
-    val pat = "'(s|d|m|t|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s']+"
+    val pat = TextAnalysis.bpePiecePattern
     def e4(num: org.apache.spark.sql.Column,
         den: org.apache.spark.sql.Column) =
       intDivExact(num.cast("decimal(38,0)") * lit(20000L) + den,
@@ -821,7 +821,7 @@ object CorpusStatsQueries extends QueryPack {
       s"""WITH per AS (
         |  SELECT lang, source,
         |    CAST(len(regexp_extract_all(text,
-        |      '''(s|d|m|t|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s'']+'))
+        |      ${TextAnalysis.bpePiecePatternSql}))
         |      AS BIGINT) AS bpe,
         |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS ws,
         |    CAST(length(text) AS BIGINT) AS chars

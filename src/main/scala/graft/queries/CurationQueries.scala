@@ -859,12 +859,33 @@ object CurationQueries extends QueryPack {
     * (low ratio → boilerplate/spam candidate, very high → binary junk
     * mislabeled as text). Computed in `mapPartitions` — the engine's
     * binary-codec altitude (the multimodal rule): one java.util.zip
-    * Deflater per PARTITION, reset per row, level 6; output length is
-    * deterministic for a fixed zlib implementation, so runs are stable
-    * within an environment, and the source census rolls up exact
-    * integer byte totals. No DuckDB oracle (no SQL zlib) — the driver
-    * records the rows-only check; value-level pins live in
-    * CurationPipelineSpec (repetitive ≪ prose, bounds). */
+    * Deflater per PARTITION (end()'d when the partition drains — zlib
+    * state is native memory the heap never accounts for), reset per
+    * row, level 6; output length is deterministic for a fixed zlib
+    * implementation, so runs are stable within an environment. Empty
+    * documents carry a NULL ratio rather than dividing by zero. No
+    * DuckDB oracle (no SQL zlib) — the driver records the rows-only
+    * check; value-level pins (repetitive ≪ varied, exact helper
+    * parity) live in RoundElevenPropertySpec via [[deflateRatioE4]]. */
+  private[graft] def deflateStats(text: String,
+      d: java.util.zip.Deflater, buf: Array[Byte]): (Long, Long) = {
+    val in = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    d.reset(); d.setInput(in); d.finish()
+    var n = 0L
+    while (!d.finished()) n += d.deflate(buf)
+    (in.length.toLong, n)
+  }
+
+  /** Single-shot form for tests: the exact ratio the query emits. */
+  private[graft] def deflateRatioE4(text: String): Long = {
+    val d = new java.util.zip.Deflater(6)
+    try {
+      val (o, c) = deflateStats(text, d, new Array[Byte](1 << 16))
+      require(o > 0, "empty text has no ratio")
+      (c * 20000L + o) / (2L * o)
+    } finally d.end()
+  }
+
   private def q319(s: SparkSession, dir: String): DataFrame = {
     val spark = s
     import spark.implicits._
@@ -874,16 +895,20 @@ object CurationQueries extends QueryPack {
       .mapPartitions { it =>
         val buf = new Array[Byte](1 << 16)
         val d = new java.util.zip.Deflater(6)
-        it.map { case (id, src, text) =>
-          val in = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          d.reset()
-          d.setInput(in)
-          d.finish()
-          var n = 0L
-          while (!d.finished()) n += d.deflate(buf)
-          // half-up e4 ratio in pure long math (orig > 0: docs non-empty)
-          val orig = in.length.toLong
-          (id, src, orig, n, (n * 20000L + orig) / (2L * orig))
+        var ended = false
+        new Iterator[(Long, String, Long, Long, Option[Long])] {
+          def hasNext: Boolean = {
+            val h = it.hasNext
+            if (!h && !ended) { d.end(); ended = true }
+            h
+          }
+          def next(): (Long, String, Long, Long, Option[Long]) = {
+            val (id, src, text) = it.next()
+            val (orig, comp) = deflateStats(text, d, buf)
+            (id, src, orig, comp,
+              if (orig > 0) Some((comp * 20000L + orig) / (2L * orig))
+              else None)
+          }
         }
       }
       .toDF("doc_id", "source", "orig_bytes", "deflate_bytes", "ratio_e4")

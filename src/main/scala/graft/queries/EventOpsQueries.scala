@@ -487,7 +487,7 @@ object EventOpsQueries extends QueryPack {
 
   private def identityClusters(s: SparkSession, dir: String): DataFrame =
     identityMemo.get(s, dir) {
-      identityClustersBuild(s, dir).localCheckpoint(true)
+      identityClustersBuild(s, dir) // checkpoints + releases internally
     }
 
   private def identityClustersBuild(s: SparkSession, dir: String): DataFrame = {
@@ -508,9 +508,16 @@ object EventOpsQueries extends QueryPack {
           "y -> named_struct('a', x, 'b', y))))")).as("p"))
       .select(col("p.a"), col("p.b")).distinct()
     val nodes = ev(s, dir).select(col("user_id")).distinct()
-    graft.operators.ConnectedComponents
+    val cc = graft.operators.ConnectedComponents
       .components(nodes, pairs, "user_id", "a", "b")
+    // release the CC result's own cache once the memo's checkpoint of
+    // the projection materializes — the dedupClusters discipline;
+    // leaving it persisted would pin a duplicate user-scale copy
+    val projected = cc
       .select(col("id").as("user_id"), col("comp").as("identity_id"))
+      .localCheckpoint(true)
+    cc.unpersist()
+    projected
   }
 
   private def q244(s: SparkSession, dir: String): DataFrame =
@@ -768,24 +775,30 @@ object EventOpsQueries extends QueryPack {
       .withColumn("xa", sum("ca").over(wd))
       .withColumn("xb", sum("cb").over(wd))
       .withColumn("k", row_number().over(Window.orderBy("day")).cast("long"))
+      // k_total from the SAME bounded window pass — a separate agg +
+      // crossJoin would re-execute the whole cum chain a second time
+      .withColumn("kt", max("k").over(
+        Window.orderBy("day").rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
       .crossJoin(broadcast(armSizes))
-    val kk = cum.agg(max("k").as("kt"))
     val d = (col("xa").cast("decimal(38,0)") * col("nb") -
       col("xb").cast("decimal(38,0)") * col("na"))
     val bigN = (col("na") + col("nb")).cast("decimal(38,0)")
     val bigX = (col("xa") + col("xb")).cast("decimal(38,0)")
     val den = col("na").cast("decimal(38,0)") * col("nb") * bigX *
       (bigN - bigX)
-    cum.crossJoin(broadcast(kk))
+    // ok also demands both arms populated: a one-arm "experiment" must
+    // read as no-verdict, not as a crossed boundary (den = 0 would be
+    // Spark-NULL vs DuckDB-error — the q301/q302 parity class)
+    val ok = col("na") > 0L && col("nb") > 0L && bigX > 0 && bigX < bigN
+    cum
       .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
         col("k"), col("kt").as("k_total"),
         col("xa"), col("xb"), col("na"), col("nb"),
-        when(bigX > 0 && bigX < bigN,
-          intDivExact(lit(1000000L) * d * d * bigN, den)).otherwise(
-          lit(null).cast("long")).as("z2_e6"),
-        when(bigX > 0 && bigX < bigN,
-          (lit(625L) * d * d * bigN * col("k") >=
-            lit(3136L) * col("kt") * den).cast("long"))
+        when(ok, intDivExact(lit(1000000L) * d * d * bigN, den))
+          .otherwise(lit(null).cast("long")).as("z2_e6"),
+        when(ok, (lit(625L) * d * d * bigN * col("k") >=
+          lit(3136L) * col("kt") * den).cast("long"))
           .otherwise(lit(0L)).as("crossed"))
       .orderBy("day")
   }
@@ -1652,11 +1665,11 @@ object EventOpsQueries extends QueryPack {
         |  FROM cum, arms, kt)
         |SELECT strftime(day, '%Y-%m-%d') AS day, k, k_total, xa, xb,
         |  na, nb,
-        |  CASE WHEN bx > 0 AND bx < bn THEN
+        |  CASE WHEN na > 0 AND nb > 0 AND bx > 0 AND bx < bn THEN
         |    CAST((1000000 * d * d * bn)
         |      // (nanb * bx * (bn - bx)) AS BIGINT)
         |  ELSE NULL END AS z2_e6,
-        |  CASE WHEN bx > 0 AND bx < bn THEN
+        |  CASE WHEN na > 0 AND nb > 0 AND bx > 0 AND bx < bn THEN
         |    CAST(625 * d * d * bn * k >=
         |      3136 * k_total * nanb * bx * (bn - bx) AS BIGINT)
         |  ELSE 0 END AS crossed

@@ -100,7 +100,7 @@ object TextQueries extends QueryPack {
     * incompatible lookahead): contractions, letter runs, digit runs,
     * punctuation runs. */
   private def q45(s: SparkSession, dir: String): DataFrame = {
-    val pat = "'(s|d|m|t|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s']+"
+    val pat = bpePiecePattern  // ONE tokenizer definition (TextAnalysis)
     docs(s, dir)
       .select(col("doc_id"),
         size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long")
@@ -280,7 +280,7 @@ object TextQueries extends QueryPack {
     * Pure per-row regex work, both engines running the identical
     * pattern with replace-all semantics (the q45 parity argument). */
   private def q318(s: SparkSession, dir: String): DataFrame = {
-    val pat = "'(s|d|m|t|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s']+"
+    val pat = bpePiecePattern  // ONE tokenizer definition (TextAnalysis)
     docs(s, dir)
       .withColumn("residual", regexp_replace(col("text"), pat, ""))
       .select(col("doc_id"),
@@ -312,17 +312,17 @@ object TextQueries extends QueryPack {
   val oracle: Map[String, String] = Map(
     // same piece pattern, replace-all residual, whitespace-only verdict
     "q318_tokenizer_coverage" ->
-      """WITH r AS (
+      s"""WITH r AS (
         |  SELECT doc_id, length(text) AS n_chars,
         |    regexp_replace(text,
-        |      '''(s|d|m|t|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s'']+',
+        |      ${bpePiecePatternSql},
         |      '', 'g') AS residual
         |  FROM documents)
         |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
         |  CAST(n_chars - length(residual) AS BIGINT) AS covered_chars,
-        |  CAST(length(regexp_replace(residual, '\s', '', 'g')) AS BIGINT)
+        |  CAST(length(regexp_replace(residual, '\\s', '', 'g')) AS BIGINT)
         |    AS damaged_chars,
-        |  CAST(length(regexp_replace(residual, '\s', '', 'g')) = 0
+        |  CAST(length(regexp_replace(residual, '\\s', '', 'g')) = 0
         |    AS BIGINT) AS fully_covered
         |FROM r ORDER BY doc_id""".stripMargin,
     // same W/S/Syl regex counts, same single-rational FK through HUGEINT
@@ -457,10 +457,10 @@ object TextQueries extends QueryPack {
         |SELECT doc_id, CAST(sum(term) % 1000000007 AS BIGINT) AS rolling_fp
         |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q45_bpe_tokens" ->
-      """SELECT doc_id,
+      s"""SELECT doc_id,
         |  len(regexp_extract_all(text,
-        |    '''(s|d|m|t|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s'']+')) AS n_bpe_tokens,
-        |  len(regexp_extract_all(text, '\S+')) AS n_ws_tokens
+        |    ${bpePiecePatternSql})) AS n_bpe_tokens,
+        |  len(regexp_extract_all(text, '\\S+')) AS n_ws_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q64_tfidf" ->
       """WITH raw AS (

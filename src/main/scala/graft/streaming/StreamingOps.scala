@@ -205,7 +205,9 @@ object StreamingOps {
     * split the input (within a batch, members are processed in id order
     * for determinism). So any streaming schedule produces the same
     * multiset of (band, id_a, id_b, cos_e6) rows as the one-batch run,
-    * which in turn equals the declarative batch bucket-join — the
+    * which in turn equals the declarative batch bucket-join WHILE
+    * EVERY BUCKET STAYS BELOW `maxPerBucket` (the capped regime trades
+    * recall, never consistency — see below) — the
     * equality StreamingSpec pins. Cross-band duplicates of the same id
     * pair are the caller's distinct(), exactly as in batch LSH.
     *

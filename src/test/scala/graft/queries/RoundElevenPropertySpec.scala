@@ -155,6 +155,22 @@ class RoundElevenPropertySpec extends SparkSuite {
     assert(bad.count() == 0, bad.collect().take(5).mkString(", "))
   }
 
+  test("deflate ratio discriminates repetitive from varied text") {
+    // the signal's core claim, pinned on the exact helper the query
+    // runs: pure repetition compresses an order of magnitude below
+    // high-variety text of the same length
+    val rep = CurationQueries.deflateRatioE4("spark shuffle " * 300)
+    val varied = CurationQueries.deflateRatioE4(
+      (0 until 600).map(i =>
+        java.lang.Long.toString(i * 2654435761L % 99991, 36))
+        .mkString(" "))
+    assert(rep > 0 && varied > rep * 5,
+      s"repetitive=$rep varied=$varied — signal inverted or flattened")
+    intercept[IllegalArgumentException] {
+      CurationQueries.deflateRatioE4("")
+    }
+  }
+
   test("q316 direct-evidence shares are consistent with cluster sizes") {
     val t = q("q316_cluster_transitivity")
     val bad = t.filter(col("n_direct") > col("n_possible") ||

@@ -472,6 +472,52 @@ class StreamingSpec extends SparkSuite {
         s"${(twin -- streamed).size} only batch")
   }
 
+  test("streaming near-dup drops arrivals at a full bucket and stays " +
+      "idempotent under at-least-once replay") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dim = 8; val bands = 4; val rpb = 4
+    // four near-identical vectors — they share every band bucket, so
+    // with maxPerBucket = 2 only ids 0 and 1 enter a bucket; 2 and 3
+    // arrive at full buckets and must be DROPPED (no pairs), and
+    // re-delivering already-processed ids must add nothing
+    def vec(id: Long): Seq[Double] =
+      (0 until dim).map(j => 1.0 + 0.001 * math.sin(id * 31.0 + j))
+    val ids = 0L to 3L
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Int, Long, Long)] =
+      df.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val once = ids.map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val capped = pairs(StreamingOps.nearDupStream(
+      once, "vec_id", "embedding", dim, bands, rpb,
+      minCosE6 = 900000L, maxPerBucket = 2).toDF()
+      .select("band", "id_a", "id_b"))
+    assert(capped.nonEmpty)
+    assert(capped.forall { case (_, a, b) => a == 0L && b == 1L },
+      s"capped buckets leaked pairs beyond {0,1}: $capped")
+    // batch replay: the whole input duplicated in one pass
+    val doubled = (ids ++ ids).map(i => (i, vec(i)))
+      .toDF("vec_id", "embedding")
+    assert(pairs(StreamingOps.nearDupStream(
+      doubled, "vec_id", "embedding", dim, bands, rpb,
+      minCosE6 = 900000L, maxPerBucket = 2).toDF()
+      .select("band", "id_a", "id_b")) == capped)
+    // streaming replay: later micro-batches redeliver processed ids
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = StreamingOps.nearDupStream(
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      dim, bands, rpb, minCosE6 = 900000L, maxPerBucket = 2)
+      .toDF().writeStream.outputMode("append")
+      .format("memory").queryName("neardup_cap").start()
+    try {
+      mem.addData(Seq(0L, 1L, 2L).map(i => (i, vec(i))): _*)
+      q.processAllAvailable()
+      mem.addData(Seq(2L, 3L, 0L).map(i => (i, vec(i))): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(pairs(spark.table("neardup_cap")
+      .select("band", "id_a", "id_b")) == capped)
+  }
+
   test("foreachBatch incremental CDC upsert equals the one-shot batch merge") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.operators.Merge
