@@ -406,7 +406,63 @@ object QualityQueries extends QueryPack {
       .orderBy("event_type", "wd")
   }
 
+  /** k-anonymity generalization ladder — the privacy-utility frontier
+    * the q136 census only samples one rung of: the balance
+    * quasi-identifier coarsens through five granularities ($1 → $10 →
+    * $100 → $1000 → suppressed entirely), and per rung the table
+    * reports distinct QI groups, the smallest group, and the exact e4
+    * share of rows living in sub-k groups (k = 5) — the re-identifiable
+    * residue that must be suppressed at that rung. is_chosen marks the
+    * FIRST rung whose minimum group reaches k: the minimal
+    * generalization a release needs, with the utility cost (group count
+    * collapse) visible on the same row. Five bounded aggregations
+    * unioned; bucket edges are integer floor divisions (exact,
+    * engine-portable). */
+  private def q320(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.{cents, intDiv, intDivExact}
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.load(s, dir, "customer")
+      .select(col("c_nationkey").cast("long").as("nation"),
+        col("c_mktsegment").as("segment"),
+        // shift to nonnegative cents so the floor-division bucketing is
+        // the portable intDiv (acctbal ≥ −1000 by TPC-H spec)
+        (cents(col("c_acctbal")) + lit(100000L)).as("c"))
+    def rung(level: Long, width: Option[Long]): DataFrame = {
+      val bucket = width.map(w => intDiv(col("c"), lit(w)))
+        .getOrElse(lit(0L))
+      val g = base.select(col("nation"), col("segment"),
+          bucket.as("bal_bucket"))
+        .groupBy("nation", "segment", "bal_bucket")
+        .agg(count(lit(1)).as("n"))
+      g.agg(count(lit(1)).as("n_groups"), min("n").as("min_group"),
+          sum("n").as("n_rows"),
+          sum(when(col("n") < 5L, col("n")).otherwise(0L)).as("sub_k"))
+        .select(lit(level).as("level"), col("n_groups"), col("min_group"),
+          intDivExact(col("sub_k").cast("decimal(38,0)") * lit(20000L) +
+            col("n_rows"), lit(2L) * col("n_rows")).as("suppressed_e4"))
+    }
+    val ladder = rung(1L, Some(10000L))
+      .unionByName(rung(2L, Some(100000L)))
+      .unionByName(rung(3L, Some(1000000L)))
+      .unionByName(rung(4L, Some(10000000L)))
+      .unionByName(rung(5L, None))
+    // first rung reaching k = 5: a running max of the k-verdict over the
+    // 5-row ladder (bounded window) turns "first true" into "true now,
+    // false before"
+    val wl = Window.orderBy("level")
+      .rowsBetween(Window.unboundedPreceding, -1L)
+    ladder
+      .withColumn("ok", (col("min_group") >= 5L).cast("long"))
+      .withColumn("ok_before", coalesce(max("ok").over(wl), lit(0L)))
+      .select(col("level"), col("n_groups"), col("min_group"),
+        col("suppressed_e4"),
+        (col("ok") === 1L && col("ok_before") === 0L).cast("long")
+          .as("is_chosen"))
+      .orderBy("level")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q320_anonymity_ladder" -> (q320 _),
     "q301_chi2_independence" -> (q301 _),
     "q221_t_closeness" -> (q221 _),
     "q217_mix_drift" -> (q217 _),
@@ -422,6 +478,42 @@ object QualityQueries extends QueryPack {
   // one SELECT per check, mirrored shapes; 'license' is a deliberately
   // missing column so the missing-column path is oracle-checked too
   val oracle: Map[String, String] = Map(
+    // same shifted-cents buckets per rung, same sub-k residue shares,
+    // same first-passing-rung window
+    "q320_anonymity_ladder" -> {
+      import graft.functions.Rounding.{centsSql, intDivSql, intDivExactSql}
+      val c = centsSql("c_acctbal")
+      val share = intDivExactSql(
+        "CAST(sub_k AS HUGEINT) * 20000 + n_rows", "2 * n_rows")
+      val arms = Seq(1L -> Some(10000L), 2L -> Some(100000L),
+        3L -> Some(1000000L), 4L -> Some(10000000L), 5L -> None)
+        .map { case (l, w) =>
+          val bucket = w.map(x => intDivSql("c", x.toString)).getOrElse("0")
+          s"""SELECT CAST($l AS BIGINT) AS level, count(*) AS n_groups,
+             |    CAST(min(n) AS BIGINT) AS min_group,
+             |    CAST(sum(n) AS BIGINT) AS n_rows,
+             |    CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+             |      AS sub_k
+             |  FROM (SELECT nation, segment, $bucket AS b, count(*) AS n
+             |        FROM base GROUP BY 1, 2, 3)""".stripMargin
+        }.mkString("\n|  UNION ALL\n|  ")
+      s"""WITH base AS (
+         |  SELECT c_nationkey AS nation, c_mktsegment AS segment,
+         |    $c + 100000 AS c
+         |  FROM customer),
+         |ladder AS (
+         |  $arms),
+         |v AS (
+         |  SELECT level, n_groups, min_group,
+         |    $share AS suppressed_e4,
+         |    CASE WHEN min_group >= 5 THEN 1 ELSE 0 END AS ok
+         |  FROM ladder)
+         |SELECT level, n_groups, min_group, suppressed_e4,
+         |  CAST(ok = 1 AND COALESCE(max(ok) OVER (ORDER BY level
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) = 0
+         |    AS BIGINT) AS is_chosen
+         |FROM v ORDER BY level""".stripMargin
+    },
     // same floor-per-term e6 grid through HUGEINT; Spark weekday() ≡
     // DuckDB isodow − 1 (Monday-0), the q277/q251 convention
     "q301_chi2_independence" ->
