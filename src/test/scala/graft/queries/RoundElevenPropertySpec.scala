@@ -140,8 +140,8 @@ class RoundElevenPropertySpec extends SparkSuite {
     assert(bad.count() == 0)
   }
 
-  test("q319 compression ratios are sane and low on this low-entropy corpus") {
-    val r = q("q319_compression_ratio")
+  test("deflate ratios are sane and low on this low-entropy corpus") {
+    val r = CurationQueries.deflateRatios(spark, sf)
     assert(r.count() ==
       graft.Tables.load(spark, sf, "documents").count())
     // word-soup documents drawn from a tiny vocabulary MUST compress
@@ -153,6 +153,48 @@ class RoundElevenPropertySpec extends SparkSuite {
       col("orig_bytes") <= 0L ||
       (col("orig_bytes") >= 200L && col("ratio_e4") >= 10000L))
     assert(bad.count() == 0, bad.collect().take(5).mkString(", "))
+  }
+
+  test("q319 oracle core agrees with the deflate arm: byte lengths " +
+    "identical, redundancy bounded, ASCII precondition holds") {
+    val core = q("q319_compression_ratio")
+    val defl = CurationQueries.deflateRatios(spark, sf)
+      .select(col("doc_id"), col("orig_bytes").as("defl_bytes"),
+        col("ratio_e4"))
+    val j = core.join(defl, "doc_id").cache()
+    try {
+      // orig_bytes is the same UTF-8 count both arms measure; the corpus
+      // is ASCII (the oracle's code-point indexing = Spark's UTF-16
+      // indexing precondition — octet count equals char count + 7-gram
+      // slack check via n_8grams)
+      assert(j.filter(col("orig_bytes") =!= col("defl_bytes")).count() == 0)
+      assert(j.filter(col("orig_bytes") =!=
+        col("n_8grams") + lit(7L)).count() == 0, "non-ASCII doc slipped in")
+      // redundancy is a ratio in (0, 1]: distinct ≤ total, and ≥ 1 gram
+      // distinct whenever any exists
+      val bad = j.filter(col("distinct_8grams") > col("n_8grams") ||
+        (col("n_8grams") > 0L && col("distinct_8grams") < 1L) ||
+        col("redundancy_e4") > 10000L || col("redundancy_e4") < 1L)
+      assert(bad.count() == 0, bad.collect().take(5).mkString(", "))
+    } finally j.unpersist()
+  }
+
+  test("8-gram redundancy ranks fixture extremes the same way deflate " +
+    "does — the proxy claim behind q319's oracle core") {
+    val rep = "spark shuffle " * 300
+    val varied = (0 until 600).map(i =>
+      java.lang.Long.toString(i * 2654435761L % 99991, 36)).mkString(" ")
+    def redundancyE4(t: String): Long = {
+      val n = t.length - 7
+      val d = (0 until n).map(i => t.substring(i, i + 8)).distinct.size
+      (d * 20000L + n) / (2L * n)
+    }
+    val (rRep, rVar) = (redundancyE4(rep), redundancyE4(varied))
+    val (dRep, dVar) = (CurationQueries.deflateRatioE4(rep),
+      CurationQueries.deflateRatioE4(varied))
+    assert(rRep < rVar && dRep < dVar,
+      s"rank disagreement: 8gram=($rRep,$rVar) deflate=($dRep,$dVar)")
+    assert(rVar > rRep * 5, s"8-gram signal flattened: $rRep vs $rVar")
   }
 
   test("deflate ratio discriminates repetitive from varied text") {
