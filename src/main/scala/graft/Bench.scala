@@ -210,13 +210,21 @@ object Bench {
     // a 2-query PLANS.json was committed as if it covered all 207)
     val onlyTag = only.map(o => s""","only":${names(o.toSeq)}""").getOrElse("")
     val head = s""""metric":"total","value":$total,"unit":"sec","ok":$ok,"passes":$passes,"failed":${names(failed)},"flaky":${names(flaky)},"sf":"$sfDir","load_avg":$loadAvg,"host_cpus":$hostCpus$onlyTag"""
-    // stdout carries the line WITHOUT queries_raw: the driver snapshots
-    // stdout through a tail that has truncated the per-query JSON in past
-    // rounds (r8's artifact lost q01–q38 and parsed as null) — the
-    // summary-first ~5 KB line fits the capture, and the full raw-pass
-    // detail lands in BENCH_FULL.json so round-over-round comparisons
-    // never depend on tail length
-    println(s"""{$head,"queries":$qs}""")
+    // stdout carries exactly ONE line, and it is SMALL: the driver
+    // snapshots stdout through a ~2 KB tail window, so with 318 queries
+    // the full per-query line (~12 KB) is truncated no matter how it is
+    // internally ordered (BENCH_r8–r11 all parsed as null). The stdout
+    // line is a bounded compact summary — the totals plus only the
+    // top-15 slowest queries, explicitly marked truncated — sized to
+    // always fit the window whole; the complete per-query map lands
+    // verbatim in BENCH_FULL.json (committed each round), so
+    // round-over-round per-query comparison never depends on tail
+    // length.
+    val slowest = results.collect { case (k, good, _) if good.nonEmpty =>
+      (k, good.min) }.sortBy(-_._2).take(15)
+    val qsTop = slowest.map { case (k, v) => s"\"" + k + "\":" + r6(v) }
+      .mkString("{", ",", "}")
+    println(s"""{$head,"n_queries":${results.size},"queries":$qsTop,"queries_truncated":true,"queries_full":"BENCH_FULL.json"}""")
     // subset runs write *_SUBSET artifacts by default so an iteration loop
     // can never clobber the committed full-suite BENCH_FULL/PLANS snapshots
     // (explicit SPARK_GRAFT_BENCH_OUT/PLANS_OUT still override)
