@@ -2,41 +2,55 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Single-slot per-(session, dir) memo for an expensive shared stage,
+/** Two-slot LRU per-(session, dir) memo for an expensive shared stage,
   * materialized behind an eager localCheckpoint — the build-once pattern
   * the dedup pair graph, its CC closure, and the identity stitch all
   * share (each feeds 3–7 standalone queries that would otherwise rebuild
   * a bit-identical table).
   *
-  * One slot, deliberately: a cached DataFrame strongly references its
-  * SparkSession, so a weak-keyed map can never actually release entries
-  * (the classic WeakHashMap value-refers-to-key defect — the round-10
-  * form of this memo documented weak keys that could not fire). A single
-  * slot makes the retention bound EXPLICIT instead of aspirational: at
-  * most one (session, dir) build is pinned, and it is dropped the moment
-  * a different session or dir comes through — so a stopped session is
-  * held only until the next build, never for the JVM's life. The
-  * replaced checkpoint's blocks are then collectable via the
-  * ContextCleaner.
+  * A FIXED slot count, deliberately: a cached DataFrame strongly
+  * references its SparkSession, so a weak-keyed map can never actually
+  * release entries (the classic WeakHashMap value-refers-to-key defect —
+  * the round-10 form of this memo documented weak keys that could not
+  * fire). A hard bound makes the retention EXPLICIT instead of
+  * aspirational: at most two (session, dir) builds are pinned, and the
+  * least-recently-used is dropped the moment a third key comes through —
+  * so a stopped session is held only until two newer builds, never for
+  * the JVM's life; the evicted checkpoint's blocks are then collectable
+  * via the ContextCleaner.
+  *
+  * Two slots, not one (round-11 verdict item 5): the driver's real
+  * access pattern interleaves TWO dirs in one session — the correctness
+  * run at sf0.01 and the bench at sf0.1 — and a single slot silently
+  * rebuilds the whole multi-consumer chain on every dir switch. Two
+  * keeps both warm; anything beyond two has no driver-shaped consumer
+  * and only raises the retention bound.
   *
   * `get` is synchronized: concurrent first callers (q299-style threaded
   * arms) build once, not twice. Builds must be DETERMINISTIC — every
-  * consumer and the oracle see identical rows whether they hit the slot
+  * consumer and the oracle see identical rows whether they hit a slot
   * or a cold build — and must return an ALREADY-MATERIALIZED frame
   * (eager localCheckpoint at the call site: some builds need to release
   * intermediate caches only after materialization, so the memo cannot
   * own the checkpoint ordering). */
 private[graft] final class SessionDirMemo {
-  private var slot: Option[(SparkSession, String, DataFrame)] = None
+  private val capacity = 2
+  // most-recently-used first; length ≤ capacity
+  private var slots: List[(SparkSession, String, DataFrame)] = Nil
 
   def get(s: SparkSession, dir: String)(build: => DataFrame): DataFrame =
     synchronized {
-      slot match {
-        case Some((ss, d, df)) if (ss eq s) && d == dir => df
-        case _ =>
+      slots.find { case (ss, d, _) => (ss eq s) && d == dir } match {
+        case Some(hit @ (_, _, df)) =>
+          slots = hit :: slots.filterNot(_ eq hit)
+          df
+        case None =>
           val built = build
-          slot = Some((s, dir, built))
+          slots = ((s, dir, built) :: slots).take(capacity)
           built
       }
     }
+
+  /** Test hook: how many distinct builds are currently pinned. */
+  private[graft] def pinned: Int = synchronized(slots.size)
 }

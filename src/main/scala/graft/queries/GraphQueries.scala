@@ -345,9 +345,22 @@ object GraphQueries extends QueryPack {
     * nodes. Percolation theory says scale-free-ish graphs shatter under
     * targeted hub removal — the before/after delta IS the measurement.
     * Scale: the shared [[TemporalQueries.q108Stages]] edge build
-    * (checkpointed), [[graft.operators.ConnectedComponents]] per arm
-    * (O(edges)/round), and a 10-row broadcast anti-join for the
-    * deletion — no new exchange shapes. */
+    * (checkpointed), ONE fused [[graft.operators.ConnectedComponents]]
+    * run over both arms (see below), and a 10-row broadcast anti-join
+    * for the deletion — no new exchange shapes.
+    *
+    * Arm fusion (round-11 verdict item 4): the two CC runs used to pace
+    * ~28 alternating-star round-trips EACH, and every round's cost at
+    * sf0.1 is scheduler floor, not data — so the arms are folded into
+    * ONE closure by encoding the arm into the id (`id' = 2·id + arm`).
+    * The encoding is order-preserving within an arm (id ↦ 2·id + c is
+    * strictly monotone) and arms can never connect (edges stay within
+    * one parity class), so the fused min-label of a node decodes to
+    * exactly the label its per-arm run would produce: comp' = 2·comp +
+    * arm, proven bit-identical in ConnectedComponentsSpec. Round count
+    * becomes max(arms), not sum — the same trick batches ANY number of
+    * what-if deletion arms through one CC at id headroom cost of
+    * ⌈log₂ arms⌉ bits. */
   private def q299(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.Rounding.intDivExact
     val (edges, deg, _) = TemporalQueries.q108Stages(s, dir,
@@ -355,41 +368,41 @@ object GraphQueries extends QueryPack {
     val hubs = deg.orderBy(col("deg").desc, col("n"))
       .limit(10).select(col("n").as("hub"))
       .localCheckpoint(true)
-    def arm(name: String, nodes: DataFrame, es: DataFrame): DataFrame = {
-      // starFirst: the co-order graph is one giant sparse component —
-      // min-label would pace 15 guaranteed-wasted rounds per arm before
-      // falling back (measured 31.7s → ~11s for the two arms)
-      val comp = graft.operators.ConnectedComponents
-        .components(nodes, es, "n", "u", "v", starFirst = true)
-      val sizes = comp.groupBy("comp").agg(count(lit(1)).as("cnt"))
-      val ec = es.agg(count(lit(1)).as("n_edges"))
-      sizes.agg(count(lit(1)).as("n_components"),
-          sum("cnt").as("n_nodes"), max("cnt").as("largest_size"))
-        .crossJoin(broadcast(ec))
-        .select(lit(name).as("arm"), col("n_nodes"), col("n_edges"),
-          col("n_components"), col("largest_size"),
-          intDivExact(
-            col("largest_size").cast("decimal(38,0)") * lit(20000L) +
-              col("n_nodes"),
-            lit(2L) * col("n_nodes")).as("largest_share_e4"))
-    }
     val nodes = deg.select("n")
-    // the two CC runs are independent DAGs over an already-checkpointed
-    // edge set — submit them from two threads so their ~25 small star
-    // rounds interleave instead of serializing (Spark's scheduler is
-    // thread-safe by design; a 1000-executor cluster overlaps exactly
-    // this way). Measured 17.9s serial → ~11s overlapped at sf0.1.
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
-    val fFull = Future(arm("full", nodes, edges))
-    val fDehub = Future(arm("dehubbed",
-      nodes.join(hubs, col("n") === col("hub"), "left_anti"),
-      edges.join(hubs, col("u") === col("hub"), "left_anti")
-        .join(hubs, col("v") === col("hub"), "left_anti")))
-    val full = Await.result(fFull, Duration.Inf)
-    val dehubbed = Await.result(fDehub, Duration.Inf)
-    full.unionByName(dehubbed).orderBy("arm")
+    val dehubNodes = nodes.join(hubs, col("n") === col("hub"), "left_anti")
+    val dehubEdges = edges
+      .join(hubs, col("u") === col("hub"), "left_anti")
+      .join(hubs, col("v") === col("hub"), "left_anti")
+    def tagN(df: DataFrame, arm: Int): DataFrame =
+      df.select((col("n") * 2L + lit(arm.toLong)).as("n"))
+    def tagE(df: DataFrame, arm: Int): DataFrame =
+      df.select((col("u") * 2L + lit(arm.toLong)).as("u"),
+        (col("v") * 2L + lit(arm.toLong)).as("v"))
+    val taggedEdges = tagE(edges, 0).unionAll(tagE(dehubEdges, 1))
+    // starFirst: the co-order graph is one giant sparse component —
+    // min-label would pace 15 guaranteed-wasted rounds before falling
+    // back (r11 measured 31.7s → 12.9s for threaded per-arm runs; the
+    // fused single run removes the second arm's round-trips too)
+    val comp = graft.operators.ConnectedComponents.components(
+      tagN(nodes, 0).unionAll(tagN(dehubNodes, 1)), taggedEdges,
+      "n", "u", "v", starFirst = true)
+    def armOf(c: org.apache.spark.sql.Column) =
+      when(c % 2L === 0L, "full").otherwise("dehubbed")
+    val sizes = comp.groupBy(armOf(col("id")).as("arm"), col("comp"))
+      .agg(count(lit(1)).as("cnt"))
+    val ecs = taggedEdges
+      .groupBy(armOf(col("u")).as("arm")).agg(count(lit(1)).as("n_edges"))
+    sizes.groupBy("arm")
+      .agg(count(lit(1)).as("n_components"), sum("cnt").as("n_nodes"),
+        max("cnt").as("largest_size"))
+      .join(broadcast(ecs), "arm")
+      .select(col("arm"), col("n_nodes"), col("n_edges"),
+        col("n_components"), col("largest_size"),
+        intDivExact(
+          col("largest_size").cast("decimal(38,0)") * lit(20000L) +
+            col("n_nodes"),
+          lit(2L) * col("n_nodes")).as("largest_share_e4"))
+      .orderBy("arm")
   }
 
   /** Landmark harmonic centrality — closeness estimation the way a

@@ -106,6 +106,36 @@ class ConnectedComponentsSpec extends SparkSuite {
     assert(viaStar(9L) == 0L && viaStar(21L) == 20L && viaStar(30L) == 30L)
   }
 
+  test("arm-in-the-id fusion decodes to bit-identical per-arm labels — " +
+    "the q299 single-closure contract") {
+    val s = spark
+    import s.implicits._
+    // arm 0: the full graph; arm 1: the same graph minus a "hub" (node 2),
+    // which splits the chain — the exact q299 before/after shape
+    val nodes = Seq(0L, 1L, 2L, 3L, 4L, 10L)
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L))
+    val nodes1 = nodes.filterNot(_ == 2L)
+    val edges1 = edges.filterNot { case (a, b) => a == 2L || b == 2L }
+    def run(ns: Seq[Long], es: Seq[(Long, Long)]) =
+      ConnectedComponents.components(
+        ns.toDF("id"), es.toDF("a", "b"), "id", "a", "b", starFirst = true)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val perArm0 = run(nodes, edges)
+    val perArm1 = run(nodes1, edges1)
+    val fused = run(
+      nodes.map(_ * 2L) ++ nodes1.map(_ * 2L + 1L),
+      edges.map { case (a, b) => (a * 2L, b * 2L) } ++
+        edges1.map { case (a, b) => (a * 2L + 1L, b * 2L + 1L) })
+    val decoded0 = fused.collect { case (id, c) if id % 2 == 0 =>
+      id / 2 -> c / 2 }
+    val decoded1 = fused.collect { case (id, c) if id % 2 == 1 =>
+      id / 2 -> c / 2 }
+    assert(decoded0 == perArm0, "arm 0 labels diverged under fusion")
+    assert(decoded1 == perArm1, "arm 1 labels diverged under fusion")
+    // the hub split is real: arm 1 has components {0,1}, {3,4}, {10}
+    assert(perArm1(4L) == 3L && perArm1(1L) == 0L && perArm1(10L) == 10L)
+  }
+
   test("non-convergence within maxIter fails loudly instead of truncating") {
     // the failure path must also release its iteration caches: nothing
     // caller-visible references them after the throw
