@@ -16,17 +16,17 @@ import org.apache.spark.storage.StorageLevel
   * is tiny (they are dense near-cliques); each round is one keyed
   * equi-join (edges ⋈ labels on node id) + one min-aggregation — both
   * shuffle-partitioned on node id, nothing driver-side except the
-  * converged? count. This is the standard industrial shape (GraphFrames'
-  * default CC is the same loop). Min-label's round count is the graph
-  * DIAMETER — tiny for dup clusters (dense near-cliques), but a chained
-  * near-dup corpus (crawl mirrors A~B~C~…) can produce long paths; for
-  * those the loop auto-falls-back after [[starFallbackAt]] rounds to the
-  * literature's alternating large-star/small-star algorithm (Kiveris et
-  * al., "Connected Components in MapReduce and Beyond"), which contracts
-  * every component to a star rooted at its min id in O(log n) rounds of
-  * the same join/agg primitives — each round rewires every node to its
-  * neighborhood min, so distances shrink geometrically instead of by one
-  * hop per round.
+  * converged? count. This is the standard industrial shape
+  * (GraphFrames' default CC is the same loop). Min-label's round count is
+  * the graph DIAMETER — tiny for dup clusters (dense near-cliques), but a
+  * chained near-dup corpus (crawl mirrors A~B~C~…) can produce long
+  * paths; for those the loop auto-falls-back after [[starFallbackAt]]
+  * rounds to the literature's alternating large-star/small-star algorithm
+  * (Kiveris et al., "Connected Components in MapReduce and Beyond"),
+  * which contracts every component to a star rooted at its min id in
+  * O(log n) rounds of the same join/agg primitives — each round rewires
+  * every node to its neighborhood min, so distances shrink geometrically
+  * instead of by one hop per round.
   *
   * The iteration runs ONLY over edge endpoints. In a dedup workload the
   * pair graph touches a small fraction of the corpus (most documents are
@@ -46,12 +46,18 @@ object ConnectedComponents {
     * converge in 2–4 rounds, so 15 propagation rounds only run in full on a
     * genuinely high-diameter graph — exactly the shape star handles in
     * O(log n). (No fallback when the caller's maxIter is ≤ this cap: a
-    * tight explicit budget means "fail loudly", not "try harder".) */
-  private val starFallbackAt = 15
+    * tight explicit budget means "fail loudly", not "try harder".)
+    * var, not val: tests lower it to force the star path — production
+    * code never writes it. */
+  @volatile private[graft] var starFallbackAt = 15
 
   /** Rounds the last alternating-star run took — test introspection only
     * (the O(log n) convergence claim is asserted, not assumed). */
   @volatile private[graft] var lastStarRounds: Int = -1
+
+  /** Rounds the last min-label propagation phase took — test
+    * introspection for the pointer-jumping O(log d) claim. */
+  @volatile private[graft] var lastPropRounds: Int = -1
 
   /** Re-anchor a persisted, materialized round result as a logical-plan
     * LEAF (LogicalRDD over its cached blocks). Without this, every round's
@@ -105,6 +111,15 @@ object ConnectedComponents {
     var iter = 0
     var changed = 1L
     val propCap = if (starFirst) 0 else math.min(maxIter, starFallbackAt)
+    // One propagation step per materialization barrier — measured, not
+    // assumed (ANALYSIS_r12_q263.md): at small frontier sizes the round
+    // cost is per-STAGE scheduler floor, and both attempted accelerations
+    // lost or tied on q263's 12-round percolation core — a label-of-label
+    // pointer-jump never shortcuts through regional minima (label sinks:
+    // 12 rounds stayed 12, join cost added), and chaining two steps per
+    // barrier just serializes the same shuffle stages inside one job
+    // (5.9–6.3 s either way). The plain loop is the simplest shape with
+    // the same measured cost.
     while (changed > 0 && iter < propCap) {
       // neighbor labels flow along edges; min over {self} ∪ neighbors.
       // The self rows are tagged so the round's OLD label rides through the
@@ -129,6 +144,7 @@ object ConnectedComponents {
       labels = snap(next).select("id", "comp")
       iter += 1
     }
+    lastPropRounds = iter
     if (changed != 0 && maxIter > propCap) {
       // high-diameter graph: min-label is pacing at one hop per round —
       // hand the (still-cached) edge set to alternating-star, which owns

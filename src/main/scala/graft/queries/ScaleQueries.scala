@@ -503,7 +503,7 @@ object ScaleQueries extends QueryPack {
 
   /** (a, b, d2) with a < b: all point pairs within r, via the 3×3 cell
     * ring join — q261's machinery, shared with q263's DBSCAN. */
-  private def spatialPairs(s: SparkSession, dir: String,
+  private[graft] def spatialPairs(s: SparkSession, dir: String,
       r: Long = SpatialR): DataFrame = {
     val homed = spatialPts(s, dir, r)
     val probe = homed.select(col("id").as("a"), col("x").as("xa"),

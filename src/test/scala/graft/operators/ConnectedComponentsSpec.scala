@@ -66,6 +66,11 @@ class ConnectedComponentsSpec extends SparkSuite {
       (0L until 200L).map(i => (i + 1, i)).toDF("a", "b"), "id", "a", "b")
     val got = result.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == (0L to 200L).map(_ -> 0L).toMap)
+    // the batched loop must have spent exactly the 15-round budget before
+    // handing over (batching may not silently shrink the cap)
+    assert(ConnectedComponents.lastPropRounds == 15,
+      s"expected the full 15-round propagation budget, " +
+        s"got ${ConnectedComponents.lastPropRounds}")
     val rounds = ConnectedComponents.lastStarRounds
     assert(rounds > 0, "star fallback did not run for a diameter-200 graph")
     assert(rounds <= 15, s"star took $rounds rounds on 201 nodes — not O(log n)")
@@ -88,6 +93,21 @@ class ConnectedComponentsSpec extends SparkSuite {
     assert((0L to 30L).forall(got(_) == 0L))
     assert((100L to 130L).forall(got(_) == 100L))
     assert(got(999L) == 999L)
+  }
+
+  test("a low forced cap still takes the star path and stays correct — " +
+    "the cap is a budget, not a correctness knob") {
+    val saved = ConnectedComponents.starFallbackAt
+    try {
+      ConnectedComponents.starFallbackAt = 2
+      ConnectedComponents.lastStarRounds = -1
+      val got = comp(0L to 5L,
+        Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L), (1L, 0L)))
+      assert(ConnectedComponents.lastStarRounds > 0, "expected the star path")
+      assert(ConnectedComponents.lastPropRounds == 2,
+        "the lowered cap must bound the propagation rounds exactly")
+      assert(got == (0L to 5L).map(_ -> 0L).toMap)
+    } finally ConnectedComponents.starFallbackAt = saved
   }
 
   test("starFirst produces identical labels to the propagation path") {
