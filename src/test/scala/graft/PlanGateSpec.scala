@@ -37,10 +37,16 @@ object PlanGateSpec {
     "q100_fuzzy_match" -> 2L,
     "q118_kmeans" -> 4L,
     "q280_cluster_purity" -> 7L,
-    "q299_hub_robustness" -> 6L,
+    "q299_hub_robustness" -> 4L,
     "q309_landmark_centrality" -> 2L,
     "q306_label_noise" -> 2L,
-    "q310_jl_audit" -> 1L)
+    "q310_jl_audit" -> 1L,
+    // round-12: the rest of the r11 top-20 by cost
+    "q108_triangles" -> 0L,
+    "q114_inverted_index" -> 3L,
+    "q128_cooccur" -> 3L,
+    "q130_ref_integrity" -> 4L,
+    "q119_assortativity" -> 5L)
   def maxShuffles(name: String): Long = measured(name) + slack
 }
 
