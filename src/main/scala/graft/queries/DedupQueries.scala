@@ -65,7 +65,7 @@ object DedupQueries extends QueryPack {
     * hash-equality ≡ text-equality absent 64-bit collisions (negligible
     * at any per-corpus shingle cardinality < 10⁹). */
   /** Memoized per (session, dir) via [[graft.operators.SessionDirMemo]]
-    * (single slot, eager localCheckpoint — see its scaladoc for the
+    * (two-slot LRU, eager localCheckpoint — see its scaladoc for the
     * retention argument): SEVEN standalone queries (q41/q67/q151/q156/
     * q198/q219/q239) each rebuilt the full shingle→df-gate→pair-mining
     * chain (~1-2s each at sf0.1) for a bit-identical pair table. The

@@ -473,7 +473,7 @@ object EventOpsQueries extends QueryPack {
     * shared with q247's survivorship pass and q275's stitched sessions.
     *
     * Memoized per (session, dir) via [[graft.operators.SessionDirMemo]]
-    * (single slot, eager localCheckpoint — see its scaladoc for why the
+    * (two-slot LRU, eager localCheckpoint — see its scaladoc for why the
     * slot, not a weak map, is the honest retention bound), the
     * cross-query analogue of q263's pairs materialization
     * ([[ScaleQueries]]): the CC run costs ~2s of label-join rounds at

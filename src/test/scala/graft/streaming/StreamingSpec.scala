@@ -558,4 +558,79 @@ class StreamingSpec extends SparkSuite {
     assert(got == Set((1L, "a", 1L), (2L, "b2", 2L), (4L, "d", 2L),
       (5L, "e", 3L)))
   }
+
+  test("foreachBatch incremental cross-batch dedup over micro-batches " +
+    "equals the one-shot memoized q151 result") {
+    // the round-11 composition gap: q151's one-shot answer rides the
+    // per-(session, dir) MEMOIZED jaccard chain, but nothing proved the
+    // same verdicts fall out when the new half ARRIVES over a stream and
+    // each micro-batch screens against the old corpus independently (the
+    // nightly-crawl foreachBatch shape). Equality is exact, not
+    // approximate: every straddle pair's shared grams have df ≥ 2 in any
+    // decomposition that contains both endpoints, and nothing reaches the
+    // maxDf upper gate at this corpus size, so per-pair inter/jaccard are
+    // decomposition-invariant.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.functions.TextAnalysis.fingerprint
+    val cut = 250L
+    val docsAll = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text")
+    val old = docsAll.filter(col("doc_id") < cut).cache()
+    try {
+      // one-shot twin — the memoized batch machinery behind q151
+      val oneShot = graft.SparkEntry
+        .queries("q151_incremental_dedup")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(oneShot.exists(_._3 == 1L),
+        "fixture has no near-dups across the boundary — vacuous")
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[(Long, String)]
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+      val q = mem.toDF().toDF("doc_id", "text").writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val b = batch.cache()
+          val exact = b
+            .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+            .join(old.select(fingerprint(col("text")).as("fp")),
+              Seq("fp"), "left_semi")
+            .select("doc_id").withColumn("exact_dup", lit(1L))
+          // same public builder + parameters the memoized chain uses;
+          // the straddle filter is q151's boundary condition
+          val near = graft.operators.DedupPipeline
+            .nearDupPairs(old.unionByName(b), "doc_id", "text", n = 5,
+              minJaccard = 0.1, maxDf = 1000)
+            .filter(col("id_a") < cut && col("id_b") >= cut &&
+              col("jaccard") >= 0.3)
+            .select(col("id_b").as("doc_id")).distinct()
+            .withColumn("near_dup", lit(1L))
+          val verdicts = b.select("doc_id")
+            .join(exact, Seq("doc_id"), "left")
+            .join(near, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              coalesce(col("exact_dup"), lit(0L)),
+              coalesce(col("near_dup"), lit(0L)))
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          out.synchronized { out ++= verdicts }
+          b.unpersist()
+          ()
+        }.start()
+      try {
+        val newDocs = docsAll.filter(col("doc_id") >= cut)
+          .collect().map(r => (r.getLong(0), r.getString(1)))
+        // three micro-batches, arrival order scrambled relative to id
+        // order — batch independence means boundaries must not matter
+        newDocs.sortBy { case (i, _) => (i * 2654435761L) % 97 }
+          .grouped((newDocs.length + 2) / 3)
+          .foreach { chunk => mem.addData(chunk.toSeq: _*)
+            q.processAllAvailable() }
+      } finally q.stop()
+      assert(out.size == oneShot.size,
+        s"streamed ${out.size} verdicts, one-shot has ${oneShot.size}")
+      assert(out.toSet == oneShot,
+        s"${(out.toSet -- oneShot).take(5)} only streamed; " +
+          s"${(oneShot -- out.toSet).take(5)} only one-shot")
+    } finally old.unpersist()
+  }
 }
