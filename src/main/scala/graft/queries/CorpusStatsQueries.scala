@@ -650,7 +650,93 @@ object CorpusStatsQueries extends QueryPack {
       .orderBy("src_a", "src_b")
   }
 
+  /** KMV (k-minimum-values) distinct-cardinality sketch, AUDITED — the
+    * streaming-sketch family's other workhorse next to HLL (q72): per
+    * source, the k = 32 smallest md5-u32 hashes of the distinct token
+    * BIGRAM set (the corpus's ~31-word synthetic vocabulary is smaller
+    * than any useful k, so the sketch runs one n-gram order up — ~650+
+    * distinct bigrams per source) yield D̂ = (k−1)·2³² / u₍ₖ₎, and the
+    * exact distinct count rides along so the estimate's error is itself
+    * a hash-checked fact. The
+    * Spark side uses the bounded [[graft.functions.TopKByValue]]
+    * aggregate (map-side ≤ k combine — the q306 argument: the exchange
+    * carries ≤ k·sources·tasks rows, never the vocabulary), NOT a
+    * per-source sort; the oracle replays the same multiset k-th minimum
+    * via a window. Hash ties across distinct tokens keep multiset
+    * semantics on both engines, so u₍ₖ₎ is identical either way. The
+    * estimator is integer end-to-end: (k−1)·2³² ≈ 1.3e11 fits long. */
+  private def q321(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    import Rounding.{intDiv, intDivExact}
+    val k = 32
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val st = docs(s, dir)
+      .select(col("doc_id"), col("source"),
+        posexplode(TextAnalysis.tokensCol(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("w2", lead("tok", 1).over(w))
+      .filter(col("w2").isNotNull)
+      .select(col("source"),
+        concat(col("tok"), lit(" "), col("w2")).as("tok"))
+      .distinct()
+      .withColumn("u", graft.functions.Hashing.md5U32(col("tok")))
+    val topk = udaf(new graft.functions.TopKByValue(k),
+      ExpressionEncoder[graft.functions.Scored]())
+    st.groupBy("source")
+      .agg(countDistinct(col("tok")).as("n_exact"),
+        topk((-col("u")).cast("double"), col("u")).as("mins"))
+      .filter(size(col("mins")) >= k) // KMV undefined below k elements
+      .select(col("source"), col("n_exact"),
+        element_at(col("mins"), k).getField("id").as("kth_u32"))
+      .withColumn("kmv_est",
+        intDiv(lit((k - 1).toLong * 4294967296L), col("kth_u32")))
+      .withColumn("err_e4", intDivExact(
+        abs(col("kmv_est") - col("n_exact")).cast("decimal(38,0)") *
+          lit(20000L) + col("n_exact"),
+        lit(2L) * col("n_exact")))
+      .orderBy("source")
+  }
+
+  /** Kneser–Ney continuation counts — the part of modern LM smoothing
+    * ordinary frequency can't fake: a token's continuation probability
+    * is driven by HOW MANY DISTINCT left contexts it follows
+    * (N₁₊(•w)), not how often it occurs ("francisco" is frequent but
+    * follows only "san" — its continuation mass is tiny). Emits the
+    * top-50 tokens by left-context diversity with the exact e6
+    * continuation probability N₁₊(•w)/|distinct bigram types|. Same
+    * tokenize→lead bigram build as q79 (per-doc windows, high
+    * cardinality, no global sort); the distinct-context counts are one
+    * two-key aggregation, the bigram-type total a 1-row broadcast, and
+    * the top-50 a TakeOrdered — each 100 TB-safe. */
+  private def q329(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import Rounding.intDivExact
+    val toks = docs(s, dir)
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.tokensCol(col("text"))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val bg = toks.withColumn("w2", lead("tok", 1).over(w))
+      .filter(col("w2").isNotNull)
+      .select("tok", "w2").withColumnRenamed("tok", "w1")
+    val types = bg.distinct()
+    val total = types.agg(count(lit(1)).as("n_types"))
+    val perTok = bg.groupBy(col("w2").as("token"))
+      .agg(count(lit(1)).as("freq"))
+      .join(types.groupBy(col("w2").as("token"))
+        .agg(count(lit(1)).as("n_left_types")), "token")
+    perTok.crossJoin(broadcast(total))
+      .select(col("token"), col("freq"), col("n_left_types"),
+        intDivExact(
+          col("n_left_types").cast("decimal(38,0)") * lit(2000000L) +
+            col("n_types"),
+          lit(2L) * col("n_types")).as("p_cont_e6"))
+      .orderBy(col("n_left_types").desc, col("token"))
+      .limit(50)
+  }
+
   val defs: Map[String, Q] = Map(
+    "q321_kmv_cardinality" -> (q321 _),
+    "q329_kneser_ney" -> (q329 _),
     "q302_source_tvd" -> (q302 _),
     "q230_token_fertility" -> (q230 _),
     "q266_sparse_cosine" -> (q266 _),
@@ -676,6 +762,73 @@ object CorpusStatsQueries extends QueryPack {
       s"2 * $den")
 
   val oracle: Map[String, String] = Map(
+    // same distinct-token u32 multiset, same k-th minimum, same integer
+    // estimator — ties among equal u resolve to the same k-th VALUE
+    "q321_kmv_cardinality" -> {
+      val err = Rounding.intDivExactSql(
+        "CAST(abs(kmv_est - n_exact) AS HUGEINT) * 20000 + n_exact",
+        "2 * n_exact")
+      s"""WITH toks AS (
+        |  SELECT doc_id, source,
+        |    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok,
+        |    unnest(generate_series(1,
+        |      len(string_split_regex(lower(trim(text)), '\\s+')))) AS pos
+        |  FROM documents),
+        |bg AS (
+        |  SELECT source, tok || ' ' ||
+        |    lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS tok
+        |  FROM toks),
+        |st AS (SELECT DISTINCT source, tok FROM bg WHERE tok IS NOT NULL),
+        |u AS (
+        |  SELECT source, tok, ${graft.functions.Hashing.md5U32Sql("tok")}
+        |    AS u FROM st),
+        |rn AS (
+        |  SELECT source, u,
+        |    row_number() OVER (PARTITION BY source ORDER BY u) AS rn
+        |  FROM u),
+        |agg AS (
+        |  SELECT source, CAST(count(DISTINCT tok) AS BIGINT) AS n_exact
+        |  FROM st GROUP BY source),
+        |kth AS (
+        |  SELECT source, CAST(max(u) AS BIGINT) AS kth_u32,
+        |    count(*) AS nk
+        |  FROM rn WHERE rn <= 32 GROUP BY source),
+        |est AS (
+        |  SELECT a.source, a.n_exact, k.kth_u32,
+        |    CAST(31 * 4294967296 // kth_u32 AS BIGINT) AS kmv_est
+        |  FROM agg a JOIN kth k ON a.source = k.source
+        |  WHERE k.nk >= 32)
+        |SELECT source, n_exact, kth_u32, kmv_est, $err AS err_e4
+        |FROM est ORDER BY source""".stripMargin
+    },
+    // same per-doc lead bigrams, same distinct-context census, same
+    // (n_left_types DESC, token) top-50
+    "q329_kneser_ney" -> {
+      val p = Rounding.intDivExactSql(
+        "CAST(n_left_types AS HUGEINT) * 2000000 + n_types", "2 * n_types")
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok,
+         |    unnest(generate_series(1,
+         |      len(string_split_regex(lower(trim(text)), '\\s+')))) AS pos
+         |  FROM documents),
+         |bg AS (
+         |  SELECT tok AS w1,
+         |    lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+         |  FROM toks),
+         |bgn AS (SELECT w1, w2 FROM bg WHERE w2 IS NOT NULL),
+         |types AS (SELECT DISTINCT w1, w2 FROM bgn),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM types),
+         |per AS (
+         |  SELECT b.w2 AS token, CAST(count(*) AS BIGINT) AS freq
+         |  FROM bgn b GROUP BY 1),
+         |lefts AS (
+         |  SELECT w2 AS token, CAST(count(*) AS BIGINT) AS n_left_types
+         |  FROM types GROUP BY 1)
+         |SELECT per.token, freq, n_left_types, $p AS p_cont_e6
+         |FROM per JOIN lefts ON per.token = lefts.token, tot
+         |ORDER BY n_left_types DESC, per.token LIMIT 50""".stripMargin
+    },
     // same top-200 vocab gate, same cross-join zero-fill, same one
     // exact rational per pair half-up on the e6 grid
     "q302_source_tvd" ->

@@ -1334,7 +1334,72 @@ object EventOpsQueries extends QueryPack {
       .orderBy("user_id", "repeat_event")
   }
 
+  /** Maximum drawdown of the daily-revenue curve per event type — the
+    * "how bad did it get from the best day" risk census (finance's
+    * peak-to-trough, applied to any daily KPI): running max over the
+    * calendar-ordered daily cents totals, drawdown = peak − today,
+    * report the worst trough with ties to the EARLIEST day
+    * (deterministic, stated). One daily aggregation over the corpus,
+    * then per-type windows over the calendar-bounded series — the
+    * q294/q325 bounded-window argument; nothing row-scale shuffles
+    * twice. */
+  private def q327(s: SparkSession, dir: String): DataFrame = {
+    val daily = ev(s, dir).filter(col("value").isNotNull)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(Rounding.sumCents(Rounding.cents(col("value"))).as("x"))
+    val ord = Window.partitionBy("event_type").orderBy("day")
+    daily
+      .withColumn("peak", max("x").over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("dd", col("peak") - col("x"))
+      .withColumn("rk", row_number().over(Window.partitionBy("event_type")
+        .orderBy(col("dd").desc, col("day"))))
+      .filter(col("rk") === 1)
+      .select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("trough_day"),
+        col("peak").as("peak_cents"), col("x").as("trough_cents"),
+        col("dd").as("max_dd_cents"))
+      .orderBy("event_type")
+  }
+
+  /** Historical VaR₉₅/ES₉₅ on day-over-day revenue deltas per event
+    * type — the tail-risk pair every monitoring stack quotes, computed
+    * the EXACT empirical way (no distributional assumption, no
+    * interpolation): deltas via one lag over the calendar-ordered daily
+    * cents, k = ⌈0.05·n⌉ (integer arithmetic: (n+19) div 20), VaR = the
+    * k-th smallest delta (order statistic, ties broken by day for a
+    * deterministic row, value identical regardless), ES = the mean of
+    * the k worst deltas as an exact e2 rational (dividend-signed
+    * truncation, both engines). Per-type bounded windows again; the
+    * k-tail sum is an aggregation, not a second sort. */
+  private def q328(s: SparkSession, dir: String): DataFrame = {
+    import Rounding.intDivExact
+    val daily = ev(s, dir).filter(col("value").isNotNull)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(Rounding.sumCents(Rounding.cents(col("value"))).as("x"))
+    val ord = Window.partitionBy("event_type").orderBy("day")
+    val rets = daily
+      .withColumn("ret", col("x") - lag("x", 1).over(ord))
+      .filter(col("ret").isNotNull)
+      .withColumn("rn", row_number().over(Window.partitionBy("event_type")
+        .orderBy(col("ret"), col("day"))).cast("long"))
+    val n = rets.groupBy("event_type").agg(count(lit(1)).as("n_rets"))
+      .withColumn("k", Rounding.intDiv(col("n_rets") + lit(19L), lit(20L)))
+    rets.join(n, "event_type")
+      .filter(col("rn") <= col("k"))
+      .groupBy(col("event_type"), col("n_rets"), col("k"))
+      .agg(max(when(col("rn") === col("k"), col("ret"))).as("var_cents"),
+        sum("ret").as("tail_sum"))
+      .select(col("event_type"), col("n_rets"), col("k"),
+        col("var_cents"),
+        intDivExact(col("tail_sum").cast("decimal(38,0)") * lit(100L),
+          col("k")).as("es_cents_e2"))
+      .orderBy("event_type")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q327_drawdown" -> (q327 _),
+    "q328_var_es" -> (q328 _),
     "q233_attribution" -> (q233 _),
     "q244_identity_stitch" -> (q244 _),
     "q252_capped_balance" -> (q252 _),
@@ -1475,6 +1540,57 @@ object EventOpsQueries extends QueryPack {
       |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // same running max + worst-trough rank, earliest-day ties
+    "q327_drawdown" ->
+      s"""WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    ${Rounding.sumCentsSql(Rounding.centsSql("value"))} AS x
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |dd AS (
+        |  SELECT event_type, day, x,
+        |    CAST(max(x) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS peak
+        |  FROM daily),
+        |rk AS (
+        |  SELECT *, peak - x AS ddv,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY peak - x DESC, day) AS rk
+        |  FROM dd)
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS trough_day,
+        |  peak AS peak_cents, x AS trough_cents,
+        |  CAST(ddv AS BIGINT) AS max_dd_cents
+        |FROM rk WHERE rk = 1 ORDER BY event_type""".stripMargin,
+    // same ⌈n/20⌉ order statistic and exact e2 tail mean
+    "q328_var_es" -> {
+      val es = Rounding.intDivExactSql(
+        "CAST(tail_sum AS HUGEINT) * 100", "k")
+      s"""WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    ${Rounding.sumCentsSql(Rounding.centsSql("value"))} AS x
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |rets AS (
+        |  SELECT event_type, day,
+        |    x - lag(x) OVER (PARTITION BY event_type ORDER BY day) AS ret
+        |  FROM daily),
+        |rn AS (
+        |  SELECT event_type, day, ret,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY ret, day) AS BIGINT) AS rn
+        |  FROM rets WHERE ret IS NOT NULL),
+        |n AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_rets,
+        |    CAST((count(*) + 19) // 20 AS BIGINT) AS k
+        |  FROM rn GROUP BY 1),
+        |agg AS (
+        |  SELECT rn.event_type, n.n_rets, n.k,
+        |    CAST(max(CASE WHEN rn = k THEN ret END) AS BIGINT)
+        |      AS var_cents,
+        |    CAST(sum(ret) AS BIGINT) AS tail_sum
+        |  FROM rn JOIN n ON rn.event_type = n.event_type
+        |  WHERE rn <= k GROUP BY 1, 2, 3)
+        |SELECT event_type, n_rets, k, var_cents, $es AS es_cents_e2
+        |FROM agg ORDER BY event_type""".stripMargin
+    },
     // same 2–3-user key gate, same sorted pair expansion, q67's
     // recursive min-label closure on users
     "q244_identity_stitch" ->

@@ -656,7 +656,132 @@ object ScaleQueries extends QueryPack {
       .orderBy("chunk_day")
   }
 
+  /** Bloom-filter false-positive CENSUS — q70 uses a bloom to prune a
+    * join; this query measures the price of that trust on a bloom both
+    * engines can replay bit-for-bit: m = 4096 bits, h = 3 md5-derived
+    * positions per key (`md5_u32(key ':' i) mod m` — deterministic, no
+    * engine-private hash), inserted keys = the old half's distinct
+    * token bigrams, probes = the new half's bigrams that are NOT in the
+    * old set (so every hit is by definition false). The measured fpp_e6
+    * is the number the q70-style optimization must budget for. Scale:
+    * the bit set is m-bounded, membership is a keyed semi-join on bit
+    * position, and the all-h-positions-set test is one min-aggregation
+    * per probe key — no bitmap ever sits on one node. */
+  private def q330(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import Rounding.intDivExact
+    val m = 4096L
+    val cut = 250L
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val bg = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(graft.functions.TextAnalysis.tokensCol(col("text")))
+          .as(Seq("pos", "tok")))
+      .withColumn("w2", lead("tok", 1).over(w))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"),
+        concat(col("tok"), lit(" "), col("w2")).as("bg"))
+    val oldKeys = bg.filter(col("doc_id") < cut).select("bg").distinct()
+    val newKeys = bg.filter(col("doc_id") >= cut).select("bg").distinct()
+      .join(oldKeys, Seq("bg"), "left_anti")
+    def positions(df: DataFrame): DataFrame = df
+      .select(col("bg"), explode(array(lit(0), lit(1), lit(2))).as("i"))
+      .select(col("bg"),
+        (graft.functions.Hashing.md5U32(
+          concat(col("bg"), lit(":"), col("i"))) % m).as("p"))
+    val bits = positions(oldKeys).select("p").distinct()
+      .withColumn("hit", lit(1L))
+    val probed = positions(newKeys).distinct()
+      .join(bits, Seq("p"), "left")
+      .groupBy("bg")
+      .agg(min(coalesce(col("hit"), lit(0L))).as("all_set"))
+    val nIns = oldKeys.agg(count(lit(1)).as("n_inserted"))
+    probed
+      .agg(count(lit(1)).as("n_probed"), sum("all_set").as("n_fp"))
+      .crossJoin(broadcast(nIns))
+      .select(lit(m).as("m_bits"), lit(3L).as("k_hashes"),
+        col("n_inserted"), col("n_probed"), col("n_fp"),
+        intDivExact(
+          col("n_fp").cast("decimal(38,0)") * lit(2000000L) +
+            col("n_probed"),
+          lit(2L) * col("n_probed")).as("fpp_e6"))
+  }
+
+  /** Physical-sortedness audit — the census a lakehouse maintenance
+    * job runs to decide whether a partition needs re-clustering before
+    * range predicates can skip (q304 measures the zone maps; this
+    * measures WHY they are loose): within each day, walk the rows in
+    * event_id order and count adjacent timestamp inversions, plus the
+    * longest non-descending run (gaps-and-islands over the inversion
+    * flags — one cumulative window, no self-join). Per-day windows are
+    * the natural partition bound: exactly the unit a rewrite would
+    * target. */
+  private def q331(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("day").orderBy("event_id")
+    val flagged = Tables.load(s, dir, "events")
+      .select(to_date(col("ts")).as("day"), col("event_id"), col("ts"))
+      .withColumn("inv",
+        (lag("ts", 1).over(w) > col("ts")).cast("long"))
+      .withColumn("inv", coalesce(col("inv"), lit(0L)))
+      .withColumn("run_id", sum("inv").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val runs = flagged.groupBy("day", "run_id")
+      .agg(count(lit(1)).as("run_len"))
+    flagged.groupBy("day")
+      .agg(count(lit(1)).as("n_rows"), sum("inv").as("n_inversions"))
+      .join(runs.groupBy("day").agg(max("run_len").as("longest_run")),
+        "day")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_rows"), col("n_inversions"), col("longest_run"))
+      .orderBy("day")
+  }
+
+  /** Dictionary-encoding planner — the per-column decision parquet
+    * writers make, surfaced as a census so a 100 TB layout review can
+    * read it: for each candidate string column, the plain cost
+    * (Σ UTF-8 bytes) vs the dictionary cost (distinct values' bytes +
+    * a flat 4-byte code per row — the documented model; real writers
+    * bit-pack, which only strengthens a 'dict' verdict). One
+    * aggregation per column, a bounded union of one-row results —
+    * the q94-profile shape pointed at storage planning. */
+  private def q332(s: SparkSession, dir: String): DataFrame = {
+    import Rounding.intDivExact
+    def census(table: String, column: String): DataFrame =
+      Tables.load(s, dir, table)
+        .select(col(column).cast("string").as("v"))
+        .filter(col("v").isNotNull)
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("v")).as("n_distinct"),
+          sum(octet_length(col("v")).cast("long")).as("plain_bytes"))
+        .crossJoin(broadcast(
+          Tables.load(s, dir, table)
+            .select(col(column).cast("string").as("v"))
+            .filter(col("v").isNotNull).distinct()
+            .agg(sum(octet_length(col("v")).cast("long"))
+              .as("distinct_bytes"))))
+        .select(lit(table).as("tbl"), lit(column).as("col_name"),
+          col("n_rows"), col("n_distinct"), col("plain_bytes"),
+          (col("distinct_bytes") + lit(4L) * col("n_rows"))
+            .as("dict_bytes"))
+    Seq(census("events", "event_type"), census("events", "props"),
+      census("documents", "source"), census("customer", "c_mktsegment"),
+      census("orders", "o_orderpriority"), census("lineitem", "l_returnflag"))
+      .reduce(_ unionByName _)
+      .withColumn("ratio_e4", intDivExact(
+        col("dict_bytes").cast("decimal(38,0)") * lit(20000L) +
+          col("plain_bytes"),
+        lit(2L) * col("plain_bytes")))
+      .withColumn("pick",
+        when(col("dict_bytes") < col("plain_bytes"), "dict")
+          .otherwise("plain"))
+      .orderBy("tbl", "col_name")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q330_bloom_fpp" -> (q330 _),
+    "q331_sortedness" -> (q331 _),
+    "q332_dict_encoding" -> (q332 _),
     "q304_zonemap_audit" -> (q304 _),
     "q237_balanced_shards" -> (q237 _),
     "q259_three_way_reconcile" -> (q259 _),
@@ -678,6 +803,110 @@ object ScaleQueries extends QueryPack {
     "q78_interval_merge" -> (q78 _))
 
   val oracle: Map[String, String] = Map(
+    // same md5 bit positions mod 4096, same new-only probe set, same
+    // all-h-set test
+    "q330_bloom_fpp" -> {
+      val h = (e: String) => graft.functions.Hashing.md5U32Sql(e)
+      val fpp = Rounding.intDivExactSql(
+        "CAST(n_fp AS HUGEINT) * 2000000 + n_probed", "2 * n_probed")
+      s"""WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok,
+        |    unnest(generate_series(1,
+        |      len(string_split_regex(lower(trim(text)), '\\s+')))) AS pos
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, tok || ' ' ||
+        |    lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS bg
+        |  FROM toks),
+        |bgn AS (SELECT doc_id, bg FROM bg WHERE bg IS NOT NULL),
+        |oldk AS (SELECT DISTINCT bg FROM bgn WHERE doc_id < 250),
+        |newk AS (
+        |  SELECT DISTINCT bg FROM bgn WHERE doc_id >= 250
+        |  AND bg NOT IN (SELECT bg FROM oldk)),
+        |hashes AS (SELECT unnest([0, 1, 2]) AS i),
+        |bits AS (
+        |  SELECT DISTINCT ${h("bg || ':' || i")} % 4096 AS p
+        |  FROM oldk, hashes),
+        |probe AS (
+        |  SELECT DISTINCT bg, ${h("bg || ':' || i")} % 4096 AS p
+        |  FROM newk, hashes),
+        |verdict AS (
+        |  SELECT probe.bg,
+        |    min(CASE WHEN bits.p IS NULL THEN 0 ELSE 1 END) AS all_set
+        |  FROM probe LEFT JOIN bits ON probe.p = bits.p
+        |  GROUP BY probe.bg),
+        |agg AS (
+        |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM oldk)
+        |      AS n_inserted,
+        |    CAST(count(*) AS BIGINT) AS n_probed,
+        |    CAST(sum(all_set) AS BIGINT) AS n_fp
+        |  FROM verdict)
+        |SELECT CAST(4096 AS BIGINT) AS m_bits, CAST(3 AS BIGINT)
+        |    AS k_hashes,
+        |  n_inserted, n_probed, n_fp, $fpp AS fpp_e6
+        |FROM agg""".stripMargin
+    },
+    // same event_id walk, strict-inversion flags, gaps-and-islands runs
+    "q331_sortedness" ->
+      """WITH f AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY CAST(ts AS DATE)
+        |        ORDER BY event_id) > ts THEN 1 ELSE 0 END AS inv
+        |  FROM events),
+        |r AS (
+        |  SELECT day, inv,
+        |    sum(inv) OVER (PARTITION BY day ORDER BY event_id
+        |      ROWS UNBOUNDED PRECEDING) AS run_id
+        |  FROM f),
+        |runs AS (
+        |  SELECT day, run_id, count(*) AS run_len
+        |  FROM r GROUP BY 1, 2),
+        |d AS (
+        |  SELECT day, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(inv) AS BIGINT) AS n_inversions
+        |  FROM r GROUP BY day),
+        |l AS (
+        |  SELECT day, CAST(max(run_len) AS BIGINT) AS longest_run
+        |  FROM runs GROUP BY day)
+        |SELECT strftime(d.day, '%Y-%m-%d') AS day, n_rows, n_inversions,
+        |  longest_run
+        |FROM d JOIN l ON d.day = l.day ORDER BY 1""".stripMargin,
+    // same plain/dict byte model (UTF-8 plain bytes; distinct bytes +
+    // 4/row codes)
+    "q332_dict_encoding" -> {
+      val ratio = Rounding.intDivExactSql(
+        "CAST(dict_bytes AS HUGEINT) * 20000 + plain_bytes",
+        "2 * plain_bytes")
+      def one(t: String, c: String) =
+        s"""SELECT '$t' AS tbl, '$c' AS col_name,
+           |  CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(sum(octet_length(encode(CAST($c AS VARCHAR))))
+           |    AS BIGINT) AS plain_bytes,
+           |  CAST((SELECT sum(octet_length(encode(v))) FROM (
+           |      SELECT DISTINCT CAST($c AS VARCHAR) AS v FROM $t
+           |      WHERE $c IS NOT NULL))
+           |    + 4 * count(*) AS BIGINT) AS dict_bytes
+           |FROM $t WHERE $c IS NOT NULL""".stripMargin
+      s"""WITH u AS (
+         |${one("events", "event_type")}
+         |UNION ALL
+         |${one("events", "props")}
+         |UNION ALL
+         |${one("documents", "source")}
+         |UNION ALL
+         |${one("customer", "c_mktsegment")}
+         |UNION ALL
+         |${one("orders", "o_orderpriority")}
+         |UNION ALL
+         |${one("lineitem", "l_returnflag")})
+         |SELECT tbl, col_name, n_rows, n_distinct, plain_bytes,
+         |  dict_bytes, $ratio AS ratio_e4,
+         |  CASE WHEN dict_bytes < plain_bytes THEN 'dict' ELSE 'plain'
+         |  END AS pick
+         |FROM u ORDER BY tbl, col_name""".stripMargin
+    },
     // same day chunks, cents zone bounds, overlap test and exact match
     // counts
     "q304_zonemap_audit" -> {

@@ -902,7 +902,89 @@ object TemporalQueries extends QueryPack {
       .orderBy("event_type")
   }
 
+  /** Mann–Kendall trend test (tau-a) per event type — the
+    * distribution-free "is this series actually trending?" gate a
+    * monitoring pipeline runs before fitting any slope (q228's
+    * Theil–Sen estimates the slope; this tests whether one exists):
+    * S = Σ_{i<j} sign(x_j − x_i) over the DAILY revenue series, a
+    * census over day pairs. Exact throughout — sign comparisons on
+    * integer cents, τ_a = S·10⁶ div C(n,2) as one signed exact
+    * division ([[Rounding.intDivExact]], dividend-signed truncation on
+    * both engines; ties contribute 0 to S by tau-a's definition,
+    * stated rather than hidden). Scale: the pair join is PER TYPE over
+    * the calendar-bounded daily table (≤ ~4k days/decade → ≤ 8M pairs
+    * per type, keyed on event_type) — the q294 calendar-bounded
+    * argument; the raw event table is touched once, by the daily
+    * aggregation. */
+  private def q325(s: SparkSession, dir: String): DataFrame = {
+    import Rounding.intDivExact
+    val daily = ev(s, dir).filter(col("value").isNotNull)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(Rounding.sumCents(Rounding.cents(col("value"))).as("x"))
+    val pairs = daily.as("a")
+      .join(daily.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.day") < col("b.day"))
+      .select(col("a.event_type").as("event_type"),
+        signum(col("b.x") - col("a.x")).cast("long").as("sgn"))
+      .groupBy("event_type").agg(sum("sgn").as("s_stat"))
+    val n = daily.groupBy("event_type").agg(count(lit(1)).as("n_days"))
+    n.join(pairs, "event_type")
+      .select(col("event_type"), col("n_days"), col("s_stat"),
+        intDivExact(col("s_stat").cast("decimal(38,0)") * lit(2000000L),
+          col("n_days") * (col("n_days") - lit(1L))).as("tau_e6"))
+      .orderBy("event_type")
+  }
+
+  /** Single changepoint by exact between-group sum-of-squares — binary
+    * segmentation's first (and at corpus scale, usually only) split:
+    * for every candidate day k the gain is n_l·n_r·(mean_l − mean_r)²,
+    * maximized exactly on the integer grid via the common-denominator
+    * form (S_l·n_r − S_r·n_l)² / (k·(n−k)), normalized by S² into a
+    * dimensionless e6 so the output fits BIGINT at any revenue scale
+    * (operands stay within decimal(38,0): S ≤ ~10¹¹ cents·days ⇒
+    * num·10⁶ ≤ ~10³²). Ties break to the EARLIEST day — deterministic,
+    * stated. One daily aggregation, per-type prefix windows over the
+    * calendar-bounded series, one rank — no pair join at all. */
+  private def q326(s: SparkSession, dir: String): DataFrame = {
+    import Rounding.intDivExact
+    val daily = ev(s, dir).filter(col("value").isNotNull)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(Rounding.sumCents(Rounding.cents(col("value"))).as("x"))
+    val ord = Window.partitionBy("event_type").orderBy("day")
+    val tot = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("x").as("s_all"))
+    val pre = daily
+      .withColumn("k", row_number().over(ord).cast("long"))
+      .withColumn("s_l", sum("x").over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(tot, "event_type")
+      .filter(col("k") < col("n") && col("s_all") =!= 0L)
+      .withColumn("num",
+        (col("s_l").cast("decimal(38,0)") * (col("n") - col("k")) -
+          (col("s_all") - col("s_l")).cast("decimal(38,0)") * col("k")))
+      .withColumn("gain_rel_e6", intDivExact(
+        col("num") * col("num") * lit(1000000L),
+        (col("k") * (col("n") - col("k"))).cast("decimal(38,0)") *
+          col("s_all") * col("s_all")))
+    pre
+      .withColumn("rk", row_number().over(Window.partitionBy("event_type")
+        .orderBy(col("gain_rel_e6").desc, col("k"))))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("n").as("n_days"),
+        date_format(col("day"), "yyyy-MM-dd").as("split_day"),
+        col("k").as("n_left"), col("gain_rel_e6"),
+        intDivExact(col("s_l").cast("decimal(38,0)") * lit(100L),
+          col("k")).as("mean_l_cents_e2"),
+        intDivExact(
+          (col("s_all") - col("s_l")).cast("decimal(38,0)") * lit(100L),
+          col("n") - col("k")).as("mean_r_cents_e2"))
+      .orderBy("event_type")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q325_mann_kendall" -> (q325 _),
+    "q326_changepoint" -> (q326 _),
     "q300_spearman" -> (q300 _),
     "q303_runs_test" -> (q303 _),
     "q171_autocorr" -> (q171 _),
@@ -1111,6 +1193,67 @@ object TemporalQueries extends QueryPack {
         |FROM z ORDER BY event_type""".stripMargin
     },
     // same lcm-scaled integer ANOVA; HUGEINT mirrors the decimal chain
+    "q325_mann_kendall" -> {
+      import Rounding.intDivExactSql
+      val tau = intDivExactSql(
+        "CAST(s_stat AS HUGEINT) * 2000000", "n_days * (n_days - 1)")
+      s"""WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    ${Rounding.sumCentsSql(Rounding.centsSql("value"))} AS x
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.event_type,
+        |    CAST(sum(CASE WHEN b.x > a.x THEN 1
+        |      WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.day < b.day
+        |  GROUP BY a.event_type),
+        |n AS (SELECT event_type, count(*) AS n_days FROM daily GROUP BY 1)
+        |SELECT n.event_type, CAST(n_days AS BIGINT) AS n_days, s_stat,
+        |  $tau AS tau_e6
+        |FROM n JOIN p ON n.event_type = p.event_type
+        |ORDER BY n.event_type""".stripMargin
+    },
+    "q326_changepoint" -> {
+      import Rounding.intDivExactSql
+      val gain = intDivExactSql(
+        "CAST(num AS HUGEINT) * num * 1000000",
+        "CAST(k * (n - k) AS HUGEINT) * s_all * s_all")
+      val ml = intDivExactSql("CAST(s_l AS HUGEINT) * 100", "k")
+      val mr = intDivExactSql(
+        "CAST(s_all - s_l AS HUGEINT) * 100", "n - k")
+      s"""WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    ${Rounding.sumCentsSql(Rounding.centsSql("value"))} AS x
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT event_type, count(*) AS n, CAST(sum(x) AS BIGINT) AS s_all
+        |  FROM daily GROUP BY 1),
+        |pre AS (
+        |  SELECT d.event_type, d.day, t.n, t.s_all,
+        |    CAST(row_number() OVER (PARTITION BY d.event_type
+        |      ORDER BY d.day) AS BIGINT) AS k,
+        |    CAST(sum(x) OVER (PARTITION BY d.event_type ORDER BY d.day
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s_l
+        |  FROM daily d JOIN tot t ON d.event_type = t.event_type),
+        |g AS (
+        |  SELECT *, CAST(s_l AS HUGEINT) * (n - k)
+        |      - CAST(s_all - s_l AS HUGEINT) * k AS num
+        |  FROM pre WHERE k < n AND s_all <> 0),
+        |sc AS (
+        |  SELECT event_type, day, n, k, s_l, s_all,
+        |    $gain AS gain_rel_e6
+        |  FROM g),
+        |rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY gain_rel_e6 DESC, k) AS rk
+        |  FROM sc)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+        |  strftime(day, '%Y-%m-%d') AS split_day,
+        |  k AS n_left, gain_rel_e6,
+        |  $ml AS mean_l_cents_e2, $mr AS mean_r_cents_e2
+        |FROM rk WHERE rk = 1 ORDER BY event_type""".stripMargin
+    },
     "q277_weekday_eta2" -> {
       import Rounding.intDivExactSql
       val eta = intDivExactSql(
