@@ -734,7 +734,44 @@ object CorpusStatsQueries extends QueryPack {
       .limit(50)
   }
 
+  /** Vocabulary coverage curve — "how many token types carry 50/90/99%
+    * of the token mass": the number every tokenizer-budget and
+    * vocab-truncation decision starts from (Zipf's law says the head is
+    * tiny; this measures it exactly). Types sort by (count desc, token),
+    * one cumulative window over the VOCABULARY table (bounded by
+    * distinct types, not corpus rows), and for each threshold the
+    * smallest prefix k with cum ≥ ⌈p·total⌉ — ceil-exact in integers,
+    * no float thresholds. Emits k_types and the prefix's exact e6
+    * coverage per threshold. */
+  private def q337(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import Rounding.intDivExact
+    val counts = docs(s, dir)
+      .select(explode(TextAnalysis.tokensCol(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val ord = Window.orderBy(col("c").desc, col("tok"))
+    val cum = counts
+      .withColumn("k", row_number().over(ord).cast("long"))
+      .withColumn("cum", sum("c").over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(counts.agg(sum("c").as("total"))))
+    val th = s.createDataFrame(Seq(Tuple1(50L), Tuple1(90L), Tuple1(99L)))
+      .toDF("threshold_pct")
+    cum.crossJoin(broadcast(th))
+      .filter(col("cum") * lit(100L) >= col("threshold_pct") * col("total"))
+      .groupBy("threshold_pct")
+      .agg(min(struct(col("k"), col("cum"), col("total"))).as("m"))
+      .select(col("threshold_pct"), col("m.k").as("k_types"),
+        intDivExact(
+          col("m.cum").cast("decimal(38,0)") * lit(2000000L) +
+            col("m.total"),
+          lit(2L) * col("m.total")).as("covered_e6"))
+      .orderBy("threshold_pct")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q337_coverage_curve" -> (q337 _),
     "q321_kmv_cardinality" -> (q321 _),
     "q329_kneser_ney" -> (q329 _),
     "q302_source_tvd" -> (q302 _),
@@ -762,6 +799,33 @@ object CorpusStatsQueries extends QueryPack {
       s"2 * $den")
 
   val oracle: Map[String, String] = Map(
+    // same (count desc, token) order, ceil-exact integer thresholds
+    "q337_coverage_curve" -> {
+      val cov = Rounding.intDivExactSql(
+        "CAST(cum AS HUGEINT) * 2000000 + total", "2 * total")
+      s"""WITH counts AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)),
+        |    '\\s+')) AS tok FROM documents)
+        |  WHERE tok <> '' GROUP BY tok),
+        |cum AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY c DESC, tok) AS BIGINT)
+        |      AS k,
+        |    CAST(sum(c) OVER (ORDER BY c DESC, tok
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM counts),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM counts),
+        |th AS (SELECT unnest([50, 90, 99]) AS threshold_pct),
+        |hit AS (
+        |  SELECT CAST(threshold_pct AS BIGINT) AS threshold_pct,
+        |    min_by(k, k) AS k_types, min_by(cum, k) AS cum,
+        |    any_value(total) AS total
+        |  FROM cum, tot, th
+        |  WHERE cum * 100 >= threshold_pct * total
+        |  GROUP BY 1)
+        |SELECT threshold_pct, k_types, $cov AS covered_e6
+        |FROM hit ORDER BY threshold_pct""".stripMargin
+    },
     // same distinct-token u32 multiset, same k-th minimum, same integer
     // estimator — ties among equal u resolve to the same k-th VALUE
     "q321_kmv_cardinality" -> {

@@ -850,7 +850,51 @@ object CurationQueries extends QueryPack {
     "q132_token_budget" -> (q132 _),
     "q139_temperature_mix" -> (q139 _),
     "q297_waterfill_budget" -> (q297 _),
-    "q319_compression_ratio" -> (q319 _))
+    "q319_compression_ratio" -> (q319 _),
+    "q334_ns_weights" -> (q334 _))
+
+  /** word2vec-style negative-sampling table — the f^0.75 unigram
+    * flattening every embedding trainer bakes in, de-floated the one way
+    * a cross-engine exact contract allows: x^0.75 = √(x·√x), a chain of
+    * IEEE-correctly-rounded primitives (sqrt and multiply are exact-
+    * rounding obligations in both engines; pow(x, 0.75) is NOT — libm
+    * pow carries no such guarantee), so w_e6 = ⌊√(f·√f)·10⁶ + 0.5⌋ is
+    * bit-agreed. A 10⁶-draw sampling table is then allocated by largest
+    * remainder over w_e6 (q254's Hamilton machinery pointed at
+    * fractional-power weights): Σ alloc = 10⁶ exactly, ties on equal
+    * remainders to the lexicographically smaller token. The ranking
+    * window runs over the VOCABULARY table (bounded by distinct tokens,
+    * not corpus rows — the q254 argument). */
+  private def q334(s: SparkSession, dir: String): DataFrame = {
+    import Rounding.{intDiv, intDivExact}
+    val draws = 1000000L
+    val f = Tables.load(s, dir, "documents")
+      .select(explode(TextAnalysis.tokensCol(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("f"))
+      .withColumn("w_e6",
+        floor(sqrt(col("f").cast("double") * sqrt(col("f").cast("double")))
+          * lit(1000000.0) + lit(0.5)).cast("long"))
+    val tot = f.agg(sum("w_e6").as("w_total"))
+    val based = f.crossJoin(broadcast(tot))
+      .withColumn("floor_alloc",
+        intDivExact(col("w_e6").cast("decimal(38,0)") * draws,
+          col("w_total")))
+      .withColumn("rem",
+        (col("w_e6").cast("decimal(38,0)") * draws % col("w_total"))
+          .cast("decimal(38,0)"))
+    val ranked = based
+      .withColumn("fa", sum("floor_alloc").over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("rem").desc, col("tok"))).cast("long"))
+    ranked.select(col("tok"), col("f"), col("w_e6"),
+        (col("floor_alloc") +
+          when(col("rk") <= lit(draws) - col("fa"), 1L).otherwise(0L))
+          .cast("long").as("alloc"))
+      .orderBy("tok")
+  }
 
   /** Compression-redundancy quality signal — the Gopher/CCNet-family
     * heuristic no regex can fake: highly repetitive or templated text
@@ -1654,6 +1698,34 @@ object CurationQueries extends QueryPack {
         |  CAST(rn < i_star AS BIGINT) AS saturated,
         |  CAST(level AS BIGINT) AS level
         |FROM wr, fin ORDER BY source""".stripMargin,
+    // same √(f·√f) IEEE chain, same Hamilton floor+remainder top-up
+    "q334_ns_weights" ->
+      s"""WITH f AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS f
+        |  FROM (SELECT unnest($tokSql) AS tok FROM documents)
+        |  WHERE tok <> '' GROUP BY tok),
+        |w AS (
+        |  SELECT tok, f,
+        |    CAST(floor(sqrt(CAST(f AS DOUBLE) * sqrt(CAST(f AS DOUBLE)))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS w_e6
+        |  FROM f),
+        |tot AS (SELECT CAST(sum(w_e6) AS BIGINT) AS w_total FROM w),
+        |based AS (
+        |  SELECT tok, f, w_e6,
+        |    CAST(CAST(w_e6 AS HUGEINT) * 1000000 // w_total AS BIGINT)
+        |      AS floor_alloc,
+        |    CAST(CAST(w_e6 AS HUGEINT) * 1000000 % w_total AS BIGINT)
+        |      AS rem
+        |  FROM w, tot),
+        |r AS (
+        |  SELECT *, CAST(sum(floor_alloc) OVER () AS BIGINT) AS fa,
+        |    CAST(row_number() OVER (ORDER BY rem DESC, tok) AS BIGINT)
+        |      AS rk
+        |  FROM based)
+        |SELECT tok, f, w_e6,
+        |  CAST(floor_alloc + CASE WHEN rk <= 1000000 - fa THEN 1 ELSE 0
+        |    END AS BIGINT) AS alloc
+        |FROM r ORDER BY tok""".stripMargin,
     // character 8-grams via list comprehension (docs are ASCII; code-point
     // and byte indexing coincide — asserted in RoundElevenPropertySpec);
     // same (d*20000+n)//(2n) round-half-up e4, BIGINT throughout

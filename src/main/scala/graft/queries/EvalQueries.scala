@@ -126,12 +126,98 @@ object EvalQueries extends QueryPack {
             (col("n") - col("r1")).cast("decimal(38,0)") *
               (col("n") - col("c1"))).as("kappa_e6"))
 
+  /** Filter-ensemble agreement matrix — before a curation stack chains
+    * three quality screens, it should know whether they are measuring
+    * the same thing: per pair of filters (length ≥ 300 chars,
+    * 8-gram redundancy ≥ 0.98 — q319's oracle core as a screen, token
+    * count ≥ 60), the exact Jaccard of their keep-sets and the raw
+    * agreement rate (both-keep + both-drop). Highly redundant filters
+    * (J → 1) waste compute; near-disjoint ones (J → 0) multiply into an
+    * unintentionally tiny corpus. One full scan computes every flag,
+    * ONE aggregation computes every pairwise count (no joins at all),
+    * and the 3-row matrix falls out of a bounded union — the cheapest
+    * possible shape at any scale. */
+  private def q338(s: SparkSession, dir: String): DataFrame = {
+    import Rounding.intDivExact
+    val flags = Tables.load(s, dir, "documents")
+      .select(
+        (length(col("text")) >= 300).cast("long").as("a"),
+        (expr("CASE WHEN length(text) < 8 THEN 0 ELSE " +
+          "(size(array_distinct(transform(sequence(1, " +
+          "int(greatest(length(text) - 7, 0))), " +
+          "i -> substring(text, i, 8)))) * 20000L + (length(text) - 7)) " +
+          "div (2L * (length(text) - 7)) END") >= 9800L)
+          .cast("long").as("b"),
+        (graft.functions.TextAnalysis.tokenCount(col("text")) >= 60L)
+          .cast("long").as("c"))
+    val agg = flags.agg(count(lit(1)).as("n"),
+      sum("a").as("na"), sum("b").as("nb"), sum("c").as("nc"),
+      sum(col("a") * col("b")).as("nab"),
+      sum(col("a") * col("c")).as("nac"),
+      sum(col("b") * col("c")).as("nbc"))
+    def pairRow(name: String, nx: String, ny: String, both: String) =
+      agg.select(lit(name).as("pair"),
+        col(nx).as("n_x"), col(ny).as("n_y"), col(both).as("n_both"),
+        (col(nx) + col(ny) - col(both)).as("n_either"),
+        intDivExact(
+          col(both).cast("decimal(38,0)") * lit(20000L) +
+            (col(nx) + col(ny) - col(both)),
+          lit(2L) * (col(nx) + col(ny) - col(both))).as("jaccard_e4"),
+        intDivExact(
+          (col("n") - col(nx) - col(ny) + lit(2L) * col(both))
+            .cast("decimal(38,0)") * lit(20000L) + col("n"),
+          lit(2L) * col("n")).as("agree_e4"))
+    pairRow("len|redund", "na", "nb", "nab")
+      .unionByName(pairRow("len|tokens", "na", "nc", "nac"))
+      .unionByName(pairRow("redund|tokens", "nb", "nc", "nbc"))
+      .orderBy("pair")
+  }
+
   val defs: Map[String, Q] = Map(
     "q322_pr_curve" -> (q322 _),
     "q323_mcnemar" -> (q323 _),
-    "q324_cohen_kappa" -> (q324 _))
+    "q324_cohen_kappa" -> (q324 _),
+    "q338_filter_agreement" -> (q338 _))
 
   val oracle: Map[String, String] = Map(
+    // same three flags, one aggregation, same exact pair rationals
+    "q338_filter_agreement" -> {
+      val jac = (both: String, either: String) => intDivExactSql(
+        s"CAST($both AS HUGEINT) * 20000 + ($either)", s"2 * ($either)")
+      val agr = (nx: String, ny: String, both: String) => intDivExactSql(
+        s"CAST(n - $nx - $ny + 2 * $both AS HUGEINT) * 20000 + n", "2 * n")
+      s"""WITH flags AS (
+        |  SELECT CAST(length(text) >= 300 AS BIGINT) AS a,
+        |    CAST(CASE WHEN length(text) < 8 THEN 0 ELSE
+        |      (len(list_distinct([substr(text, i, 8)
+        |         for i in range(1, greatest(length(text) - 6, 1))]))
+        |       * 20000 + (length(text) - 7))
+        |      // (2 * (length(text) - 7)) END >= 9800 AS BIGINT) AS b,
+        |    CAST(len(regexp_extract_all(text, '\\S+')) >= 60 AS BIGINT)
+        |      AS c
+        |  FROM documents),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb,
+        |    CAST(sum(c) AS BIGINT) AS nc,
+        |    CAST(sum(a * b) AS BIGINT) AS nab,
+        |    CAST(sum(a * c) AS BIGINT) AS nac,
+        |    CAST(sum(b * c) AS BIGINT) AS nbc
+        |  FROM flags)
+        |SELECT 'len|redund' AS pair, na AS n_x, nb AS n_y, nab AS n_both,
+        |  na + nb - nab AS n_either,
+        |  ${jac("nab", "na + nb - nab")} AS jaccard_e4,
+        |  ${agr("na", "nb", "nab")} AS agree_e4 FROM agg
+        |UNION ALL
+        |SELECT 'len|tokens', na, nc, nac, na + nc - nac,
+        |  ${jac("nac", "na + nc - nac")}, ${agr("na", "nc", "nac")}
+        |FROM agg
+        |UNION ALL
+        |SELECT 'redund|tokens', nb, nc, nbc, nb + nc - nbc,
+        |  ${jac("nbc", "nb + nc - nbc")}, ${agr("nb", "nc", "nbc")}
+        |FROM agg
+        |ORDER BY pair""".stripMargin
+    },
     "q322_pr_curve" -> {
       val prec = intDivExactSql(
         "CAST(tp AS HUGEINT) * 2000000 + (tp + fp)", "2 * (tp + fp)")

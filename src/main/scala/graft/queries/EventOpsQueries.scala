@@ -1397,7 +1397,147 @@ object EventOpsQueries extends QueryPack {
       .orderBy("event_type")
   }
 
+  /** Two-sided nearest-neighbor match — the matching estimator's core
+    * primitive (and the missing half of q25/q61's backward-only as-of):
+    * every treated row (purchase) pairs with its nearest control
+    * (click) by the SAME user in time, looking BOTH directions, with a
+    * fully pinned tie policy: controls are first deduped to one per
+    * (user, µs) (min event_id — DuckDB's ASOF picks an arbitrary
+    * equal-key row otherwise, the q25 lesson), equal gaps resolve to
+    * the BACKWARD match, and a treated user with no controls keeps a
+    * null match rather than vanishing. Spark side: one union-tagged
+    * window pass per direction carrying the control as a struct
+    * (`last(..., ignoreNulls)` over the user-partitioned µs order) —
+    * two shuffles on user_id total, no range self-join; the oracle is
+    * the two-directional DuckDB ASOF pair. The outcome delta rides
+    * along, which is all a with-replacement matching estimator needs
+    * downstream. */
+  private def q335(s: SparkSession, dir: String): DataFrame = {
+    val base = ev(s, dir).filter(col("value").isNotNull)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"),
+        Rounding.cents(col("value")).as("cents"))
+    val treated = base.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("us"), col("cents"))
+    val ctl = base.filter(col("event_type") === "click")
+      .groupBy("user_id", "us")
+      .agg(min(struct(col("event_id"), col("cents"))).as("m"))
+      .select(col("user_id"), col("us"),
+        col("m.event_id").as("ctl_id"), col("m.cents").as("ctl_cents"))
+    val tagged = treated
+      .select(col("user_id"), col("us"), col("event_id"), col("cents"),
+        lit(null).cast("long").as("ctl_id"),
+        lit(null).cast("long").as("ctl_cents"))
+      .unionByName(ctl.select(col("user_id"), col("us"),
+        lit(null).cast("long").as("event_id"),
+        lit(null).cast("long").as("cents"),
+        col("ctl_id"), col("ctl_cents")))
+      .withColumn("is_ctl", col("ctl_id").isNotNull)
+    def side(desc: Boolean): DataFrame = {
+      val ord =
+        if (desc) Seq(col("us").desc, col("is_ctl").desc,
+          coalesce(col("event_id"), col("ctl_id")).desc)
+        else Seq(col("us"), col("is_ctl").desc,
+          coalesce(col("event_id"), col("ctl_id")))
+      val w = Window.partitionBy("user_id").orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tag = if (desc) "next" else "prev"
+      tagged
+        .withColumn(s"${tag}_m", last(
+          when(col("is_ctl"),
+            struct(col("us").as("cus"), col("ctl_id").as("cid"),
+              col("ctl_cents").as("cc"))), ignoreNulls = true).over(w))
+        .filter(!col("is_ctl"))
+        .select(col("event_id"), col(s"${tag}_m"))
+    }
+    treated
+      .join(side(desc = false), Seq("event_id"), "left")
+      .join(side(desc = true), Seq("event_id"), "left")
+      .withColumn("use_prev",
+        col("prev_m").isNotNull && (col("next_m").isNull ||
+          col("us") - col("prev_m.cus") <= col("next_m.cus") - col("us")))
+      .withColumn("pick",
+        when(col("use_prev"), col("prev_m")).otherwise(col("next_m")))
+      .withColumn("direction",
+        when(col("pick").isNull, lit(null).cast("string"))
+          .when(col("use_prev"), lit("prev")).otherwise(lit("next")))
+      .select(col("event_id"), col("user_id"),
+        col("pick.cid").as("ctl_event_id"),
+        col("direction"),
+        abs(col("pick.cus") - col("us")).as("gap_us"),
+        (col("cents") - col("pick.cc")).as("diff_cents"))
+      .orderBy("event_id")
+  }
+
+  /** Paired sign-flip permutation test — the assumption-free
+    * significance machinery q256's parametric z-test can't give you
+    * when the daily deltas are skewed/heavy-tailed: H₀ says the daily
+    * purchase−click cents delta is symmetric around 0, so each day's
+    * sign is exchangeable; 199 md5-seeded re-randomizations (the
+    * engine-portable, run-stable "RNG" every sampler here uses) yield
+    * the exact permutation p-value p = (1 + #{T_b ≥ T_obs})/(B+1) on
+    * the e6 grid (10⁶/200 divides exactly — no rounding at all). All
+    * statistics are |Σ ± integer cents| — exact. Scale: the flips
+    * multiply the DAILY table (calendar-bounded), never the event
+    * table; one groupBy(b) over ≤ B·days rows. */
+  private def q336(s: SparkSession, dir: String): DataFrame = {
+    import Rounding.intDiv
+    val b = 199
+    val daily = ev(s, dir).filter(col("value").isNotNull)
+      .filter(col("event_type").isin("purchase", "click"))
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(Rounding.sumCents(
+        when(col("event_type") === "purchase",
+          Rounding.cents(col("value")))
+          .otherwise(-Rounding.cents(col("value")))).as("d"))
+      .withColumn("day_s", date_format(col("day"), "yyyy-MM-dd"))
+    val obs = daily.agg(abs(sum("d")).as("t_obs"),
+      count(lit(1)).as("n_days"))
+    val flips = daily.crossJoin(
+        s.range(1, b + 1).select(col("id").as("b")))
+      .withColumn("sgn",
+        when(Hashing.md5U32(concat(col("day_s"), lit(":"), col("b")))
+          % 2L === 0L, 1L).otherwise(-1L))
+      .groupBy("b").agg(abs(sum(col("sgn") * col("d"))).as("t_b"))
+    flips.crossJoin(broadcast(obs))
+      .agg(first("n_days").as("n_days"), first("t_obs").as("t_obs"),
+        sum((col("t_b") >= col("t_obs")).cast("long")).as("n_ge"))
+      .select(col("n_days"), lit(b.toLong).as("b_reps"), col("t_obs"),
+        col("n_ge"),
+        intDiv((lit(1L) + col("n_ge")) * lit(1000000L),
+          lit((b + 1).toLong)).as("p_e6"))
+  }
+
+  /** Sample-ratio-mismatch guard — the first thing a trustworthy A/B
+    * system checks before reading q256's significance test: under the
+    * 50/50 md5 assignment the user counts must be binomially balanced,
+    * and χ² = (n_A − n_B)²/(n_A + n_B) catches the broken bucketing /
+    * lossy logging that silently biases every downstream metric. Exact
+    * e6 integers; the flag pins the 0.05 critical value 3.841459 as an
+    * e6 constant (no distribution functions, no floats). One distinct +
+    * one aggregation. */
+  private def q340(s: SparkSession, dir: String): DataFrame = {
+    import Rounding.intDivExact
+    val users = ev(s, dir).select("user_id").distinct()
+      .withColumn("variant",
+        when(Hashing.md5U32(col("user_id").cast("string")) % 2L === 0L,
+          lit(0L)).otherwise(lit(1L)))
+    users.agg(
+        sum(lit(1L) - col("variant")).as("n_a"),
+        sum("variant").as("n_b"))
+      .select(col("n_a"), col("n_b"),
+        intDivExact(
+          (col("n_a") - col("n_b")).cast("decimal(38,0)") *
+            (col("n_a") - col("n_b")) * lit(1000000L),
+          col("n_a") + col("n_b")).as("chi2_e6"))
+      .withColumn("srm_flag",
+        (col("chi2_e6") > lit(3841459L)).cast("long"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q340_ab_srm" -> (q340 _),
+    "q336_permutation_test" -> (q336 _),
+    "q335_nn_match" -> (q335 _),
     "q327_drawdown" -> (q327 _),
     "q328_var_es" -> (q328 _),
     "q233_attribution" -> (q233 _),
@@ -1540,6 +1680,98 @@ object EventOpsQueries extends QueryPack {
       |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // same md5 variant split, exact chi-square, e6 critical constant
+    "q340_ab_srm" -> {
+      val chi = Rounding.intDivExactSql(
+        "CAST(n_a - n_b AS HUGEINT) * (n_a - n_b) * 1000000",
+        "n_a + n_b")
+      s"""WITH users AS (
+        |  SELECT DISTINCT user_id FROM events),
+        |v AS (
+        |  SELECT CASE WHEN
+        |    ${graft.functions.Hashing.md5U32Sql(
+               "CAST(user_id AS VARCHAR)")} % 2 = 0
+        |    THEN 0 ELSE 1 END AS variant
+        |  FROM users),
+        |agg AS (
+        |  SELECT CAST(sum(1 - variant) AS BIGINT) AS n_a,
+        |    CAST(sum(variant) AS BIGINT) AS n_b
+        |  FROM v)
+        |SELECT n_a, n_b, $chi AS chi2_e6,
+        |  CAST($chi > 3841459 AS BIGINT) AS srm_flag
+        |FROM agg""".stripMargin
+    },
+    // same daily deltas, same md5 sign flips, exact (1+n)/200 p-value
+    "q336_permutation_test" -> {
+      val u = graft.functions.Hashing.md5U32Sql("day_s || ':' || b")
+      s"""WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    ${Rounding.sumCentsSql(
+               s"CASE WHEN event_type = 'purchase' THEN " +
+               s"${Rounding.centsSql("value")} ELSE " +
+               s"-(${Rounding.centsSql("value")}) END")} AS d
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')
+        |  GROUP BY 1),
+        |ds AS (SELECT day, strftime(day, '%Y-%m-%d') AS day_s, d
+        |       FROM daily),
+        |obs AS (SELECT CAST(abs(sum(d)) AS BIGINT) AS t_obs,
+        |  CAST(count(*) AS BIGINT) AS n_days FROM ds),
+        |flips AS (
+        |  SELECT b, CAST(abs(sum(
+        |      CASE WHEN $u % 2 = 0 THEN d ELSE -d END)) AS BIGINT) AS t_b
+        |  FROM ds CROSS JOIN (SELECT unnest(generate_series(1, 199)) AS b)
+        |  GROUP BY b),
+        |cnt AS (
+        |  SELECT CAST(sum(CASE WHEN t_b >= t_obs THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_ge
+        |  FROM flips, obs)
+        |SELECT n_days, CAST(199 AS BIGINT) AS b_reps, t_obs, n_ge,
+        |  CAST((1 + n_ge) * 1000000 // 200 AS BIGINT) AS p_e6
+        |FROM obs, cnt""".stripMargin
+    },
+    // two directional ASOF joins on the (user, µs)-deduped control set;
+    // equal gaps resolve backward, exactly the engine's tie policy
+    "q335_nn_match" ->
+      s"""WITH base AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+        |    ${Rounding.centsSql("value")} AS cents
+        |  FROM events WHERE value IS NOT NULL),
+        |treated AS (
+        |  SELECT event_id, user_id, us, cents FROM base
+        |  WHERE event_type = 'purchase'),
+        |ctl0 AS (
+        |  SELECT user_id, us, event_id AS ctl_id, cents AS ctl_cents,
+        |    row_number() OVER (PARTITION BY user_id, us
+        |      ORDER BY event_id) AS rn
+        |  FROM base WHERE event_type = 'click'),
+        |ctl AS (SELECT user_id, us, ctl_id, ctl_cents FROM ctl0
+        |        WHERE rn = 1),
+        |prev AS (
+        |  SELECT t.event_id, c.us AS cus, c.ctl_id, c.ctl_cents
+        |  FROM treated t ASOF LEFT JOIN ctl c
+        |    ON t.user_id = c.user_id AND t.us >= c.us),
+        |nxt AS (
+        |  SELECT t.event_id, c.us AS cus, c.ctl_id, c.ctl_cents
+        |  FROM treated t ASOF LEFT JOIN ctl c
+        |    ON t.user_id = c.user_id AND t.us <= c.us)
+        |SELECT t.event_id, t.user_id,
+        |  CASE WHEN use_prev THEN p.ctl_id ELSE n.ctl_id END
+        |    AS ctl_event_id,
+        |  CASE WHEN (CASE WHEN use_prev THEN p.ctl_id ELSE n.ctl_id END)
+        |      IS NULL THEN NULL
+        |    WHEN use_prev THEN 'prev' ELSE 'next' END AS direction,
+        |  abs((CASE WHEN use_prev THEN p.cus ELSE n.cus END) - t.us)
+        |    AS gap_us,
+        |  t.cents - (CASE WHEN use_prev THEN p.ctl_cents
+        |    ELSE n.ctl_cents END) AS diff_cents
+        |FROM treated t
+        |LEFT JOIN prev p ON t.event_id = p.event_id
+        |LEFT JOIN nxt n ON t.event_id = n.event_id
+        |CROSS JOIN LATERAL (SELECT p.ctl_id IS NOT NULL AND
+        |  (n.ctl_id IS NULL OR t.us - p.cus <= n.cus - t.us)
+        |  AS use_prev)
+        |ORDER BY t.event_id""".stripMargin,
     // same running max + worst-trough rank, earliest-day ties
     "q327_drawdown" ->
       s"""WITH daily AS (

@@ -48,6 +48,37 @@ object SimilarityQueries extends QueryPack {
       .select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> cast(x AS double))").as("v"))
 
+  /** Per-dimension whitening pre-flight — the census a feature
+    * pipeline runs before standardizing embeddings (a dimension with
+    * runaway variance dominates every cosine; a shifted mean breaks
+    * dot-product shortcuts): component values land on the e6 integer
+    * grid (float→double cast is exact, ·10⁶ + floor is IEEE-identical
+    * in both engines), then per dim the exact mean (signed truncated
+    * rational), population variance via the power-sum identity
+    * (n·Q − S²)/n² — all decimal(38,0), no float accumulation — and
+    * exact min/max. One posexplode + one groupBy(dim): the shuffle
+    * carries (dim, component) pairs keyed on the 64-value dim, with
+    * map-side partial aggregation doing almost all the work. */
+  private def q339(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.intDivExact
+    emb(s, dir)
+      .select(posexplode(col("v")).as(Seq("dim", "x")))
+      .select(col("dim").cast("long").as("dim"),
+        floor(col("x") * lit(1000000.0) + lit(0.5)).cast("long").as("xe"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        sum(col("xe").cast("decimal(38,0)")).as("s"),
+        sum(col("xe").cast("decimal(38,0)") * col("xe")).as("q"),
+        min("xe").as("min_e6"), max("xe").as("max_e6"))
+      .select(col("dim"), col("n"),
+        intDivExact(col("s"), col("n")).as("mean_e6"),
+        intDivExact(col("n") * col("q") - col("s") * col("s"),
+          col("n").cast("decimal(38,0)") * col("n") * lit(1000000L))
+          .as("var_e6"),
+        col("min_e6"), col("max_e6"))
+      .orderBy("dim")
+  }
+
   /** Brute-force cosine top-10 for query vectors vec_id < 5 — thin
     * face of [[graft.operators.SimilaritySearch]] (Brute), which owns
     * the implementation; SimilaritySearchSpec pins the equivalence. */
@@ -1010,6 +1041,7 @@ object SimilarityQueries extends QueryPack {
   }
 
   val defs: Map[String, Q] = Map(
+    "q339_dim_stats" -> (q339 _),
     "q305_cos_calibration" -> (q305 _),
     "q306_label_noise" -> (q306 _),
     "q310_jl_audit" -> (q310 _),
@@ -1040,6 +1072,31 @@ object SimilarityQueries extends QueryPack {
     s"floor(($e) * 10000.0 + 0.5) / 10000.0"
 
   val oracle: Map[String, String] = Map(
+    // same e6 grid, power-sum variance, signed truncated rationals
+    "q339_dim_stats" -> {
+      val mean = graft.functions.Rounding.intDivExactSql("s", "n")
+      val vr = graft.functions.Rounding.intDivExactSql(
+        "CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s",
+        "CAST(n AS HUGEINT) * n * 1000000")
+      s"""WITH raw AS (
+        |  SELECT unnest(embedding) AS x,
+        |    unnest(generate_series(1, len(embedding))) AS i
+        |  FROM embeddings),
+        |comp AS (
+        |  SELECT CAST(i - 1 AS BIGINT) AS dim,
+        |    CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
+        |      AS BIGINT) AS xe
+        |  FROM raw),
+        |agg AS (
+        |  SELECT dim, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(xe) AS HUGEINT) AS s,
+        |    CAST(sum(CAST(xe AS HUGEINT) * xe) AS HUGEINT) AS q,
+        |    CAST(min(xe) AS BIGINT) AS min_e6,
+        |    CAST(max(xe) AS BIGINT) AS max_e6
+        |  FROM comp GROUP BY dim)
+        |SELECT dim, n, $mean AS mean_e6, $vr AS var_e6, min_e6, max_e6
+        |FROM agg ORDER BY dim""".stripMargin
+    },
     // same e6 quantization, HUGEINT cell sums, one identical double
     // chain per label pair
     "q317_label_centroids" ->

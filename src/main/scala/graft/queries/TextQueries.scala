@@ -294,7 +294,54 @@ object TextQueries extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** Pseudo-relevance-feedback expansion (Rocchio-lite) — the retrieval
+    * loop q129's one-shot BM25 can't close: take the top-10 BM25 docs
+    * as the pseudo-relevant set R, mine R for the 3 most R-specific
+    * terms (presence-in-R weighted by corpus rarity, w = df_R·10⁶ div
+    * df_corpus, original query terms excluded), then rerank the
+    * retrieved set with an integer occurrence bonus per expansion term.
+    * The bonus is a SUM OF INTEGERS — order-free by construction, so
+    * the dynamic (data-dependent) term set never reopens the
+    * float-accumulation-order channel q129 had to close for its fixed
+    * terms. Deterministic ties at every stage (score desc, id/token
+    * asc). Scale: R is 10 rows, the expansion set 3 rows (both
+    * broadcast); the only corpus-scale work is the (doc, token)
+    * presence census the BM25 arm already does, and the final top-20 is
+    * a TakeOrdered, with rank assigned by a window over those 20 rows
+    * only. */
+  private def q333(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Rounding.intDiv
+    val origTerms = Seq("hash", "join", "spark")
+    val base = bm25e6(s, dir)
+    val top10 = base.orderBy(col("bm25_e6").desc, col("doc_id"))
+      .limit(10).select("doc_id")
+    val docTok = docs(s, dir)
+      .select(col("doc_id"), explode(tokensCol(col("text"))).as("tok"))
+      .filter(col("tok") =!= "").distinct()
+    val expansion = docTok.join(broadcast(top10), "doc_id")
+      .groupBy("tok").agg(count(lit(1)).as("df_r"))
+      .join(docTok.groupBy("tok").agg(count(lit(1)).as("df_all")), "tok")
+      .filter(!col("tok").isin(origTerms: _*))
+      .withColumn("w_e6", intDiv(col("df_r") * lit(1000000L),
+        col("df_all")))
+      .orderBy(col("w_e6").desc, col("tok")).limit(3)
+      .select("tok", "w_e6")
+    val bonus = docTok.join(broadcast(expansion), "tok")
+      .groupBy("doc_id").agg(sum("w_e6").as("bonus_e6"))
+    base.join(bonus, Seq("doc_id"), "left")
+      .withColumn("bonus_e6", coalesce(col("bonus_e6"), lit(0L)))
+      .withColumn("prf_e6", col("bm25_e6") + col("bonus_e6"))
+      .orderBy(col("prf_e6").desc, col("doc_id")).limit(20)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("prf_e6").desc, col("doc_id")))
+        .cast("long"))
+      .select("rank", "doc_id", "bm25_e6", "bonus_e6", "prf_e6")
+      .orderBy("rank")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q333_prf_expansion" -> (q333 _),
     "q295_readability" -> (q295 _),
     "q296_blocklist" -> (q296 _),
     "q318_tokenizer_coverage" -> (q318 _),
@@ -310,6 +357,39 @@ object TextQueries extends QueryPack {
 
   // DuckDB regexp_replace needs the 'g' flag to match Spark's replace-all.
   val oracle: Map[String, String] = Map(
+    // same BM25 chain, same top-10 R set, same rarity-weighted expansion
+    // terms and integer occurrence bonus
+    "q333_prf_expansion" ->
+      s"""WITH $bm25Ctes,
+        |top10 AS (
+        |  SELECT doc_id FROM bm25
+        |  ORDER BY bm25_e6 DESC, doc_id LIMIT 10),
+        |doctok AS (SELECT DISTINCT doc_id, tok FROM toks),
+        |dfr AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS df_r
+        |  FROM doctok JOIN top10 USING (doc_id) GROUP BY tok),
+        |dfa AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS df_all
+        |  FROM doctok GROUP BY tok),
+        |exp AS (
+        |  SELECT dfr.tok, CAST(df_r * 1000000 // df_all AS BIGINT) AS w_e6
+        |  FROM dfr JOIN dfa USING (tok)
+        |  WHERE dfr.tok NOT IN ('hash', 'join', 'spark')
+        |  ORDER BY w_e6 DESC, dfr.tok LIMIT 3),
+        |bonus AS (
+        |  SELECT doc_id, CAST(sum(w_e6) AS BIGINT) AS bonus_e6
+        |  FROM doctok JOIN exp USING (tok) GROUP BY doc_id),
+        |rr AS (
+        |  SELECT b.doc_id, b.bm25_e6,
+        |    coalesce(bonus.bonus_e6, 0) AS bonus_e6,
+        |    b.bm25_e6 + coalesce(bonus.bonus_e6, 0) AS prf_e6
+        |  FROM bm25 b LEFT JOIN bonus ON b.doc_id = bonus.doc_id
+        |  ORDER BY prf_e6 DESC, b.doc_id LIMIT 20)
+        |SELECT CAST(row_number() OVER (ORDER BY prf_e6 DESC, doc_id)
+        |    AS BIGINT) AS rank,
+        |  doc_id, bm25_e6, CAST(bonus_e6 AS BIGINT) AS bonus_e6,
+        |  CAST(prf_e6 AS BIGINT) AS prf_e6
+        |FROM rr ORDER BY rank""".stripMargin,
     // same piece pattern, replace-all residual, whitespace-only verdict
     "q318_tokenizer_coverage" ->
       s"""WITH r AS (

@@ -127,6 +127,111 @@ class RoundTwelvePropertySpec extends SparkSuite {
     }
   }
 
+  test("q333 PRF rerank decomposes exactly and ranks densely") {
+    val rows = q("q333_prf_expansion").orderBy("rank").collect()
+    assert(rows.length == 20)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("rank") == i + 1)
+      assert(r.getAs[Long]("prf_e6") ==
+        r.getAs[Long]("bm25_e6") + r.getAs[Long]("bonus_e6"), s"$r")
+      assert(r.getAs[Long]("bonus_e6") >= 0L)
+    }
+    // the expansion must MOVE something: at least one reranked doc
+    // carries a nonzero bonus, or PRF degenerated to identity
+    assert(rows.exists(_.getAs[Long]("bonus_e6") > 0L),
+      "no expansion term matched any retrieved doc — vacuous PRF")
+  }
+
+  test("q334 sampling table conserves the 10^6 draw budget exactly and " +
+    "orders allocs with the weights") {
+    val rows = q("q334_ns_weights").collect()
+    assert(rows.map(_.getAs[Long]("alloc")).sum == 1000000L)
+    rows.foreach { r =>
+      // f^0.75 sits between √f and f for f ≥ 1
+      val f = r.getAs[Long]("f"); val w = r.getAs[Long]("w_e6")
+      assert(w >= math.floor(math.sqrt(f.toDouble) * 1e6).toLong &&
+        w <= f * 1000000L, s"$r")
+      assert(r.getAs[Long]("alloc") >= 0L)
+    }
+    // flattening: the max/min alloc ratio must be SMALLER than the
+    // max/min frequency ratio (that is what ^0.75 is for)
+    val fs = rows.map(_.getAs[Long]("f"))
+    val as = rows.map(_.getAs[Long]("alloc")).filter(_ > 0)
+    assert(as.max.toDouble / as.min < fs.max.toDouble / fs.min,
+      "allocation is not flatter than raw frequency")
+  }
+
+  test("q335 matches are sane: gaps non-negative, prev preferred on " +
+    "ties, every treated row present exactly once") {
+    val rows = q("q335_nn_match").collect()
+    val n = rows.length
+    assert(rows.map(_.getAs[Long]("event_id")).distinct.length == n)
+    rows.foreach { r =>
+      val dir = r.getAs[String]("direction")
+      if (dir == null) assert(r.isNullAt(r.fieldIndex("ctl_event_id")))
+      else {
+        assert(dir == "prev" || dir == "next", s"$r")
+        assert(r.getAs[Long]("gap_us") >= 0L, s"$r")
+      }
+    }
+    assert(rows.count(_.getAs[String]("direction") != null) > 0)
+  }
+
+  test("q336 permutation p-value is on the exact (1+n)/200 lattice") {
+    val r = q("q336_permutation_test").collect().head
+    val nGe = r.getAs[Long]("n_ge")
+    assert(r.getAs[Long]("b_reps") == 199L)
+    assert(nGe >= 0L && nGe <= 199L)
+    assert(r.getAs[Long]("p_e6") == (1L + nGe) * 1000000L / 200L)
+    assert(r.getAs[Long]("t_obs") >= 0L)
+  }
+
+  test("q337 coverage thresholds nest: higher coverage needs more types") {
+    val rows = q("q337_coverage_curve").orderBy("threshold_pct").collect()
+    assert(rows.map(_.getAs[Long]("threshold_pct")).toSeq ==
+      Seq(50L, 90L, 99L))
+    val ks = rows.map(_.getAs[Long]("k_types"))
+    assert(ks(0) <= ks(1) && ks(1) <= ks(2), ks.mkString(","))
+    rows.foreach { r =>
+      // the prefix must actually clear its threshold
+      assert(r.getAs[Long]("covered_e6") >=
+        r.getAs[Long]("threshold_pct") * 10000L, s"$r")
+    }
+  }
+
+  test("q338 agreement matrix bounds: Jaccard ≤ agreement structure " +
+    "holds and marginals dominate intersections") {
+    val rows = q("q338_filter_agreement").collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_both") <=
+        math.min(r.getAs[Long]("n_x"), r.getAs[Long]("n_y")), s"$r")
+      assert(r.getAs[Long]("n_either") >=
+        math.max(r.getAs[Long]("n_x"), r.getAs[Long]("n_y")), s"$r")
+      assert(r.getAs[Long]("jaccard_e4") <= 10000L &&
+        r.getAs[Long]("agree_e4") <= 10000L, s"$r")
+    }
+  }
+
+  test("q339 per-dim stats: variance non-negative, mean inside min/max, " +
+    "full dim coverage") {
+    val rows = q("q339_dim_stats").collect()
+    assert(rows.length == 64)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("var_e6") >= 0L, s"$r")
+      assert(r.getAs[Long]("mean_e6") >= r.getAs[Long]("min_e6") &&
+        r.getAs[Long]("mean_e6") <= r.getAs[Long]("max_e6"), s"$r")
+    }
+  }
+
+  test("q340 SRM counts cover every distinct user exactly once") {
+    val r = q("q340_ab_srm").collect().head
+    val users = graft.Tables.load(spark, sf, "events")
+      .select("user_id").distinct().count()
+    assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") == users)
+    assert(r.getAs[Long]("chi2_e6") >= 0L)
+  }
+
   test("q332 dictionary model is internally consistent") {
     q("q332_dict_encoding").collect().foreach { r =>
       assert(r.getAs[Long]("n_distinct") <= r.getAs[Long]("n_rows"), s"$r")
