@@ -123,6 +123,39 @@ object DedupQueries extends QueryPack {
         (col("doc_id") === col("comp")).as("is_canonical"))
       .orderBy("doc_id")
 
+  /** Per-source dedup attrition — the survivorship report a curation
+    * run publishes next to its dedup pass ("which feeds are we actually
+    * paying for twice?"): a document survives iff it is BOTH its exact
+    * fingerprint group's min id AND its near-dup cluster's canonical
+    * (the CC label IS the min member id, so canonicality is a free
+    * column comparison — no extra window). Drops attribute to the exact
+    * stage first (the composed-pipeline order), the near stage takes
+    * the remainder, and the e4 drop share rides along. Both shared
+    * stages come from the per-(session, dir) memos — this census costs
+    * one fingerprint aggregation plus reads of already-checkpointed
+    * tables. */
+  private def q341(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.intDivExact
+    val d = docs(s, dir).select(col("doc_id"), col("source"),
+      fingerprint(col("text")).as("fp"))
+    val fpMin = d.groupBy("fp").agg(min("doc_id").as("fp_min"))
+    val flags = d.join(fpMin, "fp")
+      .join(dedupClusters(s, dir), "doc_id")
+      .select(col("source"),
+        (col("doc_id") === col("fp_min")).cast("long").as("ke"),
+        (col("doc_id") === col("comp")).cast("long").as("kn"))
+    flags.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ke") * col("kn")).as("n_kept"),
+        sum(lit(1L) - col("ke")).as("n_dropped_exact"),
+        sum(col("ke") * (lit(1L) - col("kn"))).as("n_dropped_near"))
+      .withColumn("drop_e4", intDivExact(
+        (col("n_docs") - col("n_kept")).cast("decimal(38,0)") *
+          lit(20000L) + col("n_docs"),
+        lit(2L) * col("n_docs")))
+      .orderBy("source")
+  }
+
   /** Cluster-transitivity audit — how much of each near-dup cluster is
     * held together by TRANSITIVE glue rather than direct evidence:
     * similarity is not transitive, so a CC cluster of n members rests
@@ -896,6 +929,7 @@ object DedupQueries extends QueryPack {
     "q177_sorted_neighbors" -> (q177 _),
     "q44_dedup_embedding" -> (q44 _),
     "q67_dedup_clusters" -> (q67 _),
+    "q341_dedup_attrition" -> (q341 _),
     "q100_fuzzy_match" -> (q100 _))
 
   private val normSql =
@@ -1353,6 +1387,39 @@ object DedupQueries extends QueryPack {
       s"""WITH $jaccardCtes
          |SELECT doc_a, doc_b, inter, jaccard FROM jp
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // same fingerprint min + CC canonical flags, exact-first attribution
+    "q341_dedup_attrition" -> {
+      import graft.functions.Rounding.intDivExactSql
+      val de = intDivExactSql(
+        "CAST(n_docs - n_kept AS HUGEINT) * 20000 + n_docs", "2 * n_docs")
+      s"""WITH RECURSIVE $jaccardCtes,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+         |          UNION ALL
+         |          SELECT doc_b AS src, doc_a AS dst FROM jp),
+         |reach(id, comp) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+         |cl AS (SELECT id AS doc_id, min(comp) AS comp FROM reach
+         |       GROUP BY id),
+         |fpd AS (SELECT doc_id, source, md5($normSql) AS fp
+         |        FROM documents),
+         |fpm AS (SELECT fp, min(doc_id) AS fp_min FROM fpd GROUP BY fp),
+         |flags AS (
+         |  SELECT fpd.source,
+         |    CAST(fpd.doc_id = fpm.fp_min AS BIGINT) AS ke,
+         |    CAST(fpd.doc_id = cl.comp AS BIGINT) AS kn
+         |  FROM fpd JOIN fpm USING (fp) JOIN cl USING (doc_id)),
+         |agg AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(ke * kn) AS BIGINT) AS n_kept,
+         |    CAST(sum(1 - ke) AS BIGINT) AS n_dropped_exact,
+         |    CAST(sum(ke * (1 - kn)) AS BIGINT) AS n_dropped_near
+         |  FROM flags GROUP BY source)
+         |SELECT source, n_docs, n_kept, n_dropped_exact, n_dropped_near,
+         |  $de AS drop_e4
+         |FROM agg ORDER BY source""".stripMargin
+    },
     "q67_dedup_clusters" ->
       s"""WITH RECURSIVE $jaccardCtes,
          |edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp

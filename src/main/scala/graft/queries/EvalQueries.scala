@@ -173,13 +173,185 @@ object EvalQueries extends QueryPack {
       .orderBy("pair")
   }
 
+  /** Murphy decomposition of the Brier score — the proper-scoring
+    * analysis behind q305's calibration bins: with the forecast pinned
+    * to its decile MIDPOINT (so the within-bin-variance term is zero by
+    * construction and the identity is exact), Brier = reliability −
+    * resolution + uncertainty, every term an exact e8 rational
+    * (per-bin truncation then one final division — deterministic on
+    * both engines; `decomp_gap_e8` carries the residual truncation
+    * ulps, pinned near zero in the spec). Reliability says "are the
+    * stated probabilities honest", resolution "do they separate
+    * outcomes", uncertainty the outcome-rate floor — the three numbers
+    * that actually diagnose a score, where raw Brier alone conflates
+    * them. One scan → one 10-row bin aggregate → one row out. */
+  private def q342(s: SparkSession, dir: String): DataFrame = {
+    import Rounding.intDivExact
+    val rows = ev(s, dir).select(
+      least(Rounding.intDiv(cents(col("value")), lit(1000L)), lit(9L))
+        .as("bin"),
+      (col("event_type") === "purchase").cast("long").as("o"))
+      .withColumn("pe4", col("bin") * lit(1000L) + lit(500L))
+    val bins = rows.groupBy("bin", "pe4")
+      .agg(count(lit(1)).as("n_k"), sum("o").as("s_o"))
+    val tot = bins.agg(sum("n_k").as("n"), sum("s_o").as("o_all"))
+    val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val contrib = bins.crossJoin(broadcast(tot))
+      .select(
+        intDivExact(
+          (d38(col("n_k")) * col("pe4") - d38(col("s_o")) * lit(10000L)) *
+            (d38(col("n_k")) * col("pe4") - d38(col("s_o")) * lit(10000L)),
+          col("n_k")).as("rel_c"),
+        intDivExact(
+          (d38(col("s_o")) * col("n") - d38(col("o_all")) * col("n_k")) *
+            (d38(col("s_o")) * col("n") - d38(col("o_all")) * col("n_k")) *
+            lit(100000000L),
+          d38(col("n_k")) * col("n") * col("n")).as("res_c"))
+    val terms = contrib.agg(sum("rel_c").as("rel_s"), sum("res_c").as("res_s"))
+    val brier = rows
+      .select(((col("pe4") - lit(10000L) * col("o")) *
+        (col("pe4") - lit(10000L) * col("o"))).cast("decimal(38,0)")
+        .as("sq"))
+      .agg(sum("sq").as("b_s"))
+    brier.crossJoin(broadcast(terms)).crossJoin(broadcast(tot))
+      .select(col("n"),
+        intDivExact(col("b_s"), col("n")).as("brier_e8"),
+        intDivExact(col("rel_s").cast("decimal(38,0)"), col("n"))
+          .as("rel_e8"),
+        intDivExact(col("res_s").cast("decimal(38,0)"), col("n"))
+          .as("res_e8"),
+        intDivExact(
+          d38(col("o_all")) * (col("n") - col("o_all")) * lit(100000000L),
+          d38(col("n")) * col("n")).as("unc_e8"))
+      .withColumn("decomp_gap_e8",
+        col("brier_e8") - (col("rel_e8") - col("res_e8") + col("unc_e8")))
+  }
+
+  /** Simpson's-paradox probe — the aggregation hazard every analytics
+    * layer should surface rather than assume away: per event type, the
+    * SIGN of the hour-of-day ↔ value association computed overall and
+    * within each weekday segment (exact integer covariance numerators
+    * n·Σxy − Σx·Σy — no division, no floats, sign is the whole
+    * question). A reversal (every segment agrees on one sign, the
+    * pooled sign flips) is the textbook confounding signature; the
+    * census also exposes the mixed in-between. One two-level
+    * aggregation over the corpus; segments are the bounded weekday
+    * dimension. */
+  private def q343(s: SparkSession, dir: String): DataFrame = {
+    val base = ev(s, dir).select(col("event_type"),
+      expr("weekday(to_date(ts))").cast("long").as("wd"),
+      hour(col("ts")).cast("long").as("x"),
+      cents(col("value")).as("y"))
+    def covSign(g: DataFrame, keys: Seq[String]): DataFrame =
+      g.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"))
+        .withColumn("sgn", signum(
+          (col("n") * col("sxy") -
+            col("sx").cast("decimal(38,0)") * col("sy"))
+            .cast("decimal(38,2)")).cast("long"))
+    val overall = covSign(base, Seq("event_type"))
+      .select(col("event_type"), col("sgn").as("overall_sign"))
+    val seg = covSign(base, Seq("event_type", "wd"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_segments"),
+        sum((col("sgn") === 1L).cast("long")).as("n_pos_segments"),
+        sum((col("sgn") === -1L).cast("long")).as("n_neg_segments"))
+    overall.join(seg, "event_type")
+      .withColumn("reversal_flag",
+        ((col("n_pos_segments") === col("n_segments") &&
+          col("overall_sign") === -1L) ||
+          (col("n_neg_segments") === col("n_segments") &&
+            col("overall_sign") === 1L)).cast("long"))
+      .orderBy("event_type")
+  }
+
   val defs: Map[String, Q] = Map(
     "q322_pr_curve" -> (q322 _),
     "q323_mcnemar" -> (q323 _),
     "q324_cohen_kappa" -> (q324 _),
-    "q338_filter_agreement" -> (q338 _))
+    "q338_filter_agreement" -> (q338 _),
+    "q342_brier_decomposition" -> (q342 _),
+    "q343_simpson_probe" -> (q343 _))
 
   val oracle: Map[String, String] = Map(
+    // same decile-midpoint forecast, same per-bin truncation order
+    "q342_brier_decomposition" -> {
+      val relC = intDivExactSql(
+        "(CAST(n_k AS HUGEINT) * pe4 - CAST(s_o AS HUGEINT) * 10000) * " +
+          "(CAST(n_k AS HUGEINT) * pe4 - CAST(s_o AS HUGEINT) * 10000)",
+        "n_k")
+      val resC = intDivExactSql(
+        "(CAST(s_o AS HUGEINT) * n - CAST(o_all AS HUGEINT) * n_k) * " +
+          "(CAST(s_o AS HUGEINT) * n - CAST(o_all AS HUGEINT) * n_k) * " +
+          "100000000", "CAST(n_k AS HUGEINT) * n * n")
+      val bE8 = intDivExactSql("b_s", "n")
+      val relE8 = intDivExactSql("CAST(rel_s AS HUGEINT)", "n")
+      val resE8 = intDivExactSql("CAST(res_s AS HUGEINT)", "n")
+      val uncE8 = intDivExactSql(
+        "CAST(o_all AS HUGEINT) * (n - o_all) * 100000000",
+        "CAST(n AS HUGEINT) * n")
+      s"""WITH rows_ AS (
+        |  SELECT least(${centsSql("value")} // 1000, 9) AS bin,
+        |    CAST(event_type = 'purchase' AS BIGINT) AS o
+        |  FROM events WHERE value IS NOT NULL),
+        |rp AS (SELECT bin, bin * 1000 + 500 AS pe4, o FROM rows_),
+        |bins AS (
+        |  SELECT bin, pe4, CAST(count(*) AS BIGINT) AS n_k,
+        |    CAST(sum(o) AS BIGINT) AS s_o
+        |  FROM rp GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(n_k) AS BIGINT) AS n,
+        |  CAST(sum(s_o) AS BIGINT) AS o_all FROM bins),
+        |contrib AS (
+        |  SELECT $relC AS rel_c, $resC AS res_c FROM bins, tot),
+        |terms AS (SELECT CAST(sum(rel_c) AS HUGEINT) AS rel_s,
+        |  CAST(sum(res_c) AS HUGEINT) AS res_s FROM contrib),
+        |brier AS (
+        |  SELECT CAST(sum(CAST(pe4 - 10000 * o AS HUGEINT) *
+        |    (pe4 - 10000 * o)) AS HUGEINT) AS b_s FROM rp),
+        |fin AS (
+        |  SELECT n, $bE8 AS brier_e8, $relE8 AS rel_e8,
+        |    $resE8 AS res_e8, $uncE8 AS unc_e8
+        |  FROM brier, terms, tot)
+        |SELECT n, brier_e8, rel_e8, res_e8, unc_e8,
+        |  brier_e8 - (rel_e8 - res_e8 + unc_e8) AS decomp_gap_e8
+        |FROM fin""".stripMargin
+    },
+    // same integer covariance numerators; sign census per weekday
+    "q343_simpson_probe" ->
+      s"""WITH base AS (
+        |  SELECT event_type,
+        |    CAST(isodow(CAST(ts AS DATE)) - 1 AS BIGINT) AS wd,
+        |    CAST(extract(hour FROM ts) AS BIGINT) AS x,
+        |    ${centsSql("value")} AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |ov AS (
+        |  SELECT event_type,
+        |    CAST(sign(CAST(count(*) AS HUGEINT) *
+        |      sum(CAST(x AS HUGEINT) * y) -
+        |      CAST(sum(x) AS HUGEINT) * sum(y)) AS BIGINT)
+        |      AS overall_sign
+        |  FROM base GROUP BY event_type),
+        |segs AS (
+        |  SELECT event_type, wd,
+        |    CAST(sign(CAST(count(*) AS HUGEINT) *
+        |      sum(CAST(x AS HUGEINT) * y) -
+        |      CAST(sum(x) AS HUGEINT) * sum(y)) AS BIGINT) AS sgn
+        |  FROM base GROUP BY event_type, wd),
+        |seg AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_segments,
+        |    CAST(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_pos_segments,
+        |    CAST(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_neg_segments
+        |  FROM segs GROUP BY event_type)
+        |SELECT ov.event_type, overall_sign, n_segments, n_pos_segments,
+        |  n_neg_segments,
+        |  CAST((n_pos_segments = n_segments AND overall_sign = -1) OR
+        |       (n_neg_segments = n_segments AND overall_sign = 1)
+        |    AS BIGINT) AS reversal_flag
+        |FROM ov JOIN seg ON ov.event_type = seg.event_type
+        |ORDER BY ov.event_type""".stripMargin,
     // same three flags, one aggregation, same exact pair rationals
     "q338_filter_agreement" -> {
       val jac = (both: String, either: String) => intDivExactSql(

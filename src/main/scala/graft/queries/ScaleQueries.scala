@@ -778,7 +778,41 @@ object ScaleQueries extends QueryPack {
       .orderBy("tbl", "col_name")
   }
 
+  /** Salt-factor planner — q68 APPLIES salting; this query decides
+    * WHERE and HOW MUCH, the way a shuffle-health review does: for each
+    * candidate join key, the exact key-frequency skew (max key count vs
+    * the even-split ideal) and the derived salt factor
+    * ⌈max_count·n_keys / n_rows⌉ — the number of sub-keys that brings
+    * the hottest reducer back to the average (1 = no salting needed).
+    * One count-aggregation per key column; the censuses union into a
+    * bounded report. At 100 TB this runs as a cheap pre-pass whose
+    * output PARAMETERIZES `SaltedJoin` instead of guessing. */
+  private def q344(s: SparkSession, dir: String): DataFrame = {
+    import Rounding.{intDiv, intDivExact}
+    def keyCensus(table: String, column: String): DataFrame =
+      Tables.load(s, dir, table)
+        .filter(col(column).isNotNull)
+        .groupBy(col(column).cast("long").as("k"))
+        .agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_keys"), sum("c").as("n_rows"),
+          max("c").as("max_count"))
+        .select(lit(table).as("tbl"), lit(column).as("key_col"),
+          col("n_rows"), col("n_keys"), col("max_count"),
+          intDivExact(
+            col("max_count").cast("decimal(38,0)") * col("n_keys") *
+              lit(20000L) + col("n_rows"),
+            lit(2L) * col("n_rows")).as("skew_e4"),
+          intDiv(col("max_count") * col("n_keys") + col("n_rows") -
+            lit(1L), col("n_rows")).as("salt_factor"))
+    keyCensus("events", "user_id")
+      .unionByName(keyCensus("lineitem", "l_orderkey"))
+      .unionByName(keyCensus("lineitem", "l_partkey"))
+      .unionByName(keyCensus("orders", "o_custkey"))
+      .orderBy("tbl", "key_col")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q344_salt_planner" -> (q344 _),
     "q330_bloom_fpp" -> (q330 _),
     "q331_sortedness" -> (q331 _),
     "q332_dict_encoding" -> (q332 _),
@@ -803,6 +837,32 @@ object ScaleQueries extends QueryPack {
     "q78_interval_merge" -> (q78 _))
 
   val oracle: Map[String, String] = Map(
+    // same per-key counts, even-split skew and ceil salt factor
+    "q344_salt_planner" -> {
+      val skew = Rounding.intDivExactSql(
+        "CAST(max_count AS HUGEINT) * n_keys * 20000 + n_rows",
+        "2 * n_rows")
+      def one(t: String, c: String) =
+        s"""SELECT '$t' AS tbl, '$c' AS key_col,
+           |  CAST(sum(cnt) AS BIGINT) AS n_rows,
+           |  CAST(count(*) AS BIGINT) AS n_keys,
+           |  CAST(max(cnt) AS BIGINT) AS max_count
+           |FROM (SELECT CAST($c AS BIGINT) AS k, count(*) AS cnt
+           |      FROM $t WHERE $c IS NOT NULL GROUP BY 1)""".stripMargin
+      s"""WITH u AS (
+         |${one("events", "user_id")}
+         |UNION ALL
+         |${one("lineitem", "l_orderkey")}
+         |UNION ALL
+         |${one("lineitem", "l_partkey")}
+         |UNION ALL
+         |${one("orders", "o_custkey")})
+         |SELECT tbl, key_col, n_rows, n_keys, max_count,
+         |  $skew AS skew_e4,
+         |  CAST((max_count * n_keys + n_rows - 1) // n_rows AS BIGINT)
+         |    AS salt_factor
+         |FROM u ORDER BY tbl, key_col""".stripMargin
+    },
     // same md5 bit positions mod 4096, same new-only probe set, same
     // all-h-set test
     "q330_bloom_fpp" -> {

@@ -232,6 +232,58 @@ class RoundTwelvePropertySpec extends SparkSuite {
     assert(r.getAs[Long]("chi2_e6") >= 0L)
   }
 
+  test("q341 attrition sums close: kept + exact-drops + near-drops = all") {
+    val rows = q("q341_dedup_attrition").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_dropped_exact") +
+        r.getAs[Long]("n_dropped_near") == r.getAs[Long]("n_docs"), s"$r")
+      assert(r.getAs[Long]("drop_e4") <= 10000L, s"$r")
+    }
+    // this corpus has near-dups, so SOME source must lose documents
+    assert(rows.map(_.getAs[Long]("n_dropped_near")).sum > 0L)
+  }
+
+  test("q342 Murphy identity closes to within per-bin truncation ulps " +
+    "and every term is in range") {
+    val r = q("q342_brier_decomposition").collect().head
+    assert(r.getAs[Long]("brier_e8") >= 0L &&
+      r.getAs[Long]("brier_e8") <= 100000000L)
+    assert(r.getAs[Long]("rel_e8") >= 0L && r.getAs[Long]("res_e8") >= 0L)
+    assert(r.getAs[Long]("unc_e8") <= 25000000L) // p(1-p) ≤ 1/4
+    // ≤ 1 ulp per bin per term, ~10 bins, two truncation layers
+    assert(math.abs(r.getAs[Long]("decomp_gap_e8")) <= 40L,
+      s"identity gap too wide: $r")
+  }
+
+  test("q343 segment counts are complete and the flag matches its " +
+    "definition") {
+    q("q343_simpson_probe").collect().foreach { r =>
+      val (np, nn, ns) = (r.getAs[Long]("n_pos_segments"),
+        r.getAs[Long]("n_neg_segments"), r.getAs[Long]("n_segments"))
+      assert(np + nn <= ns && ns == 7L, s"$r")
+      val ov = r.getAs[Long]("overall_sign")
+      val expect = (np == ns && ov == -1L) || (nn == ns && ov == 1L)
+      assert(r.getAs[Long]("reversal_flag") == (if (expect) 1L else 0L),
+        s"$r")
+    }
+  }
+
+  test("q344 salt factors: 1 exactly when keys are balanced, and the " +
+    "salted max would not exceed the mean") {
+    val rows = q("q344_salt_planner").collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      val (n, k, m) = (r.getAs[Long]("n_rows"), r.getAs[Long]("n_keys"),
+        r.getAs[Long]("max_count"))
+      val f = r.getAs[Long]("salt_factor")
+      assert(f >= 1L, s"$r")
+      // defining property of the ceil: (f-1) splits would still leave
+      // the hottest key above the even share; f splits bring it within
+      assert(m * k <= f * n && (f == 1L || m * k > (f - 1) * n), s"$r")
+    }
+  }
+
   test("q332 dictionary model is internally consistent") {
     q("q332_dict_encoding").collect().foreach { r =>
       assert(r.getAs[Long]("n_distinct") <= r.getAs[Long]("n_rows"), s"$r")
