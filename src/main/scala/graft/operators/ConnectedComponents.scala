@@ -221,10 +221,15 @@ object ConnectedComponents {
       val lmins = both.groupBy("u").agg(min("v").as("mv"))
         .select(col("u"), least(col("mv"), col("u")).as("m"))
       // (v, m(u)) for v > u: m ≤ u < v, so the pair is already canonical
-      // and can never be a self-loop
+      // and can never be a self-loop. NOT distinct()ed: duplicates (two
+      // old neighbors of v sharing one min) change neither min-aggregate
+      // downstream, `next` dedups before the fixed-point test, and the
+      // row count is bounded by the canonical edge count either way —
+      // the distinct's per-round shuffle buys nothing (q299's 6-round
+      // run measured 8.2 → 7.9 s; ReuseExchange had already made it
+      // near-free, so this is simplification more than speed).
       val large = both.join(lmins, "u").filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .distinct()
       val smins = large.groupBy("u").agg(min("v").as("m"))
       // (v, m) for every smaller neighbor v of u, plus (u, m) itself;
       // v ≥ m by minimality, v = m is the tautological self-loop

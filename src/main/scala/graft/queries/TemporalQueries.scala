@@ -138,6 +138,15 @@ object TemporalQueries extends QueryPack {
     * 1.5 s → 2.2 s before, flat ~0.3 s after.) Checkpoint blocks are
     * released by the ContextCleaner when the frames are collected; on a
     * cluster, executor loss costs a recompute of this one bounded stage. */
+  /** Memo for the checkpointed co-order edge set (the expensive stage:
+    * lineitem scan → per-order pair explode → distinct): SEVEN
+    * standalone consumers (q108/q113/q119/q201/q215/q299/q309) each
+    * rebuilt a bit-identical graph behind their own localCheckpoint.
+    * Same contract as the dedup memos — deterministic build, eager
+    * checkpoint, two-slot LRU retention (see SessionDirMemo). Only the
+    * `checkpoint = true` path memoizes; the lazy path stays per-call. */
+  private val coOrderMemo = new graft.operators.SessionDirMemo
+
   private[graft] def q108Stages(s: SparkSession, dir: String,
       checkpoint: Boolean = false): (DataFrame, DataFrame, DataFrame) = {
     // One ship-year of co-orders: the graph stays non-trivially dense at
@@ -156,7 +165,9 @@ object TemporalQueries extends QueryPack {
       .filter(col("pt") < col("pt2"))
       .select(col("pt").as("u"), col("pt2").as("v"))
       .distinct()
-    val edges = if (checkpoint) edges0.localCheckpoint(true) else edges0
+    val edges =
+      if (checkpoint) coOrderMemo.get(s, dir)(edges0.localCheckpoint(true))
+      else edges0
     val deg = edges.select(col("u").as("n"))
       .unionAll(edges.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("deg"))
