@@ -770,7 +770,45 @@ object CorpusStatsQueries extends QueryPack {
       .orderBy("threshold_pct")
   }
 
+  /** Knee/elbow detection on the rank-coverage curve — the Kneedle-style
+    * geometric answer to "where does the head end": over the cumulative
+    * token-coverage points (k, cum_k), the knee is the point of maximum
+    * distance to the chord from (1, c₁) to (K, c_K), which is exactly
+    * the point maximizing the integer CROSS PRODUCT
+    * |(K−1)(cum_k − c₁) − (k−1)(c_K − c₁)| — no normalization, no
+    * floats, ties to the smallest k. The curve lives on the bounded
+    * vocabulary table; the chord endpoints are a 1-row broadcast. The
+    * same operator picks k for q118's KMeans or q270's band count from
+    * any monotone diagnostic curve. */
+  private def q349(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs(s, dir)
+      .select(explode(TextAnalysis.tokensCol(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val ord = Window.orderBy(col("c").desc, col("tok"))
+    val cum = counts
+      .withColumn("k", row_number().over(ord).cast("long"))
+      .withColumn("cum", sum("c").over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("k", "cum")
+    val ends = cum.agg(max("k").as("kk"),
+      min(struct(col("k"), col("cum"))).as("lo"),
+      max(struct(col("k"), col("cum"))).as("hi"))
+      .select(col("kk"), col("lo.cum").as("c1"), col("hi.cum").as("ck"))
+    cum.crossJoin(broadcast(ends))
+      .withColumn("cross", abs(
+        (col("kk") - lit(1L)).cast("decimal(38,0)") *
+          (col("cum") - col("c1")) -
+          (col("k") - lit(1L)).cast("decimal(38,0)") *
+            (col("ck") - col("c1"))).cast("decimal(38,0)"))
+      .orderBy(col("cross").desc, col("k")).limit(1)
+      .select(col("k").as("k_knee"), col("cum").as("cum_at_knee"),
+        col("kk").as("n_points"), col("cross").cast("long").as("cross_max"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q349_knee_detection" -> (q349 _),
     "q337_coverage_curve" -> (q337 _),
     "q321_kmv_cardinality" -> (q321 _),
     "q329_kneser_ney" -> (q329 _),
@@ -799,6 +837,32 @@ object CorpusStatsQueries extends QueryPack {
       s"2 * $den")
 
   val oracle: Map[String, String] = Map(
+    // same chord, same integer cross product, smallest-k ties
+    "q349_knee_detection" ->
+      """WITH counts AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)),
+        |    '\s+')) AS tok FROM documents)
+        |  WHERE tok <> '' GROUP BY tok),
+        |cum AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY c DESC, tok) AS BIGINT)
+        |      AS k,
+        |    CAST(sum(c) OVER (ORDER BY c DESC, tok
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM counts),
+        |ends AS (
+        |  SELECT CAST(max(k) AS BIGINT) AS kk,
+        |    CAST(min_by(cum, k) AS BIGINT) AS c1,
+        |    CAST(max_by(cum, k) AS BIGINT) AS ck
+        |  FROM cum),
+        |sc AS (
+        |  SELECT k, cum, kk,
+        |    abs(CAST(kk - 1 AS HUGEINT) * (cum - c1)
+        |      - CAST(k - 1 AS HUGEINT) * (ck - c1)) AS cr
+        |  FROM cum, ends)
+        |SELECT k AS k_knee, cum AS cum_at_knee, kk AS n_points,
+        |  CAST(cr AS BIGINT) AS cross_max
+        |FROM sc ORDER BY cr DESC, k LIMIT 1""".stripMargin,
     // same (count desc, token) order, ceil-exact integer thresholds
     "q337_coverage_curve" -> {
       val cov = Rounding.intDivExactSql(

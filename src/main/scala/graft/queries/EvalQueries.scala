@@ -266,15 +266,111 @@ object EvalQueries extends QueryPack {
       .orderBy("event_type")
   }
 
+  /** Holm step-down multiple-testing correction — what turns five
+    * per-type permutation p-values into an honest family-wise answer
+    * (read five raw 0.05 tests and the false-alarm rate is ~23%): per
+    * event type, the q336-style sign-flip permutation p on day-over-day
+    * deltas (md5-seeded, exact (1+n)/(B+1) lattice), then Holm's
+    * adjusted p = running max over the (p asc, type asc) rank order of
+    * min((m−r+1)·p, 1) — pure integer arithmetic on the e6 lattice, a
+    * bounded m-row window. The whole shape is one daily aggregation +
+    * one (type, b)-keyed flip aggregation + an m-row correction — the
+    * permutation fan-out multiplies the CALENDAR table only. */
+  private def q347(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import Rounding.intDiv
+    import graft.functions.Hashing
+    val b = 199
+    val diffs = ev(s, dir).select(col("event_type"),
+        to_date(col("ts")).as("day"), cents(col("value")).as("c"))
+      .groupBy("event_type", "day").agg(sum("c").as("x"))
+      .withColumn("d", col("x") - lag("x", 1).over(
+        Window.partitionBy("event_type").orderBy("day")))
+      .filter(col("d").isNotNull)
+      .withColumn("day_s", date_format(col("day"), "yyyy-MM-dd"))
+    val obs = diffs.groupBy("event_type")
+      .agg(abs(sum("d")).as("t_obs"), count(lit(1)).as("n_days"))
+    val flips = diffs.crossJoin(
+        s.range(1, b + 1).select(col("id").as("b")))
+      .withColumn("sgn", when(Hashing.md5U32(concat(col("event_type"),
+        lit(":"), col("day_s"), lit(":"), col("b"))) % 2L === 0L, 1L)
+        .otherwise(-1L))
+      .groupBy("event_type", "b")
+      .agg(abs(sum(col("sgn") * col("d"))).as("t_b"))
+    val p = flips.join(obs, "event_type")
+      .groupBy(col("event_type"), col("n_days"))
+      .agg(sum((col("t_b") >= col("t_obs")).cast("long")).as("n_ge"))
+      .withColumn("p_e6",
+        intDiv((lit(1L) + col("n_ge")) * lit(1000000L),
+          lit((b + 1).toLong)))
+    val m = p.agg(count(lit(1)).as("m"))
+    val ord = Window.orderBy(col("p_e6"), col("event_type"))
+    p.crossJoin(broadcast(m))
+      .withColumn("rank", row_number().over(ord).cast("long"))
+      .withColumn("step",
+        least((col("m") - col("rank") + lit(1L)) * col("p_e6"),
+          lit(1000000L)))
+      .withColumn("holm_e6", max("step").over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("event_type"), col("n_days"), col("p_e6"), col("rank"),
+        col("holm_e6"),
+        (col("holm_e6") < 50000L).cast("long").as("reject_fwer_05"))
+      .orderBy("event_type")
+  }
+
   val defs: Map[String, Q] = Map(
     "q322_pr_curve" -> (q322 _),
     "q323_mcnemar" -> (q323 _),
     "q324_cohen_kappa" -> (q324 _),
     "q338_filter_agreement" -> (q338 _),
     "q342_brier_decomposition" -> (q342 _),
-    "q343_simpson_probe" -> (q343 _))
+    "q343_simpson_probe" -> (q343 _),
+    "q347_multiple_testing" -> (q347 _))
 
   val oracle: Map[String, String] = Map(
+    // same per-type sign-flip lattice, same (p asc, type) Holm walk
+    "q347_multiple_testing" -> {
+      val u = graft.functions.Hashing.md5U32Sql(
+        "event_type || ':' || day_s || ':' || b")
+      s"""WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(sum(${centsSql("value")}) AS BIGINT) AS x
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |diffs AS (
+        |  SELECT event_type, strftime(day, '%Y-%m-%d') AS day_s,
+        |    x - lag(x) OVER (PARTITION BY event_type ORDER BY day) AS d
+        |  FROM daily),
+        |dd AS (SELECT * FROM diffs WHERE d IS NOT NULL),
+        |obs AS (
+        |  SELECT event_type, CAST(abs(sum(d)) AS BIGINT) AS t_obs,
+        |    CAST(count(*) AS BIGINT) AS n_days
+        |  FROM dd GROUP BY 1),
+        |flips AS (
+        |  SELECT event_type, b, CAST(abs(sum(
+        |      CASE WHEN $u % 2 = 0 THEN d ELSE -d END)) AS BIGINT) AS t_b
+        |  FROM dd CROSS JOIN (SELECT unnest(generate_series(1, 199)) AS b)
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT f.event_type, any_value(n_days) AS n_days,
+        |    CAST((1 + sum(CASE WHEN t_b >= t_obs THEN 1 ELSE 0 END))
+        |      * 1000000 // 200 AS BIGINT) AS p_e6
+        |  FROM flips f JOIN obs o ON f.event_type = o.event_type
+        |  GROUP BY f.event_type),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM p),
+        |rk AS (
+        |  SELECT p.*, m.m,
+        |    CAST(row_number() OVER (ORDER BY p_e6, event_type) AS BIGINT)
+        |      AS rank
+        |  FROM p, m),
+        |holm AS (
+        |  SELECT *, CAST(max(least((m - rank + 1) * p_e6, 1000000))
+        |    OVER (ORDER BY p_e6, event_type ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS holm_e6
+        |  FROM rk)
+        |SELECT event_type, n_days, p_e6, rank, holm_e6,
+        |  CAST(holm_e6 < 50000 AS BIGINT) AS reject_fwer_05
+        |FROM holm ORDER BY event_type""".stripMargin
+    },
     // same decile-midpoint forecast, same per-bin truncation order
     "q342_brier_decomposition" -> {
       val relC = intDivExactSql(

@@ -1534,7 +1534,64 @@ object EventOpsQueries extends QueryPack {
         (col("chi2_e6") > lit(3841459L)).cast("long"))
   }
 
+  /** CUPED variance reduction — the pre-period-covariate adjustment
+    * every mature experimentation platform applies before reading an
+    * A/B metric: θ = cov(X,Y)/var(X) over pre-period spend X (Jan 1–15)
+    * and post-period spend Y (Jan 16–30) per user, adjusted mean
+    * Ȳᵥ − θ(X̄ᵥ − X̄). Exactness discipline: every covariance/variance
+    * is an integer power-sum numerator (the n² factors cancel in the
+    * ρ² = cov²/(var·var) ratio, so `var_reduction_e6` is ONE exact
+    * rational); θ and the means land on explicit e6/e2 grids with
+    * documented truncation order, so both engines produce identical
+    * integers. Scale: one per-user aggregation (conditional sums — no
+    * second scan for the split), one 1-row stats broadcast, a 2-row
+    * output. */
+  private def q345(s: SparkSession, dir: String): DataFrame = {
+    import Rounding.{intDivExact, cents}
+    val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val perUser = ev(s, dir).filter(col("value").isNotNull)
+      .select(col("user_id"),
+        when(to_date(col("ts")) < lit("2024-01-16").cast("date"),
+          cents(col("value"))).otherwise(lit(0L)).as("xc"),
+        when(to_date(col("ts")) >= lit("2024-01-16").cast("date"),
+          cents(col("value"))).otherwise(lit(0L)).as("yc"))
+      .groupBy("user_id")
+      .agg(sum("xc").as("x"), sum("yc").as("y"))
+      .withColumn("variant",
+        when(Hashing.md5U32(col("user_id").cast("string")) % 2L === 0L,
+          "A").otherwise("B"))
+    val g = perUser.agg(count(lit(1)).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(d38(col("x")) * col("x")).as("sxx"),
+      sum(d38(col("x")) * col("y")).as("sxy"),
+      sum(d38(col("y")) * col("y")).as("syy"))
+      .select(col("n"), col("sx"), col("sy"),
+        (col("n") * col("sxy") - d38(col("sx")) * col("sy")).as("cov_n"),
+        (col("n") * col("sxx") - d38(col("sx")) * col("sx")).as("varx_n"),
+        (col("n") * col("syy") - d38(col("sy")) * col("sy")).as("vary_n"))
+      .select(
+        intDivExact(col("cov_n") * lit(1000000L), col("varx_n"))
+          .as("theta_e6"),
+        intDivExact(col("cov_n") * col("cov_n") * lit(1000000L),
+          col("varx_n") * col("vary_n")).as("var_reduction_e6"),
+        intDivExact(d38(col("sx")) * lit(100L), col("n")).as("xbar_e2"))
+    perUser.groupBy("variant")
+      .agg(count(lit(1)).as("n"), sum("x").as("sxv"), sum("y").as("syv"))
+      .crossJoin(broadcast(g))
+      .select(col("variant"), col("n"),
+        intDivExact(d38(col("syv")) * lit(100L), col("n")).as("ybar_e2"),
+        (intDivExact(d38(col("syv")) * lit(100L), col("n")) -
+          intDivExact(
+            d38(col("theta_e6")) *
+              (intDivExact(d38(col("sxv")) * lit(100L), col("n")) -
+                col("xbar_e2")),
+            lit(1000000L))).as("cuped_mean_e2"),
+        col("theta_e6"), col("var_reduction_e6"))
+      .orderBy("variant")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q345_cuped" -> (q345 _),
     "q340_ab_srm" -> (q340 _),
     "q336_permutation_test" -> (q336 _),
     "q335_nn_match" -> (q335 _),
@@ -1680,6 +1737,59 @@ object EventOpsQueries extends QueryPack {
       |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // same power-sum numerators, same e6/e2 grids and truncation order
+    "q345_cuped" -> {
+      import Rounding.intDivExactSql
+      val theta = intDivExactSql("CAST(cov_n AS HUGEINT) * 1000000",
+        "varx_n")
+      val vr = intDivExactSql(
+        "CAST(cov_n AS HUGEINT) * cov_n * 1000000",
+        "CAST(varx_n AS HUGEINT) * vary_n")
+      val xbar = intDivExactSql("CAST(sx AS HUGEINT) * 100", "n")
+      val ybarv = intDivExactSql("CAST(syv AS HUGEINT) * 100", "nv")
+      val xbarv = intDivExactSql("CAST(sxv AS HUGEINT) * 100", "nv")
+      val adj = intDivExactSql(
+        s"CAST(theta_e6 AS HUGEINT) * (($xbarv) - xbar_e2)", "1000000")
+      s"""WITH pu AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+        |      THEN ${Rounding.centsSql("value")} ELSE 0 END) AS BIGINT)
+        |      AS x,
+        |    CAST(sum(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+        |      THEN ${Rounding.centsSql("value")} ELSE 0 END) AS BIGINT)
+        |      AS y
+        |  FROM events WHERE value IS NOT NULL GROUP BY user_id),
+        |puv AS (
+        |  SELECT *, CASE WHEN ${graft.functions.Hashing.md5U32Sql(
+             "CAST(user_id AS VARCHAR)")} % 2 = 0
+        |    THEN 'A' ELSE 'B' END AS variant
+        |  FROM pu),
+        |g0 AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+        |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+        |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+        |  FROM puv),
+        |g1 AS (
+        |  SELECT n, sx,
+        |    n * sxy - CAST(sx AS HUGEINT) * sy AS cov_n,
+        |    n * sxx - CAST(sx AS HUGEINT) * sx AS varx_n,
+        |    n * syy - CAST(sy AS HUGEINT) * sy AS vary_n
+        |  FROM g0),
+        |g AS (
+        |  SELECT $theta AS theta_e6, $vr AS var_reduction_e6,
+        |    $xbar AS xbar_e2
+        |  FROM g1),
+        |pv AS (
+        |  SELECT variant, CAST(count(*) AS BIGINT) AS nv,
+        |    CAST(sum(x) AS BIGINT) AS sxv, CAST(sum(y) AS BIGINT) AS syv
+        |  FROM puv GROUP BY variant)
+        |SELECT variant, nv AS n, $ybarv AS ybar_e2,
+        |  ($ybarv) - ($adj) AS cuped_mean_e2,
+        |  theta_e6, var_reduction_e6
+        |FROM pv, g ORDER BY variant""".stripMargin
+    },
     // same md5 variant split, exact chi-square, e6 critical constant
     "q340_ab_srm" -> {
       val chi = Rounding.intDivExactSql(

@@ -284,6 +284,50 @@ class RoundTwelvePropertySpec extends SparkSuite {
     }
   }
 
+  test("q345 CUPED preserves the pooled mean and reports bounded " +
+    "variance reduction") {
+    val rows = q("q345_cuped").collect()
+    assert(rows.length == 2)
+    val vr = rows.head.getAs[Long]("var_reduction_e6")
+    assert(vr >= 0L && vr <= 1000000L, s"rho^2 out of [0,1]: $vr")
+    rows.foreach { r =>
+      // the adjustment must not move a variant's mean by more than
+      // theta * its X-deviation — i.e. the decomposition is the formula
+      val diff = r.getAs[Long]("ybar_e2") - r.getAs[Long]("cuped_mean_e2")
+      assert(math.abs(diff) < 100000000L, s"$r")
+    }
+    // CUPED is mean-preserving in the weighted pooled sense only up to
+    // the variant X-imbalance; at minimum both variants share theta
+    assert(rows.map(_.getAs[Long]("theta_e6")).distinct.length == 1)
+  }
+
+  test("q347 Holm adjustment is monotone in rank and never below raw p") {
+    val rows = q("q347_multiple_testing").collect()
+    assert(rows.length == 5)
+    val byRank = rows.sortBy(_.getAs[Long]("rank"))
+    var prev = 0L
+    byRank.foreach { r =>
+      val h = r.getAs[Long]("holm_e6")
+      assert(h >= r.getAs[Long]("p_e6"), s"$r")
+      assert(h >= prev, s"holm not monotone at $r")
+      assert(h <= 1000000L)
+      prev = h
+      assert(r.getAs[Long]("reject_fwer_05") ==
+        (if (h < 50000L) 1L else 0L))
+    }
+  }
+
+  test("q349 knee lies strictly inside the curve and dominates the " +
+    "chord endpoints") {
+    val r = q("q349_knee_detection").collect().head
+    val k = r.getAs[Long]("k_knee"); val n = r.getAs[Long]("n_points")
+    assert(k >= 1L && k <= n)
+    // endpoints have cross product 0; a nonzero max forces an interior
+    // knee on any strictly concave head (this corpus's Zipf curve is)
+    assert(r.getAs[Long]("cross_max") > 0L, s"$r")
+    assert(k > 1L && k < n, s"knee degenerated to an endpoint: $r")
+  }
+
   test("q332 dictionary model is internally consistent") {
     q("q332_dict_encoding").collect().foreach { r =>
       assert(r.getAs[Long]("n_distinct") <= r.getAs[Long]("n_rows"), s"$r")
