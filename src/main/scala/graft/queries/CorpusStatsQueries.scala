@@ -807,7 +807,49 @@ object CorpusStatsQueries extends QueryPack {
         col("kk").as("n_points"), col("cross").cast("long").as("cross_max"))
   }
 
+  /** Per-source KL divergence from the corpus unigram distribution —
+    * the drift number a mixture pipeline tracks per feed (q302's TVD is
+    * the bounded metric; KL is the likelihood-ratio one the LM-loss
+    * story actually speaks): add-one smoothing over the corpus vocab
+    * (so no zero cell exists by construction — the full source × vocab
+    * lattice materializes via a bounded cross join), and each term
+    * pₛ·ln(pₛ/q) follows the q115/q350 float discipline — ln on
+    * exact-in-double integer products, identical expression trees on
+    * both engines, per-term e9 floor before the sum, so the oracle
+    * hash-matches despite the transcendental. */
+  private def q351(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("source"),
+        explode(TextAnalysis.tokensCol(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+    val ct = toks.groupBy("tok").agg(count(lit(1)).as("c_t"))
+    val cst = toks.groupBy("source", "tok").agg(count(lit(1)).as("c_st"))
+    val ns = toks.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val tot = ct.agg(sum("c_t").as("n"), count(lit(1)).as("v"))
+    val lattice = ns.crossJoin(ct)
+      .join(cst, Seq("source", "tok"), "left")
+      .withColumn("c", coalesce(col("c_st"), lit(0L)))
+      .crossJoin(broadcast(tot))
+    // arg = ((c+1)·N) / ((n_s+V)·C_t); p = (c+1)/(n_s+V); every integer
+    // product ≤ ~10¹² — exact in double
+    val arg = ((col("c") + lit(1L)).cast("double") *
+      col("n").cast("double")) /
+      ((col("n_s") + col("v")).cast("double") * col("c_t").cast("double"))
+    val term = ((col("c") + lit(1L)).cast("double") /
+      (col("n_s") + col("v")).cast("double")) * log(arg)
+    lattice
+      .select(col("source"), col("n_s"),
+        floor(term * lit(1000000000.0) + lit(0.5)).cast("long")
+          .as("term_e9"))
+      .groupBy("source", "n_s")
+      .agg(sum("term_e9").as("kl_e9"), count(lit(1)).as("n_cells"))
+      .select(col("source"), col("n_s").as("n_tokens"), col("n_cells"),
+        col("kl_e9"))
+      .orderBy("source")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q351_kl_drift" -> (q351 _),
     "q349_knee_detection" -> (q349 _),
     "q337_coverage_curve" -> (q337 _),
     "q321_kmv_cardinality" -> (q321 _),
@@ -837,6 +879,39 @@ object CorpusStatsQueries extends QueryPack {
       s"2 * $den")
 
   val oracle: Map[String, String] = Map(
+    // same smoothed lattice, identical double chain, per-term e9 floor
+    "q351_kl_drift" ->
+      """WITH toks AS (
+        |  SELECT source, tok FROM (
+        |    SELECT source,
+        |      unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+        |        AS tok
+        |    FROM documents) WHERE tok <> ''),
+        |ct AS (SELECT tok, CAST(count(*) AS BIGINT) AS c_t
+        |       FROM toks GROUP BY tok),
+        |cst AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c_st
+        |        FROM toks GROUP BY 1, 2),
+        |ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s
+        |       FROM toks GROUP BY source),
+        |tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS n,
+        |  CAST(count(*) AS BIGINT) AS v FROM ct),
+        |lat AS (
+        |  SELECT ns.source, ns.n_s, ct.tok, ct.c_t,
+        |    coalesce(cst.c_st, 0) AS c, tot.n, tot.v
+        |  FROM ns CROSS JOIN ct
+        |  LEFT JOIN cst ON cst.source = ns.source AND cst.tok = ct.tok
+        |  CROSS JOIN tot),
+        |terms AS (
+        |  SELECT source, n_s,
+        |    CAST(floor(((CAST(c + 1 AS DOUBLE) / CAST(n_s + v AS DOUBLE))
+        |      * ln((CAST(c + 1 AS DOUBLE) * CAST(n AS DOUBLE)) /
+        |          (CAST(n_s + v AS DOUBLE) * CAST(c_t AS DOUBLE))))
+        |      * 1000000000.0 + 0.5) AS BIGINT) AS term_e9
+        |  FROM lat)
+        |SELECT source, n_s AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_cells,
+        |  CAST(sum(term_e9) AS BIGINT) AS kl_e9
+        |FROM terms GROUP BY source, n_s ORDER BY source""".stripMargin,
     // same chord, same integer cross product, smallest-k ties
     "q349_knee_detection" ->
       """WITH counts AS (

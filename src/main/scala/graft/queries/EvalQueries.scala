@@ -318,7 +318,40 @@ object EvalQueries extends QueryPack {
       .orderBy("event_type")
   }
 
+  /** Pointwise-mutual-information census between event type and weekday
+    * — the dependence question q301's χ² answers with one number,
+    * decomposed to WHICH cells carry it: per (type, weekday) cell,
+    * PMI = ln(n_xy·N / (n_x·n_y)) and its MI contribution
+    * n_xy·PMI / N. Float discipline is the q115 entropy pattern: ln
+    * runs on exact-in-double INTEGER products (all ≤ ~10¹² ≪ 2⁵³), the
+    * whole double chain is written identically on both engines, and
+    * each term floors onto the e6 grid before any sum. Cells are the
+    * bounded type × weekday lattice; one aggregation over the corpus
+    * feeds it. */
+  private def q350(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(s, dir, "events")
+      .select(col("event_type"), expr("weekday(to_date(ts))").cast("long")
+        .as("wd"))
+    val cells = base.groupBy("event_type", "wd")
+      .agg(count(lit(1)).as("n_xy"))
+    val mx = base.groupBy("event_type").agg(count(lit(1)).as("n_x"))
+    val my = base.groupBy("wd").agg(count(lit(1)).as("n_y"))
+    val tot = base.agg(count(lit(1)).as("n"))
+    val lnArg = (col("n_xy").cast("double") * col("n").cast("double")) /
+      (col("n_x").cast("double") * col("n_y").cast("double"))
+    cells.join(broadcast(mx), "event_type").join(broadcast(my), "wd")
+      .crossJoin(broadcast(tot))
+      .select(col("event_type"), col("wd"), col("n_xy"),
+        floor(log(lnArg) * lit(1000000.0) + lit(0.5)).cast("long")
+          .as("pmi_e6"),
+        floor((col("n_xy").cast("double") * log(lnArg) /
+          col("n").cast("double")) * lit(1000000.0) + lit(0.5))
+          .cast("long").as("mi_contrib_e6"))
+      .orderBy("event_type", "wd")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q350_pmi_census" -> (q350 _),
     "q322_pr_curve" -> (q322 _),
     "q323_mcnemar" -> (q323 _),
     "q324_cohen_kappa" -> (q324 _),
@@ -328,6 +361,30 @@ object EvalQueries extends QueryPack {
     "q347_multiple_testing" -> (q347 _))
 
   val oracle: Map[String, String] = Map(
+    // identical double chain: integer-product ln args, per-term e6 floor
+    "q350_pmi_census" ->
+      """WITH base AS (
+        |  SELECT event_type,
+        |    CAST(isodow(CAST(ts AS DATE)) - 1 AS BIGINT) AS wd
+        |  FROM events),
+        |cells AS (SELECT event_type, wd, CAST(count(*) AS BIGINT) AS n_xy
+        |          FROM base GROUP BY 1, 2),
+        |mx AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_x
+        |       FROM base GROUP BY 1),
+        |my AS (SELECT wd, CAST(count(*) AS BIGINT) AS n_y
+        |       FROM base GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base)
+        |SELECT c.event_type, c.wd, n_xy,
+        |  CAST(floor(ln((CAST(n_xy AS DOUBLE) * CAST(n AS DOUBLE)) /
+        |      (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE)))
+        |    * 1000000.0 + 0.5) AS BIGINT) AS pmi_e6,
+        |  CAST(floor((CAST(n_xy AS DOUBLE) *
+        |      ln((CAST(n_xy AS DOUBLE) * CAST(n AS DOUBLE)) /
+        |        (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE))) /
+        |      CAST(n AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+        |    AS mi_contrib_e6
+        |FROM cells c JOIN mx USING (event_type) JOIN my USING (wd), tot
+        |ORDER BY c.event_type, c.wd""".stripMargin,
     // same per-type sign-flip lattice, same (p asc, type) Holm walk
     "q347_multiple_testing" -> {
       val u = graft.functions.Hashing.md5U32Sql(

@@ -328,6 +328,29 @@ class RoundTwelvePropertySpec extends SparkSuite {
     assert(k > 1L && k < n, s"knee degenerated to an endpoint: $r")
   }
 
+  test("q350 PMI cells: MI contributions sum within per-cell floor " +
+    "slack of a non-negative total, margins dominate cells") {
+    val rows = q("q350_pmi_census").collect()
+    assert(rows.length == 35) // 5 types × 7 weekdays, all present
+    // MI = Σ contrib ≥ 0 (up to one e6-floor ulp per cell)
+    val mi = rows.map(_.getAs[Long]("mi_contrib_e6")).sum
+    assert(mi >= -rows.length, s"MI total negative beyond floor slack: $mi")
+    rows.foreach(r => assert(r.getAs[Long]("n_xy") > 0L))
+  }
+
+  test("q351 KL is non-negative per source (within per-cell floor " +
+    "slack) and the lattice is complete") {
+    val rows = q("q351_kl_drift").collect()
+    assert(rows.nonEmpty)
+    val vocab = rows.head.getAs[Long]("n_cells")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_cells") == vocab,
+        "smoothed lattice is ragged — a source is missing vocab cells")
+      assert(r.getAs[Long]("kl_e9") >= -vocab,
+        s"KL negative beyond floor slack: $r")
+    }
+  }
+
   test("q332 dictionary model is internally consistent") {
     q("q332_dict_encoding").collect().foreach { r =>
       assert(r.getAs[Long]("n_distinct") <= r.getAs[Long]("n_rows"), s"$r")
