@@ -848,7 +848,65 @@ object CorpusStatsQueries extends QueryPack {
       .orderBy("source")
   }
 
+  /** Information-gain feature ranking — the classic feature-selection
+    * question ("which tokens identify a document's source?") answered
+    * exactly: for each token t, IG(t) = H(source) − [P(t)·H(source|t) +
+    * P(¬t)·H(source|¬t)] over document-level presence. Zero cells
+    * contribute 0 by the entropy convention (summed only where the
+    * count is positive — stated, not accidental); every entropy term is
+    * p·ln(1/p) ≥ 0 on exact-in-double integer ratios with a per-term e9
+    * floor (the q115/q350/q351 float discipline), and the final mixture
+    * is one integer-truncated division. The absent-partition lattice is
+    * the bounded token × source cross join. Top tokens by (ig desc,
+    * token) — the ranking a tokenizer/router audit consumes. */
+  private def q352(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("source"))
+    val present = docs(s, dir)
+      .select(col("doc_id"), col("source"),
+        explode(TextAnalysis.tokensCol(col("text"))).as("tok"))
+      .filter(col("tok") =!= "").distinct()
+    val ns = d.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val tot = d.agg(count(lit(1)).as("n"))
+    val dst = present.groupBy("tok", "source").agg(count(lit(1)).as("d_st"))
+    val dt = present.select("doc_id", "tok").distinct()
+      .groupBy("tok").agg(count(lit(1)).as("d_t"))
+    def ent(p: org.apache.spark.sql.Column,
+        q: org.apache.spark.sql.Column) =
+      floor((p.cast("double") / q.cast("double")) *
+        log(q.cast("double") / p.cast("double")) *
+        lit(1000000000.0) + lit(0.5)).cast("long")
+    val hs = ns.crossJoin(broadcast(tot))
+      .select(ent(col("n_s"), col("n")).as("t")).agg(sum("t").as("h_s_e9"))
+    val hPres = dst.join(dt, "tok")
+      .select(col("tok"), ent(col("d_st"), col("d_t")).as("t"))
+      .groupBy("tok").agg(sum("t").as("h_pres_e9"))
+    val lattice = dt.crossJoin(ns)
+      .join(dst, Seq("tok", "source"), "left")
+      .withColumn("a_st", col("n_s") - coalesce(col("d_st"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("a_t", col("n") - col("d_t"))
+    val hAbs = lattice.filter(col("a_st") > 0L && col("a_t") > 0L)
+      .select(col("tok"), ent(col("a_st"), col("a_t")).as("t"))
+      .groupBy("tok").agg(sum("t").as("h_abs_e9"))
+    dt.crossJoin(broadcast(tot))
+      .join(hPres, Seq("tok"), "left")
+      .join(hAbs, Seq("tok"), "left")
+      .crossJoin(broadcast(hs))
+      .select(col("tok"), col("d_t").as("n_docs_with"),
+        coalesce(col("h_pres_e9"), lit(0L)).as("h_pres_e9"),
+        coalesce(col("h_abs_e9"), lit(0L)).as("h_abs_e9"),
+        (col("h_s_e9") -
+          Rounding.intDivExact(
+            col("d_t").cast("decimal(38,0)") *
+              coalesce(col("h_pres_e9"), lit(0L)) +
+              (col("n") - col("d_t")).cast("decimal(38,0)") *
+                coalesce(col("h_abs_e9"), lit(0L)),
+            col("n"))).as("ig_e9"))
+      .orderBy(col("ig_e9").desc, col("tok")).limit(20)
+  }
+
   val defs: Map[String, Q] = Map(
+    "q352_info_gain" -> (q352 _),
     "q351_kl_drift" -> (q351 _),
     "q349_knee_detection" -> (q349 _),
     "q337_coverage_curve" -> (q337 _),
@@ -879,6 +937,63 @@ object CorpusStatsQueries extends QueryPack {
       s"2 * $den")
 
   val oracle: Map[String, String] = Map(
+    // same presence lattice, same per-term e9 entropy floors, same
+    // integer-truncated mixture
+    "q352_info_gain" -> {
+      val mix = Rounding.intDivExactSql(
+        "CAST(d_t AS HUGEINT) * coalesce(h_pres_e9, 0) + " +
+          "CAST(n - d_t AS HUGEINT) * coalesce(h_abs_e9, 0)", "n")
+      s"""WITH d AS (SELECT doc_id, source FROM documents),
+        |present AS (
+        |  SELECT DISTINCT doc_id, source, tok FROM (
+        |    SELECT doc_id, source,
+        |      unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+        |        AS tok
+        |    FROM documents) WHERE tok <> ''),
+        |ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s
+        |       FROM d GROUP BY source),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+        |dst AS (SELECT tok, source, CAST(count(*) AS BIGINT) AS d_st
+        |        FROM present GROUP BY 1, 2),
+        |dt AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS d_t
+        |       FROM present GROUP BY tok),
+        |hs AS (
+        |  SELECT CAST(sum(CAST(floor(
+        |      (CAST(n_s AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |      ln(CAST(n AS DOUBLE) / CAST(n_s AS DOUBLE)) *
+        |      1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS h_s_e9
+        |  FROM ns, tot),
+        |hp AS (
+        |  SELECT dst.tok, CAST(sum(CAST(floor(
+        |      (CAST(d_st AS DOUBLE) / CAST(d_t AS DOUBLE)) *
+        |      ln(CAST(d_t AS DOUBLE) / CAST(d_st AS DOUBLE)) *
+        |      1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS h_pres_e9
+        |  FROM dst JOIN dt USING (tok) GROUP BY dst.tok),
+        |lat AS (
+        |  SELECT dt.tok, dt.d_t, ns.n_s, tot.n,
+        |    ns.n_s - coalesce(dst.d_st, 0) AS a_st,
+        |    tot.n - dt.d_t AS a_t
+        |  FROM dt CROSS JOIN ns
+        |  LEFT JOIN dst ON dst.tok = dt.tok AND dst.source = ns.source
+        |  CROSS JOIN tot),
+        |ha AS (
+        |  SELECT tok, CAST(sum(CAST(floor(
+        |      (CAST(a_st AS DOUBLE) / CAST(a_t AS DOUBLE)) *
+        |      ln(CAST(a_t AS DOUBLE) / CAST(a_st AS DOUBLE)) *
+        |      1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS h_abs_e9
+        |  FROM lat WHERE a_st > 0 AND a_t > 0 GROUP BY tok),
+        |fin AS (
+        |  SELECT dt.tok, dt.d_t, tot.n,
+        |    coalesce(hp.h_pres_e9, 0) AS h_pres_e9,
+        |    coalesce(ha.h_abs_e9, 0) AS h_abs_e9, hs.h_s_e9
+        |  FROM dt CROSS JOIN tot
+        |  LEFT JOIN hp ON hp.tok = dt.tok
+        |  LEFT JOIN ha ON ha.tok = dt.tok
+        |  CROSS JOIN hs)
+        |SELECT tok, d_t AS n_docs_with, h_pres_e9, h_abs_e9,
+        |  h_s_e9 - ($mix) AS ig_e9
+        |FROM fin ORDER BY ig_e9 DESC, tok LIMIT 20""".stripMargin
+    },
     // same smoothed lattice, identical double chain, per-term e9 floor
     "q351_kl_drift" ->
       """WITH toks AS (
