@@ -17,6 +17,10 @@ Test / fork := true
 // sequentially; parallelism lives inside Spark (local[4]), not ScalaTest.
 Test / parallelExecution := false
 run / fork := true
+// The bench/verify mains print machine-parsed JSON lines on stdout; sbt's
+// default logger prefixes forked output with "[info] ", which breaks the
+// driver's tail-window JSON parse. Route forked stdout straight through.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -60,81 +60,108 @@ object GraphQueries extends QueryPack {
       .orderBy("node")
   }
 
+  /** ONE fused Bellman–Ford loop serving BOTH q264 (shortest path,
+    * (min,+)) and q265 (widest path, (max,min)) — the q299 arm-fusion
+    * idea applied to semirings instead of graph arms (round-12 verdict
+    * item 2): both queries relax over the SAME customer↔supplier edge
+    * topology, only the edge weight and the semiring differ, so one
+    * round loop carries both labels as two columns (`d` min-plus over
+    * the latency weight, `wd` max-min over the capacity weight) through
+    * one keyed join + one aggregate per round. Round-trips, shuffles,
+    * and the per-round scheduler floor are paid ONCE instead of twice
+    * (the unfused pair measured 2×53 static shuffles and ~4.8s combined
+    * at sf0.1); the memo means whichever query runs second is a
+    * projection of a warm table.
+    *
+    * Per-arm bit-exactness argument (the fusion contract, pinned by
+    * SemiringFusionSpec against the unfused loops):
+    *  - the fused edge set is keyed by the same (src, dst) pairs; per
+    *    pair both weights come from the one orders⋈lineitem aggregate:
+    *    `lat` = min latency over non-negative-latency rows (NULL when a
+    *    pair has none — the unfused q264 drops such edges entirely) and
+    *    `cap` = the co-transaction count (never NULL).
+    *  - (min,+) arm: a NULL `lat` propagates `d + lat = NULL`, and
+    *    min() ignores NULLs — so NULL-lat edges contribute exactly
+    *    nothing, same as q264's dropped edges; a node reached ONLY via
+    *    such edges holds d = NULL and is filtered at projection, same
+    *    as never materializing in the unfused frontier-only table.
+    *  - (max,min) arm: the capacity arm's edge set is a superset of the
+    *    latency arm's, so every fused state row (= reached via ANY
+    *    edge) is exactly a capacity-reached row — `wd` is never NULL
+    *    and the q265 row set is unchanged.
+    * Fixed 4 rounds ⇒ both engines drop identical not-yet-relaxed
+    * tails; each DuckDB oracle unrolls its OWN unfused rounds, so the
+    * driver hash-check independently re-proves the fusion per query.
+    * At 100 TB each round is the O(edges) PageRank exchange with the
+    * semiring swapped — (min,+) → shortest, (max,min) → widest,
+    * (max,×-on-[0,1]) → most-reliable all ride the same exchange, and
+    * fusion batches ANY number of them at one label column each.
+    * Per-round localCheckpoint truncates lineage (the q108Stages
+    * discipline) so round i replans one join over two materialized
+    * tables, not i nested rounds. */
+  private val semiringMemo = new graft.operators.SessionDirMemo
+
+  private[graft] def semiringStages(s: SparkSession, dir: String,
+      checkpoint: Boolean = true): DataFrame = {
+    def build: DataFrame = {
+      val li = Tables.load(s, dir, "lineitem")
+      val o = Tables.load(s, dir, "orders")
+      val lat0 = datediff(col("l_shipdate"), col("o_orderdate"))
+        .cast("long")
+      val pairW = o.join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy((col("o_custkey") * 10L).as("c"),
+          (col("l_suppkey") * 10L + 1L).as("p"))
+        .agg(min(when(lat0 >= 0L, lat0)).as("lat"),
+          count(lit(1)).as("cap"))
+      val edges0 = pairW.select(col("c").as("src"), col("p").as("dst"),
+          col("lat"), col("cap"))
+        .unionAll(pairW.select(col("p").as("src"), col("c").as("dst"),
+          col("lat"), col("cap")))
+      val edges = if (checkpoint) edges0.localCheckpoint(true) else edges0
+      var state = s.range(1).select(lit(11L).as("node"),
+        lit(0L).as("d"), lit(Long.MaxValue).as("wd"))
+      for (_ <- 1 to 4) {
+        val relaxed = edges.join(state, edges("src") === state("node"))
+          .select(col("dst").as("node"), (col("d") + col("lat")).as("d"),
+            least(col("wd"), col("cap")).as("wd"))
+        state = state.unionAll(relaxed)
+          .groupBy("node").agg(min("d").as("d"), max("wd").as("wd"))
+        if (checkpoint) state = state.localCheckpoint(true)
+      }
+      state
+    }
+    if (checkpoint) semiringMemo.get(s, dir)(build) else build
+  }
+
   /** Weighted single-source shortest paths (4 Bellman–Ford relaxation
     * rounds) — the min-plus sibling of q113's hop-count BFS: edges are
     * the q97 customer↔supplier relation WEIGHTED by the pair's best
     * observed order→ship latency in integer days (min over their
-    * lineitems — an exact date_diff, no floats), and each round relaxes
-    * dist' = min(dist, min_src(dist_src + w)) as one keyed join + one
-    * min-aggregate over only the REACHED frontier (unreached nodes
-    * never materialize — no ∞ sentinel rows, the table grows with the
-    * reachable set). Fixed 4 rounds ⇒ both engines drop identical
-    * not-yet-relaxed tails; the oracle unrolls the same rounds. At
-    * 100 TB each round is the O(edges) PageRank exchange with a min
-    * instead of a sum — same semiring swap that gives reachability,
-    * widest-path, etc. */
-  private def q264(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.load(s, dir, "lineitem")
-    val o = Tables.load(s, dir, "orders")
-    val pairW = o.join(li, col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 10L).as("c"),
-        (col("l_suppkey") * 10L + 1L).as("p"),
-        datediff(col("l_shipdate"), col("o_orderdate")).cast("long")
-          .as("w"))
-      .filter(col("w") >= 0L)
-      .groupBy("c", "p").agg(min("w").as("w"))
-    val edges = pairW.select(col("c").as("src"), col("p").as("dst"),
-        col("w"))
-      .unionAll(pairW.select(col("p").as("src"), col("c").as("dst"),
-        col("w")))
-    var dist = edges.sparkSession
-      .range(1).select(lit(11L).as("node"), lit(0L).as("d"))
-    for (_ <- 1 to 4) {
-      val relaxed = edges.join(dist, edges("src") === dist("node"))
-        .select(col("dst").as("node"), (col("d") + col("w")).as("d"))
-      dist = dist.unionAll(relaxed)
-        .groupBy("node").agg(min("d").as("d"))
-    }
-    dist.orderBy("node")
-  }
+    * lineitems — an exact date_diff, no floats), each round relaxing
+    * dist' = min(dist, min_src(dist_src + w)) over only the REACHED
+    * frontier (unreached nodes never materialize — no ∞ sentinel rows).
+    * The loop itself is the fused two-semiring run ([[semiringStages]]);
+    * this projection keeps exactly the latency-reached rows. */
+  private def q264(s: SparkSession, dir: String): DataFrame =
+    semiringStages(s, dir)
+      .filter(col("d").isNotNull)
+      .select(col("node"), col("d"))
+      .orderBy("node")
 
   /** Widest (bottleneck) paths from the same seed — q264's loop with the
     * semiring swapped: capacity = the pair's co-transaction count, a
     * path's width = its MINIMUM edge capacity, and each round keeps the
     * MAXIMUM width per node: width' = max(width, max_src(min(width_src,
-    * w))). The capacity-routing question ("how much traffic could this
-    * partner relationship carry end-to-end") — identical O(edges)
-    * per-round plan, which is the point: (min,+) → shortest, (max,min)
-    * → widest, (max,×-on-[0,1]) → most-reliable all ride the same
-    * exchange, so proving two of them proves the machinery. Integer
-    * capacities end to end. */
-  private def q265(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.load(s, dir, "lineitem")
-    val o = Tables.load(s, dir, "orders")
-    val pairW = o.join(li, col("o_orderkey") === col("l_orderkey"))
-      .groupBy((col("o_custkey") * 10L).as("c"),
-        (col("l_suppkey") * 10L + 1L).as("p"))
-      .agg(count(lit(1)).as("w"))
-    val edges = pairW.select(col("c").as("src"), col("p").as("dst"),
-        col("w"))
-      .unionAll(pairW.select(col("p").as("src"), col("c").as("dst"),
-        col("w")))
-    var width = edges.sparkSession
-      .range(1).select(lit(11L).as("node"),
-        lit(Long.MaxValue).as("wd"))
-    for (_ <- 1 to 4) {
-      val relaxed = edges.join(width, edges("src") === width("node"))
-        .select(col("dst").as("node"), least(col("wd"), col("w")).as("wd"))
-      width = width.unionAll(relaxed)
-        .groupBy("node").agg(max("wd").as("wd"))
-    }
-    // the source's conventional width is ∞ (the Long.MaxValue seed the
-    // first min() absorbs) — drop that row so no sentinel leaves the
-    // engine; every emitted width is a real bottleneck capacity
-    width.filter(col("node") =!= 11L)
+    * w))). Shares the one fused loop ([[semiringStages]] owns the
+    * bit-exactness argument). The source's conventional width is ∞ (the
+    * Long.MaxValue seed the first min() absorbs) — that row is dropped
+    * so no sentinel leaves the engine; every emitted width is a real
+    * bottleneck capacity. */
+  private def q265(s: SparkSession, dir: String): DataFrame =
+    semiringStages(s, dir)
+      .filter(col("node") =!= 11L)
       .select(col("node"), col("wd").as("width"))
       .orderBy("node")
-  }
 
   /** Degree assortativity of the part co-order graph (does a hub co-occur
     * with hubs?) — Pearson correlation over the (deg(u), deg(v)) pairs of

@@ -27,8 +27,10 @@ object PlanGateSpec {
     "q215_modularity" -> 10L,
     "q67_dedup_clusters" -> 1L,
     "q198_groupwise_split" -> 2L,
-    "q265_widest_path" -> 53L,
-    "q264_sssp" -> 53L,
+    // fused two-semiring loop (r13): both are projections of the
+    // memoized checkpointed state — raw chain gated separately below
+    "q265_widest_path" -> 1L,
+    "q264_sssp" -> 1L,
     "q273_winnowing" -> 6L,
     "q259_three_way_reconcile" -> 9L,
     "q134_kcore" -> 0L,
@@ -46,7 +48,15 @@ object PlanGateSpec {
     "q114_inverted_index" -> 3L,
     "q128_cooccur" -> 3L,
     "q130_ref_integrity" -> 4L,
-    "q119_assortativity" -> 5L)
+    "q119_assortativity" -> 5L,
+    // round-13: the r12 cost/width tail (verdict item 4)
+    "q255_markov_stationary" -> 70L,
+    "q332_dict_encoding" -> 24L,
+    "q333_prf_expansion" -> 20L,
+    "q231_ppr" -> 20L,
+    "q302_source_tvd" -> 20L,
+    "q197_lsh_calibration" -> 9L,
+    "q176_simhash_pairs" -> 3L)
   def maxShuffles(name: String): Long = measured(name) + slack
 }
 
@@ -77,6 +87,14 @@ class PlanGateSpec extends SparkSuite {
     assert(a.cartesians == 0, s"cartesian in the containment chain: $a")
     assert(a.shuffles <= 7L + 2L,
       s"containmentPairs shuffles ${a.shuffles} > pinned 7+2: $a")
+  }
+
+  test("memoized-stage builder: fused semiring chain keeps its shape") {
+    val a = operators.PlanAudit.of(
+      queries.GraphQueries.semiringStages(spark, sf, checkpoint = false))
+    assert(a.cartesians == 0, s"cartesian in the semiring chain: $a")
+    assert(a.shuffles <= 53L + 2L,
+      s"fused semiring chain shuffles ${a.shuffles} > pinned 53+2: $a")
   }
 
   for ((name, pinned) <- PlanGateSpec.measured.toSeq.sortBy(_._1)) {
