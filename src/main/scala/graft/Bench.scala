@@ -220,6 +220,15 @@ object Bench {
     // verbatim in BENCH_FULL.json (committed each round), so
     // round-over-round per-query comparison never depends on tail
     // length.
+    // The field stays named "queries" DELIBERATELY (ADVICE r12 suggested
+    // renaming the truncated map so legacy parsers fail loudly): the
+    // driver's published stdout contract keys per-query seconds on
+    // "queries", and round 13 is the first round the line can parse at
+    // all (the [info] prefix is gone) — renaming the key in the same
+    // round would trade a flagged, documented truncation
+    // ("queries_truncated":true + "queries_full" pointer) for a silent
+    // missing-field miss in the one consumer that matters. Any parser
+    // that wants the full map has BENCH_FULL.json, named in-band.
     val slowest = results.collect { case (k, good, _) if good.nonEmpty =>
       (k, good.min) }.sortBy(-_._2).take(15)
     val qsTop = slowest.map { case (k, v) => s"\"" + k + "\":" + r6(v) }

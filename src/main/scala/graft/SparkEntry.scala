@@ -25,9 +25,11 @@ object SparkEntry {
     FlagshipQueries.olsNextValue(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2.
-    * Numbering note: ids q24 and q36 are retired gaps (their early-round
-    * queries were folded into neighbors), kept unassigned so every other
-    * id stays stable across rounds — don't hunt for them. */
+    * Numbering note: ids q24, q36, q346 and q348 are retired gaps (their
+    * in-flight queries were folded into neighbors before landing — q24/q36
+    * in the early rounds, q346/q348 during the round-12 eval-pack build),
+    * kept unassigned so every other id stays stable across rounds — don't
+    * hunt for them. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     packs.map(_.defs).reduce(_ ++ _)
 

@@ -42,14 +42,15 @@ import org.apache.spark.storage.StorageLevel
   */
 object ConnectedComponents {
 
-  /** Min-label rounds before switching to alternating-star: dup clusters
-    * converge in 2–4 rounds, so 15 propagation rounds only run in full on a
-    * genuinely high-diameter graph — exactly the shape star handles in
-    * O(log n). (No fallback when the caller's maxIter is ≤ this cap: a
-    * tight explicit budget means "fail loudly", not "try harder".)
-    * var, not val: tests lower it to force the star path — production
-    * code never writes it. */
-  @volatile private[graft] var starFallbackAt = 15
+  /** Default min-label rounds before switching to alternating-star: dup
+    * clusters converge in 2–4 rounds, so 15 propagation rounds only run in
+    * full on a genuinely high-diameter graph — exactly the shape star
+    * handles in O(log n). (No fallback when the caller's maxIter is ≤ the
+    * cap: a tight explicit budget means "fail loudly", not "try harder".)
+    * Callers (tests, mostly) override per-call via the `starFallbackAt`
+    * PARAMETER of [[components]] — the round-12 form was a @volatile var,
+    * which let any suite mutate CC pacing JVM-wide (ADVICE r12). */
+  val StarFallbackDefault = 15
 
   /** Rounds the last alternating-star run took — test introspection only
     * (the O(log n) convergence claim is asserted, not assumed). */
@@ -91,7 +92,8 @@ object ConnectedComponents {
     * never pay star's per-round exact fixed-point check. */
   def components(nodes: DataFrame, edges: DataFrame,
       idCol: String, srcCol: String, dstCol: String,
-      maxIter: Int = 50, starFirst: Boolean = false): DataFrame = {
+      maxIter: Int = 50, starFirst: Boolean = false,
+      starFallbackAt: Int = StarFallbackDefault): DataFrame = {
     // persist the symmetric edge set: it seeds the labels and is read once
     // per round, and its lineage may be an arbitrarily expensive upstream
     // pipeline (q67's is the whole shingle→jaccard candidate chain —

@@ -16,8 +16,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * aspirational: at most two (session, dir) builds are pinned, and the
   * least-recently-used is dropped the moment a third key comes through —
   * so a stopped session is held only until two newer builds, never for
-  * the JVM's life; the evicted checkpoint's blocks are then collectable
-  * via the ContextCleaner.
+  * the JVM's life; the evicted checkpoint's blocks are unpersisted
+  * eagerly at eviction (best-effort), not left to GC + ContextCleaner.
   *
   * Two slots, not one (round-11 verdict item 5): the driver's real
   * access pattern interleaves TWO dirs in one session — the correctness
@@ -46,7 +46,23 @@ private[graft] final class SessionDirMemo {
           df
         case None =>
           val built = build
-          slots = ((s, dir, built) :: slots).take(capacity)
+          val (kept, evicted) = ((s, dir, built) :: slots).splitAt(capacity)
+          slots = kept
+          // Release the evicted build's checkpoint blocks NOW (ADVICE
+          // r12) instead of waiting for GC + ContextCleaner to notice the
+          // dropped reference — a stale sf-dir's blocks otherwise linger
+          // for an unbounded time. Best-effort and non-blocking: eviction
+          // only happens when a THIRD (session, dir) shows up, and the
+          // driver runs dirs sequentially, so nothing should be mid-read;
+          // if something is, the unpersist degrades that reader to a
+          // recompute-or-fail it would also have hit under a GC'd slot.
+          evicted.foreach { case (_, _, df) =>
+            try
+              df.queryExecution.logical.collect {
+                case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+              }.foreach(_.unpersist(blocking = false))
+            catch { case scala.util.control.NonFatal(_) => () }
+          }
           built
       }
     }

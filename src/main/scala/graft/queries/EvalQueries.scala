@@ -246,10 +246,14 @@ object EvalQueries extends QueryPack {
       g.groupBy(keys.map(col): _*)
         .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
           sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"))
-        .withColumn("sgn", signum(
-          (col("n") * col("sxy") -
-            col("sx").cast("decimal(38,0)") * col("sy"))
-            .cast("decimal(38,2)")).cast("long"))
+        // sign via exact comparison on the decimal(38,0) numerator —
+        // the r12 form cast to decimal(38,2) first, which in non-ANSI
+        // mode nulls out at |num| ≥ 1e36 and silently mis-counts the
+        // segment (ADVICE r12); comparing against 0 never narrows
+        .withColumn("num", col("n") * col("sxy") -
+          col("sx").cast("decimal(38,0)") * col("sy"))
+        .withColumn("sgn", when(col("num") > 0, 1L)
+          .when(col("num") < 0, -1L).otherwise(0L))
     val overall = covSign(base, Seq("event_type"))
       .select(col("event_type"), col("sgn").as("overall_sign"))
     val seg = covSign(base, Seq("event_type", "wd"))

@@ -387,7 +387,10 @@ object GraphQueries extends QueryPack {
     * arm, proven bit-identical in ConnectedComponentsSpec. Round count
     * becomes max(arms), not sum — the same trick batches ANY number of
     * what-if deletion arms through one CC at id headroom cost of
-    * ⌈log₂ arms⌉ bits. */
+    * ⌈log₂ arms⌉ bits. Headroom precondition (ADVICE r12): `2·id + arm`
+    * requires ids < 2⁶², which part keys satisfy by construction at
+    * every TPC-H scale factor (P = SF·200 000 ≪ 2⁶²) — a caller tagging
+    * arbitrary external ids must check before encoding. */
   private def q299(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.Rounding.intDivExact
     val (edges, deg, _) = TemporalQueries.q108Stages(s, dir,
@@ -422,7 +425,12 @@ object GraphQueries extends QueryPack {
     sizes.groupBy("arm")
       .agg(count(lit(1)).as("n_components"), sum("cnt").as("n_nodes"),
         max("cnt").as("largest_size"))
-      .join(broadcast(ecs), "arm")
+      // LEFT join + coalesce (ADVICE r12): if an arm loses every edge
+      // (hub removal could in principle delete them all), its ecs row
+      // vanishes — the arm must still report n_edges = 0, matching the
+      // oracle, which emits the row from the node side
+      .join(broadcast(ecs), Seq("arm"), "left")
+      .withColumn("n_edges", coalesce(col("n_edges"), lit(0L)))
       .select(col("arm"), col("n_nodes"), col("n_edges"),
         col("n_components"), col("largest_size"),
         intDivExact(

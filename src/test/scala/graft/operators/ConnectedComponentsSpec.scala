@@ -97,17 +97,20 @@ class ConnectedComponentsSpec extends SparkSuite {
 
   test("a low forced cap still takes the star path and stays correct — " +
     "the cap is a budget, not a correctness knob") {
-    val saved = ConnectedComponents.starFallbackAt
-    try {
-      ConnectedComponents.starFallbackAt = 2
-      ConnectedComponents.lastStarRounds = -1
-      val got = comp(0L to 5L,
-        Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L), (1L, 0L)))
-      assert(ConnectedComponents.lastStarRounds > 0, "expected the star path")
-      assert(ConnectedComponents.lastPropRounds == 2,
-        "the lowered cap must bound the propagation rounds exactly")
-      assert(got == (0L to 5L).map(_ -> 0L).toMap)
-    } finally ConnectedComponents.starFallbackAt = saved
+    val s = spark
+    import s.implicits._
+    ConnectedComponents.lastStarRounds = -1
+    // per-call parameter, not a global var (ADVICE r12): lowering the cap
+    // here cannot change CC pacing for any concurrently-running suite
+    val got = ConnectedComponents.components(
+      (0L to 5L).toDF("id"),
+      Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L), (1L, 0L)).toDF("a", "b"),
+      "id", "a", "b", starFallbackAt = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ConnectedComponents.lastStarRounds > 0, "expected the star path")
+    assert(ConnectedComponents.lastPropRounds == 2,
+      "the lowered cap must bound the propagation rounds exactly")
+    assert(got == (0L to 5L).map(_ -> 0L).toMap)
   }
 
   test("starFirst produces identical labels to the propagation path") {

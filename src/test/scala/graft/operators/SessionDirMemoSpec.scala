@@ -40,6 +40,25 @@ class SessionDirMemoSpec extends SparkSuite {
     assert(builds == 4, "/b should have been evicted and need a rebuild")
   }
 
+  test("eviction unpersists the evicted build's checkpoint blocks " +
+    "eagerly (ADVICE r12) and leaves the kept slots' blocks alone") {
+    val memo = new SessionDirMemo
+    def ckpt(tag: Int) = df(tag).localCheckpoint(true)
+    def blocksOf(d: org.apache.spark.sql.DataFrame) =
+      d.queryExecution.logical.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+      }.toSet
+    val a = memo.get(spark, "/a")(ckpt(10))
+    val b = memo.get(spark, "/b")(ckpt(11))
+    memo.get(spark, "/a")(fail("warm")) // /b becomes LRU
+    memo.get(spark, "/c")(ckpt(12))     // evicts /b
+    val persisted = spark.sparkContext.getPersistentRDDs.keySet
+    assert(blocksOf(b).forall(!persisted.contains(_)),
+      "evicted /b's checkpoint blocks were not unpersisted")
+    assert(blocksOf(a).forall(persisted.contains),
+      "kept slot /a lost its blocks to the eviction")
+  }
+
   test("hits return the identical materialized frame, misses are keyed " +
     "by (session, dir) identity") {
     val memo = new SessionDirMemo
