@@ -60,6 +60,22 @@ object ConnectedComponents {
     * introspection for the pointer-jumping O(log d) claim. */
   @volatile private[graft] var lastPropRounds: Int = -1
 
+  /** Materialize `df`'s cache AND evaluate one scalar aggregate over its
+    * rows in a single job with NO extra exchange: the aggregate rides a
+    * [[org.apache.spark.sql.Observation]] metric above the persist and
+    * the action is a noop-sink write, so the job's last stage is the
+    * cache-building scan itself — where a `.count()`/`.agg().head` adds
+    * a single-partition final-reduce stage per call (one scheduler-floor
+    * round-trip per CC round; measured in ANALYSIS_r13_ccfloor.md).
+    * Returns 0 when the metric is null (empty input). */
+  private def materializeCounting(df: DataFrame,
+      metric: org.apache.spark.sql.Column): Long = {
+    val obs = org.apache.spark.sql.Observation()
+    df.observe(obs, coalesce(metric, lit(0L)).as("m"))
+      .write.mode("overwrite").format("noop").save()
+    obs.get("m").asInstanceOf[Long]
+  }
+
   /** Re-anchor a persisted, materialized round result as a logical-plan
     * LEAF (LogicalRDD over its cached blocks). Without this, every round's
     * plan embeds the previous round's plan TWICE (once under the join, once
@@ -136,9 +152,17 @@ object ConnectedComponents {
         .persist(StorageLevel.MEMORY_AND_DISK)
       // null prev would mean a vertex with no self row — impossible now
       // that labels seed from the endpoint set itself, but kept as a
-      // change signal so a future seeding change cannot fake convergence
-      changed = next
-        .filter(col("prev").isNull || col("comp") =!= col("prev")).count()
+      // change signal so a future seeding change cannot fake convergence.
+      // The changed-row count rides an observe() metric on the noop write
+      // that materializes the cache — NOT a separate .count() action: the
+      // count's single-partition final reduce was one extra stage of
+      // scheduler floor per round (round-12 verdict item 5; A/B numbers
+      // in ANALYSIS_r13_ccfloor.md). The observe node sits ABOVE the
+      // persist, so the metric fires off the rows streaming out of the
+      // cache-building scan and later cache hits never re-fire it.
+      changed = materializeCounting(next,
+        sum(when(col("prev").isNull || col("comp") =!= col("prev"), 1L)
+          .otherwise(0L)))
       cached.unpersist()
       cached = next
       // snap: next round's plan must reference THIS round as a leaf, not as
@@ -242,7 +266,9 @@ object ConnectedComponents {
         .select(col("n").as("u"), col("m").as("v"))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val nextCnt = next.count()
+      // same observe-on-materialize fold as the min-label loop: the
+      // cardinality needed by the fixed-point test rides the noop write
+      val nextCnt = materializeCounting(next, count(lit(1)))
       // exact fixed-point test: next ⊆ edges ∧ |next| = |edges| ⟺ equal
       // (both sides are distinct sets)
       converged = nextCnt == cnt &&
