@@ -817,7 +817,96 @@ object CurationQueries extends QueryPack {
           lit(2L) * col("na") * col("nb")).as("w1_e4"))
   }
 
+  /** THE composed corpus build — the whole curation pipeline as ONE
+    * driver-verified query (round-12 verdict item 6): quality gate →
+    * exact dedup → near dedup → benchmark decontamination → per-source
+    * token-cap mix → deterministic split → contiguous packing → shard
+    * manifest. Each stage is an already-oracle-checked operator (q31/q40/
+    * q67/q84/q99/q77/q237 families) chained through the SAME composed
+    * API a library user would call ([[graft.operators.DedupPipeline]],
+    * [[graft.operators.SequencePack]]); what this query adds is a DuckDB
+    * twin of the ENTIRE composition, so a stage-boundary bug (dedup over
+    * the unfiltered corpus, decontamination before dedup widening the
+    * benchmark, a split computed pre-mix) breaks the hash even when every
+    * stage is individually correct. The manifest row set is (split,
+    * shard): doc/pack/token counts plus an order-independent membership
+    * checksum (sum of md5-u32 over doc ids) — counts alone would pass
+    * under a wrong-but-equinumerous membership; the checksum pins WHICH
+    * docs shipped.
+    *
+    * Stage parameters (fixed, part of the contract): minChars=100,
+    * langs {en,de,fr,es}; 5-gram Jaccard ≥ 0.5, df ∈ [2,1000];
+    * benchmark = doc_id ≡ 0 (mod 97), 4-gram containment, drop on ANY
+    * shared gram; per-source cap = ⌊4%·total tokens⌋ with the straddling
+    * doc kept (water-fill convention, q297), fill order md5-u32(doc_id);
+    * split 80/10/10 by md5-uniform (q99); pack budget 512 tokens per
+    * split in doc_id order (q77's contiguous scheme — SQL-expressible,
+    * unlike first-fit); 4 shards by pack_id mod.
+    *
+    * Scale: every stage is a keyed join/aggregation inherited from its
+    * parent operator (near-dup mining is df-gated posting lists, CC is
+    * [[graft.operators.ConnectedComponents]]); the only broadcasts are
+    * the benchmark gram set (1/97 of the corpus — the q84 trade) and two
+    * one-row totals. The windows partition by source and by split; a
+    * single giant split serializes its cumulative sum, intrinsic to
+    * order-respecting packing (shard the stream key upstream at real
+    * scale — [[graft.operators.SequencePack]]'s documented posture). */
+  private def q353(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{DedupPipeline, SequencePack}
+    import graft.functions.Hashing
+    val docs = Tables.load(s, dir, "documents")
+    // 1. quality gate
+    val quality = docs.filter(length(col("text")) >= 100L &&
+      col("lang").isin("en", "de", "fr", "es"))
+    // 2–3. exact + near dedup (min-id keepers, CC clusters)
+    val exact = DedupPipeline.exact(quality, "doc_id", "text")
+    val near = DedupPipeline.near(exact, "doc_id", "text",
+      n = 5, threshold = 0.5, maxDf = 1000L)
+    // 4. decontaminate: bench grams come from the RAW corpus (benchmark
+    // membership is external to the pipeline — q84's contract)
+    val gram4 = near
+      .select(col("doc_id"), TextAnalysis.tokensCol(col("text")).as("tk"))
+      .select(col("doc_id"),
+        explode(TextAnalysis.ngramsFromTokens(col("tk"), 4)).as("gram"))
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+      .select(TextAnalysis.tokensCol(col("text")).as("tk"))
+      .select(explode(TextAnalysis.ngramsFromTokens(col("tk"), 4))
+        .as("gram"))
+      .distinct()
+    val contaminated = gram4.join(broadcast(bench), "gram")
+      .select("doc_id").distinct()
+    val clean = near.filter(col("doc_id") % 97 =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .withColumn("n_tokens",
+        size(TextAnalysis.tokensCol(col("text"))).cast("long"))
+    // 5. mix: water-fill each source to ⌊4% of total tokens⌋, straddler
+    // kept, fill order md5-u32 — deterministic in both engines
+    val u32 = Hashing.md5U32(col("doc_id").cast("string"))
+    val tot = clean.agg(sum("n_tokens").as("t_total"))
+    val fillW = Window.partitionBy("source").orderBy(u32, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mixed = clean.withColumn("cum", sum("n_tokens").over(fillW))
+      .crossJoin(broadcast(tot))
+      .filter(col("cum") - col("n_tokens") <
+        Rounding.intDiv(col("t_total") * 4L, lit(100L)))
+    // 6. split 80/10/10 (q99), 7. contiguous packing at 512 tokens
+    val uu = Hashing.md5Uniform(col("doc_id").cast("string"))
+    val split = mixed.withColumn("split",
+      when(uu < 0.8, "train").when(uu < 0.9, "val").otherwise("test"))
+    val packed = SequencePack.contiguous(
+      split, "split", "doc_id", col("n_tokens"), 512L)
+    // 8. shard manifest with membership checksum
+    packed
+      .groupBy(col("split"), (col("pack_id") % 4L).as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("pack_id").as("n_packs"),
+        sum("n_tokens").as("n_tokens"),
+        sum(u32).as("id_checksum"))
+      .orderBy("split", "shard")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q353_corpus_build" -> (q353 _),
     "q234_quantile_norm" -> (q234 _),
     "q235_source_sample" -> (q235 _),
     "q236_ks_drift" -> (q236 _),
@@ -1118,6 +1207,114 @@ object CurationQueries extends QueryPack {
   val oracle: Map[String, String] = Map(
     // same md5 uniform, same (u, doc_id) order — the draw is a shared
     // deterministic function, not a mirrored RNG
+    // the full composed corpus build — every stage CTE mirrors one
+    // already-proven oracle shape (q40 fingerprint window, q67 recursive
+    // CC, q84 bench grams, q99 split, q77 cumulative packing); what is
+    // NEW here is that each stage reads the previous stage's survivors,
+    // so the composition order itself is under the hash
+    "q353_corpus_build" -> {
+      import Rounding.intDivSql
+      val u32 = graft.functions.Hashing.md5U32Sql("CAST(doc_id AS VARCHAR)")
+      val uni = graft.functions.Hashing
+        .md5UniformSql("CAST(doc_id AS VARCHAR)")
+      s"""WITH RECURSIVE
+         |q AS (
+         |  SELECT doc_id, text, lang, source FROM documents
+         |  WHERE length(text) >= 100 AND lang IN ('en','de','fr','es')),
+         |f AS (
+         |  SELECT doc_id,
+         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         |  FROM q),
+         |ex AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS m FROM f)
+         |  WHERE doc_id = m),
+         |base AS (SELECT q.* FROM q JOIN ex USING (doc_id)),
+         |toks AS (
+         |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+')
+         |    AS t
+         |  FROM base),
+         |idx AS (
+         |  SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i
+         |  FROM toks WHERE len(t) >= 5),
+         |grams AS (
+         |  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS gram
+         |  FROM idx),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+         |keep AS (SELECT gram FROM grams GROUP BY gram
+         |         HAVING count(*) BETWEEN 2 AND 1000),
+         |gf AS (SELECT g.doc_id, g.gram FROM grams g JOIN keep USING (gram)),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM gf a JOIN gf b ON a.gram = b.gram AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |jp AS (
+         |  SELECT doc_a, doc_b FROM pairs
+         |  JOIN sizes sa ON doc_a = sa.doc_id
+         |  JOIN sizes sb ON doc_b = sb.doc_id
+         |  WHERE floor((inter / (sa.sz + sb.sz - inter)) * 10000.0 + 0.5)
+         |      / 10000.0 >= 0.5),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+         |          UNION ALL
+         |          SELECT doc_b AS src, doc_a AS dst FROM jp),
+         |reach(id, comp) AS (
+         |  SELECT doc_id, doc_id FROM base
+         |  UNION
+         |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+         |cl AS (SELECT id AS doc_id, min(comp) AS comp FROM reach
+         |       GROUP BY id),
+         |nd AS (SELECT b.* FROM base b JOIN cl USING (doc_id)
+         |       WHERE cl.comp = b.doc_id),
+         |btoks AS (
+         |  SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+         |  FROM documents WHERE doc_id % 97 = 0),
+         |bench AS (
+         |  SELECT DISTINCT array_to_string(t[i:i+3], ' ') AS gram
+         |  FROM btoks, unnest(generate_series(1, len(t) - 3)) AS s(i)
+         |  WHERE len(t) >= 4),
+         |g4 AS (
+         |  SELECT DISTINCT k.doc_id, array_to_string(t[i:i+3], ' ') AS gram
+         |  FROM toks k JOIN nd USING (doc_id),
+         |    unnest(generate_series(1, len(t) - 3)) AS s(i)
+         |  WHERE len(t) >= 4),
+         |contam AS (SELECT DISTINCT doc_id FROM g4 JOIN bench USING (gram)),
+         |clean AS (
+         |  SELECT nd.doc_id, nd.source, CAST(len(t) AS BIGINT) AS n_tokens
+         |  FROM nd JOIN toks USING (doc_id)
+         |  WHERE nd.doc_id % 97 <> 0
+         |    AND nd.doc_id NOT IN (SELECT doc_id FROM contam)),
+         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t_total
+         |        FROM clean),
+         |ranked AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY source
+         |      ORDER BY $u32, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum
+         |  FROM clean),
+         |mixed AS (
+         |  SELECT r.* FROM ranked r, tot
+         |  WHERE cum - n_tokens < ${intDivSql("4 * t_total", "100")}),
+         |sp AS (
+         |  SELECT doc_id, n_tokens,
+         |    CASE WHEN $uni < 0.8 THEN 'train'
+         |         WHEN $uni < 0.9 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM mixed),
+         |pk AS (
+         |  SELECT doc_id, n_tokens, split,
+         |    CAST(floor((CAST(sum(n_tokens) OVER (PARTITION BY split
+         |        ORDER BY doc_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |        AS BIGINT) - n_tokens) / 512.0) AS BIGINT) AS pack_id
+         |  FROM sp)
+         |SELECT split, pack_id % 4 AS shard,
+         |  count(*) AS n_docs,
+         |  CAST(count(DISTINCT pack_id) AS BIGINT) AS n_packs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(sum($u32) AS BIGINT) AS id_checksum
+         |FROM pk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
     "q235_source_sample" -> {
       val u = graft.functions.Hashing.md5UniformSql("CAST(doc_id AS VARCHAR)")
       s"""SELECT doc_id, source, sample_rank FROM (

@@ -56,7 +56,9 @@ object PlanGateSpec {
     "q231_ppr" -> 20L,
     "q302_source_tvd" -> 20L,
     "q197_lsh_calibration" -> 9L,
-    "q176_simhash_pairs" -> 3L)
+    "q176_simhash_pairs" -> 3L,
+    // round-13: the composed corpus build (verdict item 6)
+    "q353_corpus_build" -> 12L)
   def maxShuffles(name: String): Long = measured(name) + slack
 }
 
