@@ -851,8 +851,18 @@ object CurationQueries extends QueryPack {
     * single giant split serializes its cumulative sum, intrinsic to
     * order-respecting packing (shard the stream key upstream at real
     * scale — [[graft.operators.SequencePack]]'s documented posture). */
-  private def q353(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.{DedupPipeline, SequencePack}
+  /** The near-dedup survivor set is the expensive boundary of the
+    * composed build (it owns the CC run) and feeds q353/q354/q355 —
+    * memoized checkpointed, the q108Stages discipline. */
+  private val corpusNearMemo = new graft.operators.SessionDirMemo
+
+  /** The composed pipeline's stage frames, lazily chained; `checkpoint =
+    * true` memoizes the near-dedup survivors. Returns (input, quality,
+    * exact, near, clean, mixed) — clean and mixed carry `n_tokens`. */
+  private[graft] def corpusStages(s: SparkSession, dir: String,
+      checkpoint: Boolean = true): (DataFrame, DataFrame, DataFrame,
+      DataFrame, DataFrame, DataFrame) = {
+    import graft.operators.DedupPipeline
     import graft.functions.Hashing
     val docs = Tables.load(s, dir, "documents")
     // 1. quality gate
@@ -860,8 +870,12 @@ object CurationQueries extends QueryPack {
       col("lang").isin("en", "de", "fr", "es"))
     // 2–3. exact + near dedup (min-id keepers, CC clusters)
     val exact = DedupPipeline.exact(quality, "doc_id", "text")
-    val near = DedupPipeline.near(exact, "doc_id", "text",
+    def buildNear = DedupPipeline.near(exact, "doc_id", "text",
       n = 5, threshold = 0.5, maxDf = 1000L)
+    val near =
+      if (checkpoint)
+        corpusNearMemo.get(s, dir)(buildNear.localCheckpoint(true))
+      else buildNear
     // 4. decontaminate: bench grams come from the RAW corpus (benchmark
     // membership is external to the pipeline — q84's contract)
     val gram4 = near
@@ -889,12 +903,24 @@ object CurationQueries extends QueryPack {
       .crossJoin(broadcast(tot))
       .filter(col("cum") - col("n_tokens") <
         Rounding.intDiv(col("t_total") * 4L, lit(100L)))
-    // 6. split 80/10/10 (q99), 7. contiguous packing at 512 tokens
-    val uu = Hashing.md5Uniform(col("doc_id").cast("string"))
-    val split = mixed.withColumn("split",
+    (docs, quality, exact, near, clean, mixed)
+  }
+
+  /** Stage 6→7 of the composed build: 80/10/10 split over the mixed
+    * survivors (q99's md5-uniform). Shared by q353 and q355. */
+  private def splitStage(mixed: DataFrame): DataFrame = {
+    val uu = graft.functions.Hashing.md5Uniform(col("doc_id").cast("string"))
+    mixed.withColumn("split",
       when(uu < 0.8, "train").when(uu < 0.9, "val").otherwise("test"))
+  }
+
+  private def q353(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.SequencePack
+    import graft.functions.Hashing
+    val (_, _, _, _, _, mixed) = corpusStages(s, dir)
+    val u32 = Hashing.md5U32(col("doc_id").cast("string"))
     val packed = SequencePack.contiguous(
-      split, "split", "doc_id", col("n_tokens"), 512L)
+      splitStage(mixed), "split", "doc_id", col("n_tokens"), 512L)
     // 8. shard manifest with membership checksum
     packed
       .groupBy(col("split"), (col("pack_id") % 4L).as("shard"))
@@ -905,8 +931,114 @@ object CurationQueries extends QueryPack {
       .orderBy("split", "shard")
   }
 
+  /** Stage-attrition funnel of the SAME composed build (q353's chain,
+    * stage boundaries included): doc and token counts after each of the
+    * six stages — the audit artifact every corpus release ships next to
+    * its manifest, and the number the pipeline operator reads FIRST when
+    * a build looks wrong ("which stage ate the corpus?"). The named
+    * consumer is q353 itself: a q353 manifest diff plus this funnel
+    * localizes a regression to one stage without re-running anything.
+    * Same oracle CTE chain as q353 (shared [[corpusCtes]]), different
+    * final SELECT — so the two queries cross-check each other's stage
+    * boundaries under the driver hash. Each stage row is one count
+    * aggregate; the near stage reads the memoized survivor set. */
+  private def q354(s: SparkSession, dir: String): DataFrame = {
+    val (docs, quality, exact, near, clean, mixed) = corpusStages(s, dir)
+    def row(stage: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(size(TextAnalysis.tokensCol(col("text")))
+            .cast("long")), lit(0L)).as("n_tokens"))
+        .select(lit(stage).as("stage"), col("n_docs"), col("n_tokens"))
+    def rowTok(stage: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum("n_tokens"), lit(0L)).as("n_tokens"))
+        .select(lit(stage).as("stage"), col("n_docs"), col("n_tokens"))
+    row("1_input", docs)
+      .unionAll(row("2_quality", quality))
+      .unionAll(row("3_exact_dedup", exact))
+      .unionAll(row("4_near_dedup", near))
+      .unionAll(rowTok("5_decontaminated", clean))
+      .unionAll(rowTok("6_mixed", mixed))
+      .orderBy("stage")
+  }
+
+  /** Pack-budget sweep planner — the measurement that CHOOSES q353's
+    * packing budget instead of hard-coding it blind (the q344
+    * salt-planner pattern: a planner query feeding a pipeline constant):
+    * the mixed corpus is packed contiguously at each candidate budget
+    * (256/512/1024) per split, and each (budget, split) cell reports
+    * pack count, exact e4 fill ratio (tokens vs n_packs·budget), and
+    * the oversized-doc count (docs longer than the budget, which q77's
+    * contiguous scheme necessarily splits across pack boundaries — at
+    * real scale the signal to pre-chunk upstream). The sweep rides ONE
+    * frame: a 3-row budget dimension cross-joined (broadcast) onto the
+    * mixed survivors, one window pass per (budget, split) partition —
+    * no per-budget re-scan of the corpus. */
+  private def q355(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.intDivExact
+    val (_, _, _, _, _, mixed) = corpusStages(s, dir)
+    val sp = splitStage(mixed).select("doc_id", "split", "n_tokens")
+    val budgets = s.range(1).select(
+      explode(array(lit(256L), lit(512L), lit(1024L))).as("budget"))
+    val w = Window.partitionBy("budget", "split").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sp.crossJoin(broadcast(budgets))
+      .withColumn("cum_w", sum("n_tokens").over(w))
+      .withColumn("pack_id",
+        floor((col("cum_w") - col("n_tokens")) /
+          col("budget").cast("double")).cast("long"))
+      .groupBy("budget", "split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("pack_id").as("n_packs"),
+        sum("n_tokens").as("n_tokens"),
+        sum((col("n_tokens") > col("budget")).cast("long"))
+          .as("n_oversize"))
+      .withColumn("fill_e4", intDivExact(
+        col("n_tokens").cast("decimal(38,0)") * lit(10000L),
+        col("n_packs").cast("decimal(38,0)") * col("budget")))
+      .orderBy("budget", "split")
+  }
+
+  /** Vocabulary-richness census per language — the tokenizer-planning
+    * readout (named consumer: vocab-size budgeting and OOV-rate
+    * forecasting before training a tokenizer on the corpus): per lang,
+    * total token instances N, observed vocabulary D, the singleton/
+    * doubleton counts f1/f2, the bias-corrected Chao1 richness estimate
+    * D + f1·(f1−1)/(2·(f2+1)) (how much vocabulary the corpus has NOT
+    * yet shown — always defined, unlike the classic f1²/2f2 form), and
+    * the Good–Turing unseen-probability mass f1/N (the chance the next
+    * token is novel). Both estimators live on the exact integer grid
+    * (e2 / e9) via the decimal cross-multiply discipline — counts in,
+    * integers out, no floats anywhere. One explode + two aggregations;
+    * the (lang, token) space is observed-vocabulary-sized, never
+    * vocabulary² — the q79 posture. */
+  private def q356(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.intDivExact
+    Tables.load(s, dir, "documents")
+      .select(col("lang"),
+        explode(TextAnalysis.tokensCol(col("text"))).as("tok"))
+      .groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("lang")
+      .agg(sum("c").as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum((col("c") === 1L).cast("long")).as("f1"),
+        sum((col("c") === 2L).cast("long")).as("f2"))
+      .withColumn("chao1_e2",
+        col("vocab") * lit(100L) + intDivExact(
+          col("f1").cast("decimal(38,0)") * (col("f1") - lit(1L)) *
+            lit(100L),
+          (col("f2") + lit(1L)).cast("decimal(38,0)") * lit(2L)))
+      .withColumn("unseen_mass_e9", intDivExact(
+        col("f1").cast("decimal(38,0)") * lit(1000000000L),
+        col("n_tokens").cast("decimal(38,0)")))
+      .orderBy("lang")
+  }
+
   val defs: Map[String, Q] = Map(
     "q353_corpus_build" -> (q353 _),
+    "q354_corpus_attrition" -> (q354 _),
+    "q355_pack_sweep" -> (q355 _),
+    "q356_vocab_richness" -> (q356 _),
     "q234_quantile_norm" -> (q234 _),
     "q235_source_sample" -> (q235 _),
     "q236_ks_drift" -> (q236 _),
@@ -1204,6 +1336,94 @@ object CurationQueries extends QueryPack {
       |      AS BIGINT) AS q_e4
       |  FROM f)""".stripMargin
 
+  /** Shared DuckDB CTE chain for the composed corpus build (stages 1–5,
+    * `q` → `mixed`) — consumed by the q353 manifest, the q354 funnel,
+    * and the q355 pack sweep, each with its own final SELECT. One text,
+    * three hashes: a drift in any stage breaks all three oracles at
+    * once. Callers prepend `WITH RECURSIVE` (the reach CTE). */
+  private lazy val corpusCtes: String = {
+    import Rounding.intDivSql
+    val u32 = graft.functions.Hashing.md5U32Sql("CAST(doc_id AS VARCHAR)")
+    s"""q AS (
+       |  SELECT doc_id, text, lang, source FROM documents
+       |  WHERE length(text) >= 100 AND lang IN ('en','de','fr','es')),
+       |f AS (
+       |  SELECT doc_id,
+       |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+       |  FROM q),
+       |ex AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS m FROM f)
+       |  WHERE doc_id = m),
+       |base AS (SELECT q.* FROM q JOIN ex USING (doc_id)),
+       |toks AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+')
+       |    AS t
+       |  FROM base),
+       |idx AS (
+       |  SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i
+       |  FROM toks WHERE len(t) >= 5),
+       |grams AS (
+       |  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS gram
+       |  FROM idx),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+       |keep AS (SELECT gram FROM grams GROUP BY gram
+       |         HAVING count(*) BETWEEN 2 AND 1000),
+       |gf AS (SELECT g.doc_id, g.gram FROM grams g JOIN keep USING (gram)),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM gf a JOIN gf b ON a.gram = b.gram AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |jp AS (
+       |  SELECT doc_a, doc_b FROM pairs
+       |  JOIN sizes sa ON doc_a = sa.doc_id
+       |  JOIN sizes sb ON doc_b = sb.doc_id
+       |  WHERE floor((inter / (sa.sz + sb.sz - inter)) * 10000.0 + 0.5)
+       |      / 10000.0 >= 0.5),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+       |          UNION ALL
+       |          SELECT doc_b AS src, doc_a AS dst FROM jp),
+       |reach(id, comp) AS (
+       |  SELECT doc_id, doc_id FROM base
+       |  UNION
+       |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+       |cl AS (SELECT id AS doc_id, min(comp) AS comp FROM reach
+       |       GROUP BY id),
+       |nd AS (SELECT b.* FROM base b JOIN cl USING (doc_id)
+       |       WHERE cl.comp = b.doc_id),
+       |btoks AS (
+       |  SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+       |  FROM documents WHERE doc_id % 97 = 0),
+       |bench AS (
+       |  SELECT DISTINCT array_to_string(t[i:i+3], ' ') AS gram
+       |  FROM btoks, unnest(generate_series(1, len(t) - 3)) AS s(i)
+       |  WHERE len(t) >= 4),
+       |g4 AS (
+       |  SELECT DISTINCT k.doc_id, array_to_string(t[i:i+3], ' ') AS gram
+       |  FROM toks k JOIN nd USING (doc_id),
+       |    unnest(generate_series(1, len(t) - 3)) AS s(i)
+       |  WHERE len(t) >= 4),
+       |contam AS (SELECT DISTINCT doc_id FROM g4 JOIN bench USING (gram)),
+       |clean AS (
+       |  SELECT nd.doc_id, nd.source, CAST(len(t) AS BIGINT) AS n_tokens
+       |  FROM nd JOIN toks USING (doc_id)
+       |  WHERE nd.doc_id % 97 <> 0
+       |    AND nd.doc_id NOT IN (SELECT doc_id FROM contam)),
+       |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t_total
+       |        FROM clean),
+       |ranked AS (
+       |  SELECT doc_id, source, n_tokens,
+       |    CAST(sum(n_tokens) OVER (PARTITION BY source
+       |      ORDER BY $u32, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS cum
+       |  FROM clean),
+       |mixed AS (
+       |  SELECT r.* FROM ranked r, tot
+       |  WHERE cum - n_tokens < ${intDivSql("4 * t_total", "100")})"""
+      .stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     // same md5 uniform, same (u, doc_id) order — the draw is a shared
     // deterministic function, not a mirrored RNG
@@ -1213,88 +1433,11 @@ object CurationQueries extends QueryPack {
     // NEW here is that each stage reads the previous stage's survivors,
     // so the composition order itself is under the hash
     "q353_corpus_build" -> {
-      import Rounding.intDivSql
       val u32 = graft.functions.Hashing.md5U32Sql("CAST(doc_id AS VARCHAR)")
       val uni = graft.functions.Hashing
         .md5UniformSql("CAST(doc_id AS VARCHAR)")
       s"""WITH RECURSIVE
-         |q AS (
-         |  SELECT doc_id, text, lang, source FROM documents
-         |  WHERE length(text) >= 100 AND lang IN ('en','de','fr','es')),
-         |f AS (
-         |  SELECT doc_id,
-         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
-         |  FROM q),
-         |ex AS (
-         |  SELECT doc_id FROM (
-         |    SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS m FROM f)
-         |  WHERE doc_id = m),
-         |base AS (SELECT q.* FROM q JOIN ex USING (doc_id)),
-         |toks AS (
-         |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+')
-         |    AS t
-         |  FROM base),
-         |idx AS (
-         |  SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i
-         |  FROM toks WHERE len(t) >= 5),
-         |grams AS (
-         |  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS gram
-         |  FROM idx),
-         |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
-         |keep AS (SELECT gram FROM grams GROUP BY gram
-         |         HAVING count(*) BETWEEN 2 AND 1000),
-         |gf AS (SELECT g.doc_id, g.gram FROM grams g JOIN keep USING (gram)),
-         |pairs AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-         |  FROM gf a JOIN gf b ON a.gram = b.gram AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |jp AS (
-         |  SELECT doc_a, doc_b FROM pairs
-         |  JOIN sizes sa ON doc_a = sa.doc_id
-         |  JOIN sizes sb ON doc_b = sb.doc_id
-         |  WHERE floor((inter / (sa.sz + sb.sz - inter)) * 10000.0 + 0.5)
-         |      / 10000.0 >= 0.5),
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
-         |          UNION ALL
-         |          SELECT doc_b AS src, doc_a AS dst FROM jp),
-         |reach(id, comp) AS (
-         |  SELECT doc_id, doc_id FROM base
-         |  UNION
-         |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
-         |cl AS (SELECT id AS doc_id, min(comp) AS comp FROM reach
-         |       GROUP BY id),
-         |nd AS (SELECT b.* FROM base b JOIN cl USING (doc_id)
-         |       WHERE cl.comp = b.doc_id),
-         |btoks AS (
-         |  SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS t
-         |  FROM documents WHERE doc_id % 97 = 0),
-         |bench AS (
-         |  SELECT DISTINCT array_to_string(t[i:i+3], ' ') AS gram
-         |  FROM btoks, unnest(generate_series(1, len(t) - 3)) AS s(i)
-         |  WHERE len(t) >= 4),
-         |g4 AS (
-         |  SELECT DISTINCT k.doc_id, array_to_string(t[i:i+3], ' ') AS gram
-         |  FROM toks k JOIN nd USING (doc_id),
-         |    unnest(generate_series(1, len(t) - 3)) AS s(i)
-         |  WHERE len(t) >= 4),
-         |contam AS (SELECT DISTINCT doc_id FROM g4 JOIN bench USING (gram)),
-         |clean AS (
-         |  SELECT nd.doc_id, nd.source, CAST(len(t) AS BIGINT) AS n_tokens
-         |  FROM nd JOIN toks USING (doc_id)
-         |  WHERE nd.doc_id % 97 <> 0
-         |    AND nd.doc_id NOT IN (SELECT doc_id FROM contam)),
-         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t_total
-         |        FROM clean),
-         |ranked AS (
-         |  SELECT doc_id, source, n_tokens,
-         |    CAST(sum(n_tokens) OVER (PARTITION BY source
-         |      ORDER BY $u32, doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         |      AS BIGINT) AS cum
-         |  FROM clean),
-         |mixed AS (
-         |  SELECT r.* FROM ranked r, tot
-         |  WHERE cum - n_tokens < ${intDivSql("4 * t_total", "100")}),
+         |$corpusCtes,
          |sp AS (
          |  SELECT doc_id, n_tokens,
          |    CASE WHEN $uni < 0.8 THEN 'train'
@@ -1314,6 +1457,87 @@ object CurationQueries extends QueryPack {
          |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
          |  CAST(sum($u32) AS BIGINT) AS id_checksum
          |FROM pk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+    "q354_corpus_attrition" -> {
+      val tl = "len(regexp_split_to_array(lower(trim(text)), '\\s+'))"
+      s"""WITH RECURSIVE
+         |$corpusCtes
+         |SELECT * FROM (
+         |  SELECT '1_input' AS stage, count(*) AS n_docs,
+         |    CAST(coalesce(sum($tl), 0) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT '2_quality', count(*),
+         |    CAST(coalesce(sum($tl), 0) AS BIGINT) FROM q
+         |  UNION ALL
+         |  SELECT '3_exact_dedup', count(*),
+         |    CAST(coalesce(sum(len(t)), 0) AS BIGINT)
+         |  FROM base JOIN toks USING (doc_id)
+         |  UNION ALL
+         |  SELECT '4_near_dedup', count(*),
+         |    CAST(coalesce(sum(len(t)), 0) AS BIGINT)
+         |  FROM nd JOIN toks USING (doc_id)
+         |  UNION ALL
+         |  SELECT '5_decontaminated', count(*),
+         |    CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM clean
+         |  UNION ALL
+         |  SELECT '6_mixed', count(*),
+         |    CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM mixed)
+         |ORDER BY stage""".stripMargin
+    },
+    "q355_pack_sweep" -> {
+      import Rounding.intDivExactSql
+      val uni = graft.functions.Hashing
+        .md5UniformSql("CAST(doc_id AS VARCHAR)")
+      s"""WITH RECURSIVE
+         |$corpusCtes,
+         |sp AS (
+         |  SELECT doc_id, n_tokens,
+         |    CASE WHEN $uni < 0.8 THEN 'train'
+         |         WHEN $uni < 0.9 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM mixed),
+         |budgets AS (SELECT unnest([256, 512, 1024]) AS budget),
+         |pk AS (
+         |  SELECT budget, split, n_tokens,
+         |    CAST(floor((CAST(sum(n_tokens) OVER (
+         |        PARTITION BY budget, split ORDER BY doc_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |        AS BIGINT) - n_tokens) / CAST(budget AS DOUBLE))
+         |      AS BIGINT) AS pack_id
+         |  FROM sp, budgets),
+         |g AS (
+         |  SELECT CAST(budget AS BIGINT) AS budget, split,
+         |    count(*) AS n_docs,
+         |    CAST(count(DISTINCT pack_id) AS BIGINT) AS n_packs,
+         |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |    CAST(sum(CAST(n_tokens > budget AS INT)) AS BIGINT)
+         |      AS n_oversize
+         |  FROM pk GROUP BY 1, 2)
+         |SELECT budget, split, n_docs, n_packs, n_tokens, n_oversize,
+         |  ${intDivExactSql("CAST(n_tokens AS HUGEINT) * 10000",
+            "CAST(n_packs AS HUGEINT) * budget")} AS fill_e4
+         |FROM g ORDER BY budget, split""".stripMargin
+    },
+    "q356_vocab_richness" -> {
+      import Rounding.intDivExactSql
+      s"""WITH c AS (
+         |  SELECT lang, tok, count(*) AS c FROM (
+         |    SELECT lang, unnest($tokSql) AS tok FROM documents)
+         |  GROUP BY 1, 2),
+         |g AS (
+         |  SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |    count(*) AS vocab,
+         |    CAST(sum(CAST(c = 1 AS INT)) AS BIGINT) AS f1,
+         |    CAST(sum(CAST(c = 2 AS INT)) AS BIGINT) AS f2
+         |  FROM c GROUP BY 1)
+         |SELECT lang, n_tokens, vocab, f1, f2,
+         |  vocab * 100 + ${intDivExactSql(
+            "CAST(f1 AS HUGEINT) * (f1 - 1) * 100", "(f2 + 1) * 2")}
+         |    AS chao1_e2,
+         |  ${intDivExactSql("CAST(f1 AS HUGEINT) * 1000000000",
+            "n_tokens")} AS unseen_mass_e9
+         |FROM g ORDER BY lang""".stripMargin
     },
     "q235_source_sample" -> {
       val u = graft.functions.Hashing.md5UniformSql("CAST(doc_id AS VARCHAR)")

@@ -50,15 +50,22 @@ object PlanGateSpec {
     "q130_ref_integrity" -> 4L,
     "q119_assortativity" -> 5L,
     // round-13: the r12 cost/width tail (verdict item 4)
-    "q255_markov_stationary" -> 70L,
+    // r13: e-subtree checkpoint anchored the 4 power-iteration rounds
+    // to a leaf (was 70 — the window-scan chain re-listed per round)
+    "q255_markov_stationary" -> 10L,
     "q332_dict_encoding" -> 24L,
     "q333_prf_expansion" -> 20L,
     "q231_ppr" -> 20L,
     "q302_source_tvd" -> 20L,
     "q197_lsh_calibration" -> 9L,
     "q176_simhash_pairs" -> 3L,
-    // round-13: the composed corpus build (verdict item 6)
-    "q353_corpus_build" -> 12L)
+    // round-13: the composed corpus build (verdict item 6) + its
+    // funnel/planner companions (near stage memoized — raw chain gated
+    // below)
+    "q353_corpus_build" -> 8L,
+    "q354_corpus_attrition" -> 15L,
+    "q355_pack_sweep" -> 8L,
+    "q356_vocab_richness" -> 3L)
   def maxShuffles(name: String): Long = measured(name) + slack
 }
 
@@ -97,6 +104,15 @@ class PlanGateSpec extends SparkSuite {
     assert(a.cartesians == 0, s"cartesian in the semiring chain: $a")
     assert(a.shuffles <= 53L + 2L,
       s"fused semiring chain shuffles ${a.shuffles} > pinned 53+2: $a")
+  }
+
+  test("memoized-stage builder: composed corpus chain keeps its shape") {
+    val (_, _, _, _, _, mixed) =
+      queries.CurationQueries.corpusStages(spark, sf, checkpoint = false)
+    val a = operators.PlanAudit.of(mixed)
+    assert(a.cartesians == 0, s"cartesian in the corpus chain: $a")
+    assert(a.shuffles <= 17L + 2L,
+      s"corpus chain shuffles ${a.shuffles} > pinned 17+2: $a")
   }
 
   for ((name, pinned) <- PlanGateSpec.measured.toSeq.sortBy(_._1)) {
