@@ -894,10 +894,18 @@ object CurationQueries extends QueryPack {
       .withColumn("n_tokens",
         size(TextAnalysis.tokensCol(col("text"))).cast("long"))
     // 5. mix: water-fill each source to ⌊4% of total tokens⌋, straddler
-    // kept, fill order md5-u32 — deterministic in both engines
-    val u32 = Hashing.md5U32(col("doc_id").cast("string"))
+    // kept, fill order md5-u32 over a STAGE-SALTED key ("mix:" || id) —
+    // deterministic in both engines, and decorrelated BY CONSTRUCTION
+    // from the split stage's unsalted md5-uniform. The salt is not
+    // optional hygiene: the first q357 release-audit run caught the
+    // unsalted form skewing the train fraction to 89.6%/92.5%
+    // (sf0.001/sf0.01) — mix keeps the SMALL-hash docs, and with the
+    // same hash deciding the split, "kept" and "< 0.8" were the same
+    // event. One hash per independent decision, always.
+    val u32m = Hashing.md5U32(
+      concat(lit("mix:"), col("doc_id").cast("string")))
     val tot = clean.agg(sum("n_tokens").as("t_total"))
-    val fillW = Window.partitionBy("source").orderBy(u32, col("doc_id"))
+    val fillW = Window.partitionBy("source").orderBy(u32m, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val mixed = clean.withColumn("cum", sum("n_tokens").over(fillW))
       .crossJoin(broadcast(tot))
@@ -1034,8 +1042,73 @@ object CurationQueries extends QueryPack {
       .orderBy("lang")
   }
 
+  /** Release audit of the composed corpus — the ship/no-ship gate a
+    * corpus release runs over the OUTPUT, independently of how it was
+    * built (the "trust but re-verify" posture: a pipeline bug that
+    * silently skipped a stage passes construction-time checks and the
+    * per-stage oracles, but cannot pass a re-measurement of the final
+    * survivors). Five checks, each re-derived from the mixed survivor
+    * set: exact-duplicate docs (re-fingerprinted — must be 0), near-dup
+    * pairs at the build threshold (pair mining re-RUN over the
+    * survivors — must be 0), benchmark-contaminated docs and benchmark
+    * members (re-screened — must be 0), and the train-split fraction
+    * (e4, must sit in [7000, 9000] — md5-uniform drift detector). Each
+    * row: (check, observed, bound_lo, bound_hi, pass). Named consumer:
+    * q353 — this is the query a release pipeline gates a publish on.
+    * Scale: every check is an aggregate of an already-keyed relation
+    * over the (small, post-mix) survivor set; pair mining reuses the
+    * df-gated [[graft.operators.DedupPipeline.nearDupPairs]] chain. */
+  private def q357(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.DedupPipeline
+    import graft.functions.Hashing
+    val (docs, _, _, _, _, mixed0) = corpusStages(s, dir)
+    val mixed = mixed0.localCheckpoint(true)
+    def check(name: String, observed: org.apache.spark.sql.Column,
+        src: DataFrame, lo: Long, hi: Long): DataFrame =
+      src.agg(coalesce(observed, lit(0L)).as("observed"))
+        .select(lit(name).as("check"), col("observed"),
+          lit(lo).as("bound_lo"), lit(hi).as("bound_hi"),
+          (col("observed") >= lo && col("observed") <= hi)
+            .cast("long").as("pass"))
+    // 1. re-fingerprint: docs sharing a fingerprint with another doc
+    val fps = mixed.select(col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("fp"))
+      .groupBy("fp").agg(count(lit(1)).as("c"))
+    val exactDups = check("1_exact_dup_docs",
+      sum(when(col("c") > 1L, col("c"))), fps, 0L, 0L)
+    // 2. re-run pair mining at the build threshold over the survivors
+    val nearPairs = check("2_near_pairs_at_0_5", count(lit(1)),
+      DedupPipeline.nearDupPairs(mixed, "doc_id", "text",
+        n = 5, minJaccard = 0.5, maxDf = 1000L), 0L, 0L)
+    // 3–4. re-screen contamination against the raw benchmark set
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+      .select(TextAnalysis.tokensCol(col("text")).as("tk"))
+      .select(explode(TextAnalysis.ngramsFromTokens(col("tk"), 4))
+        .as("gram"))
+      .distinct()
+    val contam = check("3_contaminated_docs", count(lit(1)),
+      mixed.select(col("doc_id"),
+          TextAnalysis.tokensCol(col("text")).as("tk"))
+        .select(col("doc_id"),
+          explode(TextAnalysis.ngramsFromTokens(col("tk"), 4)).as("gram"))
+        .join(broadcast(bench), "gram")
+        .select("doc_id").distinct(), 0L, 0L)
+    val benchMembers = check("4_benchmark_members", count(lit(1)),
+      mixed.filter(col("doc_id") % 97 === 0), 0L, 0L)
+    // 5. split-fraction drift (e4): md5-uniform must keep train near 80%
+    val trainFrac = check("5_train_frac_e4",
+      graft.functions.Rounding.intDiv(
+        sum((col("split") === "train").cast("long")) * lit(10000L),
+        count(lit(1))),
+      splitStage(mixed), 7000L, 9000L)
+    exactDups.unionAll(nearPairs).unionAll(contam)
+      .unionAll(benchMembers).unionAll(trainFrac)
+      .orderBy("check")
+  }
+
   val defs: Map[String, Q] = Map(
     "q353_corpus_build" -> (q353 _),
+    "q357_release_audit" -> (q357 _),
     "q354_corpus_attrition" -> (q354 _),
     "q355_pack_sweep" -> (q355 _),
     "q356_vocab_richness" -> (q356 _),
@@ -1343,7 +1416,10 @@ object CurationQueries extends QueryPack {
     * once. Callers prepend `WITH RECURSIVE` (the reach CTE). */
   private lazy val corpusCtes: String = {
     import Rounding.intDivSql
-    val u32 = graft.functions.Hashing.md5U32Sql("CAST(doc_id AS VARCHAR)")
+    // stage-salted: the mix fill order must be independent of the split
+    // hash (see corpusStages — the q357 audit caught the unsalted form)
+    val u32 = graft.functions.Hashing
+      .md5U32Sql("'mix:' || CAST(doc_id AS VARCHAR)")
     s"""q AS (
        |  SELECT doc_id, text, lang, source FROM documents
        |  WHERE length(text) >= 100 AND lang IN ('en','de','fr','es')),
@@ -1457,6 +1533,86 @@ object CurationQueries extends QueryPack {
          |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
          |  CAST(sum($u32) AS BIGINT) AS id_checksum
          |FROM pk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+    // the release gate re-derives every guarantee from the mixed
+    // survivors (fingerprints, pair mining, contamination, split
+    // fraction) — same corpusCtes chain, then fresh measurement CTEs
+    // over `mixed` rather than references to the build's own stages
+    "q357_release_audit" -> {
+      import Rounding.intDivSql
+      val uni = graft.functions.Hashing
+        .md5UniformSql("CAST(doc_id AS VARCHAR)")
+      def row(name: String, obs: String, lo: Long, hi: Long) =
+        s"""SELECT '$name' AS "check", observed,
+           |  CAST($lo AS BIGINT) AS bound_lo,
+           |  CAST($hi AS BIGINT) AS bound_hi,
+           |  CAST(observed >= $lo AND observed <= $hi AS BIGINT) AS pass
+           |FROM (SELECT $obs AS observed FROM __SRC__)"""
+          .stripMargin
+      s"""WITH RECURSIVE
+         |$corpusCtes,
+         |mt AS (
+         |  SELECT m.doc_id, d.text FROM mixed m
+         |  JOIN documents d USING (doc_id)),
+         |mfp AS (
+         |  SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+         |    AS fp
+         |  FROM mt),
+         |c1 AS (SELECT fp, count(*) AS c FROM mfp GROUP BY 1),
+         |t2 AS (
+         |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+')
+         |    AS t
+         |  FROM mt),
+         |i2 AS (
+         |  SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i
+         |  FROM t2 WHERE len(t) >= 5),
+         |g2 AS (
+         |  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS gram
+         |  FROM i2),
+         |s2 AS (SELECT doc_id, count(*) AS sz FROM g2 GROUP BY 1),
+         |k2 AS (SELECT gram FROM g2 GROUP BY gram
+         |       HAVING count(*) BETWEEN 2 AND 1000),
+         |gf2 AS (SELECT g.doc_id, g.gram FROM g2 g JOIN k2 USING (gram)),
+         |p2 AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM gf2 a JOIN gf2 b ON a.gram = b.gram AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |jp2 AS (
+         |  SELECT doc_a FROM p2
+         |  JOIN s2 sa ON doc_a = sa.doc_id
+         |  JOIN s2 sb ON doc_b = sb.doc_id
+         |  WHERE floor((inter / (sa.sz + sb.sz - inter)) * 10000.0 + 0.5)
+         |      / 10000.0 >= 0.5),
+         |g43 AS (
+         |  SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS gram
+         |  FROM t2, unnest(generate_series(1, len(t) - 3)) AS s(i)
+         |  WHERE len(t) >= 4),
+         |cont AS (SELECT DISTINCT doc_id FROM g43 JOIN bench USING (gram)),
+         |sp5 AS (
+         |  SELECT CASE WHEN $uni < 0.8 THEN 'train'
+         |              WHEN $uni < 0.9 THEN 'val'
+         |              ELSE 'test' END AS split
+         |  FROM mixed)
+         |SELECT * FROM (
+         |${row("1_exact_dup_docs",
+            "coalesce(CAST(sum(CASE WHEN c > 1 THEN c END) AS BIGINT), 0)",
+            0L, 0L).replace("__SRC__", "c1")}
+         |UNION ALL
+         |${row("2_near_pairs_at_0_5", "count(*)", 0L, 0L)
+            .replace("__SRC__", "jp2")}
+         |UNION ALL
+         |${row("3_contaminated_docs", "count(*)", 0L, 0L)
+            .replace("__SRC__", "cont")}
+         |UNION ALL
+         |${row("4_benchmark_members", "count(*)", 0L, 0L)
+            .replace("__SRC__", "(SELECT * FROM mixed WHERE doc_id % 97 = 0)")}
+         |UNION ALL
+         |${row("5_train_frac_e4",
+            intDivSql(
+              "sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) * 10000",
+              "count(*)"),
+            7000L, 9000L).replace("__SRC__", "sp5")})
+         |ORDER BY "check"""".stripMargin
     },
     "q354_corpus_attrition" -> {
       val tl = "len(regexp_split_to_array(lower(trim(text)), '\\s+'))"

@@ -65,7 +65,8 @@ object PlanGateSpec {
     "q353_corpus_build" -> 8L,
     "q354_corpus_attrition" -> 15L,
     "q355_pack_sweep" -> 8L,
-    "q356_vocab_richness" -> 3L)
+    "q356_vocab_richness" -> 3L,
+    "q357_release_audit" -> 11L)
   def maxShuffles(name: String): Long = measured(name) + slack
 }
 

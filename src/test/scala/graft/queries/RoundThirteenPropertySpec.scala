@@ -64,6 +64,22 @@ class RoundThirteenPropertySpec extends SparkSuite {
     }
   }
 
+  test("q357 release audit: every check passes on the shipped corpus — " +
+    "including the train fraction the unsalted-mix form failed") {
+    val rows = q("q357_release_audit").collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("pass") == 1L, s"release check failed: $r")
+    }
+    // the decorrelation regression pin: with the mix fill order salted,
+    // the split fraction sits near 80% (the unsalted form measured 8961
+    // here — mix and split shared one hash, so 'kept' ⊆ 'small hash')
+    val frac = rows.find(_.getString(0) == "5_train_frac_e4").get
+      .getAs[Long]("observed")
+    assert(frac >= 7000L && frac <= 8700L,
+      s"train fraction $frac drifted — mix/split hash correlation?")
+  }
+
   test("q356 richness: chao1 >= observed vocab, f1+f2 <= vocab, " +
     "unseen mass < 1") {
     val rows = q("q356_vocab_richness").collect()
