@@ -33,17 +33,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (eager localCheckpoint at the call site: some builds need to release
   * intermediate caches only after materialization, so the memo cannot
   * own the checkpoint ordering). */
-private[graft] final class SessionDirMemo {
+private[graft] class SessionDirMemoOf[V](frames: V => Seq[DataFrame]) {
   private val capacity = 2
   // most-recently-used first; length ≤ capacity
-  private var slots: List[(SparkSession, String, DataFrame)] = Nil
+  private var slots: List[(SparkSession, String, V)] = Nil
 
-  def get(s: SparkSession, dir: String)(build: => DataFrame): DataFrame =
+  def get(s: SparkSession, dir: String)(build: => V): V =
     synchronized {
       slots.find { case (ss, d, _) => (ss eq s) && d == dir } match {
-        case Some(hit @ (_, _, df)) =>
+        case Some(hit @ (_, _, v)) =>
           slots = hit :: slots.filterNot(_ eq hit)
-          df
+          v
         case None =>
           val built = build
           val (kept, evicted) = ((s, dir, built) :: slots).splitAt(capacity)
@@ -56,12 +56,14 @@ private[graft] final class SessionDirMemo {
           // driver runs dirs sequentially, so nothing should be mid-read;
           // if something is, the unpersist degrades that reader to a
           // recompute-or-fail it would also have hit under a GC'd slot.
-          evicted.foreach { case (_, _, df) =>
-            try
-              df.queryExecution.logical.collect {
-                case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-              }.foreach(_.unpersist(blocking = false))
-            catch { case scala.util.control.NonFatal(_) => () }
+          evicted.foreach { case (_, _, v) =>
+            frames(v).foreach { df =>
+              try
+                df.queryExecution.logical.collect {
+                  case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+                }.foreach(_.unpersist(blocking = false))
+              catch { case scala.util.control.NonFatal(_) => () }
+            }
           }
           built
       }
@@ -70,3 +72,10 @@ private[graft] final class SessionDirMemo {
   /** Test hook: how many distinct builds are currently pinned. */
   private[graft] def pinned: Int = synchronized(slots.size)
 }
+
+/** The common single-frame instance (most memoized stages are one
+  * checkpointed table); multi-frame stages (a k-means fit's centroids +
+  * assignment) instantiate [[SessionDirMemoOf]] with their own frame
+  * extractor so eviction unpersists every member. */
+private[graft] final class SessionDirMemo
+  extends SessionDirMemoOf[DataFrame](df => Seq(df))

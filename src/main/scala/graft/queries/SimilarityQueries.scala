@@ -48,6 +48,25 @@ object SimilarityQueries extends QueryPack {
       .select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> cast(x AS double))").as("v"))
 
+  /** The full-dimension k=8 / 2-round Lloyd fit is the shared substrate
+    * of q118 (inertia), q280 (purity), and q150 (SemDeDup) — each used
+    * to rerun the whole fit plus the final broadcast-assign (r13 memo,
+    * same rationale as the co-order graph's). Centroids AND assignment
+    * are materialized; eviction unpersists both (SessionDirMemoOf). */
+  private val fullFitMemo =
+    new graft.operators.SessionDirMemoOf[(DataFrame, DataFrame)](
+      p => Seq(p._1, p._2))
+
+  private def fullKmFit(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) =
+    fullFitMemo.get(s, dir) {
+      val (cents, asg) = graft.operators.KMeans.fit(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = Dim, k = 8, iters = 2)
+      // cents is already checkpointed by fit(); asg is lazy — pin it
+      (cents, asg.localCheckpoint(true))
+    }
+
   /** Per-dimension whitening pre-flight — the census a feature
     * pipeline runs before standardizing embeddings (a dimension with
     * runaway variance dominates every cosine; a shifted mean breaks
@@ -278,8 +297,7 @@ object SimilarityQueries extends QueryPack {
   private def q280(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.Rounding.intDivExact
     val emb = graft.Tables.load(s, dir, "embeddings")
-    val (_, asg) = graft.operators.KMeans.fit(
-      emb, "vec_id", "embedding", dim = Dim, k = 8, iters = 2)
+    val (_, asg) = fullKmFit(s, dir)
     val cells = asg
       .join(emb.select(col("vec_id"),
         col("label").cast("long").as("label")),
@@ -301,8 +319,7 @@ object SimilarityQueries extends QueryPack {
 
   private def q118(s: SparkSession, dir: String): DataFrame = {
     val emb = graft.Tables.load(s, dir, "embeddings")
-    val (cents, asg) = graft.operators.KMeans.fit(
-      emb, "vec_id", "embedding", dim = Dim, k = 8, iters = 2)
+    val (cents, asg) = fullKmFit(s, dir)
     val members = asg.groupBy("cid")
       .agg(count(lit(1)).as("n_members"),
         sum(col("dist").cast("decimal(38,0)")).cast("long").as("inertia_q"))
@@ -380,9 +397,7 @@ object SimilarityQueries extends QueryPack {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.Rounding.roundf
     val e = emb(s, dir)
-    val (_, asg) = graft.operators.KMeans.fit(
-      Tables.load(s, dir, "embeddings"),
-      "vec_id", "embedding", dim = Dim, k = 8, iters = 2)
+    val (_, asg) = fullKmFit(s, dir)
     val m = asg.select(col("vid"), col("cid"), col("dist"))
       .join(e.select(col("vec_id").as("vid"), col("v")), "vid")
     val drops = m.as("x").join(m.as("y"),

@@ -37,8 +37,8 @@ object PlanGateSpec {
     "q201_label_prop" -> 1L,
     "q223_mutual_knn" -> 17L,
     "q100_fuzzy_match" -> 2L,
-    "q118_kmeans" -> 4L,
-    "q280_cluster_purity" -> 7L,
+    "q118_kmeans" -> 3L,
+    "q280_cluster_purity" -> 5L,
     "q299_hub_robustness" -> 4L,
     "q309_landmark_centrality" -> 2L,
     "q306_label_noise" -> 2L,
