@@ -59,6 +59,27 @@ class SessionDirMemoSpec extends SparkSuite {
       "kept slot /a lost its blocks to the eviction")
   }
 
+  test("multi-frame values (SessionDirMemoOf) unpersist EVERY member " +
+    "frame on eviction — a k-means fit's centroids AND assignment") {
+    val memo = new SessionDirMemoOf[
+      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)](
+      p => Seq(p._1, p._2))
+    def ckpt(tag: Int) = df(tag).localCheckpoint(true)
+    def blocksOf(d: org.apache.spark.sql.DataFrame) =
+      d.queryExecution.logical.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+      }.toSet
+    val a = memo.get(spark, "/a")((ckpt(10), ckpt(11)))
+    val b = memo.get(spark, "/b")((ckpt(12), ckpt(13)))
+    memo.get(spark, "/a")(fail("warm")) // /b becomes LRU
+    memo.get(spark, "/c")((ckpt(14), ckpt(15))) // evicts /b
+    val persisted = spark.sparkContext.getPersistentRDDs.keySet
+    assert((blocksOf(b._1) ++ blocksOf(b._2)).forall(!persisted.contains(_)),
+      "an evicted tuple member's checkpoint blocks were not unpersisted")
+    assert((blocksOf(a._1) ++ blocksOf(a._2)).forall(persisted.contains),
+      "a kept tuple slot lost blocks to the eviction")
+  }
+
   test("hits return the identical materialized frame, misses are keyed " +
     "by (session, dir) identity") {
     val memo = new SessionDirMemo
