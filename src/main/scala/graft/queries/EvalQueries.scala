@@ -137,9 +137,12 @@ object EvalQueries extends QueryPack {
     * ONE aggregation computes every pairwise count (no joins at all),
     * and the 3-row matrix falls out of a bounded union — the cheapest
     * possible shape at any scale. */
-  private def q338(s: SparkSession, dir: String): DataFrame = {
-    import Rounding.intDivExact
-    val flags = Tables.load(s, dir, "documents")
+  /** The three document-quality screens shared by q338 (pairwise
+    * agreement matrix) and q358 (Fleiss panel κ): length ≥ 300 chars,
+    * 8-gram redundancy ≥ 0.98 (q319's oracle core as a screen), token
+    * count ≥ 60. One scan, three codegen'd flags. */
+  private def filterFlags(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
       .select(
         (length(col("text")) >= 300).cast("long").as("a"),
         (expr("CASE WHEN length(text) < 8 THEN 0 ELSE " +
@@ -150,6 +153,23 @@ object EvalQueries extends QueryPack {
           .cast("long").as("b"),
         (graft.functions.TextAnalysis.tokenCount(col("text")) >= 60L)
           .cast("long").as("c"))
+
+  /** DuckDB twin of [[filterFlags]] (plain triple-quote: `\S+` stays
+    * literal). */
+  private val flagsSql: String =
+    """SELECT CAST(length(text) >= 300 AS BIGINT) AS a,
+      |    CAST(CASE WHEN length(text) < 8 THEN 0 ELSE
+      |      (len(list_distinct([substr(text, i, 8)
+      |         for i in range(1, greatest(length(text) - 6, 1))]))
+      |       * 20000 + (length(text) - 7))
+      |      // (2 * (length(text) - 7)) END >= 9800 AS BIGINT) AS b,
+      |    CAST(len(regexp_extract_all(text, '\S+')) >= 60 AS BIGINT)
+      |      AS c
+      |  FROM documents""".stripMargin
+
+  private def q338(s: SparkSession, dir: String): DataFrame = {
+    import Rounding.intDivExact
+    val flags = filterFlags(s, dir)
     val agg = flags.agg(count(lit(1)).as("n"),
       sum("a").as("na"), sum("b").as("nb"), sum("c").as("nc"),
       sum(col("a") * col("b")).as("nab"),
@@ -354,11 +374,60 @@ object EvalQueries extends QueryPack {
       .orderBy("event_type", "wd")
   }
 
+  /** Fleiss' κ over the [[filterFlags]] panel — the chance-corrected
+    * agreement number for ≥3 raters (Cohen's κ, q324, stops at two).
+    * Named consumer: q338's pairwise matrix says WHICH two screens
+    * overlap; this one number decides whether the panel as a whole is
+    * one redundant vote (κ → 1: drop all but the cheapest screen) or
+    * independent signals (κ → 0: chaining them multiplies survival
+    * rates, budget accordingly). With n = 3 binary raters and
+    * x = keep-votes per item, the statistic collapses to three scalars
+    * N, S = Σx, Q = Σx²:  P̄ = (Q − 3S + 3N)/3N,
+    * P̄ₑ = (S² + (3N−S)²)/9N², and
+    * κ = (3N(Q − 3S + 3N) − S² − (3N−S)²) / (9N² − S² − (3N−S)²) —
+    * ONE full-scan map-side-combined aggregation, every division an
+    * exact e6 rational (trunc-toward-zero on both engines, so a
+    * negative κ still hash-matches). Degenerate unanimity (P̄ₑ = 1)
+    * yields null, the q323 convention. */
+  private def q358(s: SparkSession, dir: String): DataFrame =
+    filterFlags(s, dir)
+      .select((col("a") + col("b") + col("c")).as("x"))
+      .agg(count(lit(1)).as("n_items"), sum("x").as("s_votes"),
+        sum(col("x") * col("x")).as("q_votes2"))
+      .select(col("n_items"), col("s_votes"), col("q_votes2"),
+        intDivExact(
+          (col("q_votes2") - lit(3L) * col("s_votes") +
+            lit(3L) * col("n_items")).cast("decimal(38,0)") *
+            lit(1000000L),
+          lit(3L) * col("n_items")).as("p_bar_e6"),
+        intDivExact(
+          (col("s_votes").cast("decimal(38,0)") * col("s_votes") +
+            (lit(3L) * col("n_items") - col("s_votes"))
+              .cast("decimal(38,0)") *
+              (lit(3L) * col("n_items") - col("s_votes"))) *
+            lit(1000000L),
+          lit(9L) * col("n_items").cast("decimal(38,0)") * col("n_items"))
+          .as("p_e_e6"),
+        {
+          val n = col("n_items").cast("decimal(38,0)")
+          val sv = col("s_votes").cast("decimal(38,0)")
+          val dropV = lit(3L) * n - sv
+          val den = lit(9L) * n * n - sv * sv - dropV * dropV
+          when(den === 0L, lit(null).cast("long")).otherwise(
+            intDivExact(
+              (lit(3L) * n *
+                (col("q_votes2") - lit(3L) * col("s_votes") +
+                  lit(3L) * col("n_items")).cast("decimal(38,0)") -
+                sv * sv - dropV * dropV) * lit(1000000L),
+              den)).as("fleiss_kappa_e6")
+        })
+
   val defs: Map[String, Q] = Map(
     "q350_pmi_census" -> (q350 _),
     "q322_pr_curve" -> (q322 _),
     "q323_mcnemar" -> (q323 _),
     "q324_cohen_kappa" -> (q324 _),
+    "q358_fleiss_kappa" -> (q358 _),
     "q338_filter_agreement" -> (q338 _),
     "q342_brier_decomposition" -> (q342 _),
     "q343_simpson_probe" -> (q343 _),
@@ -515,16 +584,7 @@ object EvalQueries extends QueryPack {
         s"CAST($both AS HUGEINT) * 20000 + ($either)", s"2 * ($either)")
       val agr = (nx: String, ny: String, both: String) => intDivExactSql(
         s"CAST(n - $nx - $ny + 2 * $both AS HUGEINT) * 20000 + n", "2 * n")
-      s"""WITH flags AS (
-        |  SELECT CAST(length(text) >= 300 AS BIGINT) AS a,
-        |    CAST(CASE WHEN length(text) < 8 THEN 0 ELSE
-        |      (len(list_distinct([substr(text, i, 8)
-        |         for i in range(1, greatest(length(text) - 6, 1))]))
-        |       * 20000 + (length(text) - 7))
-        |      // (2 * (length(text) - 7)) END >= 9800 AS BIGINT) AS b,
-        |    CAST(len(regexp_extract_all(text, '\\S+')) >= 60 AS BIGINT)
-        |      AS c
-        |  FROM documents),
+      s"""WITH flags AS ($flagsSql),
         |agg AS (
         |  SELECT CAST(count(*) AS BIGINT) AS n,
         |    CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb,
@@ -546,6 +606,32 @@ object EvalQueries extends QueryPack {
         |  ${jac("nbc", "nb + nc - nbc")}, ${agr("nb", "nc", "nbc")}
         |FROM agg
         |ORDER BY pair""".stripMargin
+    },
+    "q358_fleiss_kappa" -> {
+      val pBar = intDivExactSql(
+        "CAST(qv - 3 * sv + 3 * n AS HUGEINT) * 1000000", "3 * n")
+      val pE = intDivExactSql(
+        "(CAST(sv AS HUGEINT) * sv + " +
+          "CAST(3 * n - sv AS HUGEINT) * (3 * n - sv)) * 1000000",
+        "9 * CAST(n AS HUGEINT) * n")
+      val kapDen = "9 * CAST(n AS HUGEINT) * n - " +
+        "CAST(sv AS HUGEINT) * sv - " +
+        "CAST(3 * n - sv AS HUGEINT) * (3 * n - sv)"
+      val kap = intDivExactSql(
+        "(3 * CAST(n AS HUGEINT) * (qv - 3 * sv + 3 * n) - " +
+          "CAST(sv AS HUGEINT) * sv - " +
+          "CAST(3 * n - sv AS HUGEINT) * (3 * n - sv)) * 1000000",
+        kapDen)
+      s"""WITH flags AS ($flagsSql),
+        |votes AS (SELECT a + b + c AS x FROM flags),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sv,
+        |    CAST(sum(x * x) AS BIGINT) AS qv FROM votes)
+        |SELECT n AS n_items, sv AS s_votes, qv AS q_votes2,
+        |  $pBar AS p_bar_e6, $pE AS p_e_e6,
+        |  CASE WHEN $kapDen = 0 THEN NULL ELSE $kap END
+        |    AS fleiss_kappa_e6
+        |FROM agg""".stripMargin
     },
     "q322_pr_curve" -> {
       val prec = intDivExactSql(

@@ -633,4 +633,66 @@ class StreamingSpec extends SparkSuite {
           s"${(oneShot -- out.toSet).take(5)} only one-shot")
     } finally old.unpersist()
   }
+
+  test("foreachBatch streaming ingest (quality gate + cross-batch min-id " +
+    "exact dedup) converges to the composed build's exact stage under " +
+    "scrambled arrival") {
+    // the corpus build's prefix-monotone front (stages 1-3 of q353's
+    // chain, CurationQueries.corpusStages) as a stream. Quality is
+    // per-doc, so it commutes with batching; exact dedup's keeper is
+    // MIN-ID, not first-arrival — a smaller id arriving in a LATER
+    // micro-batch must take the fingerprint's slot, so the state is a
+    // CDC-style min-upsert keyed on fingerprint (checkpointed per batch,
+    // previous state unpersisted — the bounded-state shape, no driver
+    // collect). At drain the survivor set equals the batch stage
+    // EXACTLY, independent of batch boundaries and arrival order. The
+    // chain's later stages (near-dup CC, mix, split, pack) are batch
+    // finalizers BY DESIGN: their verdicts depend on the full survivor
+    // set, which is why the build memoizes the near boundary instead of
+    // streaming it.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.functions.TextAnalysis.fingerprint
+    val (_, _, exactBatch, _, _, _) =
+      graft.queries.CurationQueries.corpusStages(spark, sf,
+        checkpoint = false)
+    val want = exactBatch.select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(want.nonEmpty, "empty exact stage — vacuous fixture")
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    var state = Seq.empty[(String, Long)].toDF("fp", "doc_id")
+      .localCheckpoint(true)
+    val q = mem.toDF().toDF("doc_id", "text", "lang").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val qual = batch.filter(length(col("text")) >= 100L &&
+          col("lang").isin("en", "de", "fr", "es"))
+        val next = state
+          .unionByName(qual.select(fingerprint(col("text")).as("fp"),
+            col("doc_id")))
+          .groupBy("fp").agg(min("doc_id").as("doc_id"))
+          .localCheckpoint(true)
+        val prev = state
+        state = next
+        prev.queryExecution.logical.collect {
+          case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+        }.foreach(_.unpersist(blocking = false))
+        ()
+      }.start()
+    try {
+      val docs = Tables.load(spark, sf, "documents")
+        .select("doc_id", "text", "lang").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      // four micro-batches, order scrambled so min-id keepers straddle
+      // batch boundaries in both directions
+      docs.sortBy { case (i, _, _) => (i * 2654435761L) % 101 }
+        .grouped((docs.length + 3) / 4)
+        .foreach { chunk => mem.addData(chunk.toSeq: _*)
+          q.processAllAvailable() }
+    } finally q.stop()
+    val got = state.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == want,
+      s"${(got -- want).take(5)} only streamed; " +
+        s"${(want -- got).take(5)} only batch")
+  }
 }
