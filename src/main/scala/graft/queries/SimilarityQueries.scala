@@ -67,6 +67,41 @@ object SimilarityQueries extends QueryPack {
       (cents, asg.localCheckpoint(true))
     }
 
+  /** The symmetric LSH band-bucket candidate pairs (32 bands × 4 bits,
+    * a < b, distinct), exact-cosine scored ONCE as the raw fixed-order
+    * double, with both labels — the shared substrate of q223 (mutual
+    * best match) and q305 (calibration curve), which each used to pay
+    * the bucket self-join + distinct + two vector joins themselves
+    * (r13 memo, the fullFitMemo rationale). Downstream rounding
+    * (roundf e4 / floor e6) applies to the SAME stored double, so both
+    * derivations are bit-identical to the inline forms. */
+  private val lshPairsMemo = new graft.operators.SessionDirMemo
+
+  private[graft] def lshScoredPairs(s: SparkSession, dir: String,
+      checkpoint: Boolean = true): DataFrame = {
+    def build: DataFrame = {
+      val e = emb(s, dir)
+      val bands = graft.operators.Lsh
+        .bandsDf(e, "vec_id", "v", Bands, Rows, Dim)
+      val pairs = bands
+        .select(col("vec_id").as("a"), col("band"), col("bkey"))
+        .join(bands.select(col("vec_id").as("b"), col("band"), col("bkey")),
+          Seq("band", "bkey"))
+        .filter(col("a") < col("b"))
+        .select("a", "b").distinct()
+      pairs
+        .join(e.select(col("vec_id").as("a"), col("label").as("la"),
+          col("v").as("va")), "a")
+        .join(e.select(col("vec_id").as("b"), col("label").as("lb"),
+          col("v").as("vb")), "b")
+        .select(col("a"), col("b"), col("la"), col("lb"),
+          graft.expressions.CosineSimilarity.sim(col("va"), col("vb"))
+            .as("sim_d"))
+    }
+    if (checkpoint) lshPairsMemo.get(s, dir)(build.localCheckpoint(true))
+    else build
+  }
+
   /** Per-dimension whitening pre-flight — the census a feature
     * pipeline runs before standardizing embeddings (a dimension with
     * runaway variance dominates every cosine; a shifted mean breaks
@@ -568,20 +603,8 @@ object SimilarityQueries extends QueryPack {
     * bucket are absent by construction on both engines. */
   private def q223(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.Rounding.roundf
-    val e = emb(s, dir)
-    val bands = graft.operators.Lsh
-      .bandsDf(e, "vec_id", "v", Bands, Rows, Dim)
-    val pairs = bands.select(col("vec_id").as("a"), col("band"), col("bkey"))
-      .join(bands.select(col("vec_id").as("b"), col("band"), col("bkey")),
-        Seq("band", "bkey"))
-      .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
-    val scored = pairs
-      .join(e.select(col("vec_id").as("a"), col("v").as("va")), "a")
-      .join(e.select(col("vec_id").as("b"), col("v").as("vb")), "b")
-      .select(col("a"), col("b"),
-        roundf(graft.expressions.CosineSimilarity.sim(
-          col("va"), col("vb")), 4).as("cos"))
+    val scored = lshScoredPairs(s, dir)
+      .select(col("a"), col("b"), roundf(col("sim_d"), 4).as("cos"))
     val directed = scored
       .select(col("a").as("q"), col("b").as("n"), col("cos"))
       .unionAll(scored.select(col("b").as("q"), col("a").as("n"), col("cos")))
@@ -892,22 +915,10 @@ object SimilarityQueries extends QueryPack {
     * boundary can disagree between engines. */
   private def q305(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.Rounding.{intDiv, intDivExact}
-    val e = emb(s, dir)
-    val bands = graft.operators.Lsh
-      .bandsDf(e, "vec_id", "v", Bands, Rows, Dim)
-    val pairs = bands.select(col("vec_id").as("a"), col("band"), col("bkey"))
-      .join(bands.select(col("vec_id").as("b"), col("band"), col("bkey")),
-        Seq("band", "bkey"))
-      .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
-    pairs
-      .join(e.select(col("vec_id").as("a"), col("label").as("la"),
-        col("v").as("va")), "a")
-      .join(e.select(col("vec_id").as("b"), col("label").as("lb"),
-        col("v").as("vb")), "b")
+    lshScoredPairs(s, dir)
       .select(
-        floor(graft.expressions.CosineSimilarity.sim(col("va"), col("vb"))
-          * lit(1000000.0) + lit(0.5)).cast("long").as("cos_e6"),
+        floor(col("sim_d") * lit(1000000.0) + lit(0.5)).cast("long")
+          .as("cos_e6"),
         (col("la") === col("lb")).cast("long").as("same"))
       .withColumn("bin",
         least(lit(9L), intDiv(col("cos_e6") + lit(1000000L), lit(200000L))))

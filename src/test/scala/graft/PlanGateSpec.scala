@@ -35,7 +35,8 @@ object PlanGateSpec {
     "q259_three_way_reconcile" -> 9L,
     "q134_kcore" -> 0L,
     "q201_label_prop" -> 1L,
-    "q223_mutual_knn" -> 17L,
+    "q223_mutual_knn" -> 5L, // post-memo stub (lshScoredPairs)
+    "q305_cos_calibration" -> 2L,
     "q100_fuzzy_match" -> 2L,
     "q118_kmeans" -> 3L,
     "q280_cluster_purity" -> 5L,
@@ -97,6 +98,16 @@ class PlanGateSpec extends SparkSuite {
     assert(a.cartesians == 0, s"cartesian in the containment chain: $a")
     assert(a.shuffles <= 7L + 2L,
       s"containmentPairs shuffles ${a.shuffles} > pinned 7+2: $a")
+  }
+
+  test("memoized-stage builder: lshScoredPairs chain keeps its shape") {
+    val a = operators.PlanAudit.of(
+      queries.SimilarityQueries.lshScoredPairs(spark, sf,
+        checkpoint = false))
+    assert(a.cartesians == 0, s"cartesian in the LSH pair chain: $a")
+    assert(a.nestedLoopJoins == 0, s"BNLJ in the LSH pair chain: $a")
+    assert(a.shuffles <= 3L + 2L,
+      s"lshScoredPairs shuffles ${a.shuffles} > pinned 3+2: $a")
   }
 
   test("memoized-stage builder: fused semiring chain keeps its shape") {
