@@ -67,7 +67,31 @@ object PlanGateSpec {
     "q354_corpus_attrition" -> 15L,
     "q355_pack_sweep" -> 8L,
     "q356_vocab_richness" -> 3L,
-    "q357_release_audit" -> 11L)
+    "q357_release_audit" -> 11L,
+    // round-13 gate-depth sweep: every remaining top-40-cost query
+    // (BENCH_FULL) now carries a pin — all measured cartesian-free;
+    // the BNLJ hits inside q161/q149/q352 etc. are the documented
+    // bounded-small-side broadcasts, re-audited via PLANS.json
+    "q192_substring_overlap" -> 5L,
+    "q44_dedup_embedding" -> 6L,
+    "q161_adc_scan" -> 10L,
+    "q260_key_gap_audit" -> 4L,
+    "q267_item_recs" -> 12L,
+    "q286_alignment" -> 4L,
+    "q288_effective_dim" -> 3L,
+    "q257_rfm_census" -> 9L,
+    "q211_para_near_dup" -> 3L,
+    "q42_dedup_minhash" -> 3L,
+    "q226_containment" -> 8L,
+    "q107_mad_outliers" -> 5L,
+    "q174_decile_migration" -> 6L,
+    "q278_exclusive_vocab" -> 5L,
+    "q57_volume_shipping" -> 2L,
+    "q272_abc_classes" -> 4L,
+    "q149_pq_codes" -> 5L,
+    "q64_tfidf" -> 6L,
+    "q312_top_movers" -> 6L,
+    "q352_info_gain" -> 18L)
   def maxShuffles(name: String): Long = measured(name) + slack
 }
 
