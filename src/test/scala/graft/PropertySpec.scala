@@ -210,4 +210,27 @@ class PropertySpec extends SparkSuite {
         s"round $i diverged (negative-domain intervals included)")
     }
   }
+
+  test("q353 manifest is bit-identical across shuffle.partitions 4 vs 13 " +
+    "(physical-layout determinism of the composed build)") {
+    // the 100 TB determinism contract behind every exact-grid query: a
+    // result must never depend on partition count, task scheduling, or
+    // accumulation order. The composed corpus build chains every
+    // order-sensitive construct in the engine (window fills, CC, md5
+    // splits, contiguous packing, checksum sums) — if ANY stage leaked
+    // partition-dependent state (a float sum, a first()/head, an
+    // unseeded sample), the shard manifests would diverge between a
+    // 4-way and a prime-13-way shuffle layout. Sessions are fresh (the
+    // memo keys on session identity, so both builds run cold).
+    def manifest(parts: Int): Seq[String] = {
+      val s = spark.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", parts)
+      SparkEntry.queries("q353_corpus_build")(s, "/root/testdata/sf0.001")
+        .collect().map(_.toString).toSeq
+    }
+    val a = manifest(4)
+    val b = manifest(13)
+    assert(a.nonEmpty, "empty manifest — vacuous")
+    assert(a == b, s"layout-dependent manifest:\n4  -> $a\n13 -> $b")
+  }
 }
