@@ -1106,8 +1106,41 @@ object CurationQueries extends QueryPack {
       .orderBy("check")
   }
 
+  /** BPE merge-pair census — the first tokenizer-training iteration at
+    * corpus scale (named consumer: the merges behind the vocabulary
+    * that q356's richness census budgets): every adjacent character
+    * pair inside every word, weighted by corpus word frequency, plus
+    * vocabulary support (distinct words containing the pair). The
+    * decisive scale property is aggregation ORDER: words collapse to
+    * the Zipf-bounded (word, freq) vocabulary FIRST (one corpus-scale
+    * explode + count), so the pair explode runs over the VOCABULARY —
+    * at 100 TB the census costs vocab × avg-word-len, not corpus
+    * tokens × avg-word-len; this ordering is the reason BPE training
+    * over a web corpus is feasible at all. Overlapping pairs count
+    * positionally ("aaa" → (a,a) twice), the standard census; a full
+    * trainer iterates apply-merge → re-census over the same
+    * vocab-bounded frame with the q255 checkpoint discipline. Top 20
+    * by weighted count, pair tie-break — deterministic in both
+    * engines. */
+  private def q359(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.load(s, dir, "documents")
+      .select(explode(TextAnalysis.tokensCol(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    words.filter(length(col("w")) >= 2)
+      .select(col("w"), col("freq"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy("pair")
+      .agg(sum("freq").as("n_weighted"),
+        countDistinct("w").as("n_words"))
+      .orderBy(col("n_weighted").desc, col("pair"))
+      .limit(20)
+  }
+
   val defs: Map[String, Q] = Map(
     "q353_corpus_build" -> (q353 _),
+    "q359_bpe_merges" -> (q359 _),
     "q357_release_audit" -> (q357 _),
     "q354_corpus_attrition" -> (q354 _),
     "q355_pack_sweep" -> (q355 _),
@@ -1675,6 +1708,21 @@ object CurationQueries extends QueryPack {
             "CAST(n_packs AS HUGEINT) * budget")} AS fill_e4
          |FROM g ORDER BY budget, split""".stripMargin
     },
+    // same vocab-first aggregation order; range(1, length) mirrors
+    // sequence(1, length-1) (both emit start positions 1..len-1)
+    "q359_bpe_merges" ->
+      s"""WITH words AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS freq
+        |  FROM (SELECT unnest($tokSql) AS w FROM documents)
+        |  WHERE w <> '' GROUP BY w),
+        |pairs AS (
+        |  SELECT w, freq,
+        |    unnest([substr(w, i, 2) for i in range(1, length(w))]) AS pair
+        |  FROM words WHERE length(w) >= 2)
+        |SELECT pair, CAST(sum(freq) AS BIGINT) AS n_weighted,
+        |  CAST(count(DISTINCT w) AS BIGINT) AS n_words
+        |FROM pairs GROUP BY pair
+        |ORDER BY n_weighted DESC, pair LIMIT 20""".stripMargin,
     "q356_vocab_richness" -> {
       import Rounding.intDivExactSql
       s"""WITH c AS (
