@@ -1138,9 +1138,47 @@ object CurationQueries extends QueryPack {
       .limit(20)
   }
 
+  /** Token-offset → document lookup — loss-spike forensics over the
+    * packed corpus (named consumer: "training loss spiked at global
+    * token offset T of split s; which document was the model
+    * reading?" — the inverse of q353's packing map, the query a
+    * training-run postmortem starts with). Probes are the 1/8, 3/8,
+    * 5/8, 7/8 points of each split's token stream (deterministic and
+    * split-relative, so the probe table is 4·|splits| rows at ANY
+    * corpus size). Each probe joins the per-document cumulative token
+    * intervals [cum−n, cum) of the same doc_id-ordered stream the
+    * packer walks — an equi-join on split with the interval test as a
+    * post-join filter against the broadcast 12-row probe side —
+    * recovering (doc_id, pack_id, offset inside the doc). The interval
+    * frame is the packing window's own; no extra corpus pass. */
+  private def q360(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.intDiv
+    val (_, _, _, _, _, mixed) = corpusStages(s, dir)
+    val sp = splitStage(mixed).select("doc_id", "split", "n_tokens")
+    val w = Window.partitionBy("split").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val iv = sp.withColumn("cum", sum("n_tokens").over(w))
+      .select(col("split"), col("doc_id"),
+        (col("cum") - col("n_tokens")).as("lo"), col("cum").as("hi"))
+    val probes = iv.groupBy("split").agg(max("hi").as("t_split"))
+      .select(col("split").as("split_p"), col("t_split"),
+        explode(array(lit(1L), lit(3L), lit(5L), lit(7L))).as("k"))
+      .select(col("split_p"),
+        intDiv(col("t_split") * col("k"), lit(8L)).as("t_offset"))
+    iv.join(broadcast(probes),
+        col("split") === col("split_p") &&
+          col("t_offset") >= col("lo") && col("t_offset") < col("hi"))
+      .select(col("split"), col("t_offset"), col("doc_id"),
+        floor(col("lo").cast("double") / lit(512.0)).cast("long")
+          .as("pack_id"),
+        (col("t_offset") - col("lo")).as("off_in_doc"))
+      .orderBy("split", "t_offset")
+  }
+
   val defs: Map[String, Q] = Map(
     "q353_corpus_build" -> (q353 _),
     "q359_bpe_merges" -> (q359 _),
+    "q360_token_lookup" -> (q360 _),
     "q357_release_audit" -> (q357 _),
     "q354_corpus_attrition" -> (q354 _),
     "q355_pack_sweep" -> (q355 _),
@@ -1707,6 +1745,41 @@ object CurationQueries extends QueryPack {
          |  ${intDivExactSql("CAST(n_tokens AS HUGEINT) * 10000",
             "CAST(n_packs AS HUGEINT) * budget")} AS fill_e4
          |FROM g ORDER BY budget, split""".stripMargin
+    },
+    // same split/pack arithmetic as q353's oracle; probes via the same
+    // trunc division (both engines' // and intDiv truncate toward zero,
+    // positive operands here)
+    "q360_token_lookup" -> {
+      val uni = graft.functions.Hashing
+        .md5UniformSql("CAST(doc_id AS VARCHAR)")
+      s"""WITH RECURSIVE
+         |$corpusCtes,
+         |sp AS (
+         |  SELECT doc_id, n_tokens,
+         |    CASE WHEN $uni < 0.8 THEN 'train'
+         |         WHEN $uni < 0.9 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM mixed),
+         |iv AS (
+         |  SELECT split, doc_id, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY split ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum
+         |  FROM sp),
+         |iv2 AS (SELECT split, doc_id, cum - n_tokens AS lo, cum AS hi
+         |        FROM iv),
+         |sptot AS (SELECT split, max(hi) AS t_split FROM iv2
+         |          GROUP BY 1),
+         |probes AS (
+         |  SELECT split, CAST((t_split * k) // 8 AS BIGINT) AS t_offset
+         |  FROM sptot, unnest([1, 3, 5, 7]) AS s(k))
+         |SELECT i.split, p.t_offset, i.doc_id,
+         |  CAST(floor(i.lo / 512.0) AS BIGINT) AS pack_id,
+         |  p.t_offset - i.lo AS off_in_doc
+         |FROM iv2 i JOIN probes p
+         |  ON i.split = p.split AND p.t_offset >= i.lo
+         |  AND p.t_offset < i.hi
+         |ORDER BY 1, 2""".stripMargin
     },
     // same vocab-first aggregation order; range(1, length) mirrors
     // sequence(1, length-1) (both emit start positions 1..len-1)
