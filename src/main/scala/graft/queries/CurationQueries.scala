@@ -916,7 +916,7 @@ object CurationQueries extends QueryPack {
 
   /** Stage 6→7 of the composed build: 80/10/10 split over the mixed
     * survivors (q99's md5-uniform). Shared by q353 and q355. */
-  private def splitStage(mixed: DataFrame): DataFrame = {
+  private[graft] def splitStage(mixed: DataFrame): DataFrame = {
     val uu = graft.functions.Hashing.md5Uniform(col("doc_id").cast("string"))
     mixed.withColumn("split",
       when(uu < 0.8, "train").when(uu < 0.9, "val").otherwise("test"))

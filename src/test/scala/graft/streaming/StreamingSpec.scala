@@ -695,4 +695,91 @@ class StreamingSpec extends SparkSuite {
       s"${(got -- want).take(5)} only streamed; " +
         s"${(want -- got).take(5)} only batch")
   }
+
+  test("foreachBatch streaming shard publisher (incremental contiguous " +
+    "packing with per-split carry state) equals the one-shot q353 " +
+    "manifest under ordered arrival") {
+    // the publish TAIL of the composed build as a stream: an export
+    // service wants to write shards as packs fill instead of
+    // materializing the whole packed corpus first. Contiguous packing
+    // is prefix-incremental GIVEN per-split id-ordered arrival (the
+    // same precondition the batch window's orderBy supplies): the only
+    // state a micro-batch needs is each split's running token total —
+    // pack_id = floor((carry + batch-local cum − n) / budget) — and the
+    // manifest counters then fold batch-by-batch. Equality to the
+    // one-shot q353 manifest is exact; arrival order ACROSS splits and
+    // batch boundary placement are free (each batch is sorted
+    // per-split before the window).
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.expressions.Window
+    val oneShot = graft.SparkEntry
+      .queries("q353_corpus_build")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(oneShot.nonEmpty, "empty one-shot manifest — vacuous")
+    // the packer's input stream: the split survivors with token weights,
+    // in doc_id order (the precondition), via the build's own stages
+    val (_, _, _, _, _, mixed) = graft.queries.CurationQueries
+      .corpusStages(spark, sf)
+    val inputRows = graft.queries.CurationQueries.splitStage(mixed)
+      .select(col("doc_id"), col("split"), col("n_tokens"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    // carry state: split → running token total before this batch
+    var carry = Map.empty[String, Long]
+    val acc = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
+    val q = mem.toDF().toDF("doc_id", "split", "n_tokens").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val carryDf = carry.toSeq.toDF("split", "base")
+        val w = Window.partitionBy("split").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val packed = batch
+          .join(broadcast(carryDf), Seq("split"), "left")
+          .withColumn("base", coalesce(col("base"), lit(0L)))
+          .withColumn("cum",
+            col("base") + sum("n_tokens").over(w))
+          .withColumn("pack_id",
+            floor((col("cum") - col("n_tokens")) / lit(512.0))
+              .cast("long"))
+          .select(col("split"), col("doc_id"), col("n_tokens"),
+            col("pack_id"), col("cum"))
+          .collect()
+        acc.synchronized {
+          acc ++= packed.map(r =>
+            (r.getString(0), r.getLong(1), r.getLong(3)))
+        }
+        val tops = packed.groupBy(_.getString(0))
+          .map { case (sp, rows) => sp -> rows.map(_.getLong(4)).max }
+        carry = carry ++ tops
+        ()
+      }.start()
+    try {
+      // three micro-batches, id-ordered globally (hence per split)
+      inputRows.grouped((inputRows.length + 2) / 3)
+        .foreach { chunk => mem.addData(chunk.toSeq: _*)
+          q.processAllAvailable() }
+    } finally q.stop()
+    // fold the streamed pack assignments into the manifest shape with
+    // q353's own aggregation expressions (same md5 checksum column)
+    val toksDf = inputRows.toSeq.toDF("doc_id", "split", "n_tokens")
+      .select("doc_id", "n_tokens")
+    val manifest = acc.toSeq.toDF("split", "doc_id", "pack_id")
+      .join(toksDf, "doc_id")
+      .groupBy(col("split"), (col("pack_id") % 4L).as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("pack_id").as("n_packs"),
+        sum("n_tokens").as("n_tokens"),
+        sum(graft.functions.Hashing.md5U32(col("doc_id").cast("string")))
+          .as("id_checksum"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(manifest == oneShot,
+      s"${(manifest -- oneShot).take(3)} only streamed; " +
+        s"${(oneShot -- manifest).take(3)} only one-shot")
+  }
 }
