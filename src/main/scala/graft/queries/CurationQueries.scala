@@ -856,9 +856,17 @@ object CurationQueries extends QueryPack {
     * memoized checkpointed, the q108Stages discipline. */
   private val corpusNearMemo = new graft.operators.SessionDirMemo
 
+  /** Second memo boundary, at the MIX stage (r13 bench: the
+    * decontaminate-gram join + water-fill window downstream of the
+    * memoized near survivors still cost ~1s per consumer, × four
+    * consumers q353/q354/q355/q360). The near boundary stays memoized
+    * separately because q354's funnel reads the intermediate stages. */
+  private val corpusMixMemo = new graft.operators.SessionDirMemo
+
   /** The composed pipeline's stage frames, lazily chained; `checkpoint =
-    * true` memoizes the near-dedup survivors. Returns (input, quality,
-    * exact, near, clean, mixed) — clean and mixed carry `n_tokens`. */
+    * true` memoizes the near-dedup survivors AND the mixed survivors.
+    * Returns (input, quality, exact, near, clean, mixed) — clean and
+    * mixed carry `n_tokens`. */
   private[graft] def corpusStages(s: SparkSession, dir: String,
       checkpoint: Boolean = true): (DataFrame, DataFrame, DataFrame,
       DataFrame, DataFrame, DataFrame) = {
@@ -907,10 +915,14 @@ object CurationQueries extends QueryPack {
     val tot = clean.agg(sum("n_tokens").as("t_total"))
     val fillW = Window.partitionBy("source").orderBy(u32m, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val mixed = clean.withColumn("cum", sum("n_tokens").over(fillW))
+    def buildMixed = clean.withColumn("cum", sum("n_tokens").over(fillW))
       .crossJoin(broadcast(tot))
       .filter(col("cum") - col("n_tokens") <
         Rounding.intDiv(col("t_total") * 4L, lit(100L)))
+    val mixed =
+      if (checkpoint)
+        corpusMixMemo.get(s, dir)(buildMixed.localCheckpoint(true))
+      else buildMixed
     (docs, quality, exact, near, clean, mixed)
   }
 

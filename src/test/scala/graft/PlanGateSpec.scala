@@ -63,9 +63,9 @@ object PlanGateSpec {
     // round-13: the composed corpus build (verdict item 6) + its
     // funnel/planner companions (near stage memoized — raw chain gated
     // below)
-    "q353_corpus_build" -> 8L,
-    "q354_corpus_attrition" -> 15L,
-    "q355_pack_sweep" -> 8L,
+    "q353_corpus_build" -> 2L, // post-memo stub (corpusMixMemo)
+    "q354_corpus_attrition" -> 9L,
+    "q355_pack_sweep" -> 2L,
     "q356_vocab_richness" -> 3L,
     "q357_release_audit" -> 11L,
     // round-13 gate-depth sweep: every remaining top-40-cost query
