@@ -231,12 +231,24 @@ object TpchQueries extends QueryPack {
     * total before the presentation sort. The support threshold (≥ 2)
     * prunes the output before that sort. */
   private def q128(s: SparkSession, dir: String): DataFrame =
-    graft.operators.CoOccur
-      .pairs(Tables.load(s, dir, "lineitem"), "l_orderkey", "l_partkey",
-        maxBasket = 8, minSupport = 2)
+    basketPairs(s, dir)
       .select(col("item_a").as("p1"), col("item_b").as("p2"),
         col("n_baskets").as("n_orders"))
       .orderBy("p1", "p2")
+
+  /** The capped basket-pair table (orders × parts, C(8,2) fan-out
+    * bound, support ≥ 2) — q128's mining output IS q267's recommender
+    * input, so the r13 memo builds it once per (session, dir); the raw
+    * CoOccur chain stays gated in PlanGateSpec via checkpoint=false. */
+  private val basketPairsMemo = new graft.operators.SessionDirMemo
+  private[graft] def basketPairs(s: SparkSession, dir: String,
+      checkpoint: Boolean = true): DataFrame = {
+    def build = graft.operators.CoOccur.pairs(
+      Tables.load(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+      maxBasket = 8, minSupport = 2)
+    if (checkpoint) basketPairsMemo.get(s, dir)(build.localCheckpoint(true))
+    else build
+  }
 
   /** Order-to-ship latency census per ship month — the fulfillment-SLA
     * dashboard (TPC-H Q12's domain, adapted to the synthetic schema's
@@ -946,8 +958,7 @@ object TpchQueries extends QueryPack {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.Rounding.intDivExact
     val li = Tables.load(s, dir, "lineitem")
-    val pairs = graft.operators.CoOccur
-      .pairs(li, "l_orderkey", "l_partkey", maxBasket = 8, minSupport = 2)
+    val pairs = basketPairs(s, dir)
     val itemN = li.select(col("l_orderkey"), col("l_partkey")).distinct()
       .groupBy(col("l_partkey").as("item"))
       .agg(count(lit(1)).as("n_ord"))

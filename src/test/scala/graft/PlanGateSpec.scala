@@ -47,7 +47,7 @@ object PlanGateSpec {
     // round-12: the rest of the r11 top-20 by cost
     "q108_triangles" -> 0L,
     "q114_inverted_index" -> 3L,
-    "q128_cooccur" -> 3L,
+    "q128_cooccur" -> 1L, // post-memo stub (basketPairs)
     "q130_ref_integrity" -> 4L,
     "q119_assortativity" -> 5L,
     // round-13: the r12 cost/width tail (verdict item 4)
@@ -76,7 +76,7 @@ object PlanGateSpec {
     "q44_dedup_embedding" -> 6L,
     "q161_adc_scan" -> 10L,
     "q260_key_gap_audit" -> 4L,
-    "q267_item_recs" -> 12L,
+    "q267_item_recs" -> 8L,
     "q286_alignment" -> 4L,
     "q288_effective_dim" -> 3L,
     "q257_rfm_census" -> 9L,
@@ -132,6 +132,15 @@ class PlanGateSpec extends SparkSuite {
     assert(a.nestedLoopJoins == 0, s"BNLJ in the LSH pair chain: $a")
     assert(a.shuffles <= 3L + 2L,
       s"lshScoredPairs shuffles ${a.shuffles} > pinned 3+2: $a")
+  }
+
+  test("memoized-stage builder: basket-pair (CoOccur) chain keeps its " +
+    "shape") {
+    val a = operators.PlanAudit.of(
+      queries.TpchQueries.basketPairs(spark, sf, checkpoint = false))
+    assert(a.cartesians == 0, s"cartesian in the basket-pair chain: $a")
+    assert(a.shuffles <= 2L + 2L,
+      s"basketPairs shuffles ${a.shuffles} > pinned 2+2: $a")
   }
 
   test("memoized-stage builder: fused semiring chain keeps its shape") {
