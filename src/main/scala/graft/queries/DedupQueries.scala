@@ -825,32 +825,47 @@ object DedupQueries extends QueryPack {
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
         lit(1L).as("is_true"))
     val truthN = truth.groupBy().agg(count(lit(1)).as("n_truth"))
-    def arm(nb: Int): DataFrame = {
+    // r13 arm fusion (the q299 pattern): the three band decompositions
+    // union into ONE arm-tagged exploded table, so candidate mining is
+    // a single self-join on (arm, band, bkey) + one distinct + one
+    // grouped aggregate instead of 3× each — same candidate volume,
+    // one exchange family. The static arm dimension left-joins the
+    // counts so an arm whose bands yield ZERO candidates still reports
+    // its row (the q299 ADVICE-r12 vanishing-row trap).
+    val arms = Seq(2, 4, 8)
+    val bandColsAll = arms.flatMap { nb =>
       val rpb = K / nb
-      val bandCols = (0 until nb).map { b =>
-        struct(lit(b).as("band"),
+      (0 until nb).map { b =>
+        struct(lit(nb.toLong).as("nb"), lit(b).as("band"),
           concat_ws("|", (0 until rpb).map(j =>
             col(s"h${rpb * b + j}")): _*).as("bkey"))
       }
-      val exploded = sig
-        .withColumn("bk", explode(array(bandCols: _*)))
-        .select(col("doc_id"), col("bk.band").as("band"),
-          col("bk.bkey").as("bkey"))
-      val cand = exploded.as("a")
-        .join(exploded.as("b"),
-          col("a.band") === col("b.band") &&
-            col("a.bkey") === col("b.bkey") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      cand.join(truth, Seq("doc_a", "doc_b"), "left")
-        .groupBy()
-        .agg(count(lit(1)).as("n_cand"),
-          coalesce(sum("is_true"), lit(0L)).as("n_hit"))
-        .select(lit(nb.toLong).as("bands"), lit(rpb.toLong)
-          .as("rows_per_band"), col("n_cand"), col("n_hit"))
     }
-    arm(2).unionByName(arm(4)).unionByName(arm(8))
+    val exploded = sig
+      .withColumn("bk", explode(array(bandColsAll: _*)))
+      .select(col("doc_id"), col("bk.nb").as("nb"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val cand = exploded.as("a")
+      .join(exploded.as("b"),
+        col("a.nb") === col("b.nb") &&
+          col("a.band") === col("b.band") &&
+          col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.nb").as("nb"), col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"))
+      .distinct()
+    val counts = cand.join(truth, Seq("doc_a", "doc_b"), "left")
+      .groupBy("nb")
+      .agg(count(lit(1)).as("n_cand"),
+        coalesce(sum("is_true"), lit(0L)).as("n_hit"))
+    val armDim = s.range(1).select(explode(array(arms.map(nb =>
+        struct(lit(nb.toLong).as("nb"),
+          lit((K / nb).toLong).as("rows_per_band"))): _*)).as("a"))
+      .select(col("a.nb").as("nb"), col("a.rows_per_band"))
+    armDim.join(counts, Seq("nb"), "left")
+      .select(col("nb").as("bands"), col("rows_per_band"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
       .crossJoin(broadcast(truthN))
       .select(col("bands"), col("rows_per_band"), col("n_cand"),
         col("n_truth"), col("n_hit"),

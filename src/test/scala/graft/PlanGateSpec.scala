@@ -22,7 +22,7 @@ object PlanGateSpec {
     "q247_golden_record" -> 5L,
     "q244_identity_stitch" -> 1L,
     "q266_sparse_cosine" -> 19L,
-    "q270_lsh_tuning" -> 25L,
+    "q270_lsh_tuning" -> 13L, // r13 arm fusion
     "q219_dedup_funnel" -> 3L,
     "q215_modularity" -> 10L,
     "q67_dedup_clusters" -> 1L,
