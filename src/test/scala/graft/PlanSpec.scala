@@ -178,7 +178,10 @@ class PlanSpec extends SparkSuite {
   }
 
   test("q128: pair mining is one scan with array expansion, no self-join") {
-    val p = plan("q128_cooccur")
+    // the r13 memo makes q128's own plan a checkpoint stub — gate the
+    // raw basket-pair BUILDER, the same chain the memo materializes
+    val p = queries.TpchQueries.basketPairs(spark, sf, checkpoint = false)
+      .queryExecution.executedPlan.toString
     assert(!p.contains("Join"), "pair generation regressed to a self-join")
     // exactly one data scan: the basket array expands in-place
     assert(p.linesIterator.count(_.contains("Scan parquet")) == 1, p)
