@@ -145,11 +145,7 @@ object DedupPipeline {
   def near(df: DataFrame, idCol: String, textCol: String,
       n: Int = 5, threshold: Double = 0.5,
       maxDf: Long = 1000): DataFrame = {
-    val edges = nearDupPairs(df, idCol, textCol, n, threshold, maxDf)
-      .select("id_a", "id_b")
-    val nodes = df.select(col(idCol))
-    val comp = ConnectedComponents
-      .components(nodes, edges, idCol, "id_a", "id_b")
+    val comp = nearComponents(df, idCol, textCol, n, threshold, maxDf)
     // keeper ids are tiny — materialize them eagerly so the components
     // cache (and the whole candidate-pair lineage behind it) can be
     // released before the caller ever evaluates the result
@@ -158,5 +154,22 @@ object DedupPipeline {
       .localCheckpoint(true)
     comp.unpersist()
     df.join(keepers, Seq(idCol), "left_semi")
+  }
+
+  /** The near-dup COMPONENT MAP behind [[near]]: (id, comp) with comp =
+    * the component's minimum id (the CC label contract), one row per
+    * input document. Exposed so a caller that needs both the survivor
+    * set AND cluster-level decisions (keeper-policy comparison,
+    * attrition forensics) runs the expensive CC exactly once —
+    * [[near]]'s keeper rule is `id == comp` over this frame. Returned
+    * persisted (ConnectedComponents' contract); callers that
+    * checkpoint it should unpersist the original. */
+  def nearComponents(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, threshold: Double = 0.5,
+      maxDf: Long = 1000): DataFrame = {
+    val edges = nearDupPairs(df, idCol, textCol, n, threshold, maxDf)
+      .select("id_a", "id_b")
+    ConnectedComponents
+      .components(df.select(col(idCol)), edges, idCol, "id_a", "id_b")
   }
 }

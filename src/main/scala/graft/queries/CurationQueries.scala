@@ -851,10 +851,25 @@ object CurationQueries extends QueryPack {
     * single giant split serializes its cumulative sum, intrinsic to
     * order-respecting packing (shard the stream key upstream at real
     * scale — [[graft.operators.SequencePack]]'s documented posture). */
-  /** The near-dedup survivor set is the expensive boundary of the
-    * composed build (it owns the CC run) and feeds q353/q354/q355 —
-    * memoized checkpointed, the q108Stages discipline. */
-  private val corpusNearMemo = new graft.operators.SessionDirMemo
+  /** The near-dedup COMPONENT MAP is the expensive boundary of the
+    * composed build (it owns the CC run) and feeds q353/q354/q355/q360
+    * plus the q361 keeper-policy comparison — memoized checkpointed,
+    * the q108Stages discipline. The survivor set (q354's "4_near_dedup"
+    * stage) derives from it by the keeper rule `id == comp`, so
+    * memoizing the map instead of the survivors serves BOTH consumers
+    * with one CC run. */
+  private val corpusCompMemo = new graft.operators.SessionDirMemo
+
+  /** Memoized (id, comp) map over the quality+exact survivors. */
+  private def corpusComponents(s: SparkSession, dir: String,
+      exact: DataFrame): DataFrame =
+    corpusCompMemo.get(s, dir) {
+      val comp = graft.operators.DedupPipeline.nearComponents(
+        exact, "doc_id", "text", n = 5, threshold = 0.5, maxDf = 1000L)
+      val pinned = comp.localCheckpoint(true)
+      comp.unpersist()
+      pinned
+    }
 
   /** Second memo boundary, at the MIX stage (r13 bench: the
     * decontaminate-gram join + water-fill window downstream of the
@@ -876,14 +891,20 @@ object CurationQueries extends QueryPack {
     // 1. quality gate
     val quality = docs.filter(length(col("text")) >= 100L &&
       col("lang").isin("en", "de", "fr", "es"))
-    // 2–3. exact + near dedup (min-id keepers, CC clusters)
+    // 2–3. exact + near dedup. Checkpointed path: min-id keepers derive
+    // from the memoized CC component map (keeper rule id == comp), so
+    // the CC run is shared with q361's cluster-level policy query. The
+    // raw path keeps DedupPipeline.near's own eager-keeper hygiene.
     val exact = DedupPipeline.exact(quality, "doc_id", "text")
-    def buildNear = DedupPipeline.near(exact, "doc_id", "text",
-      n = 5, threshold = 0.5, maxDf = 1000L)
     val near =
       if (checkpoint)
-        corpusNearMemo.get(s, dir)(buildNear.localCheckpoint(true))
-      else buildNear
+        exact.join(
+          corpusComponents(s, dir, exact)
+            .filter(col("id") === col("comp"))
+            .select(col("id").as("doc_id")),
+          Seq("doc_id"), "left_semi")
+      else DedupPipeline.near(exact, "doc_id", "text",
+        n = 5, threshold = 0.5, maxDf = 1000L)
     // 4. decontaminate: bench grams come from the RAW corpus (benchmark
     // membership is external to the pipeline — q84's contract)
     val gram4 = near
@@ -1187,10 +1208,54 @@ object CurationQueries extends QueryPack {
       .orderBy("split", "t_offset")
   }
 
+  /** Keeper-policy comparison over the near-dup clusters — the
+    * cluster-level decision the build currently hard-codes (min-id
+    * keeper): for every multi-document cluster, what would each policy
+    * keep? `min_id` (the deterministic default) vs `max_tokens`
+    * (quality-weighted: keep the longest copy, ties to the smaller id).
+    * One row per policy — multi-cluster census plus total kept tokens;
+    * the delta between the rows is the token mass a smarter keeper
+    * recovers, the number that decides whether re-keying the dedup
+    * stage is worth a corpus rebuild. Rides the SAME memoized CC
+    * component map as the build (one CC run feeds stage 3 and this
+    * audit). Keeper selection is integer-packed argmin/argmax
+    * (id·10¹² + tok and id − tok·10¹², doc_id < 10¹² documented bound,
+    * widened through decimal/HUGEINT), so both engines pick identical
+    * keepers with no min_by tie ambiguity. */
+  private def q361(s: SparkSession, dir: String): DataFrame = {
+    import Rounding.intDivExact
+    val (_, _, exact, _, _, _) = corpusStages(s, dir)
+    val comp = corpusComponents(s, dir, exact)
+    val L = 1000000000000L
+    val m = comp.join(
+      exact.select(col("doc_id").as("id"),
+        size(TextAnalysis.tokensCol(col("text"))).cast("long").as("tok")),
+      "id")
+    val cs = m.groupBy("comp")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("id").cast("decimal(38,0)") * lit(L) + col("tok"))
+          .as("p_min"),
+        min(col("id").cast("decimal(38,0)") -
+          col("tok").cast("decimal(38,0)") * lit(L)).as("p_max"))
+      .filter(col("n_docs") >= 2L)
+    def rowOf(policy: String,
+        keptTok: org.apache.spark.sql.Column): DataFrame =
+      cs.agg(count(lit(1)).as("n_clusters"),
+          coalesce(sum("n_docs"), lit(0L)).as("n_docs"),
+          coalesce(sum(keptTok).cast("long"), lit(0L)).as("kept_tokens"))
+        .select(lit(policy).as("policy"), col("n_clusters"),
+          col("n_docs"), col("kept_tokens"))
+    rowOf("min_id", (col("p_min") % lit(L)).cast("long"))
+      .unionAll(rowOf("max_tokens",
+        intDivExact(lit(L) - lit(1L) - col("p_max"), lit(L))))
+      .orderBy("policy")
+  }
+
   val defs: Map[String, Q] = Map(
     "q353_corpus_build" -> (q353 _),
     "q359_bpe_merges" -> (q359 _),
     "q360_token_lookup" -> (q360 _),
+    "q361_keeper_policy" -> (q361 _),
     "q357_release_audit" -> (q357 _),
     "q354_corpus_attrition" -> (q354 _),
     "q355_pack_sweep" -> (q355 _),
@@ -1758,6 +1823,35 @@ object CurationQueries extends QueryPack {
             "CAST(n_packs AS HUGEINT) * budget")} AS fill_e4
          |FROM g ORDER BY budget, split""".stripMargin
     },
+    // same integer-packed keeper selection over the recursive-CC `cl`
+    // map; HUGEINT mirrors decimal(38,0), `//` mirrors intDivExact
+    // (both truncate toward zero; operands nonnegative here)
+    "q361_keeper_policy" ->
+      s"""WITH RECURSIVE
+         |$corpusCtes,
+         |tokc AS (
+         |  SELECT doc_id, CAST(len(t) AS BIGINT) AS tok FROM toks),
+         |mm AS (
+         |  SELECT cl.comp, cl.doc_id AS id, tok
+         |  FROM cl JOIN tokc USING (doc_id)),
+         |cs AS (
+         |  SELECT comp, CAST(count(*) AS BIGINT) AS n_docs,
+         |    min(CAST(id AS HUGEINT) * 1000000000000 + tok) AS p_min,
+         |    min(CAST(id AS HUGEINT) -
+         |        CAST(tok AS HUGEINT) * 1000000000000) AS p_max
+         |  FROM mm GROUP BY comp HAVING count(*) >= 2)
+         |SELECT 'min_id' AS policy, CAST(count(*) AS BIGINT) AS n_clusters,
+         |  CAST(coalesce(sum(n_docs), 0) AS BIGINT) AS n_docs,
+         |  CAST(coalesce(sum(p_min % 1000000000000), 0) AS BIGINT)
+         |    AS kept_tokens
+         |FROM cs
+         |UNION ALL
+         |SELECT 'max_tokens', CAST(count(*) AS BIGINT),
+         |  CAST(coalesce(sum(n_docs), 0) AS BIGINT),
+         |  CAST(coalesce(sum((1000000000000 - 1 - p_max) //
+         |    1000000000000), 0) AS BIGINT)
+         |FROM cs
+         |ORDER BY policy""".stripMargin,
     // same split/pack arithmetic as q353's oracle; probes via the same
     // trunc division (both engines' // and intDiv truncate toward zero,
     // positive operands here)

@@ -64,7 +64,8 @@ object PlanGateSpec {
     // funnel/planner companions (near stage memoized — raw chain gated
     // below)
     "q353_corpus_build" -> 2L, // post-memo stub (corpusMixMemo)
-    "q354_corpus_attrition" -> 9L,
+    "q354_corpus_attrition" -> 12L,
+    "q361_keeper_policy" -> 6L,
     "q355_pack_sweep" -> 2L,
     "q356_vocab_richness" -> 3L,
     "q357_release_audit" -> 11L,
