@@ -1251,11 +1251,54 @@ object CurationQueries extends QueryPack {
       .orderBy("policy")
   }
 
+  /** Dedup-aggressiveness curve — the threshold sweep that justifies
+    * the build's hard-coded Jaccard 0.5 (the q355/q344 planner pattern
+    * pointed at the dedup knob): ONE pair-mining run over the build's
+    * own stage input (quality+exact survivors, same n=5/maxDf=1000
+    * parameters), bucketed to 0.05-wide e4 cells, and a cumulative
+    * window over the BOUNDED bucket table (the q322 shape — curve rows
+    * = distinct buckets, never pairs) yields, per candidate threshold
+    * t: pairs scoring ≥ t and the EXACT count of docs dedup would
+    * touch at t (a doc is clustered at t iff its best pair ≥ t — the
+    * per-doc max-bucket census, no CC needed). Read left to right the
+    * curve is the "how much corpus does each notch of aggressiveness
+    * consume" decision table. On this synthetic corpus the curve is a
+    * single ≥0.95 bucket — the honest null reading (seeded near-dups
+    * are near-identical and unrelated docs share no 5-gram), and
+    * itself the useful verdict: any threshold in [0.1, 0.95] dedups
+    * identically here, so 0.5 is safe. A real web corpus fills the
+    * mid-buckets and the same curve prices each notch. */
+  private def q362(s: SparkSession, dir: String): DataFrame = {
+    val (_, _, exact, _, _, _) = corpusStages(s, dir)
+    val pb = graft.operators.DedupPipeline
+      .nearDupPairs(exact, "doc_id", "text",
+        n = 5, minJaccard = 0.1, maxDf = 1000L)
+      .select(col("id_a"), col("id_b"),
+        Rounding.intDiv(
+          floor(col("jaccard") * lit(10000.0) + lit(0.5)).cast("long"),
+          lit(500L)).as("bucket"))
+    val pairBuckets = pb.groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
+    val docMax = pb.select(col("id_a").as("doc_id"), col("bucket"))
+      .unionAll(pb.select(col("id_b").as("doc_id"), col("bucket")))
+      .groupBy("doc_id").agg(max("bucket").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_docs_max"))
+    val w = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pairBuckets.join(docMax, Seq("bucket"), "left")
+      .withColumn("n_docs_max", coalesce(col("n_docs_max"), lit(0L)))
+      .withColumn("n_pairs_ge", sum("n_pairs").over(w))
+      .withColumn("n_docs_ge", sum("n_docs_max").over(w))
+      .select((col("bucket") * lit(500L)).as("threshold_e4"),
+        col("n_pairs"), col("n_pairs_ge"), col("n_docs_ge"))
+      .orderBy("threshold_e4")
+  }
+
   val defs: Map[String, Q] = Map(
     "q353_corpus_build" -> (q353 _),
     "q359_bpe_merges" -> (q359 _),
     "q360_token_lookup" -> (q360 _),
     "q361_keeper_policy" -> (q361 _),
+    "q362_dedup_sweep" -> (q362 _),
     "q357_release_audit" -> (q357 _),
     "q354_corpus_attrition" -> (q354 _),
     "q355_pack_sweep" -> (q355 _),
@@ -1823,6 +1866,37 @@ object CurationQueries extends QueryPack {
             "CAST(n_packs AS HUGEINT) * budget")} AS fill_e4
          |FROM g ORDER BY budget, split""".stripMargin
     },
+    // same df-gated pair CTEs (inter from gated grams, FULL sizes);
+    // e4 jaccard floors identically from the same IEEE division
+    "q362_dedup_sweep" ->
+      s"""WITH RECURSIVE
+         |$corpusCtes,
+         |jj AS (
+         |  SELECT p.doc_a, p.doc_b,
+         |    CAST(floor((inter / (sa.sz + sb.sz - inter)) * 10000 + 0.5)
+         |      AS BIGINT) AS j_e4
+         |  FROM pairs p
+         |  JOIN sizes sa ON p.doc_a = sa.doc_id
+         |  JOIN sizes sb ON p.doc_b = sb.doc_id),
+         |jb AS (SELECT doc_a, doc_b, j_e4 // 500 AS bucket
+         |       FROM jj WHERE j_e4 >= 1000),
+         |pbk AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_pairs
+         |        FROM jb GROUP BY 1),
+         |dmx AS (
+         |  SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs_max FROM (
+         |    SELECT doc_id, max(bucket) AS bucket FROM (
+         |      SELECT doc_a AS doc_id, bucket FROM jb
+         |      UNION ALL SELECT doc_b, bucket FROM jb)
+         |    GROUP BY doc_id) GROUP BY bucket)
+         |SELECT bucket * 500 AS threshold_e4, n_pairs,
+         |  CAST(sum(n_pairs) OVER (ORDER BY bucket DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS BIGINT) AS n_pairs_ge,
+         |  CAST(sum(coalesce(n_docs_max, 0)) OVER (ORDER BY bucket DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS BIGINT) AS n_docs_ge
+         |FROM pbk LEFT JOIN dmx USING (bucket)
+         |ORDER BY threshold_e4""".stripMargin,
     // same integer-packed keeper selection over the recursive-CC `cl`
     // map; HUGEINT mirrors decimal(38,0), `//` mirrors intDivExact
     // (both truncate toward zero; operands nonnegative here)

@@ -92,7 +92,13 @@ object PlanGateSpec {
     "q149_pq_codes" -> 5L,
     "q64_tfidf" -> 6L,
     "q312_top_movers" -> 6L,
-    "q352_info_gain" -> 18L)
+    "q352_info_gain" -> 18L,
+    // round-13 additions (q362's 25 = the lazy pair-mining chain listed
+    // by both curve branches; runtime ReuseExchange collapses them)
+    "q358_fleiss_kappa" -> 1L,
+    "q359_bpe_merges" -> 2L,
+    "q360_token_lookup" -> 3L,
+    "q362_dedup_sweep" -> 25L)
   def maxShuffles(name: String): Long = measured(name) + slack
 }
 
