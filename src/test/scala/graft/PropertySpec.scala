@@ -233,4 +233,25 @@ class PropertySpec extends SparkSuite {
     assert(a.nonEmpty, "empty manifest — vacuous")
     assert(a == b, s"layout-dependent manifest:\n4  -> $a\n13 -> $b")
   }
+
+  test("q67 CC labels are bit-identical across shuffle.partitions 4 vs " +
+    "13 (layout determinism of the iterative component loop)") {
+    // the other layout-sensitive machine: ConnectedComponents' round
+    // loop (per-round min aggregations + convergence via observe). The
+    // min-label contract is order-free BY ALGEBRA (min is commutative),
+    // but a regression that slipped a first()/limit/partition-id into a
+    // round would surface exactly here.
+    def labels(parts: Int): Seq[(Long, Long, Boolean)] = {
+      val s = spark.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", parts)
+      SparkEntry.queries("q67_dedup_clusters")(s, "/root/testdata/sf0.001")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    }
+    val a = labels(4)
+    val b = labels(13)
+    assert(a.nonEmpty && a.exists(!_._3),
+      "no multi-doc cluster — vacuous fixture")
+    assert(a == b, "layout-dependent CC labels")
+  }
 }
