@@ -159,6 +159,41 @@ class ConnectedComponentsSpec extends SparkSuite {
     assert(perArm1(4L) == 3L && perArm1(1L) == 0L && perArm1(10L) == 10L)
   }
 
+  test("job floor holds: the observe-fold keeps one driver action per " +
+    "round (measured 35 jobs on the two-path fixture, +2 slack)") {
+    // pins ANALYSIS_r13_ccfloor's win structurally: a separate
+    // convergence count() reappearing adds ~1 job per round (this
+    // fixture runs ~5 rounds → would read ≥ 40). AQE query-stage jobs
+    // are part of the measured floor; the pin is for THIS Spark version
+    // (re-measure on upgrade, like the PlanGate pins).
+    import org.apache.spark.scheduler._
+    import org.apache.spark.sql.functions.{col, lit}
+    import java.util.concurrent.atomic.AtomicInteger
+    val nodes = spark.range(0, 12).toDF("id")
+    val edges = spark.range(0, 5)
+      .select(col("id").as("a"), (col("id") + lit(1L)).as("b"))
+      .unionAll(spark.range(6, 11)
+        .select(col("id").as("a"), (col("id") + lit(1L)).as("b")))
+    // warm run: JIT + codegen compilation jobs are not part of the floor
+    ConnectedComponents.components(nodes, edges, "id", "a", "b").unpersist()
+    val jobs = new AtomicInteger
+    val l = new SparkListener {
+      override def onJobStart(e: SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    val c = ConnectedComponents.components(nodes, edges, "id", "a", "b")
+    // components() is eager — every round's jobs have been submitted by
+    // now; wait for the async listener bus to drain before reading
+    Thread.sleep(2000)
+    spark.sparkContext.removeSparkListener(l)
+    c.unpersist()
+    assert(jobs.get <= 35 + 2,
+      s"CC round floor regressed: ${jobs.get} jobs > measured 35+2 — " +
+        "did a per-round action (convergence count?) come back?")
+  }
+
   test("non-convergence within maxIter fails loudly instead of truncating") {
     // the failure path must also release its iteration caches: nothing
     // caller-visible references them after the throw
