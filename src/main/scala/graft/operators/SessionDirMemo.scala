@@ -16,8 +16,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * aspirational: at most two (session, dir) builds are pinned, and the
   * least-recently-used is dropped the moment a third key comes through —
   * so a stopped session is held only until two newer builds, never for
-  * the JVM's life; the evicted checkpoint's blocks are unpersisted
-  * eagerly at eviction (best-effort), not left to GC + ContextCleaner.
+  * the JVM's life. An evicted checkpoint's blocks are released as soon
+  * as it is SAFE, not as soon as it is evicted: eager unpersist of a
+  * localCheckpoint'd frame that a caller still holds would hard-fail
+  * that reader (lineage is truncated — there is nothing to recompute;
+  * the old GC + ContextCleaner path only ever cleaned UNREACHABLE RDDs
+  * and could never do that, so eager eviction is NOT equivalent to it,
+  * ADVICE r13). Instead eviction parks the frames' cached RDDs behind a
+  * WeakReference to the frame, and each subsequent `get` sweeps the
+  * parking lot: once the frame is weakly unreachable — no caller can
+  * ever read it again — its blocks are unpersisted immediately. Live
+  * holders keep working; abandoned builds free within one memo access
+  * of becoming garbage (vs ContextCleaner's unbounded GC latency).
   *
   * Two slots, not one (round-11 verdict item 5): the driver's real
   * access pattern interleaves TWO dirs in one session — the correctness
@@ -37,9 +47,35 @@ private[graft] class SessionDirMemoOf[V](frames: V => Seq[DataFrame]) {
   private val capacity = 2
   // most-recently-used first; length ≤ capacity
   private var slots: List[(SparkSession, String, V)] = Nil
+  // Evicted-but-possibly-still-read builds: the frame held weakly (so a
+  // caller that kept the returned DataFrame keeps it valid), its cached
+  // RDDs held strongly (so WE control when the blocks go, not GC timing).
+  // Swept on every get(); an entry whose frame reference has cleared can
+  // have no reader left, so its blocks are unpersisted then and there.
+  private var parked: List[(java.lang.ref.WeakReference[DataFrame],
+    Seq[org.apache.spark.rdd.RDD[_]])] = Nil
+
+  private def cachedRdds(df: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
+    try
+      df.queryExecution.logical.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }
+    catch { case scala.util.control.NonFatal(_) => Nil }
+
+  private def sweepParked(): Unit = {
+    val (dead, live) = parked.partition(_._1.get == null)
+    parked = live
+    dead.foreach { case (_, rdds) =>
+      rdds.foreach { r =>
+        try r.unpersist(blocking = false)
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+    }
+  }
 
   def get(s: SparkSession, dir: String)(build: => V): V =
     synchronized {
+      sweepParked()
       slots.find { case (ss, d, _) => (ss eq s) && d == dir } match {
         case Some(hit @ (_, _, v)) =>
           slots = hit :: slots.filterNot(_ eq hit)
@@ -48,21 +84,17 @@ private[graft] class SessionDirMemoOf[V](frames: V => Seq[DataFrame]) {
           val built = build
           val (kept, evicted) = ((s, dir, built) :: slots).splitAt(capacity)
           slots = kept
-          // Release the evicted build's checkpoint blocks NOW (ADVICE
-          // r12) instead of waiting for GC + ContextCleaner to notice the
-          // dropped reference — a stale sf-dir's blocks otherwise linger
-          // for an unbounded time. Best-effort and non-blocking: eviction
-          // only happens when a THIRD (session, dir) shows up, and the
-          // driver runs dirs sequentially, so nothing should be mid-read;
-          // if something is, the unpersist degrades that reader to a
-          // recompute-or-fail it would also have hit under a GC'd slot.
+          // Park rather than unpersist (ADVICE r13): a caller that still
+          // holds the evicted frame would hard-fail on an eager unpersist
+          // of a lineage-truncated localCheckpoint. The sweep above frees
+          // each parked build's blocks on the first get() after its frame
+          // becomes unreachable — bounded retention without ever breaking
+          // a live reader.
           evicted.foreach { case (_, _, v) =>
             frames(v).foreach { df =>
-              try
-                df.queryExecution.logical.collect {
-                  case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-                }.foreach(_.unpersist(blocking = false))
-              catch { case scala.util.control.NonFatal(_) => () }
+              val rdds = cachedRdds(df)
+              if (rdds.nonEmpty)
+                parked ::= (new java.lang.ref.WeakReference(df), rdds)
             }
           }
           built
@@ -71,6 +103,10 @@ private[graft] class SessionDirMemoOf[V](frames: V => Seq[DataFrame]) {
 
   /** Test hook: how many distinct builds are currently pinned. */
   private[graft] def pinned: Int = synchronized(slots.size)
+
+  /** Test hooks: evicted builds awaiting release, and a forced sweep. */
+  private[graft] def parkedCount: Int = synchronized(parked.size)
+  private[graft] def sweepNow(): Unit = synchronized(sweepParked())
 }
 
 /** The common single-frame instance (most memoized stages are one

@@ -1093,9 +1093,10 @@ object CurationQueries extends QueryPack {
     * df-gated [[graft.operators.DedupPipeline.nearDupPairs]] chain. */
   private def q357(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.DedupPipeline
-    import graft.functions.Hashing
-    val (docs, _, _, _, _, mixed0) = corpusStages(s, dir)
-    val mixed = mixed0.localCheckpoint(true)
+    // mixed0 is already a materialized leaf (the mix-stage memo hands out
+    // a checkpointed frame); re-checkpointing it here duplicated the
+    // cached blocks and never released the copy (ADVICE r13).
+    val (docs, _, _, _, _, mixed) = corpusStages(s, dir)
     def check(name: String, observed: org.apache.spark.sql.Column,
         src: DataFrame, lo: Long, hi: Long): DataFrame =
       src.agg(coalesce(observed, lit(0L)).as("observed"))

@@ -268,10 +268,14 @@ object EvalQueries extends QueryPack {
           sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"))
         // sign via exact comparison on the decimal(38,0) numerator —
         // the r12 form cast to decimal(38,2) first, which in non-ANSI
-        // mode nulls out at |num| ≥ 1e36 and silently mis-counts the
-        // segment (ADVICE r12); comparing against 0 never narrows
-        .withColumn("num", col("n") * col("sxy") -
-          col("sx").cast("decimal(38,0)") * col("sy"))
+        // mode nulled out at |num| ≥ 1e36; this form moves the cliff to
+        // ~1e38 (n·Σxy itself can still overflow decimal(38,0)), and the
+        // requireNotNull guard makes that cliff LOUD instead of letting
+        // an overflowed segment contribute sign 0 (ADVICE r13)
+        .withColumn("num", graft.functions.Rounding.requireNotNull(
+          col("n") * col("sxy") -
+            col("sx").cast("decimal(38,0)") * col("sy"),
+          "q343 covariance numerator overflowed decimal(38,0)"))
         .withColumn("sgn", when(col("num") > 0, 1L)
           .when(col("num") < 0, -1L).otherwise(0L))
     val overall = covSign(base, Seq("event_type"))

@@ -40,8 +40,9 @@ class SessionDirMemoSpec extends SparkSuite {
     assert(builds == 4, "/b should have been evicted and need a rebuild")
   }
 
-  test("eviction unpersists the evicted build's checkpoint blocks " +
-    "eagerly (ADVICE r12) and leaves the kept slots' blocks alone") {
+  test("an evicted build a caller still holds keeps its checkpoint " +
+    "blocks and stays readable (ADVICE r13 — eager unpersist would " +
+    "hard-fail a live reader of a lineage-truncated checkpoint)") {
     val memo = new SessionDirMemo
     def ckpt(tag: Int) = df(tag).localCheckpoint(true)
     def blocksOf(d: org.apache.spark.sql.DataFrame) =
@@ -51,16 +52,45 @@ class SessionDirMemoSpec extends SparkSuite {
     val a = memo.get(spark, "/a")(ckpt(10))
     val b = memo.get(spark, "/b")(ckpt(11))
     memo.get(spark, "/a")(fail("warm")) // /b becomes LRU
-    memo.get(spark, "/c")(ckpt(12))     // evicts /b
+    memo.get(spark, "/c")(ckpt(12))     // evicts /b — but we still hold b
+    assert(memo.parkedCount == 1)
     val persisted = spark.sparkContext.getPersistentRDDs.keySet
-    assert(blocksOf(b).forall(!persisted.contains(_)),
-      "evicted /b's checkpoint blocks were not unpersisted")
+    assert(blocksOf(b).forall(persisted.contains),
+      "a still-held evicted frame lost its blocks — live reader broken")
+    assert(b.count() == 11, "the held evicted frame must remain readable")
     assert(blocksOf(a).forall(persisted.contains),
       "kept slot /a lost its blocks to the eviction")
   }
 
-  test("multi-frame values (SessionDirMemoOf) unpersist EVERY member " +
-    "frame on eviction — a k-means fit's centroids AND assignment") {
+  test("once the evicted frame is unreachable, the next memo access " +
+    "sweeps its blocks — bounded retention without breaking readers") {
+    val memo = new SessionDirMemo
+    def ckpt(tag: Int) = df(tag).localCheckpoint(true)
+    var b: org.apache.spark.sql.DataFrame =
+      memo.get(spark, "/b")(ckpt(11))
+    val bBlocks = b.queryExecution.logical.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+    }.toSet
+    memo.get(spark, "/a")(ckpt(10))
+    memo.get(spark, "/c")(ckpt(12)) // evicts /b into the parking lot
+    assert(memo.parkedCount == 1)
+    b = null // drop the last strong reference to the evicted frame
+    // WeakReference clearing needs a GC cycle; retry a few times — the
+    // reference is small and young, so one or two collections suffice.
+    var tries = 0
+    while (memo.parkedCount > 0 && tries < 20) {
+      System.gc(); Thread.sleep(50); memo.sweepNow(); tries += 1
+    }
+    assert(memo.parkedCount == 0,
+      "the unreachable evicted build was never swept")
+    val persisted = spark.sparkContext.getPersistentRDDs.keySet
+    assert(bBlocks.forall(!persisted.contains(_)),
+      "swept build's checkpoint blocks were not unpersisted")
+  }
+
+  test("multi-frame values (SessionDirMemoOf) park EVERY member frame " +
+    "on eviction and sweep each once unreachable — a k-means fit's " +
+    "centroids AND assignment") {
     val memo = new SessionDirMemoOf[
       (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)](
       p => Seq(p._1, p._2))
@@ -70,12 +100,21 @@ class SessionDirMemoSpec extends SparkSuite {
         case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
       }.toSet
     val a = memo.get(spark, "/a")((ckpt(10), ckpt(11)))
-    val b = memo.get(spark, "/b")((ckpt(12), ckpt(13)))
+    var b: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
+      memo.get(spark, "/b")((ckpt(12), ckpt(13)))
+    val bBlocks = blocksOf(b._1) ++ blocksOf(b._2)
     memo.get(spark, "/a")(fail("warm")) // /b becomes LRU
     memo.get(spark, "/c")((ckpt(14), ckpt(15))) // evicts /b
+    assert(memo.parkedCount == 2, "both member frames must be parked")
+    b = null
+    var tries = 0
+    while (memo.parkedCount > 0 && tries < 20) {
+      System.gc(); Thread.sleep(50); memo.sweepNow(); tries += 1
+    }
+    assert(memo.parkedCount == 0)
     val persisted = spark.sparkContext.getPersistentRDDs.keySet
-    assert((blocksOf(b._1) ++ blocksOf(b._2)).forall(!persisted.contains(_)),
-      "an evicted tuple member's checkpoint blocks were not unpersisted")
+    assert(bBlocks.forall(!persisted.contains(_)),
+      "a swept tuple member's checkpoint blocks were not unpersisted")
     assert((blocksOf(a._1) ++ blocksOf(a._2)).forall(persisted.contains),
       "a kept tuple slot lost blocks to the eviction")
   }
