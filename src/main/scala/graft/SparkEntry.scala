@@ -17,7 +17,7 @@ object SparkEntry {
     DedupQueries, SimilarityQueries, MultimodalQueries, ExtraQueries,
     ArrayQueries, TpchQueries, EventOpsQueries, QualityQueries,
     ScaleQueries, CurationQueries, GraphQueries, TemporalQueries,
-    CorpusStatsQueries, EvalQueries)
+    CorpusStatsQueries, EvalQueries, QualityModelQueries)
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. The reference's
     * predictor contract (per-group next-step OLS forecast) over `events`. */

@@ -1,0 +1,258 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryPack, Tables}
+import graft.functions.{Rounding, TextAnalysis}
+
+/** TRAINED-model quality filters — the two standard learned gates a
+  * 100 TB pretraining pipeline runs after the rule-based screens
+  * (QualityQueries) and before mixing (CurationQueries):
+  *
+  *   - q363: a multinomial Naive-Bayes reference-vs-rest classifier (the
+  *     GPT-3/CCNet "looks like the reference corpus" quality gate) —
+  *     trained, applied to a held-out split, and emitted as a confusion
+  *     census so the gate's precision/recall is itself an oracle-checked
+  *     fact, not a promise.
+  *   - q364: an add-one bigram language-model cross-entropy scorer (the
+  *     CCNet perplexity filter) — trained on the reference slice, scoring
+  *     EVERY document, emitted as a per-language census that directly
+  *     exhibits the filter's separation (reference-like text scores low).
+  *
+  * Both are pure aggregation + join pipelines: train = one explode + one
+  * map-side-combined count aggregation (model is VOCAB-scale, never
+  * corpus-scale); apply = explode + model join (broadcast when the model
+  * fits, AQE decides) + per-doc re-aggregation; census = a bounded-key
+  * aggregate. No UDFs, no driver-side loops, no iteration — one pass to
+  * train, one to score, at any corpus size.
+  *
+  * Float discipline is the q350/q115 house pattern: every ln runs on a
+  * ratio of exact-in-double integer products (documented bound: factors
+  * < 2^53), each term floors onto the e6 grid BEFORE any cross-row sum,
+  * so the only order-sensitive float step is eliminated — per-doc scores
+  * and census sums are exact int64 on both engines. */
+object QualityModelQueries extends QueryPack {
+
+  import Rounding.{intDiv, intDivSql}
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  private def dbl(c: Column): Column = c.cast("double")
+
+  /** e6-floored natural log of a ratio of integer-exact doubles — the
+    * q350 construction, shared by both queries here. */
+  private def lnE6(num: Column, den: Column): Column =
+    floor(log(num / den) * lit(1000000.0) + lit(0.5)).cast("long")
+
+  /** Naive-Bayes reference-vs-rest quality classifier, trained AND
+    * audited in one query. Weak label: lang = 'en' (the reference-corpus
+    * stand-in — the classic gate trains "WebText vs CommonCrawl"; the
+    * synthetic corpus's analogue is its English slice). Deterministic
+    * 80/20 split on doc_id % 5 keeps the audit honest: the model never
+    * sees the docs it is scored on. Per-token log-likelihood ratio with
+    * Laplace smoothing,
+    *   llr(t) = ln[ (c_pos(t)+1)·(N_neg+V) ] − ln[ (c_neg(t)+1)·(N_pos+V) ],
+    * each token's llr floored to the e6 grid; a held-out doc's score is
+    * the EXACT long sum of its tokens' llr_e6 (multiplicity counted —
+    * multinomial NB) plus the e6 class prior ln(d_pos/d_neg). Tokens
+    * unseen in training fall out of the same formula at c=0 via the left
+    * join's coalesce — no special case. Output: the confusion census
+    * (actual × predicted-at-threshold-0) with doc counts and exact
+    * score-sum/min/max per cell — the numbers a pipeline owner reads to
+    * set the gate's threshold and know its false-positive cost.
+    * Scale: model build is one token-keyed count aggregation (vocab-scale
+    * result); scoring joins the token stream to the model on its key and
+    * re-aggregates per doc; the census is 4 rows. The 1-row totals ride a
+    * broadcast. Ln-argument factors stay < 2^53 up to ~4·10^15 training
+    * tokens per class — beyond that, shift the lattice construction to
+    * decimal products (documented bound, q286 convention). */
+  private def q363(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"),
+      (col("lang") === "en").cast("long").as("y"),
+      (col("doc_id") % 5 =!= 0).cast("long").as("is_train"))
+    val toks = d.select(col("doc_id"), col("y"), col("is_train"),
+      explode(TextAnalysis.tokensCol(col("text"))).as("tok"))
+    val model = toks.filter(col("is_train") === 1L)
+      .groupBy("tok")
+      .agg(sum("y").as("c_pos"), (count(lit(1)) - sum("y")).as("c_neg"))
+    val totals = model
+      .agg(sum("c_pos").as("n_pos"), sum("c_neg").as("n_neg"),
+        count(lit(1)).as("v"))
+      .crossJoin(d.filter(col("is_train") === 1L)
+        .agg(sum("y").as("d_pos"), (count(lit(1)) - sum("y")).as("d_neg")))
+    val scored = toks.filter(col("is_train") === 0L)
+      .join(model, Seq("tok"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("y"),
+        lnE6(
+          dbl(coalesce(col("c_pos"), lit(0L)) + lit(1L)) *
+            dbl(col("n_neg") + col("v")),
+          dbl(coalesce(col("c_neg"), lit(0L)) + lit(1L)) *
+            dbl(col("n_pos") + col("v"))).as("llr_e6"),
+        lnE6(dbl(col("d_pos")), dbl(col("d_neg"))).as("prior_e6"))
+    scored.groupBy("doc_id", "y")
+      .agg((sum("llr_e6") + first("prior_e6")).as("score_e6"))
+      .select(col("y").as("actual_en"),
+        (col("score_e6") > 0L).cast("long").as("predicted_en"),
+        col("score_e6"))
+      .groupBy("actual_en", "predicted_en")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("score_e6").as("sum_score_e6"),
+        min("score_e6").as("min_score_e6"),
+        max("score_e6").as("max_score_e6"))
+      .orderBy("actual_en", "predicted_en")
+  }
+
+  /** Add-one bigram LM cross-entropy scorer — the CCNet perplexity
+    * filter's exact-integer twin. Trained on the reference slice (the
+    * English training split, consistent with q363's reference), the model
+    * is two vocab-scale tables: bigram counts c12(w1,w2) and context
+    * counts c1(w1) = Σ_w2 c12. Every document (all languages, both
+    * splits) is scored by its mean per-bigram negative log-probability
+    *   nll(w1,w2) = ln( (c1(w1)+V) / (c12(w1,w2)+1) )   [add-one],
+    * each term e6-floored before the per-doc sum, the mean an exact
+    * truncating division of non-negative longs (nll ≥ 0 always:
+    * c1 ≥ c12 and V ≥ 1). Unseen contexts and bigrams fall out of the
+    * same formula at c=0 via left-join coalesce. Output: per-language
+    * census — doc count, mean/min/max cross-entropy (e6 nats), and how
+    * many docs a gate at 3.4 nats would drop — the table a pipeline
+    * owner reads to place the CCNet head/middle/tail cut points.
+    * Scale: bigram build is the q321/q329 per-doc lead window (doc-keyed,
+    * never global); model joins are key-partitioned (broadcast when the
+    * vocab fits); census keys are the bounded language set. */
+  private def q364(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir)
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    def bigrams(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), col("lang"),
+          posexplode(TextAnalysis.tokensCol(col("text")))
+            .as(Seq("pos", "tok")))
+        .withColumn("w2", lead("tok", 1).over(w))
+        .filter(col("w2").isNotNull)
+        .select(col("doc_id"), col("lang"), col("tok").as("w1"), col("w2"))
+    val ref = base.filter(col("lang") === "en" && col("doc_id") % 5 =!= 0)
+    val big = bigrams(ref).groupBy("w1", "w2")
+      .agg(count(lit(1)).as("c12"))
+    val ctx = big.groupBy("w1").agg(sum("c12").as("c1"))
+    val vocab = ref
+      .select(explode(TextAnalysis.tokensCol(col("text"))).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    val terms = bigrams(base)
+      .join(big, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), col("lang"),
+        lnE6(dbl(coalesce(col("c1"), lit(0L)) + col("v")),
+          dbl(coalesce(col("c12"), lit(0L)) + lit(1L))).as("nll_e6"))
+    terms.groupBy("doc_id", "lang")
+      .agg(intDiv(sum("nll_e6"), count(lit(1))).as("ce_e6"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        intDiv(sum("ce_e6"), count(lit(1))).as("mean_ce_e6"),
+        min("ce_e6").as("min_ce_e6"),
+        max("ce_e6").as("max_ce_e6"),
+        sum((col("ce_e6") > 3400000L).cast("long")).as("n_above_gate"))
+      .orderBy("lang")
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q363_nb_classifier" -> (q363 _),
+    "q364_lm_cross_entropy" -> (q364 _))
+
+  val oracle: Map[String, String] = Map(
+    // same split, same Laplace llr lattice, same left-join coalesce
+    "q363_nb_classifier" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, CAST(lang = 'en' AS BIGINT) AS y,
+        |    CAST(doc_id % 5 <> 0 AS BIGINT) AS is_train
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, y, is_train,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        |  FROM d),
+        |model AS (
+        |  SELECT tok, CAST(sum(y) AS BIGINT) AS c_pos,
+        |    CAST(count(*) - sum(y) AS BIGINT) AS c_neg
+        |  FROM toks WHERE is_train = 1 GROUP BY tok),
+        |tot AS (
+        |  SELECT CAST(sum(c_pos) AS BIGINT) AS n_pos,
+        |    CAST(sum(c_neg) AS BIGINT) AS n_neg,
+        |    CAST(count(*) AS BIGINT) AS v
+        |  FROM model),
+        |pri AS (
+        |  SELECT CAST(sum(y) AS BIGINT) AS d_pos,
+        |    CAST(count(*) - sum(y) AS BIGINT) AS d_neg
+        |  FROM d WHERE is_train = 1),
+        |scored AS (
+        |  SELECT t.doc_id, t.y,
+        |    CAST(floor(ln(
+        |        (CAST(coalesce(m.c_pos, 0) + 1 AS DOUBLE) *
+        |          CAST(n_neg + v AS DOUBLE)) /
+        |        (CAST(coalesce(m.c_neg, 0) + 1 AS DOUBLE) *
+        |          CAST(n_pos + v AS DOUBLE)))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS llr_e6,
+        |    CAST(floor(ln(CAST(d_pos AS DOUBLE) / CAST(d_neg AS DOUBLE))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS prior_e6
+        |  FROM toks t LEFT JOIN model m USING (tok), tot, pri
+        |  WHERE t.is_train = 0),
+        |pd AS (
+        |  SELECT doc_id, y,
+        |    CAST(sum(llr_e6) + min(prior_e6) AS BIGINT) AS score_e6
+        |  FROM scored GROUP BY doc_id, y)
+        |SELECT y AS actual_en,
+        |  CAST(score_e6 > 0 AS BIGINT) AS predicted_en,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(score_e6) AS BIGINT) AS sum_score_e6,
+        |  CAST(min(score_e6) AS BIGINT) AS min_score_e6,
+        |  CAST(max(score_e6) AS BIGINT) AS max_score_e6
+        |FROM pd GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // same per-doc lead bigrams, same add-one lattice, same trunc mean
+    "q364_lm_cross_entropy" -> {
+      val ce = intDivSql("sum(nll_e6)", "count(*)")
+      val mean = intDivSql("sum(ce_e6)", "count(*)")
+      s"""WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+        |      AS tok,
+        |    unnest(generate_series(1,
+        |      len(regexp_split_to_array(lower(trim(text)), '\\s+'))))
+        |      AS pos
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, lang, tok AS w1,
+        |    lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |  FROM toks),
+        |bg2 AS (SELECT * FROM bg WHERE w2 IS NOT NULL),
+        |refbg AS (
+        |  SELECT * FROM bg2 WHERE lang = 'en' AND doc_id % 5 <> 0),
+        |big AS (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        |  FROM refbg GROUP BY 1, 2),
+        |ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1
+        |        FROM big GROUP BY 1),
+        |vocab AS (
+        |  SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+        |  FROM toks WHERE lang = 'en' AND doc_id % 5 <> 0),
+        |terms AS (
+        |  SELECT b.doc_id, b.lang,
+        |    CAST(floor(ln(
+        |        CAST(coalesce(c.c1, 0) + v AS DOUBLE) /
+        |        CAST(coalesce(g.c12, 0) + 1 AS DOUBLE))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS nll_e6
+        |  FROM bg2 b
+        |  LEFT JOIN big g ON b.w1 = g.w1 AND b.w2 = g.w2
+        |  LEFT JOIN ctx c ON b.w1 = c.w1, vocab),
+        |pd AS (
+        |  SELECT doc_id, lang, $ce AS ce_e6
+        |  FROM terms GROUP BY doc_id, lang)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  $mean AS mean_ce_e6,
+        |  CAST(min(ce_e6) AS BIGINT) AS min_ce_e6,
+        |  CAST(max(ce_e6) AS BIGINT) AS max_ce_e6,
+        |  CAST(sum(CAST(ce_e6 > 3400000 AS BIGINT)) AS BIGINT)
+        |    AS n_above_gate
+        |FROM pd GROUP BY lang ORDER BY lang""".stripMargin
+    })
+}

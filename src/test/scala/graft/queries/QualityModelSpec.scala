@@ -1,0 +1,97 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSuite}
+import org.apache.spark.sql.functions._
+
+/** Semantics of the trained-model quality gates (q363 NB classifier,
+  * q364 bigram-LM cross-entropy) that the DuckDB hash cannot pin alone:
+  * the models must actually LEARN — on a controlled corpus with a real
+  * class signal the classifier must separate perfectly and the LM must
+  * score in-distribution text strictly cheaper — plus the census
+  * accounting invariants on the driver's own test data. */
+class QualityModelSpec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  /** A corpus with DISJOINT vocabularies per language: English docs
+    * speak only {alpha..delta}, the rest only {omega..sigma}. Any
+    * learner worth shipping separates this perfectly. */
+  private lazy val disjointDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_qm").toString
+    val rows = (0L until 40L).map { i =>
+      val en = i % 2 == 0
+      val words =
+        if (en) Seq("alpha", "beta", "gamma", "delta")
+        else Seq("omega", "psi", "rho", "sigma")
+      // vary doc length deterministically so token counts differ
+      val text = Iterator.continually(words).flatten
+        .take(8 + (i % 5).toInt).mkString(" ")
+      (i, text, if (en) "en" else "xx", s"src${i % 3}", text.length.toLong)
+    }
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q363 separates a disjoint-vocabulary corpus perfectly — the " +
+    "confusion census has no off-diagonal cells") {
+    val cells = SparkEntry.queries("q363_nb_classifier")(spark, disjointDir)
+      .collect()
+      .map(r => (r.getAs[Long]("actual_en"), r.getAs[Long]("predicted_en")))
+      .toSet
+    assert(cells == Set((0L, 0L), (1L, 1L)),
+      s"off-diagonal confusion cells on a separable corpus: $cells")
+  }
+
+  test("q364 scores in-distribution (en) text strictly cheaper than " +
+    "out-of-distribution text on the disjoint-vocabulary corpus") {
+    val census = SparkEntry.queries("q364_lm_cross_entropy")(
+        spark, disjointDir)
+      .collect().map(r => r.getAs[String]("lang") ->
+        r.getAs[Long]("mean_ce_e6")).toMap
+    assert(census("en") < census("xx"),
+      s"LM did not prefer its own training distribution: $census")
+    // every en bigram was seen in training or is the held-out tail of
+    // the same tiny loop vocabulary — its max must stay under the gate
+    assert(census.keySet == Set("en", "xx"))
+  }
+
+  test("q363 census partitions the held-out split exactly and each " +
+    "cell's sum/min/max are mutually consistent") {
+    val rows = q("q363_nb_classifier").collect()
+    val heldOut = graft.Tables.load(spark, sf, "documents")
+      .filter(col("doc_id") % 5 === 0).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == heldOut,
+      "confusion cells must partition the held-out docs")
+    rows.foreach { r =>
+      val (n, s, mn, mx) = (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("sum_score_e6"), r.getAs[Long]("min_score_e6"),
+        r.getAs[Long]("max_score_e6"))
+      assert(mn <= mx && n * mn <= s && s <= n * mx,
+        s"incoherent cell stats: $r")
+      // prediction is sign(score): every score in a predicted-1 cell is
+      // positive, every score in a predicted-0 cell is <= 0
+      if (r.getAs[Long]("predicted_en") == 1L) assert(mn > 0L, s"$r")
+      else assert(mx <= 0L, s"$r")
+    }
+  }
+
+  test("q364 census: counts cover every multi-token doc, gate count is " +
+    "bounded by the cell count, and nll means are non-negative") {
+    val rows = q("q364_lm_cross_entropy").collect()
+    val scorable = graft.Tables.load(spark, sf, "documents")
+      .filter(size(split(lower(trim(col("text"))), "\\s+")) >= 2).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == scorable,
+      "per-lang cells must cover every doc with at least one bigram")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_above_gate") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("min_ce_e6") >= 0L,
+        s"add-one nll can never be negative: $r")
+      assert(r.getAs[Long]("min_ce_e6") <= r.getAs[Long]("mean_ce_e6") &&
+        r.getAs[Long]("mean_ce_e6") <= r.getAs[Long]("max_ce_e6"), s"$r")
+    }
+  }
+}
