@@ -98,7 +98,10 @@ object PlanGateSpec {
     "q358_fleiss_kappa" -> 1L,
     "q359_bpe_merges" -> 2L,
     "q360_token_lookup" -> 3L,
-    "q362_dedup_sweep" -> 25L)
+    "q362_dedup_sweep" -> 25L,
+    // round-14: trained-model gates
+    "q363_nb_classifier" -> 7L,
+    "q364_lm_cross_entropy" -> 10L)
   def maxShuffles(name: String): Long = measured(name) + slack
 }
 
