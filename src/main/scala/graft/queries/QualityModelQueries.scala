@@ -46,6 +46,41 @@ object QualityModelQueries extends QueryPack {
   private def lnE6(num: Column, den: Column): Column =
     floor(log(num / den) * lit(1000000.0) + lit(0.5)).cast("long")
 
+  /** Shared NB scoring chain — train on the 80% split, score the
+    * held-out 20%: (doc_id, y, score_e6). Consumers: q363's confusion
+    * census, q365's threshold sweep, q366's gate-agreement census. Pure
+    * lazy (no memo): each consumer re-plans it, and the whole chain is
+    * two aggregations + one vocab-keyed join — cheap enough that a
+    * checkpoint would cost more than it saves at gate SFs, and at 100 TB
+    * a production run materializes the per-doc score table once anyway. */
+  private def nbDocScores(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"),
+      (col("lang") === "en").cast("long").as("y"),
+      (col("doc_id") % 5 =!= 0).cast("long").as("is_train"))
+    val toks = d.select(col("doc_id"), col("y"), col("is_train"),
+      explode(TextAnalysis.tokensCol(col("text"))).as("tok"))
+    val model = toks.filter(col("is_train") === 1L)
+      .groupBy("tok")
+      .agg(sum("y").as("c_pos"), (count(lit(1)) - sum("y")).as("c_neg"))
+    val totals = model
+      .agg(sum("c_pos").as("n_pos"), sum("c_neg").as("n_neg"),
+        count(lit(1)).as("v"))
+      .crossJoin(d.filter(col("is_train") === 1L)
+        .agg(sum("y").as("d_pos"), (count(lit(1)) - sum("y")).as("d_neg")))
+    toks.filter(col("is_train") === 0L)
+      .join(model, Seq("tok"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("y"),
+        lnE6(
+          dbl(coalesce(col("c_pos"), lit(0L)) + lit(1L)) *
+            dbl(col("n_neg") + col("v")),
+          dbl(coalesce(col("c_neg"), lit(0L)) + lit(1L)) *
+            dbl(col("n_pos") + col("v"))).as("llr_e6"),
+        lnE6(dbl(col("d_pos")), dbl(col("d_neg"))).as("prior_e6"))
+      .groupBy("doc_id", "y")
+      .agg((sum("llr_e6") + first("prior_e6")).as("score_e6"))
+  }
+
   /** Naive-Bayes reference-vs-rest quality classifier, trained AND
     * audited in one query. Weak label: lang = 'en' (the reference-corpus
     * stand-in — the classic gate trains "WebText vs CommonCrawl"; the
@@ -68,32 +103,8 @@ object QualityModelQueries extends QueryPack {
     * broadcast. Ln-argument factors stay < 2^53 up to ~4·10^15 training
     * tokens per class — beyond that, shift the lattice construction to
     * decimal products (documented bound, q286 convention). */
-  private def q363(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir).select(col("doc_id"), col("text"),
-      (col("lang") === "en").cast("long").as("y"),
-      (col("doc_id") % 5 =!= 0).cast("long").as("is_train"))
-    val toks = d.select(col("doc_id"), col("y"), col("is_train"),
-      explode(TextAnalysis.tokensCol(col("text"))).as("tok"))
-    val model = toks.filter(col("is_train") === 1L)
-      .groupBy("tok")
-      .agg(sum("y").as("c_pos"), (count(lit(1)) - sum("y")).as("c_neg"))
-    val totals = model
-      .agg(sum("c_pos").as("n_pos"), sum("c_neg").as("n_neg"),
-        count(lit(1)).as("v"))
-      .crossJoin(d.filter(col("is_train") === 1L)
-        .agg(sum("y").as("d_pos"), (count(lit(1)) - sum("y")).as("d_neg")))
-    val scored = toks.filter(col("is_train") === 0L)
-      .join(model, Seq("tok"), "left")
-      .crossJoin(broadcast(totals))
-      .select(col("doc_id"), col("y"),
-        lnE6(
-          dbl(coalesce(col("c_pos"), lit(0L)) + lit(1L)) *
-            dbl(col("n_neg") + col("v")),
-          dbl(coalesce(col("c_neg"), lit(0L)) + lit(1L)) *
-            dbl(col("n_pos") + col("v"))).as("llr_e6"),
-        lnE6(dbl(col("d_pos")), dbl(col("d_neg"))).as("prior_e6"))
-    scored.groupBy("doc_id", "y")
-      .agg((sum("llr_e6") + first("prior_e6")).as("score_e6"))
+  private def q363(s: SparkSession, dir: String): DataFrame =
+    nbDocScores(s, dir)
       .select(col("y").as("actual_en"),
         (col("score_e6") > 0L).cast("long").as("predicted_en"),
         col("score_e6"))
@@ -103,7 +114,6 @@ object QualityModelQueries extends QueryPack {
         min("score_e6").as("min_score_e6"),
         max("score_e6").as("max_score_e6"))
       .orderBy("actual_en", "predicted_en")
-  }
 
   /** Add-one bigram LM cross-entropy scorer — the CCNet perplexity
     * filter's exact-integer twin. Trained on the reference slice (the
@@ -122,7 +132,11 @@ object QualityModelQueries extends QueryPack {
     * Scale: bigram build is the q321/q329 per-doc lead window (doc-keyed,
     * never global); model joins are key-partitioned (broadcast when the
     * vocab fits); census keys are the bounded language set. */
-  private def q364(s: SparkSession, dir: String): DataFrame = {
+  /** Shared LM scoring chain — train on the reference slice, score every
+    * multi-token doc: (doc_id, lang, ce_e6). Consumers: q364's per-lang
+    * census, q366's gate-agreement census. Lazy for the same reason as
+    * [[nbDocScores]]. */
+  private def lmDocCe(s: SparkSession, dir: String): DataFrame = {
     val base = docs(s, dir)
     val w = Window.partitionBy("doc_id").orderBy("pos")
     def bigrams(df: DataFrame): DataFrame =
@@ -139,15 +153,19 @@ object QualityModelQueries extends QueryPack {
     val vocab = ref
       .select(explode(TextAnalysis.tokensCol(col("text"))).as("tok"))
       .agg(countDistinct(col("tok")).as("v"))
-    val terms = bigrams(base)
+    bigrams(base)
       .join(big, Seq("w1", "w2"), "left")
       .join(ctx, Seq("w1"), "left")
       .crossJoin(broadcast(vocab))
       .select(col("doc_id"), col("lang"),
         lnE6(dbl(coalesce(col("c1"), lit(0L)) + col("v")),
           dbl(coalesce(col("c12"), lit(0L)) + lit(1L))).as("nll_e6"))
-    terms.groupBy("doc_id", "lang")
+      .groupBy("doc_id", "lang")
       .agg(intDiv(sum("nll_e6"), count(lit(1))).as("ce_e6"))
+  }
+
+  private def q364(s: SparkSession, dir: String): DataFrame =
+    lmDocCe(s, dir)
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
         intDiv(sum("ce_e6"), count(lit(1))).as("mean_ce_e6"),
@@ -155,16 +173,111 @@ object QualityModelQueries extends QueryPack {
         max("ce_e6").as("max_ce_e6"),
         sum((col("ce_e6") > 3400000L).cast("long")).as("n_above_gate"))
       .orderBy("lang")
+
+  /** Threshold sweep over the TRAINED classifier's held-out scores — the
+    * operating-point table that actually SETS q363's gate (q322 sweeps a
+    * value stump; this sweeps the learned score). The q322 scale lever
+    * verbatim: scores bucket onto the e1 grid (0.1-nat buckets —
+    * bucket = floor(score_e6 / 10⁵)), so the curve's row count is the
+    * DISTINCT-BUCKET count, never the held-out corpus; one aggregation
+    * counts per-bucket positives/negatives, one cumulative window over
+    * the bounded bucket table sweeps the threshold from the most
+    * reference-like score down, and precision/recall are exact e6
+    * rationals at every operating point. Named consumer: the threshold
+    * a pipeline owner picks for the q363 screen ahead of q353's quality
+    * stage — "keep everything scoring above bucket b" reads precision
+    * and recall straight off row b. */
+  private def q365(s: SparkSession, dir: String): DataFrame = {
+    import Rounding.intDivExact
+    val scored = nbDocScores(s, dir)
+      .select(
+        floor(dbl(col("score_e6")) / lit(100000.0)).cast("long")
+          .as("bucket"),
+        col("y").as("pos"))
+    val buckets = scored.groupBy("bucket")
+      .agg(sum("pos").as("n_pos"),
+        sum(lit(1L) - col("pos")).as("n_neg"))
+    val w = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = scored.agg(sum("pos").as("p_total"))
+    buckets
+      .withColumn("tp", sum("n_pos").over(w))
+      .withColumn("fp", sum("n_neg").over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_pos"), col("n_neg"),
+        col("tp"), col("fp"),
+        intDivExact(
+          col("tp").cast("decimal(38,0)") * lit(2000000L) +
+            (col("tp") + col("fp")),
+          lit(2L) * (col("tp") + col("fp"))).as("precision_e6"),
+        intDivExact(
+          col("tp").cast("decimal(38,0)") * lit(2000000L) + col("p_total"),
+          lit(2L) * col("p_total")).as("recall_e6"))
+      .orderBy(col("bucket").desc)
+  }
+
+  /** NB ⇄ LM gate-agreement census — the drop-one-gate decision for the
+    * two trained screens: over the held-out docs both models score, how
+    * often does "NB says reference-like" (score > 0) agree with "LM says
+    * in-distribution" (ce ≤ 3.4 nats)? One row: the 2×2 cell counts,
+    * raw agreement, and Cohen's κ (the q324 exact signed rational on the
+    * common n² denominator; unanimous marginals → NULL, the q358
+    * convention). κ → 1 means the perplexity gate is a redundant copy of
+    * the classifier (run the cheaper one); κ → 0 means they screen
+    * different failure modes (chain them and budget for the multiplied
+    * drop rate — the q338 reading, now for the LEARNED gates). Scale:
+    * both inputs are per-doc score tables keyed by doc_id; the join is
+    * key-partitioned and the census is one map-side-combined aggregation. */
+  private def q366(s: SparkSession, dir: String): DataFrame = {
+    import Rounding.intDivExact
+    val flags = nbDocScores(s, dir)
+      .select(col("doc_id"), (col("score_e6") > 0L).cast("long").as("nb"))
+      .join(lmDocCe(s, dir)
+        .select(col("doc_id"),
+          (col("ce_e6") <= 3400000L).cast("long").as("lm")),
+        "doc_id")
+    flags
+      .agg(count(lit(1)).as("n"),
+        sum((col("nb") === 1L && col("lm") === 1L).cast("long"))
+          .as("n_both_keep"),
+        sum((col("nb") === 1L && col("lm") === 0L).cast("long"))
+          .as("n_nb_only"),
+        sum((col("nb") === 0L && col("lm") === 1L).cast("long"))
+          .as("n_lm_only"),
+        sum((col("nb") === 0L && col("lm") === 0L).cast("long"))
+          .as("n_both_drop"))
+      .select(col("n"), col("n_both_keep"), col("n_nb_only"),
+        col("n_lm_only"), col("n_both_drop"),
+        intDivExact(
+          (col("n_both_keep") + col("n_both_drop")).cast("decimal(38,0)") *
+            lit(2000000L) + col("n"),
+          lit(2L) * col("n")).as("p_o_e6"),
+        {
+          val n = col("n").cast("decimal(38,0)")
+          val agree = (col("n_both_keep") + col("n_both_drop"))
+            .cast("decimal(38,0)")
+          val r1 = (col("n_both_keep") + col("n_nb_only"))
+            .cast("decimal(38,0)")
+          val c1 = (col("n_both_keep") + col("n_lm_only"))
+            .cast("decimal(38,0)")
+          val den = n * n - r1 * c1 - (n - r1) * (n - c1)
+          when(den === 0L, lit(null).cast("long")).otherwise(
+            intDivExact(
+              (agree * n - r1 * c1 - (n - r1) * (n - c1)) * lit(1000000L),
+              den)).as("kappa_e6")
+        })
   }
 
   val defs: Map[String, Q] = Map(
     "q363_nb_classifier" -> (q363 _),
-    "q364_lm_cross_entropy" -> (q364 _))
+    "q364_lm_cross_entropy" -> (q364 _),
+    "q365_nb_threshold_sweep" -> (q365 _),
+    "q366_gate_agreement" -> (q366 _))
 
-  val oracle: Map[String, String] = Map(
-    // same split, same Laplace llr lattice, same left-join coalesce
-    "q363_nb_classifier" ->
-      """WITH d AS (
+  /** Shared oracle CTE chain for [[nbDocScores]] — ends at
+    * `pd(doc_id, y, score_e6)`; q363/q365/q366 append their own census. */
+  private val nbPdCte: String =
+      """d AS (
         |  SELECT doc_id, text, CAST(lang = 'en' AS BIGINT) AS y,
         |    CAST(doc_id % 5 <> 0 AS BIGINT) AS is_train
         |  FROM documents),
@@ -200,19 +313,13 @@ object QualityModelQueries extends QueryPack {
         |pd AS (
         |  SELECT doc_id, y,
         |    CAST(sum(llr_e6) + min(prior_e6) AS BIGINT) AS score_e6
-        |  FROM scored GROUP BY doc_id, y)
-        |SELECT y AS actual_en,
-        |  CAST(score_e6 > 0 AS BIGINT) AS predicted_en,
-        |  CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(sum(score_e6) AS BIGINT) AS sum_score_e6,
-        |  CAST(min(score_e6) AS BIGINT) AS min_score_e6,
-        |  CAST(max(score_e6) AS BIGINT) AS max_score_e6
-        |FROM pd GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    // same per-doc lead bigrams, same add-one lattice, same trunc mean
-    "q364_lm_cross_entropy" -> {
-      val ce = intDivSql("sum(nll_e6)", "count(*)")
-      val mean = intDivSql("sum(ce_e6)", "count(*)")
-      s"""WITH toks AS (
+        |  FROM scored GROUP BY doc_id, y)""".stripMargin
+
+  /** Shared oracle CTE chain for [[lmDocCe]] — ends at
+    * `lpd(doc_id, lang, ce_e6)`; q364/q366 append their own census. */
+  private val lmPdCte: String = {
+    val ce = intDivSql("sum(nll_e6)", "count(*)")
+    s"""ltoks AS (
         |  SELECT doc_id, lang,
         |    unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
         |      AS tok,
@@ -223,7 +330,7 @@ object QualityModelQueries extends QueryPack {
         |bg AS (
         |  SELECT doc_id, lang, tok AS w1,
         |    lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
-        |  FROM toks),
+        |  FROM ltoks),
         |bg2 AS (SELECT * FROM bg WHERE w2 IS NOT NULL),
         |refbg AS (
         |  SELECT * FROM bg2 WHERE lang = 'en' AND doc_id % 5 <> 0),
@@ -234,7 +341,7 @@ object QualityModelQueries extends QueryPack {
         |        FROM big GROUP BY 1),
         |vocab AS (
         |  SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
-        |  FROM toks WHERE lang = 'en' AND doc_id % 5 <> 0),
+        |  FROM ltoks WHERE lang = 'en' AND doc_id % 5 <> 0),
         |terms AS (
         |  SELECT b.doc_id, b.lang,
         |    CAST(floor(ln(
@@ -244,15 +351,106 @@ object QualityModelQueries extends QueryPack {
         |  FROM bg2 b
         |  LEFT JOIN big g ON b.w1 = g.w1 AND b.w2 = g.w2
         |  LEFT JOIN ctx c ON b.w1 = c.w1, vocab),
-        |pd AS (
+        |lpd AS (
         |  SELECT doc_id, lang, $ce AS ce_e6
-        |  FROM terms GROUP BY doc_id, lang)
+        |  FROM terms GROUP BY doc_id, lang)""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    // same split, same Laplace llr lattice, same left-join coalesce
+    "q363_nb_classifier" ->
+      s"""WITH $nbPdCte
+        |SELECT y AS actual_en,
+        |  CAST(score_e6 > 0 AS BIGINT) AS predicted_en,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(score_e6) AS BIGINT) AS sum_score_e6,
+        |  CAST(min(score_e6) AS BIGINT) AS min_score_e6,
+        |  CAST(max(score_e6) AS BIGINT) AS max_score_e6
+        |FROM pd GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // same per-doc lead bigrams, same add-one lattice, same trunc mean
+    "q364_lm_cross_entropy" -> {
+      val mean = intDivSql("sum(ce_e6)", "count(*)")
+      s"""WITH $lmPdCte
         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |  $mean AS mean_ce_e6,
         |  CAST(min(ce_e6) AS BIGINT) AS min_ce_e6,
         |  CAST(max(ce_e6) AS BIGINT) AS max_ce_e6,
         |  CAST(sum(CAST(ce_e6 > 3400000 AS BIGINT)) AS BIGINT)
         |    AS n_above_gate
-        |FROM pd GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM lpd GROUP BY lang ORDER BY lang""".stripMargin
+    },
+    // same e1 score buckets, same desc cumulative window, same rationals
+    "q365_nb_threshold_sweep" -> {
+      val prec = Rounding.intDivExactSql(
+        "CAST(tp AS HUGEINT) * 2000000 + (tp + fp)", "2 * (tp + fp)")
+      val rec = Rounding.intDivExactSql(
+        "CAST(tp AS HUGEINT) * 2000000 + p_total", "2 * p_total")
+      s"""WITH $nbPdCte,
+        |sc AS (
+        |  SELECT CAST(floor(CAST(score_e6 AS DOUBLE) / 100000.0)
+        |      AS BIGINT) AS bucket,
+        |    y AS pos
+        |  FROM pd),
+        |buckets AS (
+        |  SELECT bucket, CAST(sum(pos) AS BIGINT) AS n_pos,
+        |    CAST(sum(1 - pos) AS BIGINT) AS n_neg
+        |  FROM sc GROUP BY bucket),
+        |ptot AS (SELECT CAST(sum(pos) AS BIGINT) AS p_total FROM sc),
+        |cum AS (
+        |  SELECT bucket, n_pos, n_neg,
+        |    CAST(sum(n_pos) OVER (ORDER BY bucket DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS tp,
+        |    CAST(sum(n_neg) OVER (ORDER BY bucket DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS fp
+        |  FROM buckets)
+        |SELECT bucket, n_pos, n_neg, tp, fp,
+        |  $prec AS precision_e6,
+        |  $rec AS recall_e6
+        |FROM cum, ptot ORDER BY bucket DESC""".stripMargin
+    },
+    // same per-doc flags, same q324 kappa rational, same NULL guard
+    "q366_gate_agreement" -> {
+      val po = Rounding.intDivExactSql(
+        "CAST(n_both_keep + n_both_drop AS HUGEINT) * 2000000 + n",
+        "2 * n")
+      val kap = Rounding.intDivExactSql(
+        "(CAST(n_both_keep + n_both_drop AS HUGEINT) * n" +
+          " - CAST(n_both_keep + n_nb_only AS HUGEINT) *" +
+          " (n_both_keep + n_lm_only)" +
+          " - CAST(n - n_both_keep - n_nb_only AS HUGEINT) *" +
+          " (n - n_both_keep - n_lm_only)) * 1000000",
+        "CAST(n AS HUGEINT) * n" +
+          " - CAST(n_both_keep + n_nb_only AS HUGEINT) *" +
+          " (n_both_keep + n_lm_only)" +
+          " - CAST(n - n_both_keep - n_nb_only AS HUGEINT) *" +
+          " (n - n_both_keep - n_lm_only)")
+      s"""WITH $nbPdCte,
+        |$lmPdCte,
+        |flags AS (
+        |  SELECT CAST(pd.score_e6 > 0 AS BIGINT) AS nb,
+        |    CAST(lpd.ce_e6 <= 3400000 AS BIGINT) AS lm
+        |  FROM pd JOIN lpd ON pd.doc_id = lpd.doc_id),
+        |cells AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(nb = 1 AND lm = 1 AS BIGINT)) AS BIGINT)
+        |      AS n_both_keep,
+        |    CAST(sum(CAST(nb = 1 AND lm = 0 AS BIGINT)) AS BIGINT)
+        |      AS n_nb_only,
+        |    CAST(sum(CAST(nb = 0 AND lm = 1 AS BIGINT)) AS BIGINT)
+        |      AS n_lm_only,
+        |    CAST(sum(CAST(nb = 0 AND lm = 0 AS BIGINT)) AS BIGINT)
+        |      AS n_both_drop
+        |  FROM flags)
+        |SELECT n, n_both_keep, n_nb_only, n_lm_only, n_both_drop,
+        |  $po AS p_o_e6,
+        |  CASE WHEN CAST(n AS HUGEINT) * n
+        |      - CAST(n_both_keep + n_nb_only AS HUGEINT) *
+        |        (n_both_keep + n_lm_only)
+        |      - CAST(n - n_both_keep - n_nb_only AS HUGEINT) *
+        |        (n - n_both_keep - n_lm_only) = 0
+        |    THEN NULL ELSE $kap END AS kappa_e6
+        |FROM cells""".stripMargin
     })
 }

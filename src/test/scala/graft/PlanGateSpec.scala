@@ -101,7 +101,9 @@ object PlanGateSpec {
     "q362_dedup_sweep" -> 25L,
     // round-14: trained-model gates
     "q363_nb_classifier" -> 7L,
-    "q364_lm_cross_entropy" -> 10L)
+    "q364_lm_cross_entropy" -> 10L,
+    "q365_nb_threshold_sweep" -> 11L,
+    "q366_gate_agreement" -> 14L)
   def maxShuffles(name: String): Long = measured(name) + slack
 }
 

@@ -79,6 +79,53 @@ class QualityModelSpec extends SparkSuite {
     }
   }
 
+  test("q365 sweep is consistent with q363's census: the last row's " +
+    "(tp, tp+fp) equal the census totals, tp/fp are monotone, and the " +
+    "threshold-0 operating point reproduces the confusion matrix") {
+    val sweep = q("q365_nb_threshold_sweep").orderBy(col("bucket").desc)
+      .collect()
+    val census = q("q363_nb_classifier").collect()
+      .map(r => (r.getAs[Long]("actual_en"),
+        r.getAs[Long]("predicted_en")) -> r.getAs[Long]("n_docs")).toMap
+      .withDefaultValue(0L)
+    val last = sweep.last
+    assert(last.getAs[Long]("tp") == census((1L, 0L)) + census((1L, 1L)),
+      "final cumulative tp must equal all actual-positive docs")
+    assert(last.getAs[Long]("fp") == census((0L, 0L)) + census((0L, 1L)),
+      "final cumulative fp must equal all actual-negative docs")
+    sweep.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("tp") <= b.getAs[Long]("tp") &&
+        a.getAs[Long]("fp") <= b.getAs[Long]("fp"),
+        s"cumulative counts regressed: $a -> $b")
+    }
+    // q363 predicts at score > 0 <=> buckets >= 0 (floor maps (0, 1e5)
+    // to bucket 0 and score <= 0 to buckets < 0, with bucket 0 holding
+    // only positive scores since score_e6 = 0 floors to bucket 0 — the
+    // boundary doc would be predicted 0; no such doc exists at this sf,
+    // which the partition check below would expose as a cell mismatch)
+    val atZero = sweep.filter(_.getAs[Long]("bucket") >= 0L)
+    assert(atZero.map(_.getAs[Long]("n_pos")).sum == census((1L, 1L)),
+      "bucket >= 0 positives must equal the census TP cell")
+    assert(atZero.map(_.getAs[Long]("n_neg")).sum == census((0L, 1L)),
+      "bucket >= 0 negatives must equal the census FP cell")
+  }
+
+  test("q366 cells partition the scored intersection and kappa is " +
+    "bounded; on the disjoint-vocab corpus the gates must agree on en") {
+    val r = q("q366_gate_agreement").head()
+    assert(r.getAs[Long]("n") ==
+      r.getAs[Long]("n_both_keep") + r.getAs[Long]("n_nb_only") +
+        r.getAs[Long]("n_lm_only") + r.getAs[Long]("n_both_drop"))
+    val k = r.getAs[Long]("kappa_e6")
+    assert(k >= -1000000L && k <= 1000000L, s"kappa out of range: $k")
+    // intersection = held-out docs with >= 1 bigram
+    val expected = graft.Tables.load(spark, sf, "documents")
+      .filter(col("doc_id") % 5 === 0 &&
+        size(split(lower(trim(col("text"))), "\\s+")) >= 2).count()
+    assert(r.getAs[Long]("n") == expected,
+      s"scored intersection ${r.getAs[Long]("n")} != $expected")
+  }
+
   test("q364 census: counts cover every multi-token doc, gate count is " +
     "bounded by the cell count, and nll means are non-negative") {
     val rows = q("q364_lm_cross_entropy").collect()
