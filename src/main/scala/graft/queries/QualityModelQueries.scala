@@ -54,31 +54,14 @@ object QualityModelQueries extends QueryPack {
     * checkpoint would cost more than it saves at gate SFs, and at 100 TB
     * a production run materializes the per-doc score table once anyway. */
   private def nbDocScores(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.QualityModels
     val d = docs(s, dir).select(col("doc_id"), col("text"),
       (col("lang") === "en").cast("long").as("y"),
       (col("doc_id") % 5 =!= 0).cast("long").as("is_train"))
-    val toks = d.select(col("doc_id"), col("y"), col("is_train"),
-      explode(TextAnalysis.tokensCol(col("text"))).as("tok"))
-    val model = toks.filter(col("is_train") === 1L)
-      .groupBy("tok")
-      .agg(sum("y").as("c_pos"), (count(lit(1)) - sum("y")).as("c_neg"))
-    val totals = model
-      .agg(sum("c_pos").as("n_pos"), sum("c_neg").as("n_neg"),
-        count(lit(1)).as("v"))
-      .crossJoin(d.filter(col("is_train") === 1L)
-        .agg(sum("y").as("d_pos"), (count(lit(1)) - sum("y")).as("d_neg")))
-    toks.filter(col("is_train") === 0L)
-      .join(model, Seq("tok"), "left")
-      .crossJoin(broadcast(totals))
-      .select(col("doc_id"), col("y"),
-        lnE6(
-          dbl(coalesce(col("c_pos"), lit(0L)) + lit(1L)) *
-            dbl(col("n_neg") + col("v")),
-          dbl(coalesce(col("c_neg"), lit(0L)) + lit(1L)) *
-            dbl(col("n_pos") + col("v"))).as("llr_e6"),
-        lnE6(dbl(col("d_pos")), dbl(col("d_neg"))).as("prior_e6"))
-      .groupBy("doc_id", "y")
-      .agg((sum("llr_e6") + first("prior_e6")).as("score_e6"))
+    val (model, totals) =
+      QualityModels.trainNb(d.filter(col("is_train") === 1L), "text", "y")
+    QualityModels.scoreNb(d.filter(col("is_train") === 0L),
+      Seq("doc_id", "y"), "text", model, totals)
   }
 
   /** Naive-Bayes reference-vs-rest quality classifier, trained AND

@@ -782,4 +782,55 @@ class StreamingSpec extends SparkSuite {
       s"${(manifest -- oneShot).take(3)} only streamed; " +
         s"${(oneShot -- manifest).take(3)} only one-shot")
   }
+
+  test("foreachBatch streaming NB scoring against the frozen trained " +
+    "model equals the batch scorer doc-for-doc under scrambled arrival") {
+    // the deployed shape of the q363 gate: train offline, FREEZE the
+    // model (production ships a table, localCheckpoint stands in here),
+    // score arrivals per micro-batch with the same scoreNb call the
+    // batch audit uses. Scoring is per-doc stateless — a doc's score
+    // depends only on its own tokens and the frozen model — so the
+    // stream must reproduce the batch scores EXACTLY regardless of how
+    // arrivals are chunked or ordered.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.QualityModels
+    val d = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"),
+        (col("lang") === "en").cast("long").as("y"))
+    val (model0, totals0) =
+      QualityModels.trainNb(d.filter(col("doc_id") % 5 =!= 0), "text", "y")
+    val model = model0.localCheckpoint(true)
+    val totals = totals0.localCheckpoint(true)
+    val heldOut = d.filter(col("doc_id") % 5 === 0)
+    val batchScores = QualityModels
+      .scoreNb(heldOut, Seq("doc_id"), "text", model, totals)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(batchScores.nonEmpty && batchScores.values.exists(_ != 0L))
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val streamed = scala.collection.mutable.Map[Long, Long]()
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val scores = QualityModels
+          .scoreNb(batch, Seq("doc_id"), "text", model, totals)
+          .collect().map(r => r.getLong(0) -> r.getLong(1))
+        streamed.synchronized { streamed ++= scores }
+        ()
+      }.start()
+    try {
+      val arrivals = heldOut.select("doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      arrivals.sortBy { case (i, _) => (i * 2654435761L) % 89 }
+        .grouped((arrivals.length + 2) / 3)
+        .foreach { chunk => mem.addData(chunk.toSeq: _*)
+          q.processAllAvailable() }
+    } finally q.stop()
+    assert(streamed.size == batchScores.size,
+      s"streamed ${streamed.size} docs, batch scored ${batchScores.size}")
+    val diff = streamed.filter { case (id, sc) => batchScores(id) != sc }
+    assert(diff.isEmpty,
+      s"scores diverge for ${diff.take(5)} (batch: " +
+        s"${diff.keys.take(5).map(batchScores).mkString(",")})")
+  }
 }
