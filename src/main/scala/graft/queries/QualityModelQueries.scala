@@ -53,23 +53,34 @@ object QualityModelQueries extends QueryPack {
     * two aggregations + one vocab-keyed join — cheap enough that a
     * checkpoint would cost more than it saves at gate SFs, and at 100 TB
     * a production run materializes the per-doc score table once anyway. */
+  /** The 80/20 train/held-out split, md5-uniform on doc_id — NOT
+    * `doc_id % 5`: ids here encode the source (doc_id % 20 IS the source
+    * index), so a modulus split silently partitions by source — four
+    * sources would never be trained on and be the only ones evaluated
+    * (the q357 stage-salting lesson, re-learned at model-train time). */
+  private[graft] def isTrain(id: Column): Column =
+    graft.functions.Hashing.md5U32(id.cast("string")) % 5 =!= 0
+  private def isTrainSql(e: String): String =
+    s"${graft.functions.Hashing.md5U32Sql(s"CAST($e AS VARCHAR)")} % 5 <> 0"
+
   private def nbDocScores(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.QualityModels
-    val d = docs(s, dir).select(col("doc_id"), col("text"),
+    val d = docs(s, dir).select(col("doc_id"), col("text"), col("source"),
       (col("lang") === "en").cast("long").as("y"),
-      (col("doc_id") % 5 =!= 0).cast("long").as("is_train"))
+      isTrain(col("doc_id")).cast("long").as("is_train"))
     val (model, totals) =
       QualityModels.trainNb(d.filter(col("is_train") === 1L), "text", "y")
     QualityModels.scoreNb(d.filter(col("is_train") === 0L),
-      Seq("doc_id", "y"), "text", model, totals)
+      Seq("doc_id", "y", "source"), "text", model, totals)
   }
 
   /** Naive-Bayes reference-vs-rest quality classifier, trained AND
     * audited in one query. Weak label: lang = 'en' (the reference-corpus
     * stand-in — the classic gate trains "WebText vs CommonCrawl"; the
     * synthetic corpus's analogue is its English slice). Deterministic
-    * 80/20 split on doc_id % 5 keeps the audit honest: the model never
-    * sees the docs it is scored on. Per-token log-likelihood ratio with
+    * md5-uniform 80/20 split on doc_id ([[isTrain]]) keeps the audit
+    * honest: the model never sees the docs it is scored on, and the
+    * split is independent of every id-encoded attribute. Per-token log-likelihood ratio with
     * Laplace smoothing,
     *   llr(t) = ln[ (c_pos(t)+1)·(N_neg+V) ] − ln[ (c_neg(t)+1)·(N_pos+V) ],
     * each token's llr floored to the e6 grid; a held-out doc's score is
@@ -129,7 +140,7 @@ object QualityModelQueries extends QueryPack {
         .withColumn("w2", lead("tok", 1).over(w))
         .filter(col("w2").isNotNull)
         .select(col("doc_id"), col("lang"), col("tok").as("w1"), col("w2"))
-    val ref = base.filter(col("lang") === "en" && col("doc_id") % 5 =!= 0)
+    val ref = base.filter(col("lang") === "en" && isTrain(col("doc_id")))
     val big = bigrams(ref).groupBy("w1", "w2")
       .agg(count(lit(1)).as("c12"))
     val ctx = big.groupBy("w1").agg(sum("c12").as("c1"))
@@ -251,22 +262,68 @@ object QualityModelQueries extends QueryPack {
         })
   }
 
+  /** Quality-tiered token-budget allocation — the GPT-3-style sampling
+    * table, derived from the TRAINED gate instead of hand weights: per
+    * source, the held-out mean NB score ranks sources into three quality
+    * tiers (ntile over the bounded source set, ties broken by name), each
+    * tier gets an integer sampling multiplier (3/2/1 — top tier is
+    * upsampled 3×ies), and a fixed 10⁸-token budget is split
+    * quota_s = budget · tokens_s·mult_s / Σ(tokens·mult) — every step an
+    * exact integer rational, including the per-source epoch factor
+    * quota/tokens (e4: > 10⁴ means that source repeats within the
+    * budget). Named consumer: the mixing weights feeding q353's mix
+    * stage — this is the query that turns "the classifier works" (q363)
+    * into "here is each source's token quota". Scale: per-doc scores
+    * aggregate to the bounded source set; everything after is
+    * source-cardinality arithmetic behind one 1-row broadcast. */
+  private def q367(s: SparkSession, dir: String): DataFrame = {
+    import Rounding.intDivExact
+    val budget = 100000000L
+    val perSource = nbDocScores(s, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs_scored"),
+        sum("score_e6").as("sum_score_e6"))
+      .select(col("source"), col("n_docs_scored"),
+        intDivExact(col("sum_score_e6").cast("decimal(38,0)"),
+          col("n_docs_scored")).as("mean_score_e6"))
+    val tokens = docs(s, dir).groupBy("source")
+      .agg(sum(TextAnalysis.tokenCount(col("text"))).as("n_tokens"))
+    val w = Window.orderBy(col("mean_score_e6").desc, col("source"))
+    val tiered = perSource.join(tokens, "source")
+      .withColumn("tier", ntile(3).over(w).cast("long"))
+      .withColumn("mult", lit(4L) - col("tier"))
+      .withColumn("wtok",
+        col("n_tokens").cast("decimal(38,0)") * col("mult"))
+    val tot = tiered.agg(sum("wtok").as("wtot"))
+    tiered.crossJoin(broadcast(tot))
+      .withColumn("quota_tokens",
+        intDivExact(col("wtok") * lit(budget), col("wtot")))
+      .withColumn("epochs_e4", intDivExact(
+        col("quota_tokens").cast("decimal(38,0)") * lit(10000L),
+        col("n_tokens")))
+      .select(col("source"), col("n_docs_scored"), col("mean_score_e6"),
+        col("tier"), col("mult"), col("n_tokens"), col("quota_tokens"),
+        col("epochs_e4"))
+      .orderBy("source")
+  }
+
   val defs: Map[String, Q] = Map(
     "q363_nb_classifier" -> (q363 _),
     "q364_lm_cross_entropy" -> (q364 _),
     "q365_nb_threshold_sweep" -> (q365 _),
-    "q366_gate_agreement" -> (q366 _))
+    "q366_gate_agreement" -> (q366 _),
+    "q367_quality_budget" -> (q367 _))
 
   /** Shared oracle CTE chain for [[nbDocScores]] — ends at
     * `pd(doc_id, y, score_e6)`; q363/q365/q366 append their own census. */
   private val nbPdCte: String =
-      """d AS (
-        |  SELECT doc_id, text, CAST(lang = 'en' AS BIGINT) AS y,
-        |    CAST(doc_id % 5 <> 0 AS BIGINT) AS is_train
+      s"""d AS (
+        |  SELECT doc_id, text, source, CAST(lang = 'en' AS BIGINT) AS y,
+        |    CAST(${isTrainSql("doc_id")} AS BIGINT) AS is_train
         |  FROM documents),
         |toks AS (
-        |  SELECT doc_id, y, is_train,
-        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        |  SELECT doc_id, y, source, is_train,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
         |  FROM d),
         |model AS (
         |  SELECT tok, CAST(sum(y) AS BIGINT) AS c_pos,
@@ -282,7 +339,7 @@ object QualityModelQueries extends QueryPack {
         |    CAST(count(*) - sum(y) AS BIGINT) AS d_neg
         |  FROM d WHERE is_train = 1),
         |scored AS (
-        |  SELECT t.doc_id, t.y,
+        |  SELECT t.doc_id, t.y, t.source,
         |    CAST(floor(ln(
         |        (CAST(coalesce(m.c_pos, 0) + 1 AS DOUBLE) *
         |          CAST(n_neg + v AS DOUBLE)) /
@@ -294,9 +351,9 @@ object QualityModelQueries extends QueryPack {
         |  FROM toks t LEFT JOIN model m USING (tok), tot, pri
         |  WHERE t.is_train = 0),
         |pd AS (
-        |  SELECT doc_id, y,
+        |  SELECT doc_id, y, source,
         |    CAST(sum(llr_e6) + min(prior_e6) AS BIGINT) AS score_e6
-        |  FROM scored GROUP BY doc_id, y)""".stripMargin
+        |  FROM scored GROUP BY doc_id, y, source)""".stripMargin
 
   /** Shared oracle CTE chain for [[lmDocCe]] — ends at
     * `lpd(doc_id, lang, ce_e6)`; q364/q366 append their own census. */
@@ -316,7 +373,7 @@ object QualityModelQueries extends QueryPack {
         |  FROM ltoks),
         |bg2 AS (SELECT * FROM bg WHERE w2 IS NOT NULL),
         |refbg AS (
-        |  SELECT * FROM bg2 WHERE lang = 'en' AND doc_id % 5 <> 0),
+        |  SELECT * FROM bg2 WHERE lang = 'en' AND ${isTrainSql("doc_id")}),
         |big AS (
         |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
         |  FROM refbg GROUP BY 1, 2),
@@ -324,7 +381,7 @@ object QualityModelQueries extends QueryPack {
         |        FROM big GROUP BY 1),
         |vocab AS (
         |  SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
-        |  FROM ltoks WHERE lang = 'en' AND doc_id % 5 <> 0),
+        |  FROM ltoks WHERE lang = 'en' AND ${isTrainSql("doc_id")}),
         |terms AS (
         |  SELECT b.doc_id, b.lang,
         |    CAST(floor(ln(
@@ -435,5 +492,44 @@ object QualityModelQueries extends QueryPack {
         |        (n - n_both_keep - n_lm_only) = 0
         |    THEN NULL ELSE $kap END AS kappa_e6
         |FROM cells""".stripMargin
+    },
+    // same mean/tier/quota integer rationals, same ntile tie-break
+    "q367_quality_budget" -> {
+      val mean = Rounding.intDivExactSql(
+        "CAST(ssum AS HUGEINT)", "n_docs_scored")
+      val quota = Rounding.intDivExactSql(
+        "CAST(wtok AS HUGEINT) * 100000000", "wtot")
+      val epochs = Rounding.intDivExactSql(
+        "CAST(quota_tokens AS HUGEINT) * 10000", "n_tokens")
+      s"""WITH $nbPdCte,
+        |ps AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs_scored,
+        |    CAST(sum(score_e6) AS BIGINT) AS ssum
+        |  FROM pd GROUP BY source),
+        |ms AS (
+        |  SELECT source, n_docs_scored, $mean AS mean_score_e6 FROM ps),
+        |tk AS (
+        |  SELECT source,
+        |    CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents GROUP BY source),
+        |tiered AS (
+        |  SELECT ms.source, n_docs_scored, mean_score_e6, n_tokens,
+        |    CAST(ntile(3) OVER (ORDER BY mean_score_e6 DESC, ms.source)
+        |      AS BIGINT) AS tier
+        |  FROM ms JOIN tk ON ms.source = tk.source),
+        |wt AS (
+        |  SELECT *, 4 - tier AS mult,
+        |    CAST(n_tokens AS HUGEINT) * (4 - tier) AS wtok
+        |  FROM tiered),
+        |wtot_t AS (SELECT sum(wtok) AS wtot FROM wt),
+        |q AS (
+        |  SELECT source, n_docs_scored, mean_score_e6, tier,
+        |    CAST(mult AS BIGINT) AS mult, n_tokens,
+        |    $quota AS quota_tokens
+        |  FROM wt, wtot_t)
+        |SELECT source, n_docs_scored, mean_score_e6, tier, mult,
+        |  n_tokens, quota_tokens, $epochs AS epochs_e4
+        |FROM q ORDER BY source""".stripMargin
     })
 }

@@ -103,7 +103,8 @@ object PlanGateSpec {
     "q363_nb_classifier" -> 7L,
     "q364_lm_cross_entropy" -> 10L,
     "q365_nb_threshold_sweep" -> 11L,
-    "q366_gate_agreement" -> 14L)
+    "q366_gate_agreement" -> 14L,
+    "q367_quality_budget" -> 16L)
   def maxShuffles(name: String): Long = measured(name) + slack
 }
 

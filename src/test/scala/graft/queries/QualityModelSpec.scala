@@ -63,7 +63,7 @@ class QualityModelSpec extends SparkSuite {
     "cell's sum/min/max are mutually consistent") {
     val rows = q("q363_nb_classifier").collect()
     val heldOut = graft.Tables.load(spark, sf, "documents")
-      .filter(col("doc_id") % 5 === 0).count()
+      .filter(!QualityModelQueries.isTrain(col("doc_id"))).count()
     assert(rows.map(_.getAs[Long]("n_docs")).sum == heldOut,
       "confusion cells must partition the held-out docs")
     rows.foreach { r =>
@@ -120,10 +120,38 @@ class QualityModelSpec extends SparkSuite {
     assert(k >= -1000000L && k <= 1000000L, s"kappa out of range: $k")
     // intersection = held-out docs with >= 1 bigram
     val expected = graft.Tables.load(spark, sf, "documents")
-      .filter(col("doc_id") % 5 === 0 &&
+      .filter(!QualityModelQueries.isTrain(col("doc_id")) &&
         size(split(lower(trim(col("text"))), "\\s+")) >= 2).count()
     assert(r.getAs[Long]("n") == expected,
       s"scored intersection ${r.getAs[Long]("n")} != $expected")
+  }
+
+  test("q367 budget: quotas exhaust the 1e8 budget up to truncation, " +
+    "tiers follow the score order, and epochs match quota/tokens") {
+    val rows = q("q367_quality_budget").collect()
+    val nSources = graft.Tables.load(spark, sf, "documents")
+      .select("source").distinct().count()
+    assert(rows.length == nSources, "every source must get a quota row")
+    val quotaSum = rows.map(_.getAs[Long]("quota_tokens")).sum
+    assert(quotaSum <= 100000000L &&
+      100000000L - quotaSum < rows.length,
+      s"quotas must exhaust the budget up to per-source truncation: " +
+        s"$quotaSum")
+    // tier boundaries respect the (mean score desc, source) rank order:
+    // no tier-k source may outscore a tier-(k-1) source, with the name
+    // tie-break deciding equal means
+    val byRank = rows.sortBy(r =>
+      (-r.getAs[Long]("mean_score_e6"), r.getAs[String]("source")))
+    byRank.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("tier") <= b.getAs[Long]("tier"),
+        s"tier order violates score order: $a -> $b")
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("mult") == 4L - r.getAs[Long]("tier"))
+      val expectedEpochs = r.getAs[Long]("quota_tokens") * 10000L /
+        r.getAs[Long]("n_tokens")
+      assert(r.getAs[Long]("epochs_e4") == expectedEpochs, s"$r")
+    }
   }
 
   test("q364 census: counts cover every multi-token doc, gate count is " +

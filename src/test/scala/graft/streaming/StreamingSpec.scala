@@ -797,11 +797,12 @@ class StreamingSpec extends SparkSuite {
     val d = Tables.load(spark, sf, "documents")
       .select(col("doc_id"), col("text"),
         (col("lang") === "en").cast("long").as("y"))
+    val split = graft.queries.QualityModelQueries.isTrain(col("doc_id"))
     val (model0, totals0) =
-      QualityModels.trainNb(d.filter(col("doc_id") % 5 =!= 0), "text", "y")
+      QualityModels.trainNb(d.filter(split), "text", "y")
     val model = model0.localCheckpoint(true)
     val totals = totals0.localCheckpoint(true)
-    val heldOut = d.filter(col("doc_id") % 5 === 0)
+    val heldOut = d.filter(!split)
     val batchScores = QualityModels
       .scoreNb(heldOut, Seq("doc_id"), "text", model, totals)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
