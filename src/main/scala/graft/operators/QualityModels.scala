@@ -51,6 +51,56 @@ object QualityModels {
     (model, totals)
   }
 
+  /** Per-doc lead bigrams of a tokenized text column — the q321/q329
+    * construction (doc-keyed window, never a global sort). */
+  private def bigrams(df: DataFrame, keyCols: Seq[String],
+      textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.head).orderBy("pos")
+    df.select(keyCols.map(col) :+
+        posexplode(TextAnalysis.tokensCol(col(textCol)))
+          .as(Seq("pos", "tok")): _*)
+      .withColumn("w2", lead("tok", 1).over(w))
+      .filter(col("w2").isNotNull)
+      .select(keyCols.map(col) :+ col("tok").as("w1") :+ col("w2"): _*)
+  }
+
+  /** Train the add-one bigram LM on a reference corpus.
+    * @return (big(w1, w2, c12), ctx(w1, c1), vocab(v)) — bigram counts,
+    *         context counts (c1 = Σ_w2 c12), and the 1-row unigram-type
+    *         count; all vocab-scale or smaller. */
+  def trainLm(ref: DataFrame, idCol: String,
+      textCol: String): (DataFrame, DataFrame, DataFrame) = {
+    val big = bigrams(ref, Seq(idCol), textCol)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val ctx = big.groupBy("w1").agg(sum("c12").as("c1"))
+    val vocab = ref
+      .select(explode(TextAnalysis.tokensCol(col(textCol))).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    (big, ctx, vocab)
+  }
+
+  /** Score documents against a frozen LM: keyCols plus the exact e6 mean
+    * per-bigram negative log-probability (add-one smoothing,
+    * nll = ln((c1+V)/(c12+1)) per bigram on the e6 lattice; the mean is
+    * the exact truncating division of non-negative longs). Docs with no
+    * bigram (< 2 tokens) are not scorable and emit no row. The first
+    * keyCol must identify the document (it keys the bigram window).
+    * Stateless per doc — identical on a batch frame and a foreachBatch
+    * micro-batch. */
+  def scoreLm(docsDf: DataFrame, keyCols: Seq[String], textCol: String,
+      big: DataFrame, ctx: DataFrame, vocab: DataFrame): DataFrame =
+    bigrams(docsDf, keyCols, textCol)
+      .join(big, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(keyCols.map(col) :+
+        lnE6(dbl(coalesce(col("c1"), lit(0L)) + col("v")),
+          dbl(coalesce(col("c12"), lit(0L)) + lit(1L))).as("nll_e6"): _*)
+      .groupBy(keyCols.map(col): _*)
+      .agg(graft.functions.Rounding
+        .intDiv(sum("nll_e6"), count(lit(1))).as("ce_e6"))
+
   /** Score documents against a frozen NB model: keyCols plus the exact
     * e6 log-odds score (sum of per-token Laplace llr on the e6 lattice
     * plus the e6 class prior). Works identically on a batch frame and on

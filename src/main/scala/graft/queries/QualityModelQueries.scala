@@ -41,11 +41,6 @@ object QualityModelQueries extends QueryPack {
 
   private def dbl(c: Column): Column = c.cast("double")
 
-  /** e6-floored natural log of a ratio of integer-exact doubles — the
-    * q350 construction, shared by both queries here. */
-  private def lnE6(num: Column, den: Column): Column =
-    floor(log(num / den) * lit(1000000.0) + lit(0.5)).cast("long")
-
   /** Shared NB scoring chain — train on the 80% split, score the
     * held-out 20%: (doc_id, y, score_e6). Consumers: q363's confusion
     * census, q365's threshold sweep, q366's gate-agreement census. Pure
@@ -131,31 +126,13 @@ object QualityModelQueries extends QueryPack {
     * census, q366's gate-agreement census. Lazy for the same reason as
     * [[nbDocScores]]. */
   private def lmDocCe(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.QualityModels
     val base = docs(s, dir)
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    def bigrams(df: DataFrame): DataFrame =
-      df.select(col("doc_id"), col("lang"),
-          posexplode(TextAnalysis.tokensCol(col("text")))
-            .as(Seq("pos", "tok")))
-        .withColumn("w2", lead("tok", 1).over(w))
-        .filter(col("w2").isNotNull)
-        .select(col("doc_id"), col("lang"), col("tok").as("w1"), col("w2"))
-    val ref = base.filter(col("lang") === "en" && isTrain(col("doc_id")))
-    val big = bigrams(ref).groupBy("w1", "w2")
-      .agg(count(lit(1)).as("c12"))
-    val ctx = big.groupBy("w1").agg(sum("c12").as("c1"))
-    val vocab = ref
-      .select(explode(TextAnalysis.tokensCol(col("text"))).as("tok"))
-      .agg(countDistinct(col("tok")).as("v"))
-    bigrams(base)
-      .join(big, Seq("w1", "w2"), "left")
-      .join(ctx, Seq("w1"), "left")
-      .crossJoin(broadcast(vocab))
-      .select(col("doc_id"), col("lang"),
-        lnE6(dbl(coalesce(col("c1"), lit(0L)) + col("v")),
-          dbl(coalesce(col("c12"), lit(0L)) + lit(1L))).as("nll_e6"))
-      .groupBy("doc_id", "lang")
-      .agg(intDiv(sum("nll_e6"), count(lit(1))).as("ce_e6"))
+    val (big, ctx, vocab) = QualityModels.trainLm(
+      base.filter(col("lang") === "en" && isTrain(col("doc_id"))),
+      "doc_id", "text")
+    QualityModels.scoreLm(base, Seq("doc_id", "lang"), "text",
+      big, ctx, vocab)
   }
 
   private def q364(s: SparkSession, dir: String): DataFrame =

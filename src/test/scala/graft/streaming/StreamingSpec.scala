@@ -834,4 +834,50 @@ class StreamingSpec extends SparkSuite {
       s"scores diverge for ${diff.take(5)} (batch: " +
         s"${diff.keys.take(5).map(batchScores).mkString(",")})")
   }
+
+  test("foreachBatch streaming LM cross-entropy against the frozen " +
+    "bigram model equals the batch scorer doc-for-doc") {
+    // the q364 perplexity gate's deployed shape, same argument as the NB
+    // twin: per-doc bigrams never cross documents, the model is frozen,
+    // so micro-batch boundaries cannot change any score. This also pins
+    // that scoreLm's bigram WINDOW stays per-doc under streaming reuse —
+    // a window keyed wider than the doc would break exactly here.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.QualityModels
+    val d = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"), col("lang"))
+    val split = graft.queries.QualityModelQueries.isTrain(col("doc_id"))
+    val (big0, ctx0, vocab0) = QualityModels.trainLm(
+      d.filter(col("lang") === "en" && split), "doc_id", "text")
+    val (big, ctx, vocab) = (big0.localCheckpoint(true),
+      ctx0.localCheckpoint(true), vocab0.localCheckpoint(true))
+    val batchCe = QualityModels
+      .scoreLm(d, Seq("doc_id"), "text", big, ctx, vocab)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(batchCe.nonEmpty)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val streamed = scala.collection.mutable.Map[Long, Long]()
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val scores = QualityModels
+          .scoreLm(batch, Seq("doc_id"), "text", big, ctx, vocab)
+          .collect().map(r => r.getLong(0) -> r.getLong(1))
+        streamed.synchronized { streamed ++= scores }
+        ()
+      }.start()
+    try {
+      val arrivals = d.select("doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      arrivals.sortBy { case (i, _) => (i * 2654435761L) % 83 }
+        .grouped((arrivals.length + 2) / 3)
+        .foreach { chunk => mem.addData(chunk.toSeq: _*)
+          q.processAllAvailable() }
+    } finally q.stop()
+    assert(streamed.size == batchCe.size,
+      s"streamed ${streamed.size} scorable docs, batch ${batchCe.size}")
+    val diff = streamed.filter { case (id, ce) => batchCe(id) != ce }
+    assert(diff.isEmpty, s"cross-entropy diverges for ${diff.take(5)}")
+  }
 }
