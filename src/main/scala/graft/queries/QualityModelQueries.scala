@@ -284,12 +284,47 @@ object QualityModelQueries extends QueryPack {
       .orderBy("source")
   }
 
+  /** Boundary-band inspection sample — the human-review queue every
+    * deployed gate needs: per source, the 3 kept docs the classifier was
+    * LEAST sure about (lowest positive score) and the 3 dropped docs it
+    * was least sure about (highest non-positive score). Reviewing the
+    * disagreement band is how a gate's threshold gets audited in
+    * practice — confident decisions teach a reviewer nothing. Emits
+    * (source, side, rank, doc_id, score_e6), deterministic tie-break
+    * (score, doc_id). Scale: the q306/q321 bounded [[graft.functions
+    * .TopKByValue]] aggregate, NOT a row_number window — the exchange
+    * carries ≤ 3·sources·tasks rows, never the held-out corpus; the
+    * score rides inside the aggregate's value slot (±score_e6 ≪ 2⁵³ is
+    * exact in the double), so no join back to recover it. */
+  private def q368(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val topk = udaf(new graft.functions.TopKByValue(3),
+      ExpressionEncoder[graft.functions.Scored]())
+    val scored = nbDocScores(s, dir)
+    // sign: +1 keeps the aggregate's (value desc, id asc) contract equal
+    // to "score desc" (drop_best), −1 flips it to "score asc" (keep_worst)
+    def band(df: DataFrame, side: String, sign: Long): DataFrame =
+      df.groupBy("source")
+        .agg(topk((col("score_e6") * sign).cast("double"), col("doc_id"))
+          .as("top"))
+        .select(col("source"), posexplode(col("top")).as(Seq("i", "t")))
+        .select(col("source"), lit(side).as("side"),
+          (col("i") + 1).cast("long").as("rank"),
+          col("t").getField("id").as("doc_id"),
+          (col("t").getField("value") * sign).cast("long").as("score_e6"))
+    band(scored.filter(col("score_e6") > 0L), "keep_worst", -1L)
+      .unionByName(
+        band(scored.filter(col("score_e6") <= 0L), "drop_best", 1L))
+      .orderBy("source", "side", "rank")
+  }
+
   val defs: Map[String, Q] = Map(
     "q363_nb_classifier" -> (q363 _),
     "q364_lm_cross_entropy" -> (q364 _),
     "q365_nb_threshold_sweep" -> (q365 _),
     "q366_gate_agreement" -> (q366 _),
-    "q367_quality_budget" -> (q367 _))
+    "q367_quality_budget" -> (q367 _),
+    "q368_review_sample" -> (q368 _))
 
   /** Shared oracle CTE chain for [[nbDocScores]] — ends at
     * `pd(doc_id, y, score_e6)`; q363/q365/q366 append their own census. */
@@ -508,5 +543,24 @@ object QualityModelQueries extends QueryPack {
         |SELECT source, n_docs_scored, mean_score_e6, tier, mult,
         |  n_tokens, quota_tokens, $epochs AS epochs_e4
         |FROM q ORDER BY source""".stripMargin
-    })
+    },
+    // same (score, doc_id) tie-break as the aggregate's ordering contract
+    "q368_review_sample" ->
+      s"""WITH $nbPdCte,
+        |keep_side AS (
+        |  SELECT source, 'keep_worst' AS side,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY score_e6 ASC, doc_id ASC) AS BIGINT) AS rank,
+        |    doc_id, score_e6
+        |  FROM pd WHERE score_e6 > 0),
+        |drop_side AS (
+        |  SELECT source, 'drop_best' AS side,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY score_e6 DESC, doc_id ASC) AS BIGINT) AS rank,
+        |    doc_id, score_e6
+        |  FROM pd WHERE score_e6 <= 0)
+        |SELECT source, side, rank, doc_id, score_e6
+        |FROM (SELECT * FROM keep_side UNION ALL SELECT * FROM drop_side)
+        |WHERE rank <= 3
+        |ORDER BY source, side, rank""".stripMargin)
 }

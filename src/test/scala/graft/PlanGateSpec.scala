@@ -104,7 +104,8 @@ object PlanGateSpec {
     "q364_lm_cross_entropy" -> 10L,
     "q365_nb_threshold_sweep" -> 11L,
     "q366_gate_agreement" -> 14L,
-    "q367_quality_budget" -> 16L)
+    "q367_quality_budget" -> 16L,
+    "q368_review_sample" -> 13L)
   def maxShuffles(name: String): Long = measured(name) + slack
 }
 

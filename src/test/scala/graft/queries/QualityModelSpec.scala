@@ -154,6 +154,28 @@ class QualityModelSpec extends SparkSuite {
     }
   }
 
+  test("q368 review sample stays inside the boundary band: keeps are " +
+    "positive, drops non-positive, ranks dense from 1, <= 3 per side, " +
+    "and each side's scores move away from the threshold with rank") {
+    val rows = q("q368_review_sample").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(r => (r.getAs[String]("source"), r.getAs[String]("side")))
+      .foreach { case ((_, side), rs) =>
+        assert(rs.length <= 3)
+        val sorted = rs.sortBy(_.getAs[Long]("rank"))
+        assert(sorted.map(_.getAs[Long]("rank")).toSeq ==
+          (1L to rs.length).toSeq, s"ranks not dense: ${rs.toSeq}")
+        val scores = sorted.map(_.getAs[Long]("score_e6")).toSeq
+        if (side == "keep_worst") {
+          assert(scores.forall(_ > 0L), s"keep side must be positive: $rs")
+          assert(scores == scores.sorted, "keep_worst must ascend")
+        } else {
+          assert(scores.forall(_ <= 0L), s"drop side must be <= 0: $rs")
+          assert(scores == scores.sorted.reverse, "drop_best must descend")
+        }
+      }
+  }
+
   test("q364 census: counts cover every multi-token doc, gate count is " +
     "bounded by the cell count, and nll means are non-negative") {
     val rows = q("q364_lm_cross_entropy").collect()
