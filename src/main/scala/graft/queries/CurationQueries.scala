@@ -1606,7 +1606,7 @@ object CurationQueries extends QueryPack {
     * and the q355 pack sweep, each with its own final SELECT. One text,
     * three hashes: a drift in any stage breaks all three oracles at
     * once. Callers prepend `WITH RECURSIVE` (the reach CTE). */
-  private lazy val corpusCtes: String = {
+  private[queries] lazy val corpusCtes: String = {
     import Rounding.intDivSql
     // stage-salted: the mix fill order must be independent of the split
     // hash (see corpusStages — the q357 audit caught the unsalted form)

@@ -41,13 +41,6 @@ object QualityModelQueries extends QueryPack {
 
   private def dbl(c: Column): Column = c.cast("double")
 
-  /** Shared NB scoring chain — train on the 80% split, score the
-    * held-out 20%: (doc_id, y, score_e6). Consumers: q363's confusion
-    * census, q365's threshold sweep, q366's gate-agreement census. Pure
-    * lazy (no memo): each consumer re-plans it, and the whole chain is
-    * two aggregations + one vocab-keyed join — cheap enough that a
-    * checkpoint would cost more than it saves at gate SFs, and at 100 TB
-    * a production run materializes the per-doc score table once anyway. */
   /** The 80/20 train/held-out split, md5-uniform on doc_id — NOT
     * `doc_id % 5`: ids here encode the source (doc_id % 20 IS the source
     * index), so a modulus split silently partitions by source — four
@@ -58,6 +51,14 @@ object QualityModelQueries extends QueryPack {
   private def isTrainSql(e: String): String =
     s"${graft.functions.Hashing.md5U32Sql(s"CAST($e AS VARCHAR)")} % 5 <> 0"
 
+  /** Shared NB scoring chain — train on the 80% split, score the
+    * held-out 20%: (doc_id, y, source, score_e6). Consumers: q363's
+    * confusion census, q365's threshold sweep, q366's gate-agreement
+    * census, q367's budget table, q368's review sample. Pure lazy (no
+    * memo): each consumer re-plans it, and the whole chain is two
+    * aggregations + one vocab-keyed join — cheap enough that a
+    * checkpoint would cost more than it saves at gate SFs, and at 100 TB
+    * a production run materializes the per-doc score table once anyway. */
   private def nbDocScores(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.QualityModels
     val d = docs(s, dir).select(col("doc_id"), col("text"), col("source"),
@@ -121,10 +122,6 @@ object QualityModelQueries extends QueryPack {
     * Scale: bigram build is the q321/q329 per-doc lead window (doc-keyed,
     * never global); model joins are key-partitioned (broadcast when the
     * vocab fits); census keys are the bounded language set. */
-  /** Shared LM scoring chain — train on the reference slice, score every
-    * multi-token doc: (doc_id, lang, ce_e6). Consumers: q364's per-lang
-    * census, q366's gate-agreement census. Lazy for the same reason as
-    * [[nbDocScores]]. */
   private def lmDocCe(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.QualityModels
     val base = docs(s, dir)
@@ -135,6 +132,9 @@ object QualityModelQueries extends QueryPack {
       big, ctx, vocab)
   }
 
+  /** Per-language census over [[lmDocCe]] — see the chain doc above for
+    * the model; this emits doc count, mean/min/max cross-entropy (e6
+    * nats) and the would-drop count at the 3.4-nat gate per language. */
   private def q364(s: SparkSession, dir: String): DataFrame =
     lmDocCe(s, dir)
       .groupBy("lang")
@@ -318,39 +318,76 @@ object QualityModelQueries extends QueryPack {
       .orderBy("source", "side", "rank")
   }
 
+  /** Learned-gate ablation against the SHIPPED corpus — the impact
+    * estimate a pipeline owner reads before adding the q363 screen to
+    * the composed build (q353): per source, how many of the build's
+    * mixed survivors (and how many of their tokens) the trained gate
+    * would cut at threshold 0. Composes two families: the survivors come
+    * from [[CurationQueries.corpusStages]]'s memoized mix stage, the
+    * scores from [[graft.operators.QualityModels]] trained exactly as
+    * q363 trains. This is an IMPACT census, not an accuracy claim — the
+    * model has seen the training-split survivors it scores here (q363's
+    * held-out confusion is the accuracy statement); what matters for the
+    * deployment decision is which shipped tokens would disappear.
+    * Scale: survivors are the small post-mix set; scoring is the
+    * vocab-keyed join; the census keys are the bounded source set. */
+  private def q369(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.QualityModels
+    import Rounding.intDivExact
+    val d = docs(s, dir).select(col("doc_id"), col("text"),
+      (col("lang") === "en").cast("long").as("y"))
+    val (model, totals) =
+      QualityModels.trainNb(d.filter(isTrain(col("doc_id"))), "text", "y")
+    val (_, _, _, _, _, mixed) = CurationQueries.corpusStages(s, dir)
+    QualityModels.scoreNb(
+        mixed.select("doc_id", "source", "n_tokens", "text"),
+        Seq("doc_id", "source", "n_tokens"), "text", model, totals)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        sum((col("score_e6") <= 0L).cast("long")).as("n_docs_cut"),
+        sum(when(col("score_e6") <= 0L, col("n_tokens")).otherwise(0L))
+          .as("n_tokens_cut"))
+      .withColumn("cut_frac_e4", intDivExact(
+        col("n_tokens_cut").cast("decimal(38,0)") * lit(10000L),
+        col("n_tokens")))
+      .orderBy("source")
+  }
+
   val defs: Map[String, Q] = Map(
     "q363_nb_classifier" -> (q363 _),
     "q364_lm_cross_entropy" -> (q364 _),
     "q365_nb_threshold_sweep" -> (q365 _),
     "q366_gate_agreement" -> (q366 _),
     "q367_quality_budget" -> (q367 _),
-    "q368_review_sample" -> (q368 _))
+    "q368_review_sample" -> (q368 _),
+    "q369_gate_ablation" -> (q369 _))
 
   /** Shared oracle CTE chain for [[nbDocScores]] — ends at
     * `pd(doc_id, y, score_e6)`; q363/q365/q366 append their own census. */
   private val nbPdCte: String =
-      s"""d AS (
+      s"""nbd AS (
         |  SELECT doc_id, text, source, CAST(lang = 'en' AS BIGINT) AS y,
         |    CAST(${isTrainSql("doc_id")} AS BIGINT) AS is_train
         |  FROM documents),
-        |toks AS (
+        |nbtoks AS (
         |  SELECT doc_id, y, source, is_train,
         |    unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
-        |  FROM d),
-        |model AS (
+        |  FROM nbd),
+        |nbmodel AS (
         |  SELECT tok, CAST(sum(y) AS BIGINT) AS c_pos,
         |    CAST(count(*) - sum(y) AS BIGINT) AS c_neg
-        |  FROM toks WHERE is_train = 1 GROUP BY tok),
-        |tot AS (
+        |  FROM nbtoks WHERE is_train = 1 GROUP BY tok),
+        |nbtot AS (
         |  SELECT CAST(sum(c_pos) AS BIGINT) AS n_pos,
         |    CAST(sum(c_neg) AS BIGINT) AS n_neg,
         |    CAST(count(*) AS BIGINT) AS v
-        |  FROM model),
-        |pri AS (
+        |  FROM nbmodel),
+        |nbpri AS (
         |  SELECT CAST(sum(y) AS BIGINT) AS d_pos,
         |    CAST(count(*) - sum(y) AS BIGINT) AS d_neg
-        |  FROM d WHERE is_train = 1),
-        |scored AS (
+        |  FROM nbd WHERE is_train = 1),
+        |nbscored AS (
         |  SELECT t.doc_id, t.y, t.source,
         |    CAST(floor(ln(
         |        (CAST(coalesce(m.c_pos, 0) + 1 AS DOUBLE) *
@@ -360,12 +397,12 @@ object QualityModelQueries extends QueryPack {
         |      * 1000000.0 + 0.5) AS BIGINT) AS llr_e6,
         |    CAST(floor(ln(CAST(d_pos AS DOUBLE) / CAST(d_neg AS DOUBLE))
         |      * 1000000.0 + 0.5) AS BIGINT) AS prior_e6
-        |  FROM toks t LEFT JOIN model m USING (tok), tot, pri
+        |  FROM nbtoks t LEFT JOIN nbmodel m USING (tok), nbtot, nbpri
         |  WHERE t.is_train = 0),
         |pd AS (
         |  SELECT doc_id, y, source,
         |    CAST(sum(llr_e6) + min(prior_e6) AS BIGINT) AS score_e6
-        |  FROM scored GROUP BY doc_id, y, source)""".stripMargin
+        |  FROM nbscored GROUP BY doc_id, y, source)""".stripMargin
 
   /** Shared oracle CTE chain for [[lmDocCe]] — ends at
     * `lpd(doc_id, lang, ce_e6)`; q364/q366 append their own census. */
@@ -562,5 +599,47 @@ object QualityModelQueries extends QueryPack {
         |SELECT source, side, rank, doc_id, score_e6
         |FROM (SELECT * FROM keep_side UNION ALL SELECT * FROM drop_side)
         |WHERE rank <= 3
-        |ORDER BY source, side, rank""".stripMargin)
+        |ORDER BY source, side, rank""".stripMargin,
+    // the nb model chain (nb-prefixed names dodge the corpus chain's
+    // toks/tot) scoring the corpus build's mixed survivors
+    "q369_gate_ablation" -> {
+      val frac = Rounding.intDivExactSql(
+        "CAST(n_tokens_cut AS HUGEINT) * 10000", "n_tokens")
+      s"""WITH RECURSIVE $nbPdCte,
+        |${CurationQueries.corpusCtes},
+        |sv AS (
+        |  SELECT m.doc_id, m.source, m.n_tokens, dd.text
+        |  FROM mixed m JOIN documents dd USING (doc_id)),
+        |svtoks AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+        |      AS tok
+        |  FROM sv),
+        |svsc AS (
+        |  SELECT t.doc_id, t.source, t.n_tokens,
+        |    CAST(floor(ln(
+        |        (CAST(coalesce(m.c_pos, 0) + 1 AS DOUBLE) *
+        |          CAST(n_neg + v AS DOUBLE)) /
+        |        (CAST(coalesce(m.c_neg, 0) + 1 AS DOUBLE) *
+        |          CAST(n_pos + v AS DOUBLE)))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS llr_e6,
+        |    CAST(floor(ln(CAST(d_pos AS DOUBLE) / CAST(d_neg AS DOUBLE))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS prior_e6
+        |  FROM svtoks t LEFT JOIN nbmodel m USING (tok), nbtot, nbpri),
+        |svpd AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    CAST(sum(llr_e6) + min(prior_e6) AS BIGINT) AS score_e6
+        |  FROM svsc GROUP BY doc_id, source, n_tokens),
+        |census AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |    CAST(sum(CAST(score_e6 <= 0 AS BIGINT)) AS BIGINT)
+        |      AS n_docs_cut,
+        |    CAST(sum(CASE WHEN score_e6 <= 0 THEN n_tokens ELSE 0 END)
+        |      AS BIGINT) AS n_tokens_cut
+        |  FROM svpd GROUP BY source)
+        |SELECT source, n_docs, n_tokens, n_docs_cut, n_tokens_cut,
+        |  $frac AS cut_frac_e4
+        |FROM census ORDER BY source""".stripMargin
+    })
 }

@@ -105,7 +105,9 @@ object PlanGateSpec {
     "q365_nb_threshold_sweep" -> 11L,
     "q366_gate_agreement" -> 14L,
     "q367_quality_budget" -> 16L,
-    "q368_review_sample" -> 13L)
+    "q368_review_sample" -> 13L,
+    // post-memo stub on the mixed side (corpusMixMemo) + the nb chain
+    "q369_gate_ablation" -> 7L)
   def maxShuffles(name: String): Long = measured(name) + slack
 }
 

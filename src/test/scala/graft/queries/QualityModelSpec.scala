@@ -176,6 +176,26 @@ class QualityModelSpec extends SparkSuite {
       }
   }
 
+  test("q369 ablation covers exactly the corpus build's mixed survivors " +
+    "(q354's 6_mixed stage) and its cut counts are coherent") {
+    val rows = q("q369_gate_ablation").collect()
+    val mixedRow = q("q354_corpus_attrition")
+      .filter(col("stage") === "6_mixed").head()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ==
+      mixedRow.getAs[Long]("n_docs"),
+      "ablation must census every shipped doc, no more")
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum ==
+      mixedRow.getAs[Long]("n_tokens"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs_cut") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("n_tokens_cut") <= r.getAs[Long]("n_tokens"))
+      val frac = r.getAs[Long]("cut_frac_e4")
+      assert(frac ==
+        r.getAs[Long]("n_tokens_cut") * 10000L / r.getAs[Long]("n_tokens"),
+        s"fraction does not match its own numerator/denominator: $r")
+    }
+  }
+
   test("q364 census: counts cover every multi-token doc, gate count is " +
     "bounded by the cell count, and nll means are non-negative") {
     val rows = q("q364_lm_cross_entropy").collect()
