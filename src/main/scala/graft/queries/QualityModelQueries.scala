@@ -54,20 +54,30 @@ object QualityModelQueries extends QueryPack {
   /** Shared NB scoring chain — train on the 80% split, score the
     * held-out 20%: (doc_id, y, source, score_e6). Consumers: q363's
     * confusion census, q365's threshold sweep, q366's gate-agreement
-    * census, q367's budget table, q368's review sample. Pure lazy (no
-    * memo): each consumer re-plans it, and the whole chain is two
-    * aggregations + one vocab-keyed join — cheap enough that a
-    * checkpoint would cost more than it saves at gate SFs, and at 100 TB
-    * a production run materializes the per-doc score table once anyway. */
-  private def nbDocScores(s: SparkSession, dir: String): DataFrame = {
+    * census, q367's budget table, q368's review sample — FIVE standalone
+    * queries over one bit-identical table, so the checkpointed path rides
+    * a per-(session, dir) [[graft.operators.SessionDirMemo]] (the
+    * co-order-graph/basket-pair playbook: build once, stubs thereafter).
+    * The raw chain stays reachable via `checkpoint = false` for the
+    * PlanGateSpec builder gate — memoized consumers plan as checkpoint
+    * stubs, so the gate audits the chain, not the stub. At 100 TB a
+    * production run materializes the per-doc score table once anyway;
+    * the memo is the local analogue. */
+  private[graft] val nbScoresMemo = new graft.operators.SessionDirMemo
+  private[graft] def nbDocScores(s: SparkSession, dir: String,
+      checkpoint: Boolean = true): DataFrame = {
     import graft.operators.QualityModels
-    val d = docs(s, dir).select(col("doc_id"), col("text"), col("source"),
-      (col("lang") === "en").cast("long").as("y"),
-      isTrain(col("doc_id")).cast("long").as("is_train"))
-    val (model, totals) =
-      QualityModels.trainNb(d.filter(col("is_train") === 1L), "text", "y")
-    QualityModels.scoreNb(d.filter(col("is_train") === 0L),
-      Seq("doc_id", "y", "source"), "text", model, totals)
+    def build = {
+      val d = docs(s, dir).select(col("doc_id"), col("text"),
+        col("source"), (col("lang") === "en").cast("long").as("y"),
+        isTrain(col("doc_id")).cast("long").as("is_train"))
+      val (model, totals) = QualityModels
+        .trainNb(d.filter(col("is_train") === 1L), "text", "y")
+      QualityModels.scoreNb(d.filter(col("is_train") === 0L),
+        Seq("doc_id", "y", "source"), "text", model, totals)
+    }
+    if (checkpoint) nbScoresMemo.get(s, dir)(build.localCheckpoint(true))
+    else build
   }
 
   /** Naive-Bayes reference-vs-rest quality classifier, trained AND
@@ -122,14 +132,22 @@ object QualityModelQueries extends QueryPack {
     * Scale: bigram build is the q321/q329 per-doc lead window (doc-keyed,
     * never global); model joins are key-partitioned (broadcast when the
     * vocab fits); census keys are the bounded language set. */
-  private def lmDocCe(s: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, lang, ce_e6) for every multi-token doc; q364 + q366
+    * consume, so the checkpointed path memoizes like [[nbDocScores]]. */
+  private[graft] val lmCeMemo = new graft.operators.SessionDirMemo
+  private[graft] def lmDocCe(s: SparkSession, dir: String,
+      checkpoint: Boolean = true): DataFrame = {
     import graft.operators.QualityModels
-    val base = docs(s, dir)
-    val (big, ctx, vocab) = QualityModels.trainLm(
-      base.filter(col("lang") === "en" && isTrain(col("doc_id"))),
-      "doc_id", "text")
-    QualityModels.scoreLm(base, Seq("doc_id", "lang"), "text",
-      big, ctx, vocab)
+    def build = {
+      val base = docs(s, dir)
+      val (big, ctx, vocab) = QualityModels.trainLm(
+        base.filter(col("lang") === "en" && isTrain(col("doc_id"))),
+        "doc_id", "text")
+      QualityModels.scoreLm(base, Seq("doc_id", "lang"), "text",
+        big, ctx, vocab)
+    }
+    if (checkpoint) lmCeMemo.get(s, dir)(build.localCheckpoint(true))
+    else build
   }
 
   /** Per-language census over [[lmDocCe]] — see the chain doc above for

@@ -99,14 +99,16 @@ object PlanGateSpec {
     "q359_bpe_merges" -> 2L,
     "q360_token_lookup" -> 3L,
     "q362_dedup_sweep" -> 25L,
-    // round-14: trained-model gates
-    "q363_nb_classifier" -> 7L,
-    "q364_lm_cross_entropy" -> 10L,
-    "q365_nb_threshold_sweep" -> 11L,
-    "q366_gate_agreement" -> 14L,
-    "q367_quality_budget" -> 16L,
-    "q368_review_sample" -> 13L,
-    // post-memo stub on the mixed side (corpusMixMemo) + the nb chain
+    // round-14: trained-model gates — post-memo stubs (nbScoresMemo /
+    // lmCeMemo); the raw chains are gated by the builder tests below
+    "q363_nb_classifier" -> 2L,
+    "q364_lm_cross_entropy" -> 2L,
+    "q365_nb_threshold_sweep" -> 3L,
+    "q366_gate_agreement" -> 1L,
+    "q367_quality_budget" -> 6L,
+    "q368_review_sample" -> 3L,
+    // corpusMixMemo stub on the mixed side + its own (unmemoized) nb
+    // train/score chain over the survivors
     "q369_gate_ablation" -> 7L)
   def maxShuffles(name: String): Long = measured(name) + slack
 }
@@ -174,6 +176,23 @@ class PlanGateSpec extends SparkSuite {
     assert(a.cartesians == 0, s"cartesian in the corpus chain: $a")
     assert(a.shuffles <= 17L + 2L,
       s"corpus chain shuffles ${a.shuffles} > pinned 17+2: $a")
+  }
+
+  test("memoized-stage builder: NB train+score chain keeps its shape") {
+    val a = operators.PlanAudit.of(
+      queries.QualityModelQueries.nbDocScores(spark, sf,
+        checkpoint = false))
+    assert(a.cartesians == 0, s"cartesian in the NB chain: $a")
+    assert(a.shuffles <= 7L + 2L,
+      s"NB chain shuffles ${a.shuffles} > pinned 7+2: $a")
+  }
+
+  test("memoized-stage builder: LM train+score chain keeps its shape") {
+    val a = operators.PlanAudit.of(
+      queries.QualityModelQueries.lmDocCe(spark, sf, checkpoint = false))
+    assert(a.cartesians == 0, s"cartesian in the LM chain: $a")
+    assert(a.shuffles <= 9L + 2L,
+      s"LM chain shuffles ${a.shuffles} > pinned 9+2: $a")
   }
 
   for ((name, pinned) <- PlanGateSpec.measured.toSeq.sortBy(_._1)) {
