@@ -1,0 +1,128 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** The distributed BPE training loop against a sequential reference
+  * implementation (same semantics, plain Scala): identical merge
+  * sequences, identical final symbol tables, deterministic across
+  * partitionings, and the deployed encoder reproduces training. */
+class BpeTrainerSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** Sequential reference: word-freq map, per round count all adjacent
+    * positions weighted by freq, pick (count desc, a asc, b asc), merge
+    * greedily left-to-right with a skip. */
+  private def referenceTrain(words: Map[String, Long],
+      rounds: Int): (Map[String, (List[String], Long)],
+        List[(String, String, Long)]) = {
+    var tbl = words.map { case (w, f) =>
+      w -> (w.toList.map(_.toString), f)
+    }
+    var merges = List.empty[(String, String, Long)]
+    var r = 0
+    var done = false
+    while (r < rounds && !done) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      tbl.values.foreach { case (syms, f) =>
+        syms.sliding(2).foreach {
+          case List(a, b) =>
+            counts((a, b)) = counts.getOrElse((a, b), 0L) + f
+          case _ => ()
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), c) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        merges :+= (a, b, c)
+        def mergeWord(s: List[String]): List[String] = s match {
+          case x :: y :: rest if x == a && y == b =>
+            (a + b) :: mergeWord(rest)
+          case x :: rest => x :: mergeWord(rest)
+          case Nil => Nil
+        }
+        tbl = tbl.map { case (w, (syms, f)) => w -> (mergeWord(syms), f) }
+        r += 1
+      }
+    }
+    (tbl, merges)
+  }
+
+  private def docsOf(texts: Seq[String]) = texts.toDF("text")
+
+  private def wordFreqs(texts: Seq[String]): Map[String, Long] =
+    texts.flatMap(_.toLowerCase.trim.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+
+  test("distributed merges == sequential reference on a mixed fixture, " +
+    "including overlap (aaa) and tie-break cases") {
+    val texts = Seq(
+      "aaa aaa abab low lower lowest",
+      "abab abab newer newest low low",
+      "aaa banana bandana newer")
+    val (wordsDf, merges) = BpeTrainer.train(docsOf(texts), "text", 8)
+    val (refTbl, refMerges) = referenceTrain(wordFreqs(texts), 8)
+    assert(merges.map(m => (m.a, m.b, m.count)) == refMerges,
+      s"merge sequences diverge:\n dist=$merges\n ref =$refMerges")
+    val dist = wordsDf.collect()
+      .map(r => r.getAs[String]("word") ->
+        (r.getAs[Seq[String]]("symbols").toList,
+          r.getAs[Long]("freq"))).toMap
+    assert(dist == refTbl, s"final symbol tables diverge:\n$dist\n$refTbl")
+  }
+
+  test("training is deterministic across shuffle-partition counts") {
+    val texts = Seq("spark scala spark shuffle shuffle shuffle",
+      "scala sort spark merge merge")
+    val old = spark.conf.get("spark.sql.shuffle.partitions")
+    val a = BpeTrainer.train(docsOf(texts), "text", 6)._2
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "13")
+      val b = BpeTrainer.train(docsOf(texts), "text", 6)._2
+      assert(a == b, s"partitioning changed the merges: $a vs $b")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", old)
+  }
+
+  test("on real documents: symbol mass shrinks every round, vocab " +
+    "grows by exactly the merged symbol, early-stop only when no pairs") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001",
+      "documents")
+    val (words0, _) = BpeTrainer.train(docs, "text", 1)
+    val (wordsK, merges) = BpeTrainer.train(docs, "text", 6)
+    assert(merges.length == 6, "the corpus cannot run dry in 6 rounds")
+    assert(merges.map(m => (m.a, m.b)).distinct.length == 6,
+      "the same pair must never be chosen twice (it no longer exists)")
+    def mass(df: org.apache.spark.sql.DataFrame) = df
+      .agg(sum(size(col("symbols")) * col("freq"))).head().getLong(0)
+    assert(mass(wordsK) < mass(words0),
+      "six merges must shrink weighted symbol mass below one merge's")
+    // every learned symbol is the concatenation of its parents, and the
+    // final table only contains symbols derivable from chars + merges
+    val learned = merges.map(m => m.a + m.b).toSet
+    val finalSyms = wordsK.select(explode(col("symbols")).as("s"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(finalSyms.filter(_.length > 1).forall(learned.contains),
+      s"multi-char symbol not explained by the merge list: " +
+        s"${finalSyms.filter(_.length > 1) -- learned}")
+  }
+
+  test("encode() reproduces the trained table's segmentation and runs " +
+    "on unseen text (per-word stateless deployment)") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001",
+      "documents")
+    val (wordsK, merges) = BpeTrainer.train(docs, "text", 5)
+    // encoding each distinct training word must give exactly its final
+    // symbols — the encoder IS the training fold replayed
+    val encoded = BpeTrainer
+      .encode(wordsK.select(col("word").as("text"), col("symbols")),
+        "text", merges)
+      .select(col("symbols"), element_at(col("pieces"), 1).as("enc"))
+    assert(encoded.filter(col("symbols") =!= col("enc")).count() == 0,
+      "encoder disagrees with training segmentation")
+    // unseen word: segments greedily with learned symbols, no failure
+    val unseen = BpeTrainer.encode(Seq("zzzqq").toDF("text"), "text",
+      merges).select(element_at(col("pieces"), 1)).head().getSeq[String](0)
+    assert(unseen.mkString == "zzzqq",
+      "encoding must preserve the word's characters")
+  }
+}
