@@ -1294,9 +1294,51 @@ object CurationQueries extends QueryPack {
       .orderBy("threshold_e4")
   }
 
+  /** Trained-tokenizer fertility census — the number a tokenizer budget
+    * is actually set by: train THREE real BPE merges with
+    * [[graft.operators.BpeTrainer]] (the full Sennrich loop — q359
+    * censuses round-1 candidates, this runs the loop), then per
+    * language: word/piece/char totals and the exact e4 pieces-per-word
+    * and chars-per-piece ratios under the trained segmentation. The
+    * chosen merge sequence rides along as a column, so the oracle —
+    * which replays all three rounds as unrolled CTEs with a
+    * `list_reduce` greedy fold — hash-pins the TRAINING DECISIONS, not
+    * just the census. (The fold uses the lookbehind formulation: merge
+    * when the last emitted symbol is `a` and the next is `b`; provably
+    * equal to the skip-scan because a merged symbol `a||b` can never
+    * equal `a` — `b` is nonempty — so no double-consumption exists.)
+    * Scale: training works the vocab-scale word-frequency table
+    * (BpeTrainer's contract); the census is one explode + one
+    * vocab-keyed join + a bounded-lang aggregation. */
+  private def q370(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.BpeTrainer
+    import Rounding.intDivExact
+    val (words, merges) =
+      BpeTrainer.train(Tables.load(s, dir, "documents"), "text", 3)
+    val mergeStr = merges.map(m => m.a + "+" + m.b).mkString(",")
+    Tables.load(s, dir, "documents")
+      .select(col("lang"),
+        explode(TextAnalysis.tokensCol(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .join(words.select(col("word"),
+        size(col("symbols")).cast("long").as("n_sym")), "word")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words"),
+        sum("n_sym").as("n_pieces"),
+        sum(length(col("word")).cast("long")).as("n_chars"))
+      .select(col("lang"), col("n_words"), col("n_pieces"), col("n_chars"),
+        intDivExact(col("n_pieces").cast("decimal(38,0)") * lit(10000L),
+          col("n_words")).as("pieces_per_word_e4"),
+        intDivExact(col("n_chars").cast("decimal(38,0)") * lit(10000L),
+          col("n_pieces")).as("chars_per_piece_e4"),
+        lit(mergeStr).as("merges"))
+      .orderBy("lang")
+  }
+
   val defs: Map[String, Q] = Map(
     "q353_corpus_build" -> (q353 _),
     "q359_bpe_merges" -> (q359 _),
+    "q370_bpe_fertility" -> (q370 _),
     "q360_token_lookup" -> (q360 _),
     "q361_keeper_policy" -> (q361 _),
     "q362_dedup_sweep" -> (q362 _),
@@ -1961,6 +2003,65 @@ object CurationQueries extends QueryPack {
          |  ON i.split = p.split AND p.t_offset >= i.lo
          |  AND p.t_offset < i.hi
          |ORDER BY 1, 2""".stripMargin
+    },
+    // three unrolled training rounds: pair census → (cnt desc, a, b)
+    // argmax → list_reduce greedy fold (lookbehind form — provably ≡ the
+    // Spark skip-scan: a merged symbol a||b never equals a)
+    "q370_bpe_fertility" -> {
+      def pairsBest(prev: String, n: Int): String =
+        s"""b${n}p AS (
+          |  SELECT syms[i] AS a, syms[i + 1] AS b,
+          |    CAST(sum(freq) AS BIGINT) AS cnt
+          |  FROM $prev, unnest(generate_series(1, len(syms) - 1)) AS t(i)
+          |  GROUP BY 1, 2),
+          |b$n AS (SELECT a AS pa, b AS pb FROM b${n}p
+          |        ORDER BY cnt DESC, a, b LIMIT 1)""".stripMargin
+      def mergeRound(prev: String, n: Int): String =
+        s"""w$n AS (
+          |  SELECT word, freq,
+          |    string_split(list_reduce(syms, (acc, x) ->
+          |      CASE WHEN regexp_extract(acc, '[^\\x1F]*$$') = pa
+          |             AND x = pb
+          |           THEN regexp_replace(acc, '[^\\x1F]*$$', pa || pb)
+          |           ELSE acc || chr(31) || x END), chr(31)) AS syms
+          |  FROM $prev, b$n)""".stripMargin
+      val fert = Rounding.intDivExactSql(
+        "CAST(n_pieces AS HUGEINT) * 10000", "n_words")
+      val cpp = Rounding.intDivExactSql(
+        "CAST(n_chars AS HUGEINT) * 10000", "n_pieces")
+      s"""WITH tk AS (
+        |  SELECT lang,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+        |      AS word
+        |  FROM documents),
+        |tk2 AS (SELECT * FROM tk WHERE word <> ''),
+        |w0 AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS freq,
+        |    list_filter(regexp_extract_all(word, '.'), x -> x <> '')
+        |      AS syms
+        |  FROM tk2 GROUP BY word),
+        |${pairsBest("w0", 1)},
+        |${mergeRound("w0", 1)},
+        |${pairsBest("w1", 2)},
+        |${mergeRound("w1", 2)},
+        |${pairsBest("w2", 3)},
+        |${mergeRound("w2", 3)},
+        |mstr AS (
+        |  SELECT b1.pa || '+' || b1.pb || ',' || b2.pa || '+' || b2.pb
+        |    || ',' || b3.pa || '+' || b3.pb AS merges
+        |  FROM b1, b2, b3),
+        |census AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+        |    CAST(sum(n_sym) AS BIGINT) AS n_pieces,
+        |    CAST(sum(length(word)) AS BIGINT) AS n_chars
+        |  FROM tk2 JOIN (SELECT word, CAST(len(syms) AS BIGINT) AS n_sym
+        |                 FROM w3) USING (word)
+        |  GROUP BY lang)
+        |SELECT lang, n_words, n_pieces, n_chars,
+        |  $fert AS pieces_per_word_e4,
+        |  $cpp AS chars_per_piece_e4,
+        |  merges
+        |FROM census, mstr ORDER BY lang""".stripMargin
     },
     // same vocab-first aggregation order; range(1, length) mirrors
     // sequence(1, length-1) (both emit start positions 1..len-1)

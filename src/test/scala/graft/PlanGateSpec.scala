@@ -109,7 +109,10 @@ object PlanGateSpec {
     "q368_review_sample" -> 3L,
     // corpusMixMemo stub on the mixed side + its own (unmemoized) nb
     // train/score chain over the survivors
-    "q369_gate_ablation" -> 7L)
+    "q369_gate_ablation" -> 7L,
+    // the trained words table plans as the final round's checkpoint stub
+    // (BpeTrainer trains at query-construction time, KMeans-style)
+    "q370_bpe_fertility" -> 2L)
   def maxShuffles(name: String): Long = measured(name) + slack
 }
 
