@@ -51,8 +51,14 @@ object BpeTrainer {
     * an `aggregate` fold over positions carrying (output, skip): a
     * matched position appends the merged symbol and skips its partner,
     * so overlapping candidates resolve exactly like the sequential
-    * scan ('aaa' with (a,a) → [aa, a], never [a, aa] or [aa, aa]). */
+    * scan ('aaa' with (a,a) → [aa, a], never [a, aa] or [aa, aa]).
+    * Arrays shorter than a pair return unchanged — the guard matters
+    * for the EMPTY array `encode` can see on whitespace-only text,
+    * where `sequence(1, 0)` would count DOWN and index position 0. */
   private[graft] def mergeGreedy(s: Column, a: String, b: String): Column =
+    when(size(s) < 2, s).otherwise(mergeFold(s, a, b))
+
+  private def mergeFold(s: Column, a: String, b: String): Column =
     aggregate(
       sequence(lit(1), size(s)),
       struct(array().cast("array<string>").as("out"),
@@ -112,9 +118,7 @@ object BpeTrainer {
           .localCheckpoint(true)
         // release the superseded round's blocks — the new checkpoint is
         // already materialized, nothing reads the old one again
-        prev.queryExecution.logical.collect {
-          case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-        }.foreach(_.unpersist(blocking = false))
+        CheckpointBlocks.release(prev)
         r += 1
       }
     }

@@ -23,11 +23,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the old GC + ContextCleaner path only ever cleaned UNREACHABLE RDDs
   * and could never do that, so eager eviction is NOT equivalent to it,
   * ADVICE r13). Instead eviction parks the frames' cached RDDs behind a
-  * WeakReference to the frame, and each subsequent `get` sweeps the
-  * parking lot: once the frame is weakly unreachable — no caller can
-  * ever read it again — its blocks are unpersisted immediately. Live
-  * holders keep working; abandoned builds free within one memo access
-  * of becoming garbage (vs ContextCleaner's unbounded GC latency).
+  * WeakReference to each checkpoint's LogicalRDD LEAF — the node every
+  * DERIVED plan retains (consumers call `.select`/`.groupBy` on the
+  * memoized frame and drop the Dataset wrapper immediately; a weak ref
+  * to the wrapper would clear while a derived reader is still pending
+  * and the sweep would break it). Each subsequent `get` sweeps the
+  * parking lot: once the leaf is weakly unreachable — no plan that can
+  * read those blocks exists anymore — they are unpersisted immediately.
+  * Live derived readers keep working; abandoned builds free within one
+  * memo access of becoming garbage (vs ContextCleaner's unbounded GC
+  * latency).
   *
   * Two slots, not one (round-11 verdict item 5): the driver's real
   * access pattern interleaves TWO dirs in one session — the correctness
@@ -47,29 +52,25 @@ private[graft] class SessionDirMemoOf[V](frames: V => Seq[DataFrame]) {
   private val capacity = 2
   // most-recently-used first; length ≤ capacity
   private var slots: List[(SparkSession, String, V)] = Nil
-  // Evicted-but-possibly-still-read builds: the frame held weakly (so a
-  // caller that kept the returned DataFrame keeps it valid), its cached
-  // RDDs held strongly (so WE control when the blocks go, not GC timing).
-  // Swept on every get(); an entry whose frame reference has cleared can
-  // have no reader left, so its blocks are unpersisted then and there.
-  private var parked: List[(java.lang.ref.WeakReference[DataFrame],
-    Seq[org.apache.spark.rdd.RDD[_]])] = Nil
-
-  private def cachedRdds(df: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
-    try
-      df.queryExecution.logical.collect {
-        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-      }
-    catch { case scala.util.control.NonFatal(_) => Nil }
+  // Evicted-but-possibly-still-read builds: each checkpoint's
+  // LogicalRDD LEAF held weakly (any plan derived from the memoized
+  // frame — a .select, a .groupBy — embeds that leaf by reference, so
+  // the ref stays live exactly as long as something could still read
+  // the blocks; the Dataset wrapper itself is dropped by every consumer
+  // immediately and would clear too early), its cached RDD held
+  // strongly (so WE control when the blocks go, not GC timing). Swept
+  // on every get(); an entry whose leaf has cleared can have no reader
+  // left, so its blocks are unpersisted then and there.
+  private var parked: List[(
+    java.lang.ref.WeakReference[org.apache.spark.sql.execution.LogicalRDD],
+    org.apache.spark.rdd.RDD[_])] = Nil
 
   private def sweepParked(): Unit = {
     val (dead, live) = parked.partition(_._1.get == null)
     parked = live
-    dead.foreach { case (_, rdds) =>
-      rdds.foreach { r =>
-        try r.unpersist(blocking = false)
-        catch { case scala.util.control.NonFatal(_) => () }
-      }
+    dead.foreach { case (_, rdd) =>
+      try rdd.unpersist(blocking = false)
+      catch { case scala.util.control.NonFatal(_) => () }
     }
   }
 
@@ -84,17 +85,17 @@ private[graft] class SessionDirMemoOf[V](frames: V => Seq[DataFrame]) {
           val built = build
           val (kept, evicted) = ((s, dir, built) :: slots).splitAt(capacity)
           slots = kept
-          // Park rather than unpersist (ADVICE r13): a caller that still
-          // holds the evicted frame would hard-fail on an eager unpersist
-          // of a lineage-truncated localCheckpoint. The sweep above frees
-          // each parked build's blocks on the first get() after its frame
-          // becomes unreachable — bounded retention without ever breaking
-          // a live reader.
+          // Park rather than unpersist (ADVICE r13): a reader that still
+          // holds a plan over the evicted frame would hard-fail on an
+          // eager unpersist of a lineage-truncated localCheckpoint. The
+          // sweep above frees each parked build's blocks on the first
+          // get() after its checkpoint leaf becomes unreachable —
+          // bounded retention without ever breaking a live reader.
           evicted.foreach { case (_, _, v) =>
             frames(v).foreach { df =>
-              val rdds = cachedRdds(df)
-              if (rdds.nonEmpty)
-                parked ::= (new java.lang.ref.WeakReference(df), rdds)
+              CheckpointBlocks.leaves(df).foreach { l =>
+                parked ::= (new java.lang.ref.WeakReference(l), l.rdd)
+              }
             }
           }
           built

@@ -271,11 +271,19 @@ object EvalQueries extends QueryPack {
         // mode nulled out at |num| ≥ 1e36; this form moves the cliff to
         // ~1e38 (n·Σxy itself can still overflow decimal(38,0)), and the
         // requireNotNull guard makes that cliff LOUD instead of letting
-        // an overflowed segment contribute sign 0 (ADVICE r13)
-        .withColumn("num", graft.functions.Rounding.requireNotNull(
-          col("n") * col("sxy") -
-            col("sx").cast("decimal(38,0)") * col("sy"),
-          "q343 covariance numerator overflowed decimal(38,0)"))
+        // an overflowed segment contribute sign 0 (ADVICE r13). The
+        // guard fires ONLY when the inputs are non-null (a segment whose
+        // values are all NULL — the non-ANSI malformed-data convention —
+        // legitimately has a null numerator and keeps the r12 sign-0
+        // reading; conflating it with overflow would raise a misleading
+        // error on tolerated dirty rows)
+        .withColumn("num",
+          when(col("sxy").isNull || col("sx").isNull || col("sy").isNull,
+            lit(null).cast("decimal(38,0)"))
+            .otherwise(graft.functions.Rounding.requireNotNull(
+              col("n") * col("sxy") -
+                col("sx").cast("decimal(38,0)") * col("sy"),
+              "q343 covariance numerator overflowed decimal(38,0)")))
         .withColumn("sgn", when(col("num") > 0, 1L)
           .when(col("num") < 0, -1L).otherwise(0L))
     val overall = covSign(base, Seq("event_type"))

@@ -199,9 +199,14 @@ object QualityModelQueries extends QueryPack {
           col("tp").cast("decimal(38,0)") * lit(2000000L) +
             (col("tp") + col("fp")),
           lit(2L) * (col("tp") + col("fp"))).as("precision_e6"),
-        intDivExact(
-          col("tp").cast("decimal(38,0)") * lit(2000000L) + col("p_total"),
-          lit(2L) * col("p_total")).as("recall_e6"))
+        // no positives in the held-out split → recall undefined: agreed
+        // NULL on both engines (DuckDB's // would error on /0 where
+        // non-ANSI Spark would emit NULL — pin the behavior explicitly)
+        when(col("p_total") === 0L, lit(null).cast("long"))
+          .otherwise(intDivExact(
+            col("tp").cast("decimal(38,0)") * lit(2000000L) +
+              col("p_total"),
+            lit(2L) * col("p_total"))).as("recall_e6"))
       .orderBy(col("bucket").desc)
   }
 
@@ -283,10 +288,16 @@ object QualityModelQueries extends QueryPack {
           col("n_docs_scored")).as("mean_score_e6"))
     val tokens = docs(s, dir).groupBy("source")
       .agg(sum(TextAnalysis.tokenCount(col("text"))).as("n_tokens"))
+    // tiers rank only the SCORED sources; a source whose docs all hashed
+    // into the training split has no quality estimate and must SURFACE
+    // in the table with a null tier and a zero quota — silently dropping
+    // it (the inner-join form) would reallocate its share with no signal
     val w = Window.orderBy(col("mean_score_e6").desc, col("source"))
-    val tiered = perSource.join(tokens, "source")
+    val scoredTiered = perSource
       .withColumn("tier", ntile(3).over(w).cast("long"))
-      .withColumn("mult", lit(4L) - col("tier"))
+    val tiered = tokens.join(scoredTiered, Seq("source"), "left")
+      .withColumn("n_docs_scored", coalesce(col("n_docs_scored"), lit(0L)))
+      .withColumn("mult", coalesce(lit(4L) - col("tier"), lit(0L)))
       .withColumn("wtok",
         col("n_tokens").cast("decimal(38,0)") * col("mult"))
     val tot = tiered.agg(sum("wtok").as("wtot"))
@@ -514,7 +525,7 @@ object QualityModelQueries extends QueryPack {
         |  FROM buckets)
         |SELECT bucket, n_pos, n_neg, tp, fp,
         |  $prec AS precision_e6,
-        |  $rec AS recall_e6
+        |  CASE WHEN p_total = 0 THEN NULL ELSE $rec END AS recall_e6
         |FROM cum, ptot ORDER BY bucket DESC""".stripMargin
     },
     // same per-doc flags, same q324 kappa rational, same NULL guard
@@ -580,14 +591,19 @@ object QualityModelQueries extends QueryPack {
         |    CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)
         |      AS n_tokens
         |  FROM documents GROUP BY source),
-        |tiered AS (
-        |  SELECT ms.source, n_docs_scored, mean_score_e6, n_tokens,
-        |    CAST(ntile(3) OVER (ORDER BY mean_score_e6 DESC, ms.source)
+        |st AS (
+        |  SELECT source, n_docs_scored, mean_score_e6,
+        |    CAST(ntile(3) OVER (ORDER BY mean_score_e6 DESC, source)
         |      AS BIGINT) AS tier
-        |  FROM ms JOIN tk ON ms.source = tk.source),
+        |  FROM ms),
+        |tiered AS (
+        |  SELECT tk.source,
+        |    CAST(coalesce(n_docs_scored, 0) AS BIGINT) AS n_docs_scored,
+        |    mean_score_e6, n_tokens, tier
+        |  FROM tk LEFT JOIN st ON tk.source = st.source),
         |wt AS (
-        |  SELECT *, 4 - tier AS mult,
-        |    CAST(n_tokens AS HUGEINT) * (4 - tier) AS wtok
+        |  SELECT *, CAST(coalesce(4 - tier, 0) AS BIGINT) AS mult,
+        |    CAST(n_tokens AS HUGEINT) * coalesce(4 - tier, 0) AS wtok
         |  FROM tiered),
         |wtot_t AS (SELECT sum(wtok) AS wtot FROM wt),
         |q AS (

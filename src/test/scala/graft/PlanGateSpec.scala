@@ -105,7 +105,7 @@ object PlanGateSpec {
     "q364_lm_cross_entropy" -> 2L,
     "q365_nb_threshold_sweep" -> 3L,
     "q366_gate_agreement" -> 1L,
-    "q367_quality_budget" -> 6L,
+    "q367_quality_budget" -> 10L, // r14 fix: unscored sources left-joined in
     "q368_review_sample" -> 3L,
     // corpusMixMemo stub on the mixed side + its own (unmemoized) nb
     // train/score chain over the survivors

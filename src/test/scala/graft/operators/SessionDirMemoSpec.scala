@@ -62,6 +62,26 @@ class SessionDirMemoSpec extends SparkSuite {
       "kept slot /a lost its blocks to the eviction")
   }
 
+  test("a DERIVED frame keeps an evicted build alive even after the " +
+    "wrapper Dataset is dropped — the real consumer shape (every " +
+    "caller .selects off the memoized frame immediately)") {
+    val memo = new SessionDirMemo
+    def ckpt(tag: Int) = df(tag).localCheckpoint(true)
+    // build, derive, and DROP the wrapper — only the derived plan lives
+    val derived = memo.get(spark, "/b")(ckpt(11))
+      .select((org.apache.spark.sql.functions.col("id") * 2).as("id2"))
+    memo.get(spark, "/a")(ckpt(10))
+    memo.get(spark, "/c")(ckpt(12)) // evicts /b; only `derived` refers
+    var tries = 0
+    while (tries < 5) { System.gc(); Thread.sleep(30)
+      memo.sweepNow(); tries += 1 }
+    assert(memo.parkedCount == 1,
+      "sweep released a build a derived reader still needs — the " +
+        "WeakReference must target the checkpoint leaf, not the wrapper")
+    assert(derived.count() == 11,
+      "the derived frame over the evicted build must remain readable")
+  }
+
   test("once the evicted frame is unreachable, the next memo access " +
     "sweeps its blocks — bounded retention without breaking readers") {
     val memo = new SessionDirMemo
