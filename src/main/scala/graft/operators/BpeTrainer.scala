@@ -125,18 +125,28 @@ object BpeTrainer {
     (words, merges.toList)
   }
 
+  /** Re-bind an expression as a LAMBDA VARIABLE before fanning it out:
+    * `mergeGreedy` references its input ~6 times, so naively folding k
+    * merge levels duplicates the child subtree 6^k times — at k = 5
+    * that is a ~10⁴-node expression whose analysis/codegen GC-thrashes
+    * the driver (observed: the encode spec hung the full suite). Routing
+    * each level through `transform(array(child), lvl -> f(lvl))` makes
+    * every self-reference a leaf variable, so the tree grows LINEARLY
+    * in the merge count. */
+  private def bound(child: Column)(f: Column => Column): Column =
+    element_at(transform(array(child), lvl => f(lvl)), 1)
+
   /** Deploy the trained tokenizer: segment `textCol`'s words with the
     * learned merges, returning the input plus a `pieces` column
-    * (Array[Array[String]] — per word, its BPE symbols). The merge list
-    * folds into ONE nested codegen'd expression (depth = #merges; fine
-    * for the tens of merges this trains — document before shipping
-    * thousands). Encoding is per-word stateless, so it runs identically
-    * on a batch frame or a foreachBatch micro-batch. */
+    * (Array[Array[String]] — per word, its BPE symbols). Each merge
+    * level is [[bound]], so the expression stays linear in the merge
+    * count. Encoding is per-word stateless, so it runs identically on a
+    * batch frame or a foreachBatch micro-batch. */
   def encode(df: DataFrame, textCol: String,
       merges: Seq[Merge]): DataFrame =
     df.withColumn("pieces",
       transform(TextAnalysis.tokensCol(col(textCol)), w =>
         merges.foldLeft(filter(split(w, ""), c => c =!= "")) {
-          (symbols, m) => mergeGreedy(symbols, m.a, m.b)
+          (symbols, m) => bound(symbols)(lvl => mergeGreedy(lvl, m.a, m.b))
         }))
 }
