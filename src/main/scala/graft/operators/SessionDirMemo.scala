@@ -30,9 +30,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * and the sweep would break it). Each subsequent `get` sweeps the
   * parking lot: once the leaf is weakly unreachable — no plan that can
   * read those blocks exists anymore — they are unpersisted immediately.
-  * Live derived readers keep working; abandoned builds free within one
-  * memo access of becoming garbage (vs ContextCleaner's unbounded GC
-  * latency).
+  * Live derived readers keep working. Sweeps are CROSS-INSTANCE (every
+  * `get` on any memo sweeps every registered memo's lot via the
+  * companion registry): a memo whose query family never runs again
+  * would otherwise pin its own last eviction for the JVM's life, since
+  * the strong RDD reference in its lot blocks the GC + ContextCleaner
+  * fallback. Residual bound, stated honestly: parked blocks free on the
+  * first memoized access ANYWHERE after their leaf becomes garbage — in
+  * the driver's workload (hundreds of memoized queries per run) that is
+  * effectively immediate; a JVM that stops using memos entirely keeps
+  * its final evictions until exit.
   *
   * Two slots, not one (round-11 verdict item 5): the driver's real
   * access pattern interleaves TWO dirs in one session — the correctness
@@ -48,6 +55,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (eager localCheckpoint at the call site: some builds need to release
   * intermediate caches only after materialization, so the memo cannot
   * own the checkpoint ordering). */
+private[graft] object SessionDirMemoOf {
+  // every live memo, so any get() can sweep every parking lot; memos are
+  // module-level singletons (one per memoized stage), so the registry is
+  // small and append-only by construction
+  private val registry =
+    new java.util.concurrent.CopyOnWriteArrayList[SessionDirMemoOf[_]]()
+  private def register(m: SessionDirMemoOf[_]): Unit = registry.add(m)
+  private def sweepAll(): Unit = registry.forEach(_.sweepNow())
+}
+
 private[graft] class SessionDirMemoOf[V](frames: V => Seq[DataFrame]) {
   private val capacity = 2
   // most-recently-used first; length ≤ capacity
@@ -65,6 +82,10 @@ private[graft] class SessionDirMemoOf[V](frames: V => Seq[DataFrame]) {
     java.lang.ref.WeakReference[org.apache.spark.sql.execution.LogicalRDD],
     org.apache.spark.rdd.RDD[_])] = Nil
 
+  // register only after every field above is initialized — the registry
+  // may sweep this instance from another memo's get() at any time
+  SessionDirMemoOf.register(this)
+
   private def sweepParked(): Unit = {
     val (dead, live) = parked.partition(_._1.get == null)
     parked = live
@@ -74,9 +95,12 @@ private[graft] class SessionDirMemoOf[V](frames: V => Seq[DataFrame]) {
     }
   }
 
-  def get(s: SparkSession, dir: String)(build: => V): V =
+  def get(s: SparkSession, dir: String)(build: => V): V = {
+    // sweep every memo's lot BEFORE taking this instance's lock — each
+    // sweepNow takes only its own lock, one at a time, so two concurrent
+    // gets on different memos can never deadlock on each other
+    SessionDirMemoOf.sweepAll()
     synchronized {
-      sweepParked()
       slots.find { case (ss, d, _) => (ss eq s) && d == dir } match {
         case Some(hit @ (_, _, v)) =>
           slots = hit :: slots.filterNot(_ eq hit)
@@ -101,6 +125,7 @@ private[graft] class SessionDirMemoOf[V](frames: V => Seq[DataFrame]) {
           built
       }
     }
+  }
 
   /** Test hook: how many distinct builds are currently pinned. */
   private[graft] def pinned: Int = synchronized(slots.size)

@@ -63,17 +63,37 @@ object QualityModelQueries extends QueryPack {
     * stubs, so the gate audits the chain, not the stub. At 100 TB a
     * production run materializes the per-doc score table once anyway;
     * the memo is the local analogue. */
+  /** The trained (model, totals) pair, memoized per (session, dir) — the
+    * corpus-scale token explode + vocab aggregation behind it is the
+    * family's most expensive stage, and q369 needs the MODEL (to score
+    * the build's survivors) rather than the held-out score table, so the
+    * memo boundary sits one level below [[nbDocScores]]. Multi-frame
+    * eviction releases both checkpoints (the k-means fit pattern). */
+  private val nbModelMemo = new graft.operators.SessionDirMemoOf[
+    (DataFrame, DataFrame)](p => Seq(p._1, p._2))
+  private[graft] def nbModel(s: SparkSession, dir: String,
+      checkpoint: Boolean = true): (DataFrame, DataFrame) = {
+    import graft.operators.QualityModels
+    def build = QualityModels.trainNb(
+      docs(s, dir).filter(isTrain(col("doc_id")))
+        .select(col("text"), (col("lang") === "en").cast("long").as("y")),
+      "text", "y")
+    if (checkpoint) nbModelMemo.get(s, dir) {
+      val (m, t) = build
+      (m.localCheckpoint(true), t.localCheckpoint(true))
+    } else build
+  }
+
   private[graft] val nbScoresMemo = new graft.operators.SessionDirMemo
   private[graft] def nbDocScores(s: SparkSession, dir: String,
       checkpoint: Boolean = true): DataFrame = {
     import graft.operators.QualityModels
     def build = {
-      val d = docs(s, dir).select(col("doc_id"), col("text"),
-        col("source"), (col("lang") === "en").cast("long").as("y"),
-        isTrain(col("doc_id")).cast("long").as("is_train"))
-      val (model, totals) = QualityModels
-        .trainNb(d.filter(col("is_train") === 1L), "text", "y")
-      QualityModels.scoreNb(d.filter(col("is_train") === 0L),
+      val (model, totals) = nbModel(s, dir, checkpoint)
+      QualityModels.scoreNb(
+        docs(s, dir).filter(!isTrain(col("doc_id")))
+          .select(col("doc_id"), col("text"), col("source"),
+            (col("lang") === "en").cast("long").as("y")),
         Seq("doc_id", "y", "source"), "text", model, totals)
     }
     if (checkpoint) nbScoresMemo.get(s, dir)(build.localCheckpoint(true))
@@ -110,7 +130,10 @@ object QualityModelQueries extends QueryPack {
         col("score_e6"))
       .groupBy("actual_en", "predicted_en")
       .agg(count(lit(1)).as("n_docs"),
-        sum("score_e6").as("sum_score_e6"),
+        // decimal accumulation (sumCents): a raw long sum would WRAP
+        // silently past 2^63 where the oracle's HUGEINT sum stays exact
+        // — the Rounding.scala divergence channel
+        Rounding.sumCents(col("score_e6")).as("sum_score_e6"),
         min("score_e6").as("min_score_e6"),
         max("score_e6").as("max_score_e6"))
       .orderBy("actual_en", "predicted_en")
@@ -157,7 +180,12 @@ object QualityModelQueries extends QueryPack {
     lmDocCe(s, dir)
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
-        intDiv(sum("ce_e6"), count(lit(1))).as("mean_ce_e6"),
+        // intDivExact, not intDiv: the per-language Σce_e6 outgrows
+        // intDiv's 2^53 dividend ceiling near ~4.5e8 docs per language —
+        // well inside the design point (siblings q365/q366/q367 already
+        // divide exactly for the same reason)
+        Rounding.intDivExact(sum(col("ce_e6").cast("decimal(38,0)")),
+          count(lit(1))).as("mean_ce_e6"),
         min("ce_e6").as("min_ce_e6"),
         max("ce_e6").as("max_ce_e6"),
         sum((col("ce_e6") > 3400000L).cast("long")).as("n_above_gate"))
@@ -282,9 +310,10 @@ object QualityModelQueries extends QueryPack {
     val perSource = nbDocScores(s, dir)
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs_scored"),
-        sum("score_e6").as("sum_score_e6"))
+        // decimal accumulation — same wrap-avoidance as q363's census
+        sum(col("score_e6").cast("decimal(38,0)")).as("sum_score_e6"))
       .select(col("source"), col("n_docs_scored"),
-        intDivExact(col("sum_score_e6").cast("decimal(38,0)"),
+        intDivExact(col("sum_score_e6"),
           col("n_docs_scored")).as("mean_score_e6"))
     val tokens = docs(s, dir).groupBy("source")
       .agg(sum(TextAnalysis.tokenCount(col("text"))).as("n_tokens"))
@@ -363,10 +392,7 @@ object QualityModelQueries extends QueryPack {
   private def q369(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.QualityModels
     import Rounding.intDivExact
-    val d = docs(s, dir).select(col("doc_id"), col("text"),
-      (col("lang") === "en").cast("long").as("y"))
-    val (model, totals) =
-      QualityModels.trainNb(d.filter(isTrain(col("doc_id"))), "text", "y")
+    val (model, totals) = nbModel(s, dir)
     val (_, _, _, _, _, mixed) = CurationQueries.corpusStages(s, dir)
     QualityModels.scoreNb(
         mixed.select("doc_id", "source", "n_tokens", "text"),
@@ -481,13 +507,13 @@ object QualityModelQueries extends QueryPack {
         |SELECT y AS actual_en,
         |  CAST(score_e6 > 0 AS BIGINT) AS predicted_en,
         |  CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(sum(score_e6) AS BIGINT) AS sum_score_e6,
+        |  ${Rounding.sumCentsSql("score_e6")} AS sum_score_e6,
         |  CAST(min(score_e6) AS BIGINT) AS min_score_e6,
         |  CAST(max(score_e6) AS BIGINT) AS max_score_e6
         |FROM pd GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // same per-doc lead bigrams, same add-one lattice, same trunc mean
     "q364_lm_cross_entropy" -> {
-      val mean = intDivSql("sum(ce_e6)", "count(*)")
+      val mean = Rounding.intDivExactSql("sum(ce_e6)", "count(*)")
       s"""WITH $lmPdCte
         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |  $mean AS mean_ce_e6,
@@ -582,7 +608,7 @@ object QualityModelQueries extends QueryPack {
       s"""WITH $nbPdCte,
         |ps AS (
         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs_scored,
-        |    CAST(sum(score_e6) AS BIGINT) AS ssum
+        |    sum(score_e6) AS ssum
         |  FROM pd GROUP BY source),
         |ms AS (
         |  SELECT source, n_docs_scored, $mean AS mean_score_e6 FROM ps),

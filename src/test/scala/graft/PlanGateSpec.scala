@@ -107,9 +107,9 @@ object PlanGateSpec {
     "q366_gate_agreement" -> 1L,
     "q367_quality_budget" -> 10L, // r14 fix: unscored sources left-joined in
     "q368_review_sample" -> 3L,
-    // corpusMixMemo stub on the mixed side + its own (unmemoized) nb
-    // train/score chain over the survivors
-    "q369_gate_ablation" -> 7L,
+    // corpusMixMemo stub on the mixed side + nbModelMemo stubs on the
+    // model side; only the survivor scoring plans live
+    "q369_gate_ablation" -> 3L,
     // the trained words table plans as the final round's checkpoint stub
     // (BpeTrainer trains at query-construction time, KMeans-style)
     "q370_bpe_fertility" -> 2L)
