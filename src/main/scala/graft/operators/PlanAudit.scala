@@ -5,6 +5,8 @@ import org.apache.spark.sql.execution.{CollapseCodegenStages, SparkPlan, WholeSt
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, EnsureRequirements, ShuffleExchangeLike}
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.window.{WindowExecBase, WindowGroupLimitExec}
+import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
 
 /** Physical-plan shape statistics as data — the library form of the plan
   * assertions a scale-conscious team otherwise hand-writes in tests
@@ -25,12 +27,15 @@ object PlanAudit {
   final case class Audit(
       shuffles: Long, broadcasts: Long, scans: Long,
       cartesians: Long, nestedLoopJoins: Long,
-      codegenSpans: Long, nodes: Long)
+      codegenSpans: Long, nodes: Long,
+      unpartitionedWindows: Long = 0L,
+      singlePartitionExchanges: Long = 0L)
 
   /** Walk every node of the compiled physical plan, including the plans
     * nested inside AQE wrappers and subquery expressions. */
   def of(df: DataFrame): Audit = {
     var shuffles, broadcasts, scans, cartesians, bnlj, codegen, nodes = 0L
+    var unpWindows, spExchanges = 0L
     def walk(p: SparkPlan): Unit = {
       val unwrapped = p match {
         // AQE defers plan preparation: inputPlan has neither exchanges
@@ -44,11 +49,27 @@ object PlanAudit {
       unwrapped.foreach { n =>
         nodes += 1
         n match {
-          case _: ShuffleExchangeLike => shuffles += 1
+          case e: ShuffleExchangeLike =>
+            shuffles += 1
+            // an exchange that funnels EVERYTHING into one partition: the
+            // shape behind `OVER (ORDER BY …)` windows and the one a
+            // 1000-executor cluster serializes on. (Global aggregates also
+            // plan one, but theirs carries ~1 pre-aggregated row per
+            // upstream partition — which is why this is a separate counter
+            // and the gate below keys on unpartitionedWindows instead.)
+            if (e.outputPartitioning == SinglePartition) spExchanges += 1
           case _: BroadcastExchangeLike => broadcasts += 1
           case _: CartesianProductExec => cartesians += 1
           case _: BroadcastNestedLoopJoinExec => bnlj += 1
           case _: WholeStageCodegenExec => codegen += 1
+          // a window with no PARTITION BY holds its ENTIRE input in one
+          // task — correct at 10^3 rows, dead at 10^9 (the q337/q349
+          // r14-verdict defect class). Legitimate only over frames bounded
+          // by something other than data volume; PlanSpec allowlists those.
+          case w: WindowExecBase if w.partitionSpec.isEmpty =>
+            unpWindows += 1
+          case w: WindowGroupLimitExec if w.partitionSpec.isEmpty =>
+            unpWindows += 1
           case f if f.nodeName.contains("Scan") => scans += 1
           case _ => ()
         }
@@ -56,7 +77,8 @@ object PlanAudit {
       }
     }
     walk(df.queryExecution.executedPlan)
-    Audit(shuffles, broadcasts, scans, cartesians, bnlj, codegen, nodes)
+    Audit(shuffles, broadcasts, scans, cartesians, bnlj, codegen, nodes,
+      unpWindows, spExchanges)
   }
 
   /** The audit as a 1-row DataFrame, for dashboards / CI artifacts. */
@@ -65,8 +87,10 @@ object PlanAudit {
     val spark = df.sparkSession
     import spark.implicits._
     Seq((a.shuffles, a.broadcasts, a.scans, a.cartesians,
-      a.nestedLoopJoins, a.codegenSpans, a.nodes))
+      a.nestedLoopJoins, a.codegenSpans, a.nodes,
+      a.unpartitionedWindows, a.singlePartitionExchanges))
       .toDF("shuffles", "broadcasts", "scans", "cartesians",
-        "nested_loop_joins", "codegen_spans", "nodes")
+        "nested_loop_joins", "codegen_spans", "nodes",
+        "unpartitioned_windows", "single_partition_exchanges")
   }
 }

@@ -32,35 +32,68 @@ object PrefixScan {
     * order of `sortExprs`. */
   def runningMin(df: DataFrame, valueCol: String, outCol: String,
       sortExprs: Column*): DataFrame =
-    scan(df, valueCol, outCol, sortExprs, Long.MaxValue, math.min)
+    scan(df, Seq(Col(valueCol, outCol, Long.MaxValue, math.min)), sortExprs)
 
-  /** Two-pass distributed left fold. `zero` must be `combine`'s identity:
-    * partitions with no rows contribute `zero` to every later seed. */
+  /** Append one running-SUM column per `(valueCol, outCol)` pair, all in
+    * the SAME total order, in ONE range-shuffle + fold pass. This is the
+    * rank-plus-mass shape: a running sum over a ones column IS the
+    * 1-based global rank (what [[GlobalRank.withRank]] computes), so a
+    * caller needing `row_number()` AND `sum() ROWS UNBOUNDED PRECEDING`
+    * over the same order (the q337/q349 vocabulary-coverage curves) pays
+    * one shuffle and one checkpoint instead of two of each. */
+  def runningSums(df: DataFrame, cols: Seq[(String, String)],
+      sortExprs: Column*): DataFrame = {
+    require(cols.nonEmpty, "runningSums needs at least one column pair")
+    scan(df, cols.map { case (v, o) => Col(v, o, 0L, _ + _) }, sortExprs)
+  }
+
+  /** One scanned column: input field, output field, fold identity and
+    * combiner (`zero` must be `combine`'s identity — partitions with no
+    * rows contribute `zero` to every later seed). */
+  private final case class Col(valueCol: String, outCol: String,
+      zero: Long, combine: (Long, Long) => Long)
+
   private def scan(df: DataFrame, valueCol: String, outCol: String,
       sortExprs: Seq[Column], zero: Long,
-      combine: (Long, Long) => Long): DataFrame = {
+      combine: (Long, Long) => Long): DataFrame =
+    scan(df, Seq(Col(valueCol, outCol, zero, combine)), sortExprs)
+
+  /** Two-pass distributed left fold over k columns at once. */
+  private def scan(df: DataFrame, cols: Seq[Col],
+      sortExprs: Seq[Column]): DataFrame = {
     val spark = df.sparkSession
     val np = math.max(1, spark.sessionState.conf.numShufflePartitions)
     val sorted = df.repartitionByRange(np, sortExprs: _*)
       .sortWithinPartitions(sortExprs: _*)
       .localCheckpoint(true)
-    val idx = sorted.schema.fieldIndex(valueCol)
+    val idxs = cols.map(c => sorted.schema.fieldIndex(c.valueCol)).toArray
+    val zeros = cols.map(_.zero).toArray
+    val combines = cols.map(_.combine).toArray
+    val k = idxs.length
     val rdd = sorted.rdd
     val totals = rdd.mapPartitionsWithIndex { (pid, it) =>
-      Iterator.single((pid, it.foldLeft(zero)((acc, row) =>
-        combine(acc, row.getLong(idx)))))
+      val acc = zeros.clone()
+      it.foreach { row =>
+        var j = 0
+        while (j < k) { acc(j) = combines(j)(acc(j), row.getLong(idxs(j))); j += 1 }
+      }
+      Iterator.single((pid, acc))
     }.collect().toMap
-    val seeds = (0 until rdd.getNumPartitions)
-      .scanLeft(zero)((acc, pid) => combine(acc, totals.getOrElse(pid, zero)))
-      .toArray
+    val nParts = rdd.getNumPartitions
+    val seeds = Array.tabulate(nParts + 1)(_ => zeros.clone())
+    for (p <- 0 until nParts; j <- 0 until k)
+      seeds(p + 1)(j) = combines(j)(seeds(p)(j),
+        totals.get(p).map(_(j)).getOrElse(zeros(j)))
     val bc = spark.sparkContext.broadcast(seeds)
-    val schema = StructType(
-      sorted.schema.fields :+ StructField(outCol, LongType, nullable = false))
+    val schema = StructType(sorted.schema.fields ++
+      cols.map(c => StructField(c.outCol, LongType, nullable = false)))
     val out = rdd.mapPartitionsWithIndex { (pid, it) =>
-      var acc = bc.value(pid)
+      val acc = bc.value(pid).clone()
       it.map { row =>
-        acc = combine(acc, row.getLong(idx))
-        Row.fromSeq(row.toSeq :+ acc)
+        var j = 0
+        while (j < k) { acc(j) = combines(j)(acc(j), row.getLong(idxs(j))); j += 1 }
+        // ++ materializes the Long values eagerly — no aliasing of `acc`
+        Row.fromSeq(row.toSeq ++ acc)
       }
     }
     spark.createDataFrame(out, schema)

@@ -737,25 +737,27 @@ object CorpusStatsQueries extends QueryPack {
   /** Vocabulary coverage curve — "how many token types carry 50/90/99%
     * of the token mass": the number every tokenizer-budget and
     * vocab-truncation decision starts from (Zipf's law says the head is
-    * tiny; this measures it exactly). Types sort by (count desc, token),
-    * one cumulative window over the VOCABULARY table (bounded by
-    * distinct types, not corpus rows), and for each threshold the
-    * smallest prefix k with cum ≥ ⌈p·total⌉ — ceil-exact in integers,
-    * no float thresholds. Emits k_types and the prefix's exact e6
-    * coverage per threshold. */
+    * tiny; this measures it exactly). Types sort by (count desc, token);
+    * rank and cumulative mass come from ONE [[graft.operators.PrefixScan]]
+    * pass (rank ≡ running sum of ones) — a `row_number()/sum() OVER
+    * (ORDER BY …)` window here would plan as a SINGLE task holding the
+    * whole vocabulary, and at 100 TB of web text Heaps' law puts distinct
+    * types at 10⁸–10⁹ (the q214/GlobalRank rule). The grand total is the
+    * scan's own max (the last running value), so the corpus is read once.
+    * For each threshold the smallest prefix k with cum ≥ ⌈p·total⌉ —
+    * ceil-exact in integers, no float thresholds. Emits k_types and the
+    * prefix's exact e6 coverage per threshold. */
   private def q337(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import Rounding.intDivExact
     val counts = docs(s, dir)
       .select(explode(TextAnalysis.tokensCol(col("text"))).as("tok"))
       .filter(col("tok") =!= "")
       .groupBy("tok").agg(count(lit(1)).as("c"))
-    val ord = Window.orderBy(col("c").desc, col("tok"))
-    val cum = counts
-      .withColumn("k", row_number().over(ord).cast("long"))
-      .withColumn("cum", sum("c").over(
-        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .crossJoin(broadcast(counts.agg(sum("c").as("total"))))
+    val scanned = graft.operators.PrefixScan.runningSums(
+      counts.withColumn("one", lit(1L)),
+      Seq("one" -> "k", "c" -> "cum"), col("c").desc, col("tok"))
+    val cum = scanned
+      .crossJoin(broadcast(scanned.agg(max("cum").as("total"))))
     val th = s.createDataFrame(Seq(Tuple1(50L), Tuple1(90L), Tuple1(99L)))
       .toDF("threshold_pct")
     cum.crossJoin(broadcast(th))
@@ -776,21 +778,21 @@ object CorpusStatsQueries extends QueryPack {
     * distance to the chord from (1, c₁) to (K, c_K), which is exactly
     * the point maximizing the integer CROSS PRODUCT
     * |(K−1)(cum_k − c₁) − (k−1)(c_K − c₁)| — no normalization, no
-    * floats, ties to the smallest k. The curve lives on the bounded
-    * vocabulary table; the chord endpoints are a 1-row broadcast. The
-    * same operator picks k for q118's KMeans or q270's band count from
-    * any monotone diagnostic curve. */
+    * floats, ties to the smallest k. Rank and cumulative mass come from
+    * ONE [[graft.operators.PrefixScan]] pass in (count desc, token)
+    * order — never a partition-less window, which would hold the whole
+    * 10⁸–10⁹-type vocabulary in one task (the q214/GlobalRank rule); the
+    * chord endpoints are a 1-row broadcast. The same operator picks k for
+    * q118's KMeans or q270's band count from any monotone diagnostic
+    * curve. */
   private def q349(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val counts = docs(s, dir)
       .select(explode(TextAnalysis.tokensCol(col("text"))).as("tok"))
       .filter(col("tok") =!= "")
       .groupBy("tok").agg(count(lit(1)).as("c"))
-    val ord = Window.orderBy(col("c").desc, col("tok"))
-    val cum = counts
-      .withColumn("k", row_number().over(ord).cast("long"))
-      .withColumn("cum", sum("c").over(
-        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val cum = graft.operators.PrefixScan.runningSums(
+      counts.withColumn("one", lit(1L)),
+      Seq("one" -> "k", "c" -> "cum"), col("c").desc, col("tok"))
       .select("k", "cum")
     val ends = cum.agg(max("k").as("kk"),
       min(struct(col("k"), col("cum"))).as("lo"),

@@ -112,7 +112,13 @@ object PlanGateSpec {
     "q369_gate_ablation" -> 3L,
     // the trained words table plans as the final round's checkpoint stub
     // (BpeTrainer trains at query-construction time, KMeans-style)
-    "q370_bpe_fertility" -> 2L)
+    "q370_bpe_fertility" -> 2L,
+    // round-15: the coverage curves ride PrefixScan (verdict item 1) —
+    // the census+scan materializes at construction, so these plan as
+    // checkpoint stubs; the scan itself is gated by PrefixScanSpec and
+    // the blanket partition-less-window guard in PlanSpec
+    "q337_coverage_curve" -> 3L,
+    "q349_knee_detection" -> 1L)
   def maxShuffles(name: String): Long = measured(name) + slack
 }
 

@@ -12,6 +12,16 @@ class PlanSpec extends SparkSuite {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
+  /** One static audit of EVERY declared query, shared by the blanket
+    * guards below so the suite constructs the 366 plans once (eager
+    * queries — memo builders, GlobalRank/PrefixScan consumers — run real
+    * sf0.001 work at construction; doing that once, not per-guard,
+    * matters). */
+  private lazy val fullSweep: Seq[(String, operators.PlanAudit.Audit)] =
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> operators.PlanAudit.of(fn(spark, sf))
+    }
+
   test("q01: filter and projection reach the parquet scan") {
     val p = plan("q01_project_filter")
     assert(p.contains("PushedFilters: [IsNotNull"), p.linesIterator
@@ -283,11 +293,56 @@ class PlanSpec extends SparkSuite {
     // the top-level tree can miss a product (and is what PLANS.json — the
     // per-round plan-shape artifact Bench emits — counts, so the CI gate
     // and the artifact can never disagree).
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        if (operators.PlanAudit.of(fn(spark, sf)).cartesians > 0) Some(name)
-        else None
+    val offenders = fullSweep.collect {
+      case (name, a) if a.cartesians > 0 => name
     }
     assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
+  /** The second blanket guard (round-15 verdict task 3): a window with no
+    * PARTITION BY plans as ONE task holding its entire input — fine over
+    * a frame bounded by something other than data volume (score buckets,
+    * sources, months, limit-k heads), fatal over anything corpus- or
+    * vocabulary-scale (the q337/q349 defect r14 caught by hand; both now
+    * ride PrefixScan). Every such site must be enrolled here with its
+    * bounding set named — a NEW partition-less window fails the suite
+    * until a human certifies its frame. Re-measure with
+    * `Test/runMain graft.WindowSweepTool`. */
+  test("no declared query grows an un-allowlisted partition-less window") {
+    // query -> pinned count of partition-less WindowExec nodes, each over
+    // a frame bounded by construction:
+    val allow: Map[String, Long] = Map(
+      "q141_benford" -> 1L, // 9 leading digits
+      "q144_avg_e10_exact" -> 1L, // 1-row running-remainder frame
+      "q194_hybrid_rrf" -> 2L, // two limit-k retrieval heads
+      "q216_exact_kfold" -> 1L, // k fold summary rows
+      "q220_matryoshka_audit" -> 1L, // prefix-length ladder (log2 d rows)
+      "q236_ks_drift" -> 1L, // merged quantile grid (≤2·q points)
+      "q254_hamilton_alloc" -> 2L, // seat table = bounded source set
+      "q271_open_backlog" -> 1L, // daily backlog series (calendar-bounded)
+      "q274_wasserstein" -> 1L, // shared quantile grid
+      "q285_leaderboard_churn" -> 2L, // two limit-100 leaderboards
+      "q297_waterfill_budget" -> 2L, // source-count frame
+      "q298_gini_stump" -> 2L, // distinct split thresholds of 1 feature
+      "q308_path_trigrams" -> 1L, // limit-50 trigram head
+      "q312_top_movers" -> 1L, // two limit-k day heads
+      "q315_sequential_ab" -> 2L, // calendar-day sequence of one A/B test
+      "q320_anonymity_ladder" -> 1L, // k-anonymity ladder (distinct k)
+      "q322_pr_curve" -> 1L, // score-bucket curve (bounded e-lattice)
+      "q333_prf_expansion" -> 1L, // limit-k feedback docs
+      "q334_ns_weights" -> 2L, // bounded frequency-bucket lattice
+      "q347_multiple_testing" -> 2L, // p-value lattice of bounded tests
+      "q362_dedup_sweep" -> 1L, // threshold sweep grid (7 rows)
+      "q365_nb_threshold_sweep" -> 1L, // e1 score buckets (≤21 rows)
+      "q367_quality_budget" -> 2L) // per-source tier table (bounded)
+    val offenders = fullSweep.collect {
+      case (name, a) if a.unpartitionedWindows > allow.getOrElse(name, 0L) =>
+        s"$name(${a.unpartitionedWindows}>" +
+          s"${allow.getOrElse(name, 0L)})"
+    }
+    assert(offenders.isEmpty,
+      s"partition-less windows outside the certified-bounded allowlist " +
+        s"(one task holds the whole frame at scale — use GlobalRank/" +
+        s"PrefixScan, or certify the bound here): $offenders")
   }
 }

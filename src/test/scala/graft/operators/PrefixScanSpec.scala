@@ -32,6 +32,19 @@ class PrefixScanSpec extends SparkSuite {
     assert(got.except(want).isEmpty && want.except(got).isEmpty)
   }
 
+  test("runningSums: one pass equals row_number() plus sum() windows") {
+    val got = PrefixScan.runningSums(
+      fixture.withColumn("one", lit(1L)),
+      Seq("one" -> "k", "v" -> "cum"), col("v").desc, col("id"))
+      .select("id", "k", "cum")
+    val ww = Window.orderBy(col("v").desc, col("id"))
+    val want = fixture.select(col("id"),
+      row_number().over(ww).cast("long").as("k"),
+      sum("v").over(ww.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)).as("cum"))
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+
   test("scan is independent of the shuffle partition count") {
     val a = PrefixScan.runningSum(fixture, "v", "cum", col("id"))
       .select("id", "cum").collect().map(r => (r.getInt(0), r.getLong(1)))
