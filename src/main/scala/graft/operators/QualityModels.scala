@@ -43,13 +43,22 @@ object QualityModels {
         explode(TextAnalysis.tokensCol(col(textCol))).as("tok"))
       .groupBy("tok")
       .agg(sum("y").as("c_pos"), (count(lit(1)) - sum("y")).as("c_neg"))
-    val totals = model
+    (model, nbTotals(model, train, labelCol))
+  }
+
+  /** The NB totals row derived from a model table plus the train frame.
+    * Split out of [[trainNb]] so a caller that MATERIALIZES the model
+    * (localCheckpoint/table write) can derive the counts half of totals
+    * from the materialized frame instead of replaying the corpus-scale
+    * token explode a second time; d_pos/d_neg still come from the train
+    * split (a doc-scale scan, not the explode). */
+  def nbTotals(model: DataFrame, train: DataFrame,
+      labelCol: String): DataFrame =
+    model
       .agg(sum("c_pos").as("n_pos"), sum("c_neg").as("n_neg"),
         count(lit(1)).as("v"))
       .crossJoin(train.agg(sum(col(labelCol)).as("d_pos"),
         (count(lit(1)) - sum(col(labelCol))).as("d_neg")))
-    (model, totals)
-  }
 
   /** Per-doc lead bigrams of a tokenized text column — the q321/q329
     * construction (doc-keyed window, never a global sort). */

@@ -78,6 +78,9 @@ private[graft] class SessionDirMemoOf[V](frames: V => Seq[DataFrame]) {
   // strongly (so WE control when the blocks go, not GC timing). Swept
   // on every get(); an entry whose leaf has cleared can have no reader
   // left, so its blocks are unpersisted then and there.
+  // guarded by parkedLock, NOT the instance monitor: sweeps must be able
+  // to run without touching the lock a build holds (see sweepNow)
+  private val parkedLock = new java.util.concurrent.locks.ReentrantLock
   private var parked: List[(
     java.lang.ref.WeakReference[org.apache.spark.sql.execution.LogicalRDD],
     org.apache.spark.rdd.RDD[_])] = Nil
@@ -86,6 +89,7 @@ private[graft] class SessionDirMemoOf[V](frames: V => Seq[DataFrame]) {
   // may sweep this instance from another memo's get() at any time
   SessionDirMemoOf.register(this)
 
+  /** Requires parkedLock held. */
   private def sweepParked(): Unit = {
     val (dead, live) = parked.partition(_._1.get == null)
     parked = live
@@ -96,9 +100,16 @@ private[graft] class SessionDirMemoOf[V](frames: V => Seq[DataFrame]) {
   }
 
   def get(s: SparkSession, dir: String)(build: => V): V = {
-    // sweep every memo's lot BEFORE taking this instance's lock — each
-    // sweepNow takes only its own lock, one at a time, so two concurrent
-    // gets on different memos can never deadlock on each other
+    // Sweep every memo's lot before taking this instance's lock. Sweeps
+    // take ONLY parkedLock — never an instance monitor — and give up
+    // rather than wait (tryLock in sweepNow), so sweepAll is safe to call
+    // from ANY lock context. That matters because builds NEST: a build
+    // running under one memo's monitor can get() another memo
+    // (nbDocScores → nbModel), whose sweepAll touches every memo's lot —
+    // if sweeps blocked on locks a build can hold, two opposite-direction
+    // nested builds would be a lock-ordering deadlock (ADVICE r14). The
+    // only lock order that exists is instance-monitor → own parkedLock
+    // (the eviction below); parkedLock is always a leaf, so no cycle.
     SessionDirMemoOf.sweepAll()
     synchronized {
       slots.find { case (ss, d, _) => (ss eq s) && d == dir } match {
@@ -118,7 +129,9 @@ private[graft] class SessionDirMemoOf[V](frames: V => Seq[DataFrame]) {
           evicted.foreach { case (_, _, v) =>
             frames(v).foreach { df =>
               CheckpointBlocks.leaves(df).foreach { l =>
-                parked ::= (new java.lang.ref.WeakReference(l), l.rdd)
+                parkedLock.lock()
+                try parked ::= (new java.lang.ref.WeakReference(l), l.rdd)
+                finally parkedLock.unlock()
               }
             }
           }
@@ -130,9 +143,20 @@ private[graft] class SessionDirMemoOf[V](frames: V => Seq[DataFrame]) {
   /** Test hook: how many distinct builds are currently pinned. */
   private[graft] def pinned: Int = synchronized(slots.size)
 
-  /** Test hooks: evicted builds awaiting release, and a forced sweep. */
-  private[graft] def parkedCount: Int = synchronized(parked.size)
-  private[graft] def sweepNow(): Unit = synchronized(sweepParked())
+  /** Test hook: evicted builds awaiting release. */
+  private[graft] def parkedCount: Int = {
+    parkedLock.lock()
+    try parked.size finally parkedLock.unlock()
+  }
+
+  /** Sweep this memo's parking lot — NEVER blocks: losing the tryLock
+    * race (another sweep, or an eviction mid-cons) just skips; the next
+    * get() anywhere retries. Blocking here would recreate the nested-
+    * build deadlock documented in [[get]]. */
+  private[graft] def sweepNow(): Unit =
+    if (parkedLock.tryLock()) {
+      try sweepParked() finally parkedLock.unlock()
+    }
 }
 
 /** The common single-frame instance (most memoized stages are one

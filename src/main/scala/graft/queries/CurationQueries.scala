@@ -2021,8 +2021,15 @@ object CurationQueries extends QueryPack {
          |ORDER BY 1, 2""".stripMargin
     },
     // three unrolled training rounds: pair census → (cnt desc, a, b)
-    // argmax → list_reduce greedy fold (lookbehind form — provably ≡ the
-    // Spark skip-scan: a merged symbol a||b never equals a)
+    // argmax → list_reduce greedy fold over a chr(31)-joined accumulator
+    // (look-at-last-segment form — provably ≡ the Spark skip-scan: a
+    // merged symbol a||b never equals a, so a fresh merge can't re-match).
+    // Replacing the last segment pa with pa||pb IS appending pb, so the
+    // fold is pure string slicing — no regexp_replace, whose rewrite
+    // string would re-interpret a backslash in a corpus token as RE2
+    // group-ref syntax (ADVICE r14). The chr(31) delimiter assumes
+    // 0x1F-free text — the driver corpus is; a corpus that isn't needs a
+    // list accumulator instead.
     "q370_bpe_fertility" -> {
       def pairsBest(prev: String, n: Int): String =
         s"""b${n}p AS (
@@ -2036,9 +2043,9 @@ object CurationQueries extends QueryPack {
         s"""w$n AS (
           |  SELECT word, freq,
           |    string_split(list_reduce(syms, (acc, x) ->
-          |      CASE WHEN regexp_extract(acc, '[^\\x1F]*$$') = pa
+          |      CASE WHEN string_split(acc, chr(31))[-1] = pa
           |             AND x = pb
-          |           THEN regexp_replace(acc, '[^\\x1F]*$$', pa || pb)
+          |           THEN acc || pb
           |           ELSE acc || chr(31) || x END), chr(31)) AS syms
           |  FROM $prev, b$n)""".stripMargin
       val fert = Rounding.intDivExactSql(

@@ -74,14 +74,17 @@ object QualityModelQueries extends QueryPack {
   private[graft] def nbModel(s: SparkSession, dir: String,
       checkpoint: Boolean = true): (DataFrame, DataFrame) = {
     import graft.operators.QualityModels
-    def build = QualityModels.trainNb(
-      docs(s, dir).filter(isTrain(col("doc_id")))
-        .select(col("text"), (col("lang") === "en").cast("long").as("y")),
-      "text", "y")
+    val train = docs(s, dir).filter(isTrain(col("doc_id")))
+      .select(col("text"), (col("lang") === "en").cast("long").as("y"))
     if (checkpoint) nbModelMemo.get(s, dir) {
-      val (m, t) = build
-      (m.localCheckpoint(true), t.localCheckpoint(true))
-    } else build
+      // checkpoint the MODEL first and derive the counts half of totals
+      // from the materialized frame: checkpointing totals off the lazy
+      // model plan would run the corpus-scale token explode — the
+      // family's most expensive stage — a second time (ADVICE r14)
+      val m = QualityModels.trainNb(train, "text", "y")._1
+        .localCheckpoint(true)
+      (m, QualityModels.nbTotals(m, train, "y").localCheckpoint(true))
+    } else QualityModels.trainNb(train, "text", "y")
   }
 
   private[graft] val nbScoresMemo = new graft.operators.SessionDirMemo
