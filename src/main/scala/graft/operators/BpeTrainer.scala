@@ -14,11 +14,14 @@ import graft.functions.TextAnalysis
   *      map-side-combined aggregation; the table is vocabulary-scale
   *      (distinct words × freq), never corpus-scale, because BPE
   *      statistics are invariant to where a word occurs.
-  *   2. argmax pair under the deterministic (count desc, a, b) order —
-  *      a 1-row TakeOrdered collect. One driver round-trip per round is
-  *      the irreducible cost of a sequential decision process (the
-  *      KMeans/CC scheduler-floor argument); the collected value is ONE
-  *      merge rule, bounded by `rounds`, never data.
+  *   2. top-K pairs under the deterministic (count desc, a, b) order —
+  *      one small TakeOrdered collect. One driver round-trip per ROUND
+  *      is the irreducible cost of a sequential decision process (the
+  *      KMeans/CC scheduler-floor argument); with `batch` > 1 a round
+  *      commits up to `batch` provably non-interacting merges
+  *      ([[selectBatch]]), so a 32k-merge tokenizer vocabulary costs
+  *      ~vocab/batch Spark rounds, not 32k. The collected values are
+  *      merge rules, bounded by `rounds`, never data.
   *   3. greedy left-to-right merge of the chosen pair inside every
   *      word's symbol array — a codegen'd `aggregate` fold with a skip
   *      flag (consumed positions can't re-match: 'aaa' + (a,a) → [aa,a]).
@@ -88,41 +91,144 @@ object BpeTrainer {
         col("freq"))
 
   /** Train `rounds` merges over the corpus behind `textCol`.
+    *
+    * `batch` > 1 amortizes the loop's per-merge costs — with batch = B a
+    * round runs ONE census, ONE top-K collect, and ONE word-table
+    * rewrite + checkpoint for up to B merges, instead of one of each PER
+    * merge (one driver round-trip and one full vocab rewrite per merge is
+    * fine for 3 rounds, but is 32k sequential Spark jobs for a real
+    * tokenizer vocab — the r14-verdict scale caveat). The merge SEQUENCE
+    * is provably identical to batch = 1 (see [[selectBatch]]);
+    * BpeTrainerSpec pins the equivalence on fixtures where batch pairs
+    * interact and force deferrals.
+    *
     * @return (final word table (word, symbols, freq) — already
     *         materialized via localCheckpoint, and the ordered merge
     *         list). Stops early when no pair remains (every word fully
     *         merged to one symbol). */
   def train(docsDf: DataFrame, textCol: String,
-      rounds: Int): (DataFrame, Seq[Merge]) = {
+      rounds: Int, batch: Int = 1): (DataFrame, Seq[Merge]) = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(batch >= 1, s"batch must be >= 1, got $batch")
     var words = seedWords(docsDf, textCol).localCheckpoint(true)
     val merges = scala.collection.mutable.ListBuffer[Merge]()
-    var r = 0
     var done = false
-    while (r < rounds && !done) {
-      val best = words
+    while (merges.length < rounds && !done) {
+      val want = math.min(batch, rounds - merges.length)
+      // candidate window: enough headroom past the batch to SEE the
+      // first interacting candidate (selectBatch's stop/trim bound)
+      val k = math.max(16, 4 * want + 8)
+      val top = words
         .select(col("freq"), explode(adjPairs(col("symbols"))).as("p"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum("freq").as("cnt"))
         .orderBy(col("cnt").desc, col("a"), col("b"))
-        .limit(1).collect()
-      if (best.isEmpty) done = true
+        .limit(k).collect()
+        .map(r => Merge(r.getAs[String]("a"), r.getAs[String]("b"),
+          r.getAs[Long]("cnt"))).toSeq
+      if (top.isEmpty) done = true
       else {
-        val (a, b, cnt) = (best.head.getAs[String]("a"),
-          best.head.getAs[String]("b"), best.head.getAs[Long]("cnt"))
-        merges += Merge(a, b, cnt)
+        val sel =
+          if (want == 1) top.take(1)
+          else {
+            // symbol-collision probe: a candidate whose concatenation
+            // ALREADY exists as a vocabulary symbol would, once merged,
+            // ADD occurrences to existing census keys — breaking the
+            // emergent-count bound selectBatch's trim relies on, so such
+            // candidates end the batch (selected solo if first). One
+            // tiny filtered distinct over the checkpointed vocab table
+            // per ROUND, amortized over the batch's merges.
+            val concats = top.map(m => m.a + m.b).distinct
+            val existing = words
+              .select(explode(col("symbols")).as("sym"))
+              .filter(col("sym").isin(concats: _*))
+              .distinct().collect().map(_.getString(0)).toSet
+            selectBatch(top, want, windowFull = top.length == k, existing)
+          }
+        merges ++= sel
         val prev = words
+        // all selected merges fold in ONE projection — each level bound
+        // as a lambda variable so the tree stays linear in batch size
+        val folded = sel.foldLeft(col("symbols")) { (c, m) =>
+          bound(c)(lvl => mergeGreedy(lvl, m.a, m.b))
+        }
         words = words
-          .select(col("word"),
-            mergeGreedy(col("symbols"), a, b).as("symbols"), col("freq"))
+          .select(col("word"), folded.as("symbols"), col("freq"))
           .localCheckpoint(true)
         // release the superseded round's blocks — the new checkpoint is
         // already materialized, nothing reads the old one again
         CheckpointBlocks.release(prev)
-        r += 1
       }
     }
     (words, merges.toList)
+  }
+
+  /** All strings a merge touches or creates: its operand symbols and
+    * their concatenation (the new symbol it mints). */
+  private def strs(m: Merge): Set[String] = Set(m.a, m.b, m.a + m.b)
+
+  /** Candidate `c` interacts with a selected pair when any of their
+    * touched-or-minted strings coincide: sharing an operand means the
+    * earlier merge consumes/creates adjacencies that change `c`'s count;
+    * a concat collision means their emergent keys alias. */
+  private def interacts(c: Merge, sel: Seq[Merge]): Boolean = {
+    val cs = strs(c)
+    sel.exists(s => strs(s).exists(cs.contains))
+  }
+
+  /** Choose the batch: the maximal conflict-free PREFIX of the census in
+    * (count desc, a, b) order, then an emergent-tie trim. Equivalence to
+    * the sequential loop, merge for merge:
+    *
+    *   - PREFIX, stopping at the FIRST non-selectable candidate: a
+    *     skipped-but-kept-scanning candidate could outrank later
+    *     selections once earlier merges shift counts, so nothing after
+    *     the first conflict is taken. Hence every census pair that
+    *     interacts with a batch pair sits at order-position ≥ the stop,
+    *     i.e. count ≤ `stopCnt`.
+    *   - EMERGENT BOUND: merging disjoint pairs cannot change a
+    *     disjoint pair's count; every NEW pair key a merge creates maps
+    *     occurrence-for-occurrence onto an old census pair that
+    *     interacted with a selected pair — so emergent counts are
+    *     ≤ `stopCnt` (collision candidates, which would let emergent
+    *     mass ADD to existing keys and break this bound, stop the batch
+    *     via `vocabCollisions`).
+    *   - TRIM: a batch pair with count == stopCnt could TIE an emergent
+    *     pair, and the (a, b) tie-break against a not-yet-minted symbol
+    *     string is unknowable at selection time — so after the head
+    *     (always sequential-correct: it is the census argmax) the batch
+    *     keeps only counts STRICTLY above stopCnt.
+    *
+    * With the batch so chosen, the sequential loop provably picks exactly
+    * these pairs in exactly this order; applying them as one composed
+    * left-to-right fold is the same per-word rewrite the sequential loop
+    * performs. */
+  private[graft] def selectBatch(top: Seq[Merge], want: Int,
+      windowFull: Boolean, vocabCollisions: Set[String]): Seq[Merge] = {
+    val sel = scala.collection.mutable.ListBuffer[Merge]()
+    var i = 0
+    // count bound on every non-selected / unseen / emergent pair;
+    // -1 = census exhausted conflict-free (nothing to tie against)
+    var stopCnt = -1L
+    var stopped = false
+    while (!stopped && i < top.length && sel.length < want) {
+      val c = top(i)
+      val collides = vocabCollisions.contains(c.a + c.b)
+      if (sel.isEmpty) {
+        sel += c
+        // a colliding head is still the true argmax — select it solo
+        if (collides) { stopped = true; stopCnt = Long.MaxValue }
+      } else if (collides || interacts(c, sel.toSeq)) {
+        stopped = true
+        stopCnt = c.count
+      } else sel += c
+      i += 1
+    }
+    if (!stopped) stopCnt =
+      if (i < top.length) top(i).count // budget-stop: unseen from here
+      else if (windowFull) top.last.count // census may extend past the window
+      else -1L // census exhausted: provably nothing emergent to tie
+    (sel.head +: sel.tail.takeWhile(_.count > stopCnt)).toList
   }
 
   /** Re-bind an expression as a LAMBDA VARIABLE before fanning it out:

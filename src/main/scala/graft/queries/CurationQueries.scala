@@ -1323,8 +1323,13 @@ object CurationQueries extends QueryPack {
     import Rounding.intDivExact
     val (words, merges) = bpeMemo.get(s, dir) {
       // train() already localCheckpoints the final round — an
-      // already-materialized frame, the memo contract
-      BpeTrainer.train(Tables.load(s, dir, "documents"), "text", 3)
+      // already-materialized frame, the memo contract. batch = 8 takes
+      // the batched selection path (one census + one rewrite per round
+      // of non-interacting merges) — merge-for-merge identical to
+      // sequential by BpeTrainerSpec's equivalence pins, so the oracle's
+      // unrolled 3-round replay still hash-matches
+      BpeTrainer.train(Tables.load(s, dir, "documents"), "text", 3,
+        batch = 8)
     }
     // the oracle replays exactly three unrolled rounds — a corpus that
     // runs dry earlier would silently hash-diverge (empty oracle vs a

@@ -125,4 +125,77 @@ class BpeTrainerSpec extends SparkSuite {
     assert(unseen.mkString == "zzzqq",
       "encoding must preserve the word's characters")
   }
+
+  // ---- batched training: merge-for-merge ≡ sequential (r15 item 2) ----
+
+  /** Fixtures chosen so top census pairs INTERACT: chained symbols
+    * (every pair shares a letter with the next-ranked one, forcing
+    * deferrals/stops), overlap runs (aaa), ties, and a concat-collision
+    * path (merges mint "ab"/"bc", later candidates touch them). */
+  private val interactingFixtures = Seq(
+    Seq("aaa aaa abab low lower lowest",
+      "abab abab newer newest low low",
+      "aaa banana bandana newer"),
+    // chain a-b-c-d-e: (a,b) (b,c) (c,d) (d,e) all interact pairwise
+    Seq("abcde abcde abcde bcd bcd cde", "ab bc cd de abc abcd"),
+    // collision course: "ab" minted early, then words where symbol 'a'
+    // precedes minted "ab" contexts and ("a","b") concat re-appears
+    Seq("ab ab ab ab aab aab aabb abb", "ba ba baa bab bab bab"),
+    // heavy ties: equal-frequency disjoint pairs + shared-letter spoilers
+    Seq("xy xy uv uv pq pq xu yv", "xy uv pq qp vx yu"))
+
+  test("batched training picks the exact sequential merge sequence on " +
+    "interacting fixtures (deferral-forcing), for every batch size") {
+    for (texts <- interactingFixtures; b <- Seq(2, 3, 8)) {
+      val seq = BpeTrainer.train(docsOf(texts), "text", 10)
+      val bat = BpeTrainer.train(docsOf(texts), "text", 10, batch = b)
+      assert(bat._2 == seq._2,
+        s"batch=$b diverged on $texts:\n bat=${bat._2}\n seq=${seq._2}")
+      val tbl = (df: org.apache.spark.sql.DataFrame) => df.collect()
+        .map(r => r.getAs[String]("word") ->
+          r.getAs[Seq[String]]("symbols").toList).toMap
+      assert(tbl(bat._1) == tbl(seq._1),
+        s"batch=$b final symbol tables diverge on $texts")
+    }
+  }
+
+  test("batched == sequential on the real sf0.001 corpus (q370's input)") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001",
+      "documents")
+    val seq = BpeTrainer.train(docs, "text", 6)._2
+    val bat = BpeTrainer.train(docs, "text", 6, batch = 8)._2
+    assert(bat == seq, s"corpus divergence:\n bat=$bat\n seq=$seq")
+  }
+
+  test("selectBatch: prefix stops at the first conflict, trims emergent " +
+    "ties, and selects a colliding head solo") {
+    import BpeTrainer.{selectBatch, Merge}
+    val top = Seq(Merge("a", "b", 100), Merge("c", "d", 80),
+      Merge("x", "a", 70), Merge("e", "f", 60))
+    // (x,a) shares 'a' with the selected head → stop there; trim keeps
+    // (c,d) because 80 > 70
+    assert(selectBatch(top, 4, windowFull = false, Set.empty) ==
+      Seq(Merge("a", "b", 100), Merge("c", "d", 80)))
+    // equal counts at the stop boundary: (c,d,70) ties the stopper — an
+    // emergent pair could tie it too, so it must be trimmed
+    val tied = Seq(Merge("a", "b", 100), Merge("c", "d", 70),
+      Merge("x", "a", 70))
+    assert(selectBatch(tied, 4, windowFull = false, Set.empty) ==
+      Seq(Merge("a", "b", 100)))
+    // a head whose concat already exists as a vocab symbol goes solo
+    assert(selectBatch(top, 4, windowFull = false, Set("ab")) ==
+      Seq(Merge("a", "b", 100)))
+    // a LATER collision ends the batch before the colliding candidate
+    assert(selectBatch(top, 4, windowFull = false, Set("cd")) ==
+      Seq(Merge("a", "b", 100)))
+    // budget-stop: unseen next candidate's count bounds the trim
+    val sparseTop = Seq(Merge("a", "b", 100), Merge("c", "d", 80),
+      Merge("e", "f", 80))
+    assert(selectBatch(sparseTop, 2, windowFull = false, Set.empty) ==
+      Seq(Merge("a", "b", 100)),
+      "(c,d,80) must be trimmed: the unseen (e,f,80) ties it")
+    // exhausted census, window not full: nothing unseen, keep everything
+    assert(selectBatch(sparseTop, 4, windowFull = false, Set.empty) ==
+      sparseTop)
+  }
 }
