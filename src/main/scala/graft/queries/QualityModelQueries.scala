@@ -412,7 +412,53 @@ object QualityModelQueries extends QueryPack {
       .orderBy("source")
   }
 
+  /** NB-gate reliability (calibration) curve — the q305 construction
+    * applied to the TRAINED gate's held-out scores, so the classifier's
+    * probability CLAIM (an NB score is a log-odds: score s should mean
+    * "positive with odds e^s") becomes oracle-checked data, not just a
+    * ranking. Held-out scores bin into 1-nat log-odds buckets (clamped
+    * to [−8, 8] — beyond that a single flipped label moves empirical
+    * odds more than a whole bucket, so the tails pool); per bucket: doc
+    * count, positives, the exact e4 empirical positive rate, and the
+    * empirical LOG-ODDS ln(n_pos/n_neg) on the e6 lattice (ln of a
+    * ratio of exact-in-double integers — the q350/q115 discipline; a
+    * one-sided bucket has undefined odds → agreed NULL). A calibrated
+    * gate reads emp_logodds_e6 ≈ mid_e6 (the bucket midpoint);
+    * cal_gap_e6 is the signed miss. Named consumer: q367's tier
+    * boundaries rank sources by MEAN NB score — this curve is what
+    * certifies that those score differences carry probability meaning
+    * (a flat curve says re-rank tiers by empirical rate instead).
+    * Scale: one map-side-combined aggregation over the memoized
+    * [[nbDocScores]] table onto ≤17 buckets; everything after is
+    * bounded-frame arithmetic. */
+  private def q371(s: SparkSession, dir: String): DataFrame = {
+    import Rounding.intDivExact
+    nbDocScores(s, dir)
+      .select(
+        greatest(lit(-8L), least(lit(8L),
+          floor(dbl(col("score_e6")) / lit(1000000.0)).cast("long")))
+          .as("bucket"),
+        col("y"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("y").as("n_pos"))
+      .select(col("bucket"), col("n_docs"), col("n_pos"),
+        intDivExact(
+          col("n_pos").cast("decimal(38,0)") * lit(20000L) +
+            col("n_docs"),
+          lit(2L) * col("n_docs")).as("pos_rate_e4"),
+        when(col("n_pos") === 0L || col("n_pos") === col("n_docs"),
+          lit(null).cast("long"))
+          .otherwise(floor(log(
+            dbl(col("n_pos")) / dbl(col("n_docs") - col("n_pos")))
+            * lit(1000000.0) + lit(0.5)).cast("long"))
+          .as("emp_logodds_e6"))
+      .withColumn("mid_e6", col("bucket") * lit(1000000L) + lit(500000L))
+      .withColumn("cal_gap_e6", col("emp_logodds_e6") - col("mid_e6"))
+      .orderBy("bucket")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q371_nb_calibration" -> (q371 _),
     "q363_nb_classifier" -> (q363 _),
     "q364_lm_cross_entropy" -> (q364 _),
     "q365_nb_threshold_sweep" -> (q365 _),
@@ -504,6 +550,36 @@ object QualityModelQueries extends QueryPack {
   }
 
   val oracle: Map[String, String] = Map(
+    // same clamped 1-nat buckets, same exact e4 rate, same e6 ln lattice
+    "q371_nb_calibration" -> {
+      val rate = Rounding.intDivExactSql(
+        "CAST(n_pos AS HUGEINT) * 20000 + n_docs", "2 * n_docs")
+      s"""WITH $nbPdCte,
+        |cal AS (
+        |  SELECT greatest(-8, least(8,
+        |      CAST(floor(CAST(score_e6 AS DOUBLE) / 1000000.0)
+        |        AS BIGINT))) AS bucket,
+        |    y
+        |  FROM pd),
+        |cb AS (
+        |  SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(y) AS BIGINT) AS n_pos
+        |  FROM cal GROUP BY bucket)
+        |SELECT bucket, n_docs, n_pos,
+        |  $rate AS pos_rate_e4,
+        |  CASE WHEN n_pos = 0 OR n_pos = n_docs THEN NULL
+        |       ELSE CAST(floor(ln(CAST(n_pos AS DOUBLE) /
+        |         CAST(n_docs - n_pos AS DOUBLE)) * 1000000.0 + 0.5)
+        |         AS BIGINT)
+        |  END AS emp_logodds_e6,
+        |  CAST(bucket * 1000000 + 500000 AS BIGINT) AS mid_e6,
+        |  CAST(CASE WHEN n_pos = 0 OR n_pos = n_docs THEN NULL
+        |       ELSE CAST(floor(ln(CAST(n_pos AS DOUBLE) /
+        |         CAST(n_docs - n_pos AS DOUBLE)) * 1000000.0 + 0.5)
+        |         AS BIGINT)
+        |  END - (bucket * 1000000 + 500000) AS BIGINT) AS cal_gap_e6
+        |FROM cb ORDER BY bucket""".stripMargin
+    },
     // same split, same Laplace llr lattice, same left-join coalesce
     "q363_nb_classifier" ->
       s"""WITH $nbPdCte

@@ -118,7 +118,9 @@ object PlanGateSpec {
     // checkpoint stubs; the scan itself is gated by PrefixScanSpec and
     // the blanket partition-less-window guard in PlanSpec
     "q337_coverage_curve" -> 3L,
-    "q349_knee_detection" -> 1L)
+    "q349_knee_detection" -> 1L,
+    // round-15: calibration curve — nbScoresMemo stub + bounded buckets
+    "q371_nb_calibration" -> 2L)
   def maxShuffles(name: String): Long = measured(name) + slack
 }
 

@@ -211,4 +211,42 @@ class QualityModelSpec extends SparkSuite {
         r.getAs[Long]("mean_ce_e6") <= r.getAs[Long]("max_ce_e6"), s"$r")
     }
   }
+
+  test("q371 calibration: buckets partition the held-out split, rates " +
+    "match counts exactly, log-odds defined iff the bucket is two-sided, " +
+    "and a perfectly-separated corpus pools into the clamp buckets") {
+    val rows = q("q371_nb_calibration").collect()
+    val heldOut = q("q363_nb_classifier")
+      .agg(sum("n_docs")).head().getLong(0)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == heldOut,
+      "calibration buckets must cover exactly the held-out docs")
+    rows.foreach { r =>
+      val (b, n, p) = (r.getAs[Long]("bucket"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_pos"))
+      assert(b >= -8L && b <= 8L, s"bucket outside the clamp: $r")
+      assert(p >= 0L && p <= n, s"positives outside [0, n]: $r")
+      // exact round-half-up e4 rate
+      assert(r.getAs[Long]("pos_rate_e4") == (p * 20000L + n) / (2L * n),
+        s"rate drifted from its integer definition: $r")
+      val oneSided = p == 0L || p == n
+      assert(r.isNullAt(r.fieldIndex("emp_logodds_e6")) == oneSided,
+        s"log-odds must be NULL exactly when one-sided: $r")
+      if (!oneSided)
+        assert(r.getAs[Long]("cal_gap_e6") ==
+          r.getAs[Long]("emp_logodds_e6") - r.getAs[Long]("mid_e6"), s"$r")
+    }
+    // the disjoint-vocab corpus separates perfectly: every held-out doc
+    // scores far from 0, so ONLY the clamp buckets (±8) survive and each
+    // is pure — the curve's extreme reading for an extreme classifier
+    val dj = SparkEntry.queries("q371_nb_calibration")(spark, disjointDir)
+      .collect()
+    assert(dj.map(_.getAs[Long]("bucket")).toSet == Set(-8L, 8L),
+      s"disjoint corpus must pool into the clamp buckets: ${dj.toSeq}")
+    dj.foreach { r =>
+      val (b, n, p) = (r.getAs[Long]("bucket"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_pos"))
+      assert(if (b == 8L) p == n else p == 0L,
+        s"clamp buckets must be pure on the separable corpus: $r")
+    }
+  }
 }
