@@ -308,18 +308,34 @@ object QualityModelQueries extends QueryPack {
     * aggregate to the bounded source set; everything after is
     * source-cardinality arithmetic behind one 1-row broadcast. */
   private def q367(s: SparkSession, dir: String): DataFrame = {
-    import Rounding.intDivExact
-    val budget = 100000000L
-    val perSource = nbDocScores(s, dir)
+    val perSourceSums = nbDocScores(s, dir)
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs_scored"),
         // decimal accumulation — same wrap-avoidance as q363's census
         sum(col("score_e6").cast("decimal(38,0)")).as("sum_score_e6"))
+    val tokens = docs(s, dir).groupBy("source")
+      .agg(sum(TextAnalysis.tokenCount(col("text"))).as("n_tokens"))
+    quotaTable(perSourceSums, tokens)
+  }
+
+  /** q367's tier/quota arithmetic over BOUNDED per-source aggregates —
+    * split out so the streaming twin (StreamingSpec) can RE-DERIVE the
+    * quota table each micro-batch from incrementally-maintained
+    * per-source running sums: the sums commute with batching, the
+    * derivation reads only the bounded state, so the incremental table
+    * equals the batch table at every arrival prefix.
+    * @param perSourceSums (source, n_docs_scored, sum_score_e6
+    *        decimal(38,0)) over SCORED docs — sources with none stay out
+    *        and surface via the token left join with a null tier
+    * @param tokens (source, n_tokens) over all docs. */
+  private[graft] def quotaTable(perSourceSums: DataFrame,
+      tokens: DataFrame): DataFrame = {
+    import Rounding.intDivExact
+    val budget = 100000000L
+    val perSource = perSourceSums
       .select(col("source"), col("n_docs_scored"),
         intDivExact(col("sum_score_e6"),
           col("n_docs_scored")).as("mean_score_e6"))
-    val tokens = docs(s, dir).groupBy("source")
-      .agg(sum(TextAnalysis.tokenCount(col("text"))).as("n_tokens"))
     // tiers rank only the SCORED sources; a source whose docs all hashed
     // into the training split has no quality estimate and must SURFACE
     // in the table with a null tier and a zero quota — silently dropping

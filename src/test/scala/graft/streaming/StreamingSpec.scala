@@ -835,6 +835,105 @@ class StreamingSpec extends SparkSuite {
         s"${diff.keys.take(5).map(batchScores).mkString(",")})")
   }
 
+  test("foreachBatch incremental quality-budget quotas (q367) equal the " +
+    "batch quota table at EVERY micro-batch prefix") {
+    // the trained-gate → budget path deployed as a stream (r15 verdict
+    // item 7): the NB model is FROZEN offline; cross-batch state is the
+    // BOUNDED per-source running sums (scored-doc count + decimal score
+    // sum from held-out arrivals, token count from all arrivals) —
+    // commutative, so they're batching-invariant; the quota table is
+    // RE-DERIVED from that state each batch via the same
+    // QualityModelQueries.quotaTable arithmetic q367 uses. Unlike the
+    // dedup front (exact only at drain), quotas are prefix-EXACT: after
+    // every micro-batch the incremental table must equal q367's
+    // construction applied to exactly the docs arrived so far.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.QualityModels
+    import graft.functions.TextAnalysis
+    val d = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"), col("source"),
+        (col("lang") === "en").cast("long").as("y"))
+    val split = graft.queries.QualityModelQueries.isTrain(col("doc_id"))
+    val (model0, totals0) =
+      QualityModels.trainNb(d.filter(split), "text", "y")
+    val model = model0.localCheckpoint(true)
+    val totals = totals0.localCheckpoint(true)
+    def sums(docsDf: DataFrame): DataFrame = QualityModels
+      .scoreNb(docsDf.filter(!split), Seq("doc_id", "source"), "text",
+        model, totals)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs_scored"),
+        sum(col("score_e6").cast("decimal(38,0)")).as("sum_score_e6"))
+    def toks(docsDf: DataFrame): DataFrame = docsDf.groupBy("source")
+      .agg(sum(TextAnalysis.tokenCount(col("text"))).as("n_tokens"))
+    def snapshot(df: DataFrame): Set[String] =
+      df.collect().map(_.mkString("|")).toSet
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    var state = Seq.empty[(String, Long, BigDecimal, Long)]
+      .toDF("source", "n_docs_scored", "sum_score_e6", "n_tokens")
+      .withColumn("sum_score_e6", col("sum_score_e6").cast("decimal(38,0)"))
+      .localCheckpoint(true)
+    val prefixTables = scala.collection.mutable.ListBuffer[Set[String]]()
+    val q = mem.toDF().toDF("doc_id", "text", "source").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val delta = toks(batch)
+          .join(sums(batch), Seq("source"), "left")
+          .select(col("source"),
+            coalesce(col("n_docs_scored"), lit(0L)).as("n_docs_scored"),
+            coalesce(col("sum_score_e6"), lit(0L).cast("decimal(38,0)"))
+              .as("sum_score_e6"),
+            col("n_tokens"))
+        val next = state.unionByName(delta)
+          .groupBy("source")
+          .agg(sum("n_docs_scored").as("n_docs_scored"),
+            sum("sum_score_e6").cast("decimal(38,0)").as("sum_score_e6"),
+            sum("n_tokens").as("n_tokens"))
+          .localCheckpoint(true)
+        val prev = state
+        state = next
+        prev.queryExecution.logical.collect {
+          case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+        }.foreach(_.unpersist(blocking = false))
+        prefixTables += snapshot(
+          graft.queries.QualityModelQueries.quotaTable(
+            state.filter(col("n_docs_scored") > 0L)
+              .select("source", "n_docs_scored", "sum_score_e6"),
+            state.select("source", "n_tokens")))
+        ()
+      }.start()
+    val arrivals = d.select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy { case (i, _, _) => (i * 2654435761L) % 97 }
+    val chunks = arrivals.grouped((arrivals.length + 3) / 4).toSeq
+    try chunks.foreach { chunk =>
+      mem.addData(chunk.toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(prefixTables.length == chunks.length,
+      s"expected ${chunks.length} prefix snapshots, got " +
+        s"${prefixTables.length}")
+    // batch twin at each prefix: q367's arithmetic over exactly the
+    // arrived docs
+    var arrived = Seq.empty[(Long, String, String)]
+    chunks.zip(prefixTables).zipWithIndex.foreach {
+      case ((chunk, got), i) =>
+        arrived ++= chunk
+        val pdf = arrived.toDF("doc_id", "text", "source")
+        val want = snapshot(graft.queries.QualityModelQueries
+          .quotaTable(sums(pdf), toks(pdf)))
+        assert(got == want,
+          s"prefix ${i + 1}/${chunks.length} diverges: " +
+            s"only-streamed=${(got -- want).take(3)} " +
+            s"only-batch=${(want -- got).take(3)}")
+    }
+    // and the full-arrival table is exactly the declared q367
+    assert(prefixTables.last ==
+      snapshot(graft.SparkEntry.queries("q367_quality_budget")(spark, sf)),
+      "the drained incremental table must equal the declared q367")
+  }
+
   test("foreachBatch streaming LM cross-entropy against the frozen " +
     "bigram model equals the batch scorer doc-for-doc") {
     // the q364 perplexity gate's deployed shape, same argument as the NB
