@@ -47,6 +47,20 @@ object PrefixScan {
     scan(df, cols.map { case (v, o) => Col(v, o, 0L, _ + _) }, sortExprs)
   }
 
+  /** [[runningSums]], returned as an eager localCheckpoint with the
+    * scan's internal range-sorted SCRATCH checkpoint released. The plain
+    * form leaves that scratch pinned for the session's life (its blocks
+    * back the lazily-read result) — fine for a one-shot query, wrong for
+    * a memoized substrate that rebuilds per (session, dir): each rebuild
+    * would strand a vocab-scale checkpoint. This is the form a
+    * SessionDirMemo build should call. */
+  def runningSumsMaterialized(df: DataFrame, cols: Seq[(String, String)],
+      sortExprs: Column*): DataFrame = {
+    require(cols.nonEmpty, "runningSums needs at least one column pair")
+    scan(df, cols.map { case (v, o) => Col(v, o, 0L, _ + _) }, sortExprs,
+      materialize = true)
+  }
+
   /** One scanned column: input field, output field, fold identity and
     * combiner (`zero` must be `combine`'s identity — partitions with no
     * rows contribute `zero` to every later seed). */
@@ -60,7 +74,7 @@ object PrefixScan {
 
   /** Two-pass distributed left fold over k columns at once. */
   private def scan(df: DataFrame, cols: Seq[Col],
-      sortExprs: Seq[Column]): DataFrame = {
+      sortExprs: Seq[Column], materialize: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     val np = math.max(1, spark.sessionState.conf.numShufflePartitions)
     val sorted = df.repartitionByRange(np, sortExprs: _*)
@@ -96,6 +110,14 @@ object PrefixScan {
         Row.fromSeq(row.toSeq ++ acc)
       }
     }
-    spark.createDataFrame(out, schema)
+    val result = spark.createDataFrame(out, schema)
+    if (!materialize) result
+    else {
+      val mat = result.localCheckpoint(true)
+      // the materialized copy no longer reads the sorted scratch — free
+      // its blocks now instead of pinning them for the session's life
+      CheckpointBlocks.release(sorted)
+      mat
+    }
   }
 }

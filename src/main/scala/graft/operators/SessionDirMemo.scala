@@ -126,14 +126,15 @@ private[graft] class SessionDirMemoOf[V](frames: V => Seq[DataFrame]) {
           // sweep above frees each parked build's blocks on the first
           // get() after its checkpoint leaf becomes unreachable —
           // bounded retention without ever breaking a live reader.
-          evicted.foreach { case (_, _, v) =>
-            frames(v).foreach { df =>
-              CheckpointBlocks.leaves(df).foreach { l =>
-                parkedLock.lock()
-                try parked ::= (new java.lang.ref.WeakReference(l), l.rdd)
-                finally parkedLock.unlock()
+          if (evicted.nonEmpty) {
+            parkedLock.lock()
+            try evicted.foreach { case (_, _, v) =>
+              frames(v).foreach { df =>
+                CheckpointBlocks.leaves(df).foreach { l =>
+                  parked ::= (new java.lang.ref.WeakReference(l), l.rdd)
+                }
               }
-            }
+            } finally parkedLock.unlock()
           }
           built
       }

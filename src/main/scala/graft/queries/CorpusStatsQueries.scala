@@ -747,15 +747,36 @@ object CorpusStatsQueries extends QueryPack {
     * For each threshold the smallest prefix k with cum ≥ ⌈p·total⌉ —
     * ceil-exact in integers, no float thresholds. Emits k_types and the
     * prefix's exact e6 coverage per threshold. */
-  private def q337(s: SparkSession, dir: String): DataFrame = {
-    import Rounding.intDivExact
-    val counts = docs(s, dir)
+  /** Shared (tok, c, k, cum) vocabulary scan in (count desc, token)
+    * order — the substrate both coverage curves (q337, q349) read, so
+    * the checkpointed path rides a per-(session, dir)
+    * [[graft.operators.SessionDirMemo]] (at 100 TB a production run
+    * materializes the ranked vocabulary once and every budget query
+    * reads it). Built with `runningSumsMaterialized`, so the scan's
+    * range-sorted scratch checkpoint is released at build time. The raw
+    * census chain stays auditable via `checkpoint = false` (the scan
+    * itself is eager by construction — PrefixScanSpec pins its
+    * semantics; the PlanGateSpec builder gate audits the census the
+    * scan consumes). */
+  private val vocabCumMemo = new graft.operators.SessionDirMemo
+  private[graft] def vocabCum(s: SparkSession, dir: String,
+      checkpoint: Boolean = true): DataFrame = {
+    val census = docs(s, dir)
       .select(explode(TextAnalysis.tokensCol(col("text"))).as("tok"))
       .filter(col("tok") =!= "")
       .groupBy("tok").agg(count(lit(1)).as("c"))
-    val scanned = graft.operators.PrefixScan.runningSums(
-      counts.withColumn("one", lit(1L)),
-      Seq("one" -> "k", "c" -> "cum"), col("c").desc, col("tok"))
+    if (!checkpoint) census
+    else vocabCumMemo.get(s, dir) {
+      graft.operators.PrefixScan.runningSumsMaterialized(
+        census.withColumn("one", lit(1L)),
+        Seq("one" -> "k", "c" -> "cum"), col("c").desc, col("tok"))
+        .drop("one")
+    }
+  }
+
+  private def q337(s: SparkSession, dir: String): DataFrame = {
+    import Rounding.intDivExact
+    val scanned = vocabCum(s, dir)
     val cum = scanned
       .crossJoin(broadcast(scanned.agg(max("cum").as("total"))))
     val th = s.createDataFrame(Seq(Tuple1(50L), Tuple1(90L), Tuple1(99L)))
@@ -786,14 +807,7 @@ object CorpusStatsQueries extends QueryPack {
     * q118's KMeans or q270's band count from any monotone diagnostic
     * curve. */
   private def q349(s: SparkSession, dir: String): DataFrame = {
-    val counts = docs(s, dir)
-      .select(explode(TextAnalysis.tokensCol(col("text"))).as("tok"))
-      .filter(col("tok") =!= "")
-      .groupBy("tok").agg(count(lit(1)).as("c"))
-    val cum = graft.operators.PrefixScan.runningSums(
-      counts.withColumn("one", lit(1L)),
-      Seq("one" -> "k", "c" -> "cum"), col("c").desc, col("tok"))
-      .select("k", "cum")
+    val cum = vocabCum(s, dir).select("k", "cum")
     val ends = cum.agg(max("k").as("kk"),
       min(struct(col("k"), col("cum"))).as("lo"),
       max(struct(col("k"), col("cum"))).as("hi"))

@@ -198,6 +198,19 @@ class PlanGateSpec extends SparkSuite {
       s"NB chain shuffles ${a.shuffles} > pinned 7+2: $a")
   }
 
+  test("memoized-stage builder: vocabulary census chain keeps its shape") {
+    // the lazy half of vocabCum (the PrefixScan stage is eager by
+    // construction and pinned by PrefixScanSpec): one corpus explode +
+    // one token-keyed aggregation, no window
+    val a = operators.PlanAudit.of(
+      queries.CorpusStatsQueries.vocabCum(spark, sf, checkpoint = false))
+    assert(a.cartesians == 0, s"cartesian in the vocab census chain: $a")
+    assert(a.unpartitionedWindows == 0,
+      s"partition-less window in the vocab census chain: $a")
+    assert(a.shuffles <= 1L + 2L,
+      s"vocab census shuffles ${a.shuffles} > pinned 1+2: $a")
+  }
+
   test("memoized-stage builder: LM train+score chain keeps its shape") {
     val a = operators.PlanAudit.of(
       queries.QualityModelQueries.lmDocCe(spark, sf, checkpoint = false))

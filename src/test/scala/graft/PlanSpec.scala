@@ -13,7 +13,7 @@ class PlanSpec extends SparkSuite {
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
   /** One static audit of EVERY declared query, shared by the blanket
-    * guards below so the suite constructs the 366 plans once (eager
+    * guards below so the suite constructs each plan once (eager
     * queries — memo builders, GlobalRank/PrefixScan consumers — run real
     * sf0.001 work at construction; doing that once, not per-guard,
     * matters). */
@@ -325,7 +325,7 @@ class PlanSpec extends SparkSuite {
       "q297_waterfill_budget" -> 2L, // source-count frame
       "q298_gini_stump" -> 2L, // distinct split thresholds of 1 feature
       "q308_path_trigrams" -> 1L, // limit-50 trigram head
-      "q312_top_movers" -> 1L, // two limit-k day heads
+      "q312_top_movers" -> 1L, // rank over the 25-nation dimension
       "q315_sequential_ab" -> 2L, // calendar-day sequence of one A/B test
       "q320_anonymity_ladder" -> 1L, // k-anonymity ladder (distinct k)
       "q322_pr_curve" -> 1L, // score-bucket curve (bounded e-lattice)
