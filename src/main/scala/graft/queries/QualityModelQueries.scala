@@ -473,8 +473,50 @@ object QualityModelQueries extends QueryPack {
       .orderBy("bucket")
   }
 
+  /** LM-gate calibration + operating-point table — q371's treatment for
+    * the SECOND trained screen: the 3.4-nat cut q364/q366 apply is
+    * hand-picked; this is the table that certifies it (or honestly
+    * refuses to). Held-out docs only (the en training split is
+    * in-distribution by construction and would flatter the curve);
+    * cross-entropies bucket onto a 0.05-nat grid clamped to [3.0, 4.0]
+    * nats (the corpus's observed band — tails pool into the clamp
+    * buckets), and per bucket: doc count, en count, the exact e4 en
+    * rate, plus the CUMULATIVE kept counts/rate from the cheap end — so
+    * each row IS the gate's operating point at "keep ce ≤ this bucket's
+    * upper edge" (the q365 sweep shape, for the perplexity gate). A
+    * falling en_rate_e4 across buckets certifies that lower
+    * cross-entropy means more reference-like; a flat one says the cut
+    * is arbitrary at this corpus. Scale: one aggregation over the
+    * memoized [[lmDocCe]] table onto ≤21 buckets; the cumulative window
+    * runs over that bounded bucket table (PlanSpec-allowlisted). */
+  private def q372(s: SparkSession, dir: String): DataFrame = {
+    import Rounding.intDivExact
+    def rateE4(num: Column, den: Column): Column =
+      intDivExact(num.cast("decimal(38,0)") * lit(20000L) + den,
+        lit(2L) * den)
+    val b = lmDocCe(s, dir)
+      .filter(!isTrain(col("doc_id")))
+      .select(
+        greatest(lit(60L), least(lit(80L),
+          floor(dbl(col("ce_e6")) / lit(50000.0)).cast("long")))
+          .as("bucket"),
+        (col("lang") === "en").cast("long").as("en"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("en").as("n_en"))
+    val w = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    b.withColumn("kept_docs", sum("n_docs").over(w))
+      .withColumn("kept_en", sum("n_en").over(w))
+      .select(col("bucket"), col("n_docs"), col("n_en"),
+        rateE4(col("n_en"), col("n_docs")).as("en_rate_e4"),
+        col("kept_docs"), col("kept_en"),
+        rateE4(col("kept_en"), col("kept_docs")).as("kept_en_rate_e4"))
+      .orderBy("bucket")
+  }
+
   val defs: Map[String, Q] = Map(
     "q371_nb_calibration" -> (q371 _),
+    "q372_lm_calibration" -> (q372 _),
     "q363_nb_classifier" -> (q363 _),
     "q364_lm_cross_entropy" -> (q364 _),
     "q365_nb_threshold_sweep" -> (q365 _),
@@ -595,6 +637,37 @@ object QualityModelQueries extends QueryPack {
         |         AS BIGINT)
         |  END - (bucket * 1000000 + 500000) AS BIGINT) AS cal_gap_e6
         |FROM cb ORDER BY bucket""".stripMargin
+    },
+    // same held-out filter, same clamped 0.05-nat buckets, same exact
+    // e4 rates, same low-end cumulative window over the bounded buckets
+    "q372_lm_calibration" -> {
+      val rate = Rounding.intDivExactSql(
+        "CAST(n_en AS HUGEINT) * 20000 + n_docs", "2 * n_docs")
+      val krate = Rounding.intDivExactSql(
+        "CAST(kept_en AS HUGEINT) * 20000 + kept_docs", "2 * kept_docs")
+      s"""WITH $lmPdCte,
+        |lcal AS (
+        |  SELECT greatest(60, least(80,
+        |      CAST(floor(CAST(ce_e6 AS DOUBLE) / 50000.0) AS BIGINT)))
+        |    AS bucket,
+        |    CAST(lang = 'en' AS BIGINT) AS en
+        |  FROM lpd WHERE NOT (${isTrainSql("doc_id")})),
+        |lcb AS (
+        |  SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(en) AS BIGINT) AS n_en
+        |  FROM lcal GROUP BY bucket),
+        |lcc AS (
+        |  SELECT bucket, n_docs, n_en,
+        |    CAST(sum(n_docs) OVER (ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS kept_docs,
+        |    CAST(sum(n_en) OVER (ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS kept_en
+        |  FROM lcb)
+        |SELECT bucket, n_docs, n_en, $rate AS en_rate_e4,
+        |  kept_docs, kept_en, $krate AS kept_en_rate_e4
+        |FROM lcc ORDER BY bucket""".stripMargin
     },
     // same split, same Laplace llr lattice, same left-join coalesce
     "q363_nb_classifier" ->

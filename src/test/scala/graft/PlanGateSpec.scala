@@ -119,8 +119,9 @@ object PlanGateSpec {
     // the blanket partition-less-window guard in PlanSpec
     "q337_coverage_curve" -> 3L,
     "q349_knee_detection" -> 1L,
-    // round-15: calibration curve — nbScoresMemo stub + bounded buckets
-    "q371_nb_calibration" -> 2L)
+    // round-15: calibration curves — score-memo stubs + bounded buckets
+    "q371_nb_calibration" -> 2L,
+    "q372_lm_calibration" -> 2L)
   def maxShuffles(name: String): Long = measured(name) + slack
 }
 

@@ -334,6 +334,7 @@ class PlanSpec extends SparkSuite {
       "q347_multiple_testing" -> 2L, // p-value lattice of bounded tests
       "q362_dedup_sweep" -> 1L, // threshold sweep grid (7 rows)
       "q365_nb_threshold_sweep" -> 1L, // e1 score buckets (≤21 rows)
+      "q372_lm_calibration" -> 1L, // clamped 0.05-nat buckets (≤21 rows)
       "q367_quality_budget" -> 2L) // per-source tier table (bounded)
     val offenders = fullSweep.collect {
       case (name, a) if a.unpartitionedWindows > allow.getOrElse(name, 0L) =>

@@ -249,4 +249,34 @@ class QualityModelSpec extends SparkSuite {
         s"clamp buckets must be pure on the separable corpus: $r")
     }
   }
+
+  test("q372 LM operating table: buckets cover the held-out scorable " +
+    "docs, kept counts are exact prefix sums, rates match their integer " +
+    "definitions") {
+    val rows = q("q372_lm_calibration").orderBy("bucket").collect()
+    assert(rows.nonEmpty)
+    // coverage: held-out docs with at least one bigram
+    val trainFlag = QualityModelQueries.isTrain(col("doc_id"))
+    val want = graft.Tables.load(spark, sf, "documents")
+      .filter(!trainFlag)
+      .filter(size(split(lower(trim(col("text"))), "\\s+")) >= 2).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == want,
+      s"buckets cover ${rows.map(_.getAs[Long]("n_docs")).sum}, " +
+        s"held-out scorable = $want")
+    var (kd, ke) = (0L, 0L)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert(b >= 60L && b <= 80L, s"bucket outside the clamp: $r")
+      val (n, e) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_en"))
+      assert(e >= 0L && e <= n, s"en count outside [0, n]: $r")
+      kd += n; ke += e
+      assert(r.getAs[Long]("kept_docs") == kd &&
+        r.getAs[Long]("kept_en") == ke,
+        s"kept counts are not the prefix sums: $r (want $kd/$ke)")
+      assert(r.getAs[Long]("en_rate_e4") == (e * 20000L + n) / (2L * n),
+        s"rate drifted from its integer definition: $r")
+      assert(r.getAs[Long]("kept_en_rate_e4") ==
+        (ke * 20000L + kd) / (2L * kd), s"kept rate drifted: $r")
+    }
+  }
 }
