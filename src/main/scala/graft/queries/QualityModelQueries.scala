@@ -447,16 +447,28 @@ object QualityModelQueries extends QueryPack {
     * Scale: one map-side-combined aggregation over the memoized
     * [[nbDocScores]] table onto ≤17 buckets; everything after is
     * bounded-frame arithmetic. */
-  private def q371(s: SparkSession, dir: String): DataFrame = {
+  private def q371(s: SparkSession, dir: String): DataFrame =
+    calibrationTable(
+      nbDocScores(s, dir)
+        .select(calBucket(col("score_e6")).as("bucket"), col("y"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"), sum("y").as("n_pos")))
+
+  /** q371's clamped 1-nat log-odds bucket of an NB score. */
+  private[graft] def calBucket(scoreE6: Column): Column =
+    greatest(lit(-8L), least(lit(8L),
+      floor(dbl(scoreE6) / lit(1000000.0)).cast("long")))
+
+  /** q371's curve arithmetic over BOUNDED per-bucket counts — split out
+    * (the quotaTable pattern) so the streaming drift monitor
+    * (StreamingSpec) can re-derive the reliability curve each
+    * micro-batch from incrementally-maintained bucket sums: counts
+    * commute with batching, the derivation reads only the ≤17-row
+    * state, so the incremental curve equals the batch curve at every
+    * arrival prefix. */
+  private[graft] def calibrationTable(buckets: DataFrame): DataFrame = {
     import Rounding.intDivExact
-    nbDocScores(s, dir)
-      .select(
-        greatest(lit(-8L), least(lit(8L),
-          floor(dbl(col("score_e6")) / lit(1000000.0)).cast("long")))
-          .as("bucket"),
-        col("y"))
-      .groupBy("bucket")
-      .agg(count(lit(1)).as("n_docs"), sum("y").as("n_pos"))
+    buckets
       .select(col("bucket"), col("n_docs"), col("n_pos"),
         intDivExact(
           col("n_pos").cast("decimal(38,0)") * lit(20000L) +

@@ -934,6 +934,84 @@ class StreamingSpec extends SparkSuite {
       "the drained incremental table must equal the declared q367")
   }
 
+  test("foreachBatch streaming calibration drift monitor (q371) equals " +
+    "the batch reliability curve at every micro-batch prefix") {
+    // gate-calibration DRIFT MONITORING, the curve's natural streaming
+    // consumer: a deployed gate watches its reliability curve move as
+    // docs arrive (a feed whose empirical rates drift off the training
+    // calibration is the first sign the frozen model aged out). State is
+    // the ≤17-row bucket census (commutative counts); the curve is
+    // re-derived from it each batch via the same
+    // QualityModelQueries.calibrationTable arithmetic q371 uses, and
+    // must equal the batch construction over exactly the arrived docs
+    // after EVERY micro-batch.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.QualityModels
+    import graft.queries.QualityModelQueries
+    val d = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"),
+        (col("lang") === "en").cast("long").as("y"))
+    val split = QualityModelQueries.isTrain(col("doc_id"))
+    val (model0, totals0) =
+      QualityModels.trainNb(d.filter(split), "text", "y")
+    val model = model0.localCheckpoint(true)
+    val totals = totals0.localCheckpoint(true)
+    def buckets(docsDf: DataFrame): DataFrame = QualityModels
+      .scoreNb(docsDf.filter(!split), Seq("doc_id", "y"), "text",
+        model, totals)
+      .select(QualityModelQueries.calBucket(col("score_e6")).as("bucket"),
+        col("y"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("y").as("n_pos"))
+    def snapshot(df: DataFrame): Set[String] =
+      df.collect().map(_.mkString("|")).toSet
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    var state = Seq.empty[(Long, Long, Long)]
+      .toDF("bucket", "n_docs", "n_pos").localCheckpoint(true)
+    val prefixCurves = scala.collection.mutable.ListBuffer[Set[String]]()
+    val q = mem.toDF().toDF("doc_id", "text", "y").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val next = state.unionByName(buckets(batch))
+          .groupBy("bucket")
+          .agg(sum("n_docs").as("n_docs"), sum("n_pos").as("n_pos"))
+          .localCheckpoint(true)
+        val prev = state
+        state = next
+        prev.queryExecution.logical.collect {
+          case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+        }.foreach(_.unpersist(blocking = false))
+        prefixCurves +=
+          snapshot(QualityModelQueries.calibrationTable(state))
+        ()
+      }.start()
+    val arrivals = d.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy { case (i, _, _) => (i * 2654435761L) % 103 }
+    val chunks = arrivals.grouped((arrivals.length + 2) / 3).toSeq
+    try chunks.foreach { chunk =>
+      mem.addData(chunk.toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(prefixCurves.length == chunks.length)
+    var arrived = Seq.empty[(Long, String, Long)]
+    chunks.zip(prefixCurves).zipWithIndex.foreach {
+      case ((chunk, got), i) =>
+        arrived ++= chunk
+        val want = snapshot(QualityModelQueries.calibrationTable(
+          buckets(arrived.toDF("doc_id", "text", "y"))))
+        assert(got == want,
+          s"curve prefix ${i + 1}/${chunks.length} diverges: " +
+            s"only-streamed=${(got -- want).take(3)} " +
+            s"only-batch=${(want -- got).take(3)}")
+    }
+    // and the drained curve is exactly the declared q371
+    assert(prefixCurves.last == snapshot(
+      graft.SparkEntry.queries("q371_nb_calibration")(spark, sf)),
+      "the drained incremental curve must equal the declared q371")
+  }
+
   test("foreachBatch streaming LM cross-entropy against the frozen " +
     "bigram model equals the batch scorer doc-for-doc") {
     // the q364 perplexity gate's deployed shape, same argument as the NB
