@@ -159,6 +159,37 @@ class BpeTrainerSpec extends SparkSuite {
     }
   }
 
+  test("batched == sequential under randomized small-alphabet stress " +
+    "(collision- and interaction-dense corpora)") {
+    // a 3-letter alphabet makes pair interactions and concat collisions
+    // the COMMON case rather than a crafted one: merged symbols like
+    // "ab"/"ba"/"aa" keep re-entering the census as operands, every
+    // deferral/stop/trim rule in selectBatch fires repeatedly. Corpora
+    // are seeded-deterministic (no Math.random — repeatable failures).
+    def lcg(seed: Long): Iterator[Long] =
+      Iterator.iterate(seed)(s => (s * 6364136223846793005L + 1442695040888963407L)).drop(1)
+    for (seed <- Seq(7L, 23L, 101L, 555L)) {
+      val rnd = lcg(seed)
+      val words = Seq.fill(24) {
+        val len = 2 + math.floorMod(rnd.next(), 6L).toInt
+        (0 until len).map(_ =>
+          "abc".charAt(math.floorMod(rnd.next(), 3L).toInt)).mkString
+      }
+      val freqs = words.map(w => s"$w " * (1 + math.floorMod(rnd.next(), 5L).toInt))
+      val texts = freqs.grouped(6).map(_.mkString(" ")).toSeq
+      val seq = BpeTrainer.train(docsOf(texts), "text", 12)
+      for (b <- Seq(2, 5)) {
+        val bat = BpeTrainer.train(docsOf(texts), "text", 12, batch = b)
+        assert(bat._2 == seq._2,
+          s"seed=$seed batch=$b diverged:\n bat=${bat._2}\n seq=${seq._2}")
+      }
+      // the sequential reference agrees too (ties, overlaps, dry-out)
+      val (_, refMerges) = referenceTrain(wordFreqs(texts), 12)
+      assert(seq._2.map(m => (m.a, m.b, m.count)) == refMerges,
+        s"seed=$seed distributed != reference:\n ${seq._2}\n $refMerges")
+    }
+  }
+
   test("batched == sequential on the real sf0.001 corpus (q370's input)") {
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.001",
       "documents")
