@@ -753,26 +753,29 @@ object CorpusStatsQueries extends QueryPack {
     * [[graft.operators.SessionDirMemo]] (at 100 TB a production run
     * materializes the ranked vocabulary once and every budget query
     * reads it). Built with `runningSumsMaterialized`, so the scan's
-    * range-sorted scratch checkpoint is released at build time. The raw
-    * census chain stays auditable via `checkpoint = false` (the scan
-    * itself is eager by construction — PrefixScanSpec pins its
-    * semantics; the PlanGateSpec builder gate audits the census the
-    * scan consumes). */
+    * range-sorted scratch checkpoint is released at build time. There is
+    * deliberately NO `checkpoint = false` twin returning the same rows:
+    * the scan is eager by construction, so a lazy (k, cum) chain cannot
+    * exist — the auditable raw chain is [[vocabCensus]] (what the scan
+    * consumes; the scan's own semantics are pinned by PrefixScanSpec),
+    * named differently so nobody mistakes it for the memo-off
+    * convention the lazy-chain builders follow. */
   private val vocabCumMemo = new graft.operators.SessionDirMemo
-  private[graft] def vocabCum(s: SparkSession, dir: String,
-      checkpoint: Boolean = true): DataFrame = {
-    val census = docs(s, dir)
-      .select(explode(TextAnalysis.tokensCol(col("text"))).as("tok"))
-      .filter(col("tok") =!= "")
-      .groupBy("tok").agg(count(lit(1)).as("c"))
-    if (!checkpoint) census
-    else vocabCumMemo.get(s, dir) {
+  private[graft] def vocabCum(s: SparkSession, dir: String): DataFrame =
+    vocabCumMemo.get(s, dir) {
       graft.operators.PrefixScan.runningSumsMaterialized(
-        census.withColumn("one", lit(1L)),
+        vocabCensus(s, dir).withColumn("one", lit(1L)),
         Seq("one" -> "k", "c" -> "cum"), col("c").desc, col("tok"))
         .drop("one")
     }
-  }
+
+  /** The lazy (tok, c) census [[vocabCum]] scans — the PlanGateSpec
+    * builder gate audits this chain. */
+  private[graft] def vocabCensus(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(explode(TextAnalysis.tokensCol(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("c"))
 
   private def q337(s: SparkSession, dir: String): DataFrame = {
     import Rounding.intDivExact

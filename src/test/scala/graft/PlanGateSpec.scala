@@ -204,7 +204,7 @@ class PlanGateSpec extends SparkSuite {
     // construction and pinned by PrefixScanSpec): one corpus explode +
     // one token-keyed aggregation, no window
     val a = operators.PlanAudit.of(
-      queries.CorpusStatsQueries.vocabCum(spark, sf, checkpoint = false))
+      queries.CorpusStatsQueries.vocabCensus(spark, sf))
     assert(a.cartesians == 0, s"cartesian in the vocab census chain: $a")
     assert(a.unpartitionedWindows == 0,
       s"partition-less window in the vocab census chain: $a")

@@ -674,9 +674,7 @@ class StreamingSpec extends SparkSuite {
           .localCheckpoint(true)
         val prev = state
         state = next
-        prev.queryExecution.logical.collect {
-          case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-        }.foreach(_.unpersist(blocking = false))
+        graft.operators.CheckpointBlocks.release(prev)
         ()
       }.start()
     try {
@@ -893,9 +891,7 @@ class StreamingSpec extends SparkSuite {
           .localCheckpoint(true)
         val prev = state
         state = next
-        prev.queryExecution.logical.collect {
-          case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-        }.foreach(_.unpersist(blocking = false))
+        graft.operators.CheckpointBlocks.release(prev)
         prefixTables += snapshot(
           graft.queries.QualityModelQueries.quotaTable(
             state.filter(col("n_docs_scored") > 0L)
@@ -979,9 +975,7 @@ class StreamingSpec extends SparkSuite {
           .localCheckpoint(true)
         val prev = state
         state = next
-        prev.queryExecution.logical.collect {
-          case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-        }.foreach(_.unpersist(blocking = false))
+        graft.operators.CheckpointBlocks.release(prev)
         prefixCurves +=
           snapshot(QualityModelQueries.calibrationTable(state))
         ()
