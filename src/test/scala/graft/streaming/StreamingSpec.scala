@@ -1006,6 +1006,53 @@ class StreamingSpec extends SparkSuite {
       "the drained incremental curve must equal the declared q371")
   }
 
+  test("foreachBatch streaming BPE encoding against the frozen merge " +
+    "list equals the batch encoder doc-for-doc under scrambled arrival") {
+    // the trained tokenizer's deployed shape (BpeTrainer.encode's own
+    // doc claims batch ≡ micro-batch; this pins it): train offline,
+    // FREEZE the merge list — merges are plain Scala values, so the
+    // stream side carries no Spark state at all — and segment arrivals
+    // per micro-batch. Encoding is per-word stateless, so chunking and
+    // order cannot change any document's pieces.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.BpeTrainer
+    val d = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    val (_, merges) = BpeTrainer.train(d, "text", 5)
+    assert(merges.length == 5)
+    def pieces(df: DataFrame): Map[Long, String] = BpeTrainer
+      .encode(df, "text", merges)
+      .select(col("doc_id"),
+        concat_ws("",
+          transform(col("pieces"), w => concat_ws(" ", w))).as("enc"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val batchEnc = pieces(d)
+    assert(batchEnc.nonEmpty &&
+      batchEnc.values.exists(_.contains(" ")),
+      "vacuous fixture: no word was actually segmented")
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val streamed = scala.collection.mutable.Map[Long, String]()
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        streamed.synchronized { streamed ++= pieces(batch) }
+        ()
+      }.start()
+    try {
+      val arrivals = d.collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      arrivals.sortBy { case (i, _) => (i * 2654435761L) % 107 }
+        .grouped((arrivals.length + 2) / 3)
+        .foreach { chunk => mem.addData(chunk.toSeq: _*)
+          q.processAllAvailable() }
+    } finally q.stop()
+    assert(streamed.size == batchEnc.size,
+      s"streamed ${streamed.size} docs, batch encoded ${batchEnc.size}")
+    val diff = streamed.filter { case (id, e) => batchEnc(id) != e }
+    assert(diff.isEmpty,
+      s"segmentations diverge for ${diff.keys.take(5)}")
+  }
+
   test("foreachBatch streaming LM cross-entropy against the frozen " +
     "bigram model equals the batch scorer doc-for-doc") {
     // the q364 perplexity gate's deployed shape, same argument as the NB
