@@ -22,13 +22,15 @@ import graft.functions.TextAnalysis
   *      ([[selectBatch]]), so a 32k-merge tokenizer vocabulary costs
   *      ~vocab/batch Spark rounds, not 32k. The collected values are
   *      merge rules, bounded by `rounds`, never data.
-  *   3. greedy left-to-right merge of the chosen pair inside every
+  *   3. greedy left-to-right merge of the chosen pair(s) inside every
   *      word's symbol array — a codegen'd `aggregate` fold with a skip
-  *      flag (consumed positions can't re-match: 'aaa' + (a,a) → [aa,a]).
-  *      The round result is eagerly localCheckpoint'd so each round's
-  *      plan is a LEAF (the ConnectedComponents lineage-re-anchoring
-  *      rule: without it the driver re-analyzes a per-round-growing
-  *      tree), and the previous round's blocks are released.
+  *      flag (consumed positions can't re-match: 'aaa' + (a,a) → [aa,a]);
+  *      a batch's merges compose into ONE projection, each level bound
+  *      as a lambda variable. The round result is eagerly
+  *      localCheckpoint'd so each round's plan is a LEAF (the
+  *      ConnectedComponents lineage-re-anchoring rule: without it the
+  *      driver re-analyzes a per-round-growing tree), and the previous
+  *      round's blocks are released.
   *
   * Ties and order are fully deterministic, so the merge sequence is
   * identical across runs, partitionings, and engines — BpeTrainerSpec

@@ -501,23 +501,32 @@ object QualityModelQueries extends QueryPack {
     * is arbitrary at this corpus. Scale: one aggregation over the
     * memoized [[lmDocCe]] table onto ≤21 buckets; the cumulative window
     * runs over that bounded bucket table (PlanSpec-allowlisted). */
-  private def q372(s: SparkSession, dir: String): DataFrame = {
+  private def q372(s: SparkSession, dir: String): DataFrame =
+    lmOperatingTable(
+      lmDocCe(s, dir)
+        .filter(!isTrain(col("doc_id")))
+        .select(ceBucket(col("ce_e6")).as("bucket"),
+          (col("lang") === "en").cast("long").as("en"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"), sum("en").as("n_en")))
+
+  /** q372's clamped 0.05-nat cross-entropy bucket. */
+  private[graft] def ceBucket(ceE6: Column): Column =
+    greatest(lit(60L), least(lit(80L),
+      floor(dbl(ceE6) / lit(50000.0)).cast("long")))
+
+  /** q372's operating-table arithmetic over BOUNDED per-bucket counts —
+    * the [[calibrationTable]]/[[quotaTable]] split, so the streaming
+    * drift monitor can re-derive the table each micro-batch from
+    * incrementally-maintained bucket sums. */
+  private[graft] def lmOperatingTable(buckets: DataFrame): DataFrame = {
     import Rounding.intDivExact
     def rateE4(num: Column, den: Column): Column =
       intDivExact(num.cast("decimal(38,0)") * lit(20000L) + den,
         lit(2L) * den)
-    val b = lmDocCe(s, dir)
-      .filter(!isTrain(col("doc_id")))
-      .select(
-        greatest(lit(60L), least(lit(80L),
-          floor(dbl(col("ce_e6")) / lit(50000.0)).cast("long")))
-          .as("bucket"),
-        (col("lang") === "en").cast("long").as("en"))
-      .groupBy("bucket")
-      .agg(count(lit(1)).as("n_docs"), sum("en").as("n_en"))
     val w = Window.orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    b.withColumn("kept_docs", sum("n_docs").over(w))
+    buckets.withColumn("kept_docs", sum("n_docs").over(w))
       .withColumn("kept_en", sum("n_en").over(w))
       .select(col("bucket"), col("n_docs"), col("n_en"),
         rateE4(col("n_en"), col("n_docs")).as("en_rate_e4"),

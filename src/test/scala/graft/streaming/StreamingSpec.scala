@@ -1006,6 +1006,75 @@ class StreamingSpec extends SparkSuite {
       "the drained incremental curve must equal the declared q371")
   }
 
+  test("foreachBatch streaming LM operating table (q372) equals the " +
+    "batch table at every micro-batch prefix") {
+    // the perplexity gate's decision table as a drift monitor — same
+    // shape as the q371 twin: frozen bigram model, bounded bucket census
+    // as foreachBatch state, table re-derived per batch via the shared
+    // lmOperatingTable arithmetic, prefix-EXACT.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.QualityModels
+    import graft.queries.QualityModelQueries
+    val d = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"), col("lang"))
+    val split = QualityModelQueries.isTrain(col("doc_id"))
+    val (big0, ctx0, vocab0) = QualityModels.trainLm(
+      d.filter(col("lang") === "en" && split), "doc_id", "text")
+    val (big, ctx, vocab) = (big0.localCheckpoint(true),
+      ctx0.localCheckpoint(true), vocab0.localCheckpoint(true))
+    def buckets(docsDf: DataFrame): DataFrame = QualityModels
+      .scoreLm(docsDf.filter(!split), Seq("doc_id", "lang"), "text",
+        big, ctx, vocab)
+      .select(QualityModelQueries.ceBucket(col("ce_e6")).as("bucket"),
+        (col("lang") === "en").cast("long").as("en"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("en").as("n_en"))
+    def snapshot(df: DataFrame): Set[String] =
+      df.collect().map(_.mkString("|")).toSet
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    var state = Seq.empty[(Long, Long, Long)]
+      .toDF("bucket", "n_docs", "n_en").localCheckpoint(true)
+    val prefixTables = scala.collection.mutable.ListBuffer[Set[String]]()
+    val q = mem.toDF().toDF("doc_id", "text", "lang").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val next = state.unionByName(buckets(batch))
+          .groupBy("bucket")
+          .agg(sum("n_docs").as("n_docs"), sum("n_en").as("n_en"))
+          .localCheckpoint(true)
+        val prev = state
+        state = next
+        graft.operators.CheckpointBlocks.release(prev)
+        prefixTables +=
+          snapshot(QualityModelQueries.lmOperatingTable(state))
+        ()
+      }.start()
+    val arrivals = d.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy { case (i, _, _) => (i * 2654435761L) % 109 }
+    val chunks = arrivals.grouped((arrivals.length + 2) / 3).toSeq
+    try chunks.foreach { chunk =>
+      mem.addData(chunk.toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(prefixTables.length == chunks.length)
+    var arrived = Seq.empty[(Long, String, String)]
+    chunks.zip(prefixTables).zipWithIndex.foreach {
+      case ((chunk, got), i) =>
+        arrived ++= chunk
+        val want = snapshot(QualityModelQueries.lmOperatingTable(
+          buckets(arrived.toDF("doc_id", "text", "lang"))))
+        assert(got == want,
+          s"table prefix ${i + 1}/${chunks.length} diverges: " +
+            s"only-streamed=${(got -- want).take(3)} " +
+            s"only-batch=${(want -- got).take(3)}")
+    }
+    assert(prefixTables.last == snapshot(
+      graft.SparkEntry.queries("q372_lm_calibration")(spark, sf)),
+      "the drained incremental table must equal the declared q372")
+  }
+
   test("foreachBatch streaming BPE encoding against the frozen merge " +
     "list equals the batch encoder doc-for-doc under scrambled arrival") {
     // the trained tokenizer's deployed shape (BpeTrainer.encode's own
