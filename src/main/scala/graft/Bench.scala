@@ -261,7 +261,7 @@ object Bench {
         val cell =
           try {
             val a = graft.operators.PlanAudit.of(fn(spark, sfDir))
-            s"""{"shuffles":${a.shuffles},"broadcasts":${a.broadcasts},"scans":${a.scans},"cartesians":${a.cartesians},"nested_loop_joins":${a.nestedLoopJoins},"codegen_spans":${a.codegenSpans},"nodes":${a.nodes},"unpartitioned_windows":${a.unpartitionedWindows},"single_partition_exchanges":${a.singlePartitionExchanges}}"""
+            s"""{"shuffles":${a.shuffles},"broadcasts":${a.broadcasts},"scans":${a.scans},"cartesians":${a.cartesians},"nested_loop_joins":${a.nestedLoopJoins},"codegen_spans":${a.codegenSpans},"nodes":${a.nodes},"unpartitioned_windows":${a.unpartitionedWindows},"single_partition_exchanges":${a.singlePartitionExchanges},"reused_exchanges":${a.reusedExchanges},"reused_subqueries":${a.reusedSubqueries}}"""
           } catch { case _: Throwable => "null" }
         s"\"" + name + "\":" + cell
       }.mkString("{", ",", "}")

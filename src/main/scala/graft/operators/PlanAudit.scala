@@ -29,7 +29,9 @@ object PlanAudit {
       cartesians: Long, nestedLoopJoins: Long,
       codegenSpans: Long, nodes: Long,
       unpartitionedWindows: Long = 0L,
-      singlePartitionExchanges: Long = 0L)
+      singlePartitionExchanges: Long = 0L,
+      reusedExchanges: Long = 0L,
+      reusedSubqueries: Long = 0L)
 
   /** Walk every node of the compiled physical plan, including the plans
     * nested inside AQE wrappers and subquery expressions. */
@@ -77,8 +79,40 @@ object PlanAudit {
       }
     }
     walk(df.queryExecution.executedPlan)
+    val (rex, rsub) = reuseCounts(df.queryExecution.executedPlan)
     Audit(shuffles, broadcasts, scans, cartesians, bnlj, codegen, nodes,
-      unpWindows, spExchanges)
+      unpWindows, spExchanges, rex, rsub)
+  }
+
+  /** Substrate sharing as data (round-15 verdict item 6): how many
+    * exchange/subquery subtrees the reuse rule collapses because a
+    * SIBLING branch builds the identical one. Counted in a SEPARATE pass
+    * — the main counters above deliberately see the pre-reuse tree (the
+    * per-query shuffle pins and the round-over-round PLANS.json diff are
+    * calibrated against it), while these two fields make a claimed
+    * shared chain visible: a "shared" substrate that silently diverges
+    * (one branch perturbed so its exchange no longer canonicalizes equal)
+    * shows up as a reuse-count DROP in PLANS.json / a PlanSpec pin, not
+    * as a bench mystery. Non-AQE runs reuse via this very rule; AQE
+    * reuses per-stage at runtime with the same canonical-equality test,
+    * so the static count is the right shared-shape proxy for both. */
+  private def reuseCounts(executed: SparkPlan): (Long, Long) = {
+    import org.apache.spark.sql.execution.reuse.ReuseExchangeAndSubquery
+    import org.apache.spark.sql.execution.ReusedSubqueryExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    // fully-prepared static tree: AQE wrappers (root AND inside subquery
+    // expressions) replaced by their prepared input plans
+    def prep(p: SparkPlan): SparkPlan = p.transformUpWithSubqueries {
+      case a: AdaptiveSparkPlanExec =>
+        prep(CollapseCodegenStages()(EnsureRequirements()(a.inputPlan)))
+    }
+    var rex, rsub = 0L
+    ReuseExchangeAndSubquery(prep(executed)).foreachWithSubqueries {
+      case _: ReusedExchangeExec => rex += 1
+      case _: ReusedSubqueryExec => rsub += 1
+      case _ => ()
+    }
+    (rex, rsub)
   }
 
   /** The audit as a 1-row DataFrame, for dashboards / CI artifacts. */
@@ -88,9 +122,11 @@ object PlanAudit {
     import spark.implicits._
     Seq((a.shuffles, a.broadcasts, a.scans, a.cartesians,
       a.nestedLoopJoins, a.codegenSpans, a.nodes,
-      a.unpartitionedWindows, a.singlePartitionExchanges))
+      a.unpartitionedWindows, a.singlePartitionExchanges,
+      a.reusedExchanges, a.reusedSubqueries))
       .toDF("shuffles", "broadcasts", "scans", "cartesians",
         "nested_loop_joins", "codegen_spans", "nodes",
-        "unpartitioned_windows", "single_partition_exchanges")
+        "unpartitioned_windows", "single_partition_exchanges",
+        "reused_exchanges", "reused_subqueries")
   }
 }

@@ -36,9 +36,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * would otherwise pin its own last eviction for the JVM's life, since
   * the strong RDD reference in its lot blocks the GC + ContextCleaner
   * fallback. Residual bound, stated honestly: parked blocks free on the
-  * first memoized access ANYWHERE after their leaf becomes garbage — in
-  * the driver's workload (hundreds of memoized queries per run) that is
-  * effectively immediate; a JVM that stops using memos entirely keeps
+  * first UNCONTENDED memoized access ANYWHERE after their leaf becomes
+  * garbage — sweeps are tryLock-and-skip (see [[sweepNow]]), so an
+  * access that loses the lock race (another sweep, an eviction mid-cons)
+  * defers release to the next access. In the driver's workload (hundreds
+  * of memoized queries per run, contention windows of microseconds) that
+  * is effectively immediate; a JVM that stops using memos entirely keeps
   * its final evictions until exit.
   *
   * Two slots, not one (round-11 verdict item 5): the driver's real
@@ -124,8 +127,10 @@ private[graft] class SessionDirMemoOf[V](frames: V => Seq[DataFrame]) {
           // holds a plan over the evicted frame would hard-fail on an
           // eager unpersist of a lineage-truncated localCheckpoint. The
           // sweep above frees each parked build's blocks on the first
-          // get() after its checkpoint leaf becomes unreachable —
-          // bounded retention without ever breaking a live reader.
+          // UNCONTENDED get() after its checkpoint leaf becomes
+          // unreachable (sweeps tryLock-and-skip, so a contended access
+          // defers to the next one) — bounded retention without ever
+          // breaking a live reader.
           if (evicted.nonEmpty) {
             parkedLock.lock()
             try evicted.foreach { case (_, _, v) =>

@@ -759,15 +759,21 @@ object CorpusStatsQueries extends QueryPack {
     * exist — the auditable raw chain is [[vocabCensus]] (what the scan
     * consumes; the scan's own semantics are pinned by PrefixScanSpec),
     * named differently so nobody mistakes it for the memo-off
-    * convention the lazy-chain builders follow. */
+    * convention the lazy-chain builders follow. The memo-neutrality pin
+    * the flag would have bought exists anyway: MemoNeutralitySpec
+    * asserts a FRESH [[buildVocabCum]] rebuild equals the memoized
+    * frame row-for-row, so a nondeterministic scan fails by name. */
   private val vocabCumMemo = new graft.operators.SessionDirMemo
   private[graft] def vocabCum(s: SparkSession, dir: String): DataFrame =
-    vocabCumMemo.get(s, dir) {
-      graft.operators.PrefixScan.runningSumsMaterialized(
-        vocabCensus(s, dir).withColumn("one", lit(1L)),
-        Seq("one" -> "k", "c" -> "cum"), col("c").desc, col("tok"))
-        .drop("one")
-    }
+    vocabCumMemo.get(s, dir)(buildVocabCum(s, dir))
+
+  /** One fresh eager scan build — the memo body, callable directly so
+    * the neutrality spec can compare rebuild vs memoized slot. */
+  private[graft] def buildVocabCum(s: SparkSession, dir: String): DataFrame =
+    graft.operators.PrefixScan.runningSumsMaterialized(
+      vocabCensus(s, dir).withColumn("one", lit(1L)),
+      Seq("one" -> "k", "c" -> "cum"), col("c").desc, col("tok"))
+      .drop("one")
 
   /** The lazy (tok, c) census [[vocabCum]] scans — the PlanGateSpec
     * builder gate audits this chain. */

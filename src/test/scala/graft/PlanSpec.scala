@@ -336,14 +336,21 @@ class PlanSpec extends SparkSuite {
       "q365_nb_threshold_sweep" -> 1L, // e1 score buckets (≤21 rows)
       "q372_lm_calibration" -> 1L, // clamped 0.05-nat buckets (≤21 rows)
       "q367_quality_budget" -> 2L) // per-source tier table (bounded)
+    // EXACT equality, not <= (ADVICE r15): an allowlisted query that
+    // later LOSES its certified window would otherwise leave budget for
+    // a brand-new un-certified window to appear in it at the same count
+    // — the allowlist must track the measured counts exactly, the same
+    // way PlanGateSpec pins shuffles.
     val offenders = fullSweep.collect {
-      case (name, a) if a.unpartitionedWindows > allow.getOrElse(name, 0L) =>
-        s"$name(${a.unpartitionedWindows}>" +
+      case (name, a) if a.unpartitionedWindows != allow.getOrElse(name, 0L) =>
+        s"$name(${a.unpartitionedWindows}!=" +
           s"${allow.getOrElse(name, 0L)})"
     }
     assert(offenders.isEmpty,
-      s"partition-less windows outside the certified-bounded allowlist " +
-        s"(one task holds the whole frame at scale — use GlobalRank/" +
-        s"PrefixScan, or certify the bound here): $offenders")
+      s"partition-less-window counts diverge from the certified-bounded " +
+        s"allowlist (over = a new un-certified one-task window — use " +
+        s"GlobalRank/PrefixScan or certify the bound here; under = a " +
+        s"stale entry whose leftover budget would hide the next new " +
+        s"one — re-measure with WindowSweepTool): $offenders")
   }
 }

@@ -11,17 +11,26 @@ object WindowSweepTool {
   def main(args: Array[String]): Unit = {
     val sf = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val spark = SparkSuite.session
+    // a query that fails to AUDIT is absent from the paste-ready list
+    // even if it contains partition-less windows — that absence must be
+    // loud (stderr + nonzero exit), or a developer trusting the printed
+    // allowlist under-allowlists and mis-attributes the PlanSpec failure
+    var failures = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val a =
-        try PlanAudit.of(fn(spark, sf))
-        catch { case e: Throwable =>
-          println(s"    // $name: audit failed: ${e.getMessage}")
-          PlanAudit.Audit(0, 0, 0, 0, 0, 0, 0)
-        }
-      if (a.unpartitionedWindows > 0)
-        println(s"""    "$name" -> ${a.unpartitionedWindows}L,""")
+      try {
+        val a = PlanAudit.of(fn(spark, sf))
+        if (a.unpartitionedWindows > 0)
+          println(s"""    "$name" -> ${a.unpartitionedWindows}L,""")
+      } catch { case e: Throwable =>
+        failures += 1
+        println(s"    // $name: AUDIT FAILED — entry missing: " +
+          s"${e.getMessage}")
+        System.err.println(s"[window-sweep] $name audit failed: $e")
+      }
     }
-    println("    // [end of sweep]")
+    println(if (failures == 0) "    // [end of sweep]"
+      else s"    // [end of sweep — INCOMPLETE: $failures audit failure(s)]")
     spark.stop()
+    if (failures > 0) sys.exit(1)
   }
 }

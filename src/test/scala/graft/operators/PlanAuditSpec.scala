@@ -36,6 +36,22 @@ class PlanAuditSpec extends SparkSuite {
     assert(a.scans >= 1 && a.codegenSpans >= 1 && a.nodes > 3, a)
   }
 
+  test("a self-union of one aggregate counts a reused exchange") {
+    // the two union branches build canonically-identical shuffles; the
+    // reuse pass must see ONE collapse — while the main shuffle counter
+    // still reports the pre-reuse tree (2), because the per-query pins
+    // and the PLANS.json round-over-round diff are calibrated on it
+    val agg = big.groupBy("k").agg(sum("v").as("s"))
+    val a = PlanAudit.of(agg.union(agg))
+    assert(a.reusedExchanges == 1, a)
+    assert(a.shuffles == 2, s"main counter must stay pre-reuse: $a")
+  }
+
+  test("a single aggregate reuses nothing") {
+    val a = PlanAudit.of(big.groupBy("k").agg(sum("v")))
+    assert(a.reusedExchanges == 0 && a.reusedSubqueries == 0, a)
+  }
+
   test("the audit DataFrame carries the same numbers") {
     val df = big.groupBy("k").agg(sum("v"))
     val row = PlanAudit.audit(df).head()

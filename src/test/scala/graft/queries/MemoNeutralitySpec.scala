@@ -13,8 +13,10 @@ import org.apache.spark.sql.DataFrame
   * a build that accidentally becomes nondeterministic (an unseeded
   * sample, an unstable tie-break, a partitioning-dependent fold) fails
   * here by name instead of surfacing as a mysterious consumer-hash
-  * divergence. (vocabCum has no flag by design — its scan is eager; its
-  * determinism is pinned by PrefixScanSpec's partition-count test.) */
+  * divergence. vocabCum has no `checkpoint` flag by design (its scan is
+  * eager, so no lazy twin can exist) — its pin instead compares a FRESH
+  * eager rebuild against the memoized slot, closing the one asymmetry
+  * in the memo-gate story (r15 verdict item 5). */
 class MemoNeutralitySpec extends SparkSuite {
 
   private val sf = "/root/testdata/sf0.001"
@@ -69,6 +71,17 @@ class MemoNeutralitySpec extends SparkSuite {
     val (mm, mt) = QualityModelQueries.nbModel(spark, sf)
     assertNeutral("nbModel.model", rm, mm)
     assertNeutral("nbModel.totals", rt, mt)
+  }
+
+  test("vocabCum: fresh eager rebuild == memoized build") {
+    // no lazy raw chain exists (the PrefixScan stage materializes at
+    // build time), so the neutrality statement for this memo is
+    // "building the scan AGAIN yields the same rows the slot holds" —
+    // catches a nondeterministic census or an unstable scan order the
+    // same way the checkpoint=false twins do for the lazy builders
+    assertNeutral("vocabCum",
+      CorpusStatsQueries.buildVocabCum(spark, sf),
+      CorpusStatsQueries.vocabCum(spark, sf))
   }
 
   test("corpusStages: every stage of the raw chain == memoized build") {
