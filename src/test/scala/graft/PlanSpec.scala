@@ -353,4 +353,159 @@ class PlanSpec extends SparkSuite {
         s"stale entry whose leftover budget would hide the next new " +
         s"one — re-measure with WindowSweepTool): $offenders")
   }
+
+  /** Substrate sharing gated as data (round-15 verdict task 6): the memo
+    * story claims the q363–q372 family reads ONE materialized score
+    * table; assert the consumers' plans literally embed the same
+    * checkpoint leaf, so a broken memo (silently rebuilding per
+    * consumer — each build re-running the corpus-scale token explode)
+    * fails here by name instead of surfacing as a bench mystery. */
+  test("nb-score memo substrate is shared by its consumers, not rebuilt") {
+    def leafIds(name: String): Seq[Int] =
+      operators.CheckpointBlocks
+        .leaves(SparkEntry.queries(name)(spark, sf)).map(_.rdd.id)
+    val perConsumer = Seq("q363_nb_classifier", "q365_nb_threshold_sweep",
+      "q371_nb_calibration").map(n => n -> leafIds(n))
+    perConsumer.foreach { case (n, ids) =>
+      assert(ids.nonEmpty, s"$n no longer plans over a checkpoint leaf")
+    }
+    val distinct = perConsumer.flatMap(_._2).distinct
+    assert(distinct.size == 1,
+      s"nbDocScores memo rebuilt per consumer — expected one shared " +
+        s"leaf, got ${perConsumer.map { case (n, ids) => s"$n=$ids" }}")
+  }
+
+  /** The static-reuse twin of the same claim, for a LAZY shared chain:
+    * q362's two sweep branches (near-dup curve × containment curve) list
+    * the same mined-pair chain; the reuse rule collapses 9 exchange
+    * subtrees because the branches stay canonically identical. A
+    * perturbation of one branch (so its exchanges no longer canonicalize
+    * equal) would double real work at runtime while leaving the main
+    * shuffle counter unchanged — this pin is what catches it.
+    * Re-measure via PLANS.json's reused_exchanges on intentional change. */
+  test("q362: sweep branches stay canonically shared (reuse pinned)") {
+    val a = fullSweep.find(_._1 == "q362_dedup_sweep").get._2
+    assert(a.reusedExchanges == 9L,
+      s"q362 static exchange reuse moved (${a.reusedExchanges} != 9) — " +
+        s"a shared branch diverged (or the chain was intentionally " +
+        s"reshaped; re-measure and re-pin): $a")
+  }
+
+  /** The third blanket guard (round-15 verdict task 2): single-partition
+    * exchanges were COUNTED into PLANS.json since r15 but nothing
+    * asserted on them — a global `orderBy`/`coalesce(1)` sneaking into
+    * an existing query would land in an artifact nobody diffs. Pinned
+    * per query, exact equality (the window-gate discipline): over = a
+    * new everything-into-one-task funnel; under = a stale pin. The
+    * pinned population is overwhelmingly global scalar aggregates,
+    * whose exchange carries ~1 pre-aggregated row per upstream
+    * partition (map-side combine) — fine at any scale; what this gate
+    * rejects is the OTHER producer of the shape, a full-data global
+    * sort or repartition(1), appearing where a bounded one used to be.
+    * q332's 12 — the map's ceiling — is 6 column censuses × 2 global
+    * scalar aggregates each, adjudicated r16. Re-measure with
+    * `Test/runMain graft.SpExchangeSweepTool`. */
+  test("single-partition exchange counts stay pinned per query") {
+    val pinned: Map[String, Long] = Map(
+      "q101_histogram" -> 1L,
+      "q119_assortativity" -> 1L,
+      "q129_bm25" -> 1L,
+      "q130_ref_integrity" -> 4L,
+      "q133_rolling_dau" -> 1L,
+      "q139_temperature_mix" -> 1L,
+      "q141_benford" -> 1L,
+      "q144_avg_e10_exact" -> 1L,
+      "q155_forget_cascade" -> 3L,
+      "q168_disjunctive_join" -> 1L,
+      "q170_dormant_balances" -> 1L,
+      "q174_decile_migration" -> 2L,
+      "q179_running_revenue" -> 1L,
+      "q180_filtered_revenue" -> 1L,
+      "q181_important_stock" -> 1L,
+      "q184_join_cardinality" -> 2L,
+      "q185_equidepth_bounds" -> 1L,
+      "q194_hybrid_rrf" -> 1L,
+      "q19_above_avg" -> 1L,
+      "q205_top_supplier" -> 1L,
+      "q206_small_qty_revenue" -> 1L,
+      "q209_collocations" -> 1L,
+      "q212_dsir_resample" -> 3L,
+      "q215_modularity" -> 1L,
+      "q216_exact_kfold" -> 1L,
+      "q221_t_closeness" -> 1L,
+      "q234_quantile_norm" -> 1L,
+      "q236_ks_drift" -> 2L,
+      "q250_lsh_mrr" -> 1L,
+      "q251_date_dim" -> 1L,
+      "q254_hamilton_alloc" -> 2L,
+      "q257_rfm_census" -> 3L,
+      "q266_sparse_cosine" -> 4L,
+      "q267_item_recs" -> 1L,
+      "q269_diff_in_diff" -> 1L,
+      "q270_lsh_tuning" -> 1L,
+      "q271_open_backlog" -> 1L,
+      "q272_abc_classes" -> 1L,
+      "q274_wasserstein" -> 2L,
+      "q275_stitched_sessions" -> 2L,
+      "q279_active_coverage" -> 1L,
+      "q282_revenue_bridge" -> 1L,
+      "q287_heaps_curve" -> 2L,
+      "q288_effective_dim" -> 2L,
+      "q290_power_table" -> 1L,
+      "q293_backlog_aging" -> 1L,
+      "q296_blocklist" -> 1L,
+      "q297_waterfill_budget" -> 4L,
+      "q298_gini_stump" -> 4L,
+      "q301_chi2_independence" -> 3L,
+      "q307_logrank" -> 1L,
+      "q312_top_movers" -> 2L,
+      "q315_sequential_ab" -> 2L,
+      "q320_anonymity_ladder" -> 5L,
+      "q322_pr_curve" -> 2L,
+      "q323_mcnemar" -> 1L,
+      "q324_cohen_kappa" -> 1L,
+      "q329_kneser_ney" -> 1L,
+      "q330_bloom_fpp" -> 2L,
+      "q332_dict_encoding" -> 12L,
+      "q333_prf_expansion" -> 2L,
+      "q334_ns_weights" -> 2L,
+      "q336_permutation_test" -> 2L,
+      "q337_coverage_curve" -> 1L,
+      "q338_filter_agreement" -> 3L,
+      "q340_ab_srm" -> 1L,
+      "q342_brier_decomposition" -> 4L,
+      "q344_salt_planner" -> 4L,
+      "q345_cuped" -> 1L,
+      "q347_multiple_testing" -> 2L,
+      "q349_knee_detection" -> 1L,
+      "q350_pmi_census" -> 1L,
+      "q351_kl_drift" -> 1L,
+      "q352_info_gain" -> 4L,
+      "q354_corpus_attrition" -> 6L,
+      "q357_release_audit" -> 5L,
+      "q358_fleiss_kappa" -> 1L,
+      "q361_keeper_policy" -> 2L,
+      "q362_dedup_sweep" -> 1L,
+      "q365_nb_threshold_sweep" -> 2L,
+      "q366_gate_agreement" -> 1L,
+      "q367_quality_budget" -> 3L,
+      "q372_lm_calibration" -> 1L,
+      "q64_tfidf" -> 1L,
+      "q83_heavy_hitters" -> 1L,
+      "q87_skew_report" -> 1L,
+      "q88_funnel" -> 1L,
+      "q92_balance_sources" -> 2L,
+      "q94_profile" -> 1L)
+    val offenders = fullSweep.collect {
+      case (name, a)
+          if a.singlePartitionExchanges != pinned.getOrElse(name, 0L) =>
+        s"$name(${a.singlePartitionExchanges}!=" +
+          s"${pinned.getOrElse(name, 0L)})"
+    }
+    assert(offenders.isEmpty,
+      s"single-partition exchange counts diverge from the pins (over = " +
+        s"a global orderBy/coalesce(1)/repartition(1) crept in — " +
+        s"restructure or adjudicate + re-pin; under = stale pin — " +
+        s"re-measure with SpExchangeSweepTool): $offenders")
+  }
 }
