@@ -23,10 +23,17 @@ import graft.functions.TextAnalysis
   *      ~vocab/batch Spark rounds, not 32k. The collected values are
   *      merge rules, bounded by `rounds`, never data.
   *   3. greedy left-to-right merge of the chosen pair(s) inside every
-  *      word's symbol array — a codegen'd `aggregate` fold with a skip
-  *      flag (consumed positions can't re-match: 'aaa' + (a,a) → [aa,a]);
-  *      a batch's merges compose into ONE projection, each level bound
-  *      as a lambda variable. The round result is eagerly
+  *      AFFECTED word's symbol array — a codegen'd `aggregate` fold with
+  *      a skip flag (consumed positions can't re-match: 'aaa' + (a,a) →
+  *      [aa,a]); a batch's merges compose into ONE projection, each
+  *      level bound as a lambda variable. Affected-word pruning (the
+  *      r15 rewrite-cost item): only words containing a selected pair
+  *      as an ADJACENT symbol pair pass through the fold — for every
+  *      other word each level is provably the identity, so the side
+  *      that skips it unions back unrewritten and the round's fold cost
+  *      follows the merged pair's type frequency (head merges touch a
+  *      few percent of the vocabulary, tail merges almost none) instead
+  *      of the full vocabulary every round. The round result is eagerly
   *      localCheckpoint'd so each round's plan is a LEAF (the
   *      ConnectedComponents lineage-re-anchoring rule: without it the
   *      driver re-analyzes a per-round-growing tree), and the previous
@@ -104,14 +111,21 @@ object BpeTrainer {
     * BpeTrainerSpec pins the equivalence on fixtures where batch pairs
     * interact and force deferrals.
     *
+    * @param probe when set, called once per round with (round index,
+    *        affected word count, total word count) — measurement hook
+    *        for the rewrite-pruning win; the counts cost two extra jobs
+    *        per round, so the production path (None) never pays them.
     * @return (final word table (word, symbols, freq) — already
     *         materialized via localCheckpoint, and the ordered merge
     *         list). Stops early when no pair remains (every word fully
     *         merged to one symbol). */
   def train(docsDf: DataFrame, textCol: String,
-      rounds: Int, batch: Int = 1): (DataFrame, Seq[Merge]) = {
+      rounds: Int, batch: Int = 1,
+      probe: Option[(Int, Long, Long) => Unit] = None)
+      : (DataFrame, Seq[Merge]) = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     require(batch >= 1, s"batch must be >= 1, got $batch")
+    var round = 0
     var words = seedWords(docsDf, textCol).localCheckpoint(true)
     val merges = scala.collection.mutable.ListBuffer[Merge]()
     var done = false
@@ -149,17 +163,33 @@ object BpeTrainer {
           }
         merges ++= sel
         val prev = words
+        // affected-word pruning: the fold below is the identity on any
+        // word with NO selected pair adjacent in its symbols, so only
+        // the hit side pays it; the rest unions back unrewritten. The
+        // predicate is decidable on the PRE-batch symbols because batch
+        // merges are mutually conflict-free (selectBatch): no later
+        // merge's operand is a symbol an earlier one mints, so a word
+        // untouched by every selected pair stays untouched through the
+        // whole composed fold.
+        val hit = exists(adjPairs(col("symbols")), p =>
+          sel.map(m => p.getField("a") === lit(m.a) &&
+            p.getField("b") === lit(m.b)).reduce(_ || _))
         // all selected merges fold in ONE projection — each level bound
         // as a lambda variable so the tree stays linear in batch size
         val folded = sel.foldLeft(col("symbols")) { (c, m) =>
           bound(c)(lvl => mergeGreedy(lvl, m.a, m.b))
         }
-        words = words
+        probe.foreach { f =>
+          f(round, prev.filter(hit).count(), prev.count())
+        }
+        words = prev.filter(hit)
           .select(col("word"), folded.as("symbols"), col("freq"))
+          .unionByName(prev.filter(!hit))
           .localCheckpoint(true)
         // release the superseded round's blocks — the new checkpoint is
         // already materialized, nothing reads the old one again
         CheckpointBlocks.release(prev)
+        round += 1
       }
     }
     (words, merges.toList)

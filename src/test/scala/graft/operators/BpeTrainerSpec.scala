@@ -198,6 +198,29 @@ class BpeTrainerSpec extends SparkSuite {
     assert(bat == seq, s"corpus divergence:\n bat=$bat\n seq=$seq")
   }
 
+  test("affected-word pruning: the round rewrite touches only words " +
+    "containing a selected pair, and skipping changes nothing") {
+    // 'qq qq qq' dominates so (q,q) is the first merge; the zz/ww words
+    // never contain it and must ride the untouched side of every round
+    val texts = Seq("qq qq qq qq zz zz ww", "qq qq zz ww ww")
+    val seen = scala.collection.mutable.ListBuffer[(Int, Long, Long)]()
+    val (wp, mp) = BpeTrainer.train(docsOf(texts), "text", 2,
+      probe = Some((r, a, t) => seen += ((r, a, t))))
+    assert(seen.nonEmpty, "probe must fire once per merge round")
+    seen.foreach { case (r, affected, total) =>
+      assert(affected >= 1L && affected < total,
+        s"round $r rewrote $affected of $total words — pruning must " +
+          s"skip the words that cannot contain the selected pair")
+    }
+    // and the pruned path is value-identical to an unpruned reference
+    val (refTbl, refMerges) = referenceTrain(wordFreqs(texts), 2)
+    assert(mp.map(m => (m.a, m.b, m.count)) == refMerges)
+    val tbl = wp.collect().map(r => r.getAs[String]("word") ->
+      (r.getAs[Seq[String]]("symbols").toList, r.getAs[Long]("freq")))
+      .toMap
+    assert(tbl == refTbl, s"pruned table diverges:\n$tbl\n$refTbl")
+  }
+
   test("selectBatch: prefix stops at the first conflict, trims emergent " +
     "ties, and selects a colliding head solo") {
     import BpeTrainer.{selectBatch, Merge}
