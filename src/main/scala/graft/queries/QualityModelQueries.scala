@@ -178,7 +178,9 @@ object QualityModelQueries extends QueryPack {
 
   /** Per-language census over [[lmDocCe]] — see the chain doc above for
     * the model; this emits doc count, mean/min/max cross-entropy (e6
-    * nats) and the would-drop count at the 3.4-nat gate per language. */
+    * nats) and the would-drop count at the 3.4-nat gate per language.
+    * The 3.4-nat cut itself is certified (or moved) by q374's verdict
+    * row over q372's operating table. */
   private def q364(s: SparkSession, dir: String): DataFrame =
     lmDocCe(s, dir)
       .groupBy("lang")
@@ -304,9 +306,14 @@ object QualityModelQueries extends QueryPack {
     * quota/tokens (e4: > 10⁴ means that source repeats within the
     * budget). Named consumer: the mixing weights feeding q353's mix
     * stage — this is the query that turns "the classifier works" (q363)
-    * into "here is each source's token quota". Scale: per-doc scores
-    * aggregate to the bounded source set; everything after is
-    * source-cardinality arithmetic behind one 1-row broadcast. */
+    * into "here is each source's token quota". The mean-score tier
+    * ranking this table rests on is itself certified by q373's verdict
+    * row (q371's curve reduced to a decision): policy
+    * `mean_score_tiers` keeps this construction; `rank_by_emp_rate` is
+    * the prescribed re-ranking when the gate's probability claim fails
+    * its calibration bound. Scale: per-doc scores aggregate to the
+    * bounded source set; everything after is source-cardinality
+    * arithmetic behind one 1-row broadcast. */
   private def q367(s: SparkSession, dir: String): DataFrame = {
     val perSourceSums = nbDocScores(s, dir)
       .groupBy("source")
@@ -535,9 +542,97 @@ object QualityModelQueries extends QueryPack {
       .orderBy("bucket")
   }
 
+  /** NB-gate calibration VERDICT — the decision row that closes q371's
+    * loop (r15 verdict item 4): the curve is data, but "is the gate
+    * calibrated enough to trust mean-score tiers?" lived in prose. One
+    * row, derived from the same curve: over every two-sided bucket with
+    * at least `min_support` docs (below ~30 a single flipped label
+    * moves empirical log-odds by more than the bucket width, so thin
+    * buckets can't testify either way), the worst |cal_gap_e6| must sit
+    * within one bucket width (1 nat — a score whose probability claim
+    * is off by less than its own bucket still ORDERS sources
+    * correctly). Verdict row: `calibrated` = 1 → policy
+    * `mean_score_tiers` (q367 keeps ranking sources by mean NB score);
+    * else policy `rank_by_emp_rate` (the prescribed fallback: re-rank
+    * tiers by each source's empirical positive rate instead of the
+    * uncalibrated score). Zero qualifying buckets also falls back — no
+    * evidence is not a certification. Named consumer: q367's tier
+    * construction. Scale: one aggregation over the ≤17-row curve. */
+  private def q373(s: SparkSession, dir: String): DataFrame = {
+    val minSupport = 30L
+    val bound = 1000000L
+    val curve = calibrationTable(
+      nbDocScores(s, dir)
+        .select(calBucket(col("score_e6")).as("bucket"), col("y"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"), sum("y").as("n_pos")))
+    curve
+      .filter(col("emp_logodds_e6").isNotNull &&
+        col("n_docs") >= minSupport)
+      .agg(count(lit(1)).as("n_buckets_checked"),
+        max(abs(col("cal_gap_e6"))).as("max_abs_gap_e6"))
+      .select(lit(minSupport).as("min_support"),
+        col("n_buckets_checked"), col("max_abs_gap_e6"),
+        lit(bound).as("gap_bound_e6"),
+        (col("n_buckets_checked") > 0L &&
+          col("max_abs_gap_e6") <= bound).cast("long").as("calibrated"),
+        when(col("n_buckets_checked") > 0L &&
+            col("max_abs_gap_e6") <= bound, "mean_score_tiers")
+          .otherwise("rank_by_emp_rate").as("policy"))
+  }
+
+  /** LM-cut VERDICT — q373's treatment for the perplexity gate: q372's
+    * table exhibits every operating point; this row DECIDES whether the
+    * hand-picked 3.4-nat cut stands. The knee is the operating point
+    * maximizing net reference-like kept, `2·kept_en − kept_docs`
+    * (en kept minus non-en kept — equal-weight Youden on the
+    * cumulative table; ties to the cheaper cut). The 3.4-nat cut is
+    * row 67's upper edge ("keep ce ≤ 3.4" = keep buckets ≤ 67, summed
+    * directly so a missing bucket row can't shift it). Policy:
+    * `keep_cut` when the knee sits within one 0.05-nat row of 67,
+    * else `move_cut_to_knee` with the knee's upper edge (knee_ce_e6)
+    * as the prescribed replacement. Named consumers: q364's
+    * n_above_gate column and q366's LM flag — both apply the cut this
+    * row certifies. Scale: the bounded ≤21-row operating table, one
+    * argmax aggregation, two 1-row frames joined by broadcast. */
+  private def q374(s: SparkSession, dir: String): DataFrame = {
+    val table = lmOperatingTable(
+      lmDocCe(s, dir)
+        .filter(!isTrain(col("doc_id")))
+        .select(ceBucket(col("ce_e6")).as("bucket"),
+          (col("lang") === "en").cast("long").as("en"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"), sum("en").as("n_en")))
+    val nets = table.select(col("bucket"),
+      (lit(2L) * col("kept_en") - col("kept_docs")).as("net_kept"))
+    // argmax(net, tie → smallest bucket) without a window: min-struct
+    val best = nets
+      .agg(min(struct((-col("net_kept")).as("neg_net"),
+        col("bucket").as("b"))).as("m"))
+      .select(col("m.b").as("best_bucket"),
+        (-col("m.neg_net")).as("best_net_kept"))
+    val cut = table.agg(
+      sum(when(col("bucket") <= 67L, col("n_docs")).otherwise(0L))
+        .as("cut_kept_docs"),
+      sum(when(col("bucket") <= 67L, col("n_en")).otherwise(0L))
+        .as("cut_kept_en"))
+    best.crossJoin(broadcast(cut))
+      .select(lit(67L).as("cut_bucket"),
+        col("cut_kept_docs"), col("cut_kept_en"),
+        (lit(2L) * col("cut_kept_en") - col("cut_kept_docs"))
+          .as("cut_net_kept"),
+        col("best_bucket"), col("best_net_kept"),
+        lit(1L).as("tolerance_buckets"),
+        ((col("best_bucket") + lit(1L)) * lit(50000L)).as("knee_ce_e6"),
+        when(abs(col("best_bucket") - lit(67L)) <= 1L, "keep_cut")
+          .otherwise("move_cut_to_knee").as("policy"))
+  }
+
   val defs: Map[String, Q] = Map(
     "q371_nb_calibration" -> (q371 _),
     "q372_lm_calibration" -> (q372 _),
+    "q373_nb_gate_verdict" -> (q373 _),
+    "q374_lm_cut_verdict" -> (q374 _),
     "q363_nb_classifier" -> (q363 _),
     "q364_lm_cross_entropy" -> (q364 _),
     "q365_nb_threshold_sweep" -> (q365 _),
@@ -690,6 +785,88 @@ object QualityModelQueries extends QueryPack {
         |  kept_docs, kept_en, $krate AS kept_en_rate_e4
         |FROM lcc ORDER BY bucket""".stripMargin
     },
+    // same curve (the q371 CTEs verbatim), same ≥30-doc two-sided
+    // support filter, same 1-nat gap bound, same fallback policy
+    "q373_nb_gate_verdict" ->
+      s"""WITH $nbPdCte,
+        |cal AS (
+        |  SELECT greatest(-8, least(8,
+        |      CAST(floor(CAST(score_e6 AS DOUBLE) / 1000000.0)
+        |        AS BIGINT))) AS bucket,
+        |    y
+        |  FROM pd),
+        |cb AS (
+        |  SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(y) AS BIGINT) AS n_pos
+        |  FROM cal GROUP BY bucket),
+        |curve AS (
+        |  SELECT n_docs,
+        |    CASE WHEN n_pos = 0 OR n_pos = n_docs THEN NULL
+        |         ELSE CAST(floor(ln(CAST(n_pos AS DOUBLE) /
+        |           CAST(n_docs - n_pos AS DOUBLE)) * 1000000.0 + 0.5)
+        |           AS BIGINT)
+        |    END - (bucket * 1000000 + 500000) AS cal_gap_e6
+        |  FROM cb),
+        |ver AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_buckets_checked,
+        |    CAST(max(abs(cal_gap_e6)) AS BIGINT) AS max_abs_gap_e6
+        |  FROM curve
+        |  WHERE cal_gap_e6 IS NOT NULL AND n_docs >= 30)
+        |SELECT CAST(30 AS BIGINT) AS min_support, n_buckets_checked,
+        |  max_abs_gap_e6, CAST(1000000 AS BIGINT) AS gap_bound_e6,
+        |  CAST(n_buckets_checked > 0 AND
+        |    coalesce(max_abs_gap_e6 <= 1000000, FALSE) AS BIGINT)
+        |    AS calibrated,
+        |  CASE WHEN n_buckets_checked > 0 AND
+        |      coalesce(max_abs_gap_e6 <= 1000000, FALSE)
+        |    THEN 'mean_score_tiers' ELSE 'rank_by_emp_rate'
+        |  END AS policy
+        |FROM ver""".stripMargin,
+    // same held-out buckets (the q372 CTEs verbatim), same net-kept
+    // argmax with ties to the cheaper cut, same summed row-67 cut point
+    "q374_lm_cut_verdict" ->
+      s"""WITH $lmPdCte,
+        |lcal AS (
+        |  SELECT greatest(60, least(80,
+        |      CAST(floor(CAST(ce_e6 AS DOUBLE) / 50000.0) AS BIGINT)))
+        |    AS bucket,
+        |    CAST(lang = 'en' AS BIGINT) AS en
+        |  FROM lpd WHERE NOT (${isTrainSql("doc_id")})),
+        |lcb AS (
+        |  SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(en) AS BIGINT) AS n_en
+        |  FROM lcal GROUP BY bucket),
+        |lcc AS (
+        |  SELECT bucket,
+        |    CAST(sum(n_docs) OVER (ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS kept_docs,
+        |    CAST(sum(n_en) OVER (ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS kept_en
+        |  FROM lcb),
+        |best AS (
+        |  SELECT bucket AS best_bucket,
+        |    CAST(2 * kept_en - kept_docs AS BIGINT) AS best_net_kept
+        |  FROM lcc ORDER BY 2 * kept_en - kept_docs DESC, bucket ASC
+        |  LIMIT 1),
+        |cut AS (
+        |  SELECT
+        |    CAST(coalesce(sum(CASE WHEN bucket <= 67 THEN n_docs END), 0)
+        |      AS BIGINT) AS cut_kept_docs,
+        |    CAST(coalesce(sum(CASE WHEN bucket <= 67 THEN n_en END), 0)
+        |      AS BIGINT) AS cut_kept_en
+        |  FROM lcb)
+        |SELECT CAST(67 AS BIGINT) AS cut_bucket, cut_kept_docs,
+        |  cut_kept_en,
+        |  CAST(2 * cut_kept_en - cut_kept_docs AS BIGINT)
+        |    AS cut_net_kept,
+        |  best_bucket, best_net_kept,
+        |  CAST(1 AS BIGINT) AS tolerance_buckets,
+        |  CAST((best_bucket + 1) * 50000 AS BIGINT) AS knee_ce_e6,
+        |  CASE WHEN abs(best_bucket - 67) <= 1 THEN 'keep_cut'
+        |       ELSE 'move_cut_to_knee' END AS policy
+        |FROM best, cut""".stripMargin,
     // same split, same Laplace llr lattice, same left-join coalesce
     "q363_nb_classifier" ->
       s"""WITH $nbPdCte

@@ -121,7 +121,12 @@ object PlanGateSpec {
     "q349_knee_detection" -> 1L,
     // round-15: calibration curves — score-memo stubs + bounded buckets
     "q371_nb_calibration" -> 2L,
-    "q372_lm_calibration" -> 2L)
+    "q372_lm_calibration" -> 2L,
+    // round-16: gate-verdict decision rows — memo stubs + ≤21-row
+    // bounded-table arithmetic (q374's extra exchanges are the 1-row
+    // best/cut frames meeting over a broadcast)
+    "q373_nb_gate_verdict" -> 2L,
+    "q374_lm_cut_verdict" -> 4L)
   def maxShuffles(name: String): Long = measured(name) + slack
 }
 

@@ -335,6 +335,7 @@ class PlanSpec extends SparkSuite {
       "q362_dedup_sweep" -> 1L, // threshold sweep grid (7 rows)
       "q365_nb_threshold_sweep" -> 1L, // e1 score buckets (≤21 rows)
       "q372_lm_calibration" -> 1L, // clamped 0.05-nat buckets (≤21 rows)
+      "q374_lm_cut_verdict" -> 1L, // same ≤21-row operating table
       "q367_quality_budget" -> 2L) // per-source tier table (bounded)
     // EXACT equality, not <= (ADVICE r15): an allowlisted query that
     // later LOSES its certified window would otherwise leave budget for
@@ -490,6 +491,8 @@ class PlanSpec extends SparkSuite {
       "q366_gate_agreement" -> 1L,
       "q367_quality_budget" -> 3L,
       "q372_lm_calibration" -> 1L,
+      "q373_nb_gate_verdict" -> 1L,
+      "q374_lm_cut_verdict" -> 2L,
       "q64_tfidf" -> 1L,
       "q83_heavy_hitters" -> 1L,
       "q87_skew_report" -> 1L,
