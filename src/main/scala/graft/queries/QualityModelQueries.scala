@@ -558,14 +558,21 @@ object QualityModelQueries extends QueryPack {
     * uncalibrated score). Zero qualifying buckets also falls back — no
     * evidence is not a certification. Named consumer: q367's tier
     * construction. Scale: one aggregation over the ≤17-row curve. */
-  private def q373(s: SparkSession, dir: String): DataFrame = {
-    val minSupport = 30L
-    val bound = 1000000L
-    val curve = calibrationTable(
+  private def q373(s: SparkSession, dir: String): DataFrame =
+    nbGateVerdict(calibrationTable(
       nbDocScores(s, dir)
         .select(calBucket(col("score_e6")).as("bucket"), col("y"))
         .groupBy("bucket")
-        .agg(count(lit(1)).as("n_docs"), sum("y").as("n_pos")))
+        .agg(count(lit(1)).as("n_docs"), sum("y").as("n_pos"))))
+
+  /** q373's verdict arithmetic over the bounded curve — split out (the
+    * calibrationTable pattern) so the streaming drift monitor
+    * (StreamingSpec) re-derives the DECISION, not just the curve, each
+    * micro-batch: a drifting feed flips the policy row the moment its
+    * empirical rates leave the bound. */
+  private[graft] def nbGateVerdict(curve: DataFrame): DataFrame = {
+    val minSupport = 30L
+    val bound = 1000000L
     curve
       .filter(col("emp_logodds_e6").isNotNull &&
         col("n_docs") >= minSupport)
@@ -595,14 +602,19 @@ object QualityModelQueries extends QueryPack {
     * n_above_gate column and q366's LM flag — both apply the cut this
     * row certifies. Scale: the bounded ≤21-row operating table, one
     * argmax aggregation, two 1-row frames joined by broadcast. */
-  private def q374(s: SparkSession, dir: String): DataFrame = {
-    val table = lmOperatingTable(
+  private def q374(s: SparkSession, dir: String): DataFrame =
+    lmCutVerdict(lmOperatingTable(
       lmDocCe(s, dir)
         .filter(!isTrain(col("doc_id")))
         .select(ceBucket(col("ce_e6")).as("bucket"),
           (col("lang") === "en").cast("long").as("en"))
         .groupBy("bucket")
-        .agg(count(lit(1)).as("n_docs"), sum("en").as("n_en")))
+        .agg(count(lit(1)).as("n_docs"), sum("en").as("n_en"))))
+
+  /** q374's verdict arithmetic over the bounded operating table — the
+    * [[nbGateVerdict]] split, so the streaming operating-table twin can
+    * also re-derive the cut decision at every arrival prefix. */
+  private[graft] def lmCutVerdict(table: DataFrame): DataFrame = {
     val nets = table.select(col("bucket"),
       (lit(2L) * col("kept_en") - col("kept_docs")).as("net_kept"))
     // argmax(net, tie → smallest bucket) without a window: min-struct

@@ -966,6 +966,7 @@ class StreamingSpec extends SparkSuite {
     var state = Seq.empty[(Long, Long, Long)]
       .toDF("bucket", "n_docs", "n_pos").localCheckpoint(true)
     val prefixCurves = scala.collection.mutable.ListBuffer[Set[String]]()
+    val prefixVerdicts = scala.collection.mutable.ListBuffer[Set[String]]()
     val q = mem.toDF().toDF("doc_id", "text", "y").writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -978,6 +979,10 @@ class StreamingSpec extends SparkSuite {
         graft.operators.CheckpointBlocks.release(prev)
         prefixCurves +=
           snapshot(QualityModelQueries.calibrationTable(state))
+        // the DECISION rides the same bounded state (r16): a drifting
+        // feed must flip the policy row the moment rates leave the bound
+        prefixVerdicts += snapshot(QualityModelQueries.nbGateVerdict(
+          QualityModelQueries.calibrationTable(state)))
         ()
       }.start()
     val arrivals = d.collect()
@@ -990,20 +995,28 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
     assert(prefixCurves.length == chunks.length)
     var arrived = Seq.empty[(Long, String, Long)]
-    chunks.zip(prefixCurves).zipWithIndex.foreach {
-      case ((chunk, got), i) =>
+    chunks.zip(prefixCurves zip prefixVerdicts).zipWithIndex.foreach {
+      case ((chunk, (got, gotVer)), i) =>
         arrived ++= chunk
-        val want = snapshot(QualityModelQueries.calibrationTable(
-          buckets(arrived.toDF("doc_id", "text", "y"))))
+        val curve = QualityModelQueries.calibrationTable(
+          buckets(arrived.toDF("doc_id", "text", "y")))
+        val want = snapshot(curve)
         assert(got == want,
           s"curve prefix ${i + 1}/${chunks.length} diverges: " +
             s"only-streamed=${(got -- want).take(3)} " +
             s"only-batch=${(want -- got).take(3)}")
+        val wantVer = snapshot(QualityModelQueries.nbGateVerdict(curve))
+        assert(gotVer == wantVer,
+          s"verdict prefix ${i + 1}/${chunks.length} diverges: " +
+            s"streamed=$gotVer batch=$wantVer")
     }
-    // and the drained curve is exactly the declared q371
+    // and the drained curve/verdict are exactly the declared q371/q373
     assert(prefixCurves.last == snapshot(
       graft.SparkEntry.queries("q371_nb_calibration")(spark, sf)),
       "the drained incremental curve must equal the declared q371")
+    assert(prefixVerdicts.last == snapshot(
+      graft.SparkEntry.queries("q373_nb_gate_verdict")(spark, sf)),
+      "the drained incremental verdict must equal the declared q373")
   }
 
   test("foreachBatch streaming LM operating table (q372) equals the " +
@@ -1036,6 +1049,7 @@ class StreamingSpec extends SparkSuite {
     var state = Seq.empty[(Long, Long, Long)]
       .toDF("bucket", "n_docs", "n_en").localCheckpoint(true)
     val prefixTables = scala.collection.mutable.ListBuffer[Set[String]]()
+    val prefixVerdicts = scala.collection.mutable.ListBuffer[Set[String]]()
     val q = mem.toDF().toDF("doc_id", "text", "lang").writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -1048,6 +1062,10 @@ class StreamingSpec extends SparkSuite {
         graft.operators.CheckpointBlocks.release(prev)
         prefixTables +=
           snapshot(QualityModelQueries.lmOperatingTable(state))
+        // the cut DECISION rides the same bounded state (r16): the knee
+        // re-locates as the observed band fills in
+        prefixVerdicts += snapshot(QualityModelQueries.lmCutVerdict(
+          QualityModelQueries.lmOperatingTable(state)))
         ()
       }.start()
     val arrivals = d.collect()
@@ -1060,19 +1078,27 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
     assert(prefixTables.length == chunks.length)
     var arrived = Seq.empty[(Long, String, String)]
-    chunks.zip(prefixTables).zipWithIndex.foreach {
-      case ((chunk, got), i) =>
+    chunks.zip(prefixTables zip prefixVerdicts).zipWithIndex.foreach {
+      case ((chunk, (got, gotVer)), i) =>
         arrived ++= chunk
-        val want = snapshot(QualityModelQueries.lmOperatingTable(
-          buckets(arrived.toDF("doc_id", "text", "lang"))))
+        val table = QualityModelQueries.lmOperatingTable(
+          buckets(arrived.toDF("doc_id", "text", "lang")))
+        val want = snapshot(table)
         assert(got == want,
           s"table prefix ${i + 1}/${chunks.length} diverges: " +
             s"only-streamed=${(got -- want).take(3)} " +
             s"only-batch=${(want -- got).take(3)}")
+        val wantVer = snapshot(QualityModelQueries.lmCutVerdict(table))
+        assert(gotVer == wantVer,
+          s"cut-verdict prefix ${i + 1}/${chunks.length} diverges: " +
+            s"streamed=$gotVer batch=$wantVer")
     }
     assert(prefixTables.last == snapshot(
       graft.SparkEntry.queries("q372_lm_calibration")(spark, sf)),
       "the drained incremental table must equal the declared q372")
+    assert(prefixVerdicts.last == snapshot(
+      graft.SparkEntry.queries("q374_lm_cut_verdict")(spark, sf)),
+      "the drained incremental cut verdict must equal the declared q374")
   }
 
   test("foreachBatch streaming BPE encoding against the frozen merge " +

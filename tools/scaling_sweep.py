@@ -1,0 +1,181 @@
+#!/usr/bin/env python3
+"""Scaling-exponent audit (round-16, verdict item 1).
+
+Replaces plan-reading with measurement for the bench's expensive tail:
+runs the top-cost queries (plus the verdict-named iterative heads) at
+sf0.001 / sf0.01 / sf0.1 through graft.Bench (min-of-passes timing, the
+same harness the round artifacts use), fits a log-log slope per query,
+and flags anything super-linear beyond its STATED complexity. Emits
+SCALING.md so future rounds re-run and diff:
+
+    python3 tools/scaling_sweep.py              # bench all 3 SFs + emit
+    python3 tools/scaling_sweep.py --skip-bench # re-emit from /tmp jsons
+
+Reading the numbers honestly:
+  * the FITTED slope (least squares over all three points) is dragged
+    DOWN by fixed per-job costs (scheduler rounds, codegen, driver
+    work) that dominate at sf0.001 — it is a lower bound, not the law;
+  * the TAIL slope log10(t(0.1)/t(0.01)) is the informative one: by
+    sf0.01 most fixed floors are amortized, so the tail decade is the
+    best local estimate of how cost grows with data;
+  * both under local[32]'s FIXED parallelism — on a real cluster
+    executors scale with data, so a tail slope of 1.0 here is work
+    growing linearly, which a 1000-executor cluster absorbs flat.
+"""
+import json
+import math
+import os
+import subprocess
+import sys
+
+# the r15 BENCH_FULL top-15 by cost, plus the verdict-named iterative
+# heads (q134/q231/q264/q265) even where they fall outside the top-15
+QUERIES = [
+    "q100_fuzzy_match", "q134_kcore", "q161_adc_scan",
+    "q192_substring_overlap", "q197_lsh_calibration",
+    "q211_para_near_dup", "q231_ppr", "q259_three_way_reconcile",
+    "q260_key_gap_audit", "q263_dbscan", "q264_sssp",
+    "q265_widest_path", "q266_sparse_cosine", "q270_lsh_tuning",
+    "q273_winnowing", "q299_hub_robustness", "q306_label_noise",
+    "q362_dedup_sweep", "q44_dedup_embedding",
+]
+
+# stated complexity: the maximum tail-decade exponent each query's
+# design PERMITS, with the one-line reason. Exceeding it = flagged.
+STATED = {
+    "q100_fuzzy_match": (1.15, "SymSpell delete-key equi join; candidates ~ N x bounded deletes-per-term"),
+    "q134_kcore": (1.25, "iterative peel, O(E) per round; rounds grow ~log with graph size"),
+    "q161_adc_scan": (1.15, "PQ ADC scan is O(N) at fixed codebook/k"),
+    "q192_substring_overlap": (1.15, "winnowing fingerprint postings, df-gated pair mining"),
+    "q197_lsh_calibration": (1.30, "banded LSH bucket pairs; occupancy grows with corpus, band/df-gated"),
+    "q211_para_near_dup": (1.30, "paragraph shingle pair mining, df-gated"),
+    "q231_ppr": (1.10, "fixed iteration count x O(E) keyed joins"),
+    "q259_three_way_reconcile": (1.15, "keyed joins + aggregations, O(N)"),
+    "q260_key_gap_audit": (1.15, "per-key sort + islands, O(N log N) in-partition"),
+    "q263_dbscan": (1.25, "grid-bucket neighbor join + CC; rounds grow ~log"),
+    "q264_sssp": (1.25, "semiring fixed point, O(E) per round; rounds ~ reachable diameter"),
+    "q265_widest_path": (1.25, "semiring fixed point (shared loop with q264)"),
+    "q266_sparse_cosine": (1.30, "token-posting pair mining, df-gated"),
+    "q270_lsh_tuning": (1.30, "three-band sweep over one shared signature"),
+    "q273_winnowing": (1.15, "rolling-hash fingerprints, O(tokens)"),
+    "q299_hub_robustness": (1.25, "k CC re-runs after hub removal; rounds grow ~log"),
+    "q306_label_noise": (2.00, "BRUTE 5-NN baseline arm - documented O(N^2); the scale path is IVF (q232/q250)"),
+    "q362_dedup_sweep": (1.30, "mined-pair chain (df-gated) swept over 7 bounded thresholds"),
+    "q44_dedup_embedding": (1.15, "exact-hash bucket equi join, O(N)"),
+}
+
+SFS = ["0.001", "0.01", "0.1"]
+
+
+def bench_out(sf: str) -> str:
+    return f"/tmp/bench_scaling_sf{sf}.json"
+
+
+def run_bench(sf: str) -> None:
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR=f"/root/testdata/sf{sf}",
+        SPARK_GRAFT_CPUS="32",
+        SPARK_GRAFT_ONLY=",".join(QUERIES),
+        SPARK_GRAFT_BENCH_OUT=bench_out(sf),
+        SPARK_GRAFT_PLANS_OUT=f"/tmp/plans_scaling_sf{sf}.json",
+    )
+    print(f"[scaling] benching sf{sf} ({len(QUERIES)} queries) ...",
+          flush=True)
+    subprocess.run(["sbt", "-batch", "runMain graft.Bench"], env=env,
+                   check=True, stdout=subprocess.DEVNULL,
+                   stderr=subprocess.DEVNULL, cwd="/root/repo")
+
+
+def slope_fit(xs, ys):
+    """Least-squares slope of log10(y) on log10(x)."""
+    lx = [math.log10(x) for x in xs]
+    ly = [math.log10(y) for y in ys]
+    n = len(lx)
+    mx, my = sum(lx) / n, sum(ly) / n
+    num = sum((a - mx) * (b - my) for a, b in zip(lx, ly))
+    den = sum((a - mx) ** 2 for a in lx)
+    return num / den
+
+
+def main() -> None:
+    if "--skip-bench" not in sys.argv:
+        for sf in SFS:
+            run_bench(sf)
+    runs = {sf: json.load(open(bench_out(sf))) for sf in SFS}
+    loads = {sf: runs[sf].get("load_avg") for sf in SFS}
+    rows = []
+    for q in QUERIES:
+        ts = [runs[sf]["queries"].get(q) for sf in SFS]
+        if any(t is None for t in ts):
+            rows.append((q, ts, None, None, True, "MISSING SAMPLE"))
+            continue
+        fitted = slope_fit([float(sf) for sf in SFS], ts)
+        tail = math.log10(ts[2] / ts[1])  # the sf0.01 -> sf0.1 decade
+        allowed, reason = STATED[q]
+        flagged = tail > allowed
+        rows.append((q, ts, fitted, tail, flagged, reason))
+
+    lines = []
+    lines.append("# SCALING — measured sf-sweep exponents "
+                 "(round 16, re-emittable)")
+    lines.append("")
+    lines.append("Generated by `python3 tools/scaling_sweep.py` — the "
+                 "bench tail's top-15 by r15 cost plus the verdict-named "
+                 "iterative heads, each run through `graft.Bench` "
+                 "(min-of-interleaved-passes, third sample for heavy/"
+                 "spread queries) at all three driver snapshots.")
+    lines.append("")
+    lines.append(f"Run load averages: " + ", ".join(
+        f"sf{sf}: {loads[sf]:.2f}" for sf in SFS))
+    lines.append("")
+    lines.append("**How to read** — `fitted` is the least-squares "
+                 "log-log slope over all three points and is dragged "
+                 "below the true data exponent by fixed per-job floors "
+                 "(scheduler rounds, codegen) that dominate at "
+                 "sf0.001; `tail` is the sf0.01→sf0.1 decade slope, "
+                 "the honest local estimate once floors amortize. "
+                 "`allowed` is the exponent the query's DESIGN permits "
+                 "(stated complexity, right column); `tail > allowed` "
+                 "flags. All under local[32]'s fixed parallelism: a "
+                 "tail of 1.0 means work grows linearly, which a "
+                 "cluster whose executor count scales with data "
+                 "absorbs flat.")
+    lines.append("")
+    lines.append("| query | t(sf0.001) | t(sf0.01) | t(sf0.1) | fitted "
+                 "| tail | allowed | flag | stated complexity |")
+    lines.append("|---|---|---|---|---|---|---|---|---|")
+    for q, ts, fitted, tail, flagged, reason in rows:
+        tcells = " | ".join("—" if t is None else f"{t:.3f}s"
+                            for t in ts)
+        if fitted is None:
+            lines.append(f"| {q} | {tcells} | — | — | — | **FLAG** | "
+                         f"{reason} |")
+            continue
+        allowed, _ = STATED[q]
+        flag = "**FLAG**" if flagged else "ok"
+        lines.append(f"| {q} | {tcells} | {fitted:.2f} | {tail:.2f} | "
+                     f"{allowed:.2f} | {flag} | {reason} |")
+    lines.append("")
+    flagged_qs = [q for q, _, _, _, f, _ in rows if f]
+    lines.append(f"Flagged: {flagged_qs if flagged_qs else 'none'}.")
+    lines.append("")
+    lines.append("## Analysis")
+    lines.append("")
+    lines.append(ANALYSIS.strip())
+    lines.append("")
+    with open("/root/repo/SCALING.md", "w") as f:
+        f.write("\n".join(lines))
+    print(f"[scaling] wrote SCALING.md ({len(rows)} queries, "
+          f"flagged: {flagged_qs})")
+
+
+# Hand-written per-round reading of the measured table — updated when
+# the numbers move materially. Kept here so SCALING.md is always
+# regenerated WHOLE (table + prose) by one command.
+ANALYSIS = """
+(placeholder — filled in by the round-16 run)
+"""
+
+if __name__ == "__main__":
+    main()
