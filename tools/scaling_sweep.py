@@ -66,6 +66,18 @@ STATED = {
 
 SFS = ["0.001", "0.01", "0.1"]
 
+# Memoized consumers need special handling: Bench's min-of-passes
+# amortizes a SessionDirMemo build to ~0 (the stub read), so the min is
+# the wrong scaling signal. The build cost rides the FIRST raw sample of
+# the memo's first consumer in suite order — use that for the builder,
+# and mark pure-stub siblings instead of fitting a meaningless slope.
+COLD_FIRST_SAMPLE = {
+    "q264_sssp": "fused semiring loop builds here (pass-1 raw sample)",
+}
+STUB_ONLY = {
+    "q265_widest_path": "reads q264's memoized semiring state - see q264's row for the loop's scaling",
+}
+
 
 def bench_out(sf: str) -> str:
     return f"/tmp/bench_scaling_sf{sf}.json"
@@ -106,7 +118,16 @@ def main() -> None:
     loads = {sf: runs[sf].get("load_avg") for sf in SFS}
     rows = []
     for q in QUERIES:
-        ts = [runs[sf]["queries"].get(q) for sf in SFS]
+        if q in STUB_ONLY:
+            ts = [runs[sf]["queries"].get(q) for sf in SFS]
+            rows.append((q, ts, None, None, False, STUB_ONLY[q]))
+            continue
+        if q in COLD_FIRST_SAMPLE:
+            ts = [runs[sf]["queries_raw"][q][0] for sf in SFS]
+            reason_extra = "; " + COLD_FIRST_SAMPLE[q]
+        else:
+            ts = [runs[sf]["queries"].get(q) for sf in SFS]
+            reason_extra = ""
         if any(t is None for t in ts):
             rows.append((q, ts, None, None, True, "MISSING SAMPLE"))
             continue
@@ -114,7 +135,7 @@ def main() -> None:
         tail = math.log10(ts[2] / ts[1])  # the sf0.01 -> sf0.1 decade
         allowed, reason = STATED[q]
         flagged = tail > allowed
-        rows.append((q, ts, fitted, tail, flagged, reason))
+        rows.append((q, ts, fitted, tail, flagged, reason + reason_extra))
 
     lines = []
     lines.append("# SCALING — measured sf-sweep exponents "
@@ -149,7 +170,8 @@ def main() -> None:
         tcells = " | ".join("—" if t is None else f"{t:.3f}s"
                             for t in ts)
         if fitted is None:
-            lines.append(f"| {q} | {tcells} | — | — | — | **FLAG** | "
+            mark = "**FLAG**" if flagged else "memo stub"
+            lines.append(f"| {q} | {tcells} | — | — | — | {mark} | "
                          f"{reason} |")
             continue
         allowed, _ = STATED[q]
@@ -174,7 +196,53 @@ def main() -> None:
 # the numbers move materially. Kept here so SCALING.md is always
 # regenerated WHOLE (table + prose) by one command.
 ANALYSIS = """
-(placeholder — filled in by the round-16 run)
+**Round-16 reading: zero flags.** Every measured tail slope sits at or
+below 0.64 — a 10x data step costs at most ~4.4x wall time (q100) and
+typically under 2.5x. No query exhibits an already-active super-linear
+term, which is precisely what this sweep exists to falsify: an
+un-gated all-pairs shape or a quadratic candidate explosion would show
+a tail near 2 by sf0.1, and none does.
+
+*The iterative heads, now measured instead of argued.* The two CC-bound
+queries the r12/r13 floor analyses dissected are confirmed empirically:
+q299_hub_robustness moves 6.4s -> 5.2s -> 8.5s across TWO DECADES of
+data (fitted 0.06, tail 0.22) and q263_dbscan 3.0s -> 4.7s -> 7.3s
+(tail 0.19). Their cost is scheduler rounds and per-job fixed work, not
+data volume - exactly the ANALYSIS_r12_q263 / ANALYSIS_r13_ccfloor
+claim, now a measured curve. q231_ppr (fixed 10 iterations, tail 0.19)
+and q134_kcore (tail 0.11) behave identically. At 100x the data on a
+real cluster these floors vanish into real work; nothing in the loop
+bodies grows faster than O(E) per round.
+
+*The memoized semiring loop.* q264_sssp's row uses the pass-1 raw
+sample (the fused two-semiring build; min-of-passes would measure the
+checkpoint stub): the full loop scales 0.98s -> 1.37s -> 2.76s, tail
+0.30. q265_widest_path reads the same memoized state and is reported
+as a stub, not fitted.
+
+*The steepest tails are the right ones.* q100_fuzzy_match (0.64),
+q270_lsh_tuning (0.57), q306_label_noise (0.53), q266_sparse_cosine
+(0.52), q273_winnowing (0.50) are the pair-mining/scan families whose
+per-row work amortizes fixed floors earliest, so their tails approach
+the data term first - all still sub-linear, and all far inside their
+stated bounds (q306's documented O(N^2) brute baseline included: at
+these embedding-table sizes its quadratic term is not yet the
+dominant cost, and its scale path is the IVF arm).
+
+*What this sweep can and cannot certify.* Two decades at toy scale
+cannot pin an asymptotic exponent - sub-linear tails here mean "fixed
+floors still dominate at sf0.1", not "the algorithm is sub-linear
+forever". What the sweep CAN do is catch a super-linear term that is
+already active (the class the plan gates outlaw statically), and it
+finds none. Numbers are min-of-interleaved-passes under box load
+4.9-8.6 (recorded above); the tail decade is the robust signal, the
+fitted slope a floor-dragged lower bound.
+
+**For future rounds**: `python3 tools/scaling_sweep.py` re-runs the
+three-SF sweep and regenerates this file (table recomputed, this
+analysis kept in-script); any `tail > allowed` row renders **FLAG**
+and must either be fixed or have its stated-complexity bound
+re-adjudicated in the round analysis.
 """
 
 if __name__ == "__main__":
