@@ -29,11 +29,12 @@ import graft.functions.TextAnalysis
   *      level bound as a lambda variable. Affected-word pruning (the
   *      r15 rewrite-cost item): only words containing a selected pair
   *      as an ADJACENT symbol pair pass through the fold — for every
-  *      other word each level is provably the identity, so the side
-  *      that skips it unions back unrewritten and the round's fold cost
-  *      follows the merged pair's type frequency (head merges touch a
-  *      few percent of the vocabulary, tail merges almost none) instead
-  *      of the full vocabulary every round. The round result is eagerly
+  *      other word each level is provably the identity, so a lazy
+  *      CASE WHEN hands them through untouched and the round's fold
+  *      cost follows the merged pair's type frequency (head merges
+  *      touch a few percent of the vocabulary, tail merges almost
+  *      none) instead of the full vocabulary every round. The round
+  *      result is eagerly
   *      localCheckpoint'd so each round's plan is a LEAF (the
   *      ConnectedComponents lineage-re-anchoring rule: without it the
   *      driver re-analyzes a per-round-growing tree), and the previous
@@ -182,9 +183,16 @@ object BpeTrainer {
         probe.foreach { f =>
           f(round, prev.filter(hit).count(), prev.count())
         }
-        words = prev.filter(hit)
-          .select(col("word"), folded.as("symbols"), col("freq"))
-          .unionByName(prev.filter(!hit))
+        // ONE conditional pass, not filter+union: codegen'd CASE WHEN
+        // evaluates lazily, so the fold runs only for hit rows exactly
+        // like the filtered form — but the table keeps its partition
+        // count (a union of two filtered sides doubles partitions every
+        // round: N·2^rounds tasks by the end, a self-inflicted scale
+        // bug the r16 bench caught as a 2× slower warm read).
+        words = prev
+          .select(col("word"),
+            when(hit, folded).otherwise(col("symbols")).as("symbols"),
+            col("freq"))
           .localCheckpoint(true)
         // release the superseded round's blocks — the new checkpoint is
         // already materialized, nothing reads the old one again

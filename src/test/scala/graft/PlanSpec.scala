@@ -361,10 +361,11 @@ class PlanSpec extends SparkSuite {
     * checkpoint leaf, so a broken memo (silently rebuilding per
     * consumer — each build re-running the corpus-scale token explode)
     * fails here by name instead of surfacing as a bench mystery. */
+  private def leafIds(name: String): Seq[Int] =
+    operators.CheckpointBlocks
+      .leaves(SparkEntry.queries(name)(spark, sf)).map(_.rdd.id)
+
   test("nb-score memo substrate is shared by its consumers, not rebuilt") {
-    def leafIds(name: String): Seq[Int] =
-      operators.CheckpointBlocks
-        .leaves(SparkEntry.queries(name)(spark, sf)).map(_.rdd.id)
     val perConsumer = Seq("q363_nb_classifier", "q365_nb_threshold_sweep",
       "q371_nb_calibration").map(n => n -> leafIds(n))
     perConsumer.foreach { case (n, ids) =>
@@ -374,6 +375,26 @@ class PlanSpec extends SparkSuite {
     assert(distinct.size == 1,
       s"nbDocScores memo rebuilt per consumer — expected one shared " +
         s"leaf, got ${perConsumer.map { case (n, ids) => s"$n=$ids" }}")
+  }
+
+  test("lm-score memo substrate is shared by its consumers, not rebuilt") {
+    // the lmDocCe twin of the gate above; q366 joins BOTH score tables,
+    // so its leaf set must be exactly {nb leaf} ∪ {lm leaf} — a third
+    // id means some consumer triggered a rebuild
+    val lm = Seq("q364_lm_cross_entropy", "q372_lm_calibration",
+      "q374_lm_cut_verdict").map(n => n -> leafIds(n))
+    lm.foreach { case (n, ids) =>
+      assert(ids.nonEmpty, s"$n no longer plans over a checkpoint leaf")
+    }
+    val lmLeaves = lm.flatMap(_._2).distinct
+    assert(lmLeaves.size == 1,
+      s"lmDocCe memo rebuilt per consumer — expected one shared leaf, " +
+        s"got ${lm.map { case (n, ids) => s"$n=$ids" }}")
+    val nbLeaves = leafIds("q363_nb_classifier").distinct
+    val agree = leafIds("q366_gate_agreement").distinct.sorted
+    assert(agree == (nbLeaves ++ lmLeaves).distinct.sorted,
+      s"q366 must read exactly the two shared score leaves: " +
+        s"got $agree, expected nb=$nbLeaves ∪ lm=$lmLeaves")
   }
 
   /** The static-reuse twin of the same claim, for a LAZY shared chain:
