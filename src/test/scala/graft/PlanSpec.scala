@@ -532,4 +532,109 @@ class PlanSpec extends SparkSuite {
         s"restructure or adjudicate + re-pin; under = stale pin — " +
         s"re-measure with SpExchangeSweepTool): $offenders")
   }
+
+  /** The fourth blanket guard: every BroadcastNestedLoopJoin in the
+    * suite (131 sites across 77 queries, r12-adjudicated: all
+    * broadcasts of 1-row/centroid/bounded frames — the crossJoin idiom
+    * for "attach the global total") pinned EXACTLY per query. What this
+    * rejects is the join-DEGRADATION class several per-query tests
+    * assert locally (q65/q44/q84/q100/q117/q163/q168…), now suite-wide:
+    * an equi join silently losing its keys (a non-equi predicate edit,
+    * a disjunction straddling both sides) replans as a BNLJ over a
+    * DATA-side broadcast, which is an N×M disaster at scale — it would
+    * land here as an over-pin in the exact query that degraded.
+    * Re-measure with `Test/runMain graft.PlanCounterSweepTool
+    * nested_loop_joins` after an intentional bounded-frame crossJoin. */
+  test("nested-loop-join counts stay pinned per query (bounded " +
+    "broadcasts only)") {
+    val pinned: Map[String, Long] = Map(
+      "q101_histogram" -> 1L,
+      "q129_bm25" -> 1L,
+      "q133_rolling_dau" -> 1L,
+      "q138_vocab_overlap" -> 1L,
+      "q139_temperature_mix" -> 1L,
+      "q149_pq_codes" -> 4L,
+      "q161_adc_scan" -> 9L,
+      "q170_dormant_balances" -> 1L,
+      "q174_decile_migration" -> 2L,
+      "q179_running_revenue" -> 1L,
+      "q181_important_stock" -> 1L,
+      "q182_conversion_survival" -> 1L,
+      "q184_join_cardinality" -> 1L,
+      "q185_equidepth_bounds" -> 1L,
+      "q194_hybrid_rrf" -> 2L,
+      "q199_quality_sweep" -> 1L,
+      "q19_above_avg" -> 1L,
+      "q209_collocations" -> 1L,
+      "q212_dsir_resample" -> 3L,
+      "q215_modularity" -> 1L,
+      "q220_matryoshka_audit" -> 4L,
+      "q221_t_closeness" -> 2L,
+      "q229_anchor_auc" -> 1L,
+      "q232_ann_recall" -> 1L,
+      "q234_quantile_norm" -> 1L,
+      "q236_ks_drift" -> 1L,
+      "q240_ks_matrix" -> 2L,
+      "q248_youden_threshold" -> 1L,
+      "q250_lsh_mrr" -> 1L,
+      "q254_hamilton_alloc" -> 1L,
+      "q256_ab_significance" -> 1L,
+      "q257_rfm_census" -> 3L,
+      "q266_sparse_cosine" -> 4L,
+      "q267_item_recs" -> 1L,
+      "q270_lsh_tuning" -> 1L,
+      "q272_abc_classes" -> 1L,
+      "q274_wasserstein" -> 1L,
+      "q279_active_coverage" -> 1L,
+      "q281_lsh_ndcg" -> 1L,
+      "q287_heaps_curve" -> 2L,
+      "q288_effective_dim" -> 1L,
+      "q290_power_table" -> 1L,
+      "q293_backlog_aging" -> 1L,
+      "q296_blocklist" -> 1L,
+      "q297_waterfill_budget" -> 3L,
+      "q298_gini_stump" -> 3L,
+      "q301_chi2_independence" -> 3L,
+      "q302_source_tvd" -> 4L,
+      "q306_label_noise" -> 1L,
+      "q310_jl_audit" -> 1L,
+      "q312_top_movers" -> 1L,
+      "q315_sequential_ab" -> 1L,
+      "q322_pr_curve" -> 1L,
+      "q329_kneser_ney" -> 1L,
+      "q330_bloom_fpp" -> 1L,
+      "q332_dict_encoding" -> 6L,
+      "q333_prf_expansion" -> 2L,
+      "q334_ns_weights" -> 1L,
+      "q336_permutation_test" -> 2L,
+      "q337_coverage_curve" -> 2L,
+      "q342_brier_decomposition" -> 3L,
+      "q345_cuped" -> 1L,
+      "q347_multiple_testing" -> 3L,
+      "q349_knee_detection" -> 1L,
+      "q350_pmi_census" -> 1L,
+      "q351_kl_drift" -> 2L,
+      "q352_info_gain" -> 5L,
+      "q355_pack_sweep" -> 1L,
+      "q365_nb_threshold_sweep" -> 1L,
+      "q367_quality_budget" -> 1L,
+      "q369_gate_ablation" -> 1L,
+      "q374_lm_cut_verdict" -> 1L,
+      "q50_knn_cosine" -> 1L,
+      "q56_knn_ivf" -> 2L,
+      "q64_tfidf" -> 1L,
+      "q87_skew_report" -> 1L,
+      "q92_balance_sources" -> 2L)
+    val offenders = fullSweep.collect {
+      case (name, a)
+          if a.nestedLoopJoins != pinned.getOrElse(name, 0L) =>
+        s"$name(${a.nestedLoopJoins}!=${pinned.getOrElse(name, 0L)})"
+    }
+    assert(offenders.isEmpty,
+      s"nested-loop-join counts diverge from the adjudicated pins " +
+        s"(over = an equi join degraded to a BNLJ, or a new bounded " +
+        s"crossJoin needs adjudicating + re-pinning; under = stale " +
+        s"pin — re-measure with PlanCounterSweepTool " +
+        s"nested_loop_joins): $offenders")
+  }
 }
