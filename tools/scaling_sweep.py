@@ -29,15 +29,20 @@ import subprocess
 import sys
 
 # the r15 BENCH_FULL top-15 by cost, plus the verdict-named iterative
-# heads (q134/q231/q264/q265) even where they fall outside the top-15
+# heads (q134/q231/q264/q265) even where they fall outside the top-15,
+# plus ONE consumer per big memoized substrate so the sweep also
+# measures the COLD builds a 100 TB production run materializes once
+# (pass-1 of a family's only subset consumer pays the whole build)
 QUERIES = [
-    "q100_fuzzy_match", "q134_kcore", "q161_adc_scan",
-    "q192_substring_overlap", "q197_lsh_calibration",
-    "q211_para_near_dup", "q231_ppr", "q259_three_way_reconcile",
-    "q260_key_gap_audit", "q263_dbscan", "q264_sssp",
-    "q265_widest_path", "q266_sparse_cosine", "q270_lsh_tuning",
-    "q273_winnowing", "q299_hub_robustness", "q306_label_noise",
-    "q362_dedup_sweep", "q44_dedup_embedding",
+    "q100_fuzzy_match", "q118_kmeans", "q128_cooccur", "q134_kcore",
+    "q161_adc_scan", "q192_substring_overlap", "q197_lsh_calibration",
+    "q211_para_near_dup", "q223_mutual_knn", "q231_ppr",
+    "q259_three_way_reconcile", "q260_key_gap_audit", "q263_dbscan",
+    "q264_sssp", "q265_widest_path", "q266_sparse_cosine",
+    "q270_lsh_tuning", "q273_winnowing", "q299_hub_robustness",
+    "q306_label_noise", "q337_coverage_curve", "q353_corpus_build",
+    "q362_dedup_sweep", "q363_nb_classifier", "q364_lm_cross_entropy",
+    "q44_dedup_embedding",
 ]
 
 # stated complexity: the maximum tail-decade exponent each query's
@@ -62,6 +67,14 @@ STATED = {
     "q306_label_noise": (2.00, "BRUTE 5-NN baseline arm - documented O(N^2); the scale path is IVF (q232/q250)"),
     "q362_dedup_sweep": (1.30, "mined-pair chain (df-gated) swept over 7 bounded thresholds"),
     "q44_dedup_embedding": (1.15, "exact-hash bucket equi join, O(N)"),
+    # memoized-substrate COLD builds (pass-1 raw sample per family)
+    "q118_kmeans": (1.25, "Lloyd's fit: fixed iters x O(N*k) assign + decimal centroid agg"),
+    "q128_cooccur": (1.30, "basket pair mining: capped per-basket expansion, O(N*cap^2)"),
+    "q223_mutual_knn": (1.30, "banded LSH pair mining + per-pair cosine, df/band-gated"),
+    "q337_coverage_curve": (1.15, "vocab census O(tokens) + PrefixScan O(types); Heaps' law puts types sublinear in tokens"),
+    "q353_corpus_build": (1.30, "composed screen+dedup+mix build: O(tokens) screens + df-gated pair mining"),
+    "q363_nb_classifier": (1.15, "NB train+score: token explode + vocab-keyed count agg + score join, O(tokens)"),
+    "q364_lm_cross_entropy": (1.15, "bigram LM train+score: per-doc lead window + model joins, O(tokens)"),
 }
 
 SFS = ["0.001", "0.01", "0.1"]
@@ -73,6 +86,18 @@ SFS = ["0.001", "0.01", "0.1"]
 # and mark pure-stub siblings instead of fitting a meaningless slope.
 COLD_FIRST_SAMPLE = {
     "q264_sssp": "fused semiring loop builds here (pass-1 raw sample)",
+    "q118_kmeans": "k-means fit memo builds here (pass-1 raw sample)",
+    "q128_cooccur": "basket-pair memo builds here (pass-1 raw sample)",
+    "q223_mutual_knn":
+        "lshScoredPairs memo builds here (pass-1 raw sample)",
+    "q337_coverage_curve":
+        "vocabCum census+scan builds here (pass-1 raw sample)",
+    "q353_corpus_build":
+        "corpus comp+mix memo builds here (pass-1 raw sample)",
+    "q363_nb_classifier":
+        "nbModel+nbDocScores memos build here (pass-1 raw sample)",
+    "q364_lm_cross_entropy":
+        "lmDocCe memo builds here (pass-1 raw sample)",
 }
 STUB_ONLY = {
     "q265_widest_path": "reads q264's memoized semiring state - see q264's row for the loop's scaling",
@@ -197,7 +222,7 @@ def main() -> None:
 # regenerated WHOLE (table + prose) by one command.
 ANALYSIS = """
 **Round-16 reading: zero flags.** Every measured tail slope sits at or
-below 0.64 — a 10x data step costs at most ~4.4x wall time (q100) and
+below 0.62 — a 10x data step costs at most ~4.2x wall time (q100) and
 typically under 2.5x. No query exhibits an already-active super-linear
 term, which is precisely what this sweep exists to falsify: an
 un-gated all-pairs shape or a quadratic candidate explosion would show
@@ -205,38 +230,44 @@ a tail near 2 by sf0.1, and none does.
 
 *The iterative heads, now measured instead of argued.* The two CC-bound
 queries the r12/r13 floor analyses dissected are confirmed empirically:
-q299_hub_robustness moves 6.4s -> 5.2s -> 8.5s across TWO DECADES of
-data (fitted 0.06, tail 0.22) and q263_dbscan 3.0s -> 4.7s -> 7.3s
-(tail 0.19). Their cost is scheduler rounds and per-job fixed work, not
-data volume - exactly the ANALYSIS_r12_q263 / ANALYSIS_r13_ccfloor
-claim, now a measured curve. q231_ppr (fixed 10 iterations, tail 0.19)
-and q134_kcore (tail 0.11) behave identically. At 100x the data on a
-real cluster these floors vanish into real work; nothing in the loop
-bodies grows faster than O(E) per round.
+q299_hub_robustness moves 6.1s -> 6.1s -> 8.7s across TWO DECADES of
+data (tail 0.15) and q263_dbscan 3.1s -> 5.5s -> 7.6s (tail 0.14).
+Their cost is scheduler rounds and per-job fixed work, not data
+volume - exactly the ANALYSIS_r12_q263 / ANALYSIS_r13_ccfloor claim,
+now a measured curve. q231_ppr (fixed 10 iterations, tail 0.10) and
+q134_kcore (tail 0.11) behave identically. At 100x the data on a real
+cluster these floors vanish into real work; nothing in the loop bodies
+grows faster than O(E) per round.
 
-*The memoized semiring loop.* q264_sssp's row uses the pass-1 raw
-sample (the fused two-semiring build; min-of-passes would measure the
-checkpoint stub): the full loop scales 0.98s -> 1.37s -> 2.76s, tail
-0.30. q265_widest_path reads the same memoized state and is reported
-as a stub, not fitted.
+*The memoized substrates, measured COLD.* Rows marked "builds here"
+use the pass-1 raw sample of the memo family's only subset consumer
+(min-of-passes would measure the checkpoint stub): the fused semiring
+loop (q264: 1.04 -> 1.75 -> 2.97s, tail 0.23), the k-means fit
+(q118, tail 0.14), the basket-pair mine (q128, tail 0.41), the LSH
+pair mine (q223, tail 0.11), the vocab census+PrefixScan (q337, flat),
+the composed corpus build (q353: 4.1 -> 3.9 -> 5.5s, tail 0.15), and
+both trained gates (q363/q364 train+score, tails 0.12/0.18). These are
+the stages a production run materializes once; none shows an active
+super-linear term either. q265_widest_path reads q264's memoized state
+and is reported as a stub, not fitted.
 
-*The steepest tails are the right ones.* q100_fuzzy_match (0.64),
-q270_lsh_tuning (0.57), q306_label_noise (0.53), q266_sparse_cosine
-(0.52), q273_winnowing (0.50) are the pair-mining/scan families whose
-per-row work amortizes fixed floors earliest, so their tails approach
-the data term first - all still sub-linear, and all far inside their
-stated bounds (q306's documented O(N^2) brute baseline included: at
-these embedding-table sizes its quadratic term is not yet the
-dominant cost, and its scale path is the IVF arm).
+*The steepest tails are the right ones.* q100_fuzzy_match (0.62),
+q270_lsh_tuning (0.54), q266_sparse_cosine (0.54), q306_label_noise
+(0.48), q192_substring_overlap (0.46) are the pair-mining/scan
+families whose per-row work amortizes fixed floors earliest, so their
+tails approach the data term first - all still sub-linear, and all far
+inside their stated bounds (q306's documented O(N^2) brute baseline
+included: at these embedding-table sizes its quadratic term is not yet
+the dominant cost, and its scale path is the IVF arm).
 
 *What this sweep can and cannot certify.* Two decades at toy scale
 cannot pin an asymptotic exponent - sub-linear tails here mean "fixed
 floors still dominate at sf0.1", not "the algorithm is sub-linear
 forever". What the sweep CAN do is catch a super-linear term that is
 already active (the class the plan gates outlaw statically), and it
-finds none. Numbers are min-of-interleaved-passes under box load
-4.9-8.6 (recorded above); the tail decade is the robust signal, the
-fitted slope a floor-dragged lower bound.
+finds none. Numbers are min-of-interleaved-passes (cold rows: pass-1)
+under the box loads recorded above; the tail decade is the robust
+signal, the fitted slope a floor-dragged lower bound.
 
 **For future rounds**: `python3 tools/scaling_sweep.py` re-runs the
 three-SF sweep and regenerates this file (table recomputed, this
