@@ -640,11 +640,98 @@ object QualityModelQueries extends QueryPack {
           .otherwise("move_cut_to_knee").as("policy"))
   }
 
+  /** Policy-applied quota table — q373's verdict made EXECUTABLE: the
+    * q367 construction re-derived with the tier ordering the verdict
+    * certifies. Both candidate orderings are computed over the bounded
+    * source set (mean NB score — the calibrated path — and the
+    * prescribed fallback, empirical positive rate), the verdict row
+    * broadcasts in, and a CASE picks the tier column — so the decision
+    * lives IN THE PLAN: when a drifted corpus flips q373 to
+    * `rank_by_emp_rate`, this table re-tiers itself with no code
+    * change, and the policy column says which ordering produced each
+    * row. Named consumer: the mixing weights feeding q353's mix stage
+    * (the policy-hardened form of q367's table). Scale: per-doc scores
+    * aggregate to the bounded source set; two ntiles over that bounded
+    * frame; the 1-row verdict rides a broadcast; quota arithmetic is
+    * q367's exact integer rationals. */
+  private def q375(s: SparkSession, dir: String): DataFrame = {
+    import Rounding.intDivExact
+    val budget = 100000000L
+    val perSource = nbDocScores(s, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs_scored"),
+        sum(col("score_e6").cast("decimal(38,0)")).as("sum_score_e6"),
+        sum("y").as("n_pos"))
+      .select(col("source"), col("n_docs_scored"),
+        intDivExact(col("sum_score_e6"), col("n_docs_scored"))
+          .as("mean_score_e6"),
+        intDivExact(
+          col("n_pos").cast("decimal(38,0)") * lit(20000L) +
+            col("n_docs_scored"),
+          lit(2L) * col("n_docs_scored")).as("emp_rate_e4"))
+    val wMean = Window.orderBy(col("mean_score_e6").desc, col("source"))
+    val wEmp = Window.orderBy(col("emp_rate_e4").desc, col("source"))
+    val ranked = perSource
+      .withColumn("tier_mean", ntile(3).over(wMean).cast("long"))
+      .withColumn("tier_emp", ntile(3).over(wEmp).cast("long"))
+    val verdict = q373(s, dir).select(col("calibrated"), col("policy"))
+    val tokens = docs(s, dir).groupBy("source")
+      .agg(sum(TextAnalysis.tokenCount(col("text"))).as("n_tokens"))
+    val tiered = tokens.join(ranked, Seq("source"), "left")
+      .crossJoin(broadcast(verdict))
+      .withColumn("tier",
+        when(col("calibrated") === 1L, col("tier_mean"))
+          .otherwise(col("tier_emp")))
+      .withColumn("n_docs_scored", coalesce(col("n_docs_scored"), lit(0L)))
+      .withColumn("mult", coalesce(lit(4L) - col("tier"), lit(0L)))
+      .withColumn("wtok",
+        col("n_tokens").cast("decimal(38,0)") * col("mult"))
+    val tot = tiered.agg(sum("wtok").as("wtot"))
+    tiered.crossJoin(broadcast(tot))
+      .withColumn("quota_tokens",
+        intDivExact(col("wtok") * lit(budget), col("wtot")))
+      .select(col("source"), col("policy"), col("n_docs_scored"),
+        col("mean_score_e6"), col("emp_rate_e4"), col("tier"),
+        col("mult"), col("n_tokens"), col("quota_tokens"))
+      .orderBy("source")
+  }
+
+  /** Policy-applied perplexity gate — q374's verdict made EXECUTABLE:
+    * the per-language kept census at the cut the verdict certifies
+    * (3.4 nats under `keep_cut`, the knee's upper edge under
+    * `move_cut_to_knee`). The cut is a COLUMN from the broadcast
+    * verdict row, not a constant — a corpus whose operating table moves
+    * re-gates itself with no code change. Held-out docs, consistent
+    * with the table the cut was derived from. Named consumer: the
+    * shipped q364/q366 gate reads cut_ce_e6 from here instead of
+    * hardcoding 3.4. Scale: one broadcast + one map-side-combined
+    * aggregation onto the bounded language set. */
+  private def q376(s: SparkSession, dir: String): DataFrame = {
+    import Rounding.intDivExact
+    val verdict = q374(s, dir).select(col("policy"),
+      when(col("policy") === "keep_cut", lit(3400000L))
+        .otherwise(col("knee_ce_e6")).as("cut_ce_e6"))
+    lmDocCe(s, dir)
+      .filter(!isTrain(col("doc_id")))
+      .crossJoin(broadcast(verdict))
+      .groupBy("lang", "policy", "cut_ce_e6")
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("ce_e6") <= col("cut_ce_e6")).cast("long"))
+          .as("n_kept"))
+      .withColumn("kept_rate_e4", intDivExact(
+        col("n_kept").cast("decimal(38,0)") * lit(20000L) +
+          col("n_docs"),
+        lit(2L) * col("n_docs")))
+      .orderBy("lang")
+  }
+
   val defs: Map[String, Q] = Map(
     "q371_nb_calibration" -> (q371 _),
     "q372_lm_calibration" -> (q372 _),
     "q373_nb_gate_verdict" -> (q373 _),
     "q374_lm_cut_verdict" -> (q374 _),
+    "q375_policy_quota" -> (q375 _),
+    "q376_policy_gate" -> (q376 _),
     "q363_nb_classifier" -> (q363 _),
     "q364_lm_cross_entropy" -> (q364 _),
     "q365_nb_threshold_sweep" -> (q365 _),
@@ -879,6 +966,134 @@ object QualityModelQueries extends QueryPack {
         |  CASE WHEN abs(best_bucket - 67) <= 1 THEN 'keep_cut'
         |       ELSE 'move_cut_to_knee' END AS policy
         |FROM best, cut""".stripMargin,
+    // the q373 verdict chain + q367's quota arithmetic, with the tier
+    // ordering CASE-selected by the verdict flag — both ntile orderings
+    // computed, the certified one applied
+    "q375_policy_quota" -> {
+      val mean = Rounding.intDivExactSql(
+        "CAST(ssum AS HUGEINT)", "n_docs_scored")
+      val emp = Rounding.intDivExactSql(
+        "CAST(npos AS HUGEINT) * 20000 + n_docs_scored",
+        "2 * n_docs_scored")
+      val quota = Rounding.intDivExactSql(
+        "CAST(wtok AS HUGEINT) * 100000000", "wtot")
+      s"""WITH $nbPdCte,
+        |cal AS (
+        |  SELECT greatest(-8, least(8,
+        |      CAST(floor(CAST(score_e6 AS DOUBLE) / 1000000.0)
+        |        AS BIGINT))) AS bucket,
+        |    y
+        |  FROM pd),
+        |cb AS (
+        |  SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(y) AS BIGINT) AS n_pos
+        |  FROM cal GROUP BY bucket),
+        |curve AS (
+        |  SELECT n_docs,
+        |    CASE WHEN n_pos = 0 OR n_pos = n_docs THEN NULL
+        |         ELSE CAST(floor(ln(CAST(n_pos AS DOUBLE) /
+        |           CAST(n_docs - n_pos AS DOUBLE)) * 1000000.0 + 0.5)
+        |           AS BIGINT)
+        |    END - (bucket * 1000000 + 500000) AS cal_gap_e6
+        |  FROM cb),
+        |ver AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_buckets_checked,
+        |    CAST(max(abs(cal_gap_e6)) AS BIGINT) AS max_abs_gap_e6
+        |  FROM curve
+        |  WHERE cal_gap_e6 IS NOT NULL AND n_docs >= 30),
+        |flag AS (
+        |  SELECT CAST(n_buckets_checked > 0 AND
+        |      coalesce(max_abs_gap_e6 <= 1000000, FALSE) AS BIGINT)
+        |      AS calibrated,
+        |    CASE WHEN n_buckets_checked > 0 AND
+        |        coalesce(max_abs_gap_e6 <= 1000000, FALSE)
+        |      THEN 'mean_score_tiers' ELSE 'rank_by_emp_rate'
+        |    END AS policy
+        |  FROM ver),
+        |ps AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs_scored,
+        |    sum(score_e6) AS ssum, CAST(sum(y) AS BIGINT) AS npos
+        |  FROM pd GROUP BY source),
+        |ms AS (
+        |  SELECT source, n_docs_scored, $mean AS mean_score_e6,
+        |    $emp AS emp_rate_e4
+        |  FROM ps),
+        |rk AS (
+        |  SELECT *,
+        |    CAST(ntile(3) OVER (ORDER BY mean_score_e6 DESC, source)
+        |      AS BIGINT) AS tier_mean,
+        |    CAST(ntile(3) OVER (ORDER BY emp_rate_e4 DESC, source)
+        |      AS BIGINT) AS tier_emp
+        |  FROM ms),
+        |tk AS (
+        |  SELECT source,
+        |    CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents GROUP BY source),
+        |tiered AS (
+        |  SELECT tk.source, policy,
+        |    CAST(coalesce(n_docs_scored, 0) AS BIGINT) AS n_docs_scored,
+        |    mean_score_e6, emp_rate_e4,
+        |    CAST(CASE WHEN calibrated = 1 THEN tier_mean
+        |         ELSE tier_emp END AS BIGINT) AS tier,
+        |    n_tokens
+        |  FROM tk LEFT JOIN rk ON tk.source = rk.source, flag),
+        |wt AS (
+        |  SELECT *, CAST(coalesce(4 - tier, 0) AS BIGINT) AS mult,
+        |    CAST(n_tokens AS HUGEINT) * coalesce(4 - tier, 0) AS wtok
+        |  FROM tiered),
+        |wtot_t AS (SELECT sum(wtok) AS wtot FROM wt)
+        |SELECT source, policy, n_docs_scored, mean_score_e6,
+        |  emp_rate_e4, tier, mult, n_tokens, $quota AS quota_tokens
+        |FROM wt, wtot_t ORDER BY source""".stripMargin
+    },
+    // the q374 verdict chain + the certified-cut census, with the cut a
+    // CASE-selected value from the verdict row
+    "q376_policy_gate" -> {
+      val rate = Rounding.intDivExactSql(
+        "CAST(n_kept AS HUGEINT) * 20000 + n_docs", "2 * n_docs")
+      s"""WITH $lmPdCte,
+        |lcal AS (
+        |  SELECT greatest(60, least(80,
+        |      CAST(floor(CAST(ce_e6 AS DOUBLE) / 50000.0) AS BIGINT)))
+        |    AS bucket,
+        |    CAST(lang = 'en' AS BIGINT) AS en
+        |  FROM lpd WHERE NOT (${isTrainSql("doc_id")})),
+        |lcb AS (
+        |  SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(en) AS BIGINT) AS n_en
+        |  FROM lcal GROUP BY bucket),
+        |lcc AS (
+        |  SELECT bucket,
+        |    CAST(sum(n_docs) OVER (ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS kept_docs,
+        |    CAST(sum(n_en) OVER (ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS kept_en
+        |  FROM lcb),
+        |best AS (
+        |  SELECT bucket AS best_bucket
+        |  FROM lcc ORDER BY 2 * kept_en - kept_docs DESC, bucket ASC
+        |  LIMIT 1),
+        |pol AS (
+        |  SELECT CASE WHEN abs(best_bucket - 67) <= 1 THEN 'keep_cut'
+        |         ELSE 'move_cut_to_knee' END AS policy,
+        |    CAST(CASE WHEN abs(best_bucket - 67) <= 1 THEN 3400000
+        |         ELSE (best_bucket + 1) * 50000 END AS BIGINT)
+        |      AS cut_ce_e6
+        |  FROM best),
+        |cens AS (
+        |  SELECT lang, policy, cut_ce_e6,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(CAST(ce_e6 <= cut_ce_e6 AS BIGINT)) AS BIGINT)
+        |      AS n_kept
+        |  FROM lpd, pol WHERE NOT (${isTrainSql("doc_id")})
+        |  GROUP BY lang, policy, cut_ce_e6)
+        |SELECT lang, policy, cut_ce_e6, n_docs, n_kept,
+        |  $rate AS kept_rate_e4
+        |FROM cens ORDER BY lang""".stripMargin
+    },
     // same split, same Laplace llr lattice, same left-join coalesce
     "q363_nb_classifier" ->
       s"""WITH $nbPdCte

@@ -126,7 +126,12 @@ object PlanGateSpec {
     // bounded-table arithmetic (q374's extra exchanges are the 1-row
     // best/cut frames meeting over a broadcast)
     "q373_nb_gate_verdict" -> 2L,
-    "q374_lm_cut_verdict" -> 4L)
+    "q374_lm_cut_verdict" -> 4L,
+    // round-16: policy-applied verdict consumers — memo stubs + bounded
+    // source/bucket arithmetic; q375's width is the two-branch listing
+    // of the tiered subtree (runtime ReuseExchange collapses it)
+    "q375_policy_quota" -> 14L,
+    "q376_policy_gate" -> 6L)
   def maxShuffles(name: String): Long = measured(name) + slack
 }
 

@@ -336,6 +336,8 @@ class PlanSpec extends SparkSuite {
       "q365_nb_threshold_sweep" -> 1L, // e1 score buckets (≤21 rows)
       "q372_lm_calibration" -> 1L, // clamped 0.05-nat buckets (≤21 rows)
       "q374_lm_cut_verdict" -> 1L, // same ≤21-row operating table
+      "q375_policy_quota" -> 4L, // two bounded-source ntiles × 2 branches
+      "q376_policy_gate" -> 1L, // q374's ≤21-row operating table
       "q367_quality_budget" -> 2L) // per-source tier table (bounded)
     // EXACT equality, not <= (ADVICE r15): an allowlisted query that
     // later LOSES its certified window would otherwise leave budget for
@@ -514,6 +516,8 @@ class PlanSpec extends SparkSuite {
       "q372_lm_calibration" -> 1L,
       "q373_nb_gate_verdict" -> 1L,
       "q374_lm_cut_verdict" -> 2L,
+      "q375_policy_quota" -> 5L,
+      "q376_policy_gate" -> 2L,
       "q64_tfidf" -> 1L,
       "q83_heavy_hitters" -> 1L,
       "q87_skew_report" -> 1L,
@@ -620,6 +624,8 @@ class PlanSpec extends SparkSuite {
       "q367_quality_budget" -> 1L,
       "q369_gate_ablation" -> 1L,
       "q374_lm_cut_verdict" -> 1L,
+      "q375_policy_quota" -> 3L,
+      "q376_policy_gate" -> 2L,
       "q50_knn_cosine" -> 1L,
       "q56_knn_ivf" -> 2L,
       "q64_tfidf" -> 1L,
