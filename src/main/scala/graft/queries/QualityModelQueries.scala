@@ -654,14 +654,32 @@ object QualityModelQueries extends QueryPack {
     * aggregate to the bounded source set; two ntiles over that bounded
     * frame; the 1-row verdict rides a broadcast; quota arithmetic is
     * q367's exact integer rationals. */
-  private def q375(s: SparkSession, dir: String): DataFrame = {
+  private def q375(s: SparkSession, dir: String): DataFrame =
+    policyQuotaTable(
+      nbDocScores(s, dir)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs_scored"),
+          sum(col("score_e6").cast("decimal(38,0)")).as("sum_score_e6"),
+          sum("y").as("n_pos")),
+      docs(s, dir).groupBy("source")
+        .agg(sum(TextAnalysis.tokenCount(col("text"))).as("n_tokens")),
+      q373(s, dir).select(col("calibrated"), col("policy")))
+
+  /** q375's policy/tier/quota arithmetic over BOUNDED inputs — the
+    * [[quotaTable]]/[[nbGateVerdict]] split, so the streaming twin can
+    * re-derive the policy-applied quota table (verdict included) from
+    * incrementally-maintained per-source and per-bucket sums at every
+    * arrival prefix.
+    * @param perSourceStats (source, n_docs_scored, sum_score_e6
+    *        decimal(38,0), n_pos) over SCORED docs
+    * @param tokens (source, n_tokens) over all docs
+    * @param verdict 1 row (calibrated, policy) — [[nbGateVerdict]]'s
+    *        selection columns. */
+  private[graft] def policyQuotaTable(perSourceStats: DataFrame,
+      tokens: DataFrame, verdict: DataFrame): DataFrame = {
     import Rounding.intDivExact
     val budget = 100000000L
-    val perSource = nbDocScores(s, dir)
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_docs_scored"),
-        sum(col("score_e6").cast("decimal(38,0)")).as("sum_score_e6"),
-        sum("y").as("n_pos"))
+    val perSource = perSourceStats
       .select(col("source"), col("n_docs_scored"),
         intDivExact(col("sum_score_e6"), col("n_docs_scored"))
           .as("mean_score_e6"),
@@ -674,9 +692,6 @@ object QualityModelQueries extends QueryPack {
     val ranked = perSource
       .withColumn("tier_mean", ntile(3).over(wMean).cast("long"))
       .withColumn("tier_emp", ntile(3).over(wEmp).cast("long"))
-    val verdict = q373(s, dir).select(col("calibrated"), col("policy"))
-    val tokens = docs(s, dir).groupBy("source")
-      .agg(sum(TextAnalysis.tokenCount(col("text"))).as("n_tokens"))
     val tiered = tokens.join(ranked, Seq("source"), "left")
       .crossJoin(broadcast(verdict))
       .withColumn("tier",

@@ -930,6 +930,123 @@ class StreamingSpec extends SparkSuite {
       "the drained incremental table must equal the declared q367")
   }
 
+  test("foreachBatch streaming policy quota (q375) equals the batch " +
+    "policy-applied table at every micro-batch prefix") {
+    // the FULL decision pipeline, incremental: three bounded states —
+    // per-source scored sums (count, decimal score sum, positives),
+    // per-source token sums, and the ≤17-row calibration bucket
+    // census — re-derive the VERDICT and the policy-applied quota
+    // table each micro-batch via the shared calibrationTable /
+    // nbGateVerdict / policyQuotaTable arithmetic. Prefix-EXACT: the
+    // certified-or-fallback tier decision itself (not just the tables
+    // under it) must match the batch construction over exactly the
+    // arrived docs after every micro-batch — a drifting feed that
+    // flips q373's policy re-tiers the quota table in the same batch.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.QualityModels
+    import graft.functions.TextAnalysis
+    import graft.queries.QualityModelQueries
+    val d = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"), col("source"),
+        (col("lang") === "en").cast("long").as("y"))
+    val split = QualityModelQueries.isTrain(col("doc_id"))
+    val (model0, totals0) =
+      QualityModels.trainNb(d.filter(split), "text", "y")
+    val model = model0.localCheckpoint(true)
+    val totals = totals0.localCheckpoint(true)
+    def scored(docsDf: DataFrame): DataFrame = QualityModels
+      .scoreNb(docsDf.filter(!split), Seq("doc_id", "source", "y"),
+        "text", model, totals)
+    def srcStats(docsDf: DataFrame): DataFrame = scored(docsDf)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs_scored"),
+        sum(col("score_e6").cast("decimal(38,0)")).as("sum_score_e6"),
+        sum("y").as("n_pos"))
+    def toks(docsDf: DataFrame): DataFrame = docsDf.groupBy("source")
+      .agg(sum(TextAnalysis.tokenCount(col("text"))).as("n_tokens"))
+    def buckets(docsDf: DataFrame): DataFrame = scored(docsDf)
+      .select(QualityModelQueries.calBucket(col("score_e6")).as("bucket"),
+        col("y"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("y").as("n_pos"))
+    def table(src: DataFrame, tk: DataFrame, bk: DataFrame): DataFrame =
+      QualityModelQueries.policyQuotaTable(
+        src.filter(col("n_docs_scored") > 0L)
+          .select("source", "n_docs_scored", "sum_score_e6", "n_pos"),
+        tk.select("source", "n_tokens"),
+        QualityModelQueries.nbGateVerdict(
+          QualityModelQueries.calibrationTable(bk))
+          .select(col("calibrated"), col("policy")))
+    def snapshot(df: DataFrame): Set[String] =
+      df.collect().map(_.mkString("|")).toSet
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String, Long)]
+    var srcState = Seq.empty[(String, Long, BigDecimal, Long, Long)]
+      .toDF("source", "n_docs_scored", "sum_score_e6", "n_pos",
+        "n_tokens")
+      .withColumn("sum_score_e6",
+        col("sum_score_e6").cast("decimal(38,0)"))
+      .localCheckpoint(true)
+    var bkState = Seq.empty[(Long, Long, Long)]
+      .toDF("bucket", "n_docs", "n_pos").localCheckpoint(true)
+    val prefixTables = scala.collection.mutable.ListBuffer[Set[String]]()
+    val q = mem.toDF().toDF("doc_id", "text", "source", "y").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val delta = toks(batch)
+          .join(srcStats(batch), Seq("source"), "left")
+          .select(col("source"),
+            coalesce(col("n_docs_scored"), lit(0L)).as("n_docs_scored"),
+            coalesce(col("sum_score_e6"), lit(0L).cast("decimal(38,0)"))
+              .as("sum_score_e6"),
+            coalesce(col("n_pos"), lit(0L)).as("n_pos"),
+            col("n_tokens"))
+        val nextSrc = srcState.unionByName(delta)
+          .groupBy("source")
+          .agg(sum("n_docs_scored").as("n_docs_scored"),
+            sum("sum_score_e6").cast("decimal(38,0)").as("sum_score_e6"),
+            sum("n_pos").as("n_pos"),
+            sum("n_tokens").as("n_tokens"))
+          .localCheckpoint(true)
+        val nextBk = bkState.unionByName(buckets(batch))
+          .groupBy("bucket")
+          .agg(sum("n_docs").as("n_docs"), sum("n_pos").as("n_pos"))
+          .localCheckpoint(true)
+        val (prevSrc, prevBk) = (srcState, bkState)
+        srcState = nextSrc
+        bkState = nextBk
+        graft.operators.CheckpointBlocks.release(prevSrc)
+        graft.operators.CheckpointBlocks.release(prevBk)
+        prefixTables += snapshot(table(srcState, srcState, bkState))
+        ()
+      }.start()
+    val arrivals = d.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+      .sortBy { case (i, _, _, _) => (i * 2654435761L) % 101 }
+    val chunks = arrivals.grouped((arrivals.length + 2) / 3).toSeq
+    try chunks.foreach { chunk =>
+      mem.addData(chunk.toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(prefixTables.length == chunks.length)
+    var arrived = Seq.empty[(Long, String, String, Long)]
+    chunks.zip(prefixTables).zipWithIndex.foreach {
+      case ((chunk, got), i) =>
+        arrived ++= chunk
+        val pdf = arrived.toDF("doc_id", "text", "source", "y")
+        val want = snapshot(table(srcStats(pdf), toks(pdf), buckets(pdf)))
+        assert(got == want,
+          s"policy-quota prefix ${i + 1}/${chunks.length} diverges: " +
+            s"only-streamed=${(got -- want).take(3)} " +
+            s"only-batch=${(want -- got).take(3)}")
+    }
+    // and the drained table is exactly the declared q375
+    assert(prefixTables.last == snapshot(
+      graft.SparkEntry.queries("q375_policy_quota")(spark, sf)),
+      "the drained incremental table must equal the declared q375")
+  }
+
   test("foreachBatch streaming calibration drift monitor (q371) equals " +
     "the batch reliability curve at every micro-batch prefix") {
     // gate-calibration DRIFT MONITORING, the curve's natural streaming
