@@ -193,7 +193,7 @@ object QualityModelQueries extends QueryPack {
           count(lit(1))).as("mean_ce_e6"),
         min("ce_e6").as("min_ce_e6"),
         max("ce_e6").as("max_ce_e6"),
-        sum((col("ce_e6") > 3400000L).cast("long")).as("n_above_gate"))
+        sum((col("ce_e6") > LmCutCeE6).cast("long")).as("n_above_gate"))
       .orderBy("lang")
 
   /** Threshold sweep over the TRAINED classifier's held-out scores — the
@@ -261,7 +261,7 @@ object QualityModelQueries extends QueryPack {
       .select(col("doc_id"), (col("score_e6") > 0L).cast("long").as("nb"))
       .join(lmDocCe(s, dir)
         .select(col("doc_id"),
-          (col("ce_e6") <= 3400000L).cast("long").as("lm")),
+          (col("ce_e6") <= LmCutCeE6).cast("long").as("lm")),
         "doc_id")
     flags
       .agg(count(lit(1)).as("n"),
@@ -357,8 +357,11 @@ object QualityModelQueries extends QueryPack {
         col("n_tokens").cast("decimal(38,0)") * col("mult"))
     val tot = tiered.agg(sum("wtok").as("wtot"))
     tiered.crossJoin(broadcast(tot))
-      .withColumn("quota_tokens",
-        intDivExact(col("wtok") * lit(budget), col("wtot")))
+      // wtot = 0 (no source has scored docs) → agreed NULL quota: guard
+      // here, NULLIF in the oracle — unguarded, Spark's non-ANSI decimal
+      // /0 yields NULL while DuckDB's // raises (ADVICE r16)
+      .withColumn("quota_tokens", when(col("wtot") > 0L,
+        intDivExact(col("wtok") * lit(budget), col("wtot"))))
       .withColumn("epochs_e4", intDivExact(
         col("quota_tokens").cast("decimal(38,0)") * lit(10000L),
         col("n_tokens")))
@@ -519,8 +522,28 @@ object QualityModelQueries extends QueryPack {
 
   /** q372's clamped 0.05-nat cross-entropy bucket. */
   private[graft] def ceBucket(ceE6: Column): Column =
-    greatest(lit(60L), least(lit(80L),
+    greatest(lit(60L), least(lit(CeTopBucket),
       floor(dbl(ceE6) / lit(50000.0)).cast("long")))
+
+  /** The LM gate's cross-entropy cut: bucket [[LmCutBucket]]'s upper edge
+    * on the 0.05-nat lattice — (67+1)·50000 = 3.4 nats. Single source
+    * (ADVICE r16: the constant lived separately in q364/q366/q374/q376)
+    * for q364's n_above_gate, q366's lm flag, q374's exact cut census,
+    * and q376's keep_cut branch. The applied gate is INCLUSIVE
+    * (`ce_e6 <= LmCutCeE6`), so the cut census must count from the raw
+    * ce lattice, not from `bucket <= 67`: a doc at exactly 3.4 nats
+    * lands in bucket 68 yet IS kept. */
+  private[graft] val LmCutBucket = 67L
+  private[graft] val LmCutCeE6: Long = (LmCutBucket + 1L) * 50000L
+  /** [[ceBucket]]'s top clamp — pools ALL ce ≥ 4.0 nats into one bucket,
+    * so a knee landing there means "keep everything", not "keep
+    * ce ≤ 4.05" (its nominal upper edge). */
+  private[graft] val CeTopBucket = 80L
+  /** Keep-everything sentinel cut (ADVICE r16): emitted as knee_ce_e6
+    * when the knee is the top clamp bucket — `ce_e6 <= sentinel` keeps
+    * every doc, where the clamp bucket's nominal edge would silently
+    * drop the pooled ce > 4.05 tail. */
+  private[graft] val KeepAllCeE6: Long = Long.MaxValue
 
   /** q372's operating-table arithmetic over BOUNDED per-bucket counts —
     * the [[calibrationTable]]/[[quotaTable]] split, so the streaming
@@ -593,28 +616,52 @@ object QualityModelQueries extends QueryPack {
     * hand-picked 3.4-nat cut stands. The knee is the operating point
     * maximizing net reference-like kept, `2·kept_en − kept_docs`
     * (en kept minus non-en kept — equal-weight Youden on the
-    * cumulative table; ties to the cheaper cut). The 3.4-nat cut is
-    * row 67's upper edge ("keep ce ≤ 3.4" = keep buckets ≤ 67, summed
-    * directly so a missing bucket row can't shift it). Policy:
-    * `keep_cut` when the knee sits within one 0.05-nat row of 67,
-    * else `move_cut_to_knee` with the knee's upper edge (knee_ce_e6)
-    * as the prescribed replacement. Named consumers: q364's
-    * n_above_gate column and q366's LM flag — both apply the cut this
-    * row certifies. Scale: the bounded ≤21-row operating table, one
-    * argmax aggregation, two 1-row frames joined by broadcast. */
-  private def q374(s: SparkSession, dir: String): DataFrame =
-    lmCutVerdict(lmOperatingTable(
-      lmDocCe(s, dir)
-        .filter(!isTrain(col("doc_id")))
+    * cumulative table; ties to the cheaper cut). The 3.4-nat cut's kept
+    * census is counted on the RAW ce lattice (`ce_e6 <= 3400000` — the
+    * inclusive gate q364/q366 actually apply; `bucket <= 67` misses the
+    * exact-3.4 lattice point). Policy: `keep_cut` when the knee sits
+    * within one 0.05-nat row of 67, else `move_cut_to_knee` with the
+    * knee's upper edge (knee_ce_e6) as the prescribed replacement — or
+    * the keep-everything sentinel when the knee is the pooled top clamp
+    * bucket. Named consumers: q364's n_above_gate column and q366's LM
+    * flag — both apply the [[LmCutCeE6]] cut this row certifies; q376
+    * executes whichever cut the policy picks. Scale: the bounded
+    * ≤21-row operating table, one argmax aggregation, one 1-row cut
+    * census, two 1-row frames joined by broadcast. */
+  private def q374(s: SparkSession, dir: String): DataFrame = {
+    val held = lmDocCe(s, dir).filter(!isTrain(col("doc_id")))
+    lmCutVerdict(
+      lmOperatingTable(held
         .select(ceBucket(col("ce_e6")).as("bucket"),
           (col("lang") === "en").cast("long").as("en"))
         .groupBy("bucket")
-        .agg(count(lit(1)).as("n_docs"), sum("en").as("n_en"))))
+        .agg(count(lit(1)).as("n_docs"), sum("en").as("n_en"))),
+      lmCutStats(held))
+  }
 
-  /** q374's verdict arithmetic over the bounded operating table — the
-    * [[nbGateVerdict]] split, so the streaming operating-table twin can
-    * also re-derive the cut decision at every arrival prefix. */
-  private[graft] def lmCutVerdict(table: DataFrame): DataFrame = {
+  /** The exact kept census at the [[LmCutCeE6]] cut, from the RAW ce
+    * lattice — one 1-row aggregate over the held-out per-doc frame.
+    * `bucket <= 67` is off at the lattice point (a doc at exactly 3.4
+    * nats lands in bucket 68 but the inclusive applied gate keeps it —
+    * ADVICE r16), so the cut side of the verdict counts per-doc, never
+    * per-bucket. Coalesced to 0 so the verdict stays TOTAL on an empty
+    * held-out set. */
+  private[graft] def lmCutStats(heldOut: DataFrame): DataFrame =
+    heldOut.agg(
+      coalesce(sum((col("ce_e6") <= LmCutCeE6).cast("long")), lit(0L))
+        .as("cut_kept_docs"),
+      coalesce(sum((col("ce_e6") <= LmCutCeE6 &&
+        col("lang") === "en").cast("long")), lit(0L)).as("cut_kept_en"))
+
+  /** q374's verdict arithmetic over the bounded operating table plus the
+    * exact 1-row cut census ([[lmCutStats]]) — the [[nbGateVerdict]]
+    * split, so the streaming operating-table twin can also re-derive the
+    * cut decision at every arrival prefix (the cut census is two
+    * commutative sums — one more bounded state). TOTAL on empty input:
+    * the argmax is an aggregation (1 null row, matching the oracle's
+    * min-struct form), never a LIMIT. */
+  private[graft] def lmCutVerdict(table: DataFrame,
+      cutStats: DataFrame): DataFrame = {
     val nets = table.select(col("bucket"),
       (lit(2L) * col("kept_en") - col("kept_docs")).as("net_kept"))
     // argmax(net, tie → smallest bucket) without a window: min-struct
@@ -623,20 +670,19 @@ object QualityModelQueries extends QueryPack {
         col("bucket").as("b"))).as("m"))
       .select(col("m.b").as("best_bucket"),
         (-col("m.neg_net")).as("best_net_kept"))
-    val cut = table.agg(
-      sum(when(col("bucket") <= 67L, col("n_docs")).otherwise(0L))
-        .as("cut_kept_docs"),
-      sum(when(col("bucket") <= 67L, col("n_en")).otherwise(0L))
-        .as("cut_kept_en"))
-    best.crossJoin(broadcast(cut))
-      .select(lit(67L).as("cut_bucket"),
+    best.crossJoin(broadcast(cutStats))
+      .select(lit(LmCutBucket).as("cut_bucket"),
         col("cut_kept_docs"), col("cut_kept_en"),
         (lit(2L) * col("cut_kept_en") - col("cut_kept_docs"))
           .as("cut_net_kept"),
         col("best_bucket"), col("best_net_kept"),
         lit(1L).as("tolerance_buckets"),
-        ((col("best_bucket") + lit(1L)) * lit(50000L)).as("knee_ce_e6"),
-        when(abs(col("best_bucket") - lit(67L)) <= 1L, "keep_cut")
+        // top-clamp knee = keep everything (sentinel), NOT the clamp
+        // bucket's nominal edge — bucket 80 pools all ce ≥ 4.0
+        when(col("best_bucket") >= CeTopBucket, lit(KeepAllCeE6))
+          .otherwise((col("best_bucket") + lit(1L)) * lit(50000L))
+          .as("knee_ce_e6"),
+        when(abs(col("best_bucket") - lit(LmCutBucket)) <= 1L, "keep_cut")
           .otherwise("move_cut_to_knee").as("policy"))
   }
 
@@ -703,8 +749,9 @@ object QualityModelQueries extends QueryPack {
         col("n_tokens").cast("decimal(38,0)") * col("mult"))
     val tot = tiered.agg(sum("wtok").as("wtot"))
     tiered.crossJoin(broadcast(tot))
-      .withColumn("quota_tokens",
-        intDivExact(col("wtok") * lit(budget), col("wtot")))
+      // wtot = 0 → agreed NULL quota (the quotaTable guard)
+      .withColumn("quota_tokens", when(col("wtot") > 0L,
+        intDivExact(col("wtok") * lit(budget), col("wtot"))))
       .select(col("source"), col("policy"), col("n_docs_scored"),
         col("mean_score_e6"), col("emp_rate_e4"), col("tier"),
         col("mult"), col("n_tokens"), col("quota_tokens"))
@@ -717,14 +764,17 @@ object QualityModelQueries extends QueryPack {
     * `move_cut_to_knee`). The cut is a COLUMN from the broadcast
     * verdict row, not a constant — a corpus whose operating table moves
     * re-gates itself with no code change. Held-out docs, consistent
-    * with the table the cut was derived from. Named consumer: the
-    * shipped q364/q366 gate reads cut_ce_e6 from here instead of
-    * hardcoding 3.4. Scale: one broadcast + one map-side-combined
-    * aggregation onto the bounded language set. */
+    * with the table the cut was derived from. Intended consumers:
+    * q364's n_above_gate and q366's LM flag apply the static
+    * [[LmCutCeE6]] this chain certifies under `keep_cut`; when a
+    * drifted corpus flips the policy, THIS census (not those static
+    * views) is the kept/dropped accounting at the operative cut. Scale:
+    * one broadcast + one map-side-combined aggregation onto the bounded
+    * language set. */
   private def q376(s: SparkSession, dir: String): DataFrame = {
     import Rounding.intDivExact
     val verdict = q374(s, dir).select(col("policy"),
-      when(col("policy") === "keep_cut", lit(3400000L))
+      when(col("policy") === "keep_cut", lit(LmCutCeE6))
         .otherwise(col("knee_ce_e6")).as("cut_ce_e6"))
     lmDocCe(s, dir)
       .filter(!isTrain(col("doc_id")))
@@ -937,7 +987,8 @@ object QualityModelQueries extends QueryPack {
         |  END AS policy
         |FROM ver""".stripMargin,
     // same held-out buckets (the q372 CTEs verbatim), same net-kept
-    // argmax with ties to the cheaper cut, same summed row-67 cut point
+    // min-struct argmax (an AGGREGATE, total on empty input — never a
+    // LIMIT), same exact per-doc cut census, same top-clamp sentinel
     "q374_lm_cut_verdict" ->
       s"""WITH $lmPdCte,
         |lcal AS (
@@ -960,25 +1011,26 @@ object QualityModelQueries extends QueryPack {
         |      AS BIGINT) AS kept_en
         |  FROM lcb),
         |best AS (
-        |  SELECT bucket AS best_bucket,
-        |    CAST(2 * kept_en - kept_docs AS BIGINT) AS best_net_kept
-        |  FROM lcc ORDER BY 2 * kept_en - kept_docs DESC, bucket ASC
-        |  LIMIT 1),
+        |  SELECT min({'neg_net': -(2 * kept_en - kept_docs),
+        |              'b': bucket}) AS m
+        |  FROM lcc),
         |cut AS (
         |  SELECT
-        |    CAST(coalesce(sum(CASE WHEN bucket <= 67 THEN n_docs END), 0)
+        |    CAST(coalesce(sum(CAST(ce_e6 <= $LmCutCeE6 AS BIGINT)), 0)
         |      AS BIGINT) AS cut_kept_docs,
-        |    CAST(coalesce(sum(CASE WHEN bucket <= 67 THEN n_en END), 0)
-        |      AS BIGINT) AS cut_kept_en
-        |  FROM lcb)
-        |SELECT CAST(67 AS BIGINT) AS cut_bucket, cut_kept_docs,
+        |    CAST(coalesce(sum(CAST((ce_e6 <= $LmCutCeE6 AND lang = 'en')
+        |      AS BIGINT)), 0) AS BIGINT) AS cut_kept_en
+        |  FROM lpd WHERE NOT (${isTrainSql("doc_id")}))
+        |SELECT CAST($LmCutBucket AS BIGINT) AS cut_bucket, cut_kept_docs,
         |  cut_kept_en,
         |  CAST(2 * cut_kept_en - cut_kept_docs AS BIGINT)
         |    AS cut_net_kept,
-        |  best_bucket, best_net_kept,
+        |  CAST(m.b AS BIGINT) AS best_bucket,
+        |  CAST(-m.neg_net AS BIGINT) AS best_net_kept,
         |  CAST(1 AS BIGINT) AS tolerance_buckets,
-        |  CAST((best_bucket + 1) * 50000 AS BIGINT) AS knee_ce_e6,
-        |  CASE WHEN abs(best_bucket - 67) <= 1 THEN 'keep_cut'
+        |  CAST(CASE WHEN m.b >= $CeTopBucket THEN $KeepAllCeE6
+        |       ELSE (m.b + 1) * 50000 END AS BIGINT) AS knee_ce_e6,
+        |  CASE WHEN abs(m.b - $LmCutBucket) <= 1 THEN 'keep_cut'
         |       ELSE 'move_cut_to_knee' END AS policy
         |FROM best, cut""".stripMargin,
     // the q373 verdict chain + q367's quota arithmetic, with the tier
@@ -991,7 +1043,7 @@ object QualityModelQueries extends QueryPack {
         "CAST(npos AS HUGEINT) * 20000 + n_docs_scored",
         "2 * n_docs_scored")
       val quota = Rounding.intDivExactSql(
-        "CAST(wtok AS HUGEINT) * 100000000", "wtot")
+        "CAST(wtok AS HUGEINT) * 100000000", "NULLIF(wtot, 0)")
       s"""WITH $nbPdCte,
         |cal AS (
         |  SELECT greatest(-8, least(8,
@@ -1088,14 +1140,15 @@ object QualityModelQueries extends QueryPack {
         |      AS BIGINT) AS kept_en
         |  FROM lcb),
         |best AS (
-        |  SELECT bucket AS best_bucket
-        |  FROM lcc ORDER BY 2 * kept_en - kept_docs DESC, bucket ASC
-        |  LIMIT 1),
+        |  SELECT min({'neg_net': -(2 * kept_en - kept_docs),
+        |              'b': bucket}) AS m
+        |  FROM lcc),
         |pol AS (
-        |  SELECT CASE WHEN abs(best_bucket - 67) <= 1 THEN 'keep_cut'
+        |  SELECT CASE WHEN abs(m.b - $LmCutBucket) <= 1 THEN 'keep_cut'
         |         ELSE 'move_cut_to_knee' END AS policy,
-        |    CAST(CASE WHEN abs(best_bucket - 67) <= 1 THEN 3400000
-        |         ELSE (best_bucket + 1) * 50000 END AS BIGINT)
+        |    CAST(CASE WHEN abs(m.b - $LmCutBucket) <= 1 THEN $LmCutCeE6
+        |         WHEN m.b >= $CeTopBucket THEN $KeepAllCeE6
+        |         ELSE (m.b + 1) * 50000 END AS BIGINT)
         |      AS cut_ce_e6
         |  FROM best),
         |cens AS (
@@ -1127,7 +1180,7 @@ object QualityModelQueries extends QueryPack {
         |  $mean AS mean_ce_e6,
         |  CAST(min(ce_e6) AS BIGINT) AS min_ce_e6,
         |  CAST(max(ce_e6) AS BIGINT) AS max_ce_e6,
-        |  CAST(sum(CAST(ce_e6 > 3400000 AS BIGINT)) AS BIGINT)
+        |  CAST(sum(CAST(ce_e6 > $LmCutCeE6 AS BIGINT)) AS BIGINT)
         |    AS n_above_gate
         |FROM lpd GROUP BY lang ORDER BY lang""".stripMargin
     },
@@ -1182,7 +1235,7 @@ object QualityModelQueries extends QueryPack {
         |$lmPdCte,
         |flags AS (
         |  SELECT CAST(pd.score_e6 > 0 AS BIGINT) AS nb,
-        |    CAST(lpd.ce_e6 <= 3400000 AS BIGINT) AS lm
+        |    CAST(lpd.ce_e6 <= $LmCutCeE6 AS BIGINT) AS lm
         |  FROM pd JOIN lpd ON pd.doc_id = lpd.doc_id),
         |cells AS (
         |  SELECT CAST(count(*) AS BIGINT) AS n,
@@ -1210,7 +1263,7 @@ object QualityModelQueries extends QueryPack {
       val mean = Rounding.intDivExactSql(
         "CAST(ssum AS HUGEINT)", "n_docs_scored")
       val quota = Rounding.intDivExactSql(
-        "CAST(wtok AS HUGEINT) * 100000000", "wtot")
+        "CAST(wtok AS HUGEINT) * 100000000", "NULLIF(wtot, 0)")
       val epochs = Rounding.intDivExactSql(
         "CAST(quota_tokens AS HUGEINT) * 10000", "n_tokens")
       s"""WITH $nbPdCte,

@@ -1152,9 +1152,10 @@ class StreamingSpec extends SparkSuite {
       d.filter(col("lang") === "en" && split), "doc_id", "text")
     val (big, ctx, vocab) = (big0.localCheckpoint(true),
       ctx0.localCheckpoint(true), vocab0.localCheckpoint(true))
-    def buckets(docsDf: DataFrame): DataFrame = QualityModels
+    def ceDocs(docsDf: DataFrame): DataFrame = QualityModels
       .scoreLm(docsDf.filter(!split), Seq("doc_id", "lang"), "text",
         big, ctx, vocab)
+    def buckets(docsDf: DataFrame): DataFrame = ceDocs(docsDf)
       .select(QualityModelQueries.ceBucket(col("ce_e6")).as("bucket"),
         (col("lang") === "en").cast("long").as("en"))
       .groupBy("bucket")
@@ -1165,6 +1166,10 @@ class StreamingSpec extends SparkSuite {
     val mem = MemoryStream[(Long, String, String)]
     var state = Seq.empty[(Long, Long, Long)]
       .toDF("bucket", "n_docs", "n_en").localCheckpoint(true)
+    // second bounded state (ADVICE r16): the verdict's cut census counts
+    // on the RAW ce lattice, not the bucket grid — two commutative sums
+    var cutState = Seq((0L, 0L))
+      .toDF("cut_kept_docs", "cut_kept_en").localCheckpoint(true)
     val prefixTables = scala.collection.mutable.ListBuffer[Set[String]]()
     val prefixVerdicts = scala.collection.mutable.ListBuffer[Set[String]]()
     val q = mem.toDF().toDF("doc_id", "text", "lang").writeStream
@@ -1174,15 +1179,22 @@ class StreamingSpec extends SparkSuite {
           .groupBy("bucket")
           .agg(sum("n_docs").as("n_docs"), sum("n_en").as("n_en"))
           .localCheckpoint(true)
-        val prev = state
+        val nextCut = cutState
+          .unionByName(QualityModelQueries.lmCutStats(ceDocs(batch)))
+          .agg(sum("cut_kept_docs").as("cut_kept_docs"),
+            sum("cut_kept_en").as("cut_kept_en"))
+          .localCheckpoint(true)
+        val (prev, prevCut) = (state, cutState)
         state = next
+        cutState = nextCut
         graft.operators.CheckpointBlocks.release(prev)
+        graft.operators.CheckpointBlocks.release(prevCut)
         prefixTables +=
           snapshot(QualityModelQueries.lmOperatingTable(state))
-        // the cut DECISION rides the same bounded state (r16): the knee
+        // the cut DECISION rides the same bounded states (r16): the knee
         // re-locates as the observed band fills in
         prefixVerdicts += snapshot(QualityModelQueries.lmCutVerdict(
-          QualityModelQueries.lmOperatingTable(state)))
+          QualityModelQueries.lmOperatingTable(state), cutState))
         ()
       }.start()
     val arrivals = d.collect()
@@ -1198,14 +1210,16 @@ class StreamingSpec extends SparkSuite {
     chunks.zip(prefixTables zip prefixVerdicts).zipWithIndex.foreach {
       case ((chunk, (got, gotVer)), i) =>
         arrived ++= chunk
+        val arrivedDf = arrived.toDF("doc_id", "text", "lang")
         val table = QualityModelQueries.lmOperatingTable(
-          buckets(arrived.toDF("doc_id", "text", "lang")))
+          buckets(arrivedDf))
         val want = snapshot(table)
         assert(got == want,
           s"table prefix ${i + 1}/${chunks.length} diverges: " +
             s"only-streamed=${(got -- want).take(3)} " +
             s"only-batch=${(want -- got).take(3)}")
-        val wantVer = snapshot(QualityModelQueries.lmCutVerdict(table))
+        val wantVer = snapshot(QualityModelQueries.lmCutVerdict(table,
+          QualityModelQueries.lmCutStats(ceDocs(arrivedDf))))
         assert(gotVer == wantVer,
           s"cut-verdict prefix ${i + 1}/${chunks.length} diverges: " +
             s"streamed=$gotVer batch=$wantVer")
