@@ -837,8 +837,10 @@ object CurationQueries extends QueryPack {
     * Stage parameters (fixed, part of the contract): minChars=100,
     * langs {en,de,fr,es}; 5-gram Jaccard ≥ 0.5, df ∈ [2,1000];
     * benchmark = doc_id ≡ 0 (mod 97), 4-gram containment, drop on ANY
-    * shared gram; per-source cap = ⌊4%·total tokens⌋ with the straddling
-    * doc kept (water-fill convention, q297), fill order md5-u32(doc_id);
+    * shared gram; per-source cap = ⌊t_total · quota_s / 10⁸⌋ from q375's
+    * policy-applied quota table (the certified verdict→tier→quota chain,
+    * r16 verdict item 1) with the straddling doc kept (water-fill
+    * convention, q297), fill order stage-salted md5-u32;
     * split 80/10/10 by md5-uniform (q99); pack budget 512 tokens per
     * split in doc_id order (q77's contiguous scheme — SQL-expressible,
     * unlike first-fit); 4 shards by pack_id mod.
@@ -886,7 +888,6 @@ object CurationQueries extends QueryPack {
       checkpoint: Boolean = true): (DataFrame, DataFrame, DataFrame,
       DataFrame, DataFrame, DataFrame) = {
     import graft.operators.DedupPipeline
-    import graft.functions.Hashing
     val docs = Tables.load(s, dir, "documents")
     // 1. quality gate
     val quality = docs.filter(length(col("text")) >= 100L &&
@@ -922,29 +923,93 @@ object CurationQueries extends QueryPack {
       .join(contaminated, Seq("doc_id"), "left_anti")
       .withColumn("n_tokens",
         size(TextAnalysis.tokensCol(col("text"))).cast("long"))
-    // 5. mix: water-fill each source to ⌊4% of total tokens⌋, straddler
-    // kept, fill order md5-u32 over a STAGE-SALTED key ("mix:" || id) —
-    // deterministic in both engines, and decorrelated BY CONSTRUCTION
-    // from the split stage's unsalted md5-uniform. The salt is not
-    // optional hygiene: the first q357 release-audit run caught the
-    // unsalted form skewing the train fraction to 89.6%/92.5%
-    // (sf0.001/sf0.01) — mix keeps the SMALL-hash docs, and with the
-    // same hash deciding the split, "kept" and "< 0.8" were the same
-    // event. One hash per independent decision, always.
-    val u32m = Hashing.md5U32(
-      concat(lit("mix:"), col("doc_id").cast("string")))
-    val tot = clean.agg(sum("n_tokens").as("t_total"))
-    val fillW = Window.partitionBy("source").orderBy(u32m, col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    def buildMixed = clean.withColumn("cum", sum("n_tokens").over(fillW))
-      .crossJoin(broadcast(tot))
-      .filter(col("cum") - col("n_tokens") <
-        Rounding.intDiv(col("t_total") * 4L, lit(100L)))
+    // 5. mix: water-fill each source to its POLICY-CERTIFIED token share
+    // (r16 verdict item 1) — the per-source cap is no longer a hardcoded
+    // ⌊4%·total⌋ but ⌊t_total · quota_s / 10⁸⌋ from q375's policy-applied
+    // quota table (verdict → tier → quota), so the shipped corpus's
+    // composition is decided by the oracle-checked decision chain: a
+    // drifted corpus that flips the q373 verdict re-tiers the quota and
+    // re-mixes the build with no code change (MixPolicySpec pins the
+    // flip changing composition). Fill order and salt discipline live in
+    // [[mixStage]]. Checkpointed path: the quota collapses to a
+    // collected MAP LITERAL (≤ |sources| rows, one bounded collect per
+    // build — the bounded-dimension analogue of a broadcast) because
+    // localCheckpoint PROPAGATES the origin plan's size estimate
+    // (Spark 4 LogicalRDD.fromDataset) and size-only join estimates
+    // MULTIPLY: any quota join in the origin — even against a 20-row
+    // LocalRelation — inflates the mixed leaf's sizeInBytes ~600×
+    // (measured 7·10⁸; the fully lazy form 4·10¹⁹), flipping every
+    // downstream consumer's adjudicated broadcast (q357's pair mining,
+    // q369's scoring join) to a sort-merge join. The map form keeps the
+    // old plan shape exactly: one window, one 1-row tot broadcast, one
+    // codegen'd literal lookup. Raw path stays fully lazy so
+    // PlanGateSpec audits the whole chain; MemoNeutralitySpec pins the
+    // two forms row-identical.
+    def buildMixed =
+      if (checkpoint) {
+        val caps = QualityModelQueries.policyQuota(s, dir).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        mixStage(clean, caps)
+      } else mixStage(clean,
+        QualityModelQueries.policyQuota(s, dir, checkpoint = false))
     val mixed =
       if (checkpoint)
         corpusMixMemo.get(s, dir)(buildMixed.localCheckpoint(true))
       else buildMixed
     (docs, quality, exact, near, clean, mixed)
+  }
+
+  /** Stage-5 mix arithmetic over an explicit (clean, quota) pair — split
+    * out (the quotaTable/nbGateVerdict discipline) so the verdict-flip
+    * spec and fixture-driven twins can drive it without the corpus
+    * substrate. Water-fill each source, in STAGE-SALTED md5-u32 order
+    * ("mix:" || id — deterministic in both engines, and decorrelated BY
+    * CONSTRUCTION from the split stage's unsalted md5-uniform; the salt
+    * is not optional hygiene: the first q357 release-audit run caught
+    * the unsalted form skewing the train fraction to 89.6%/92.5% at
+    * sf0.001/sf0.01 — mix keeps the SMALL-hash docs, and with the same
+    * hash deciding the split, "kept" and "< 0.8" were the same event;
+    * one hash per independent decision, always), up to
+    * cap_s = ⌊t_total · quota_s / 10⁸⌋ — the source's certified share of
+    * the clean total (straddling doc kept, the q297 convention). A
+    * source with quota 0 (e.g. nothing scored → mult 0) ships NOTHING.
+    * Scale: the quota is the bounded source set behind a broadcast; the
+    * cap product is decimal-widened (t_total·quota ≈ 10²¹ at 100 TB —
+    * past int64, inside decimal(38,0)). */
+  private[graft] def mixStage(clean: DataFrame,
+      quota: DataFrame): DataFrame =
+    mixFill(clean, _.join(broadcast(quota.select(col("source"),
+      coalesce(col("quota_tokens"), lit(0L)).as("cap_quota"))),
+      Seq("source")))
+
+  /** [[mixStage]]'s map-literal twin — identical arithmetic with the
+    * bounded quota as a collected literal instead of a joined frame
+    * (the checkpointed build path: a quota JOIN in the checkpoint's
+    * origin plan product-inflates the leaf's size estimate and kills
+    * downstream broadcasts — see corpusStages). MemoNeutralitySpec pins
+    * the two forms row-identical via the raw/memo twin. */
+  private[graft] def mixStage(clean: DataFrame,
+      quota: Map[String, Long]): DataFrame =
+    mixFill(clean, _.withColumn("cap_quota",
+      coalesce(element_at(typedLit(quota), col("source")), lit(0L))))
+
+  private def mixFill(clean: DataFrame,
+      withCap: DataFrame => DataFrame): DataFrame = {
+    import graft.functions.Hashing
+    val u32m = Hashing.md5U32(
+      concat(lit("mix:"), col("doc_id").cast("string")))
+    val tot = clean.agg(sum("n_tokens").as("t_total"))
+    val fillW = Window.partitionBy("source").orderBy(u32m, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withCap(clean.withColumn("cum", sum("n_tokens").over(fillW)))
+      .crossJoin(broadcast(tot))
+      .filter(col("cum") - col("n_tokens") < Rounding.intDivExact(
+        col("cap_quota").cast("decimal(38,0)") * col("t_total"),
+        lit(100000000L)))
+      // normalize column order: the join form's USING(source) moves the
+      // key first, the map form doesn't — pin one order so the raw/memo
+      // neutrality twin compares like for like
+      .select((clean.columns :+ "cum" :+ "t_total").map(col): _*)
   }
 
   /** Stage 6→7 of the composed build: 80/10/10 split over the mixed
@@ -1668,14 +1733,21 @@ object CurationQueries extends QueryPack {
     * `q` → `mixed`) — consumed by the q353 manifest, the q354 funnel,
     * and the q355 pack sweep, each with its own final SELECT. One text,
     * three hashes: a drift in any stage breaks all three oracles at
-    * once. Callers prepend `WITH RECURSIVE` (the reach CTE). */
+    * once. Callers prepend `WITH RECURSIVE` (the reach CTE). The chain
+    * is PREFIXED by [[QualityModelQueries.policyQuotaCtes]] (the NB
+    * verdict → tier → quota replay) because the mix stage's per-source
+    * cap reads `pquota` — the oracle replays verdict → quota → mix
+    * end-to-end (r16 verdict item 1); consumers that stop before
+    * `mixed` (q361/q362) never reference it and DuckDB prunes the
+    * unused CTEs. */
   private[queries] lazy val corpusCtes: String = {
-    import Rounding.intDivSql
+    import Rounding.intDivExactSql
     // stage-salted: the mix fill order must be independent of the split
-    // hash (see corpusStages — the q357 audit caught the unsalted form)
+    // hash (see mixStage — the q357 audit caught the unsalted form)
     val u32 = graft.functions.Hashing
       .md5U32Sql("'mix:' || CAST(doc_id AS VARCHAR)")
-    s"""q AS (
+    s"""${QualityModelQueries.policyQuotaCtes},
+       |q AS (
        |  SELECT doc_id, text, lang, source FROM documents
        |  WHERE length(text) >= 100 AND lang IN ('en','de','fr','es')),
        |f AS (
@@ -1749,9 +1821,15 @@ object CurationQueries extends QueryPack {
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
        |      AS BIGINT) AS cum
        |  FROM clean),
+       |caps AS (
+       |  SELECT source, CAST(coalesce(quota_tokens, 0) AS BIGINT)
+       |    AS cap_quota
+       |  FROM pquota),
        |mixed AS (
-       |  SELECT r.* FROM ranked r, tot
-       |  WHERE cum - n_tokens < ${intDivSql("4 * t_total", "100")})"""
+       |  SELECT r.* FROM ranked r JOIN caps USING (source), tot
+       |  WHERE cum - n_tokens <
+       |    ${intDivExactSql("CAST(cap_quota AS HUGEINT) * t_total",
+                             "100000000")})"""
       .stripMargin
   }
 

@@ -582,8 +582,14 @@ object QualityModelQueries extends QueryPack {
     * evidence is not a certification. Named consumer: q367's tier
     * construction. Scale: one aggregation over the ≤17-row curve. */
   private def q373(s: SparkSession, dir: String): DataFrame =
+    nbVerdict(s, dir)
+
+  /** q373 with the memo flag threaded — the corpus build's raw
+    * (checkpoint = false) path must audit the UNSTUBBED verdict chain. */
+  private[graft] def nbVerdict(s: SparkSession, dir: String,
+      checkpoint: Boolean = true): DataFrame =
     nbGateVerdict(calibrationTable(
-      nbDocScores(s, dir)
+      nbDocScores(s, dir, checkpoint)
         .select(calBucket(col("score_e6")).as("bucket"), col("y"))
         .groupBy("bucket")
         .agg(count(lit(1)).as("n_docs"), sum("y").as("n_pos"))))
@@ -701,15 +707,35 @@ object QualityModelQueries extends QueryPack {
     * frame; the 1-row verdict rides a broadcast; quota arithmetic is
     * q367's exact integer rationals. */
   private def q375(s: SparkSession, dir: String): DataFrame =
+    policyQuotaFull(s, dir)
+
+  /** q375 with the memo flag threaded — shared by the query and the
+    * corpus build's mix stage ([[policyQuota]]). */
+  private[graft] def policyQuotaFull(s: SparkSession, dir: String,
+      checkpoint: Boolean = true): DataFrame =
     policyQuotaTable(
-      nbDocScores(s, dir)
+      nbDocScores(s, dir, checkpoint)
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs_scored"),
           sum(col("score_e6").cast("decimal(38,0)")).as("sum_score_e6"),
           sum("y").as("n_pos")),
       docs(s, dir).groupBy("source")
         .agg(sum(TextAnalysis.tokenCount(col("text"))).as("n_tokens")),
-      q373(s, dir).select(col("calibrated"), col("policy")))
+      nbVerdict(s, dir, checkpoint)
+        .select(col("calibrated"), col("policy")))
+
+  /** The build-facing face of the certified allocation: q375's
+    * policy-applied quota table projected to `(source, quota_tokens)`,
+    * nulls (a degenerate corpus with nothing scored — wtot = 0) closed
+    * to an explicit zero so the mix stage's cap arithmetic stays total.
+    * Named consumer: [[CurationQueries.corpusStages]]'s mix stage, which
+    * water-fills each source to `⌊t_total · quota_s / 10⁸⌋` — the r16
+    * verdict's "wire the certified policy into the flagship build". */
+  private[queries] def policyQuota(s: SparkSession, dir: String,
+      checkpoint: Boolean = true): DataFrame =
+    policyQuotaFull(s, dir, checkpoint)
+      .select(col("source"),
+        coalesce(col("quota_tokens"), lit(0L)).as("quota_tokens"))
 
   /** q375's policy/tier/quota arithmetic over BOUNDED inputs — the
     * [[quotaTable]]/[[nbGateVerdict]] split, so the streaming twin can
@@ -771,18 +797,52 @@ object QualityModelQueries extends QueryPack {
     * views) is the kept/dropped accounting at the operative cut. Scale:
     * one broadcast + one map-side-combined aggregation onto the bounded
     * language set. */
-  private def q376(s: SparkSession, dir: String): DataFrame = {
-    import Rounding.intDivExact
-    val verdict = q374(s, dir).select(col("policy"),
+  private def q376(s: SparkSession, dir: String): DataFrame =
+    gateCensusFromBuckets(
+      lmDocCe(s, dir)
+        .filter(!isTrain(col("doc_id")))
+        .select(col("lang"), ceBucketExclusive(col("ce_e6")).as("eb"))
+        .groupBy("lang", "eb").agg(count(lit(1)).as("n_docs")),
+      certifiedCut(q374(s, dir)))
+
+  /** The cut the q374 verdict CERTIFIES, as a 1-row (policy, cut_ce_e6)
+    * frame: [[LmCutCeE6]] under `keep_cut`, the knee's upper edge (or
+    * the keep-everything sentinel) under `move_cut_to_knee`. Split out
+    * so the streaming policy-gate twin selects the same cut per
+    * micro-batch. */
+  private[graft] def certifiedCut(verdict: DataFrame): DataFrame =
+    verdict.select(col("policy"),
       when(col("policy") === "keep_cut", lit(LmCutCeE6))
         .otherwise(col("knee_ce_e6")).as("cut_ce_e6"))
-    lmDocCe(s, dir)
-      .filter(!isTrain(col("doc_id")))
-      .crossJoin(broadcast(verdict))
+
+  /** The EXCLUSIVE-edge ce bucket: `eb ≤ b ⟺ ce_e6 ≤ (b+1)·50000`
+    * exactly, including the lattice point (integer ce: ce−1 < (b+1)·5e4
+    * ⟺ ce ≤ (b+1)·5e4) — the grid the per-language kept census can be
+    * maintained on as a BOUNDED commutative state, because every cut
+    * the verdict can certify is a lattice edge. Clamps are tight for
+    * the certifiable cut range [3.05, 4.00] nats: everything ≤ 3.0
+    * nats (eb ≤ 59) is kept under every candidate cut, everything
+    * > 4.05 (eb = 81) under none but the sentinel. */
+  private[graft] def ceBucketExclusive(ceE6: Column): Column =
+    greatest(lit(59L), least(lit(81L),
+      floor((dbl(ceE6) - lit(1.0)) / lit(50000.0)).cast("long")))
+
+  /** q376's census arithmetic over the BOUNDED (lang, eb) grid — the
+    * verdict-side twin of [[lmOperatingTable]]'s split: the batch query
+    * and the streaming monitor both re-derive the per-language kept
+    * census at the certified cut from ≤ |langs|·23 bucket counts.
+    * `eb·50000 < cut ⟺ ce ≤ cut` on the exclusive grid; the sentinel
+    * cut keeps every bucket. */
+  private[graft] def gateCensusFromBuckets(buckets: DataFrame,
+      cut: DataFrame): DataFrame = {
+    import Rounding.intDivExact
+    buckets
+      .crossJoin(broadcast(cut))
       .groupBy("lang", "policy", "cut_ce_e6")
-      .agg(count(lit(1)).as("n_docs"),
-        sum((col("ce_e6") <= col("cut_ce_e6")).cast("long"))
-          .as("n_kept"))
+      .agg(sum("n_docs").as("n_docs"),
+        sum(when(col("cut_ce_e6") === KeepAllCeE6 ||
+          col("eb") * lit(50000L) < col("cut_ce_e6"), col("n_docs"))
+          .otherwise(0L)).as("n_kept"))
       .withColumn("kept_rate_e4", intDivExact(
         col("n_kept").cast("decimal(38,0)") * lit(20000L) +
           col("n_docs"),
@@ -885,6 +945,93 @@ object QualityModelQueries extends QueryPack {
         |lpd AS (
         |  SELECT doc_id, lang, $ce AS ce_e6
         |  FROM terms GROUP BY doc_id, lang)""".stripMargin
+  }
+
+  /** Shared oracle CTE chain for the POLICY-APPLIED quota table —
+    * [[nbPdCte]] plus the q373 verdict arithmetic, both tier orderings,
+    * and the exact quota rationals, ending at `pquota(source, policy,
+    * n_docs_scored, mean_score_e6, emp_rate_e4, tier, mult, n_tokens,
+    * quota_tokens)`. Consumed by the q375 oracle and by
+    * [[CurationQueries.corpusCtes]]'s mix stage (the build-facing
+    * quota — r16 verdict item 1). */
+  private[queries] lazy val policyQuotaCtes: String = {
+    val mean = Rounding.intDivExactSql(
+      "CAST(ssum AS HUGEINT)", "n_docs_scored")
+    val emp = Rounding.intDivExactSql(
+      "CAST(npos AS HUGEINT) * 20000 + n_docs_scored",
+      "2 * n_docs_scored")
+    val quota = Rounding.intDivExactSql(
+      "CAST(wtok AS HUGEINT) * 100000000", "NULLIF(wtot, 0)")
+    s"""$nbPdCte,
+      |cal AS (
+      |  SELECT greatest(-8, least(8,
+      |      CAST(floor(CAST(score_e6 AS DOUBLE) / 1000000.0)
+      |        AS BIGINT))) AS bucket,
+      |    y
+      |  FROM pd),
+      |cb AS (
+      |  SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(y) AS BIGINT) AS n_pos
+      |  FROM cal GROUP BY bucket),
+      |curve AS (
+      |  SELECT n_docs,
+      |    CASE WHEN n_pos = 0 OR n_pos = n_docs THEN NULL
+      |         ELSE CAST(floor(ln(CAST(n_pos AS DOUBLE) /
+      |           CAST(n_docs - n_pos AS DOUBLE)) * 1000000.0 + 0.5)
+      |           AS BIGINT)
+      |    END - (bucket * 1000000 + 500000) AS cal_gap_e6
+      |  FROM cb),
+      |ver AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_buckets_checked,
+      |    CAST(max(abs(cal_gap_e6)) AS BIGINT) AS max_abs_gap_e6
+      |  FROM curve
+      |  WHERE cal_gap_e6 IS NOT NULL AND n_docs >= 30),
+      |flag AS (
+      |  SELECT CAST(n_buckets_checked > 0 AND
+      |      coalesce(max_abs_gap_e6 <= 1000000, FALSE) AS BIGINT)
+      |      AS calibrated,
+      |    CASE WHEN n_buckets_checked > 0 AND
+      |        coalesce(max_abs_gap_e6 <= 1000000, FALSE)
+      |      THEN 'mean_score_tiers' ELSE 'rank_by_emp_rate'
+      |    END AS policy
+      |  FROM ver),
+      |ps AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs_scored,
+      |    sum(score_e6) AS ssum, CAST(sum(y) AS BIGINT) AS npos
+      |  FROM pd GROUP BY source),
+      |ms AS (
+      |  SELECT source, n_docs_scored, $mean AS mean_score_e6,
+      |    $emp AS emp_rate_e4
+      |  FROM ps),
+      |rk AS (
+      |  SELECT *,
+      |    CAST(ntile(3) OVER (ORDER BY mean_score_e6 DESC, source)
+      |      AS BIGINT) AS tier_mean,
+      |    CAST(ntile(3) OVER (ORDER BY emp_rate_e4 DESC, source)
+      |      AS BIGINT) AS tier_emp
+      |  FROM ms),
+      |tk AS (
+      |  SELECT source,
+      |    CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)
+      |      AS n_tokens
+      |  FROM documents GROUP BY source),
+      |tiered AS (
+      |  SELECT tk.source, policy,
+      |    CAST(coalesce(n_docs_scored, 0) AS BIGINT) AS n_docs_scored,
+      |    mean_score_e6, emp_rate_e4,
+      |    CAST(CASE WHEN calibrated = 1 THEN tier_mean
+      |         ELSE tier_emp END AS BIGINT) AS tier,
+      |    n_tokens
+      |  FROM tk LEFT JOIN rk ON tk.source = rk.source, flag),
+      |wt AS (
+      |  SELECT *, CAST(coalesce(4 - tier, 0) AS BIGINT) AS mult,
+      |    CAST(n_tokens AS HUGEINT) * coalesce(4 - tier, 0) AS wtok
+      |  FROM tiered),
+      |wtot_t AS (SELECT sum(wtok) AS wtot FROM wt),
+      |pquota AS (
+      |  SELECT source, policy, n_docs_scored, mean_score_e6,
+      |    emp_rate_e4, tier, mult, n_tokens, $quota AS quota_tokens
+      |  FROM wt, wtot_t)""".stripMargin
   }
 
   val oracle: Map[String, String] = Map(
@@ -1036,84 +1183,11 @@ object QualityModelQueries extends QueryPack {
     // the q373 verdict chain + q367's quota arithmetic, with the tier
     // ordering CASE-selected by the verdict flag — both ntile orderings
     // computed, the certified one applied
-    "q375_policy_quota" -> {
-      val mean = Rounding.intDivExactSql(
-        "CAST(ssum AS HUGEINT)", "n_docs_scored")
-      val emp = Rounding.intDivExactSql(
-        "CAST(npos AS HUGEINT) * 20000 + n_docs_scored",
-        "2 * n_docs_scored")
-      val quota = Rounding.intDivExactSql(
-        "CAST(wtok AS HUGEINT) * 100000000", "NULLIF(wtot, 0)")
-      s"""WITH $nbPdCte,
-        |cal AS (
-        |  SELECT greatest(-8, least(8,
-        |      CAST(floor(CAST(score_e6 AS DOUBLE) / 1000000.0)
-        |        AS BIGINT))) AS bucket,
-        |    y
-        |  FROM pd),
-        |cb AS (
-        |  SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
-        |    CAST(sum(y) AS BIGINT) AS n_pos
-        |  FROM cal GROUP BY bucket),
-        |curve AS (
-        |  SELECT n_docs,
-        |    CASE WHEN n_pos = 0 OR n_pos = n_docs THEN NULL
-        |         ELSE CAST(floor(ln(CAST(n_pos AS DOUBLE) /
-        |           CAST(n_docs - n_pos AS DOUBLE)) * 1000000.0 + 0.5)
-        |           AS BIGINT)
-        |    END - (bucket * 1000000 + 500000) AS cal_gap_e6
-        |  FROM cb),
-        |ver AS (
-        |  SELECT CAST(count(*) AS BIGINT) AS n_buckets_checked,
-        |    CAST(max(abs(cal_gap_e6)) AS BIGINT) AS max_abs_gap_e6
-        |  FROM curve
-        |  WHERE cal_gap_e6 IS NOT NULL AND n_docs >= 30),
-        |flag AS (
-        |  SELECT CAST(n_buckets_checked > 0 AND
-        |      coalesce(max_abs_gap_e6 <= 1000000, FALSE) AS BIGINT)
-        |      AS calibrated,
-        |    CASE WHEN n_buckets_checked > 0 AND
-        |        coalesce(max_abs_gap_e6 <= 1000000, FALSE)
-        |      THEN 'mean_score_tiers' ELSE 'rank_by_emp_rate'
-        |    END AS policy
-        |  FROM ver),
-        |ps AS (
-        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs_scored,
-        |    sum(score_e6) AS ssum, CAST(sum(y) AS BIGINT) AS npos
-        |  FROM pd GROUP BY source),
-        |ms AS (
-        |  SELECT source, n_docs_scored, $mean AS mean_score_e6,
-        |    $emp AS emp_rate_e4
-        |  FROM ps),
-        |rk AS (
-        |  SELECT *,
-        |    CAST(ntile(3) OVER (ORDER BY mean_score_e6 DESC, source)
-        |      AS BIGINT) AS tier_mean,
-        |    CAST(ntile(3) OVER (ORDER BY emp_rate_e4 DESC, source)
-        |      AS BIGINT) AS tier_emp
-        |  FROM ms),
-        |tk AS (
-        |  SELECT source,
-        |    CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)
-        |      AS n_tokens
-        |  FROM documents GROUP BY source),
-        |tiered AS (
-        |  SELECT tk.source, policy,
-        |    CAST(coalesce(n_docs_scored, 0) AS BIGINT) AS n_docs_scored,
-        |    mean_score_e6, emp_rate_e4,
-        |    CAST(CASE WHEN calibrated = 1 THEN tier_mean
-        |         ELSE tier_emp END AS BIGINT) AS tier,
-        |    n_tokens
-        |  FROM tk LEFT JOIN rk ON tk.source = rk.source, flag),
-        |wt AS (
-        |  SELECT *, CAST(coalesce(4 - tier, 0) AS BIGINT) AS mult,
-        |    CAST(n_tokens AS HUGEINT) * coalesce(4 - tier, 0) AS wtok
-        |  FROM tiered),
-        |wtot_t AS (SELECT sum(wtok) AS wtot FROM wt)
+    "q375_policy_quota" ->
+      s"""WITH $policyQuotaCtes
         |SELECT source, policy, n_docs_scored, mean_score_e6,
-        |  emp_rate_e4, tier, mult, n_tokens, $quota AS quota_tokens
-        |FROM wt, wtot_t ORDER BY source""".stripMargin
-    },
+        |  emp_rate_e4, tier, mult, n_tokens, quota_tokens
+        |FROM pquota ORDER BY source""".stripMargin,
     // the q374 verdict chain + the certified-cut census, with the cut a
     // CASE-selected value from the verdict row
     "q376_policy_gate" -> {
@@ -1321,12 +1395,15 @@ object QualityModelQueries extends QueryPack {
         |FROM (SELECT * FROM keep_side UNION ALL SELECT * FROM drop_side)
         |WHERE rank <= 3
         |ORDER BY source, side, rank""".stripMargin,
-    // the nb model chain (nb-prefixed names dodge the corpus chain's
-    // toks/tot) scoring the corpus build's mixed survivors
+    // the nb model chain scoring the corpus build's mixed survivors —
+    // corpusCtes itself now CARRIES the nb chain (its mix stage reads
+    // pquota), so this oracle reuses corpusCtes' nbmodel/nbtot/nbpri
+    // instead of re-declaring nbPdCte (nb-prefixed names dodge the
+    // corpus chain's toks/tot)
     "q369_gate_ablation" -> {
       val frac = Rounding.intDivExactSql(
         "CAST(n_tokens_cut AS HUGEINT) * 10000", "n_tokens")
-      s"""WITH RECURSIVE $nbPdCte,
+      s"""WITH RECURSIVE
         |${CurationQueries.corpusCtes},
         |sv AS (
         |  SELECT m.doc_id, m.source, m.n_tokens, dd.text

@@ -196,8 +196,14 @@ class PlanGateSpec extends SparkSuite {
       queries.CurationQueries.corpusStages(spark, sf, checkpoint = false)
     val a = operators.PlanAudit.of(mixed)
     assert(a.cartesians == 0, s"cartesian in the corpus chain: $a")
-    assert(a.shuffles <= 17L + 2L,
-      s"corpus chain shuffles ${a.shuffles} > pinned 17+2: $a")
+    // 43 since r17: the raw mix stage inlines the policy-quota chain
+    // (r16 verdict item 1) — the NB train+score chain (its own 7+2 pin
+    // above), the calibration-verdict aggregates, two ntile windows over
+    // the bounded source set, and the per-source token census; the
+    // checkpointed build path rides memo stubs + a collected map
+    // literal instead (q353's post-memo pin below stays 2)
+    assert(a.shuffles <= 43L + 2L,
+      s"corpus chain shuffles ${a.shuffles} > pinned 43+2: $a")
   }
 
   test("memoized-stage builder: NB train+score chain keeps its shape") {

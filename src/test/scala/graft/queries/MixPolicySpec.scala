@@ -1,0 +1,109 @@
+package graft.queries
+
+import graft.SparkSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The policy→build wiring (r16 verdict item 1): the corpus build's mix
+  * stage water-fills each source to its POLICY-CERTIFIED token share
+  * (`cap_s = ⌊t_total · quota_s / 10⁸⌋` from q375's policy-applied quota
+  * table), so the q373 calibration verdict decides the SHIPPED corpus's
+  * composition — not a hardcoded 4%. These tests pin the two claims the
+  * driver hash cannot: (1) the water-fill itself matches an independent
+  * Scala reimplementation (stage-salted order, straddler kept, exact cap
+  * arithmetic), and (2) flipping the verdict on a drifted fixture — same
+  * documents, same scores, only the calibration decision changed —
+  * changes which documents ship. */
+class MixPolicySpec extends SparkSuite {
+  import spark.implicits._
+
+  /** Two sources whose MEAN-SCORE ordering and EMPIRICAL-RATE ordering
+    * disagree: srcA has the higher held-out mean NB score (tier 1 under
+    * `mean_score_tiers`) but the lower positive rate (tier 2 under
+    * `rank_by_emp_rate`), srcB the reverse. n = 10 docs scored each. */
+  private def perSourceStats: DataFrame =
+    Seq(
+      ("srcA", 10L, BigDecimal(10000000L), 2L),
+      ("srcB", 10L, BigDecimal(-5000000L), 9L))
+      .toDF("source", "n_docs_scored", "sum_score_e6", "n_pos")
+      .withColumn("sum_score_e6", col("sum_score_e6").cast("decimal(38,0)"))
+
+  private def tokens: DataFrame =
+    Seq(("srcA", 1000L), ("srcB", 1000L)).toDF("source", "n_tokens")
+
+  private def verdict(calibrated: Long): DataFrame =
+    Seq((calibrated,
+      if (calibrated == 1L) "mean_score_tiers" else "rank_by_emp_rate"))
+      .toDF("calibrated", "policy")
+
+  /** 5 docs of 200 tokens per source; t_total = 2000. */
+  private def clean: DataFrame =
+    (0L until 10L).map(i =>
+      (i, if (i < 5) "srcA" else "srcB", 200L))
+      .toDF("doc_id", "source", "n_tokens")
+
+  private def quotaOf(calibrated: Long): Map[String, Long] =
+    QualityModelQueries
+      .policyQuotaTable(perSourceStats, tokens, verdict(calibrated))
+      .collect().map(r =>
+        r.getAs[String]("source") -> r.getAs[Long]("quota_tokens")).toMap
+
+  private def mixedOf(calibrated: Long): DataFrame =
+    CurationQueries.mixStage(clean,
+      QualityModelQueries
+        .policyQuotaTable(perSourceStats, tokens, verdict(calibrated))
+        .select(col("source"), col("quota_tokens")))
+
+  test("policyQuotaTable: the flipped verdict swaps the tier ordering " +
+    "and therefore the quotas") {
+    // calibrated: srcA mult 3, srcB mult 2 → 60M/40M of the 10⁸ budget
+    assert(quotaOf(1L) == Map("srcA" -> 60000000L, "srcB" -> 40000000L))
+    // flipped: the emp-rate ordering ranks srcB first → 40M/60M
+    assert(quotaOf(0L) == Map("srcA" -> 40000000L, "srcB" -> 60000000L))
+  }
+
+  test("mixStage equals an independent water-fill reimplementation " +
+    "(stage-salted order, straddler kept, cap = ⌊t_total·quota/10⁸⌋)") {
+    for (cal <- Seq(1L, 0L)) {
+      val quota = quotaOf(cal)
+      // independent replay: per source, order docs by (md5-u32 of the
+      // SALTED id, doc_id), keep while cum − n < cap
+      val rows = clean
+        .withColumn("u32", graft.functions.Hashing.md5U32(
+          concat(lit("mix:"), col("doc_id").cast("string"))))
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+          r.getAs[Long]("n_tokens"), r.getAs[Long]("u32")))
+      val tTotal = rows.map(_._3).sum
+      val want = rows.groupBy(_._2).toSeq.flatMap { case (src, docs) =>
+        val cap = quota(src) * tTotal / 100000000L
+        var cum = 0L
+        docs.sortBy(d => (d._4, d._1)).toSeq.flatMap { d =>
+          cum += d._3
+          if (cum - d._3 < cap) Some(d._1) else None
+        }
+      }.toSet
+      val got = mixedOf(cal).select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(got == want, s"calibrated=$cal: " +
+        s"only-mix=${(got -- want).take(5)} only-replay=${(want -- got).take(5)}")
+    }
+  }
+
+  test("a flipped verdict on the drifted fixture CHANGES the shipped " +
+    "corpus's composition — same docs, same scores, different corpus") {
+    def composition(df: DataFrame): Map[String, Long] =
+      df.groupBy("source").agg(sum("n_tokens").as("t"))
+        .collect().map(r =>
+          r.getAs[String]("source") -> r.getAs[Long]("t")).toMap
+    val cal = composition(mixedOf(1L))
+    val flip = composition(mixedOf(0L))
+    // caps: 1200/800 under the calibrated verdict, 800/1200 flipped —
+    // with 200-token docs the straddler convention keeps 5/4 vs 4/5 docs
+    assert(cal == Map("srcA" -> 1000L, "srcB" -> 800L),
+      s"calibrated composition drifted: $cal")
+    assert(flip == Map("srcA" -> 800L, "srcB" -> 1000L),
+      s"flipped composition drifted: $flip")
+    assert(cal != flip, "the verdict flip did not change the corpus")
+  }
+}

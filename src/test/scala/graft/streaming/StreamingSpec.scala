@@ -1136,8 +1136,9 @@ class StreamingSpec extends SparkSuite {
       "the drained incremental verdict must equal the declared q373")
   }
 
-  test("foreachBatch streaming LM operating table (q372) equals the " +
-    "batch table at every micro-batch prefix") {
+  test("foreachBatch streaming LM operating table (q372), cut verdict " +
+    "(q374), and policy-gate census (q376) equal the batch results at " +
+    "every micro-batch prefix") {
     // the perplexity gate's decision table as a drift monitor — same
     // shape as the q371 twin: frozen bigram model, bounded bucket census
     // as foreachBatch state, table re-derived per batch via the shared
@@ -1160,6 +1161,14 @@ class StreamingSpec extends SparkSuite {
         (col("lang") === "en").cast("long").as("en"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_docs"), sum("en").as("n_en"))
+    // the policy gate's bounded grid (r16 verdict item 4): per-(lang,
+    // EXCLUSIVE-edge bucket) counts — every cut the verdict can certify
+    // is a lattice edge, so the per-language kept census at whatever cut
+    // this prefix's verdict picks re-derives from ≤ |langs|·23 rows
+    def ebBuckets(docsDf: DataFrame): DataFrame = ceDocs(docsDf)
+      .select(col("lang"),
+        QualityModelQueries.ceBucketExclusive(col("ce_e6")).as("eb"))
+      .groupBy("lang", "eb").agg(count(lit(1)).as("n_docs"))
     def snapshot(df: DataFrame): Set[String] =
       df.collect().map(_.mkString("|")).toSet
     implicit val sqlCtx = spark.sqlContext
@@ -1170,8 +1179,12 @@ class StreamingSpec extends SparkSuite {
     // on the RAW ce lattice, not the bucket grid — two commutative sums
     var cutState = Seq((0L, 0L))
       .toDF("cut_kept_docs", "cut_kept_en").localCheckpoint(true)
+    // third bounded state: the (lang, eb) grid behind the q376 census
+    var gateState = Seq.empty[(String, Long, Long)]
+      .toDF("lang", "eb", "n_docs").localCheckpoint(true)
     val prefixTables = scala.collection.mutable.ListBuffer[Set[String]]()
     val prefixVerdicts = scala.collection.mutable.ListBuffer[Set[String]]()
+    val prefixGates = scala.collection.mutable.ListBuffer[Set[String]]()
     val q = mem.toDF().toDF("doc_id", "text", "lang").writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -1184,17 +1197,28 @@ class StreamingSpec extends SparkSuite {
           .agg(sum("cut_kept_docs").as("cut_kept_docs"),
             sum("cut_kept_en").as("cut_kept_en"))
           .localCheckpoint(true)
-        val (prev, prevCut) = (state, cutState)
+        val nextGate = gateState.unionByName(ebBuckets(batch))
+          .groupBy("lang", "eb").agg(sum("n_docs").as("n_docs"))
+          .localCheckpoint(true)
+        val (prev, prevCut, prevGate) = (state, cutState, gateState)
         state = next
         cutState = nextCut
+        gateState = nextGate
         graft.operators.CheckpointBlocks.release(prev)
         graft.operators.CheckpointBlocks.release(prevCut)
+        graft.operators.CheckpointBlocks.release(prevGate)
         prefixTables +=
           snapshot(QualityModelQueries.lmOperatingTable(state))
         // the cut DECISION rides the same bounded states (r16): the knee
         // re-locates as the observed band fills in
-        prefixVerdicts += snapshot(QualityModelQueries.lmCutVerdict(
-          QualityModelQueries.lmOperatingTable(state), cutState))
+        val verdict = QualityModelQueries.lmCutVerdict(
+          QualityModelQueries.lmOperatingTable(state), cutState)
+        prefixVerdicts += snapshot(verdict)
+        // ...and the EXECUTABLE gate (q376) re-censuses at whatever cut
+        // THIS prefix's verdict certifies — a knee relocation re-gates
+        // the stream in the same micro-batch (r16 verdict item 4)
+        prefixGates += snapshot(QualityModelQueries.gateCensusFromBuckets(
+          gateState, QualityModelQueries.certifiedCut(verdict)))
         ()
       }.start()
     val arrivals = d.collect()
@@ -1207,8 +1231,9 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
     assert(prefixTables.length == chunks.length)
     var arrived = Seq.empty[(Long, String, String)]
-    chunks.zip(prefixTables zip prefixVerdicts).zipWithIndex.foreach {
-      case ((chunk, (got, gotVer)), i) =>
+    chunks.zip(prefixTables zip (prefixVerdicts zip prefixGates))
+      .zipWithIndex.foreach {
+      case ((chunk, (got, (gotVer, gotGate))), i) =>
         arrived ++= chunk
         val arrivedDf = arrived.toDF("doc_id", "text", "lang")
         val table = QualityModelQueries.lmOperatingTable(
@@ -1218,11 +1243,18 @@ class StreamingSpec extends SparkSuite {
           s"table prefix ${i + 1}/${chunks.length} diverges: " +
             s"only-streamed=${(got -- want).take(3)} " +
             s"only-batch=${(want -- got).take(3)}")
-        val wantVer = snapshot(QualityModelQueries.lmCutVerdict(table,
-          QualityModelQueries.lmCutStats(ceDocs(arrivedDf))))
+        val batchVerdict = QualityModelQueries.lmCutVerdict(table,
+          QualityModelQueries.lmCutStats(ceDocs(arrivedDf)))
+        val wantVer = snapshot(batchVerdict)
         assert(gotVer == wantVer,
           s"cut-verdict prefix ${i + 1}/${chunks.length} diverges: " +
             s"streamed=$gotVer batch=$wantVer")
+        val wantGate = snapshot(QualityModelQueries.gateCensusFromBuckets(
+          ebBuckets(arrivedDf),
+          QualityModelQueries.certifiedCut(batchVerdict)))
+        assert(gotGate == wantGate,
+          s"policy-gate prefix ${i + 1}/${chunks.length} diverges: " +
+            s"streamed=$gotGate batch=$wantGate")
     }
     assert(prefixTables.last == snapshot(
       graft.SparkEntry.queries("q372_lm_calibration")(spark, sf)),
@@ -1230,6 +1262,9 @@ class StreamingSpec extends SparkSuite {
     assert(prefixVerdicts.last == snapshot(
       graft.SparkEntry.queries("q374_lm_cut_verdict")(spark, sf)),
       "the drained incremental cut verdict must equal the declared q374")
+    assert(prefixGates.last == snapshot(
+      graft.SparkEntry.queries("q376_policy_gate")(spark, sf)),
+      "the drained incremental gate census must equal the declared q376")
   }
 
   test("foreachBatch streaming BPE encoding against the frozen merge " +
