@@ -1,6 +1,14 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** One timed execution: wall seconds plus the runtime memory telemetry
+    * plan shape cannot see (r16 verdict item 5) — task spill bytes
+    * (memory + disk), max per-task peak execution memory, and the
+    * largest materialized broadcast. ArtifactGateSpec gates the
+    * committed BENCH_FULL.json on zero spill / bounded broadcasts. */
+  private final case class Run(sec: Double, spillBytes: Long,
+    peakMem: Long, broadcastBytes: Long)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -140,13 +148,54 @@ object Bench {
     // throws in only one pass (transient contention, round-8 advice) keeps
     // the min of its clean samples and still counts toward the total —
     // only an every-pass failure nulls it out of the comparison.
+    // per-query memory telemetry: task metrics accumulate through a
+    // listener scoped by reset/drain around each timed run (the bus is
+    // async — without the drain a query's tail events would land in the
+    // next query's window); the drains sit OUTSIDE the timed section
+    val spillAcc = new java.util.concurrent.atomic.AtomicLong
+    val peakAcc = new java.util.concurrent.atomic.AtomicLong
+    val bcastAcc = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null) {
+            spillAcc.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+            peakAcc.accumulateAndGet(m.peakExecutionMemory, math.max(_, _))
+          }
+        }
+      })
+    // broadcast sizes ride a QueryExecutionListener because the timed
+    // action (`df.count()`) compiles its OWN QueryExecution — the
+    // constructed df's plan never executes, so only the listener sees
+    // the plan whose dataSize metrics are populated
+    spark.listenerManager.register(
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit =
+          bcastAcc.accumulateAndGet(graft.operators.PlanAudit
+            .maxBroadcastBytes(qe.executedPlan), math.max(_, _))
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      })
     def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : Option[Double] = {
+        : Option[Run] = {
+      org.apache.spark.graftbench.ListenerFlush.drain(spark.sparkContext)
+      spillAcc.set(0L); peakAcc.set(0L); bcastAcc.set(0L)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+      try {
+        val df = fn(spark, sfDir)
+        df.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        org.apache.spark.graftbench.ListenerFlush.drain(spark.sparkContext)
+        Some(Run(sec, spillAcc.get, peakAcc.get, bcastAcc.get))
+      }
       catch { case _: Throwable => None }
     }
-    val samples: Seq[Seq[Option[Double]]] = (1 to passes).map { _ =>
+    val samples: Seq[Seq[Option[Run]]] = (1 to passes).map { _ =>
       ordered.map { case (_, fn) => timeOne(fn) }
     }
     // adaptive re-sampling (round-9 advice): when a query's two interleaved
@@ -165,17 +214,17 @@ object Bench {
     val spreadThreshold = 1.5
     val heavyFloor = 3.0
     val needThird: Set[Int] = ordered.indices.filter { i =>
-      val good = samples.map(_(i)).flatten
+      val good = samples.map(_(i)).flatten.map(_.sec)
       good.size >= 2 &&
         (good.max / good.min > spreadThreshold || good.min > heavyFloor)
     }.toSet
-    val third: Map[Int, Option[Double]] =
+    val third: Map[Int, Option[Run]] =
       ordered.zipWithIndex.collect {
         case ((_, fn), i) if needThird(i) => i -> timeOne(fn)
       }.toMap
     val results = ordered.zipWithIndex.map { case ((name, _), i) =>
-      val times = samples.map(_(i)) ++ third.get(i).toSeq
-      (name, times.flatten, times)
+      val runs = samples.map(_(i)) ++ third.get(i).toSeq
+      (name, runs.flatten, runs)
     }
     val failed = results.collect { case (k, good, _) if good.isEmpty => k }
     val flaky = results.collect {
@@ -187,15 +236,27 @@ object Bench {
     // understate it) and it contributes nothing to the total, so the total
     // stays comparable across rounds as the set of passing queries
     val qs = results.map { case (k, good, _) =>
-      val cell = if (good.isEmpty) "null" else r6(good.min)
+      val cell = if (good.isEmpty) "null" else r6(good.map(_.sec).min)
       s"\"" + k + "\":" + cell
     }.mkString("{", ",", "}")
     val qsRaw = results.map { case (k, _, ts) =>
       s"\"" + k + "\":" +
-        ts.map(_.map(r6).getOrElse("null")).mkString("[", ",", "]")
+        ts.map(_.map(r => r6(r.sec)).getOrElse("null"))
+          .mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    // memory telemetry maps (r16 verdict item 5): MAX across the runs —
+    // spill is a defect whichever pass it happens in, and the peak/
+    // broadcast claims being gated are worst-case ones
+    def longMap(f: Run => Long): String = results.map { case (k, good, _) =>
+      val cell = if (good.isEmpty) "null" else f(good.max(Ordering.by(f))).toString
+      s"\"" + k + "\":" + cell
+    }.mkString("{", ",", "}")
+    val qsSpill = longMap(_.spillBytes)
+    val qsPeak = longMap(_.peakMem)
+    val qsBcast = longMap(_.broadcastBytes)
+    val spillTotal = results.flatMap(_._2).map(_.spillBytes).sum
     val total = results.collect {
-      case (_, good, _) if good.nonEmpty => good.min }.sum
+      case (_, good, _) if good.nonEmpty => good.map(_.sec).min }.sum
     def names(xs: Seq[String]): String =
       xs.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     // machine-contention telemetry: a contended box (round-2's 91.8s vs a
@@ -209,7 +270,7 @@ object Bench {
     // can never masquerade as a full-suite round snapshot (round-9 advice:
     // a 2-query PLANS.json was committed as if it covered all 207)
     val onlyTag = only.map(o => s""","only":${names(o.toSeq)}""").getOrElse("")
-    val head = s""""metric":"total","value":$total,"unit":"sec","ok":$ok,"passes":$passes,"failed":${names(failed)},"flaky":${names(flaky)},"sf":"$sfDir","load_avg":$loadAvg,"host_cpus":$hostCpus$onlyTag"""
+    val head = s""""metric":"total","value":$total,"unit":"sec","ok":$ok,"passes":$passes,"failed":${names(failed)},"flaky":${names(flaky)},"sf":"$sfDir","load_avg":$loadAvg,"host_cpus":$hostCpus,"spill_bytes_total":$spillTotal$onlyTag"""
     // stdout carries exactly ONE line, and it is SMALL: the driver
     // snapshots stdout through a ~2 KB tail window, so with 318 queries
     // the full per-query line (~12 KB) is truncated no matter how it is
@@ -230,7 +291,7 @@ object Bench {
     // missing-field miss in the one consumer that matters. Any parser
     // that wants the full map has BENCH_FULL.json, named in-band.
     val slowest = results.collect { case (k, good, _) if good.nonEmpty =>
-      (k, good.min) }.sortBy(-_._2).take(15)
+      (k, good.map(_.sec).min) }.sortBy(-_._2).take(15)
     val qsTop = slowest.map { case (k, v) => s"\"" + k + "\":" + r6(v) }
       .mkString("{", ",", "}")
     println(s"""{$head,"n_queries":${results.size},"queries":$qsTop,"queries_truncated":true,"queries_full":"BENCH_FULL.json"}""")
@@ -243,7 +304,7 @@ object Bench {
       if (only.isDefined) "PLANS_SUBSET.json" else "PLANS.json")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(benchOut),
-      s"""{$head,"queries":$qs,"queries_raw":$qsRaw}""")
+      s"""{$head,"queries":$qs,"queries_raw":$qsRaw,"spill_bytes":$qsSpill,"peak_exec_mem":$qsPeak,"max_broadcast_bytes":$qsBcast}""")
     catch { case _: Throwable => () } // file write is best-effort telemetry
     // plan-shape snapshot (round artifact): PlanAudit over every declared
     // query, so a plan regression (new shuffle, lost broadcast, a

@@ -115,6 +115,44 @@ object PlanAudit {
     (rex, rsub)
   }
 
+  /** Max MATERIALIZED broadcast size (bytes) across every broadcast
+    * exchange in the runtime plan — read AFTER an action so the
+    * `dataSize` SQLMetric is populated. Plan shape cannot see memory: a
+    * data-scale broadcast compiles identically to a bounded one, so the
+    * bench records this runtime number per query and ArtifactGateSpec
+    * bounds it (r16 verdict item 5). Takes the plan that actually RAN —
+    * obtain it from a QueryExecutionListener's onSuccess (an action like
+    * `df.count()` compiles its OWN QueryExecution; the constructed df's
+    * plan never executes, so its metrics stay zero). Descends into AQE
+    * final stages (QueryStageExec wraps its materialized plan as a LEAF —
+    * plain foreach never reaches it), reused exchanges, and subqueries.
+    * A never-executed branch's metric reads 0 — this is a max over what
+    * RAN, which is exactly the memory claim being bounded. */
+  def maxBroadcastBytes(executed: SparkPlan): Long = {
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    var mx = 0L
+    def walk(p: SparkPlan): Unit = {
+      val u = p match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case o => o
+      }
+      u.foreach { n =>
+        n match {
+          case qs: QueryStageExec => walk(qs.plan)
+          case r: ReusedExchangeExec => walk(r.child)
+          case b: BroadcastExchangeLike =>
+            b.metrics.get("dataSize")
+              .foreach(m => mx = math.max(mx, m.value))
+          case _ => ()
+        }
+        n.subqueries.foreach(walk)
+      }
+    }
+    walk(executed)
+    mx
+  }
+
   /** The audit as a 1-row DataFrame, for dashboards / CI artifacts. */
   def audit(df: DataFrame): DataFrame = {
     val a = of(df)

@@ -940,7 +940,11 @@ object SimilarityQueries extends QueryPack {
     * pre-flight contract). The brute candidate set is the
     * oracle-checkable core; at 100 TB the identical vote runs over the
     * LSH/IVF candidate arm (q51/q56) — only the neighbor-generation
-    * stage swaps. On these uncorrelated synthetic embeddings ~90% of
+    * stage swaps. The quadratic's activation is MEASURED, not argued:
+    * the r17 sf~1 sweep (SCALING.md) reads 2.70s → 480s on 10× data
+    * (tail 2.25 — N² pair count plus the broadcast relation outgrowing
+    * cache), adjudicated in `tools/scaling_sweep.py` with the IVF arm
+    * as the unchanged scale posture. On these uncorrelated synthetic embeddings ~90% of
     * vectors are suspects — the honest null reading (random labels
     * cannot win random neighborhoods), and exactly why the census must
     * be read against a base rate. */

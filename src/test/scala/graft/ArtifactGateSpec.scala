@@ -1,0 +1,86 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CI gates over the committed ROUND ARTIFACTS (r16 verdict items 3+5):
+  * every other defect class in this repo fails a test by name; until
+  * now the scaling contract ("re-run tools/scaling_sweep.py, fix any
+  * flag") and the runtime-memory contract (zero spill, bounded
+  * broadcasts) were conventions someone had to remember. These tests
+  * make a stale or flagged artifact a red suite:
+  *
+  *  - `SCALING_FLAGS.json` — written by `tools/scaling_sweep.py`
+  *    alongside SCALING.md; must exist, cover the full sweep list, and
+  *    carry zero flagged queries (a tail slope past a query's stated
+  *    complexity bound).
+  *  - `BENCH_FULL.json` — written by `graft.Bench` (full-suite runs
+  *    only); must carry the per-query memory telemetry and show zero
+  *    spill and bounded broadcast materialization at sf0.1. Plan shape
+  *    cannot see memory — a data-scale broadcast or a spilling
+  *    aggregate compiles identically to a bounded one — so the gate
+  *    reads the measured runtime numbers.
+  *
+  * Uses Jackson (already on Spark's classpath) — no extra dependency.
+  * These gates read committed files, not live runs: regenerating the
+  * artifact IS the fix path, and a regeneration that still flags fails
+  * here loudly. */
+class ArtifactGateSpec extends AnyFunSuite {
+
+  private def json(path: String): com.fasterxml.jackson.databind.JsonNode = {
+    val f = new java.io.File(path)
+    assert(f.exists,
+      s"$path missing — regenerate it (tools/scaling_sweep.py for " +
+        "SCALING_FLAGS.json, sbt 'runMain graft.Bench' for BENCH_FULL.json)")
+    new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+  }
+
+  test("SCALING_FLAGS.json: sweep artifact present, full coverage, " +
+    "zero flagged queries") {
+    val n = json("SCALING_FLAGS.json")
+    val flags = n.get("flags")
+    assert(flags != null && flags.isArray, "flags array missing")
+    assert(flags.size == 0,
+      s"scaling sweep flagged ${flags}: a measured tail slope exceeded " +
+        "its stated complexity bound — fix the query or re-adjudicate " +
+        "the bound in tools/scaling_sweep.py STATED, then re-run the sweep")
+    // coverage pin: the sweep list only grows (26 three-SF rows as of
+    // r17, plus the 5-query sf~1 extension) — a shrunk artifact means a
+    // stale or hand-edited file
+    assert(n.get("n_queries").asLong >= 26L,
+      s"sweep covered ${n.get("n_queries")} queries — expected >= 26")
+    assert(n.get("sf1x_queries") != null && n.get("sf1x_queries").size >= 5,
+      "the sf~1 steep-tail extension is missing from the sweep artifact")
+  }
+
+  test("BENCH_FULL.json: zero spill and bounded broadcast " +
+    "materialization across every query at sf0.1") {
+    val n = json("BENCH_FULL.json")
+    val spill = n.get("spill_bytes")
+    assert(spill != null && spill.size > 0,
+      "BENCH_FULL.json predates the memory telemetry — re-run " +
+        "sbt 'runMain graft.Bench' (full suite) to regenerate")
+    var total = 0L
+    spill.fields.forEachRemaining { e =>
+      if (!e.getValue.isNull) total += e.getValue.asLong
+    }
+    assert(total == 0L,
+      s"measured task spill ($total bytes) — a partition no longer fits " +
+        "executor memory; find the query via the spill_bytes map and " +
+        "repartition/rescope it")
+    val bcast = n.get("max_broadcast_bytes")
+    assert(bcast != null && bcast.size > 0, "max_broadcast_bytes missing")
+    // bound: the largest adjudicated broadcast at sf0.1 (the q84/q357
+    // benchmark-gram set and the NB/LM model relations) measures ~67 MB
+    // page-allocated; 256 MB is 'an intentional bounded dimension with
+    // headroom', not 'a data-scale relation' — a corpus-sized build
+    // side blows straight past it
+    val bound = 256L * 1024 * 1024
+    bcast.fields.forEachRemaining { e =>
+      if (!e.getValue.isNull)
+        assert(e.getValue.asLong <= bound,
+          s"${e.getKey} materialized a ${e.getValue.asLong}-byte " +
+            "broadcast (> 256 MB) — a broadcast side has grown with the " +
+            "data; demote it to a shuffle join or re-bound the dimension")
+    }
+  }
+}
