@@ -1421,7 +1421,61 @@ object CurationQueries extends QueryPack {
       .orderBy("lang")
   }
 
+  /** Policy-mix utilization audit — the operator-facing readout of the
+    * r17 policy→build wiring (the row an operator reads to see WHAT the
+    * certified quota did to the shipped corpus): per source, the
+    * verdict-selected tier/mult/quota, the cap the mix applied
+    * (⌊t_total·quota_s/10⁸⌋), what the clean stage had available, what
+    * shipped, whether the cap was BINDING (cap < available — the
+    * water-fill actually trimmed), and exact e4 utilization
+    * shipped/cap (straddler convention can push it past 10⁴ — that is
+    * the kept-straddler, not an error; NULL when the cap is 0). A
+    * source whose quota is zero (nothing scored → mult 0) shows
+    * shipped 0 here — the silent-drop channel made visible. Scale:
+    * three bounded per-source aggregates off the memoized build stages
+    * plus the 1-row total broadcast; the quota side is the bounded
+    * source set. */
+  private def q377(s: SparkSession, dir: String): DataFrame = {
+    import Rounding.intDivExact
+    val (_, _, _, _, clean, mixed) = corpusStages(s, dir)
+    val quota = QualityModelQueries.policyQuotaFull(s, dir)
+      .select(col("source"), col("policy"), col("tier"), col("mult"),
+        coalesce(col("quota_tokens"), lit(0L)).as("quota_tokens"))
+    val avail = clean.groupBy("source")
+      .agg(count(lit(1)).as("n_docs_avail"),
+        sum("n_tokens").as("n_tokens_avail"))
+    val shipped = mixed.groupBy("source")
+      .agg(count(lit(1)).as("n_docs_shipped"),
+        sum("n_tokens").as("n_tokens_shipped"))
+    val tot = clean.agg(sum("n_tokens").as("t_total"))
+    quota
+      .join(avail, Seq("source"), "left")
+      .join(shipped, Seq("source"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("n_docs_avail", coalesce(col("n_docs_avail"), lit(0L)))
+      .withColumn("n_tokens_avail",
+        coalesce(col("n_tokens_avail"), lit(0L)))
+      .withColumn("n_docs_shipped",
+        coalesce(col("n_docs_shipped"), lit(0L)))
+      .withColumn("n_tokens_shipped",
+        coalesce(col("n_tokens_shipped"), lit(0L)))
+      .withColumn("cap_tokens", intDivExact(
+        col("quota_tokens").cast("decimal(38,0)") * col("t_total"),
+        lit(100000000L)))
+      .withColumn("cap_binding",
+        (col("cap_tokens") < col("n_tokens_avail")).cast("long"))
+      .withColumn("util_e4", when(col("cap_tokens") > 0L, intDivExact(
+        col("n_tokens_shipped").cast("decimal(38,0)") * lit(10000L),
+        col("cap_tokens"))))
+      .select(col("source"), col("policy"), col("tier"), col("mult"),
+        col("quota_tokens"), col("cap_tokens"), col("n_docs_avail"),
+        col("n_tokens_avail"), col("n_docs_shipped"),
+        col("n_tokens_shipped"), col("cap_binding"), col("util_e4"))
+      .orderBy("source")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q377_policy_mix_audit" -> (q377 _),
     "q353_corpus_build" -> (q353 _),
     "q359_bpe_merges" -> (q359 _),
     "q370_bpe_fertility" -> (q370 _),
@@ -1834,6 +1888,47 @@ object CurationQueries extends QueryPack {
   }
 
   val oracle: Map[String, String] = Map(
+    // the corpus chain's own pquota/clean/tot/mixed CTEs re-aggregated
+    // per source — cap, availability, shipped, binding, exact util
+    "q377_policy_mix_audit" -> {
+      import Rounding.intDivExactSql
+      val cap = intDivExactSql(
+        "CAST(quota_tokens AS HUGEINT) * t_total", "100000000")
+      val util = intDivExactSql(
+        "CAST(n_tokens_shipped AS HUGEINT) * 10000", "cap_tokens")
+      s"""WITH RECURSIVE
+         |$corpusCtes,
+         |av AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs_avail,
+         |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens_avail
+         |  FROM clean GROUP BY source),
+         |sh AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs_shipped,
+         |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens_shipped
+         |  FROM mixed GROUP BY source),
+         |aq AS (
+         |  SELECT source, policy, tier, mult,
+         |    CAST(coalesce(quota_tokens, 0) AS BIGINT) AS quota_tokens
+         |  FROM pquota),
+         |cp AS (
+         |  SELECT aq.source, policy, tier, mult, quota_tokens,
+         |    CAST($cap AS BIGINT) AS cap_tokens,
+         |    CAST(coalesce(n_docs_avail, 0) AS BIGINT) AS n_docs_avail,
+         |    CAST(coalesce(n_tokens_avail, 0) AS BIGINT)
+         |      AS n_tokens_avail,
+         |    CAST(coalesce(n_docs_shipped, 0) AS BIGINT)
+         |      AS n_docs_shipped,
+         |    CAST(coalesce(n_tokens_shipped, 0) AS BIGINT)
+         |      AS n_tokens_shipped
+         |  FROM aq LEFT JOIN av ON aq.source = av.source
+         |          LEFT JOIN sh ON aq.source = sh.source, tot)
+         |SELECT source, policy, tier, mult, quota_tokens, cap_tokens,
+         |  n_docs_avail, n_tokens_avail, n_docs_shipped,
+         |  n_tokens_shipped,
+         |  CAST(cap_tokens < n_tokens_avail AS BIGINT) AS cap_binding,
+         |  CASE WHEN cap_tokens > 0 THEN $util ELSE NULL END AS util_e4
+         |FROM cp ORDER BY source""".stripMargin
+    },
     // same md5 uniform, same (u, doc_id) order — the draw is a shared
     // deterministic function, not a mirrored RNG
     // the full composed corpus build — every stage CTE mirrors one

@@ -985,6 +985,48 @@ object SimilarityQueries extends QueryPack {
       .orderBy("vec_id")
   }
 
+  /** Label-noise candidates over the LSH candidate arm — q306's vote
+    * run on the SCALE PATH its adjudication names (SCALING.md r17
+    * measured the brute arm's quadratic activating at the sf~1 decade;
+    * this is the form a 100 TB run actually executes): neighbors come
+    * from the memoized banded-LSH candidate pairs (q223/q305's
+    * substrate) instead of the all-pairs product, symmetrized so each
+    * vector votes over its own candidate neighborhood — top 5 by the
+    * exact e6 cosine under the same (value desc, id asc) contract,
+    * majority-loss suspect rule 2·n_same ≤ n_cand (reduces to q306's
+    * n_same ≤ 2 at full 5-neighborhoods). `n_cand5` rides along: an
+    * approximate arm must SHOW its coverage, and a vector with no
+    * candidates is absent by design (an LSH miss is a recall property —
+    * q232 measures it; this query votes on what the candidate
+    * generator surfaces). Scale: band-bucket equi join (never
+    * all-pairs), the q306 bounded top-k aggregate, one broadcast label
+    * join. */
+  private def q378(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val pairs = lshScoredPairs(s, dir)
+    val sym = pairs.select(col("a").as("q"), col("la").as("ql"),
+        col("b").as("c"), col("sim_d"))
+      .unionByName(pairs.select(col("b").as("q"), col("lb").as("ql"),
+        col("a").as("c"), col("sim_d")))
+    val scored = sym.select(col("q"), col("ql"), col("c"),
+      floor(col("sim_d") * lit(1000000.0) + lit(0.5)).cast("long")
+        .as("cos_e6"))
+    val topk = udaf(new graft.functions.TopKByValue(5),
+      ExpressionEncoder[graft.functions.Scored]())
+    scored.groupBy(col("q"), col("ql"))
+      .agg(topk(col("cos_e6").cast("double"), col("c")).as("top"))
+      .select(col("q"), col("ql"), explode(col("top")).as("t"))
+      .select(col("q"), col("ql"), col("t.id").as("c"))
+      .join(broadcast(emb(s, dir).select(col("vec_id").as("c"),
+        col("label").as("cl"))), "c")
+      .groupBy(col("q").as("vec_id"), col("ql").as("label"))
+      .agg(count(lit(1)).as("n_cand5"),
+        sum((col("cl") === col("ql")).cast("long")).as("n_same5"))
+      .withColumn("is_suspect",
+        (lit(2L) * col("n_same5") <= col("n_cand5")).cast("long"))
+      .orderBy("vec_id")
+  }
+
   /** Johnson–Lindenstrauss projection audit — "can 16 random dimensions
     * stand in for 64": every vector projects onto 16 md5-seeded
     * hyperplanes (the [[graft.operators.Lsh]] plane family, so both
@@ -1074,6 +1116,7 @@ object SimilarityQueries extends QueryPack {
     "q339_dim_stats" -> (q339 _),
     "q305_cos_calibration" -> (q305 _),
     "q306_label_noise" -> (q306 _),
+    "q378_label_noise_ann" -> (q378 _),
     "q310_jl_audit" -> (q310 _),
     "q317_label_centroids" -> (q317 _),
     "q50_knn_cosine" -> (q50 _),
@@ -1238,6 +1281,38 @@ object SimilarityQueries extends QueryPack {
         |    AS n_same5,
         |  CAST(sum(CASE WHEN cl = ql THEN 1 ELSE 0 END) <= 2 AS BIGINT)
         |    AS is_suspect
+        |FROM top5 GROUP BY q, ql ORDER BY vec_id""".stripMargin,
+    // q305's LSH candidate chain, symmetrized, then q306's vote — same
+    // e6 grid, same (cos desc, id) tie-break, majority-loss rule
+    "q378_label_noise_ann" ->
+      s"""WITH e AS (SELECT vec_id, label,
+        |  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |${Lsh.signatureSqlCtes(Bands * Rows, Dim)},
+        |${Lsh.bandsSqlCte(Bands, Rows)},
+        |p AS (
+        |  SELECT DISTINCT a.vec_id AS a, b.vec_id AS b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
+        |sc AS (
+        |  SELECT p.a, p.b, ea.label AS la, eb.label AS lb,
+        |    CAST(floor(list_cosine_similarity(ea.v, eb.v) * 1000000.0
+        |      + 0.5) AS BIGINT) AS cos_e6
+        |  FROM p JOIN e ea ON p.a = ea.vec_id
+        |         JOIN e eb ON p.b = eb.vec_id),
+        |sym AS (
+        |  SELECT a AS q, la AS ql, b AS c, lb AS cl, cos_e6 FROM sc
+        |  UNION ALL
+        |  SELECT b, lb, a, la, cos_e6 FROM sc),
+        |top5 AS (
+        |  SELECT q, ql, cl FROM sym
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY q ORDER BY cos_e6 DESC, c) <= 5)
+        |SELECT q AS vec_id, ql AS label,
+        |  CAST(count(*) AS BIGINT) AS n_cand5,
+        |  CAST(sum(CASE WHEN cl = ql THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_same5,
+        |  CAST(2 * sum(CASE WHEN cl = ql THEN 1 ELSE 0 END) <= count(*)
+        |    AS BIGINT) AS is_suspect
         |FROM top5 GROUP BY q, ql ORDER BY vec_id""".stripMargin,
     // q50's brute chain and q51's LSH chain side by side (CTEs renamed
     // apart), diffed with the same left join + per-query aggregate

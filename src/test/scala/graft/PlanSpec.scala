@@ -337,6 +337,7 @@ class PlanSpec extends SparkSuite {
       "q372_lm_calibration" -> 1L, // clamped 0.05-nat buckets (≤21 rows)
       "q374_lm_cut_verdict" -> 1L, // same ≤21-row operating table
       "q375_policy_quota" -> 4L, // two bounded-source ntiles × 2 branches
+      "q377_policy_mix_audit" -> 4L, // q375's quota-chain ntiles × 2 branches
       "q376_policy_gate" -> 1L, // q374's ≤21-row operating table
       "q367_quality_budget" -> 2L) // per-source tier table (bounded)
     // EXACT equality, not <= (ADVICE r15): an allowlisted query that
@@ -518,6 +519,9 @@ class PlanSpec extends SparkSuite {
       "q374_lm_cut_verdict" -> 2L,
       "q375_policy_quota" -> 5L,
       "q376_policy_gate" -> 2L,
+      // q377: the embedded quota chain's global-scalar partials plus the
+      // build's 1-row t_total — all map-side-combined bounded aggregates
+      "q377_policy_mix_audit" -> 6L,
       "q64_tfidf" -> 1L,
       "q83_heavy_hitters" -> 1L,
       "q87_skew_report" -> 1L,
@@ -626,6 +630,9 @@ class PlanSpec extends SparkSuite {
       "q374_lm_cut_verdict" -> 1L,
       "q375_policy_quota" -> 3L,
       "q376_policy_gate" -> 2L,
+      // q377: q375's three 1-row-frame broadcasts plus the audit's own
+      // broadcast(t_total) crossJoin — every side a bounded frame
+      "q377_policy_mix_audit" -> 4L,
       "q50_knn_cosine" -> 1L,
       "q56_knn_ivf" -> 2L,
       "q64_tfidf" -> 1L,

@@ -47,4 +47,34 @@ class SimilaritySpec extends SparkSuite {
     val b = SparkEntry.queries("q51_knn_lsh")(spark, sf).collect().toSeq
     assert(a == b)
   }
+
+  test("q378 ANN label-noise arm: bounded neighborhoods, rule-consistent " +
+    "suspects, and substantial agreement with the brute q306 verdict on " +
+    "full neighborhoods") {
+    val ann = SparkEntry.queries("q378_label_noise_ann")(spark, sf)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("n_cand5"), r.getAs[Long]("n_same5"),
+          r.getAs[Long]("is_suspect"))).toMap
+    assert(ann.nonEmpty, "ANN arm surfaced no neighborhoods — vacuous")
+    ann.foreach { case (id, (cand, same, sus)) =>
+      assert(cand >= 1L && cand <= 5L, s"vec $id n_cand5=$cand")
+      assert(same >= 0L && same <= cand, s"vec $id n_same5=$same")
+      assert(sus == (if (2L * same <= cand) 1L else 0L),
+        s"vec $id suspect flag violates the majority-loss rule")
+    }
+    // on FULL 5-candidate neighborhoods the two arms vote over
+    // different neighbor sets (LSH top-5 vs exact top-5), so exact
+    // agreement is not owed — but the verdicts must correlate strongly,
+    // or the candidate generator isn't surfacing real neighborhoods
+    val brute = SparkEntry.queries("q306_label_noise")(spark, sf)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Long]("is_suspect")).toMap
+    val full = ann.collect { case (id, (5L, _, sus))
+      if brute.contains(id) => (sus, brute(id)) }
+    assert(full.nonEmpty, "no full neighborhoods to compare — vacuous")
+    val agree = full.count { case (a, b) => a == b }.toDouble / full.size
+    assert(agree >= 0.8,
+      s"ANN vs brute suspect agreement $agree < 0.8 on " +
+        s"${full.size} full neighborhoods")
+  }
 }

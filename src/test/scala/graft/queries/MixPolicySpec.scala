@@ -90,6 +90,36 @@ class MixPolicySpec extends SparkSuite {
     }
   }
 
+  test("q377 mix audit: caps, availability, shipped, and binding are " +
+    "mutually consistent on the real build") {
+    val rows = graft.SparkEntry
+      .queries("q377_policy_mix_audit")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty, "empty audit — vacuous")
+    val tTotal = rows.map(_.getAs[Long]("n_tokens_avail")).sum
+    rows.foreach { r =>
+      val cap = r.getAs[Long]("cap_tokens")
+      val avail = r.getAs[Long]("n_tokens_avail")
+      val shipped = r.getAs[Long]("n_tokens_shipped")
+      assert(shipped <= avail, s"shipped more than available: $r")
+      // a non-binding cap keeps the whole source (water-fill identity)
+      if (r.getAs[Long]("cap_binding") == 0L)
+        assert(shipped == avail, s"non-binding cap trimmed anyway: $r")
+      // a zero quota ships nothing — the silent-drop channel, visible
+      if (r.getAs[Long]("quota_tokens") == 0L)
+        assert(shipped == 0L && cap == 0L, s"zero quota shipped: $r")
+      if (cap > 0L) assert(!r.isNullAt(r.fieldIndex("util_e4")),
+        s"util_e4 null with a positive cap: $r")
+    }
+    // caps are shares of the clean total: Σ⌊quota·T/10⁸⌋ ≤ T, and each
+    // source loses < 1 at the quota floor (< T/10⁸ tokens) plus < 1 at
+    // the cap floor
+    val capSum = rows.map(_.getAs[Long]("cap_tokens")).sum
+    val floorLoss = 2L * rows.length + (tTotal * rows.length) / 100000000L
+    assert(capSum <= tTotal && capSum >= tTotal - floorLoss,
+      s"cap sum $capSum vs t_total $tTotal drifted past floor loss")
+  }
+
   test("a flipped verdict on the drifted fixture CHANGES the shipped " +
     "corpus's composition — same docs, same scores, different corpus") {
     def composition(df: DataFrame): Map[String, Long] =
