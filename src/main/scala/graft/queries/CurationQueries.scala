@@ -1009,7 +1009,8 @@ object CurationQueries extends QueryPack {
       // normalize column order: the join form's USING(source) moves the
       // key first, the map form doesn't — pin one order so the raw/memo
       // neutrality twin compares like for like
-      .select((clean.columns :+ "cum" :+ "t_total").map(col): _*)
+      .select((clean.columns.toIndexedSeq :+ "cum" :+ "t_total")
+        .map(col): _*)
   }
 
   /** Stage 6→7 of the composed build: 80/10/10 split over the mixed

@@ -784,6 +784,71 @@ object QualityModelQueries extends QueryPack {
       .orderBy("source")
   }
 
+  /** Policy SENSITIVITY table — how much of the token budget rides on
+    * the calibration verdict: per source, BOTH candidate tier orderings
+    * (mean NB score vs empirical positive rate) carried to their full
+    * quota allocations — each under its own weighted total — plus the
+    * signed delta and the currently-active policy. This is the risk
+    * readout an operator checks BEFORE trusting the q375→q353 wiring:
+    * a large delta on a big source means the corpus's composition is
+    * one calibration drift away from changing, a near-zero delta means
+    * the two orderings agree and the verdict is not load-bearing.
+    * Scale: the same bounded source-set arithmetic as q375 (two ntiles,
+    * two 1-row totals behind broadcasts); nothing touches per-doc data
+    * beyond the memoized score substrate. */
+  private def q379(s: SparkSession, dir: String): DataFrame =
+    policySensitivityTable(
+      nbDocScores(s, dir)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs_scored"),
+          sum(col("score_e6").cast("decimal(38,0)")).as("sum_score_e6"),
+          sum("y").as("n_pos")),
+      docs(s, dir).groupBy("source")
+        .agg(sum(TextAnalysis.tokenCount(col("text"))).as("n_tokens")),
+      nbVerdict(s, dir).select(col("policy")))
+
+  /** q379's arithmetic over BOUNDED inputs — the [[policyQuotaTable]]
+    * split (same perSourceStats/tokens shapes), emitting both
+    * orderings' quotas instead of CASE-selecting one. */
+  private[graft] def policySensitivityTable(perSourceStats: DataFrame,
+      tokens: DataFrame, verdict: DataFrame): DataFrame = {
+    import Rounding.intDivExact
+    val budget = 100000000L
+    val perSource = perSourceStats
+      .select(col("source"),
+        intDivExact(col("sum_score_e6"), col("n_docs_scored"))
+          .as("mean_score_e6"),
+        intDivExact(
+          col("n_pos").cast("decimal(38,0)") * lit(20000L) +
+            col("n_docs_scored"),
+          lit(2L) * col("n_docs_scored")).as("emp_rate_e4"))
+    val wMean = Window.orderBy(col("mean_score_e6").desc, col("source"))
+    val wEmp = Window.orderBy(col("emp_rate_e4").desc, col("source"))
+    val ranked = perSource
+      .withColumn("tier_mean", ntile(3).over(wMean).cast("long"))
+      .withColumn("tier_emp", ntile(3).over(wEmp).cast("long"))
+    val weighted = tokens.join(ranked, Seq("source"), "left")
+      .withColumn("mult_mean", coalesce(lit(4L) - col("tier_mean"), lit(0L)))
+      .withColumn("mult_emp", coalesce(lit(4L) - col("tier_emp"), lit(0L)))
+      .withColumn("wm",
+        col("n_tokens").cast("decimal(38,0)") * col("mult_mean"))
+      .withColumn("we",
+        col("n_tokens").cast("decimal(38,0)") * col("mult_emp"))
+    val tot = weighted.agg(sum("wm").as("wmt"), sum("we").as("wet"))
+    weighted.crossJoin(broadcast(tot)).crossJoin(broadcast(verdict))
+      .withColumn("quota_mean_tokens", when(col("wmt") > 0L,
+        intDivExact(col("wm") * lit(budget), col("wmt"))))
+      .withColumn("quota_emp_tokens", when(col("wet") > 0L,
+        intDivExact(col("we") * lit(budget), col("wet"))))
+      .select(col("source"), col("n_tokens"),
+        col("tier_mean"), col("tier_emp"),
+        col("quota_mean_tokens"), col("quota_emp_tokens"),
+        (col("quota_emp_tokens") - col("quota_mean_tokens"))
+          .as("delta_tokens"),
+        col("policy"))
+      .orderBy("source")
+  }
+
   /** Policy-applied perplexity gate — q374's verdict made EXECUTABLE:
     * the per-language kept census at the cut the verdict certifies
     * (3.4 nats under `keep_cut`, the knee's upper edge under
@@ -857,6 +922,7 @@ object QualityModelQueries extends QueryPack {
     "q374_lm_cut_verdict" -> (q374 _),
     "q375_policy_quota" -> (q375 _),
     "q376_policy_gate" -> (q376 _),
+    "q379_policy_sensitivity" -> (q379 _),
     "q363_nb_classifier" -> (q363 _),
     "q364_lm_cross_entropy" -> (q364 _),
     "q365_nb_threshold_sweep" -> (q365 _),
@@ -1188,6 +1254,27 @@ object QualityModelQueries extends QueryPack {
         |SELECT source, policy, n_docs_scored, mean_score_e6,
         |  emp_rate_e4, tier, mult, n_tokens, quota_tokens
         |FROM pquota ORDER BY source""".stripMargin,
+    // the same chain's rk/tk/flag CTEs, both orderings carried to their
+    // full allocations under their own weighted totals
+    "q379_policy_sensitivity" -> {
+      val qm = Rounding.intDivExactSql(
+        "CAST(wm AS HUGEINT) * 100000000", "NULLIF(wmt, 0)")
+      val qe = Rounding.intDivExactSql(
+        "CAST(we AS HUGEINT) * 100000000", "NULLIF(wet, 0)")
+      s"""WITH $policyQuotaCtes,
+        |w2 AS (
+        |  SELECT tk.source, n_tokens, tier_mean, tier_emp,
+        |    CAST(n_tokens AS HUGEINT) * coalesce(4 - tier_mean, 0) AS wm,
+        |    CAST(n_tokens AS HUGEINT) * coalesce(4 - tier_emp, 0) AS we
+        |  FROM tk LEFT JOIN rk ON tk.source = rk.source),
+        |wt2 AS (SELECT sum(wm) AS wmt, sum(we) AS wet FROM w2)
+        |SELECT source, n_tokens, tier_mean, tier_emp,
+        |  $qm AS quota_mean_tokens,
+        |  $qe AS quota_emp_tokens,
+        |  CAST($qe - $qm AS BIGINT) AS delta_tokens,
+        |  policy
+        |FROM w2, wt2, flag ORDER BY source""".stripMargin
+    },
     // the q374 verdict chain + the certified-cut census, with the cut a
     // CASE-selected value from the verdict row
     "q376_policy_gate" -> {

@@ -338,6 +338,7 @@ class PlanSpec extends SparkSuite {
       "q374_lm_cut_verdict" -> 1L, // same ≤21-row operating table
       "q375_policy_quota" -> 4L, // two bounded-source ntiles × 2 branches
       "q377_policy_mix_audit" -> 4L, // q375's quota-chain ntiles × 2 branches
+      "q379_policy_sensitivity" -> 4L, // the same two bounded-source ntiles × 2
       "q376_policy_gate" -> 1L, // q374's ≤21-row operating table
       "q367_quality_budget" -> 2L) // per-source tier table (bounded)
     // EXACT equality, not <= (ADVICE r15): an allowlisted query that
@@ -522,6 +523,9 @@ class PlanSpec extends SparkSuite {
       // q377: the embedded quota chain's global-scalar partials plus the
       // build's 1-row t_total — all map-side-combined bounded aggregates
       "q377_policy_mix_audit" -> 6L,
+      // q379: q375-class global-scalar partials (two weighted totals +
+      // the verdict chain's) — bounded map-side-combined aggregates
+      "q379_policy_sensitivity" -> 4L,
       "q64_tfidf" -> 1L,
       "q83_heavy_hitters" -> 1L,
       "q87_skew_report" -> 1L,
@@ -633,6 +637,8 @@ class PlanSpec extends SparkSuite {
       // q377: q375's three 1-row-frame broadcasts plus the audit's own
       // broadcast(t_total) crossJoin — every side a bounded frame
       "q377_policy_mix_audit" -> 4L,
+      // q379: the 1-row totals + 1-row verdict crossJoins — bounded frames
+      "q379_policy_sensitivity" -> 2L,
       "q50_knn_cosine" -> 1L,
       "q56_knn_ivf" -> 2L,
       "q64_tfidf" -> 1L,

@@ -90,6 +90,27 @@ class MixPolicySpec extends SparkSuite {
     }
   }
 
+  test("policySensitivityTable: each ordering's quota column equals " +
+    "policyQuotaTable under the matching forced verdict") {
+    val sens = QualityModelQueries
+      .policySensitivityTable(perSourceStats, tokens, verdict(1L))
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("quota_mean_tokens"),
+          r.getAs[Long]("quota_emp_tokens"),
+          r.getAs[Long]("delta_tokens"))).toMap
+    val mean = quotaOf(1L) // calibrated verdict applies the mean ordering
+    val empq = quotaOf(0L) // flipped verdict applies the emp-rate ordering
+    sens.foreach { case (src, (qm, qe, d)) =>
+      assert(qm == mean(src), s"$src mean-ordering quota diverged")
+      assert(qe == empq(src), s"$src emp-ordering quota diverged")
+      assert(d == qe - qm, s"$src delta inconsistent")
+    }
+    // on the drifted fixture the orderings DISAGREE — the sensitivity
+    // table's whole point is showing that this corpus is verdict-bound
+    assert(sens.values.exists(_._3 != 0L),
+      "fixture orderings agree — sensitivity test is vacuous")
+  }
+
   test("q377 mix audit: caps, availability, shipped, and binding are " +
     "mutually consistent on the real build") {
     val rows = graft.SparkEntry
