@@ -977,6 +977,16 @@ class StreamingSpec extends SparkSuite {
         QualityModelQueries.nbGateVerdict(
           QualityModelQueries.calibrationTable(bk))
           .select(col("calibrated"), col("policy")))
+    // the q379 sensitivity table rides the SAME three bounded states —
+    // both orderings' full allocations re-derived per micro-batch
+    def sens(src: DataFrame, tk: DataFrame, bk: DataFrame): DataFrame =
+      QualityModelQueries.policySensitivityTable(
+        src.filter(col("n_docs_scored") > 0L)
+          .select("source", "n_docs_scored", "sum_score_e6", "n_pos"),
+        tk.select("source", "n_tokens"),
+        QualityModelQueries.nbGateVerdict(
+          QualityModelQueries.calibrationTable(bk))
+          .select(col("policy")))
     def snapshot(df: DataFrame): Set[String] =
       df.collect().map(_.mkString("|")).toSet
     implicit val sqlCtx = spark.sqlContext
@@ -990,6 +1000,7 @@ class StreamingSpec extends SparkSuite {
     var bkState = Seq.empty[(Long, Long, Long)]
       .toDF("bucket", "n_docs", "n_pos").localCheckpoint(true)
     val prefixTables = scala.collection.mutable.ListBuffer[Set[String]]()
+    val prefixSens = scala.collection.mutable.ListBuffer[Set[String]]()
     val q = mem.toDF().toDF("doc_id", "text", "source", "y").writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -1018,6 +1029,7 @@ class StreamingSpec extends SparkSuite {
         graft.operators.CheckpointBlocks.release(prevSrc)
         graft.operators.CheckpointBlocks.release(prevBk)
         prefixTables += snapshot(table(srcState, srcState, bkState))
+        prefixSens += snapshot(sens(srcState, srcState, bkState))
         ()
       }.start()
     val arrivals = d.collect()
@@ -1040,11 +1052,20 @@ class StreamingSpec extends SparkSuite {
           s"policy-quota prefix ${i + 1}/${chunks.length} diverges: " +
             s"only-streamed=${(got -- want).take(3)} " +
             s"only-batch=${(want -- got).take(3)}")
+        val wantSens =
+          snapshot(sens(srcStats(pdf), toks(pdf), buckets(pdf)))
+        assert(prefixSens(i) == wantSens,
+          s"sensitivity prefix ${i + 1}/${chunks.length} diverges: " +
+            s"only-streamed=${(prefixSens(i) -- wantSens).take(3)} " +
+            s"only-batch=${(wantSens -- prefixSens(i)).take(3)}")
     }
     // and the drained table is exactly the declared q375
     assert(prefixTables.last == snapshot(
       graft.SparkEntry.queries("q375_policy_quota")(spark, sf)),
       "the drained incremental table must equal the declared q375")
+    assert(prefixSens.last == snapshot(
+      graft.SparkEntry.queries("q379_policy_sensitivity")(spark, sf)),
+      "the drained sensitivity table must equal the declared q379")
   }
 
   test("foreachBatch streaming calibration drift monitor (q371) equals " +
