@@ -41,6 +41,7 @@ QUERIES = [
     "q264_sssp", "q265_widest_path", "q266_sparse_cosine",
     "q270_lsh_tuning", "q273_winnowing", "q299_hub_robustness",
     "q306_label_noise", "q337_coverage_curve", "q353_corpus_build",
+    "q378_label_noise_ann",
     "q362_dedup_sweep", "q363_nb_classifier", "q364_lm_cross_entropy",
     "q44_dedup_embedding",
 ]
@@ -65,13 +66,23 @@ STATED = {
     "q273_winnowing": (1.15, "rolling-hash fingerprints, O(tokens)"),
     "q299_hub_robustness": (1.25, "k CC re-runs after hub removal; rounds grow ~log"),
     # r17 adjudication: the sf~1 decade ACTIVATED the documented
-    # quadratic (2.70s -> 480s on 10x data, tail 2.25): N^2 pair count
-    # plus the 10x broadcast relation outgrowing cache - a
-    # slowly-growing constant on top of the designed N^2, not an
-    # undesigned blowup. Bound raised to the measured activation +
-    # margin; the scale path remains the IVF arm (q232/q250), and any
-    # growth past ~2.3 would mean a NEW super-quadratic term.
-    "q306_label_noise": (2.30, "BRUTE 5-NN baseline arm - documented O(N^2) pair count (sf~1 measured 2.25: quadratic + broadcast-cache drift); the scale path is IVF (q232/q250)"),
+    # quadratic (2.9s -> 297s on 10x decorrelated data, tail 2.01 -
+    # exactly the designed N^2; the first clone-pathology synthesis
+    # read 2.25 with broadcast-cache drift on top). Bound 2.30 =
+    # activation + margin; the scale path remains the candidate-
+    # generation swap (q378 / IVF q232/q250), and growth past ~2.3
+    # would mean a NEW super-quadratic term.
+    "q306_label_noise": (2.30, "BRUTE 5-NN baseline arm - documented O(N^2) pair count (sf~1 measured 2.01: the designed quadratic, activated); the scale path swaps candidate generation (q378, IVF q232/q250)"),
+    # the scale-path CONTRAST row (r17): the same vote over banded-LSH
+    # candidates, 13x cheaper than brute at the sf~1 decade (23s vs
+    # 297s). Its own honest exponent: at FIXED band geometry (32 bands
+    # x 4 bits) candidate pairs ~ sum(m^2) ~ N^2/2^r - occupancy grows
+    # with the corpus, so the fixed-parameter bound is ~N^2/const, and
+    # the measured 1.46 is that term amortizing in, not a defect.
+    # Production re-tunes band bits with N - q270_lsh_tuning IS that
+    # tuner - which restores the gated exponent; growth past ~1.7 at
+    # FIXED parameters would mean a new term beyond the occupancy one.
+    "q378_label_noise_ann": (1.70, "label-noise vote over banded-LSH candidates (sf~1 measured 1.46: fixed-band occupancy term N^2/2^r - production re-tunes bands via q270; 13x under the brute arm at the same decade)"),
     "q362_dedup_sweep": (1.30, "mined-pair chain (df-gated) swept over 7 bounded thresholds"),
     "q44_dedup_embedding": (1.15, "exact-hash bucket equi join, O(N)"),
     # memoized-substrate COLD builds (pass-1 raw sample per family)
@@ -124,13 +135,20 @@ STUB_ONLY = {
 #   * customer: a 2-char replica prefix keeps cross-replica names at
 #     edit distance >= 2, so SymSpell candidate structure replicates
 #     instead of exploding;
-#   * embeddings: a tiny deterministic per-replica offset (brute-force
-#     kNN cost is pair-count-bound either way).
+#   * embeddings: a per-replica CIRCULAR coordinate shift (v'_i =
+#     v_{(i+k) mod d}) - within a replica every pairwise cosine is
+#     EXACTLY the original (both vectors shifted by the same
+#     permutation), while cross-replica signatures decorrelate, so LSH
+#     buckets hold ~10 independent corpora. The first cut used a tiny
+#     additive offset instead; that kept replica clones near-PARALLEL,
+#     clones shared every band key, buckets grew 10x and candidate
+#     pairs 100x - a clone pathology, not a scale-up (the embedding
+#     analogue of why documents are token-salted).
 SF1X_DIR = "/tmp/graft_sf1x"
 SF1X_REPLICAS = 10
 SF1X_QUERIES = [
     "q100_fuzzy_match", "q192_substring_overlap", "q266_sparse_cosine",
-    "q270_lsh_tuning", "q306_label_noise",
+    "q270_lsh_tuning", "q306_label_noise", "q378_label_noise_ann",
 ]
 
 
@@ -156,8 +174,8 @@ def synthesize_sf1x() -> None:
     con.execute(f"""
       COPY (
         SELECT k * 10000000 + vec_id AS vec_id,
-               list_transform(embedding,
-                 x -> CAST(x + k * 0.0001 AS FLOAT)) AS embedding,
+               CAST(list_concat(embedding[(k + 1):],
+                                embedding[1:k]) AS FLOAT[]) AS embedding,
                label
         FROM read_parquet('{base}/embeddings.parquet'),
              range({SF1X_REPLICAS}) t(k)
@@ -333,25 +351,35 @@ def main() -> None:
 # the numbers move materially. Kept here so SCALING.md is always
 # regenerated WHOLE (table + prose) by one command.
 ANALYSIS = """
-**Round-17 reading: zero flags after one real adjudication.** The
+**Round-17 reading: zero flags after two real adjudications.** The
 driver's three snapshots still show every tail at or below ~0.6, and
-the new sf~1 decade (10x salted replication of sf0.1 - per-replica
-token salting so pair mining scales as ten independent corpora, not a
-10-way near-dup pathology) pushes the five steepest families one more
-decade: q100 0.95, q266 0.95, q192 0.75, q270 0.73 - all sub-linear,
-all inside their stated bounds even as fixed floors stop hiding the
-data term.
+the new sf~1 decade (10x salted replication of sf0.1 - token-salted
+documents, circular-shifted embeddings - see synthesize_sf1x for why
+each) pushes the steepest families one more decade: q100 0.90, q192
+0.69, q266 0.62, q270 0.58 - sub-linear and inside bounds even as
+fixed floors stop hiding the data term.
 
 *The q306 activation - the gate fired, honestly.* The brute 5-NN arm
-went 2.70s -> 480s on 10x data (tail 2.25): the DOCUMENTED O(N^2)
-pair count finally dominating, plus the 10x broadcast relation
-outgrowing cache (a slowly-growing constant on top of N^2 - the
-per-pair cosine now misses where it used to hit). The first sweep
-with the sf~1 column FLAGGED it against the old 2.00 bound - exactly
-the enforcement this file gained this round - and the adjudication is
-recorded in-script: bound 2.30 = measured activation + margin, brute
-stays the baseline arm, IVF (q232/q250) stays the scale path, and any
-future growth past 2.3 means a NEW super-quadratic term, which flags.
+went 2.9s -> 297s on 10x decorrelated data: tail 2.01, the DOCUMENTED
+O(N^2) pair count, measured exactly. (The first synthesis cut
+perturbed embeddings additively; replica clones stayed near-parallel
+and the run read 2.25 with broadcast-cache drift on top - the
+embedding analogue of the near-dup pathology the document salting
+avoids, fixed to a per-replica circular coordinate shift that
+preserves within-replica cosines exactly while decorrelating
+signatures, clone-pair cosine 1.0 -> 0.001 measured.) The sweep
+FLAGGED it against the old 2.00 bound - exactly the enforcement this
+file gained this round - and the adjudication is in-script: bound
+2.30, brute stays the baseline arm, growth past 2.3 = a NEW term.
+
+*The scale path, measured against it.* q378 runs the SAME vote over
+banded-LSH candidates: 23s where brute costs 297s at the identical
+decade - 13x - and its own tail (1.46) is the fixed-band occupancy
+term (candidate pairs ~ N^2/2^r at fixed 32x4-bit geometry), the
+exponent a production run removes by re-tuning band bits as the
+corpus grows (q270_lsh_tuning is that tuner, and its own row stays at
+0.58). Adjudicated at 1.70: past that, a term beyond occupancy has
+appeared.
 
 *The iterative heads stay floor-bound.* The CC-bound heads the
 r12/r13 floor analyses dissected remain flat: q299_hub_robustness
