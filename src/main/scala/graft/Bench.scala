@@ -28,6 +28,13 @@ object Bench {
     // aggregates, judge-audited, so the WARN is noise here). Verify keeps
     // WARN; the bench's only stdout contract is the one JSON line.
     spark.sparkContext.setLogLevel("ERROR")
+    // deployment LSH geometry (the scaling sweep's tuned sf~1 arm):
+    // thread the env pair into the conf SimilarityQueries.lshGeometry
+    // reads; unset = the 32×4 default the oracle contract pins
+    for (b <- sys.env.get("SPARK_GRAFT_LSH_BANDS"))
+      spark.conf.set("spark.graft.lsh.bands", b)
+    for (r <- sys.env.get("SPARK_GRAFT_LSH_ROWS"))
+      spark.conf.set("spark.graft.lsh.rowsPerBand", r)
     // JVM/codegen/session warmup: exercise the machinery the timed queries
     // use (hash agg, collect_set, window, shuffle join, explode, regex
     // split, md5, parquet reader) on synthetic data so the first heavy
@@ -254,7 +261,12 @@ object Bench {
     val qsSpill = longMap(_.spillBytes)
     val qsPeak = longMap(_.peakMem)
     val qsBcast = longMap(_.broadcastBytes)
-    val spillTotal = results.flatMap(_._2).map(_.spillBytes).sum
+    // ONE aggregation convention (ADVICE r17): the head total is the sum
+    // of the per-query MAX values — exactly what re-summing the
+    // spill_bytes map yields, so the artifact agrees with itself and
+    // with ArtifactGateSpec's independent re-sum
+    val spillTotal = results.map { case (_, good, _) =>
+      if (good.isEmpty) 0L else good.map(_.spillBytes).max }.sum
     val total = results.collect {
       case (_, good, _) if good.nonEmpty => good.map(_.sec).min }.sum
     def names(xs: Seq[String]): String =
@@ -270,7 +282,24 @@ object Bench {
     // can never masquerade as a full-suite round snapshot (round-9 advice:
     // a 2-query PLANS.json was committed as if it covered all 207)
     val onlyTag = only.map(o => s""","only":${names(o.toSeq)}""").getOrElse("")
-    val head = s""""metric":"total","value":$total,"unit":"sec","ok":$ok,"passes":$passes,"failed":${names(failed)},"flaky":${names(flaky)},"sf":"$sfDir","load_avg":$loadAvg,"host_cpus":$hostCpus,"spill_bytes_total":$spillTotal$onlyTag"""
+    // a tuned-geometry run must never masquerade as a default-geometry
+    // snapshot (same rationale as the "only" tag)
+    val geomTag = (sys.env.get("SPARK_GRAFT_LSH_BANDS"),
+        sys.env.get("SPARK_GRAFT_LSH_ROWS")) match {
+      case (Some(b), Some(r)) => s""","lsh_geometry":"${b}x$r""""
+      case _ => ""
+    }
+    // freshness linkage (ADVICE r17): the md5 of the DECLARED query list
+    // ties the artifact to the source revision that produced it —
+    // ArtifactGateSpec recomputes this from SparkEntry.queries and fails
+    // on a stale BENCH_FULL (one generated before a query was added)
+    val listMd5 = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update(SparkEntry.queries.keys.toSeq.sorted.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      md.digest.map("%02x".format(_)).mkString
+    }
+    val head = s""""metric":"total","value":$total,"unit":"sec","ok":$ok,"passes":$passes,"failed":${names(failed)},"flaky":${names(flaky)},"sf":"$sfDir","load_avg":$loadAvg,"host_cpus":$hostCpus,"spill_bytes_total":$spillTotal,"query_list_md5":"$listMd5"$geomTag$onlyTag"""
     // stdout carries exactly ONE line, and it is SMALL: the driver
     // snapshots stdout through a ~2 KB tail window, so with 318 queries
     // the full per-query line (~12 KB) is truncated no matter how it is

@@ -36,6 +36,45 @@ import graft.expressions.CosineSimilarity
   * exactly: IEEE division by the positive norm product preserves sign).
   */
 object Lsh {
+
+  /** A banded sign-LSH index geometry: `bands` bands of `rowsPerBand`
+    * bits each over a `bands · rowsPerBand`-bit signature. */
+  final case class BandGeometry(bands: Int, rowsPerBand: Int) {
+    def totalBits: Int = bands * rowsPerBand
+  }
+
+  /** Corpus-size-derived band geometry at a FIXED signature width — the
+    * mechanism behind the r17 sweep's occupancy adjudication (q378's
+    * fixed-32×4 tail was the candidate-pair term ~N²/2^r; "production
+    * re-tunes band bits" is this function, not prose): a band with r
+    * bits has 2^r buckets, so the expected uniform bucket load is
+    * N/2^r and random-collision candidate pairs grow ~N²/2^r per band.
+    * The rule picks the SMALLEST r in {4, 8, 16} (divisors of the
+    * 128-bit signature — smallest = widest-recall geometry that still
+    * bounds occupancy) whose expected load N/2^r stays ≤ `targetLoad`,
+    * falling back to the widest band when none qualifies; bands =
+    * totalBits / r keeps the signature width (and the oracle's plane
+    * family) constant, so re-tuning changes only how the SAME bits are
+    * re-segmented. Recall trade, stated: wider bands prune harder and
+    * lower recall at a fixed similarity threshold (1 − (1 − p^r)^B);
+    * at production near-dup thresholds (cos ≥ 0.9 ⇒ p ≈ 0.86) r = 8
+    * still clears 0.999 and r = 16 ≈ 0.53 — q380's tuning table is
+    * what an operator reads to trade the two, and raising totalBits
+    * buys recall back when the bar is higher. The declared queries pin
+    * the DEFAULT geometry (32×4) for the oracle contract; deployments
+    * apply this rule via `spark.graft.lsh.bands` /
+    * `spark.graft.lsh.rowsPerBand` (read by
+    * [[graft.queries.SimilarityQueries.lshScoredPairs]]), which is how
+    * the scaling sweep's tuned sf~1 row runs. Spec-pinned equal to
+    * q380's `chosen` column row-for-row (LshTuningSpec). */
+  def tunedGeometry(nVectors: Long, totalBits: Int = 128,
+      targetLoad: Long = 512L): BandGeometry = {
+    val rs = Seq(4, 8, 16).filter(totalBits % _ == 0)
+    val r = rs.find(r => nVectors <= targetLoad * (1L << r))
+      .getOrElse(rs.last)
+    BandGeometry(totalBits / r, r)
+  }
+
   private def md5Int(s: String): Int = {
     val d = MessageDigest.getInstance("MD5")
       .digest(s.getBytes(StandardCharsets.UTF_8))

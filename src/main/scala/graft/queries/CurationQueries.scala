@@ -1437,9 +1437,27 @@ object CurationQueries extends QueryPack {
     * plus the 1-row total broadcast; the quota side is the bounded
     * source set. */
   private def q377(s: SparkSession, dir: String): DataFrame = {
-    import Rounding.intDivExact
     val (_, _, _, _, clean, mixed) = corpusStages(s, dir)
-    val quota = QualityModelQueries.policyQuotaFull(s, dir)
+    mixAuditTable(clean, mixed,
+      QualityModelQueries.policyQuotaFull(s, dir))
+  }
+
+  /** q377's audit arithmetic over explicit (clean, mixed, quota) frames
+    * — split out (the policyQuotaTable/mixStage discipline) so the
+    * streaming twin can re-derive the audit per micro-batch from its
+    * maintained states and stay expression-identical to the declared
+    * query.
+    * @param clean the mix stage's input survivors (needs source,
+    *        n_tokens)
+    * @param mixed the water-fill survivors (same columns)
+    * @param quota the policy-applied quota table —
+    *        [[QualityModelQueries.policyQuotaFull]]'s shape (source,
+    *        policy, tier, mult, quota_tokens; quota nulls closed
+    *        here). */
+  private[graft] def mixAuditTable(clean: DataFrame, mixed: DataFrame,
+      quota: DataFrame): DataFrame = {
+    import Rounding.intDivExact
+    val quotaCols = quota
       .select(col("source"), col("policy"), col("tier"), col("mult"),
         coalesce(col("quota_tokens"), lit(0L)).as("quota_tokens"))
     val avail = clean.groupBy("source")
@@ -1449,7 +1467,7 @@ object CurationQueries extends QueryPack {
       .agg(count(lit(1)).as("n_docs_shipped"),
         sum("n_tokens").as("n_tokens_shipped"))
     val tot = clean.agg(sum("n_tokens").as("t_total"))
-    quota
+    quotaCols
       .join(avail, Seq("source"), "left")
       .join(shipped, Seq("source"), "left")
       .crossJoin(broadcast(tot))

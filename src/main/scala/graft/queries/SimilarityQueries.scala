@@ -39,6 +39,20 @@ object SimilarityQueries extends QueryPack {
   private val Bands = 32
   private val Rows = 4 // bits per band
   private val Dim = 64
+
+  /** Deployment band geometry for the LSH pair substrate: the
+    * `spark.graft.lsh.bands` / `spark.graft.lsh.rowsPerBand` conf pair
+    * when set (how a production run applies
+    * [[graft.operators.Lsh.tunedGeometry]]'s corpus-size rule, and how
+    * the scaling sweep's tuned sf~1 row runs — Bench threads
+    * SPARK_GRAFT_LSH_* env into these), else the 32×4 default the
+    * oracle contract pins. The driver never sets the conf, so every
+    * declared query hashes against the default geometry. */
+  private def lshGeometry(s: SparkSession): (Int, Int) = (
+    s.conf.getOption("spark.graft.lsh.bands")
+      .map(_.toInt).getOrElse(Bands),
+    s.conf.getOption("spark.graft.lsh.rowsPerBand")
+      .map(_.toInt).getOrElse(Rows))
   private val CentRate = 31
   private val CentCap = 4096
   private val NProbe = 6
@@ -79,10 +93,11 @@ object SimilarityQueries extends QueryPack {
 
   private[graft] def lshScoredPairs(s: SparkSession, dir: String,
       checkpoint: Boolean = true): DataFrame = {
+    val (nBands, nRows) = lshGeometry(s)
     def build: DataFrame = {
       val e = emb(s, dir)
       val bands = graft.operators.Lsh
-        .bandsDf(e, "vec_id", "v", Bands, Rows, Dim)
+        .bandsDf(e, "vec_id", "v", nBands, nRows, Dim)
       val pairs = bands
         .select(col("vec_id").as("a"), col("band"), col("bkey"))
         .join(bands.select(col("vec_id").as("b"), col("band"), col("bkey")),
@@ -98,7 +113,13 @@ object SimilarityQueries extends QueryPack {
           graft.expressions.CosineSimilarity.sim(col("va"), col("vb"))
             .as("sim_d"))
     }
-    if (checkpoint) lshPairsMemo.get(s, dir)(build.localCheckpoint(true))
+    // non-default geometry gets its own memo key: the memo is keyed
+    // (session, dir), and a tuned-geometry run (conf set) must never
+    // serve a 32×4 build to a consumer expecting the tuned pairs or
+    // vice versa
+    val key = if (nBands == Bands && nRows == Rows) dir
+      else s"$dir#lsh=${nBands}x$nRows"
+    if (checkpoint) lshPairsMemo.get(s, key)(build.localCheckpoint(true))
     else build
   }
 
@@ -941,9 +962,10 @@ object SimilarityQueries extends QueryPack {
     * oracle-checkable core; at 100 TB the identical vote runs over the
     * LSH/IVF candidate arm (q51/q56) — only the neighbor-generation
     * stage swaps. The quadratic's activation is MEASURED, not argued:
-    * the r17 sf~1 sweep (SCALING.md) reads 2.70s → 480s on 10× data
-    * (tail 2.25 — N² pair count plus the broadcast relation outgrowing
-    * cache), adjudicated in `tools/scaling_sweep.py` with the IVF arm
+    * the r17 sf~1 sweep (SCALING.md) reads 2.9s → 297s on 10× data
+    * (tail 2.01 — exactly the designed N² pair count; a discarded
+    * pre-salting synthesis had read 2.25 with clone-pathology drift on
+    * top), adjudicated in `tools/scaling_sweep.py` with the IVF arm
     * as the unchanged scale posture. On these uncorrelated synthetic embeddings ~90% of
     * vectors are suspects — the honest null reading (random labels
     * cannot win random neighborhoods), and exactly why the census must
@@ -976,9 +998,14 @@ object SimilarityQueries extends QueryPack {
       .agg(topk(col("cos_e6").cast("double"), col("c")).as("top"))
       .select(col("q"), col("ql"), explode(col("top")).as("t"))
       .select(col("q"), col("ql"), col("t.id").as("c"))
+    // label-resolution join: NO broadcast hint (r17 verdict item 1) —
+    // the (vec_id, label) relation is O(N) rows (~16 GB at 10⁹
+    // vectors), a data-scale side that must never be forced onto every
+    // executor; at audit scale stats/AQE still pick a broadcast, at
+    // corpus scale it demotes itself to a shuffle join on `c`
     top5
-      .join(broadcast(e.select(col("vec_id").as("c"),
-        col("label").as("cl"))), "c")
+      .join(e.select(col("vec_id").as("c"),
+        col("label").as("cl")), "c")
       .groupBy(col("q").as("vec_id"), col("ql").as("label"))
       .agg(sum((col("cl") === col("ql")).cast("long")).as("n_same5"))
       .withColumn("is_suspect", (col("n_same5") <= 2L).cast("long"))
@@ -999,8 +1026,16 @@ object SimilarityQueries extends QueryPack {
     * candidates is absent by design (an LSH miss is a recall property —
     * q232 measures it; this query votes on what the candidate
     * generator surfaces). Scale: band-bucket equi join (never
-    * all-pairs), the q306 bounded top-k aggregate, one broadcast label
-    * join. */
+    * all-pairs), the q306 bounded top-k aggregate, and a label-
+    * resolution join with NO broadcast hint (r17 verdict item 1: the
+    * (vec_id, label) relation is O(N) — stats/AQE broadcast it at
+    * audit scale and demote it to a shuffle join at corpus scale;
+    * this is the designated scale path, so nothing data-sized may be
+    * forced onto every executor). Band geometry follows the
+    * [[lshGeometry]] deployment knob (default 32×4; the q380 tuner /
+    * [[graft.operators.Lsh.tunedGeometry]] rule re-sizes it as the
+    * corpus grows — the sweep's tuned sf~1 row measures the occupancy
+    * tail that re-tuning removes). */
   private def q378(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     val pairs = lshScoredPairs(s, dir)
@@ -1017,14 +1052,125 @@ object SimilarityQueries extends QueryPack {
       .agg(topk(col("cos_e6").cast("double"), col("c")).as("top"))
       .select(col("q"), col("ql"), explode(col("top")).as("t"))
       .select(col("q"), col("ql"), col("t.id").as("c"))
-      .join(broadcast(emb(s, dir).select(col("vec_id").as("c"),
-        col("label").as("cl"))), "c")
+      .join(emb(s, dir).select(col("vec_id").as("c"),
+        col("label").as("cl")), "c")
       .groupBy(col("q").as("vec_id"), col("ql").as("label"))
       .agg(count(lit(1)).as("n_cand5"),
         sum((col("cl") === col("ql")).cast("long")).as("n_same5"))
       .withColumn("is_suspect",
         (lit(2L) * col("n_same5") <= col("n_cand5")).cast("long"))
       .orderBy("vec_id")
+  }
+
+  /** Sign-LSH band-geometry tuning table — the index-sizing decision a
+    * fixed 32×4 geometry cannot make as the corpus grows (the r17 sf~1
+    * sweep measured q378's fixed-geometry occupancy term at tail 1.46;
+    * this table plus [[graft.operators.Lsh.tunedGeometry]] is the
+    * MECHANISM that removes it — r17 verdict item 2): the SAME 128-bit
+    * md5-derived signature banded three ways (32×4, 16×8, 8×16 — the
+    * embedding analogue of q270's minhash sweep), each arm scored for
+    * MEASURED candidate-pair volume and recall/precision against the
+    * exact brute truth set (cos_e6 ≥ 400000, this corpus's upper tail),
+    * next to the size-derived expected uniform bucket load ⌈n/2^r⌉ and
+    * the sizing rule's pick: `chosen` marks the smallest r whose
+    * expected load stays ≤ 512 (falling back to the widest band) —
+    * exactly `Lsh.tunedGeometry`, spec-pinned identical in
+    * LshTuningSpec, and consumed by [[lshScoredPairs]] via the
+    * `spark.graft.lsh.*` conf (the sweep's tuned sf~1 row rides it).
+    * Shapes: ONE fused arm-tagged explode (q270's r13 arm fusion — one
+    * scan, 56 struct rows per vector), one self-join on (arm, band,
+    * bkey), one distinct; a zero-candidate arm still reports via the
+    * static arm lattice (the q270/q299 vanishing-row trap). Truth is
+    * the q306 BNLJ brute shape — an audit-corpus arm, adjudicated like
+    * q306's, never a production path; the table it certifies is ≤ 3
+    * rows regardless of corpus size. */
+  private def q380(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.intDiv
+    val bits = Bands * Rows
+    val truthE6 = 400000L
+    val targetLoad = 512L
+    val planes = graft.operators.Lsh.hyperplanes(bits, Dim)
+    val arms = Seq(4, 8, 16)
+    // zero-norm vectors out up front (cosine undefined — the q202/q306
+    // pre-flight contract), applied identically in the oracle
+    val e = emb(s, dir)
+      .filter(expr("aggregate(transform(v, x -> x * x), 0D, (a, x) -> a + x)")
+        > 0.0)
+    // one scan, all arms: each arm re-segments the SAME signature bits,
+    // so the fused explode carries struct(rpb, band, bkey) per band of
+    // every arm — 56 rows/vector vs three scans
+    val tagged = arms.map { r =>
+      transform(
+        graft.operators.Lsh.bandKeysCol(col("v"), planes, bits / r, r),
+        (k, i) => struct(lit(r.toLong).as("rpb"), i.as("band"),
+          k.as("bkey")))
+    }
+    val n = s.sessionState.conf.numShufflePartitions
+    val ex = e.repartition(n)
+      .select(col("vec_id"), explode(concat(tagged: _*)).as("bk"))
+      .select(col("vec_id"), col("bk.rpb").as("rpb"), col("bk.band"),
+        col("bk.bkey"))
+    val cand = ex.as("a")
+      .join(ex.as("b"),
+        col("a.rpb") === col("b.rpb") && col("a.band") === col("b.band") &&
+          col("a.bkey") === col("b.bkey") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.rpb").as("rpb"), col("a.vec_id").as("va"),
+        col("b.vec_id").as("vb"))
+      .distinct()
+    // the exact truth set: q306's adjudicated brute shape (BNLJ, corpus
+    // side streams), filtered to the threshold BEFORE any join
+    val truth = e.select(col("vec_id").as("va"), col("v").as("xa"))
+      .crossJoin(broadcast(e.select(col("vec_id").as("vb"),
+        col("v").as("xb"))))
+      .filter(col("va") < col("vb"))
+      .select(col("va"), col("vb"),
+        floor(graft.expressions.CosineSimilarity.sim(col("xa"), col("xb"))
+          * lit(1000000.0) + lit(0.5)).cast("long").as("cos_e6"))
+      .filter(col("cos_e6") >= truthE6)
+      .select(col("va"), col("vb"), lit(1L).as("is_true"))
+    val truthN = truth.groupBy().agg(count(lit(1)).as("n_truth"))
+    val nRow = e.groupBy().agg(count(lit(1)).as("n_vectors"))
+    val counts = cand.join(truth, Seq("va", "vb"), "left")
+      .groupBy("rpb")
+      .agg(count(lit(1)).as("n_cand"),
+        coalesce(sum("is_true"), lit(0L)).as("n_hit"))
+    // static arm lattice: n_buckets = 2^r, prev_buckets = the next
+    // narrower arm's 2^r (0 for the first) — the chosen rule needs both
+    val armDim = s.range(1).select(explode(array(
+        arms.zip(0L +: arms.map(r => 1L << r)).map { case (r, prev) =>
+          struct(lit(r.toLong).as("rpb"), lit((bits / r).toLong).as("bands"),
+            lit(1L << r).as("n_buckets"), lit(prev).as("prev_buckets"))
+        }: _*)).as("a"))
+      .select(col("a.rpb").as("rpb"), col("a.bands"), col("a.n_buckets"),
+        col("a.prev_buckets"))
+    armDim.join(counts, Seq("rpb"), "left")
+      .crossJoin(broadcast(nRow))
+      .crossJoin(broadcast(truthN))
+      .select(col("rpb").as("rows_per_band"), col("bands"),
+        col("n_buckets"), col("n_vectors"),
+        // expected uniform bucket load, ceil division
+        intDiv(col("n_vectors") + col("n_buckets") - 1L, col("n_buckets"))
+          .as("exp_load"),
+        // Lsh.tunedGeometry's rule as a column: smallest r with
+        // n ≤ targetLoad·2^r, widest band as the fallback — thresholds
+        // are monotone in r, so "smallest" is "qualifies and the
+        // previous arm does not"
+        ((col("prev_buckets") === 0L ||
+            col("n_vectors") > lit(targetLoad) * col("prev_buckets")) &&
+          (col("rpb") === arms.last.toLong ||
+            col("n_vectors") <= lit(targetLoad) * col("n_buckets")))
+          .cast("long").as("chosen"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        col("n_truth"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        when(col("n_truth") > 0L,
+          intDiv(lit(10000L) * coalesce(col("n_hit"), lit(0L)),
+            col("n_truth"))).otherwise(lit(0L)).as("recall_e4"),
+        when(coalesce(col("n_cand"), lit(0L)) > 0L,
+          intDiv(lit(10000L) * coalesce(col("n_hit"), lit(0L)),
+            col("n_cand"))).otherwise(lit(0L)).as("precision_e4"))
+      .orderBy("rows_per_band")
   }
 
   /** Johnson–Lindenstrauss projection audit — "can 16 random dimensions
@@ -1117,6 +1263,7 @@ object SimilarityQueries extends QueryPack {
     "q305_cos_calibration" -> (q305 _),
     "q306_label_noise" -> (q306 _),
     "q378_label_noise_ann" -> (q378 _),
+    "q380_lsh_geometry" -> (q380 _),
     "q310_jl_audit" -> (q310 _),
     "q317_label_centroids" -> (q317 _),
     "q50_knn_cosine" -> (q50 _),
@@ -1314,6 +1461,61 @@ object SimilarityQueries extends QueryPack {
         |  CAST(2 * sum(CASE WHEN cl = ql THEN 1 ELSE 0 END) <= count(*)
         |    AS BIGINT) AS is_suspect
         |FROM top5 GROUP BY q, ql ORDER BY vec_id""".stripMargin,
+    // the same 128-bit signature re-segmented three ways, candidates
+    // mined per arm, brute truth at the same e6 threshold, and the
+    // tunedGeometry rule as SQL — all integer columns
+    "q380_lsh_geometry" -> {
+      import graft.functions.Rounding.intDivSql
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings
+        |  WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+        |    CAST(embedding AS DOUBLE[])) > 0),
+        |${Lsh.signatureSqlCtes(Bands * Rows, Dim)},
+        |arms AS (SELECT * FROM (VALUES (4, 32, 16, 0), (8, 16, 256, 16),
+        |  (16, 8, 65536, 256)) t(rpb, bands, n_buckets, prev_buckets)),
+        |bnd AS (SELECT unnest(generate_series(0, 31)) AS band),
+        |ba AS (
+        |  SELECT a.rpb, s.vec_id, b.band,
+        |    substr(s.sig, b.band * a.rpb + 1, a.rpb) AS bkey
+        |  FROM sigs s, arms a, bnd b WHERE b.band < a.bands),
+        |cand AS (
+        |  SELECT DISTINCT x.rpb, x.vec_id AS va, y.vec_id AS vb
+        |  FROM ba x JOIN ba y ON x.rpb = y.rpb AND x.band = y.band
+        |    AND x.bkey = y.bkey AND x.vec_id < y.vec_id),
+        |truth AS (
+        |  SELECT a.vec_id AS va, b.vec_id AS vb
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE CAST(floor(list_cosine_similarity(a.v, b.v) * 1000000.0
+        |    + 0.5) AS BIGINT) >= 400000),
+        |tn AS (SELECT count(*) AS n_truth FROM truth),
+        |nv AS (SELECT count(*) AS n_vectors FROM e),
+        |cc AS (
+        |  SELECT c.rpb, count(*) AS n_cand,
+        |    CAST(coalesce(sum(CASE WHEN t.va IS NOT NULL THEN 1 ELSE 0
+        |      END), 0) AS BIGINT) AS n_hit
+        |  FROM cand c LEFT JOIN truth t ON c.va = t.va AND c.vb = t.vb
+        |  GROUP BY c.rpb)
+        |SELECT CAST(a.rpb AS BIGINT) AS rows_per_band,
+        |  CAST(a.bands AS BIGINT) AS bands,
+        |  CAST(a.n_buckets AS BIGINT) AS n_buckets,
+        |  nv.n_vectors,
+        |  ${intDivSql("nv.n_vectors + a.n_buckets - 1", "a.n_buckets")}
+        |    AS exp_load,
+        |  CAST((a.prev_buckets = 0 OR nv.n_vectors > 512 * a.prev_buckets)
+        |    AND (a.rpb = 16 OR nv.n_vectors <= 512 * a.n_buckets)
+        |    AS BIGINT) AS chosen,
+        |  CAST(coalesce(cc.n_cand, 0) AS BIGINT) AS n_cand,
+        |  tn.n_truth,
+        |  CAST(coalesce(cc.n_hit, 0) AS BIGINT) AS n_hit,
+        |  CASE WHEN tn.n_truth > 0 THEN ${intDivSql(
+            "10000 * coalesce(cc.n_hit, 0)", "tn.n_truth")}
+        |    ELSE 0 END AS recall_e4,
+        |  CASE WHEN coalesce(cc.n_cand, 0) > 0 THEN ${intDivSql(
+            "10000 * coalesce(cc.n_hit, 0)", "coalesce(cc.n_cand, 0)")}
+        |    ELSE 0 END AS precision_e4
+        |FROM arms a LEFT JOIN cc ON a.rpb = cc.rpb, nv, tn
+        |ORDER BY rows_per_band""".stripMargin
+    },
     // q50's brute chain and q51's LSH chain side by side (CTEs renamed
     // apart), diffed with the same left join + per-query aggregate
     "q232_ann_recall" ->

@@ -52,13 +52,34 @@ class ArtifactGateSpec extends AnyFunSuite {
       "the sf~1 steep-tail extension is missing from the sweep artifact")
   }
 
-  test("BENCH_FULL.json: zero spill and bounded broadcast " +
-    "materialization across every query at sf0.1") {
+  test("BENCH_FULL.json: fresh (query-list linked), full coverage, " +
+    "zero spill and bounded broadcast materialization at sf0.1") {
     val n = json("BENCH_FULL.json")
+    // freshness linkage (ADVICE r17): the artifact records the md5 of
+    // the declared query list it was produced against; a BENCH_FULL
+    // generated before a query was added (or removed) fails HERE by
+    // name instead of silently exempting the new query from the gates
+    val wantMd5 = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update(SparkEntry.queries.keys.toSeq.sorted.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      md.digest.map("%02x".format(_)).mkString
+    }
+    val gotMd5 = n.get("query_list_md5")
+    assert(gotMd5 != null && gotMd5.asText == wantMd5,
+      s"BENCH_FULL.json was produced against a different query list " +
+        s"(md5 ${if (gotMd5 == null) "absent" else gotMd5.asText} != " +
+        s"$wantMd5) — re-run sbt 'runMain graft.Bench' (full suite)")
     val spill = n.get("spill_bytes")
     assert(spill != null && spill.size > 0,
       "BENCH_FULL.json predates the memory telemetry — re-run " +
         "sbt 'runMain graft.Bench' (full suite) to regenerate")
+    // coverage pin (r17 verdict item 3): every declared query must have
+    // a telemetry cell — a stale or subset artifact exempts queries
+    for (m <- Seq("spill_bytes", "peak_exec_mem", "max_broadcast_bytes"))
+      assert(n.get(m) != null && n.get(m).size == SparkEntry.queries.size,
+        s"$m covers ${if (n.get(m) == null) 0 else n.get(m).size} " +
+          s"queries, declared ${SparkEntry.queries.size} — stale artifact")
     var total = 0L
     spill.fields.forEachRemaining { e =>
       if (!e.getValue.isNull) total += e.getValue.asLong
@@ -67,6 +88,18 @@ class ArtifactGateSpec extends AnyFunSuite {
       s"measured task spill ($total bytes) — a partition no longer fits " +
         "executor memory; find the query via the spill_bytes map and " +
         "repartition/rescope it")
+    // peak-execution-memory gate (r17 verdict item 4): spill and
+    // broadcasts carry bounded claims; the per-task working set gets one
+    // too — 1 GiB at sf0.1 (measured max 673 MB, q352_info_gain) so a
+    // blow-up that stays under the spill threshold still fails by name
+    val peakBound = 1024L * 1024 * 1024
+    n.get("peak_exec_mem").fields.forEachRemaining { e =>
+      if (!e.getValue.isNull)
+        assert(e.getValue.asLong <= peakBound,
+          s"${e.getKey} peaked at ${e.getValue.asLong} bytes of task " +
+            "execution memory (> 1 GiB at sf0.1) — the working set has " +
+            "grown with the data; rescope the aggregate or repartition")
+    }
     val bcast = n.get("max_broadcast_bytes")
     assert(bcast != null && bcast.size > 0, "max_broadcast_bytes missing")
     // bound: the largest adjudicated broadcast at sf0.1 (the q84/q357

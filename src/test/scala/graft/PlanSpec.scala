@@ -526,6 +526,9 @@ class PlanSpec extends SparkSuite {
       // q379: q375-class global-scalar partials (two weighted totals +
       // the verdict chain's) — bounded map-side-combined aggregates
       "q379_policy_sensitivity" -> 4L,
+      // q380: the two 1-row global scalars (n_vectors, n_truth) — the
+      // ≤3-row tuning table attaches both via bounded crossJoins
+      "q380_lsh_geometry" -> 2L,
       "q64_tfidf" -> 1L,
       "q83_heavy_hitters" -> 1L,
       "q87_skew_report" -> 1L,
@@ -639,6 +642,11 @@ class PlanSpec extends SparkSuite {
       "q377_policy_mix_audit" -> 4L,
       // q379: the 1-row totals + 1-row verdict crossJoins — bounded frames
       "q379_policy_sensitivity" -> 2L,
+      // q380: the brute-truth BNLJ (q306's adjudicated audit-arm shape)
+      // listed TWICE — once under the hit join, once under the n_truth
+      // scalar (runtime exchange reuse collapses them) — plus the two
+      // 1-row scalar crossJoins; every broadcast a bounded frame
+      "q380_lsh_geometry" -> 4L,
       "q50_knn_cosine" -> 1L,
       "q56_knn_ivf" -> 2L,
       "q64_tfidf" -> 1L,

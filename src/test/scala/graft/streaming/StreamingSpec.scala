@@ -1068,6 +1068,167 @@ class StreamingSpec extends SparkSuite {
       "the drained sensitivity table must equal the declared q379")
   }
 
+  test("foreachBatch streaming mix-utilization audit (q377) equals the " +
+    "batch audit at every micro-batch prefix") {
+    // the policy family's last batch-only readout (r17 verdict item 5):
+    // the shipped-vs-certified audit re-derived as docs arrive. States:
+    // the q375 twin's three bounded ones (per-source scored sums,
+    // per-source token sums, ≤17-row calibration buckets) drive the
+    // quota chain, and the audit adds ONE more — the CLEAN SURVIVOR
+    // LEDGER, (doc_id, source, n_tokens) only. Adjudicated honestly:
+    // the water-fill is a RANKING over the full survivor set (the same
+    // full-set decision class as the near-dup stage it follows — a
+    // late-arriving small-hash doc re-orders every fill prefix of its
+    // source, and a growing t_total moves every cap), so its minimal
+    // sufficient state is that narrow ledger: O(survivors) rows of
+    // ~24 bytes, the corpus's 1000×-smaller shadow — never the text.
+    // Clean MEMBERSHIP itself is the batch-certified verdict (dedup CC
+    // and decontamination are batch finalizers by design — the ingest
+    // twin streams the quality/exact front): an arrival contributes its
+    // certified ledger row. Each micro-batch re-derives quota + mix +
+    // audit from the states through the SAME policyQuotaTable /
+    // mixStage / mixAuditTable arithmetic the declared query runs, and
+    // must equal the batch construction over exactly the arrived docs
+    // after EVERY batch; the drained table is the declared q377.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.QualityModels
+    import graft.functions.TextAnalysis
+    import graft.queries.{CurationQueries, QualityModelQueries}
+    val d = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"), col("source"),
+        (col("lang") === "en").cast("long").as("y"))
+    val split = QualityModelQueries.isTrain(col("doc_id"))
+    val (model0, totals0) =
+      QualityModels.trainNb(d.filter(split), "text", "y")
+    val model = model0.localCheckpoint(true)
+    val totals = totals0.localCheckpoint(true)
+    def scored(docsDf: DataFrame): DataFrame = QualityModels
+      .scoreNb(docsDf.filter(!split), Seq("doc_id", "source", "y"),
+        "text", model, totals)
+    def srcStats(docsDf: DataFrame): DataFrame = scored(docsDf)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs_scored"),
+        sum(col("score_e6").cast("decimal(38,0)")).as("sum_score_e6"),
+        sum("y").as("n_pos"))
+    def toks(docsDf: DataFrame): DataFrame = docsDf.groupBy("source")
+      .agg(sum(TextAnalysis.tokenCount(col("text"))).as("n_tokens"))
+    def buckets(docsDf: DataFrame): DataFrame = scored(docsDf)
+      .select(QualityModelQueries.calBucket(col("score_e6")).as("bucket"),
+        col("y"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("y").as("n_pos"))
+    def quotaFull(src: DataFrame, tk: DataFrame, bk: DataFrame): DataFrame =
+      QualityModelQueries.policyQuotaTable(
+        src.filter(col("n_docs_scored") > 0L)
+          .select("source", "n_docs_scored", "sum_score_e6", "n_pos"),
+        tk.select("source", "n_tokens"),
+        QualityModelQueries.nbGateVerdict(
+          QualityModelQueries.calibrationTable(bk))
+          .select(col("calibrated"), col("policy")))
+    // audit = the declared query's own arithmetic over the states: the
+    // mix re-runs on the ledger under the prefix quota, then the audit
+    // table joins shipped/avail/quota — expression-identical to q377
+    def audit(cleanDf: DataFrame, src: DataFrame, tk: DataFrame,
+        bk: DataFrame): DataFrame = {
+      val qf = quotaFull(src, tk, bk)
+      CurationQueries.mixAuditTable(cleanDf,
+        CurationQueries.mixStage(cleanDf,
+          qf.select(col("source"), col("quota_tokens"))),
+        qf)
+    }
+    def snapshot(df: DataFrame): Set[String] =
+      df.collect().map(_.mkString("|")).toSet
+    // the certified clean ledger (the narrow state's full extent, used
+    // to hand each arrival its certified row — membership is the batch
+    // verdict, not a per-batch re-derivation)
+    val (_, _, _, _, cleanB, _) =
+      CurationQueries.corpusStages(spark, sf)
+    val ledger = cleanB.select(col("doc_id"), col("source"),
+        col("n_tokens")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val ledgerDf = ledger.toSeq.toDF("doc_id", "source", "n_tokens")
+      .localCheckpoint(true)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String, Long)]
+    var srcState = Seq.empty[(String, Long, BigDecimal, Long, Long)]
+      .toDF("source", "n_docs_scored", "sum_score_e6", "n_pos",
+        "n_tokens")
+      .withColumn("sum_score_e6",
+        col("sum_score_e6").cast("decimal(38,0)"))
+      .localCheckpoint(true)
+    var bkState = Seq.empty[(Long, Long, Long)]
+      .toDF("bucket", "n_docs", "n_pos").localCheckpoint(true)
+    var cleanState = Seq.empty[(Long, String, Long)]
+      .toDF("doc_id", "source", "n_tokens").localCheckpoint(true)
+    val prefixAudits = scala.collection.mutable.ListBuffer[Set[String]]()
+    val q = mem.toDF().toDF("doc_id", "text", "source", "y").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val delta = toks(batch)
+          .join(srcStats(batch), Seq("source"), "left")
+          .select(col("source"),
+            coalesce(col("n_docs_scored"), lit(0L)).as("n_docs_scored"),
+            coalesce(col("sum_score_e6"), lit(0L).cast("decimal(38,0)"))
+              .as("sum_score_e6"),
+            coalesce(col("n_pos"), lit(0L)).as("n_pos"),
+            col("n_tokens"))
+        val nextSrc = srcState.unionByName(delta)
+          .groupBy("source")
+          .agg(sum("n_docs_scored").as("n_docs_scored"),
+            sum("sum_score_e6").cast("decimal(38,0)").as("sum_score_e6"),
+            sum("n_pos").as("n_pos"),
+            sum("n_tokens").as("n_tokens"))
+          .localCheckpoint(true)
+        val nextBk = bkState.unionByName(buckets(batch))
+          .groupBy("bucket")
+          .agg(sum("n_docs").as("n_docs"), sum("n_pos").as("n_pos"))
+          .localCheckpoint(true)
+        val nextClean = cleanState.unionByName(
+            batch.select("doc_id").join(ledgerDf, Seq("doc_id")))
+          .localCheckpoint(true)
+        val (prevSrc, prevBk, prevClean) = (srcState, bkState, cleanState)
+        srcState = nextSrc
+        bkState = nextBk
+        cleanState = nextClean
+        graft.operators.CheckpointBlocks.release(prevSrc)
+        graft.operators.CheckpointBlocks.release(prevBk)
+        graft.operators.CheckpointBlocks.release(prevClean)
+        prefixAudits += snapshot(
+          audit(cleanState, srcState, srcState, bkState))
+        ()
+      }.start()
+    val arrivals = d.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+      .sortBy { case (i, _, _, _) => (i * 2654435761L) % 101 }
+    val chunks = arrivals.grouped((arrivals.length + 2) / 3).toSeq
+    try chunks.foreach { chunk =>
+      mem.addData(chunk.toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(prefixAudits.length == chunks.length)
+    var arrivedIds = Set.empty[Long]
+    chunks.zip(prefixAudits).zipWithIndex.foreach {
+      case ((chunk, got), i) =>
+        arrivedIds ++= chunk.map(_._1)
+        val arrived = arrivals.filter(a => arrivedIds.contains(a._1))
+        val adf = arrived.toSeq.toDF("doc_id", "text", "source", "y")
+        val cleanPdf = ledger.toSeq
+          .filter(l => arrivedIds.contains(l._1))
+          .toDF("doc_id", "source", "n_tokens")
+        val want = snapshot(
+          audit(cleanPdf, srcStats(adf), toks(adf), buckets(adf)))
+        assert(got == want,
+          s"mix-audit prefix ${i + 1}/${chunks.length} diverges: " +
+            s"only-streamed=${(got -- want).take(3)} " +
+            s"only-batch=${(want -- got).take(3)}")
+    }
+    // and the drained audit is exactly the declared q377
+    assert(prefixAudits.last == snapshot(
+      graft.SparkEntry.queries("q377_policy_mix_audit")(spark, sf)),
+      "the drained incremental audit must equal the declared q377")
+  }
+
   test("foreachBatch streaming calibration drift monitor (q371) equals " +
     "the batch reliability curve at every micro-batch prefix") {
     // gate-calibration DRIFT MONITORING, the curve's natural streaming

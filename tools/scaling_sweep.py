@@ -42,6 +42,7 @@ QUERIES = [
     "q270_lsh_tuning", "q273_winnowing", "q299_hub_robustness",
     "q306_label_noise", "q337_coverage_curve", "q353_corpus_build",
     "q378_label_noise_ann",
+    "q359_bpe_merges",
     "q362_dedup_sweep", "q363_nb_classifier", "q364_lm_cross_entropy",
     "q44_dedup_embedding",
 ]
@@ -91,6 +92,7 @@ STATED = {
     "q223_mutual_knn": (1.30, "banded LSH pair mining + per-pair cosine, df/band-gated"),
     "q337_coverage_curve": (1.15, "vocab census O(tokens) + PrefixScan O(types); Heaps' law puts types sublinear in tokens"),
     "q353_corpus_build": (1.30, "composed screen+dedup+mix build: O(tokens) screens + df-gated pair mining"),
+    "q359_bpe_merges": (1.15, "BPE trainer: fixed merge rounds x O(tokens) pair counting + bounded vocab aggs"),
     "q363_nb_classifier": (1.15, "NB train+score: token explode + vocab-keyed count agg + score join, O(tokens)"),
     "q364_lm_cross_entropy": (1.15, "bigram LM train+score: per-doc lead window + model joins, O(tokens)"),
 }
@@ -116,6 +118,8 @@ COLD_FIRST_SAMPLE = {
         "nbModel+nbDocScores memos build here (pass-1 raw sample)",
     "q364_lm_cross_entropy":
         "lmDocCe memo builds here (pass-1 raw sample)",
+    "q359_bpe_merges":
+        "bpeMemo trains here (pass-1 raw sample)",
 }
 STUB_ONLY = {
     "q265_widest_path": "reads q264's memoized semiring state - see q264's row for the loop's scaling",
@@ -149,7 +153,25 @@ SF1X_REPLICAS = 10
 SF1X_QUERIES = [
     "q100_fuzzy_match", "q192_substring_overlap", "q266_sparse_cosine",
     "q270_lsh_tuning", "q306_label_noise", "q378_label_noise_ann",
+    # round-18 (verdict item 6): the product-surface heads a user
+    # actually runs at scale — the composed corpus build (COLD: pass-1
+    # raw sample pays the whole memoized chain incl. the policy-quota
+    # NB train+score) and the BPE trainer
+    "q353_corpus_build", "q359_bpe_merges",
 ]
+
+# round-18 (verdict item 2): the tuned-geometry CONTRAST arm — q378
+# re-run at sf~1 under the geometry Lsh.tunedGeometry picks for the
+# synthesized corpus (20k vectors -> 16 bands x 8 bits; the rule:
+# smallest r in {4,8,16} with N <= 512*2^r — mirrored from
+# operators/Lsh.scala, oracle-checked through q380's `chosen` column).
+# The fixed-geometry q378 row measures the occupancy term (~N^2/2^r at
+# 32x4); this arm measures what re-tuning removes, and its own bound
+# (1.20) FAILS CI if re-tuning ever stops removing it.
+SF1X_TUNED_QUERY = "q378_label_noise_ann"
+SF1X_TUNED_GEOMETRY = (16, 8)  # = Lsh.tunedGeometry(20000)
+SF1X_TUNED_ALLOWED = 1.20
+SF1X_TUNED_ROW = "q378_label_noise_ann (tuned 16x8)"
 
 
 def synthesize_sf1x() -> None:
@@ -194,16 +216,18 @@ def bench_out(sf: str) -> str:
     return f"/tmp/bench_scaling_sf{sf}.json"
 
 
-def run_bench(sf: str) -> None:
-    sf_dir = SF1X_DIR if sf == "1x" else f"/root/testdata/sf{sf}"
-    queries = SF1X_QUERIES if sf == "1x" else QUERIES
+def run_bench(sf: str, queries=None, out=None, extra_env=None) -> None:
+    sf_dir = SF1X_DIR if sf.startswith("1x") else f"/root/testdata/sf{sf}"
+    if queries is None:
+        queries = SF1X_QUERIES if sf == "1x" else QUERIES
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR=sf_dir,
         SPARK_GRAFT_CPUS="32",
         SPARK_GRAFT_ONLY=",".join(queries),
-        SPARK_GRAFT_BENCH_OUT=bench_out(sf),
+        SPARK_GRAFT_BENCH_OUT=out or bench_out(sf),
         SPARK_GRAFT_PLANS_OUT=f"/tmp/plans_scaling_sf{sf}.json",
+        **(extra_env or {}),
     )
     print(f"[scaling] benching sf{sf} ({len(queries)} queries) ...",
           flush=True)
@@ -223,14 +247,33 @@ def slope_fit(xs, ys):
     return num / den
 
 
+def tuned_out() -> str:
+    return "/tmp/bench_scaling_sf1x_tuned.json"
+
+
+def load_json(path: str, what: str):
+    """--skip-bench guard (ADVICE r17): a missing /tmp artifact must
+    explain itself, not crash with FileNotFoundError mid-emit."""
+    if not os.path.exists(path):
+        sys.exit(f"[scaling] {path} missing ({what}) — --skip-bench "
+                 f"re-emits from the /tmp bench artifacts and needs all "
+                 f"of them; run without --skip-bench to regenerate")
+    return json.load(open(path))
+
+
 def main() -> None:
     if "--skip-bench" not in sys.argv:
         for sf in SFS:
             run_bench(sf)
         synthesize_sf1x()
         run_bench("1x")
-    runs = {sf: json.load(open(bench_out(sf))) for sf in SFS}
-    runs1x = json.load(open(bench_out("1x")))
+        b, r = SF1X_TUNED_GEOMETRY
+        run_bench("1x-tuned", queries=[SF1X_TUNED_QUERY], out=tuned_out(),
+                  extra_env={"SPARK_GRAFT_LSH_BANDS": str(b),
+                             "SPARK_GRAFT_LSH_ROWS": str(r)})
+    runs = {sf: load_json(bench_out(sf), f"sf{sf} bench") for sf in SFS}
+    runs1x = load_json(bench_out("1x"), "sf~1 bench")
+    runs1xT = load_json(tuned_out(), "sf~1 tuned-geometry bench")
     loads = {sf: runs[sf].get("load_avg") for sf in SFS}
     load1x = runs1x.get("load_avg")
     rows = []
@@ -256,7 +299,13 @@ def main() -> None:
         # sf~1 extension decade for the steep-tail families (salted 10x)
         t1x, tail1x = None, None
         if q in SF1X_QUERIES:
-            t1x = runs1x["queries"].get(q)
+            # cold families read the pass-1 raw sample at sf~1 too —
+            # min-of-passes would measure the memo stub (r18)
+            if q in COLD_FIRST_SAMPLE:
+                raw = runs1x.get("queries_raw", {}).get(q)
+                t1x = raw[0] if raw else None
+            else:
+                t1x = runs1x["queries"].get(q)
             if t1x is not None:
                 tail1x = math.log10(t1x / ts[2])
         flagged = tail > allowed or (tail1x is not None
@@ -264,9 +313,28 @@ def main() -> None:
         rows.append((q, ts, fitted, tail, t1x, tail1x, flagged,
                      reason + reason_extra))
 
+    # the tuned-geometry contrast arm: its own row, measured against the
+    # SAME sf0.1 fixed-geometry base — the tail re-tuning leaves behind
+    tuned_t = runs1xT["queries"].get(SF1X_TUNED_QUERY)
+    base_t = (runs["0.1"]["queries"].get(SF1X_TUNED_QUERY)
+              if tuned_t is not None else None)
+    tuned_tail = (math.log10(tuned_t / base_t)
+                  if tuned_t is not None and base_t else None)
+    tuned_flag = tuned_tail is None or tuned_tail > SF1X_TUNED_ALLOWED
+    b, r = SF1X_TUNED_GEOMETRY
+    rows.append((SF1X_TUNED_ROW,
+                 [None, None, base_t], None, None, tuned_t, tuned_tail,
+                 tuned_flag,
+                 f"q378 at the geometry Lsh.tunedGeometry picks for 20k "
+                 f"vectors ({b} bands x {r} bits): the occupancy term "
+                 f"~N^2/2^r the fixed-32x4 row carries is REMOVED by "
+                 f"re-segmenting the same 128 signature bits; growth "
+                 f"past {SF1X_TUNED_ALLOWED} means re-tuning stopped "
+                 f"working"))
+
     lines = []
     lines.append("# SCALING — measured sf-sweep exponents "
-                 "(round 17, re-emittable, CI-gated)")
+                 "(round 18, re-emittable, CI-gated)")
     lines.append("")
     lines.append("Generated by `python3 tools/scaling_sweep.py` — the "
                  "bench tail's top-15 by r15 cost plus the verdict-named "
@@ -275,8 +343,12 @@ def main() -> None:
                  "spread queries) at all three driver snapshots, plus a "
                  "SYNTHESIZED sf~1 decade (10× salted replication of "
                  "sf0.1 — see `synthesize_sf1x` for why salted, not "
-                 "copied) for the steep-tail pair-mining families. The "
-                 "sweep also writes `SCALING_FLAGS.json`; "
+                 "copied) for the steep-tail pair-mining families AND "
+                 "(r18) the product-surface heads (q353 cold build, BPE "
+                 "trainer) plus a tuned-band-geometry contrast arm for "
+                 "q378 (`Lsh.tunedGeometry`'s 16×8 pick at 20k vectors, "
+                 "run through the `spark.graft.lsh.*` deployment conf). "
+                 "The sweep also writes `SCALING_FLAGS.json`; "
                  "ArtifactGateSpec fails CI if it is missing or lists "
                  "any flagged query.")
     lines.append("")
@@ -310,15 +382,19 @@ def main() -> None:
                             for t in ts)
         c1x = "—" if t1x is None else f"{t1x:.3f}s"
         ctail1x = "—" if tail1x is None else f"{tail1x:.2f}"
-        if fitted is None:
+        if fitted is None and t1x is None:
             mark = "**FLAG**" if flagged else "memo stub"
             lines.append(f"| {q} | {tcells} | — | — | — | — | — | "
                          f"{mark} | {reason} |")
             continue
-        allowed, _ = STATED[q]
+        # the tuned contrast arm has no three-SF fit of its own — only
+        # the sf0.1 base (fixed geometry) and the sf~1 tuned decade
+        cf = "—" if fitted is None else f"{fitted:.2f}"
+        ct = "—" if tail is None else f"{tail:.2f}"
+        allowed = STATED[q][0] if q in STATED else SF1X_TUNED_ALLOWED
         flag = "**FLAG**" if flagged else "ok"
-        lines.append(f"| {q} | {tcells} | {c1x} | {fitted:.2f} | "
-                     f"{tail:.2f} | {ctail1x} | {allowed:.2f} | {flag} "
+        lines.append(f"| {q} | {tcells} | {c1x} | {cf} | "
+                     f"{ct} | {ctail1x} | {allowed:.2f} | {flag} "
                      f"| {reason} |")
     lines.append("")
     flagged_qs = [q for q, _, _, _, _, _, f, _ in rows if f]
@@ -339,6 +415,12 @@ def main() -> None:
         "n_queries": len(rows),
         "sfs": SFS + ["1x"],
         "sf1x_queries": SF1X_QUERIES,
+        "sf1x_tuned": {
+            "query": SF1X_TUNED_QUERY,
+            "geometry": f"{SF1X_TUNED_GEOMETRY[0]}x{SF1X_TUNED_GEOMETRY[1]}",
+            "allowed": SF1X_TUNED_ALLOWED,
+            "tail1": tuned_tail,
+        },
         "flags": flagged_qs,
     }
     with open("/root/repo/SCALING_FLAGS.json", "w") as f:
