@@ -40,6 +40,15 @@ object SimilarityQueries extends QueryPack {
   private val Rows = 4 // bits per band
   private val Dim = 64
 
+  /** Deployment probe count for the IVF arm (q56): the
+    * `spark.graft.ivf.nprobe` conf when set — how a production run
+    * applies q381's tuning-table pick, the IVF analogue of
+    * [[lshGeometry]] — else the default 6 the oracle contract pins
+    * (IvfTuningSpec pins the conf consumption). */
+  private def ivfNProbe(s: SparkSession): Int =
+    s.conf.getOption("spark.graft.ivf.nprobe")
+      .map(_.toInt).getOrElse(NProbe)
+
   /** Deployment band geometry for the LSH pair substrate: the
     * `spark.graft.lsh.bands` / `spark.graft.lsh.rowsPerBand` conf pair
     * when set (how a production run applies
@@ -196,7 +205,8 @@ object SimilarityQueries extends QueryPack {
       .select(col("vec_id").as("q_id"), col("v"))
     graft.operators.SimilaritySearch
       .topK(e, qv, "vec_id", "v", "q_id", 10,
-        graft.operators.SimilaritySearch.IvfProbe(CentRate, CentCap, NProbe))
+        graft.operators.SimilaritySearch.IvfProbe(CentRate, CentCap,
+          ivfNProbe(s)))
       .withColumnRenamed("rank", "ivf_rank")
   }
 
@@ -1173,6 +1183,111 @@ object SimilarityQueries extends QueryPack {
       .orderBy("rows_per_band")
   }
 
+  /** IVF probe-count tuning table — q380's discipline pointed at the
+    * OTHER ANN index knob (the nprobe recall/cost dial every IVF
+    * deployment turns): probe ranks are computed ONCE at the widest arm
+    * (a vector lives in exactly one cell, so each (query, candidate)
+    * pair carries its cell's probe rank and arm p is just `prn ≤ p` —
+    * one assignment pass, one probe pass, one candidate join for all
+    * three arms), then per arm the MEASURED candidate volume, probed
+    * fraction of the candidate universe, and recall@10 against the
+    * exact brute top-10 (q50's e4-grid/id-tie contract), plus the
+    * sizing rule's pick: `chosen` marks the smallest arm whose measured
+    * recall clears 0.7 (widest as fallback) — the rule q56's deployment
+    * conf (`spark.graft.ivf.nprobe`, [[ivfNProbe]]) applies, pinned in
+    * IvfTuningSpec. Scale: both assignment passes broadcast only the
+    * capped centroid table (O(cap) regardless of corpus size — the Ivf
+    * contract); the brute truth arm is the q306-class bounded-query
+    * audit shape (5 query vectors), never a production path; the table
+    * is ≤ 3 rows. */
+  private def q381(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Rounding.{intDiv, roundf}
+    import graft.expressions.CosineSimilarity
+    val arms = Seq(2, 6, 12)
+    val recallBarE4 = 7000L
+    val e = emb(s, dir)
+    val qv = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val cent = graft.operators.Ivf
+      .selectCentroids(e, "vec_id", "v", CentRate, CentCap)
+    val wA = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("c_id"))
+    val assigned = e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("v"), col("c_id"),
+        roundf(CosineSimilarity.sim(col("v"), col("cv")), 4).as("ccos"))
+      .withColumn("rn", row_number().over(wA))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("c_id"))
+    val wP = Window.partitionBy("q_id")
+      .orderBy(col("qcos").desc, col("c_id"))
+    val probes = qv.crossJoin(broadcast(cent))
+      .select(col("q_id"), col("qv"), col("c_id"),
+        roundf(CosineSimilarity.sim(col("qv"), col("cv")), 4).as("qcos"))
+      .withColumn("prn", row_number().over(wP))
+      .filter(col("prn") <= arms.max)
+      .select(col("q_id"), col("qv"), col("c_id"),
+        col("prn").cast("long").as("prn"))
+    val cand = assigned.join(broadcast(probes), Seq("c_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("prn"),
+        roundf(CosineSimilarity.sim(col("v"), col("qv")), 4).as("cos"))
+    val truth = e.select(col("vec_id"), col("v"))
+      .crossJoin(broadcast(qv))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        roundf(CosineSimilarity.sim(col("v"), col("qv")), 4).as("bcos"))
+      .withColumn("brank", row_number().over(Window.partitionBy("q_id")
+        .orderBy(col("bcos").desc, col("vec_id"))))
+      .filter(col("brank") <= 10)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("is_true"))
+    val truthN = truth.groupBy().agg(count(lit(1)).as("n_truth"))
+    val nRow = e.groupBy().agg(count(lit(1)).as("n_vectors"))
+    val armDim = s.range(1).select(explode(array(
+        arms.map(p => lit(p.toLong)): _*)).as("nprobe"))
+    // arm expansion: a bounded 3-row lattice against the shared
+    // candidate set — arm p owns the prefix prn ≤ p
+    val armCand = cand.crossJoin(broadcast(armDim))
+      .filter(col("prn") <= col("nprobe"))
+    val nCand = armCand.groupBy("nprobe")
+      .agg(count(lit(1)).as("n_cand"))
+    val wR = Window.partitionBy("nprobe", "q_id")
+      .orderBy(col("cos").desc, col("vec_id"))
+    val hits = armCand
+      .withColumn("irank", row_number().over(wR))
+      .filter(col("irank") <= 10)
+      .join(truth, Seq("q_id", "vec_id"), "left")
+      .groupBy("nprobe")
+      .agg(coalesce(sum("is_true"), lit(0L)).as("n_hit"))
+    val tbl = armDim.join(nCand, Seq("nprobe"), "left")
+      .join(hits, Seq("nprobe"), "left")
+      .crossJoin(broadcast(nRow))
+      .crossJoin(broadcast(truthN))
+      .select(col("nprobe"), col("n_vectors"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        intDiv(lit(10000L) * coalesce(col("n_cand"), lit(0L)),
+          lit(5L) * (col("n_vectors") - 1L)).as("probed_frac_e4"),
+        col("n_truth"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        when(col("n_truth") > 0L,
+          intDiv(lit(10000L) * coalesce(col("n_hit"), lit(0L)),
+            col("n_truth"))).otherwise(lit(0L)).as("recall_e4"))
+    // the pick: smallest arm clearing the recall bar, widest fallback —
+    // a 1-row scalar over the ≤3-row table, attached by crossJoin (the
+    // q380 chosen discipline without an unpartitioned window)
+    val firstOk = tbl.agg(
+      min(when(col("recall_e4") >= recallBarE4, col("nprobe")))
+        .as("first_ok"))
+    tbl.crossJoin(broadcast(firstOk))
+      .select(col("nprobe"), col("n_vectors"), col("n_cand"),
+        col("probed_frac_e4"), col("n_truth"), col("n_hit"),
+        col("recall_e4"),
+        when(col("first_ok").isNull, col("nprobe") === arms.max.toLong)
+          .otherwise(col("nprobe") === col("first_ok"))
+          .cast("long").as("chosen"))
+      .orderBy("nprobe")
+  }
+
   /** Johnson–Lindenstrauss projection audit — "can 16 random dimensions
     * stand in for 64": every vector projects onto 16 md5-seeded
     * hyperplanes (the [[graft.operators.Lsh]] plane family, so both
@@ -1264,6 +1379,7 @@ object SimilarityQueries extends QueryPack {
     "q306_label_noise" -> (q306 _),
     "q378_label_noise_ann" -> (q378 _),
     "q380_lsh_geometry" -> (q380 _),
+    "q381_ivf_probe_tuning" -> (q381 _),
     "q310_jl_audit" -> (q310 _),
     "q317_label_centroids" -> (q317 _),
     "q50_knn_cosine" -> (q50 _),
@@ -1515,6 +1631,80 @@ object SimilarityQueries extends QueryPack {
         |    ELSE 0 END AS precision_e4
         |FROM arms a LEFT JOIN cc ON a.rpb = cc.rpb, nv, tn
         |ORDER BY rows_per_band""".stripMargin
+    },
+    // q56's assignment/probe chain computed once at the widest arm with
+    // the probe rank riding, the 3-arm lattice as prefix filters, brute
+    // truth on the q50 contract, and the smallest-arm-clearing-0.7 rule
+    "q381_ivf_probe_tuning" -> {
+      import graft.functions.Rounding.intDivSql
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |cent AS (
+        |  ${Ivf.centroidsSql(CentRate, CentCap)}),
+        |assigned AS (
+        |  SELECT vec_id, v, c_id FROM (
+        |    SELECT e.vec_id, e.v, cent.c_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY ${rnd("list_cosine_similarity(e.v, cent.cv)")} DESC,
+        |          cent.c_id) AS rn
+        |    FROM e, cent)
+        |  WHERE rn = 1),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+        |probes AS (
+        |  SELECT q_id, qv, c_id, CAST(rn AS BIGINT) AS prn FROM (
+        |    SELECT q.q_id, q.qv, cent.c_id,
+        |      row_number() OVER (PARTITION BY q.q_id
+        |        ORDER BY ${rnd("list_cosine_similarity(q.qv, cent.cv)")} DESC,
+        |          cent.c_id) AS rn
+        |    FROM q, cent)
+        |  WHERE rn <= 12),
+        |arms AS (SELECT CAST(nprobe AS BIGINT) AS nprobe
+        |  FROM (VALUES (2), (6), (12)) t(nprobe)),
+        |cand AS (
+        |  SELECT p.q_id, a.vec_id, p.prn,
+        |    ${rnd("list_cosine_similarity(a.v, p.qv)")} AS cos
+        |  FROM assigned a JOIN probes p USING (c_id)
+        |  WHERE a.vec_id <> p.q_id),
+        |truth AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT q.q_id, e.vec_id,
+        |      row_number() OVER (PARTITION BY q.q_id
+        |        ORDER BY ${rnd("list_cosine_similarity(e.v, q.qv)")} DESC,
+        |          e.vec_id) AS br
+        |    FROM e, q WHERE e.vec_id <> q.q_id)
+        |  WHERE br <= 10),
+        |tn AS (SELECT count(*) AS n_truth FROM truth),
+        |nv AS (SELECT count(*) AS n_vectors FROM e),
+        |ac AS (
+        |  SELECT ar.nprobe, c.q_id, c.vec_id, c.cos
+        |  FROM cand c JOIN arms ar ON c.prn <= ar.nprobe),
+        |nc AS (SELECT nprobe, count(*) AS n_cand FROM ac GROUP BY 1),
+        |top10 AS (
+        |  SELECT nprobe, q_id, vec_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY nprobe, q_id
+        |      ORDER BY cos DESC, vec_id) AS ir FROM ac)
+        |  WHERE ir <= 10),
+        |hits AS (
+        |  SELECT t.nprobe, count(*) AS n_hit
+        |  FROM top10 t JOIN truth USING (q_id, vec_id) GROUP BY 1),
+        |tbl AS (
+        |  SELECT ar.nprobe, nv.n_vectors,
+        |    CAST(coalesce(nc.n_cand, 0) AS BIGINT) AS n_cand,
+        |    ${intDivSql("10000 * coalesce(nc.n_cand, 0)",
+             "5 * (nv.n_vectors - 1)")} AS probed_frac_e4,
+        |    tn.n_truth,
+        |    CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+        |    CASE WHEN tn.n_truth > 0 THEN ${intDivSql(
+             "10000 * coalesce(h.n_hit, 0)", "tn.n_truth")}
+        |      ELSE 0 END AS recall_e4
+        |  FROM arms ar LEFT JOIN nc ON ar.nprobe = nc.nprobe
+        |    LEFT JOIN hits h ON ar.nprobe = h.nprobe, nv, tn),
+        |fq AS (SELECT min(CASE WHEN recall_e4 >= 7000 THEN nprobe END)
+        |  AS first_ok FROM tbl)
+        |SELECT tbl.*, CAST(CASE WHEN fq.first_ok IS NULL
+        |    THEN tbl.nprobe = 12 ELSE tbl.nprobe = fq.first_ok END
+        |  AS BIGINT) AS chosen
+        |FROM tbl, fq ORDER BY nprobe""".stripMargin
     },
     // q50's brute chain and q51's LSH chain side by side (CTEs renamed
     // apart), diffed with the same left join + per-query aggregate

@@ -43,13 +43,33 @@ class ArtifactGateSpec extends AnyFunSuite {
       s"scaling sweep flagged ${flags}: a measured tail slope exceeded " +
         "its stated complexity bound — fix the query or re-adjudicate " +
         "the bound in tools/scaling_sweep.py STATED, then re-run the sweep")
-    // coverage pin: the sweep list only grows (26 three-SF rows as of
-    // r17, plus the 5-query sf~1 extension) — a shrunk artifact means a
-    // stale or hand-edited file
-    assert(n.get("n_queries").asLong >= 26L,
-      s"sweep covered ${n.get("n_queries")} queries — expected >= 26")
-    assert(n.get("sf1x_queries") != null && n.get("sf1x_queries").size >= 5,
-      "the sf~1 steep-tail extension is missing from the sweep artifact")
+    // coverage pin: the sweep list only grows (28 three-SF rows as of
+    // r18 plus the tuned-geometry contrast row, and the 8-query sf~1
+    // extension) — a shrunk artifact means a stale or hand-edited file
+    assert(n.get("n_queries").asLong >= 29L,
+      s"sweep covered ${n.get("n_queries")} queries — expected >= 29")
+    assert(n.get("sf1x_queries") != null && n.get("sf1x_queries").size >= 8,
+      "the sf~1 extension (steep-tail families + the r18 product-surface " +
+        "heads) is missing from the sweep artifact")
+    // the tuned-geometry contrast arm (r17 verdict item 2): the
+    // mechanism's measured effect must be in the artifact and in-bound
+    val tuned = n.get("sf1x_tuned")
+    assert(tuned != null && !tuned.get("tail1").isNull,
+      "the tuned-band-geometry sf~1 arm is missing — re-run the sweep")
+    assert(tuned.get("tail1").asDouble <= tuned.get("allowed").asDouble,
+      s"tuned-geometry q378 tail ${tuned.get("tail1")} exceeds " +
+        s"${tuned.get("allowed")} — re-tuning no longer removes the " +
+        "occupancy term")
+    // the occupancy term leaves through MEMORY at this decade (the
+    // fixed arm spills ~14 GB; the tuned arm must spill nothing) —
+    // seconds alone would let a re-grown candidate blow-up hide in the
+    // vote floor
+    assert(!tuned.get("spill_bytes").isNull &&
+        tuned.get("spill_bytes").asLong == 0L,
+      s"tuned-geometry q378 spilled ${tuned.get("spill_bytes")} bytes " +
+        "at sf~1 — the candidate substrate has re-grown past memory; " +
+        "re-tune the geometry (q380/Lsh.tunedGeometry) or find the " +
+        "new term")
   }
 
   test("BENCH_FULL.json: fresh (query-list linked), full coverage, " +

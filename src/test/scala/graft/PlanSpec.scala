@@ -529,6 +529,11 @@ class PlanSpec extends SparkSuite {
       // q380: the two 1-row global scalars (n_vectors, n_truth) — the
       // ≤3-row tuning table attaches both via bounded crossJoins
       "q380_lsh_geometry" -> 2L,
+      // q381: the three 1-row scalars (n_vectors, n_truth, first_ok) —
+      // the truth/count pair are each listed twice because the chosen
+      // scalar's branch re-lists the whole ≤3-row table subtree
+      // (runtime ReuseExchange collapses them — the q362 pattern)
+      "q381_ivf_probe_tuning" -> 5L,
       "q64_tfidf" -> 1L,
       "q83_heavy_hitters" -> 1L,
       "q87_skew_report" -> 1L,
@@ -647,6 +652,14 @@ class PlanSpec extends SparkSuite {
       // scalar (runtime exchange reuse collapses them) — plus the two
       // 1-row scalar crossJoins; every broadcast a bounded frame
       "q380_lsh_geometry" -> 4L,
+      // q381: six bounded-broadcast sites (two capped-centroid
+      // assignment crossJoins — the q56 Ivf contract, O(cap) regardless
+      // of corpus size — the brute-truth audit arm, the 3-row arm
+      // lattice, and the n_vectors/n_truth scalars), multiplied by the
+      // chosen scalar's branch re-listing the whole table subtree and
+      // the candidate set feeding both the count and hit branches
+      // (runtime ReuseExchange collapses them — the q362 pattern)
+      "q381_ivf_probe_tuning" -> 18L,
       "q50_knn_cosine" -> 1L,
       "q56_knn_ivf" -> 2L,
       "q64_tfidf" -> 1L,
