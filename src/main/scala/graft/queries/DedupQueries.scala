@@ -190,14 +190,34 @@ object DedupQueries extends QueryPack {
       .orderBy("cluster_id")
   }
 
+  /** Deployment band count for the MinHash arm: the
+    * `spark.graft.minhash.bands` conf when set — how a production run
+    * applies q270's tuning-table pick (the r18 discipline: every index
+    * tuner's chosen row has a knob that consumes it — sign-LSH has
+    * `spark.graft.lsh.*`, IVF has `spark.graft.ivf.nprobe`) — else the
+    * default 4 the oracle contract pins. MinhashTuningSpec pins the
+    * conf consumption, the banding theory's candidate-subset
+    * monotonicity (a pair agreeing on a wide band agrees on all its
+    * sub-bands, so candidates(2) ⊆ candidates(4) ⊆ candidates(8)), and
+    * that the default IS q270's rule-pick on the driver's gate
+    * corpus. */
+  private def minhashBands(s: SparkSession): Int = {
+    val nb = s.conf.getOption("spark.graft.minhash.bands")
+      .map(_.toInt).getOrElse(B)
+    require(K % nb == 0, s"bands $nb must divide the $K-minhash signature")
+    nb
+  }
+
   /** MinHash + LSH: word-3-gram shingles → ONE md5 per shingle split into
     * two 32-bit halves (a, b) → K universal hashes h_k = (a + k·b) mod p →
-    * per-doc minima → B banded bucket keys → bucket self-join for
-    * candidates → estimated similarity = fraction of agreeing minhashes.
+    * per-doc minima → B banded bucket keys ([[minhashBands]] — conf-
+    * retunable, default 4) → bucket self-join for candidates →
+    * estimated similarity = fraction of agreeing minhashes.
     * The (a + k·b) mod p family is 2-universal, exact in int64 (operands
     * < 2^36), and engine-portable (DuckDB parses '0x…' hex casts). */
   private val P = 4294967291L // largest prime < 2^32
   private def q42(s: SparkSession, dir: String): DataFrame = {
+    val nb = minhashBands(s)
     val g = shingleDf(s, dir, 3)
     val hashed = g.select(col("doc_id"),
       Hashing.md5U32(col("gram")).as("ha"),
@@ -205,10 +225,11 @@ object DedupQueries extends QueryPack {
     val aggs = (0 until K).map(k =>
       min((col("ha") + lit(k.toLong) * col("hb")) % lit(P)).as(s"h$k"))
     val sig = hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-    val bandCols = (0 until B).map { b =>
+    val bandCols = (0 until nb).map { b =>
       struct(lit(b).as("band"),
         concat_ws("|",
-          (0 until K / B).map(j => col(s"h${(K / B) * b + j}")): _*).as("bkey"))
+          (0 until K / nb).map(j =>
+            col(s"h${(K / nb) * b + j}")): _*).as("bkey"))
     }
     val exploded = sig.withColumn("bk", explode(array(bandCols: _*)))
       .select((Seq(col("doc_id"), col("bk.band").as("band"),
