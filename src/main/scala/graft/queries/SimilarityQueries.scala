@@ -1288,6 +1288,38 @@ object SimilarityQueries extends QueryPack {
       .orderBy("nprobe")
   }
 
+  /** The index sizing plan — the three tuning tables' chosen rows as
+    * ONE deployment artifact: per index family (sign-LSH geometry, IVF
+    * probe count, MinHash band count) the knob's conf key, the value
+    * its sizing rule picks for THIS corpus, and the measured recall the
+    * pick carries. This is the table an operator reads before setting
+    * `spark.graft.lsh.rowsPerBand` / `spark.graft.ivf.nprobe` /
+    * `spark.graft.minhash.bands` — the r18 tuner-consumption discipline
+    * rolled up (q380's occupancy rule, q381's smallest-arm-clearing-0.7,
+    * q270's smallest-bands-clearing-0.95 as pinned by
+    * MinhashTuningSpec). Pure composition of the three oracle-checked
+    * tables (each chain runs once; the minhash pick is a 1-row scalar
+    * crossJoin over q270's ≤3-row table — the q381 firstOk discipline);
+    * IndexSizingSpec pins plan ≡ each table's own chosen row and ≡ the
+    * Scala rules. */
+  private def q382(s: SparkSession, dir: String): DataFrame = {
+    val lsh = q380(s, dir).filter(col("chosen") === 1L)
+      .select(lit("spark.graft.lsh.rowsPerBand").as("knob"),
+        col("rows_per_band").as("chosen_value"), col("recall_e4"))
+    val ivf = q381(s, dir).filter(col("chosen") === 1L)
+      .select(lit("spark.graft.ivf.nprobe").as("knob"),
+        col("nprobe").as("chosen_value"), col("recall_e4"))
+    val mh0 = graft.SparkEntry.queries("q270_lsh_tuning")(s, dir)
+    val mhPick = mh0.agg(coalesce(
+        min(when(col("recall_e4") >= 9500L, col("bands"))),
+        max(col("bands"))).as("pick"))
+    val mh = mh0.crossJoin(broadcast(mhPick))
+      .filter(col("bands") === col("pick"))
+      .select(lit("spark.graft.minhash.bands").as("knob"),
+        col("bands").as("chosen_value"), col("recall_e4"))
+    lsh.unionByName(ivf).unionByName(mh).orderBy("knob")
+  }
+
   /** Johnson–Lindenstrauss projection audit — "can 16 random dimensions
     * stand in for 64": every vector projects onto 16 md5-seeded
     * hyperplanes (the [[graft.operators.Lsh]] plane family, so both
@@ -1380,6 +1412,7 @@ object SimilarityQueries extends QueryPack {
     "q378_label_noise_ann" -> (q378 _),
     "q380_lsh_geometry" -> (q380 _),
     "q381_ivf_probe_tuning" -> (q381 _),
+    "q382_index_sizing_plan" -> (q382 _),
     "q310_jl_audit" -> (q310 _),
     "q317_label_centroids" -> (q317 _),
     "q50_knn_cosine" -> (q50 _),
@@ -1406,6 +1439,135 @@ object SimilarityQueries extends QueryPack {
 
   private def rnd(e: String): String =
     s"floor(($e) * 10000.0 + 0.5) / 10000.0"
+
+
+  /** q380's oracle SQL — a val so the q382 sizing-plan oracle can embed
+    * the same chain as a scoped derived table. */
+  private lazy val q380Sql: String = {
+    import graft.functions.Rounding.intDivSql
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings
+      |  WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+      |    CAST(embedding AS DOUBLE[])) > 0),
+      |${Lsh.signatureSqlCtes(Bands * Rows, Dim)},
+      |arms AS (SELECT * FROM (VALUES (4, 32, 16, 0), (8, 16, 256, 16),
+      |  (16, 8, 65536, 256)) t(rpb, bands, n_buckets, prev_buckets)),
+      |bnd AS (SELECT unnest(generate_series(0, 31)) AS band),
+      |ba AS (
+      |  SELECT a.rpb, s.vec_id, b.band,
+      |    substr(s.sig, b.band * a.rpb + 1, a.rpb) AS bkey
+      |  FROM sigs s, arms a, bnd b WHERE b.band < a.bands),
+      |cand AS (
+      |  SELECT DISTINCT x.rpb, x.vec_id AS va, y.vec_id AS vb
+      |  FROM ba x JOIN ba y ON x.rpb = y.rpb AND x.band = y.band
+      |    AND x.bkey = y.bkey AND x.vec_id < y.vec_id),
+      |truth AS (
+      |  SELECT a.vec_id AS va, b.vec_id AS vb
+      |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |  WHERE CAST(floor(list_cosine_similarity(a.v, b.v) * 1000000.0
+      |    + 0.5) AS BIGINT) >= 400000),
+      |tn AS (SELECT count(*) AS n_truth FROM truth),
+      |nv AS (SELECT count(*) AS n_vectors FROM e),
+      |cc AS (
+      |  SELECT c.rpb, count(*) AS n_cand,
+      |    CAST(coalesce(sum(CASE WHEN t.va IS NOT NULL THEN 1 ELSE 0
+      |      END), 0) AS BIGINT) AS n_hit
+      |  FROM cand c LEFT JOIN truth t ON c.va = t.va AND c.vb = t.vb
+      |  GROUP BY c.rpb)
+      |SELECT CAST(a.rpb AS BIGINT) AS rows_per_band,
+      |  CAST(a.bands AS BIGINT) AS bands,
+      |  CAST(a.n_buckets AS BIGINT) AS n_buckets,
+      |  nv.n_vectors,
+      |  ${intDivSql("nv.n_vectors + a.n_buckets - 1", "a.n_buckets")}
+      |    AS exp_load,
+      |  CAST((a.prev_buckets = 0 OR nv.n_vectors > 512 * a.prev_buckets)
+      |    AND (a.rpb = 16 OR nv.n_vectors <= 512 * a.n_buckets)
+      |    AS BIGINT) AS chosen,
+      |  CAST(coalesce(cc.n_cand, 0) AS BIGINT) AS n_cand,
+      |  tn.n_truth,
+      |  CAST(coalesce(cc.n_hit, 0) AS BIGINT) AS n_hit,
+      |  CASE WHEN tn.n_truth > 0 THEN ${intDivSql(
+          "10000 * coalesce(cc.n_hit, 0)", "tn.n_truth")}
+      |    ELSE 0 END AS recall_e4,
+      |  CASE WHEN coalesce(cc.n_cand, 0) > 0 THEN ${intDivSql(
+          "10000 * coalesce(cc.n_hit, 0)", "coalesce(cc.n_cand, 0)")}
+      |    ELSE 0 END AS precision_e4
+      |FROM arms a LEFT JOIN cc ON a.rpb = cc.rpb, nv, tn
+      |ORDER BY rows_per_band""".stripMargin
+  }
+
+  /** q381's oracle SQL — a val for the same q382 embedding. */
+  private lazy val q381Sql: String = {
+    import graft.functions.Rounding.intDivSql
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings),
+      |cent AS (
+      |  ${Ivf.centroidsSql(CentRate, CentCap)}),
+      |assigned AS (
+      |  SELECT vec_id, v, c_id FROM (
+      |    SELECT e.vec_id, e.v, cent.c_id,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY ${rnd("list_cosine_similarity(e.v, cent.cv)")} DESC,
+      |          cent.c_id) AS rn
+      |    FROM e, cent)
+      |  WHERE rn = 1),
+      |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+      |probes AS (
+      |  SELECT q_id, qv, c_id, CAST(rn AS BIGINT) AS prn FROM (
+      |    SELECT q.q_id, q.qv, cent.c_id,
+      |      row_number() OVER (PARTITION BY q.q_id
+      |        ORDER BY ${rnd("list_cosine_similarity(q.qv, cent.cv)")} DESC,
+      |          cent.c_id) AS rn
+      |    FROM q, cent)
+      |  WHERE rn <= 12),
+      |arms AS (SELECT CAST(nprobe AS BIGINT) AS nprobe
+      |  FROM (VALUES (2), (6), (12)) t(nprobe)),
+      |cand AS (
+      |  SELECT p.q_id, a.vec_id, p.prn,
+      |    ${rnd("list_cosine_similarity(a.v, p.qv)")} AS cos
+      |  FROM assigned a JOIN probes p USING (c_id)
+      |  WHERE a.vec_id <> p.q_id),
+      |truth AS (
+      |  SELECT q_id, vec_id FROM (
+      |    SELECT q.q_id, e.vec_id,
+      |      row_number() OVER (PARTITION BY q.q_id
+      |        ORDER BY ${rnd("list_cosine_similarity(e.v, q.qv)")} DESC,
+      |          e.vec_id) AS br
+      |    FROM e, q WHERE e.vec_id <> q.q_id)
+      |  WHERE br <= 10),
+      |tn AS (SELECT count(*) AS n_truth FROM truth),
+      |nv AS (SELECT count(*) AS n_vectors FROM e),
+      |ac AS (
+      |  SELECT ar.nprobe, c.q_id, c.vec_id, c.cos
+      |  FROM cand c JOIN arms ar ON c.prn <= ar.nprobe),
+      |nc AS (SELECT nprobe, count(*) AS n_cand FROM ac GROUP BY 1),
+      |top10 AS (
+      |  SELECT nprobe, q_id, vec_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY nprobe, q_id
+      |      ORDER BY cos DESC, vec_id) AS ir FROM ac)
+      |  WHERE ir <= 10),
+      |hits AS (
+      |  SELECT t.nprobe, count(*) AS n_hit
+      |  FROM top10 t JOIN truth USING (q_id, vec_id) GROUP BY 1),
+      |tbl AS (
+      |  SELECT ar.nprobe, nv.n_vectors,
+      |    CAST(coalesce(nc.n_cand, 0) AS BIGINT) AS n_cand,
+      |    ${intDivSql("10000 * coalesce(nc.n_cand, 0)",
+         "5 * (nv.n_vectors - 1)")} AS probed_frac_e4,
+      |    tn.n_truth,
+      |    CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+      |    CASE WHEN tn.n_truth > 0 THEN ${intDivSql(
+         "10000 * coalesce(h.n_hit, 0)", "tn.n_truth")}
+      |      ELSE 0 END AS recall_e4
+      |  FROM arms ar LEFT JOIN nc ON ar.nprobe = nc.nprobe
+      |    LEFT JOIN hits h ON ar.nprobe = h.nprobe, nv, tn),
+      |fq AS (SELECT min(CASE WHEN recall_e4 >= 7000 THEN nprobe END)
+      |  AS first_ok FROM tbl)
+      |SELECT tbl.*, CAST(CASE WHEN fq.first_ok IS NULL
+      |    THEN tbl.nprobe = 12 ELSE tbl.nprobe = fq.first_ok END
+      |  AS BIGINT) AS chosen
+      |FROM tbl, fq ORDER BY nprobe""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     // same e6 grid, power-sum variance, signed truncated rationals
@@ -1580,132 +1742,34 @@ object SimilarityQueries extends QueryPack {
     // the same 128-bit signature re-segmented three ways, candidates
     // mined per arm, brute truth at the same e6 threshold, and the
     // tunedGeometry rule as SQL — all integer columns
-    "q380_lsh_geometry" -> {
-      import graft.functions.Rounding.intDivSql
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-        |  FROM embeddings
-        |  WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
-        |    CAST(embedding AS DOUBLE[])) > 0),
-        |${Lsh.signatureSqlCtes(Bands * Rows, Dim)},
-        |arms AS (SELECT * FROM (VALUES (4, 32, 16, 0), (8, 16, 256, 16),
-        |  (16, 8, 65536, 256)) t(rpb, bands, n_buckets, prev_buckets)),
-        |bnd AS (SELECT unnest(generate_series(0, 31)) AS band),
-        |ba AS (
-        |  SELECT a.rpb, s.vec_id, b.band,
-        |    substr(s.sig, b.band * a.rpb + 1, a.rpb) AS bkey
-        |  FROM sigs s, arms a, bnd b WHERE b.band < a.bands),
-        |cand AS (
-        |  SELECT DISTINCT x.rpb, x.vec_id AS va, y.vec_id AS vb
-        |  FROM ba x JOIN ba y ON x.rpb = y.rpb AND x.band = y.band
-        |    AND x.bkey = y.bkey AND x.vec_id < y.vec_id),
-        |truth AS (
-        |  SELECT a.vec_id AS va, b.vec_id AS vb
-        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |  WHERE CAST(floor(list_cosine_similarity(a.v, b.v) * 1000000.0
-        |    + 0.5) AS BIGINT) >= 400000),
-        |tn AS (SELECT count(*) AS n_truth FROM truth),
-        |nv AS (SELECT count(*) AS n_vectors FROM e),
-        |cc AS (
-        |  SELECT c.rpb, count(*) AS n_cand,
-        |    CAST(coalesce(sum(CASE WHEN t.va IS NOT NULL THEN 1 ELSE 0
-        |      END), 0) AS BIGINT) AS n_hit
-        |  FROM cand c LEFT JOIN truth t ON c.va = t.va AND c.vb = t.vb
-        |  GROUP BY c.rpb)
-        |SELECT CAST(a.rpb AS BIGINT) AS rows_per_band,
-        |  CAST(a.bands AS BIGINT) AS bands,
-        |  CAST(a.n_buckets AS BIGINT) AS n_buckets,
-        |  nv.n_vectors,
-        |  ${intDivSql("nv.n_vectors + a.n_buckets - 1", "a.n_buckets")}
-        |    AS exp_load,
-        |  CAST((a.prev_buckets = 0 OR nv.n_vectors > 512 * a.prev_buckets)
-        |    AND (a.rpb = 16 OR nv.n_vectors <= 512 * a.n_buckets)
-        |    AS BIGINT) AS chosen,
-        |  CAST(coalesce(cc.n_cand, 0) AS BIGINT) AS n_cand,
-        |  tn.n_truth,
-        |  CAST(coalesce(cc.n_hit, 0) AS BIGINT) AS n_hit,
-        |  CASE WHEN tn.n_truth > 0 THEN ${intDivSql(
-            "10000 * coalesce(cc.n_hit, 0)", "tn.n_truth")}
-        |    ELSE 0 END AS recall_e4,
-        |  CASE WHEN coalesce(cc.n_cand, 0) > 0 THEN ${intDivSql(
-            "10000 * coalesce(cc.n_hit, 0)", "coalesce(cc.n_cand, 0)")}
-        |    ELSE 0 END AS precision_e4
-        |FROM arms a LEFT JOIN cc ON a.rpb = cc.rpb, nv, tn
-        |ORDER BY rows_per_band""".stripMargin
-    },
+    // the same 128-bit signature re-segmented three ways, candidates
+    // mined per arm, brute truth at the same e6 threshold, and the
+    // tunedGeometry rule as SQL — all integer columns
+    "q380_lsh_geometry" -> q380Sql,
     // q56's assignment/probe chain computed once at the widest arm with
     // the probe rank riding, the 3-arm lattice as prefix filters, brute
     // truth on the q50 contract, and the smallest-arm-clearing-0.7 rule
-    "q381_ivf_probe_tuning" -> {
-      import graft.functions.Rounding.intDivSql
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-        |  FROM embeddings),
-        |cent AS (
-        |  ${Ivf.centroidsSql(CentRate, CentCap)}),
-        |assigned AS (
-        |  SELECT vec_id, v, c_id FROM (
-        |    SELECT e.vec_id, e.v, cent.c_id,
-        |      row_number() OVER (PARTITION BY e.vec_id
-        |        ORDER BY ${rnd("list_cosine_similarity(e.v, cent.cv)")} DESC,
-        |          cent.c_id) AS rn
-        |    FROM e, cent)
-        |  WHERE rn = 1),
-        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
-        |probes AS (
-        |  SELECT q_id, qv, c_id, CAST(rn AS BIGINT) AS prn FROM (
-        |    SELECT q.q_id, q.qv, cent.c_id,
-        |      row_number() OVER (PARTITION BY q.q_id
-        |        ORDER BY ${rnd("list_cosine_similarity(q.qv, cent.cv)")} DESC,
-        |          cent.c_id) AS rn
-        |    FROM q, cent)
-        |  WHERE rn <= 12),
-        |arms AS (SELECT CAST(nprobe AS BIGINT) AS nprobe
-        |  FROM (VALUES (2), (6), (12)) t(nprobe)),
-        |cand AS (
-        |  SELECT p.q_id, a.vec_id, p.prn,
-        |    ${rnd("list_cosine_similarity(a.v, p.qv)")} AS cos
-        |  FROM assigned a JOIN probes p USING (c_id)
-        |  WHERE a.vec_id <> p.q_id),
-        |truth AS (
-        |  SELECT q_id, vec_id FROM (
-        |    SELECT q.q_id, e.vec_id,
-        |      row_number() OVER (PARTITION BY q.q_id
-        |        ORDER BY ${rnd("list_cosine_similarity(e.v, q.qv)")} DESC,
-        |          e.vec_id) AS br
-        |    FROM e, q WHERE e.vec_id <> q.q_id)
-        |  WHERE br <= 10),
-        |tn AS (SELECT count(*) AS n_truth FROM truth),
-        |nv AS (SELECT count(*) AS n_vectors FROM e),
-        |ac AS (
-        |  SELECT ar.nprobe, c.q_id, c.vec_id, c.cos
-        |  FROM cand c JOIN arms ar ON c.prn <= ar.nprobe),
-        |nc AS (SELECT nprobe, count(*) AS n_cand FROM ac GROUP BY 1),
-        |top10 AS (
-        |  SELECT nprobe, q_id, vec_id FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY nprobe, q_id
-        |      ORDER BY cos DESC, vec_id) AS ir FROM ac)
-        |  WHERE ir <= 10),
-        |hits AS (
-        |  SELECT t.nprobe, count(*) AS n_hit
-        |  FROM top10 t JOIN truth USING (q_id, vec_id) GROUP BY 1),
-        |tbl AS (
-        |  SELECT ar.nprobe, nv.n_vectors,
-        |    CAST(coalesce(nc.n_cand, 0) AS BIGINT) AS n_cand,
-        |    ${intDivSql("10000 * coalesce(nc.n_cand, 0)",
-             "5 * (nv.n_vectors - 1)")} AS probed_frac_e4,
-        |    tn.n_truth,
-        |    CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
-        |    CASE WHEN tn.n_truth > 0 THEN ${intDivSql(
-             "10000 * coalesce(h.n_hit, 0)", "tn.n_truth")}
-        |      ELSE 0 END AS recall_e4
-        |  FROM arms ar LEFT JOIN nc ON ar.nprobe = nc.nprobe
-        |    LEFT JOIN hits h ON ar.nprobe = h.nprobe, nv, tn),
-        |fq AS (SELECT min(CASE WHEN recall_e4 >= 7000 THEN nprobe END)
-        |  AS first_ok FROM tbl)
-        |SELECT tbl.*, CAST(CASE WHEN fq.first_ok IS NULL
-        |    THEN tbl.nprobe = 12 ELSE tbl.nprobe = fq.first_ok END
-        |  AS BIGINT) AS chosen
-        |FROM tbl, fq ORDER BY nprobe""".stripMargin
-    },
+    "q381_ivf_probe_tuning" -> q381Sql,
+    // the three tuning tables' chosen rows as ONE deployment artifact —
+    // each family's full oracle chain runs as a scoped derived table
+    "q382_index_sizing_plan" ->
+      s"""WITH g AS (SELECT * FROM ($q380Sql) t),
+        |i AS (SELECT * FROM ($q381Sql) t),
+        |mh AS (SELECT * FROM (${DedupQueries.oracle("q270_lsh_tuning")}) t),
+        |mhp AS (SELECT coalesce(
+        |    min(CASE WHEN recall_e4 >= 9500 THEN bands END),
+        |    max(bands)) AS pick FROM mh)
+        |SELECT knob, chosen_value, recall_e4 FROM (
+        |  SELECT 'spark.graft.lsh.rowsPerBand' AS knob,
+        |    rows_per_band AS chosen_value, recall_e4 FROM g
+        |  WHERE chosen = 1
+        |  UNION ALL
+        |  SELECT 'spark.graft.ivf.nprobe', nprobe, recall_e4 FROM i
+        |  WHERE chosen = 1
+        |  UNION ALL
+        |  SELECT 'spark.graft.minhash.bands', bands, recall_e4
+        |  FROM mh, mhp WHERE bands = pick
+        |) ORDER BY knob""".stripMargin,
     // q50's brute chain and q51's LSH chain side by side (CTEs renamed
     // apart), diffed with the same left join + per-query aggregate
     "q232_ann_recall" ->

@@ -534,6 +534,11 @@ class PlanSpec extends SparkSuite {
       // scalar's branch re-lists the whole ≤3-row table subtree
       // (runtime ReuseExchange collapses them — the q362 pattern)
       "q381_ivf_probe_tuning" -> 5L,
+      // q382: the union of q380's (2) + q381's (5) scalar sites plus
+      // q270's (1) and the plan's own minhash-pick scalar, with the
+      // pick's branch re-listing q270's table subtree (ReuseExchange
+      // collapses — the q362 pattern); the plan table itself is 3 rows
+      "q382_index_sizing_plan" -> 10L,
       "q64_tfidf" -> 1L,
       "q83_heavy_hitters" -> 1L,
       "q87_skew_report" -> 1L,
@@ -660,6 +665,14 @@ class PlanSpec extends SparkSuite {
       // the candidate set feeding both the count and hit branches
       // (runtime ReuseExchange collapses them — the q362 pattern)
       "q381_ivf_probe_tuning" -> 18L,
+      // q382: the three tuning chains' listed BNLJ sites under one
+      // union (q380's scalar/truth crossJoins, q381's capped-centroid/
+      // truth/lattice/scalar sites, q270's truth-total) plus the
+      // minhash-pick scalar crossJoin, as the union plan lists them
+      // after the chosen-filters prune — every broadcast a bounded
+      // frame; runtime ReuseExchange collapses the duplicates (the
+      // q362 pattern)
+      "q382_index_sizing_plan" -> 21L,
       "q50_knn_cosine" -> 1L,
       "q56_knn_ivf" -> 2L,
       "q64_tfidf" -> 1L,
