@@ -77,4 +77,53 @@ class SimilaritySpec extends SparkSuite {
       s"ANN vs brute suspect agreement $agree < 0.8 on " +
         s"${full.size} full neighborhoods")
   }
+
+  test("q378's label join is stats-decided, never hint-forced (r17 " +
+    "verdict item 1): zero join hints in the scale path; q306 keeps " +
+    "exactly its one adjudicated brute-arm hint") {
+    // the fix was the ABSENCE of a force: at audit scale stats still
+    // pick a broadcast (plan diff empty by design), so the pin that a
+    // data-scale (vec_id,label) relation can never again be shipped to
+    // every executor is the hint count itself, not the plan shape
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint}
+    def hints(name: String): Seq[JoinHint] =
+      SparkEntry.queries(name)(spark, sf)
+        .queryExecution.optimizedPlan.collect {
+          case j: Join if j.hint != JoinHint.NONE => j.hint
+        }
+    assert(hints("q378_label_noise_ann").isEmpty,
+      "q378 (the designated ANN scale path) must carry NO join-strategy " +
+        "hints — a forced broadcast of the O(N) label relation is the " +
+        "16-GB-at-10^9-vectors regression this pin exists to stop")
+    assert(hints("q306_label_noise").size == 1,
+      "q306 must keep exactly one hint: the adjudicated brute-arm " +
+        "query broadcast (the audit shape) — its label join must stay " +
+        "unhinted like q378's")
+  }
+
+  test("q378's label join demotes itself when stats say the build side " +
+    "is too big: threshold off => no broadcast joins anywhere in the " +
+    "scale path's plan") {
+    // the at-scale behavior, demonstrated rather than argued: with no
+    // hints in the plan, the broadcast decision belongs to the
+    // planner's size estimate — force the estimate verdict to "too
+    // big" and every broadcast join in q378 must demote to a shuffle
+    // strategy with no code change (exactly what happens at 10^9
+    // vectors when the label relation outgrows the threshold)
+    val conf = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(conf)
+    def bhj(): Long = graft.operators.PlanAudit
+      .of(SparkEntry.queries("q378_label_noise_ann")(spark, sf))
+      .broadcasts
+    val withDefault = bhj()
+    spark.conf.set(conf, "-1")
+    try assert(bhj() == 0L,
+      "with the broadcast threshold disabled q378 must plan zero " +
+        "broadcast joins — a surviving one means a hint crept back in")
+    finally spark.conf.set(conf, old)
+    assert(withDefault >= 1L,
+      "at audit scale the stats-decided plan should still broadcast " +
+        "the small label relation (the cheap plan) — if this stops " +
+        "holding, re-read the join's size estimates")
+  }
 }
