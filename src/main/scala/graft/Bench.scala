@@ -283,11 +283,14 @@ object Bench {
     // a 2-query PLANS.json was committed as if it covered all 207)
     val onlyTag = only.map(o => s""","only":${names(o.toSeq)}""").getOrElse("")
     // a tuned-geometry run must never masquerade as a default-geometry
-    // snapshot (same rationale as the "only" tag)
+    // snapshot (same rationale as the "only" tag); a HALF-set pair is
+    // tagged too — it still changed the conf
     val geomTag = (sys.env.get("SPARK_GRAFT_LSH_BANDS"),
         sys.env.get("SPARK_GRAFT_LSH_ROWS")) match {
-      case (Some(b), Some(r)) => s""","lsh_geometry":"${b}x$r""""
-      case _ => ""
+      case (None, None) => ""
+      case (b, r) =>
+        s""","lsh_geometry":"${b.getOrElse("default")}x${
+          r.getOrElse("default")}""""
     }
     // freshness linkage (ADVICE r17): the md5 of the DECLARED query list
     // ties the artifact to the source revision that produced it —

@@ -64,7 +64,8 @@ class ArtifactGateSpec extends AnyFunSuite {
     // fixed arm spills ~14 GB; the tuned arm must spill nothing) —
     // seconds alone would let a re-grown candidate blow-up hide in the
     // vote floor
-    assert(!tuned.get("spill_bytes").isNull &&
+    assert(tuned.get("spill_bytes") != null &&
+        !tuned.get("spill_bytes").isNull &&
         tuned.get("spill_bytes").asLong == 0L,
       s"tuned-geometry q378 spilled ${tuned.get("spill_bytes")} bytes " +
         "at sf~1 — the candidate substrate has re-grown past memory; " +
