@@ -28,13 +28,33 @@ object Bench {
     // aggregates, judge-audited, so the WARN is noise here). Verify keeps
     // WARN; the bench's only stdout contract is the one JSON line.
     spark.sparkContext.setLogLevel("ERROR")
-    // deployment LSH geometry (the scaling sweep's tuned sf~1 arm):
-    // thread the env pair into the conf SimilarityQueries.lshGeometry
-    // reads; unset = the 32×4 default the oracle contract pins
-    for (b <- sys.env.get("SPARK_GRAFT_LSH_BANDS"))
-      spark.conf.set("spark.graft.lsh.bands", b)
-    for (r <- sys.env.get("SPARK_GRAFT_LSH_ROWS"))
-      spark.conf.set("spark.graft.lsh.rowsPerBand", r)
+    // deployment index knobs (the scaling sweep's tuned sf~1 arms):
+    // thread the env values into the confs the knob readers consume
+    // (SimilarityQueries.lshGeometry/ivfNProbe, DedupQueries.
+    // minhashBands); unset = the defaults the oracle contract pins.
+    // Parsed as Int HERE (ADVICE r18): a malformed value fails fast at
+    // the env-read site instead of deep inside a query chain, and the
+    // artifact tag below is built from the parsed ints so a quote or
+    // backslash in the env can never corrupt the JSON head.
+    def intEnv(name: String): Option[Int] = sys.env.get(name).map { v =>
+      try v.trim.toInt
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"$name must be an integer, got '$v'")
+      }
+    }
+    val lshBandsEnv = intEnv("SPARK_GRAFT_LSH_BANDS")
+    val lshRowsEnv = intEnv("SPARK_GRAFT_LSH_ROWS")
+    val ivfNprobeEnv = intEnv("SPARK_GRAFT_IVF_NPROBE")
+    val minhashBandsEnv = intEnv("SPARK_GRAFT_MINHASH_BANDS")
+    for (b <- lshBandsEnv)
+      spark.conf.set("spark.graft.lsh.bands", b.toString)
+    for (r <- lshRowsEnv)
+      spark.conf.set("spark.graft.lsh.rowsPerBand", r.toString)
+    for (p <- ivfNprobeEnv)
+      spark.conf.set("spark.graft.ivf.nprobe", p.toString)
+    for (nb <- minhashBandsEnv)
+      spark.conf.set("spark.graft.minhash.bands", nb.toString)
     // JVM/codegen/session warmup: exercise the machinery the timed queries
     // use (hash agg, collect_set, window, shuffle join, explode, regex
     // split, md5, parquet reader) on synthetic data so the first heavy
@@ -261,6 +281,21 @@ object Bench {
     val qsSpill = longMap(_.spillBytes)
     val qsPeak = longMap(_.peakMem)
     val qsBcast = longMap(_.broadcastBytes)
+    // …plus the MIN-of-passes peak map (r18 verdict item 3): the max map
+    // is honest worst-case telemetry, but a gate on it is contention-
+    // sensitive — the same code measured 162 MB on a quiet box and
+    // 673 MB on one whose load average doubled (extra concurrent tasks
+    // raise per-task acquisition under the fair memory manager). The min
+    // across interleaved passes measures the CODE's floor requirement —
+    // box noise can inflate one pass, not all of them — so the 1 GiB
+    // working-set gate reads this map and a loaded re-run cannot 4× the
+    // gated number
+    def longMapMin(f: Run => Long): String = results.map {
+      case (k, good, _) =>
+        val cell = if (good.isEmpty) "null" else good.map(f).min.toString
+        s"\"" + k + "\":" + cell
+    }.mkString("{", ",", "}")
+    val qsPeakMin = longMapMin(_.peakMem)
     // ONE aggregation convention (ADVICE r17): the head total is the sum
     // of the per-query MAX values — exactly what re-summing the
     // spill_bytes map yields, so the artifact agrees with itself and
@@ -282,16 +317,21 @@ object Bench {
     // can never masquerade as a full-suite round snapshot (round-9 advice:
     // a 2-query PLANS.json was committed as if it covered all 207)
     val onlyTag = only.map(o => s""","only":${names(o.toSeq)}""").getOrElse("")
-    // a tuned-geometry run must never masquerade as a default-geometry
-    // snapshot (same rationale as the "only" tag); a HALF-set pair is
-    // tagged too — it still changed the conf
-    val geomTag = (sys.env.get("SPARK_GRAFT_LSH_BANDS"),
-        sys.env.get("SPARK_GRAFT_LSH_ROWS")) match {
+    // a tuned-knob run must never masquerade as a default-knob snapshot
+    // (same rationale as the "only" tag); a HALF-set geometry pair is
+    // tagged too — it still changed the conf. Tags are built from the
+    // PARSED ints (ADVICE r18), so the JSON head can never carry a raw
+    // env string.
+    val geomTag = (lshBandsEnv, lshRowsEnv) match {
       case (None, None) => ""
       case (b, r) =>
-        s""","lsh_geometry":"${b.getOrElse("default")}x${
-          r.getOrElse("default")}""""
+        s""","lsh_geometry":"${b.map(_.toString).getOrElse("default")}x${
+          r.map(_.toString).getOrElse("default")}""""
     }
+    val ivfTag = ivfNprobeEnv
+      .map(p => s""","ivf_nprobe":$p""").getOrElse("")
+    val mhTag = minhashBandsEnv
+      .map(nb => s""","minhash_bands":$nb""").getOrElse("")
     // freshness linkage (ADVICE r17): the md5 of the DECLARED query list
     // ties the artifact to the source revision that produced it —
     // ArtifactGateSpec recomputes this from SparkEntry.queries and fails
@@ -302,7 +342,7 @@ object Bench {
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       md.digest.map("%02x".format(_)).mkString
     }
-    val head = s""""metric":"total","value":$total,"unit":"sec","ok":$ok,"passes":$passes,"failed":${names(failed)},"flaky":${names(flaky)},"sf":"$sfDir","load_avg":$loadAvg,"host_cpus":$hostCpus,"spill_bytes_total":$spillTotal,"query_list_md5":"$listMd5"$geomTag$onlyTag"""
+    val head = s""""metric":"total","value":$total,"unit":"sec","ok":$ok,"passes":$passes,"failed":${names(failed)},"flaky":${names(flaky)},"sf":"$sfDir","load_avg":$loadAvg,"host_cpus":$hostCpus,"spill_bytes_total":$spillTotal,"query_list_md5":"$listMd5"$geomTag$ivfTag$mhTag$onlyTag"""
     // stdout carries exactly ONE line, and it is SMALL: the driver
     // snapshots stdout through a ~2 KB tail window, so with 318 queries
     // the full per-query line (~12 KB) is truncated no matter how it is
@@ -336,7 +376,7 @@ object Bench {
       if (only.isDefined) "PLANS_SUBSET.json" else "PLANS.json")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(benchOut),
-      s"""{$head,"queries":$qs,"queries_raw":$qsRaw,"spill_bytes":$qsSpill,"peak_exec_mem":$qsPeak,"max_broadcast_bytes":$qsBcast}""")
+      s"""{$head,"queries":$qs,"queries_raw":$qsRaw,"spill_bytes":$qsSpill,"peak_exec_mem":$qsPeak,"peak_exec_mem_min":$qsPeakMin,"max_broadcast_bytes":$qsBcast}""")
     catch { case _: Throwable => () } // file write is best-effort telemetry
     // plan-shape snapshot (round artifact): PlanAudit over every declared
     // query, so a plan regression (new shuffle, lost broadcast, a

@@ -204,7 +204,11 @@ object DedupQueries extends QueryPack {
   private def minhashBands(s: SparkSession): Int = {
     val nb = s.conf.getOption("spark.graft.minhash.bands")
       .map(_.toInt).getOrElse(B)
-    require(K % nb == 0, s"bands $nb must divide the $K-minhash signature")
+    // nb > 0 as well as divisibility (ADVICE r18): 16 % -4 == 0, so a
+    // negative band count would pass the divisibility check alone and
+    // make q42 silently empty instead of failing fast
+    require(nb > 0 && K % nb == 0,
+      s"bands $nb must be positive and divide the $K-minhash signature")
     nb
   }
 

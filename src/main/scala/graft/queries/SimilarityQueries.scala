@@ -44,10 +44,16 @@ object SimilarityQueries extends QueryPack {
     * `spark.graft.ivf.nprobe` conf when set — how a production run
     * applies q381's tuning-table pick, the IVF analogue of
     * [[lshGeometry]] — else the default 6 the oracle contract pins
-    * (IvfTuningSpec pins the conf consumption). */
-  private def ivfNProbe(s: SparkSession): Int =
-    s.conf.getOption("spark.graft.ivf.nprobe")
+    * (IvfTuningSpec pins the conf consumption). A non-positive probe
+    * count fails FAST (ADVICE r18): nprobe = 0 would silently probe no
+    * cells and return an empty top-k — a misconfigured deployment must
+    * error, not produce empty results. */
+  private def ivfNProbe(s: SparkSession): Int = {
+    val np = s.conf.getOption("spark.graft.ivf.nprobe")
       .map(_.toInt).getOrElse(NProbe)
+    require(np > 0, s"spark.graft.ivf.nprobe must be positive, got $np")
+    np
+  }
 
   /** Deployment band geometry for the LSH pair substrate: the
     * `spark.graft.lsh.bands` / `spark.graft.lsh.rowsPerBand` conf pair
@@ -56,12 +62,27 @@ object SimilarityQueries extends QueryPack {
     * the scaling sweep's tuned sf~1 row runs — Bench threads
     * SPARK_GRAFT_LSH_* env into these), else the 32×4 default the
     * oracle contract pins. The driver never sets the conf, so every
-    * declared query hashes against the default geometry. */
-  private def lshGeometry(s: SparkSession): (Int, Int) = (
-    s.conf.getOption("spark.graft.lsh.bands")
-      .map(_.toInt).getOrElse(Bands),
-    s.conf.getOption("spark.graft.lsh.rowsPerBand")
-      .map(_.toInt).getOrElse(Rows))
+    * declared query hashes against the default geometry.
+    *
+    * Validation (ADVICE r18): a misconfigured pair fails FAST —
+    * bands = 0 would silently yield an empty candidate substrate
+    * (q51/q232/q378 return zero rows, no error), and a pair whose
+    * product ≠ 128 would silently switch to a DIFFERENT hyperplane
+    * family, voiding the "re-segment the same signature bits" contract
+    * q380's certified recall numbers rest on. */
+  private def lshGeometry(s: SparkSession): (Int, Int) = {
+    val nb = s.conf.getOption("spark.graft.lsh.bands")
+      .map(_.toInt).getOrElse(Bands)
+    val r = s.conf.getOption("spark.graft.lsh.rowsPerBand")
+      .map(_.toInt).getOrElse(Rows)
+    require(nb > 0 && r > 0,
+      s"spark.graft.lsh geometry must be positive, got ${nb}x$r")
+    require(nb * r == Bands * Rows,
+      s"spark.graft.lsh geometry ${nb}x$r re-segments ${nb * r} bits — " +
+        s"the tuned-geometry contract re-segments the SAME " +
+        s"${Bands * Rows}-bit signature (q380's certified arms)")
+    (nb, r)
+  }
   private val CentRate = 31
   private val CentCap = 4096
   private val NProbe = 6

@@ -97,10 +97,23 @@ class ArtifactGateSpec extends AnyFunSuite {
         "sbt 'runMain graft.Bench' (full suite) to regenerate")
     // coverage pin (r17 verdict item 3): every declared query must have
     // a telemetry cell — a stale or subset artifact exempts queries
-    for (m <- Seq("spill_bytes", "peak_exec_mem", "max_broadcast_bytes"))
+    for (m <- Seq("spill_bytes", "peak_exec_mem", "peak_exec_mem_min",
+        "max_broadcast_bytes"))
       assert(n.get(m) != null && n.get(m).size == SparkEntry.queries.size,
         s"$m covers ${if (n.get(m) == null) 0 else n.get(m).size} " +
           s"queries, declared ${SparkEntry.queries.size} — stale artifact")
+    // the gated artifact must be a DEFAULT-KNOB, FULL-SUITE snapshot
+    // (ADVICE r18): Bench tags tuned-knob runs (lsh_geometry /
+    // ivf_nprobe / minhash_bands — the scaling sweep's contrast arms)
+    // and subset runs ("only") precisely so they can never masquerade
+    // as the round's committed snapshot; the gate enforces the tags'
+    // stated purpose instead of trusting the commit discipline
+    for (tag <- Seq("lsh_geometry", "ivf_nprobe", "minhash_bands", "only"))
+      assert(n.get(tag) == null,
+        s"BENCH_FULL.json carries the '$tag' tag — a tuned-knob or " +
+          "subset artifact was committed as the full-suite snapshot; " +
+          "re-run sbt 'runMain graft.Bench' with no SPARK_GRAFT_* " +
+          "overrides")
     var total = 0L
     spill.fields.forEachRemaining { e =>
       if (!e.getValue.isNull) total += e.getValue.asLong
@@ -109,17 +122,25 @@ class ArtifactGateSpec extends AnyFunSuite {
       s"measured task spill ($total bytes) — a partition no longer fits " +
         "executor memory; find the query via the spill_bytes map and " +
         "repartition/rescope it")
-    // peak-execution-memory gate (r17 verdict item 4): spill and
-    // broadcasts carry bounded claims; the per-task working set gets one
-    // too — 1 GiB at sf0.1 (measured max 673 MB, q352_info_gain) so a
-    // blow-up that stays under the spill threshold still fails by name
+    // peak-execution-memory gate (r17 verdict item 4, re-based on the
+    // MIN-of-passes map by r18 verdict item 3): spill and broadcasts
+    // carry bounded claims; the per-task working set gets one too —
+    // 1 GiB at sf0.1. The gate reads peak_exec_mem_min, not the max
+    // map: identical code measured 162 MB on a quiet box and 673 MB
+    // when the load average doubled (the fair memory manager grants
+    // each concurrent task a larger share of a contended pool), so a
+    // max-based gate measures the neighbors, not the code. The min
+    // across interleaved passes is the code's floor requirement — a
+    // blow-up that GROWS with the data inflates every pass and still
+    // fails here by name; box noise inflates one.
     val peakBound = 1024L * 1024 * 1024
-    n.get("peak_exec_mem").fields.forEachRemaining { e =>
+    n.get("peak_exec_mem_min").fields.forEachRemaining { e =>
       if (!e.getValue.isNull)
         assert(e.getValue.asLong <= peakBound,
           s"${e.getKey} peaked at ${e.getValue.asLong} bytes of task " +
-            "execution memory (> 1 GiB at sf0.1) — the working set has " +
-            "grown with the data; rescope the aggregate or repartition")
+            "execution memory in its QUIETEST pass (> 1 GiB at sf0.1) — " +
+            "the working set has grown with the data; rescope the " +
+            "aggregate or repartition")
     }
     val bcast = n.get("max_broadcast_bytes")
     assert(bcast != null && bcast.size > 0, "max_broadcast_bytes missing")

@@ -68,4 +68,14 @@ class IvfTuningSpec extends SparkSuite {
           "IvfProbe(nprobe=12) construction")
     } finally spark.conf.unset("spark.graft.ivf.nprobe")
   }
+
+  test("a non-positive probe count fails FAST instead of probing no " +
+    "cells and returning an empty top-k (ADVICE r18)") {
+    for (bad <- Seq("0", "-2")) {
+      spark.conf.set("spark.graft.ivf.nprobe", bad)
+      try intercept[IllegalArgumentException] {
+        SparkEntry.queries("q56_knn_ivf")(spark, sf)
+      } finally spark.conf.unset("spark.graft.ivf.nprobe")
+    }
+  }
 }

@@ -98,4 +98,20 @@ class LshTuningSpec extends SparkSuite {
       spark.conf.unset("spark.graft.lsh.rowsPerBand")
     }
   }
+
+  test("a misconfigured geometry fails FAST (ADVICE r18): bands = 0 " +
+    "would silently empty the candidate substrate, and a pair whose " +
+    "product != 128 would switch hyperplane families and void q380's " +
+    "certified recall") {
+    for ((b, r) <- Seq(("0", "4"), ("-16", "8"), ("16", "4"), ("64", "4"))) {
+      spark.conf.set("spark.graft.lsh.bands", b)
+      spark.conf.set("spark.graft.lsh.rowsPerBand", r)
+      try intercept[IllegalArgumentException] {
+        SimilarityQueries.lshScoredPairs(spark, sf, checkpoint = false)
+      } finally {
+        spark.conf.unset("spark.graft.lsh.bands")
+        spark.conf.unset("spark.graft.lsh.rowsPerBand")
+      }
+    }
+  }
 }

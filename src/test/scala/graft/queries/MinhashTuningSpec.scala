@@ -62,4 +62,15 @@ class MinhashTuningSpec extends SparkSuite {
         "— re-tune q42's default B and the oracle together, the way " +
         "the geometry mechanism prescribes")
   }
+
+  test("a misconfigured band count fails FAST instead of returning " +
+    "empty/wrong results (ADVICE r18: 16 % -4 == 0, so divisibility " +
+    "alone would let a negative count through to an empty q42)") {
+    for (bad <- Seq("0", "-4", "3")) {
+      spark.conf.set("spark.graft.minhash.bands", bad)
+      try intercept[IllegalArgumentException] {
+        SparkEntry.queries("q42_dedup_minhash")(spark, sf)
+      } finally spark.conf.unset("spark.graft.minhash.bands")
+    }
+  }
 }
