@@ -1101,7 +1101,8 @@ object SimilarityQueries extends QueryPack {
     * md5-derived signature banded three ways (32×4, 16×8, 8×16 — the
     * embedding analogue of q270's minhash sweep), each arm scored for
     * MEASURED candidate-pair volume and recall/precision against the
-    * exact brute truth set (cos_e6 ≥ 400000, this corpus's upper tail),
+    * exact anchored truth set (cos_e6 ≥ 400000, this corpus's upper
+    * tail, over a bounded deterministic anchor draw),
     * next to the size-derived expected uniform bucket load ⌈n/2^r⌉ and
     * the sizing rule's pick: `chosen` marks the smallest r whose
     * expected load stays ≤ 512 (falling back to the widest band) —
@@ -1112,14 +1113,23 @@ object SimilarityQueries extends QueryPack {
     * scan, 56 struct rows per vector), one self-join on (arm, band,
     * bkey), one distinct; a zero-candidate arm still reports via the
     * static arm lattice (the q270/q299 vanishing-row trap). Truth is
-    * the q306 BNLJ brute shape — an audit-corpus arm, adjudicated like
-    * q306's, never a production path; the table it certifies is ≤ 3
-    * rows regardless of corpus size. */
+    * ANCHORED (r18 verdict item 1): a bounded md5-deterministic anchor
+    * draw (exact-k smallest hash, the q235 discipline) crossed against
+    * the corpus — O(anchors·N) with an O(anchors) broadcast, never
+    * all-pairs — so the tuner itself runs at any corpus size it sizes
+    * an index for. `n_cand` stays the FULL arm candidate volume (the
+    * occupancy quantity the geometry rule manages); recall/precision
+    * are measured on the anchored pair universe (candidates touching
+    * an anchor, truth pairs touching an anchor) — an unbiased sample
+    * estimate of the full-corpus ratios, deterministic because the
+    * draw is. The table it certifies is ≤ 3 rows regardless of corpus
+    * size. */
   private def q380(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.Rounding.intDiv
     val bits = Bands * Rows
     val truthE6 = 400000L
     val targetLoad = 512L
+    val anchorK = 64
     val planes = graft.operators.Lsh.hyperplanes(bits, Dim)
     val arms = Seq(4, 8, 16)
     // zero-norm vectors out up front (cosine undefined — the q202/q306
@@ -1127,6 +1137,21 @@ object SimilarityQueries extends QueryPack {
     val e = emb(s, dir)
       .filter(expr("aggregate(transform(v, x -> x * x), 0D, (a, x) -> a + x)")
         > 0.0)
+    // the anchor set: exact-k smallest md5 hash (ties impossible — ids
+    // are distinct — but the id rides the sort anyway, the q235 form);
+    // a TakeOrdered over N rows with a k-row heap, broadcast everywhere
+    // it is used
+    val anch = e.select(col("vec_id").as("a_id"),
+        graft.functions.Hashing.md5U32(col("vec_id").cast("string"))
+          .as("h"))
+      .orderBy(col("h"), col("a_id")).limit(anchorK)
+      .select("a_id")
+    // anchor membership tags the vectors BEFORE the explode, so the
+    // anchored candidate count falls out of the same banded equi-join —
+    // no second pass over the pair set
+    val eTag = e.join(broadcast(anch), col("vec_id") === col("a_id"),
+        "left")
+      .select(col("vec_id"), col("v"), col("a_id").isNotNull.as("isa"))
     // one scan, all arms: each arm re-segments the SAME signature bits,
     // so the fused explode carries struct(rpb, band, bkey) per band of
     // every arm — 56 rows/vector vs three scans
@@ -1137,34 +1162,45 @@ object SimilarityQueries extends QueryPack {
           k.as("bkey")))
     }
     val n = s.sessionState.conf.numShufflePartitions
-    val ex = e.repartition(n)
-      .select(col("vec_id"), explode(concat(tagged: _*)).as("bk"))
-      .select(col("vec_id"), col("bk.rpb").as("rpb"), col("bk.band"),
-        col("bk.bkey"))
+    val ex = eTag.repartition(n)
+      .select(col("vec_id"), col("isa"),
+        explode(concat(tagged: _*)).as("bk"))
+      .select(col("vec_id"), col("isa"), col("bk.rpb").as("rpb"),
+        col("bk.band"), col("bk.bkey"))
+    // `anch` is functionally determined by (va, vb), so the distinct's
+    // cardinality is exactly the candidate-pair count
     val cand = ex.as("a")
       .join(ex.as("b"),
         col("a.rpb") === col("b.rpb") && col("a.band") === col("b.band") &&
           col("a.bkey") === col("b.bkey") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.rpb").as("rpb"), col("a.vec_id").as("va"),
-        col("b.vec_id").as("vb"))
+        col("b.vec_id").as("vb"),
+        (col("a.isa") || col("b.isa")).as("anch"))
       .distinct()
-    // the exact truth set: q306's adjudicated brute shape (BNLJ, corpus
-    // side streams), filtered to the threshold BEFORE any join
-    val truth = e.select(col("vec_id").as("va"), col("v").as("xa"))
-      .crossJoin(broadcast(e.select(col("vec_id").as("vb"),
-        col("v").as("xb"))))
-      .filter(col("va") < col("vb"))
-      .select(col("va"), col("vb"),
+    // the anchored truth set: anchors × corpus (corpus side streams past
+    // an O(anchors) broadcast — the q381/q306 bounded-audit shape),
+    // normalized least/greatest and deduped (an anchor–anchor pair is
+    // generated from both sides; cosine is bit-commutative, so both
+    // copies pass or fail the threshold together)
+    val anchV = e.join(broadcast(anch), col("vec_id") === col("a_id"))
+      .select(col("vec_id").as("qa"), col("v").as("xa"))
+    val truth = e.select(col("vec_id").as("cb"), col("v").as("xb"))
+      .crossJoin(broadcast(anchV))
+      .filter(col("qa") =!= col("cb"))
+      .select(least(col("qa"), col("cb")).as("va"),
+        greatest(col("qa"), col("cb")).as("vb"),
         floor(graft.expressions.CosineSimilarity.sim(col("xa"), col("xb"))
           * lit(1000000.0) + lit(0.5)).cast("long").as("cos_e6"))
       .filter(col("cos_e6") >= truthE6)
+      .select("va", "vb").distinct()
       .select(col("va"), col("vb"), lit(1L).as("is_true"))
     val truthN = truth.groupBy().agg(count(lit(1)).as("n_truth"))
     val nRow = e.groupBy().agg(count(lit(1)).as("n_vectors"))
     val counts = cand.join(truth, Seq("va", "vb"), "left")
       .groupBy("rpb")
       .agg(count(lit(1)).as("n_cand"),
+        sum(col("anch").cast("long")).as("n_cand_anch"),
         coalesce(sum("is_true"), lit(0L)).as("n_hit"))
     // static arm lattice: n_buckets = 2^r, prev_buckets = the next
     // narrower arm's 2^r (0 for the first) — the chosen rule needs both
@@ -1198,9 +1234,12 @@ object SimilarityQueries extends QueryPack {
         when(col("n_truth") > 0L,
           intDiv(lit(10000L) * coalesce(col("n_hit"), lit(0L)),
             col("n_truth"))).otherwise(lit(0L)).as("recall_e4"),
-        when(coalesce(col("n_cand"), lit(0L)) > 0L,
+        // precision over the ANCHORED candidate subset (the pair
+        // universe hits can come from) — the unbiased estimator of the
+        // full arm's precision, measurable at any corpus size
+        when(coalesce(col("n_cand_anch"), lit(0L)) > 0L,
           intDiv(lit(10000L) * coalesce(col("n_hit"), lit(0L)),
-            col("n_cand"))).otherwise(lit(0L)).as("precision_e4"))
+            col("n_cand_anch"))).otherwise(lit(0L)).as("precision_e4"))
       .orderBy("rows_per_band")
   }
 
@@ -1474,23 +1513,35 @@ object SimilarityQueries extends QueryPack {
       |arms AS (SELECT * FROM (VALUES (4, 32, 16, 0), (8, 16, 256, 16),
       |  (16, 8, 65536, 256)) t(rpb, bands, n_buckets, prev_buckets)),
       |bnd AS (SELECT unnest(generate_series(0, 31)) AS band),
+      |anch AS (
+      |  SELECT vec_id AS a_id FROM e
+      |  ORDER BY ${graft.functions.Hashing
+          .md5U32Sql("CAST(vec_id AS VARCHAR)")}, vec_id
+      |  LIMIT 64),
       |ba AS (
       |  SELECT a.rpb, s.vec_id, b.band,
-      |    substr(s.sig, b.band * a.rpb + 1, a.rpb) AS bkey
-      |  FROM sigs s, arms a, bnd b WHERE b.band < a.bands),
+      |    substr(s.sig, b.band * a.rpb + 1, a.rpb) AS bkey,
+      |    (an.a_id IS NOT NULL) AS isa
+      |  FROM sigs s LEFT JOIN anch an ON s.vec_id = an.a_id, arms a, bnd b
+      |  WHERE b.band < a.bands),
       |cand AS (
-      |  SELECT DISTINCT x.rpb, x.vec_id AS va, y.vec_id AS vb
+      |  SELECT DISTINCT x.rpb, x.vec_id AS va, y.vec_id AS vb,
+      |    (x.isa OR y.isa) AS anchd
       |  FROM ba x JOIN ba y ON x.rpb = y.rpb AND x.band = y.band
       |    AND x.bkey = y.bkey AND x.vec_id < y.vec_id),
       |truth AS (
-      |  SELECT a.vec_id AS va, b.vec_id AS vb
-      |  FROM e a JOIN e b ON a.vec_id < b.vec_id
-      |  WHERE CAST(floor(list_cosine_similarity(a.v, b.v) * 1000000.0
-      |    + 0.5) AS BIGINT) >= 400000),
+      |  SELECT DISTINCT least(a.vec_id, b.vec_id) AS va,
+      |    greatest(a.vec_id, b.vec_id) AS vb
+      |  FROM e a JOIN anch an ON a.vec_id = an.a_id, e b
+      |  WHERE a.vec_id <> b.vec_id
+      |    AND CAST(floor(list_cosine_similarity(a.v, b.v) * 1000000.0
+      |      + 0.5) AS BIGINT) >= 400000),
       |tn AS (SELECT count(*) AS n_truth FROM truth),
       |nv AS (SELECT count(*) AS n_vectors FROM e),
       |cc AS (
       |  SELECT c.rpb, count(*) AS n_cand,
+      |    CAST(sum(CASE WHEN c.anchd THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_cand_anch,
       |    CAST(coalesce(sum(CASE WHEN t.va IS NOT NULL THEN 1 ELSE 0
       |      END), 0) AS BIGINT) AS n_hit
       |  FROM cand c LEFT JOIN truth t ON c.va = t.va AND c.vb = t.vb
@@ -1510,8 +1561,8 @@ object SimilarityQueries extends QueryPack {
       |  CASE WHEN tn.n_truth > 0 THEN ${intDivSql(
           "10000 * coalesce(cc.n_hit, 0)", "tn.n_truth")}
       |    ELSE 0 END AS recall_e4,
-      |  CASE WHEN coalesce(cc.n_cand, 0) > 0 THEN ${intDivSql(
-          "10000 * coalesce(cc.n_hit, 0)", "coalesce(cc.n_cand, 0)")}
+      |  CASE WHEN coalesce(cc.n_cand_anch, 0) > 0 THEN ${intDivSql(
+          "10000 * coalesce(cc.n_hit, 0)", "coalesce(cc.n_cand_anch, 0)")}
       |    ELSE 0 END AS precision_e4
       |FROM arms a LEFT JOIN cc ON a.rpb = cc.rpb, nv, tn
       |ORDER BY rows_per_band""".stripMargin
