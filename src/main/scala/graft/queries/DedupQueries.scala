@@ -834,8 +834,27 @@ object DedupQueries extends QueryPack {
     * signature build feeds all three arms; truth is the q41 posting
     * machinery at n = 3. The output IS the tuning table an operator
     * reads to pick B for a recall target — and it demonstrates the
-    * monotone recall/candidate trade the banding theory predicts. */
-  private def q270(s: SparkSession, dir: String): DataFrame = {
+    * monotone recall/candidate trade the banding theory predicts.
+    *
+    * Memoized per (session, dir) (r18 verdict item 2): the table is 3
+    * rows but the chain behind it (shingle → 16 minhashes → fused
+    * 3-arm banding + the exact Jaccard truth mining) is whole-corpus
+    * work, and both q270 and q382 (the index sizing plan) consume it.
+    * `checkpoint = false` is the lazy twin; MemoNeutralitySpec pins
+    * hash-neutrality. */
+  private val minhashTuningMemo = new graft.operators.SessionDirMemo
+
+  private[graft] def minhashTuningTable(s: SparkSession, dir: String,
+      checkpoint: Boolean = true): DataFrame =
+    if (checkpoint)
+      minhashTuningMemo.get(s, dir)(
+        minhashTuningBuild(s, dir).localCheckpoint(true))
+    else minhashTuningBuild(s, dir)
+
+  private def q270(s: SparkSession, dir: String): DataFrame =
+    minhashTuningTable(s, dir).orderBy("bands")
+
+  private def minhashTuningBuild(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.Rounding.intDiv
     val g = shingleDf(s, dir, 3)
     val hashed = g.select(col("doc_id"),
@@ -898,7 +917,6 @@ object DedupQueries extends QueryPack {
         when(col("n_cand") > 0L,
           intDiv(lit(10000L) * col("n_hit"), col("n_cand")))
           .otherwise(lit(0L)).as("precision_e4"))
-      .orderBy("bands")
   }
 
   /** Winnowing (MOSS) fingerprint pairs — the position-aware dedup

@@ -1123,8 +1123,26 @@ object SimilarityQueries extends QueryPack {
     * an anchor, truth pairs touching an anchor) — an unbiased sample
     * estimate of the full-corpus ratios, deterministic because the
     * draw is. The table it certifies is ≤ 3 rows regardless of corpus
-    * size. */
-  private def q380(s: SparkSession, dir: String): DataFrame = {
+    * size.
+    *
+    * Memoized per (session, dir) — the TABLE is ≤ 3 rows but the chain
+    * behind it (fused 3-arm explode, banded self-join, anchored truth)
+    * is whole-corpus work, and BOTH q380 and q382 consume it (r18
+    * verdict item 2: q382 re-ran every tuning chain it composes).
+    * `checkpoint = false` is the lazy twin for plan audits;
+    * MemoNeutralitySpec pins hash-neutrality. */
+  private val lshTuningMemo = new graft.operators.SessionDirMemo
+
+  private[graft] def lshTuningTable(s: SparkSession, dir: String,
+      checkpoint: Boolean = true): DataFrame =
+    if (checkpoint)
+      lshTuningMemo.get(s, dir)(lshTuningBuild(s, dir).localCheckpoint(true))
+    else lshTuningBuild(s, dir)
+
+  private def q380(s: SparkSession, dir: String): DataFrame =
+    lshTuningTable(s, dir).orderBy("rows_per_band")
+
+  private def lshTuningBuild(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.Rounding.intDiv
     val bits = Bands * Rows
     val truthE6 = 400000L
@@ -1240,7 +1258,6 @@ object SimilarityQueries extends QueryPack {
         when(coalesce(col("n_cand_anch"), lit(0L)) > 0L,
           intDiv(lit(10000L) * coalesce(col("n_hit"), lit(0L)),
             col("n_cand_anch"))).otherwise(lit(0L)).as("precision_e4"))
-      .orderBy("rows_per_band")
   }
 
   /** IVF probe-count tuning table — q380's discipline pointed at the
@@ -1259,8 +1276,23 @@ object SimilarityQueries extends QueryPack {
     * capped centroid table (O(cap) regardless of corpus size — the Ivf
     * contract); the brute truth arm is the q306-class bounded-query
     * audit shape (5 query vectors), never a production path; the table
-    * is ≤ 3 rows. */
-  private def q381(s: SparkSession, dir: String): DataFrame = {
+    * is ≤ 3 rows.
+    *
+    * Memoized per (session, dir) like [[lshTuningTable]] (r18 verdict
+    * item 2) — q381 and q382 both consume the chain; `checkpoint =
+    * false` is the lazy twin, MemoNeutralitySpec pins neutrality. */
+  private val ivfTuningMemo = new graft.operators.SessionDirMemo
+
+  private[graft] def ivfTuningTable(s: SparkSession, dir: String,
+      checkpoint: Boolean = true): DataFrame =
+    if (checkpoint)
+      ivfTuningMemo.get(s, dir)(ivfTuningBuild(s, dir).localCheckpoint(true))
+    else ivfTuningBuild(s, dir)
+
+  private def q381(s: SparkSession, dir: String): DataFrame =
+    ivfTuningTable(s, dir).orderBy("nprobe")
+
+  private def ivfTuningBuild(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.Rounding.{intDiv, roundf}
     import graft.expressions.CosineSimilarity
@@ -1345,7 +1377,6 @@ object SimilarityQueries extends QueryPack {
         when(col("first_ok").isNull, col("nprobe") === arms.max.toLong)
           .otherwise(col("nprobe") === col("first_ok"))
           .cast("long").as("chosen"))
-      .orderBy("nprobe")
   }
 
   /** The index sizing plan — the three tuning tables' chosen rows as
@@ -1358,18 +1389,20 @@ object SimilarityQueries extends QueryPack {
     * rolled up (q380's occupancy rule, q381's smallest-arm-clearing-0.7,
     * q270's smallest-bands-clearing-0.95 as pinned by
     * MinhashTuningSpec). Pure composition of the three oracle-checked
-    * tables (each chain runs once; the minhash pick is a 1-row scalar
-    * crossJoin over q270's ≤3-row table — the q381 firstOk discipline);
+    * tables, each read from its (session, dir) memo — a warm q382 is
+    * three ≤3-row checkpoint reads, not three corpus-scale rebuilds
+    * (r18 verdict item 2); the minhash pick is a 1-row scalar
+    * crossJoin over q270's ≤3-row table — the q381 firstOk discipline;
     * IndexSizingSpec pins plan ≡ each table's own chosen row and ≡ the
     * Scala rules. */
   private def q382(s: SparkSession, dir: String): DataFrame = {
-    val lsh = q380(s, dir).filter(col("chosen") === 1L)
+    val lsh = lshTuningTable(s, dir).filter(col("chosen") === 1L)
       .select(lit("spark.graft.lsh.rowsPerBand").as("knob"),
         col("rows_per_band").as("chosen_value"), col("recall_e4"))
-    val ivf = q381(s, dir).filter(col("chosen") === 1L)
+    val ivf = ivfTuningTable(s, dir).filter(col("chosen") === 1L)
       .select(lit("spark.graft.ivf.nprobe").as("knob"),
         col("nprobe").as("chosen_value"), col("recall_e4"))
-    val mh0 = graft.SparkEntry.queries("q270_lsh_tuning")(s, dir)
+    val mh0 = DedupQueries.minhashTuningTable(s, dir)
     val mhPick = mh0.agg(coalesce(
         min(when(col("recall_e4") >= 9500L, col("bands"))),
         max(col("bands"))).as("pick"))

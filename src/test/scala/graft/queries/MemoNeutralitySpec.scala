@@ -41,6 +41,24 @@ class MemoNeutralitySpec extends SparkSuite {
       SimilarityQueries.lshScoredPairs(spark, sf))
   }
 
+  test("lshTuningTable: raw chain == memoized build") {
+    assertNeutral("lshTuningTable",
+      SimilarityQueries.lshTuningTable(spark, sf, checkpoint = false),
+      SimilarityQueries.lshTuningTable(spark, sf))
+  }
+
+  test("ivfTuningTable: raw chain == memoized build") {
+    assertNeutral("ivfTuningTable",
+      SimilarityQueries.ivfTuningTable(spark, sf, checkpoint = false),
+      SimilarityQueries.ivfTuningTable(spark, sf))
+  }
+
+  test("minhashTuningTable: raw chain == memoized build") {
+    assertNeutral("minhashTuningTable",
+      DedupQueries.minhashTuningTable(spark, sf, checkpoint = false),
+      DedupQueries.minhashTuningTable(spark, sf))
+  }
+
   test("basketPairs: raw chain == memoized build") {
     assertNeutral("basketPairs",
       TpchQueries.basketPairs(spark, sf, checkpoint = false),
