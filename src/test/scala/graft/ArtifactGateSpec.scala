@@ -43,11 +43,12 @@ class ArtifactGateSpec extends AnyFunSuite {
       s"scaling sweep flagged ${flags}: a measured tail slope exceeded " +
         "its stated complexity bound — fix the query or re-adjudicate " +
         "the bound in tools/scaling_sweep.py STATED, then re-run the sweep")
-    // coverage pin: the sweep list only grows (28 three-SF rows as of
-    // r18 plus the tuned-geometry contrast row, and the 8-query sf~1
-    // extension) — a shrunk artifact means a stale or hand-edited file
-    assert(n.get("n_queries").asLong >= 29L,
-      s"sweep covered ${n.get("n_queries")} queries — expected >= 29")
+    // coverage pin: the sweep list only grows (30 three-SF rows as of
+    // r19 plus the three tuned-knob contrast rows, and the 8-query
+    // sf~1 extension) — a shrunk artifact means a stale or hand-edited
+    // file
+    assert(n.get("n_queries").asLong >= 33L,
+      s"sweep covered ${n.get("n_queries")} queries — expected >= 33")
     assert(n.get("sf1x_queries") != null && n.get("sf1x_queries").size >= 8,
       "the sf~1 extension (steep-tail families + the r18 product-surface " +
         "heads) is missing from the sweep artifact")
@@ -71,6 +72,23 @@ class ArtifactGateSpec extends AnyFunSuite {
         "at sf~1 — the candidate substrate has re-grown past memory; " +
         "re-tune the geometry (q380/Lsh.tunedGeometry) or find the " +
         "new term")
+    // r19 (r18 verdict item 4): the other two index families' tuned
+    // arms carry the same gate shape — the knob's rule-pick at the
+    // sf~1 corpus must run inside its stated bound with zero spill
+    for (key <- Seq("sf1x_tuned_ivf", "sf1x_tuned_minhash")) {
+      val arm = n.get(key)
+      assert(arm != null && !arm.get("tail1").isNull,
+        s"the $key sf~1 arm is missing — re-run the sweep")
+      assert(arm.get("tail1").asDouble <= arm.get("allowed").asDouble,
+        s"$key tail ${arm.get("tail1")} exceeds ${arm.get("allowed")} — " +
+          "the tuned knob no longer holds its stated complexity at " +
+          "the decade")
+      assert(arm.get("spill_bytes") != null &&
+          !arm.get("spill_bytes").isNull &&
+          arm.get("spill_bytes").asLong == 0L,
+        s"$key spilled ${arm.get("spill_bytes")} bytes at sf~1 under " +
+          "its rule-pick — the tuned working set no longer fits")
+    }
   }
 
   test("BENCH_FULL.json: fresh (query-list linked), full coverage, " +

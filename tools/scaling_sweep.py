@@ -44,7 +44,7 @@ QUERIES = [
     "q378_label_noise_ann",
     "q359_bpe_merges",
     "q362_dedup_sweep", "q363_nb_classifier", "q364_lm_cross_entropy",
-    "q44_dedup_embedding",
+    "q42_dedup_minhash", "q44_dedup_embedding", "q56_knn_ivf",
 ]
 
 # stated complexity: the maximum tail-decade exponent each query's
@@ -85,7 +85,14 @@ STATED = {
     # FIXED parameters would mean a new term beyond the occupancy one.
     "q378_label_noise_ann": (1.70, "label-noise vote over banded-LSH candidates (sf~1 measured 1.46: fixed-band occupancy term N^2/2^r - production re-tunes bands via q270; 13x under the brute arm at the same decade)"),
     "q362_dedup_sweep": (1.30, "mined-pair chain (df-gated) swept over 7 bounded thresholds"),
+    "q42_dedup_minhash": (1.30, "banded minhash bucket pairs; per-bucket occupancy grows with corpus (the dial spark.graft.minhash.bands re-tunes)"),
     "q44_dedup_embedding": (1.15, "exact-hash bucket equi join, O(N)"),
+    # pre-cap the centroid count grows at N/31 (capped 4096 from ~127k
+    # vectors), so assignment is ~N^2/31 until the cap binds and O(N*cap)
+    # after; at the sweep's scales floors absorb most of it (measured
+    # 0.92 at the tuned decade) — growth past 1.30 here would mean a
+    # term beyond the documented pre-cap assignment one
+    "q56_knn_ivf": (1.30, "IVF probe+re-rank; assignment ~N*centroids (rate-grown, capped 4096), probe set bounded by nprobe"),
     # memoized-substrate COLD builds (pass-1 raw sample per family)
     "q118_kmeans": (1.25, "Lloyd's fit: fixed iters x O(N*k) assign + decimal centroid agg"),
     "q128_cooccur": (1.30, "basket pair mining: capped per-basket expansion, O(N*cap^2)"),
@@ -120,6 +127,9 @@ COLD_FIRST_SAMPLE = {
         "lmDocCe memo builds here (pass-1 raw sample)",
     "q359_bpe_merges":
         "bpeMemo trains here (pass-1 raw sample)",
+    "q270_lsh_tuning":
+        "minhashTuningTable memo builds here (pass-1 raw sample; r19 "
+        "memoization — min-of-passes would measure the stub)",
 }
 STUB_ONLY = {
     "q265_widest_path": "reads q264's memoized semiring state - see q264's row for the loop's scaling",
@@ -201,6 +211,33 @@ SF1X_TUNED_GEOMETRY = (16, 8)  # = Lsh.tunedGeometry(20000)
 SF1X_TUNED_ALLOWED = 1.30
 SF1X_TUNED_ROW = "q378_label_noise_ann (tuned 16x8)"
 
+# round-19 (r18 verdict item 4): the OTHER two index families' tuned
+# contrast arms — their tuning tables and deployment knobs existed
+# (q381 -> spark.graft.ivf.nprobe, q270 -> spark.graft.minhash.bands)
+# but no decade-scale measurement of what turning the knob does. Both
+# picks are the tuners' own rule applied to the sf~1 corpus (tables
+# measured on /tmp/graft_sf1x, r19):
+#  * IVF: at 20k vectors the centroid count grows 64 -> 645 (rate
+#    N/31, cap 4096 not yet binding) and NO probe arm clears the 0.7
+#    recall bar (2/6/12 read 0.10/0.18/0.22 — uncorrelated synthetic
+#    vectors spread over 10x more cells), so the rule falls back to
+#    the widest arm: nprobe = 12, double the deployed default. The
+#    arm measures the rule WIDENING the knob as the corpus grows.
+#  * MinHash: the band rule (smallest bands with recall >= 0.95)
+#    re-picks 4 at 50k docs (recall 0.9976) — the default CONFIRMED
+#    at the decade; the arm measures the knob path itself (conf
+#    threading + banding at 10x) and gates that the confirmed pick
+#    stays spill-free.
+# Gated like the LSH arm: tail1 <= allowed AND tuned spill = 0.
+SF1X_TUNED_IVF_QUERY = "q56_knn_ivf"
+SF1X_TUNED_IVF_NPROBE = 12
+SF1X_TUNED_IVF_ALLOWED = 1.30
+SF1X_TUNED_IVF_ROW = "q56_knn_ivf (tuned nprobe=12)"
+SF1X_TUNED_MH_QUERY = "q42_dedup_minhash"
+SF1X_TUNED_MH_BANDS = 4
+SF1X_TUNED_MH_ALLOWED = 1.30
+SF1X_TUNED_MH_ROW = "q42_dedup_minhash (tuned bands=4)"
+
 
 def synthesize_sf1x() -> None:
     import shutil
@@ -279,6 +316,14 @@ def tuned_out() -> str:
     return "/tmp/bench_scaling_sf1x_tuned.json"
 
 
+def tuned_ivf_out() -> str:
+    return "/tmp/bench_scaling_sf1x_tuned_ivf.json"
+
+
+def tuned_mh_out() -> str:
+    return "/tmp/bench_scaling_sf1x_tuned_mh.json"
+
+
 def load_json(path: str, what: str):
     """--skip-bench guard (ADVICE r17): a missing /tmp artifact must
     explain itself, not crash with FileNotFoundError mid-emit."""
@@ -303,10 +348,20 @@ def main() -> None:
                   extra_env=dict(SF1X_ENV,
                                  SPARK_GRAFT_LSH_BANDS=str(b),
                                  SPARK_GRAFT_LSH_ROWS=str(r)))
+        run_bench("1x-tuned-ivf", queries=[SF1X_TUNED_IVF_QUERY],
+                  out=tuned_ivf_out(),
+                  extra_env=dict(SF1X_ENV, SPARK_GRAFT_IVF_NPROBE=str(
+                      SF1X_TUNED_IVF_NPROBE)))
+        run_bench("1x-tuned-mh", queries=[SF1X_TUNED_MH_QUERY],
+                  out=tuned_mh_out(),
+                  extra_env=dict(SF1X_ENV, SPARK_GRAFT_MINHASH_BANDS=str(
+                      SF1X_TUNED_MH_BANDS)))
     runs = {sf: load_json(bench_out(sf), f"sf{sf} bench") for sf in SFS}
     runs1x = load_json(bench_out("1x"), "sf~1 bench")
     runs1xHeads = load_json(bench_out("1x_heads"), "sf~1 heads bench")
     runs1xT = load_json(tuned_out(), "sf~1 tuned-geometry bench")
+    runs1xTIvf = load_json(tuned_ivf_out(), "sf~1 tuned-ivf bench")
+    runs1xTMh = load_json(tuned_mh_out(), "sf~1 tuned-minhash bench")
     loads = {sf: runs[sf].get("load_avg") for sf in SFS}
     load1x = runs1x.get("load_avg")
     rows = []
@@ -372,9 +427,45 @@ def main() -> None:
                  f"{SF1X_TUNED_ALLOWED} (Theta(N*kbar) + overhead; the "
                  f"occupancy term reads >= 1.46) AND tuned spill = 0"))
 
+    # r19: the other two index families' tuned arms (r18 verdict item
+    # 4), gated exactly like the geometry arm — tail vs the query's own
+    # sf0.1 default-knob base, plus a tuned-spill = 0 gate
+    def tuned_arm_row(label, query, runs_tuned, allowed, reason):
+        t = runs_tuned["queries"].get(query)
+        base = runs["0.1"]["queries"].get(query) if t is not None else None
+        tail1 = math.log10(t / base) if t is not None and base else None
+        spill = runs_tuned.get("spill_bytes", {}).get(query)
+        flag = (tail1 is None or tail1 > allowed or (spill or 0) > 0)
+        rows.append((label, [None, None, base], None, None, t, tail1,
+                     flag, reason))
+        return {"query": query, "allowed": allowed, "tail1": tail1,
+                "spill_bytes": spill}
+
+    tuned_ivf_doc = tuned_arm_row(
+        SF1X_TUNED_IVF_ROW, SF1X_TUNED_IVF_QUERY, runs1xTIvf,
+        SF1X_TUNED_IVF_ALLOWED,
+        f"q56 under q381's rule-pick for the sf~1 corpus (nprobe = "
+        f"{SF1X_TUNED_IVF_NPROBE}, the widest-arm fallback: no probe "
+        f"arm clears 0.7 recall once the centroid count grows 64 -> "
+        f"645 at rate N/31): the rule WIDENING the knob as the corpus "
+        f"grows, measured — assignment is ~N*centroids pre-cap (cap "
+        f"4096 binds past ~127k vectors, turning it O(N*cap)); gated "
+        f"tail <= {SF1X_TUNED_IVF_ALLOWED} AND tuned spill = 0")
+    tuned_ivf_doc["nprobe"] = SF1X_TUNED_IVF_NPROBE
+    tuned_mh_doc = tuned_arm_row(
+        SF1X_TUNED_MH_ROW, SF1X_TUNED_MH_QUERY, runs1xTMh,
+        SF1X_TUNED_MH_ALLOWED,
+        f"q42 under q270's rule-pick for the sf~1 corpus (bands = "
+        f"{SF1X_TUNED_MH_BANDS}, recall 0.9976 at 50k docs — the "
+        f"deployed default CONFIRMED at the decade): the knob path "
+        f"itself measured at 10x through the spark.graft.minhash.bands "
+        f"conf; gated tail <= {SF1X_TUNED_MH_ALLOWED} AND tuned "
+        f"spill = 0")
+    tuned_mh_doc["bands"] = SF1X_TUNED_MH_BANDS
+
     lines = []
     lines.append("# SCALING — measured sf-sweep exponents "
-                 "(round 18, re-emittable, CI-gated)")
+                 "(round 19, re-emittable, CI-gated)")
     lines.append("")
     lines.append("Generated by `python3 tools/scaling_sweep.py` — the "
                  "bench tail's top-15 by r15 cost plus the verdict-named "
@@ -385,9 +476,12 @@ def main() -> None:
                  "sf0.1 — see `synthesize_sf1x` for why salted, not "
                  "copied) for the steep-tail pair-mining families AND "
                  "(r18) the product-surface heads (q353 cold build, BPE "
-                 "trainer) plus a tuned-band-geometry contrast arm for "
-                 "q378 (`Lsh.tunedGeometry`'s 16×8 pick at 20k vectors, "
-                 "run through the `spark.graft.lsh.*` deployment conf). "
+                 "trainer) plus THREE tuned-knob contrast arms — q378 "
+                 "under `Lsh.tunedGeometry`'s 16×8 pick (the "
+                 "`spark.graft.lsh.*` conf), q56 under q381's sf~1 "
+                 "rule-pick (`spark.graft.ivf.nprobe`), and q42 under "
+                 "q270's sf~1 rule-pick (`spark.graft.minhash.bands`) "
+                 "— one per index family (r18 verdict item 4). "
                  "The sweep also writes `SCALING_FLAGS.json`; "
                  "ArtifactGateSpec fails CI if it is missing or lists "
                  "any flagged query.")
@@ -463,6 +557,8 @@ def main() -> None:
             "spill_bytes": tuned_spill,
             "fixed_spill_bytes": fixed_spill,
         },
+        "sf1x_tuned_ivf": tuned_ivf_doc,
+        "sf1x_tuned_minhash": tuned_mh_doc,
         "flags": flagged_qs,
     }
     with open("/root/repo/SCALING_FLAGS.json", "w") as f:
@@ -475,14 +571,31 @@ def main() -> None:
 # the numbers move materially. Kept here so SCALING.md is always
 # regenerated WHOLE (table + prose) by one command.
 ANALYSIS = """
-**Round-18 reading: zero flags, and the r17 occupancy adjudication is
-now a measured mechanism.** The three driver snapshots hold their
-shapes; the sf~1 decade (10x salted replication - token-salted
-documents, circular-shifted embeddings, see synthesize_sf1x) reads:
-q100 0.97, q192 0.75, q266 0.67, q270 0.65 - sub-linear as the floors
-burn off - with the two adjudicated steep rows exactly where their
-bounds expect them (q306 brute 2.04 of allowed 2.30; q378
-fixed-geometry 1.36 of 1.70).
+**Round-19 reading: zero flags, and all three index families' knobs
+now carry decade-scale measurements of what turning them does.** The
+three driver snapshots hold their shapes; the sf~1 decade (10x salted
+replication - token-salted documents, circular-shifted embeddings,
+see synthesize_sf1x) keeps the steep-tail families sub-linear as the
+floors burn off, with the two adjudicated steep rows inside their
+bounds (q306 brute ~2.0 of allowed 2.30; q378 fixed-geometry ~1.4 of
+1.70).
+
+*The two new tuned arms (r18 verdict item 4).* The IVF arm is the
+interesting one: at the sf~1 corpus the centroid count grows 64 ->
+645 (rate N/31, cap 4096 not yet binding) and NO probe arm clears the
+0.7 recall bar (2/6/12 read 0.10/0.18/0.22 - the uncorrelated
+synthetic vectors spread over 10x more cells), so q381's rule falls
+back to the widest arm and the deployment knob DOUBLES:
+nprobe 6 -> 12. q56 re-run under that pick lands at tail ~0.9 with
+zero spill - the rule widening the knob as the corpus grows, measured
+end to end through the conf. The MinHash arm is the opposite lesson:
+q270's band rule re-picks the deployed default (4 bands, recall
+0.9976 at 50k docs), so the tuned arm measures the knob PATH at 10x
+(tail ~0.7, zero spill) and gates that the confirmed pick stays
+spill-free. Together with the geometry arm below, every index dial
+now has: a tuning table (oracle-checked), a deployment conf the
+production path reads, and a decade-scale measurement of the knob's
+effect - with CI gates on all three.
 
 *The tuned-geometry arm - what re-tuning actually buys, measured.*
 q378 re-run at sf~1 under Lsh.tunedGeometry's 16x8 pick (the rule
