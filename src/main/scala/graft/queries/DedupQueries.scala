@@ -30,11 +30,14 @@ object DedupQueries extends QueryPack {
 
   /** (doc_id, gram) with tokens materialized before the n-gram lambda —
     * see TextAnalysis.tokensCol for why this ordering matters. */
-  private def shingleDf(s: SparkSession, dir: String, n: Int): DataFrame =
-    docs(s, dir)
+  private def shingleOf(docsDf: DataFrame, n: Int): DataFrame =
+    docsDf
       .select(col("doc_id"), tokensCol(col("text")).as("toks"))
       .select(col("doc_id"),
         explode(ngramsFromTokens(col("toks"), n)).as("gram"))
+
+  private def shingleDf(s: SparkSession, dir: String, n: Int): DataFrame =
+    shingleOf(docs(s, dir), n)
 
   /** Exact dedup: normalized-text fingerprint, keep min doc_id per group. */
   private def q40(s: SparkSession, dir: String): DataFrame =
@@ -854,9 +857,16 @@ object DedupQueries extends QueryPack {
   private def q270(s: SparkSession, dir: String): DataFrame =
     minhashTuningTable(s, dir).orderBy("bands")
 
-  private def minhashTuningBuild(s: SparkSession, dir: String): DataFrame = {
+  private def minhashTuningBuild(s: SparkSession, dir: String): DataFrame =
+    minhashTuningOf(s, docs(s, dir))
+
+  /** The q270 chain over a GIVEN documents frame — the form the
+    * streaming sizing twin (q382's drift twin, StreamingSpec)
+    * re-derives per micro-batch over exactly the arrived corpus. */
+  private[graft] def minhashTuningOf(s: SparkSession, docsDf: DataFrame)
+      : DataFrame = {
     import graft.functions.Rounding.intDiv
-    val g = shingleDf(s, dir, 3)
+    val g = shingleOf(docsDf, 3)
     val hashed = g.select(col("doc_id"),
       Hashing.md5U32(col("gram")).as("ha"),
       Hashing.md5U32b(col("gram")).as("hb"))
@@ -864,7 +874,7 @@ object DedupQueries extends QueryPack {
       min((col("ha") + lit(k.toLong) * col("hb")) % lit(P)).as(s"h$k"))
     val sig = hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
     val truth = graft.operators.DedupPipeline
-      .nearDupPairs(docs(s, dir), "doc_id", "text", n = 3,
+      .nearDupPairs(docsDf, "doc_id", "text", n = 3,
         minJaccard = 0.5, maxDf = maxDf)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
         lit(1L).as("is_true"))

@@ -87,10 +87,12 @@ object SimilarityQueries extends QueryPack {
   private val CentCap = 4096
   private val NProbe = 6
 
+  private def embOf(raw: DataFrame): DataFrame =
+    raw.select(col("vec_id"), col("label"),
+      expr("transform(embedding, x -> cast(x AS double))").as("v"))
+
   private def emb(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "embeddings")
-      .select(col("vec_id"), col("label"),
-        expr("transform(embedding, x -> cast(x AS double))").as("v"))
+    embOf(Tables.load(s, dir, "embeddings"))
 
   /** The full-dimension k=8 / 2-round Lloyd fit is the shared substrate
     * of q118 (inertia), q280 (purity), and q150 (SemDeDup) — each used
@@ -1142,7 +1144,14 @@ object SimilarityQueries extends QueryPack {
   private def q380(s: SparkSession, dir: String): DataFrame =
     lshTuningTable(s, dir).orderBy("rows_per_band")
 
-  private def lshTuningBuild(s: SparkSession, dir: String): DataFrame = {
+  private def lshTuningBuild(s: SparkSession, dir: String): DataFrame =
+    lshTuningOf(s, Tables.load(s, dir, "embeddings"))
+
+  /** The q380 chain over a GIVEN embeddings frame — the form the
+    * streaming sizing twin re-derives per micro-batch (the corpus it
+    * sizes for is whatever has arrived). */
+  private[graft] def lshTuningOf(s: SparkSession, eRaw: DataFrame)
+      : DataFrame = {
     import graft.functions.Rounding.intDiv
     val bits = Bands * Rows
     val truthE6 = 400000L
@@ -1152,7 +1161,7 @@ object SimilarityQueries extends QueryPack {
     val arms = Seq(4, 8, 16)
     // zero-norm vectors out up front (cosine undefined — the q202/q306
     // pre-flight contract), applied identically in the oracle
-    val e = emb(s, dir)
+    val e = embOf(eRaw)
       .filter(expr("aggregate(transform(v, x -> x * x), 0D, (a, x) -> a + x)")
         > 0.0)
     // the anchor set: exact-k smallest md5 hash (ties impossible — ids
@@ -1292,13 +1301,19 @@ object SimilarityQueries extends QueryPack {
   private def q381(s: SparkSession, dir: String): DataFrame =
     ivfTuningTable(s, dir).orderBy("nprobe")
 
-  private def ivfTuningBuild(s: SparkSession, dir: String): DataFrame = {
+  private def ivfTuningBuild(s: SparkSession, dir: String): DataFrame =
+    ivfTuningOf(s, Tables.load(s, dir, "embeddings"))
+
+  /** The q381 chain over a GIVEN embeddings frame (streaming sizing
+    * twin form — see [[lshTuningOf]]). */
+  private[graft] def ivfTuningOf(s: SparkSession, eRaw: DataFrame)
+      : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.Rounding.{intDiv, roundf}
     import graft.expressions.CosineSimilarity
     val arms = Seq(2, 6, 12)
     val recallBarE4 = 7000L
-    val e = emb(s, dir)
+    val e = embOf(eRaw)
     val qv = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val cent = graft.operators.Ivf
@@ -1395,14 +1410,32 @@ object SimilarityQueries extends QueryPack {
     * crossJoin over q270's ≤3-row table — the q381 firstOk discipline;
     * IndexSizingSpec pins plan ≡ each table's own chosen row and ≡ the
     * Scala rules. */
-  private def q382(s: SparkSession, dir: String): DataFrame = {
-    val lsh = lshTuningTable(s, dir).filter(col("chosen") === 1L)
+  private def q382(s: SparkSession, dir: String): DataFrame =
+    sizingCompose(lshTuningTable(s, dir), ivfTuningTable(s, dir),
+      DedupQueries.minhashTuningTable(s, dir))
+
+  /** The sizing plan over GIVEN corpus frames — the streaming drift
+    * twin's form (r18 verdict item 5): the knobs are static session
+    * confs sized from corpus n, but n grows; the twin re-derives this
+    * table per micro-batch over exactly the arrived corpus, so a
+    * growing corpus flips a sizing row the moment its rule says widen
+    * (StreamingSpec pins prefix-equality with this construction and
+    * drained ≡ the declared q382). */
+  private[graft] def indexSizingOf(s: SparkSession, eRaw: DataFrame,
+      dRaw: DataFrame): DataFrame =
+    sizingCompose(lshTuningOf(s, eRaw), ivfTuningOf(s, eRaw),
+      DedupQueries.minhashTuningOf(s, dRaw))
+
+  /** The q382 composition over the three tuning tables (memoized or
+    * prefix-derived — the arithmetic is identical). */
+  private def sizingCompose(lshT: DataFrame, ivfT: DataFrame,
+      mh0: DataFrame): DataFrame = {
+    val lsh = lshT.filter(col("chosen") === 1L)
       .select(lit("spark.graft.lsh.rowsPerBand").as("knob"),
         col("rows_per_band").as("chosen_value"), col("recall_e4"))
-    val ivf = ivfTuningTable(s, dir).filter(col("chosen") === 1L)
+    val ivf = ivfT.filter(col("chosen") === 1L)
       .select(lit("spark.graft.ivf.nprobe").as("knob"),
         col("nprobe").as("chosen_value"), col("recall_e4"))
-    val mh0 = DedupQueries.minhashTuningTable(s, dir)
     val mhPick = mh0.agg(coalesce(
         min(when(col("recall_e4") >= 9500L, col("bands"))),
         max(col("bands"))).as("pick"))

@@ -1229,6 +1229,95 @@ class StreamingSpec extends SparkSuite {
       "the drained incremental audit must equal the declared q377")
   }
 
+  test("foreachBatch streaming index-sizing drift twin (q382) equals " +
+    "the batch sizing plan at every micro-batch prefix") {
+    // the three deployment knobs are static session confs sized from
+    // corpus n, but n GROWS (r18 verdict item 5): a sizing decision
+    // made at ingest time must flip the moment a rule says widen, not
+    // at the next quarterly re-run. State, adjudicated honestly: the
+    // arrived corpus ledgers THEMSELVES — the embeddings are the
+    // index's own content (a sizing service certifies recall over
+    // exactly what it has indexed; there is no narrower sufficient
+    // state for a recall certification, the same full-set decision
+    // class as q377's water-fill ranking), and the documents likewise
+    // for the minhash family. Each micro-batch re-derives the whole
+    // plan over exactly the arrived corpus through the SAME
+    // indexSizingOf arithmetic the declared q382 runs (tuning rules
+    // included — a prefix whose occupancy/recall crosses a rule
+    // threshold flips its chosen row in that batch), and must equal
+    // the batch construction on that prefix; the drained table is the
+    // declared q382.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.queries.SimilarityQueries
+    def snapshot(df: DataFrame): Set[String] =
+      df.collect().map(_.mkString("|")).toSet
+    val eFull = Tables.load(spark, sf, "embeddings").localCheckpoint(true)
+    val dFull = Tables.load(spark, sf, "documents").localCheckpoint(true)
+    implicit val sqlCtx = spark.sqlContext
+    // arrivals: (vec_id, doc_id) tickets — a document and its vector
+    // land together; membership hands each arrival its ledger row (the
+    // q377 pattern), scrambled so prefixes are not id-ordered
+    val vecIds = eFull.select("vec_id").collect().map(_.getLong(0)).sorted
+    val docIds = dFull.select("doc_id").collect().map(_.getLong(0)).sorted
+    val arrivals = vecIds.zip(docIds)
+      .sortBy { case (v, _) => (v * 2654435761L) % 103 }
+    val mem = MemoryStream[(Long, Long)]
+    var embState = eFull.filter(lit(false)).localCheckpoint(true)
+    var docState = dFull.filter(lit(false)).localCheckpoint(true)
+    val prefixPlans = scala.collection.mutable.ListBuffer[Set[String]]()
+    val q = mem.toDF().toDF("v_t", "d_t").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.localCheckpoint(true)
+        val nextEmb = embState.unionByName(
+            b.select("v_t").join(eFull, col("v_t") === col("vec_id"))
+              .drop("v_t")).localCheckpoint(true)
+        val nextDoc = docState.unionByName(
+            b.select("d_t").join(dFull, col("d_t") === col("doc_id"))
+              .drop("d_t")).localCheckpoint(true)
+        val (prevE, prevD) = (embState, docState)
+        embState = nextEmb
+        docState = nextDoc
+        graft.operators.CheckpointBlocks.release(prevE)
+        graft.operators.CheckpointBlocks.release(prevD)
+        graft.operators.CheckpointBlocks.release(b)
+        prefixPlans += snapshot(
+          SimilarityQueries.indexSizingOf(spark, embState, docState))
+        ()
+      }.start()
+    val chunks = arrivals.grouped((arrivals.length + 2) / 3).toSeq
+    try chunks.foreach { chunk =>
+      mem.addData(chunk.toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(prefixPlans.length == chunks.length)
+    var arrivedV = Set.empty[Long]
+    var arrivedD = Set.empty[Long]
+    chunks.zip(prefixPlans).zipWithIndex.foreach {
+      case ((chunk, got), i) =>
+        arrivedV ++= chunk.map(_._1)
+        arrivedD ++= chunk.map(_._2)
+        val want = snapshot(SimilarityQueries.indexSizingOf(spark,
+          eFull.filter(col("vec_id").isin(arrivedV.toSeq: _*)),
+          dFull.filter(col("doc_id").isin(arrivedD.toSeq: _*))))
+        assert(got == want,
+          s"sizing-plan prefix ${i + 1}/${chunks.length} diverges: " +
+            s"only-streamed=${(got -- want).take(3)} " +
+            s"only-batch=${(want -- got).take(3)}")
+    }
+    // the drift is REAL at this corpus: the plan moves as data arrives
+    // (the IVF recall certification changes with the indexed set), so
+    // the twin is re-deriving decisions, not replaying a constant
+    assert(prefixPlans.distinct.length > 1,
+      s"sizing plan never moved across ${chunks.length} prefixes — " +
+        "the drift twin is vacuous on this corpus; widen the prefix " +
+        "spread or re-check the rules")
+    // and the drained table is exactly the declared q382
+    assert(prefixPlans.last == snapshot(
+      graft.SparkEntry.queries("q382_index_sizing_plan")(spark, sf)),
+      "the drained incremental sizing plan must equal the declared q382")
+  }
+
   test("foreachBatch streaming calibration drift monitor (q371) equals " +
     "the batch reliability curve at every micro-batch prefix") {
     // gate-calibration DRIFT MONITORING, the curve's natural streaming
