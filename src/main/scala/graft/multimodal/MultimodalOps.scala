@@ -219,6 +219,47 @@ object MultimodalOps {
     }
   }
 
+  case class FrameBands(doc_id: Long, frame: Long, e0: Long, e1: Long,
+      e2: Long, e3: Long)
+
+  /** Per-frame band-energy profile over REAL decoded PCM — the landmark
+    * primitive under acoustic fingerprinting (Haitsma–Kalker / Shazam
+    * class): the signal frames into complete `frameLen`-sample windows
+    * and each frame reports four exact-integer sub-band energies
+    * (Σ|sample| over the four frameLen/4-sample blocks — abs-sum, not
+    * squares, so values stay small and the oracle's replay is pure
+    * int64). Incomplete tail frames are dropped (a fingerprint hashes
+    * only full windows). Same mapPartitions discipline as
+    * [[audioStats]] — payloads never shuffle; per-row output is
+    * n/frameLen small rows. Undecodable payloads yield no rows (a
+    * fingerprint pass skips what it cannot decode; the fixture is
+    * always decodable and q90's sentinel row covers the decode-failure
+    * surface). */
+  def frameBandEnergies(media: Dataset[MediaRow], frameLen: Int)
+      : Dataset[FrameBands] = {
+    import media.sparkSession.implicits._
+    val sub = frameLen / 4
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        WavCodec.decode(r.payload) match {
+          case Some(w) =>
+            val s = w.samples
+            val nf = s.length / frameLen
+            (0 until nf).iterator.map { f =>
+              val e = new Array[Long](4)
+              var j = 0
+              while (j < frameLen) {
+                e((j / sub).min(3)) += math.abs(s(f * frameLen + j).toLong)
+                j += 1
+              }
+              FrameBands(r.doc_id, f.toLong, e(0), e(1), e(2), e(3))
+            }
+          case None => Iterator.empty
+        }
+      }
+    }
+  }
+
   case class SilenceStats(doc_id: Long, n_samples: Long, n_silent: Long,
       n_runs: Long, longest_run: Long)
 

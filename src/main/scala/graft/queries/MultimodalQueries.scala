@@ -161,15 +161,117 @@ object MultimodalQueries extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** Acoustic-fingerprint near-dup over the REAL PCM substrate — the
+    * audio analogue of q162's perceptual image hash and the landmark
+    * half of q242's periodicity feature: two recordings of the same
+    * underlying signal at different TIME OFFSETS share no byte prefix
+    * and defeat whole-payload hashing, but their frame landmarks align
+    * at one consistent shift. Each fixture WAV decodes
+    * ([[MultimodalOps.frameBandEnergies]] — the real RIFF walk, never
+    * the formula) into complete 16-sample frames with four exact
+    * abs-sum band energies; a frame's LANDMARK is the md5-derived
+    * 32-bit hash of its energy profile (the engine's portable-hash
+    * discipline). Matching is the Shazam shape: a keyed posting join on
+    * the landmark (df-gated 2..1000 against degenerate hot frames —
+    * NEVER all-pairs), per candidate pair a histogram over the frame
+    * offset `t_b − t_a`, and a match is declared where ≥ 3 landmarks
+    * agree on ONE offset — the histogram peak, reported with its
+    * alignment. On this fixture the alignment theory is exact: a
+    * shared residue class forces a single offset per pair, and the
+    * oracle replays waveform → framing → energies → hash → posting
+    * join → offset histogram entirely in SQL, so the decoded bytes
+    * must reproduce the closed form landmark-for-landmark. Scale: the
+    * posting join shuffle-partitions on the 32-bit landmark key,
+    * per-pair state is the bounded offset histogram, and the final
+    * best-offset pick is a per-pair TakeOrdered window — at 100 TB
+    * nothing exceeds the gated posting lists. */
+  private def q383(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Hashing
+    val docs = Tables.load(s, dir, "documents").select("doc_id")
+    val fp = MultimodalOps
+      .frameBandEnergies(MultimodalOps.wavTable(s, docs), 16)
+      .toDF()
+      .select(col("doc_id"), col("frame"),
+        Hashing.md5U32(concat_ws("|", col("e0"), col("e1"),
+          col("e2"), col("e3"))).as("h"))
+    val gate = fp.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, 1000)).select("h")
+    val m = fp.join(gate, "h")
+    val aligned = m.as("a")
+      .join(m.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (col("b.frame") - col("a.frame")).as("t_offset"))
+      .groupBy("doc_a", "doc_b", "t_offset")
+      .agg(count(lit(1)).as("n_aligned"))
+      .filter(col("n_aligned") >= 3L)
+    val w = Window.partitionBy("doc_a", "doc_b")
+      .orderBy(col("n_aligned").desc, col("t_offset"))
+    aligned
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("doc_a", "doc_b", "t_offset", "n_aligned")
+      .orderBy("doc_a", "doc_b")
+  }
+
   val defs: Map[String, Q] = Map(
     "q242_audio_autocorr" -> (q242 _),
     "q60_multimodal_meta" -> (q60 _),
     "q89_bmp_resize" -> (q89 _),
     "q90_wav_stats" -> (q90 _),
     "q162_image_ahash_pairs" -> (q162 _),
-    "q191_wav_silence" -> (q191 _))
+    "q191_wav_silence" -> (q191 _),
+    "q383_audio_fingerprint" -> (q383 _))
 
   val oracle: Map[String, String] = Map(
+    // replays wavSample → complete-16-frame banding → abs-sum energies
+    // → md5 landmark → df-gated posting join → offset histogram →
+    // best-offset row; the Spark side derived the same landmarks from
+    // REAL decoded RIFF bytes, so one wrong sample anywhere in the
+    // codec moves a landmark and the pair set hash-fails
+    "q383_audio_fingerprint" -> {
+      val h = graft.functions.Hashing.md5U32Sql(
+        "CAST(e0 AS VARCHAR) || '|' || CAST(e1 AS VARCHAR) || '|' || " +
+          "CAST(e2 AS VARCHAR) || '|' || CAST(e3 AS VARCHAR)")
+      s"""WITH d AS (
+        |  SELECT doc_id, (doc_id % 500 + 50) // 16 AS nf FROM documents),
+        |fr AS (
+        |  SELECT doc_id, unnest(generate_series(0, nf - 1)) AS frame
+        |  FROM d WHERE nf > 0),
+        |sam AS (
+        |  SELECT doc_id, frame, unnest(generate_series(0, 15)) AS j
+        |  FROM fr),
+        |eb AS (
+        |  SELECT doc_id, frame,
+        |    sum(CASE WHEN j // 4 = 0 THEN a ELSE 0 END) AS e0,
+        |    sum(CASE WHEN j // 4 = 1 THEN a ELSE 0 END) AS e1,
+        |    sum(CASE WHEN j // 4 = 2 THEN a ELSE 0 END) AS e2,
+        |    sum(CASE WHEN j // 4 = 3 THEN a ELSE 0 END) AS e3
+        |  FROM (SELECT doc_id, frame, j,
+        |          abs((doc_id * 7 + 13 * (frame * 16 + j)) % 2003 - 1001)
+        |            AS a
+        |        FROM sam)
+        |  GROUP BY 1, 2),
+        |fp AS (SELECT doc_id, frame, $h AS h FROM eb),
+        |gate AS (
+        |  SELECT h FROM (SELECT h, count(*) AS df FROM fp GROUP BY 1)
+        |  WHERE df BETWEEN 2 AND 1000),
+        |m AS (SELECT fp.* FROM fp JOIN gate USING (h)),
+        |hist AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(b.frame - a.frame AS BIGINT) AS t_offset,
+        |    count(*) AS n_aligned
+        |  FROM m a JOIN m b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3)
+        |SELECT doc_a, doc_b, t_offset, CAST(n_aligned AS BIGINT)
+        |  AS n_aligned
+        |FROM (SELECT *, row_number() OVER (PARTITION BY doc_a, doc_b
+        |        ORDER BY n_aligned DESC, t_offset) AS rn
+        |      FROM hist WHERE n_aligned >= 3)
+        |WHERE rn = 1
+        |ORDER BY doc_a, doc_b""".stripMargin
+    },
     // replays wavSample(id, i) = (id*7 + 13i) % 2003 - 1001 at both
     // alignments; the guard zeroes terms past the end exactly like the
     // engine's i + lag < n bound

@@ -138,4 +138,58 @@ class MultimodalSpec extends SparkSuite {
     assert(r.doc_id == 9L && r.n_samples == -1L && r.n_silent == -1L &&
       r.n_runs == -1L && r.longest_run == -1L)
   }
+
+  test("frameBandEnergies: exact abs-sum band energies over complete " +
+    "frames, tail samples dropped; undecodable payloads yield no rows") {
+    val s = (0 until 37).map(i => ((i * 3) - 20).toShort) // 2 frames + 5
+    val row = MultimodalOps.MediaRow(5L, "wav",
+      WavCodec.encode(WavCodec.Wav(8000, s.toArray)))
+    val got = MultimodalOps.frameBandEnergies(Seq(row).toDS(), 16)
+      .collect().sortBy(_.frame)
+    assert(got.length == 2, s"37 samples must yield 2 complete frames, " +
+      s"got ${got.length}")
+    def want(f: Int, b: Int): Long =
+      (0 until 4).map(j => math.abs(s(f * 16 + b * 4 + j).toLong)).sum
+    got.foreach { fb =>
+      val f = fb.frame.toInt
+      assert(Seq(fb.e0, fb.e1, fb.e2, fb.e3) ==
+        Seq(want(f, 0), want(f, 1), want(f, 2), want(f, 3)),
+        s"frame $f band energies diverge from the hand computation")
+    }
+    val junk = Seq(MultimodalOps.MediaRow(9L, "wav", "nope".getBytes))
+      .toDS()
+    assert(MultimodalOps.frameBandEnergies(junk, 16).count() == 0L,
+      "a fingerprint pass must skip undecodable payloads, not row them")
+  }
+
+  test("q383: every reported alignment is real — recomputing the " +
+    "closed-form landmarks at the reported offset reproduces n_aligned") {
+    // the end-to-end fingerprint property: a (pair, t_offset, n_aligned)
+    // row claims exactly n_aligned complete frames of doc_a match doc_b
+    // landmark-for-landmark at that shift; recompute the band profiles
+    // straight from wavSample's closed form (no codec, no hash — the
+    // df upper gate cannot bite at this corpus and matched landmarks
+    // satisfy df >= 2 by construction) and count equal profiles
+    val rows = graft.SparkEntry
+      .queries("q383_audio_fingerprint")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.length > 100, s"fingerprint pair set collapsed: " +
+      s"${rows.length} rows")
+    def nf(id: Long): Int = ((id % 500 + 50) / 16).toInt
+    def prof(id: Long, f: Long): Seq[Long] =
+      (0 until 4).map(b => (0 until 4).map(j =>
+        math.abs(((id * 7 + 13L * (f * 16 + b * 4 + j)) % 2003) - 1001))
+        .sum)
+    rows.take(25).foreach { r =>
+      val (a, b, off, n) = (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))
+      val matches = (0L until nf(a).toLong).count { f =>
+        val fb = f + off
+        fb >= 0 && fb < nf(b) && prof(a, f) == prof(b, fb)
+      }
+      assert(matches.toLong == n,
+        s"pair ($a,$b) offset $off: recomputed $matches != reported $n")
+      assert(n >= 3L, s"pair ($a,$b) under the 3-landmark floor")
+    }
+  }
 }
