@@ -640,6 +640,78 @@ object SimilarityQueries extends QueryPack {
       .orderBy("rank_full")
   }
 
+  /** Cross-modal paired-embedding retrieval audit — the CLIP-class
+    * health check a multimodal corpus runs before trusting text↔image
+    * retrieval (r18 verdict item 7's named candidate surface, on the
+    * q220 pattern): every document carries a TEXT embedding (the
+    * embeddings table) and a deterministically-derived IMAGE-side
+    * embedding, `w(d) = 3·v(d) + (1 + d mod 7)·v(next(d))` — aligned
+    * with its text twin but perturbed by a neighbor at a per-doc
+    * strength, the correlated-but-noisy shape real dual encoders
+    * produce (a pure copy would audit nothing, and a CONSTANT
+    * perturbation audits nothing either — every rank reads 1; the
+    * varying weight makes weakly-perturbed pairs align and strongly-
+    * perturbed ones drift to their neighbor, so the audit separates;
+    * `next` is vec_id + 1 with the first vector closing the ring, a
+    * keyed self-join — never a corpus-wide window). For each
+    * of the 20 anchor queries the audit reports both directions of the
+    * standard cross-modal eval: the rank of the PAIRED item among the
+    * whole opposite-modality corpus — rank 1 everywhere means the
+    * spaces are aligned; a displaced rank names the document whose
+    * pairing drifted. Exact and scale-shaped: cosines land on the e4
+    * grid (ties on id), and each rank is the q220 counting form —
+    * `1 + |{better}|` computed by streaming the corpus past the
+    * BROADCAST 20-row anchor table into one 20-group aggregate, never
+    * a corpus-wide window. The mixed vector is CONSTRUCTED as a list
+    * in both engines (zip_with here, list_transform in the oracle) and
+    * only then fed to the shared cosine — no algebraic expansion, so
+    * every double is bit-identical. */
+  private def q384(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.roundf
+    import graft.expressions.CosineSimilarity
+    val e = emb(s, dir)
+    val nxt = e.select((col("vec_id") - 1).as("vec_id"),
+      col("v").as("vn"))
+    val first = e.orderBy("vec_id").limit(1).select(col("v").as("vf"))
+    val img = e.join(nxt, Seq("vec_id"), "left")
+      .crossJoin(broadcast(first))
+      .select(col("vec_id"),
+        zip_with(col("v"), coalesce(col("vn"), col("vf")),
+          (x, y) => lit(3.0) * x +
+            ((col("vec_id") % 7) + lit(1L)).cast("double") * y).as("w"))
+    val qt = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val qi = img.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("w").as("qw"))
+    // text → image: stream ALL image vectors past the broadcast anchor
+    // texts, count strictly-better candidates per anchor (q220 form)
+    val t2i = img.crossJoin(broadcast(qt))
+      .select(col("q_id"), col("vec_id").as("c_id"),
+        roundf(CosineSimilarity.sim(col("qv"), col("w")), 4).as("cos"))
+    val ownT = t2i.filter(col("q_id") === col("c_id"))
+      .select(col("q_id"), col("cos").as("own_cos"))
+    val rankT = t2i.join(broadcast(ownT), "q_id")
+      .groupBy("q_id")
+      .agg((sum((col("cos") > col("own_cos") ||
+          (col("cos") === col("own_cos") && col("c_id") < col("q_id")))
+          .cast("long")) + 1L).as("rank_t2i"))
+    // image → text: the reverse direction, anchor images vs all texts
+    val i2t = e.crossJoin(broadcast(qi))
+      .select(col("q_id"), col("vec_id").as("c_id"),
+        roundf(CosineSimilarity.sim(col("v"), col("qw")), 4).as("cos"))
+    val rankI = i2t.join(broadcast(
+        i2t.filter(col("q_id") === col("c_id"))
+          .select(col("q_id"), col("cos").as("own_cos"))), "q_id")
+      .groupBy("q_id")
+      .agg((sum((col("cos") > col("own_cos") ||
+          (col("cos") === col("own_cos") && col("c_id") < col("q_id")))
+          .cast("long")) + 1L).as("rank_i2t"))
+    ownT.join(rankT, "q_id").join(rankI, "q_id")
+      .select(col("q_id").as("vec_id"), col("own_cos").as("cos_pair"),
+        col("rank_t2i"), col("rank_i2t"))
+      .orderBy("vec_id")
+  }
+
   /** Mutual nearest neighbors over LSH candidates — the bitext/parallel-
     * corpus mining shape (two vectors are a mined pair iff each is the
     * OTHER's best match; one-directional best-match lists are full of
@@ -1552,6 +1624,7 @@ object SimilarityQueries extends QueryPack {
     "q202_embedding_audit" -> (q202 _),
     "q220_matryoshka_audit" -> (q220 _),
     "q223_mutual_knn" -> (q223 _),
+    "q384_crossmodal_retrieval" -> (q384 _),
     "q51_knn_lsh" -> (q51 _),
     "q56_knn_ivf" -> (q56 _),
     "q91_sq8_quantize" -> (q91 _),
@@ -2217,6 +2290,53 @@ object SimilarityQueries extends QueryPack {
         |  r.rank_p16 - t.rank_full AS displacement
         |FROM t JOIN r USING (vec_id)
         |ORDER BY t.rank_full""".stripMargin,
+    // the image-side vector is CONSTRUCTED as a list (list_transform)
+    // exactly like the engine's zip_with and only then fed to the
+    // shared cosine — no algebraic expansion, so every double is
+    // bit-identical; both better-counts restate the q220 broadcast
+    // aggregate (the self row never counts: strict > at equality with
+    // itself is false, and the id tie-break excludes c_id = q_id)
+    "q384_crossmodal_retrieval" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |f AS (SELECT v AS vf FROM e ORDER BY vec_id LIMIT 1),
+        |nx AS (SELECT vec_id - 1 AS vec_id, v AS vn FROM e),
+        |img AS (
+        |  SELECT e.vec_id,
+        |    list_transform(range(1, ${Dim + 1}),
+        |      i -> 3 * e.v[i] +
+        |        CAST(e.vec_id % 7 + 1 AS DOUBLE) *
+        |          coalesce(nx.vn, f.vf)[i]) AS w
+        |  FROM e LEFT JOIN nx ON e.vec_id = nx.vec_id, f),
+        |qt AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 20),
+        |qi AS (SELECT vec_id AS q_id, w AS qw FROM img
+        |  WHERE vec_id < 20),
+        |t2i AS (
+        |  SELECT q.q_id, img.vec_id AS c_id,
+        |    ${rnd("list_cosine_similarity(q.qv, img.w)")} AS cos
+        |  FROM img, qt q),
+        |ownt AS (SELECT q_id, cos AS own_cos FROM t2i WHERE q_id = c_id),
+        |rt AS (
+        |  SELECT t.q_id,
+        |    CAST(1 + count(*) FILTER (WHERE s.cos > t.own_cos
+        |      OR (s.cos = t.own_cos AND s.c_id < t.q_id)) AS BIGINT)
+        |      AS rank_t2i
+        |  FROM ownt t JOIN t2i s USING (q_id) GROUP BY t.q_id),
+        |i2t AS (
+        |  SELECT q.q_id, e.vec_id AS c_id,
+        |    ${rnd("list_cosine_similarity(e.v, q.qw)")} AS cos
+        |  FROM e, qi q),
+        |owni AS (SELECT q_id, cos AS own_cos FROM i2t WHERE q_id = c_id),
+        |ri AS (
+        |  SELECT t.q_id,
+        |    CAST(1 + count(*) FILTER (WHERE s.cos > t.own_cos
+        |      OR (s.cos = t.own_cos AND s.c_id < t.q_id)) AS BIGINT)
+        |      AS rank_i2t
+        |  FROM owni t JOIN i2t s USING (q_id) GROUP BY t.q_id)
+        |SELECT t.q_id AS vec_id, t.own_cos AS cos_pair,
+        |  rt.rank_t2i, ri.rank_i2t
+        |FROM ownt t JOIN rt USING (q_id) JOIN ri USING (q_id)
+        |ORDER BY vec_id""".stripMargin,
     "q202_embedding_audit" ->
       """WITH per AS (
         |  SELECT CAST(label AS BIGINT) AS label,

@@ -687,6 +687,13 @@ class PlanSpec extends SparkSuite {
       // q382: zero — the tuning chains are memo stubs and the minhash-
       // pick crossJoin's equality filter re-plans as a broadcast equi
       // join; the chains behind the stubs are gated below
+      // q384: every nested-loop site is a bounded broadcast — the
+      // 1-row ring-closing first-vector crossJoin (re-listed under the
+      // image table's consumers) and the two 20-row anchor-set
+      // crossJoins (the q220/q50 bounded audit family), as the plan
+      // lists them across the t2i/i2t branches before runtime
+      // ReuseExchange collapses the duplicates (the q362 pattern)
+      "q384_crossmodal_retrieval" -> 7L,
       "q50_knn_cosine" -> 1L,
       "q56_knn_ivf" -> 2L,
       "q64_tfidf" -> 1L,

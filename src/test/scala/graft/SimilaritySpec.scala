@@ -126,4 +126,34 @@ class SimilaritySpec extends SparkSuite {
         "the small label relation (the cheap plan) — if this stops " +
         "holding, re-read the join's size estimates")
   }
+
+  test("q384 cross-modal audit separates by perturbation strength: " +
+    "weakly-perturbed pairs align (rank 1 both ways), strongly-" +
+    "perturbed ones provably drift (rank >= 2)") {
+    // the image vector is w(d) = 3 v(d) + b_d v(next), b_d = 1 + d%7:
+    // for b <= 2 the own-pair cosine 3/sqrt(9+b^2) dominates the
+    // neighbor's b/sqrt(9+b^2) by >= 1/sqrt(13) — far above the
+    // uncorrelated-vector noise floor — so the pair must align; for
+    // b >= 4 the neighbor provably outranks the pair by the same
+    // margin, so rank must be >= 2. A constant-rank table would mean
+    // the audit stopped measuring (the all-ranks-1 first cut).
+    val rows = graft.SparkEntry
+      .queries("q384_crossmodal_retrieval")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 20)
+    rows.foreach { case (id, t2i, i2t) =>
+      val b = id % 7 + 1
+      if (b <= 2)
+        assert(t2i == 1L && i2t == 1L,
+          s"weakly-perturbed pair $id (b=$b) must rank 1, " +
+            s"got t2i=$t2i i2t=$i2t")
+      if (b >= 4)
+        assert(t2i >= 2L && i2t >= 2L,
+          s"strongly-perturbed pair $id (b=$b) must drift past its " +
+            s"neighbor, got t2i=$t2i i2t=$i2t")
+    }
+    assert(rows.map(_._2).distinct.length > 1,
+      "rank_t2i is constant — the audit separates nothing")
+  }
 }
