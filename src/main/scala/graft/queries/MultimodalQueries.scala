@@ -215,8 +215,66 @@ object MultimodalQueries extends QueryPack {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Audio snippet lookup — the RETRIEVAL face of q383's fingerprint
+    * index (query-by-example: "which recording does this 5-frame
+    * excerpt come from, and at what position?" — the Shazam query
+    * path, where q383 is the dedup path over the same landmarks): a
+    * bounded md5-deterministic draw of 5 query docs (the q235 exact-k
+    * discipline, restricted to docs long enough to carry the excerpt)
+    * contributes frames 2..6 as the snippet; corpus landmarks come
+    * from the same REAL-decode frameBandEnergies chain, hot landmarks
+    * df-gated (≤ 1000 — a lookup keeps unique landmarks, so no lower
+    * gate); matches join on the landmark key, histogram over
+    * `corpus_frame − snippet_pos`, candidates need ≥ 2 aligned
+    * landmarks (one shared landmark is collision noise), and each
+    * query reports its top-3 candidates by aligned count (ties to the
+    * smaller doc then offset — an acoustic TRUE duplicate legitimately
+    * ties the source). The source doc itself must surface with all 5
+    * landmarks at offset 2 — MultimodalSpec pins it. Scale: the
+    * snippet side is O(queries·5) rows broadcast into a keyed posting
+    * join; the corpus side is the q383 landmark table; the top-3 pick
+    * is a per-query window over the ≥2-aligned candidates. */
+  private def q385(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Hashing
+    val docs = Tables.load(s, dir, "documents").select("doc_id")
+    val fp = MultimodalOps
+      .frameBandEnergies(MultimodalOps.wavTable(s, docs), 16)
+      .toDF()
+      .select(col("doc_id"), col("frame"),
+        Hashing.md5U32(concat_ws("|", col("e0"), col("e1"),
+          col("e2"), col("e3"))).as("h"))
+    // query draw: 5 smallest md5 among docs with >= 7 complete frames
+    // (the excerpt spans frames 2..6)
+    val qdocs = docs
+      .filter((col("doc_id") % 500 + 50) / 16 >= 7)
+      .select(col("doc_id").as("q_id"),
+        Hashing.md5U32(col("doc_id").cast("string")).as("u"))
+      .orderBy(col("u"), col("q_id")).limit(5)
+      .select("q_id")
+    val snip = fp.join(broadcast(qdocs), col("doc_id") === col("q_id"))
+      .filter(col("frame").between(2, 6))
+      .select(col("q_id"), (col("frame") - 2).as("sp"), col("h"))
+    val gate = fp.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 1000).select("h")
+    val m = fp.join(gate, "h")
+    val hist = m.join(broadcast(snip), Seq("h"))
+      .select(col("q_id"), col("doc_id").as("c_id"),
+        (col("frame") - col("sp")).as("t_offset"))
+      .groupBy("q_id", "c_id", "t_offset")
+      .agg(count(lit(1)).as("n_aligned"))
+      .filter(col("n_aligned") >= 2L)
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("n_aligned").desc, col("c_id"), col("t_offset"))
+    hist.withColumn("hit_rank", row_number().over(w).cast("long"))
+      .filter(col("hit_rank") <= 3)
+      .select("q_id", "hit_rank", "c_id", "t_offset", "n_aligned")
+      .orderBy("q_id", "hit_rank")
+  }
+
   val defs: Map[String, Q] = Map(
     "q242_audio_autocorr" -> (q242 _),
+    "q385_audio_snippet_lookup" -> (q385 _),
     "q60_multimodal_meta" -> (q60 _),
     "q89_bmp_resize" -> (q89 _),
     "q90_wav_stats" -> (q90 _),
@@ -225,6 +283,60 @@ object MultimodalQueries extends QueryPack {
     "q383_audio_fingerprint" -> (q383 _))
 
   val oracle: Map[String, String] = Map(
+    // the q383 landmark chain pointed at the lookup path: snippet =
+    // frames 2..6 of the 5 md5-drawn query docs, candidates need >= 2
+    // aligned landmarks, top-3 per query by (aligned DESC, c_id,
+    // t_offset)
+    "q385_audio_snippet_lookup" -> {
+      val h = graft.functions.Hashing.md5U32Sql(
+        "CAST(e0 AS VARCHAR) || '|' || CAST(e1 AS VARCHAR) || '|' || " +
+          "CAST(e2 AS VARCHAR) || '|' || CAST(e3 AS VARCHAR)")
+      val u = graft.functions.Hashing.md5U32Sql("CAST(doc_id AS VARCHAR)")
+      s"""WITH d AS (
+        |  SELECT doc_id, (doc_id % 500 + 50) // 16 AS nf FROM documents),
+        |fr AS (
+        |  SELECT doc_id, unnest(generate_series(0, nf - 1)) AS frame
+        |  FROM d WHERE nf > 0),
+        |sam AS (
+        |  SELECT doc_id, frame, unnest(generate_series(0, 15)) AS j
+        |  FROM fr),
+        |eb AS (
+        |  SELECT doc_id, frame,
+        |    sum(CASE WHEN j // 4 = 0 THEN a ELSE 0 END) AS e0,
+        |    sum(CASE WHEN j // 4 = 1 THEN a ELSE 0 END) AS e1,
+        |    sum(CASE WHEN j // 4 = 2 THEN a ELSE 0 END) AS e2,
+        |    sum(CASE WHEN j // 4 = 3 THEN a ELSE 0 END) AS e3
+        |  FROM (SELECT doc_id, frame, j,
+        |          abs((doc_id * 7 + 13 * (frame * 16 + j)) % 2003 - 1001)
+        |            AS a
+        |        FROM sam)
+        |  GROUP BY 1, 2),
+        |fp AS (SELECT doc_id, frame, $h AS h FROM eb),
+        |qd AS (
+        |  SELECT doc_id AS q_id FROM d WHERE nf >= 7
+        |  ORDER BY $u, doc_id LIMIT 5),
+        |snip AS (
+        |  SELECT q.q_id, fp.frame - 2 AS sp, fp.h
+        |  FROM fp JOIN qd q ON fp.doc_id = q.q_id
+        |  WHERE fp.frame BETWEEN 2 AND 6),
+        |gate AS (
+        |  SELECT h FROM (SELECT h, count(*) AS df FROM fp GROUP BY 1)
+        |  WHERE df <= 1000),
+        |m AS (SELECT fp.* FROM fp JOIN gate USING (h)),
+        |hist AS (
+        |  SELECT s.q_id, m.doc_id AS c_id,
+        |    CAST(m.frame - s.sp AS BIGINT) AS t_offset,
+        |    count(*) AS n_aligned
+        |  FROM m JOIN snip s USING (h)
+        |  GROUP BY 1, 2, 3 HAVING count(*) >= 2)
+        |SELECT q_id, CAST(rn AS BIGINT) AS hit_rank, c_id, t_offset,
+        |  CAST(n_aligned AS BIGINT) AS n_aligned
+        |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+        |        ORDER BY n_aligned DESC, c_id, t_offset) AS rn
+        |      FROM hist)
+        |WHERE rn <= 3
+        |ORDER BY q_id, hit_rank""".stripMargin
+    },
     // replays wavSample → complete-16-frame banding → abs-sum energies
     // → md5 landmark → df-gated posting join → offset histogram →
     // best-offset row; the Spark side derived the same landmarks from

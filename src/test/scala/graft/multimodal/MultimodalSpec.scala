@@ -192,4 +192,34 @@ class MultimodalSpec extends SparkSuite {
       assert(n >= 3L, s"pair ($a,$b) under the 3-landmark floor")
     }
   }
+
+  test("q385: every query's source recording surfaces with the full " +
+    "excerpt aligned at its true position; ranks are contiguous and " +
+    "alignment counts bounded by the excerpt length") {
+    val rows = graft.SparkEntry
+      .queries("q385_audio_snippet_lookup")(spark,
+        "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.size == 5, s"expected 5 query docs, got ${byQ.size}")
+    byQ.foreach { case (q, hits) =>
+      // the excerpt is frames 2..6 of the query doc itself, so the
+      // source must surface with ALL 5 landmarks at offset exactly 2
+      // (an acoustic true-duplicate may tie it — ties break to the
+      // smaller doc id, which is honest retrieval, not a defect)
+      assert(hits.exists { case (_, _, c, off, n) =>
+        c == q && off == 2L && n == 5L },
+        s"query $q: source recording missing from its own lookup: " +
+          s"${hits.toSeq}")
+      assert(hits.map(_._2).sorted.toSeq ==
+        (1L to hits.length.toLong).toSeq,
+        s"query $q: ranks not contiguous: ${hits.map(_._2).toSeq}")
+      hits.foreach { case (_, _, _, _, n) =>
+        assert(n >= 2L && n <= 5L,
+          s"query $q: aligned count $n outside [2, excerpt length 5]")
+      }
+    }
+  }
 }
