@@ -185,10 +185,18 @@ object MultimodalQueries extends QueryPack {
     * per-pair state is the bounded offset histogram, and the final
     * best-offset pick is a per-pair TakeOrdered window — at 100 TB
     * nothing exceeds the gated posting lists. */
-  private def q383(s: SparkSession, dir: String): DataFrame = {
+  private def q383(s: SparkSession, dir: String): DataFrame =
+    audioFingerprintOf(s, Tables.load(s, dir, "documents"))
+
+  /** The q383 chain over a GIVEN documents frame — the form the
+    * streaming fingerprint-ingest twin re-derives per micro-batch
+    * (StreamingSpec): dedup-at-ingest matches each arrived recording
+    * against exactly the indexed-so-far corpus. */
+  private[graft] def audioFingerprintOf(s: SparkSession,
+      docsDf: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.Hashing
-    val docs = Tables.load(s, dir, "documents").select("doc_id")
+    val docs = docsDf.select("doc_id")
     val fp = MultimodalOps
       .frameBandEnergies(MultimodalOps.wavTable(s, docs), 16)
       .toDF()

@@ -1318,6 +1318,73 @@ class StreamingSpec extends SparkSuite {
       "the drained incremental sizing plan must equal the declared q382")
   }
 
+  test("foreachBatch streaming fingerprint-ingest twin (q383) equals " +
+    "the batch acoustic near-dup table at every micro-batch prefix") {
+    // dedup-at-ingest for the multimodal family: a production audio
+    // pipeline fingerprints each arriving recording against the
+    // indexed-so-far corpus, not in quarterly batch sweeps. State,
+    // adjudicated like the sizing twin's: the arrived-docs ledger
+    // itself — the landmark index IS the corpus's fingerprint content,
+    // there is no narrower sufficient state (the df gate and the
+    // offset histograms are full-index decisions: a new arrival can
+    // push a landmark's df past the hot gate and retract pairs, which
+    // is exactly why the twin re-derives rather than appends). Each
+    // micro-batch recomputes the pair table over exactly the arrived
+    // corpus through the SAME audioFingerprintOf chain the declared
+    // q383 runs; prefix-equality is pinned at every batch and the
+    // drained table is the declared q383.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.queries.MultimodalQueries
+    def snapshot(df: DataFrame): Set[String] =
+      df.collect().map(_.mkString("|")).toSet
+    val dFull = Tables.load(spark, sf, "documents").localCheckpoint(true)
+    implicit val sqlCtx = spark.sqlContext
+    val ids = dFull.select("doc_id").collect().map(_.getLong(0)).sorted
+    val arrivals = ids.sortBy(i => (i * 2654435761L) % 97)
+    val mem = MemoryStream[Long]
+    var docState = dFull.filter(lit(false)).localCheckpoint(true)
+    val prefixPairs = scala.collection.mutable.ListBuffer[Set[String]]()
+    val q = mem.toDF().toDF("d_t").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val next = docState.unionByName(
+            batch.join(dFull, col("d_t") === col("doc_id")).drop("d_t"))
+          .localCheckpoint(true)
+        val prev = docState
+        docState = next
+        graft.operators.CheckpointBlocks.release(prev)
+        prefixPairs += snapshot(
+          MultimodalQueries.audioFingerprintOf(spark, docState))
+        ()
+      }.start()
+    val chunks = arrivals.grouped((arrivals.length + 2) / 3).toSeq
+    try chunks.foreach { chunk =>
+      mem.addData(chunk.toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(prefixPairs.length == chunks.length)
+    var arrived = Set.empty[Long]
+    chunks.zip(prefixPairs).zipWithIndex.foreach {
+      case ((chunk, got), i) =>
+        arrived ++= chunk
+        val want = snapshot(MultimodalQueries.audioFingerprintOf(spark,
+          dFull.filter(col("doc_id").isin(arrived.toSeq: _*))))
+        assert(got == want,
+          s"fingerprint prefix ${i + 1}/${chunks.length} diverges: " +
+            s"only-streamed=${(got -- want).take(3)} " +
+            s"only-batch=${(want -- got).take(3)}")
+    }
+    // the ingest twin must actually be FINDING duplicates as the
+    // corpus grows, not replaying an empty or constant table
+    assert(prefixPairs.map(_.size).distinct.length > 1 &&
+        prefixPairs.last.nonEmpty,
+      s"pair table never grew: ${prefixPairs.map(_.size)}")
+    // and the drained table is exactly the declared q383
+    assert(prefixPairs.last == snapshot(
+      graft.SparkEntry.queries("q383_audio_fingerprint")(spark, sf)),
+      "the drained incremental pair table must equal the declared q383")
+  }
+
   test("foreachBatch streaming calibration drift monitor (q371) equals " +
     "the batch reliability curve at every micro-batch prefix") {
     // gate-calibration DRIFT MONITORING, the curve's natural streaming
