@@ -91,6 +91,31 @@ class ArtifactGateSpec extends AnyFunSuite {
     }
   }
 
+  test("PLANS.json: fresh — one plan-audit entry per declared query, " +
+    "and every entry cartesian-free") {
+    // PLANS.json is the judge's round-over-round plan diff base and the
+    // round's zero-cartesians claim rests on it, but until r19 nothing
+    // gated its freshness — a stale snapshot silently exempts new
+    // queries from the plan record (the same failure class the
+    // BENCH_FULL md5 gate closed in r17). Exact-set equality: a
+    // removed query must also disappear from the artifact.
+    val n = json("PLANS.json")
+    val got = scala.collection.mutable.Set[String]()
+    n.fieldNames.forEachRemaining { f => got += f; () }
+    val want = SparkEntry.queries.keySet
+    assert(got.toSet == want,
+      s"PLANS.json covers ${got.size} queries, declared ${want.size} " +
+        s"(missing: ${(want -- got).take(3)}, stale: " +
+        s"${(got.toSet -- want).take(3)}) — re-run " +
+        "sbt 'runMain graft.Bench' (full suite)")
+    n.fields.forEachRemaining { e =>
+      val c = e.getValue.get("cartesians")
+      assert(c != null && c.asLong == 0L,
+        s"${e.getKey} plans ${if (c == null) "no audit" else c} " +
+          "cartesian products — an unkeyed join reached a declared plan")
+    }
+  }
+
   test("BENCH_FULL.json: fresh (query-list linked), full coverage, " +
     "zero spill and bounded broadcast materialization at sf0.1") {
     val n = json("BENCH_FULL.json")
