@@ -260,6 +260,50 @@ object MultimodalOps {
     }
   }
 
+  case class PixelBlockFeature(doc_id: Long, f: Array[Long], byte_sum: Long)
+
+  /** Block-intensity feature over REAL decoded BMP pixels — the
+    * image-side embedding primitive under the q384 cross-modal audit
+    * (the image analogue of [[frameBandEnergies]]'s landmark profile):
+    * the decoded byte stream (length L = w·h·3, top-down BGR) partitions
+    * into `dims` contiguous blocks (byte i → block ⌊i·dims/L⌋ — the same
+    * integer lattice an oracle replays without touching bytes), and
+    * block k reports the EXACT int64 sum of CENTERED intensities
+    * Σ (byte − 125). Centering matters: the fixture's bytes are
+    * near-uniform in 0..250, so uncentered block sums are dominated by
+    * the shared mean and every image's feature is nearly parallel to the
+    * all-ones vector — embedding nothing; the centered profile captures
+    * each image's deviation phase. Blocks past a short payload (L <
+    * dims) stay exactly zero. `byte_sum` is the raw total Σ byte — the
+    * scalar intensity mass q384 derives its perturbation strength from.
+    * Same mapPartitions discipline as [[resizeBmp]]: payloads never
+    * shuffle, per-row state is the dims-length accumulator, undecodable
+    * payloads yield no rows. */
+  def blockFeatures(media: Dataset[MediaRow], dims: Int)
+      : Dataset[PixelBlockFeature] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        ImageCodec.decodeBmp(r.payload) match {
+          case Some(bm) =>
+            val px = bm.pixels
+            val n = px.length
+            val f = new Array[Long](dims)
+            var s = 0L
+            var i = 0
+            while (i < n) {
+              val b = px(i) & 0xff
+              f((i.toLong * dims / n).toInt) += b - 125L
+              s += b
+              i += 1
+            }
+            Iterator.single(PixelBlockFeature(r.doc_id, f, s))
+          case None => Iterator.empty
+        }
+      }
+    }
+  }
+
   case class SilenceStats(doc_id: Long, n_samples: Long, n_silent: Long,
       n_runs: Long, longest_run: Long)
 

@@ -228,7 +228,9 @@ object MultimodalQueries extends QueryPack {
     * excerpt come from, and at what position?" — the Shazam query
     * path, where q383 is the dedup path over the same landmarks): a
     * bounded md5-deterministic draw of 5 query docs (the q235 exact-k
-    * discipline, restricted to docs long enough to carry the excerpt)
+    * discipline, restricted to docs whose DECODED fingerprint reaches
+    * frame 6 — eligibility reads the landmark table, never the
+    * fixture's length formula, so it holds on any corpus)
     * contributes frames 2..6 as the snippet; corpus landmarks come
     * from the same REAL-decode frameBandEnergies chain, hot landmarks
     * df-gated (≤ 1000 — a lookup keeps unique landmarks, so no lower
@@ -252,10 +254,15 @@ object MultimodalQueries extends QueryPack {
       .select(col("doc_id"), col("frame"),
         Hashing.md5U32(concat_ws("|", col("e0"), col("e1"),
           col("e2"), col("e3"))).as("h"))
-    // query draw: 5 smallest md5 among docs with >= 7 complete frames
-    // (the excerpt spans frames 2..6)
-    val qdocs = docs
-      .filter((col("doc_id") % 500 + 50) / 16 >= 7)
+    // query draw: 5 smallest md5 among docs long enough to carry the
+    // excerpt (it spans frames 2..6, so the doc must reach frame 6).
+    // Eligibility READS THE DECODED LANDMARK TABLE — a doc qualifies
+    // iff its own fingerprint reaches frame 6 — never the fixture's
+    // length formula, so the draw is corpus-independent (r19 verdict
+    // item 2: on recordings that don't follow the generator, the
+    // formula could nominate docs that cannot carry the excerpt)
+    val qdocs = fp.groupBy("doc_id").agg(max(col("frame")).as("mf"))
+      .filter(col("mf") >= 6)
       .select(col("doc_id").as("q_id"),
         Hashing.md5U32(col("doc_id").cast("string")).as("u"))
       .orderBy(col("u"), col("q_id")).limit(5)
@@ -321,7 +328,9 @@ object MultimodalQueries extends QueryPack {
         |  GROUP BY 1, 2),
         |fp AS (SELECT doc_id, frame, $h AS h FROM eb),
         |qd AS (
-        |  SELECT doc_id AS q_id FROM d WHERE nf >= 7
+        |  SELECT doc_id AS q_id FROM (
+        |    SELECT doc_id, max(frame) AS mf FROM fp GROUP BY 1)
+        |  WHERE mf >= 6
         |  ORDER BY $u, doc_id LIMIT 5),
         |snip AS (
         |  SELECT q.q_id, fp.frame - 2 AS sp, fp.h

@@ -644,41 +644,80 @@ object SimilarityQueries extends QueryPack {
     * health check a multimodal corpus runs before trusting text↔image
     * retrieval (r18 verdict item 7's named candidate surface, on the
     * q220 pattern): every document carries a TEXT embedding (the
-    * embeddings table) and a deterministically-derived IMAGE-side
-    * embedding, `w(d) = 3·v(d) + (1 + d mod 7)·v(next(d))` — aligned
-    * with its text twin but perturbed by a neighbor at a per-doc
-    * strength, the correlated-but-noisy shape real dual encoders
-    * produce (a pure copy would audit nothing, and a CONSTANT
-    * perturbation audits nothing either — every rank reads 1; the
-    * varying weight makes weakly-perturbed pairs align and strongly-
-    * perturbed ones drift to their neighbor, so the audit separates;
-    * `next` is vec_id + 1 with the first vector closing the ring, a
-    * keyed self-join — never a corpus-wide window). For each
+    * embeddings table) and an IMAGE-side embedding whose error model is
+    * read from the document's ACTUAL BITMAP (r19 verdict item 3 — the
+    * first cut mixed text embeddings only, auditing the eval machinery
+    * over a synthetic second modality). Real dual encoders produce
+    * "aligned plus structured error": here
+    * `w(d) = 3·v(d) + b(d)·v(next(d)) + u(d)/4`, where BOTH error
+    * terms come from the REAL decoded pixels
+    * ([[graft.multimodal.MultimodalOps.blockFeatures]] over the q89/
+    * q162 bitmap substrate, keyed by the doc's id): u(d) is the UNIT
+    * centered block-intensity direction (the image's own deviation
+    * profile — one wrong pixel byte anywhere moves a cosine and the
+    * hash fails loudly) and the drift strength b(d) = 1 + Σbyte mod 7
+    * is the image's intensity mass. The neighbor term keeps the drift
+    * target a KNOWN text vector, which is what makes the audit's
+    * separation provable rather than chance-correlated: own − neighbor
+    * cosine numerators couple as (3 − b)(1 − v·vn) + (u·(v − vn))/4 —
+    * measured ceilings mc = 0.49, mu = 0.44 at sf0.01 leave margin
+    * ≥ 0.29 — so in the image→text direction b ≤ 2 forces rank 1 and
+    * b ≥ 4 forces drift. The text→image direction is asymmetric by
+    * nature (its corpus holds every OTHER doc's perturbed image, and
+    * the predecessor pulls toward v(d) with ITS pixel-read strength),
+    * so there a weak pair holds rank ≤ 2 and a strong predecessor
+    * provably claims rank 1 — the real CLIP-audit confusion pattern.
+    * SimilaritySpec pins all four faces; a pure pixel embedding with
+    * NO alignment term would rank the pair uniformly at random — true
+    * but unpinnable, auditing nothing. `next` is vec_id + 1 with the
+    * first vector closing the ring, a keyed self-join — never a
+    * corpus-wide window. For each
     * of the 20 anchor queries the audit reports both directions of the
     * standard cross-modal eval: the rank of the PAIRED item among the
     * whole opposite-modality corpus — rank 1 everywhere means the
     * spaces are aligned; a displaced rank names the document whose
     * pairing drifted. Exact and scale-shaped: cosines land on the e4
-    * grid (ties on id), and each rank is the q220 counting form —
+    * grid (ties on id), each rank is the q220 counting form —
     * `1 + |{better}|` computed by streaming the corpus past the
     * BROADCAST 20-row anchor table into one 20-group aggregate, never
-    * a corpus-wide window. The mixed vector is CONSTRUCTED as a list
-    * in both engines (zip_with here, list_transform in the oracle) and
-    * only then fed to the shared cosine — no algebraic expansion, so
-    * every double is bit-identical. */
+    * a corpus-wide window — and the pixel features ride a keyed
+    * equi-join (payloads never shuffle past the per-partition decode;
+    * the feature is 64 int64s + one scalar per doc). The mixed vector
+    * is CONSTRUCTED as a list in both engines (zip_with here,
+    * list_transform in the oracle) and only then fed to the shared
+    * cosine — no algebraic expansion; the block sums and their squared
+    * norm are exact int64 on both sides (everything < 2⁵³), so every
+    * double is bit-identical. */
   private def q384(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.Rounding.roundf
     import graft.expressions.CosineSimilarity
+    import graft.multimodal.MultimodalOps
     val e = emb(s, dir)
     val nxt = e.select((col("vec_id") - 1).as("vec_id"),
       col("v").as("vn"))
     val first = e.orderBy("vec_id").limit(1).select(col("v").as("vf"))
+    // the image side reads the REAL bitmaps: unit deviation direction
+    // u and strength b = 1 + (intensity mass mod 7), both from decoded
+    // pixel bytes
+    val pix = MultimodalOps.blockFeatures(
+        MultimodalOps.bmpTable(s, e.select(col("vec_id").as("doc_id"))),
+        Dim)
+      .toDF()
+      .withColumn("nrm",
+        sqrt(aggregate(col("f"), lit(0L), (acc, x) => acc + x * x)
+          .cast("double")))
+      .select(col("doc_id").as("vec_id"),
+        transform(col("f"), x => x.cast("double") / col("nrm")).as("u"),
+        (col("byte_sum") % 7 + lit(1L)).cast("double").as("b"))
     val img = e.join(nxt, Seq("vec_id"), "left")
       .crossJoin(broadcast(first))
+      .join(pix, Seq("vec_id"))
       .select(col("vec_id"),
-        zip_with(col("v"), coalesce(col("vn"), col("vf")),
-          (x, y) => lit(3.0) * x +
-            ((col("vec_id") % 7) + lit(1L)).cast("double") * y).as("w"))
+        zip_with(
+          zip_with(col("v"), coalesce(col("vn"), col("vf")),
+            (x, y) => lit(3.0) * x + col("b") * y),
+          col("u"),
+          (t, z) => t + lit(0.25) * z).as("w"))
     val qt = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val qi = img.filter(col("vec_id") < 20)
@@ -2293,21 +2332,46 @@ object SimilarityQueries extends QueryPack {
     // the image-side vector is CONSTRUCTED as a list (list_transform)
     // exactly like the engine's zip_with and only then fed to the
     // shared cosine — no algebraic expansion, so every double is
-    // bit-identical; both better-counts restate the q220 broadcast
-    // aggregate (the self row never counts: strict > at equality with
-    // itself is false, and the id tie-break excludes c_id = q_id)
+    // bit-identical; the pixel CTEs replay the bitmap fixture's
+    // closed form (byte i of doc d = (d·31 + i) mod 251 over
+    // L = w·h·3 bytes) through the SAME integer block lattice
+    // ⌊i·64/L⌋, zero-filling blocks past short payloads, while the
+    // engine derived u and b from REAL decoded BMP bytes — one wrong
+    // pixel anywhere moves a landmark and the hash fails; both
+    // better-counts restate the q220 broadcast aggregate (the self
+    // row never counts: strict > at equality with itself is false,
+    // and the id tie-break excludes c_id = q_id)
     "q384_crossmodal_retrieval" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |  FROM embeddings),
         |f AS (SELECT v AS vf FROM e ORDER BY vec_id LIMIT 1),
         |nx AS (SELECT vec_id - 1 AS vec_id, v AS vn FROM e),
+        |pxd AS (SELECT vec_id AS id,
+        |  (vec_id % 62 + 2) * (vec_id % 46 + 2) * 3 AS L FROM e),
+        |pxi AS (SELECT id, L, unnest(generate_series(0, L - 1)) AS i
+        |  FROM pxd),
+        |pb0 AS (SELECT id, (i * ${Dim}) // L AS k,
+        |  sum((id * 31 + i) % 251 - 125) AS fk FROM pxi GROUP BY 1, 2),
+        |ks AS (SELECT id, unnest(generate_series(0, ${Dim - 1})) AS k
+        |  FROM pxd),
+        |pb AS (SELECT ks.id, ks.k,
+        |  CAST(coalesce(pb0.fk, 0) AS BIGINT) AS fk
+        |  FROM ks LEFT JOIN pb0 ON ks.id = pb0.id AND ks.k = pb0.k),
+        |pn AS (SELECT id, sqrt(CAST(sum(fk * fk) AS DOUBLE)) AS nrm
+        |  FROM pb GROUP BY 1),
+        |pu AS (SELECT pb.id, list(CAST(fk AS DOUBLE) / nrm ORDER BY k)
+        |  AS u FROM pb JOIN pn USING (id) GROUP BY pb.id),
+        |ps AS (SELECT id,
+        |  CAST(sum((id * 31 + i) % 251) % 7 + 1 AS DOUBLE) AS b
+        |  FROM pxi GROUP BY 1),
         |img AS (
         |  SELECT e.vec_id,
         |    list_transform(range(1, ${Dim + 1}),
-        |      i -> 3 * e.v[i] +
-        |        CAST(e.vec_id % 7 + 1 AS DOUBLE) *
-        |          coalesce(nx.vn, f.vf)[i]) AS w
-        |  FROM e LEFT JOIN nx ON e.vec_id = nx.vec_id, f),
+        |      i -> 3 * e.v[i] + ps.b * coalesce(nx.vn, f.vf)[i] +
+        |        0.25 * pu.u[i]) AS w
+        |  FROM e LEFT JOIN nx ON e.vec_id = nx.vec_id
+        |    JOIN pu ON e.vec_id = pu.id
+        |    JOIN ps ON e.vec_id = ps.id, f),
         |qt AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 20),
         |qi AS (SELECT vec_id AS q_id, w AS qw FROM img
         |  WHERE vec_id < 20),
