@@ -43,15 +43,30 @@ class ArtifactGateSpec extends AnyFunSuite {
       s"scaling sweep flagged ${flags}: a measured tail slope exceeded " +
         "its stated complexity bound — fix the query or re-adjudicate " +
         "the bound in tools/scaling_sweep.py STATED, then re-run the sweep")
-    // coverage pin: the sweep list only grows (30 three-SF rows as of
-    // r19 plus the three tuned-knob contrast rows, and the 8-query
-    // sf~1 extension) — a shrunk artifact means a stale or hand-edited
-    // file
-    assert(n.get("n_queries").asLong >= 33L,
-      s"sweep covered ${n.get("n_queries")} queries — expected >= 33")
-    assert(n.get("sf1x_queries") != null && n.get("sf1x_queries").size >= 8,
+    // coverage pin: the sweep list only grows (31 three-SF rows as of
+    // r20 — q383's acoustic posting-join head joined — plus the three
+    // tuned-knob contrast rows, and the 9-query sf~1 extension) — a
+    // shrunk artifact means a stale or hand-edited file
+    assert(n.get("n_queries").asLong >= 34L,
+      s"sweep covered ${n.get("n_queries")} queries — expected >= 34")
+    assert(n.get("sf1x_queries") != null && n.get("sf1x_queries").size >= 9,
       "the sf~1 extension (steep-tail families + the r18 product-surface " +
-        "heads) is missing from the sweep artifact")
+        "heads + the r20 acoustic posting-join head) is missing from " +
+        "the sweep artifact")
+    // r20 (r19 verdict item 5): the memoized sf~1 heads must carry the
+    // cold-build/steady-state SPLIT — both samples measured, both
+    // bounds adjudicated (their flags feed the main flags array, so a
+    // breach already failed above; this pins the split's PRESENCE so a
+    // regenerated artifact can't silently drop the convention)
+    val split = n.get("sf1x_memo_split")
+    assert(split != null && split.isArray && split.size >= 3,
+      "sf1x_memo_split missing — the cold-build vs steady-state split " +
+        "for the memoized sf~1 heads is gone from the sweep artifact")
+    split.forEach { m =>
+      assert(!m.get("build_tail1").isNull && !m.get("warm_tail1").isNull,
+        s"${m.get("query")} memo split has a missing sample — " +
+          "build and warm decades must both be measured")
+    }
     // the tuned-geometry contrast arm (r17 verdict item 2): the
     // mechanism's measured effect must be in the artifact and in-bound
     val tuned = n.get("sf1x_tuned")
@@ -141,7 +156,7 @@ class ArtifactGateSpec extends AnyFunSuite {
     // coverage pin (r17 verdict item 3): every declared query must have
     // a telemetry cell — a stale or subset artifact exempts queries
     for (m <- Seq("spill_bytes", "peak_exec_mem", "peak_exec_mem_min",
-        "max_broadcast_bytes"))
+        "peak_exec_mem_raw", "max_broadcast_bytes"))
       assert(n.get(m) != null && n.get(m).size == SparkEntry.queries.size,
         s"$m covers ${if (n.get(m) == null) 0 else n.get(m).size} " +
           s"queries, declared ${SparkEntry.queries.size} — stale artifact")
@@ -165,25 +180,75 @@ class ArtifactGateSpec extends AnyFunSuite {
       s"measured task spill ($total bytes) — a partition no longer fits " +
         "executor memory; find the query via the spill_bytes map and " +
         "repartition/rescope it")
-    // peak-execution-memory gate (r17 verdict item 4, re-based on the
-    // MIN-of-passes map by r18 verdict item 3): spill and broadcasts
-    // carry bounded claims; the per-task working set gets one too —
-    // 1 GiB at sf0.1. The gate reads peak_exec_mem_min, not the max
-    // map: identical code measured 162 MB on a quiet box and 673 MB
-    // when the load average doubled (the fair memory manager grants
-    // each concurrent task a larger share of a contended pool), so a
-    // max-based gate measures the neighbors, not the code. The min
-    // across interleaved passes is the code's floor requirement — a
-    // blow-up that GROWS with the data inflates every pass and still
-    // fails here by name; box noise inflates one.
+    // peak-execution-memory gate (r17 verdict item 4; re-based on the
+    // MIN-of-passes map by r18 item 3; made LOAD-AWARE by r19 item 1):
+    // spill and broadcasts carry bounded claims; the per-task working
+    // set gets one too — 1 GiB at sf0.1. Identical code measured
+    // 162 MB on a quiet box and 673 MB when the load average doubled
+    // (the fair memory manager grants each concurrent task a larger
+    // share of a contended pool), and the r18 min-of-passes fix only
+    // survives a SPIKE: when the box is loaded for the whole bench,
+    // both interleaved passes inflate together and the min is just as
+    // inflated (q352: 673 MB on BOTH maps at load 8.35 vs 170 MB
+    // committed at 4.86). So the strict bound is adjudicated only
+    // against runs whose PASS ran at quiet-comparable load (Bench
+    // records pass_load_avg / third_load_avg; a run's pass is its
+    // queries_raw index): quiet reference ~5 on this box (r19
+    // committed 4.86; r20 measured per-pass loads agree), loaded
+    // refresh ~8+. A query with NO quiet run falls to a loud 4 GiB
+    // backstop — a genuine data-scale blow-up inflates every pass far
+    // past it, while a loaded-box refresh of unchanged code can no
+    // longer 4× the number the strict gate reads.
     val peakBound = 1024L * 1024 * 1024
-    n.get("peak_exec_mem_min").fields.forEachRemaining { e =>
+    val backstopBound = 4L * peakBound
+    val quietLoad = 6.5
+    val peakRaw = n.get("peak_exec_mem_raw")
+    val passLoadsNode = n.get("pass_load_avg")
+    assert(peakRaw != null && passLoadsNode != null,
+      "BENCH_FULL.json predates the load-aware peak telemetry " +
+        "(peak_exec_mem_raw / pass_load_avg) — re-run " +
+        "sbt 'runMain graft.Bench' (full suite)")
+    val passLoads = (0 until passLoadsNode.size)
+      .map(passLoadsNode.get(_).asDouble)
+    val thirdLoadNode = n.get("third_load_avg")
+    val thirdLoad =
+      if (thirdLoadNode == null || thirdLoadNode.isNull) Double.MaxValue
+      else thirdLoadNode.asDouble
+    def runLoad(i: Int): Double =
+      if (i < passLoads.size) passLoads(i) else thirdLoad
+    peakRaw.fields.forEachRemaining { e =>
+      val runs = (0 until e.getValue.size).collect {
+        case i if !e.getValue.get(i).isNull =>
+          (e.getValue.get(i).asLong, runLoad(i))
+      }
+      if (runs.nonEmpty) {
+        val quiet = runs.collect { case (p, l) if l <= quietLoad => p }
+        if (quiet.nonEmpty)
+          assert(quiet.min <= peakBound,
+            s"${e.getKey} peaked at ${quiet.min} bytes of task " +
+              "execution memory in its quietest LOAD-COMPARABLE pass " +
+              "(> 1 GiB at sf0.1) — the working set has grown with " +
+              "the data; rescope the aggregate or repartition")
+        else
+          assert(runs.map(_._1).min <= backstopBound,
+            s"${e.getKey} peaked at ${runs.map(_._1).min} bytes with " +
+              s"every pass contended (loads ${runs.map(_._2)}) — even " +
+              "the loose 4 GiB backstop is blown; this is a real " +
+              "blow-up, not box noise")
+      }
+    }
+    // …plus an unconditional backstop on the MAX map (ADVICE r19): the
+    // min-of-passes re-basing deliberately ignores a pass-dependent
+    // inflation (contention), but a pass-dependent BLOW-UP — e.g.
+    // partition-scheduling-dependent skew that only some passes hit —
+    // must still fail by name, so the worst pass observed anywhere
+    // keeps a loose bound of its own
+    n.get("peak_exec_mem").fields.forEachRemaining { e =>
       if (!e.getValue.isNull)
-        assert(e.getValue.asLong <= peakBound,
-          s"${e.getKey} peaked at ${e.getValue.asLong} bytes of task " +
-            "execution memory in its QUIETEST pass (> 1 GiB at sf0.1) — " +
-            "the working set has grown with the data; rescope the " +
-            "aggregate or repartition")
+        assert(e.getValue.asLong <= backstopBound,
+          s"${e.getKey} peaked at ${e.getValue.asLong} bytes in its " +
+            "WORST pass (> 4 GiB at sf0.1) — pass-dependent or not, " +
+            "that is a working-set blow-up, not contention noise")
     }
     val bcast = n.get("max_broadcast_bytes")
     assert(bcast != null && bcast.size > 0, "max_broadcast_bytes missing")

@@ -41,7 +41,7 @@ QUERIES = [
     "q264_sssp", "q265_widest_path", "q266_sparse_cosine",
     "q270_lsh_tuning", "q273_winnowing", "q299_hub_robustness",
     "q306_label_noise", "q337_coverage_curve", "q353_corpus_build",
-    "q378_label_noise_ann",
+    "q378_label_noise_ann", "q383_audio_fingerprint",
     "q359_bpe_merges",
     "q362_dedup_sweep", "q363_nb_classifier", "q364_lm_cross_entropy",
     "q42_dedup_minhash", "q44_dedup_embedding", "q56_knn_ivf",
@@ -84,6 +84,25 @@ STATED = {
     # tuner - which restores the gated exponent; growth past ~1.7 at
     # FIXED parameters would mean a new term beyond the occupancy one.
     "q378_label_noise_ann": (1.70, "label-noise vote over banded-LSH candidates (sf~1 measured 1.46: fixed-band occupancy term N^2/2^r - production re-tunes bands via q270; 13x under the brute arm at the same decade)"),
+    # r20 (r19 verdict item 4): the acoustic posting-join family. The
+    # honest adjudication is OUTPUT-BOUND, not candidate-bound: the WAV
+    # fixture is a closed form of doc_id ((id*7 + 13i) mod 2003), and
+    # landmark equality collapses to a residue-lattice collision
+    # 7*(a-b) = 208*(f_b-f_a) (mod 2003), so ANY id set of size N
+    # carries Theta(N^2 * frame_span / 2003) TRUE aligned pairs — a
+    # residue-lattice corpus is wall-to-wall genuine near-dups at
+    # scale, and an engine cannot run below its own output size. (The
+    # r19 advice to "salt the waveforms so replicas decorrelate" has no
+    # mechanism here: waveforms derive from doc_id in-engine and the
+    # lattice is translation-invariant, so no id assignment thins it —
+    # unlike documents/embeddings, where the salt rewrites the DATA.)
+    # The engine-side guard is the df gate: per-landmark postings
+    # (~N*frames/2003 ~ 425 at sf~1) stay inside the 2..1000 window, and
+    # past ~2M docs the gate CUTS hot landmarks, capping the join at
+    # O(N*frames*1000). Growth past 2.10 would mean a term beyond the
+    # documented lattice one. Real corpora have sparse dup density; the
+    # posting join itself is O(sum df^2), df-gated.
+    "q383_audio_fingerprint": (2.10, "df-gated landmark posting join; the closed-form fixture's residue lattice makes TRUE pairs Theta(N^2*span/2003) — output-bound, the df gate (2..1000) caps postings past ~2M docs"),
     "q362_dedup_sweep": (1.30, "mined-pair chain (df-gated) swept over 7 bounded thresholds"),
     "q42_dedup_minhash": (1.30, "banded minhash bucket pairs; per-bucket occupancy grows with corpus (the dial spark.graft.minhash.bands re-tunes)"),
     "q44_dedup_embedding": (1.15, "exact-hash bucket equi join, O(N)"),
@@ -176,7 +195,12 @@ SF1X_PAIR_QUERIES = [
 # preceded it in-process), and separate processes also keep the classic
 # six's measurement conditions r17-comparable.
 SF1X_HEAD_QUERIES = ["q353_corpus_build", "q359_bpe_merges"]
-SF1X_QUERIES = SF1X_PAIR_QUERIES + SF1X_HEAD_QUERIES
+# r20 (r19 verdict item 4): the acoustic posting-join head, in its OWN
+# JVM — its sf~1 posting join materializes ~10^8 lattice-pair rows
+# (see the STATED adjudication), which must not share a bench heap
+# with the pair families' candidate checkpoints (the r18 lesson).
+SF1X_AUDIO_QUERIES = ["q383_audio_fingerprint"]
+SF1X_QUERIES = SF1X_PAIR_QUERIES + SF1X_HEAD_QUERIES + SF1X_AUDIO_QUERIES
 # sf~1 bench heap: 48g, NOT the 24g default the driver-SF runs use. The
 # fixed-geometry LSH pair substrate at 20k vectors is ~N^2/2^r rows —
 # measured 123 GB of task spill with pass failures at 24g (r17's run
@@ -237,6 +261,17 @@ SF1X_TUNED_MH_QUERY = "q42_dedup_minhash"
 SF1X_TUNED_MH_BANDS = 4
 SF1X_TUNED_MH_ALLOWED = 1.30
 SF1X_TUNED_MH_ROW = "q42_dedup_minhash (tuned bands=4)"
+
+# r20 (ADVICE r19): each synthetic row label carries ITS OWN allowed —
+# the emitter used to fall back to SF1X_TUNED_ALLOWED for every
+# non-STATED label, so the IVF/MinHash rows would silently print the
+# LSH geometry arm's constant if any per-arm bound ever diverged. A
+# label missing from both STATED and this map is a loud KeyError.
+ROW_ALLOWED = {
+    SF1X_TUNED_ROW: SF1X_TUNED_ALLOWED,
+    SF1X_TUNED_IVF_ROW: SF1X_TUNED_IVF_ALLOWED,
+    SF1X_TUNED_MH_ROW: SF1X_TUNED_MH_ALLOWED,
+}
 
 
 def synthesize_sf1x() -> None:
@@ -343,6 +378,8 @@ def main() -> None:
         run_bench("1x", extra_env=SF1X_ENV)
         run_bench("1x-heads", queries=SF1X_HEAD_QUERIES,
                   out=bench_out("1x_heads"), extra_env=SF1X_ENV)
+        run_bench("1x-audio", queries=SF1X_AUDIO_QUERIES,
+                  out=bench_out("1x_audio"), extra_env=SF1X_ENV)
         b, r = SF1X_TUNED_GEOMETRY
         run_bench("1x-tuned", queries=[SF1X_TUNED_QUERY], out=tuned_out(),
                   extra_env=dict(SF1X_ENV,
@@ -359,6 +396,7 @@ def main() -> None:
     runs = {sf: load_json(bench_out(sf), f"sf{sf} bench") for sf in SFS}
     runs1x = load_json(bench_out("1x"), "sf~1 bench")
     runs1xHeads = load_json(bench_out("1x_heads"), "sf~1 heads bench")
+    runs1xAudio = load_json(bench_out("1x_audio"), "sf~1 audio bench")
     runs1xT = load_json(tuned_out(), "sf~1 tuned-geometry bench")
     runs1xTIvf = load_json(tuned_ivf_out(), "sf~1 tuned-ivf bench")
     runs1xTMh = load_json(tuned_mh_out(), "sf~1 tuned-minhash bench")
@@ -387,7 +425,9 @@ def main() -> None:
         # sf~1 extension decade for the steep-tail families (salted 10x)
         t1x, tail1x = None, None
         if q in SF1X_QUERIES:
-            src1x = (runs1xHeads if q in SF1X_HEAD_QUERIES else runs1x)
+            src1x = (runs1xHeads if q in SF1X_HEAD_QUERIES
+                     else runs1xAudio if q in SF1X_AUDIO_QUERIES
+                     else runs1x)
             # cold families read the pass-1 raw sample at sf~1 too —
             # min-of-passes would measure the memo stub (r18)
             if q in COLD_FIRST_SAMPLE:
@@ -463,6 +503,56 @@ def main() -> None:
         f"spill = 0")
     tuned_mh_doc["bands"] = SF1X_TUNED_MH_BANDS
 
+    # r20 (r19 verdict item 5): cold-build vs steady-state split for
+    # the memoized sf~1 heads. The main table's tail₁ for a
+    # COLD_FIRST_SAMPLE query reads pass-1 — the honest cold number,
+    # but it conflates the memo's ONE-TIME build with the steady-state
+    # query cost (r19's q270 tail₁ 1.11 was memo-build riding a query
+    # bound). This section reports both samples with separate bounds so
+    # a build regression and a query regression fail by different
+    # names: build = pass-1 raw sample (bound: the query's STATED
+    # complexity), warm = min of the later interleaved/third samples —
+    # the memoized read path (bound 1.50, adjudicated only above a
+    # 0.5 s floor: stub reads are scheduler-floor-dominated, and a
+    # log-ratio of two ~40 ms floors measures the box, not the code).
+    MEMO_SPLIT_QUERIES = [
+        "q270_lsh_tuning", "q353_corpus_build", "q359_bpe_merges"]
+    MEMO_WARM_ALLOWED = 1.50
+    MEMO_WARM_FLOOR = 0.5
+
+    def _build_sample(raw):
+        return raw[0] if raw else None
+
+    def _warm_sample(raw):
+        tail_samples = [t for t in (raw[1:] if raw else [])
+                        if t is not None]
+        return min(tail_samples) if tail_samples else None
+
+    memo_split = []
+    for q in MEMO_SPLIT_QUERIES:
+        src1x = (runs1xHeads if q in SF1X_HEAD_QUERIES else runs1x)
+        raw01 = runs["0.1"].get("queries_raw", {}).get(q)
+        raw1x = src1x.get("queries_raw", {}).get(q)
+        b01, b1x = _build_sample(raw01), _build_sample(raw1x)
+        w01, w1x = _warm_sample(raw01), _warm_sample(raw1x)
+        build_tail = (math.log10(b1x / b01)
+                      if b01 and b1x else None)
+        warm_tail = (math.log10(w1x / w01)
+                     if w01 and w1x else None)
+        build_allowed = STATED[q][0]
+        build_flag = build_tail is None or build_tail > build_allowed
+        warm_flag = (warm_tail is None
+                     or (warm_tail > MEMO_WARM_ALLOWED
+                         and (w1x or 0) > MEMO_WARM_FLOOR))
+        memo_split.append({
+            "query": q,
+            "build_t01": b01, "build_t1x": b1x, "build_tail1": build_tail,
+            "build_allowed": build_allowed, "build_flagged": build_flag,
+            "warm_t01": w01, "warm_t1x": w1x, "warm_tail1": warm_tail,
+            "warm_allowed": MEMO_WARM_ALLOWED, "warm_floor_s":
+            MEMO_WARM_FLOOR, "warm_flagged": warm_flag,
+        })
+
     lines = []
     lines.append("# SCALING — measured sf-sweep exponents "
                  "(round 19, re-emittable, CI-gated)")
@@ -481,7 +571,10 @@ def main() -> None:
                  "`spark.graft.lsh.*` conf), q56 under q381's sf~1 "
                  "rule-pick (`spark.graft.ivf.nprobe`), and q42 under "
                  "q270's sf~1 rule-pick (`spark.graft.minhash.bands`) "
-                 "— one per index family (r18 verdict item 4). "
+                 "— one per index family (r18 verdict item 4) — plus "
+                 "(r20) the acoustic posting-join head q383 in its own "
+                 "JVM and a cold-build/steady-state SPLIT for the "
+                 "memoized sf~1 heads (r19 verdict item 5). "
                  "The sweep also writes `SCALING_FLAGS.json`; "
                  "ArtifactGateSpec fails CI if it is missing or lists "
                  "any flagged query.")
@@ -525,13 +618,45 @@ def main() -> None:
         # the sf0.1 base (fixed geometry) and the sf~1 tuned decade
         cf = "—" if fitted is None else f"{fitted:.2f}"
         ct = "—" if tail is None else f"{tail:.2f}"
-        allowed = STATED[q][0] if q in STATED else SF1X_TUNED_ALLOWED
+        allowed = STATED[q][0] if q in STATED else ROW_ALLOWED[q]
         flag = "**FLAG**" if flagged else "ok"
         lines.append(f"| {q} | {tcells} | {c1x} | {cf} | "
                      f"{ct} | {ctail1x} | {allowed:.2f} | {flag} "
                      f"| {reason} |")
     lines.append("")
+    lines.append("## Cold build vs steady state (memoized sf~1 heads — "
+                 "r19 verdict item 5)")
+    lines.append("")
+    lines.append("The main table's tail₁ for a memoized head reads the "
+                 "pass-1 sample (build-inclusive). Here the one-time "
+                 "memo BUILD and the steady-state WARM read are split "
+                 "with separate bounds, so a build regression and a "
+                 "query regression fail by different names. Warm reads "
+                 "under 0.5 s are floor-dominated and adjudicated "
+                 "in-bound by the floor rule.")
+    lines.append("")
+    lines.append("| query | build t(0.1) | build t(~1) | build tail₁ | "
+                 "allowed | warm t(0.1) | warm t(~1) | warm tail₁ | "
+                 "allowed | flag |")
+    lines.append("|---|---|---|---|---|---|---|---|---|---|")
+    for m in memo_split:
+        def c(v, fmt="{:.3f}s"):
+            return "—" if v is None else fmt.format(v)
+        mark = ("**FLAG**"
+                if m["build_flagged"] or m["warm_flagged"] else "ok")
+        lines.append(
+            f"| {m['query']} | {c(m['build_t01'])} | {c(m['build_t1x'])} "
+            f"| {c(m['build_tail1'], '{:.2f}')} | "
+            f"{m['build_allowed']:.2f} | {c(m['warm_t01'])} | "
+            f"{c(m['warm_t1x'])} | {c(m['warm_tail1'], '{:.2f}')} | "
+            f"{m['warm_allowed']:.2f} (floor {m['warm_floor_s']}s) | "
+            f"{mark} |")
+    lines.append("")
     flagged_qs = [q for q, _, _, _, _, _, f, _ in rows if f]
+    flagged_qs += [f"{m['query']} (memo build)" for m in memo_split
+                   if m["build_flagged"]]
+    flagged_qs += [f"{m['query']} (memo warm)" for m in memo_split
+                   if m["warm_flagged"]]
     lines.append(f"Flagged: {flagged_qs if flagged_qs else 'none'}.")
     lines.append("")
     lines.append("## Analysis")
@@ -559,6 +684,7 @@ def main() -> None:
         },
         "sf1x_tuned_ivf": tuned_ivf_doc,
         "sf1x_tuned_minhash": tuned_mh_doc,
+        "sf1x_memo_split": memo_split,
         "flags": flagged_qs,
     }
     with open("/root/repo/SCALING_FLAGS.json", "w") as f:
