@@ -304,6 +304,82 @@ object MultimodalOps {
     }
   }
 
+  /** Deterministic video fixture sample `i` of doc `id`: closed-form,
+    * range 0..1998 (fits u16), so frame transforms are independently
+    * checkable — the video twin of [[wavSample]]. The modulus (1999,
+    * prime) sets the residue-lattice density of true frame alignments;
+    * see q386's adjudication. */
+  def vidSample(id: Long, i: Int): Int =
+    ((id * 5 + 7L * i) % 1999).toInt
+
+  /** Deterministic "video" table from `documents`: each video-format
+    * doc carries `doc_id % 40 + 5` frames of 8 little-endian u16
+    * samples ([[vidSample]] — 16 bytes per frame), packed as the DATA
+    * section of a REAL GIF container ([[ImageCodec.encodeGif]]: magic +
+    * logical screen descriptor + body + trailer), dims from the bmp
+    * fixture's formulas. The container is decodable by [[decode]]'s
+    * header walk like every other imageTable payload; the frame walk
+    * ([[videoFrameProfiles]]) strips it for real. Per-row encode, no
+    * shuffle. */
+  def videoTable(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val w = (Math.floorMod(id, 62L) + 2).toInt
+      val h = (Math.floorMod(id, 46L) + 2).toInt
+      val n = (Math.floorMod(id, 40L) + 5).toInt * 8
+      val body = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        val v = vidSample(id, i)
+        body(2 * i) = (v & 0xff).toByte
+        body(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      MediaRow(id, "gif", ImageCodec.encodeGif(w, h, body))
+    }
+  }
+
+  /** Per-frame block-sum profile over a REAL GIF container walk — the
+    * video landmark primitive under q386's multi-frame fingerprint (the
+    * video twin of [[frameBandEnergies]], on the q60 frame-sampling
+    * path): validate the GIF89a magic and trailer, strip the 13-byte
+    * header (magic + logical screen descriptor — the bytes
+    * [[ImageCodec.decodeDimensions]] parses) and the 0x3b trailer,
+    * decode the data section as little-endian u16 samples, frame into
+    * complete 8-sample windows, and report four exact-integer 2-sample
+    * block sums per frame. Incomplete tail frames are dropped (a
+    * fingerprint hashes only full windows). Same mapPartitions
+    * discipline as [[frameBandEnergies]]: payloads never shuffle;
+    * payloads that are not well-formed GIFs yield no rows. */
+  def videoFrameProfiles(media: Dataset[MediaRow]): Dataset[FrameBands] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val b = r.payload
+        val okGif = b.length >= 14 &&
+          b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+          b(3) == '8' && b(4) == '9' && b(5) == 'a' &&
+          b(b.length - 1) == 0x3b
+        if (!okGif) Iterator.empty
+        else {
+          val nSamples = (b.length - 14) / 2
+          val nf = nSamples / 8
+          (0 until nf).iterator.map { f =>
+            val e = new Array[Long](4)
+            var j = 0
+            while (j < 8) {
+              val off = 13 + 2 * (f * 8 + j)
+              val v = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+              e(j / 2) += v
+              j += 1
+            }
+            FrameBands(r.doc_id, f.toLong, e(0), e(1), e(2), e(3))
+          }
+        }
+      }
+    }
+  }
+
   case class SilenceStats(doc_id: Long, n_samples: Long, n_silent: Long,
       n_runs: Long, longest_run: Long)
 

@@ -78,7 +78,7 @@ object DedupQueries extends QueryPack {
     * identical rows whether the slot hits or a cold call builds. */
   private val jaccardMemo = new graft.operators.SessionDirMemo
 
-  private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
+  private[graft] def jaccardPairs(s: SparkSession, dir: String): DataFrame =
     jaccardMemo.get(s, dir) {
       graft.operators.DedupPipeline
         .nearDupPairs(docs(s, dir), "doc_id", "text", n = 5,
@@ -1147,7 +1147,7 @@ object DedupQueries extends QueryPack {
 
   /** Shared CTE chain ending in `jp(doc_a, doc_b, inter, jaccard)` — the
     * near-dup pair graph, used verbatim by q41 and q67. */
-  private val jaccardCtes: String =
+  private[graft] val jaccardCtes: String =
     s"""${gramsSql(5)},
        |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
        |keep AS (SELECT gram FROM grams GROUP BY gram

@@ -86,7 +86,14 @@ object MultimodalQueries extends QueryPack {
     * oracle replays pixel formula → thumbnail mapping → bits → popcount
     * entirely in SQL: every pair is bit-exact evidence that decode,
     * resample, and hash agree with the closed form. */
-  private def q162(s: SparkSession, dir: String): DataFrame = {
+  private def q162(s: SparkSession, dir: String): DataFrame =
+    imageAhashPairs(s, dir).orderBy("doc_a", "doc_b")
+
+  /** (doc_a, doc_b, hamming) perceptual-hash image near-dup pairs —
+    * shared by q162 (the pair report) and q387 (the cross-modal
+    * dedup-agreement census). */
+  private[graft] def imageAhashPairs(s: SparkSession,
+      dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.load(s, dir, "documents").select("doc_id")
     val hashes = MultimodalOps.resizeBmp(
@@ -128,7 +135,6 @@ object MultimodalQueries extends QueryPack {
           .cast("long").as("hamming"))
       .filter(col("hamming") <= 3)
       .distinct()
-      .orderBy("doc_a", "doc_b")
   }
 
   /** Silence-run segmentation over the REAL audio path
@@ -188,21 +194,32 @@ object MultimodalQueries extends QueryPack {
   private def q383(s: SparkSession, dir: String): DataFrame =
     audioFingerprintOf(s, Tables.load(s, dir, "documents"))
 
-  /** The q383 chain over a GIVEN documents frame — the form the
-    * streaming fingerprint-ingest twin re-derives per micro-batch
-    * (StreamingSpec): dedup-at-ingest matches each arrived recording
-    * against exactly the indexed-so-far corpus. */
-  private[graft] def audioFingerprintOf(s: SparkSession,
-      docsDf: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** (doc_id, frame, h) landmark table: md5U32 of the 4-value profile —
+    * the portable-hash step both fingerprint substrates (audio q383,
+    * video q386) share. */
+  private def landmarksOf(profiles: DataFrame): DataFrame = {
     import graft.functions.Hashing
-    val docs = docsDf.select("doc_id")
-    val fp = MultimodalOps
-      .frameBandEnergies(MultimodalOps.wavTable(s, docs), 16)
-      .toDF()
-      .select(col("doc_id"), col("frame"),
-        Hashing.md5U32(concat_ws("|", col("e0"), col("e1"),
-          col("e2"), col("e3"))).as("h"))
+    profiles.select(col("doc_id"), col("frame"),
+      Hashing.md5U32(concat_ws("|", col("e0"), col("e1"),
+        col("e2"), col("e3"))).as("h"))
+  }
+
+  /** The audio landmark table over a GIVEN documents frame — q383's
+    * index half, also the fixed corpus index the q385 lookup twin
+    * streams queries against. */
+  private[graft] def audioLandmarks(s: SparkSession,
+      docsDf: DataFrame): DataFrame =
+    landmarksOf(MultimodalOps
+      .frameBandEnergies(MultimodalOps.wavTable(s,
+        docsDf.select("doc_id")), 16)
+      .toDF())
+
+  /** The Shazam match tail shared by q383 (audio) and q386 (video):
+    * df-gated (2..1000) posting self-join on the landmark key — NEVER
+    * all-pairs — per-pair offset histogram, ≥ 3-aligned match rule,
+    * best offset by per-pair window. */
+  private def fingerprintMatches(fp: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val gate = fp.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, 1000)).select("h")
     val m = fp.join(gate, "h")
@@ -221,6 +238,42 @@ object MultimodalQueries extends QueryPack {
       .filter(col("rn") === 1)
       .select("doc_a", "doc_b", "t_offset", "n_aligned")
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** The q383 chain over a GIVEN documents frame — the form the
+    * streaming fingerprint-ingest twin re-derives per micro-batch
+    * (StreamingSpec): dedup-at-ingest matches each arrived recording
+    * against exactly the indexed-so-far corpus. */
+  private[graft] def audioFingerprintOf(s: SparkSession,
+      docsDf: DataFrame): DataFrame =
+    fingerprintMatches(audioLandmarks(s, docsDf))
+
+  /** Multi-frame VIDEO fingerprint near-dup — the video analogue of
+    * q383 on the q60 GIF frame-sampling path (r19 verdict item 7's
+    * named candidate): each video-format doc (the mediaTable format
+    * assignment, doc_id ≡ 2 mod 3) carries `doc_id % 40 + 5` frames of
+    * 8 u16 samples inside a REAL GIF container
+    * ([[MultimodalOps.videoTable]]); the frame walk
+    * ([[MultimodalOps.videoFrameProfiles]]) validates magic + trailer
+    * and strips the 13-byte header FOR REAL — one wrong byte anywhere
+    * moves a block sum and the pair set hash-fails. A frame's landmark
+    * is the md5-derived hash of its four 2-sample block sums (the
+    * coarse per-frame signature a production video fingerprinter
+    * extracts before temporal alignment), and matching is the same
+    * Shazam tail as q383: df-gated posting join, per-pair offset
+    * histogram, ≥ 3 landmarks on ONE shift. On this fixture the
+    * alignment theory is the audio family's residue lattice at modulus
+    * 1999: 5·Δdoc ≡ 56·Δframe forces a single offset per matching
+    * pair, so every reported pair aligns at exactly one nonzero-or-
+    * zero shift (MultimodalSpec recomputes the closed form). Scale:
+    * identical posture to q383 — shuffle on the 32-bit landmark key,
+    * bounded per-pair state, payloads never leave their partitions. */
+  private def q386(s: SparkSession, dir: String): DataFrame = {
+    val vdocs = Tables.load(s, dir, "documents")
+      .select("doc_id").filter(col("doc_id") % 3 === 2)
+    fingerprintMatches(landmarksOf(
+      MultimodalOps.videoFrameProfiles(
+        MultimodalOps.videoTable(s, vdocs)).toDF()))
   }
 
   /** Audio snippet lookup — the RETRIEVAL face of q383's fingerprint
@@ -245,15 +298,8 @@ object MultimodalQueries extends QueryPack {
     * join; the corpus side is the q383 landmark table; the top-3 pick
     * is a per-query window over the ≥2-aligned candidates. */
   private def q385(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import graft.functions.Hashing
-    val docs = Tables.load(s, dir, "documents").select("doc_id")
-    val fp = MultimodalOps
-      .frameBandEnergies(MultimodalOps.wavTable(s, docs), 16)
-      .toDF()
-      .select(col("doc_id"), col("frame"),
-        Hashing.md5U32(concat_ws("|", col("e0"), col("e1"),
-          col("e2"), col("e3"))).as("h"))
+    val fp = audioLandmarks(s, Tables.load(s, dir, "documents"))
     // query draw: 5 smallest md5 among docs long enough to carry the
     // excerpt (it spans frames 2..6, so the doc must reach frame 6).
     // Eligibility READS THE DECODED LANDMARK TABLE — a doc qualifies
@@ -267,6 +313,20 @@ object MultimodalQueries extends QueryPack {
         Hashing.md5U32(col("doc_id").cast("string")).as("u"))
       .orderBy(col("u"), col("q_id")).limit(5)
       .select("q_id")
+    snippetLookupOf(fp, qdocs)
+  }
+
+  /** The q385 lookup chain over a GIVEN query set — the form the
+    * streaming snippet-lookup twin drives per micro-batch
+    * (StreamingSpec): the Shazam QUERY path, where recordings trickle
+    * in as queries against a FIXED landmark index. State is just the
+    * arrived-queries ledger — per-query results are independent (the
+    * df gate reads only the corpus side), which is exactly why the
+    * lookup face streams trivially while the INGEST face (q383's twin)
+    * must re-derive the whole pair table per batch. */
+  private[graft] def snippetLookupOf(fp: DataFrame,
+      qdocs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val snip = fp.join(broadcast(qdocs), col("doc_id") === col("q_id"))
       .filter(col("frame").between(2, 6))
       .select(col("q_id"), (col("frame") - 2).as("sp"), col("h"))
@@ -287,15 +347,92 @@ object MultimodalQueries extends QueryPack {
       .orderBy("q_id", "hit_rank")
   }
 
+  /** Cross-modal dedup-agreement census — the "same doc, which modality
+    * caught it" readout (r19 verdict item 7's named candidate) a
+    * multimodal corpus runs before trusting either dedup pass alone:
+    * join the TEXT near-dup graph (q41's df-gated shingle pairs, the
+    * shared memoized [[DedupQueries.jaccardPairs]] substrate) against
+    * the IMAGE near-dup graph (q162's banded perceptual-hash pairs) at
+    * DOC granularity and census the agreement classes — `both` docs
+    * are the high-confidence dedup tier, `text_only`/`image_only` name
+    * the docs one modality would have missed, `neither` is the clean
+    * pool. Doc flags are distinct pair endpoints (one keyed exchange
+    * per modality), the join is doc-keyed, and the census is a 4-row
+    * aggregate — both pair substrates are df-gated/banded, so nothing
+    * here exceeds their 100 TB posture. On this fixture the PAIR sets
+    * are disjoint by construction (pixels derive from doc_id, text
+    * from content) yet 6 docs at sf0.01 land in `both` through
+    * different partners — exactly the cross-checking signal the census
+    * exists to surface. */
+  private def q387(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents").select("doc_id")
+    def caughtBy(pairs: DataFrame, flag: String): DataFrame =
+      pairs.select(col("doc_a").as("doc_id"))
+        .unionAll(pairs.select(col("doc_b").as("doc_id")))
+        .distinct()
+        .withColumn(flag, lit(true))
+    val t = caughtBy(DedupQueries.jaccardPairs(s, dir), "t_caught")
+    val i = caughtBy(imageAhashPairs(s, dir), "i_caught")
+    docs.join(t, Seq("doc_id"), "left").join(i, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(coalesce(col("t_caught"), lit(false)) &&
+            coalesce(col("i_caught"), lit(false)), "both")
+          .when(coalesce(col("t_caught"), lit(false)), "text_only")
+          .when(coalesce(col("i_caught"), lit(false)), "image_only")
+          .otherwise("neither").as("modality"))
+      .groupBy("modality")
+      .agg(count(lit(1)).as("n_docs"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .orderBy("modality")
+  }
+
   val defs: Map[String, Q] = Map(
     "q242_audio_autocorr" -> (q242 _),
     "q385_audio_snippet_lookup" -> (q385 _),
+    "q386_video_fingerprint" -> (q386 _),
+    "q387_crossmodal_dedup_census" -> (q387 _),
     "q60_multimodal_meta" -> (q60 _),
     "q89_bmp_resize" -> (q89 _),
     "q90_wav_stats" -> (q90 _),
     "q162_image_ahash_pairs" -> (q162 _),
     "q191_wav_silence" -> (q191 _),
     "q383_audio_fingerprint" -> (q383 _))
+
+  /** Oracle CTE chain ending in `ipairs(doc_a, doc_b, hamming)` — the
+    * perceptual-hash image pair replay (pixel formula → 8×8 thumbnail
+    * mapping → 64 brightness bits → banded pairs ≤ 3 hamming), shared
+    * by the q162 and q387 oracles. No leading WITH. */
+  private val ahashCtes: String =
+    """g AS (
+      |  SELECT doc_id, doc_id % 62 + 2 AS sw, doc_id % 46 + 2 AS sh,
+      |    y.y, x.x
+      |  FROM documents,
+      |    (SELECT unnest(generate_series(0, 7)) AS y) y,
+      |    (SELECT unnest(generate_series(0, 7)) AS x) x),
+      |inten AS (
+      |  SELECT doc_id, y, x,
+      |    CAST((doc_id*31 + ((y*sh)//8*sw + (x*sw)//8)*3 + 0) % 251
+      |       + (doc_id*31 + ((y*sh)//8*sw + (x*sw)//8)*3 + 1) % 251
+      |       + (doc_id*31 + ((y*sh)//8*sw + (x*sw)//8)*3 + 2) % 251
+      |      AS BIGINT) AS v
+      |  FROM g),
+      |tot AS (SELECT doc_id, sum(v) AS t FROM inten GROUP BY 1),
+      |h AS (
+      |  SELECT i.doc_id,
+      |    CAST(sum(CASE WHEN y*8+x < 32 AND 64*v > t
+      |      THEN (CAST(1 AS BIGINT) << CAST(y*8+x AS INTEGER))
+      |      ELSE 0 END) AS BIGINT) AS lo,
+      |    CAST(sum(CASE WHEN y*8+x >= 32 AND 64*v > t
+      |      THEN (CAST(1 AS BIGINT) << CAST(y*8+x-32 AS INTEGER))
+      |      ELSE 0 END) AS BIGINT) AS hi
+      |  FROM inten i JOIN tot USING (doc_id) GROUP BY 1),
+      |ipairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+      |      AS BIGINT) AS hamming
+      |  FROM h a JOIN h b ON a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+      |    <= 3)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // the q383 landmark chain pointed at the lookup path: snippet =
@@ -449,35 +586,81 @@ object MultimodalQueries extends QueryPack {
     // the nearest-neighbor index mapping sy = y*sh // 6, sx = x*sw // 8 —
     // unsigned byte values, so the SQL modulo IS the pixel value
     "q162_image_ahash_pairs" ->
-      """WITH g AS (
-        |  SELECT doc_id, doc_id % 62 + 2 AS sw, doc_id % 46 + 2 AS sh,
-        |    y.y, x.x
-        |  FROM documents,
-        |    (SELECT unnest(generate_series(0, 7)) AS y) y,
-        |    (SELECT unnest(generate_series(0, 7)) AS x) x),
-        |inten AS (
-        |  SELECT doc_id, y, x,
-        |    CAST((doc_id*31 + ((y*sh)//8*sw + (x*sw)//8)*3 + 0) % 251
-        |       + (doc_id*31 + ((y*sh)//8*sw + (x*sw)//8)*3 + 1) % 251
-        |       + (doc_id*31 + ((y*sh)//8*sw + (x*sw)//8)*3 + 2) % 251
-        |      AS BIGINT) AS v
-        |  FROM g),
-        |tot AS (SELECT doc_id, sum(v) AS t FROM inten GROUP BY 1),
-        |h AS (
-        |  SELECT i.doc_id,
-        |    CAST(sum(CASE WHEN y*8+x < 32 AND 64*v > t
-        |      THEN (CAST(1 AS BIGINT) << CAST(y*8+x AS INTEGER))
-        |      ELSE 0 END) AS BIGINT) AS lo,
-        |    CAST(sum(CASE WHEN y*8+x >= 32 AND 64*v > t
-        |      THEN (CAST(1 AS BIGINT) << CAST(y*8+x-32 AS INTEGER))
-        |      ELSE 0 END) AS BIGINT) AS hi
-        |  FROM inten i JOIN tot USING (doc_id) GROUP BY 1)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
-        |    AS BIGINT) AS hamming
-        |FROM h a JOIN h b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+      s"""WITH $ahashCtes
+        |SELECT doc_a, doc_b, hamming FROM ipairs
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // the census joins the two pair oracles' own CTE chains (jp from
+    // DedupQueries.jaccardCtes, ipairs from ahashCtes — DuckDB prunes
+    // nothing extra: both chains are referenced) at doc granularity;
+    // classes replay the engine's coalesce-to-false left joins
+    "q387_crossmodal_dedup_census" ->
+      s"""WITH ${DedupQueries.jaccardCtes},
+        |$ahashCtes,
+        |tc AS (SELECT DISTINCT doc_id FROM (
+        |  SELECT doc_a AS doc_id FROM jp
+        |  UNION ALL SELECT doc_b FROM jp)),
+        |ic AS (SELECT DISTINCT doc_id FROM (
+        |  SELECT doc_a AS doc_id FROM ipairs
+        |  UNION ALL SELECT doc_b FROM ipairs)),
+        |cls AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN tc.doc_id IS NOT NULL AND ic.doc_id IS NOT NULL
+        |           THEN 'both'
+        |         WHEN tc.doc_id IS NOT NULL THEN 'text_only'
+        |         WHEN ic.doc_id IS NOT NULL THEN 'image_only'
+        |         ELSE 'neither' END AS modality
+        |  FROM documents d
+        |  LEFT JOIN tc ON d.doc_id = tc.doc_id
+        |  LEFT JOIN ic ON d.doc_id = ic.doc_id)
+        |SELECT modality, count(*) AS n_docs,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM cls GROUP BY 1 ORDER BY modality""".stripMargin,
+    // the video twin of the q383 oracle: replays vidSample (5*id + 7*i
+    // mod 1999) through the u16 little-endian body layout, complete
+    // 8-sample framing, 2-sample block sums, the same md5 landmark and
+    // df-gated posting join — the engine walked a REAL GIF container
+    // (magic + 13-byte header + trailer), so one wrong byte anywhere
+    // in encode or the walk moves a block sum and the pair set
+    // hash-fails
+    "q386_video_fingerprint" -> {
+      val h = graft.functions.Hashing.md5U32Sql(
+        "CAST(e0 AS VARCHAR) || '|' || CAST(e1 AS VARCHAR) || '|' || " +
+          "CAST(e2 AS VARCHAR) || '|' || CAST(e3 AS VARCHAR)")
+      s"""WITH d AS (
+        |  SELECT doc_id, doc_id % 40 + 5 AS nf FROM documents
+        |  WHERE doc_id % 3 = 2),
+        |fr AS (
+        |  SELECT doc_id, unnest(generate_series(0, nf - 1)) AS frame
+        |  FROM d),
+        |eb AS (
+        |  SELECT doc_id, frame,
+        |    sum(CASE WHEN j // 2 = 0 THEN v ELSE 0 END) AS e0,
+        |    sum(CASE WHEN j // 2 = 1 THEN v ELSE 0 END) AS e1,
+        |    sum(CASE WHEN j // 2 = 2 THEN v ELSE 0 END) AS e2,
+        |    sum(CASE WHEN j // 2 = 3 THEN v ELSE 0 END) AS e3
+        |  FROM (SELECT doc_id, frame, j,
+        |          (doc_id * 5 + 7 * (frame * 8 + j)) % 1999 AS v
+        |        FROM fr, unnest(generate_series(0, 7)) t(j))
+        |  GROUP BY 1, 2),
+        |fp AS (SELECT doc_id, frame, $h AS h FROM eb),
+        |gate AS (
+        |  SELECT h FROM (SELECT h, count(*) AS df FROM fp GROUP BY 1)
+        |  WHERE df BETWEEN 2 AND 1000),
+        |m AS (SELECT fp.* FROM fp JOIN gate USING (h)),
+        |hist AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(b.frame - a.frame AS BIGINT) AS t_offset,
+        |    count(*) AS n_aligned
+        |  FROM m a JOIN m b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3)
+        |SELECT doc_a, doc_b, t_offset, CAST(n_aligned AS BIGINT)
+        |  AS n_aligned
+        |FROM (SELECT *, row_number() OVER (PARTITION BY doc_a, doc_b
+        |        ORDER BY n_aligned DESC, t_offset) AS rn
+        |      FROM hist WHERE n_aligned >= 3)
+        |WHERE rn = 1
+        |ORDER BY doc_a, doc_b""".stripMargin
+    },
     "q89_bmp_resize" ->
       """WITH d AS (
         |  SELECT doc_id, doc_id % 62 + 2 AS sw, doc_id % 46 + 2 AS sh

@@ -222,4 +222,74 @@ class MultimodalSpec extends SparkSuite {
       }
     }
   }
+
+  test("q386: every reported video alignment is real — recomputing the " +
+    "closed-form frame profiles at the reported offset reproduces " +
+    "n_aligned, and every pair sits on the 5Δd ≡ 56Δf residue lattice") {
+    val rows = graft.SparkEntry
+      .queries("q386_video_fingerprint")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.length > 100, s"video pair set collapsed: ${rows.length}")
+    def nf(id: Long): Int = (id % 40 + 5).toInt
+    def prof(id: Long, f: Long): Seq[Long] =
+      (0 until 4).map(k => (0 until 2).map(j =>
+        (id * 5 + 7L * (f * 8 + 2 * k + j)) % 1999).sum)
+    rows.take(25).foreach { r =>
+      val (a, b, off, n) = (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))
+      // the lattice theory: block-sum equality at shift Δf forces
+      // 5(a−b) ≡ 56·Δf (mod 1999) on this fixture (exact u16 sums, no
+      // accidental collisions — an off-lattice pair means the walk or
+      // the encode corrupted a byte)
+      assert(Math.floorMod(5 * (a - b) - 56 * off, 1999L) == 0L,
+        s"pair ($a,$b) offset $off is off the residue lattice")
+      val matches = (0L until nf(a).toLong).count { f =>
+        val fb = f + off
+        fb >= 0 && fb < nf(b) && prof(a, f) == prof(b, fb)
+      }
+      assert(matches.toLong == n,
+        s"pair ($a,$b) offset $off: recomputed $matches != reported $n")
+      assert(n >= 3L, s"pair ($a,$b) under the 3-landmark floor")
+    }
+    // the temporal face must be exercised: a fingerprint family whose
+    // every alignment is offset 0 is a whole-payload hash in disguise
+    assert(rows.count(_.getLong(2) != 0L) > rows.length / 2,
+      "video alignments collapsed to offset 0 — the temporal-shift " +
+        "face is no longer exercised")
+  }
+
+  test("q387: the cross-modal census exactly re-aggregates the two " +
+    "pair tables' doc endpoints, covers every doc once, and both " +
+    "modalities contribute") {
+    val sf = "/root/testdata/sf0.001"
+    def endpoints(q: String): Set[Long] =
+      graft.SparkEntry.queries(q)(spark, sf).collect()
+        .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    val t = endpoints("q41_dedup_jaccard")
+    val i = endpoints("q162_image_ahash_pairs")
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val want = docs.groupBy { d =>
+      (t(d), i(d)) match {
+        case (true, true) => "both"
+        case (true, false) => "text_only"
+        case (false, true) => "image_only"
+        case _ => "neither"
+      }
+    }.map { case (k, ds) => (k, (ds.size.toLong, ds.min, ds.max)) }
+    val got = graft.SparkEntry
+      .queries("q387_crossmodal_dedup_census")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == want, s"census diverges: got $got want $want")
+    assert(got.values.map(_._1).sum == docs.size.toLong,
+      "census classes must partition the corpus")
+    // the census is only an audit if both modalities actually catch
+    // docs the other misses AND some docs are cross-confirmed
+    for (k <- Seq("both", "text_only", "image_only", "neither"))
+      assert(got.contains(k) && got(k)._1 > 0,
+        s"census class '$k' is empty on this fixture — the agreement " +
+          "readout no longer separates")
+  }
 }

@@ -1385,6 +1385,89 @@ class StreamingSpec extends SparkSuite {
       "the drained incremental pair table must equal the declared q383")
   }
 
+  test("foreachBatch streaming snippet-lookup twin (q385) equals the " +
+    "batch lookup at every micro-batch prefix and grows append-only") {
+    // the Shazam QUERY path streamed (r19 verdict item 7: the one
+    // fingerprint face without a twin): recordings trickle in as
+    // 5-frame excerpt QUERIES against a FIXED landmark index. The
+    // state contrast with the q383 ingest twin is the point — there
+    // the index itself grows, the df gate is a full-index decision,
+    // and arrivals can RETRACT pairs, so each batch re-derives the
+    // whole table; here the index is frozen, per-query results are
+    // independent (the gate reads only the corpus side), so the
+    // result set must grow APPEND-ONLY: each prefix is a superset of
+    // the last, pinned below. Per batch the twin runs the SAME
+    // snippetLookupOf chain the declared q385 runs, over exactly the
+    // arrived queries; the drained table is the declared q385.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.queries.MultimodalQueries
+    import graft.functions.Hashing
+    def snapshot(df: DataFrame): Set[String] =
+      df.collect().map(_.mkString("|")).toSet
+    val dFull = Tables.load(spark, sf, "documents")
+    // the frozen index: built once, checkpointed (a production lookup
+    // service materializes its landmark index; queries stream)
+    val fp = MultimodalQueries.audioLandmarks(spark, dFull)
+      .localCheckpoint(true)
+    // the declared q385's own md5 draw (eligibility from the decoded
+    // landmark table), collected so the stream can deliver the same 5
+    // queries in arrival order
+    val qIds = fp.groupBy("doc_id")
+      .agg(org.apache.spark.sql.functions.max(col("frame")).as("mf"))
+      .filter(col("mf") >= 6)
+      .select(col("doc_id"),
+        Hashing.md5U32(col("doc_id").cast("string")).as("u"))
+      .orderBy(col("u"), col("doc_id")).limit(5)
+      .collect().map(_.getLong(0))
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Long]
+    var arrivedState = Seq.empty[Long]
+    val prefixHits = scala.collection.mutable.ListBuffer[Set[String]]()
+    val q = mem.toDF().toDF("q_t").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        arrivedState = arrivedState ++
+          batch.collect().map(_.getLong(0)).sorted
+        val ss = fp.sparkSession
+        import ss.implicits._
+        prefixHits += snapshot(MultimodalQueries.snippetLookupOf(fp,
+          arrivedState.toDF("q_id")))
+        ()
+      }.start()
+    val chunks = qIds.grouped(2).toSeq // 2 + 2 + 1 arrivals
+    try chunks.foreach { chunk =>
+      mem.addData(chunk.toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(prefixHits.length == chunks.length)
+    var arrived = Seq.empty[Long]
+    chunks.zip(prefixHits).zipWithIndex.foreach {
+      case ((chunk, got), i) =>
+        arrived = arrived ++ chunk
+        val want = snapshot(MultimodalQueries.snippetLookupOf(fp,
+          dFull.filter(col("doc_id").isin(arrived: _*))
+            .select(col("doc_id").as("q_id"))))
+        assert(got == want,
+          s"lookup prefix ${i + 1}/${chunks.length} diverges: " +
+            s"only-streamed=${(got -- want).take(3)} " +
+            s"only-batch=${(want -- got).take(3)}")
+        // append-only: a frozen index means earlier queries' hits
+        // never move
+        if (i > 0)
+          assert(prefixHits(i - 1).subsetOf(got),
+            s"prefix ${i + 1} lost hits from prefix $i — the lookup " +
+              "face should never retract against a frozen index")
+    }
+    assert(prefixHits.last.nonEmpty && prefixHits.map(_.size).max >
+      prefixHits.map(_.size).min,
+      s"lookup table never grew: ${prefixHits.map(_.size)}")
+    // and the drained table is exactly the declared q385
+    assert(prefixHits.last == snapshot(
+      graft.SparkEntry.queries("q385_audio_snippet_lookup")(spark, sf)),
+      "the drained incremental lookup table must equal the declared q385")
+    graft.operators.CheckpointBlocks.release(fp)
+  }
+
   test("foreachBatch streaming calibration drift monitor (q371) equals " +
     "the batch reliability curve at every micro-batch prefix") {
     // gate-calibration DRIFT MONITORING, the curve's natural streaming
