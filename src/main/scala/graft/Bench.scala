@@ -233,12 +233,14 @@ object Bench {
     // bound only against runs from load-comparable passes.
     def nowLoad: Double = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
-    // the pre-suite sample is the only EXTERNAL-only reading (the
-    // bench's own 32-way bursts push the 1-min average to ~9-16 by the
-    // end of any pass, quiet box or not — measured r20); per-pass end
-    // samples are therefore self-load + external, and the gate's
-    // quiet threshold is calibrated against the quiet-box full-suite
-    // profile, not against an idle machine
+    // the pre-suite sample is the only EXTERNAL-only reading; per-pass
+    // end samples are self-load + external. Measured r20: a quiet-box
+    // FULL-SUITE pass ends at load ~2.4-4.3 (the suite's tail is many
+    // short queries, so the 1-min average has decayed from its heavy
+    // bursts by pass end), while a short SUBSET run can read ~9-11
+    // (the sample lands right after startup's heavy burst) — the gate's
+    // quiet threshold is calibrated against the full-suite profile,
+    // which is the only artifact it ever gates
     val startLoad = nowLoad
     val passLoads = scala.collection.mutable.ArrayBuffer[Double]()
     val samples: Seq[Seq[Option[Run]]] = (1 to passes).map { _ =>

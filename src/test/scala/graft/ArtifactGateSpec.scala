@@ -193,9 +193,11 @@ class ArtifactGateSpec extends AnyFunSuite {
     // committed at 4.86). So the strict bound is adjudicated only
     // against runs whose PASS ran at quiet-comparable load (Bench
     // records pass_load_avg / third_load_avg; a run's pass is its
-    // queries_raw index): quiet reference ~5 on this box (r19
-    // committed 4.86; r20 measured per-pass loads agree), loaded
-    // refresh ~8+. A query with NO quiet run falls to a loud 4 GiB
+    // queries_raw index): quiet full-suite passes end at load ~2.4-4.9
+    // on this box (r19 end-of-run 4.86; r20 measured pass-end loads
+    // 2.36/2.50/4.33), the contended driver refresh read 8.35 — 6.5
+    // splits the two regimes with margin on both sides. A query with
+    // NO quiet run falls to a loud 4 GiB
     // backstop — a genuine data-scale blow-up inflates every pass far
     // past it, while a loaded-box refresh of unchanged code can no
     // longer 4× the number the strict gate reads.
