@@ -434,7 +434,150 @@ object EvalQueries extends QueryPack {
               den)).as("fleiss_kappa_e6")
         })
 
+  /** One-way ANOVA F across event-type groups — the variance
+    * decomposition a pipeline runs before trusting a per-segment mean
+    * difference (does the segmentation explain more variance than it
+    * leaves?): everything on the exact integer grid — observations in
+    * cents, per-group ⌊S_g²/n_g⌋ and global ⌊S²/n⌋ truncated once each
+    * (a DEFINED statistic, replayed term-for-term by the oracle), SSB =
+    * Σ⌊S_g²/n_g⌋ − ⌊S²/n⌋, SSW = ΣX² − Σ⌊S_g²/n_g⌋, F in e6 fixed point
+    * via one decimal(38) division. Scale: ONE partial-aggregated pass
+    * over the fact table into k group rows, then k-row arithmetic — the
+    * same posture at 100 TB (decimal(38) carries S² exactly to ~10¹²
+    * rows of max-cents values). Guards agree with the oracle: F is NULL
+    * unless df_b > 0, SSW > 0, and SSB ≥ 0 (truncation can push an
+    * all-equal-means SSB a few units below zero; a defined NULL beats a
+    * floor-vs-truncate sign divergence). */
+  private def q391(s: SparkSession, dir: String): DataFrame = {
+    val g = ev(s, dir)
+      .select(col("event_type"), cents(col("value")).as("x"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_g"),
+        sum(col("x").cast("decimal(38,0)")).as("s_g"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("q_g"))
+      .withColumn("ssg", intDivExact(col("s_g") * col("s_g"), col("n_g")))
+    val tot = g.agg(
+        sum("n_g").as("n"), sum(col("s_g")).as("s"),
+        sum(col("q_g")).as("q"),
+        sum(col("ssg").cast("decimal(38,0)")).as("sum_ssg"),
+        count(lit(1)).as("k"))
+      .withColumn("ss_mean", intDivExact(col("s") * col("s"), col("n")))
+      .withColumn("ssb", (col("sum_ssg") - col("ss_mean")).cast("long"))
+      .withColumn("ssw",
+        (col("q").cast("decimal(38,0)") - col("sum_ssg")).cast("long"))
+      .withColumn("df_b", (col("k") - 1).cast("long"))
+      .withColumn("df_w", (col("n") - col("k")).cast("long"))
+      .withColumn("f_e6",
+        when(col("df_b") > 0 && col("ssw") > 0 && col("ssb") >= 0,
+          intDivExact(
+            lit(1000000L) * col("ssb").cast("decimal(38,0)") * col("df_w"),
+            col("df_b").cast("decimal(38,0)") * col("ssw")))
+          .otherwise(lit(null).cast("long")))
+    g.crossJoin(broadcast(
+        tot.select("ssb", "ssw", "df_b", "df_w", "f_e6")))
+      .select(col("event_type"), col("n_g"),
+        col("s_g").cast("long").as("sum_cents"),
+        intDivExact(lit(100L) * col("s_g"), col("n_g")).as("mean_e2"),
+        col("ssb").as("ssb_cents2"), col("ssw").as("ssw_cents2"),
+        col("df_b"), col("df_w"), col("f_e6"))
+      .orderBy("event_type")
+  }
+
+  /** Delete-one-day (block) jackknife for the corpus mean — the
+    * uncertainty readout for a pipeline-level ratio metric whose rows
+    * are NOT independent within a day (ingest batches, campaign days):
+    * blocks are calendar days, each leave-one-day-out estimate is the
+    * exact e4 ratio ⌊10⁴·(S−S_d)/(n−n_d)⌋, and the jackknife variance
+    * ⌊(G−1)·Σ(θ̂₋d − θ̄)²/G⌋ (e8) weighs how much any single day steers
+    * the headline number. All integer after the one defined e4
+    * truncation per estimate — the oracle replays it term-for-term.
+    * Scale: one partial-aggregated pass to G day rows, then G-row
+    * arithmetic; the whole uncertainty analysis costs one groupBy at
+    * any corpus size. */
+  private def q392(s: SparkSession, dir: String): DataFrame = {
+    val d = ev(s, dir)
+      .select(to_date(col("ts")).as("day"), cents(col("value")).as("x"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_d"),
+        sum(col("x").cast("decimal(38,0)")).as("s_d"))
+    val tot = d.agg(sum("n_d").as("n"), sum(col("s_d")).as("s"),
+      count(lit(1)).as("g"))
+    val del = d.crossJoin(broadcast(tot))
+      .withColumn("theta_del_e4", intDivExact(
+        lit(10000L) * (col("s") - col("s_d")), col("n") - col("n_d")))
+      .withColumn("theta_e4", intDivExact(lit(10000L) * col("s"), col("n")))
+    val bar = del.agg(
+        intDivExact(sum(col("theta_del_e4").cast("decimal(38,0)")),
+          first("g")).as("theta_bar_e4"),
+        first("g").as("gg"))
+    val jk = del.crossJoin(broadcast(bar))
+      .agg(intDivExact(
+          (first("gg") - lit(1L)).cast("decimal(38,0)") *
+            sum(((col("theta_del_e4") - col("theta_bar_e4")) *
+              (col("theta_del_e4") - col("theta_bar_e4")))
+              .cast("decimal(38,0)")),
+          first("gg")).as("jk_var_e8"))
+    del.crossJoin(broadcast(jk))
+      .select(col("day"), col("n_d"),
+        col("s_d").cast("long").as("sum_cents"),
+        col("theta_del_e4"), col("theta_e4"), col("g").as("n_blocks"),
+        col("jk_var_e8"))
+      .orderBy("day")
+  }
+
+  /** Deterministic Poisson bootstrap CI for per-segment means — THE
+    * distributed bootstrap (resampling 100 TB with replacement is
+    * impossible, but each row's count in replicate b is ~Poisson(1),
+    * drawable independently per row): replicate weight w(b, row) =
+    * inverse-Poisson(1)-CDF of the md5U32 of (b, event_id) — exact
+    * integer thresholds at 2³² scale, capped at 5, identical constants
+    * in both engines — so the whole B=32 resample is ONE
+    * partial-aggregated pass over a 32-fold flatMap, no shuffle of the
+    * fact table, no RNG state, reproducible on any cluster layout.
+    * Each replicate mean is the exact e4 ratio; the reported interval
+    * is the B=32 min/max envelope (the conservative quantile pick at
+    * this replicate count — widen B for percentile CIs, the plan shape
+    * is unchanged). Scale: B multiplies map-side work only; the
+    * aggregate state is k·B cells. */
+  private def q393(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashing
+    val x = ev(s, dir)
+      .select(col("event_type"), col("event_id"),
+        cents(col("value")).as("x"))
+    val u = Hashing.md5U32(concat(col("b").cast("string"), lit(":"),
+      col("event_id").cast("string")))
+    val rep = x
+      .select(col("event_type"), col("x"), col("event_id"),
+        explode(sequence(lit(0L), lit(31L))).as("b"))
+      .withColumn("w",
+        when(u < 1580030168L, 0L).when(u < 3160060337L, 1L)
+          .when(u < 3950075421L, 2L).when(u < 4213413783L, 3L)
+          .when(u < 4279248373L, 4L).otherwise(5L))
+    val ci = rep.groupBy("event_type", "b")
+      .agg(sum((col("w") * col("x")).cast("decimal(38,0)")).as("wx"),
+        sum("w").as("sw"))
+      .filter(col("sw") > 0)
+      .select(col("event_type"),
+        intDivExact(lit(10000L) * col("wx"), col("sw")).as("m_e4"))
+      .groupBy("event_type")
+      .agg(min("m_e4").as("lo_e4"), max("m_e4").as("hi_e4"),
+        count(lit(1)).as("b_reps"))
+    val pt = x.groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"))
+      .select(col("event_type"), col("n_events"),
+        intDivExact(lit(10000L) * col("sx"), col("n_events"))
+          .as("point_e4"))
+    pt.join(broadcast(ci), Seq("event_type"))
+      .select("event_type", "n_events", "point_e4", "lo_e4", "hi_e4",
+        "b_reps")
+      .orderBy("event_type")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q391_anova_f" -> (q391 _),
+    "q392_jackknife_day" -> (q392 _),
+    "q393_poisson_bootstrap" -> (q393 _),
     "q350_pmi_census" -> (q350 _),
     "q322_pr_curve" -> (q322 _),
     "q323_mcnemar" -> (q323 _),
@@ -446,6 +589,109 @@ object EvalQueries extends QueryPack {
     "q347_multiple_testing" -> (q347 _))
 
   val oracle: Map[String, String] = Map(
+    // HUGEINT products mirror the engine's decimal(38) chain; the two
+    // defined truncations (per-group ⌊S_g²/n_g⌋, global ⌊S²/n⌋) replay
+    // term-for-term, and the F guard (df_b > 0, SSW > 0, SSB ≥ 0)
+    // agrees so floor-vs-truncate can never diverge on a negative
+    "q391_anova_f" ->
+      s"""WITH x AS (
+        |  SELECT event_type, ${centsSql("value")} AS x
+        |  FROM events WHERE value IS NOT NULL),
+        |g AS (
+        |  SELECT event_type, count(*) AS n_g,
+        |    sum(CAST(x AS HUGEINT)) AS s_g,
+        |    sum(CAST(x AS HUGEINT) * x) AS q_g
+        |  FROM x GROUP BY 1),
+        |g2 AS (SELECT *, (s_g * s_g) // n_g AS ssg FROM g),
+        |tot AS (
+        |  SELECT sum(n_g) AS n, sum(s_g) AS s, sum(q_g) AS q,
+        |    sum(ssg) AS sum_ssg, count(*) AS k
+        |  FROM g2),
+        |t2 AS (SELECT *, (s * s) // n AS ss_mean FROM tot),
+        |t3 AS (
+        |  SELECT CAST(sum_ssg - ss_mean AS BIGINT) AS ssb,
+        |    CAST(q - sum_ssg AS BIGINT) AS ssw,
+        |    CAST(k - 1 AS BIGINT) AS df_b, CAST(n - k AS BIGINT) AS df_w
+        |  FROM t2)
+        |SELECT event_type, n_g, CAST(s_g AS BIGINT) AS sum_cents,
+        |  CAST((100 * s_g) // n_g AS BIGINT) AS mean_e2,
+        |  ssb AS ssb_cents2, ssw AS ssw_cents2, df_b, df_w,
+        |  CASE WHEN df_b > 0 AND ssw > 0 AND ssb >= 0 THEN
+        |    CAST((1000000 * CAST(ssb AS HUGEINT) * df_w)
+        |      // (CAST(df_b AS HUGEINT) * ssw) AS BIGINT)
+        |  ELSE NULL END AS f_e6
+        |FROM g2, t3 ORDER BY event_type""".stripMargin,
+    // each leave-one-day-out e4 ratio truncates once, exactly where the
+    // engine truncates; the variance chain is pure integer after that
+    "q392_jackknife_day" ->
+      s"""WITH x AS (
+        |  SELECT CAST(ts AS DATE) AS day, ${centsSql("value")} AS x
+        |  FROM events WHERE value IS NOT NULL),
+        |d AS (
+        |  SELECT day, count(*) AS n_d, sum(CAST(x AS HUGEINT)) AS s_d
+        |  FROM x GROUP BY 1),
+        |tot AS (SELECT sum(n_d) AS n, sum(s_d) AS s, count(*) AS g
+        |        FROM d),
+        |del AS (
+        |  SELECT day, n_d, s_d, n, s, g,
+        |    CAST((10000 * (s - s_d)) // (n - n_d) AS BIGINT)
+        |      AS theta_del_e4,
+        |    CAST((10000 * s) // n AS BIGINT) AS theta_e4
+        |  FROM d, tot),
+        |bar AS (
+        |  SELECT CAST(sum(CAST(theta_del_e4 AS HUGEINT)) // any_value(g)
+        |      AS BIGINT) AS theta_bar_e4,
+        |    any_value(g) AS gg
+        |  FROM del),
+        |jk AS (
+        |  SELECT CAST((CAST(any_value(gg) - 1 AS HUGEINT) *
+        |      sum(CAST((theta_del_e4 - theta_bar_e4) AS HUGEINT) *
+        |        (theta_del_e4 - theta_bar_e4))) // any_value(gg)
+        |      AS BIGINT) AS jk_var_e8
+        |  FROM del, bar)
+        |SELECT day, n_d, CAST(s_d AS BIGINT) AS sum_cents,
+        |  theta_del_e4, theta_e4, CAST(g AS BIGINT) AS n_blocks,
+        |  jk_var_e8
+        |FROM del, jk ORDER BY day""".stripMargin,
+    // the replicate weights replay the md5 inverse-CDF with the same
+    // integer thresholds; each replicate mean truncates once; the CI is
+    // the min/max envelope over the 32 replicate rows
+    "q393_poisson_bootstrap" -> {
+      val u = graft.functions.Hashing.md5U32Sql(
+        "CAST(b AS VARCHAR) || ':' || CAST(event_id AS VARCHAR)")
+      s"""WITH x AS (
+        |  SELECT event_type, event_id, ${centsSql("value")} AS x
+        |  FROM events WHERE value IS NOT NULL),
+        |rep AS (
+        |  SELECT event_type, x.x, b, $u AS u
+        |  FROM x, unnest(generate_series(0, 31)) t(b)),
+        |wt AS (
+        |  SELECT event_type, x, b,
+        |    CASE WHEN u < 1580030168 THEN 0
+        |         WHEN u < 3160060337 THEN 1
+        |         WHEN u < 3950075421 THEN 2
+        |         WHEN u < 4213413783 THEN 3
+        |         WHEN u < 4279248373 THEN 4
+        |         ELSE 5 END AS w
+        |  FROM rep),
+        |mm AS (
+        |  SELECT event_type, b,
+        |    CAST((10000 * sum(CAST(w AS HUGEINT) * x)) // sum(w)
+        |      AS BIGINT) AS m_e4
+        |  FROM wt GROUP BY 1, 2 HAVING sum(w) > 0),
+        |ci AS (
+        |  SELECT event_type, min(m_e4) AS lo_e4, max(m_e4) AS hi_e4,
+        |    count(*) AS b_reps
+        |  FROM mm GROUP BY 1),
+        |pt AS (
+        |  SELECT event_type, count(*) AS n_events,
+        |    CAST((10000 * sum(CAST(x AS HUGEINT))) // count(*)
+        |      AS BIGINT) AS point_e4
+        |  FROM x GROUP BY 1)
+        |SELECT pt.event_type, n_events, point_e4, lo_e4, hi_e4, b_reps
+        |FROM pt JOIN ci USING (event_type)
+        |ORDER BY event_type""".stripMargin
+    },
     // identical double chain: integer-product ln args, per-term e6 floor
     "q350_pmi_census" ->
       """WITH base AS (

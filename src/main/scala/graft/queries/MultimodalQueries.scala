@@ -268,13 +268,18 @@ object MultimodalQueries extends QueryPack {
     * zero shift (MultimodalSpec recomputes the closed form). Scale:
     * identical posture to q383 — shuffle on the 32-bit landmark key,
     * bounded per-pair state, payloads never leave their partitions. */
-  private def q386(s: SparkSession, dir: String): DataFrame = {
-    val vdocs = Tables.load(s, dir, "documents")
-      .select("doc_id").filter(col("doc_id") % 3 === 2)
-    fingerprintMatches(landmarksOf(
-      MultimodalOps.videoFrameProfiles(
-        MultimodalOps.videoTable(s, vdocs)).toDF()))
-  }
+  private def q386(s: SparkSession, dir: String): DataFrame =
+    fingerprintMatches(videoLandmarks(s, Tables.load(s, dir, "documents")))
+
+  /** The video landmark table over a GIVEN documents frame — q386's
+    * index half (format assignment doc_id ≡ 2 mod 3 lives here so both
+    * video faces share it), also the corpus index q388's snippet lookup
+    * probes. */
+  private[graft] def videoLandmarks(s: SparkSession,
+      docsDf: DataFrame): DataFrame =
+    landmarksOf(MultimodalOps.videoFrameProfiles(
+      MultimodalOps.videoTable(s,
+        docsDf.select("doc_id").filter(col("doc_id") % 3 === 2))).toDF())
 
   /** Audio snippet lookup — the RETRIEVAL face of q383's fingerprint
     * index (query-by-example: "which recording does this 5-frame
@@ -364,13 +369,17 @@ object MultimodalQueries extends QueryPack {
     * from content) yet 6 docs at sf0.01 land in `both` through
     * different partners — exactly the cross-checking signal the census
     * exists to surface. */
+  /** Distinct pair endpoints flagged `flag` — the per-modality "caught"
+    * doc set both census faces (q387, q390) build per pair substrate:
+    * one keyed exchange per modality, O(pairs) in, O(docs) out. */
+  private def caughtBy(pairs: DataFrame, flag: String): DataFrame =
+    pairs.select(col("doc_a").as("doc_id"))
+      .unionAll(pairs.select(col("doc_b").as("doc_id")))
+      .distinct()
+      .withColumn(flag, lit(true))
+
   private def q387(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents").select("doc_id")
-    def caughtBy(pairs: DataFrame, flag: String): DataFrame =
-      pairs.select(col("doc_a").as("doc_id"))
-        .unionAll(pairs.select(col("doc_b").as("doc_id")))
-        .distinct()
-        .withColumn(flag, lit(true))
     val t = caughtBy(DedupQueries.jaccardPairs(s, dir), "t_caught")
     val i = caughtBy(imageAhashPairs(s, dir), "i_caught")
     docs.join(t, Seq("doc_id"), "left").join(i, Seq("doc_id"), "left")
@@ -386,11 +395,120 @@ object MultimodalQueries extends QueryPack {
       .orderBy("modality")
   }
 
+  /** Video snippet lookup — the RETRIEVAL face of q386's fingerprint
+    * index, completing the square q385 completed for audio (each
+    * fingerprint substrate now carries both the dedup face and the
+    * query-by-example face over ONE shared landmark table): a bounded
+    * md5-deterministic draw of 5 query videos — eligibility reads the
+    * DECODED landmark table (`max(frame) >= 6` on the real GIF walk),
+    * never the fixture's frame-count formula, the same
+    * corpus-independence discipline r19 verdict item 2 pinned for q385
+    * — contributes frames 2..6 as the probe clip; candidates need ≥ 2
+    * landmarks agreeing on one `corpus_frame − clip_pos` shift, top-3
+    * per query by aligned count. The probe's source video provably
+    * surfaces with all 5 landmarks at offset 2 (MultimodalSpec pins
+    * it); a temporal true-duplicate may tie it, which is honest
+    * retrieval. Scale: identical posture to q385 — the clip side is
+    * O(queries·5) rows broadcast into the keyed posting join, the df
+    * gate (≤ 1000) bounds every posting list, the top-3 pick is a
+    * per-query window. Reference scope: the reference has no retrieval
+    * surface at all (369-LoC batch pandas, stock_predictor.py:21-112
+    * is its only "query"); this face is part of the 100 TB extension
+    * mandate. */
+  private def q388(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashing
+    val fp = videoLandmarks(s, Tables.load(s, dir, "documents"))
+    val qdocs = fp.groupBy("doc_id").agg(max(col("frame")).as("mf"))
+      .filter(col("mf") >= 6)
+      .select(col("doc_id").as("q_id"),
+        Hashing.md5U32(col("doc_id").cast("string")).as("u"))
+      .orderBy(col("u"), col("q_id")).limit(5)
+      .select("q_id")
+    snippetLookupOf(fp, qdocs)
+  }
+
+  /** Fingerprint index-health census — the occupancy readout an
+    * operator reads before trusting the df gate at a new corpus size
+    * (the q382 index-sizing discipline pointed at the landmark
+    * indexes): both fingerprint families (audio 16-sample/4-band,
+    * video 8-sample/4-block) union into one posting table keyed by
+    * (family, landmark), and each (family, log2-df bucket, gate
+    * status) cell reports how many landmarks, postings, and distinct
+    * docs live there. `singleton` landmarks (df = 1) are
+    * retrieval-usable but dedup-inert (the 2.. lower gate drops them),
+    * `usable` (2..1000) is the matchable mass, `hot_cut` (> 1000)
+    * names the postings the gate deletes — a corpus drifting toward
+    * `hot_cut` is the signal to re-derive the gate before match
+    * quality silently degrades. Scale: one keyed exchange to count df,
+    * one keyed join back, O(postings) end to end — the census costs
+    * what the gate itself costs, so it can ride every index build. */
+  private def q389(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val post = audioLandmarks(s, docs)
+      .select(lit("audio").as("family"), col("doc_id"), col("h"))
+      .unionAll(videoLandmarks(s, docs)
+        .select(lit("video").as("family"), col("doc_id"), col("h")))
+    val dfh = post.groupBy("family", "h").agg(count(lit(1)).as("df"))
+    post.join(dfh, Seq("family", "h"))
+      .select(col("family"), col("doc_id"), col("h"), col("df"),
+        // floor(log2(df)) via bit length — exact: Spark's log2 is the
+        // ln-ratio, which can read 2.999… AT powers of two and floor a
+        // bucket low where DuckDB's correctly-rounded log2 doesn't
+        (length(conv(col("df"), 10, 2)) - 1).cast("long").as("bucket"),
+        when(col("df") === 1, "singleton")
+          .when(col("df") <= 1000, "usable")
+          .otherwise("hot_cut").as("status"))
+      .groupBy("family", "bucket", "status")
+      .agg(countDistinct(col("h")).as("n_landmarks"),
+        count(lit(1)).as("n_postings"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min("df").as("min_df"), max("df").as("max_df"))
+      .orderBy("family", "bucket", "status")
+  }
+
+  /** Tri-modal dedup-agreement census — q387 widened to the full
+    * modality set a multimodal training corpus actually dedups over:
+    * the TEXT near-dup graph (q41's df-gated shingle pairs), the IMAGE
+    * perceptual-hash graph (q162), and the AUDIO acoustic-fingerprint
+    * graph (q383) joined at doc granularity, each doc classed by the
+    * '+'-joined list of modalities that caught it (`neither` for the
+    * clean pool — up to 8 classes). The readout ranks dedup
+    * confidence: multi-modality docs are the high-confidence tier,
+    * single-modality classes name what the other passes would have
+    * missed. All three pair substrates are df-gated/banded, doc flags
+    * are distinct pair endpoints (one keyed exchange per modality),
+    * the final census is a ≤ 8-row aggregate — nothing here exceeds
+    * the substrates' own 100 TB posture. */
+  private def q390(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val t = caughtBy(DedupQueries.jaccardPairs(s, dir), "t_caught")
+    val i = caughtBy(imageAhashPairs(s, dir), "i_caught")
+    val a = caughtBy(audioFingerprintOf(s, docs), "a_caught")
+    docs.select("doc_id")
+      .join(t, Seq("doc_id"), "left")
+      .join(i, Seq("doc_id"), "left")
+      .join(a, Seq("doc_id"), "left")
+      .select(col("doc_id"), concat_ws("+",
+        when(coalesce(col("t_caught"), lit(false)), "text"),
+        when(coalesce(col("i_caught"), lit(false)), "image"),
+        when(coalesce(col("a_caught"), lit(false)), "audio")).as("m0"))
+      .select(col("doc_id"),
+        when(col("m0") === "", "neither").otherwise(col("m0"))
+          .as("modalities"))
+      .groupBy("modalities")
+      .agg(count(lit(1)).as("n_docs"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .orderBy("modalities")
+  }
+
   val defs: Map[String, Q] = Map(
     "q242_audio_autocorr" -> (q242 _),
     "q385_audio_snippet_lookup" -> (q385 _),
     "q386_video_fingerprint" -> (q386 _),
     "q387_crossmodal_dedup_census" -> (q387 _),
+    "q388_video_snippet_lookup" -> (q388 _),
+    "q389_fingerprint_index_health" -> (q389 _),
+    "q390_trimodal_dedup_census" -> (q390 _),
     "q60_multimodal_meta" -> (q60 _),
     "q89_bmp_resize" -> (q89 _),
     "q90_wav_stats" -> (q90 _),
@@ -434,110 +552,146 @@ object MultimodalQueries extends QueryPack {
       |  WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
       |    <= 3)""".stripMargin
 
+  private val landmarkHashSql: String =
+    graft.functions.Hashing.md5U32Sql(
+      "CAST(e0 AS VARCHAR) || '|' || CAST(e1 AS VARCHAR) || '|' || " +
+        "CAST(e2 AS VARCHAR) || '|' || CAST(e3 AS VARCHAR)")
+
+  /** Oracle CTE chain ending in `afp(doc_id, frame, h)` — the AUDIO
+    * landmark replay (wavSample lattice mod 2003 → complete-16-sample
+    * framing → 4-band abs-sum energies → md5U32 landmark), shared by
+    * the q383/q385/q389/q390 oracles; the Spark side derives the same
+    * landmarks from REAL decoded RIFF bytes, so one wrong sample
+    * anywhere in the codec moves a landmark and every consumer
+    * hash-fails. No leading WITH; a-prefixed names compose
+    * collision-free with jaccardCtes/ahashCtes. */
+  private val audioFpCtes: String =
+    s"""ad AS (
+      |  SELECT doc_id, (doc_id % 500 + 50) // 16 AS nf FROM documents),
+      |afr AS (
+      |  SELECT doc_id, unnest(generate_series(0, nf - 1)) AS frame
+      |  FROM ad WHERE nf > 0),
+      |asam AS (
+      |  SELECT doc_id, frame, unnest(generate_series(0, 15)) AS j
+      |  FROM afr),
+      |aeb AS (
+      |  SELECT doc_id, frame,
+      |    sum(CASE WHEN j // 4 = 0 THEN a ELSE 0 END) AS e0,
+      |    sum(CASE WHEN j // 4 = 1 THEN a ELSE 0 END) AS e1,
+      |    sum(CASE WHEN j // 4 = 2 THEN a ELSE 0 END) AS e2,
+      |    sum(CASE WHEN j // 4 = 3 THEN a ELSE 0 END) AS e3
+      |  FROM (SELECT doc_id, frame, j,
+      |          abs((doc_id * 7 + 13 * (frame * 16 + j)) % 2003 - 1001)
+      |            AS a
+      |        FROM asam)
+      |  GROUP BY 1, 2),
+      |afp AS (SELECT doc_id, frame, $landmarkHashSql AS h FROM aeb)"""
+      .stripMargin
+
+  /** Oracle CTE chain ending in `vfp(doc_id, frame, h)` — the VIDEO
+    * landmark replay (vidSample lattice mod 1999 through the u16
+    * little-endian body layout → complete-8-sample framing → four
+    * 2-sample block sums → md5U32 landmark; format assignment doc_id ≡
+    * 2 mod 3), shared by the q386/q388/q389 oracles; the engine walked
+    * a REAL GIF container, so one wrong byte in encode or the walk
+    * moves a block sum and every consumer hash-fails. No leading
+    * WITH. */
+  private val videoFpCtes: String =
+    s"""vd AS (
+      |  SELECT doc_id, doc_id % 40 + 5 AS nf FROM documents
+      |  WHERE doc_id % 3 = 2),
+      |vfr AS (
+      |  SELECT doc_id, unnest(generate_series(0, nf - 1)) AS frame
+      |  FROM vd),
+      |veb AS (
+      |  SELECT doc_id, frame,
+      |    sum(CASE WHEN j // 2 = 0 THEN v ELSE 0 END) AS e0,
+      |    sum(CASE WHEN j // 2 = 1 THEN v ELSE 0 END) AS e1,
+      |    sum(CASE WHEN j // 2 = 2 THEN v ELSE 0 END) AS e2,
+      |    sum(CASE WHEN j // 2 = 3 THEN v ELSE 0 END) AS e3
+      |  FROM (SELECT doc_id, frame, j,
+      |          (doc_id * 5 + 7 * (frame * 8 + j)) % 1999 AS v
+      |        FROM vfr, unnest(generate_series(0, 7)) t(j))
+      |  GROUP BY 1, 2),
+      |vfp AS (SELECT doc_id, frame, $landmarkHashSql AS h FROM veb)"""
+      .stripMargin
+
+  /** The Shazam dedup tail over a landmark CTE `fpName` — df gate
+    * (2..1000), posting self-join, offset histogram, ≥ 3-aligned,
+    * best-offset row — the SQL twin of [[fingerprintMatches]], shared
+    * by the q383 and q386 oracles. */
+  private def fingerprintMatchSql(ctes: String, fpName: String): String =
+    s"""WITH $ctes,
+      |gate AS (
+      |  SELECT h FROM (SELECT h, count(*) AS df FROM $fpName GROUP BY 1)
+      |  WHERE df BETWEEN 2 AND 1000),
+      |m AS (SELECT $fpName.* FROM $fpName JOIN gate USING (h)),
+      |hist AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(b.frame - a.frame AS BIGINT) AS t_offset,
+      |    count(*) AS n_aligned
+      |  FROM m a JOIN m b ON a.h = b.h AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2, 3)
+      |SELECT doc_a, doc_b, t_offset, CAST(n_aligned AS BIGINT)
+      |  AS n_aligned
+      |FROM (SELECT *, row_number() OVER (PARTITION BY doc_a, doc_b
+      |        ORDER BY n_aligned DESC, t_offset) AS rn
+      |      FROM hist WHERE n_aligned >= 3)
+      |WHERE rn = 1
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** The Shazam lookup tail over a landmark CTE `fpName` — eligibility
+    * from the decoded table (max frame ≥ 6), md5 query draw, snippet =
+    * frames 2..6, df ≤ 1000 gate, ≥ 2-aligned histogram, top-3 per
+    * query — the SQL twin of [[snippetLookupOf]], shared by the q385
+    * and q388 oracles. */
+  private def snippetLookupSql(ctes: String, fpName: String): String = {
+    val u = graft.functions.Hashing.md5U32Sql("CAST(doc_id AS VARCHAR)")
+    s"""WITH $ctes,
+      |qd AS (
+      |  SELECT doc_id AS q_id FROM (
+      |    SELECT doc_id, max(frame) AS mf FROM $fpName GROUP BY 1)
+      |  WHERE mf >= 6
+      |  ORDER BY $u, doc_id LIMIT 5),
+      |snip AS (
+      |  SELECT q.q_id, $fpName.frame - 2 AS sp, $fpName.h
+      |  FROM $fpName JOIN qd q ON $fpName.doc_id = q.q_id
+      |  WHERE $fpName.frame BETWEEN 2 AND 6),
+      |gate AS (
+      |  SELECT h FROM (SELECT h, count(*) AS df FROM $fpName GROUP BY 1)
+      |  WHERE df <= 1000),
+      |m AS (SELECT $fpName.* FROM $fpName JOIN gate USING (h)),
+      |hist AS (
+      |  SELECT s.q_id, m.doc_id AS c_id,
+      |    CAST(m.frame - s.sp AS BIGINT) AS t_offset,
+      |    count(*) AS n_aligned
+      |  FROM m JOIN snip s USING (h)
+      |  GROUP BY 1, 2, 3 HAVING count(*) >= 2)
+      |SELECT q_id, CAST(rn AS BIGINT) AS hit_rank, c_id, t_offset,
+      |  CAST(n_aligned AS BIGINT) AS n_aligned
+      |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+      |        ORDER BY n_aligned DESC, c_id, t_offset) AS rn
+      |      FROM hist)
+      |WHERE rn <= 3
+      |ORDER BY q_id, hit_rank""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     // the q383 landmark chain pointed at the lookup path: snippet =
     // frames 2..6 of the 5 md5-drawn query docs, candidates need >= 2
     // aligned landmarks, top-3 per query by (aligned DESC, c_id,
     // t_offset)
-    "q385_audio_snippet_lookup" -> {
-      val h = graft.functions.Hashing.md5U32Sql(
-        "CAST(e0 AS VARCHAR) || '|' || CAST(e1 AS VARCHAR) || '|' || " +
-          "CAST(e2 AS VARCHAR) || '|' || CAST(e3 AS VARCHAR)")
-      val u = graft.functions.Hashing.md5U32Sql("CAST(doc_id AS VARCHAR)")
-      s"""WITH d AS (
-        |  SELECT doc_id, (doc_id % 500 + 50) // 16 AS nf FROM documents),
-        |fr AS (
-        |  SELECT doc_id, unnest(generate_series(0, nf - 1)) AS frame
-        |  FROM d WHERE nf > 0),
-        |sam AS (
-        |  SELECT doc_id, frame, unnest(generate_series(0, 15)) AS j
-        |  FROM fr),
-        |eb AS (
-        |  SELECT doc_id, frame,
-        |    sum(CASE WHEN j // 4 = 0 THEN a ELSE 0 END) AS e0,
-        |    sum(CASE WHEN j // 4 = 1 THEN a ELSE 0 END) AS e1,
-        |    sum(CASE WHEN j // 4 = 2 THEN a ELSE 0 END) AS e2,
-        |    sum(CASE WHEN j // 4 = 3 THEN a ELSE 0 END) AS e3
-        |  FROM (SELECT doc_id, frame, j,
-        |          abs((doc_id * 7 + 13 * (frame * 16 + j)) % 2003 - 1001)
-        |            AS a
-        |        FROM sam)
-        |  GROUP BY 1, 2),
-        |fp AS (SELECT doc_id, frame, $h AS h FROM eb),
-        |qd AS (
-        |  SELECT doc_id AS q_id FROM (
-        |    SELECT doc_id, max(frame) AS mf FROM fp GROUP BY 1)
-        |  WHERE mf >= 6
-        |  ORDER BY $u, doc_id LIMIT 5),
-        |snip AS (
-        |  SELECT q.q_id, fp.frame - 2 AS sp, fp.h
-        |  FROM fp JOIN qd q ON fp.doc_id = q.q_id
-        |  WHERE fp.frame BETWEEN 2 AND 6),
-        |gate AS (
-        |  SELECT h FROM (SELECT h, count(*) AS df FROM fp GROUP BY 1)
-        |  WHERE df <= 1000),
-        |m AS (SELECT fp.* FROM fp JOIN gate USING (h)),
-        |hist AS (
-        |  SELECT s.q_id, m.doc_id AS c_id,
-        |    CAST(m.frame - s.sp AS BIGINT) AS t_offset,
-        |    count(*) AS n_aligned
-        |  FROM m JOIN snip s USING (h)
-        |  GROUP BY 1, 2, 3 HAVING count(*) >= 2)
-        |SELECT q_id, CAST(rn AS BIGINT) AS hit_rank, c_id, t_offset,
-        |  CAST(n_aligned AS BIGINT) AS n_aligned
-        |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
-        |        ORDER BY n_aligned DESC, c_id, t_offset) AS rn
-        |      FROM hist)
-        |WHERE rn <= 3
-        |ORDER BY q_id, hit_rank""".stripMargin
-    },
+    "q385_audio_snippet_lookup" -> snippetLookupSql(audioFpCtes, "afp"),
+    // the q388 oracle is the SAME lookup tail pointed at the video
+    // landmark replay — one shared SQL twin per face, exactly like the
+    // engine side shares snippetLookupOf
+    "q388_video_snippet_lookup" -> snippetLookupSql(videoFpCtes, "vfp"),
     // replays wavSample → complete-16-frame banding → abs-sum energies
     // → md5 landmark → df-gated posting join → offset histogram →
     // best-offset row; the Spark side derived the same landmarks from
     // REAL decoded RIFF bytes, so one wrong sample anywhere in the
     // codec moves a landmark and the pair set hash-fails
-    "q383_audio_fingerprint" -> {
-      val h = graft.functions.Hashing.md5U32Sql(
-        "CAST(e0 AS VARCHAR) || '|' || CAST(e1 AS VARCHAR) || '|' || " +
-          "CAST(e2 AS VARCHAR) || '|' || CAST(e3 AS VARCHAR)")
-      s"""WITH d AS (
-        |  SELECT doc_id, (doc_id % 500 + 50) // 16 AS nf FROM documents),
-        |fr AS (
-        |  SELECT doc_id, unnest(generate_series(0, nf - 1)) AS frame
-        |  FROM d WHERE nf > 0),
-        |sam AS (
-        |  SELECT doc_id, frame, unnest(generate_series(0, 15)) AS j
-        |  FROM fr),
-        |eb AS (
-        |  SELECT doc_id, frame,
-        |    sum(CASE WHEN j // 4 = 0 THEN a ELSE 0 END) AS e0,
-        |    sum(CASE WHEN j // 4 = 1 THEN a ELSE 0 END) AS e1,
-        |    sum(CASE WHEN j // 4 = 2 THEN a ELSE 0 END) AS e2,
-        |    sum(CASE WHEN j // 4 = 3 THEN a ELSE 0 END) AS e3
-        |  FROM (SELECT doc_id, frame, j,
-        |          abs((doc_id * 7 + 13 * (frame * 16 + j)) % 2003 - 1001)
-        |            AS a
-        |        FROM sam)
-        |  GROUP BY 1, 2),
-        |fp AS (SELECT doc_id, frame, $h AS h FROM eb),
-        |gate AS (
-        |  SELECT h FROM (SELECT h, count(*) AS df FROM fp GROUP BY 1)
-        |  WHERE df BETWEEN 2 AND 1000),
-        |m AS (SELECT fp.* FROM fp JOIN gate USING (h)),
-        |hist AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |    CAST(b.frame - a.frame AS BIGINT) AS t_offset,
-        |    count(*) AS n_aligned
-        |  FROM m a JOIN m b ON a.h = b.h AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2, 3)
-        |SELECT doc_a, doc_b, t_offset, CAST(n_aligned AS BIGINT)
-        |  AS n_aligned
-        |FROM (SELECT *, row_number() OVER (PARTITION BY doc_a, doc_b
-        |        ORDER BY n_aligned DESC, t_offset) AS rn
-        |      FROM hist WHERE n_aligned >= 3)
-        |WHERE rn = 1
-        |ORDER BY doc_a, doc_b""".stripMargin
-    },
+    "q383_audio_fingerprint" -> fingerprintMatchSql(audioFpCtes, "afp"),
     // replays wavSample(id, i) = (id*7 + 13i) % 2003 - 1001 at both
     // alignments; the guard zeroes terms past the end exactly like the
     // engine's i + lag < n bound
@@ -622,45 +776,74 @@ object MultimodalQueries extends QueryPack {
     // (magic + 13-byte header + trailer), so one wrong byte anywhere
     // in encode or the walk moves a block sum and the pair set
     // hash-fails
-    "q386_video_fingerprint" -> {
-      val h = graft.functions.Hashing.md5U32Sql(
-        "CAST(e0 AS VARCHAR) || '|' || CAST(e1 AS VARCHAR) || '|' || " +
-          "CAST(e2 AS VARCHAR) || '|' || CAST(e3 AS VARCHAR)")
-      s"""WITH d AS (
-        |  SELECT doc_id, doc_id % 40 + 5 AS nf FROM documents
-        |  WHERE doc_id % 3 = 2),
-        |fr AS (
-        |  SELECT doc_id, unnest(generate_series(0, nf - 1)) AS frame
-        |  FROM d),
-        |eb AS (
-        |  SELECT doc_id, frame,
-        |    sum(CASE WHEN j // 2 = 0 THEN v ELSE 0 END) AS e0,
-        |    sum(CASE WHEN j // 2 = 1 THEN v ELSE 0 END) AS e1,
-        |    sum(CASE WHEN j // 2 = 2 THEN v ELSE 0 END) AS e2,
-        |    sum(CASE WHEN j // 2 = 3 THEN v ELSE 0 END) AS e3
-        |  FROM (SELECT doc_id, frame, j,
-        |          (doc_id * 5 + 7 * (frame * 8 + j)) % 1999 AS v
-        |        FROM fr, unnest(generate_series(0, 7)) t(j))
-        |  GROUP BY 1, 2),
-        |fp AS (SELECT doc_id, frame, $h AS h FROM eb),
-        |gate AS (
-        |  SELECT h FROM (SELECT h, count(*) AS df FROM fp GROUP BY 1)
+    "q386_video_fingerprint" -> fingerprintMatchSql(videoFpCtes, "vfp"),
+    // both landmark replays union into one (family, h)-keyed posting
+    // table; the census replays the engine's log2-df bucketing and
+    // gate-status classing cell for cell
+    "q389_fingerprint_index_health" ->
+      s"""WITH $audioFpCtes,
+        |$videoFpCtes,
+        |post AS (
+        |  SELECT 'audio' AS family, doc_id, h FROM afp
+        |  UNION ALL SELECT 'video', doc_id, h FROM vfp),
+        |dfh AS (
+        |  SELECT family, h, count(*) AS df FROM post GROUP BY 1, 2),
+        |cells AS (
+        |  SELECT p.family, p.doc_id, p.h, dfh.df,
+        |    CAST(length(bin(dfh.df)) - 1 AS BIGINT) AS bucket,
+        |    CASE WHEN dfh.df = 1 THEN 'singleton'
+        |         WHEN dfh.df <= 1000 THEN 'usable'
+        |         ELSE 'hot_cut' END AS status
+        |  FROM post p JOIN dfh ON p.family = dfh.family AND p.h = dfh.h)
+        |SELECT family, bucket, status,
+        |  count(DISTINCT h) AS n_landmarks,
+        |  count(*) AS n_postings,
+        |  count(DISTINCT doc_id) AS n_docs,
+        |  CAST(min(df) AS BIGINT) AS min_df,
+        |  CAST(max(df) AS BIGINT) AS max_df
+        |FROM cells GROUP BY 1, 2, 3
+        |ORDER BY family, bucket, status""".stripMargin,
+    // q387's census widened with the audio pair endpoints — the three
+    // pair substrates' own oracle chains composed (DuckDB resolves all
+    // three; af-prefixed names keep the audio match tail collision-free
+    // next to jaccardCtes/ahashCtes), classes replay the engine's
+    // concat_ws-over-flags form
+    "q390_trimodal_dedup_census" ->
+      s"""WITH ${DedupQueries.jaccardCtes},
+        |$ahashCtes,
+        |$audioFpCtes,
+        |afgate AS (
+        |  SELECT h FROM (SELECT h, count(*) AS df FROM afp GROUP BY 1)
         |  WHERE df BETWEEN 2 AND 1000),
-        |m AS (SELECT fp.* FROM fp JOIN gate USING (h)),
-        |hist AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |    CAST(b.frame - a.frame AS BIGINT) AS t_offset,
-        |    count(*) AS n_aligned
-        |  FROM m a JOIN m b ON a.h = b.h AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2, 3)
-        |SELECT doc_a, doc_b, t_offset, CAST(n_aligned AS BIGINT)
-        |  AS n_aligned
-        |FROM (SELECT *, row_number() OVER (PARTITION BY doc_a, doc_b
-        |        ORDER BY n_aligned DESC, t_offset) AS rn
-        |      FROM hist WHERE n_aligned >= 3)
-        |WHERE rn = 1
-        |ORDER BY doc_a, doc_b""".stripMargin
-    },
+        |afm AS (SELECT afp.* FROM afp JOIN afgate USING (h)),
+        |apairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM afm a JOIN afm b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, b.frame - a.frame
+        |  HAVING count(*) >= 3),
+        |tc AS (SELECT DISTINCT doc_id FROM (
+        |  SELECT doc_a AS doc_id FROM jp
+        |  UNION ALL SELECT doc_b FROM jp)),
+        |ic AS (SELECT DISTINCT doc_id FROM (
+        |  SELECT doc_a AS doc_id FROM ipairs
+        |  UNION ALL SELECT doc_b FROM ipairs)),
+        |ac AS (SELECT DISTINCT doc_id FROM (
+        |  SELECT doc_a AS doc_id FROM apairs
+        |  UNION ALL SELECT doc_b FROM apairs)),
+        |cls AS (
+        |  SELECT d.doc_id,
+        |    coalesce(nullif(concat_ws('+',
+        |      CASE WHEN tc.doc_id IS NOT NULL THEN 'text' END,
+        |      CASE WHEN ic.doc_id IS NOT NULL THEN 'image' END,
+        |      CASE WHEN ac.doc_id IS NOT NULL THEN 'audio' END), ''),
+        |      'neither') AS modalities
+        |  FROM documents d
+        |  LEFT JOIN tc ON d.doc_id = tc.doc_id
+        |  LEFT JOIN ic ON d.doc_id = ic.doc_id
+        |  LEFT JOIN ac ON d.doc_id = ac.doc_id)
+        |SELECT modalities, count(*) AS n_docs,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM cls GROUP BY 1 ORDER BY modalities""".stripMargin,
     "q89_bmp_resize" ->
       """WITH d AS (
         |  SELECT doc_id, doc_id % 62 + 2 AS sw, doc_id % 46 + 2 AS sh

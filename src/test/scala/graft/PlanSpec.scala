@@ -570,6 +570,14 @@ class PlanSpec extends SparkSuite {
       // the one remaining site is the minhash-pick 1-row global
       // aggregate over q270's ≤3-row stub — bounded by construction
       "q382_index_sizing_plan" -> 1L,
+      // q391: the 1-row ANOVA totals aggregate (map-side-combined over
+      // k group rows) — the q301 "attach the global total" idiom
+      "q391_anova_f" -> 1L,
+      // q392: the jackknife's totals/θ̄/variance chain — every global
+      // aggregate reads the ≤31-row day table (the fact table is
+      // reduced by ONE keyed day aggregation first); the day subplan
+      // recurs un-reused under tot/bar/jk, hence 5 bounded sites
+      "q392_jackknife_day" -> 5L,
       "q64_tfidf" -> 1L,
       "q83_heavy_hitters" -> 1L,
       "q87_skew_report" -> 1L,
@@ -694,6 +702,12 @@ class PlanSpec extends SparkSuite {
       // lists them across the t2i/i2t branches before runtime
       // ReuseExchange collapses the duplicates (the q362 pattern)
       "q384_crossmodal_retrieval" -> 7L,
+      // q391: one crossJoin(broadcast(tot)) — a 1-row totals frame
+      "q391_anova_f" -> 1L,
+      // q392: the del×tot (1-row), del×bar (1-row), del×jk (1-row)
+      // crossJoins, with the del→tot subplan recurring un-reused — all
+      // five sites broadcast ≤31-row jackknife frames, never data
+      "q392_jackknife_day" -> 5L,
       "q50_knn_cosine" -> 1L,
       "q56_knn_ivf" -> 2L,
       "q64_tfidf" -> 1L,

@@ -258,6 +258,129 @@ class MultimodalSpec extends SparkSuite {
         "face is no longer exercised")
   }
 
+  test("q388: every query's source video surfaces with the full clip " +
+    "aligned at its true position; ranks are contiguous and alignment " +
+    "counts bounded by the clip length") {
+    val rows = graft.SparkEntry
+      .queries("q388_video_snippet_lookup")(spark,
+        "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.size == 5, s"expected 5 query videos, got ${byQ.size}")
+    byQ.foreach { case (q, hits) =>
+      // the probe clip is frames 2..6 of the query video itself, so
+      // the source must surface with ALL 5 landmarks at offset exactly
+      // 2 (a temporal true-duplicate may tie it — ties break to the
+      // smaller doc id, which is honest retrieval, not a defect); the
+      // query set is drawn from the DECODED landmark table, so every
+      // q here also proves eligibility (max frame >= 6) held
+      assert(q % 3 == 2, s"query $q is not a video-format doc")
+      assert(hits.exists { case (_, _, c, off, n) =>
+        c == q && off == 2L && n == 5L },
+        s"query $q: source video missing from its own lookup: " +
+          s"${hits.toSeq}")
+      assert(hits.map(_._2).sorted.toSeq ==
+        (1L to hits.length.toLong).toSeq,
+        s"query $q: ranks not contiguous: ${hits.map(_._2).toSeq}")
+      hits.foreach { case (_, _, c, _, n) =>
+        assert(c % 3 == 2, s"query $q: candidate $c not video-format")
+        assert(n >= 2L && n <= 5L,
+          s"query $q: aligned count $n outside [2, clip length 5]")
+      }
+    }
+  }
+
+  test("q389: the index-health census exactly re-aggregates both " +
+    "landmark tables' closed forms cell for cell, and postings are " +
+    "conserved per family") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+    // closed-form posting tables: (family, doc, profile) — md5 equality
+    // on the engine side is profile equality here
+    def aProf(id: Long, f: Long): Seq[Long] =
+      (0 until 4).map(b => (0 until 4).map(j =>
+        math.abs(((id * 7 + 13L * (f * 16 + b * 4 + j)) % 2003) - 1001))
+        .sum)
+    def vProf(id: Long, f: Long): Seq[Long] =
+      (0 until 4).map(k => (0 until 2).map(j =>
+        (id * 5 + 7L * (f * 8 + 2 * k + j)) % 1999).sum)
+    val post =
+      docs.flatMap(d => (0L until (d % 500 + 50) / 16)
+        .map(f => ("audio", d, aProf(d, f)))) ++
+      docs.filter(_ % 3 == 2).flatMap(d => (0L until d % 40 + 5)
+        .map(f => ("video", d, vProf(d, f))))
+    val df = post.groupBy(p => (p._1, p._3)).map { case (k, ps) =>
+      (k, ps.length.toLong) }
+    val want = post.groupBy { case (fam, _, prof) =>
+      val n = df((fam, prof))
+      val status = if (n == 1) "singleton"
+        else if (n <= 1000) "usable" else "hot_cut"
+      // floor(log2(n)) via bit length — exact, no libm (the engines'
+      // log2 is correctly rounded at powers of two; ln-ratio isn't)
+      (fam, 63L - java.lang.Long.numberOfLeadingZeros(n), status)
+    }.map { case ((fam, bucket, status), ps) =>
+      val dfs = ps.map(p => df((p._1, p._3)))
+      ((fam, bucket, status), (ps.map(_._3).distinct.length.toLong,
+        ps.length.toLong, ps.map(_._2).distinct.length.toLong,
+        dfs.min, dfs.max))
+    }
+    val got = graft.SparkEntry
+      .queries("q389_fingerprint_index_health")(spark, sf)
+      .collect()
+      .map(r => ((r.getString(0), r.getLong(1), r.getString(2)),
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+          r.getLong(7)))).toMap
+    assert(got == want, s"census diverges: got $got want $want")
+    // postings conservation: every decoded frame is counted exactly once
+    for (fam <- Seq("audio", "video"))
+      assert(got.collect { case ((f, _, _), c) if f == fam => c._2 }.sum
+        == post.count(_._1 == fam).toLong,
+        s"$fam postings not conserved")
+    // the census only reads if the gate classes actually separate: this
+    // corpus is small enough to carry singletons AND dense enough on
+    // the residue lattice to carry matchable mass
+    for (st <- Seq("singleton", "usable"))
+      assert(got.keys.exists(_._3 == st),
+        s"no '$st' cell on this fixture — the status face collapsed")
+  }
+
+  test("q390: the tri-modal census exactly re-aggregates the three " +
+    "pair tables' doc endpoints and partitions the corpus; the audio " +
+    "modality catches docs the other two miss") {
+    val sf = "/root/testdata/sf0.001"
+    def endpoints(q: String): Set[Long] =
+      graft.SparkEntry.queries(q)(spark, sf).collect()
+        .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    val t = endpoints("q41_dedup_jaccard")
+    val i = endpoints("q162_image_ahash_pairs")
+    val a = endpoints("q383_audio_fingerprint")
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val want = docs.groupBy { d =>
+      val tags = Seq(if (t(d)) Some("text") else None,
+        if (i(d)) Some("image") else None,
+        if (a(d)) Some("audio") else None).flatten
+      if (tags.isEmpty) "neither" else tags.mkString("+")
+    }.map { case (k, ds) => (k, (ds.size.toLong, ds.min, ds.max)) }
+    val got = graft.SparkEntry
+      .queries("q390_trimodal_dedup_census")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == want, s"census diverges: got $got want $want")
+    assert(got.values.map(_._1).sum == docs.size.toLong,
+      "census classes must partition the corpus")
+    // the tri-modal readout earns its keep only if the third modality
+    // separates: some docs are audio-only catches
+    assert(got.contains("audio") && got("audio")._1 > 0,
+      s"no audio-only class on this fixture: ${got.keys}")
+    assert(got.size >= 4,
+      s"census collapsed to ${got.size} classes: ${got.keys}")
+  }
+
   test("q387: the cross-modal census exactly re-aggregates the two " +
     "pair tables' doc endpoints, covers every doc once, and both " +
     "modalities contribute") {
