@@ -539,9 +539,19 @@ object EvalQueries extends QueryPack {
     * this replicate count — widen B for percentile CIs, the plan shape
     * is unchanged). Scale: B multiplies map-side work only; the
     * aggregate state is k·B cells. */
-  private def q393(s: SparkSession, dir: String): DataFrame = {
+  private def q393(s: SparkSession, dir: String): DataFrame =
+    bootstrapCiOf(ev(s, dir))
+
+  /** The q393 chain over a GIVEN events frame — the form the streaming
+    * bootstrap twin re-derives per micro-batch (StreamingSpec):
+    * replicate weights are per-row independent (md5 of (b, event_id)),
+    * but every replicate MEAN and both envelope ends are full-corpus
+    * decisions — a new arrival moves them all — so the twin re-derives
+    * rather than appends, and the interval visibly tightens as the
+    * corpus grows. */
+  private[graft] def bootstrapCiOf(evDf: DataFrame): DataFrame = {
     import graft.functions.Hashing
-    val x = ev(s, dir)
+    val x = evDf
       .select(col("event_type"), col("event_id"),
         cents(col("value")).as("x"))
     val u = Hashing.md5U32(concat(col("b").cast("string"), lit(":"),

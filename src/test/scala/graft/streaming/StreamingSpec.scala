@@ -1468,6 +1468,73 @@ class StreamingSpec extends SparkSuite {
     graft.operators.CheckpointBlocks.release(fp)
   }
 
+  test("foreachBatch streaming bootstrap-CI twin (q393) equals the " +
+    "batch envelope at every micro-batch prefix and the interval " +
+    "tightens as the corpus grows") {
+    // uncertainty-at-ingest: events trickle in and the pipeline keeps a
+    // live confidence interval on each segment's mean. The replicate
+    // WEIGHTS are per-row independent (md5 of (b, event_id) — no RNG
+    // state to stream), but every replicate mean and both envelope ends
+    // are full-corpus decisions — one arrival moves them all — so the
+    // twin re-derives the whole CI table per batch over exactly the
+    // arrived rows (the q383-ingest-twin adjudication, not the
+    // append-only q385 one), and the visible payoff is the interval
+    // TIGHTENING as n grows: the drained envelope is strictly narrower
+    // than the first-prefix envelope, pinned below.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.queries.EvalQueries
+    def snapshot(df: DataFrame): Set[String] =
+      df.collect().map(_.mkString("|")).toSet
+    val evFull = Tables.load(spark, sf, "events")
+      .filter(col("value").isNotNull).localCheckpoint(true)
+    def prefixOf(ids: Seq[Long]): DataFrame =
+      evFull.join(broadcast(ids.toDF("event_id")), Seq("event_id"))
+    val allIds = evFull.select("event_id").orderBy("event_id")
+      .collect().map(_.getLong(0)).toSeq
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Long]
+    var arrivedState = Seq.empty[Long]
+    val prefixCis = scala.collection.mutable.ListBuffer[Set[String]]()
+    val q = mem.toDF().toDF("e_t").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        arrivedState = arrivedState ++ batch.collect().map(_.getLong(0))
+        prefixCis += snapshot(EvalQueries.bootstrapCiOf(
+          prefixOf(arrivedState)))
+        ()
+      }.start()
+    val chunks = allIds.grouped(allIds.length / 4 + 1).toSeq
+    try chunks.foreach { chunk =>
+      mem.addData(chunk: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(prefixCis.length == chunks.length)
+    var arrived = Seq.empty[Long]
+    chunks.zip(prefixCis).zipWithIndex.foreach { case ((chunk, got), i) =>
+      arrived = arrived ++ chunk
+      val want = snapshot(EvalQueries.bootstrapCiOf(prefixOf(arrived)))
+      assert(got == want,
+        s"bootstrap prefix ${i + 1}/${chunks.length} diverges: " +
+          s"only-streamed=${(got -- want).take(2)} " +
+          s"only-batch=${(want -- got).take(2)}")
+    }
+    // the drained table is exactly the declared q393
+    assert(prefixCis.last == snapshot(
+      graft.SparkEntry.queries("q393_poisson_bootstrap")(spark, sf)),
+      "the drained incremental CI table must equal the declared q393")
+    // the point of streaming an interval: it narrows. Total envelope
+    // width (Σ hi−lo over segments) at the full corpus must be
+    // strictly below the first-prefix width — ~√4 shrinkage here
+    def width(ids: Seq[Long]): Long =
+      EvalQueries.bootstrapCiOf(prefixOf(ids)).collect()
+        .map(r => r.getLong(4) - r.getLong(3)).sum
+    val w1 = width(chunks.head)
+    val wN = width(allIds)
+    assert(wN < w1,
+      s"the CI never tightened: first-prefix width $w1, drained $wN")
+    graft.operators.CheckpointBlocks.release(evFull)
+  }
+
   test("foreachBatch streaming calibration drift monitor (q371) equals " +
     "the batch reliability curve at every micro-batch prefix") {
     // gate-calibration DRIFT MONITORING, the curve's natural streaming
