@@ -584,7 +584,128 @@ object EvalQueries extends QueryPack {
       .orderBy("event_type")
   }
 
+  /** Robust per-segment means — trimmed and winsorized — via bounded
+    * value-histogram order statistics (the q322 PR-curve trick pointed
+    * at robust location estimates): a heavy-tailed or corrupted
+    * segment drags its raw mean arbitrarily; the 5%-trimmed mean
+    * (drop k = ⌊N/20⌋ from each tail) and winsorized mean (clamp those
+    * k to the cut values) are the standard robust readouts. NO
+    * data-wide sort or rank: observations land on the exact cents
+    * grid, so ONE aggregation builds the per-(segment, value)
+    * histogram (row count bounded by segment × distinct cents, never
+    * the corpus), a cumulative window over that BOUNDED table places
+    * each value's below/above mass, and per-value kept counts
+    * (n − clamp(k−below) − clamp(k−above), provably ≥ 0 while
+    * N > 2k) yield the trimmed sum exactly. The cut values are the
+    * order statistics at ranks k+1 and N−k read off the same
+    * cumulative. All e4 fixed point, one defined truncation per
+    * mean. */
+  private def q394(s: SparkSession, dir: String): DataFrame = {
+    val h = ev(s, dir)
+      .select(col("event_type"), cents(col("value")).as("x"))
+      .groupBy("event_type", "x").agg(count(lit(1)).as("n"))
+    val tot = h.groupBy("event_type")
+      .agg(sum("n").as("nn"),
+        sum(col("x").cast("decimal(38,0)") * col("n")).as("sx"))
+      .withColumn("k", Rounding.intDiv(col("nn"), lit(20L)))
+    val w = Window.partitionBy("event_type").orderBy("x")
+    val c = h
+      .withColumn("below", coalesce(sum("n").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .join(tot, "event_type")
+      .withColumn("above", col("nn") - col("below") - col("n"))
+      .withColumn("cut_lo",
+        greatest(lit(0L), least(col("n"), col("k") - col("below"))))
+      .withColumn("cut_hi",
+        greatest(lit(0L), least(col("n"), col("k") - col("above"))))
+    c.groupBy("event_type").agg(
+        first("nn").as("n_events"), first("k").as("k_trim"),
+        first("sx").as("sx"),
+        sum(col("x").cast("decimal(38,0)") *
+          (col("n") - col("cut_lo") - col("cut_hi"))).as("tsum"),
+        min(when(col("below") + col("n") >= col("k") + 1, col("x")))
+          .as("lo_cut"),
+        max(when(col("above") + col("n") >= col("k") + 1, col("x")))
+          .as("hi_cut"))
+      .select(col("event_type"), col("n_events"), col("k_trim"),
+        col("lo_cut"), col("hi_cut"),
+        intDivExact(lit(10000L) * col("sx"), col("n_events"))
+          .as("mean_e4"),
+        intDivExact(lit(10000L) * col("tsum"),
+          col("n_events") - lit(2L) * col("k_trim"))
+          .as("trimmed_mean_e4"),
+        intDivExact(lit(10000L) * (col("tsum") +
+            (col("k_trim") * col("lo_cut")).cast("decimal(38,0)") +
+            (col("k_trim") * col("hi_cut")).cast("decimal(38,0)")),
+          col("n_events")).as("winsor_mean_e4"))
+      .orderBy("event_type")
+  }
+
+  /** Mann–Whitney rank-sum census over every segment pair — the
+    * nonparametric two-sample test a pipeline runs when segment value
+    * distributions are nowhere near normal (the t-test's assumptions
+    * fail on heavy-tailed revenue-like columns; rank-sum only needs
+    * exchangeability): for each unordered event-type pair, the exact
+    * tie-corrected U statistic and its e6 z² — all integer, no
+    * data-wide ranking. Midranks come DOUBLED off the merged bounded
+    * histogram (2·R(x) = 2·below + n_t + 1 is always integer), so
+    * 2U₁ = ΣR₂ − n₁(n₁+1) stays exact, and
+    * z² = 3·(2U₁ − n₁n₂)²·n(n−1) / (n₁n₂·((n+1)n(n−1) − Σ(t³−t)))
+    * multiplies out every denominator into one decimal(38) division
+    * (guarded NULL when all observations tie — the only zero
+    * denominator). Scale: the pair fan-out joins each segment's
+    * histogram into its (k−1) pairs — O(k·hist) rows, windows
+    * partitioned per pair over bounded value tables, never the
+    * corpus. */
+  private def q395(s: SparkSession, dir: String): DataFrame = {
+    val h = ev(s, dir)
+      .select(col("event_type"), cents(col("value")).as("x"))
+      .groupBy("event_type", "x").agg(count(lit(1)).as("n"))
+    val types = h.select("event_type").distinct()
+    val pairs = types.as("a").join(types.as("b"),
+        col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("ta"), col("b.event_type").as("tb"))
+    val sides = pairs.select(col("ta"), col("tb"), col("ta").as("t"))
+      .unionAll(pairs.select(col("ta"), col("tb"), col("tb").as("t")))
+    val ph = h.join(broadcast(sides), col("event_type") === col("t"))
+      .groupBy("ta", "tb", "x")
+      .agg(sum(when(col("t") === col("ta"), col("n")).otherwise(0L))
+          .as("na"),
+        sum(when(col("t") === col("tb"), col("n")).otherwise(0L))
+          .as("nb"))
+    val w = Window.partitionBy("ta", "tb").orderBy("x")
+    val c = ph.withColumn("nt", col("na") + col("nb"))
+      .withColumn("below", coalesce(sum("nt").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("r2", lit(2L) * col("below") + col("nt") + lit(1L))
+    c.groupBy("ta", "tb").agg(
+        sum("na").as("n_a"), sum("nb").as("n_b"),
+        sum(col("na").cast("decimal(38,0)") * col("r2")).as("r1_2"),
+        sum(col("nt").cast("decimal(38,0)") * col("nt") * col("nt") -
+          col("nt")).as("ties"))
+      .withColumn("n", col("n_a") + col("n_b"))
+      .withColumn("u2", (col("r1_2") -
+        col("n_a").cast("decimal(38,0)") * (col("n_a") + lit(1L)))
+        .cast("long"))
+      .withColumn("den",
+        col("n_a").cast("decimal(38,0)") * col("n_b") *
+          ((col("n") + lit(1L)).cast("decimal(38,0)") * col("n") *
+            (col("n") - lit(1L)) - col("ties")))
+      .withColumn("delta", col("u2").cast("decimal(38,0)") -
+        col("n_a").cast("decimal(38,0)") * col("n_b"))
+      .withColumn("z2_e6",
+        when(col("den") > 0, intDivExact(
+          lit(1000000L) * col("delta") * col("delta") * lit(3L) *
+            col("n") * (col("n") - lit(1L)),
+          col("den"))).otherwise(lit(null).cast("long")))
+      .select(col("ta"), col("tb"), col("n_a"), col("n_b"), col("u2"),
+        col("ties").cast("long").as("ties_term"), col("z2_e6"))
+      .orderBy("ta", "tb")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q394_trimmed_mean" -> (q394 _),
+    "q395_mann_whitney" -> (q395 _),
     "q391_anova_f" -> (q391 _),
     "q392_jackknife_day" -> (q392 _),
     "q393_poisson_bootstrap" -> (q393 _),
@@ -599,6 +720,95 @@ object EvalQueries extends QueryPack {
     "q347_multiple_testing" -> (q347 _))
 
   val oracle: Map[String, String] = Map(
+    // the same bounded-histogram order statistics: cumulative window
+    // over (segment, cents-value) rows, clamped per-value trim cuts,
+    // rank-(k+1)/(N−k) cut values, one defined e4 truncation per mean
+    "q394_trimmed_mean" ->
+      s"""WITH x AS (
+        |  SELECT event_type, ${centsSql("value")} AS x
+        |  FROM events WHERE value IS NOT NULL),
+        |h AS (SELECT event_type, x, count(*) AS n FROM x GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT event_type, sum(n) AS nn,
+        |    sum(CAST(x AS HUGEINT) * n) AS sx, sum(n) // 20 AS k
+        |  FROM h GROUP BY 1),
+        |c AS (
+        |  SELECT h.event_type, h.x, h.n, nn, sx, k,
+        |    coalesce(sum(h.n) OVER (PARTITION BY h.event_type
+        |      ORDER BY h.x ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |      1 PRECEDING), 0) AS below
+        |  FROM h JOIN tot USING (event_type)),
+        |c2 AS (
+        |  SELECT *, nn - below - n AS above,
+        |    greatest(0, least(n, k - below)) AS cut_lo,
+        |    greatest(0, least(n, k - (nn - below - n))) AS cut_hi
+        |  FROM c),
+        |res AS (
+        |  SELECT event_type, any_value(nn) AS n_events,
+        |    any_value(k) AS k_trim, any_value(sx) AS sx,
+        |    sum(CAST(x AS HUGEINT) * (n - cut_lo - cut_hi)) AS tsum,
+        |    min(CASE WHEN below + n >= k + 1 THEN x END) AS lo_cut,
+        |    max(CASE WHEN above + n >= k + 1 THEN x END) AS hi_cut
+        |  FROM c2 GROUP BY 1)
+        |SELECT event_type, CAST(n_events AS BIGINT) AS n_events,
+        |  CAST(k_trim AS BIGINT) AS k_trim,
+        |  lo_cut, hi_cut,
+        |  CAST((10000 * sx) // n_events AS BIGINT) AS mean_e4,
+        |  CAST((10000 * tsum) // (n_events - 2 * k_trim) AS BIGINT)
+        |    AS trimmed_mean_e4,
+        |  CAST((10000 * (tsum + CAST(k_trim AS HUGEINT) * lo_cut
+        |    + CAST(k_trim AS HUGEINT) * hi_cut)) // n_events AS BIGINT)
+        |    AS winsor_mean_e4
+        |FROM res ORDER BY event_type""".stripMargin,
+    // doubled midranks off the merged histogram keep every rank
+    // integer; the z² multiplies out all denominators into one HUGEINT
+    // division, guarded NULL exactly where the engine guards (all-tie
+    // pair)
+    "q395_mann_whitney" ->
+      s"""WITH x AS (
+        |  SELECT event_type, ${centsSql("value")} AS x
+        |  FROM events WHERE value IS NOT NULL),
+        |h AS (SELECT event_type, x, count(*) AS n FROM x GROUP BY 1, 2),
+        |tp AS (SELECT DISTINCT event_type FROM h),
+        |pairs AS (
+        |  SELECT a.event_type AS ta, b.event_type AS tb
+        |  FROM tp a JOIN tp b ON a.event_type < b.event_type),
+        |sides AS (
+        |  SELECT ta, tb, ta AS t FROM pairs
+        |  UNION ALL SELECT ta, tb, tb FROM pairs),
+        |ph AS (
+        |  SELECT ta, tb, x,
+        |    sum(CASE WHEN t = ta THEN n ELSE 0 END) AS na,
+        |    sum(CASE WHEN t = tb THEN n ELSE 0 END) AS nb
+        |  FROM h JOIN sides ON h.event_type = sides.t
+        |  GROUP BY 1, 2, 3),
+        |c AS (
+        |  SELECT *, na + nb AS nt,
+        |    coalesce(sum(na + nb) OVER (PARTITION BY ta, tb ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS below
+        |  FROM ph),
+        |res AS (
+        |  SELECT ta, tb, sum(na) AS n_a, sum(nb) AS n_b,
+        |    sum(CAST(na AS HUGEINT) * (2 * below + nt + 1)) AS r1_2,
+        |    sum(CAST(nt AS HUGEINT) * nt * nt - nt) AS ties
+        |  FROM c GROUP BY 1, 2),
+        |r2 AS (
+        |  SELECT *, n_a + n_b AS n,
+        |    r1_2 - CAST(n_a AS HUGEINT) * (n_a + 1) AS u2,
+        |    CAST(n_a AS HUGEINT) * n_b *
+        |      (CAST(n_a + n_b + 1 AS HUGEINT) * (n_a + n_b) *
+        |        (n_a + n_b - 1) - ties) AS den
+        |  FROM res)
+        |SELECT ta, tb, CAST(n_a AS BIGINT) AS n_a,
+        |  CAST(n_b AS BIGINT) AS n_b, CAST(u2 AS BIGINT) AS u2,
+        |  CAST(ties AS BIGINT) AS ties_term,
+        |  CASE WHEN den > 0 THEN
+        |    CAST((1000000 * (u2 - CAST(n_a AS HUGEINT) * n_b) *
+        |      (u2 - CAST(n_a AS HUGEINT) * n_b) * 3 * n * (n - 1))
+        |      // den AS BIGINT)
+        |  ELSE NULL END AS z2_e6
+        |FROM r2 ORDER BY ta, tb""".stripMargin,
     // HUGEINT products mirror the engine's decimal(38) chain; the two
     // defined truncations (per-group ⌊S_g²/n_g⌋, global ⌊S²/n⌋) replay
     // term-for-term, and the F guard (df_b > 0, SSW > 0, SSB ≥ 0)

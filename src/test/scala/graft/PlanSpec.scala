@@ -704,6 +704,10 @@ class PlanSpec extends SparkSuite {
       "q384_crossmodal_retrieval" -> 7L,
       // q391: one crossJoin(broadcast(tot)) — a 1-row totals frame
       "q391_anova_f" -> 1L,
+      // q395: the k-row segment-type self-join (a < b pair census over
+      // the ≤5-row distinct-types frame) — duplicated under the sides
+      // union, both sides bounded type frames, never data
+      "q395_mann_whitney" -> 2L,
       // q392: the del×tot (1-row), del×bar (1-row), del×jk (1-row)
       // crossJoins, with the del→tot subplan recurring un-reused — all
       // five sites broadcast ≤31-row jackknife frames, never data

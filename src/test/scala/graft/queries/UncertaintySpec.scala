@@ -99,6 +99,81 @@ class UncertaintySpec extends SparkSuite {
     assert(jkVar > 0, "degenerate fixture: zero jackknife variance")
   }
 
+  test("q394: trimmed and winsorized means recompute from a plain " +
+    "sort of the raw cents; cuts are the exact order statistics") {
+    val ev = events()
+    val got = graft.SparkEntry.queries("q394_trimmed_mean")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7)))).toMap
+    val byG = ev.groupBy(_._1)
+    assert(got.keySet == byG.keySet)
+    byG.foreach { case (g, rs) =>
+      val xs = rs.map(_._4).sorted
+      val n = xs.length
+      val k = n / 20
+      assert(k >= 1, s"group $g too small to trim: n=$n")
+      val loCut = xs(k)
+      val hiCut = xs(n - k - 1)
+      val s0 = xs.map(BigInt(_)).sum
+      val ts = xs.slice(k, n - k).map(BigInt(_)).sum
+      val ws = ts + BigInt(k) * loCut + BigInt(k) * hiCut
+      val want = (n.toLong, k.toLong, loCut, hiCut,
+        (BigInt(10000) * s0 / n).toLong,
+        (BigInt(10000) * ts / (n - 2 * k)).toLong,
+        (BigInt(10000) * ws / n).toLong)
+      assert(got(g) == want, s"group $g diverges: ${got(g)} vs $want")
+      // a robust mean must land inside its own cut window
+      assert(got(g)._6 >= 10000L * loCut && got(g)._6 <= 10000L * hiCut,
+        s"group $g trimmed mean outside [lo_cut, hi_cut]")
+    }
+  }
+
+  test("q395: every pair's tie-corrected U and z² recompute from " +
+    "doubled midranks over a plain sort; U is antisymmetric-bounded") {
+    val ev = events()
+    val got = graft.SparkEntry.queries("q395_mann_whitney")(spark, sf)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    val byG = ev.groupBy(_._1).map { case (g, rs) => (g, rs.map(_._4)) }
+    val want = (for {
+      ta <- byG.keys; tb <- byG.keys if ta < tb
+    } yield {
+      val (as, bs) = (byG(ta), byG(tb))
+      val merged = (as ++ bs).groupBy(identity)
+        .map { case (v, vs) => (v, vs.length.toLong) }.toSeq.sortBy(_._1)
+      var below = 0L
+      var r12 = BigInt(0)
+      var ties = BigInt(0)
+      val na = as.length.toLong
+      val nb = bs.length.toLong
+      val aCount = as.groupBy(identity).map { case (v, vs) =>
+        (v, vs.length.toLong) }
+      merged.foreach { case (v, nt) =>
+        val r2 = 2 * below + nt + 1
+        r12 += BigInt(aCount.getOrElse(v, 0L)) * r2
+        ties += BigInt(nt) * nt * nt - nt
+        below += nt
+      }
+      val u2 = r12 - BigInt(na) * (na + 1)
+      val n = na + nb
+      val den = BigInt(na) * nb *
+        (BigInt(n + 1) * n * (n - 1) - ties)
+      val delta = u2 - BigInt(na) * nb
+      val z2 = BigInt(1000000) * delta * delta * 3 * n * (n - 1) / den
+      ((ta, tb), (na, nb, u2.toLong, ties.toLong, z2.toLong))
+    }).toMap
+    assert(got == want, s"rank-sum census diverges: " +
+      s"${(got.toSet -- want.toSet).take(2)} vs " +
+      s"${(want.toSet -- got.toSet).take(2)}")
+    got.foreach { case ((ta, tb), (na, nb, u2, _, _)) =>
+      assert(u2 >= 0L && u2 <= 2L * na * nb,
+        s"pair ($ta,$tb) U out of range: $u2")
+    }
+  }
+
   test("q393: replicate weights, every replicate mean, and the CI " +
     "envelope recompute from the md5 inverse-CDF; weights average ~1") {
     val ev = events()
