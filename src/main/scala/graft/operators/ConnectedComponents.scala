@@ -113,10 +113,21 @@ object ConnectedComponents {
     // persist the symmetric edge set: it seeds the labels and is read once
     // per round, and its lineage may be an arbitrarily expensive upstream
     // pipeline (q67's is the whole shingle→jaccard candidate chain —
-    // recomputing it per round cost 4×)
+    // recomputing it per round cost 4×).
+    // PRE-PARTITIONED on the join key (r20, guide §2.4 — partition once,
+    // iterate many): every propagation round joins sym on `src`, and an
+    // unpartitioned cache re-shuffled the O(E) edge set EVERY round while
+    // the labels side is only O(V). One explicit hash repartition before
+    // the persist makes the cached InMemoryRelation carry
+    // hashpartitioning(src, n) — each round's join then exchanges only
+    // the label table. At 100 TB the edge set is the corpus-scale side;
+    // this moves the per-round shuffle from O(E) to O(V).
+    val np = math.max(1,
+      edges.sparkSession.sessionState.conf.numShufflePartitions)
     val sym = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .repartition(np, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // materialize NOW: the seed below and round 1 both read sym, and two
     // reads racing inside one first job can each recompute the (expensive)

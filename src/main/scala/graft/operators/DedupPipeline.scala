@@ -43,17 +43,28 @@ object DedupPipeline {
     * similarity denominators below always see the full shingle sets. */
   private def interPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, maxDf: Long, gatedCounts: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val toksDf = df.select(col(idCol).as("__id"),
       tokensCol(col(textCol)).as("__toks"))
-    val sizes = toksDf.select(col("__id"),
-      size(hashedNgramsFromTokens(col("__toks"), n)).cast("long").as("sz"))
     val g = toksDf.select(col("__id"),
       explode(hashedNgramsFromTokens(col("__toks"), n)).as("gram"))
-    val dfCounts = g.groupBy("gram").agg(count(lit(1)).as("df"))
-    val keptGrams = dfCounts
+    // per-doc distinct-shingle sizes come from the SAME exploded
+    // relation (hashedNgramsFromTokens dedups per doc, so the row count
+    // per __id IS the set size — a doc with < n tokens has no grams and
+    // no pairs either, so its absence is harmless); the previous
+    // size(...) projection re-ran the tokenize + n-gram build a second
+    // time (r20, guide §2.3 — aggregate instead of recompute).
+    val sizes = g.groupBy("__id").agg(count(lit(1)).as("sz"))
+    // df gate as an unordered window over the gram key (r20, guide
+    // §2.4 — the q147 one-shuffle discipline): the gate filter and the
+    // posting-list aggregation share ONE gram-keyed exchange, where the
+    // count-aggregate + join-back form re-ran the shingle chain per
+    // gate side. The collect_set stays bounded exactly as before — the
+    // filter sits above the window and below the aggregation.
+    val gated = g.withColumn("df",
+      count(lit(1)).over(Window.partitionBy("gram")))
+    val byGram = gated
       .filter(col("df").between(2, maxDf))
-      .select("gram")
-    val byGram = g.join(keptGrams, "gram")
       .groupBy("gram")
       .agg(sort_array(collect_set(col("__id"))).as("ds"))
     val pairs = byGram.select(explode(expr(
@@ -71,11 +82,12 @@ object DedupPipeline {
       // gated grams doc A and doc B could still share is at most
       // min(gated_a, gated_b), so true inter ≤ inter + least(gated_a,
       // gated_b) — callers bound the recall loss per pair instead of
-      // trusting the gate blindly. Same g relation, one more count
-      // aggregation + two user-scale joins; df = 1 grams are NOT gated
-      // (they provably intersect nothing).
-      val hiPerDoc = g
-        .join(dfCounts.filter(col("df") > maxDf).select("gram"), "gram")
+      // trusting the gate blindly. Same windowed relation (the other
+      // side of the df gate), one more count aggregation + two
+      // user-scale joins; df = 1 grams are NOT gated (they provably
+      // intersect nothing).
+      val hiPerDoc = gated
+        .filter(col("df") > maxDf)
         .groupBy("__id").agg(count(lit(1)).as("hi"))
       val ha = hiPerDoc.select(col("__id").as("id_a"),
         col("hi").as("gated_a"))

@@ -33,13 +33,23 @@ object CorpusStatsQueries extends QueryPack {
     * before the string join (sort_array on longs, then cast — not a
     * lexicographic sort of "10" < "2"). */
   private def q114(s: SparkSession, dir: String): DataFrame = {
-    val grams = docs(s, dir)
+    // r20 rewrite (guide §2.4): the df gate rides an unordered window
+    // over the gram key instead of a count-aggregate + join-back — the
+    // q147 one-shuffle discipline. The window's partition IS the dedup
+    // key, so the gate filter, then the posting-list aggregation, both
+    // reuse the ONE gram-keyed exchange: the tokenize + trigram explode
+    // runs once instead of twice and two of three shuffles disappear
+    // (plan: 3 exchanges / 2 scans → 1 / 1). The collect_set stays
+    // bounded exactly as before — the filter sits ABOVE the window and
+    // BELOW the aggregation, so only gate-passing grams (df ≤ 20) ever
+    // reach a set buffer.
+    import org.apache.spark.sql.expressions.Window
+    docs(s, dir)
       .select(col("doc_id"), TextAnalysis.tokensCol(col("text")).as("t"))
       .select(col("doc_id"),
         explode(TextAnalysis.ngramsFromTokens(col("t"), 3)).as("gram"))
-    val gate = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("gram")))
       .filter(col("df").between(2, 20))
-    grams.join(gate, "gram")
       .groupBy("gram")
       .agg(min("df").as("df"),
         array_join(
@@ -497,6 +507,10 @@ object CorpusStatsQueries extends QueryPack {
     // dedups within a doc, so tf is BINARY — this is the idf-weighted
     // SET cosine (the shingle-set similarity BM25 folks call binary-tf),
     // and the oracle's DISTINCT mirrors it
+    // (r20: checkpointing tf and w here — each feeds 2-3 consumers —
+    // measured 1.06× SLOWER at sf0.1: this plan's duplicated subtrees
+    // already collapse under ReuseExchange (7 reused exchanges), so the
+    // barriers only serialized the pipeline. Left lazy deliberately.)
     val tf = docs(s, dir)
       .select(col("doc_id"), TextAnalysis.tokensCol(col("text")).as("t"))
       .select(col("doc_id"),
@@ -548,9 +562,14 @@ object CorpusStatsQueries extends QueryPack {
       .select(col("source"),
         explode(TextAnalysis.ngramsFromTokens(col("t"), 3)).as("gram"))
       .distinct()
-    val spread = g.groupBy("gram")
-      .agg(countDistinct("source").as("n_sources"))
-    g.join(spread, "gram")
+    // r20 rewrite (guide §2.4): g is DISTINCT (source, gram), so the
+    // per-gram source spread is a plain count(1) over a gram-keyed
+    // unordered window (the q147 discipline) — the separate
+    // countDistinct aggregate + join-back re-ran the tokenize + explode
+    // + distinct chain a second time and paid two extra exchanges.
+    g.withColumn("n_sources",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("gram")))
       .groupBy("source")
       .agg(count(lit(1)).as("n_grams"),
         sum((col("n_sources") === 1L).cast("long")).as("n_exclusive"))
@@ -886,6 +905,12 @@ object CorpusStatsQueries extends QueryPack {
     * token) — the ranking a tokenizer/router audit consumes. */
   private def q352(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select(col("doc_id"), col("source"))
+    // (r20: checkpointing `present` and `dt` here — each feeds 2-3
+    // consumers — measured 1.33× SLOWER at sf0.1: the presence census
+    // is the query's LARGEST relation, so the materialization barrier
+    // cost more than the recompute it saved. Left lazy deliberately —
+    // the checkpoint trick only pays when the shared frame is small
+    // relative to its lineage.)
     val present = docs(s, dir)
       .select(col("doc_id"), col("source"),
         explode(TextAnalysis.tokensCol(col("text"))).as("tok"))

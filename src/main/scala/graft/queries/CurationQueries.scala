@@ -602,9 +602,15 @@ object CurationQueries extends QueryPack {
     * keyed equi-join on position. */
   private def q234(s: SparkSession, dir: String): DataFrame = {
     import Rounding.intDivExact
+    // localCheckpoint (r20, guide §1.2): the (doc, source, n_chars)
+    // projection feeds three consumers (the per-source rank window, the
+    // GlobalRank input, the total count) — lazily planned, the documents
+    // scan decompressed the full text column three times just to take
+    // its length. Three longs per doc, checkpoint-safe.
     val d = Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("source"),
         length(col("text")).cast("long").as("n_chars"))
+      .localCheckpoint(true)
     val wSrc = Window.partitionBy("source")
       .orderBy(col("n_chars"), col("doc_id"))
     val ranked = d
@@ -1337,6 +1343,11 @@ object CurationQueries extends QueryPack {
     * mid-buckets and the same curve prices each notch. */
   private def q362(s: SparkSession, dir: String): DataFrame = {
     val (_, _, exact, _, _, _) = corpusStages(s, dir)
+    // localCheckpoint (r20, guide §1.2): the bucketed pair table feeds
+    // both curve arms (per-bucket pair counts AND the per-doc max-bucket
+    // census) — lazily planned, the whole shingle→df-gate→pair-mining
+    // chain ran twice. Pair-fan-out-bounded by the df gate, the same
+    // checkpoint-safety argument as the memoized q41 graph.
     val pb = graft.operators.DedupPipeline
       .nearDupPairs(exact, "doc_id", "text",
         n = 5, minJaccard = 0.1, maxDf = 1000L)
@@ -1344,6 +1355,7 @@ object CurationQueries extends QueryPack {
         Rounding.intDiv(
           floor(col("jaccard") * lit(10000.0) + lit(0.5)).cast("long"),
           lit(500L)).as("bucket"))
+      .localCheckpoint(true)
     val pairBuckets = pb.groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
     val docMax = pb.select(col("id_a").as("doc_id"), col("bucket"))
       .unionAll(pb.select(col("id_b").as("doc_id"), col("bucket")))

@@ -425,6 +425,10 @@ object EventOpsQueries extends QueryPack {
         lit(400000L))
         .otherwise(share +
           when(col("rn") === 2L, leftover).otherwise(lit(0L))))
+    // (r20: a localCheckpoint here — touched feeds the union AND the
+    // direct anti-join — measured 1.16× SLOWER at sf0.1: ReuseExchange
+    // already shares the join's exchanges and the barrier only added a
+    // materialization stop. Left lazy deliberately.)
     val touched = joined
       .withColumn("rn", row_number().over(w).cast("long"))
       .withColumn("k", count(lit(1)).over(wc))
@@ -1295,6 +1299,13 @@ object EventOpsQueries extends QueryPack {
     * writeup uses; cells are r·100 + f·10 + m. All integers. */
   private def q257(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.GlobalRank
+    // localCheckpoint (r20, guide §1.2/§2.4): perUser feeds FOUR
+    // consumers — the final rollup plus three GlobalRank scorers whose
+    // eager range-repartition passes each re-ran the events scan + the
+    // per-user aggregation (4 scans of the fact table for one user-
+    // bounded table). Materializing the user-grain table once turns
+    // that into 1 scan + 3 cache reads; the frame is O(users), the
+    // same bound the checkpoint-safe q108Stages argument covers.
     val perUser = ev(s, dir)
       .withColumn("cents", Rounding.cents(col("value")))
       .groupBy("user_id")
@@ -1303,6 +1314,7 @@ object EventOpsQueries extends QueryPack {
           .as("freq"),
         sum(when(col("event_type") === "purchase", col("cents"))
           .otherwise(0L).cast("decimal(38,0)")).cast("long").as("monetary"))
+      .localCheckpoint(true)
     def score(metric: String, outCol: String): DataFrame = {
       val ranked = GlobalRank.withRank(
         perUser.select(col("user_id"), col(metric)),

@@ -427,11 +427,16 @@ object ExtraQueries extends QueryPack {
   private def q174(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.Rounding.{cents => c, sumCents}
     import graft.operators.GlobalRank
+    // localCheckpoint (r20, guide §1.2): both year arms read this
+    // customer-grain table, and each arm's GlobalRank materializes its
+    // input eagerly — without the checkpoint the orders scan + spend
+    // aggregation ran once per arm. O(customers) rows, checkpoint-safe.
     val spend = Tables.load(s, dir, "orders")
       .filter(year(col("o_orderdate")).isin(1996, 1997))
       .groupBy(col("o_custkey").as("custkey"),
         year(col("o_orderdate")).as("yr"))
       .agg(sumCents(c(col("o_totalprice"))).as("spend_cents"))
+      .localCheckpoint(true)
     def deciles(y: Int): DataFrame = {
       val one = spend.filter(col("yr") === y)
       val ranked = GlobalRank.withRank(one, "rnk",

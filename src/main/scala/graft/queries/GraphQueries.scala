@@ -292,8 +292,17 @@ object GraphQueries extends QueryPack {
     * chained CTEs (QUALIFY row_number = the same argmax). */
   /** The 3-round synchronous label table (n, lbl) — shared by q201 (the
     * community report) and q215 (the modularity audit of those same
-    * communities). */
-  private def lpLabels(s: SparkSession, dir: String): DataFrame = {
+    * communities). Memoized per (session, dir) (r20, the jaccardPairs
+    * precedent): both consumers re-ran the three eager LP rounds (~6
+    * construction-time jobs each) for a bit-identical label table.
+    * O(nodes) rows, deterministic (synchronous rounds + min tie-break),
+    * and the build's own round checkpoints are what the memo retains —
+    * already-materialized per the memo contract. */
+  private val lpMemo = new graft.operators.SessionDirMemo
+  private def lpLabels(s: SparkSession, dir: String): DataFrame =
+    lpMemo.get(s, dir)(lpLabelsBuild(s, dir))
+
+  private def lpLabelsBuild(s: SparkSession, dir: String): DataFrame = {
     val (edges, _, _) = TemporalQueries.q108Stages(s, dir,
       checkpoint = true)
     val sym = edges.select(col("u"), col("v"))

@@ -90,9 +90,19 @@ object MultimodalQueries extends QueryPack {
     imageAhashPairs(s, dir).orderBy("doc_a", "doc_b")
 
   /** (doc_a, doc_b, hamming) perceptual-hash image near-dup pairs —
-    * shared by q162 (the pair report) and q387 (the cross-modal
-    * dedup-agreement census). */
+    * shared by q162 (the pair report), q387 and q390 (the cross-modal
+    * dedup-agreement censuses). Memoized per (session, dir) (r20, the
+    * jaccardPairs precedent): each consumer re-ran the BMP synthesis +
+    * decode + resample + banded self-join for a bit-identical pair
+    * table. Band-bounded fan-out, deterministic, checkpoint-safe. */
+  private val ahashMemo = new graft.operators.SessionDirMemo
   private[graft] def imageAhashPairs(s: SparkSession,
+      dir: String): DataFrame =
+    ahashMemo.get(s, dir) {
+      imageAhashPairsBuild(s, dir).localCheckpoint(true)
+    }
+
+  private def imageAhashPairsBuild(s: SparkSession,
       dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.load(s, dir, "documents").select("doc_id")
@@ -192,7 +202,7 @@ object MultimodalQueries extends QueryPack {
     * best-offset pick is a per-pair TakeOrdered window — at 100 TB
     * nothing exceeds the gated posting lists. */
   private def q383(s: SparkSession, dir: String): DataFrame =
-    audioFingerprintOf(s, Tables.load(s, dir, "documents"))
+    fingerprintMatches(audioLandmarksDir(s, dir))
 
   /** (doc_id, frame, h) landmark table: md5U32 of the 4-value profile —
     * the portable-hash step both fingerprint substrates (audio q383,
@@ -214,15 +224,37 @@ object MultimodalQueries extends QueryPack {
         docsDf.select("doc_id")), 16)
       .toDF())
 
+  /** Memoized per (session, dir) audio landmark table (r20, the
+    * [[graft.operators.SessionDirMemo]] jaccardPairs precedent): FOUR
+    * standalone queries (q383, q385, q389, q390's audio arm) each
+    * re-ran the full WAV synthesis + RIFF decode + frame-band-energy
+    * chain — the suite's most CPU-expensive per-row substrate — for a
+    * bit-identical (doc_id, frame, h) table. Corpus-bounded (frames per
+    * doc), deterministic (fixture WAVs + md5), checkpoint-safe. The
+    * DataFrame-parameterized [[audioLandmarks]] stays for the streaming
+    * twins, which index arbitrary arrived prefixes. */
+  private val audioLmMemo = new graft.operators.SessionDirMemo
+  private[graft] def audioLandmarksDir(s: SparkSession,
+      dir: String): DataFrame =
+    audioLmMemo.get(s, dir) {
+      audioLandmarks(s, Tables.load(s, dir, "documents"))
+        .localCheckpoint(true)
+    }
+
   /** The Shazam match tail shared by q383 (audio) and q386 (video):
     * df-gated (2..1000) posting self-join on the landmark key — NEVER
     * all-pairs — per-pair offset histogram, ≥ 3-aligned match rule,
     * best offset by per-pair window. */
   private def fingerprintMatches(fp: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val gate = fp.groupBy("h").agg(count(lit(1)).as("df"))
-      .filter(col("df").between(2, 1000)).select("h")
-    val m = fp.join(gate, "h")
+    // r20: the df gate rides an unordered window over the landmark key
+    // (the q147 one-shuffle discipline) instead of a count aggregate +
+    // join-back — the landmark chain ran once per gate side before, and
+    // both posting self-join sides now share ONE h-keyed exchange.
+    val m = fp
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("df").between(2, 1000))
+      .select("doc_id", "frame", "h")
     val aligned = m.as("a")
       .join(m.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
@@ -269,7 +301,7 @@ object MultimodalQueries extends QueryPack {
     * identical posture to q383 — shuffle on the 32-bit landmark key,
     * bounded per-pair state, payloads never leave their partitions. */
   private def q386(s: SparkSession, dir: String): DataFrame =
-    fingerprintMatches(videoLandmarks(s, Tables.load(s, dir, "documents")))
+    fingerprintMatches(videoLandmarksDir(s, dir))
 
   /** The video landmark table over a GIVEN documents frame — q386's
     * index half (format assignment doc_id ≡ 2 mod 3 lives here so both
@@ -280,6 +312,19 @@ object MultimodalQueries extends QueryPack {
     landmarksOf(MultimodalOps.videoFrameProfiles(
       MultimodalOps.videoTable(s,
         docsDf.select("doc_id").filter(col("doc_id") % 3 === 2))).toDF())
+
+  /** Memoized per (session, dir) video landmark table (r20, the
+    * [[audioLandmarksDir]] twin): THREE standalone queries (q386, q388,
+    * q389's video arm) each re-ran the GIF synthesis + container walk +
+    * block-sum chain for a bit-identical landmark table. Same bounds,
+    * determinism and checkpoint-safety as the audio memo. */
+  private val videoLmMemo = new graft.operators.SessionDirMemo
+  private[graft] def videoLandmarksDir(s: SparkSession,
+      dir: String): DataFrame =
+    videoLmMemo.get(s, dir) {
+      videoLandmarks(s, Tables.load(s, dir, "documents"))
+        .localCheckpoint(true)
+    }
 
   /** Audio snippet lookup — the RETRIEVAL face of q383's fingerprint
     * index (query-by-example: "which recording does this 5-frame
@@ -304,7 +349,7 @@ object MultimodalQueries extends QueryPack {
     * is a per-query window over the ≥2-aligned candidates. */
   private def q385(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.Hashing
-    val fp = audioLandmarks(s, Tables.load(s, dir, "documents"))
+    val fp = audioLandmarksDir(s, dir)
     // query draw: 5 smallest md5 among docs long enough to carry the
     // excerpt (it spans frames 2..6, so the doc must reach frame 6).
     // Eligibility READS THE DECODED LANDMARK TABLE — a doc qualifies
@@ -335,9 +380,14 @@ object MultimodalQueries extends QueryPack {
     val snip = fp.join(broadcast(qdocs), col("doc_id") === col("q_id"))
       .filter(col("frame").between(2, 6))
       .select(col("q_id"), (col("frame") - 2).as("sp"), col("h"))
-    val gate = fp.groupBy("h").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= 1000).select("h")
-    val m = fp.join(gate, "h")
+    // r20: df gate as an unordered window over the landmark key (the
+    // fingerprintMatches rewrite) — one h-keyed exchange instead of a
+    // count aggregate + join-back over a second landmark pass.
+    val m = fp
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("h")))
+      .filter(col("df") <= 1000)
+      .select("doc_id", "frame", "h")
     val hist = m.join(broadcast(snip), Seq("h"))
       .select(col("q_id"), col("doc_id").as("c_id"),
         (col("frame") - col("sp")).as("t_offset"))
@@ -417,7 +467,7 @@ object MultimodalQueries extends QueryPack {
     * mandate. */
   private def q388(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.Hashing
-    val fp = videoLandmarks(s, Tables.load(s, dir, "documents"))
+    val fp = videoLandmarksDir(s, dir)
     val qdocs = fp.groupBy("doc_id").agg(max(col("frame")).as("mf"))
       .filter(col("mf") >= 6)
       .select(col("doc_id").as("q_id"),
@@ -443,10 +493,9 @@ object MultimodalQueries extends QueryPack {
     * one keyed join back, O(postings) end to end — the census costs
     * what the gate itself costs, so it can ride every index build. */
   private def q389(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(s, dir, "documents")
-    val post = audioLandmarks(s, docs)
+    val post = audioLandmarksDir(s, dir)
       .select(lit("audio").as("family"), col("doc_id"), col("h"))
-      .unionAll(videoLandmarks(s, docs)
+      .unionAll(videoLandmarksDir(s, dir)
         .select(lit("video").as("family"), col("doc_id"), col("h")))
     val dfh = post.groupBy("family", "h").agg(count(lit(1)).as("df"))
     post.join(dfh, Seq("family", "h"))
@@ -483,7 +532,8 @@ object MultimodalQueries extends QueryPack {
     val docs = Tables.load(s, dir, "documents")
     val t = caughtBy(DedupQueries.jaccardPairs(s, dir), "t_caught")
     val i = caughtBy(imageAhashPairs(s, dir), "i_caught")
-    val a = caughtBy(audioFingerprintOf(s, docs), "a_caught")
+    val a = caughtBy(fingerprintMatches(audioLandmarksDir(s, dir)),
+      "a_caught")
     docs.select("doc_id")
       .join(t, Seq("doc_id"), "left")
       .join(i, Seq("doc_id"), "left")

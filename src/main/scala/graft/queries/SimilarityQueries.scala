@@ -300,6 +300,13 @@ object SimilarityQueries extends QueryPack {
       .filter(col("nrm") > 0)
       .withColumn("vh", expr(
         "transform(v, x -> CAST(floor(x * 1000000.0 / nrm + 0.5) AS BIGINT))"))
+      // localCheckpoint (r20, guide §1.2): both moment aggregates (the
+      // per-dimension sum pass and the per-vector quadratic pass) read
+      // this normalized table — lazily planned, the embeddings scan +
+      // normalize + e6 quantization ran twice. One array per vector,
+      // input-table-bounded, checkpoint-safe.
+      .select(col("label"), col("vh"))
+      .localCheckpoint(true)
     val s2 = e.select(col("label"), posexplode(col("vh")))
       .groupBy("label", "pos").agg(sum("col").as("sd"))
       .groupBy("label")
@@ -348,10 +355,25 @@ object SimilarityQueries extends QueryPack {
       .filter(col("nrm") > 0)
       .withColumn("vh", expr(
         "transform(v, x -> CAST(floor(x * 1000000.0 / nrm + 0.5) AS BIGINT))"))
+      // localCheckpoint (r20, guide §1.2 — the q286 twin): the Gram
+      // build and the vector count both read this normalized table;
+      // lazily planned, the scan + normalize lambda chain ran twice.
+      .select(col("vh"))
+      .localCheckpoint(true)
+    // Upper-triangle Gram build (r20, guide §2.3 — generate fewer rows):
+    // M is symmetric, so only i ≤ j cells are materialized (the inner
+    // explode slices the array from the outer position) — d(d+1)/2
+    // instead of d² generated rows per vector, and the traces weight
+    // off-diagonal squares ×2. Exact integers throughout; tr M reads the
+    // diagonal cells as before. Halves the dominant explode CPU and the
+    // shuffled cell count at every corpus size.
     val cells = e
       .select(posexplode(col("vh")).as(Seq("i", "xi")), col("vh"))
-      .select(col("i"), posexplode(col("vh")).as(Seq("j", "xj")),
-        col("xi"))
+      .select(col("i"), col("xi"),
+        posexplode(expr("slice(vh, i + 1, size(vh))"))
+          .as(Seq("dj", "xj")))
+      .select(col("i"), (col("i") + col("dj")).as("j"), col("xi"),
+        col("xj"))
       .groupBy("i", "j")
       .agg(sum((col("xi") * col("xj")).cast("decimal(38,0)")).as("m"))
     val n = e.groupBy().agg(count(lit(1)).as("n_vecs"))
@@ -359,7 +381,8 @@ object SimilarityQueries extends QueryPack {
       .groupBy()
       .agg(sum(when(col("i") === col("j"), col("m")).otherwise(lit(0)
         .cast("decimal(38,0)"))).as("tr_m"),
-        sum(col("m") * col("m")).as("tr_m2"))
+        sum(when(col("i") === col("j"), col("m") * col("m"))
+          .otherwise(col("m") * col("m") * lit(2))).as("tr_m2"))
       .crossJoin(broadcast(n))
       .select(col("n_vecs"),
         // overflow guard (round-10 advice): (tr M)² approaches decimal38

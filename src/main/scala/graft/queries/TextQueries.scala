@@ -162,8 +162,15 @@ object TextQueries extends QueryPack {
 
   /** The q129 scoring core as a reusable arm — (doc_id, bm25_e6) for the
     * fixed 3-term query, unordered; q194's hybrid fusion ranks it against
-    * the vector arm. */
-  private[queries] def bm25e6(s: SparkSession, dir: String): DataFrame = {
+    * the vector arm. Memoized per (session, dir) (r20, the jaccardPairs
+    * precedent): THREE standalone queries (q129, q194, q333) each re-ran
+    * the corpus token explode + the full Okapi chain for a bit-identical
+    * doc-grain score table. O(docs) rows, deterministic, checkpoint-safe. */
+  private val bm25Memo = new graft.operators.SessionDirMemo
+  private[queries] def bm25e6(s: SparkSession, dir: String): DataFrame =
+    bm25Memo.get(s, dir)(bm25e6Build(s, dir).localCheckpoint(true))
+
+  private def bm25e6Build(s: SparkSession, dir: String): DataFrame = {
     val terms = Seq("hash", "join", "spark")
     val toks = docs(s, dir)
       .select(col("doc_id"), explode(tokensCol(col("text"))).as("tok"))
@@ -313,12 +320,18 @@ object TextQueries extends QueryPack {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.Rounding.intDiv
     val origTerms = Seq("hash", "join", "spark")
+    // localCheckpoint (r20, guide §1.2): the (doc, token) presence
+    // census feeds three consumers (df_R, df_corpus, the bonus join) —
+    // lazily planned, the tokenize + explode + distinct ran three
+    // times. (The BM25 table itself is the memoized [[bm25e6]].) One
+    // row per (doc, distinct token) — corpus-bounded, checkpoint-safe.
     val base = bm25e6(s, dir)
     val top10 = base.orderBy(col("bm25_e6").desc, col("doc_id"))
       .limit(10).select("doc_id")
     val docTok = docs(s, dir)
       .select(col("doc_id"), explode(tokensCol(col("text"))).as("tok"))
       .filter(col("tok") =!= "").distinct()
+      .localCheckpoint(true)
     val expansion = docTok.join(broadcast(top10), "doc_id")
       .groupBy("tok").agg(count(lit(1)).as("df_r"))
       .join(docTok.groupBy("tok").agg(count(lit(1)).as("df_all")), "tok")

@@ -920,9 +920,14 @@ object TpchQueries extends QueryPack {
     // this generator's orderkeys are contiguous, so the audited space is
     // the FINALIZED-order slice (status 'F', ~1/3 of keys): its holes are
     // the open/pending orders — the real "why is this key missing" shape
+    // localCheckpoint (r20, guide §1.2): the key set feeds FIVE readers
+    // (both sides of each anti-join plus the bounds aggregate), each of
+    // which re-ran the orders scan + distinct. O(orders) rows of one
+    // long — checkpoint-safe at any scale the audit itself is.
     val keys = Tables.load(s, dir, "orders")
       .filter(col("o_orderstatus") === "F")
       .select(col("o_orderkey").cast("long").as("k")).distinct()
+      .localCheckpoint(true)
     val bounds = keys.groupBy()
       .agg(min("k").as("lo"), max("k").as("hi"))
     val starts = keys.select((col("k") + 1L).as("k"))
@@ -1181,9 +1186,14 @@ object TpchQueries extends QueryPack {
     * the three-row class census — the hash pins both boundaries. */
   private def q272(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.{GlobalRank, PrefixScan}
+    // localCheckpoint (r20, guide §1.2): the part-grain revenue table
+    // feeds the eager GlobalRank pass AND the class-total aggregate —
+    // lazily planned, the lineitem scan + aggregation ran twice.
+    // O(parts) rows, checkpoint-safe.
     val rev = Tables.load(s, dir, "lineitem")
       .groupBy(col("l_partkey").cast("long").as("part"))
       .agg(sumCents(vol4).as("rev4"))
+      .localCheckpoint(true)
     val ranked = GlobalRank.withRank(rev, "rnk",
       col("rev4").desc, col("part").asc)
     val cum = PrefixScan.runningSum(ranked, "rev4", "cum4",

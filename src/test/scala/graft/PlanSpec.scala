@@ -439,20 +439,24 @@ class PlanSpec extends SparkSuite {
         s"got $agree, expected nb=$nbLeaves ∪ lm=$lmLeaves")
   }
 
-  /** The static-reuse twin of the same claim, for a LAZY shared chain:
-    * q362's two sweep branches (near-dup curve × containment curve) list
-    * the same mined-pair chain; the reuse rule collapses 9 exchange
-    * subtrees because the branches stay canonically identical. A
-    * perturbation of one branch (so its exchanges no longer canonicalize
-    * equal) would double real work at runtime while leaving the main
-    * shuffle counter unchanged — this pin is what catches it.
-    * Re-measure via PLANS.json's reused_exchanges on intentional change. */
+  /** The sharing claim for q362's two sweep branches (per-bucket pair
+    * curve × per-doc max-bucket census). Through r19 the shared
+    * mined-pair chain was LAZY and the claim was 9 reused exchange
+    * subtrees; the r20 optimization round materializes the bucketed
+    * pair table once behind a localCheckpoint (the chain physically
+    * runs ONCE — stronger than canonical-equality reuse), so the plan
+    * is a checkpoint stub with no reusable exchanges left (measured:
+    * 25 → 4 shuffles, 24 → 3 scans, 2.10 → 1.34 s at sf0.1). The pin
+    * now holds the stub shape: reuse back above 0 means the checkpoint
+    * was dropped and the branches went back to re-listing the chain.
+    * Re-measure via PLANS.json's reused_exchanges on intentional
+    * change. */
   test("q362: sweep branches stay canonically shared (reuse pinned)") {
     val a = fullSweep.find(_._1 == "q362_dedup_sweep").get._2
-    assert(a.reusedExchanges == 9L,
-      s"q362 static exchange reuse moved (${a.reusedExchanges} != 9) — " +
-        s"a shared branch diverged (or the chain was intentionally " +
-        s"reshaped; re-measure and re-pin): $a")
+    assert(a.reusedExchanges == 0L,
+      s"q362 static exchange reuse moved (${a.reusedExchanges} != 0) — " +
+        s"the shared-chain checkpoint was dropped (or the chain was " +
+        s"intentionally reshaped; re-measure and re-pin): $a")
   }
 
   /** The third blanket guard (round-15 verdict task 2): single-partition
@@ -473,7 +477,10 @@ class PlanSpec extends SparkSuite {
     val pinned: Map[String, Long] = Map(
       "q101_histogram" -> 1L,
       "q119_assortativity" -> 1L,
-      "q129_bm25" -> 1L,
+      // q129/q194/q333 (r20): the bm25e6 chain is memoized — its 1-row
+      // corpus-stats aggregate (the single-partition exchange and the
+      // stats crossJoin BNLJ) now lives in the memo build, so the
+      // declared plans are stubs with none left.
       "q130_ref_integrity" -> 4L,
       "q133_rolling_dau" -> 1L,
       "q139_temperature_mix" -> 1L,
@@ -488,7 +495,6 @@ class PlanSpec extends SparkSuite {
       "q181_important_stock" -> 1L,
       "q184_join_cardinality" -> 2L,
       "q185_equidepth_bounds" -> 1L,
-      "q194_hybrid_rrf" -> 1L,
       "q19_above_avg" -> 1L,
       "q205_top_supplier" -> 1L,
       "q206_small_qty_revenue" -> 1L,
@@ -533,7 +539,6 @@ class PlanSpec extends SparkSuite {
       "q329_kneser_ney" -> 1L,
       "q330_bloom_fpp" -> 2L,
       "q332_dict_encoding" -> 12L,
-      "q333_prf_expansion" -> 2L,
       "q334_ns_weights" -> 2L,
       "q336_permutation_test" -> 2L,
       "q337_coverage_curve" -> 1L,
@@ -613,7 +618,7 @@ class PlanSpec extends SparkSuite {
     "broadcasts only)") {
     val pinned: Map[String, Long] = Map(
       "q101_histogram" -> 1L,
-      "q129_bm25" -> 1L,
+      // q129/q333 (r20): bm25 stats BNLJ moved into the memo build
       "q133_rolling_dau" -> 1L,
       "q138_vocab_overlap" -> 1L,
       "q139_temperature_mix" -> 1L,
@@ -626,7 +631,7 @@ class PlanSpec extends SparkSuite {
       "q182_conversion_survival" -> 1L,
       "q184_join_cardinality" -> 1L,
       "q185_equidepth_bounds" -> 1L,
-      "q194_hybrid_rrf" -> 2L,
+      "q194_hybrid_rrf" -> 1L, // vector-arm qv crossJoin (bm25 memoized, r20)
       "q199_quality_sweep" -> 1L,
       "q19_above_avg" -> 1L,
       "q209_collocations" -> 1L,
@@ -669,7 +674,6 @@ class PlanSpec extends SparkSuite {
       "q329_kneser_ney" -> 1L,
       "q330_bloom_fpp" -> 1L,
       "q332_dict_encoding" -> 6L,
-      "q333_prf_expansion" -> 2L,
       "q334_ns_weights" -> 1L,
       "q336_permutation_test" -> 2L,
       "q337_coverage_curve" -> 2L,
