@@ -124,7 +124,13 @@ object MultimodalOps {
     * decodable bitmaps, generated per-row with no shuffle. */
   def bmpTable(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].map { id =>
+    // adaptive fan-out (r20, guide §2.5): the id column is the ONLY
+    // thing exchanged — payload synthesis + every downstream decode
+    // then runs at full parallelism even off a one-row-group fixture
+    // file; at production split counts the branch is a no-op.
+    graft.operators.ReadParallelism
+      .fanOut(docs.select(col("doc_id")), col("doc_id"))
+      .as[Long].map { id =>
       val w = (Math.floorMod(id, 62L) + 2).toInt
       val h = (Math.floorMod(id, 46L) + 2).toInt
       val px = new Array[Byte](w * h * 3)
@@ -146,7 +152,10 @@ object MultimodalOps {
     * `doc_id % 500 + 50` samples at 8 kHz, waveform from [[wavSample]]. */
   def wavTable(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].map { id =>
+    // adaptive fan-out (r20): see bmpTable — ids only, decode parallel.
+    graft.operators.ReadParallelism
+      .fanOut(docs.select(col("doc_id")), col("doc_id"))
+      .as[Long].map { id =>
       val n = (Math.floorMod(id, 500L) + 50).toInt
       val s = Array.tabulate(n)(i => wavSample(id, i))
       MediaRow(id, "wav", WavCodec.encode(WavCodec.Wav(8000, s)))
@@ -323,7 +332,10 @@ object MultimodalOps {
     * shuffle. */
   def videoTable(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].map { id =>
+    // adaptive fan-out (r20): see bmpTable — ids only, decode parallel.
+    graft.operators.ReadParallelism
+      .fanOut(docs.select(col("doc_id")), col("doc_id"))
+      .as[Long].map { id =>
       val w = (Math.floorMod(id, 62L) + 2).toInt
       val h = (Math.floorMod(id, 46L) + 2).toInt
       val n = (Math.floorMod(id, 40L) + 5).toInt * 8

@@ -44,8 +44,14 @@ object DedupPipeline {
   private def interPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, maxDf: Long, gatedCounts: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toksDf = df.select(col(idCol).as("__id"),
-      tokensCol(col(textCol)).as("__toks"))
+    // adaptive fan-out (r20, guide §2.5): tokenize + n-gram hashing is
+    // the chain's CPU wall and fuses onto the scan's map stage — one
+    // partition on a one-row-group fixture file. No-op at real split
+    // counts (see ReadParallelism).
+    val toksDf = ReadParallelism.fanOut(
+      df.select(col(idCol).as("__id"), col(textCol).as("__text")),
+      col("__id"))
+      .select(col("__id"), tokensCol(col("__text")).as("__toks"))
     val g = toksDf.select(col("__id"),
       explode(hashedNgramsFromTokens(col("__toks"), n)).as("gram"))
     // per-doc distinct-shingle sizes come from the SAME exploded

@@ -41,7 +41,12 @@ object FuzzyMatch {
     * (dedup first otherwise — equal values would pair at distance 0).
     * Output columns: `a`, `b`. */
   def editDistance1Pairs(strings: DataFrame, colName: String): DataFrame = {
-    val v = strings.select(col(colName).as("name"), explode(expr(
+    // adaptive fan-out (r20, guide §2.5): the deletion-neighborhood
+    // explode fuses onto the scan's map stage — one partition on a
+    // one-row-group fixture file; no-op at real split counts.
+    val v = ReadParallelism
+      .fanOut(strings.select(col(colName).as("name")), col("name"))
+      .select(col("name"), explode(expr(
       """transform(sequence(0, length(name)), i ->
         |  struct(i AS pos,
         |    CASE WHEN i = 0 THEN name

@@ -44,7 +44,9 @@ object CorpusStatsQueries extends QueryPack {
     // BELOW the aggregation, so only gate-passing grams (df ≤ 20) ever
     // reach a set buffer.
     import org.apache.spark.sql.expressions.Window
-    docs(s, dir)
+    graft.operators.ReadParallelism
+      .fanOut(docs(s, dir).select(col("doc_id"), col("text")),
+        col("doc_id")) // r20 guide §2.5 — parallel trigram build
       .select(col("doc_id"), TextAnalysis.tokensCol(col("text")).as("t"))
       .select(col("doc_id"),
         explode(TextAnalysis.ngramsFromTokens(col("t"), 3)).as("gram"))
@@ -511,7 +513,9 @@ object CorpusStatsQueries extends QueryPack {
     // measured 1.06× SLOWER at sf0.1: this plan's duplicated subtrees
     // already collapse under ReuseExchange (7 reused exchanges), so the
     // barriers only serialized the pipeline. Left lazy deliberately.)
-    val tf = docs(s, dir)
+    val tf = graft.operators.ReadParallelism
+      .fanOut(docs(s, dir).select(col("doc_id"), col("text")),
+        col("doc_id")) // r20 guide §2.5 — parallel trigram tf build
       .select(col("doc_id"), TextAnalysis.tokensCol(col("text")).as("t"))
       .select(col("doc_id"),
         explode(TextAnalysis.ngramsFromTokens(col("t"), 3)).as("tok"))
@@ -557,7 +561,10 @@ object CorpusStatsQueries extends QueryPack {
     * per-source rollup; the exclusive share is the exact e4 rational. */
   private def q278(s: SparkSession, dir: String): DataFrame = {
     import Rounding.intDivExact
-    val g = docs(s, dir)
+    val g = graft.operators.ReadParallelism
+      .fanOut(docs(s, dir).select(col("doc_id"), col("source"),
+        col("text")), col("doc_id")) // r20 guide §2.5 — parallel
+      // trigram build (doc_id as the fan-out key; source is ~20 values)
       .select(col("source"), TextAnalysis.tokensCol(col("text")).as("t"))
       .select(col("source"),
         explode(TextAnalysis.ngramsFromTokens(col("t"), 3)).as("gram"))

@@ -31,7 +31,10 @@ object DedupQueries extends QueryPack {
   /** (doc_id, gram) with tokens materialized before the n-gram lambda —
     * see TextAnalysis.tokensCol for why this ordering matters. */
   private def shingleOf(docsDf: DataFrame, n: Int): DataFrame =
-    docsDf
+    // adaptive fan-out (r20, guide §2.5): tokenize + gram explode fuse
+    // onto the one-partition fixture scan; no-op at real split counts.
+    graft.operators.ReadParallelism
+      .fanOut(docsDf.select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id"), tokensCol(col("text")).as("toks"))
       .select(col("doc_id"),
         explode(ngramsFromTokens(col("toks"), n)).as("gram"))
@@ -302,7 +305,9 @@ object DedupQueries extends QueryPack {
     * cheaper plan. */
   private val W = 24 // paragraph width in tokens (the q147 line stand-in)
   private def q211(s: SparkSession, dir: String): DataFrame = {
-    val units = docs(s, dir)
+    val units = graft.operators.ReadParallelism
+      .fanOut(docs(s, dir).select(col("doc_id"), col("text")),
+        col("doc_id")) // r20 guide §2.5 — parallel paragraph minhash
       .select(col("doc_id"), tokensCol(col("text")).as("toks"))
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, cast((size(toks)-1) div $W as int)), " +
@@ -392,7 +397,9 @@ object DedupQueries extends QueryPack {
     simhashMemo.get(s, dir)(simhashBitsBuild(s, dir).localCheckpoint(true))
 
   private def simhashBitsBuild(s: SparkSession, dir: String): DataFrame = {
-    val toks = docs(s, dir)
+    val toks = graft.operators.ReadParallelism
+      .fanOut(docs(s, dir).select(col("doc_id"), col("text")),
+        col("doc_id")) // r20 guide §2.5 — parallel bit votes
       .select(col("doc_id"),
         explode(array_distinct(tokensCol(col("text")))).as("tok"))
       .filter(col("tok") =!= "")
@@ -650,7 +657,9 @@ object DedupQueries extends QueryPack {
     // sides — before, the tokenize + posexplode chain ran four times
     // (gate build, gate join, and both join sides). Gated rows are
     // df-bounded (≤ MaxDf per shingle), checkpoint-safe.
-    val gf = docs(s, dir)
+    val gf = graft.operators.ReadParallelism
+      .fanOut(docs(s, dir).select(col("doc_id"), col("text")),
+        col("doc_id")) // r20 guide §2.5 — parallel shingle build
       .select(col("doc_id"), tokensCol(col("text")).as("toks"))
       .filter(size(col("toks")) >= K)
       .select(col("doc_id"),
@@ -980,7 +989,9 @@ object DedupQueries extends QueryPack {
     * count (≥ 2). Hashes are md5-derived 32-bit so the oracle replays
     * them bit-for-bit on gram TEXT. */
   private def q273(s: SparkSession, dir: String): DataFrame = {
-    val toks = docs(s, dir)
+    val toks = graft.operators.ReadParallelism
+      .fanOut(docs(s, dir).select(col("doc_id"), col("text")),
+        col("doc_id")) // r20 guide §2.5 — parallel minimizer build
       .select(col("doc_id"), tokensCol(col("text")).as("t"))
       .filter(size(col("t")) >= 3)
     val grams = toks.select(col("doc_id"),

@@ -551,9 +551,16 @@ object EvalQueries extends QueryPack {
     * corpus grows. */
   private[graft] def bootstrapCiOf(evDf: DataFrame): DataFrame = {
     import graft.functions.Hashing
-    val x = evDf
-      .select(col("event_type"), col("event_id"),
-        cents(col("value")).as("x"))
+    // adaptive fan-out (r20, guide §2.5): the 32-fold replicate explode
+    // and its md5 weights are fused onto the scan's map stage, and the
+    // one-row-group fixture file gives that stage ONE partition — the
+    // whole B=32 resample ran on one core. The fan-out exchanges only
+    // (type, id, cents) rows and no-ops once input splits fill the
+    // session parallelism.
+    val x = graft.operators.ReadParallelism.fanOut(
+      evDf.select(col("event_type"), col("event_id"),
+        cents(col("value")).as("x")),
+      col("event_id"))
     val u = Hashing.md5U32(concat(col("b").cast("string"), lit(":"),
       col("event_id").cast("string")))
     val rep = x

@@ -444,7 +444,7 @@ object ScaleQueries extends QueryPack {
     // derived concat surrogate (r20, guide §2.4): all three arms are
     // projections/filters of the same aggregate, so keyed on (ok, ln)
     // they share its exchange (ReuseExchange) instead of paying three
-    // fresh full-row shuffles on a string key — measured 9 → 3
+    // fresh full-row shuffles on a string key — measured 9 → 6
     // exchanges at identical output (the verdict census never sees the
     // key). The string key also shuffled ~2× the bytes per row.
     val base = Tables.load(s, dir, "lineitem")

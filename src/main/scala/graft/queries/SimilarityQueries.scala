@@ -292,19 +292,23 @@ object SimilarityQueries extends QueryPack {
     * synthetic labels is the correct null reading. */
   private def q286(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.Rounding.intDivExact
-    val e = graft.Tables.load(s, dir, "embeddings")
-      .select(col("vec_id"), col("label").cast("long").as("label"),
-        expr("transform(embedding, x -> cast(x AS double))").as("v"))
+    // adaptive fan-out (r20, guide §2.5) so the normalize lambda chain
+    // and the downstream explodes run at full parallelism off the
+    // one-row-group fixture file, then localCheckpoint (guide §1.2):
+    // both moment aggregates (the per-dimension sum pass and the
+    // per-vector quadratic pass) read this normalized table — lazily
+    // planned, the embeddings scan + normalize + e6 quantization ran
+    // twice. One array per vector, input-table-bounded, checkpoint-safe.
+    val e = graft.operators.ReadParallelism
+      .fanOut(graft.Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          expr("transform(embedding, x -> cast(x AS double))").as("v")),
+        col("vec_id"))
       .withColumn("nrm", sqrt(expr(
         "aggregate(transform(v, x -> x * x), 0D, (a, x) -> a + x)")))
       .filter(col("nrm") > 0)
       .withColumn("vh", expr(
         "transform(v, x -> CAST(floor(x * 1000000.0 / nrm + 0.5) AS BIGINT))"))
-      // localCheckpoint (r20, guide §1.2): both moment aggregates (the
-      // per-dimension sum pass and the per-vector quadratic pass) read
-      // this normalized table — lazily planned, the embeddings scan +
-      // normalize + e6 quantization ran twice. One array per vector,
-      // input-table-bounded, checkpoint-safe.
       .select(col("label"), col("vh"))
       .localCheckpoint(true)
     val s2 = e.select(col("label"), posexplode(col("vh")))
@@ -348,16 +352,21 @@ object SimilarityQueries extends QueryPack {
     * on these isotropic synthetic embeddings is the null reading. */
   private def q288(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.Rounding.intDivExact
-    val e = graft.Tables.load(s, dir, "embeddings")
-      .select(expr("transform(embedding, x -> cast(x AS double))").as("v"))
+    // adaptive fan-out (r20, guide §2.5) so the Gram explode below runs
+    // at full parallelism off the one-row-group fixture file, then
+    // localCheckpoint (guide §1.2 — the q286 twin): the Gram build and
+    // the vector count both read this normalized table; lazily planned,
+    // the scan + normalize lambda chain ran twice.
+    val e = graft.operators.ReadParallelism
+      .fanOut(graft.Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x AS double))").as("v")),
+        col("vec_id"))
       .withColumn("nrm", sqrt(expr(
         "aggregate(transform(v, x -> x * x), 0D, (a, x) -> a + x)")))
       .filter(col("nrm") > 0)
       .withColumn("vh", expr(
         "transform(v, x -> CAST(floor(x * 1000000.0 / nrm + 0.5) AS BIGINT))"))
-      // localCheckpoint (r20, guide §1.2 — the q286 twin): the Gram
-      // build and the vector count both read this normalized table;
-      // lazily planned, the scan + normalize lambda chain ran twice.
       .select(col("vh"))
       .localCheckpoint(true)
     // Upper-triangle Gram build (r20, guide §2.3 — generate fewer rows):
@@ -1143,8 +1152,15 @@ object SimilarityQueries extends QueryPack {
       .filter(expr("aggregate(transform(v, x -> x * x), 0D, (a, x) -> a + x)")
         > 0.0)
     // queries broadcast (the SimilaritySearch.Brute shape): a BNLJ, not
-    // a CartesianProduct — the corpus side streams, never materializes
-    val scored = e.select(col("vec_id").as("c"), col("v").as("cv"))
+    // a CartesianProduct — the corpus side streams, never materializes.
+    // Adaptive fan-out (r20, guide §2.5): the designed quadratic
+    // rescore fuses onto the corpus scan's map stage, and the fixture's
+    // one-row-group file gave it ONE partition — the 4M-pair cosine
+    // loop ran on one core. Parallelism changes the wall clock, not the
+    // adjudicated O(N²) complexity contrast this arm exists to measure.
+    val scored = graft.operators.ReadParallelism
+      .fanOut(e.select(col("vec_id").as("c"), col("v").as("cv")),
+        col("c"))
       .crossJoin(broadcast(e.select(col("vec_id").as("q"),
         col("label").as("ql"), col("v").as("qv"))))
       .filter(col("q") =!= col("c"))

@@ -123,7 +123,9 @@ object TextQueries extends QueryPack {
     * rational form is monotone in df exactly like ln(N/df). */
   private def q64(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = docs(s, dir)
+    val toks = graft.operators.ReadParallelism
+      .fanOut(docs(s, dir).select(col("doc_id"), col("text")),
+        col("doc_id")) // r20 guide §2.5 — parallel tokenize
       .select(col("doc_id"), explode(tokensCol(col("text"))).as("tok"))
       .filter(col("tok") =!= "")
     val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
@@ -172,7 +174,9 @@ object TextQueries extends QueryPack {
 
   private def bm25e6Build(s: SparkSession, dir: String): DataFrame = {
     val terms = Seq("hash", "join", "spark")
-    val toks = docs(s, dir)
+    val toks = graft.operators.ReadParallelism
+      .fanOut(docs(s, dir).select(col("doc_id"), col("text")),
+        col("doc_id")) // r20 guide §2.5 — parallel tokenize
       .select(col("doc_id"), explode(tokensCol(col("text"))).as("tok"))
       .filter(col("tok") =!= "")
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
@@ -328,7 +332,9 @@ object TextQueries extends QueryPack {
     val base = bm25e6(s, dir)
     val top10 = base.orderBy(col("bm25_e6").desc, col("doc_id"))
       .limit(10).select("doc_id")
-    val docTok = docs(s, dir)
+    val docTok = graft.operators.ReadParallelism
+      .fanOut(docs(s, dir).select(col("doc_id"), col("text")),
+        col("doc_id")) // r20 guide §2.5 — parallel tokenize
       .select(col("doc_id"), explode(tokensCol(col("text"))).as("tok"))
       .filter(col("tok") =!= "").distinct()
       .localCheckpoint(true)
