@@ -253,26 +253,37 @@ object ConnectedComponents {
     var converged = cnt == 0L
     var round = 0
     while (!converged && round < maxRounds) {
+      import org.apache.spark.sql.expressions.Window
       val both = edges.union(
         edges.select(col("v").as("u"), col("u").as("v")))
-      val lmins = both.groupBy("u").agg(min("v").as("mv"))
-        .select(col("u"), least(col("mv"), col("u")).as("m"))
-      // (v, m(u)) for v > u: m ≤ u < v, so the pair is already canonical
+      // Each half-round's per-node neighborhood minimum rides an
+      // unordered window over the node key instead of a min-aggregate +
+      // join-back (r20, guide §2.4 — the same one-exchange df-gate
+      // discipline the pair miners use): the window's partition IS the
+      // join key, so the "compute m per u, attach m to every (u, v)
+      // row" shape costs ONE keyed exchange where groupBy + join paid
+      // an aggregate exchange AND re-listed its input under the join.
+      // Per round: 5 exchanges + 2 joins → 3 exchanges + 0 joins,
+      // identical emitted pairs.
+      // large-star: m = min(N(u) ∪ {u}); every LARGER neighbor v > u
+      // rewires to (v, m) — m ≤ u < v, so the pair is already canonical
       // and can never be a self-loop. NOT distinct()ed: duplicates (two
-      // old neighbors of v sharing one min) change neither min-aggregate
-      // downstream, `next` dedups before the fixed-point test, and the
-      // row count is bounded by the canonical edge count either way —
-      // the distinct's per-round shuffle buys nothing (q299's 6-round
-      // run measured 8.2 → 7.9 s; ReuseExchange had already made it
-      // near-free, so this is simplification more than speed).
-      val large = both.join(lmins, "u").filter(col("v") > col("u"))
+      // old neighbors of v sharing one min) change neither min downstream
+      // and `next` dedups before the fixed-point test.
+      val withMin = both
+        .withColumn("m",
+          least(min(col("v")).over(Window.partitionBy("u")), col("u")))
+      val large = withMin.filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-      val smins = large.groupBy("u").agg(min("v").as("m"))
-      // (v, m) for every smaller neighbor v of u, plus (u, m) itself;
-      // v ≥ m by minimality, v = m is the tautological self-loop
-      val next = large.join(smins, "u")
-        .select(col("v").as("n"), col("m"))
-        .union(smins.select(col("u").as("n"), col("m")))
+      // small-star: per (renamed) u, m = min of its (all smaller)
+      // neighbors; emit (v, m) for every neighbor plus (u, m) itself —
+      // the second arm carries one row per source ROW instead of one
+      // per u, which the tail distinct collapses identically.
+      // v ≥ m by minimality, v = m is the tautological self-loop.
+      val sWithMin = large
+        .withColumn("m", min(col("v")).over(Window.partitionBy("u")))
+      val next = sWithMin.select(col("v").as("n"), col("m"))
+        .union(sWithMin.select(col("u").as("n"), col("m")))
         .filter(col("n") =!= col("m"))
         .select(col("n").as("u"), col("m").as("v"))
         .distinct()
